@@ -1,0 +1,109 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Materialization strategy — the engine's equivalent of dbt's
+  * `materialized:` config (reference: dbt_project.yml:23-27 — staging
+  * models are views, marts are tables).
+  */
+sealed trait Materialization
+object Materialization {
+  /** Lazy DataFrame lineage, recomputed per downstream use — exact analogue
+    * of a warehouse view. */
+  case object View extends Materialization
+  /** Written to parquet once per run; downstream reads scan the table. */
+  case object Table extends Materialization
+}
+
+/** A declarative model: a named transformation over upstream relations.
+  *
+  * `build` receives resolved upstream DataFrames keyed by name — the
+  * engine's `ref()` (reference: {{ ref('...') }} at stg_customers.sql:7,
+  * customers.sql:3,9,15, orders.sql:5,11). Dependencies are declared
+  * statically so the registry can topo-sort before execution, exactly as
+  * dbt compiles its DAG before running (SURVEY.md §3.2).
+  *
+  * @param name         logical relation name downstream models `ref()`
+  * @param deps         upstream relation names (seeds or models)
+  * @param materialization View (lazy) or Table (written)
+  * @param build        pure DataFrame transformation
+  * @param columnDocs   column → description metadata (the `dbt docs` surface,
+  *                     reference: models/schema.yml, models/docs.md)
+  */
+final case class Model(
+    name: String,
+    deps: Seq[String],
+    materialization: Materialization,
+    build: Map[String, DataFrame] => DataFrame,
+    columnDocs: Map[String, String] = Map.empty
+)
+
+/** Model registry + runner: `ref()` resolution, cycle-checked topological
+  * ordering, view-vs-table materialization (SURVEY.md §3.2).
+  *
+  * Scale notes:
+  *  - Views stay lazy: Catalyst sees the whole expression tree from seed
+  *    scan to mart sink, so column pruning and predicate pushdown cross
+  *    model boundaries — a mart that uses 3 of a view's 10 columns only
+  *    scans 3 (reference parity with warehouse view inlining).
+  *  - Tables cut the lineage at a parquet write, bounding plan size and
+  *    enabling reuse across downstream consumers without recompute.
+  */
+final class Registry(models: Seq[Model]) {
+  require(models.map(_.name).distinct.size == models.size, "duplicate model names")
+
+  private val byName: Map[String, Model] = models.map(m => m.name -> m).toMap
+
+  /** Kahn topological sort over the ref() DAG; deps on names not present in
+    * the registry are treated as sources the caller must provide.
+    */
+  def topoOrder: Seq[Model] = {
+    val visiting = scala.collection.mutable.LinkedHashSet.empty[String]
+    val done = scala.collection.mutable.LinkedHashSet.empty[String]
+    def visit(name: String): Unit = byName.get(name).foreach { m =>
+      if (!done.contains(name)) {
+        require(!visiting.contains(name), s"cycle through model '$name': ${visiting.mkString(" -> ")}")
+        visiting += name
+        m.deps.foreach(visit)
+        visiting -= name
+        done += name
+      }
+    }
+    models.foreach(m => visit(m.name))
+    done.toSeq.map(byName)
+  }
+
+  /** Run all models in dependency order.
+    *
+    * @param spark     session (used for table re-reads)
+    * @param sources   seed/source DataFrames available to `ref()`
+    * @param tableDir  where Table-materialized models are written; if None,
+    *                  tables behave like cached views (test mode)
+    * @return every relation (sources + models) by name
+    */
+  def run(
+      spark: SparkSession,
+      sources: Map[String, DataFrame],
+      tableDir: Option[String] = None
+  ): Map[String, DataFrame] = {
+    val resolved = scala.collection.mutable.Map[String, DataFrame](sources.toSeq: _*)
+    topoOrder.foreach { m =>
+      val missing = m.deps.filterNot(resolved.contains)
+      require(missing.isEmpty, s"model '${m.name}' missing upstream relation(s): ${missing.mkString(", ")}")
+      val df = m.build(resolved.toMap)
+      val materialized = m.materialization match {
+        case Materialization.View => df // stay lazy — warehouse-view semantics
+        case Materialization.Table =>
+          tableDir match {
+            case Some(dir) =>
+              val path = s"$dir/${m.name}"
+              df.write.mode("overwrite").parquet(path)
+              spark.read.parquet(path)
+            case None => df
+          }
+      }
+      resolved += (m.name -> materialized)
+    }
+    resolved.toMap
+  }
+}
