@@ -1,13 +1,488 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, EventOps, SimilarityOps, TextOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query keys map 1:1 onto SURVEY.md §2's operator inventory (prefix =
+  * operator id) plus the §7.4 extension surface:
+  *
+  *  - p1/p3: projections & scalar arithmetic (SURVEY §2.2)
+  *  - j1/j2/mart: left joins + agg shapes of customers/orders marts (§2.3)
+  *  - a4/a6: hash aggregation & static pivot-sum (§2.4)
+  *  - q1-q4: the four dbt test operators (§2.6)
+  *  - f1/w1/set/sj/d1/agg1: filters, window top-k, set ops, semi join,
+  *    distinct — extension mandate (§2.7)
+  *  - e1/e2: event-time tumbling window + sessionization
+  *  - txt1-4: token counting, quality scoring, language-ID, fingerprinting
+  *  - dd1/dd2/mh1/sh1: dedup — exact, n-gram jaccard, MinHash+LSH, SimHash
+  *  - ann1/ann2/cn1: embedding similarity — brute-force cosine top-k,
+  *    sign-LSH top-k, cosine near-dup pairs
+  *  - mm1: multimodal binary-column metadata plumbing
+  *
+  * Oracle notes (SURVEY §7.5): every floating-point *aggregate* is rounded
+  * on both sides (sum order differs between engines); per-row arithmetic is
+  * left raw (bit-deterministic); counts are cast to BIGINT on both sides;
+  * window ranks carry explicit deterministic tie-breaks. Queries whose
+  * semantics are hash/seed-dependent (mh1, sh1, ann2, cn1) have no oracle
+  * SQL — the driver records rows-only checks; their correctness is pinned
+  * by ScalaTest specs against exact ground truth instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") Tables.events(s, dir) else Tables.load(s, dir, name)
+
+  /** Oracle-deterministic money sum: accumulate in DECIMAL(18,4) — exact
+    * and order-independent, so Spark's partial aggregation and DuckDB's
+    * serial sum produce the *identical* value — then cast back to double.
+    * `round(sum(double), 2)` is NOT reproducible across engines: the two
+    * sums differ by ~1ulp and occasionally straddle a rounding boundary
+    * (observed: 2/1500 groups at sf0.01). The per-row double→decimal cast
+    * is itself deterministic because no double is an exact .xxxx5 tie.
+    * DECIMAL(18,4) holds ±10^14 — headroom for per-group sums at 100 TB
+    * (Spark widens the accumulator to DECIMAL(28,4) anyway).
+    */
+  private def dsum(c: Column): Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 4))).cast("double")
+
+  /** SQL mirror of [[dsum]] for the DuckDB oracle. */
+  private def dsumSql(expr: String): String =
+    s"CAST(sum(CAST($expr AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The customer-360 mart shape (SURVEY §2: J1+J2+A1-A5) on the testdata
+    * star schema.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    customer360(spark, "/root/testdata/sf0.001")
+
+  /** customers-mart analog: per-customer order stats + lifetime revenue. */
+  private def customer360(s: SparkSession, dir: String): DataFrame = {
+    val customer = t(s, dir, "customer")
+    val orders = t(s, dir, "orders")
+    val lineitem = t(s, dir, "lineitem")
+    val orderStats = orders.groupBy("o_custkey").agg(
+      min("o_orderdate").as("first_order"),
+      max("o_orderdate").as("most_recent_order"),
+      count("o_orderkey").as("number_of_orders"))
+    val revenue = lineitem
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .groupBy("o_custkey")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("lifetime_value"))
+    customer
+      .join(orderStats, col("c_custkey") === orderStats("o_custkey"), "left")
+      .drop(orderStats("o_custkey"))
+      .join(revenue, col("c_custkey") === revenue("o_custkey"), "left")
+      .drop(revenue("o_custkey"))
+      .select(col("c_custkey").as("customer_id"), col("c_name").as("name"),
+        col("first_order"), col("most_recent_order"), col("number_of_orders"),
+        col("lifetime_value"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- projections / scalar expressions (SURVEY §2.2) ----
+    "p1_rename_project" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey").as("customer_id"),
+        col("c_name").as("name"),
+        col("c_mktsegment").as("segment"))),
+
+    "p3_scalar_arithmetic" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+          .as("charge"))),
+
+    "f1_filter_project" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") && col("l_discount") > 0.05)
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_discount", "l_extendedprice")),
+
+    // ---- joins + aggregation shapes (SURVEY §2.3/§2.4) ----
+    "j1_left_join_agg" -> ((s, dir) => {
+      // J1 shape: fact ⟕ dim then group by the right side's key — left join
+      // so unmatched facts land in a NULL-key group, never dropped
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .groupBy("o_custkey")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "j2_customer360" -> ((s, dir) => customer360(s, dir)),
+
+    "a4_group_minmaxcount" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy("o_custkey").agg(
+        min("o_orderdate").as("first_order"),
+        max("o_orderdate").as("last_order"),
+        count("o_orderkey").as("n_orders"))),
+
+    "a6_pivot_sum" -> ((s, dir) => {
+      // statically-declared pivot (orders.sql:1 pattern): fixed status set,
+      // else-0 semantics, schema never data-driven
+      val statuses = Seq("F", "O", "P")
+      val pivots = statuses.map(st =>
+        dsum(when(col("o_orderstatus") === st, col("o_totalprice")).otherwise(lit(0.0)))
+          .as(s"status_${st.toLowerCase}_amount"))
+      t(s, dir, "orders").groupBy("o_custkey")
+        .agg(pivots.head, (pivots.tail :+ dsum(col("o_totalprice")).as("total_amount")): _*)
+    }),
+
+    "mart_orders_full" -> ((s, dir) => {
+      // orders-mart shape (J4+A6+A7): per-order revenue pivot by returnflag
+      val flags = Seq("R", "A", "N")
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val pivots = flags.map(f =>
+        dsum(when(col("l_returnflag") === f, rev).otherwise(lit(0.0)))
+          .as(s"${f.toLowerCase}_amount"))
+      val perOrder = t(s, dir, "lineitem").groupBy("l_orderkey")
+        .agg(pivots.head, (pivots.tail :+ dsum(rev).as("amount")): _*)
+      t(s, dir, "orders")
+        .join(perOrder, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("r_amount"), col("a_amount"), col("n_amount"), col("amount"))
+    }),
+
+    // ---- the four dbt test operators as queries (SURVEY §2.6) ----
+    "q1_unique_violations" -> ((s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_partkey").isNotNull)
+        .groupBy("l_partkey").agg(count(lit(1)).as("n_rows"))
+        .filter(col("n_rows") > 1)),
+
+    "q2_not_null_violations" -> ((s, dir) =>
+      t(s, dir, "orders").filter(col("o_custkey").isNull)
+        .select("o_orderkey", "o_custkey")),
+
+    "q3_accepted_values_violations" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_type").isNotNull && !col("event_type").isin("purchase", "click", "view"))
+        .groupBy("event_type").agg(count(lit(1)).as("n_rows"))),
+
+    "q4_relationship_violations" -> ((s, dir) => {
+      val parent = t(s, dir, "supplier").filter(col("s_suppkey") < 5)
+        .select(col("s_suppkey"))
+      t(s, dir, "lineitem").filter(col("l_suppkey").isNotNull)
+        .join(parent, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .select("l_orderkey", "l_linenumber", "l_suppkey")
+    }),
+
+    // ---- window / set / distinct / semi-join extensions (SURVEY §2.7) ----
+    "w1_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rnk"))
+        .filter(col("rnk") <= 3)
+    }),
+
+    "set1_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        .except(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+    }),
+
+    "set2_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "P").select("o_custkey")
+        .intersect(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+    }),
+
+    "d1_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()),
+
+    "sj1_semi_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")),
+
+    "agg1_stats" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        countDistinct("l_partkey").as("n_parts"))),
+
+    // ---- event-time ops ----
+    "e1_tumbling_window" -> ((s, dir) => EventOps.tumblingCounts(t(s, dir, "events"), "hour")),
+
+    "e2_sessions" -> ((s, dir) => EventOps.sessionStats(t(s, dir, "events"), gapMinutes = 30)),
+
+    "e3_json_extract" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        EventOps.propsField(col("props"), "k").cast("long").as("k_value"))),
+
+    // ---- text analysis ----
+    "txt1_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_computed"))),
+
+    "txt2_quality" -> ((s, dir) =>
+      TextOps.withQualityFeatures(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("mean_token_len"), col("stopword_ratio"))),
+
+    "txt3_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), TextOps.languageId(col("text")).as("lang_guess"))),
+
+    "txt4_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), TextOps.fingerprint(col("text")).as("content_md5"))),
+
+    // ---- dedup ----
+    "dd1_exact_dedup" -> ((s, dir) =>
+      DedupOps.exactDedup(t(s, dir, "documents"), "doc_id", Seq("text"))
+        .select(col("doc_id").as("keep_doc_id"), col("n_copies"))),
+
+    "dd2_ngram_jaccard" -> ((s, dir) =>
+      DedupOps.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minShared = 2L, minJaccard = 0.1)),
+
+    "mh1_minhash_neardup" -> ((s, dir) => // no oracle: seed-dependent; spec-pinned
+      DedupOps.minHashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 64, bands = 16, minEstJaccard = 0.4)),
+
+    "sh1_simhash_neardup" -> ((s, dir) => // no oracle: hash-dependent; spec-pinned
+      DedupOps.simHashNearDupPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
+
+    // ---- similarity search ----
+    "ann1_bruteforce_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.bruteForceTopK(
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
+    "ann2_lsh_topk" -> ((s, dir) => { // no oracle: bucketing approximate; spec-pinned
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.lshTopK(
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5, dim = 64, numPlanes = 6)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
+    "cn1_cosine_neardup" -> ((s, dir) => // no oracle: bucketing approximate; spec-pinned
+      SimilarityOps.cosineNearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        minCosine = 0.8, dim = 64, numPlanes = 6)),
+
+    // ---- multimodal plumbing ----
+    "mm1_binary_meta" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        md5(col("text").cast("binary")).as("content_md5")))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for hash/seed-dependent ops (driver
+    * records rows-only checks; ScalaTest pins their semantics instead).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "p1_rename_project" ->
+      "SELECT c_custkey AS customer_id, c_name AS name, c_mktsegment AS segment FROM customer",
+
+    "p3_scalar_arithmetic" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge FROM lineitem",
+
+    "f1_filter_project" ->
+      ("SELECT l_orderkey, l_linenumber, l_shipdate, l_discount, l_extendedprice FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.05"),
+
+    "j1_left_join_agg" ->
+      (s"SELECT o.o_custkey, ${dsumSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue, " +
+        "CAST(count(*) AS BIGINT) AS n_items " +
+        "FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY o.o_custkey"),
+
+    "j2_customer360" ->
+      (s"""WITH order_stats AS (
+         |  SELECT o_custkey, min(o_orderdate) AS first_order, max(o_orderdate) AS most_recent_order,
+         |         CAST(count(o_orderkey) AS BIGINT) AS number_of_orders
+         |  FROM orders GROUP BY o_custkey
+         |), revenue AS (
+         |  SELECT o.o_custkey, ${dsumSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS lifetime_value
+         |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY o.o_custkey
+         |)
+         |SELECT c.c_custkey AS customer_id, c.c_name AS name, s.first_order, s.most_recent_order,
+         |       s.number_of_orders, r.lifetime_value
+         |FROM customer c
+         |LEFT JOIN order_stats s ON c.c_custkey = s.o_custkey
+         |LEFT JOIN revenue r ON c.c_custkey = r.o_custkey""").stripMargin,
+
+    "a4_group_minmaxcount" ->
+      ("SELECT o_custkey, min(o_orderdate) AS first_order, max(o_orderdate) AS last_order, " +
+        "CAST(count(o_orderkey) AS BIGINT) AS n_orders FROM orders GROUP BY o_custkey"),
+
+    "a6_pivot_sum" ->
+      (s"SELECT o_custkey, " +
+        s"${dsumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END")} AS status_f_amount, " +
+        s"${dsumSql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END")} AS status_o_amount, " +
+        s"${dsumSql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0.0 END")} AS status_p_amount, " +
+        s"${dsumSql("o_totalprice")} AS total_amount " +
+        "FROM orders GROUP BY o_custkey"),
+
+    "mart_orders_full" ->
+      (s"""WITH per_order AS (
+         |  SELECT l_orderkey,
+         |    ${dsumSql("CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS r_amount,
+         |    ${dsumSql("CASE WHEN l_returnflag = 'A' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS a_amount,
+         |    ${dsumSql("CASE WHEN l_returnflag = 'N' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS n_amount,
+         |    ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS amount
+         |  FROM lineitem GROUP BY l_orderkey
+         |)
+         |SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, p.r_amount, p.a_amount, p.n_amount, p.amount
+         |FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey""").stripMargin,
+
+    "q1_unique_violations" ->
+      ("SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_rows FROM lineitem " +
+        "WHERE l_partkey IS NOT NULL GROUP BY l_partkey HAVING count(*) > 1"),
+
+    "q2_not_null_violations" ->
+      "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IS NULL",
+
+    "q3_accepted_values_violations" ->
+      ("SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows FROM events " +
+        "WHERE event_type IS NOT NULL AND event_type NOT IN ('purchase', 'click', 'view') " +
+        "GROUP BY event_type"),
+
+    "q4_relationship_violations" ->
+      ("SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem " +
+        "WHERE l_suppkey IS NOT NULL AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey < 5)"),
+
+    "w1_window_topk" ->
+      ("""SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+         |  SELECT o_custkey, o_orderkey, o_totalprice,
+         |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rnk
+         |  FROM orders
+         |) WHERE rnk <= 3""").stripMargin,
+
+    "set1_except" ->
+      ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
+        "EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"),
+
+    "set2_intersect" ->
+      ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'P' " +
+        "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"),
+
+    "d1_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "sj1_semi_join" ->
+      ("SELECT c_custkey, c_name FROM customer " +
+        "WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')"),
+
+    "agg1_stats" ->
+      (s"SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows, ${dsumSql("l_quantity")} AS sum_qty, " +
+        s"${dsumSql("l_extendedprice")} / count(*) AS avg_price, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts " +
+        "FROM lineitem GROUP BY l_returnflag"),
+
+    "e1_tumbling_window" ->
+      (s"SELECT date_trunc('hour', ts) AS window_start, event_type, CAST(count(*) AS BIGINT) AS n_events, " +
+        s"${dsumSql("value")} AS total_value FROM events GROUP BY 1, 2"),
+
+    "e2_sessions" ->
+      (s"""WITH lagged AS (
+         |  SELECT user_id, event_id, ts, value,
+         |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events
+         |), flagged AS (
+         |  SELECT user_id, event_id, ts, value,
+         |         CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+         |  FROM lagged
+         |), numbered AS (
+         |  SELECT user_id, ts, value,
+         |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         |  FROM flagged
+         |)
+         |SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+         |       CAST(count(*) AS BIGINT) AS n_events, ${dsumSql("value")} AS total_value
+         |FROM numbered GROUP BY user_id, session_seq""").stripMargin,
+
+    "e3_json_extract" ->
+      "SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_value FROM events",
+
+    "txt1_token_count" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(length(text) AS BIGINT) AS n_chars_computed FROM documents"),
+
+    "txt2_quality" ->
+      ("""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 4) AS mean_token_len,
+         |  round(CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio
+         |FROM documents""").stripMargin,
+
+    "txt3_langid" ->
+      ("""WITH hits AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split(text, ' '), x -> x IN ('the', 'and', 'of', 'to', 'a', 'in', 'is'))) AS en_h,
+         |    len(list_filter(string_split(text, ' '), x -> x IN ('der', 'die', 'und', 'das', 'ist', 'ein'))) AS de_h,
+         |    len(list_filter(string_split(text, ' '), x -> x IN ('el', 'la', 'de', 'que', 'y', 'es'))) AS es_h,
+         |    len(list_filter(string_split(text, ' '), x -> x IN ('le', 'la', 'et', 'les', 'des', 'est'))) AS fr_h
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(en_h, de_h, es_h, fr_h) = 0 THEN 'und'
+         |       WHEN en_h = greatest(en_h, de_h, es_h, fr_h) THEN 'en'
+         |       WHEN de_h = greatest(en_h, de_h, es_h, fr_h) THEN 'de'
+         |       WHEN es_h = greatest(en_h, de_h, es_h, fr_h) THEN 'es'
+         |       ELSE 'fr' END AS lang_guess
+         |FROM hits""").stripMargin,
+
+    "txt4_fingerprint" ->
+      "SELECT doc_id, md5(text) AS content_md5 FROM documents",
+
+    "dd1_exact_dedup" ->
+      "SELECT CAST(min(doc_id) AS BIGINT) AS keep_doc_id, CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY text",
+
+    "dd2_ngram_jaccard" ->
+      ("""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |), idx AS (
+         |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM idx
+         |), sz AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, CAST(pr.shared AS BIGINT) AS shared_shingles,
+         |       round(pr.shared / (sa.n + sb.n - pr.shared), 4) AS jaccard
+         |FROM pr JOIN sz sa ON pr.doc_a = sa.doc_id JOIN sz sb ON pr.doc_b = sb.doc_id
+         |WHERE pr.shared >= 2 AND round(pr.shared / (sa.n + sb.n - pr.shared), 4) >= 0.1""").stripMargin,
+
+    "ann1_bruteforce_topk" ->
+      ("""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8
+         |), scored AS (
+         |  SELECT q.q_id, c.vec_id,
+         |         round(list_inner_product(q.qv, c.embedding::DOUBLE[]) /
+         |               (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4) AS score
+         |  FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.q_id
+         |), ranked AS (
+         |  SELECT q_id, vec_id, score,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk
+         |  FROM scored
+         |)
+         |SELECT q_id, vec_id, score, rnk FROM ranked WHERE rnk <= 5""").stripMargin,
+
+    "mm1_binary_meta" ->
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_md5 FROM documents"
+  )
 }

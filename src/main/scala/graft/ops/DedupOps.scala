@@ -1,0 +1,208 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, from exact to
+  * near-duplicate. Scale design notes per operator:
+  *
+  *  - Exact dedup: one hash-shuffle on the dedup key (partial+final
+  *    hash aggregation; the map-side combine collapses duplicates before
+  *    the shuffle, so shuffled bytes ≈ distinct keys, not rows).
+  *  - n-gram Jaccard: candidate generation joins on *shingles*, so cost is
+  *    Σ_shingle count² — bounded by shingle selectivity, never a blind
+  *    n² cross join. Verification aggregates per candidate pair.
+  *  - MinHash+LSH: signatures are computed in ONE narrow projection per
+  *    document (nested higher-order functions, no explode, no shuffle);
+  *    only the b band keys per doc are exploded for bucketing, so the
+  *    shuffle is O(n·b) rows regardless of document length. This is the
+  *    100 TB path: candidate pairs come from equal band buckets only.
+  *  - SimHash: one 64-bit signature per doc, computed in one projection;
+  *    candidates via pigeonhole banding over 4×16-bit chunks (hamming ≤ 3
+  *    duplicates must collide on ≥1 chunk).
+  */
+object DedupOps {
+
+  /** Exact dedup on arbitrary key columns: keeps the row with the minimum
+    * `idCol` per key (deterministic winner), counts collapsed copies.
+    */
+  def exactDedup(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Distinct word n-gram shingles of `text` as an array column. Docs with
+    * fewer than n tokens yield an empty array (guarded: Spark's `sequence`
+    * counts *down* when stop < start, which would make `slice` throw on
+    * start 0).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    val positions = sequence(lit(1), size(toks) - (n - 1))
+    array_distinct(
+      when(size(toks) >= n,
+        transform(positions, i => array_join(slice(toks, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    )
+  }
+
+  /** Exact n-gram Jaccard similarity pairs: all document pairs sharing at
+    * least `minShared` shingles, with jaccard ≥ `minJaccard`.
+    *
+    * Shape: explode shingles → self-equi-join on shingle (doc_a < doc_b) →
+    * count shared per pair → join per-doc set sizes → jaccard. The only
+    * quadratic term is per-shingle bucket size; a frequency cap
+    * (`maxShingleFreq`) drops degenerate ultra-common shingles the way
+    * production near-dup pipelines drop stop-shingles.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minShared: Long = 2L,
+      minJaccard: Double = 0.1,
+      maxShingleFreq: Option[Long] = None
+  ): DataFrame = {
+    val withSh = docs.select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("shingle"))
+    val filtered = maxShingleFreq match {
+      case Some(cap) =>
+        // drop shingles whose doc-frequency exceeds the cap (stop-shingles)
+        val freq = withSh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        withSh.join(freq.filter(col("df") <= cap).select("shingle"), Seq("shingle"))
+      case None => withSh
+    }
+    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val a = filtered.withColumnRenamed("doc_id", "doc_a")
+    val b = filtered.withColumnRenamed("doc_id", "doc_b")
+    val shared = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_shingles"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("shared_shingles").cast("double") /
+          (col("n_a") + col("n_b") - col("shared_shingles")), 4))
+      .filter(col("shared_shingles") >= minShared && col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "shared_shingles", "jaccard")
+  }
+
+  /** Deterministic MinHash parameters: k affine hashes
+    * h_i(x) = (a_i·x + b_i) mod p over 31-bit-reduced xxhash64 shingle
+    * hashes, p = 2^31-1 (Mersenne). With a, b, x all < 2^31 every product
+    * stays below 2^62 — no 64-bit overflow. Constants derive from a fixed
+    * seed so signatures are reproducible across runs and clusters.
+    */
+  private val MinHashPrime = 2147483647L // 2^31 - 1
+
+  private def hashParams(k: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)((
+      (rnd.nextLong() & Long.MaxValue) % (MinHashPrime - 1) + 1,
+      (rnd.nextLong() & Long.MaxValue) % MinHashPrime
+    ))
+  }
+
+  /** MinHash signature as an array<long> column of length k — computed with
+    * nested higher-order functions in a single projection (no explode, no
+    * shuffle, no UDF).
+    */
+  def minHashSignature(text: Column, numHashes: Int = 64, shingleSize: Int = 3, seed: Long = 42L): Column = {
+    val hashes31 = transform(shingles(text, shingleSize), s => pmod(xxhash64(s), lit(MinHashPrime)))
+    val sigParts: Seq[Column] = hashParams(numHashes, seed).map { case (a, b) =>
+      array_min(transform(hashes31, x => pmod(lit(a) * x + lit(b), lit(MinHashPrime))))
+    }
+    array(sigParts: _*)
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs.
+    *
+    * Signatures are banded into `bands` groups of `numHashes/bands` rows;
+    * docs colliding on any band's hash become candidates; candidates are
+    * scored by estimated jaccard = fraction of equal signature positions,
+    * and kept above `minEstJaccard`.
+    */
+  def minHashNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      minEstJaccard: Double = 0.5,
+      seed: Long = 42L
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = docs
+      .filter(size(split(col(textCol), " ")) >= shingleSize) // too-short docs have no shingles
+      .select(col(idCol).as("doc_id"),
+        minHashSignature(col(textCol), numHashes, shingleSize, seed).as("sig"))
+    // one narrow pass so far; now explode only the b band keys per doc
+    val banded = sig.select(
+      col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bIdx => xxhash64(
+          concat_ws(",", transform(slice(col("sig"), bIdx * r + 1, lit(r)), x => x.cast("string"))),
+          bIdx)))
+    ).withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    val left = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val right = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    left.join(right, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .dropDuplicates("doc_a", "doc_b") // candidate may collide in several bands
+      .withColumn("est_jaccard",
+        round(aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, m) => acc + m).cast("double") / numHashes, 4))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash signature: sign-aggregated bitwise vote over shingle
+    * hashes, one projection, no shuffle. For each bit position j, count
+    * shingles with bit j set minus shingles with it unset; bit j of the
+    * signature is 1 iff the vote is positive.
+    */
+  def simHash(text: Column, shingleSize: Int = 2): Column = {
+    val hs = transform(shingles(text, shingleSize), s => xxhash64(s))
+    // statically unrolled over bit positions so shift counts are literals;
+    // at true 100 TB scale this becomes one custom TypedImperativeAggregate
+    // or Expression with doGenCode — the composition here is the semantics
+    val bits: Seq[Column] = (0 until 64).map { j =>
+      val vote = aggregate(hs, lit(0),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with hamming ≤ maxHamming, candidates via
+    * 4×16-bit chunk banding (pigeonhole: hamming ≤ 3 ⇒ some chunk equal).
+    */
+  def simHashNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      shingleSize: Int = 2
+  ): DataFrame = {
+    val sig = docs.select(col(idCol).as("doc_id"), simHash(col(textCol), shingleSize).as("sig"))
+    val chunks: Seq[Column] = (0 until 4).map(c => shiftright(col("sig"), c * 16).bitwiseAND(0xffffL))
+    val chunked = sig.select(col("doc_id"), col("sig"), posexplode(array(chunks: _*)))
+      .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
+    val left = chunked.select(col("chunk"), col("chunk_val"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val right = chunked.select(col("chunk"), col("chunk_val"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    left.join(right, Seq("chunk", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

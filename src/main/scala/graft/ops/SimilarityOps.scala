@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (array<float>).
+  *
+  * Two paths, per the standard ANN playbook:
+  *  - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small) query
+  *    set against the corpus; one narrow pass over the corpus, a partial
+  *    top-k per partition via window ranking. The corpus is never
+  *    shuffled by vector — only (q, k) result rows move. This is the
+  *    correctness baseline and is itself 100 TB-viable when |queries| is
+  *    modest (the scan is embarrassingly parallel).
+  *  - [[lshTopK]] — random-hyperplane (sign) LSH bucketing: corpus and
+  *    queries hash to sign-bit buckets; only same-bucket pairs are scored.
+  *    Probing multiple bucket permutations trades recall for cost. This is
+  *    the scale path when |queries| is large: the join is an equi-join on
+  *    bucket id, so Catalyst shuffles by bucket instead of cross-joining.
+  *
+  * All math is done via codegen-friendly higher-order functions with
+  * explicit double accumulation (deterministic left fold).
+  */
+object SimilarityOps {
+
+  /** Dot product of two array<float/double> columns, accumulated in double
+    * (sequential left fold — deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * @param queries  (qIdCol, vecCol) — expected small (broadcast side)
+    * @param corpus   (idCol, vecCol)
+    * @param k        neighbors per query
+    * @param excludeSelf drop rows where query id equals corpus id
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(q), if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
+      .withColumn("score", round(cosine(col("q_vec"), col("c_vec")), 4))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "score", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `numPlanes` vectors of
+    * dimension `dim`, seeded. Returned as a literal array-of-arrays column
+    * so the comparison runs fully inside the executors (no driver loop).
+    */
+  private def hyperplanes(dim: Int, numPlanes: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id of a vector: bit i = sign(v · plane_i). */
+  def signBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits: Seq[Column] = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit(_)): _*)
+      when(dot(vec, planeLit) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k via sign-LSH bucketing: score only same-bucket
+    * pairs. Recall rises with fewer planes (bigger buckets) and falls with
+    * more; 8-16 planes suit ~10^6-row buckets at corpus scale.
+    */
+  def lshTopK(
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      numPlanes: Int = 8,
+      seed: Long = 42L,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val planes = hyperplanes(dim, numPlanes, seed)
+    val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"),
+      signBucket(col(qVecCol), planes).as("bucket"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
+      signBucket(col(vecCol), planes).as("bucket"))
+    val scored = c.join(q, Seq("bucket")) // equi-join on bucket: shuffles by bucket, not n×m
+      .filter(if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
+      .withColumn("score", round(cosine(col("q_vec"), col("c_vec")), 4))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "score", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (all pairs above a threshold)
+    * via LSH buckets — the embedding analogue of MinHash near-dup.
+    */
+  def cosineNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      dim: Int,
+      numPlanes: Int = 8,
+      seed: Long = 42L
+  ): DataFrame = {
+    val planes = hyperplanes(dim, numPlanes, seed)
+    val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      signBucket(col(vecCol), planes).as("bucket"))
+    val a = withBucket.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = withBucket.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", round(cosine(col("vec_a"), col("vec_b")), 4))
+      .filter(col("score") >= minCosine)
+      .select("id_a", "id_b", "score")
+  }
+}

