@@ -270,14 +270,14 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       SimilarityOps.lshTopK(
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
-        emb, "vec_id", "embedding", k = 5, dim = 64, numPlanes = 6)
+        emb, "vec_id", "embedding", k = 5, dim = 64)
         .withColumnRenamed("rank", "rnk")
     }),
 
     "cn1_cosine_neardup" -> ((s, dir) => // no oracle: bucketing approximate; spec-pinned
       SimilarityOps.cosineNearDupPairs(
         t(s, dir, "embeddings"), "vec_id", "embedding",
-        minCosine = 0.8, dim = 64, numPlanes = 6)),
+        minCosine = 0.8, dim = 64)),
 
     // ---- multimodal plumbing ----
     "mm1_binary_meta" -> ((s, dir) =>

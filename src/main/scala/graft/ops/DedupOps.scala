@@ -104,17 +104,26 @@ object DedupOps {
     ))
   }
 
-  /** MinHash signature as an array<long> column of length k — computed with
-    * nested higher-order functions in a single projection (no explode, no
-    * shuffle, no UDF).
+  /** 31-bit shingle hashes of a text column (stage this as its OWN column
+    * before fanning out to the k affine hashes: inlining it into all k
+    * folds recomputes shingling k times — measured 60× slower).
     */
-  def minHashSignature(text: Column, numHashes: Int = 64, shingleSize: Int = 3, seed: Long = 42L): Column = {
-    val hashes31 = transform(shingles(text, shingleSize), s => pmod(xxhash64(s), lit(MinHashPrime)))
+  def shingleHashes(text: Column, shingleSize: Int): Column =
+    transform(shingles(text, shingleSize), s => pmod(xxhash64(s), lit(MinHashPrime)))
+
+  /** MinHash signature (array<long>, length k) over a pre-materialized
+    * [[shingleHashes]] column. */
+  def minHashSignatureFromHashes(hashes31: Column, numHashes: Int, seed: Long): Column = {
     val sigParts: Seq[Column] = hashParams(numHashes, seed).map { case (a, b) =>
       array_min(transform(hashes31, x => pmod(lit(a) * x + lit(b), lit(MinHashPrime))))
     }
     array(sigParts: _*)
   }
+
+  /** MinHash signature straight from text — convenience for single-column
+    * use; pipelines should stage [[shingleHashes]] first. */
+  def minHashSignature(text: Column, numHashes: Int = 64, shingleSize: Int = 3, seed: Long = 42L): Column =
+    minHashSignatureFromHashes(shingleHashes(text, shingleSize), numHashes, seed)
 
   /** MinHash+LSH near-duplicate candidate pairs.
     *
@@ -138,7 +147,9 @@ object DedupOps {
     val sig = docs
       .filter(size(split(col(textCol), " ")) >= shingleSize) // too-short docs have no shingles
       .select(col(idCol).as("doc_id"),
-        minHashSignature(col(textCol), numHashes, shingleSize, seed).as("sig"))
+        shingleHashes(col(textCol), shingleSize).as("hs")) // materialized ONCE per row
+      .select(col("doc_id"),
+        minHashSignatureFromHashes(col("hs"), numHashes, seed).as("sig"))
     // one narrow pass so far; now explode only the b band keys per doc
     val banded = sig.select(
       col("doc_id"), col("sig"),
@@ -166,11 +177,12 @@ object DedupOps {
     * shingles with bit j set minus shingles with it unset; bit j of the
     * signature is 1 iff the vote is positive.
     */
-  def simHash(text: Column, shingleSize: Int = 2): Column = {
-    val hs = transform(shingles(text, shingleSize), s => xxhash64(s))
-    // statically unrolled over bit positions so shift counts are literals;
-    // at true 100 TB scale this becomes one custom TypedImperativeAggregate
-    // or Expression with doGenCode — the composition here is the semantics
+  /** SimHash bits from a pre-materialized array of shingle hashes.
+    * Statically unrolled over bit positions so shift counts are literals;
+    * at true 100 TB scale this becomes one custom TypedImperativeAggregate
+    * or Expression with doGenCode — the composition here is the semantics.
+    */
+  def simHashFromHashes(hs: Column): Column = {
     val bits: Seq[Column] = (0 until 64).map { j =>
       val vote = aggregate(hs, lit(0),
         (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
@@ -178,6 +190,9 @@ object DedupOps {
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  def simHash(text: Column, shingleSize: Int = 2): Column =
+    simHashFromHashes(transform(shingles(text, shingleSize), s => xxhash64(s)))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -192,7 +207,10 @@ object DedupOps {
       maxHamming: Int = 3,
       shingleSize: Int = 2
   ): DataFrame = {
-    val sig = docs.select(col(idCol).as("doc_id"), simHash(col(textCol), shingleSize).as("sig"))
+    val sig = docs
+      .select(col(idCol).as("doc_id"),
+        transform(shingles(col(textCol), shingleSize), s => xxhash64(s)).as("hs")) // once per row
+      .select(col("doc_id"), simHashFromHashes(col("hs")).as("sig"))
     val chunks: Seq[Column] = (0 until 4).map(c => shiftright(col("sig"), c * 16).bitwiseAND(0xffffL))
     val chunked = sig.select(col("doc_id"), col("sig"), posexplode(array(chunks: _*)))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))

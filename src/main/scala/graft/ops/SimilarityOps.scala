@@ -79,9 +79,24 @@ object SimilarityOps {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Approximate top-k via sign-LSH bucketing: score only same-bucket
-    * pairs. Recall rises with fewer planes (bigger buckets) and falls with
-    * more; 8-16 planes suit ~10^6-row buckets at corpus scale.
+  /** Multi-table bucket ids: one sign-bucket per table, each table with its
+    * own plane set. Single-table sign-LSH has recall ≈ p^b per neighbor
+    * (p = 1 - θ/π): for cos≈0.35 neighbors and 6 planes that is ~5% —
+    * useless. L tables lift it to 1-(1-p^b)^L (e.g. b=4, L=8 → ~70%).
+    * Returned as an array; explode to (table, bucket) rows for the join.
+    */
+  private def tableBuckets(vec: Column, dim: Int, numPlanes: Int, tables: Int, seed: Long): Column =
+    array((0 until tables).map(t => signBucket(vec, hyperplanes(dim, numPlanes, seed + 1000L * t))): _*)
+
+  private def withTableBuckets(df: DataFrame, vecCol: String, dim: Int,
+      numPlanes: Int, tables: Int, seed: Long): DataFrame =
+    df.select(col("*"), posexplode(tableBuckets(col(vecCol), dim, numPlanes, tables, seed)))
+      .withColumnsRenamed(Map("pos" -> "table_id", "col" -> "bucket"))
+
+  /** Approximate top-k via multi-table sign-LSH: candidates from equal
+    * (table, bucket) buckets, deduplicated, then scored exactly. The join
+    * is an equi-join on (table, bucket) — Catalyst shuffles by bucket,
+    * never a blind n×m cross join; corpus replication factor is `tables`.
     */
   def lshTopK(
       queries: DataFrame,
@@ -92,18 +107,22 @@ object SimilarityOps {
       vecCol: String,
       k: Int,
       dim: Int,
-      numPlanes: Int = 8,
+      numPlanes: Int = 4,
+      tables: Int = 8,
       seed: Long = 42L,
       excludeSelf: Boolean = true
   ): DataFrame = {
-    val planes = hyperplanes(dim, numPlanes, seed)
-    val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"),
-      signBucket(col(qVecCol), planes).as("bucket"))
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
-      signBucket(col(vecCol), planes).as("bucket"))
-    val scored = c.join(q, Seq("bucket")) // equi-join on bucket: shuffles by bucket, not n×m
+    val q = withTableBuckets(
+      queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec")),
+      "q_vec", dim, numPlanes, tables, seed)
+    val c = withTableBuckets(
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec")),
+      "c_vec", dim, numPlanes, tables, seed)
+    val candidates = c.join(q, Seq("table_id", "bucket"))
       .filter(if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
-      .withColumn("score", round(cosine(col("q_vec"), col("c_vec")), 4))
+      .select("q_id", "q_vec", "vec_id", "c_vec")
+      .dropDuplicates("q_id", "vec_id") // same pair may collide in several tables
+    val scored = candidates.withColumn("score", round(cosine(col("q_vec"), col("c_vec")), 4))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -112,7 +131,9 @@ object SimilarityOps {
   }
 
   /** Embedding-cosine near-duplicate pairs (all pairs above a threshold)
-    * via LSH buckets — the embedding analogue of MinHash near-dup.
+    * via multi-table LSH buckets — the embedding analogue of MinHash
+    * near-dup. High-threshold pairs (cos ≥ 0.8) collide with high
+    * probability per table, so few tables suffice.
     */
   def cosineNearDupPairs(
       df: DataFrame,
@@ -120,16 +141,19 @@ object SimilarityOps {
       vecCol: String,
       minCosine: Double,
       dim: Int,
-      numPlanes: Int = 8,
+      numPlanes: Int = 6,
+      tables: Int = 6,
       seed: Long = 42L
   ): DataFrame = {
-    val planes = hyperplanes(dim, numPlanes, seed)
-    val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      signBucket(col(vecCol), planes).as("bucket"))
-    val a = withBucket.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = withBucket.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("bucket"))
+    val withBucket = withTableBuckets(
+      df.select(col(idCol).as("id"), col(vecCol).as("vec")),
+      "vec", dim, numPlanes, tables, seed)
+    val a = withBucket.select(col("table_id"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = withBucket.select(col("table_id"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("table_id", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "vec_a", "vec_b")
+      .dropDuplicates("id_a", "id_b")
       .withColumn("score", round(cosine(col("vec_a"), col("vec_b")), 4))
       .filter(col("score") >= minCosine)
       .select("id_a", "id_b", "score")

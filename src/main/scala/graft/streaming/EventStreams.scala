@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Per-event session input for [[EventStreams.sessionizeStream]].
+  * Top-level (not nested in the object): Janino-generated encoder code
+  * fails to resolve accessor methods on object-nested case classes.
+  */
+final case class StreamEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
+
+/** Emitted when a session closes (watermark passes gap timeout). */
+final case class ClosedSession(
+    user_id: Long,
+    session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp,
+    n_events: Long,
+    total_value: Double)
+
+/** One open session per user held in the state store. */
+final case class OpenSession(start: Long, end: Long, n: Long, total: Double)
+
+/** Structured Streaming surface over the events schema
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference has no streaming (SURVEY.md §2.7) — this is the §7.4
+  * extension: the same event-time semantics as
+  * [[graft.ops.EventOps]], expressed incrementally. Watermarks bound
+  * state so a 100 TB/day stream holds only the open windows/sessions in
+  * the state store, never history.
+  */
+object EventStreams {
+
+  /** Tumbling one-hour event-time aggregation with a watermark.
+    * Late data beyond `watermarkDelay` is dropped; state for closed
+    * windows is evicted — bounded memory regardless of stream length.
+    */
+  def hourlyCounts(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))).cast("double").as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Streaming sessionization via flatMapGroupsWithState: the incremental
+    * twin of [[graft.ops.EventOps.sessionize]]. State per user is one open
+    * session (O(users) state, evicted on event-time timeout = the session
+    * gap), sessions are emitted when closed by a gap or timeout.
+    */
+  def sessionizeStream(
+      spark: SparkSession,
+      events: DataFrame,
+      gapMinutes: Int = 30,
+      watermarkDelay: String = "1 hour"
+  ): DataFrame = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .selectExpr("event_id", "ts", "user_id", "value")
+      .as[StreamEvent]
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[StreamEvent], state: GroupState[OpenSession]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed the gap: close and emit the open session
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n, s.total))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= ClosedSession(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n, s.total)
+                  cur = Some(OpenSession(t, t, 1, e.value))
+                case None =>
+                  cur = Some(OpenSession(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+      .toDF()
+  }
+
+  /** File-source convenience: stream a directory of event parquet files
+    * through [[hourlyCounts]] into an in-memory table. */
+  def runHourlyFromParquet(
+      spark: SparkSession,
+      inputDir: String,
+      queryName: String
+  ): StreamingQuery = {
+    val schema = spark.read.parquet(inputDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inputDir)
+    hourlyCounts(stream).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.DedupOps
+
+/** Pins the semantics of the dedup operators — especially the
+  * hash/seed-dependent ones (MinHash, SimHash) that the DuckDB oracle
+  * can't cover: ground truth here is constructed documents with known
+  * overlap.
+  */
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog while rain falls on the green hills near the old stone bridge"
+  // near-dup of base: one word changed
+  private val nearDup = base.replace("lazy", "sleepy")
+  private val unrelated1 = "spark catalyst plans whole stage codegen across shuffle boundaries for distributed analytical query execution at scale"
+  private val unrelated2 = "databases index columnar storage with vectorized scans and adaptive execution strategies improving throughput substantially"
+
+  private lazy val docs = Seq(
+    (0L, base), (1L, nearDup), (2L, unrelated1), (3L, unrelated2), (4L, base)
+  ).toDF("doc_id", "text")
+
+  test("shingles: distinct word n-grams, short docs yield empty") {
+    val sh = spark.range(1).select(DedupOps.shingles(lit("a b c d"), 3).as("s"))
+      .head.getSeq[String](0)
+    assert(sh.toSet === Set("a b c", "b c d"))
+    val short = spark.range(1).select(DedupOps.shingles(lit("a b"), 3).as("s"))
+      .head.getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("exactDedup collapses identical texts, keeps min id") {
+    val out = DedupOps.exactDedup(docs, "doc_id", Seq("text")).cache()
+    assert(out.count() === 4) // 5 docs, one exact pair
+    val dupRow = out.filter(col("n_copies") === 2).head
+    assert(dupRow.getAs[Long]("doc_id") === 0L) // min of {0, 4}
+  }
+
+  test("ngramJaccardPairs finds the constructed near-dup and the exact dup, not unrelated") {
+    val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minShared = 2, minJaccard = 0.1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // near-dup
+    assert(pairs.contains((0L, 4L))) // exact dup (jaccard 1.0)
+    assert(!pairs.exists(p => Set(2L, 3L).contains(p._1) && Set(0L, 1L, 4L).contains(p._2)))
+    assert(!pairs.contains((2L, 3L)))
+  }
+
+  test("ngramJaccardPairs jaccard values are exact") {
+    val j01 = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 1, 0.0)
+      .filter(col("doc_a") === 0 && col("doc_b") === 4).head
+    assert(j01.getAs[Double]("jaccard") === 1.0) // identical docs
+  }
+
+  test("minHash signature: identical texts identical sigs; est_jaccard tracks true jaccard") {
+    val pairs = DedupOps.minHashNearDupPairs(docs, "doc_id", "text",
+      numHashes = 64, bands = 16, minEstJaccard = 0.3).cache()
+    val byPair = pairs.select("doc_a", "doc_b", "est_jaccard").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(byPair((0L, 4L)) === 1.0) // exact dup: all 64 minhashes equal
+    // near-dup true 3-gram jaccard ≈ 0.56 (3 of 19 shingles differ per side)
+    val est = byPair((0L, 1L))
+    assert(est > 0.3 && est < 0.9, s"est_jaccard $est out of expected band")
+    assert(!byPair.keySet.exists(p => Set(2L, 3L).contains(p._1)))
+  }
+
+  test("minHash signatures are deterministic across runs (fixed seed)") {
+    val s1 = docs.select(DedupOps.minHashSignature(col("text")).as("sig")).collect().map(_.getSeq[Long](0))
+    val s2 = docs.select(DedupOps.minHashSignature(col("text")).as("sig")).collect().map(_.getSeq[Long](0))
+    assert(s1.toSeq.map(_.toSeq) === s2.toSeq.map(_.toSeq))
+  }
+
+  test("simHash: identical → hamming 0; near-dup close; unrelated far") {
+    val sigs = docs.select(col("doc_id"), DedupOps.simHash(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(4L)) === 0)
+    assert(ham(sigs(0L), sigs(1L)) < ham(sigs(0L), sigs(2L)))
+    assert(ham(sigs(0L), sigs(2L)) > 10) // unrelated texts differ in many bits
+  }
+
+  test("simHashNearDupPairs surfaces exact dup via chunk banding") {
+    val pairs = DedupOps.simHashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 4L)))
+    assert(!pairs.contains((2L, 3L)))
+  }
+}

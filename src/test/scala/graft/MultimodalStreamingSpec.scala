@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.ops.MultimodalOps
+import graft.streaming.EventStreams
+
+class MultimodalStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val jpegHeader = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte) ++ "fakejpegpayload".getBytes
+  private val pngHeader = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47) ++ "fakepngpayload".getBytes
+  private val junk = "not an image at all".getBytes
+
+  private lazy val media = Seq(
+    (1L, jpegHeader), (2L, pngHeader), (3L, junk)
+  ).toDF("item_id", "content")
+
+  test("sniffFormat detects containers from magic bytes") {
+    val fmts = media.select(col("item_id"), MultimodalOps.sniffFormat(col("content")).as("f"))
+      .as[(Long, String)].collect().toMap
+    assert(fmts === Map(1L -> "jpeg", 2L -> "png", 3L -> "unknown"))
+  }
+
+  test("withBinaryMeta adds size, format, hash") {
+    val row = MultimodalOps.withBinaryMeta(media, "content").filter(col("item_id") === 1).head
+    assert(row.getAs[Long]("n_bytes") === jpegHeader.length.toLong)
+    assert(row.getAs[String]("format") === "jpeg")
+    assert(row.getAs[String]("content_md5").length === 32)
+  }
+
+  test("sampleChunks splits binary into bounded fixed-size chunks") {
+    val out = MultimodalOps.sampleChunks(media.filter(col("item_id") === 1), "content",
+      chunkBytes = 8, maxFrames = 2)
+    val chunks = out.select("chunk_idx", "chunk").as[(Int, Array[Byte])].collect()
+    assert(chunks.length === 2) // 19 bytes / 8 = 3 chunks, capped at 2
+    assert(chunks(0)._2.length === 8)
+    assert(chunks(0)._2.toSeq === jpegHeader.take(8).toSeq)
+  }
+
+  test("decodeImageStub: mapPartitions plumbing with deterministic features") {
+    val feats = MultimodalOps.decodeImageStub(media, "item_id", "content").collect()
+      .map(f => f.item_id -> f).toMap
+    assert(feats.size === 3)
+    assert(feats(1L).format === "jpeg")
+    assert(feats(1L).embedding.length === 16)
+    assert(math.abs(feats(1L).embedding.sum - 1f) < 1e-5) // L1-normalized
+    // deterministic: second run identical
+    val again = MultimodalOps.decodeImageStub(media, "item_id", "content").collect()
+      .map(f => f.item_id -> f).toMap
+    assert(again(1L).width === feats(1L).width && again(1L).height === feats(1L).height)
+  }
+
+  test("streaming hourlyCounts matches the batch tumbling aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = EventStreams.hourlyCounts(df, "2 hours")
+      .writeStream.format("memory").queryName("hourly_test").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:15:00"), 1L, "click", 2.0),
+        (2L, Timestamp.valueOf("2024-01-01 10:45:00"), 1L, "click", 3.0),
+        (3L, Timestamp.valueOf("2024-01-01 11:05:00"), 1L, "view", 5.0))
+      query.processAllAvailable()
+      // advance watermark far enough to close the 10:00 and 11:00 windows
+      input.addData((4L, Timestamp.valueOf("2024-01-01 15:00:00"), 1L, "click", 1.0))
+      query.processAllAvailable()
+      val out = spark.table("hourly_test")
+        .select("window_start", "event_type", "n_events", "total_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(out.contains((Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L, 5.0)))
+      assert(out.contains((Timestamp.valueOf("2024-01-01 11:00:00"), "view", 1L, 5.0)))
+    } finally query.stop()
+  }
+
+  test("streaming sessionization emits closed sessions like the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "user_id", "value")
+    val out = EventStreams.sessionizeStream(spark, df, gapMinutes = 30, watermarkDelay = "10 minutes")
+    val query = out.writeStream.format("memory").queryName("sessions_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 10L, 1.0),
+        (2L, Timestamp.valueOf("2024-01-01 10:20:00"), 10L, 2.0))
+      query.processAllAvailable()
+      // a later event for the same user, > 30min gap: closes session 1
+      input.addData((3L, Timestamp.valueOf("2024-01-01 12:00:00"), 10L, 4.0))
+      query.processAllAvailable()
+      val sessions = spark.table("sessions_test")
+        .select("user_id", "session_start", "n_events", "total_value")
+        .as[(Long, Timestamp, Long, Double)].collect().toSet
+      assert(sessions.contains((10L, Timestamp.valueOf("2024-01-01 10:00:00"), 2L, 3.0)))
+    } finally query.stop()
+  }
+}

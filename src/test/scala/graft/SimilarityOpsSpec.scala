@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SimilarityOps
+
+class SimilarityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identity, orthogonality, antiparallel") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f), 1.0),
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 0f), Array(-1f, 0f), -1.0),
+      (Array(3f, 4f), Array(3f, 4f), 1.0)
+    ).toDF("a", "b", "expected")
+    val rows = df.select(SimilarityOps.cosine(col("a"), col("b")).as("c"), col("expected"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (c, e) => assert(math.abs(c - e) < 1e-9, s"cosine $c != $e") }
+  }
+
+  test("bruteForceTopK returns exact neighbors in score order") {
+    val corpus = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0f, 1f)),
+      (3L, Array(-1f, 0f)),
+      (4L, Array(0.8f, 0.6f))
+    ).toDF("vec_id", "embedding")
+    val res = SimilarityOps.bruteForceTopK(
+      corpus.filter(col("vec_id") === 0), "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 3)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect()
+    assert(res.map(_._2).toSeq === Seq(1L, 4L, 2L)) // by descending cosine to (1,0)
+    assert(res.head._3 > 0.99)
+  }
+
+  test("lshTopK achieves reasonable recall vs brute force on real embeddings") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = SimilarityOps.bruteForceTopK(queries, "vec_id", "embedding", emb, "vec_id", "embedding", k = 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = SimilarityOps.lshTopK(queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+      k = 5, dim = 64)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // 4 planes × 8 tables: per-neighbor capture 1-(1-p^4)^8. Floor pinned
+    // from measurement; fails loudly on regression.
+    assert(recall >= 0.5, s"LSH recall@5 degraded: $recall")
+  }
+
+  test("cosineNearDupPairs finds planted duplicates") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // plant: vec 9000 duplicates vec 0 exactly
+    val planted = emb.unionByName(
+      emb.filter(col("vec_id") === 0).select(lit(9000L).as("vec_id"), col("embedding"), col("label")))
+    val pairs = SimilarityOps.cosineNearDupPairs(planted, "vec_id", "embedding",
+      minCosine = 0.99, dim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 9000L)))
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{EventOps, TextOps}
+
+class TextEventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("languageId picks the marker-dominant language, 'und' with no evidence") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house is in a tree"),
+      (2L, "der hund und die katze das ist ein haus"),
+      (3L, "el perro y la casa de que es"),
+      (4L, "xyzzy plugh frobnicate")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextOps.languageId(col("text")).as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "de")
+    assert(out(3L) === "es")
+    assert(out(4L) === "und")
+  }
+
+  test("quality features computed exactly on a known sentence") {
+    val df = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
+    val row = TextOps.withQualityFeatures(df, "text").head
+    assert(row.getAs[Int]("n_tokens") === 4)
+    assert(row.getAs[Int]("n_chars_computed") === 19)
+    // 16 non-space chars / 4 tokens = 4.0
+    assert(row.getAs[Double]("mean_token_len") === 4.0)
+    assert(row.getAs[Double]("stopword_ratio") === 0.25) // "the"
+  }
+
+  test("fingerprints: md5 matches reference value; rolling hash is order-sensitive") {
+    val df = Seq(("abc", "acb")).toDF("t1", "t2")
+    val r = df.select(
+      TextOps.fingerprint(col("t1")).as("md5"),
+      TextOps.rollingFingerprint(col("t1")).as("rh1"),
+      TextOps.rollingFingerprint(col("t2")).as("rh2")).head
+    assert(r.getAs[String]("md5") === "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+    // Horner: ((0*31+97)*31+98)*31+99 = 96354 for "abc"
+    assert(r.getAs[Long]("rh1") === 96354L)
+    assert(r.getAs[Long]("rh1") !== r.getAs[Long]("rh2"))
+  }
+
+  test("sessionize splits on gap boundary exactly") {
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val events = Seq(
+      (1L, 10L, ts(0), 1.0),   // session 1
+      (2L, 10L, ts(20), 1.0),  // +20min -> same session
+      (3L, 10L, ts(51), 1.0),  // +31min -> NEW session (gap > 30min)
+      (4L, 20L, ts(5), 1.0)    // other user
+    ).toDF("event_id", "user_id", "ts", "value")
+    val sessions = EventOps.sessionStats(events, gapMinutes = 30)
+      .select("user_id", "session_seq", "n_events").as[(Long, Long, Long)].collect().toSet
+    assert(sessions === Set((10L, 1L, 2L), (10L, 2L, 1L), (20L, 1L, 1L)))
+  }
+
+  test("sessionize gap is strictly-greater-than (exactly 30min stays in session)") {
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val events = Seq(
+      (1L, 10L, ts(0), 1.0),
+      (2L, 10L, ts(30), 1.0) // exactly 30min -> same session
+    ).toDF("event_id", "user_id", "ts", "value")
+    val n = EventOps.sessionStats(events, 30).count()
+    assert(n === 1L)
+  }
+
+  test("tumblingCounts buckets by hour with flat schema") {
+    val events = Seq(
+      (1L, 1L, Timestamp.valueOf("2024-01-01 10:15:00"), "click", 2.0, "{}"),
+      (2L, 1L, Timestamp.valueOf("2024-01-01 10:45:00"), "click", 3.0, "{}"),
+      (3L, 1L, Timestamp.valueOf("2024-01-01 11:05:00"), "click", 5.0, "{}")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val out = EventOps.tumblingCounts(events, "hour")
+      .select("window_start", "n_events", "total_value")
+      .as[(Timestamp, Long, Double)].collect()
+      .map(r => r._1.toString -> ((r._2, r._3))).toMap
+    assert(out("2024-01-01 10:00:00.0") === ((2L, 5.0)))
+    assert(out("2024-01-01 11:00:00.0") === ((1L, 5.0)))
+  }
+}
