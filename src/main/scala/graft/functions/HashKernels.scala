@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Imperative kernels behind the native expressions — the pattern Spark
+  * itself uses (generated code calls a static method, e.g. xxhash64 →
+  * XXH64): whole-stage codegen stays intact, the hot loop is hand-written
+  * JVM code with zero per-row allocation beyond the output.
+  *
+  * Semantics intentionally match the composed higher-order-function
+  * reference implementations in [[graft.ops.DedupOps]] (kept as the
+  * executable spec): word shingles are the space-joined n-grams, hashed
+  * with Spark's XXH64 (seed 42) and reduced mod 2^31-1.
+  */
+object HashKernels {
+
+  val MinHashPrime: Long = 2147483647L // 2^31 - 1
+
+  /** Distinct 31-bit hashes of word n-gram shingles, computed by walking
+    * the UTF-8 bytes once: shingle i spans token i..i+n-1 INCLUDING the
+    * separating single spaces, so its bytes equal the array_join'd string
+    * and the hash matches `xxhash64(array_join(slice(tokens,i,n), ' '))`
+    * exactly.
+    */
+  def shingleHashes31(text: UTF8String, n: Int): Array[Long] = {
+    val bytes = text.getBytes // may copy if not array-backed; one pass after
+    val len = bytes.length
+    if (len == 0) return Array.emptyLongArray
+    // token start offsets (split on single space, like split(text, ' '))
+    var nTokens = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
+    if (nTokens < n) return Array.emptyLongArray
+    val starts = new Array[Int](nTokens + 1)
+    starts(0) = 0
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTokens) = len + 1 // sentinel: token k spans [starts(k), starts(k+1)-2]
+    val out = new Array[Long](nTokens - n + 1)
+    val seen = new java.util.HashSet[Long](out.length * 2)
+    var k = 0
+    var m = 0
+    while (k <= nTokens - n) {
+      val from = starts(k)
+      val until = starts(k + n) - 1 // exclusive: drop the trailing space
+      val h = Math.floorMod(
+        XXH64.hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+          until - from, 42L),
+        MinHashPrime)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      k += 1
+    }
+    if (m == out.length) out else java.util.Arrays.copyOf(out, m)
+  }
+
+  /** Like [[shingleHashes31]] but full-width xxhash64 (for SimHash). */
+  def shingleHashes64(text: UTF8String, n: Int): Array[Long] = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    if (len == 0) return Array.emptyLongArray
+    var nTokens = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
+    if (nTokens < n) return Array.emptyLongArray
+    val starts = new Array[Int](nTokens + 1)
+    starts(0) = 0
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTokens) = len + 1
+    val out = new Array[Long](nTokens - n + 1)
+    val seen = new java.util.HashSet[Long](out.length * 2)
+    var k = 0
+    var m = 0
+    while (k <= nTokens - n) {
+      val from = starts(k)
+      val until = starts(k + n) - 1
+      val h = XXH64.hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+        until - from, 42L)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      k += 1
+    }
+    if (m == out.length) out else java.util.Arrays.copyOf(out, m)
+  }
+
+  /** Deterministic affine-hash parameters (must mirror
+    * DedupOps.hashParams: same seed → same constants). */
+  def affineParams(k: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val as = new Array[Long](k)
+    val bs = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      as(i) = (rnd.nextLong() & Long.MaxValue) % (MinHashPrime - 1) + 1
+      bs(i) = (rnd.nextLong() & Long.MaxValue) % MinHashPrime
+      i += 1
+    }
+    (as, bs)
+  }
+
+  /** MinHash signature over pre-computed 31-bit shingle hashes. */
+  def minHashSignature(hashes: Array[Long], as: Array[Long], bs: Array[Long]): Array[Long] = {
+    val k = as.length
+    val sig = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val a = as(i)
+      val b = bs(i)
+      var min = Long.MaxValue
+      var j = 0
+      while (j < hashes.length) {
+        val v = (a * hashes(j) + b) % MinHashPrime // fits: a,x < 2^31
+        if (v < min) min = v
+        j += 1
+      }
+      sig(i) = min
+      i += 1
+    }
+    sig
+  }
+
+  /** SimHash64 over pre-computed 64-bit shingle hashes: per-bit sign vote. */
+  def simHash64(hashes: Array[Long]): Long = {
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < hashes.length) {
+      val h = hashes(j)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Cosine similarity of two float arrays with double accumulation —
+    * matches SimilarityOps.cosine (sequential fold) bit-for-bit. */
+  def cosineFloat(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}

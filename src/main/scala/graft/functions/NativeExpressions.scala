@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hash/similarity hot paths.
+  *
+  * Preference order per the build mandate: built-ins → native Expression
+  * with doGenCode → UDF. These are the (b) tier: the composed
+  * higher-order-function versions in ops/ remain as executable
+  * specifications, but for 100 TB-scale scans the per-row cost must be one
+  * tight JVM loop. Codegen emits a single static call into
+  * [[HashKernels]] — the same pattern as Spark's own xxhash64 → XXH64 —
+  * so whole-stage codegen keeps the expression inline (no UDF
+  * serialization boundary, no interpreted lambda trees).
+  */
+object NativeExpressions {
+
+  /** minhash signature: `graft_minhash(text, shingleSize, numHashes, seed)`. */
+  final case class MinHashSig(child: Expression, shingleSize: Int, numHashes: Int, seed: Long)
+      extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash"
+
+    @transient private lazy val params = HashKernels.affineParams(numHashes, seed)
+
+    override def nullSafeEval(input: Any): Any = {
+      val hashes = HashKernels.shingleHashes31(input.asInstanceOf[UTF8String], shingleSize)
+      new GenericArrayData(HashKernels.minHashSignature(hashes, params._1, params._2))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val asRef = ctx.addReferenceObj("minhashAs", params._1, "long[]")
+        val bsRef = ctx.addReferenceObj("minhashBs", params._2, "long[]")
+        s"""
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  graft.functions.HashKernels.minHashSignature(
+           |    graft.functions.HashKernels.shingleHashes31($c, $shingleSize), $asRef, $bsRef));
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+      copy(child = newChild)
+  }
+
+  /** 64-bit simhash: `graft_simhash64(text, shingleSize)`. */
+  final case class SimHash64(child: Expression, shingleSize: Int)
+      extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash64"
+
+    override def nullSafeEval(input: Any): Any =
+      HashKernels.simHash64(HashKernels.shingleHashes64(input.asInstanceOf[UTF8String], shingleSize))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashKernels.simHash64(graft.functions.HashKernels.shingleHashes64($c, $shingleSize))")
+
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+      copy(child = newChild)
+  }
+
+  /** Cosine similarity of two array<float>: `graft_cosine(a, b)`. */
+  final case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      def ok(t: DataType) = t match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+      if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName requires two array<float> columns")
+    }
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_cosine"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashKernels.cosineFloat(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray(),
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray())
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.HashKernels.cosineFloat($a.toFloatArray(), $b.toFloatArray())")
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
+      copy(left = newLeft, right = newRight)
+  }
+
+  private def intArg(e: Expression, name: String): Int = e.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(s"$name must be an integer literal, got $other")
+  }
+
+  /** (identifier, info, builder) triples in the shape SparkSessionExtensions
+    * and FunctionRegistry both accept. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (args: Seq[Expression]) => MinHashSig(args.head,
+        if (args.length > 1) intArg(args(1), "shingleSize") else 3,
+        if (args.length > 2) intArg(args(2), "numHashes") else 64,
+        if (args.length > 3) intArg(args(3), "seed").toLong else 42L)),
+    (FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head,
+        if (args.length > 1) intArg(args(1), "shingleSize") else 2)),
+    (FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1)))
+  )
+
+  /** Idempotent runtime registration (for sessions built without the
+    * extensions config). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    functions.foreach { case (ident, info, builder) =>
+      if (!registry.functionExists(ident)) registry.registerFunction(ident, info, builder)
+    }
+  }
+}
+
+/** Session-extension entry point: set
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (builder or
+  * config file) and the functions resolve in every session, including
+  * SQL-only clients.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    NativeExpressions.functions.foreach(ext.injectFunction)
+}

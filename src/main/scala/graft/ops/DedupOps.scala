@@ -144,12 +144,13 @@ object DedupOps {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // native codegen'd signature (graft.functions.NativeExpressions) — the
+    // HOF builders above stay as its executable specification
+    graft.functions.NativeExpressions.register(docs.sparkSession)
     val sig = docs
       .filter(size(split(col(textCol), " ")) >= shingleSize) // too-short docs have no shingles
       .select(col(idCol).as("doc_id"),
-        shingleHashes(col(textCol), shingleSize).as("hs")) // materialized ONCE per row
-      .select(col("doc_id"),
-        minHashSignatureFromHashes(col("hs"), numHashes, seed).as("sig"))
+        expr(s"graft_minhash(`$textCol`, $shingleSize, $numHashes, $seed)").as("sig"))
     // one narrow pass so far; now explode only the b band keys per doc
     val banded = sig.select(
       col("doc_id"), col("sig"),
@@ -207,10 +208,9 @@ object DedupOps {
       maxHamming: Int = 3,
       shingleSize: Int = 2
   ): DataFrame = {
-    val sig = docs
-      .select(col(idCol).as("doc_id"),
-        transform(shingles(col(textCol), shingleSize), s => xxhash64(s)).as("hs")) // once per row
-      .select(col("doc_id"), simHashFromHashes(col("hs")).as("sig"))
+    graft.functions.NativeExpressions.register(docs.sparkSession)
+    val sig = docs.select(col(idCol).as("doc_id"),
+      expr(s"graft_simhash64(`$textCol`, $shingleSize)").as("sig"))
     val chunks: Seq[Column] = (0 until 4).map(c => shiftright(col("sig"), c * 16).bitwiseAND(0xffffL))
     val chunked = sig.select(col("doc_id"), col("sig"), posexplode(array(chunks: _*)))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))

@@ -50,10 +50,11 @@ object SimilarityOps {
       k: Int,
       excludeSelf: Boolean = true
   ): DataFrame = {
+    graft.functions.NativeExpressions.register(corpus.sparkSession)
     val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"))
     val scored = c.join(broadcast(q), if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
-      .withColumn("score", round(cosine(col("q_vec"), col("c_vec")), 4))
+      .withColumn("score", round(expr("graft_cosine(q_vec, c_vec)"), 4))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -118,11 +119,12 @@ object SimilarityOps {
     val c = withTableBuckets(
       corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec")),
       "c_vec", dim, numPlanes, tables, seed)
+    graft.functions.NativeExpressions.register(corpus.sparkSession)
     val candidates = c.join(q, Seq("table_id", "bucket"))
       .filter(if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
       .select("q_id", "q_vec", "vec_id", "c_vec")
       .dropDuplicates("q_id", "vec_id") // same pair may collide in several tables
-    val scored = candidates.withColumn("score", round(cosine(col("q_vec"), col("c_vec")), 4))
+    val scored = candidates.withColumn("score", round(expr("graft_cosine(q_vec, c_vec)"), 4))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -150,11 +152,12 @@ object SimilarityOps {
       "vec", dim, numPlanes, tables, seed)
     val a = withBucket.select(col("table_id"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = withBucket.select(col("table_id"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    graft.functions.NativeExpressions.register(df.sparkSession)
     a.join(b, Seq("table_id", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "vec_a", "vec_b")
       .dropDuplicates("id_a", "id_b")
-      .withColumn("score", round(cosine(col("vec_a"), col("vec_b")), 4))
+      .withColumn("score", round(expr("graft_cosine(vec_a, vec_b)"), 4))
       .filter(col("score") >= minCosine)
       .select("id_a", "id_b", "score")
   }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.NativeExpressions
+import graft.ops.{DedupOps, SimilarityOps}
+
+/** The native codegen'd expressions must agree exactly with the composed
+  * higher-order-function reference implementations — those are the
+  * executable spec; these are the fast path.
+  */
+class NativeExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    NativeExpressions.register(spark)
+  }
+
+  private lazy val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+  test("graft_minhash matches the HOF minHashSignature on real documents") {
+    val both = docs.select(
+      expr("graft_minhash(text, 3, 64, 42)").as("native"),
+      DedupOps.minHashSignature(col("text"), 64, 3, 42L).as("hof"))
+    val mismatches = both.filter(col("native") =!= col("hof")).count()
+    assert(mismatches === 0L)
+  }
+
+  test("graft_simhash64 matches the HOF simHash on real documents") {
+    val both = docs.select(
+      expr("graft_simhash64(text, 2)").as("native"),
+      DedupOps.simHash(col("text"), 2).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0L)
+  }
+
+  test("graft_cosine matches the HOF cosine bit-for-bit on real embeddings") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val pairs = a.crossJoin(b).filter(col("ia") < col("ib"))
+    val diff = pairs.select(
+      expr("graft_cosine(va, vb)").as("native"),
+      SimilarityOps.cosine(col("va"), col("vb")).as("hof"))
+      .filter(col("native") =!= col("hof")) // exact double equality
+      .count()
+    assert(diff === 0L)
+  }
+
+  test("native expressions handle edge cases: empty and too-short text") {
+    val edge = Seq((1L, ""), (2L, "one"), (3L, "two words")).toDF("id", "text")
+    val rows = edge.select(col("id"),
+      expr("graft_minhash(text, 3, 8, 42)").as("sig"),
+      expr("graft_simhash64(text, 2)").as("sh")).collect()
+    // too-short docs: empty shingle set -> min over empty = Long.MaxValue per slot; simhash votes all -1 -> 0
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1).length === 8)
+    }
+    val shTwo = rows.find(_.getLong(0) == 3L).get.getLong(2)
+    assert(shTwo !== 0L) // "two words" has one 2-shingle
+  }
+
+  test("expressions survive codegen (no fallback errors) in a full pipeline") {
+    val out = DedupOps.minHashNearDupPairs(
+      Seq((0L, "a b c d e f g h"), (1L, "a b c d e f g h"), (2L, "z y x w v u t s")).toDF("doc_id", "text"),
+      "doc_id", "text", numHashes = 64, bands = 16, minEstJaccard = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(out === Set((0L, 1L)))
+  }
+}
