@@ -38,6 +38,10 @@ object JaffleMain {
       results.foreach { case (n, ok) => println(s"[test] ${if (ok) "PASS" else "FAIL"} $n") }
       val failed = results.count(!_._2)
       println(s"[done] ${results.size} tests, $failed failed")
+      // docs (dbt docs generate): write the model catalog
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/catalog.md"), Jaffle.registry.renderDocs)
+      println(s"[docs] $outDir/catalog.md")
       if (failed > 0) sys.exit(1)
     } finally spark.stop()
   }

@@ -73,6 +73,25 @@ final class Registry(models: Seq[Model]) {
     done.toSeq.map(byName)
   }
 
+  /** Render the catalog — the engine's `dbt docs generate` analogue
+    * (reference: models/docs.md, models/overview.md, schema.yml
+    * descriptions → static catalog, README.md:63-71): model name,
+    * materialization, dependency edges, column docs, as markdown.
+    */
+  def renderDocs: String = {
+    val sb = new StringBuilder("# Model catalog\n")
+    topoOrder.foreach { m =>
+      sb.append(s"\n## ${m.name}\n")
+      sb.append(s"- materialization: ${m.materialization.toString.toLowerCase}\n")
+      sb.append(s"- depends on: ${if (m.deps.isEmpty) "(sources only)" else m.deps.mkString(", ")}\n")
+      if (m.columnDocs.nonEmpty) {
+        sb.append("\n| column | description |\n|---|---|\n")
+        m.columnDocs.toSeq.sortBy(_._1).foreach { case (c, d) => sb.append(s"| $c | $d |\n") }
+      }
+    }
+    sb.toString
+  }
+
   /** Run all models in dependency order.
     *
     * @param spark     session (used for table re-reads)
