@@ -213,6 +213,47 @@ object SparkEntry {
         (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
         countDistinct("l_partkey").as("n_parts"))),
 
+    "agg2_rollup" -> ((s, dir) =>
+      // grouping-sets family (absent from the reference, §2.7): subtotal +
+      // grand-total rows with NULL group keys, same as SQL ROLLUP
+      t(s, dir, "lineitem").rollup("l_returnflag", "l_linestatus").agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"))),
+
+    "agg3_approx_distinct" -> ((s, dir) => // no oracle: HLL sketch is
+      // engine-specific; spec pins relative error vs exact count
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        approx_count_distinct("l_partkey").as("approx_parts"),
+        countDistinct("l_partkey").as("exact_parts"))),
+
+    "e4_sliding_window" -> ((s, dir) =>
+      // 1h windows sliding every 30min: window() explodes each event into
+      // its two containing windows — flattened to window_start
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("total_value"))),
+
+    "txt5_string_funcs" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_name"), 1, 5).as("name_prefix"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowels"),
+        instr(col("p_name"), "widget").cast("long").as("widget_pos"),
+        length(col("p_name")).cast("long").as("name_len"))),
+
+    "txt6_bpe_tokens" -> ((s, dir) => {
+      // BPE-ish pre-tokenization (GPT-2 style splitter shape): letter runs,
+      // digit runs, punctuation runs — counted per document
+      val pattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pattern), lit(0))).cast("long").as("n_bpe_tokens"))
+    }),
+
     // ---- event-time ops ----
     "e1_tumbling_window" -> ((s, dir) => EventOps.tumblingCounts(t(s, dir, "events"), "hour")),
 
@@ -271,6 +312,14 @@ object SparkEntry {
       SimilarityOps.lshTopK(
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         emb, "vec_id", "embedding", k = 5, dim = 64)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
+    "ann3_ivf_topk" -> ((s, dir) => { // no oracle: kmeans-cell approximate; spec-pinned
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.ivfTopK(
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5, nLists = 16, nProbe = 4)
         .withColumnRenamed("rank", "rnk")
     }),
 
@@ -388,6 +437,32 @@ object SparkEntry {
       (s"SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows, ${dsumSql("l_quantity")} AS sum_qty, " +
         s"${dsumSql("l_extendedprice")} / count(*) AS avg_price, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts " +
         "FROM lineitem GROUP BY l_returnflag"),
+
+    "agg2_rollup" ->
+      (s"SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows, " +
+        s"${dsumSql("l_quantity")} AS sum_qty " +
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+
+    "e4_sliding_window" ->
+      (s"""WITH expanded AS (
+         |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - i * INTERVAL 30 MINUTE AS window_start,
+         |         event_type, value
+         |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) probes
+         |)
+         |SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |       ${dsumSql("value")} AS total_value
+         |FROM expanded GROUP BY 1, 2""").stripMargin,
+
+    "txt5_string_funcs" ->
+      ("SELECT p_partkey, upper(p_name) AS name_upper, substring(p_name, 1, 5) AS name_prefix, " +
+        "concat_ws('/', p_brand, p_type) AS brand_type, " +
+        "regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels, " +
+        "CAST(strpos(p_name, 'widget') AS BIGINT) AS widget_pos, " +
+        "CAST(length(p_name) AS BIGINT) AS name_len FROM part"),
+
+    "txt6_bpe_tokens" ->
+      ("SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) " +
+        "AS n_bpe_tokens FROM documents"),
 
     "e1_tumbling_window" ->
       (s"SELECT date_trunc('hour', ts) AS window_start, event_type, CAST(count(*) AS BIGINT) AS n_events, " +

@@ -132,6 +132,69 @@ object SimilarityOps {
       .select("q_id", "vec_id", "score", "rank")
   }
 
+  /** IVF (inverted-file) approximate top-k: a coarse k-means quantizer
+    * partitions the corpus into `nLists` cells; each query probes its
+    * `nProbe` nearest cells and scores only those candidates.
+    *
+    * Scale shape: training samples a bounded fraction; assignment is one
+    * narrow pass; the probe join is an equi-join on cell id, so the
+    * shuffle is O(corpus + queries·nProbe) — candidate scoring touches
+    * ~nProbe/nLists of the corpus instead of all of it. Deterministic via
+    * the k-means seed. Centroids are small (nLists × dim) and ship to
+    * executors as literals — no driver-side loop over data.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    graft.functions.NativeExpressions.register(corpus.sparkSession)
+
+    val corpusVec = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"))
+      .withColumn("features", array_to_vector(col("c_vec")))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+      .fit(corpusVec.select("features"))
+    val assigned = model.transform(corpusVec)
+      .select(col("vec_id"), col("c_vec"), col("prediction").as("cell"))
+
+    // nProbe nearest centroids per query, computed as column expressions
+    // over literal centroid arrays (no per-row driver work)
+    val centroids: Array[(Int, Array[Double])] =
+      model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
+    val distToCell: Seq[Column] = centroids.map { case (cellId, cVec) =>
+      val cLit = array(cVec.map(lit(_)): _*)
+      struct(
+        aggregate(zip_with(col("q_vec"), cLit, (x, y) => {
+          val d = x.cast("double") - y
+          d * d
+        }), lit(0.0), (acc, v) => acc + v).as("dist"),
+        lit(cellId).as("cell"))
+    }
+    val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
+      .withColumn("probes",
+        slice(array_sort(array(distToCell: _*)), 1, nProbe))
+      .select(col("q_id"), col("q_vec"), explode(col("probes.cell")).as("cell"))
+
+    val scored = assigned.join(q, Seq("cell"))
+      .filter(if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
+      .withColumn("score", round(expr("graft_cosine(q_vec, c_vec)"), 4))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "score", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs (all pairs above a threshold)
     * via multi-table LSH buckets — the embedding analogue of MinHash
     * near-dup. High-threshold pairs (cos ≥ 0.8) collide with high

@@ -49,6 +49,19 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall@5 degraded: $recall")
   }
 
+  test("ivfTopK achieves reasonable recall vs brute force on real embeddings") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = SimilarityOps.bruteForceTopK(queries, "vec_id", "embedding", emb, "vec_id", "embedding", k = 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = SimilarityOps.ivfTopK(queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+      k = 5, nLists = 16, nProbe = 4)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // probing 4/16 cells; floor pinned from measurement
+    assert(recall >= 0.5, s"IVF recall@5 degraded: $recall")
+  }
+
   test("cosineNearDupPairs finds planted duplicates") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     // plant: vec 9000 duplicates vec 0 exactly
