@@ -254,6 +254,24 @@ object SparkEntry {
         size(regexp_extract_all(col("text"), lit(pattern), lit(0))).cast("long").as("n_bpe_tokens"))
     }),
 
+    // ---- temporal joins (operators Spark lacks natively) ----
+    "aj1_asof_join" -> ((s, dir) => {
+      // most recent order per user at each event time; right side deduped
+      // to unique (key, time) so the as-of match is deterministic
+      val lastOrders = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate").as("last_order_date"))
+        .agg(max("o_orderkey").as("last_order_key"))
+      graft.ops.TemporalOps.asOfJoin(
+        t(s, dir, "events").select("event_id", "user_id", "ts"),
+        leftKey = "user_id", leftTime = "ts",
+        lastOrders, rightKey = "o_custkey", rightTime = "last_order_date",
+        rightCols = Seq("last_order_date", "last_order_key"))
+    }),
+
+    "rj1_range_join" -> ((s, dir) =>
+      graft.ops.TemporalOps.rangeSelfJoin(
+        t(s, dir, "events"), "user_id", "ts", "event_id", windowSeconds = 300L)),
+
     // ---- event-time ops ----
     "e1_tumbling_window" -> ((s, dir) => EventOps.tumblingCounts(t(s, dir, "events"), "hour")),
 
@@ -463,6 +481,20 @@ object SparkEntry {
     "txt6_bpe_tokens" ->
       ("SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) " +
         "AS n_bpe_tokens FROM documents"),
+
+    "aj1_asof_join" ->
+      ("""WITH last_orders AS (
+         |  SELECT o_custkey, o_orderdate AS last_order_date, CAST(max(o_orderkey) AS BIGINT) AS last_order_key
+         |  FROM orders GROUP BY o_custkey, o_orderdate
+         |)
+         |SELECT e.event_id, e.user_id, e.ts, r.last_order_date, r.last_order_key
+         |FROM events e ASOF LEFT JOIN last_orders r
+         |  ON e.user_id = r.o_custkey AND e.ts >= r.last_order_date""").stripMargin,
+
+    "rj1_range_join" ->
+      ("SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b, a.ts AS t_a, b.ts AS t_b " +
+        "FROM events a JOIN events b ON a.user_id = b.user_id " +
+        "AND epoch_us(b.ts) > epoch_us(a.ts) AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000"),
 
     "e1_tumbling_window" ->
       (s"SELECT date_trunc('hour', ts) AS window_start, event_type, CAST(count(*) AS BIGINT) AS n_events, " +

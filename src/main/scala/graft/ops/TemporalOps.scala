@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark has no native form of: as-of join and
+  * range self-join. Both are *compositions* (preference tier (a)): the
+  * semantics are fully expressible with union+window / bucket-join, so no
+  * custom SparkPlan is warranted — and both shapes scale:
+  *
+  *  - as-of: ONE shuffle+sort of (left ∪ right) on the key — the same
+  *    cost as a sort-merge join, with no range-condition blowup. This is
+  *    how kdb/QuestDB-style as-of semantics map onto a shuffle engine.
+  *  - range join: equi-join on (key, coarse time bucket) with the exact
+  *    predicate applied after — candidate pairs are bounded per bucket,
+  *    never the O(n·m) of a BroadcastNestedLoopJoin on a theta condition.
+  */
+object TemporalOps {
+
+  /** As-of join: for each left row, attach the single most recent right
+    * row with `right.timeCol <= left.timeCol` on the same key (ties at
+    * equal time match, like DuckDB's `ASOF JOIN ... ON l.t >= r.t`).
+    * Unmatched left rows keep NULLs (left-outer semantics).
+    *
+    * Implementation: tag and union both sides, one window pass per key
+    * ordered by (time, side) carrying the last non-null right payload
+    * forward, keep left rows. Right payload travels as one struct column
+    * so the window carries a single value.
+    *
+    * @param rightCols right columns to attach (must not collide with left)
+    */
+  def asOfJoin(
+      left: DataFrame,
+      leftKey: String,
+      leftTime: String,
+      right: DataFrame,
+      rightKey: String,
+      rightTime: String,
+      rightCols: Seq[String]
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!rightCols.exists(leftCols.contains), "rightCols must not collide with left columns")
+    val payloadCols = if (rightCols.contains(rightTime)) rightCols else rightTime +: rightCols
+    val payload = struct(payloadCols.map(col): _*)
+    val taggedRight = right.select(
+      Seq(col(rightKey).as("__k"), col(rightTime).cast("timestamp").as("__t"),
+        lit(0).as("__side"), payload.as("__payload")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val taggedLeft = left.select(
+      Seq(col(leftKey).as("__k"), col(leftTime).cast("timestamp").as("__t"),
+        lit(1).as("__side"), lit(null).cast(taggedRight.schema("__payload").dataType).as("__payload")) ++
+        leftCols.map(col): _*)
+    // right rows sort before left rows at equal time -> inclusive match
+    val w = Window.partitionBy("__k").orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("__match", last("__payload", ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ rightCols.map(c => col(s"__match.$c").as(c)): _*)
+  }
+
+  /** Range self-join on events: pairs (a, b) with the same key where
+    * b.time lands in (a.time, a.time + windowSeconds]. Implemented as an
+    * equi-join on (key, coarse bucket): side A replicates into each bucket
+    * its window can reach (2 buckets when bucketSeconds == windowSeconds),
+    * then the exact range predicate filters. Candidates per pair of
+    * buckets are bounded, so the shuffle is O(n·2) not O(n²).
+    */
+  def rangeSelfJoin(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      idCol: String,
+      windowSeconds: Long
+  ): DataFrame = {
+    val micros = windowSeconds * 1000000L
+    val a = df.select(col(keyCol).as("k"), col(idCol).as("id_a"), col(timeCol).as("t_a"))
+      .withColumn("bucket", explode(array(
+        (unix_micros(col("t_a")) / micros).cast("long"),
+        (unix_micros(col("t_a")) / micros).cast("long") + 1)))
+    val b = df.select(col(keyCol).as("k"), col(idCol).as("id_b"), col(timeCol).as("t_b"))
+      .withColumn("bucket", (unix_micros(col("t_b")) / micros).cast("long"))
+    a.join(b, Seq("k", "bucket"))
+      .filter(
+        unix_micros(col("t_b")) > unix_micros(col("t_a")) &&
+          unix_micros(col("t_b")) <= unix_micros(col("t_a")) + micros)
+      // no dedup needed: a replicates into two DISTINCT buckets, b lives in
+      // exactly one, so each qualifying pair joins exactly once
+      .select(col("k").as(keyCol), col("id_a"), col("id_b"), col("t_a"), col("t_b"))
+  }
+}

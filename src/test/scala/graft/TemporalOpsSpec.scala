@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TemporalOps
+
+class TemporalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOfJoin attaches the most recent right row; equal time matches; no prior -> NULL") {
+    val trades = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:05")),
+      (2L, 10L, ts("2024-01-01 10:01:00")),
+      (3L, 10L, ts("2024-01-01 09:59:00")), // before any quote
+      (4L, 20L, ts("2024-01-01 10:00:00"))  // equal-time match
+    ).toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 100.0),
+      (10L, ts("2024-01-01 10:00:30"), 101.0),
+      (20L, ts("2024-01-01 10:00:00"), 55.0)
+    ).toDF("qsym", "qt", "price")
+    val out = TemporalOps.asOfJoin(trades, "sym", "t", quotes, "qsym", "qt", Seq("price"))
+      .select("trade_id", "price").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L) === Some(100.0)) // 10:00:05 -> quote at 10:00:00
+    assert(out(2L) === Some(101.0)) // 10:01:00 -> quote at 10:00:30
+    assert(out(3L) === None)        // nothing at or before 09:59
+    assert(out(4L) === Some(55.0))  // equal time is inclusive
+  }
+
+  test("asOfJoin preserves every left row (left-outer semantics)") {
+    val left = Seq((1L, 99L, ts("2024-01-01 00:00:00"))).toDF("id", "k", "t")
+    val right = Seq((1L, ts("2024-01-01 00:00:00"), 1.0)).toDF("rk", "rt", "v")
+    val out = TemporalOps.asOfJoin(left, "k", "t", right, "rk", "rt", Seq("v"))
+    assert(out.count() === 1L) // key 99 has no right rows, row kept with NULL v
+    assert(out.head.isNullAt(out.columns.indexOf("v")))
+  }
+
+  test("rangeSelfJoin: strict lower bound, inclusive upper, cross-bucket pairs found") {
+    val events = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),
+      (2L, 7L, ts("2024-01-01 10:04:59")), // within 5min of 1 (cross-bucket likely)
+      (3L, 7L, ts("2024-01-01 10:05:00")), // exactly +5min of 1 -> inclusive
+      (4L, 7L, ts("2024-01-01 10:10:01")), // > 5min after 3 -> no pair with 3
+      (5L, 8L, ts("2024-01-01 10:00:30"))  // other key
+    ).toDF("event_id", "user_id", "t")
+    val pairs = TemporalOps.rangeSelfJoin(events, "user_id", "t", "event_id", 300L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L))) // 3->4 is 301s; strict > excludes self
+  }
+
+  test("rangeSelfJoin matches a brute-force computation on real events") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val fast = TemporalOps.rangeSelfJoin(events, "user_id", "ts", "event_id", 300L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val a = events.select(col("user_id").as("k"), col("event_id").as("id_a"), col("ts").as("t_a"))
+    val b = events.select(col("user_id").as("k"), col("event_id").as("id_b"), col("ts").as("t_b"))
+    val brute = a.join(b, Seq("k"))
+      .filter(unix_micros(col("t_b")) > unix_micros(col("t_a")) &&
+        unix_micros(col("t_b")) <= unix_micros(col("t_a")) + 300000000L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(fast === brute)
+  }
+}
