@@ -185,6 +185,25 @@ object SparkEntry {
         .filter(col("rnk") <= 3)
     }),
 
+    "w2_order_limit" -> ((s, dir) =>
+      // global top-n: TakeOrderedAndProject, not a full sort — the limit
+      // pushes into per-partition heaps; deterministic tie-break on key
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)),
+
+    "j3_full_outer" -> ((s, dir) => {
+      // full-outer join with unmatched rows on BOTH sides
+      val c = t(s, dir, "customer").filter(col("c_custkey") < 800)
+        .select("c_custkey", "c_name")
+      val o = t(s, dir, "orders").filter(col("o_custkey") >= 400)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name"), col("n_orders"))
+    }),
+
     "set1_except" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       o.filter(col("o_orderstatus") === "O").select("o_custkey")
@@ -435,6 +454,17 @@ object SparkEntry {
          |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rnk
          |  FROM orders
          |) WHERE rnk <= 3""").stripMargin,
+
+    "w2_order_limit" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"),
+
+    "j3_full_outer" ->
+      ("""WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 800),
+         |     o AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+         |           FROM orders WHERE o_custkey >= 400 GROUP BY o_custkey)
+         |SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name, o.n_orders
+         |FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey""").stripMargin,
 
     "set1_except" ->
       ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
