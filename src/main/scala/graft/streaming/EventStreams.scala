@@ -101,14 +101,23 @@ object EventStreams {
   }
 
   /** File-source convenience: stream a directory of event parquet files
-    * through [[hourlyCounts]] into an in-memory table. */
+    * through [[hourlyCounts]] into an in-memory table. Handles the
+    * testdata's TIMESTAMP(NANOS) parquet the same way Tables.events does:
+    * read nanos as long, convert with exact integer division.
+    */
   def runHourlyFromParquet(
       spark: SparkSession,
       inputDir: String,
       queryName: String
   ): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(inputDir).schema
-    val stream = spark.readStream.schema(schema).parquet(inputDir)
+    val raw = spark.readStream.schema(schema).parquet(inputDir)
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      else raw
     hourlyCounts(stream).writeStream
       .format("memory")
       .queryName(queryName)

@@ -78,6 +78,29 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("file-source streaming over real events parquet matches batch (closed windows)") {
+    // the file stream source wants a directory; stage the single parquet file
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val query = EventStreams.runHourlyFromParquet(spark, dir.toString, "hourly_file_test")
+    try {
+      query.awaitTermination() // AvailableNow: drains all files then stops
+      val streamed = spark.table("hourly_file_test")
+        .select("window_start", "event_type", "n_events")
+        .as[(Timestamp, String, Long)].collect().toSet
+      val batch = graft.ops.EventOps.tumblingCounts(Tables.events(spark, "/root/testdata/sf0.001"), "hour")
+        .select("window_start", "event_type", "n_events")
+        .as[(Timestamp, String, Long)].collect().toSet
+      // append mode only emits windows the watermark closed; the last ~2h
+      // of windows stay open, so streamed ⊆ batch and covers most of it
+      assert(streamed.subsetOf(batch))
+      assert(streamed.size >= batch.size - 8, s"${streamed.size} vs ${batch.size}")
+      assert(streamed.nonEmpty)
+    } finally query.stop()
+  }
+
   test("streaming sessionization emits closed sessions like the batch operator") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, Double)]
