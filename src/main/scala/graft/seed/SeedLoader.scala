@@ -21,12 +21,17 @@ import graft.schema.Schemas
   */
 object SeedLoader {
 
-  /** Load one CSV under an explicit schema (header row skipped). */
+  /** Load one CSV under an explicit schema (header row skipped).
+    * FAILFAST: a row that doesn't fit the pinned schema aborts the seed
+    * load — silent NULL-coercion of malformed data (PERMISSIVE default)
+    * is how schema drift sneaks into a 100 TB lake.
+    */
   def loadCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read
       .schema(schema)
       .option("header", "true")
       .option("dateFormat", "yyyy-MM-dd")
+      .option("mode", "FAILFAST")
       .csv(path)
 
   /** Load the three jaffle-shop seeds from a directory containing

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.models.Jaffle
+import graft.ops.{DedupOps, SkewOps}
+
+/** Property-based invariants (SURVEY §5.4) over seeded random data — the
+  * complement to the golden-value and oracle tests. Plain seeded
+  * generation (no scalatestplus bridge in the offline dep set); 5 trials
+  * per property, deterministic across runs.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def trials[A](n: Int)(body: scala.util.Random => Unit): Unit =
+    (0 until n).foreach(i => body(new scala.util.Random(1000 + i)))
+
+  test("property: orders-mart pivot columns always sum to amount; row count preserved") {
+    trials(5) { rnd =>
+      val rawPayments = (1 to 120).map { i =>
+        (i, rnd.nextInt(60) + 1, Jaffle.PaymentMethods(rnd.nextInt(4)), rnd.nextInt(5000))
+      }.toDF("id", "order_id", "payment_method", "amount")
+      val rawOrders = (1 to 50).map { i =>
+        (i, rnd.nextInt(30) + 1, f"2018-01-${rnd.nextInt(28) + 1}%02d", Jaffle.OrderStatuses(rnd.nextInt(5)))
+      }.toDF("id", "user_id", "order_date", "status")
+        .withColumn("order_date", col("order_date").cast("date"))
+      val mart = Jaffle.orders(
+        Jaffle.stgOrders(rawOrders), Jaffle.stgPayments(rawPayments)).cache()
+      // row preservation: left join keeps every order
+      assert(mart.count() === 50L)
+      // pivot exhaustiveness: methods cover all payments, so parts == total
+      val broken = mart.filter(col("amount").isNotNull &&
+        col("credit_card_amount") + col("coupon_amount") +
+          col("bank_transfer_amount") + col("gift_card_amount") =!= col("amount"))
+      assert(broken.count() === 0L)
+      mart.unpersist()
+    }
+  }
+
+  test("property: exactDedup is idempotent and count-preserving") {
+    trials(5) { rnd =>
+      val texts = Seq.fill(80)("abcde".charAt(rnd.nextInt(5)).toString)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = DedupOps.exactDedup(docs, "doc_id", Seq("text")).cache()
+      // copies add back to the original row count
+      assert(once.agg(sum("n_copies")).head.getLong(0) === 80L)
+      // dedup of the deduped output changes nothing
+      val twice = DedupOps.exactDedup(
+        once.select(col("doc_id"), col("text")), "doc_id", Seq("text"))
+      assert(twice.count() === once.count())
+      assert(twice.filter(col("n_copies") =!= 1).count() === 0L)
+      once.unpersist()
+    }
+  }
+
+  test("property: saltedJoin equals the plain join under key skew") {
+    trials(5) { rnd =>
+      // skewed: most rows land on keys 1-2
+      val fact = (0 until 200).map { i =>
+        (if (rnd.nextDouble() < 0.7) 1 + rnd.nextInt(2) else 1 + rnd.nextInt(5), rnd.nextInt(1000), i.toLong)
+      }.toDF("k", "v", "row_id")
+      val dim = Seq((1, "one"), (2, "two"), (3, "three"), (4, "four"), (5, "five"), (6, "six"))
+        .toDF("k", "name")
+      val plain = fact.join(dim, Seq("k")).select("row_id", "name")
+        .as[(Long, String)].collect().toSet
+      val salted = SkewOps.saltedJoin(fact, dim, "k", col("row_id"), factor = 4)
+        .select("row_id", "name").as[(Long, String)].collect().toSet
+      assert(salted === plain)
+    }
+  }
+
+  test("property: dedup of exact copies halves a doubled corpus") {
+    trials(3) { rnd =>
+      val base = (0 until 40).map(i => (i.toLong, s"doc content ${rnd.nextInt(10000)} $i"))
+      val doubled = (base ++ base.map { case (id, t) => (id + 1000, t) })
+        .toDF("doc_id", "text")
+      val out = DedupOps.exactDedup(doubled, "doc_id", Seq("text"))
+      assert(out.count() === 40L)
+      // winner is always the lower id (the original, not the +1000 copy)
+      assert(out.filter(col("doc_id") >= 1000).count() === 0L)
+    }
+  }
+
+  test("FAILFAST seed loading rejects malformed rows instead of nulling them") {
+    val dir = java.nio.file.Files.createTempDirectory("badseed")
+    java.nio.file.Files.writeString(dir.resolve("raw_customers.csv"),
+      "id,first_name,last_name\n1,Ann,A.\nnot_an_int,Bob,B.\n")
+    val ex = intercept[Throwable] {
+      graft.seed.SeedLoader.loadCsv(spark, dir.resolve("raw_customers.csv").toString,
+        graft.schema.Schemas.rawCustomers).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(m => m.contains("MALFORMED") || m.contains("FAILFAST") || m.contains("Malformed")))
+  }
+}
