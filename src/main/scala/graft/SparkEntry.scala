@@ -239,6 +239,28 @@ object SparkEntry {
         count(lit(1)).as("n_rows"),
         dsum(col("l_quantity")).as("sum_qty"))),
 
+    "agg4_percentiles" -> ((s, dir) =>
+      // exact interpolated quartiles (Spark `percentile` ≡ quantile_cont),
+      // computed on integer CENTS at dyadic fractions: every intermediate
+      // (position, frac·(b−a), a+…) is exact in double, so the result is
+      // bit-identical across engines regardless of their interpolation
+      // formula arrangement — no rounding step needed or wanted. (p95 on
+      // raw doubles straddled a cent boundary at sf0.001.)
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        expr("percentile(cast(round(l_extendedprice * 100) as bigint), 0.25)").as("p25_cents"),
+        expr("percentile(cast(round(l_extendedprice * 100) as bigint), 0.5)").as("p50_cents"),
+        expr("percentile(cast(round(l_extendedprice * 100) as bigint), 0.75)").as("p75_cents"))),
+
+    "v1_vector_norm" -> ((s, dir) => {
+      // vector math over array<float>: L2 norm + normalized head element
+      val vd = transform(col("embedding"), x => x.cast("double"))
+      val n = sqrt(aggregate(vd, lit(0.0), (acc, x) => acc + x * x))
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        round(n, 4).as("l2_norm"),
+        round(element_at(vd, 1) / n, 4).as("first_unit"))
+    }),
+
     "agg3_approx_distinct" -> ((s, dir) => // no oracle: HLL sketch is
       // engine-specific; spec pins relative error vs exact count
       t(s, dir, "lineitem").groupBy("l_returnflag").agg(
@@ -485,6 +507,18 @@ object SparkEntry {
       (s"SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows, ${dsumSql("l_quantity")} AS sum_qty, " +
         s"${dsumSql("l_extendedprice")} / count(*) AS avg_price, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts " +
         "FROM lineitem GROUP BY l_returnflag"),
+
+    "agg4_percentiles" ->
+      ("SELECT l_returnflag, " +
+        "quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25) AS p25_cents, " +
+        "quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS p50_cents, " +
+        "quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75) AS p75_cents " +
+        "FROM lineitem GROUP BY l_returnflag"),
+
+    "v1_vector_norm" ->
+      ("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |n AS (SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS l2 FROM v)
+         |SELECT vec_id, round(l2, 4) AS l2_norm, round(e[1] / l2, 4) AS first_unit FROM n""").stripMargin,
 
     "agg2_rollup" ->
       (s"SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows, " +
