@@ -392,7 +392,16 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"),
         length(col("text").cast("binary")).cast("long").as("n_bytes"),
-        md5(col("text").cast("binary")).as("content_md5")))
+        md5(col("text").cast("binary")).as("content_md5"))),
+
+    "mm2_decode_stub" -> ((s, dir) => { // no oracle: decode stub is
+      // JVM-hash-dependent; plumbing (mapPartitions batch shape, schema,
+      // featurization) is spec-pinned in MultimodalStreamingSpec
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+      graft.ops.MultimodalOps.decodeImageStub(media, "doc_id", "content").toDF()
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
