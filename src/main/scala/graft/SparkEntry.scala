@@ -246,10 +246,13 @@ object SparkEntry {
       // bit-identical across engines regardless of their interpolation
       // formula arrangement — no rounding step needed or wanted. (p95 on
       // raw doubles straddled a cent boundary at sf0.001.)
-      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
-        expr("percentile(cast(round(l_extendedprice * 100) as bigint), 0.25)").as("p25_cents"),
-        expr("percentile(cast(round(l_extendedprice * 100) as bigint), 0.5)").as("p50_cents"),
-        expr("percentile(cast(round(l_extendedprice * 100) as bigint), 0.75)").as("p75_cents"))),
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(expr("percentile(cast(round(l_extendedprice * 100) as bigint), array(0.25, 0.5, 0.75))")
+          .as("q")) // one sort-based aggregate pass for all three quartiles
+        .select(col("l_returnflag"),
+          element_at(col("q"), 1).as("p25_cents"),
+          element_at(col("q"), 2).as("p50_cents"),
+          element_at(col("q"), 3).as("p75_cents"))),
 
     "v1_vector_norm" -> ((s, dir) => {
       // vector math over array<float>: L2 norm + normalized head element
