@@ -100,6 +100,17 @@ object EventStreams {
       .toDF()
   }
 
+  /** Streaming exact dedup on an id column: duplicates arriving within the
+    * watermark horizon are dropped; state for ids older than the watermark
+    * is evicted (`dropDuplicatesWithinWatermark`), so state is O(ids per
+    * horizon), not O(all ids ever) — the only viable contract for an
+    * unbounded 100 TB/day stream.
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String], watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** File-source convenience: stream a directory of event parquet files
     * through [[hourlyCounts]] into an in-memory table. Handles the
     * testdata's TIMESTAMP(NANOS) parquet the same way Tables.events does:

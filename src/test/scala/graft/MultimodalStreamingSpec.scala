@@ -101,6 +101,26 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup drops within-watermark duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "value")
+    val query = EventStreams.dedupStream(df, Seq("event_id"), "1 hour")
+      .writeStream.format("memory").queryName("dedup_test").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+        (2L, Timestamp.valueOf("2024-01-01 10:01:00"), 2.0),
+        (1L, Timestamp.valueOf("2024-01-01 10:02:00"), 99.0)) // dup id within watermark
+      query.processAllAvailable()
+      input.addData((1L, Timestamp.valueOf("2024-01-01 10:03:00"), 98.0)) // still dup
+      query.processAllAvailable()
+      val out = spark.table("dedup_test").select("event_id", "value")
+        .as[(Long, Double)].collect().toSet
+      assert(out === Set((1L, 1.0), (2L, 2.0))) // first arrival wins, dups dropped
+    } finally query.stop()
+  }
+
   test("streaming sessionization emits closed sessions like the batch operator") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, Double)]
