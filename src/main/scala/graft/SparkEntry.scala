@@ -37,22 +37,10 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") Tables.events(s, dir) else Tables.load(s, dir, name)
 
-  /** Oracle-deterministic money sum: accumulate in DECIMAL(18,4) — exact
-    * and order-independent, so Spark's partial aggregation and DuckDB's
-    * serial sum produce the *identical* value — then cast back to double.
-    * `round(sum(double), 2)` is NOT reproducible across engines: the two
-    * sums differ by ~1ulp and occasionally straddle a rounding boundary
-    * (observed: 2/1500 groups at sf0.01). The per-row double→decimal cast
-    * is itself deterministic because no double is an exact .xxxx5 tie.
-    * DECIMAL(18,4) holds ±10^14 — headroom for per-group sums at 100 TB
-    * (Spark widens the accumulator to DECIMAL(28,4) anyway).
-    */
-  private def dsum(c: Column): Column =
-    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 4))).cast("double")
-
-  /** SQL mirror of [[dsum]] for the DuckDB oracle. */
-  private def dsumSql(expr: String): String =
-    s"CAST(sum(CAST($expr AS DECIMAL(18,4))) AS DOUBLE)"
+  // oracle-deterministic money sums — see graft.ops.ExactSums for the
+  // cross-engine reproducibility contract
+  private def dsum(c: Column): Column = graft.ops.ExactSums.dsum(c)
+  private def dsumSql(expr: String): String = graft.ops.ExactSums.dsumSql(expr)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The customer-360 mart shape (SURVEY §2: J1+J2+A1-A5) on the testdata
@@ -153,14 +141,13 @@ object SparkEntry {
           col("r_amount"), col("a_amount"), col("n_amount"), col("amount"))
     }),
 
-    // ---- the four dbt test operators as queries (SURVEY §2.6) ----
+    // ---- the four dbt test operators as queries (SURVEY §2.6), reusing
+    // the graft.quality.Checks implementations the 20-test suite runs ----
     "q1_unique_violations" -> ((s, dir) =>
-      t(s, dir, "lineitem").filter(col("l_partkey").isNotNull)
-        .groupBy("l_partkey").agg(count(lit(1)).as("n_rows"))
-        .filter(col("n_rows") > 1)),
+      graft.quality.Checks.unique(t(s, dir, "lineitem"), "l_partkey")),
 
     "q2_not_null_violations" -> ((s, dir) =>
-      t(s, dir, "orders").filter(col("o_custkey").isNull)
+      graft.quality.Checks.notNull(t(s, dir, "orders"), "o_custkey")
         .select("o_orderkey", "o_custkey")),
 
     "q3_accepted_values_violations" -> ((s, dir) =>

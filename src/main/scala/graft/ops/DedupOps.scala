@@ -97,11 +97,10 @@ object DedupOps {
   private val MinHashPrime = 2147483647L // 2^31 - 1
 
   private def hashParams(k: Int, seed: Long): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(k)((
-      (rnd.nextLong() & Long.MaxValue) % (MinHashPrime - 1) + 1,
-      (rnd.nextLong() & Long.MaxValue) % MinHashPrime
-    ))
+    // single source of truth shared with the native expressions — drift
+    // here would silently break the HOF-as-executable-spec invariant
+    val (as, bs) = graft.functions.HashKernels.affineParams(k, seed)
+    as.toSeq.zip(bs.toSeq)
   }
 
   /** 31-bit shingle hashes of a text column (stage this as its OWN column
@@ -208,9 +207,16 @@ object DedupOps {
       maxHamming: Int = 3,
       shingleSize: Int = 2
   ): DataFrame = {
+    // 4-chunk banding is complete only up to hamming 3 (pigeonhole needs
+    // maxHamming+1 chunks); a larger threshold would silently drop pairs
+    require(maxHamming <= 3, s"4-chunk banding supports maxHamming <= 3, got $maxHamming")
     graft.functions.NativeExpressions.register(docs.sparkSession)
-    val sig = docs.select(col(idCol).as("doc_id"),
-      expr(s"graft_simhash64(`$textCol`, $shingleSize)").as("sig"))
+    val sig = docs
+      // too-short docs have an empty shingle set -> signature 0; without
+      // this filter every pair of them would collide at hamming 0
+      .filter(size(split(col(textCol), " ")) >= shingleSize)
+      .select(col(idCol).as("doc_id"),
+        expr(s"graft_simhash64(`$textCol`, $shingleSize)").as("sig"))
     val chunks: Seq[Column] = (0 until 4).map(c => shiftright(col("sig"), c * 16).bitwiseAND(0xffffL))
     val chunked = sig.select(col("doc_id"), col("sig"), posexplode(array(chunks: _*)))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))

@@ -10,10 +10,7 @@ import org.apache.spark.sql.functions._
   */
 object EventOps {
 
-  /** Exact, order-independent money sum (see SparkEntry.dsum): accumulate
-    * in DECIMAL(18,4), return double. */
-  private def dsum(c: Column): Column =
-    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 4))).cast("double")
+  import ExactSums.dsum
 
   /** Tumbling-window aggregate keyed by (window_start, event_type).
     * Uses date_trunc so the output schema stays flat (a plain timestamp

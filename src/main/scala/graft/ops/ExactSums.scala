@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Oracle-deterministic money sums — single source of truth for both the
+  * Spark expression and its DuckDB SQL mirror.
+  *
+  * `round(sum(double), 2)` is NOT reproducible across engines: distributed
+  * partial aggregation and a serial engine accumulate in different orders,
+  * the two sums differ by ~1ulp, and occasionally that straddles a
+  * rounding boundary (observed: 2/1500 groups at sf0.01). Accumulating in
+  * DECIMAL(18,4) is exact and order-independent, so both engines produce
+  * the *identical* decimal, and the final cast back to double is
+  * deterministic.
+  *
+  * The per-row double→DECIMAL(18,4) cast CAN hit exact rounding ties on
+  * dyadic values (0.03125 terminates with a 5 in the 5th decimal); both
+  * Spark (HALF_UP) and DuckDB (half away from zero) resolve positive ties
+  * upward, so the cast still agrees — that rounding-rule agreement, not
+  * tie impossibility, is the invariant to preserve if either side changes.
+  *
+  * DECIMAL(18,4) holds ±10^14 — headroom for per-group sums at 100 TB
+  * (Spark widens the accumulator to DECIMAL(28,4) anyway).
+  */
+object ExactSums {
+
+  def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** SQL mirror of [[dsum]] for the DuckDB oracle. */
+  def dsumSql(expr: String): String =
+    s"CAST(sum(CAST($expr AS DECIMAL(18,4))) AS DOUBLE)"
+}

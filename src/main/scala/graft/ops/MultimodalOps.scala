@@ -58,9 +58,13 @@ object MultimodalOps {
     val nChunks = least(
       ceil(length(col(binCol)).cast("double") / chunkBytes).cast("int"),
       lit(maxFrames))
+    // guard empty payloads: sequence(1, 0) counts DOWN ([1,0]) instead of
+    // yielding an empty array (same trap as DedupOps.shingles)
+    val chunkIdx = when(nChunks >= 1, sequence(lit(1), nChunks))
+      .otherwise(array().cast("array<int>"))
     df.withColumn("__n_chunks", nChunks)
       .select(col("*"),
-        posexplode(transform(sequence(lit(1), col("__n_chunks")),
+        posexplode(transform(chunkIdx,
           i => col(binCol).substr((i - 1) * chunkBytes + 1, lit(chunkBytes)))))
       .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk"))
       .drop("__n_chunks")

@@ -43,7 +43,11 @@ object TemporalOps {
     require(!rightCols.exists(leftCols.contains), "rightCols must not collide with left columns")
     val payloadCols = if (rightCols.contains(rightTime)) rightCols else rightTime +: rightCols
     val payload = struct(payloadCols.map(col): _*)
-    val taggedRight = right.select(
+    // SQL equi-join semantics: a NULL key never matches — drop NULL-keyed
+    // right rows (otherwise the NULL window partition would hand their
+    // payload to NULL-keyed left rows); NULL-keyed left rows stay and get
+    // NULL payload like any unmatched row
+    val taggedRight = right.filter(col(rightKey).isNotNull).select(
       Seq(col(rightKey).as("__k"), col(rightTime).cast("timestamp").as("__t"),
         lit(0).as("__side"), payload.as("__payload")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)

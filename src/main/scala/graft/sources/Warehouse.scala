@@ -29,7 +29,8 @@ object Warehouse {
     spark.read.parquet(path)
 
   /** Register a bucketed + sorted catalog table backed by parquet at
-    * `path`. Buckets default to the session shuffle parallelism.
+    * `path`. Pick `numBuckets` to match the partner tables it will join —
+    * equal bucket counts on the join key are what eliminate the exchange.
     */
   def writeBucketed(
       df: DataFrame,

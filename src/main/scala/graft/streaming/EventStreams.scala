@@ -81,11 +81,20 @@ object EventStreams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1, total = s.total + e.value))
-                case Some(s) =>
+                case Some(s) if t >= s.start - gapMs && t - s.end <= gapMs =>
+                  // within the gap of either end (late events may extend the
+                  // session BACKWARDS, matching the batch operator)
+                  cur = Some(s.copy(start = math.min(s.start, t), end = math.max(s.end, t),
+                    n = s.n + 1, total = s.total + e.value))
+                case Some(s) if t > s.end =>
+                  // a gap after the open session: close it, start fresh
                   closed ::= ClosedSession(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n, s.total)
                   cur = Some(OpenSession(t, t, 1, e.value))
+                case Some(_) =>
+                  // late event disjoint BEFORE the open session: without
+                  // buffering it cannot merge with still-later arrivals, so
+                  // emit it as its own session (bounded by the watermark)
+                  closed ::= ClosedSession(userId, e.ts, e.ts, 1, e.value)
                 case None =>
                   cur = Some(OpenSession(t, t, 1, e.value))
               }

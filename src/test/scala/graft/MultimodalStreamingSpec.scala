@@ -142,4 +142,28 @@ class MultimodalStreamingSpec extends SparkSpec {
       assert(sessions.contains((10L, Timestamp.valueOf("2024-01-01 10:00:00"), 2L, 3.0)))
     } finally query.stop()
   }
+
+  test("streaming sessionization merges late events that extend the open session backwards") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "user_id", "value")
+    val out = EventStreams.sessionizeStream(spark, df, gapMinutes = 30, watermarkDelay = "2 hours")
+    val query = out.writeStream.format("memory").queryName("sessions_late_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00"), 10L, 1.0))
+      query.processAllAvailable()
+      // late event 10 minutes BEFORE the open session start: within gap -> merge
+      input.addData((2L, Timestamp.valueOf("2024-01-01 09:50:00"), 10L, 2.0))
+      query.processAllAvailable()
+      // close the session with a far-future event
+      input.addData((3L, Timestamp.valueOf("2024-01-01 15:00:00"), 10L, 4.0))
+      query.processAllAvailable()
+      val sessions = spark.table("sessions_late_test")
+        .select("session_start", "n_events", "total_value")
+        .as[(Timestamp, Long, Double)].collect().toSet
+      // the closed session starts at the LATE event's time and contains both
+      assert(sessions.contains((Timestamp.valueOf("2024-01-01 09:50:00"), 2L, 3.0)))
+    } finally query.stop()
+  }
 }
