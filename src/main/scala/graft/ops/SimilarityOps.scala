@@ -73,8 +73,8 @@ object SimilarityOps {
 
   /** Sign-LSH bucket id of a vector: bit i = sign(v · plane_i). */
   def signBucket(vec: Column, planes: Array[Array[Double]]): Column = {
-    val bits: Seq[Column] = planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit(_)): _*)
+    val bits: Seq[Column] = planes.toSeq.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.toSeq.map(lit(_)): _*)
       when(dot(vec, planeLit) >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
@@ -171,8 +171,8 @@ object SimilarityOps {
     // over literal centroid arrays (no per-row driver work)
     val centroids: Array[(Int, Array[Double])] =
       model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
-    val distToCell: Seq[Column] = centroids.map { case (cellId, cVec) =>
-      val cLit = array(cVec.map(lit(_)): _*)
+    val distToCell: Seq[Column] = centroids.toSeq.map { case (cellId, cVec) =>
+      val cLit = array(cVec.toSeq.map(lit(_)): _*)
       struct(
         aggregate(zip_with(col("q_vec"), cLit, (x, y) => {
           val d = x.cast("double") - y
