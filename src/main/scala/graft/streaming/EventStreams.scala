@@ -109,6 +109,36 @@ object EventStreams {
       .toDF()
   }
 
+  /** Stream-stream interval join: for each left event, all right events
+    * with the same key arriving within `withinSeconds` AFTER it.
+    *
+    * Both sides carry watermarks, and the time-range predicate bounds how
+    * long either side's state can matter — Spark derives state-eviction
+    * watermarks from exactly this (watermark + interval) arithmetic, so
+    * state is O(events per horizon) on both sides, never unbounded.
+    */
+  def intervalJoinStream(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      idCol: String,
+      withinSeconds: Long,
+      watermarkDelay: String = "1 hour"
+  ): DataFrame = {
+    val l = left.select(
+      col(keyCol).as("k"), col(timeCol).as("l_ts"), col(idCol).as("l_id"))
+      .withWatermark("l_ts", watermarkDelay)
+    val r = right.select(
+      col(keyCol).as("k2"), col(timeCol).as("r_ts"), col(idCol).as("r_id"))
+      .withWatermark("r_ts", watermarkDelay)
+    l.join(r,
+      col("k") === col("k2") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinSeconds SECONDS"))
+      .select(col("k").as(keyCol), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+  }
+
   /** Streaming exact dedup on an id column: duplicates arriving within the
     * watermark horizon are dropped; state for ids older than the watermark
     * is evicted (`dropDuplicatesWithinWatermark`), so state is O(ids per

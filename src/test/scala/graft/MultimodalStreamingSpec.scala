@@ -101,6 +101,28 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join pairs events within the window, same semantics as batch rangeSelfJoin") {
+    implicit val sqlCtx = spark.sqlContext
+    val inL = MemoryStream[(Long, Timestamp, Long)]
+    val inR = MemoryStream[(Long, Timestamp, Long)]
+    val mk = (m: MemoryStream[(Long, Timestamp, Long)]) => m.toDF().toDF("event_id", "ts", "user_id")
+    val joined = EventStreams.intervalJoinStream(
+      mk(inL), mk(inR), "user_id", "ts", "event_id", withinSeconds = 300L, watermarkDelay = "10 minutes")
+    val query = joined.writeStream.format("memory").queryName("ivj_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      inL.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L))
+      inR.addData(
+        (2L, Timestamp.valueOf("2024-01-01 10:03:00"), 7L), // within 5min -> pair
+        (3L, Timestamp.valueOf("2024-01-01 10:06:00"), 7L), // outside -> no pair
+        (4L, Timestamp.valueOf("2024-01-01 10:03:30"), 8L)) // other key -> no pair
+      query.processAllAvailable()
+      val out = spark.table("ivj_test").select("l_id", "r_id")
+        .as[(Long, Long)].collect().toSet
+      assert(out === Set((1L, 2L)))
+    } finally query.stop()
+  }
+
   test("streaming dedup drops within-watermark duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
