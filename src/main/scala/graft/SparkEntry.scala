@@ -313,6 +313,29 @@ object SparkEntry {
         col("event_id"),
         EventOps.propsField(col("props"), "k").cast("long").as("k_value"))),
 
+    "st1_stream_hourly" -> ((s, dir) => {
+      // Structured Streaming under the SAME oracle as batch e1: drain the
+      // events parquet through a file-source stream, aggregate in Complete
+      // mode (all windows retained), return the result table — must
+      // hash-match DuckDB exactly like the batch tumbling aggregate
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val staged = java.nio.file.Files.createTempDirectory("st1_events")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("part-0.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val schema = s.read.parquet(staged.toString).schema
+      val raw = s.readStream.schema(schema).parquet(staged.toString)
+      val stream = raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val q = EventOps.tumblingCounts(stream, "hour")
+        .writeStream.format("memory").queryName("st1_hourly")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("st1_hourly")
+    }),
+
     // ---- text analysis ----
     "txt1_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -583,6 +606,10 @@ object SparkEntry {
 
     "e3_json_extract" ->
       "SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_value FROM events",
+
+    "st1_stream_hourly" -> // the streaming path answers to the same oracle as batch e1
+      (s"SELECT date_trunc('hour', ts) AS window_start, event_type, CAST(count(*) AS BIGINT) AS n_events, " +
+        s"${dsumSql("value")} AS total_value FROM events GROUP BY 1, 2"),
 
     "txt1_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +

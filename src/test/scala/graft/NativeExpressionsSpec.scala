@@ -60,6 +60,24 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(shTwo !== 0L) // "two words" has one 2-shingle
   }
 
+  test("GraftExtensions injects every native function into a SparkSessionExtensions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext) // must not throw; builder path
+    assert(NativeExpressions.functions.map(_._1.funcName).toSet ===
+      Set("graft_minhash", "graft_simhash64", "graft_cosine"))
+  }
+
+  test("approx_count_distinct stays within 5% of exact on real data (agg3 contract)") {
+    val rows = SparkEntry.queries("agg3_approx_distinct")(spark, "/root/testdata/sf0.001")
+      .collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05, s"approx $approx vs exact $exact")
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("expressions survive codegen (no fallback errors) in a full pipeline") {
     val out = DedupOps.minHashNearDupPairs(
       Seq((0L, "a b c d e f g h"), (1L, "a b c d e f g h"), (2L, "z y x w v u t s")).toDF("doc_id", "text"),
