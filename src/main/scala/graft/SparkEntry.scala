@@ -191,6 +191,20 @@ object SparkEntry {
           col("c_name"), col("n_orders"))
     }),
 
+    "w3_window_funcs" -> ((s, dir) => {
+      // analytic-window breadth: rank, lag, running sum over an ordered
+      // per-customer frame (running DECIMAL sum is order-defined, so it is
+      // engine-reproducible without rounding)
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).as("order_rank"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_spend"))
+    }),
+
     "set1_except" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       o.filter(col("o_orderstatus") === "O").select("o_custkey")
@@ -509,6 +523,14 @@ object SparkEntry {
          |           FROM orders WHERE o_custkey >= 400 GROUP BY o_custkey)
          |SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name, o.n_orders
          |FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey""").stripMargin,
+
+    "w3_window_funcs" ->
+      ("""SELECT o_custkey, o_orderkey, o_totalprice,
+         |  CAST(rank() OVER w AS INTEGER) AS order_rank,
+         |  lag(o_totalprice, 1) OVER w AS prev_price,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""").stripMargin,
 
     "set1_except" ->
       ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +

@@ -1,0 +1,21 @@
+package graft
+
+/** Mirrors the driver's t1 smoke gate exactly: the flagship entry query on
+  * sf0.001 must return rows. */
+class EntrySmokeSpec extends SparkSpec {
+  test("SparkEntry.entry returns rows on sf0.001") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0L)
+    assert(df.columns.contains("customer_id") && df.columns.contains("lifetime_value"))
+  }
+
+  test("every declared query has either oracle SQL or a documented rows-only reason") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // these are the hash/seed/JVM-dependent operators pinned by specs instead
+    assert(noOracle === Set("mh1_minhash_neardup", "sh1_simhash_neardup",
+      "ann2_lsh_topk", "ann3_ivf_topk", "cn1_cosine_neardup",
+      "agg3_approx_distinct", "mm2_decode_stub"))
+    // and no orphan oracle entries
+    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
+  }
+}
