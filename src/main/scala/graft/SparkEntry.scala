@@ -332,20 +332,15 @@ object SparkEntry {
       // events parquet through a file-source stream, aggregate in Complete
       // mode (all windows retained), return the result table — must
       // hash-match DuckDB exactly like the batch tumbling aggregate
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val staged = java.nio.file.Files.createTempDirectory("st1_events")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        staged.resolve("part-0.parquet"),
+      staged.toFile.deleteOnExit()
+      val copied = staged.resolve("part-0.parquet")
+      copied.toFile.deleteOnExit()
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), copied,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      val schema = s.read.parquet(staged.toString).schema
-      val raw = s.readStream.schema(schema).parquet(staged.toString)
-      val stream = raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      val q = EventOps.tumblingCounts(stream, "hour")
-        .writeStream.format("memory").queryName("st1_hourly")
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      val stream = graft.streaming.EventStreams.eventParquetStream(s, staged.toString)
+      val q = graft.streaming.EventStreams.runToMemory(
+        EventOps.tumblingCounts(stream, "hour"), "st1_hourly", "complete")
       q.awaitTermination()
       s.table("st1_hourly")
     }),

@@ -41,13 +41,17 @@ object TemporalOps {
   ): DataFrame = {
     val leftCols = left.columns.toSeq
     require(!rightCols.exists(leftCols.contains), "rightCols must not collide with left columns")
-    val payloadCols = if (rightCols.contains(rightTime)) rightCols else rightTime +: rightCols
-    val payload = struct(payloadCols.map(col): _*)
+    val payload = struct(rightCols.map(col): _*)
     // SQL equi-join semantics: a NULL key never matches — drop NULL-keyed
     // right rows (otherwise the NULL window partition would hand their
     // payload to NULL-keyed left rows); NULL-keyed left rows stay and get
-    // NULL payload like any unmatched row
-    val taggedRight = right.filter(col(rightKey).isNotNull).select(
+    // NULL payload like any unmatched row. A NULL right TIME would sort
+    // before every real row (nulls-first) and wrongly match left rows that
+    // precede all quotes — drop those too ("no time" cannot be "most
+    // recent").
+    val taggedRight = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
       Seq(col(rightKey).as("__k"), col(rightTime).cast("timestamp").as("__t"),
         lit(0).as("__side"), payload.as("__payload")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
@@ -55,8 +59,12 @@ object TemporalOps {
       Seq(col(leftKey).as("__k"), col(leftTime).cast("timestamp").as("__t"),
         lit(1).as("__side"), lit(null).cast(taggedRight.schema("__payload").dataType).as("__payload")) ++
         leftCols.map(col): _*)
-    // right rows sort before left rows at equal time -> inclusive match
-    val w = Window.partitionBy("__k").orderBy(col("__t").asc, col("__side").asc)
+    // right rows sort before left rows at equal time -> inclusive match;
+    // __payload as the final sort key makes the order TOTAL, so duplicate
+    // (key, time) right rows resolve deterministically (greatest payload
+    // wins) instead of depending on partition order
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__side").asc, col("__payload").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     taggedRight.unionByName(taggedLeft)
       .withColumn("__match", last("__payload", ignoreNulls = true).over(w))

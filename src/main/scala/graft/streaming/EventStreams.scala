@@ -42,7 +42,7 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))).cast("double").as("total_value"))
+        graft.ops.ExactSums.dsum(col("value")).as("total_value"))
       .select(
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),
@@ -63,6 +63,7 @@ object EventStreams {
     val gapMs = gapMinutes * 60L * 1000L
     events
       .selectExpr("event_id", "ts", "user_id", "value")
+      .filter(col("ts").isNotNull) // a NULL ts sails past the watermark filter and would NPE below
       .as[StreamEvent]
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
@@ -75,35 +76,27 @@ object EventStreams {
             state.remove()
             Iterator(ClosedSession(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n, s.total))
           } else {
-            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var closed = List.empty[ClosedSession]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t >= s.start - gapMs && t - s.end <= gapMs =>
-                  // within the gap of either end (late events may extend the
-                  // session BACKWARDS, matching the batch operator)
-                  cur = Some(s.copy(start = math.min(s.start, t), end = math.max(s.end, t),
-                    n = s.n + 1, total = s.total + e.value))
-                case Some(s) if t > s.end =>
-                  // a gap after the open session: close it, start fresh
-                  closed ::= ClosedSession(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n, s.total)
-                  cur = Some(OpenSession(t, t, 1, e.value))
-                case Some(_) =>
-                  // late event disjoint BEFORE the open session: without
-                  // buffering it cannot merge with still-later arrivals, so
-                  // emit it as its own session (bounded by the watermark)
-                  closed ::= ClosedSession(userId, e.ts, e.ts, 1, e.value)
-                case None =>
-                  cur = Some(OpenSession(t, t, 1, e.value))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
-            }
-            closed.reverseIterator
+            // interval-merge the open session with ALL batch events at once
+            // (the batch operator's semantics): sort intervals by start and
+            // merge neighbors within the gap — late events inside one batch
+            // group together instead of each becoming a singleton session
+            val singles = batch.map(e => OpenSession(e.ts.getTime, e.ts.getTime, 1, e.value)).toList
+            val intervals = (state.getOption.toList ++ singles).sortBy(s => (s.start, s.end))
+            val merged = intervals.foldLeft(List.empty[OpenSession]) {
+              case (cur :: done, s) if s.start - cur.end <= gapMs =>
+                cur.copy(end = math.max(cur.end, s.end), n = cur.n + s.n, total = cur.total + s.total) :: done
+              case (acc, s) => s :: acc
+            }.reverse
+            // the latest interval stays open (future events may extend it);
+            // earlier disjoint ones can no longer merge forward — close them.
+            // (A still-later arrival that would bridge two closed sessions is
+            // the documented buffering-free limitation, bounded by the
+            // watermark.)
+            val open = merged.last
+            state.update(open)
+            state.setTimeoutTimestamp(open.end + gapMs)
+            merged.init.iterator.map(s =>
+              ClosedSession(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n, s.total))
           }
       }
       .toDF()
@@ -150,29 +143,35 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols)
 
-  /** File-source convenience: stream a directory of event parquet files
-    * through [[hourlyCounts]] into an in-memory table. Handles the
+  /** File-source event stream over a parquet directory. Handles the
     * testdata's TIMESTAMP(NANOS) parquet the same way Tables.events does:
     * read nanos as long, convert with exact integer division.
     */
+  def eventParquetStream(spark: SparkSession, inputDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(inputDir).schema
+    val raw = spark.readStream.schema(schema).parquet(inputDir)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    else raw
+  }
+
+  /** Run a transformed stream into an in-memory table, draining all
+    * available input (AvailableNow). */
+  def runToMemory(df: DataFrame, queryName: String, outputMode: String): StreamingQuery =
+    df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Convenience: hourly counts from an event parquet directory. */
   def runHourlyFromParquet(
       spark: SparkSession,
       inputDir: String,
       queryName: String
-  ): StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(inputDir).schema
-    val raw = spark.readStream.schema(schema).parquet(inputDir)
-    val stream =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
-      else raw
-    hourlyCounts(stream).writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-  }
+  ): StreamingQuery =
+    runToMemory(hourlyCounts(eventParquetStream(spark, inputDir)), queryName, "append")
 }

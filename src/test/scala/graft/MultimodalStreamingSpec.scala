@@ -165,6 +165,29 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming sessionization groups multiple disjoint late events within one batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "user_id", "value")
+    val out = EventStreams.sessionizeStream(spark, df, gapMinutes = 30, watermarkDelay = "6 hours")
+    val query = out.writeStream.format("memory").queryName("sessions_batchlate_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, Timestamp.valueOf("2024-01-01 12:00:00"), 10L, 1.0))
+      query.processAllAvailable()
+      // two late events, disjoint from the open session but within the gap
+      // of EACH OTHER: must close as ONE session of 2 events, not two singletons
+      input.addData(
+        (2L, Timestamp.valueOf("2024-01-01 08:00:00"), 10L, 2.0),
+        (3L, Timestamp.valueOf("2024-01-01 08:20:00"), 10L, 4.0))
+      query.processAllAvailable()
+      val sessions = spark.table("sessions_batchlate_test")
+        .select("session_start", "n_events", "total_value")
+        .as[(Timestamp, Long, Double)].collect().toSet
+      assert(sessions === Set((Timestamp.valueOf("2024-01-01 08:00:00"), 2L, 6.0)))
+    } finally query.stop()
+  }
+
   test("streaming sessionization merges late events that extend the open session backwards") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, Double)]
