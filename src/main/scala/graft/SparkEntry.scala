@@ -363,6 +363,10 @@ object SparkEntry {
     "txt4_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), TextOps.fingerprint(col("text")).as("content_md5"))),
 
+    "txt7_rolling_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.rollingFingerprint(col("text")).as("rolling_hash"))),
+
     // ---- dedup ----
     "dd1_exact_dedup" -> ((s, dir) =>
       DedupOps.exactDedup(t(s, dir, "documents"), "doc_id", Seq("text"))
@@ -658,6 +662,11 @@ object SparkEntry {
 
     "txt4_fingerprint" ->
       "SELECT doc_id, md5(text) AS content_md5 FROM documents",
+
+    "txt7_rolling_fingerprint" -> // Horner's rule over code points, mod 1e9+7
+      ("SELECT doc_id, list_reduce(" +
+        "list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+        "(acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash FROM documents"),
 
     "dd1_exact_dedup" ->
       "SELECT CAST(min(doc_id) AS BIGINT) AS keep_doc_id, CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY text",
