@@ -70,6 +70,27 @@ object MultimodalOps {
       .drop("__n_chunks")
   }
 
+  /** STUB resize (clearly marked): a real implementation hands the decoded
+    * image to a scaler; this deterministic fake nearest-neighbor-samples
+    * the raw payload bytes down to `targetW × targetH` "pixels" so the
+    * distributed shape (narrow per-row transform, bounded output size,
+    * binary in → binary out) is real and testable without a codec.
+    */
+  def resizeStub(df: DataFrame, binCol: String, targetW: Int, targetH: Int): DataFrame = {
+    val outLen = targetW * targetH
+    val n = length(col(binCol))
+    // sample positions 1..outLen mapped proportionally across the payload
+    val sampled = transform(sequence(lit(1), lit(outLen)),
+      i => col(binCol).substr((((i - 1) * n) / outLen).cast("int") + 1, lit(1)))
+    // fold the sampled bytes back into one binary value (concat of an
+    // array<binary> column would stay an array)
+    val folded = aggregate(sampled, lit(Array.emptyByteArray), (acc, x) => concat(acc, x))
+    df.withColumn("resized",
+        when(n >= 1, folded).otherwise(lit(Array.emptyByteArray)))
+      .withColumn("resized_w", lit(targetW))
+      .withColumn("resized_h", lit(targetH))
+  }
+
   /** STUB decode (clearly marked): a real implementation calls the codec
     * inside `mapPartitions` — per-partition iterator so codec init happens
     * once per partition, rows stream through without materializing the

@@ -42,6 +42,20 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(chunks(0)._2.toSeq === jpegHeader.take(8).toSeq)
   }
 
+  test("resizeStub produces fixed-size deterministic output, empty-safe") {
+    val out = MultimodalOps.resizeStub(media, "content", targetW = 4, targetH = 2)
+      .select("item_id", "resized").as[(Long, Array[Byte])].collect().toMap
+    assert(out.values.forall(_.length === 8)) // 4x2 "pixels"
+    val again = MultimodalOps.resizeStub(media, "content", 4, 2)
+      .select("item_id", "resized").as[(Long, Array[Byte])].collect().toMap
+    assert(out(1L).toSeq === again(1L).toSeq) // deterministic
+    // empty payload -> empty resized, no crash
+    val empty = Seq((9L, Array.emptyByteArray)).toDF("item_id", "content")
+    val r = MultimodalOps.resizeStub(empty, "content", 4, 2)
+      .select("resized").as[Array[Byte]].head
+    assert(r.isEmpty)
+  }
+
   test("decodeImageStub: mapPartitions plumbing with deterministic features") {
     val feats = MultimodalOps.decodeImageStub(media, "item_id", "content").collect()
       .map(f => f.item_id -> f).toMap
