@@ -46,8 +46,16 @@ def main(sf_dir: str, out_dir: str) -> int:
         name = qdir.name
         spark_df = pd.read_parquet(qdir)
         if name not in oracle:
-            print(f"[rows-only] {name}: {len(spark_df)} rows")
-            n_rowsonly += 1
+            # still exercise the driver's canonicalize/sort path: an
+            # unsortable result (e.g. array column) must fail HERE, not
+            # only in the driver's gate
+            try:
+                canon(spark_df)
+                print(f"[rows-only] {name}: {len(spark_df)} rows")
+                n_rowsonly += 1
+            except Exception as e:
+                print(f"[FAIL] {name}: rows-only canonicalize error: {e!r}")
+                n_fail += 1
             continue
         try:
             duck_df = con.sql(oracle[name]).df()

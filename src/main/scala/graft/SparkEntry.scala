@@ -408,10 +408,13 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
-    "cn1_cosine_neardup" -> ((s, dir) => // no oracle: bucketing approximate; spec-pinned
+    "cn1_cosine_neardup" -> ((s, dir) => // no oracle: bucketing approximate; spec-pinned.
+      // testdata embeddings are near-orthogonal (max pairwise cos ≈ 0.5),
+      // so the threshold sits at 0.4 where real pairs exist; 4 planes ×
+      // 8 tables gives ~75% recall at that similarity band
       SimilarityOps.cosineNearDupPairs(
         t(s, dir, "embeddings"), "vec_id", "embedding",
-        minCosine = 0.8, dim = 64)),
+        minCosine = 0.4, dim = 64, numPlanes = 4, tables = 8)),
 
     // ---- multimodal plumbing ----
     "mm1_binary_meta" -> ((s, dir) =>
@@ -420,13 +423,17 @@ object SparkEntry {
         length(col("text").cast("binary")).cast("long").as("n_bytes"),
         md5(col("text").cast("binary")).as("content_md5"))),
 
-    "mm2_decode_stub" -> ((s, dir) => { // no oracle: decode stub is
-      // JVM-hash-dependent; plumbing (mapPartitions batch shape, schema,
-      // featurization) is spec-pinned in MultimodalStreamingSpec
+    "mm2_decode_stub" -> ((s, dir) => {
+      // mapPartitions decode plumbing under the oracle: the stub derives
+      // dims with SQL-expressible arithmetic, so format/bytes/dims are
+      // hash-checked; the byte-histogram embedding (array column) stays out
+      // of the driver projection (spec-pinned in MultimodalStreamingSpec —
+      // the driver compare can't sort rows on an array column)
       import s.implicits._
       val media = t(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("content"))
       graft.ops.MultimodalOps.decodeImageStub(media, "doc_id", "content").toDF()
+        .select("item_id", "format", "n_bytes", "width", "height")
     })
   )
 
@@ -706,6 +713,20 @@ object SparkEntry {
          |SELECT q_id, vec_id, score, rnk FROM ranked WHERE rnk <= 5""").stripMargin,
 
     "mm1_binary_meta" ->
-      "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_md5 FROM documents"
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_md5 FROM documents",
+
+    "mm2_decode_stub" ->
+      // sniffFormat's jpeg/png arms check bytes (FFD8, 89504E47) that can't
+      // begin valid UTF-8 text, so only the ASCII-prefix arms are
+      // reachable here; dims replicate the stub's documented formula
+      ("""SELECT doc_id AS item_id,
+         |  CASE WHEN starts_with(text, 'GIF8') THEN 'gif'
+         |       WHEN starts_with(text, 'RIFF') THEN 'riff'
+         |       WHEN starts_with(text, '%PDF') THEN 'pdf'
+         |       ELSE 'unknown' END AS format,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  CAST(16 + (octet_length(encode(text)) * 31 + coalesce(ascii(substr(text, 1, 1)), 0)) % 1024 AS INTEGER) AS width,
+         |  CAST(16 + (octet_length(encode(text)) * 17 + coalesce(ascii(right(text, 1)), 0)) % 1024 AS INTEGER) AS height
+         |FROM documents""").stripMargin
   )
 }

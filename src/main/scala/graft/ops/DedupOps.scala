@@ -114,7 +114,12 @@ object DedupOps {
     * [[shingleHashes]] column. */
   def minHashSignatureFromHashes(hashes31: Column, numHashes: Int, seed: Long): Column = {
     val sigParts: Seq[Column] = hashParams(numHashes, seed).map { case (a, b) =>
-      array_min(transform(hashes31, x => pmod(lit(a) * x + lit(b), lit(MinHashPrime))))
+      // empty shingle set (doc shorter than the shingle size): array_min
+      // yields NULL — coalesce to Long.MaxValue to stay bit-for-bit equal
+      // to the native graft_minhash kernel's empty-set signature
+      coalesce(
+        array_min(transform(hashes31, x => pmod(lit(a) * x + lit(b), lit(MinHashPrime)))),
+        lit(Long.MaxValue))
     }
     array(sigParts: _*)
   }

@@ -108,10 +108,13 @@ object MultimodalOps {
         val bytes = r.getAs[Array[Byte]]("content")
         val fmt = r.getAs[String]("format")
         val n = r.getAs[Long]("n_bytes")
-        // STUB: deterministic fake dimensions from content (NOT a codec)
-        val h = java.util.Arrays.hashCode(bytes)
-        val width = 16 + math.abs(h % 1024)
-        val height = 16 + math.abs((h / 1024) % 1024)
+        // STUB: deterministic fake dimensions (NOT a codec). Derived from
+        // byte length + first/last byte so the formula is reproducible in
+        // ANSI SQL — the decode plumbing answers to the DuckDB oracle.
+        val fb = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+        val lb = if (bytes.nonEmpty) bytes(bytes.length - 1) & 0xff else 0
+        val width = (16 + (n * 31 + fb) % 1024).toInt
+        val height = (16 + (n * 17 + lb) % 1024).toInt
         // real byte histogram as the feature vector
         val hist = new Array[Float](16)
         var i = 0

@@ -56,6 +56,16 @@ class NativeExpressionsSpec extends SparkSpec {
     rows.foreach { r =>
       assert(r.getSeq[Long](1).length === 8)
     }
+    rows.filter(_.getLong(0) <= 2L).foreach { r =>
+      assert(r.getSeq[Long](1).forall(_ == Long.MaxValue))
+    }
+    // the HOF must agree on the short-document case too (no length
+    // pre-filter needed by direct callers)
+    val hofParity = edge.select(
+      expr("graft_minhash(text, 3, 8, 42)").as("native"),
+      DedupOps.minHashSignature(col("text"), 8, 3, 42L).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(hofParity === 0L)
     val shTwo = rows.find(_.getLong(0) == 3L).get.getLong(2)
     assert(shTwo !== 0L) // "two words" has one 2-shingle
   }
