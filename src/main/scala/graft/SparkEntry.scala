@@ -338,10 +338,17 @@ object SparkEntry {
       copied.toFile.deleteOnExit()
       java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), copied,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      val stream = graft.streaming.EventStreams.eventParquetStream(s, staged.toString)
-      val q = graft.streaming.EventStreams.runToMemory(
-        EventOps.tumblingCounts(stream, "hour"), "st1_hourly", "complete")
-      q.awaitTermination()
+      // stateful-stream shuffle width = state-store count; size it to the
+      // key cardinality (24h × few event types), not the batch shuffle
+      // width — 32 near-empty state stores would pay 4× the checkpoint IO
+      val batchPartitions = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stream = graft.streaming.EventStreams.eventParquetStream(s, staged.toString)
+        val q = graft.streaming.EventStreams.runToMemory(
+          EventOps.tumblingCounts(stream, "hour"), "st1_hourly", "complete")
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", batchPartitions)
       s.table("st1_hourly")
     }),
 

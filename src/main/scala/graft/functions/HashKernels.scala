@@ -149,6 +149,49 @@ object HashKernels {
     sig
   }
 
+  /** Deterministic sign-LSH hyperplanes for `tables` tables of `numPlanes`
+    * planes each, flattened [table][plane][dim]. Must mirror
+    * SimilarityOps.hyperplanes exactly: per-table seed = seed + 1000·t,
+    * gaussian draws in plane-major order — same seed, same planes.
+    */
+  def lshPlanes(dim: Int, numPlanes: Int, tables: Int, seed: Long): Array[Double] = {
+    val out = new Array[Double](tables * numPlanes * dim)
+    var i = 0
+    var t = 0
+    while (t < tables) {
+      val rnd = new scala.util.Random(seed + 1000L * t)
+      var j = 0
+      while (j < numPlanes * dim) { out(i) = rnd.nextGaussian(); i += 1; j += 1 }
+      t += 1
+    }
+    out
+  }
+
+  /** Per-table sign-bucket ids of a vector: bit p of table t's bucket =
+    * sign(vec · plane_{t,p}). Dot products accumulate in double,
+    * sequentially — bit-for-bit the HOF signBucket fold. */
+  def signBuckets(vec: Array[Float], planes: Array[Double], dim: Int, numPlanes: Int, tables: Int): Array[Long] = {
+    val out = new Array[Long](tables)
+    val n = math.min(dim, vec.length)
+    var off = 0
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < numPlanes) {
+        var dot = 0.0
+        var d = 0
+        while (d < n) { dot += vec(d).toDouble * planes(off + d); d += 1 }
+        if (dot >= 0) bucket |= (1L << p)
+        off += dim
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    out
+  }
+
   /** Cosine similarity of two float arrays with double accumulation —
     * matches SimilarityOps.cosine (sequential fold) bit-for-bit. */
   def cosineFloat(a: Array[Float], b: Array[Float]): Double = {

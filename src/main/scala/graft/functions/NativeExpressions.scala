@@ -103,6 +103,43 @@ object NativeExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Multi-table sign-LSH bucket ids:
+    * `graft_signbuckets(vec, dim, numPlanes, tables, seed)` → array<long>
+    * of length `tables`. One tight loop replaces a tables×planes forest of
+    * literal-array fold expressions — same result, but O(100) bytes of
+    * generated code instead of a Janino compile of the whole plane set.
+    */
+  final case class SignBuckets(child: Expression, dim: Int, numPlanes: Int, tables: Int, seed: Long)
+      extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires an array<float> column")
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_signbuckets"
+
+    @transient private lazy val planes = HashKernels.lshPlanes(dim, numPlanes, tables, seed)
+
+    override def nullSafeEval(input: Any): Any =
+      new GenericArrayData(HashKernels.signBuckets(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray(),
+        planes, dim, numPlanes, tables))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[]")
+        s"""
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  graft.functions.HashKernels.signBuckets(
+           |    $c.toFloatArray(), $planesRef, $dim, $numPlanes, $tables));
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): SignBuckets =
+      copy(child = newChild)
+  }
+
   private def intArg(e: Expression, name: String): Int = e.eval() match {
     case i: Int => i
     case l: Long => l.toInt
@@ -124,7 +161,12 @@ object NativeExpressions {
         if (args.length > 1) intArg(args(1), "shingleSize") else 2)),
     (FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
-      (args: Seq[Expression]) => CosineSim(args(0), args(1)))
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))),
+    (FunctionIdentifier("graft_signbuckets"),
+      new ExpressionInfo(classOf[SignBuckets].getName, "graft_signbuckets"),
+      (args: Seq[Expression]) => SignBuckets(args.head,
+        intArg(args(1), "dim"), intArg(args(2), "numPlanes"),
+        intArg(args(3), "tables"), intArg(args(4), "seed").toLong))
   )
 
   /** Idempotent runtime registration (for sessions built without the

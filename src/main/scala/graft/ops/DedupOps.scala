@@ -23,6 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** Repartition an under-split input up to the session's default
+    * parallelism. Small local files arrive as one partition, which would
+    * run every narrow per-document computation (shingling, signatures) on
+    * a single core; at production scale inputs have ≥cores splits and this
+    * is a no-op. The shuffle moves only the raw input rows — always
+    * cheaper than serializing the downstream compute.
+    */
+  private[ops] def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact dedup on arbitrary key columns: keeps the row with the minimum
     * `idCol` per key (deterministic winner), counts collapsed copies.
     */
@@ -63,24 +75,32 @@ object DedupOps {
       minJaccard: Double = 0.1,
       maxShingleFreq: Option[Long] = None
   ): DataFrame = {
-    val withSh = docs.select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("shingle"))
-    val filtered = maxShingleFreq match {
+    // two independent narrow passes over the widened input: (a) exploded
+    // (doc, shingle) rows for the candidate join, (b) per-doc set sizes as
+    // size(shingle-array) WITHOUT explode — carrying the array (or its
+    // size) through the Generate copies it per exploded row, measured 4×
+    // slower than a second pass. The sizes table is |docs| rows, so AQE
+    // broadcasts it onto the (much smaller) aggregated pair table.
+    val base = widen(docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
+    val exploded = base.select(col("doc_id"), explode(shingles(col("__text"), n)).as("shingle"))
+    val (filtered, sizes) = maxShingleFreq match {
       case Some(cap) =>
-        // drop shingles whose doc-frequency exceeds the cap (stop-shingles)
-        val freq = withSh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        withSh.join(freq.filter(col("df") <= cap).select("shingle"), Seq("shingle"))
-      case None => withSh
+        // drop shingles whose doc-frequency exceeds the cap (stop-shingles);
+        // set sizes must then be recounted on the SURVIVING shingles
+        val freq = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+        val kept = exploded.join(freq.filter(col("df") <= cap).select("shingle"), Seq("shingle"))
+        (kept, kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh")))
+      case None =>
+        (exploded, base.select(col("doc_id"), size(shingles(col("__text"), n)).as("n_sh")))
     }
-    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val a = filtered.withColumnRenamed("doc_id", "doc_a")
-    val b = filtered.withColumnRenamed("doc_id", "doc_b")
-    val shared = a.join(b, Seq("shingle"))
+    val a = filtered.select(col("shingle"), col("doc_id").as("doc_a"))
+    val b = filtered.select(col("shingle"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared_shingles"))
-    shared
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("n_b")), Seq("doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
       .withColumn("jaccard",
         round(col("shared_shingles").cast("double") /
           (col("n_a") + col("n_b") - col("shared_shingles")), 4))
@@ -151,7 +171,7 @@ object DedupOps {
     // native codegen'd signature (graft.functions.NativeExpressions) — the
     // HOF builders above stay as its executable specification
     graft.functions.NativeExpressions.register(docs.sparkSession)
-    val sig = docs
+    val sig = widen(docs)
       .filter(size(split(col(textCol), " ")) >= shingleSize) // too-short docs have no shingles
       .select(col(idCol).as("doc_id"),
         expr(s"graft_minhash(`$textCol`, $shingleSize, $numHashes, $seed)").as("sig"))
@@ -165,16 +185,19 @@ object DedupOps {
     ).withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
     val left = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val right = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    // estimate + threshold BEFORE the dedup shuffle: re-estimating a pair
+    // that collides in several bands is a map-side projection, while
+    // deduplicating first would shuffle both k-long signatures per
+    // candidate — the exchange carries only (doc_a, doc_b, est_jaccard)
     left.join(right, Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b")
-      .dropDuplicates("doc_a", "doc_b") // candidate may collide in several bands
       .withColumn("est_jaccard",
         round(aggregate(
           zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, m) => acc + m).cast("double") / numHashes, 4))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("doc_a", "doc_b", "est_jaccard")
+      .dropDuplicates("doc_a", "doc_b") // candidate may collide in several bands
   }
 
   /** 64-bit SimHash signature: sign-aggregated bitwise vote over shingle
@@ -216,7 +239,7 @@ object DedupOps {
     // maxHamming+1 chunks); a larger threshold would silently drop pairs
     require(maxHamming <= 3, s"4-chunk banding supports maxHamming <= 3, got $maxHamming")
     graft.functions.NativeExpressions.register(docs.sparkSession)
-    val sig = docs
+    val sig = widen(docs)
       // too-short docs have an empty shingle set -> signature 0; without
       // this filter every pair of them would collide at hamming 0
       .filter(size(split(col(textCol), " ")) >= shingleSize)
@@ -227,11 +250,13 @@ object DedupOps {
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
     val left = chunked.select(col("chunk"), col("chunk_val"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val right = chunked.select(col("chunk"), col("chunk_val"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    // same score-then-dedup shape as minHashNearDupPairs: the hamming
+    // filter drops most candidates before the dedup exchange
     left.join(right, Seq("chunk", "chunk_val"))
       .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+      .dropDuplicates("doc_a", "doc_b")
   }
 }

@@ -52,7 +52,7 @@ object SimilarityOps {
   ): DataFrame = {
     graft.functions.NativeExpressions.register(corpus.sparkSession)
     val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"))
+    val c = widen(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec")))
     val scored = c.join(broadcast(q), if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
       .withColumn("score", round(expr("graft_cosine(q_vec, c_vec)"), 4))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
@@ -86,13 +86,28 @@ object SimilarityOps {
     * useless. L tables lift it to 1-(1-p^b)^L (e.g. b=4, L=8 → ~70%).
     * Returned as an array; explode to (table, bucket) rows for the join.
     */
-  private def tableBuckets(vec: Column, dim: Int, numPlanes: Int, tables: Int, seed: Long): Column =
+  private[graft] def tableBuckets(vec: Column, dim: Int, numPlanes: Int, tables: Int, seed: Long): Column =
     array((0 until tables).map(t => signBucket(vec, hyperplanes(dim, numPlanes, seed + 1000L * t))): _*)
 
+  /** Repartition an under-split input up to default parallelism — small
+    * local files arrive as one partition, which would run the per-row
+    * bucket hashing (tables × planes × dim multiply-adds) on one core.
+    * No-op when the source already has enough splits.
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   private def withTableBuckets(df: DataFrame, vecCol: String, dim: Int,
-      numPlanes: Int, tables: Int, seed: Long): DataFrame =
-    df.select(col("*"), posexplode(tableBuckets(col(vecCol), dim, numPlanes, tables, seed)))
+      numPlanes: Int, tables: Int, seed: Long): DataFrame = {
+    // native kernel (graft.functions.NativeExpressions.SignBuckets) — the
+    // HOF tableBuckets above stays as its executable specification
+    graft.functions.NativeExpressions.register(df.sparkSession)
+    widen(df).select(col("*"),
+      posexplode(expr(s"graft_signbuckets(`$vecCol`, $dim, $numPlanes, $tables, ${seed}L)")))
       .withColumnsRenamed(Map("pos" -> "table_id", "col" -> "bucket"))
+  }
 
   /** Approximate top-k via multi-table sign-LSH: candidates from equal
     * (table, bucket) buckets, deduplicated, then scored exactly. The join
@@ -120,11 +135,15 @@ object SimilarityOps {
       corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec")),
       "c_vec", dim, numPlanes, tables, seed)
     graft.functions.NativeExpressions.register(corpus.sparkSession)
-    val candidates = c.join(q, Seq("table_id", "bucket"))
+    // score BEFORE deduplicating collisions: scoring is a map-side codegen'd
+    // projection, so re-scoring a pair that collides in several tables is
+    // cheaper than shuffling both embedding arrays through the dedup —
+    // the exchange carries (q_id, vec_id, score), not 2×dim floats
+    val scored = c.join(q, Seq("table_id", "bucket"))
       .filter(if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
-      .select("q_id", "q_vec", "vec_id", "c_vec")
+      .withColumn("score", round(expr("graft_cosine(q_vec, c_vec)"), 4))
+      .select("q_id", "vec_id", "score")
       .dropDuplicates("q_id", "vec_id") // same pair may collide in several tables
-    val scored = candidates.withColumn("score", round(expr("graft_cosine(q_vec, c_vec)"), 4))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -160,10 +179,23 @@ object SimilarityOps {
     import org.apache.spark.ml.functions.array_to_vector
     graft.functions.NativeExpressions.register(corpus.sparkSession)
 
-    val corpusVec = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"))
+    val corpusVec = widen(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec")))
       .withColumn("features", array_to_vector(col("c_vec")))
+    // coarse-quantizer training needs only a bounded sample (the standard
+    // IVF recipe): ~40 points per centroid is plenty for cell assignment
+    // quality, and keeps the fit O(sample) as the corpus grows — at
+    // 100 TB the full-corpus fit would dominate the whole query
+    val n = corpusVec.count()
+    val sampleTarget = math.max(40L * nLists, 1024L)
+    val trainRaw =
+      if (n > sampleTarget)
+        corpusVec.select("features").sample(withReplacement = false, sampleTarget.toDouble / n, seed)
+      else corpusVec.select("features")
+    // the sample is tiny — collapse it so each k-means iteration is one
+    // task instead of one per corpus partition
+    val train = trainRaw.coalesce(math.max(1, (sampleTarget / 1024L).toInt))
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
-      .fit(corpusVec.select("features"))
+      .fit(train)
     val assigned = model.transform(corpusVec)
       .select(col("vec_id"), col("c_vec"), col("prediction").as("cell"))
 
@@ -216,12 +248,15 @@ object SimilarityOps {
     val a = withBucket.select(col("table_id"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = withBucket.select(col("table_id"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     graft.functions.NativeExpressions.register(df.sparkSession)
+    // score + threshold BEFORE the dedup shuffle: the exchange then carries
+    // only surviving (id_a, id_b, score) triples instead of every candidate
+    // with both embedding arrays attached (same result — scores are
+    // deterministic per pair, so collisions dedup to identical rows)
     a.join(b, Seq("table_id", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "vec_a", "vec_b")
-      .dropDuplicates("id_a", "id_b")
       .withColumn("score", round(expr("graft_cosine(vec_a, vec_b)"), 4))
       .filter(col("score") >= minCosine)
       .select("id_a", "id_b", "score")
+      .dropDuplicates("id_a", "id_b")
   }
 }

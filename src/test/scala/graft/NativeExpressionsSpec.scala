@@ -47,6 +47,15 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(diff === 0L)
   }
 
+  test("graft_signbuckets matches the HOF tableBuckets on real embeddings") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val mismatches = emb.select(
+      expr("graft_signbuckets(embedding, 64, 4, 8, 42L)").as("native"),
+      SimilarityOps.tableBuckets(col("embedding"), 64, 4, 8, 42L).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatches === 0L)
+  }
+
   test("native expressions handle edge cases: empty and too-short text") {
     val edge = Seq((1L, ""), (2L, "one"), (3L, "two words")).toDF("id", "text")
     val rows = edge.select(col("id"),
@@ -74,7 +83,7 @@ class NativeExpressionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions().apply(ext) // must not throw; builder path
     assert(NativeExpressions.functions.map(_._1.funcName).toSet ===
-      Set("graft_minhash", "graft_simhash64", "graft_cosine"))
+      Set("graft_minhash", "graft_simhash64", "graft_cosine", "graft_signbuckets"))
   }
 
   test("approx_count_distinct stays within 5% of exact on real data (agg3 contract)") {
