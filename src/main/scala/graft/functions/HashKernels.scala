@@ -192,6 +192,48 @@ object HashKernels {
     out
   }
 
+  /** The `nProbe` nearest centroids (squared L2, sequential double fold —
+    * bit-for-bit the HOF probe-cell expression) of a query vector, as cell
+    * ids ordered by (distance, cell id) — exactly array_sort on a
+    * (dist, cell) struct followed by slice. */
+  def nearestCells(vec: Array[Float], centroids: Array[Double], nLists: Int, dim: Int, nProbe: Int): Array[Int] = {
+    val n = math.min(dim, vec.length)
+    val dists = new Array[Double](nLists)
+    var c = 0
+    while (c < nLists) {
+      var dist = 0.0
+      var d = 0
+      val off = c * dim
+      while (d < n) {
+        val diff = vec(d).toDouble - centroids(off + d)
+        dist += diff * diff
+        d += 1
+      }
+      dists(c) = dist
+      c += 1
+    }
+    val k = math.min(nProbe, nLists)
+    val out = new Array[Int](k)
+    val taken = new Array[Boolean](nLists)
+    var i = 0
+    while (i < k) {
+      var best = -1
+      var bestDist = Double.MaxValue
+      c = 0
+      while (c < nLists) {
+        if (!taken(c) && (dists(c) < bestDist || (dists(c) == bestDist && (best == -1 || c < best)))) {
+          best = c
+          bestDist = dists(c)
+        }
+        c += 1
+      }
+      taken(best) = true
+      out(i) = best
+      i += 1
+    }
+    out
+  }
+
   /** Cosine similarity of two float arrays with double accumulation —
     * matches SimilarityOps.cosine (sequential fold) bit-for-bit. */
   def cosineFloat(a: Array[Float], b: Array[Float]): Double = {

@@ -140,6 +140,42 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** IVF probe selection:
+    * `graft_nearest_cells(vec, array(array(...), ...), nProbe)` →
+    * array<int> of the nProbe nearest centroid ids. The centroid argument
+    * must be a foldable nested-array literal (the coarse quantizer is
+    * small by construction); one loop replaces an nLists-wide forest of
+    * literal-array distance folds.
+    */
+  final case class NearestCells(child: Expression, centroids: Array[Double], nLists: Int, dim: Int, nProbe: Int)
+      extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires an array<float> column")
+    }
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "graft_nearest_cells"
+
+    override def nullSafeEval(input: Any): Any =
+      new GenericArrayData(HashKernels.nearestCells(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray(),
+        centroids, nLists, dim, nProbe))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val centroidsRef = ctx.addReferenceObj("ivfCentroids", centroids, "double[]")
+        s"""
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  graft.functions.HashKernels.nearestCells(
+           |    $c.toFloatArray(), $centroidsRef, $nLists, $dim, $nProbe));
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): NearestCells =
+      copy(child = newChild)
+  }
+
   private def intArg(e: Expression, name: String): Int = e.eval() match {
     case i: Int => i
     case l: Long => l.toInt
@@ -166,7 +202,17 @@ object NativeExpressions {
       new ExpressionInfo(classOf[SignBuckets].getName, "graft_signbuckets"),
       (args: Seq[Expression]) => SignBuckets(args.head,
         intArg(args(1), "dim"), intArg(args(2), "numPlanes"),
-        intArg(args(3), "tables"), intArg(args(4), "seed").toLong))
+        intArg(args(3), "tables"), intArg(args(4), "seed").toLong)),
+    (FunctionIdentifier("graft_nearest_cells"),
+      new ExpressionInfo(classOf[NearestCells].getName, "graft_nearest_cells"),
+      (args: Seq[Expression]) => {
+        require(args(1).foldable, "graft_nearest_cells centroids must be a literal nested array")
+        val nested = args(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val rows = (0 until nested.numElements()).map(i =>
+          nested.getArray(i).toDoubleArray())
+        val dim = if (rows.isEmpty) 0 else rows.head.length
+        NearestCells(args.head, rows.flatten.toArray, rows.length, dim, intArg(args(2), "nProbe"))
+      })
   )
 
   /** Idempotent runtime registration (for sessions built without the

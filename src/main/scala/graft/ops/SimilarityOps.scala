@@ -194,28 +194,26 @@ object SimilarityOps {
     // the sample is tiny — collapse it so each k-means iteration is one
     // task instead of one per corpus partition
     val train = trainRaw.coalesce(math.max(1, (sampleTarget / 1024L).toInt))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
-      .fit(train)
+    // random init + few iterations: the coarse quantizer only partitions
+    // space for candidate routing — k-means|| init would spend several
+    // extra distributed passes to place centroids that nProbe-probing
+    // makes insensitive anyway
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
+      .setInitMode("random").fit(train)
     val assigned = model.transform(corpusVec)
       .select(col("vec_id"), col("c_vec"), col("prediction").as("cell"))
 
-    // nProbe nearest centroids per query, computed as column expressions
-    // over literal centroid arrays (no per-row driver work)
-    val centroids: Array[(Int, Array[Double])] =
-      model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
-    val distToCell: Seq[Column] = centroids.toSeq.map { case (cellId, cVec) =>
-      val cLit = array(cVec.toSeq.map(lit(_)): _*)
-      struct(
-        aggregate(zip_with(col("q_vec"), cLit, (x, y) => {
-          val d = x.cast("double") - y
-          d * d
-        }), lit(0.0), (acc, v) => acc + v).as("dist"),
-        lit(cellId).as("cell"))
-    }
+    // nProbe nearest centroids per query via the native kernel
+    // (graft.functions.NativeExpressions.NearestCells) — [[probeCellsHOF]]
+    // stays as its executable specification. Centroids ship to executors
+    // as a literal (they are nLists × dim — small by construction).
+    val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    val centroidSql = centroids
+      .map(_.map(d => s"${d}d").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
     val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
-      .withColumn("probes",
-        slice(array_sort(array(distToCell: _*)), 1, nProbe))
-      .select(col("q_id"), col("q_vec"), explode(col("probes.cell")).as("cell"))
+      .select(col("q_id"), col("q_vec"),
+        explode(expr(s"graft_nearest_cells(q_vec, $centroidSql, $nProbe)")).as("cell"))
 
     val scored = assigned.join(q, Seq("cell"))
       .filter(if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
@@ -225,6 +223,23 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "vec_id", "score", "rank")
+  }
+
+  /** HOF reference for the native graft_nearest_cells kernel: squared-L2
+    * distance to each centroid as a sequential fold, array_sort on the
+    * (dist, cell) struct, slice to nProbe — the spec the kernel must match
+    * bit-for-bit (see NativeExpressionsSpec). */
+  private[graft] def probeCellsHOF(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column = {
+    val distToCell: Seq[Column] = centroids.toSeq.zipWithIndex.map { case (cVec, cellId) =>
+      val cLit = array(cVec.toSeq.map(lit(_)): _*)
+      struct(
+        aggregate(zip_with(vec, cLit, (x, y) => {
+          val d = x.cast("double") - y
+          d * d
+        }), lit(0.0), (acc, v) => acc + v).as("dist"),
+        lit(cellId).as("cell"))
+    }
+    slice(array_sort(array(distToCell: _*)), 1, nProbe)("cell")
   }
 
   /** Embedding-cosine near-duplicate pairs (all pairs above a threshold)

@@ -56,6 +56,21 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(mismatches === 0L)
   }
 
+  test("graft_nearest_cells matches the HOF probe-cell expression on real embeddings") {
+    // deterministic fake centroids (the kernel contract is independent of
+    // where they come from)
+    val rnd = new scala.util.Random(7)
+    val centroids = Array.fill(16)(Array.fill(64)(rnd.nextGaussian()))
+    val centroidSql = centroids.map(_.map(d => s"${d}d").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val mismatches = emb.select(
+      expr(s"graft_nearest_cells(embedding, $centroidSql, 4)").as("native"),
+      SimilarityOps.probeCellsHOF(col("embedding"), centroids, 4).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatches === 0L)
+  }
+
   test("native expressions handle edge cases: empty and too-short text") {
     val edge = Seq((1L, ""), (2L, "one"), (3L, "two words")).toDF("id", "text")
     val rows = edge.select(col("id"),
@@ -83,7 +98,8 @@ class NativeExpressionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions().apply(ext) // must not throw; builder path
     assert(NativeExpressions.functions.map(_._1.funcName).toSet ===
-      Set("graft_minhash", "graft_simhash64", "graft_cosine", "graft_signbuckets"))
+      Set("graft_minhash", "graft_simhash64", "graft_cosine", "graft_signbuckets",
+        "graft_nearest_cells"))
   }
 
   test("approx_count_distinct stays within 5% of exact on real data (agg3 contract)") {
