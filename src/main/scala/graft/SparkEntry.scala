@@ -313,6 +313,20 @@ object SparkEntry {
         rightCols = Seq("last_order_date", "last_order_key"))
     }),
 
+    "aj2_asof_native" -> ((s, dir) => {
+      // the SAME as-of semantics through the custom physical operator
+      // (graft.plans.AsOfJoinExec — LogicalPlan + Strategy + SparkPlan),
+      // answering to the same DuckDB ASOF oracle as the aj1 composition
+      val lastOrders = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate").as("last_order_date"))
+        .agg(max("o_orderkey").as("last_order_key"))
+      graft.ops.TemporalOps.asOfJoinNative(
+        t(s, dir, "events").select("event_id", "user_id", "ts"),
+        leftKey = "user_id", leftTime = "ts",
+        lastOrders, rightKey = "o_custkey", rightTime = "last_order_date",
+        rightCols = Seq("last_order_date", "last_order_key"))
+    }),
+
     "rj1_range_join" -> ((s, dir) =>
       graft.ops.TemporalOps.rangeSelfJoin(
         t(s, dir, "events"), "user_id", "ts", "event_id", windowSeconds = 300L)),
@@ -604,6 +618,15 @@ object SparkEntry {
         "AS n_bpe_tokens FROM documents"),
 
     "aj1_asof_join" ->
+      ("""WITH last_orders AS (
+         |  SELECT o_custkey, o_orderdate AS last_order_date, CAST(max(o_orderkey) AS BIGINT) AS last_order_key
+         |  FROM orders GROUP BY o_custkey, o_orderdate
+         |)
+         |SELECT e.event_id, e.user_id, e.ts, r.last_order_date, r.last_order_key
+         |FROM events e ASOF LEFT JOIN last_orders r
+         |  ON e.user_id = r.o_custkey AND e.ts >= r.last_order_date""").stripMargin,
+
+    "aj2_asof_native" -> // the custom SparkPlan answers to the same ASOF oracle
       ("""WITH last_orders AS (
          |  SELECT o_custkey, o_orderdate AS last_order_date, CAST(max(o_orderkey) AS BIGINT) AS last_order_key
          |  FROM orders GROUP BY o_custkey, o_orderdate

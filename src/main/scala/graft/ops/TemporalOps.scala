@@ -5,18 +5,61 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Temporal join operators Spark has no native form of: as-of join and
-  * range self-join. Both are *compositions* (preference tier (a)): the
-  * semantics are fully expressible with union+window / bucket-join, so no
-  * custom SparkPlan is warranted — and both shapes scale:
+  * range self-join.
   *
-  *  - as-of: ONE shuffle+sort of (left ∪ right) on the key — the same
-  *    cost as a sort-merge join, with no range-condition blowup. This is
-  *    how kdb/QuestDB-style as-of semantics map onto a shuffle engine.
+  *  - as-of: two forms with identical semantics — [[asOfJoin]], a
+  *    union+window composition (tier (a): one shuffle+sort of left ∪
+  *    right, the executable spec), and [[asOfJoinNative]], a custom
+  *    physical operator (tier (c): [[graft.plans.AsOfJoinExec]]) that
+  *    shuffles/sorts each side in its own schema and streams a forward
+  *    merge with one row of state — no union materialization, no window
+  *    buffering. This is how kdb/QuestDB-style as-of semantics map onto
+  *    a shuffle engine.
   *  - range join: equi-join on (key, coarse time bucket) with the exact
   *    predicate applied after — candidate pairs are bounded per bucket,
   *    never the O(n·m) of a BroadcastNestedLoopJoin on a theta condition.
   */
 object TemporalOps {
+
+  /** As-of join through the native [[graft.plans.AsOfJoinExec]] operator.
+    * Same contract as [[asOfJoin]] (most recent right row with
+    * `right.timeCol <= left.timeCol` per key; left-outer; NULL key/time
+    * never matches; greatest payload wins ties) — the composition remains
+    * the executable spec, and TemporalOpsSpec pins row-for-row equality.
+    */
+  def asOfJoinNative(
+      left: DataFrame,
+      leftKey: String,
+      leftTime: String,
+      right: DataFrame,
+      rightKey: String,
+      rightTime: String,
+      rightCols: Seq[String]
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(rightCols.nonEmpty, "rightCols must be non-empty")
+    require(!rightCols.exists(leftCols.contains), "rightCols must not collide with left columns")
+    val spark = left.sparkSession
+    graft.plans.GraftPlans.register(spark)
+    // align time types (the composition casts both sides to timestamp) and
+    // apply SQL equi-join NULL semantics on the right, as in asOfJoin
+    val lPrep = left.withColumn("__asof_t", col(leftTime).cast("timestamp"))
+    val rPrep = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(col(rightKey).as("__asof_k") +: col(rightTime).cast("timestamp").as("__asof_rt") +:
+        rightCols.map(col): _*)
+    val lPlan = org.apache.spark.sql.GraftSqlBridge.analyzed(lPrep)
+    val rPlan = org.apache.spark.sql.GraftSqlBridge.analyzed(rPrep)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      plan.output.find(_.name == name).getOrElse(sys.error(s"column $name not found"))
+    val node = graft.plans.AsOfJoin(
+      lPlan, rPlan,
+      attr(lPlan, leftKey), attr(lPlan, "__asof_t"),
+      attr(rPlan, "__asof_k"), attr(rPlan, "__asof_rt"),
+      rightCols.map(attr(rPlan, _)))
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark, node)
+      .select(leftCols.map(col) ++ rightCols.map(col): _*)
+  }
 
   /** As-of join: for each left row, attach the single most recent right
     * row with `right.timeCol <= left.timeCol` on the same key (ties at

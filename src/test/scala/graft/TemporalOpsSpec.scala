@@ -39,6 +39,67 @@ class TemporalOpsSpec extends SparkSpec {
     assert(out.head.isNullAt(out.columns.indexOf("v")))
   }
 
+  test("asOfJoinNative: plan uses AsOfJoinExec and matches the composition on edge cases") {
+    val trades = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:05")),
+      (2L, 10L, ts("2024-01-01 10:01:00")),
+      (3L, 10L, ts("2024-01-01 09:59:00")),
+      (4L, 20L, ts("2024-01-01 10:00:00")),
+      (5L, 99L, ts("2024-01-01 10:00:00")) // key with no right rows
+    ).toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 100.0),
+      (10L, ts("2024-01-01 10:00:30"), 101.0),
+      (10L, ts("2024-01-01 10:00:30"), 102.0), // duplicate (key, time): greatest payload wins
+      (20L, ts("2024-01-01 10:00:00"), 55.0)
+    ).toDF("qsym", "qt", "price")
+    val native = TemporalOps.asOfJoinNative(trades, "sym", "t", quotes, "qsym", "qt", Seq("price"))
+    // nodeName strips the Exec suffix in plan strings
+    assert(native.queryExecution.executedPlan.toString.contains("AsOfJoin "))
+    val out = native.select("trade_id", "price").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L) === Some(100.0))
+    assert(out(2L) === Some(102.0)) // duplicate-time tie-break
+    assert(out(3L) === None)
+    assert(out(4L) === Some(55.0))
+    assert(out(5L) === None)
+    val composed = TemporalOps.asOfJoin(trades, "sym", "t", quotes, "qsym", "qt", Seq("price"))
+      .select("trade_id", "price").as[(Long, Option[Double])].collect().toMap
+    assert(out === composed)
+  }
+
+  test("asOfJoinNative: NULL left key/time get NULL payload; NULL right key/time dropped") {
+    val left = Seq(
+      (1L, Option(10L), Option(ts("2024-01-01 10:00:05"))),
+      (2L, None: Option[Long], Option(ts("2024-01-01 10:00:05"))), // NULL key
+      (3L, Option(10L), None: Option[Timestamp]) // NULL time
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (Option(10L), Option(ts("2024-01-01 10:00:00")), 1.0),
+      (None: Option[Long], Option(ts("2024-01-01 09:00:00")), 2.0), // NULL key: never matches
+      (Option(10L), None: Option[Timestamp], 3.0) // NULL time: never matches
+    ).toDF("rk", "rt", "v")
+    val out = TemporalOps.asOfJoinNative(left, "k", "t", right, "rk", "rt", Seq("v"))
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(out === Map(1L -> Some(1.0), 2L -> None, 3L -> None))
+  }
+
+  test("asOfJoinNative matches the composition row-for-row on real data (aj1 shape)") {
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables.events(spark, dir).select("event_id", "user_id", "ts")
+    val lastOrders = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate").as("last_order_date"))
+      .agg(max("o_orderkey").as("last_order_key"))
+    val cols = Seq("event_id", "user_id", "ts", "last_order_date", "last_order_key")
+    val native = TemporalOps.asOfJoinNative(events, "user_id", "ts",
+      lastOrders, "o_custkey", "last_order_date", Seq("last_order_date", "last_order_key"))
+      .select(cols.map(col): _*).collect().map(_.toString).sorted
+    val composed = TemporalOps.asOfJoin(events, "user_id", "ts",
+      lastOrders, "o_custkey", "last_order_date", Seq("last_order_date", "last_order_key"))
+      .select(cols.map(col): _*).collect().map(_.toString).sorted
+    assert(native.length === composed.length)
+    assert(native.sameElements(composed))
+  }
+
   test("rangeSelfJoin: strict lower bound, inclusive upper, cross-bucket pairs found") {
     val events = Seq(
       (1L, 7L, ts("2024-01-01 10:00:00")),
