@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Warehouse-layout helpers: partitioned and bucketed parquet tables.
   *
@@ -48,4 +49,55 @@ object Warehouse {
 
   def readTable(spark: SparkSession, tableName: String): DataFrame =
     spark.table(tableName)
+
+  /** Z-order (Morton) clustering value over numeric/timestamp columns:
+    * each column is min/max-scaled to a `bits`-wide integer (one cheap
+    * min/max aggregation pass supplies the ranges), then the bits are
+    * interleaved. Rows close in z-value are close in EVERY clustered
+    * dimension, so sorting files by z-value keeps per-file min/max ranges
+    * tight on all columns at once — the third layout lever after
+    * partitioning (one column, exact pruning) and bucketing (join
+    * co-location): multi-column data skipping from parquet min/max stats.
+    * NULLs in any clustered column yield a NULL z-value (sorted first).
+    */
+  def zOrderValue(df: DataFrame, cols: Seq[String], bits: Int = 16): Column = {
+    require(cols.nonEmpty && cols.size * bits <= 63,
+      s"need 1..${63 / math.max(1, bits)} columns at $bits bits")
+    val aggs = cols.map(c => min(col(c).cast("double")).as(s"__min_$c")) ++
+      cols.map(c => max(col(c).cast("double")).as(s"__max_$c"))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val maxVal = (1L << bits) - 1
+    val scaled = cols.zipWithIndex.map { case (c, j) =>
+      val lo = r.getDouble(j)
+      val hi = r.getDouble(cols.size + j)
+      val span = if (hi > lo) hi - lo else 1.0
+      least(greatest(
+        (((col(c).cast("double") - lit(lo)) / lit(span)) * maxVal).cast("long"),
+        lit(0L)), lit(maxVal))
+    }
+    val n = cols.size
+    val terms = for {
+      i <- 0 until bits
+      j <- 0 until n
+    } yield shiftleft(shiftright(scaled(j), i).bitwiseAND(lit(1L)), i * n + j)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Write parquet clustered by z-value: range-partition into `numFiles`
+    * z-ranges and sort within each, so every file covers a tight
+    * hyper-rectangle of the clustered columns. Readers need no special
+    * support — parquet min/max stats skip for them.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      zCols: Seq[String],
+      numFiles: Int,
+      bits: Int = 16
+  ): Unit =
+    df.withColumn("__z", zOrderValue(df, zCols, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
 }

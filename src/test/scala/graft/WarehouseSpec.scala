@@ -57,4 +57,56 @@ class WarehouseSpec extends SparkSpec {
       assert(joined.exceptAll(plain).isEmpty && plain.exceptAll(joined).isEmpty)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("zOrderValue interleaves bits exactly (Morton code)") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), (3L, 0L), (0L, 3L), (3L, 3L), (2L, 1L)).toDF("x", "y")
+    // min 0, max 3, bits 2 -> scaling is the identity on 0..3
+    val z = df.select(col("x"), col("y"),
+      Warehouse.zOrderValue(df, Seq("x", "y"), bits = 2).as("z"))
+      .as[(Long, Long, Long)].collect().map { case (x, y, zv) => (x, y) -> zv }.toMap
+    // bit i of x lands at position 2i, bit i of y at 2i+1
+    assert(z((0L, 0L)) === 0L)
+    assert(z((3L, 0L)) === 5L)  // 0b0101
+    assert(z((0L, 3L)) === 10L) // 0b1010
+    assert(z((3L, 3L)) === 15L) // 0b1111
+    assert(z((2L, 1L)) === 6L)  // x=0b10 -> 0b0100; y=0b01 -> 0b0010
+  }
+
+  test("z-ordered layout keeps per-file ranges tight on BOTH columns (data skipping)") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+    val nFiles = 16
+
+    def meanFileCoverage(path: String, probeCol: String): Double = {
+      val df = spark.read.parquet(path)
+      val ranges = df.groupBy(input_file_name().as("f"))
+        .agg(min(col(probeCol)).as("lo"), max(col(probeCol)).as("hi"))
+        .select("lo", "hi").collect().map(r => (r.getLong(0), r.getLong(1)))
+      // range-boundary sampling may merge a few of the requested splits
+      assert(ranges.length >= nFiles / 2, s"expected ≥${nFiles / 2} files, got ${ranges.length}")
+      // probe a spread of actual values: fraction of files whose [lo, hi]
+      // would have to be read for an equality predicate on that value
+      val probes = df.select(probeCol).distinct().orderBy(col(probeCol))
+        .collect().map(_.getLong(0)).grouped(30).map(_.head).toSeq
+      probes.map(v => ranges.count { case (lo, hi) => lo <= v && v <= hi }.toDouble / ranges.length)
+        .sum / probes.size
+    }
+
+    Warehouse.writeZOrdered(events, s"$tmp/events_z", Seq("user_id", "t"), nFiles)
+    // baseline: single-column sort — perfect on user_id, useless on t
+    events.repartitionByRange(nFiles, col("user_id")).sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(s"$tmp/events_lin")
+
+    val zUser = meanFileCoverage(s"$tmp/events_z", "user_id")
+    val zTime = meanFileCoverage(s"$tmp/events_z", "t")
+    val linTime = meanFileCoverage(s"$tmp/events_lin", "t")
+    // the linear layout spreads every time value across ~all files; the
+    // z-order trades a little user_id locality for skipping on BOTH
+    assert(linTime > 0.9, s"linear layout should cover ~all files per t probe, got $linTime")
+    assert(zTime < 0.6, s"z-order should skip time-probing files, got $zTime")
+    assert(zUser < 0.6, s"z-order should skip user-probing files, got $zUser")
+    // clustering must not lose rows
+    assert(spark.read.parquet(s"$tmp/events_z").count() === events.count())
+  }
 }
