@@ -255,6 +255,71 @@ object SparkEntry {
           element_at(col("q"), 2).as("p50_cents"),
           element_at(col("q"), 3).as("p75_cents"))),
 
+    "u1_union" -> ((s, dir) => {
+      // UNION (distinct) of two branch projections — union is the one set
+      // op set1/set2 didn't cover
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        .union(o.filter(col("o_orderstatus") === "P").select("o_custkey"))
+        .distinct()
+    }),
+
+    "x1_wordcount" -> ((s, dir) =>
+      // the canonical explode shape: flatten documents to tokens, count
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n_occurrences"))),
+
+    "dt1_date_parts" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        quarter(col("o_orderdate")).as("o_quarter"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        // cast back to timestamp: parquet DATE and DuckDB DATE reach the
+        // driver's pandas compare as different dtypes for equal values
+        date_add(col("o_orderdate").cast("date"), 30).cast("timestamp").as("plus30"),
+        last_day(col("o_orderdate").cast("date")).cast("timestamp").as("month_end"))),
+
+    "agg5_moments" -> ((s, dir) => {
+      // sample variance / stddev / correlation computed from EXACT integer
+      // sums (cents), with the final arithmetic done in double by the
+      // identical formula on both engines — reproducible where native
+      // stddev/corr (order-dependent fp accumulation) is not
+      val qc = round(col("l_quantity") * 100).cast("long")
+      val pc = round(col("l_extendedprice") * 100).cast("long")
+      val d = (c: Column) => c.cast("double")
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(qc).as("sq"), sum(qc * qc).as("sqq"),
+          sum(pc).as("sp"), sum(pc * pc).as("spp"),
+          sum(qc * pc).as("sqp"))
+        .select(
+          col("l_returnflag"), col("n"),
+          ((d(col("sqq")) - d(col("sq")) * d(col("sq")) / d(col("n"))) / (d(col("n")) - 1.0))
+            .as("var_qty_cents2"),
+          sqrt((d(col("sqq")) - d(col("sq")) * d(col("sq")) / d(col("n"))) / (d(col("n")) - 1.0))
+            .as("stddev_qty_cents"),
+          ((d(col("n")) * d(col("sqp")) - d(col("sq")) * d(col("sp"))) /
+            (sqrt(d(col("n")) * d(col("sqq")) - d(col("sq")) * d(col("sq"))) *
+              sqrt(d(col("n")) * d(col("spp")) - d(col("sp")) * d(col("sp")))))
+            .as("corr_qty_price"))
+    }),
+
+    "agg6_argmax_udaf" -> ((s, dir) => {
+      // typed Aggregator as an untyped UDAF: per detected language, the
+      // longest document (argmax tokens, min doc_id tie-break)
+      val longest = udaf(graft.functions.Aggregators.longestDoc)
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.languageId(col("text")).as("lang_guess"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .groupBy("lang_guess")
+        .agg(longest(col("doc_id"), col("n_tokens")).as("top"))
+        .select(col("lang_guess"), col("top._2").as("doc_id"), col("top._1").as("n_tokens"))
+    }),
+
     "v1_vector_norm" -> ((s, dir) => {
       // vector math over array<float>: L2 norm + normalized head element
       val vd = transform(col("embedding"), x => x.cast("double"))
@@ -364,6 +429,31 @@ object SparkEntry {
         q.awaitTermination()
       } finally s.conf.set("spark.sql.shuffle.partitions", batchPartitions)
       s.table("st1_hourly")
+    }),
+
+    "st2_stream_interval_join" -> ((s, dir) => {
+      // stream-stream interval self-join drained through a file-source
+      // stream — answers to the SAME oracle as the batch rj1 range join:
+      // inner-join matches emit as both sides arrive, so draining the
+      // whole file yields exactly the batch pair set
+      val staged = java.nio.file.Files.createTempDirectory("st2_events")
+      staged.toFile.deleteOnExit()
+      val copied = staged.resolve("part-0.parquet")
+      copied.toFile.deleteOnExit()
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), copied,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val batchPartitions = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        val stream = graft.streaming.EventStreams.eventParquetStream(s, staged.toString)
+        val joined = graft.streaming.EventStreams.intervalJoinStream(
+          stream, stream, "user_id", "ts", "event_id", withinSeconds = 300L)
+        val q = graft.streaming.EventStreams.runToMemory(joined, "st2_pairs", "append")
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", batchPartitions)
+      s.table("st2_pairs")
+        .select(col("user_id"), col("l_id").as("id_a"), col("r_id").as("id_b"),
+          col("l_ts").as("t_a"), col("r_ts").as("t_b"))
     }),
 
     // ---- text analysis ----
@@ -585,6 +675,70 @@ object SparkEntry {
         "quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS p50_cents, " +
         "quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75) AS p75_cents " +
         "FROM lineitem GROUP BY l_returnflag"),
+
+    "u1_union" ->
+      ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
+        "UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'"),
+
+    "x1_wordcount" ->
+      ("SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY token"),
+
+    "dt1_date_parts" ->
+      ("SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year, " +
+        "CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter, " +
+        "CAST(month(o_orderdate) AS INTEGER) AS o_month, " +
+        "CAST(day(o_orderdate) AS INTEGER) AS o_day, " +
+        "CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus30, " +
+        "CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end FROM orders"),
+
+    "agg5_moments" -> // identical double formula over exact integer sums
+      ("""WITH s AS (
+         |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(qc) AS BIGINT) AS sq, CAST(sum(qc * qc) AS BIGINT) AS sqq,
+         |    CAST(sum(pc) AS BIGINT) AS sp, CAST(sum(pc * pc) AS BIGINT) AS spp,
+         |    CAST(sum(qc * pc) AS BIGINT) AS sqp
+         |  FROM (SELECT l_returnflag,
+         |          CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+         |          CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+         |        FROM lineitem)
+         |  GROUP BY l_returnflag
+         |)
+         |SELECT l_returnflag, n,
+         |  (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS var_qty_cents2,
+         |  sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS stddev_qty_cents,
+         |  (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) /
+         |    (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) *
+         |     sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))) AS corr_qty_price
+         |FROM s""").stripMargin,
+
+    "agg6_argmax_udaf" -> // same langid/token features as txt3/txt1, argmax per language
+      ("""WITH feats AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    len(list_filter(string_split(text, ' '), x -> x IN ('the', 'and', 'of', 'to', 'a', 'in', 'is'))) AS en_h,
+         |    len(list_filter(string_split(text, ' '), x -> x IN ('der', 'die', 'und', 'das', 'ist', 'ein'))) AS de_h,
+         |    len(list_filter(string_split(text, ' '), x -> x IN ('el', 'la', 'de', 'que', 'y', 'es'))) AS es_h,
+         |    len(list_filter(string_split(text, ' '), x -> x IN ('le', 'la', 'et', 'les', 'des', 'est'))) AS fr_h
+         |  FROM documents
+         |), langed AS (
+         |  SELECT doc_id, n_tokens,
+         |    CASE WHEN greatest(en_h, de_h, es_h, fr_h) = 0 THEN 'und'
+         |         WHEN en_h = greatest(en_h, de_h, es_h, fr_h) THEN 'en'
+         |         WHEN de_h = greatest(en_h, de_h, es_h, fr_h) THEN 'de'
+         |         WHEN es_h = greatest(en_h, de_h, es_h, fr_h) THEN 'es'
+         |         ELSE 'fr' END AS lang_guess
+         |  FROM feats
+         |), ranked AS (
+         |  SELECT lang_guess, doc_id, n_tokens,
+         |    row_number() OVER (PARTITION BY lang_guess ORDER BY n_tokens DESC, doc_id ASC) AS rn
+         |  FROM langed
+         |)
+         |SELECT lang_guess, doc_id, n_tokens FROM ranked WHERE rn = 1""").stripMargin,
+
+    "st2_stream_interval_join" -> // the streaming self-join answers to rj1's oracle
+      ("SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b, a.ts AS t_a, b.ts AS t_b " +
+        "FROM events a JOIN events b ON a.user_id = b.user_id " +
+        "AND epoch_us(b.ts) > epoch_us(a.ts) AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000"),
 
     "v1_vector_norm" ->
       ("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
