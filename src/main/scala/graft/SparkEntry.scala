@@ -255,6 +255,18 @@ object SparkEntry {
           element_at(col("q"), 2).as("p50_cents"),
           element_at(col("q"), 3).as("p75_cents"))),
 
+    "sk1_salted_join" -> ((s, dir) => {
+      // two-sided salted join (hot-key mitigation) under the oracle: the
+      // plain inner-join SQL must hash-match, proving salting is a pure
+      // physical rewrite
+      val fact = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_linenumber"), col("l_extendedprice"))
+      val dim = t(s, dir, "orders").select(col("o_orderkey").as("okey"), col("o_custkey"))
+      graft.ops.SkewOps.saltedJoin(fact, dim, "okey", col("l_linenumber"), factor = 8)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("total_price"))
+    }),
+
     "u1_union" -> ((s, dir) => {
       // UNION (distinct) of two branch projections — union is the one set
       // op set1/set2 didn't cover
@@ -675,6 +687,11 @@ object SparkEntry {
         "quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS p50_cents, " +
         "quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75) AS p75_cents " +
         "FROM lineitem GROUP BY l_returnflag"),
+
+    "sk1_salted_join" -> // salting is invisible in the result
+      (s"SELECT o.o_custkey, CAST(count(*) AS BIGINT) AS n_items, " +
+        s"${dsumSql("l.l_extendedprice")} AS total_price " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY o.o_custkey"),
 
     "u1_union" ->
       ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +

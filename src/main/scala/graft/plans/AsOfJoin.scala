@@ -55,14 +55,35 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
-/** Idempotent runtime registration of the graft planner strategies (for
-  * sessions built without `spark.sql.extensions`) — the strategy twin of
-  * NativeExpressions.register. */
+/** Limit pushdown through [[AsOfJoin]]: the join emits exactly one output
+  * row per left row, so a LocalLimit above it can also truncate the left
+  * side below it — the same reasoning Spark's own LimitPushDown applies to
+  * the streamed side of a left-outer join. At scale this is the difference
+  * between shuffling the full left table and shuffling `limit` rows per
+  * scan partition.
+  */
+object AsOfJoinLimitPushdown extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{LocalLimit, Project}
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case lim @ LocalLimit(_, aj: AsOfJoin) if !aj.left.isInstanceOf[LocalLimit] =>
+      lim.copy(child = aj.copy(left = LocalLimit(lim.limitExpr, aj.left)))
+    case lim @ LocalLimit(_, p @ Project(_, aj: AsOfJoin)) if !aj.left.isInstanceOf[LocalLimit] =>
+      // projections are row-preserving, so the limit passes through them too
+      lim.copy(child = p.copy(child = aj.copy(left = LocalLimit(lim.limitExpr, aj.left))))
+  }
+}
+
+/** Idempotent runtime registration of the graft planner strategies and
+  * optimizer rules (for sessions built without `spark.sql.extensions`) —
+  * the plan-layer twin of NativeExpressions.register. */
 object GraftPlans {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+    val curOpt = spark.experimental.extraOptimizations
+    if (!curOpt.contains(AsOfJoinLimitPushdown))
+      spark.experimental.extraOptimizations = curOpt :+ AsOfJoinLimitPushdown
   }
 }
 

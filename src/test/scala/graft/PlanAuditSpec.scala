@@ -34,4 +34,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>"),
       s"scan not pruned:\n$plan")
   }
+
+  test("native as-of join plans one exchange per side and no union/window") {
+    val plan = SparkEntry.queries("aj2_asof_native")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin "), s"native as-of not planned:\n$plan")
+    // the composition's costs must be absent: no Union, no Window
+    assert(!plan.contains("Union") && !plan.contains("RunningWindowFunction") && !plan.contains("Window"),
+      s"composition artifacts in native plan:\n$plan")
+    // 3 = the right side's (custkey, orderdate) pre-aggregation shuffle +
+    // one key-clustering exchange per join side; the composition pays the
+    // same agg shuffle plus ONE union-wide exchange carrying both schemas
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 3,
+      s"expected agg + one exchange per side:\n$plan")
+  }
+
+  test("salted join spreads the fact side over (key, salt) exchanges") {
+    val plan = SparkEntry.queries("sk1_salted_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt column missing from plan:\n$plan")
+  }
 }

@@ -100,6 +100,31 @@ class TemporalOpsSpec extends SparkSpec {
     assert(native.sameElements(composed))
   }
 
+  test("asOfJoinNative: LocalLimit pushes through to the left side (custom optimizer rule)") {
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables.events(spark, dir).select("event_id", "user_id", "ts")
+    val lastOrders = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate").as("last_order_date"))
+      .agg(max("o_orderkey").as("last_order_key"))
+    val limited = TemporalOps.asOfJoinNative(events, "user_id", "ts",
+      lastOrders, "o_custkey", "last_order_date", Seq("last_order_date", "last_order_key"))
+      .limit(7)
+    val pushed = limited.queryExecution.optimizedPlan.collect {
+      case aj: graft.plans.AsOfJoin =>
+        aj.left.collectFirst { case l: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => l }
+    }
+    assert(pushed.nonEmpty && pushed.head.isDefined,
+      s"expected LocalLimit below AsOfJoin:\n${limited.queryExecution.optimizedPlan}")
+    // rows still carry correct as-of matches: every returned row must agree
+    // with the full (unlimited) join on its event_id
+    val full = TemporalOps.asOfJoinNative(events, "user_id", "ts",
+      lastOrders, "o_custkey", "last_order_date", Seq("last_order_date", "last_order_key"))
+      .collect().map(r => r.getLong(0) -> r.toString).toMap
+    val rows = limited.collect()
+    assert(rows.length === 7)
+    rows.foreach(r => assert(full(r.getLong(0)) === r.toString))
+  }
+
   test("rangeSelfJoin: strict lower bound, inclusive upper, cross-bucket pairs found") {
     val events = Seq(
       (1L, 7L, ts("2024-01-01 10:00:00")),
