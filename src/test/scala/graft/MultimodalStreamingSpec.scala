@@ -225,4 +225,40 @@ class MultimodalStreamingSpec extends SparkSpec {
       assert(sessions.contains((Timestamp.valueOf("2024-01-01 09:50:00"), 2L, 3.0)))
     } finally query.stop()
   }
+
+  test("sessionization state is evicted when the watermark passes (bounded under churn)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "user_id", "value")
+    val out = EventStreams.sessionizeStream(spark, df, gapMinutes = 30, watermarkDelay = "10 minutes")
+    val query = out.writeStream.format("memory").queryName("sessions_evict_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // 200 users open one session each
+      input.addData((1 to 200).map(i => (i.toLong, Timestamp.valueOf("2024-01-01 10:00:00"), i.toLong, 1.0)): _*)
+      query.processAllAvailable()
+      // advance the watermark far past every session's gap timeout, then
+      // one more batch so the timeouts fire
+      input.addData((900L, Timestamp.valueOf("2024-01-01 13:00:00"), 900L, 1.0))
+      query.processAllAvailable()
+      input.addData((901L, Timestamp.valueOf("2024-01-01 13:30:00"), 901L, 1.0))
+      query.processAllAvailable()
+      // every aged session was emitted...
+      val emitted = spark.table("sessions_evict_test")
+        .filter(col("session_start") === Timestamp.valueOf("2024-01-01 10:00:00")).count()
+      assert(emitted === 200L)
+      // ...and EVICTED: state holds only the still-open future sessions,
+      // not one row per user ever seen — the bounded-state contract that
+      // keeps a 100 TB/day stream viable
+      val stateRows = query.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 3, s"state not evicted: $stateRows rows retained")
+      // adversarial straggler far behind the watermark: silently dropped,
+      // no resurrected session
+      input.addData((999L, Timestamp.valueOf("2024-01-01 10:05:00"), 42L, 7.0))
+      query.processAllAvailable()
+      val resurrected = spark.table("sessions_evict_test")
+        .filter(col("total_value") === 7.0).count()
+      assert(resurrected === 0L)
+    } finally query.stop()
+  }
 }
