@@ -172,6 +172,19 @@ object SparkEntry {
         .filter(col("rnk") <= 3)
     }),
 
+    "w4_topk_agg" -> ((s, dir) => {
+      // SAME result as w1's window top-k, via the bounded-heap
+      // TypedImperativeAggregate: partial aggregation ships ≤k rows per
+      // (group, map task) into the shuffle instead of sorting every row
+      graft.functions.NativeExpressions.register(s)
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(expr("graft_topk(o_totalprice, o_orderkey, 3)").as("top"))
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(col("o_custkey"), col("col.payload").as("o_orderkey"),
+          col("col.value").as("o_totalprice"), (col("pos") + 1).cast("int").as("rnk"))
+    }),
+
     "w2_order_limit" -> ((s, dir) =>
       // global top-n: TakeOrderedAndProject, not a full sort — the limit
       // pushes into per-partition heaps; deterministic tie-break on key
@@ -636,6 +649,13 @@ object SparkEntry {
         "WHERE l_suppkey IS NOT NULL AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey < 5)"),
 
     "w1_window_topk" ->
+      ("""SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+         |  SELECT o_custkey, o_orderkey, o_totalprice,
+         |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rnk
+         |  FROM orders
+         |) WHERE rnk <= 3""").stripMargin,
+
+    "w4_topk_agg" -> // the heap aggregate answers to w1's window SQL
       ("""SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
          |  SELECT o_custkey, o_orderkey, o_totalprice,
          |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rnk

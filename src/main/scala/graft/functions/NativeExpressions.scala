@@ -203,6 +203,9 @@ object NativeExpressions {
       (args: Seq[Expression]) => SignBuckets(args.head,
         intArg(args(1), "dim"), intArg(args(2), "numPlanes"),
         intArg(args(3), "tables"), intArg(args(4), "seed").toLong)),
+    (FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKByValue].getName, "graft_topk"),
+      (args: Seq[Expression]) => TopKByValue(args(0), args(1), intArg(args(2), "k"))),
     (FunctionIdentifier("graft_nearest_cells"),
       new ExpressionInfo(classOf[NearestCells].getName, "graft_nearest_cells"),
       (args: Seq[Expression]) => {

@@ -71,6 +71,35 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(mismatches === 0L)
   }
 
+  test("graft_topk equals the window top-k row-for-row and aggregates partially") {
+    val dir = "/root/testdata/sf0.001"
+    val agg = SparkEntry.queries("w4_topk_agg")(spark, dir)
+    val win = SparkEntry.queries("w1_window_topk")(spark, dir)
+    val a = agg.collect().map(_.toString).sorted
+    val w = win.collect().map(_.toString).sorted
+    assert(a.length === w.length && a.sameElements(w))
+    // the scale property: ObjectHashAggregate partial+final (map-side
+    // combine ships ≤k rows/group), no Window sort of all rows
+    val plan = agg.queryExecution.executedPlan.toString
+    // ≥2: partial + final (AQE's plan string may repeat both sections)
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+    assert(!plan.contains("Window"), s"window sneaked in:\n$plan")
+  }
+
+  test("graft_topk heap semantics: k bound, tie-break, null skip") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10.0, 1L), (1L, 10.0, 2L), (1L, 30.0, 3L), (1L, 20.0, 4L), (1L, 5.0, 5L),
+      (2L, 1.0, 9L)
+    ).toDF("g", "v", "p")
+      .union(Seq((2L, Option.empty[Double], Option(8L))).toDF("g", "v", "p"))
+    val out = df.groupBy("g").agg(expr("graft_topk(v, p, 3)").as("top"))
+      .select(col("g"), col("top")).as[(Long, Seq[(Double, Long)])].collect().toMap
+    // best-first, value desc then payload asc; nulls contribute nothing
+    assert(out(1L) === Seq((30.0, 3L), (20.0, 4L), (10.0, 1L)))
+    assert(out(2L) === Seq((1.0, 9L)))
+  }
+
   test("native expressions handle edge cases: empty and too-short text") {
     val edge = Seq((1L, ""), (2L, "one"), (3L, "two words")).toDF("id", "text")
     val rows = edge.select(col("id"),
@@ -99,7 +128,7 @@ class NativeExpressionsSpec extends SparkSpec {
     new graft.functions.GraftExtensions().apply(ext) // must not throw; builder path
     assert(NativeExpressions.functions.map(_._1.funcName).toSet ===
       Set("graft_minhash", "graft_simhash64", "graft_cosine", "graft_signbuckets",
-        "graft_nearest_cells"))
+        "graft_nearest_cells", "graft_topk"))
   }
 
   test("approx_count_distinct stays within 5% of exact on real data (agg3 contract)") {
