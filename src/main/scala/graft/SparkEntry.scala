@@ -268,6 +268,22 @@ object SparkEntry {
           element_at(col("q"), 2).as("p50_cents"),
           element_at(col("q"), 3).as("p75_cents"))),
 
+    "src1_json_roundtrip" -> ((s, dir) => {
+      // JSON-lines source under the oracle: export a projection to JSON,
+      // read it back with an explicit schema (no runtime inference — the
+      // same discipline as the CSV seeds), aggregate. The oracle computes
+      // the identical aggregate from parquet, so the JSON reader path
+      // itself is what's being hash-checked.
+      val staged = java.nio.file.Files.createTempDirectory("src1_json")
+      staged.toFile.deleteOnExit()
+      val proj = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      proj.write.mode("overwrite").json(staged.toString)
+      s.read.schema(proj.schema).json(staged.toString)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+    }),
+
     "sk1_salted_join" -> ((s, dir) => {
       // two-sided salted join (hot-key mitigation) under the oracle: the
       // plain inner-join SQL must hash-match, proving salting is a pure
@@ -504,6 +520,18 @@ object SparkEntry {
         TextOps.rollingFingerprint(col("text")).as("rolling_hash"))),
 
     // ---- dedup ----
+    "pipe1_clean_corpus" -> ((s, dir) => {
+      // the composed training-data cleaning pipeline: quality features →
+      // language filter → threshold filter → exact dedup (keep min id) —
+      // the end-to-end shape the individual txt*/dd* operators exist for
+      val featured = TextOps.withQualityFeatures(t(s, dir, "documents"), "text")
+        .withColumn("lang_guess", TextOps.languageId(col("text")))
+      val kept = featured.filter(
+        col("lang_guess") === "en" && col("n_tokens") >= 20 && col("stopword_ratio") >= 0.05)
+      DedupOps.exactDedup(kept, "doc_id", Seq("text"))
+        .select(col("doc_id").as("keep_doc_id"), col("n_copies"))
+    }),
+
     "dd1_exact_dedup" -> ((s, dir) =>
       DedupOps.exactDedup(t(s, dir, "documents"), "doc_id", Seq("text"))
         .select(col("doc_id").as("keep_doc_id"), col("n_copies"))),
@@ -708,6 +736,10 @@ object SparkEntry {
         "quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75) AS p75_cents " +
         "FROM lineitem GROUP BY l_returnflag"),
 
+    "src1_json_roundtrip" -> // the oracle reads parquet; Spark reads its own JSON export
+      (s"SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders, " +
+        s"${dsumSql("o_totalprice")} AS total_price FROM orders GROUP BY o_orderstatus"),
+
     "sk1_salted_join" -> // salting is invisible in the result
       (s"SELECT o.o_custkey, CAST(count(*) AS BIGINT) AS n_items, " +
         s"${dsumSql("l.l_extendedprice")} AS total_price " +
@@ -898,6 +930,24 @@ object SparkEntry {
 
     "dd1_exact_dedup" ->
       "SELECT CAST(min(doc_id) AS BIGINT) AS keep_doc_id, CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY text",
+
+    "pipe1_clean_corpus" -> // txt2's features + txt3's langid + dd1's dedup, composed
+      ("""WITH hits AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    round(CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio,
+         |    len(list_filter(string_split(text, ' '), x -> x IN ('the', 'and', 'of', 'to', 'a', 'in', 'is'))) AS en_h,
+         |    len(list_filter(string_split(text, ' '), x -> x IN ('der', 'die', 'und', 'das', 'ist', 'ein'))) AS de_h,
+         |    len(list_filter(string_split(text, ' '), x -> x IN ('el', 'la', 'de', 'que', 'y', 'es'))) AS es_h,
+         |    len(list_filter(string_split(text, ' '), x -> x IN ('le', 'la', 'et', 'les', 'des', 'est'))) AS fr_h
+         |  FROM documents
+         |), kept AS (
+         |  SELECT doc_id, text FROM hits
+         |  WHERE greatest(en_h, de_h, es_h, fr_h) > 0 AND en_h = greatest(en_h, de_h, es_h, fr_h)
+         |    AND n_tokens >= 20 AND stopword_ratio >= 0.05
+         |)
+         |SELECT CAST(min(doc_id) AS BIGINT) AS keep_doc_id, CAST(count(*) AS BIGINT) AS n_copies
+         |FROM kept GROUP BY text""").stripMargin,
 
     "dd2_ngram_jaccard" ->
       ("""WITH toks AS (

@@ -125,6 +125,28 @@ class TemporalOpsSpec extends SparkSpec {
     rows.foreach(r => assert(full(r.getLong(0)) === r.toString))
   }
 
+  test("asOfJoinNative survives aggressive AQE partition coalescing (co-partitioning)") {
+    // force AQE to coalesce the post-shuffle partitions hard; if it ever
+    // coalesced the two sides differently, the exec's zipPartitions would
+    // throw — and results must stay identical to the composition
+    val prev = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256MB")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val events = Tables.events(spark, dir).select("event_id", "user_id", "ts")
+      val lastOrders = Tables.load(spark, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate").as("last_order_date"))
+        .agg(max("o_orderkey").as("last_order_key"))
+      val native = TemporalOps.asOfJoinNative(events, "user_id", "ts",
+        lastOrders, "o_custkey", "last_order_date", Seq("last_order_date", "last_order_key"))
+        .collect().map(_.toString).sorted
+      val composed = TemporalOps.asOfJoin(events, "user_id", "ts",
+        lastOrders, "o_custkey", "last_order_date", Seq("last_order_date", "last_order_key"))
+        .collect().map(_.toString).sorted
+      assert(native.sameElements(composed))
+    } finally spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prev)
+  }
+
   test("rangeSelfJoin: strict lower bound, inclusive upper, cross-bucket pairs found") {
     val events = Seq(
       (1L, 7L, ts("2024-01-01 10:00:00")),
