@@ -26,7 +26,7 @@ object Bench {
     // runs a comma-separated subset; SPARK_GRAFT_REPEAT re-runs each query
     // N times and keeps the fastest (isolates plan cost from JIT noise)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val repeat = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

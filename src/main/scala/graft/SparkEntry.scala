@@ -253,6 +253,13 @@ object SparkEntry {
         count(lit(1)).as("n_rows"),
         dsum(col("l_quantity")).as("sum_qty"))),
 
+    "agg7_cube" -> ((s, dir) =>
+      // full grouping-sets lattice (rollup's sibling): all four
+      // combinations of (returnflag, linestatus) subtotals
+      t(s, dir, "lineitem").cube("l_returnflag", "l_linestatus").agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_extendedprice")).as("sum_price"))),
+
     "agg4_percentiles" -> ((s, dir) =>
       // exact interpolated quartiles (Spark `percentile` ≡ quantile_cont),
       // computed on integer CENTS at dyadic fractions: every intermediate
@@ -819,6 +826,11 @@ object SparkEntry {
         s"${dsumSql("l_quantity")} AS sum_qty " +
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
 
+    "agg7_cube" ->
+      (s"SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows, " +
+        s"${dsumSql("l_extendedprice")} AS sum_price " +
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"),
+
     "e4_sliding_window" ->
       (s"""WITH expanded AS (
          |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - i * INTERVAL 30 MINUTE AS window_start,
@@ -989,15 +1001,20 @@ object SparkEntry {
     "mm2_decode_stub" ->
       // sniffFormat's jpeg/png arms check bytes (FFD8, 89504E47) that can't
       // begin valid UTF-8 text, so only the ASCII-prefix arms are
-      // reachable here; dims replicate the stub's documented formula
-      ("""SELECT doc_id AS item_id,
+      // reachable here; dims replicate the stub's formula BYTE-exactly
+      // (first/last raw byte via hex, not ascii() code points — those
+      // diverge on multi-byte characters)
+      ("""WITH b AS (
+         |  SELECT doc_id, text, octet_length(encode(text)) AS n, hex(encode(text)) AS h FROM documents
+         |)
+         |SELECT doc_id AS item_id,
          |  CASE WHEN starts_with(text, 'GIF8') THEN 'gif'
          |       WHEN starts_with(text, 'RIFF') THEN 'riff'
          |       WHEN starts_with(text, '%PDF') THEN 'pdf'
          |       ELSE 'unknown' END AS format,
-         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         |  CAST(16 + (octet_length(encode(text)) * 31 + coalesce(ascii(substr(text, 1, 1)), 0)) % 1024 AS INTEGER) AS width,
-         |  CAST(16 + (octet_length(encode(text)) * 17 + coalesce(ascii(right(text, 1)), 0)) % 1024 AS INTEGER) AS height
-         |FROM documents""").stripMargin
+         |  CAST(n AS BIGINT) AS n_bytes,
+         |  CAST(16 + (n * 31 + CASE WHEN n = 0 THEN 0 ELSE ('0x' || substring(h, 1, 2))::INTEGER END) % 1024 AS INTEGER) AS width,
+         |  CAST(16 + (n * 17 + CASE WHEN n = 0 THEN 0 ELSE ('0x' || substring(h, n * 2 - 1, 2))::INTEGER END) % 1024 AS INTEGER) AS height
+         |FROM b""").stripMargin
   )
 }

@@ -182,6 +182,14 @@ object NativeExpressions {
     case other => throw new IllegalArgumentException(s"$name must be an integer literal, got $other")
   }
 
+  // seeds are 64-bit: routing them through intArg would silently truncate
+  // and diverge from the HOF executable specs
+  private def longArg(e: Expression, name: String): Long = e.eval() match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case other => throw new IllegalArgumentException(s"$name must be an integer literal, got $other")
+  }
+
   /** (identifier, info, builder) triples in the shape SparkSessionExtensions
     * and FunctionRegistry both accept. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -190,7 +198,7 @@ object NativeExpressions {
       (args: Seq[Expression]) => MinHashSig(args.head,
         if (args.length > 1) intArg(args(1), "shingleSize") else 3,
         if (args.length > 2) intArg(args(2), "numHashes") else 64,
-        if (args.length > 3) intArg(args(3), "seed").toLong else 42L)),
+        if (args.length > 3) longArg(args(3), "seed") else 42L)),
     (FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (args: Seq[Expression]) => SimHash64(args.head,
@@ -202,7 +210,7 @@ object NativeExpressions {
       new ExpressionInfo(classOf[SignBuckets].getName, "graft_signbuckets"),
       (args: Seq[Expression]) => SignBuckets(args.head,
         intArg(args(1), "dim"), intArg(args(2), "numPlanes"),
-        intArg(args(3), "tables"), intArg(args(4), "seed").toLong)),
+        intArg(args(3), "tables"), longArg(args(4), "seed"))),
     (FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByValue].getName, "graft_topk"),
       (args: Seq[Expression]) => TopKByValue(args(0), args(1), intArg(args(2), "k"))),
@@ -213,7 +221,11 @@ object NativeExpressions {
         val nested = args(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         val rows = (0 until nested.numElements()).map(i =>
           nested.getArray(i).toDoubleArray())
-        val dim = if (rows.isEmpty) 0 else rows.head.length
+        require(rows.nonEmpty, "graft_nearest_cells requires at least one centroid")
+        val dim = rows.head.length
+        // a ragged centroid list would silently misindex the flattened buffer
+        require(rows.forall(_.length == dim),
+          s"graft_nearest_cells centroids must all have dimension $dim")
         NearestCells(args.head, rows.flatten.toArray, rows.length, dim, intArg(args(2), "nProbe"))
       })
   )

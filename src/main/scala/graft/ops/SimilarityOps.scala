@@ -89,15 +89,9 @@ object SimilarityOps {
   private[graft] def tableBuckets(vec: Column, dim: Int, numPlanes: Int, tables: Int, seed: Long): Column =
     array((0 until tables).map(t => signBucket(vec, hyperplanes(dim, numPlanes, seed + 1000L * t))): _*)
 
-  /** Repartition an under-split input up to default parallelism — small
-    * local files arrive as one partition, which would run the per-row
-    * bucket hashing (tables × planes × dim multiply-adds) on one core.
-    * No-op when the source already has enough splits.
-    */
-  private def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  /** Repartition an under-split input up to default parallelism (shared
+    * helper — see DedupOps.widen for the rationale). */
+  private def widen(df: DataFrame): DataFrame = DedupOps.widen(df)
 
   private def withTableBuckets(df: DataFrame, vecCol: String, dim: Int,
       numPlanes: Int, tables: Int, seed: Long): DataFrame = {

@@ -39,6 +39,13 @@ object TemporalOps {
     val leftCols = left.columns.toSeq
     require(rightCols.nonEmpty, "rightCols must be non-empty")
     require(!rightCols.exists(leftCols.contains), "rightCols must not collide with left columns")
+    // the exec compares keys with one interpreted ordering and hash-
+    // partitions each side independently — mismatched key types would
+    // ClassCastException at runtime (and mis-partition before that)
+    val lKeyType = left.schema(leftKey).dataType
+    val rKeyType = right.schema(rightKey).dataType
+    require(lKeyType == rKeyType,
+      s"asOfJoinNative key types must match: $leftKey is $lKeyType, $rightKey is $rKeyType — cast first")
     val spark = left.sparkSession
     graft.plans.GraftPlans.register(spark)
     // align time types (the composition casts both sides to timestamp) and

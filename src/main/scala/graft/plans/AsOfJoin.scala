@@ -40,6 +40,11 @@ final case class AsOfJoin(
     payload: Seq[Attribute])
     extends BinaryNode {
 
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of key types must match: ${leftKey.dataType} vs ${rightKey.dataType}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of time types must match: ${leftTime.dataType} vs ${rightTime.dataType}")
+
   override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
 
   override protected def withNewChildrenInternal(newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =

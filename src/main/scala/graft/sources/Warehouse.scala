@@ -68,8 +68,10 @@ object Warehouse {
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     val maxVal = (1L << bits) - 1
     val scaled = cols.zipWithIndex.map { case (c, j) =>
-      val lo = r.getDouble(j)
-      val hi = r.getDouble(cols.size + j)
+      // NULL min/max (empty or all-NULL input): any range works — every
+      // surviving row's z-value is NULL-guarded below anyway
+      val lo = if (r.isNullAt(j)) 0.0 else r.getDouble(j)
+      val hi = if (r.isNullAt(cols.size + j)) 1.0 else r.getDouble(cols.size + j)
       val span = if (hi > lo) hi - lo else 1.0
       least(greatest(
         (((col(c).cast("double") - lit(lo)) / lit(span)) * maxVal).cast("long"),
@@ -80,7 +82,10 @@ object Warehouse {
       i <- 0 until bits
       j <- 0 until n
     } yield shiftleft(shiftright(scaled(j), i).bitwiseAND(lit(1L)), i * n + j)
-    terms.reduce(_ bitwiseOR _)
+    // explicit NULL guard: greatest/least SKIP nulls, which would
+    // otherwise cluster NULL rows silently into the min corner
+    when(cols.map(col(_).isNotNull).reduce(_ && _), terms.reduce(_ bitwiseOR _))
+      .otherwise(lit(null))
   }
 
   /** Write parquet clustered by z-value: range-partition into `numFiles`

@@ -73,6 +73,15 @@ class WarehouseSpec extends SparkSpec {
     assert(z((2L, 1L)) === 6L)  // x=0b10 -> 0b0100; y=0b01 -> 0b0010
   }
 
+  test("zOrderValue: NULL in any clustered column yields a NULL z-value") {
+    import spark.implicits._
+    val df = Seq((Option(1L), Option(2L)), (None, Option(2L)), (Option(1L), None))
+      .toDF("x", "y")
+    val zs = df.select(Warehouse.zOrderValue(df, Seq("x", "y"), bits = 2).as("z"))
+      .as[Option[Long]].collect()
+    assert(zs.count(_.isEmpty) === 2 && zs.count(_.isDefined) === 1)
+  }
+
   test("z-ordered layout keeps per-file ranges tight on BOTH columns (data skipping)") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
