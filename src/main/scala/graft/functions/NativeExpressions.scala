@@ -250,5 +250,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     NativeExpressions.functions.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinLimitPushdown)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinFilterPushdown)
   }
 }

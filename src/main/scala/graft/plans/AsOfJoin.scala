@@ -78,6 +78,32 @@ object AsOfJoinLimitPushdown extends org.apache.spark.sql.catalyst.rules.Rule[Lo
   }
 }
 
+/** Predicate pushdown through [[AsOfJoin]]: conjuncts that reference only
+  * left-side columns commute with the join (one output row per left row,
+  * left columns unchanged), so they run before the join's shuffle+sort
+  * instead of after — at scale, the standard way a time-range or key
+  * filter avoids shuffling the rows it would discard. Conjuncts touching
+  * the attached payload stay above (they depend on the match).
+  */
+object AsOfJoinFilterPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsOfJoin) =>
+      val (pushable, kept) =
+        splitConjunctivePredicates(cond).partition(p =>
+          p.deterministic && p.references.subsetOf(aj.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = aj.copy(left = Filter(pushable.reduce(
+          org.apache.spark.sql.catalyst.expressions.And), aj.left))
+        kept.reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+          .map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** Idempotent runtime registration of the graft planner strategies and
   * optimizer rules (for sessions built without `spark.sql.extensions`) —
   * the plan-layer twin of NativeExpressions.register. */
@@ -86,9 +112,10 @@ object GraftPlans {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
-    val curOpt = spark.experimental.extraOptimizations
-    if (!curOpt.contains(AsOfJoinLimitPushdown))
-      spark.experimental.extraOptimizations = curOpt :+ AsOfJoinLimitPushdown
+    val newRules = Seq(AsOfJoinLimitPushdown, AsOfJoinFilterPushdown)
+      .filterNot(spark.experimental.extraOptimizations.contains)
+    if (newRules.nonEmpty)
+      spark.experimental.extraOptimizations = spark.experimental.extraOptimizations ++ newRules
   }
 }
 

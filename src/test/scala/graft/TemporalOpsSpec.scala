@@ -125,6 +125,37 @@ class TemporalOpsSpec extends SparkSpec {
     rows.foreach(r => assert(full(r.getLong(0)) === r.toString))
   }
 
+  test("asOfJoinNative: left-only filters push below the join; payload filters stay above") {
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables.events(spark, dir).select("event_id", "user_id", "ts")
+    val lastOrders = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate").as("last_order_date"))
+      .agg(max("o_orderkey").as("last_order_key"))
+    def join() = TemporalOps.asOfJoinNative(events, "user_id", "ts",
+      lastOrders, "o_custkey", "last_order_date", Seq("last_order_date", "last_order_key"))
+
+    // left-only predicate lands below the AsOfJoin node
+    val leftFiltered = join().filter(col("user_id") < 100)
+    val pushedDown = leftFiltered.queryExecution.optimizedPlan.collect {
+      case aj: graft.plans.AsOfJoin =>
+        aj.left.collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f }
+    }
+    assert(pushedDown.nonEmpty && pushedDown.head.isDefined,
+      s"left filter not pushed:\n${leftFiltered.queryExecution.optimizedPlan}")
+    // and results match filtering after the fact
+    val expected = join().collect().filter(_.getLong(1) < 100).map(_.toString).sorted
+    assert(leftFiltered.collect().map(_.toString).sorted.sameElements(expected))
+
+    // payload predicate must NOT push (it depends on the match)
+    val payloadFiltered = join().filter(col("last_order_key") > 0)
+    val wronglyPushed = payloadFiltered.queryExecution.optimizedPlan.collect {
+      case aj: graft.plans.AsOfJoin =>
+        aj.left.collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f }
+    }
+    assert(wronglyPushed.forall(_.isEmpty),
+      s"payload filter wrongly pushed:\n${payloadFiltered.queryExecution.optimizedPlan}")
+  }
+
   test("asOfJoinNative survives aggressive AQE partition coalescing (co-partitioning)") {
     // force AQE to coalesce the post-shuffle partitions hard; if it ever
     // coalesced the two sides differently, the exec's zipPartitions would
