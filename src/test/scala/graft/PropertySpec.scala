@@ -82,6 +82,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: graft_topk equals sort-take on random data, any k") {
+    graft.functions.NativeExpressions.register(spark)
+    trials(5) { rnd =>
+      val k = 1 + rnd.nextInt(4)
+      val rows = Seq.fill(300)((rnd.nextInt(8).toLong,
+        rnd.nextInt(20).toDouble, // coarse values force ties
+        rnd.nextInt(1000).toLong))
+      val df = rows.toDF("g", "v", "p")
+      val got = df.groupBy("g").agg(expr(s"graft_topk(v, p, $k)").as("top"))
+        .as[(Long, Seq[(Double, Long)])].collect().toMap
+      // reference: sort by (value desc, payload asc), take k
+      val ref = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => (r._2, r._3)).sortBy { case (v, p) => (-v, p) }.take(k)
+      }
+      got.foreach { case (g, top) => assert(top === ref(g), s"group $g k=$k") }
+      assert(got.keySet === ref.keySet)
+    }
+  }
+
+  test("property: asOfJoinNative equals the composition on random skewed data") {
+    trials(3) { rnd =>
+      val left = Seq.fill(200)((rnd.nextInt(500).toLong,
+        rnd.nextInt(6).toLong, // few keys: many per-key rows
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L)))
+        .toDF("id", "k", "t")
+      val right = Seq.fill(80)((rnd.nextInt(8).toLong,
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L),
+        rnd.nextInt(1000).toDouble))
+        .toDF("rk", "rt", "v")
+      val native = graft.ops.TemporalOps.asOfJoinNative(left, "k", "t", right, "rk", "rt", Seq("v"))
+        .collect().map(_.toString).sorted
+      val composed = graft.ops.TemporalOps.asOfJoin(left, "k", "t", right, "rk", "rt", Seq("v"))
+        .collect().map(_.toString).sorted
+      assert(native.sameElements(composed))
+    }
+  }
+
   test("FAILFAST seed loading rejects malformed rows instead of nulling them") {
     val dir = java.nio.file.Files.createTempDirectory("badseed")
     java.nio.file.Files.writeString(dir.resolve("raw_customers.csv"),
