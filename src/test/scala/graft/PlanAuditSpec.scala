@@ -49,6 +49,22 @@ class PlanAuditSpec extends SparkSpec {
       s"expected agg + one exchange per side:\n$plan")
   }
 
+  test("small dimension sides broadcast in the customer-360 joins") {
+    val plan = SparkEntry.queries("j2_customer360")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // at sf0.001 the per-customer aggregates are tiny — Catalyst/AQE must
+    // pick broadcast joins, not shuffle both sides
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join chosen:\n$plan")
+  }
+
+  test("narrow scalar queries stay inside one WholeStageCodegen span with no exchange") {
+    val plan = SparkEntry.queries("p3_scalar_arithmetic")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // "*(1)" prefixes mark the whole-stage-codegen span in simple mode
+    assert(plan.contains("*(1) Project"), s"projection not codegen'd:\n$plan")
+    assert(!plan.contains("Exchange"), s"scalar projection should not shuffle:\n$plan")
+  }
+
   test("salted join spreads the fact side over (key, salt) exchanges") {
     val plan = SparkEntry.queries("sk1_salted_join")(spark, dir)
       .queryExecution.executedPlan.toString
