@@ -291,6 +291,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
     }),
 
+    "src2_csv_roundtrip" -> ((s, dir) => {
+      // CSV source under the oracle (the jaffle seed path, on driver
+      // data): export, read back with the pinned schema, aggregate
+      val staged = java.nio.file.Files.createTempDirectory("src2_csv")
+      staged.toFile.deleteOnExit()
+      val proj = t(s, dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+      proj.write.mode("overwrite").option("header", "true").csv(staged.toString)
+      s.read.schema(proj.schema).option("header", "true").csv(staged.toString)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_balance"))
+    }),
+
+    "src3_partitioned_roundtrip" -> ((s, dir) => {
+      // partitioned-layout round-trip under the oracle: write orders
+      // partitioned by status, read back with a partition predicate —
+      // the scan prunes directories (spec-asserted in WarehouseSpec);
+      // the oracle applies the same predicate to the flat parquet
+      val staged = java.nio.file.Files.createTempDirectory("src3_part")
+      staged.toFile.deleteOnExit()
+      graft.sources.Warehouse.writePartitioned(
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
+        staged.toString, Seq("o_orderstatus"))
+      graft.sources.Warehouse.readPartitioned(s, staged.toString)
+        .filter(col("o_orderstatus") === "F")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+    }),
+
     "sk1_salted_join" -> ((s, dir) => {
       // two-sided salted join (hot-key mitigation) under the oracle: the
       // plain inner-join SQL must hash-match, proving salting is a pure
@@ -746,6 +774,15 @@ object SparkEntry {
     "src1_json_roundtrip" -> // the oracle reads parquet; Spark reads its own JSON export
       (s"SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders, " +
         s"${dsumSql("o_totalprice")} AS total_price FROM orders GROUP BY o_orderstatus"),
+
+    "src2_csv_roundtrip" ->
+      (s"SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers, " +
+        s"${dsumSql("c_acctbal")} AS total_balance FROM customer GROUP BY c_mktsegment"),
+
+    "src3_partitioned_roundtrip" ->
+      (s"SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, " +
+        s"${dsumSql("o_totalprice")} AS total_price FROM orders " +
+        "WHERE o_orderstatus = 'F' GROUP BY o_custkey"),
 
     "sk1_salted_join" -> // salting is invisible in the result
       (s"SELECT o.o_custkey, CAST(count(*) AS BIGINT) AS n_items, " +
