@@ -172,6 +172,20 @@ object SparkEntry {
         .filter(col("rnk") <= 3)
     }),
 
+    "w5_range_frame" -> ((s, dir) => {
+      // value-based RANGE frame (vs w3's row-based): per customer, spend
+      // in the trailing 30 days of each order — the frame is defined by
+      // the ORDER BY value, so peers/gaps behave differently from ROWS
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(unix_timestamp(col("o_orderdate")))
+        .rangeBetween(-30L * 86400L, 0L)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .over(w).cast("double").as("trailing_30d_spend"),
+        count(lit(1)).over(w).as("trailing_30d_orders"))
+    }),
+
     "w4_topk_agg" -> ((s, dir) => {
       // SAME result as w1's window top-k, via the bounded-heap
       // TypedImperativeAggregate: partial aggregation ships ≤k rows per
@@ -717,6 +731,15 @@ object SparkEntry {
          |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rnk
          |  FROM orders
          |) WHERE rnk <= 3""").stripMargin,
+
+    "w5_range_frame" -> // decimal-accumulated: the frame SUM is value-defined,
+      // but summation order inside a frame still differs across engines
+      ("""SELECT o_custkey, o_orderkey,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS trailing_30d_spend,
+         |  CAST(count(*) OVER w AS BIGINT) AS trailing_30d_orders
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""").stripMargin,
 
     "w4_topk_agg" -> // the heap aggregate answers to w1's window SQL
       ("""SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
