@@ -41,11 +41,13 @@ object Bench {
       }
       (name, runs.map(_._1).min, runs.forall(_._2))
     }
-    // failed queries carry NEGATIVE seconds (sentinel) and a failed list —
-    // a broken query must never read as a fast one
+    // failed queries carry NEGATIVE seconds (sentinel) and a failed list,
+    // and a run with ANY failure negates the headline total too — a query
+    // that fails fast must never read as a faster run
     val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -v) }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val elapsed = results.map(_._2).sum
+    val total = if (results.forall(_._3)) elapsed else -elapsed
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -380,12 +380,17 @@ object SparkEntry {
       val qc = round(col("l_quantity") * 100).cast("long")
       val pc = round(col("l_extendedprice") * 100).cast("long")
       val d = (c: Column) => c.cast("double")
+      // accumulate in DECIMAL(38,0): sum(pc*pc) reaches 7.4e18 per group
+      // at sf0.1 — 80% of Long range — and would wrap silently at barely
+      // larger scale (DuckDB's bigint sums widen to HUGEINT natively);
+      // per-row products still fit a long comfortably
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       t(s, dir, "lineitem").groupBy("l_returnflag")
         .agg(
           count(lit(1)).as("n"),
-          sum(qc).as("sq"), sum(qc * qc).as("sqq"),
-          sum(pc).as("sp"), sum(pc * pc).as("spp"),
-          sum(qc * pc).as("sqp"))
+          sum(qc.cast(dec)).as("sq"), sum((qc * qc).cast(dec)).as("sqq"),
+          sum(pc.cast(dec)).as("sp"), sum((pc * pc).cast(dec)).as("spp"),
+          sum((qc * pc).cast(dec)).as("sqp"))
         .select(
           col("l_returnflag"), col("n"),
           ((d(col("sqq")) - d(col("sq")) * d(col("sq")) / d(col("n"))) / (d(col("n")) - 1.0))
@@ -831,9 +836,9 @@ object SparkEntry {
     "agg5_moments" -> // identical double formula over exact integer sums
       ("""WITH s AS (
          |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(qc) AS BIGINT) AS sq, CAST(sum(qc * qc) AS BIGINT) AS sqq,
-         |    CAST(sum(pc) AS BIGINT) AS sp, CAST(sum(pc * pc) AS BIGINT) AS spp,
-         |    CAST(sum(qc * pc) AS BIGINT) AS sqp
+         |    sum(qc) AS sq, sum(qc * qc) AS sqq,
+         |    sum(pc) AS sp, sum(pc * pc) AS spp,
+         |    sum(qc * pc) AS sqp
          |  FROM (SELECT l_returnflag,
          |          CAST(round(l_quantity * 100) AS BIGINT) AS qc,
          |          CAST(round(l_extendedprice * 100) AS BIGINT) AS pc

@@ -217,13 +217,14 @@ object HashKernels {
     val taken = new Array[Boolean](nLists)
     var i = 0
     while (i < k) {
+      // Double.compare orders NaN greater than every number — the same
+      // total order array_sort uses in the HOF spec, so a NaN distance
+      // (NaN query component) ranks last instead of crashing selection
       var best = -1
-      var bestDist = Double.MaxValue
       c = 0
       while (c < nLists) {
-        if (!taken(c) && (dists(c) < bestDist || (dists(c) == bestDist && (best == -1 || c < best)))) {
-          best = c
-          bestDist = dists(c)
+        if (!taken(c) && (best == -1 || java.lang.Double.compare(dists(c), dists(best)) < 0)) {
+          best = c // ascending scan: ties keep the lower cell id
         }
         c += 1
       }

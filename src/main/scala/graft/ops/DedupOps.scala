@@ -23,16 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** Repartition an under-split input up to the session's default
+  /** Repartition a SEVERELY under-split input up to the session's default
     * parallelism. Small local files arrive as one partition, which would
     * run every narrow per-document computation (shingling, signatures) on
-    * a single core; at production scale inputs have ≥cores splits and this
-    * is a no-op. The shuffle moves only the raw input rows — always
-    * cheaper than serializing the downstream compute.
+    * a single core. The 4× threshold keeps this a no-op for merely
+    * sub-optimal splits (e.g. 16 partitions on 32 cores), where the
+    * repartition exchange would cost more than the idle cores — only
+    * inputs with < cores/4 splits are worth shuffling to spread.
     */
   private[ops] def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (df.rdd.getNumPartitions * 4 <= target) df.repartition(target) else df
   }
 
   /** Exact dedup on arbitrary key columns: keeps the row with the minimum
@@ -108,6 +109,9 @@ object DedupOps {
           transform(slice(col("ds"), i + lit(2), size(col("ds")) - i - 1),
             y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
+      // strict: duplicate doc_id input rows would otherwise emit (d, d)
+      // self-pairs (the sorted slice only guarantees j > i positionally)
+      .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared_shingles"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))

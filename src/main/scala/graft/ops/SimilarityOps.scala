@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * Two paths, per the standard ANN playbook:
   *  - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small) query
   *    set against the corpus; one narrow pass over the corpus, a partial
-  *    top-k per partition via window ranking. The corpus is never
-  *    shuffled by vector — only (q, k) result rows move. This is the
+  *    top-k per partition via window ranking. The corpus is not shuffled
+  *    by vector (only severely under-split local inputs are widened once;
+  *    see DedupOps.widen) — only (q, k) result rows move. This is the
   *    correctness baseline and is itself 100 TB-viable when |queries| is
   *    modest (the scan is embarrassingly parallel).
   *  - [[lshTopK]] — random-hyperplane (sign) LSH bucketing: corpus and

@@ -46,6 +46,11 @@ object TemporalOps {
     val rKeyType = right.schema(rightKey).dataType
     require(lKeyType == rKeyType,
       s"asOfJoinNative key types must match: $leftKey is $lKeyType, $rightKey is $rKeyType — cast first")
+    // attributes are resolved by name below: ambiguous names would bind
+    // silently to the first occurrence instead of erroring like col()
+    require(leftCols.count(_ == leftKey) == 1 && leftCols.count(_ == leftTime) == 1,
+      s"left columns must contain exactly one $leftKey and one $leftTime")
+    require(!leftCols.contains("__asof_t"), "left must not contain the reserved column __asof_t")
     val spark = left.sparkSession
     graft.plans.GraftPlans.register(spark)
     // align time types (the composition casts both sides to timestamp) and
