@@ -594,6 +594,15 @@ object SparkEntry {
       DedupOps.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, minShared = 2L, minJaccard = 0.1)),
 
+    "dd3_neardup_survivors" -> ((s, dir) => {
+      // the terminal dedup deliverable: the KEPT document set after
+      // dropping greater-id members of each near-dup pair
+      val docs = t(s, dir, "documents")
+      DedupOps.nearDupSurvivors(docs, "doc_id",
+          DedupOps.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minShared = 2L, minJaccard = 0.1))
+        .select(col("doc_id"))
+    }),
+
     "mh1_minhash_neardup" -> ((s, dir) => // no oracle: seed-dependent; spec-pinned
       DedupOps.minHashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
         numHashes = 64, bands = 16, minEstJaccard = 0.4)),
@@ -1044,6 +1053,26 @@ object SparkEntry {
          |       round(pr.shared / (sa.n + sb.n - pr.shared), 4) AS jaccard
          |FROM pr JOIN sz sa ON pr.doc_a = sa.doc_id JOIN sz sb ON pr.doc_b = sb.doc_id
          |WHERE pr.shared >= 2 AND round(pr.shared / (sa.n + sb.n - pr.shared), 4) >= 0.1""").stripMargin,
+
+    "dd3_neardup_survivors" -> // dd2's pair SQL as a CTE, then the anti join
+      ("""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |), idx AS (
+         |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM idx
+         |), sz AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), pairs AS (
+         |  SELECT doc_a, doc_b FROM pr
+         |  JOIN sz sa ON pr.doc_a = sa.doc_id JOIN sz sb ON pr.doc_b = sb.doc_id
+         |  WHERE pr.shared >= 2 AND round(pr.shared / (sa.n + sb.n - pr.shared), 4) >= 0.1
+         |)
+         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_b FROM pairs)""").stripMargin,
 
     "ann1_bruteforce_topk" ->
       ("""WITH q AS (

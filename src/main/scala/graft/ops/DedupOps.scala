@@ -123,6 +123,18 @@ object DedupOps {
       .select("doc_a", "doc_b", "shared_shingles", "jaccard")
   }
 
+  /** Greedy near-duplicate retention — the terminal step of every near-dup
+    * pipeline: given candidate pairs with `doc_a < doc_b`, drop every
+    * document that appears as the larger side of a pair. For a clique of
+    * mutual duplicates this keeps exactly the minimum id; for a chain
+    * a–b, b–c without a–c it drops b AND c (greedy over-drop relative to
+    * full connected-components clustering — the standard one-pass
+    * trade-off, since transitive closure needs iterative joins).
+    * Shape: one anti join against the distinct doc_b set.
+    */
+  def nearDupSurvivors(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    docs.join(pairs.select(col("doc_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
   /** Deterministic MinHash parameters: k affine hashes
     * h_i(x) = (a_i·x + b_i) mod p over 31-bit-reduced xxhash64 shingle
     * hashes, p = 2^31-1 (Mersenne). With a, b, x all < 2^31 every product

@@ -86,4 +86,13 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs.contains((0L, 4L)))
     assert(!pairs.contains((2L, 3L)))
   }
+
+  test("nearDupSurvivors: clique keeps min id; chain over-drops greedily; singletons kept") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    // clique {1,2,3}; chain 4-5 (only); 9 unpaired
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val kept = DedupOps.nearDupSurvivors(docs, "doc_id", pairs)
+      .as[Long].collect().toSet
+    assert(kept === Set(1L, 4L, 9L))
+  }
 }
