@@ -9,28 +9,30 @@ import graft.ops.{DedupOps, EventOps, SimilarityOps, TextOps}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Query keys map 1:1 onto SURVEY.md §2's operator inventory (prefix =
-  * operator id) plus the §7.4 extension surface:
+  * operator id) plus the §7.4 extension surface; the complete
+  * key→implementation→spec map is SURVEY §8. Families:
   *
-  *  - p1/p3: projections & scalar arithmetic (SURVEY §2.2)
-  *  - j1/j2/mart: left joins + agg shapes of customers/orders marts (§2.3)
-  *  - a4/a6: hash aggregation & static pivot-sum (§2.4)
-  *  - q1-q4: the four dbt test operators (§2.6)
-  *  - f1/w1/set/sj/d1/agg1: filters, window top-k, set ops, semi join,
-  *    distinct — extension mandate (§2.7)
-  *  - e1/e2: event-time tumbling window + sessionization
-  *  - txt1-4: token counting, quality scoring, language-ID, fingerprinting
-  *  - dd1/dd2/mh1/sh1: dedup — exact, n-gram jaccard, MinHash+LSH, SimHash
-  *  - ann1/ann2/cn1: embedding similarity — brute-force cosine top-k,
-  *    sign-LSH top-k, cosine near-dup pairs
-  *  - mm1: multimodal binary-column metadata plumbing
+  *  - p/f/j/a/mart/q: the reference-parity surface (§2.2-2.6)
+  *  - w1-w5/set/sj/d1/u1/x1/dt1/agg1-7: windows (row+range frames, heap
+  *    top-k UDAF), set ops, distinct, explode, dates, agg breadth (rollup,
+  *    cube, percentiles, exact moments, argmax UDAF)
+  *  - e1-e4/st1-st2: event-time ops batch + Structured Streaming drains
+  *  - aj1/aj2/rj1/sk1: temporal joins (composition AND the custom
+  *    AsOfJoinExec physical operator), range join, salted skew join
+  *  - txt1-7/dd1-3/pipe1: text analysis, dedup (exact, jaccard pairs,
+  *    survivors), the composed cleaning pipeline
+  *  - mh1/sh1/ann1-3/cn1/v1: MinHash/SimHash near-dup, ANN (brute force,
+  *    LSH, IVF), cosine near-dup, vector math
+  *  - mm1/mm2, src1-3: multimodal binary plumbing; JSON/CSV/partitioned
+  *    source round-trips
   *
-  * Oracle notes (SURVEY §7.5): every floating-point *aggregate* is rounded
-  * on both sides (sum order differs between engines); per-row arithmetic is
-  * left raw (bit-deterministic); counts are cast to BIGINT on both sides;
-  * window ranks carry explicit deterministic tie-breaks. Queries whose
-  * semantics are hash/seed-dependent (mh1, sh1, ann2, cn1) have no oracle
-  * SQL — the driver records rows-only checks; their correctness is pinned
-  * by ScalaTest specs against exact ground truth instead.
+  * Oracle notes (SURVEY §7.5 + NEXT.md §6): money/quantity sums accumulate
+  * in DECIMAL (ExactSums); moments use exact integer sums with textually
+  * identical double formulas; counts cast to BIGINT both sides; window
+  * ranks carry total-order tie-breaks; DATEs cast to TIMESTAMP. Queries
+  * whose semantics are hash/seed-dependent (mh1, sh1, ann2, ann3, cn1,
+  * agg3) have no oracle SQL — the driver records rows-only checks; their
+  * correctness is pinned by ScalaTest specs against exact ground truth.
   */
 object SparkEntry {
 
