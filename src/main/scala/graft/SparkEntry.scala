@@ -19,8 +19,9 @@ import graft.ops.{DedupOps, EventOps, SimilarityOps, TextOps}
   *  - e1-e4/st1-st2: event-time ops batch + Structured Streaming drains
   *  - aj1/aj2/rj1/sk1: temporal joins (composition AND the custom
   *    AsOfJoinExec physical operator), range join, salted skew join
-  *  - txt1-7/dd1-3/pipe1: text analysis, dedup (exact, jaccard pairs,
-  *    survivors), the composed cleaning pipeline
+  *  - txt1-7/dd1-4/pipe1: text analysis, dedup (exact, jaccard pairs,
+  *    greedy survivors, connected-components survivors), the composed
+  *    cleaning pipeline
   *  - mh1/sh1/ann1-3/cn1/v1: MinHash/SimHash near-dup, ANN (brute force,
   *    LSH, IVF), cosine near-dup, vector math
   *  - mm1/mm2, src1-3: multimodal binary plumbing; JSON/CSV/partitioned
@@ -30,9 +31,10 @@ import graft.ops.{DedupOps, EventOps, SimilarityOps, TextOps}
   * in DECIMAL (ExactSums); moments use exact integer sums with textually
   * identical double formulas; counts cast to BIGINT both sides; window
   * ranks carry total-order tie-breaks; DATEs cast to TIMESTAMP. Queries
-  * whose semantics are hash/seed-dependent (mh1, sh1, ann2, ann3, cn1,
-  * agg3) have no oracle SQL — the driver records rows-only checks; their
-  * correctness is pinned by ScalaTest specs against exact ground truth.
+  * whose semantics are hash/seed/sketch-dependent (mh1, sh1, ann2, ann3,
+  * cn1, agg3, agg8) have no oracle SQL — the driver records rows-only
+  * checks; their correctness is pinned by ScalaTest specs against exact
+  * ground truth (or, for the sketches, error bounds vs the exact value).
   */
 object SparkEntry {
 
@@ -291,6 +293,26 @@ object SparkEntry {
           element_at(col("q"), 2).as("p50_cents"),
           element_at(col("q"), 3).as("p75_cents"))),
 
+    "agg8_approx_percentiles" -> ((s, dir) => // no oracle: the GK sketch is
+      // engine-specific; spec pins relative error vs the exact quartiles.
+      // agg4's exact `percentile` sorts EVERY group value — the right
+      // correctness anchor, but a per-group sort of the corpus at 100 TB.
+      // approx_percentile aggregates in bounded memory with map-side
+      // partial merge (shuffle carries sketches, not values); carrying
+      // both columns keeps the sketch's accuracy continuously visible
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        expr("approx_percentile(cast(round(l_extendedprice * 100) as bigint), array(0.25, 0.5, 0.75), 10000)")
+          .as("qa"),
+        expr("percentile(cast(round(l_extendedprice * 100) as bigint), array(0.25, 0.5, 0.75))")
+          .as("qe"))
+        .select(col("l_returnflag"),
+          element_at(col("qa"), 1).cast("double").as("approx_p25_cents"),
+          element_at(col("qa"), 2).cast("double").as("approx_p50_cents"),
+          element_at(col("qa"), 3).cast("double").as("approx_p75_cents"),
+          element_at(col("qe"), 1).as("exact_p25_cents"),
+          element_at(col("qe"), 2).as("exact_p50_cents"),
+          element_at(col("qe"), 3).as("exact_p75_cents"))),
+
     "src1_json_roundtrip" -> ((s, dir) => {
       // JSON-lines source under the oracle: export a projection to JSON,
       // read it back with an explicit schema (no runtime inference — the
@@ -516,7 +538,10 @@ object SparkEntry {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       // stateful-stream shuffle width = state-store count; size it to the
       // key cardinality (24h × few event types), not the batch shuffle
-      // width — 32 near-empty state stores would pay 4× the checkpoint IO
+      // width — 32 near-empty state stores would pay 4× the checkpoint IO.
+      // NOTE: this set/restore mutates SESSION-global conf, which is safe
+      // because the driver contract runs queries sequentially on one
+      // session; concurrent execution would need spark.newSession() here
       val batchPartitions = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
@@ -539,6 +564,7 @@ object SparkEntry {
       copied.toFile.deleteOnExit()
       java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), copied,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // same sequential-driver assumption as st1's set/restore above
       val batchPartitions = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "2")
       try {
@@ -593,15 +619,31 @@ object SparkEntry {
         .select(col("doc_id").as("keep_doc_id"), col("n_copies"))),
 
     "dd2_ngram_jaccard" -> ((s, dir) =>
+      // maxShingleFreq bounds the per-shingle doc-list buffer (and the
+      // C(k,2) pair fan-out): without it one degenerate stop-shingle
+      // OOMs an executor at scale. 20 is active at sf0.1 (max df 25)
+      // and a semantic no-op at smaller SFs (max df 9)
       DedupOps.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, minShared = 2L, minJaccard = 0.1)),
+        n = 3, minShared = 2L, minJaccard = 0.1, maxShingleFreq = Some(20L))),
 
     "dd3_neardup_survivors" -> ((s, dir) => {
       // the terminal dedup deliverable: the KEPT document set after
       // dropping greater-id members of each near-dup pair
       val docs = t(s, dir, "documents")
       DedupOps.nearDupSurvivors(docs, "doc_id",
-          DedupOps.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minShared = 2L, minJaccard = 0.1))
+          DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+            n = 3, minShared = 2L, minJaccard = 0.1, maxShingleFreq = Some(20L)))
+        .select(col("doc_id"))
+    }),
+
+    "dd4_cc_survivors" -> ((s, dir) => {
+      // cluster-aware retention: connected components over the dd2 pair
+      // graph (large-star/small-star), keep the min id per component —
+      // fixes dd3's greedy over-drop on transitive chains
+      val docs = t(s, dir, "documents")
+      DedupOps.ccSurvivors(docs, "doc_id",
+          DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+            n = 3, minShared = 2L, minJaccard = 0.1, maxShingleFreq = Some(20L)))
         .select(col("doc_id"))
     }),
 
@@ -653,15 +695,17 @@ object SparkEntry {
         md5(col("text").cast("binary")).as("content_md5"))),
 
     "mm2_decode_stub" -> ((s, dir) => {
-      // mapPartitions decode plumbing under the oracle: the stub derives
-      // dims with SQL-expressible arithmetic, so format/bytes/dims are
-      // hash-checked; the byte-histogram embedding (array column) stays out
-      // of the driver projection (spec-pinned in MultimodalStreamingSpec —
-      // the driver compare can't sort rows on an array column)
+      // mapPartitions decode plumbing under the oracle: text bytes can
+      // never sniff as png/jpeg, so they deterministically hit the stub
+      // arm whose dims are SQL-expressible arithmetic — format/bytes/dims
+      // are hash-checked (real PNG/JPEG header decode is spec-pinned in
+      // MultimodalStreamingSpec with actual image bytes); the
+      // byte-histogram embedding (array column) stays out of the driver
+      // projection — the driver compare can't sort rows on an array column
       import s.implicits._
       val media = t(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("content"))
-      graft.ops.MultimodalOps.decodeImageStub(media, "doc_id", "content").toDF()
+      graft.ops.MultimodalOps.decodeImage(media, "doc_id", "content").toDF()
         .select("item_id", "format", "n_bytes", "width", "height")
     })
   )
@@ -1042,8 +1086,12 @@ object SparkEntry {
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
          |), idx AS (
          |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks
-         |), sh AS (
+         |), sh0 AS (
          |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM idx
+         |), kept AS (
+         |  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 20
+         |), sh AS (
+         |  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN kept USING (shingle)
          |), sz AS (
          |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
          |), pr AS (
@@ -1061,8 +1109,12 @@ object SparkEntry {
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
          |), idx AS (
          |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks
-         |), sh AS (
+         |), sh0 AS (
          |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM idx
+         |), kept AS (
+         |  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 20
+         |), sh AS (
+         |  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN kept USING (shingle)
          |), sz AS (
          |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
          |), pr AS (
@@ -1075,6 +1127,40 @@ object SparkEntry {
          |  WHERE pr.shared >= 2 AND round(pr.shared / (sa.n + sb.n - pr.shared), 4) >= 0.1
          |)
          |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_b FROM pairs)""").stripMargin,
+
+    "dd4_cc_survivors" -> // dd2's pairs, then a recursive transitive
+      // closure: a doc is dropped iff it can REACH a smaller doc id in
+      // the (bidirected) pair graph — exactly "not the component min"
+      ("""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |), idx AS (
+         |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks
+         |), sh0 AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM idx
+         |), kept AS (
+         |  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 20
+         |), sh AS (
+         |  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN kept USING (shingle)
+         |), sz AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), pairs AS (
+         |  SELECT doc_a, doc_b FROM pr
+         |  JOIN sz sa ON pr.doc_a = sa.doc_id JOIN sz sb ON pr.doc_b = sb.doc_id
+         |  WHERE pr.shared >= 2 AND round(pr.shared / (sa.n + sb.n - pr.shared), 4) >= 0.1
+         |), edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+         |)
+         |SELECT doc_id FROM documents WHERE doc_id NOT IN (
+         |  SELECT src FROM reach GROUP BY src HAVING min(dst) < src)""").stripMargin,
 
     "ann1_bruteforce_topk" ->
       ("""WITH q AS (

@@ -226,7 +226,11 @@ object NativeExpressions {
         // a ragged centroid list would silently misindex the flattened buffer
         require(rows.forall(_.length == dim),
           s"graft_nearest_cells centroids must all have dimension $dim")
-        NearestCells(args.head, rows.flatten.toArray, rows.length, dim, intArg(args(2), "nProbe"))
+        val nProbe = intArg(args(2), "nProbe")
+        // fail at analysis time with a clear message — a negative value
+        // would otherwise surface as NegativeArraySizeException mid-task
+        require(nProbe > 0, s"graft_nearest_cells requires nProbe > 0, got $nProbe")
+        NearestCells(args.head, rows.flatten.toArray, rows.length, dim, nProbe)
       })
   )
 

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * contract at the API boundary; execution remains columnar Catalyst with
   * full pushdown/codegen. `.map` with JVM lambdas would deserialize every
   * row and is reserved for genuine per-row imperative logic (see
-  * MultimodalOps.decodeImageStub).
+  * MultimodalOps.decodeImage).
   */
 object TypedJaffle {
 

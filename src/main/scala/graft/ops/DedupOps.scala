@@ -33,7 +33,16 @@ object DedupOps {
     */
   private[ops] def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 4 <= target) df.repartition(target) else df
+    // estimate the scan's split count from logical-plan size stats instead
+    // of df.rdd.getNumPartitions: the RDD conversion forced a second
+    // physical plan (pre-AQE) to be built per call, while stats come from
+    // the already-computed optimized plan (file-size metadata, no job).
+    // Order of magnitude is all the 4× threshold needs; unknown-size plans
+    // estimate huge, which safely lands on the no-op branch.
+    val maxPartitionBytes = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estSplits = (estBytes / BigInt(math.max(1L, maxPartitionBytes))).max(BigInt(1))
+    if (estSplits * 4 <= BigInt(target)) df.repartition(target) else df
   }
 
   /** Exact dedup on arbitrary key columns: keeps the row with the minimum
@@ -134,6 +143,92 @@ object DedupOps {
     */
   def nearDupSurvivors(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     docs.join(pairs.select(col("doc_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /** Connected components over a near-dup pair set, via alternating
+    * large-star / small-star rounds (the MapReduce CC algorithm of
+    * Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC '14). Returns `(doc_id, component)` for every document that
+    * appears in a pair, where `component` is the minimum doc id of its
+    * connected component.
+    *
+    * Scale shape: each round is two self-joins keyed on a node id — a
+    * bounded number of hash-shuffles over the PAIR set (orders of
+    * magnitude smaller than the corpus), never over documents. The
+    * algorithm converges in O(log n) rounds even on pathological chains;
+    * real dup clusters (cliques and short chains) converge in 2-3. Each
+    * round is `localCheckpoint`ed to truncate lineage (on a production
+    * cluster with a checkpoint dir, `checkpoint` is the durable
+    * equivalent); convergence is detected by an (edge-count, hash-sum)
+    * fingerprint, one tiny action per round over the already-materialized
+    * edge set.
+    *
+    * Edges are kept canonical (u < v) throughout:
+    *  - large-star connects every neighbor LARGER than a node to the
+    *    minimum of its neighborhood (including itself);
+    *  - small-star connects every smaller neighbor (and the node) to the
+    *    minimum of the smaller neighborhood.
+    * At the fixpoint the edge set is a disjoint union of stars rooted at
+    * each component's minimum id.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 12): DataFrame = {
+    def fingerprint(e: DataFrame): (Long, String) = {
+      // hash-sum in DECIMAL(38,0): xxhash64 values span the full long
+      // range, so a plain long sum overflows (ANSI mode throws)
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
+    }
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u").agg(min(col("v")).as("mv"))
+      nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(least(col("u"), col("mv")).as("u"), col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("v").agg(min(col("u")).as("m"))
+      val moved = e.join(mins, "v")
+        .filter(col("u") =!= col("m"))
+        .select(col("m").as("u"), col("u").as("v"))
+      val self = mins.select(col("m").as("u"), col("v"))
+      moved.union(self).distinct()
+    }
+    var edges = pairs
+      .select(col("doc_a").cast("long").as("u"), col("doc_b").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var prev = fingerprint(edges)
+    var round = 0
+    var stable = false
+    while (round < maxRounds && !stable) {
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      val cur = fingerprint(edges)
+      stable = cur == prev
+      prev = cur
+      round += 1
+    }
+    // star fixpoint: every edge is (component root, member)
+    edges.select(col("v").as("doc_id"), col("u").as("component"))
+      .union(edges.select(col("u").as("doc_id"), col("u").as("component")))
+      .distinct()
+  }
+
+  /** Cluster-aware near-duplicate retention: keeps exactly ONE document
+    * (the minimum id) per connected component of the pair graph, fixing
+    * [[nearDupSurvivors]]'s greedy over-drop — e.g. for pairs (1,3),(2,3)
+    * the greedy pass keeps {1,2} (2 never appears as a doc_b) although
+    * all three are transitively duplicates; CC keeps {1}.
+    * Shape: one CC run over the pair set, then one anti join.
+    */
+  def ccSurvivors(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val dropped = connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as(idCol))
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
 
   /** Deterministic MinHash parameters: k affine hashes
     * h_i(x) = (a_i·x + b_i) mod p over 31-bit-reduced xxhash64 shingle

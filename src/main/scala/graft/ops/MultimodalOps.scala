@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * What is REAL here (and tested): the Spark-side plumbing — binary
   * schema, magic-byte format sniffing on actual bytes, metadata
   * extraction, partition-iterator decode shape, deterministic
-  * chunk/frame sampling, byte-histogram featurization. What is STUBBED
-  * (clearly marked): the actual media codec — image/audio libraries are
-  * not in this container, so [[decodeImageStub]] derives fake dimensions
-  * deterministically instead of invoking a codec. Swapping in a real
-  * decoder changes ONE function body, none of the distributed shape.
+  * chunk/frame sampling, byte-histogram featurization — and, for
+  * PNG/JPEG, true image dimensions via the JDK's `javax.imageio`
+  * (header-only parse, zero new dependencies). What is STUBBED (clearly
+  * marked): decode for every other media format (audio/video codecs are
+  * not in this container) — [[decodeImage]] falls back to a
+  * deterministic fake-dimension formula there. Swapping in a real codec
+  * changes ONE function arm, none of the distributed shape.
   *
   * Scale notes: all metadata/sniff/featurize ops are narrow per-row
   * projections (no shuffle). Decode runs via `mapPartitions` so a real
@@ -91,30 +93,59 @@ object MultimodalOps {
       .withColumn("resized_h", lit(targetH))
   }
 
-  /** STUB decode (clearly marked): a real implementation calls the codec
-    * inside `mapPartitions` — per-partition iterator so codec init happens
-    * once per partition, rows stream through without materializing the
-    * whole partition. The fake derives deterministic dimensions from the
-    * content hash and features from the byte histogram.
+  /** Real header-only dimension decode for PNG/JPEG via the JDK's
+    * `javax.imageio` (zero new dependencies). `ImageReader.getWidth/
+    * getHeight` parse only the header — the pixel payload is never
+    * decoded, which is the right 100 TB shape for a metadata pass.
+    * Returns None for anything the registry can't read (corrupt or
+    * unsupported bytes) so callers can fall back deterministically.
     */
-  def decodeImageStub(df: DataFrame, idCol: String, binCol: String)(
+  private[ops] def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes.isEmpty) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try { r.setInput(iis, true); Some((r.getWidth(0), r.getHeight(0))) }
+        catch { case _: java.io.IOException => None }
+        finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** Image decode inside `mapPartitions` — per-partition iterator so codec
+    * init amortizes, rows stream through without materializing the whole
+    * partition.
+    *
+    * PNG/JPEG payloads get REAL dimensions (header-only parse via the
+    * JDK's ImageIO, [[imageDims]]); every other format falls back to the
+    * clearly-marked deterministic stub formula (byte length + first/last
+    * byte), which is reproducible in ANSI SQL so the decode plumbing
+    * stays answerable to the DuckDB oracle on text-byte inputs (those
+    * can never sniff as png/jpeg — FFD8/89504E47 can't begin valid
+    * UTF-8 text). The feature vector is a real byte histogram either way.
+    */
+  def decodeImage(df: DataFrame, idCol: String, binCol: String)(
       implicit enc: org.apache.spark.sql.Encoder[MediaFeatures]): Dataset[MediaFeatures] = {
     val prepared = withBinaryMeta(df.select(col(idCol).as("item_id"), col(binCol).as("content")), "content")
       .select(col("item_id"), col("content"), col("n_bytes"), col("format"))
     prepared.mapPartitions { rows =>
-      // >>> real codec init would happen HERE, once per partition <<<
+      // per-partition init point: ImageIO's plugin registry is touched
+      // lazily on first use inside this task, then reused for every row
       rows.map { r =>
         val id = r.getAs[Long]("item_id")
         val bytes = r.getAs[Array[Byte]]("content")
         val fmt = r.getAs[String]("format")
         val n = r.getAs[Long]("n_bytes")
-        // STUB: deterministic fake dimensions (NOT a codec). Derived from
-        // byte length + first/last byte so the formula is reproducible in
-        // ANSI SQL — the decode plumbing answers to the DuckDB oracle.
-        val fb = if (bytes.nonEmpty) bytes(0) & 0xff else 0
-        val lb = if (bytes.nonEmpty) bytes(bytes.length - 1) & 0xff else 0
-        val width = (16 + (n * 31 + fb) % 1024).toInt
-        val height = (16 + (n * 17 + lb) % 1024).toInt
+        val dims = if (fmt == "png" || fmt == "jpeg") imageDims(bytes) else None
+        val (width, height) = dims.getOrElse {
+          // STUB fallback (NOT a codec): deterministic fake dimensions
+          val fb = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+          val lb = if (bytes.nonEmpty) bytes(bytes.length - 1) & 0xff else 0
+          ((16 + (n * 31 + fb) % 1024).toInt, (16 + (n * 17 + lb) % 1024).toInt)
+        }
         // real byte histogram as the feature vector
         val hist = new Array[Float](16)
         var i = 0
@@ -126,4 +157,11 @@ object MultimodalOps {
       }
     }
   }
+
+  /** Back-compat alias for [[decodeImage]] from when every format hit the
+    * stub arm. */
+  @deprecated("png/jpeg now decode real dimensions; use decodeImage", "r3")
+  def decodeImageStub(df: DataFrame, idCol: String, binCol: String)(
+      implicit enc: org.apache.spark.sql.Encoder[MediaFeatures]): Dataset[MediaFeatures] =
+    decodeImage(df, idCol, binCol)
 }

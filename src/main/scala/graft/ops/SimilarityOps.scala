@@ -1,15 +1,15 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (array<float>).
   *
   * Two paths, per the standard ANN playbook:
   *  - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small) query
-  *    set against the corpus; one narrow pass over the corpus, a partial
-  *    top-k per partition via window ranking. The corpus is not shuffled
+  *    set against the corpus; one narrow pass over the corpus, then a
+  *    bounded-heap top-k aggregate (map-side partial, ≤k rows per query
+  *    per task into the shuffle). The corpus is not shuffled
   *    by vector (only severely under-split local inputs are widened once;
   *    see DedupOps.widen) — only (q, k) result rows move. This is the
   *    correctness baseline and is itself 100 TB-viable when |queries| is
@@ -34,6 +34,31 @@ object SimilarityOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Per-query top-k ranking of a scored candidate set via the bounded-heap
+    * `graft_topk` TypedImperativeAggregate (functions/TopKAgg.scala).
+    *
+    * Why not `row_number() OVER (PARTITION BY q_id ...)`: the window must
+    * shuffle and fully sort EVERY scored candidate to the reducer. The heap
+    * aggregate partial-aggregates map-side, so each task ships at most k
+    * rows per query into the exchange — the shuffle scales with
+    * queries×k, not candidates. Tie-break (score desc, vec_id asc) matches
+    * the window ordering exactly (TopKEntry.bestFirst), so results are
+    * bit-identical to the window formulation (proven by w4_topk_agg's
+    * oracle row and ann1's hash-match).
+    *
+    * Expects columns (q_id, vec_id: bigint, score: double); emits
+    * (q_id, vec_id, score, rank) with rank 1-based, best first.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    graft.functions.NativeExpressions.register(scored.sparkSession)
+    scored
+      .groupBy("q_id")
+      .agg(expr(s"graft_topk(score, vec_id, $k)").as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.payload").as("vec_id"),
+        col("col.value").as("score"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     *
     * @param queries  (qIdCol, vecCol) — expected small (broadcast side)
@@ -56,11 +81,7 @@ object SimilarityOps {
     val c = widen(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec")))
     val scored = c.join(broadcast(q), if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
       .withColumn("score", round(expr("graft_cosine(q_vec, c_vec)"), 4))
-    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "vec_id", "score", "rank")
+    rankTopK(scored.select("q_id", "vec_id", "score"), k)
   }
 
   /** Deterministic pseudo-random hyperplanes: `numPlanes` vectors of
@@ -139,11 +160,7 @@ object SimilarityOps {
       .withColumn("score", round(expr("graft_cosine(q_vec, c_vec)"), 4))
       .select("q_id", "vec_id", "score")
       .dropDuplicates("q_id", "vec_id") // same pair may collide in several tables
-    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "vec_id", "score", "rank")
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) approximate top-k: a coarse k-means quantizer
@@ -179,13 +196,25 @@ object SimilarityOps {
     // coarse-quantizer training needs only a bounded sample (the standard
     // IVF recipe): ~40 points per centroid is plenty for cell assignment
     // quality, and keeps the fit O(sample) as the corpus grows — at
-    // 100 TB the full-corpus fit would dominate the whole query
-    val n = corpusVec.count()
+    // 100 TB the full-corpus fit would dominate the whole query.
+    // Sampling is a positional prefix of the first few partitions
+    // (spark_partition_id + the per-partition record number packed into
+    // monotonically_increasing_id's low 33 bits): zero extra jobs, where
+    // a count()-then-fraction sample costs a full corpus pass before any
+    // work. Embedding values are independent of row position, so the
+    // prefix is an unbiased value sample; even under a corpus sorted by
+    // source, a skewed quantizer only degrades candidate routing
+    // (recall), never the exactness of scoring within probed cells.
     val sampleTarget = math.max(40L * nLists, 1024L)
-    val trainRaw =
-      if (n > sampleTarget)
-        corpusVec.select("features").sample(withReplacement = false, sampleTarget.toDouble / n, seed)
-      else corpusVec.select("features")
+    val sampleParts = math.max(1, math.min(32, corpusVec.sparkSession.sparkContext.defaultParallelism))
+    // 4× headroom so inputs with fewer live partitions than sampleParts
+    // still reach the target; worst case the fit sees 4× target rows —
+    // still O(sample), trivially small
+    val perPartition = 4L * ((sampleTarget + sampleParts - 1) / sampleParts)
+    val trainRaw = corpusVec
+      .filter(spark_partition_id() < sampleParts &&
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) < perPartition)
+      .select("features")
     // the sample is tiny — collapse it so each k-means iteration is one
     // task instead of one per corpus partition
     val train = trainRaw.coalesce(math.max(1, (sampleTarget / 1024L).toInt))
@@ -213,11 +242,7 @@ object SimilarityOps {
     val scored = assigned.join(q, Seq("cell"))
       .filter(if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
       .withColumn("score", round(expr("graft_cosine(q_vec, c_vec)"), 4))
-    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "vec_id", "score", "rank")
+    rankTopK(scored.select("q_id", "vec_id", "score"), k)
   }
 
   /** HOF reference for the native graft_nearest_cells kernel: squared-L2

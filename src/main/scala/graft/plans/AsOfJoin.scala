@@ -44,6 +44,15 @@ final case class AsOfJoin(
     s"as-of key types must match: ${leftKey.dataType} vs ${rightKey.dataType}")
   require(leftTime.dataType == rightTime.dataType,
     s"as-of time types must match: ${leftTime.dataType} vs ${rightTime.dataType}")
+  // the exec sorts the right side by a struct of the payload columns so
+  // duplicate (key, time) rows resolve deterministically — an unorderable
+  // payload type (map, or a struct containing one) would otherwise
+  // surface as an obscure planner/sort error deep in execution
+  payload.foreach { p =>
+    require(org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(p.dataType),
+      s"as-of payload column '${p.name}' has unorderable type ${p.dataType}; " +
+        "duplicate-(key,time) resolution requires an orderable payload")
+  }
 
   override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
 

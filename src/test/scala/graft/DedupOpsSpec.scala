@@ -95,4 +95,37 @@ class DedupOpsSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(kept === Set(1L, 4L, 9L))
   }
+
+  test("connectedComponents: chain, vee, and separate cliques all root at the component min") {
+    // chain 1-2-3; vee (4,6),(5,6) — 5 never appears as a doc_b;
+    // clique {7,8}; 9 unpaired (no pair -> no label row)
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 6L), (5L, 6L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val labels = DedupOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("connectedComponents converges on a long chain (worst-case diameter)") {
+    val pairs = (1L until 16L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = DedupOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size === 16 && labels.values.forall(_ === 1L))
+  }
+
+  test("ccSurvivors keeps one doc per component where the greedy pass over-keeps") {
+    val docs = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    // vee: 1~3 and 2~3 but no (1,2) pair — transitively one cluster.
+    // greedy keeps {1, 2} (2 never appears as a doc_b); CC keeps {1}
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val greedy = DedupOps.nearDupSurvivors(docs, "doc_id", pairs).as[Long].collect().toSet
+    val cc = DedupOps.ccSurvivors(docs, "doc_id", pairs).as[Long].collect().toSet
+    assert(greedy === Set(1L, 2L, 9L))
+    assert(cc === Set(1L, 9L))
+  }
+
+  test("ccSurvivors on an empty pair set keeps everything") {
+    val docs = Seq(1L, 2L).toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(DedupOps.ccSurvivors(docs, "doc_id", pairs).as[Long].collect().toSet === Set(1L, 2L))
+  }
 }

@@ -56,17 +56,43 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(r.isEmpty)
   }
 
-  test("decodeImageStub: mapPartitions plumbing with deterministic features") {
-    val feats = MultimodalOps.decodeImageStub(media, "item_id", "content").collect()
+  test("decodeImage: mapPartitions plumbing with deterministic features") {
+    // the fake jpeg/png headers are NOT valid images, so ImageIO rejects
+    // them and the deterministic stub arm takes over — same as before
+    val feats = MultimodalOps.decodeImage(media, "item_id", "content").collect()
       .map(f => f.item_id -> f).toMap
     assert(feats.size === 3)
     assert(feats(1L).format === "jpeg")
     assert(feats(1L).embedding.length === 16)
     assert(math.abs(feats(1L).embedding.sum - 1f) < 1e-5) // L1-normalized
     // deterministic: second run identical
-    val again = MultimodalOps.decodeImageStub(media, "item_id", "content").collect()
+    val again = MultimodalOps.decodeImage(media, "item_id", "content").collect()
       .map(f => f.item_id -> f).toMap
     assert(again(1L).width === feats(1L).width && again(1L).height === feats(1L).height)
+  }
+
+  private def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("decodeImage extracts REAL dimensions from actual PNG and JPEG bytes") {
+    val real = Seq(
+      (10L, encode("png", 37, 23)),
+      (11L, encode("jpg", 64, 48)),
+      (12L, junk)
+    ).toDF("item_id", "content")
+    val feats = MultimodalOps.decodeImage(real, "item_id", "content").collect()
+      .map(f => f.item_id -> f).toMap
+    assert(feats(10L).format === "png")
+    assert((feats(10L).width, feats(10L).height) === (37, 23))
+    assert(feats(11L).format === "jpeg")
+    assert((feats(11L).width, feats(11L).height) === (64, 48))
+    // junk still takes the stub arm deterministically
+    assert(feats(12L).format === "unknown")
   }
 
   test("streaming hourlyCounts matches the batch tumbling aggregate") {

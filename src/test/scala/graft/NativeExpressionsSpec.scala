@@ -142,6 +142,19 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("approx_percentile stays within 1% of the exact quartiles (agg8 contract)") {
+    val rows = SparkEntry.queries("agg8_approx_percentiles")(spark, "/root/testdata/sf0.001")
+      .collect()
+    rows.foreach { r =>
+      for (p <- Seq("p25", "p50", "p75")) {
+        val approx = r.getAs[Double](s"approx_${p}_cents")
+        val exact = r.getAs[Double](s"exact_${p}_cents")
+        assert(math.abs(approx - exact) / exact < 0.01, s"$p: approx $approx vs exact $exact")
+      }
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("expressions survive codegen (no fallback errors) in a full pipeline") {
     val out = DedupOps.minHashNearDupPairs(
       Seq((0L, "a b c d e f g h"), (1L, "a b c d e f g h"), (2L, "z y x w v u t s")).toDF("doc_id", "text"),

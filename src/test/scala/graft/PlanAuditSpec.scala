@@ -42,11 +42,28 @@ class PlanAuditSpec extends SparkSpec {
     // the composition's costs must be absent: no Union, no Window
     assert(!plan.contains("Union") && !plan.contains("RunningWindowFunction") && !plan.contains("Window"),
       s"composition artifacts in native plan:\n$plan")
-    // 3 = the right side's (custkey, orderdate) pre-aggregation shuffle +
-    // one key-clustering exchange per join side; the composition pays the
-    // same agg shuffle plus ONE union-wide exchange carrying both schemas
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 3,
-      s"expected agg + one exchange per side:\n$plan")
+    // the composition pays the same right-side pre-aggregation shuffle
+    // PLUS one union-wide exchange carrying both schemas; the native plan
+    // must stay at "a few per-side key exchanges" — bound, not exact
+    // count, so AQE/version changes in how the pre-aggregation plans
+    // don't false-alarm (each side's exchange partitions on the key)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges >= 2 && exchanges <= 4,
+      s"expected 2-4 key-clustering exchanges, got $exchanges:\n$plan")
+  }
+
+  test("ANN top-k paths aggregate with the bounded heap, not a window sort") {
+    graft.functions.NativeExpressions.register(spark)
+    for (q <- Seq("ann1_bruteforce_topk", "ann2_lsh_topk", "ann3_ivf_topk")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      // graft_topk is a TypedImperativeAggregate -> ObjectHashAggregate
+      // with a partial pass (<=k rows per query per map task enter the
+      // exchange); a row_number() window would shuffle and sort EVERY
+      // scored candidate
+      assert(plan.contains("ObjectHashAggregate"), s"$q: no heap aggregate in plan:\n$plan")
+      assert(plan.contains("graft_topk"), s"$q: graft_topk missing from plan:\n$plan")
+      assert(!plan.contains("Window"), s"$q: window ranking crept back in:\n$plan")
+    }
   }
 
   test("small dimension sides broadcast in the customer-360 joins") {
