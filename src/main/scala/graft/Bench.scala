@@ -48,7 +48,16 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val elapsed = results.map(_._2).sum
     val total = if (results.forall(_._3)) elapsed else -elapsed
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // per-query median + count alongside the total: the total inflates
+    // mechanically as rounds add queries (each one carries ~0.5-1 s of
+    // fixed plan/scan cost), so cross-round comparisons should use the
+    // median or per-query seconds, never bare totals over different sets
+    val sorted = results.map(_._2).sorted
+    val median =
+      if (sorted.isEmpty) 0.0
+      else if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+      else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"median_query_sec":$median,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

