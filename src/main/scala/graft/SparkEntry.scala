@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DedupOps, EventOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, EventOps, SampleOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,9 +19,11 @@ import graft.ops.{DedupOps, EventOps, SimilarityOps, TextOps}
   *  - e1-e4/st1-st2: event-time ops batch + Structured Streaming drains
   *  - aj1/aj2/rj1/sk1: temporal joins (composition AND the custom
   *    AsOfJoinExec physical operator), range join, salted skew join
-  *  - txt1-7/dd1-4/pipe1: text analysis, dedup (exact, jaccard pairs,
-  *    greedy survivors, connected-components survivors), the composed
-  *    cleaning pipeline
+  *  - txt1-9/dd1-4/pipe1/smp1-2/ctm1: text analysis (incl. PII redaction,
+  *    tf-idf), dedup (exact, jaccard pairs, greedy survivors,
+  *    connected-components survivors), the composed cleaning pipeline,
+  *    deterministic hash split + per-group corpus caps, benchmark-
+  *    contamination screening
   *  - mh1/sh1/ann1-3/cn1/v1: MinHash/SimHash near-dup, ANN (brute force,
   *    LSH, IVF), cosine near-dup, vector math
   *  - mm1/mm2, src1-3: multimodal binary plumbing; JSON/CSV/partitioned
@@ -601,6 +603,70 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.rollingFingerprint(col("text")).as("rolling_hash"))),
 
+    "txt8_redact_pii" -> ((s, dir) => {
+      // PII scrubbing under the oracle: the corpus carries no PII, so the
+      // query plants a deterministic email + numeric id per doc (same
+      // concat both engines), then redacts — the regex path is
+      // hash-checked end to end, not vacuously
+      val dirty = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com ref "), (col("doc_id") * 10000 + 1234).cast("string")).as("dirty"))
+      dirty.select(col("doc_id"), TextOps.redactPii(col("dirty")).as("clean"))
+        .withColumn("clean_len", length(col("clean")).cast("long"))
+    }),
+
+    "txt9_tfidf" -> ((s, dir) => {
+      // classic tf-idf feature table: tf per (doc, term), document
+      // frequency per term, idf = ln((N+1)/(df+1)). Shapes: one explode +
+      // two aggregations; the vocabulary table joins by term (AQE
+      // broadcasts it when small); the 1-row corpus count broadcasts.
+      // Both ln inputs are exactly-rounded double divisions of integers,
+      // so the oracle reproduces the value bit-for-bit (round 4 guards
+      // the sub-ulp libm edge)
+      val docs = t(s, dir, "documents")
+      val terms = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfq = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(dfq, "term")
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), col("term"), col("tf").cast("bigint").as("tf"),
+          round(col("tf").cast("double") *
+            log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")), 4).as("tfidf"))
+    }),
+
+    "smp1_hash_split" -> ((s, dir) =>
+      // deterministic train/holdout assignment; aggregated so the split
+      // FRACTIONS are what the oracle checks (the per-row assignment is a
+      // pure projection replayed identically by the SQL)
+      SampleOps.hashSplit(t(s, dir, "documents"), "doc_id", 80)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("bigint").as("total_chars"))),
+
+    "smp2_per_group_cap" -> ((s, dir) =>
+      // corpus balancing: at most 15 docs per source, deterministic
+      // (smallest id-hash wins) — the heap-aggregate path answers to the
+      // oracle's row_number() formulation
+      SampleOps.perGroupCap(t(s, dir, "documents"), Seq("source"), "doc_id", 15)
+        .select("source", "doc_id")),
+
+    "ctm1_contamination" -> ((s, dir) => {
+      // benchmark-contamination screen: which corpus docs contain any
+      // probe string (here: 20-char prefixes of a 50-doc probe set).
+      // The probe set broadcasts (bounded by construction — eval suites
+      // are small); the scan side stays narrow; contains() is codegen'd.
+      // A production screen hashes probe n-grams into a Bloom filter to
+      // cut the per-row cost from O(probes) to O(1) — the broadcast
+      // nested-loop shape here is the exact-match baseline it verifies
+      val docs = t(s, dir, "documents")
+      val probes = docs.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("probe_id"), substring(col("text"), 1, 20).as("probe"))
+      docs.join(broadcast(probes),
+          col("text").contains(col("probe")) && col("doc_id") =!= col("probe_id"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_probe_hits"), min("probe_id").as("first_probe"))
+    }),
+
     // ---- dedup ----
     "pipe1_clean_corpus" -> ((s, dir) => {
       // the composed training-data cleaning pipeline: quality features →
@@ -1059,6 +1125,68 @@ object SparkEntry {
       ("SELECT doc_id, list_reduce(" +
         "list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), " +
         "(acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash FROM documents"),
+
+    "txt8_redact_pii" -> // same planted PII, same stacked regex (RE2 needs
+      // the explicit 'g' flag to match Spark's replace-all semantics)
+      ("""WITH dirty AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |    '@example.com ref ' || CAST(doc_id * 10000 + 1234 AS VARCHAR) AS dirty
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  regexp_replace(
+         |    regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\d{4,}', '<NUM>', 'g') AS clean,
+         |  CAST(length(regexp_replace(
+         |    regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\d{4,}', '<NUM>', 'g')) AS BIGINT) AS clean_len
+         |FROM dirty""").stripMargin,
+
+    "txt9_tfidf" ->
+      ("""WITH terms AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+         |), dfq AS (
+         |  SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1
+         |), tot AS (
+         |  SELECT count(*) AS n_docs FROM documents
+         |)
+         |SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+         |  round(tf.tf * ln(CAST(tot.n_docs + 1 AS DOUBLE) / CAST(dfq.df + 1 AS DOUBLE)), 4) AS tfidf
+         |FROM tf JOIN dfq USING (term) CROSS JOIN tot""").stripMargin,
+
+    "smp1_hash_split" -> // same Knuth multiplicative hash, plain BIGINT ops
+      ("""SELECT
+         |  CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 80
+         |       THEN 'train' ELSE 'holdout' END AS split,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM documents GROUP BY 1""").stripMargin,
+
+    "smp2_per_group_cap" -> // the heap aggregate answers to the window SQL
+      ("""WITH h AS (
+         |  SELECT source, doc_id,
+         |         ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hv
+         |  FROM documents
+         |), r AS (
+         |  SELECT source, doc_id,
+         |         row_number() OVER (PARTITION BY source ORDER BY hv ASC, doc_id ASC) AS rn
+         |  FROM h
+         |)
+         |SELECT source, doc_id FROM r WHERE rn <= 15""").stripMargin,
+
+    "ctm1_contamination" ->
+      ("""WITH probes AS (
+         |  SELECT doc_id AS probe_id, substring(text, 1, 20) AS probe
+         |  FROM documents WHERE doc_id < 50
+         |)
+         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_probe_hits,
+         |       min(p.probe_id) AS first_probe
+         |FROM documents d JOIN probes p
+         |  ON contains(d.text, p.probe) AND d.doc_id <> p.probe_id
+         |GROUP BY 1""").stripMargin,
 
     "dd1_exact_dedup" ->
       "SELECT CAST(min(doc_id) AS BIGINT) AS keep_doc_id, CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY text",

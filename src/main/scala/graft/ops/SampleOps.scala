@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines:
+  * reproducible train/holdout splits and per-group corpus caps.
+  *
+  * Both are built on a Knuth multiplicative hash of the id column rather
+  * than `rand()`: the assignment is then a pure projection — stable
+  * across runs, executors, retries, and engines (the DuckDB oracle can
+  * replay the exact same arithmetic), and it needs no seed plumbed
+  * through checkpoint/retry machinery. `rand()` in a distributed job is
+  * only deterministic per-partition-id, which silently breaks the split
+  * whenever the scan's partitioning changes.
+  */
+object SampleOps {
+
+  /** 32-bit Knuth multiplicative hash of an id, in plain BIGINT
+    * arithmetic both Spark and ANSI SQL reproduce exactly:
+    * `((id mod 2^31) * 2654435761) mod 2^32`. The pre-reduction keeps
+    * the product under 2^63 (no ANSI overflow); 2654435761 is the
+    * golden-ratio multiplier. Ids are assumed non-negative.
+    */
+  def knuth32(id: Column): Column =
+    pmod(pmod(id.cast("long"), lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+
+  /** Deterministic train/holdout split: rows whose hash bucket (0-99)
+    * falls below `trainPct` land in "train", the rest in "holdout".
+    * A pure narrow projection — no shuffle, no state, trivially
+    * re-runnable on any subset of a 100 TB corpus with consistent
+    * assignment.
+    */
+  def hashSplit(df: DataFrame, idCol: String, trainPct: Int): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, s"trainPct must be in (0,100), got $trainPct")
+    df.withColumn("split",
+      when(pmod(knuth32(col(idCol)), lit(100L)) < trainPct, "train").otherwise("holdout"))
+  }
+
+  /** Deterministic per-group downsample: keep the `n` rows with the
+    * smallest id-hash per group (hash asc, id asc on ties) — e.g. cap
+    * documents per source/domain to balance a corpus.
+    *
+    * Ranking uses the `graft_topk` bounded-heap aggregate (fed the
+    * NEGATED hash, since the heap keeps largest values): each map task
+    * ships at most n ids per group into the shuffle, where the usual
+    * `row_number()` window would shuffle and sort EVERY row of every
+    * group. The kept-id set is then semi-joined back — ids only, so the
+    * second exchange never carries the document payload.
+    */
+  def perGroupCap(df: DataFrame, groupCols: Seq[String], idCol: String, n: Int): DataFrame = {
+    require(groupCols.nonEmpty, "perGroupCap needs at least one group column")
+    graft.functions.NativeExpressions.register(df.sparkSession)
+    val kept = df.groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_topk",
+        negate(knuth32(col(idCol)).cast("double")), col(idCol), lit(n)).as("top"))
+      .select(explode(col("top.payload")).as(idCol))
+    df.join(kept, Seq(idCol), "left_semi")
+  }
+}

@@ -62,6 +62,20 @@ object TextOps {
       .withColumn("stopword_ratio", round(stopHits.cast("double") / nToks, 4))
   }
 
+  /** PII redaction as a pure codegen'd projection: emails → `<EMAIL>`,
+    * then runs of 4+ digits (ids, phones, SSNs) → `<NUM>`. Email first,
+    * so digits inside an address are consumed by the email mask. The
+    * patterns use only constructs with identical semantics in Java
+    * regex and RE2 (character classes, bounded repetition), so the op is
+    * reproducible under the DuckDB oracle (`regexp_replace(..., 'g')`).
+    * A production scrubber adds more patterns; the shape — stacked
+    * regexp_replace, one narrow pass, no UDF — is the 100 TB design.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\d{4,}", "<NUM>")
+
   /** Exact content fingerprint (dedup key): md5 over the raw bytes. */
   def fingerprint(text: Column): Column = md5(text.cast("binary"))
 

@@ -118,6 +118,41 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("append-mode aggregation DROPS genuinely late data once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = EventStreams.hourlyCounts(df, "2 hours")
+      .writeStream.format("memory").queryName("late_drop_test").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two events in the 01:00 window
+      input.addData(
+        (1L, Timestamp.valueOf("2024-01-01 01:00:00"), 1L, "click", 1.0),
+        (2L, Timestamp.valueOf("2024-01-01 01:30:00"), 1L, "click", 1.0))
+      query.processAllAvailable()
+      // batch 2: advance event time so the NEXT batch's watermark
+      // (05:00 − 2 h = 03:00) is past the 01:00 window
+      input.addData((3L, Timestamp.valueOf("2024-01-01 05:00:00"), 1L, "click", 1.0))
+      query.processAllAvailable()
+      // batch 3: a genuinely late event for the already-closed 01:00
+      // window (01:40 < watermark 03:00) — MUST be dropped, not appended
+      // and not mutate the emitted row
+      input.addData((4L, Timestamp.valueOf("2024-01-01 01:40:00"), 1L, "click", 99.0))
+      query.processAllAvailable()
+      // batch 4: close the 05:00 window too
+      input.addData((5L, Timestamp.valueOf("2024-01-01 09:00:00"), 1L, "click", 1.0))
+      query.processAllAvailable()
+      val out = spark.table("late_drop_test")
+        .select("window_start", "n_events", "total_value")
+        .as[(Timestamp, Long, Double)].collect().toSet
+      // the 01:00 window emitted exactly once, with ONLY the two on-time
+      // events — the late 99.0 never entered the result
+      assert(out.contains((Timestamp.valueOf("2024-01-01 01:00:00"), 2L, 2.0)))
+      assert(!out.exists(r => r._1 == Timestamp.valueOf("2024-01-01 01:00:00") && r._2 != 2L))
+      assert(out.contains((Timestamp.valueOf("2024-01-01 05:00:00"), 1L, 1.0)))
+    } finally query.stop()
+  }
+
   test("file-source streaming over real events parquet matches batch (closed windows)") {
     // the file stream source wants a directory; stage the single parquet file
     val dir = java.nio.file.Files.createTempDirectory("events_stream")
