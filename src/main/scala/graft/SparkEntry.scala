@@ -250,8 +250,68 @@ object SparkEntry {
         .intersect(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
     }),
 
+    "set3_except_all" -> ((s, dir) => {
+      // multiset difference: keeps SURPLUS duplicates (an O-status row is
+      // removed once per matching F-status row, not wholesale) — distinct
+      // except() can't express this; planned as a count-based anti pattern
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        .exceptAll(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+    }),
+
+    "set4_intersect_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        .intersectAll(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+    }),
+
     "d1_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()),
+
+    "x2_string_agg" -> ((s, dir) =>
+      // listagg/string_agg: per-customer order-id roster. Deterministic by
+      // construction — collect_list is order-nondeterministic under
+      // parallelism, so the list is array_sort'ed BEFORE joining (the
+      // oracle mirrors with string_agg(... ORDER BY)); group sizes are
+      // bounded (orders per customer), so the buffer is too
+      t(s, dir, "orders").groupBy("o_custkey")
+        .agg(array_join(
+          transform(array_sort(collect_list(col("o_orderkey"))), _.cast("string")),
+          ",").as("order_ids"),
+          count(lit(1)).as("n_orders"))),
+
+    "q5_correlated_subquery" -> ((s, dir) => {
+      // the SQL entry surface: correlated scalar subqueries through
+      // spark.sql over a temp view (decorrelated by Catalyst into
+      // aggregate+join — no per-row re-execution). Orders strictly above
+      // their customer's average, compared in EXACT integer cents
+      // (price·n > Σprices avoids any division/rounding divergence)
+      val o = t(s, dir, "orders")
+      o.createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o.o_orderkey, o.o_custkey
+        FROM orders_v o
+        WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) *
+              (SELECT count(*) FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+              > (SELECT sum(CAST(round(i.o_totalprice * 100) AS BIGINT))
+                 FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+      """)
+    }),
+
+    "w6_window_breadth" -> ((s, dir) => {
+      // distribution-window family: ntile / percent_rank / cume_dist /
+      // first_value, all over one total-ordered frame (ties broken by key
+      // so every engine ranks identically); percent_rank and cume_dist
+      // are exactly-rounded integer divisions — bit-identical cross-engine
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).cast("int").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        first(col("o_orderkey")).over(w).as("top_order"))
+    }),
 
     "sj1_semi_join" -> ((s, dir) =>
       t(s, dir, "customer")
@@ -903,6 +963,35 @@ object SparkEntry {
 
     "d1_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "set3_except_all" ->
+      ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
+        "EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"),
+
+    "set4_intersect_all" ->
+      ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
+        "INTERSECT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"),
+
+    "x2_string_agg" ->
+      ("SELECT o_custkey, string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_ids, " +
+        "CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY o_custkey"),
+
+    "q5_correlated_subquery" ->
+      ("""SELECT o.o_orderkey, o.o_custkey
+         |FROM orders o
+         |WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) *
+         |      (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+         |      > (SELECT sum(CAST(round(i.o_totalprice * 100) AS BIGINT))
+         |         FROM orders i WHERE i.o_custkey = o.o_custkey)""").stripMargin,
+
+    "w6_window_breadth" ->
+      ("""SELECT o_custkey, o_orderkey,
+         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+         |  percent_rank() OVER w AS pct_rank,
+         |  cume_dist() OVER w AS cume,
+         |  first_value(o_orderkey) OVER w AS top_order
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)""").stripMargin,
 
     "sj1_semi_join" ->
       ("SELECT c_custkey, c_name FROM customer " +

@@ -66,6 +66,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("per-group cap plans the heap aggregate, not a window sort") {
+    graft.functions.NativeExpressions.register(spark)
+    val plan = SparkEntry.queries("smp2_per_group_cap")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("graft_topk"),
+      s"no heap aggregate in cap plan:\n$plan")
+    assert(!plan.contains("Window"), s"window ranking in cap plan:\n$plan")
+  }
+
+  test("contamination screen broadcasts the probe side (bounded NLJ, never cartesian)") {
+    val plan = SparkEntry.queries("ctm1_contamination")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"probe side not broadcast:\n$plan")
+  }
+
   test("small dimension sides broadcast in the customer-360 joins") {
     val plan = SparkEntry.queries("j2_customer360")(spark, dir)
       .queryExecution.executedPlan.toString
