@@ -283,9 +283,13 @@ object SparkEntry {
     "q5_correlated_subquery" -> ((s, dir) => {
       // the SQL entry surface: correlated scalar subqueries through
       // spark.sql over a temp view (decorrelated by Catalyst into
-      // aggregate+join — no per-row re-execution). Orders strictly above
-      // their customer's average, compared in EXACT integer cents
-      // (price·n > Σprices avoids any division/rounding divergence)
+      // aggregate+join — no per-row re-execution; verified in the plan).
+      // Orders strictly above their customer's average, compared in
+      // EXACT integer cents (price·n > Σprices avoids any
+      // division/rounding divergence). Note each subquery decorrelates
+      // into its own scan+aggregate — at scale the single-pass
+      // formulation is a plain grouped join computing (count, sum)
+      // together; this query exists to pin the SQL-subquery surface
       val o = t(s, dir, "orders")
       o.createOrReplaceTempView("orders_v")
       s.sql("""
@@ -686,7 +690,10 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val terms = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfq = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      // document frequency derives from tf — its rows are already the
+      // distinct (doc, term) pairs, so a second explode+distinct pass
+      // over the corpus would be pure waste
+      val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val total = docs.agg(count(lit(1)).as("n_docs"))
       tf.join(dfq, "term")
         .crossJoin(broadcast(total))
