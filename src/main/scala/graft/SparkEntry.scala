@@ -407,6 +407,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_balance"))
     }),
 
+    "src4_bucketed_join" -> ((s, dir) => {
+      // bucketed co-located join under the oracle: both sides written
+      // bucketBy+sortBy on their join key with equal bucket counts, so
+      // the sort-merge join reads pre-shuffled, pre-sorted buckets — NO
+      // exchange and no sort on either join input (asserted in
+      // PlanAuditSpec; the only exchange left is the final groupBy's).
+      // hint("merge") keeps the planner from broadcasting the small side
+      // at test SF, where the co-location demo would silently vanish.
+      // The oracle runs the same join+aggregate on the flat parquet.
+      val so = java.nio.file.Files.createTempDirectory("src4_bko")
+      val sc = java.nio.file.Files.createTempDirectory("src4_bkc")
+      so.toFile.deleteOnExit(); sc.toFile.deleteOnExit()
+      graft.sources.Warehouse.writeBucketed(
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        "src4_orders_bk", "o_custkey", 8, Some(so.toString))
+      graft.sources.Warehouse.writeBucketed(
+        t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+        "src4_customer_bk", "c_custkey", 8, Some(sc.toString))
+      graft.sources.Warehouse.readTable(s, "src4_orders_bk")
+        .join(graft.sources.Warehouse.readTable(s, "src4_customer_bk").hint("merge"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+    }),
+
     "src3_partitioned_roundtrip" -> ((s, dir) => {
       // partitioned-layout round-trip under the oracle: write orders
       // partitioned by status, read back with a partition predicate —
@@ -1028,6 +1053,12 @@ object SparkEntry {
       (s"SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, " +
         s"${dsumSql("o_totalprice")} AS total_price FROM orders " +
         "WHERE o_orderstatus = 'F' GROUP BY o_custkey"),
+
+    "src4_bucketed_join" -> // the oracle joins the flat parquet; Spark
+      // reads its own bucketed tables — the layout round-trip is the test
+      (s"SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, " +
+        s"${dsumSql("o_totalprice")} AS total_price " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"),
 
     "sk1_salted_join" -> // salting is invisible in the result
       (s"SELECT o.o_custkey, CAST(count(*) AS BIGINT) AS n_items, " +

@@ -82,6 +82,17 @@ class PlanAuditSpec extends SparkSpec {
       s"probe side not broadcast:\n$plan")
   }
 
+  test("bucketed join reads co-located buckets: no exchange on either join key") {
+    val plan = SparkEntry.queries("src4_bucketed_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"no sort-merge join planned:\n$plan")
+    // bucketBy+sortBy pre-shuffled and pre-sorted both inputs: the only
+    // exchange in the whole plan belongs to the final groupBy
+    assert(!plan.contains("Exchange hashpartitioning(o_custkey") &&
+      !plan.contains("Exchange hashpartitioning(c_custkey"),
+      s"join input re-shuffled despite bucketing:\n$plan")
+  }
+
   test("small dimension sides broadcast in the customer-360 joins") {
     val plan = SparkEntry.queries("j2_customer360")(spark, dir)
       .queryExecution.executedPlan.toString

@@ -119,6 +119,64 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: hashSplit partitions any id set disjointly at any cutoff") {
+    trials(5) { rnd =>
+      val cut = rnd.nextInt(98) + 1
+      val ids = Seq.fill(200)(rnd.nextLong().abs % 1000000L).distinct.toDF("id")
+      val n = ids.count()
+      val out = graft.ops.SampleOps.hashSplit(ids, "id", cut).cache()
+      // disjoint-exhaustive: every row gets exactly one of the two labels
+      assert(out.filter(col("split").isin("train", "holdout")).count() === n)
+      // stable: same cutoff → same assignment (no rand() anywhere)
+      val again = graft.ops.SampleOps.hashSplit(ids, "id", cut)
+      assert(out.select("id", "split").exceptAll(again.select("id", "split")).count() === 0L)
+      out.unpersist()
+    }
+  }
+
+  test("property: perGroupCap keeps min(n, group size) rows per group, always a subset") {
+    trials(5) { rnd =>
+      val cap = rnd.nextInt(10) + 1
+      val rows = Seq.fill(150)((s"g${rnd.nextInt(8)}", rnd.nextLong().abs % 100000L))
+        .distinct
+      val df = rows.toDF("grp", "id")
+      val out = graft.ops.SampleOps.perGroupCap(df, Seq("grp"), "id", cap)
+      val keptPerGroup = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+      val sizePerGroup = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      sizePerGroup.foreach { case (g, sz) =>
+        assert(keptPerGroup.getOrElse(g, 0L) === math.min(cap.toLong, sz), s"group $g cap $cap")
+      }
+      // subset: no invented rows
+      assert(out.select("grp", "id").exceptAll(df).count() === 0L)
+    }
+  }
+
+  test("property: connectedComponents labels agree with a reference union-find") {
+    trials(5) { rnd =>
+      val nodes = 30
+      val pairs = Seq.fill(25)((rnd.nextInt(nodes).toLong, rnd.nextInt(nodes).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // reference union-find on the driver
+      val parent = Array.tabulate(nodes)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(v => v -> {
+          // root of the union-find tree, then the MIN member of that
+          // component (union-by-min above makes the root the min already)
+          find(v.toInt).toLong
+        }).toMap
+      val got = DedupOps.connectedComponents(pairs.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected)
+    }
+  }
+
   test("FAILFAST seed loading rejects malformed rows instead of nulling them") {
     val dir = java.nio.file.Files.createTempDirectory("badseed")
     java.nio.file.Files.writeString(dir.resolve("raw_customers.csv"),
