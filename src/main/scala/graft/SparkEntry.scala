@@ -692,6 +692,16 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.rollingFingerprint(col("text")).as("rolling_hash"))),
 
+    "txt10_repetition" -> ((s, dir) =>
+      // C4/Gopher-style repetition filter: duplicate 3-gram fraction
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.repetitionRatio(col("text"), 3).as("dup3_frac"))),
+
+    "txt11_char_entropy" -> ((s, dir) =>
+      // perplexity proxy: per-doc character-distribution entropy
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.charEntropy(col("text")).as("char_entropy"))),
+
     "txt8_redact_pii" -> ((s, dir) => {
       // PII scrubbing under the oracle: the corpus carries no PII, so the
       // query plants a deterministic email + numeric id per doc (same
@@ -1252,6 +1262,27 @@ object SparkEntry {
       ("SELECT doc_id, list_reduce(" +
         "list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), " +
         "(acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash FROM documents"),
+
+    "txt10_repetition" -> // same 3-gram construction as dd2's shingle CTE
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN len(toks) - 2 >= 1 THEN
+         |    round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+         |        i -> array_to_string(toks[i:i+2], ' ')))) AS DOUBLE)
+         |      / CAST(len(toks) - 2 AS DOUBLE), 4)
+         |  ELSE NULL END AS dup3_frac
+         |FROM t""").stripMargin,
+
+    "txt11_char_entropy" -> // same first-occurrence-ordered histogram fold;
+      // round(4) absorbs any reassociation-level fp difference in the sum
+      ("""WITH c AS (SELECT doc_id, text, string_split(text, '') AS chars FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN length(text) >= 1 THEN
+         |    round(-list_sum(list_transform(list_distinct(chars),
+         |      ch -> (CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars))
+         |            * ln(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars)))), 4)
+         |  ELSE NULL END AS char_entropy
+         |FROM c""").stripMargin,
 
     "txt8_redact_pii" -> // same planted PII, same stacked regex (RE2 needs
       // the explicit 'g' flag to match Spark's replace-all semantics)

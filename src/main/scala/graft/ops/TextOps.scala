@@ -94,4 +94,36 @@ object TextOps {
       (acc, ch) => pmod(acc * 31L + ascii(ch).cast("long"), p)
     )
   }
+
+  /** Duplicate word-n-gram fraction within a document (the C4/Gopher-style
+    * repetition filter): 1 − distinct/total n-grams. High values mark
+    * boilerplate and degenerate repetition. One narrow projection — total
+    * n-grams is arithmetic on the token count, distinct reuses
+    * [[DedupOps.shingles]] (already array_distinct'ed). NULL for docs
+    * shorter than n tokens (no n-grams to judge).
+    */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val total = size(tokens(text)) - (n - 1)
+    when(total >= 1,
+      round(lit(1.0) - size(DedupOps.shingles(text, n)).cast("double") / total.cast("double"), 4))
+      .otherwise(lit(null).cast("double"))
+  }
+
+  /** Per-document character-distribution Shannon entropy (nats) — a cheap
+    * perplexity proxy: near-zero entropy marks degenerate repetition,
+    * unusually high marks binary/garbled payloads. Computed entirely
+    * inside one projection with higher-order functions (per-doc char
+    * histogram via distinct-chars × count scan, O(len·alphabet) per doc,
+    * alphabet ≤ ~100): no explode, no shuffle — at 100 TB this runs as a
+    * map-only pass over the corpus.
+    */
+  def charEntropy(text: Column): Column = {
+    val chars = split(text, "")
+    val len = size(chars).cast("double")
+    val counts = transform(array_distinct(chars),
+      c => size(filter(chars, x => x === c)).cast("double"))
+    when(length(text) >= 1,
+      round(-aggregate(counts, lit(0.0), (acc, k) => acc + (k / len) * log(k / len)), 4))
+      .otherwise(lit(null).cast("double"))
+  }
 }

@@ -24,6 +24,32 @@ class TextEventOpsSpec extends SparkSpec {
     assert(out(4L) === "und")
   }
 
+  test("repetitionRatio: exact on constructed repetition, NULL on too-short docs") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"),     // 7 3-grams, 3 distinct -> 4/7 duplicated
+      (2L, "all words here differ"), // 2 distinct of 2 -> 0.0
+      (3L, "too short")              // no 3-grams -> NULL
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextOps.repetitionRatio(col("text"), 3).as("r"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L) === Some(math.rint((1.0 - 3.0 / 7.0) * 1e4) / 1e4))
+    assert(out(2L) === Some(0.0))
+    assert(out(3L) === None)
+  }
+
+  test("charEntropy: zero for single-char docs, ln(2) for an even two-char mix, high for varied text") {
+    val df = Seq(
+      (1L, "aaaa"),
+      (2L, "abab"),
+      (3L, "the quick brown fox jumps")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextOps.charEntropy(col("text")).as("h"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L)) === 0.0)
+    assert(math.abs(out(2L) - math.log(2)) < 1e-3)
+    assert(out(3L) > 2.0, s"varied text entropy ${out(3L)}")
+  }
+
   test("quality features computed exactly on a known sentence") {
     val df = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
     val row = TextOps.withQualityFeatures(df, "text").head
