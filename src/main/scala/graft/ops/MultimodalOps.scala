@@ -164,4 +164,61 @@ object MultimodalOps {
   def decodeImageStub(df: DataFrame, idCol: String, binCol: String)(
       implicit enc: org.apache.spark.sql.Encoder[MediaFeatures]): Dataset[MediaFeatures] =
     decodeImage(df, idCol, binCol)
+
+  /** Decoded audio metadata (what [[decodeAudioMeta]] emits). */
+  final case class AudioMeta(
+      item_id: Long,
+      format: String,
+      n_bytes: Long,
+      channels: Int,
+      sample_rate: Int,
+      bits_per_sample: Int)
+
+  /** Real RIFF/WAVE header parse — a chunk walk to the `fmt ` chunk,
+    * reading channels / sample rate / bits per sample from its PCM
+    * fields (little-endian, word-aligned chunks). Header-only: the
+    * sample payload is never touched, so this is a metadata pass like
+    * [[imageDims]]. Returns None for anything that isn't a well-formed
+    * RIFF/WAVE container.
+    */
+  private[ops] def wavMeta(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def le32(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 36 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val sz = le32(off + 4)
+      if (sz < 0) return None
+      if (tag(off) == "fmt ") {
+        if (sz < 16 || off + 8 + 16 > bytes.length) return None
+        return Some((le16(off + 10), le32(off + 12), le16(off + 22)))
+      }
+      off += 8 + sz + (sz & 1) // chunks are 2-byte aligned
+    }
+    None
+  }
+
+  /** Audio metadata decode in the same mapPartitions shape as
+    * [[decodeImage]]: WAV payloads (RIFF container) get REAL channel
+    * count / sample rate / bit depth from the header chunk walk; other
+    * formats report zeros (audio codecs beyond the WAV container are
+    * not in this container — that arm is the stub).
+    */
+  def decodeAudioMeta(df: DataFrame, idCol: String, binCol: String)(
+      implicit enc: org.apache.spark.sql.Encoder[AudioMeta]): Dataset[AudioMeta] = {
+    val prepared = withBinaryMeta(df.select(col(idCol).as("item_id"), col(binCol).as("content")), "content")
+      .select(col("item_id"), col("content"), col("n_bytes"), col("format"))
+    prepared.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        val fmt = r.getAs[String]("format")
+        val meta = if (fmt == "riff") wavMeta(bytes) else None
+        val (ch, rate, bps) = meta.getOrElse((0, 0, 0))
+        AudioMeta(r.getAs[Long]("item_id"), fmt, r.getAs[Long]("n_bytes"), ch, rate, bps)
+      }
+    }
+  }
 }

@@ -118,6 +118,34 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  private def wavBytes(channels: Int, rate: Int, bps: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataLen = 8 // a few fake sample bytes
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * bps / 8) // byte rate
+      .putShort((channels * bps / 8).toShort).putShort(bps.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    bb.array()
+  }
+
+  test("decodeAudioMeta extracts real channels/rate/depth from actual WAV headers") {
+    val real = Seq(
+      (20L, wavBytes(2, 44100, 16)),
+      (21L, wavBytes(1, 16000, 8)),
+      (22L, junk)
+    ).toDF("item_id", "content")
+    val out = MultimodalOps.decodeAudioMeta(real, "item_id", "content").collect()
+      .map(a => a.item_id -> a).toMap
+    assert(out(20L).format === "riff")
+    assert((out(20L).channels, out(20L).sample_rate, out(20L).bits_per_sample) === ((2, 44100, 16)))
+    assert((out(21L).channels, out(21L).sample_rate, out(21L).bits_per_sample) === ((1, 16000, 8)))
+    assert(out(22L).format === "unknown" && out(22L).channels === 0)
+  }
+
   test("append-mode aggregation DROPS genuinely late data once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]

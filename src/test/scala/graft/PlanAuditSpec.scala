@@ -93,6 +93,29 @@ class PlanAuditSpec extends SparkSpec {
       s"join input re-shuffled despite bucketing:\n$plan")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join (100 TB knob)") {
+    // at 100 TB the application-side threshold (10 GB default) is met by
+    // any fact scan; at test SF we lower it to prove the optimizer wiring.
+    // Broadcast is disabled because a broadcast join already prunes via
+    // its build side — the bloom filter matters for shuffle joins.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      val o = spark.read.parquet(s"$dir/orders.parquet").filter(org.apache.spark.sql.functions.col("o_orderstatus") === "P")
+      val plan = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"),
+        s"no runtime bloom filter injected:\n$plan")
+    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("small dimension sides broadcast in the customer-360 joins") {
     val plan = SparkEntry.queries("j2_customer360")(spark, dir)
       .queryExecution.executedPlan.toString
