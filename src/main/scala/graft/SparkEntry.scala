@@ -250,6 +250,42 @@ object SparkEntry {
         .intersect(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
     }),
 
+    "a9_unpivot" -> ((s, dir) => {
+      // unpivot/melt — the inverse of a6's pivot: wide metric columns
+      // back to (key, metric, value) long form, a narrow projection
+      // (each input row emits one row per value column, no shuffle
+      // beyond the feeding aggregate)
+      val wide = t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), dsum(col("l_extendedprice")).as("sum_price"))
+      wide.unpivot(Array(col("l_returnflag")), Array(col("sum_qty"), col("sum_price")),
+        "metric", "value")
+    }),
+
+    "j5_nullsafe_join" -> ((s, dir) => {
+      // null-safe equality (<=>): NULL keys MATCH each other, where a
+      // plain equi-join silently drops them — the semantics dimension
+      // tables with "unknown" buckets need
+      val e = t(s, dir, "events").withColumn("grp",
+        when(col("event_type") === "click", lit(null).cast("string")).otherwise(col("event_type")))
+      val a = e.groupBy("grp").agg(count(lit(1)).as("n_all"))
+      val b = e.filter(col("value") > 50).groupBy("grp").agg(count(lit(1)).as("n_high"))
+      a.join(b, a("grp") <=> b("grp"))
+        .select(a("grp").as("grp"), col("n_all"), col("n_high"))
+    }),
+
+    "o1_null_ordering" -> ((s, dir) => {
+      // explicit NULL placement in ORDER BY + LIMIT: engines disagree on
+      // the default (Spark: NULLS FIRST asc; DuckDB: NULLS LAST), so any
+      // cross-engine top-n over a nullable key MUST pin it; NULLS FIRST
+      // surfaces the no-order customers, tie-broken to a total order
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(col("c_custkey"), col("n_orders"))
+        .orderBy(col("n_orders").desc_nulls_first, col("c_custkey").asc)
+        .limit(25)
+    }),
+
     "set3_except_all" -> ((s, dir) => {
       // multiset difference: keeps SURPLUS duplicates (an O-status row is
       // removed once per matching F-status row, not wholesale) — distinct
@@ -1005,6 +1041,37 @@ object SparkEntry {
 
     "d1_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "a9_unpivot" -> // UNION ALL is the engine-portable unpivot
+      (s"""WITH w AS (
+         |  SELECT l_returnflag, ${dsumSql("l_quantity")} AS sum_qty,
+         |         ${dsumSql("l_extendedprice")} AS sum_price
+         |  FROM lineitem GROUP BY l_returnflag
+         |)
+         |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+         |UNION ALL
+         |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM w""").stripMargin,
+
+    "j5_nullsafe_join" ->
+      ("""WITH e AS (
+         |  SELECT CASE WHEN event_type = 'click' THEN NULL ELSE event_type END AS grp, value
+         |  FROM events
+         |), a AS (
+         |  SELECT grp, CAST(count(*) AS BIGINT) AS n_all FROM e GROUP BY grp
+         |), b AS (
+         |  SELECT grp, CAST(count(*) AS BIGINT) AS n_high FROM e WHERE value > 50 GROUP BY grp
+         |)
+         |SELECT a.grp, a.n_all, b.n_high
+         |FROM a JOIN b ON a.grp IS NOT DISTINCT FROM b.grp""").stripMargin,
+
+    "o1_null_ordering" ->
+      ("""SELECT c_custkey, CAST(n_orders AS BIGINT) AS n_orders FROM (
+         |  SELECT c.c_custkey, o.n_orders
+         |  FROM customer c LEFT JOIN (
+         |    SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+         |  ) o ON c.c_custkey = o.o_custkey
+         |)
+         |ORDER BY n_orders DESC NULLS FIRST, c_custkey ASC LIMIT 25""").stripMargin,
 
     "set3_except_all" ->
       ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +

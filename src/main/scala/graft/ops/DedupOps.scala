@@ -96,7 +96,13 @@ object DedupOps {
     val (filtered, sizes) = maxShingleFreq match {
       case Some(cap) =>
         // drop shingles whose doc-frequency exceeds the cap (stop-shingles);
-        // set sizes must then be recounted on the SURVIVING shingles
+        // set sizes must then be recounted on the SURVIVING shingles.
+        // The exploded set feeds both the frequency pass and the pair
+        // pass, so the explode is computed twice; MEASURED: a
+        // localCheckpoint of the exploded set is bench-neutral at sf0.1
+        // (checkpoint I/O cancels the recompute savings) — at true
+        // corpus scale, persist/checkpoint here if profiles show the
+        // second shingling pass dominating the checkpoint write
         val freq = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
         val kept = exploded.join(freq.filter(col("df") <= cap).select("shingle"), Seq("shingle"))
         (kept, kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh")))
