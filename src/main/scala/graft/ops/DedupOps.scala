@@ -176,7 +176,7 @@ object DedupOps {
     * At the fixpoint the edge set is a disjoint union of stars rooted at
     * each component's minimum id.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 12): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
     def fingerprint(e: DataFrame): (Long, String) = {
       // hash-sum in DECIMAL(38,0): xxhash64 values span the full long
       // range, so a plain long sum overflows (ANSI mode throws)
@@ -216,6 +216,13 @@ object DedupOps {
       prev = cur
       round += 1
     }
+    // a non-star edge set would yield silently WRONG components — fail
+    // loudly instead. 30 rounds covers any realistic diameter (the
+    // algorithm converges in O(log n) rounds; real dup clusters take
+    // 2-4); hitting this means the input is pathological, not that the
+    // answer should be guessed.
+    require(stable,
+      s"connectedComponents did not converge within $maxRounds rounds; raise maxRounds")
     // star fixpoint: every edge is (component root, member)
     edges.select(col("v").as("doc_id"), col("u").as("component"))
       .union(edges.select(col("u").as("doc_id"), col("u").as("component")))

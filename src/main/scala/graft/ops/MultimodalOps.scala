@@ -108,8 +108,11 @@ object MultimodalOps {
       if (!readers.hasNext) None
       else {
         val r = readers.next()
+        // NonFatal, not just IOException: ImageIO plugins throw runtime
+        // exceptions on some malformed headers, and one corrupt document
+        // must not fail a corpus-scale task
         try { r.setInput(iis, true); Some((r.getWidth(0), r.getHeight(0))) }
-        catch { case _: java.io.IOException => None }
+        catch { case scala.util.control.NonFatal(_) => None }
         finally r.dispose()
       }
     } finally iis.close()
@@ -181,22 +184,25 @@ object MultimodalOps {
     * [[imageDims]]. Returns None for anything that isn't a well-formed
     * RIFF/WAVE container.
     */
-  private[ops] def wavMeta(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+  private[graft] def wavMeta(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
     def le32(o: Int): Int =
       (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
         ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
     def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
     if (bytes.length < 36 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var off = 12
+    // Long offset: an adversarial chunk size near 2^31 would wrap an Int
+    // offset negative and index out of bounds — corrupt bytes must yield
+    // None, never a task failure, in a corpus-scale metadata pass
+    var off = 12L
     while (off + 8 <= bytes.length) {
-      val sz = le32(off + 4)
-      if (sz < 0) return None
-      if (tag(off) == "fmt ") {
+      val o = off.toInt
+      val sz = le32(o + 4).toLong & 0xffffffffL
+      if (tag(o) == "fmt ") {
         if (sz < 16 || off + 8 + 16 > bytes.length) return None
-        return Some((le16(off + 10), le32(off + 12), le16(off + 22)))
+        return Some((le16(o + 10), le32(o + 12), le16(o + 22)))
       }
-      off += 8 + sz + (sz & 1) // chunks are 2-byte aligned
+      off += 8L + sz + (sz & 1L) // chunks are 2-byte aligned
     }
     None
   }

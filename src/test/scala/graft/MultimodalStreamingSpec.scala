@@ -146,6 +146,19 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(out(22L).format === "unknown" && out(22L).channels === 0)
   }
 
+  test("wavMeta survives adversarial chunk sizes (no crash, just None)") {
+    // RIFF/WAVE container whose first chunk claims size 0xFFFFFFFF — an
+    // Int offset would wrap negative and index out of bounds
+    val evil = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(56)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("junk".getBytes("US-ASCII")).putInt(0xffffffff)
+      .array()
+    assert(MultimodalOps.wavMeta(evil) === None)
+    assert(MultimodalOps.wavMeta(Array.emptyByteArray) === None)
+    assert(MultimodalOps.wavMeta("RIFFxxxxWAVE".getBytes) === None)
+  }
+
   test("append-mode aggregation DROPS genuinely late data once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
