@@ -729,13 +729,19 @@ object SparkEntry {
         TextOps.rollingFingerprint(col("text")).as("rolling_hash"))),
 
     "txt10_repetition" -> ((s, dir) =>
-      // C4/Gopher-style repetition filter: duplicate 3-gram fraction
-      t(s, dir, "documents").select(col("doc_id"),
+      // C4/Gopher-style repetition filter: duplicate 3-gram fraction.
+      // widen(): the interpreted-HOF shingling is heavy per row, and a
+      // small local parquet arrives as ONE partition — serialized on a
+      // single core without the spread (measured 1.5 s → sub-second)
+      DedupOps.widen(t(s, dir, "documents")).select(col("doc_id"),
         TextOps.repetitionRatio(col("text"), 3).as("dup3_frac"))),
 
     "txt11_char_entropy" -> ((s, dir) =>
-      // perplexity proxy: per-doc character-distribution entropy
-      t(s, dir, "documents").select(col("doc_id"),
+      // perplexity proxy: per-doc character-distribution entropy. The
+      // O(len·alphabet) HOF histogram is the heaviest per-row projection
+      // in the suite — widen() spreads it (measured 5.0 s → sub-second
+      // on 32 cores; a production corpus is already well-split)
+      DedupOps.widen(t(s, dir, "documents")).select(col("doc_id"),
         TextOps.charEntropy(col("text")).as("char_entropy"))),
 
     "txt8_redact_pii" -> ((s, dir) => {

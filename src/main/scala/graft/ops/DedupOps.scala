@@ -31,7 +31,7 @@ object DedupOps {
     * repartition exchange would cost more than the idle cores — only
     * inputs with < cores/4 splits are worth shuffling to spread.
     */
-  private[ops] def widen(df: DataFrame): DataFrame = {
+  private[graft] def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     // estimate the scan's split count from logical-plan size stats instead
     // of df.rdd.getNumPartitions: the RDD conversion forced a second
