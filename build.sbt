@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (box has 128 GiB): an 8g heap showed measurable GC drag
+  // on the 32-thread bench suite (full single-shot run 102 s vs 84 s)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // headroom for the suite's ~83 plans' worth of Janino classes: the JDK
+  // default 240m code cache runs near full on a whole-suite run, and a
+  // full code cache silently disables the JIT mid-run
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -27,9 +27,26 @@ object Bench {
     // N times and keeps the fastest (isolates plan cost from JIT noise)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val repeat = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    // Steady-state warmup: run the measured set once at the smallest SF
+    // before timing anything. Identical plan shapes generate identical
+    // codegen sources (Janino cache hit), so this pre-pays the one-time
+    // Janino compile + C2 JIT of every plan's generated code, which a
+    // single-shot run otherwise attributes to whichever target-SF query
+    // happens to execute a path first (measured at sf0.1: dd2 10.6 s
+    // cold-path vs 2.5 s steady-state — round-3's "txt5 regressed 2.1x"
+    // was exactly this, queries absorbing warmup by run-order lottery).
+    // Costs ~15 s at sf0.001; disable with SPARK_GRAFT_WARMUP=0.
+    val warmDir = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
+        && warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
+      selected.foreach { case (name, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] warmup $name: ${e.getMessage}") }
+      }
+    }
+    val results = selected.map { case (name, fn) =>
       val runs = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -57,7 +74,14 @@ object Bench {
       if (sorted.isEmpty) 0.0
       else if (sorted.size % 2 == 1) sorted(sorted.size / 2)
       else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"median_query_sec":$median,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"median_query_sec":$median,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's artifact keeps only the tail of stdout, which truncates
+    // the totals once the suite is large — persist the complete metric
+    // JSON so every headline number stays auditable post-hoc
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -235,6 +235,109 @@ object HashKernels {
     out
   }
 
+  /** Character-distribution Shannon entropy (nats) — bit-parity with the
+    * higher-order-function spec in [[graft.ops.TextOps.charEntropy]]:
+    * distinct characters in first-occurrence order (array_distinct
+    * semantics), p·ln(p) folded sequentially in double, ln =
+    * StrictMath.log (what Spark's `log` expression calls). Returns -acc
+    * exactly like the HOF's negated aggregate, so a single-character doc
+    * yields the same -0.0. Empty input returns 0.0 (callers guard with
+    * length >= 1, matching the HOF's NULL branch).
+    *
+    * The HOF formulation is O(len·alphabet) *interpreted* lambda calls per
+    * row; this is one byte scan plus an alphabet-sized fold — the
+    * structural fix for the txt11 hot spot.
+    */
+  def charEntropy(text: UTF8String): Double = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    if (len == 0) return 0.0
+    var ascii = true
+    var i = 0
+    while (i < len) { if (bytes(i) < 0) { ascii = false; i = len } else i += 1 }
+    if (ascii) {
+      // counts indexed by byte, order = first occurrence (what
+      // array_distinct(split(text, '')) iterates)
+      val counts = new Array[Int](128)
+      val order = new Array[Int](128)
+      var m = 0
+      i = 0
+      while (i < len) {
+        val c = bytes(i)
+        if (counts(c) == 0) { order(m) = c; m += 1 }
+        counts(c) += 1
+        i += 1
+      }
+      val n = len.toDouble
+      var acc = 0.0
+      var j = 0
+      while (j < m) {
+        val p = counts(order(j)) / n
+        acc += p * StrictMath.log(p)
+        j += 1
+      }
+      -acc
+    } else {
+      // general path: split(text, '') elements are code points (Java regex
+      // zero-width split never bisects a surrogate pair)
+      val s = text.toString
+      val order = new java.util.LinkedHashMap[Integer, Array[Int]]()
+      var k = 0
+      var total = 0
+      while (k < s.length) {
+        val cp = s.codePointAt(k)
+        k += Character.charCount(cp)
+        total += 1
+        val cnt = order.get(cp)
+        if (cnt == null) order.put(cp, Array(1)) else cnt(0) += 1
+      }
+      val n = total.toDouble
+      var acc = 0.0
+      val it = order.values().iterator()
+      while (it.hasNext) {
+        val p = it.next()(0) / n
+        acc += p * StrictMath.log(p)
+      }
+      -acc
+    }
+  }
+
+  /** Exact count of DISTINCT word n-gram shingles — the native equivalent
+    * of `size(DedupOps.shingles(text, n))` for the repetition filter.
+    * Distinctness is by shingle STRING equality (UTF8String views over the
+    * source bytes, zero copies), not by hash, so a 31-bit hash collision
+    * can never diverge from the `array_distinct` / `list_distinct` spec.
+    */
+  def distinctShingleCount(text: UTF8String, n: Int): Int = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    if (len == 0) return 0
+    var nTokens = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
+    if (nTokens < n) return 0
+    val starts = new Array[Int](nTokens + 1)
+    starts(0) = 0
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTokens) = len + 1 // sentinel: token k spans [starts(k), starts(k+1)-2]
+    val total = nTokens - n + 1
+    val seen = new java.util.HashSet[UTF8String](total * 2)
+    var k = 0
+    var m = 0
+    while (k < total) {
+      val from = starts(k)
+      val until = starts(k + n) - 1 // exclusive: drop the trailing space
+      if (seen.add(UTF8String.fromBytes(bytes, from, until - from))) m += 1
+      k += 1
+    }
+    m
+  }
+
   /** Cosine similarity of two float arrays with double accumulation —
     * matches SimilarityOps.cosine (sequential fold) bit-for-bit. */
   def cosineFloat(a: Array[Float], b: Array[Float]): Double = {

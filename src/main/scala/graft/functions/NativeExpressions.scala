@@ -75,6 +75,53 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Character-distribution Shannon entropy (nats):
+    * `graft_char_entropy(text)` → double. Bit-parity with the HOF
+    * formulation in [[graft.ops.TextOps.charEntropy]] (kept as the
+    * executable spec); one byte scan replaces an O(len·alphabet)
+    * interpreted-lambda histogram per row.
+    */
+  final case class CharEntropy(child: Expression) extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column")
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_char_entropy"
+
+    override def nullSafeEval(input: Any): Any =
+      HashKernels.charEntropy(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.charEntropy($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+      copy(child = newChild)
+  }
+
+  /** Exact distinct word-n-gram count:
+    * `graft_distinct_ngrams(text, n)` → int. Equals
+    * `size(DedupOps.shingles(text, n))` (string-equality distinct, not
+    * hash-distinct) — the numerator of the repetition filter.
+    */
+  final case class DistinctNgrams(child: Expression, n: Int) extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column")
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_distinct_ngrams"
+
+    override def nullSafeEval(input: Any): Any =
+      HashKernels.distinctShingleCount(input.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.distinctShingleCount($c, $n)")
+
+    override protected def withNewChildInternal(newChild: Expression): DistinctNgrams =
+      copy(child = newChild)
+  }
+
   /** Cosine similarity of two array<float>: `graft_cosine(a, b)`. */
   final case class CosineSim(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -203,6 +250,16 @@ object NativeExpressions {
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (args: Seq[Expression]) => SimHash64(args.head,
         if (args.length > 1) intArg(args(1), "shingleSize") else 2)),
+    (FunctionIdentifier("graft_char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "graft_char_entropy"),
+      (args: Seq[Expression]) => CharEntropy(args.head)),
+    (FunctionIdentifier("graft_distinct_ngrams"),
+      new ExpressionInfo(classOf[DistinctNgrams].getName, "graft_distinct_ngrams"),
+      (args: Seq[Expression]) => {
+        val n = if (args.length > 1) intArg(args(1), "n") else 3
+        require(n > 0, s"graft_distinct_ngrams requires n > 0, got $n")
+        DistinctNgrams(args.head, n)
+      }),
     (FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))),

@@ -126,4 +126,27 @@ object TextOps {
       round(-aggregate(counts, lit(0.0), (acc, k) => acc + (k / len) * log(k / len)), 4))
       .otherwise(lit(null).cast("double"))
   }
+
+  /** [[charEntropy]] through the native codegen'd kernel
+    * (graft_char_entropy — bit-parity spec'd against the HOF above, which
+    * stays as the executable specification). The HOF's interpreted
+    * lambdas cost O(len·alphabet) calls per row and are never
+    * whole-stage-codegen'd; the kernel is one byte scan inside the
+    * generated code. Callers must have run NativeExpressions.register.
+    */
+  def charEntropyNative(textCol: String): Column =
+    when(length(col(textCol)) >= 1,
+      round(expr(s"graft_char_entropy(`$textCol`)"), 4))
+      .otherwise(lit(null).cast("double"))
+
+  /** [[repetitionRatio]] with the distinct-n-gram count from the native
+    * kernel (graft_distinct_ngrams — exact string-distinct, same value as
+    * size(DedupOps.shingles)). Same NULL-below-n-tokens contract. */
+  def repetitionRatioNative(textCol: String, n: Int): Column = {
+    val total = size(tokens(col(textCol))) - (n - 1)
+    when(total >= 1,
+      round(lit(1.0) -
+        expr(s"graft_distinct_ngrams(`$textCol`, $n)").cast("double") / total.cast("double"), 4))
+      .otherwise(lit(null).cast("double"))
+  }
 }

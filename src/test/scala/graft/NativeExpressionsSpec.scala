@@ -128,7 +128,62 @@ class NativeExpressionsSpec extends SparkSpec {
     new graft.functions.GraftExtensions().apply(ext) // must not throw; builder path
     assert(NativeExpressions.functions.map(_._1.funcName).toSet ===
       Set("graft_minhash", "graft_simhash64", "graft_cosine", "graft_signbuckets",
-        "graft_nearest_cells", "graft_topk"))
+        "graft_nearest_cells", "graft_topk", "graft_char_entropy", "graft_distinct_ngrams"))
+  }
+
+  test("graft_char_entropy matches the HOF charEntropy bit-for-bit on real documents") {
+    // compare UNROUNDED values: the HOF column with its round(4) removed
+    // against the raw kernel — exact double equality, so any ln/fold/order
+    // divergence fails loudly rather than hiding under the round
+    val chars = split(col("text"), "")
+    val len = size(chars).cast("double")
+    val counts = transform(array_distinct(chars),
+      c => size(filter(chars, x => x === c)).cast("double"))
+    val hofRaw = -aggregate(counts, lit(0.0), (acc, k) => acc + (k / len) * log(k / len))
+    val mismatches = docs.select(
+      expr("graft_char_entropy(text)").as("native"), hofRaw.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatches === 0L)
+    // and the full query-shaped columns (round + NULL guard) agree too
+    val shaped = docs.select(
+      graft.ops.TextOps.charEntropyNative("text").as("native"),
+      graft.ops.TextOps.charEntropy(col("text")).as("hof"))
+      .filter(not(col("native") <=> col("hof"))).count()
+    assert(shaped === 0L)
+  }
+
+  test("graft_char_entropy edge cases: empty, single char, repeated char, unicode") {
+    val edge = Seq((1L, ""), (2L, "a"), (3L, "aaaa"), (4L, "ab"), (5L, "héllo wörld"),
+      (6L, "汉字 text 汉"), (7L, "a😀b😀")).toDF("id", "text")
+    val both = edge.select(col("id"),
+      graft.ops.TextOps.charEntropyNative("text").as("native"),
+      graft.ops.TextOps.charEntropy(col("text")).as("hof"))
+    assert(both.filter(not(col("native") <=> col("hof"))).count() === 0L)
+    val byId = both.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(byId(1L).isEmpty)                       // empty -> NULL
+    assert(byId(2L).contains(-0.0) || byId(2L).contains(0.0)) // single char -> zero entropy
+    assert(byId(4L).exists(v => math.abs(v.asInstanceOf[Double] - StrictMath.log(2)) < 1e-4))
+  }
+
+  test("graft_distinct_ngrams equals size(shingles) on real documents and edges") {
+    val onDocs = docs.select(
+      expr("graft_distinct_ngrams(text, 3)").as("native"),
+      size(DedupOps.shingles(col("text"), 3)).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(onDocs === 0L)
+    val edge = Seq((1L, ""), (2L, "one"), (3L, "a b"), (4L, "a b c"), (5L, "a b c a b c a b c"),
+      (6L, "x  y")).toDF("id", "text") // double space -> empty token, same as split
+    val edgeDiff = edge.select(
+      expr("graft_distinct_ngrams(text, 3)").as("native"),
+      size(DedupOps.shingles(col("text"), 3)).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(edgeDiff === 0L)
+    // and the repetition-filter column shape agrees end to end
+    val shaped = edge.union(docs.select(col("doc_id"), col("text"))).select(
+      graft.ops.TextOps.repetitionRatioNative("text", 3).as("native"),
+      graft.ops.TextOps.repetitionRatio(col("text"), 3).as("hof"))
+      .filter(not(col("native") <=> col("hof"))).count()
+    assert(shaped === 0L)
   }
 
   test("approx_count_distinct stays within 5% of exact on real data (agg3 contract)") {
