@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DedupOps, EventOps, SampleOps, SimilarityOps, TextOps}
+import graft.ops.{ContaminationOps, DedupOps, EventOps, SampleOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -804,9 +804,9 @@ object SparkEntry {
       // probe string (here: 20-char prefixes of a 50-doc probe set).
       // The probe set broadcasts (bounded by construction — eval suites
       // are small); the scan side stays narrow; contains() is codegen'd.
-      // A production screen hashes probe n-grams into a Bloom filter to
-      // cut the per-row cost from O(probes) to O(1) — the broadcast
-      // nested-loop shape here is the exact-match baseline it verifies
+      // This broadcast nested-loop shape is the exact-match BASELINE;
+      // ctm2_bloom_screen is the production path — probe n-grams in a
+      // Bloom filter, per-row cost independent of |probes|
       val docs = t(s, dir, "documents")
       val probes = docs.filter(col("doc_id") < 50)
         .select(col("doc_id").as("probe_id"), substring(col("text"), 1, 20).as("probe"))
@@ -814,6 +814,21 @@ object SparkEntry {
           col("text").contains(col("probe")) && col("doc_id") =!= col("probe_id"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_probe_hits"), min("probe_id").as("first_probe"))
+    }),
+
+    "ctm2_bloom_screen" -> ((s, dir) => {
+      // the Bloom upgrade ctm1's comment promises: probe 20-grams go into
+      // a Bloom filter built by a distributed aggregate; the corpus is
+      // prefiltered by an O(len) sliding-window membership test that does
+      // not scale with |probes|; exact contains() verification on the few
+      // candidates kills false positives — same deterministic answer as
+      // the exact formulation, same oracle shape. Probes are fixed-length
+      // (length(text) >= 20 guard), the real decontamination contract.
+      val docs = t(s, dir, "documents")
+      val probes = docs.filter(col("doc_id") < 50 && length(col("text")) >= 20)
+        .select(col("doc_id").as("probe_id"), substring(col("text"), 1, 20).as("probe"))
+      ContaminationOps.bloomScreen(docs, "doc_id", "text",
+        probes, "probe_id", "probe", probeLen = 20)
     }),
 
     // ---- dedup ----
@@ -1417,6 +1432,19 @@ object SparkEntry {
       ("""WITH probes AS (
          |  SELECT doc_id AS probe_id, substring(text, 1, 20) AS probe
          |  FROM documents WHERE doc_id < 50
+         |)
+         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_probe_hits,
+         |       min(p.probe_id) AS first_probe
+         |FROM documents d JOIN probes p
+         |  ON contains(d.text, p.probe) AND d.doc_id <> p.probe_id
+         |GROUP BY 1""").stripMargin,
+
+    "ctm2_bloom_screen" -> // the Bloom pass is false-negative-free and the
+      // verify join kills false positives, so the oracle is the same exact
+      // join as ctm1 restricted to the fixed-length (>= 20 chars) probes
+      ("""WITH probes AS (
+         |  SELECT doc_id AS probe_id, substring(text, 1, 20) AS probe
+         |  FROM documents WHERE doc_id < 50 AND length(text) >= 20
          |)
          |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_probe_hits,
          |       min(p.probe_id) AS first_probe

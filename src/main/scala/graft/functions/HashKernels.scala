@@ -338,6 +338,96 @@ object HashKernels {
     m
   }
 
+  /** Bloom-filter bit insertion, shared by the build aggregate and (as the
+    * executable spec) the probe side. Hash family: XXH64 (seed 42 — the
+    * same hash Spark's `xxhash64` computes over a string's UTF-8 bytes)
+    * double-hashed Kirsch-Mitzenmacher style: bit_i = (h + i·h2) mod m
+    * with h2 forced odd so the stride never degenerates.
+    */
+  def bloomSet(bits: Array[Long], h: Long, numHashes: Int): Unit = {
+    val numBits = bits.length.toLong * 64L
+    val h2 = ((h >>> 32) << 1) | 1L
+    var i = 0
+    while (i < numHashes) {
+      val idx = java.lang.Long.remainderUnsigned(h + i.toLong * h2, numBits)
+      bits((idx >>> 6).toInt) |= (1L << (idx & 63L).toInt)
+      i += 1
+    }
+  }
+
+  /** Membership test against bits stored as an array<long> column value —
+    * reads words in place (no per-row copy of the filter). */
+  def bloomMightContain(bits: org.apache.spark.sql.catalyst.util.ArrayData, h: Long, numHashes: Int): Boolean = {
+    val numBits = bits.numElements().toLong * 64L
+    val h2 = ((h >>> 32) << 1) | 1L
+    var i = 0
+    while (i < numHashes) {
+      val idx = java.lang.Long.remainderUnsigned(h + i.toLong * h2, numBits)
+      if ((bits.getLong((idx >>> 6).toInt) & (1L << (idx & 63L).toInt)) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Does any `probeLen`-CHARACTER sliding window of `text` hit the Bloom
+    * filter? Window hashes are XXH64 (seed 42) over the window's UTF-8
+    * byte span, which equals `xxhash64(substring(text, c, probeLen))` —
+    * the insert side hashes whole probe strings the same way, so a
+    * contained probe can NEVER be missed (Bloom filters have no false
+    * negatives; false positives are killed by the caller's exact verify
+    * join). Cost is O(chars) hash+test per row, independent of the number
+    * of probes — the structural fix over an O(|probes|·len) contains()
+    * nested loop.
+    */
+  def bloomTextHit(text: UTF8String, bits: org.apache.spark.sql.catalyst.util.ArrayData,
+      probeLen: Int, numHashes: Int): Boolean = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    if (len == 0) return false
+    var ascii = true
+    var i = 0
+    while (i < len) { if (bytes(i) < 0) { ascii = false; i = len } else i += 1 }
+    val off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+    if (ascii) {
+      if (len < probeLen) return false
+      var c = 0
+      while (c <= len - probeLen) {
+        val h = XXH64.hashUnsafeBytes(bytes, off + c, probeLen, 42L)
+        if (bloomMightContain(bits, h, numHashes)) return true
+        c += 1
+      }
+      false
+    } else {
+      // UTF-8: windows are probeLen CODE POINTS; hash the byte span between
+      // the char-start offsets (== the substring's UTF-8 encoding)
+      var nChars = 0
+      i = 0
+      while (i < len) {
+        i += UTF8String.numBytesForFirstByte(bytes(i))
+        nChars += 1
+      }
+      if (nChars < probeLen) return false
+      val starts = new Array[Int](nChars + 1)
+      var ci = 0
+      i = 0
+      while (i < len) {
+        starts(ci) = i
+        i += UTF8String.numBytesForFirstByte(bytes(i))
+        ci += 1
+      }
+      starts(nChars) = len
+      var c = 0
+      while (c <= nChars - probeLen) {
+        val from = starts(c)
+        val until = starts(c + probeLen)
+        val h = XXH64.hashUnsafeBytes(bytes, off + from, until - from, 42L)
+        if (bloomMightContain(bits, h, numHashes)) return true
+        c += 1
+      }
+      false
+    }
+  }
+
   /** Cosine similarity of two float arrays with double accumulation —
     * matches SimilarityOps.cosine (sequential fold) bit-for-bit. */
   def cosineFloat(a: Array[Float], b: Array[Float]): Double = {

@@ -122,6 +122,37 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Sliding-window Bloom membership:
+    * `graft_bloom_text_hit(text, bloomWords, probeLen, numHashes)` →
+    * boolean — true iff ANY probeLen-character window of `text` might be
+    * in the filter (see [[HashKernels.bloomTextHit]]). The filter words
+    * arrive as a COLUMN (from the one-row [[BloomBuildAgg]] result
+    * broadcast-joined onto the scan), read in place with no per-row copy.
+    */
+  final case class BloomTextHit(left: Expression, right: Expression, probeLen: Int, numHashes: Int)
+      extends BinaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (StringType, ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (string, array<bigint>) inputs")
+      }
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "graft_bloom_text_hit"
+
+    override def nullSafeEval(text: Any, bits: Any): Any =
+      HashKernels.bloomTextHit(text.asInstanceOf[UTF8String],
+        bits.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], probeLen, numHashes)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (t, b) =>
+        s"graft.functions.HashKernels.bloomTextHit($t, $b, $probeLen, $numHashes)")
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): BloomTextHit =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Cosine similarity of two array<float>: `graft_cosine(a, b)`. */
   final case class CosineSim(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -259,6 +290,19 @@ object NativeExpressions {
         val n = if (args.length > 1) intArg(args(1), "n") else 3
         require(n > 0, s"graft_distinct_ngrams requires n > 0, got $n")
         DistinctNgrams(args.head, n)
+      }),
+    (FunctionIdentifier("graft_bloom_build"),
+      new ExpressionInfo(classOf[BloomBuildAgg].getName, "graft_bloom_build"),
+      (args: Seq[Expression]) => BloomBuildAgg(args.head,
+        intArg(args(1), "numBits"), intArg(args(2), "numHashes"))),
+    (FunctionIdentifier("graft_bloom_text_hit"),
+      new ExpressionInfo(classOf[BloomTextHit].getName, "graft_bloom_text_hit"),
+      (args: Seq[Expression]) => {
+        val probeLen = intArg(args(2), "probeLen")
+        val numHashes = intArg(args(3), "numHashes")
+        require(probeLen > 0, s"graft_bloom_text_hit requires probeLen > 0, got $probeLen")
+        require(numHashes > 0, s"graft_bloom_text_hit requires numHashes > 0, got $numHashes")
+        BloomTextHit(args(0), args(1), probeLen, numHashes)
       }),
     (FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),

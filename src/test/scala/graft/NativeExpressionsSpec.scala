@@ -128,7 +128,8 @@ class NativeExpressionsSpec extends SparkSpec {
     new graft.functions.GraftExtensions().apply(ext) // must not throw; builder path
     assert(NativeExpressions.functions.map(_._1.funcName).toSet ===
       Set("graft_minhash", "graft_simhash64", "graft_cosine", "graft_signbuckets",
-        "graft_nearest_cells", "graft_topk", "graft_char_entropy", "graft_distinct_ngrams"))
+        "graft_nearest_cells", "graft_topk", "graft_char_entropy", "graft_distinct_ngrams",
+        "graft_bloom_build", "graft_bloom_text_hit"))
   }
 
   test("graft_char_entropy matches the HOF charEntropy bit-for-bit on real documents") {
@@ -184,6 +185,43 @@ class NativeExpressionsSpec extends SparkSpec {
       graft.ops.TextOps.repetitionRatio(col("text"), 3).as("hof"))
       .filter(not(col("native") <=> col("hof"))).count()
     assert(shaped === 0L)
+  }
+
+  test("bloom screen equals the exact contains() join, even when the filter is saturated") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+    val probes = docs.filter(col("doc_id") < 50 && length(col("text")) >= 20)
+      .select(col("doc_id").as("probe_id"), substring(col("text"), 1, 20).as("probe"))
+    val exact = docs.join(broadcast(probes),
+        col("text").contains(col("probe")) && col("doc_id") =!= col("probe_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_probe_hits"), min("probe_id").as("first_probe"))
+    for (numBits <- Seq(64, 1 << 16)) { // 64 bits ~ saturated: many false positives
+      val bloom = graft.ops.ContaminationOps.bloomScreen(
+        docs, "doc_id", "text", probes, "probe_id", "probe",
+        probeLen = 20, numBits = numBits, numHashes = 5)
+      assert(bloom.exceptAll(exact).count() === 0L, s"numBits=$numBits extra rows")
+      assert(exact.exceptAll(bloom).count() === 0L, s"numBits=$numBits missing rows")
+    }
+    assert(exact.count() > 0L) // non-vacuous: sf0.001 has real contamination
+  }
+
+  test("bloom window test has no false negatives on multi-byte text") {
+    // planted contamination with UTF-8 text on BOTH sides: the window
+    // walk must step code points, or a mid-document multi-byte char
+    // shifts every later window off its substring boundary
+    val docs = Seq(
+      (1L, "prefix 汉字 the sécret pâyload here 汉"), // contains the probe mid-string
+      (2L, "französische sätze ohne treffer über"),
+      (3L, "das geheimnis: the sécret pâyload here"),
+      (4L, "nothing to see")).toDF("doc_id", "text")
+    val probes = Seq((100L, "the sécret pâyload")).toDF("probe_id", "probe")
+    val probeChars = "the sécret pâyload".length
+    val out = graft.ops.ContaminationOps.bloomScreen(
+      docs, "doc_id", "text", probes, "probe_id", "probe",
+      probeLen = probeChars, numBits = 1 << 12, numHashes = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L, 3L))
   }
 
   test("approx_count_distinct stays within 5% of exact on real data (agg3 contract)") {
