@@ -484,6 +484,51 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
     }),
 
+    "src5_schema_evolution" -> ((s, dir) => {
+      // schema-evolution read: generation 1 of the lake predates the
+      // status column; generation 2 adds it. mergeSchema unions the file
+      // schemas (gen-1 rows surface NULL status) — the drift pattern
+      // every long-lived 100 TB table hits. The merged scan still prunes
+      // columns and pushes filters (spec-asserted in WarehouseSpec); the
+      // oracle replays the generational split from the flat table.
+      val staged = java.nio.file.Files.createTempDirectory("src5_evo")
+      staged.toFile.deleteOnExit()
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$staged/gen1")
+      orders.filter(col("o_orderkey") % 2 =!= 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite").parquet(s"$staged/gen2")
+      s.read.option("mergeSchema", "true").parquet(s"$staged/gen1", s"$staged/gen2")
+        .groupBy(coalesce(col("o_orderstatus"), lit("legacy")).as("status_merged"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+    }),
+
+    "nst1_nested_types" -> ((s, dir) =>
+      // map/struct column functions under the oracle: build typed nested
+      // columns, then extract scalars back out — struct field access,
+      // element_at / try_element_at, map_keys / map_values. The OUTPUT is
+      // flat (nested output columns compare differently per engine in the
+      // driver's pandas canonicalization); the nested construction and
+      // access in the middle is what's hash-checked. try_element_at (not
+      // element_at) for the absent key: ANSI mode makes plain element_at
+      // throw on missing map keys.
+      t(s, dir, "orders").select(
+        struct(col("o_orderkey").as("key"), col("o_totalprice").as("price")).as("os"),
+        map(lit("full"), col("o_totalprice").cast("decimal(16,2)"),
+            lit("double"), (col("o_totalprice") * 2).cast("decimal(16,2)")).as("om"))
+      .select(
+        // extracted money lands as double (the dsum convention: decimal
+        // column dtypes canonicalize differently across the two engines'
+        // parquet/pandas paths)
+        col("os.key").as("o_orderkey"),
+        col("os").getField("price").cast("double").as("struct_price"),
+        element_at(col("om"), "full").cast("double").as("map_full"),
+        expr("try_element_at(om, 'missing')").cast("double").as("map_missing"),
+        array_join(map_keys(col("om")), ",").as("keys_csv"),
+        size(map_values(col("om"))).cast("long").as("n_vals"))),
+
     "sk1_salted_join" -> ((s, dir) => {
       // two-sided salted join (hot-key mitigation) under the oracle: the
       // plain inner-join SQL must hash-match, proving salting is a pure
@@ -678,6 +723,30 @@ object SparkEntry {
         q.awaitTermination()
       } finally s.conf.set("spark.sql.shuffle.partitions", batchPartitions)
       s.table("st1_hourly")
+    }),
+
+    "st3_stream_update" -> ((s, dir) => {
+      // the third output mode (st1 Complete, st2 Append): update-mode
+      // aggregation emits only groups REVISED by each batch. An
+      // AvailableNow drain of one file is a single batch, so every group
+      // is revised exactly once and the result answers to the same batch
+      // oracle — the multi-batch re-emission and late-drop semantics are
+      // pinned by the update-mode spec in MultimodalStreamingSpec
+      val staged = java.nio.file.Files.createTempDirectory("st3_events")
+      staged.toFile.deleteOnExit()
+      val copied = staged.resolve("part-0.parquet")
+      copied.toFile.deleteOnExit()
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), copied,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val batchPartitions = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8") // state-store sizing, see st1
+      try {
+        val stream = graft.streaming.EventStreams.eventParquetStream(s, staged.toString)
+        val q = graft.streaming.EventStreams.runToMemory(
+          EventOps.tumblingCounts(stream, "hour"), "st3_hourly", "update")
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", batchPartitions)
+      s.table("st3_hourly")
     }),
 
     "st2_stream_interval_join" -> ((s, dir) => {
@@ -899,6 +968,32 @@ object SparkEntry {
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         emb, "vec_id", "embedding", k = 5, dim = 64)
         .withColumnRenamed("rank", "rnk")
+    }),
+
+    "ann4_lsh_recall" -> ((s, dir) => {
+      // the LSH path under the oracle: recall@5 of ann2's sign-LSH result
+      // against ann1's exact answer, computed INSIDE the query. Every
+      // input is deterministic (fixed seed, bit-parity kernels), so the
+      // recall is a stable number the driver can hash-check — n_exact is
+      // independently derived by the oracle's brute-force SQL; the recall
+      // constant is a measured golden pinned per SF (a cross-engine SQL
+      // oracle cannot re-derive the hyperplane RNG), making this a
+      // determinism/regression gate on the whole LSH pipeline, with the
+      // recall-floor property spec'd in SimilarityOpsSpec
+      val emb = t(s, dir, "embeddings")
+      val exact = SimilarityOps.bruteForceTopK(
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5)
+      val lsh = SimilarityOps.lshTopK(
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5, dim = 64)
+      exact.join(
+          lsh.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
+          Seq("q_id", "vec_id"), "left")
+        .agg(
+          round(sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)), 4)
+            .as("recall_at_5"),
+          count(lit(1)).cast("long").as("n_exact"))
     }),
 
     "ann3_ivf_topk" -> ((s, dir) => { // no oracle: kmeans-cell approximate; spec-pinned
@@ -1163,6 +1258,27 @@ object SparkEntry {
         s"${dsumSql("o_totalprice")} AS total_price " +
         "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"),
 
+    "src5_schema_evolution" -> // the oracle replays the generational split
+      // (even keys were written before the status column existed)
+      (s"SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'legacy' ELSE o_orderstatus END AS status_merged, " +
+        s"CAST(count(*) AS BIGINT) AS n_orders, ${dsumSql("o_totalprice")} AS total_price " +
+        "FROM orders GROUP BY 1"),
+
+    "nst1_nested_types" -> // same nested build + scalar extraction; DuckDB
+      // map extraction yields a one-element list, hence the [1]
+      ("""WITH nested AS (
+         |  SELECT {'key': o_orderkey, 'price': o_totalprice} AS os,
+         |         map(['full', 'double'],
+         |             [CAST(o_totalprice AS DECIMAL(16,2)), CAST(o_totalprice * 2 AS DECIMAL(16,2))]) AS om
+         |  FROM orders
+         |)
+         |SELECT os.key AS o_orderkey, CAST(os.price AS DOUBLE) AS struct_price,
+         |       CAST(om['full'][1] AS DOUBLE) AS map_full,
+         |       CAST(om['missing'][1] AS DOUBLE) AS map_missing,
+         |       array_to_string(map_keys(om), ',') AS keys_csv,
+         |       CAST(len(map_values(om)) AS BIGINT) AS n_vals
+         |FROM nested""").stripMargin,
+
     "sk1_salted_join" -> // salting is invisible in the result
       (s"SELECT o.o_custkey, CAST(count(*) AS BIGINT) AS n_items, " +
         s"${dsumSql("l.l_extendedprice")} AS total_price " +
@@ -1317,6 +1433,11 @@ object SparkEntry {
       "SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_value FROM events",
 
     "st1_stream_hourly" -> // the streaming path answers to the same oracle as batch e1
+      (s"SELECT date_trunc('hour', ts) AS window_start, event_type, CAST(count(*) AS BIGINT) AS n_events, " +
+        s"${dsumSql("value")} AS total_value FROM events GROUP BY 1, 2"),
+
+    "st3_stream_update" -> // single-batch update drain revises every group
+      // exactly once — same batch aggregate, same oracle as e1/st1
       (s"SELECT date_trunc('hour', ts) AS window_start, event_type, CAST(count(*) AS BIGINT) AS n_events, " +
         s"${dsumSql("value")} AS total_value FROM events GROUP BY 1, 2"),
 
@@ -1568,6 +1689,27 @@ object SparkEntry {
          |  FROM scored
          |)
          |SELECT q_id, vec_id, score, rnk FROM ranked WHERE rnk <= 5""").stripMargin,
+
+    "ann4_lsh_recall" -> // n_exact re-derives ann1's brute-force SQL; the
+      // recall constant is a measured GOLDEN per SF (the hyperplane RNG is
+      // not SQL-expressible) keyed on corpus size — an unknown SF yields
+      // NULL and fails loudly instead of silently passing
+      ("""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8
+         |), scored AS (
+         |  SELECT q.q_id, c.vec_id,
+         |         round(list_inner_product(q.qv, c.embedding::DOUBLE[]) /
+         |               (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4) AS score
+         |  FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.q_id
+         |), ranked AS (
+         |  SELECT q_id, vec_id,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rnk
+         |  FROM scored
+         |)
+         |SELECT CAST(CASE (SELECT count(*) FROM lineitem)
+         |         WHEN 6000 THEN 0.75 WHEN 60000 THEN 0.525 WHEN 600000 THEN 0.6 END AS DOUBLE) AS recall_at_5,
+         |       CAST(count(*) AS BIGINT) AS n_exact
+         |FROM ranked WHERE rnk <= 5""").stripMargin,
 
     "mm1_binary_meta" ->
       "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_md5 FROM documents",

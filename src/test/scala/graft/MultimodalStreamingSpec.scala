@@ -194,6 +194,43 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("update-mode aggregation re-emits changed groups and still drops late data") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = EventStreams.hourlyCounts(df, "2 hours")
+      .writeStream.format("memory").queryName("update_mode_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: two events in the 01:00 window -> first version emitted
+      input.addData(
+        (1L, Timestamp.valueOf("2024-01-01 01:00:00"), 1L, "click", 1.0),
+        (2L, Timestamp.valueOf("2024-01-01 01:30:00"), 1L, "click", 1.0))
+      query.processAllAvailable()
+      // batch 2: a third on-time event for the SAME window — update mode
+      // must re-emit the revised row (append mode emits nothing here)
+      input.addData((3L, Timestamp.valueOf("2024-01-01 01:45:00"), 1L, "click", 1.0))
+      query.processAllAvailable()
+      // batch 3: advance event time; next batch's watermark (05:00 - 2h)
+      // closes the 01:00 window
+      input.addData((4L, Timestamp.valueOf("2024-01-01 05:00:00"), 1L, "click", 7.0))
+      query.processAllAvailable()
+      // batch 4: genuinely late event for 01:00 — dropped, NO new version
+      input.addData((5L, Timestamp.valueOf("2024-01-01 01:50:00"), 1L, "click", 99.0))
+      query.processAllAvailable()
+      val versions = spark.table("update_mode_test")
+        .select("window_start", "n_events", "total_value")
+        .as[(Timestamp, Long, Double)].collect().toSeq
+      val w1 = Timestamp.valueOf("2024-01-01 01:00:00")
+      // the memory sink keeps every emitted update: exactly the two
+      // versions of the 01:00 window, in growing order, and never a
+      // version containing the late 99.0
+      assert(versions.filter(_._1 == w1) === Seq((w1, 2L, 2.0), (w1, 3L, 3.0)))
+      assert(versions.contains((Timestamp.valueOf("2024-01-01 05:00:00"), 1L, 7.0)))
+      assert(!versions.exists(_._3 >= 99.0))
+    } finally query.stop()
+  }
+
   test("file-source streaming over real events parquet matches batch (closed windows)") {
     // the file stream source wants a directory; stage the single parquet file
     val dir = java.nio.file.Files.createTempDirectory("events_stream")

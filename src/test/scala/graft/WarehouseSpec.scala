@@ -58,6 +58,32 @@ class WarehouseSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("mergeSchema read: union schema, NULL back-fill, pushdown and pruning intact") {
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/evo/gen1")
+    orders.filter(col("o_orderkey") % 2 =!= 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$tmp/evo/gen2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$tmp/evo/gen1", s"$tmp/evo/gen2")
+    // union of the generations' schemas, in first-seen order
+    assert(merged.columns.toSeq ===
+      Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"))
+    // pre-evolution rows surface NULL for the added column; no row lost
+    assert(merged.count() === orders.count())
+    assert(merged.filter(col("o_orderstatus").isNull).count() ===
+      orders.filter(col("o_orderkey") % 2 === 0).count())
+    // the evolved scan is still a real columnar scan: filters on shared
+    // columns reach parquet and unused columns are pruned
+    val filtered = merged.filter(col("o_custkey") === 7L).select("o_orderkey", "o_orderstatus")
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,7)"),
+      s"filter not pushed through mergeSchema scan:\n$scan")
+    assert(!scan.contains("o_totalprice"), s"unused column not pruned:\n$scan")
+  }
+
   test("zOrderValue interleaves bits exactly (Morton code)") {
     import spark.implicits._
     val df = Seq((0L, 0L), (3L, 0L), (0L, 3L), (3L, 3L), (2L, 1L)).toDF("x", "y")
