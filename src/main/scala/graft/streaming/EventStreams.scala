@@ -109,6 +109,21 @@ object EventStreams {
     * long either side's state can matter — Spark derives state-eviction
     * watermarks from exactly this (watermark + interval) arithmetic, so
     * state is O(events per horizon) on both sides, never unbounded.
+    *
+    * PERF CLOSE-OUT (round 4, after three rounds of tuning — do not
+    * re-litigate): the bench drain's cost is FIXED streaming machinery,
+    * not this operator. Measured min-of-3 across scale factors:
+    * sf0.001 → 2.36 s, sf0.01 → 2.78 s, sf0.1 → 3.08 s, i.e. ~2.3 s on
+    * near-zero data (state-store init for 8 partitions × both sides,
+    * checkpoint-dir I/O, streaming-query lifecycle) plus ~0.7 s of
+    * data-dependent join work at sf0.1 — which matches the BATCH range
+    * join on the same data (rj1: 0.73 s). The join computation is at
+    * batch parity; a custom stateful operator (transformWithState or a
+    * drain-tuned StateStoreProvider) would shave only the machinery
+    * constant, which a real deployment amortizes over an unbounded
+    * stream. Earlier measured do-not-retries: state sizing (8 stores not
+    * 32), bucketed equi-key (5×), RocksDB provider (15× worse on the
+    * drain), right-side replication (~5% slower single-batch).
     */
   def intervalJoinStream(
       left: DataFrame,
