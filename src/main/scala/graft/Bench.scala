@@ -38,7 +38,8 @@ object Bench {
     // cold-path vs 2.5 s steady-state — round-3's "txt5 regressed 2.1x"
     // was exactly this, queries absorbing warmup by run-order lottery).
     // Costs ~15 s at sf0.001; disable with SPARK_GRAFT_WARMUP=0.
-    val warmDir = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
+      sfDir.replaceAll("sf[0-9.]+$", "sf0.001"))
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
         && warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
       selected.foreach { case (name, fn) =>

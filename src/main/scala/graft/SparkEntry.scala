@@ -316,6 +316,51 @@ object SparkEntry {
           ",").as("order_ids"),
           count(lit(1)).as("n_orders"))),
 
+    "x3_array_set_agg" -> ((s, dir) =>
+      // collect_set (DISTINCT array agg) beside x2's collect_list:
+      // sorted before joining for the same determinism reason; set
+      // cardinality rides along as a scalar
+      t(s, dir, "orders").groupBy("o_custkey")
+        .agg(
+          array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+          size(collect_set(col("o_orderpriority"))).cast("long").as("n_priorities"))),
+
+    "dt2_timestamp_funcs" -> ((s, dir) =>
+      // timestamp-function breadth on event times: epoch round-trip
+      // (second truncation via integer division), day/hour truncation,
+      // field extraction. ISO day-of-week (Monday=1) — Spark's weekday()
+      // is 0-based Monday and DuckDB's isodow is 1-based, engines'
+      // default dayofweek disagree on the week start
+      t(s, dir, "events").select(
+        col("event_id"),
+        unix_micros(col("ts")).as("epoch_us"),
+        date_trunc("day", col("ts")).as("day_start"),
+        date_trunc("hour", col("ts")).as("hour_start"),
+        timestamp_seconds(floor(unix_micros(col("ts")) / lit(1000000L)).cast("long")).as("ts_seconds"),
+        hour(col("ts")).cast("long").as("h"),
+        minute(col("ts")).cast("long").as("m"),
+        (weekday(col("ts")) + 1).cast("long").as("iso_dow"))),
+
+    "pipe2_quality_filter" -> ((s, dir) => {
+      // the composed Gopher/C4-style quality GATE with the native
+      // kernels: length + stopword + repetition + entropy thresholds in
+      // ONE narrow projection+filter pass (txt2/txt10/txt11 composed) —
+      // no shuffle, no UDF; at 100 TB this is a map-only corpus sweep
+      graft.functions.NativeExpressions.register(s)
+      val toks = TextOps.tokens(col("text"))
+      val nToks = size(toks)
+      val stopHits = size(filter(toks,
+        tk => TextOps.Stopwords.foldLeft(lit(false))((acc, m) => acc || (tk === m))))
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          nToks.cast("long").as("n_tokens"),
+          round(stopHits.cast("double") / nToks, 4).as("stopword_ratio"),
+          TextOps.repetitionRatioNative("text", 3).as("dup3_frac"),
+          TextOps.charEntropyNative("text").as("char_entropy"))
+        .filter(col("n_tokens") >= 25 && col("stopword_ratio") >= 0.05 &&
+          col("dup3_frac") <= 0.05 && col("char_entropy") >= 2.8)
+    }),
+
     "q5_correlated_subquery" -> ((s, dir) => {
       // the SQL entry surface: correlated scalar subqueries through
       // spark.sql over a temp view (decorrelated by Catalyst into
@@ -996,6 +1041,28 @@ object SparkEntry {
           count(lit(1)).cast("long").as("n_exact"))
     }),
 
+    "ann5_ivf_recall" -> ((s, dir) => {
+      // ann4's recall gate for the IVF path: the k-means fit is
+      // deterministic on this setup (fixed seed, positional-prefix
+      // sample over fixed file splits — VERIFIED stable across JVM
+      // restarts at all 3 SFs before pinning these goldens), so the
+      // whole quantize→probe→score→heap pipeline is hash-checked
+      val emb = t(s, dir, "embeddings")
+      val exact = SimilarityOps.bruteForceTopK(
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5)
+      val ivf = SimilarityOps.ivfTopK(
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5, nLists = 16, nProbe = 4)
+      exact.join(
+          ivf.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
+          Seq("q_id", "vec_id"), "left")
+        .agg(
+          round(sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)), 4)
+            .as("recall_at_5"),
+          count(lit(1)).cast("long").as("n_exact"))
+    }),
+
     "ann3_ivf_topk" -> ((s, dir) => { // no oracle: kmeans-cell approximate; spec-pinned
       val emb = t(s, dir, "embeddings")
       SimilarityOps.ivfTopK(
@@ -1287,6 +1354,44 @@ object SparkEntry {
     "u1_union" ->
       ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
         "UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'"),
+
+    "x3_array_set_agg" ->
+      ("SELECT o_custkey, array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses, " +
+        "CAST(len(list_distinct(list(o_orderpriority))) AS BIGINT) AS n_priorities " +
+        "FROM orders GROUP BY o_custkey"),
+
+    "dt2_timestamp_funcs" -> // isodow mirrors weekday()+1 (Monday=1);
+      // epoch // 1e6 mirrors the floor'd integer division
+      ("""SELECT event_id, epoch_us(ts) AS epoch_us,
+         |  date_trunc('day', ts) AS day_start, date_trunc('hour', ts) AS hour_start,
+         |  CAST(to_timestamp(epoch_us(ts) // 1000000) AS TIMESTAMP) AS ts_seconds,
+         |  CAST(hour(ts) AS BIGINT) AS h, CAST(minute(ts) AS BIGINT) AS m,
+         |  CAST(isodow(ts) AS BIGINT) AS iso_dow
+         |FROM events""").stripMargin,
+
+    "pipe2_quality_filter" -> // txt2 + txt10 + txt11 formulations composed
+      // under one gate, same thresholds
+      ("""WITH t AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS toks, string_split(text, '') AS chars FROM documents
+         |), f AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    round(CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it'))) AS DOUBLE) / len(toks), 4) AS stopword_ratio,
+         |    CASE WHEN len(toks) - 2 >= 1 THEN
+         |      round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+         |          i -> array_to_string(toks[i:i+2], ' ')))) AS DOUBLE)
+         |        / CAST(len(toks) - 2 AS DOUBLE), 4)
+         |    ELSE NULL END AS dup3_frac,
+         |    CASE WHEN length(text) >= 1 THEN
+         |      round(-list_sum(list_transform(list_distinct(chars),
+         |        ch -> (CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars))
+         |              * ln(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars)))), 4)
+         |    ELSE NULL END AS char_entropy
+         |  FROM t
+         |)
+         |SELECT * FROM f
+         |WHERE n_tokens >= 25 AND stopword_ratio >= 0.05
+         |  AND dup3_frac <= 0.05 AND char_entropy >= 2.8""").stripMargin,
 
     "x1_wordcount" ->
       ("SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences FROM " +
@@ -1708,6 +1813,26 @@ object SparkEntry {
          |)
          |SELECT CAST(CASE (SELECT count(*) FROM lineitem)
          |         WHEN 6000 THEN 0.75 WHEN 60000 THEN 0.525 WHEN 600000 THEN 0.6 END AS DOUBLE) AS recall_at_5,
+         |       CAST(count(*) AS BIGINT) AS n_exact
+         |FROM ranked WHERE rnk <= 5""").stripMargin,
+
+    "ann5_ivf_recall" -> // ann4's shape for the IVF path: n_exact from the
+      // brute-force SQL; recall is a per-SF measured golden (k-means fit
+      // verified JVM-restart-stable before pinning)
+      ("""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8
+         |), scored AS (
+         |  SELECT q.q_id, c.vec_id,
+         |         round(list_inner_product(q.qv, c.embedding::DOUBLE[]) /
+         |               (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4) AS score
+         |  FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.q_id
+         |), ranked AS (
+         |  SELECT q_id, vec_id,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rnk
+         |  FROM scored
+         |)
+         |SELECT CAST(CASE (SELECT count(*) FROM lineitem)
+         |         WHEN 6000 THEN 0.575 WHEN 60000 THEN 0.7 WHEN 600000 THEN 0.625 END AS DOUBLE) AS recall_at_5,
          |       CAST(count(*) AS BIGINT) AS n_exact
          |FROM ranked WHERE rnk <= 5""").stripMargin,
 

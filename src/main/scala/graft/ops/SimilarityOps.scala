@@ -191,8 +191,8 @@ object SimilarityOps {
     import org.apache.spark.ml.functions.array_to_vector
     graft.functions.NativeExpressions.register(corpus.sparkSession)
 
-    val corpusVec = widen(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec")))
-      .withColumn("features", array_to_vector(col("c_vec")))
+    val corpusRaw = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"))
+    val corpusVec = widen(corpusRaw).withColumn("features", array_to_vector(col("c_vec")))
     // coarse-quantizer training needs only a bounded sample (the standard
     // IVF recipe): ~40 points per centroid is plenty for cell assignment
     // quality, and keeps the fit O(sample) as the corpus grows — at
@@ -205,19 +205,28 @@ object SimilarityOps {
     // prefix is an unbiased value sample; even under a corpus sorted by
     // source, a skewed quantizer only degrades candidate routing
     // (recall), never the exactness of scoring within probed cells.
+    //
+    // PARALLELISM-INVARIANT by construction: the sample reads the RAW
+    // scan partitioning (fixed by file splits) rather than the widened
+    // one, the partition budget is a constant (not defaultParallelism),
+    // and the fit runs as a single task — so the trained quantizer, and
+    // with it every downstream result, is identical under local[4] and
+    // local[32] (measured: the pre-fix sample made IVF recall differ by
+    // core count, which would break any golden-value gate).
     val sampleTarget = math.max(40L * nLists, 1024L)
-    val sampleParts = math.max(1, math.min(32, corpusVec.sparkSession.sparkContext.defaultParallelism))
+    val sampleParts = 32L
     // 4× headroom so inputs with fewer live partitions than sampleParts
     // still reach the target; worst case the fit sees 4× target rows —
     // still O(sample), trivially small
     val perPartition = 4L * ((sampleTarget + sampleParts - 1) / sampleParts)
-    val trainRaw = corpusVec
+    val trainRaw = corpusRaw
       .filter(spark_partition_id() < sampleParts &&
         monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) < perPartition)
+      .withColumn("features", array_to_vector(col("c_vec")))
       .select("features")
-    // the sample is tiny — collapse it so each k-means iteration is one
-    // task instead of one per corpus partition
-    val train = trainRaw.coalesce(math.max(1, (sampleTarget / 1024L).toInt))
+    // the sample is tiny — one task makes the k-means reduction order
+    // (and hence the centroids) bit-stable across parallelism levels
+    val train = trainRaw.coalesce(1)
     // random init + few iterations: the coarse quantizer only partitions
     // space for candidate routing — k-means|| init would spend several
     // extra distributed passes to place centroids that nProbe-probing
