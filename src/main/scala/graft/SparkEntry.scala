@@ -1852,6 +1852,7 @@ object SparkEntry {
          |  CASE WHEN starts_with(text, 'GIF8') THEN 'gif'
          |       WHEN starts_with(text, 'RIFF') THEN 'riff'
          |       WHEN starts_with(text, '%PDF') THEN 'pdf'
+         |       WHEN substring(text, 5, 4) = 'ftyp' THEN 'mp4'
          |       ELSE 'unknown' END AS format,
          |  CAST(n AS BIGINT) AS n_bytes,
          |  CAST(16 + (n * 31 + CASE WHEN n = 0 THEN 0 ELSE ('0x' || substring(h, 1, 2))::INTEGER END) % 1024 AS INTEGER) AS width,

@@ -42,6 +42,9 @@ object MultimodalOps {
       .when(h.startsWith("47494638"), "gif")
       .when(h.startsWith("52494646"), "riff") // WAV/AVI container
       .when(h.startsWith("25504446"), "pdf")
+      // ISO-BMFF (MP4/MOV): the brand box tag sits at byte offset 4,
+      // after the 32-bit box size
+      .when(hex(substring(bin, 5, 4)) === "66747970", "mp4") // 'ftyp'
       .otherwise("unknown")
   }
 
@@ -205,6 +208,112 @@ object MultimodalOps {
       off += 8L + sz + (sz & 1L) // chunks are 2-byte aligned
     }
     None
+  }
+
+  /** Decoded video-container metadata (what [[decodeVideoMeta]] emits). */
+  final case class VideoMeta(
+      item_id: Long,
+      format: String,
+      n_bytes: Long,
+      major_brand: String,
+      timescale: Int,
+      duration_ms: Long,
+      n_tracks: Int)
+
+  /** Real ISO-BMFF (MP4/MOV) box walk — header-only, like [[wavMeta]]:
+    * reads the `ftyp` major brand, then walks the top-level boxes to
+    * `moov` and its children for the `mvhd` timescale/duration (version
+    * 0 and 1 layouts) and the `trak` count. Big-endian sizes; a size of
+    * 1 means a 64-bit extended size follows the tag, and adversarial or
+    * truncated sizes yield None, never a task failure — one corrupt file
+    * must not kill a corpus-scale metadata pass.
+    */
+  private[graft] def mp4Meta(bytes: Array[Byte]): Option[(String, Int, Long, Int)] = {
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    val len = bytes.length.toLong
+    if (len < 16 || tag(4) != "ftyp") return None
+    val majorBrand = tag(8)
+    // walk [start, end) top-level boxes; returns (payloadStart, payloadEnd)
+    // of the first box with the wanted tag, header-size aware
+    def findBox(start: Long, end: Long, wanted: String): Option[(Long, Long)] = {
+      var off = start
+      while (off + 8 <= end) {
+        val o = off.toInt
+        val sz32 = be32(o)
+        val (boxSize, headerLen) =
+          if (sz32 == 1L) {
+            if (off + 16 > end) return None
+            (be64(o + 8), 16L)
+          } else if (sz32 == 0L) (end - off, 8L) // box extends to end
+          else (sz32, 8L)
+        if (boxSize < headerLen || off + boxSize > end) return None // corrupt size
+        if (tag(o + 4) == wanted) return Some((off + headerLen, off + boxSize))
+        off += boxSize
+      }
+      None
+    }
+    def countBoxes(start: Long, end: Long, wanted: String): Int = {
+      var off = start
+      var n = 0
+      while (off + 8 <= end) {
+        val o = off.toInt
+        val sz32 = be32(o)
+        val (boxSize, headerLen) =
+          if (sz32 == 1L) { if (off + 16 > end) return n; (be64(o + 8), 16L) }
+          else if (sz32 == 0L) (end - off, 8L)
+          else (sz32, 8L)
+        if (boxSize < headerLen || off + boxSize > end) return n
+        if (tag(o + 4) == wanted) n += 1
+        off += boxSize
+      }
+      n
+    }
+    findBox(0L, len, "moov").flatMap { case (moovStart, moovEnd) =>
+      val nTracks = countBoxes(moovStart, moovEnd, "trak")
+      findBox(moovStart, moovEnd, "mvhd").flatMap { case (s, e) =>
+        val o = s.toInt
+        if (s + 4 > e) None
+        else bytes(o) & 0xff match {
+          case 0 if s + 4 + 16 <= e => // v0: 32-bit times
+            val timescale = be32(o + 12).toInt
+            val duration = be32(o + 16)
+            if (timescale <= 0) None
+            else Some((majorBrand, timescale, duration * 1000L / timescale, nTracks))
+          case 1 if s + 4 + 28 <= e => // v1: 64-bit create/modify/duration
+            val timescale = be32(o + 20).toInt
+            val duration = be64(o + 24)
+            if (timescale <= 0) None
+            else Some((majorBrand, timescale, duration * 1000L / timescale, nTracks))
+          case _ => None
+        }
+      }
+    }
+  }
+
+  /** Video metadata decode in the same mapPartitions shape as
+    * [[decodeImage]]/[[decodeAudioMeta]]: MP4/MOV payloads get REAL
+    * brand/timescale/duration/track-count from the box walk; other
+    * formats report empty/zero (video codecs beyond the container level
+    * are not in this environment — that arm is the stub).
+    */
+  def decodeVideoMeta(df: DataFrame, idCol: String, binCol: String)(
+      implicit enc: org.apache.spark.sql.Encoder[VideoMeta]): Dataset[VideoMeta] = {
+    val prepared = withBinaryMeta(df.select(col(idCol).as("item_id"), col(binCol).as("content")), "content")
+      .select(col("item_id"), col("content"), col("n_bytes"), col("format"))
+    prepared.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        val fmt = r.getAs[String]("format")
+        val meta = if (fmt == "mp4") mp4Meta(bytes) else None
+        val (brand, timescale, durMs, nTracks) = meta.getOrElse(("", 0, 0L, 0))
+        VideoMeta(r.getAs[Long]("item_id"), fmt, r.getAs[Long]("n_bytes"),
+          brand, timescale, durMs, nTracks)
+      }
+    }
   }
 
   /** Audio metadata decode in the same mapPartitions shape as

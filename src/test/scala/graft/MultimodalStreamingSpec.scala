@@ -132,6 +132,69 @@ class MultimodalStreamingSpec extends SparkSpec {
     bb.array()
   }
 
+  test("mp4Meta walks real ISO-BMFF boxes: brand, timescale, duration, track count") {
+    import java.nio.ByteBuffer
+    def box(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(tag.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes ++ Array.fill[Byte](8)(0))
+    // mvhd v0: version+flags, ctime, mtime, timescale=600, duration=1500 -> 2500 ms
+    val mvhdPayload = ByteBuffer.allocate(20)
+      .putInt(0).putInt(0).putInt(0).putInt(600).putInt(1500).array()
+    val moov = box("moov",
+      box("mvhd", mvhdPayload) ++ box("trak", Array.emptyByteArray) ++
+        box("trak", Array.emptyByteArray))
+    val mp4 = ftyp ++ moov
+    assert(MultimodalOps.mp4Meta(mp4) === Some(("isom", 600, 2500L, 2)))
+    // v1 layout: 64-bit times, timescale at payload offset 20
+    val mvhdV1 = ByteBuffer.allocate(32)
+      .putInt(1 << 24).putLong(0L).putLong(0L).putInt(1000).putLong(90000L).array()
+    val mp4v1 = ftyp ++ box("moov", box("mvhd", mvhdV1) ++ box("trak", Array.emptyByteArray))
+    assert(MultimodalOps.mp4Meta(mp4v1) === Some(("isom", 1000, 90000L, 1)))
+    // the sniffing column agrees on real bytes, and the Dataset path works
+    import spark.implicits._
+    val df = Seq((1L, mp4), (2L, "just text".getBytes)).toDF("id", "payload")
+    val out = MultimodalOps.decodeVideoMeta(df, "id", "payload").collect()
+      .map(v => v.item_id -> v).toMap
+    assert(out(1L).format === "mp4" && out(1L).major_brand === "isom" &&
+      out(1L).duration_ms === 2500L && out(1L).n_tracks === 2)
+    assert(out(2L).format === "unknown" && out(2L).n_tracks === 0)
+  }
+
+  test("mp4Meta survives adversarial boxes: truncation, zero and 64-bit sizes") {
+    import java.nio.ByteBuffer
+    def box(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(tag.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes ++ Array.fill[Byte](8)(0))
+    // no moov at all
+    assert(MultimodalOps.mp4Meta(ftyp) === None)
+    // box size larger than the buffer (classic truncation attack)
+    val lying = ftyp ++ ByteBuffer.allocate(8).putInt(1 << 30).put("moov".getBytes).array()
+    assert(MultimodalOps.mp4Meta(lying) === None)
+    // box size smaller than its own header
+    val tiny = ftyp ++ ByteBuffer.allocate(8).putInt(3).put("moov".getBytes).array()
+    assert(MultimodalOps.mp4Meta(tiny) === None)
+    // 64-bit extended size on moov (size==1 + 8-byte size after the tag)
+    val mvhdPayload = ByteBuffer.allocate(20)
+      .putInt(0).putInt(0).putInt(0).putInt(600).putInt(600).array()
+    val inner = box("mvhd", mvhdPayload) ++ box("trak", Array.emptyByteArray)
+    val moov64 = ByteBuffer.allocate(16 + inner.length)
+      .putInt(1).put("moov".getBytes).putLong(16L + inner.length).put(inner).array()
+    assert(MultimodalOps.mp4Meta(ftyp ++ moov64) === Some(("isom", 600, 1000L, 1)))
+    // zero-size moov (extends to end of buffer)
+    val moov0 = ByteBuffer.allocate(8 + inner.length)
+      .putInt(0).put("moov".getBytes).put(inner).array()
+    assert(MultimodalOps.mp4Meta(ftyp ++ moov0) === Some(("isom", 600, 1000L, 1)))
+    // empty / non-bmff bytes
+    assert(MultimodalOps.mp4Meta(Array.emptyByteArray) === None)
+    assert(MultimodalOps.mp4Meta("plain old text data here".getBytes) === None)
+  }
+
   test("decodeAudioMeta extracts real channels/rate/depth from actual WAV headers") {
     val real = Seq(
       (20L, wavBytes(2, 44100, 16)),
