@@ -93,32 +93,43 @@ object DedupOps {
     // broadcasts it onto the (much smaller) aggregated pair table.
     val base = widen(docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
     val exploded = base.select(col("doc_id"), explode(shingles(col("__text"), n)).as("shingle"))
-    val (filtered, sizes) = maxShingleFreq match {
-      case Some(cap) =>
-        // drop shingles whose doc-frequency exceeds the cap (stop-shingles);
-        // set sizes must then be recounted on the SURVIVING shingles.
-        // The exploded set feeds both the frequency pass and the pair
-        // pass, so the explode is computed twice; MEASURED: a
-        // localCheckpoint of the exploded set is bench-neutral at sf0.1
-        // (checkpoint I/O cancels the recompute savings) — at true
-        // corpus scale, persist/checkpoint here if profiles show the
-        // second shingling pass dominating the checkpoint write
-        val freq = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
-        val kept = exploded.join(freq.filter(col("df") <= cap).select("shingle"), Seq("shingle"))
-        (kept, kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh")))
-      case None =>
-        (exploded, base.select(col("doc_id"), size(shingles(col("__text"), n)).as("n_sh")))
-    }
     // pair generation via per-shingle doc-lists instead of a self-join:
     // grouping emits exactly C(k,2) ordered pairs per shingle where the
     // join would produce k² rows before its filter, and one aggregation
     // replaces two shuffled join sides (measured ~20% faster warm, ~2×
-    // cold). Per-shingle list size is bounded by the shingle's document
-    // frequency — production corpora should set maxShingleFreq, which
-    // both drops stop-shingles and caps this buffer.
-    val grouped = filtered.groupBy("shingle")
-      .agg(array_sort(collect_list("doc_id")).as("ds"))
-      .filter(size(col("ds")) >= 2)
+    // cold).
+    val (grouped, sizes) = maxShingleFreq match {
+      case Some(cap) =>
+        // Capped path: ONE bounded aggregation replaces the former
+        // frequency pass + equi-join + second shingling pass. The
+        // graft_topk heap holds at most cap+1 docs per shingle
+        // (value = -doc_id, payload = doc_id: the emitted list ascends by
+        // doc, with the payload tiebreak keeping the order exact even
+        // past double's 2^53), so a degenerate stop-shingle can never
+        // blow an executor buffer, and a heap that FILLS to cap+1 proves
+        // df > cap — exactly the drop condition. Doc set sizes are then
+        // recounted from the surviving lists (a narrow explode of capped
+        // lists, not a second pass over the corpus).
+        require(cap > 0 && cap < Int.MaxValue, s"maxShingleFreq must be a positive Int, got $cap")
+        graft.functions.NativeExpressions.register(docs.sparkSession)
+        val capped = exploded.groupBy("shingle")
+          .agg(expr(s"graft_topk(-CAST(doc_id AS DOUBLE), doc_id, ${cap + 1})").as("top"))
+          .filter(size(col("top")) <= cap)
+          .select(col("shingle"),
+            transform(col("top"), t => t.getField("payload")).as("ds"))
+        val sz = capped.select(explode(col("ds")).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        (capped.filter(size(col("ds")) >= 2), sz)
+      case None =>
+        // Uncapped path: per-shingle list size is bounded only by the
+        // shingle's document frequency — production corpora should set
+        // maxShingleFreq, which both drops stop-shingles and caps the
+        // aggregation buffer.
+        val g = exploded.groupBy("shingle")
+          .agg(array_sort(collect_list("doc_id")).as("ds"))
+          .filter(size(col("ds")) >= 2)
+        (g, base.select(col("doc_id"), size(shingles(col("__text"), n)).as("n_sh")))
+    }
     grouped.select(explode(flatten(
         transform(col("ds"), (x, i) =>
           transform(slice(col("ds"), i + lit(2), size(col("ds")) - i - 1),
