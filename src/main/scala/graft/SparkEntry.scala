@@ -998,6 +998,80 @@ object SparkEntry {
     "sh1_simhash_neardup" -> ((s, dir) => // no oracle: hash-dependent; spec-pinned
       DedupOps.simHashNearDupPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
 
+    "mh2_minhash_gate" -> ((s, dir) => {
+      // ann4's gate pattern for the MinHash family: precision/recall of
+      // mh1's banded candidates against the EXACT 3-gram jaccard pair
+      // set at the same 0.4 threshold, computed in-query. n_exact
+      // re-derives in the oracle's SQL; the candidate/true-positive
+      // counts and P/R are per-SF measured goldens (the affine-hash RNG
+      // is not SQL-expressible) — a determinism/regression gate over the
+      // whole signature→band→candidate pipeline
+      val docs = t(s, dir, "documents")
+      val mh = DedupOps.minHashNearDupPairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, minEstJaccard = 0.4)
+      // ground truth uses the SHIPPED dd2 definition (stop-shingle cap
+      // 20): the uncapped exact side re-creates the quadratic stop-
+      // shingle fan-out the cap exists to prevent
+      val exact = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, minShared = 1L, minJaccard = 0.4, maxShingleFreq = Some(20L))
+      val nEx = exact.agg(count(lit(1)).cast("long").as("n_exact"))
+      val nMh = mh.agg(count(lit(1)).cast("long").as("n_candidates"))
+      val nTp = mh.join(exact.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_true_pos"))
+      nEx.crossJoin(nMh).crossJoin(nTp).select(
+        col("n_exact"), col("n_candidates"), col("n_true_pos"),
+        round(col("n_true_pos").cast("double") / col("n_candidates"), 4).as("precision"),
+        round(col("n_true_pos").cast("double") / col("n_exact"), 4).as("recall"))
+    }),
+
+    "sh2_simhash_gate" -> ((s, dir) => {
+      // the SimHash gate: sh1's hamming<=3 candidates vs the exact
+      // 2-gram jaccard pair set at 0.5 — same golden scheme as mh2
+      val docs = t(s, dir, "documents")
+      val sh = DedupOps.simHashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      // SAME canonical near-dup truth as mh2 (capped 3-gram jaccard at
+      // 0.4): both sketches chase the same duplicates, so one truth set
+      // makes their P/R comparable. (A 2-gram truth was tried and
+      // rejected: uncapped it re-creates the quadratic stop-shingle
+      // fan-out — measured 46 s at sf0.1 — and capped it stops being a
+      // near-dup set at all, since dropping common shingles inflates
+      // the jaccard of rare-shingle pairs.)
+      val exact = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, minShared = 1L, minJaccard = 0.4, maxShingleFreq = Some(20L))
+      val nEx = exact.agg(count(lit(1)).cast("long").as("n_exact"))
+      val nSh = sh.agg(count(lit(1)).cast("long").as("n_candidates"))
+      val nTp = sh.join(exact.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_true_pos"))
+      nEx.crossJoin(nSh).crossJoin(nTp).select(
+        col("n_exact"), col("n_candidates"), col("n_true_pos"),
+        round(col("n_true_pos").cast("double") / col("n_candidates"), 4).as("precision"),
+        round(col("n_true_pos").cast("double") / col("n_exact"), 4).as("recall"))
+    }),
+
+    "cn2_cosine_gate" -> ((s, dir) => {
+      // the embedding near-dup gate: cn1's sign-LSH bucketed pairs vs
+      // the exact all-pairs cosine set at the same 0.4 threshold. The
+      // exact side IS SQL-expressible (list_inner_product), so n_exact
+      // anchors the oracle; the LSH-side counts are goldens
+      graft.functions.NativeExpressions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val lsh = SimilarityOps.cosineNearDupPairs(
+        emb, "vec_id", "embedding", minCosine = 0.4, dim = 64, numPlanes = 4, tables = 8)
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+      val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .filter(round(expr("graft_cosine(vec_a, vec_b)"), 4) >= 0.4)
+        .select("id_a", "id_b")
+      val nEx = exact.agg(count(lit(1)).cast("long").as("n_exact"))
+      val nLsh = lsh.agg(count(lit(1)).cast("long").as("n_candidates"))
+      val nTp = lsh.join(exact, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_true_pos"))
+      nEx.crossJoin(nLsh).crossJoin(nTp).select(
+        col("n_exact"), col("n_candidates"), col("n_true_pos"),
+        round(col("n_true_pos").cast("double") / col("n_candidates"), 4).as("precision"),
+        round(col("n_true_pos").cast("double") / col("n_exact"), 4).as("recall"))
+    }),
+
     // ---- similarity search ----
     "ann1_bruteforce_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1779,6 +1853,84 @@ object SparkEntry {
          |)
          |SELECT doc_id FROM documents WHERE doc_id NOT IN (
          |  SELECT src FROM reach GROUP BY src HAVING min(dst) < src)""").stripMargin,
+
+    "mh2_minhash_gate" -> // n_exact re-derives the SHIPPED (capped)
+      // 3-gram jaccard pair count; candidate/TP/P/R are per-SF measured
+      // goldens (the affine-hash RNG is not SQL-expressible),
+      // cpus-invariance verified
+      ("""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |), idx AS (
+         |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks
+         |), sh0 AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM idx
+         |), kept AS (
+         |  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 20
+         |), sh AS (
+         |  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN kept USING (shingle)
+         |), sz AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), ex AS (
+         |  SELECT count(*) AS n FROM pr
+         |  JOIN sz sa ON pr.doc_a = sa.doc_id JOIN sz sb ON pr.doc_b = sb.doc_id
+         |  WHERE round(pr.shared / (sa.n + sb.n - pr.shared), 4) >= 0.4
+         |)
+         |SELECT CAST(ex.n AS BIGINT) AS n_exact,
+         |  CAST(CASE (SELECT count(*) FROM lineitem) WHEN 6000 THEN 28 WHEN 60000 THEN 25 WHEN 600000 THEN 256 END AS BIGINT) AS n_candidates,
+         |  CAST(CASE (SELECT count(*) FROM lineitem) WHEN 6000 THEN 28 WHEN 60000 THEN 25 WHEN 600000 THEN 256 END AS BIGINT) AS n_true_pos,
+         |  CAST(CASE WHEN (SELECT count(*) FROM lineitem) IN (6000, 60000, 600000) THEN 1.0 END AS DOUBLE) AS precision,
+         |  CAST(CASE WHEN (SELECT count(*) FROM lineitem) IN (6000, 60000, 600000) THEN 1.0 END AS DOUBLE) AS recall
+         |FROM ex""").stripMargin,
+
+    "sh2_simhash_gate" -> // the SAME capped 3-gram truth as mh2 anchors
+      // the oracle — one truth set makes the two sketches' P/R comparable
+      ("""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |), idx AS (
+         |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks
+         |), sh0 AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM idx
+         |), kept AS (
+         |  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 20
+         |), sh AS (
+         |  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN kept USING (shingle)
+         |), sz AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), ex AS (
+         |  SELECT count(*) AS n FROM pr
+         |  JOIN sz sa ON pr.doc_a = sa.doc_id JOIN sz sb ON pr.doc_b = sb.doc_id
+         |  WHERE round(pr.shared / (sa.n + sb.n - pr.shared), 4) >= 0.4
+         |)
+         |SELECT CAST(ex.n AS BIGINT) AS n_exact,
+         |  CAST(CASE (SELECT count(*) FROM lineitem) WHEN 6000 THEN 19 WHEN 60000 THEN 13 WHEN 600000 THEN 112 END AS BIGINT) AS n_candidates,
+         |  CAST(CASE (SELECT count(*) FROM lineitem) WHEN 6000 THEN 19 WHEN 60000 THEN 13 WHEN 600000 THEN 112 END AS BIGINT) AS n_true_pos,
+         |  CAST(CASE WHEN (SELECT count(*) FROM lineitem) IN (6000, 60000, 600000) THEN 1.0 END AS DOUBLE) AS precision,
+         |  CAST(CASE (SELECT count(*) FROM lineitem) WHEN 6000 THEN 0.6786 WHEN 60000 THEN 0.52 WHEN 600000 THEN 0.4375 END AS DOUBLE) AS recall
+         |FROM ex""").stripMargin,
+
+    "cn2_cosine_gate" -> // the exact all-pairs cosine set IS SQL-expressible
+      ("""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), ex AS (
+         |  SELECT count(*) AS n
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  WHERE round(list_inner_product(a.v, b.v) /
+         |        (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) >= 0.4
+         |)
+         |SELECT CAST(ex.n AS BIGINT) AS n_exact,
+         |  CAST(CASE (SELECT count(*) FROM lineitem) WHEN 6000 THEN 54 WHEN 60000 THEN 44 WHEN 600000 THEN 692 END AS BIGINT) AS n_candidates,
+         |  CAST(CASE (SELECT count(*) FROM lineitem) WHEN 6000 THEN 54 WHEN 60000 THEN 44 WHEN 600000 THEN 692 END AS BIGINT) AS n_true_pos,
+         |  CAST(CASE WHEN (SELECT count(*) FROM lineitem) IN (6000, 60000, 600000) THEN 1.0 END AS DOUBLE) AS precision,
+         |  CAST(CASE (SELECT count(*) FROM lineitem) WHEN 6000 THEN 0.8182 WHEN 60000 THEN 0.7458 WHEN 600000 THEN 0.7522 END AS DOUBLE) AS recall
+         |FROM ex""").stripMargin,
 
     "ann1_bruteforce_topk" ->
       ("""WITH q AS (
