@@ -82,6 +82,39 @@ class PlanAuditSpec extends SparkSpec {
       s"probe side not broadcast:\n$plan")
   }
 
+  test("bloom screen filters the corpus scan BEFORE the probe join, independent of |probes|") {
+    graft.functions.NativeExpressions.register(spark)
+    val plan = SparkEntry.queries("ctm2_bloom_screen")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the sliding-window membership test must sit in a Filter on the
+    // corpus side (per-row cost O(len), not O(|probes|·len)); the exact
+    // contains() NLJ then runs only over the surviving candidates
+    assert(plan.contains("graft_bloom_text_hit"), s"bloom prefilter missing:\n$plan")
+    assert(plan.contains("graft_bloom_build"), s"distributed bloom build missing:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"verify join not broadcast:\n$plan")
+  }
+
+  test("composed quality gate is one map-only pass: no exchange anywhere") {
+    graft.functions.NativeExpressions.register(spark)
+    val plan = SparkEntry.queries("pipe2_quality_filter")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"quality gate should not shuffle:\n$plan")
+    assert(plan.contains("graft_char_entropy") && plan.contains("graft_distinct_ngrams"),
+      s"native kernels missing from gate plan:\n$plan")
+  }
+
+  test("capped shingle path aggregates with the bounded heap — no frequency join") {
+    graft.functions.NativeExpressions.register(spark)
+    val plan = SparkEntry.queries("dd2_ngram_jaccard")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // one bounded ObjectHashAggregate replaces the old freq-count +
+    // equi-join-back + recount: a SortMergeJoin of exploded shingle rows
+    // against a frequency table must NOT reappear
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("graft_topk"),
+      s"bounded heap missing from dd2 plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"frequency join crept back into dd2:\n$plan")
+  }
+
   test("bucketed join reads co-located buckets: no exchange on either join key") {
     val plan = SparkEntry.queries("src4_bucketed_join")(spark, dir)
       .queryExecution.executedPlan.toString
