@@ -998,6 +998,63 @@ object SparkEntry {
     "sh1_simhash_neardup" -> ((s, dir) => // no oracle: hash-dependent; spec-pinned
       DedupOps.simHashNearDupPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
 
+    "txt12_edit_distance" -> ((s, dir) => {
+      // exact edit-distance VERIFICATION of near-dup candidates — the
+      // standard second stage after shingle-based candidate generation:
+      // O(len²) Levenshtein is unaffordable corpus-wide but fine on the
+      // bounded candidate pair set; both the codegen'd levenshtein and
+      // the join-texts-back shape are what a production verifier runs
+      val docs = t(s, dir, "documents")
+      val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, minShared = 2L, minJaccard = 0.1, maxShingleFreq = Some(20L))
+      pairs
+        .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_distance"),
+          round(lit(1.0) - levenshtein(col("text_a"), col("text_b")).cast("double") /
+            greatest(length(col("text_a")), length(col("text_b"))), 4).as("edit_similarity"))
+    }),
+
+    "txt13_chunking" -> ((s, dir) => {
+      // context-window chunking for training pipelines: overlapping
+      // token windows (size 32, stride 24), one output row per chunk —
+      // a narrow explode whose fan-out is bounded by n_tokens/stride,
+      // no shuffle
+      val toks = TextOps.tokens(col("text"))
+      val starts = sequence(lit(1), size(toks), lit(24))
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(transform(starts, i => slice(toks, i, lit(32)))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          array_join(col("col"), " ").as("chunk_text"),
+          size(col("col")).cast("long").as("chunk_tokens"))
+    }),
+
+    "agg9_conditional_bool" -> ((s, dir) =>
+      // conditional + boolean aggregate breadth: count_if / every / any
+      // (DuckDB: FILTER clause, bool_and, bool_or)
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        count_if(col("l_quantity") > 25).cast("long").as("n_high_qty"),
+        every(col("l_extendedprice") > 0).as("all_price_positive"),
+        org.apache.spark.sql.functions.any(col("l_discount") === 0).as("any_zero_discount"),
+        count_if(col("l_tax") > 0.05).cast("long").as("n_high_tax"))),
+
+    "q6_exists_subquery" -> ((s, dir) => {
+      // EXISTS / NOT EXISTS correlated subqueries through the SQL
+      // surface (q5 covers scalar subqueries): customers with at least
+      // one finished order and no pending one — Catalyst plans these as
+      // semi/anti joins, not per-row re-execution
+      t(s, dir, "customer").createOrReplaceTempView("q6_customer")
+      t(s, dir, "orders").createOrReplaceTempView("q6_orders")
+      s.sql("""
+        SELECT c_custkey, c_mktsegment FROM q6_customer c
+        WHERE EXISTS (SELECT 1 FROM q6_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+          AND NOT EXISTS (SELECT 1 FROM q6_orders o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'P')
+      """)
+    }),
+
     "mh2_minhash_gate" -> ((s, dir) => {
       // ann4's gate pattern for the MinHash family: precision/recall of
       // mh1's banded candidates against the EXACT 3-gram jaccard pair
@@ -1057,9 +1114,14 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val lsh = SimilarityOps.cosineNearDupPairs(
         emb, "vec_id", "embedding", minCosine = 0.4, dim = 64, numPlanes = 4, tables = 8)
+      // stream side repartitioned: a small parquet arrives as ONE split,
+      // and a broadcast NLJ inherits the stream side's parallelism — the
+      // all-pairs exact scoring would otherwise run as a single task
+      // (measured 8.8 s; ~1 s spread over the cores)
       val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+        .repartition(s.sparkContext.defaultParallelism)
       val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
-      val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      val exact = a.crossJoin(broadcast(b)).filter(col("id_a") < col("id_b"))
         .filter(round(expr("graft_cosine(vec_a, vec_b)"), 4) >= 0.4)
         .select("id_a", "id_b")
       val nEx = exact.agg(count(lit(1)).cast("long").as("n_exact"))
@@ -1853,6 +1915,65 @@ object SparkEntry {
          |)
          |SELECT doc_id FROM documents WHERE doc_id NOT IN (
          |  SELECT src FROM reach GROUP BY src HAVING min(dst) < src)""").stripMargin,
+
+    "txt12_edit_distance" -> // dd2's capped pair CTE + texts joined back +
+      // Levenshtein (identical edit-distance definition both engines)
+      ("""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |), idx AS (
+         |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks
+         |), sh0 AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM idx
+         |), kept AS (
+         |  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 20
+         |), sh AS (
+         |  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN kept USING (shingle)
+         |), sz AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), pairs AS (
+         |  SELECT doc_a, doc_b FROM pr
+         |  JOIN sz sa ON pr.doc_a = sa.doc_id JOIN sz sb ON pr.doc_b = sb.doc_id
+         |  WHERE pr.shared >= 2 AND round(pr.shared / (sa.n + sb.n - pr.shared), 4) >= 0.1
+         |)
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+         |  round(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
+         |        greatest(length(da.text), length(db.text)), 4) AS edit_similarity
+         |FROM pairs p
+         |JOIN documents da ON p.doc_a = da.doc_id
+         |JOIN documents db ON p.doc_b = db.doc_id""").stripMargin,
+
+    "txt13_chunking" -> // same 32-token windows at stride 24; DuckDB list
+      // slicing is inclusive and truncates at the list end, like slice()
+      ("""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |), c AS (
+         |  SELECT doc_id, unnest(range(1, len(toks) + 1, 24)) AS start, toks FROM t
+         |)
+         |SELECT doc_id,
+         |  CAST((start - 1) // 24 AS BIGINT) AS chunk_idx,
+         |  array_to_string(toks[start:start+31], ' ') AS chunk_text,
+         |  CAST(len(toks[start:start+31]) AS BIGINT) AS chunk_tokens
+         |FROM c""").stripMargin,
+
+    "agg9_conditional_bool" ->
+      ("""SELECT l_returnflag,
+         |  CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_high_qty,
+         |  bool_and(l_extendedprice > 0) AS all_price_positive,
+         |  bool_or(l_discount = 0) AS any_zero_discount,
+         |  CAST(count(*) FILTER (WHERE l_tax > 0.05) AS BIGINT) AS n_high_tax
+         |FROM lineitem GROUP BY l_returnflag""").stripMargin,
+
+    "q6_exists_subquery" ->
+      ("""SELECT c_custkey, c_mktsegment FROM customer c
+         |WHERE EXISTS (SELECT 1 FROM orders o
+         |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+         |  AND NOT EXISTS (SELECT 1 FROM orders o2
+         |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'P')""").stripMargin,
 
     "mh2_minhash_gate" -> // n_exact re-derives the SHIPPED (capped)
       // 3-gram jaccard pair count; candidate/TP/P/R are per-SF measured
