@@ -341,6 +341,72 @@ object SparkEntry {
         minute(col("ts")).cast("long").as("m"),
         (weekday(col("ts")) + 1).cast("long").as("iso_dow"))),
 
+    "agg10_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS beside agg2's rollup and agg7's cube:
+      // the caller picks exactly which subtotal combinations materialize
+      // (one shuffle, Expand feeds each row to its sets). grouping_id()
+      // disambiguates subtotal rows from genuine NULL group values —
+      // first listed column is the most significant bit in both engines
+      // (the Postgres convention)
+      t(s, dir, "orders").createOrReplaceTempView("agg10_orders")
+      s.sql(s"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               ${dsumSql("o_totalprice")} AS amount
+        FROM agg10_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority), ())""")
+    }),
+
+    "ts1_gap_fill" -> ((s, dir) => {
+      // time-series resample + gap fill: hourly per-type counts with
+      // missing (hour, type) cells zero-filled. The dense hour spine and
+      // the type list both derive from the AGGREGATE (hours × types
+      // rows), not the raw events — one scan, one shuffle, and the three
+      // consumers of `agg` share the same exchange (Spark's
+      // ReuseExchange), so the grid costs nothing extra at 100 TB
+      val ev = t(s, dir, "events").select(
+        date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_type"), col("value"))
+      val agg = ev.groupBy("hour_start", "event_type").agg(
+        count(lit(1)).cast("long").as("n_events"),
+        dsum(col("value")).as("amount"))
+      val bounds = agg.agg(min("hour_start").as("lo"), max("hour_start").as("hi"))
+      val hours = bounds.select(
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hour_start"))
+      val types = agg.select("event_type").distinct()
+      hours.crossJoin(broadcast(types))
+        .join(agg, Seq("hour_start", "event_type"), "left")
+        .select(col("hour_start"), col("event_type"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("amount"), lit(0.0)).as("amount"))
+    }),
+
+    "pvt1_dynamic_pivot" -> ((s, dir) =>
+      // DYNAMIC pivot: the column set is discovered from the data — Spark
+      // runs a distinct job first to determine the output schema (the
+      // inherent two-pass every dynamic-pivot engine shares; a6 is the
+      // static single-pass form with the values pinned). Cells with no
+      // input rows stay NULL, distinguishing "no orders" from "sum 0"
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .pivot("o_orderstatus")
+        .agg(dsum(col("o_totalprice")))),
+
+    "smp3_stratified_sample" -> ((s, dir) => {
+      // stratified deterministic sampling: per-stratum keep rates over
+      // the same Knuth hash as smp1 — rebalances the class mix (downsample
+      // the dominant statuses, keep all of the rare one) as a pure
+      // projection+filter: no shuffle, reproducible on any partitioning
+      // or subset of a 100 TB corpus
+      val rate = when(col("o_orderstatus") === "F", lit(10L))
+        .when(col("o_orderstatus") === "O", lit(50L))
+        .otherwise(lit(100L))
+      t(s, dir, "orders")
+        .filter(pmod(SampleOps.knuth32(col("o_orderkey")), lit(100L)) < rate)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    }),
+
     "pipe2_quality_filter" -> ((s, dir) => {
       // the composed Gopher/C4-style quality GATE with the native
       // kernels: length + stopword + repetition + entropy thresholds in
@@ -1235,6 +1301,19 @@ object SparkEntry {
         .select(col("doc_id"), col("text").cast("binary").as("content"))
       graft.ops.MultimodalOps.decodeImage(media, "doc_id", "content").toDF()
         .select("item_id", "format", "n_bytes", "width", "height")
+    }),
+
+    "mm3_frame_sample" -> ((s, dir) => {
+      // frame/chunk sampling under the oracle (sampleChunks was spec-only
+      // before): bounded-fan-out posexplode — at most maxFrames rows per
+      // item regardless of payload size, the shape a video frame-sampler
+      // emits. Chunk identity rides as md5 (the raw binary stays out of
+      // the driver projection — the compare can't sort on binary)
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+      graft.ops.MultimodalOps.sampleChunks(media, "content", chunkBytes = 64, maxFrames = 4)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          md5(col("chunk")).as("chunk_md5"))
     })
   )
 
@@ -2130,6 +2209,57 @@ object SparkEntry {
          |  CAST(n AS BIGINT) AS n_bytes,
          |  CAST(16 + (n * 31 + CASE WHEN n = 0 THEN 0 ELSE ('0x' || substring(h, 1, 2))::INTEGER END) % 1024 AS INTEGER) AS width,
          |  CAST(16 + (n * 17 + CASE WHEN n = 0 THEN 0 ELSE ('0x' || substring(h, n * 2 - 1, 2))::INTEGER END) % 1024 AS INTEGER) AS height
-         |FROM b""").stripMargin
+         |FROM b""").stripMargin,
+
+    "agg10_grouping_sets" -> // GROUPING() in DuckDB = grouping_id() in
+      // Spark: first argument is the most significant bit in both
+      (s"""SELECT o_orderstatus, o_orderpriority,
+         |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS amount
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority), ())""").stripMargin,
+
+    "ts1_gap_fill" ->
+      (s"""WITH agg AS (
+         |  SELECT date_trunc('hour', ts) AS hour_start, event_type,
+         |         CAST(count(*) AS BIGINT) AS n_events, ${dsumSql("value")} AS amount
+         |  FROM events GROUP BY 1, 2
+         |), bounds AS (
+         |  SELECT min(hour_start) AS lo, max(hour_start) AS hi FROM agg
+         |), hours AS (
+         |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start FROM bounds
+         |), types AS (
+         |  SELECT DISTINCT event_type FROM agg
+         |)
+         |SELECT h.hour_start, t.event_type,
+         |       coalesce(a.n_events, 0) AS n_events, coalesce(a.amount, 0.0) AS amount
+         |FROM hours h CROSS JOIN types t
+         |LEFT JOIN agg a ON a.hour_start = h.hour_start AND a.event_type = t.event_type""").stripMargin,
+
+    "pvt1_dynamic_pivot" -> // CASE with no ELSE: empty cells stay NULL,
+      // mirroring pivot's no-input-rows semantics (a6 is the else-0 form)
+      (s"""SELECT o_custkey,
+         |  ${dsumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS "F",
+         |  ${dsumSql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS "O",
+         |  ${dsumSql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS "P"
+         |FROM orders GROUP BY o_custkey""").stripMargin,
+
+    "smp3_stratified_sample" -> // smp1's Knuth hash, per-stratum rates
+      ("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         |WHERE ((o_orderkey % 2147483648) * 2654435761) % 4294967296 % 100 <
+         |      CASE o_orderstatus WHEN 'F' THEN 10 WHEN 'O' THEN 50 ELSE 100 END""").stripMargin,
+
+    "mm3_frame_sample" -> // ASCII text: char offsets = byte offsets, so
+      // substr over VARCHAR replays the binary slicing byte-exactly
+      ("""WITH c AS (
+         |  SELECT doc_id, text, least(CAST(ceil(len(text) / 64.0) AS INT), 4) AS n_chunks
+         |  FROM documents
+         |), u AS (
+         |  SELECT doc_id, text, unnest(generate_series(1, n_chunks)) AS i FROM c
+         |)
+         |SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+         |       md5(substr(text, (i - 1) * 64 + 1, 64)) AS chunk_md5
+         |FROM u""").stripMargin
   )
 }
