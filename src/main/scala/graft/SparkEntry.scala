@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{ContaminationOps, DedupOps, EventOps, SampleOps, SimilarityOps, TextOps}
+import graft.ops.{ContaminationOps, DedupOps, EventOps, LakeOps, PackOps, SampleOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -405,6 +405,37 @@ object SparkEntry {
       t(s, dir, "orders")
         .filter(pmod(SampleOps.knuth32(col("o_orderkey")), lit(100L)) < rate)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    }),
+
+    "pack1_sequence_packing" -> ((s, dir) =>
+      // GPT-style concat-and-chunk sequence packing: per-shard token
+      // streams cut into 512-token blocks; emits the (block, doc, span)
+      // manifest a training loader consumes. See PackOps for the
+      // shard-parallel 100 TB design.
+      PackOps.packSequences(t(s, dir, "documents"), "doc_id", "text", 8, 512)),
+
+    "scd1_scd2_history" -> ((s, dir) =>
+      // dbt-snapshot analog: SCD2 validity intervals from the order-status
+      // observation log — one row per (customer, status) run with
+      // [valid_from, valid_to) and is_current on the open interval
+      LakeOps.scd2Snapshot(t(s, dir, "orders"),
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")),
+
+    "mrg1_merge_upsert" -> ((s, dir) => {
+      // dbt-incremental merge analog: apply one increment batch (orders
+      // during 1996H1) to the state table built before 1996 — exercises
+      // all three MERGE branches (update / insert / carry-through) at
+      // every SF; LakeOpsSpec pins the branch semantics
+      val orders = t(s, dir, "orders")
+      val cutLo = lit("1996-01-01").cast("timestamp")
+      val cutHi = lit("1996-07-01").cast("timestamp")
+      val tgt = LakeOps.latestState(orders.filter(col("o_orderdate") < cutLo),
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+      val src = LakeOps.latestState(
+        orders.filter(col("o_orderdate") >= cutLo && col("o_orderdate") < cutHi),
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+      LakeOps.mergeUpsert(tgt, src, "o_custkey",
+        takeLatest = Seq("status", "last_order"), sumCols = Seq("n_orders"))
     }),
 
     "pipe2_quality_filter" -> ((s, dir) => {
@@ -2260,6 +2291,69 @@ object SparkEntry {
          |)
          |SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
          |       md5(substr(text, (i - 1) * 64 + 1, 64)) AS chunk_md5
-         |FROM u""").stripMargin
+         |FROM u""").stripMargin,
+
+    "pack1_sequence_packing" -> // same shard/order/offset arithmetic; DuckDB
+      // `//` is floor division on BIGINT, matching Spark's `DIV` for the
+      // non-negative offsets here
+      ("""WITH t AS (
+         |  SELECT doc_id, doc_id % 8 AS shard,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |  FROM documents
+         |  WHERE len(string_split(text, ' ')) > 0
+         |), c AS (
+         |  SELECT doc_id, shard, n,
+         |         CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS e
+         |  FROM t
+         |), s AS (
+         |  SELECT doc_id, shard, n, e - n AS b, e FROM c
+         |)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |       CAST(blk AS BIGINT) AS block_id,
+         |       doc_id,
+         |       CAST(least(e, (blk + 1) * 512) - greatest(b, blk * 512) AS BIGINT) AS tokens_in_block
+         |FROM s, UNNEST(generate_series(b // 512, (e - 1) // 512)) AS u(blk)""").stripMargin,
+
+    "scd1_scd2_history" -> // change rows (lag differs) -> lead() closes the
+      // interval; o_orderkey breaks observation-time ties both places
+      ("""WITH ordered AS (
+         |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         |         lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_status
+         |  FROM orders
+         |), changes AS (
+         |  SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from, o_orderkey
+         |  FROM ordered
+         |  WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+         |)
+         |SELECT o_custkey, o_orderstatus AS status, valid_from,
+         |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) AS valid_to,
+         |       (lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) IS NULL) AS is_current
+         |FROM changes""").stripMargin,
+
+    "mrg1_merge_upsert" -> // MERGE = full outer on the key: source wins the
+      // state columns, counts accumulate, absent sides coalesce to 0
+      ("""WITH tgt_r AS (
+         |  SELECT o_custkey, o_orderstatus, o_orderdate,
+         |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+         |), tgt AS (
+         |  SELECT o_custkey, max(CASE WHEN rn = 1 THEN o_orderstatus END) AS status,
+         |         max(o_orderdate) AS last_order, CAST(count(*) AS BIGINT) AS n_orders
+         |  FROM tgt_r GROUP BY 1
+         |), src_r AS (
+         |  SELECT o_custkey, o_orderstatus, o_orderdate,
+         |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         |  FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+         |), src AS (
+         |  SELECT o_custkey, max(CASE WHEN rn = 1 THEN o_orderstatus END) AS status,
+         |         max(o_orderdate) AS last_order, CAST(count(*) AS BIGINT) AS n_orders
+         |  FROM src_r GROUP BY 1
+         |)
+         |SELECT coalesce(t.o_custkey, s.o_custkey) AS o_custkey,
+         |       coalesce(s.status, t.status) AS status,
+         |       coalesce(s.last_order, t.last_order) AS last_order,
+         |       CAST(coalesce(t.n_orders, 0) + coalesce(s.n_orders, 0) AS BIGINT) AS n_orders
+         |FROM tgt t FULL JOIN src s ON t.o_custkey = s.o_custkey""").stripMargin
   )
 }

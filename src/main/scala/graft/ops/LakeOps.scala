@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lakehouse table-maintenance operators: SCD2 history building (the dbt
+  * `snapshot` materialization) and key-based merge/upsert (the dbt
+  * `incremental` materialization with `merge` strategy). The reference
+  * delegates both to the warehouse; here they are first-class relational
+  * operators whose results land through [[graft.sources.Warehouse]] sinks.
+  *
+  * Scale notes (100 TB): both ops shuffle exactly once on the entity key —
+  * SCD2 is a pair of windows over the same hash partitioning (one
+  * exchange, plan-verified in LakeOpsSpec), and merge is a single
+  * full-outer shuffle join that AQE skew-splits if update keys are hot.
+  * Neither materializes anything on the driver. A production lakehouse
+  * adds file-level optimizations on top (rewrite only impacted files); the
+  * relational semantics — which is what dbt compiles to — are these.
+  */
+object LakeOps {
+
+  /** Build a type-2 slowly-changing-dimension history from an observation
+    * log: one row per (key, state) run with `[valid_from, valid_to)`
+    * validity and `is_current` on the open row (dbt snapshot
+    * `check_cols` strategy — reference dbt_project.yml has no snapshots,
+    * but every warehouse user of the reference pairs its marts with them).
+    *
+    * Consecutive observations with the same state collapse into one
+    * interval; `tieCol` (a unique id) makes the change detection
+    * deterministic when observation timestamps tie. Two windows over the
+    * same (key, time) clustering: Catalyst plans ONE exchange and sorts.
+    */
+  def scd2Snapshot(
+      df: DataFrame,
+      keyCol: String,
+      stateCol: String,
+      tsCol: String,
+      tieCol: String): DataFrame = {
+    val byTime = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val changes = df
+      .withColumn("prev_state", lag(col(stateCol), 1).over(byTime))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col(stateCol))
+      .select(col(keyCol), col(stateCol).as("status"),
+        col(tsCol).as("valid_from"), col(tieCol))
+    val byFrom = Window.partitionBy(keyCol).orderBy(col("valid_from"), col(tieCol))
+    changes
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byFrom))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(tieCol)
+  }
+
+  /** Key-based merge of an update batch into a state table (MERGE INTO /
+    * upsert semantics, dbt incremental `merge` strategy):
+    *  - key in both          → UPDATE: source wins `takeLatest` columns,
+    *                           `sumCols` accumulate target + source
+    *  - key only in source   → INSERT the source row
+    *  - key only in target   → carry the target row through unchanged
+    *
+    * Both inputs must share the schema (`keyCol`, takeLatest..., sumCols...).
+    * One full-outer shuffle join on the key; at 100 TB the target is the
+    * big side and the increment small — full-outer cannot broadcast, but
+    * the increment's shuffle is proportional to the batch, not the table.
+    */
+  def mergeUpsert(
+      target: DataFrame,
+      source: DataFrame,
+      keyCol: String,
+      takeLatest: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    val t = target.alias("t")
+    val s = source.alias("s")
+    val out =
+      coalesce(col(s"t.$keyCol"), col(s"s.$keyCol")).as(keyCol) +:
+      (takeLatest.map(c => coalesce(col(s"s.$c"), col(s"t.$c")).as(c)) ++
+        sumCols.map(c =>
+          (coalesce(col(s"t.$c"), lit(0L)) + coalesce(col(s"s.$c"), lit(0L))).as(c)))
+    t.join(s, col(s"t.$keyCol") === col(s"s.$keyCol"), "full_outer")
+      .select(out: _*)
+  }
+
+  /** Latest-state aggregate per key: the state of the most recent
+    * observation (total-order tie-break on `tieCol`) plus max-timestamp
+    * and row count — the canonical "current state table" both sides of
+    * [[mergeUpsert]] are built from. Window + aggregate share one
+    * key-clustered exchange.
+    */
+  def latestState(
+      df: DataFrame,
+      keyCol: String,
+      stateCol: String,
+      tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).desc, col(tieCol).desc)
+    df.withColumn("rn", row_number().over(w))
+      .groupBy(keyCol)
+      .agg(
+        max(when(col("rn") === 1, col(stateCol))).as("status"),
+        max(col(tsCol)).as("last_order"),
+        count(lit(1)).cast("long").as("n_orders"))
+  }
+}

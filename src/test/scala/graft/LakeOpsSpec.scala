@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for sequence packing, SCD2 history, and merge/upsert
+  * (value-level correctness is oracle-checked by the driver; these assert
+  * the invariants a hash compare can't express — exact block fills,
+  * non-overlapping validity intervals, MERGE branch semantics) plus the
+  * one-exchange plan shapes the ops promise.
+  */
+class LakeOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("pack1 blocks fill exactly: interior blocks = 512 tokens, per-doc spans sum to its token count") {
+    val out = q("pack1_sequence_packing").cache()
+    try {
+      // every block except each shard's last carries exactly 512 tokens
+      val fills = out.groupBy("shard", "block_id")
+        .agg(sum("tokens_in_block").as("fill"))
+      val lastBlock = fills.groupBy("shard").agg(max("block_id").as("last_id"))
+      val interiorBad = fills.join(lastBlock, "shard")
+        .filter(col("block_id") < col("last_id") && col("fill") =!= 512)
+        .count()
+      assert(interiorBad === 0, "every interior block must be exactly full")
+      // packing loses no tokens: per-document spans reassemble the document
+      val perDoc = out.groupBy("doc_id").agg(sum("tokens_in_block").as("packed"))
+      val truth = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      assert(perDoc.join(truth, "doc_id").filter(col("packed") =!= col("n")).count() === 0)
+      // block ids are dense from 0 within each shard
+      val gaps = fills.groupBy("shard")
+        .agg(min("block_id").as("lo"), max("block_id").as("hi"), count(lit(1)).as("n"))
+        .filter(col("lo") =!= 0 || col("n") =!= col("hi") + 1)
+      assert(gaps.count() === 0, "block ids must be dense per shard")
+    } finally out.unpersist()
+  }
+
+  test("scd1 intervals partition each customer's timeline: contiguous, non-overlapping, one open row") {
+    val out = q("scd1_scd2_history").cache()
+    try {
+      // exactly one current (open) interval per customer
+      val multiOpen = out.filter(col("is_current"))
+        .groupBy("o_custkey").count().filter(col("count") =!= 1).count()
+      assert(multiOpen === 0)
+      // intervals chain: valid_to equals the next interval's valid_from
+      // (lead over the same ordering), so they neither overlap nor gap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("valid_from")
+      val broken = out
+        .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+        .filter(col("next_from").isNotNull && col("valid_to") =!= col("next_from"))
+        .count()
+      assert(broken === 0, "validity intervals must chain without gap or overlap")
+      // consecutive intervals always change state (runs were collapsed)
+      val sameRun = out
+        .withColumn("next_status", lead(col("status"), 1).over(w))
+        .filter(col("next_status").isNotNull && col("status") === col("next_status"))
+        .count()
+      assert(sameRun === 0, "adjacent intervals must differ in status")
+      // history starts at the customer's first observation
+      val firstObs = Tables.load(spark, dir, "orders")
+        .groupBy("o_custkey").agg(min("o_orderdate").as("first_obs"))
+      val startBad = out.groupBy("o_custkey").agg(min("valid_from").as("first_from"))
+        .join(firstObs, "o_custkey")
+        .filter(col("first_from") =!= col("first_obs")).count()
+      assert(startBad === 0)
+    } finally out.unpersist()
+  }
+
+  test("mrg1 merge branches: updates accumulate, inserts appear, carries pass through") {
+    val orders = Tables.load(spark, dir, "orders")
+    val cutLo = lit("1996-01-01").cast("timestamp")
+    val cutHi = lit("1996-07-01").cast("timestamp")
+    val tgt = ops.LakeOps.latestState(orders.filter(col("o_orderdate") < cutLo),
+      "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey").cache()
+    val src = ops.LakeOps.latestState(
+      orders.filter(col("o_orderdate") >= cutLo && col("o_orderdate") < cutHi),
+      "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey").cache()
+    val out = q("mrg1_merge_upsert").cache()
+    try {
+      // fixture must exercise all three branches
+      val updKeys = tgt.join(src, "o_custkey").select(tgt("o_custkey"))
+      val insKeys = src.join(tgt, Seq("o_custkey"), "left_anti").select("o_custkey")
+      val carryKeys = tgt.join(src, Seq("o_custkey"), "left_anti").select("o_custkey")
+      assert(updKeys.count() > 0 && insKeys.count() > 0 && carryKeys.count() > 0,
+        "fixture must hit update, insert, and carry branches")
+      // key set is the exact union
+      assert(out.count() === tgt.select("o_custkey").union(src.select("o_custkey")).distinct().count())
+      // update branch: counts accumulate, source wins the state columns
+      val upd = out.join(updKeys, "o_custkey")
+        .join(tgt.select(col("o_custkey"), col("n_orders").as("t_n")), "o_custkey")
+        .join(src.select(col("o_custkey"), col("n_orders").as("s_n"),
+          col("status").as("s_status")), "o_custkey")
+      assert(upd.filter(col("n_orders") =!= col("t_n") + col("s_n")).count() === 0)
+      assert(upd.filter(col("status") =!= col("s_status")).count() === 0)
+      // insert branch: source rows verbatim
+      assert(out.join(insKeys, "o_custkey").exceptAll(src.join(insKeys, "o_custkey")).count() === 0)
+      // carry branch: target rows verbatim
+      assert(out.join(carryKeys, "o_custkey").exceptAll(tgt.join(carryKeys, "o_custkey")).count() === 0)
+    } finally { out.unpersist(); tgt.unpersist(); src.unpersist() }
+  }
+
+  test("plan shapes: scd1 clusters once; pack1 shuffles only on shard; mrg1 joins full-outer on the key") {
+    val scdPlan = q("scd1_scd2_history").queryExecution.executedPlan.toString
+    assert(scdPlan.split("Exchange hashpartitioning").length - 1 === 1,
+      "scd2's two windows must share one key-clustered exchange")
+    val packPlan = q("pack1_sequence_packing").queryExecution.executedPlan.toString
+    assert(packPlan.split("Exchange hashpartitioning").length - 1 === 1,
+      "packing must exchange once, on the shard id")
+    assert(!packPlan.contains("Exchange SinglePartition"),
+      "packing must never serialize into a global sort")
+    val mrgPlan = q("mrg1_merge_upsert").queryExecution.executedPlan.toString
+    assert(mrgPlan.contains("FullOuter"), "merge must plan a full-outer join")
+    assert(!mrgPlan.toLowerCase.contains("cartesian"))
+  }
+}
