@@ -407,6 +407,18 @@ object SparkEntry {
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
     }),
 
+    "src6_datagen_pushdown" -> ((s, dir) =>
+      // custom DataSourceV2 connector with REAL filter pushdown: the id
+      // bounds reach DatagenScan.planInputPartitions and prune input
+      // partitions at planning time (DatagenSpec asserts the count); the
+      // bucket predicate stays a residual filter above the scan. Pure
+      // function of id -> identical on any partitioning, and
+      // generate_series replays it under the oracle
+      s.read.format(classOf[graft.sources.DatagenTableProvider].getName)
+        .option("numRows", 60000).option("numPartitions", 32).load()
+        .filter(col("id") >= 1200L && col("id") < 45000L && col("bucket") === 7L)
+        .select("id", "bucket", "price", "category")),
+
     "pack1_sequence_packing" -> ((s, dir) =>
       // GPT-style concat-and-chunk sequence packing: per-shard token
       // streams cut into 512-token blocks; emits the (block, doc, span)
@@ -2292,6 +2304,16 @@ object SparkEntry {
          |SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
          |       md5(substr(text, (i - 1) * 64 + 1, 64)) AS chunk_md5
          |FROM u""").stripMargin,
+
+    "src6_datagen_pushdown" -> // generate_series replays the pure-integer
+      // row generator; both engines divide the same integer by 100.0, so
+      // the doubles are bit-identical
+      ("""SELECT CAST(i AS BIGINT) AS id,
+         |       CAST(i % 100 AS BIGINT) AS bucket,
+         |       CAST(i * 7919 % 100000 AS DOUBLE) / 100.0 AS price,
+         |       'cat_' || CAST(i % 4 AS VARCHAR) AS category
+         |FROM generate_series(0, 59999) t(i)
+         |WHERE i >= 1200 AND i < 45000 AND i % 100 = 7""").stripMargin,
 
     "pack1_sequence_packing" -> // same shard/order/offset arithmetic; DuckDB
       // `//` is floor division on BIGINT, matching Spark's `DIV` for the

@@ -1,0 +1,167 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic synthetic-data source as a full DataSourceV2 connector —
+  * the source-side analog of the custom physical operator tier: a
+  * TableProvider whose ScanBuilder implements filter pushdown
+  * (SupportsPushDownFilters) and column pruning
+  * (SupportsPushDownRequiredColumns) for real, not as plan decoration.
+  *
+  * Rows are a pure function of `id` (category/bucket/price derived with
+  * integer arithmetic), so results are identical under any partitioning —
+  * and SQL-expressible, which keeps the source under the DuckDB oracle
+  * (generate_series replays the generator).
+  *
+  * Scale story: pushed id bounds INTERSECT the per-partition id ranges at
+  * planning time, so `WHERE id < k` plans only ceil(k/rowsPerPartition)
+  * input partitions instead of all of them (DatagenSpec asserts the
+  * partition count). That is the parquet-min/max-skipping contract
+  * generalized to a generator: at 100 TB of synthetic training data the
+  * cluster only runs tasks for the id range the query touches. Column
+  * pruning materializes only the projected fields (a 2-column projection
+  * never formats the string column).
+  *
+  * Usage: spark.read.format(classOf[DatagenTableProvider].getName)
+  *   .option("numRows", n).option("numPartitions", p).load()
+  */
+class DatagenTableProvider extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DatagenTable.Schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new DatagenTable(
+      properties.getOrDefault("numRows", "1000").toLong,
+      properties.getOrDefault("numPartitions", "8").toInt)
+}
+
+object DatagenTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("bucket", LongType, nullable = false),
+    StructField("price", DoubleType, nullable = false),
+    StructField("category", StringType, nullable = false)))
+
+  // the row generator, shared by every reader: pure integer arithmetic on
+  // id so DuckDB's generate_series reproduces it exactly
+  def bucket(id: Long): Long = id % 100L
+  def price(id: Long): Double = (id * 7919L % 100000L).toDouble / 100.0
+  def category(id: Long): String = "cat_" + (id % 4L)
+}
+
+class DatagenTable(numRows: Long, numPartitions: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_datagen($numRows)"
+  override def schema(): StructType = DatagenTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DatagenScanBuilder(numRows, numPartitions)
+}
+
+class DatagenScanBuilder(numRows: Long, numPartitions: Int)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var lo: Long = 0L           // inclusive pushed lower id bound
+  private var hi: Long = numRows      // exclusive pushed upper id bound
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = DatagenTable.Schema
+
+  /** Accept only id-range conjuncts; everything else stays a residual
+    * Filter above the scan (Spark re-applies whatever we return). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (pushed, residual) = filters.partition {
+      case EqualTo("id", _: Long) => true
+      case GreaterThan("id", _: Long) => true
+      case GreaterThanOrEqual("id", _: Long) => true
+      case LessThan("id", _: Long) => true
+      case LessThanOrEqual("id", _: Long) => true
+      case _ => false
+    }
+    pushed.foreach {
+      case EqualTo("id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
+      case LessThan("id", v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1)
+      case _ =>
+    }
+    accepted = pushed
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new DatagenScan(numRows, numPartitions, lo, hi, required)
+}
+
+class DatagenScan(
+    numRows: Long, numPartitions: Int, lo: Long, hi: Long, required: StructType)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graft_datagen rows=$numRows pushed_id_range=[$lo,$hi) columns=${required.fieldNames.mkString(",")}"
+
+  override def toBatch: Batch = this
+
+  /** Static range partitioning intersected with the pushed bounds —
+    * partitions entirely outside [lo, hi) are never planned. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(1L, (numRows + numPartitions - 1) / numPartitions)
+    (0 until numPartitions).iterator
+      .map { p =>
+        val start = math.max(p * per, lo)
+        val end = math.min(math.min((p + 1) * per, numRows), hi)
+        DatagenPartition(start, end)
+      }
+      .filter(p => p.start < p.end)
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DatagenReaderFactory(required)
+}
+
+case class DatagenPartition(start: Long, end: Long) extends InputPartition
+
+class DatagenReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[DatagenPartition]
+    // bind column generators once per partition, only for projected fields
+    val gens: Array[Long => Any] = required.fields.map { f =>
+      f.name match {
+        case "id" => (id: Long) => id
+        case "bucket" => (id: Long) => DatagenTable.bucket(id)
+        case "price" => (id: Long) => DatagenTable.price(id)
+        case "category" => (id: Long) => UTF8String.fromString(DatagenTable.category(id))
+        case other => throw new IllegalArgumentException(s"unknown column $other")
+      }
+    }
+    new PartitionReader[InternalRow] {
+      private var cur = p.start - 1
+      override def next(): Boolean = { cur += 1; cur < p.end }
+      override def get(): InternalRow = InternalRow.fromSeq(gens.map(_(cur)).toSeq)
+      override def close(): Unit = ()
+    }
+  }
+}

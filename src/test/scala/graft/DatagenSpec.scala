@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.{DatagenScan, DatagenTableProvider}
+
+/** The custom DataSourceV2 connector must do what it claims: pushed id
+  * bounds prune input partitions at PLANNING time (not just filter rows),
+  * column pruning reaches the reader, non-id predicates stay residual,
+  * and the generated values match the documented arithmetic.
+  */
+class DatagenSpec extends SparkSpec {
+
+  private def read(numRows: Long, numPartitions: Int): DataFrame =
+    spark.read.format(classOf[DatagenTableProvider].getName)
+      .option("numRows", numRows).option("numPartitions", numPartitions).load()
+
+  private def datagenScan(df: DataFrame): DatagenScan = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collect { case b: BatchScanExec => b.scan }
+      .collectFirst { case s: DatagenScan => s }
+      .getOrElse(fail("no DatagenScan in plan"))
+  }
+
+  test("pushed id bounds prune input partitions at planning time") {
+    // 1M rows over 64 partitions = 16384 rows each; id < 16384 is exactly
+    // the first partition — 63 of 64 tasks must never be planned
+    val df = read(1L << 20, 64).filter(col("id") < 16384L)
+    val scan = datagenScan(df)
+    assert(scan.planInputPartitions().length === 1,
+      s"expected 1 surviving partition, scan: ${scan.description()}")
+    assert(scan.description().contains("pushed_id_range=[0,16384)"))
+    assert(df.count() === 16384L)
+    // a range in the middle prunes both ends
+    val mid = read(1L << 20, 64).filter(col("id") >= 100000L && col("id") <= 120000L)
+    assert(datagenScan(mid).planInputPartitions().length === 2) // spans parts 6..7
+    assert(mid.count() === 20001L)
+    // an empty range plans zero partitions
+    val empty = read(1L << 20, 64).filter(col("id") === -5L)
+    assert(datagenScan(empty).planInputPartitions().length === 0)
+    assert(empty.count() === 0L)
+  }
+
+  test("column pruning reaches the reader; residual predicates are re-applied") {
+    val df = read(10000, 4).filter(col("id") >= 5000L && col("bucket") === 3L)
+      .select("id", "bucket")
+    val scan = datagenScan(df)
+    // only the projected+filtered columns survive into the scan schema
+    assert(scan.readSchema().fieldNames.toSet === Set("id", "bucket"))
+    // the bucket predicate was NOT pushed (only id bounds are), yet must
+    // still hold in the result — Spark re-applies it above the scan
+    assert(df.filter(col("bucket") =!= 3L).count() === 0)
+    assert(df.count() === 50L) // 5000..9999, every 100th
+  }
+
+  test("generated values match the documented arithmetic on every partitioning") {
+    val expected = spark.range(0, 2000).select(
+      col("id"),
+      (col("id") % 100).as("bucket"),
+      ((col("id") * 7919L % 100000L).cast("double") / 100.0).as("price"),
+      concat(lit("cat_"), (col("id") % 4).cast("string")).as("category"))
+    for (parts <- Seq(1, 7, 32)) {
+      val got = read(2000, parts)
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+        s"value mismatch at numPartitions=$parts")
+    }
+  }
+}
