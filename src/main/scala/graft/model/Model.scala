@@ -13,6 +13,22 @@ object Materialization {
   case object View extends Materialization
   /** Written to parquet once per run; downstream reads scan the table. */
   case object Table extends Materialization
+  /** dbt's `materialized: incremental` with the delete+insert merge
+    * strategy: the first run writes the full build; later runs re-invoke
+    * `build` with the existing table exposed as ref("this") (dbt's
+    * `{{ this }}` / `is_incremental()` contract — the model filters its
+    * sources down to the new batch, e.g. on max(updated_at)), then rows
+    * whose `uniqueKey` appears in the batch are replaced wholesale and
+    * new keys appended.
+    *
+    * Scale: the merge is existing ⟕anti batch ∪ batch — one shuffle
+    * proportional to table+batch, and the rewrite goes through a staging
+    * directory swapped in via FileSystem.rename, so a failed run never
+    * leaves a half-written table (production would use a transactional
+    * table format to rewrite only impacted files; the relational
+    * semantics dbt compiles to are exactly these).
+    */
+  final case class Incremental(uniqueKey: String) extends Materialization
 }
 
 /** A declarative model: a named transformation over upstream relations.
@@ -109,16 +125,43 @@ final class Registry(models: Seq[Model]) {
     topoOrder.foreach { m =>
       val missing = m.deps.filterNot(resolved.contains)
       require(missing.isEmpty, s"model '${m.name}' missing upstream relation(s): ${missing.mkString(", ")}")
-      val df = m.build(resolved.toMap)
       val materialized = m.materialization match {
-        case Materialization.View => df // stay lazy — warehouse-view semantics
+        case Materialization.View => m.build(resolved.toMap) // stay lazy — warehouse-view semantics
         case Materialization.Table =>
           tableDir match {
             case Some(dir) =>
               val path = s"$dir/${m.name}"
-              df.write.mode("overwrite").parquet(path)
+              m.build(resolved.toMap).write.mode("overwrite").parquet(path)
               spark.read.parquet(path)
-            case None => df
+            case None => m.build(resolved.toMap)
+          }
+        case Materialization.Incremental(uniqueKey) =>
+          tableDir match {
+            case Some(dir) =>
+              val path = s"$dir/${m.name}"
+              val fs = org.apache.hadoop.fs.FileSystem.get(
+                new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+              val target = new org.apache.hadoop.fs.Path(path)
+              if (!fs.exists(target)) {
+                // first run: full build, plain table write
+                m.build(resolved.toMap).write.mode("overwrite").parquet(path)
+              } else {
+                // incremental run: the model sees its own current state as
+                // ref("this") and is expected to return only the new batch
+                val existing = spark.read.parquet(path)
+                val batch = m.build(resolved.toMap + ("this" -> existing))
+                val merged = existing
+                  .join(batch, Seq(uniqueKey), "left_anti")
+                  .unionByName(batch)
+                // write-then-swap: the merge reads `existing`, so it must
+                // land in a staging dir before the old table is dropped
+                val staging = new org.apache.hadoop.fs.Path(path + "__staging")
+                merged.write.mode("overwrite").parquet(staging.toString)
+                fs.delete(target, true)
+                require(fs.rename(staging, target), s"staging swap failed for ${m.name}")
+              }
+              spark.read.parquet(path)
+            case None => m.build(resolved.toMap) // test mode: behaves like a view
           }
       }
       resolved += (m.name -> materialized)

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.model.{Materialization, Model, Registry}
+
+/** Incremental materialization contract (dbt `materialized: incremental`,
+  * delete+insert merge on a unique key): first run = full build; later
+  * runs see the current table as ref("this"), return only the new batch,
+  * and the registry replaces matched keys wholesale and appends new ones.
+  * The invariant that matters: an incremental run must land on EXACTLY
+  * the state a from-scratch rebuild over the full source produces.
+  */
+class IncrementalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def src(rows: Seq[(Long, String, Int)]): DataFrame =
+    rows.toDF("id", "payload", "updated_at")
+
+  // the model: latest payload per id, taking only rows newer than the
+  // table's high-water mark when running incrementally (the standard
+  // dbt is_incremental() filter shape)
+  private val stateModel = Model(
+    name = "state",
+    deps = Seq("events_src"),
+    materialization = Materialization.Incremental(uniqueKey = "id"),
+    build = refs => {
+      val events = refs("events_src")
+      val batch = refs.get("this") match {
+        case Some(existing) =>
+          val hwm = existing.agg(max("updated_at")).head().getInt(0)
+          events.filter(col("updated_at") > hwm)
+        case None => events
+      }
+      batch.groupBy("id").agg(
+        max(struct(col("updated_at"), col("payload"))).as("s"))
+        .select(col("id"), col("s.payload").as("payload"), col("s.updated_at").as("updated_at"))
+    })
+
+  test("incremental run converges to the from-scratch rebuild") {
+    val dir = Files.createTempDirectory("graft_incr").toString
+    val reg = new Registry(Seq(stateModel))
+
+    val gen1 = Seq((1L, "a", 10), (2L, "b", 10), (3L, "c", 11))
+    val run1 = reg.run(spark, Map("events_src" -> src(gen1)), Some(dir))("state")
+    assert(run1.count() === 3)
+
+    // second generation: id=2 updated, id=4 new, id=1/3 untouched
+    val gen2 = gen1 ++ Seq((2L, "b2", 12), (4L, "d", 13))
+    val run2 = reg.run(spark, Map("events_src" -> src(gen2)), Some(dir))("state")
+
+    val fromScratch = {
+      val freshDir = Files.createTempDirectory("graft_incr_fresh").toString
+      reg.run(spark, Map("events_src" -> src(gen2)), Some(freshDir))("state")
+    }
+    assert(run2.exceptAll(fromScratch).isEmpty && fromScratch.exceptAll(run2).isEmpty,
+      "incremental state must equal the from-scratch rebuild")
+    // the updated key carries the new payload; untouched keys survive
+    assert(run2.filter(col("id") === 2).select("payload").head().getString(0) === "b2")
+    assert(run2.filter(col("id") === 1).select("payload").head().getString(0) === "a")
+    assert(run2.count() === 4)
+  }
+
+  test("incremental model sees only the post-high-water-mark batch") {
+    val dir = Files.createTempDirectory("graft_incr2").toString
+    var batchSizes = List.empty[Long]
+    val spying = stateModel.copy(build = refs => {
+      val out = stateModel.build(refs)
+      if (refs.contains("this")) batchSizes ::= out.count()
+      out
+    })
+    val reg = new Registry(Seq(spying))
+    val gen1 = Seq((1L, "a", 10), (2L, "b", 10))
+    reg.run(spark, Map("events_src" -> src(gen1)), Some(dir))
+    val gen2 = gen1 ++ Seq((3L, "c", 15))
+    reg.run(spark, Map("events_src" -> src(gen2)), Some(dir))
+    assert(batchSizes === List(1L), "second run must process only the 1-row batch")
+    // a no-op run (no rows past the high-water mark) leaves the table intact
+    val out = reg.run(spark, Map("events_src" -> src(gen2)), Some(dir))("state")
+    assert(out.count() === 3)
+  }
+
+  test("a failed staging swap never corrupts the table: staging dir is separate") {
+    val dir = Files.createTempDirectory("graft_incr3").toString
+    val reg = new Registry(Seq(stateModel))
+    val gen1 = Seq((1L, "a", 10))
+    reg.run(spark, Map("events_src" -> src(gen1)), Some(dir))
+    // after a successful incremental run, no staging residue remains
+    reg.run(spark, Map("events_src" -> src(gen1 :+ ((2L, "b", 11)))), Some(dir))
+    assert(!new java.io.File(s"$dir/state__staging").exists())
+    assert(spark.read.parquet(s"$dir/state").count() === 2)
+  }
+}
