@@ -426,6 +426,13 @@ object SparkEntry {
       // shard-parallel 100 TB design.
       PackOps.packSequences(t(s, dir, "documents"), "doc_id", "text", 8, 512)),
 
+    "pack2_document_packing" -> ((s, dir) =>
+      // boundary-respecting next-fit packing: documents never split
+      // across bins (cf. pack1's concat-and-chunk). Sequential recurrence
+      // per shard -> the one genuine mapPartitions case; the DuckDB
+      // oracle replays it with a recursive CTE
+      PackOps.packDocuments(t(s, dir, "documents"), "doc_id", "text", 8, 512)),
+
     "scd1_scd2_history" -> ((s, dir) =>
       // dbt-snapshot analog: SCD2 validity intervals from the order-status
       // observation log — one row per (customer, status) run with
@@ -2335,6 +2342,26 @@ object SparkEntry {
          |       doc_id,
          |       CAST(least(e, (blk + 1) * 512) - greatest(b, blk * 512) AS BIGINT) AS tokens_in_block
          |FROM s, UNNEST(generate_series(b // 512, (e - 1) // 512)) AS u(blk)""").stripMargin,
+
+    "pack2_document_packing" -> // the next-fit recurrence as a recursive
+      // CTE: all shards walk in parallel rows, rn joins each step to the
+      // next document in the shard
+      ("""WITH RECURSIVE t AS (
+         |  SELECT doc_id, doc_id % 8 AS shard,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+         |  FROM documents WHERE len(string_split(text, ' ')) > 0
+         |), walk AS (
+         |  SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) AS bin_id, n AS fill
+         |  FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.shard, t.rn, t.doc_id, t.n,
+         |         CASE WHEN w.fill + t.n > 512 THEN w.bin_id + 1 ELSE w.bin_id END,
+         |         CASE WHEN w.fill + t.n > 512 THEN t.n ELSE w.fill + t.n END
+         |  FROM walk w JOIN t ON t.shard = w.shard AND t.rn = w.rn + 1
+         |)
+         |SELECT CAST(shard AS BIGINT) AS shard, bin_id, doc_id, n AS n_tokens
+         |FROM walk""").stripMargin,
 
     "scd1_scd2_history" -> // change rows (lag differs) -> lead() closes the
       // interval; o_orderkey breaks observation-time ties both places

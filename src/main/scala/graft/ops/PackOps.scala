@@ -57,4 +57,51 @@ object PackOps {
         (least(col("e"), (col("block_id") + 1) * b) -
           greatest(col("b"), col("block_id") * b)).as("tokens_in_block"))
   }
+
+  /** Document-boundary-respecting next-fit packing: within each shard,
+    * walk documents in id order and open a new bin whenever the current
+    * one can't hold the whole document (a document longer than `capacity`
+    * gets a bin to itself). The alternative to [[packSequences]] for
+    * loaders that never split documents — trades padding waste for
+    * boundary integrity.
+    *
+    * Next-fit is a sequential recurrence (bin state depends on every
+    * prior document in the shard), so no window formulation exists; this
+    * is the genuine per-partition-imperative case: ONE hash exchange on
+    * shard, sort within partitions, then a single forward scan with two
+    * longs of state. Each shard lands wholly in one task (hash on shard),
+    * so the result is deterministic under any input partitioning; scale
+    * by raising `numShards` exactly as with [[packSequences]].
+    */
+  def packDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numShards: Int,
+      capacity: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counted = df
+      .select(
+        col(idCol).cast("long"),
+        pmod(col(idCol), lit(numShards.toLong)).as("shard"),
+        size(split(col(textCol), " ")).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .as[(Long, Long, Long)]
+    counted
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", idCol)
+      .mapPartitions { it =>
+        var curShard = Long.MinValue
+        var bin = 0L
+        var fill = 0L
+        it.map { case (id, shard, n) =>
+          if (shard != curShard) { curShard = shard; bin = 0L; fill = n }
+          else if (fill + n > capacity) { bin += 1; fill = n }
+          else fill += n
+          (shard, bin, id, n)
+        }
+      }
+      .toDF("shard", "bin_id", idCol, "n_tokens")
+  }
 }

@@ -37,6 +37,29 @@ class LakeOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("pack2 next-fit bins respect document boundaries and the capacity") {
+    val out = q("pack2_document_packing").cache()
+    try {
+      // every document appears exactly once, whole
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      assert(out.count() === docs.filter(col("n") > 0).count())
+      assert(out.join(docs, "doc_id").filter(col("n_tokens") =!= col("n")).count() === 0)
+      // no bin holding >1 document exceeds capacity (single oversized
+      // documents legitimately may)
+      val bins = out.groupBy("shard", "bin_id")
+        .agg(sum("n_tokens").as("tot"), count(lit(1)).as("cnt"))
+      assert(bins.filter(col("cnt") > 1 && col("tot") > 512).count() === 0)
+      // deterministic: a second evaluation is identical
+      assert(q("pack2_document_packing").exceptAll(out).count() === 0,
+        "packing must be deterministic across evaluations")
+      val gaps = bins.groupBy("shard")
+        .agg(min("bin_id").as("lo"), max("bin_id").as("hi"), count(lit(1)).as("nb"))
+        .filter(col("lo") =!= 0 || col("nb") =!= col("hi") + 1)
+      assert(gaps.count() === 0, "bin ids must be dense per shard")
+    } finally out.unpersist()
+  }
+
   test("scd1 intervals partition each customer's timeline: contiguous, non-overlapping, one open row") {
     val out = q("scd1_scd2_history").cache()
     try {
