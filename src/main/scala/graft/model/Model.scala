@@ -13,13 +13,21 @@ object Materialization {
   case object View extends Materialization
   /** Written to parquet once per run; downstream reads scan the table. */
   case object Table extends Materialization
-  /** dbt's `materialized: incremental` with the delete+insert merge
-    * strategy: the first run writes the full build; later runs re-invoke
-    * `build` with the existing table exposed as ref("this") (dbt's
-    * `{{ this }}` / `is_incremental()` contract — the model filters its
-    * sources down to the new batch, e.g. on max(updated_at)), then rows
-    * whose `uniqueKey` appears in the batch are replaced wholesale and
-    * new keys appended.
+  /** dbt's `materialized: incremental`: the first run writes the full
+    * build; later runs re-invoke `build` with the existing table exposed
+    * as ref("this") (dbt's `{{ this }}` / `is_incremental()` contract —
+    * the model filters its sources down to the new batch, e.g. on
+    * max(updated_at)), then applies the strategy.
+    */
+  final case class Incremental(strategy: IncrementalStrategy) extends Materialization
+}
+
+/** How an incremental batch lands in the existing table (dbt's
+  * `incremental_strategy` config). */
+sealed trait IncrementalStrategy
+object IncrementalStrategy {
+  /** Rows whose `uniqueKey` appears in the batch are replaced wholesale,
+    * new keys appended (dbt delete+insert / merge-on-unique-key).
     *
     * Scale: the merge is existing ⟕anti batch ∪ batch — one shuffle
     * proportional to table+batch, and the rewrite goes through a staging
@@ -28,7 +36,11 @@ object Materialization {
     * table format to rewrite only impacted files; the relational
     * semantics dbt compiles to are exactly these).
     */
-  final case class Incremental(uniqueKey: String) extends Materialization
+  final case class DeleteInsert(uniqueKey: String) extends IncrementalStrategy
+  /** Insert-only event-log accumulation (dbt append): the batch is
+    * written with parquet append — no read of the existing data, no
+    * staging swap, cost proportional to the batch alone. */
+  case object Append extends IncrementalStrategy
 }
 
 /** A declarative model: a named transformation over upstream relations.
@@ -135,7 +147,7 @@ final class Registry(models: Seq[Model]) {
               spark.read.parquet(path)
             case None => m.build(resolved.toMap)
           }
-        case Materialization.Incremental(uniqueKey) =>
+        case Materialization.Incremental(strategy) =>
           tableDir match {
             case Some(dir) =>
               val path = s"$dir/${m.name}"
@@ -150,15 +162,20 @@ final class Registry(models: Seq[Model]) {
                 // ref("this") and is expected to return only the new batch
                 val existing = spark.read.parquet(path)
                 val batch = m.build(resolved.toMap + ("this" -> existing))
-                val merged = existing
-                  .join(batch, Seq(uniqueKey), "left_anti")
-                  .unionByName(batch)
-                // write-then-swap: the merge reads `existing`, so it must
-                // land in a staging dir before the old table is dropped
-                val staging = new org.apache.hadoop.fs.Path(path + "__staging")
-                merged.write.mode("overwrite").parquet(staging.toString)
-                fs.delete(target, true)
-                require(fs.rename(staging, target), s"staging swap failed for ${m.name}")
+                strategy match {
+                  case IncrementalStrategy.Append =>
+                    batch.write.mode("append").parquet(path)
+                  case IncrementalStrategy.DeleteInsert(uniqueKey) =>
+                    val merged = existing
+                      .join(batch, Seq(uniqueKey), "left_anti")
+                      .unionByName(batch)
+                    // write-then-swap: the merge reads `existing`, so it
+                    // must land in a staging dir before the old table drops
+                    val staging = new org.apache.hadoop.fs.Path(path + "__staging")
+                    merged.write.mode("overwrite").parquet(staging.toString)
+                    fs.delete(target, true)
+                    require(fs.rename(staging, target), s"staging swap failed for ${m.name}")
+                }
               }
               spark.read.parquet(path)
             case None => m.build(resolved.toMap) // test mode: behaves like a view

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.model.{Materialization, Model, Registry}
+import graft.model.{IncrementalStrategy, Materialization, Model, Registry}
 
 /** Incremental materialization contract (dbt `materialized: incremental`,
   * delete+insert merge on a unique key): first run = full build; later
@@ -27,7 +27,7 @@ class IncrementalSpec extends SparkSpec {
   private val stateModel = Model(
     name = "state",
     deps = Seq("events_src"),
-    materialization = Materialization.Incremental(uniqueKey = "id"),
+    materialization = Materialization.Incremental(IncrementalStrategy.DeleteInsert("id")),
     build = refs => {
       val events = refs("events_src")
       val batch = refs.get("this") match {
@@ -82,6 +82,65 @@ class IncrementalSpec extends SparkSpec {
     // a no-op run (no rows past the high-water mark) leaves the table intact
     val out = reg.run(spark, Map("events_src" -> src(gen2)), Some(dir))("state")
     assert(out.count() === 3)
+  }
+
+  test("append strategy accumulates batches without touching existing rows") {
+    val dir = Files.createTempDirectory("graft_incr_app").toString
+    val appendModel = stateModel.copy(
+      materialization = Materialization.Incremental(IncrementalStrategy.Append))
+    val reg = new Registry(Seq(appendModel))
+    val gen1 = Seq((1L, "a", 10), (2L, "b", 10))
+    reg.run(spark, Map("events_src" -> src(gen1)), Some(dir))
+    // id=1 re-observed later: append KEEPS both versions (event-log
+    // semantics), unlike delete+insert
+    val gen2 = gen1 ++ Seq((1L, "a2", 12))
+    val out = reg.run(spark, Map("events_src" -> src(gen2)), Some(dir))("state")
+    assert(out.count() === 3)
+    assert(out.filter(col("id") === 1).count() === 2)
+    assert(!new java.io.File(s"$dir/state__staging").exists())
+  }
+
+  test("the Jaffle orders mart runs incrementally and lands on the full rebuild") {
+    import graft.models.Jaffle
+    val seeds = graft.seed.SeedLoader.loadJaffleSeeds(spark, "/root/reference/seeds")
+    // incremental variant of the reference orders mart: batch = orders
+    // past the mart's order_date high-water mark, re-pivoted against the
+    // full payments feed (the join restricts it to the batch orders)
+    val incOrders = Model(
+      name = "orders",
+      deps = Seq("stg_orders", "stg_payments"),
+      materialization = Materialization.Incremental(IncrementalStrategy.DeleteInsert("order_id")),
+      build = refs => {
+        val stgOrders = refs.get("this") match {
+          case Some(existing) =>
+            val hwm = existing.agg(max("order_date")).head().getDate(0)
+            refs("stg_orders").filter(col("order_date") > lit(hwm))
+          case None => refs("stg_orders")
+        }
+        Jaffle.orders(stgOrders, refs("stg_payments"))
+      })
+    val staging = Seq(
+      Model("stg_orders", Seq("raw_orders"), Materialization.View,
+        refs => Jaffle.stgOrders(refs("raw_orders"))),
+      Model("stg_payments", Seq("raw_payments"), Materialization.View,
+        refs => Jaffle.stgPayments(refs("raw_payments"))))
+    val reg = new Registry(staging :+ incOrders)
+
+    val dir = Files.createTempDirectory("graft_incr_jaffle").toString
+    val cutoff = java.sql.Date.valueOf("2018-03-01")
+    val earlySeeds = seeds + ("raw_orders" ->
+      seeds("raw_orders").filter(col("order_date") < lit(cutoff)))
+    val run1 = reg.run(spark, earlySeeds, Some(dir))("orders")
+    val run1Count = run1.count()
+    assert(run1Count > 0 && run1Count < 99, "cutoff must split the seed orders")
+
+    val incremental = reg.run(spark, seeds, Some(dir))("orders")
+    val fullRebuild = Jaffle.registry
+      .run(spark, seeds, Some(Files.createTempDirectory("graft_full_jaffle").toString))("orders")
+    assert(incremental.count() === 99)
+    assert(incremental.exceptAll(fullRebuild).isEmpty &&
+      fullRebuild.exceptAll(incremental).isEmpty,
+      "incremental orders mart must equal the from-scratch reference mart")
   }
 
   test("a failed staging swap never corrupts the table: staging dir is separate") {
