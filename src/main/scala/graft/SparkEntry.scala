@@ -407,6 +407,55 @@ object SparkEntry {
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
     }),
 
+    "dd5_passage_dup" -> ((s, dir) => {
+      // cross-document boilerplate score: fraction of a document's
+      // 8-token passages that appear verbatim in at least one OTHER
+      // document (near-exact dups score 1.0). Shape: bounded explode
+      // (fan-out = tokens/8), one passage-keyed aggregate, join back,
+      // per-doc aggregate — the exchanges carry (passage, doc_id) pairs,
+      // ~corpus-token bytes/8, never full documents
+      val toksCol = split(col("text"), " ")
+      val passages = t(s, dir, "documents")
+        .select(col("doc_id"), toksCol.as("ts"))
+        .filter(size(col("ts")) > 0)
+        .select(col("doc_id"), col("ts"),
+          explode(sequence(lit(1L),
+            ceil(size(col("ts")).cast("double") / 8.0).cast("long"))).as("i"))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("ts"), ((col("i") - 1) * 8 + 1).cast("int"), lit(8)))
+            .as("passage"))
+      val byPassage = passages.groupBy("passage")
+        .agg(countDistinct("doc_id").as("nd"))
+      passages.join(byPassage, "passage")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_passages"),
+          round(sum(when(col("nd") >= 2, 1).otherwise(0)).cast("double") / count(lit(1)), 4)
+            .as("dup_frac"))
+    }),
+
+    "smp4_target_mixture" -> ((s, dir) => {
+      // data-derived mixture resampling: hit target language proportions
+      // (en 40%, others 15%) with maximum retention — T = min(count/p)
+      // is the largest feasible total, per-language quota = floor(p*T),
+      // rows picked by Knuth-hash rank (deterministic on any
+      // partitioning). The quota derivation runs on the 5-row language
+      // aggregate (an unpartitioned window over 5 rows, not a join);
+      // the corpus-side cost is one per-language rank window
+      val docs = t(s, dir, "documents")
+      val target = when(col("lang") === "en", lit(0.4)).otherwise(lit(0.15))
+      val wAll = Window.partitionBy() // 5 rows: one per language
+      val quotas = docs.groupBy("lang").agg(count(lit(1)).cast("double").as("c"))
+        .withColumn("p", target)
+        .withColumn("n_keep", floor(col("p") * min(col("c") / col("p")).over(wAll)))
+        .select("lang", "n_keep")
+      val byHash = Window.partitionBy("lang")
+        .orderBy(SampleOps.knuth32(col("doc_id")), col("doc_id"))
+      docs.withColumn("rk", row_number().over(byHash))
+        .join(broadcast(quotas), "lang")
+        .filter(col("rk") <= col("n_keep"))
+        .select("doc_id", "lang")
+    }),
+
     "src6_datagen_pushdown" -> ((s, dir) =>
       // custom DataSourceV2 connector with REAL filter pushdown: the id
       // bounds reach DatagenScan.planInputPartitions and prune input
@@ -2311,6 +2360,42 @@ object SparkEntry {
          |SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
          |       md5(substr(text, (i - 1) * 64 + 1, 64)) AS chunk_md5
          |FROM u""").stripMargin,
+
+    "dd5_passage_dup" -> // list_slice mirrors slice(start,8) (both
+      // truncate at the end); 1-indexed inclusive bounds
+      ("""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ts,
+         |         CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS n_p
+         |  FROM documents WHERE len(string_split(text, ' ')) > 0
+         |), passages AS (
+         |  SELECT doc_id,
+         |         array_to_string(list_slice(ts, (i - 1) * 8 + 1, i * 8), ' ') AS passage
+         |  FROM toks, UNNEST(generate_series(1, n_p)) AS u(i)
+         |), df AS (
+         |  SELECT passage, count(DISTINCT doc_id) AS nd FROM passages GROUP BY 1
+         |)
+         |SELECT p.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_passages,
+         |       round(CAST(sum(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_frac
+         |FROM passages p JOIN df USING (passage)
+         |GROUP BY 1""").stripMargin,
+
+    "smp4_target_mixture" -> // same double arithmetic order both sides:
+      // T = min(c/p), quota = floor(p*T); smp1's Knuth hash ranks rows
+      ("""WITH counts AS (
+         |  SELECT lang, CAST(count(*) AS DOUBLE) AS c FROM documents GROUP BY 1
+         |), p AS (
+         |  SELECT lang, c, CASE lang WHEN 'en' THEN 0.4 ELSE 0.15 END AS p FROM counts
+         |), quotas AS (
+         |  SELECT lang, floor(p * (SELECT min(c / p) FROM p)) AS n_keep FROM p
+         |), ranked AS (
+         |  SELECT doc_id, lang,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) AS rk
+         |  FROM documents
+         |)
+         |SELECT r.doc_id, r.lang
+         |FROM ranked r JOIN quotas q USING (lang) WHERE r.rk <= q.n_keep""").stripMargin,
 
     "src6_datagen_pushdown" -> // generate_series replays the pure-integer
       // row generator; both engines divide the same integer by 100.0, so

@@ -65,6 +65,49 @@ class BreadthQueriesSpec extends SparkSpec {
     assert(math.abs(dynTotal - staticTotal) < 1e-6)
   }
 
+  test("dd5_passage_dup scores passage-level duplication in [0,1] with exact passage counts") {
+    val out = q("dd5_passage_dup").cache()
+    try {
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      // one row per non-empty doc; n_passages = ceil(tokens/8)
+      assert(out.count() === docs.filter(col("n") > 0).count())
+      val badCount = out.join(docs, "doc_id")
+        .filter(col("n_passages") =!= ceil(col("n").cast("double") / 8.0).cast("long"))
+        .count()
+      assert(badCount === 0)
+      assert(out.filter(col("dup_frac") < 0 || col("dup_frac") > 1).count() === 0)
+      // the fixture contains planted near-exact duplicates: some doc must
+      // score 1.0, and the bulk of the corpus must score 0
+      assert(out.filter(col("dup_frac") === 1.0).count() > 0, "planted dups must score 1.0")
+      assert(out.filter(col("dup_frac") === 0.0).count() > out.count() / 2)
+    } finally out.unpersist()
+  }
+
+  test("smp4_target_mixture hits the per-language quotas exactly and deterministically") {
+    val out = q("smp4_target_mixture").cache()
+    try {
+      val docs = Tables.load(spark, dir, "documents")
+      // quotas recomputed independently: T = min(c/p), quota = floor(p*T)
+      val counts = docs.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+      val p = counts.keys.map(l => l -> (if (l == "en") 0.4 else 0.15)).toMap
+      val t = counts.map { case (l, c) => c / p(l) }.min
+      val kept = out.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      counts.keys.foreach { l =>
+        assert(kept.getOrElse(l, 0L) === math.floor(p(l) * t).toLong,
+          s"language $l missed its quota")
+      }
+      // subset + determinism
+      assert(out.join(docs, Seq("doc_id"), "left_anti").count() === 0)
+      assert(q("smp4_target_mixture").exceptAll(out).count() === 0)
+      // resulting mix approximates the targets
+      val total = out.count().toDouble
+      assert(math.abs(kept("en") / total - 0.4) < 0.01, "en share must land on 40%")
+    } finally out.unpersist()
+  }
+
   test("smp3_stratified_sample keeps a deterministic per-stratum subset at the declared rates") {
     val out = q("smp3_stratified_sample").cache()
     try {
