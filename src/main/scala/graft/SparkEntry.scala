@@ -508,22 +508,11 @@ object SparkEntry {
 
     "pipe2_quality_filter" -> ((s, dir) => {
       // the composed Gopher/C4-style quality GATE with the native
-      // kernels: length + stopword + repetition + entropy thresholds in
-      // ONE narrow projection+filter pass (txt2/txt10/txt11 composed) —
-      // no shuffle, no UDF; at 100 TB this is a map-only corpus sweep
+      // kernels (txt2/txt10/txt11 thresholds in ONE map-only pass); the
+      // same TextOps.qualityGate also runs inside the streaming ingest
+      // (CorpusIngestSpec)
       graft.functions.NativeExpressions.register(s)
-      val toks = TextOps.tokens(col("text"))
-      val nToks = size(toks)
-      val stopHits = size(filter(toks,
-        tk => TextOps.Stopwords.foldLeft(lit(false))((acc, m) => acc || (tk === m))))
-      t(s, dir, "documents").select(
-          col("doc_id"),
-          nToks.cast("long").as("n_tokens"),
-          round(stopHits.cast("double") / nToks, 4).as("stopword_ratio"),
-          TextOps.repetitionRatioNative("text", 3).as("dup3_frac"),
-          TextOps.charEntropyNative("text").as("char_entropy"))
-        .filter(col("n_tokens") >= 25 && col("stopword_ratio") >= 0.05 &&
-          col("dup3_frac") <= 0.05 && col("char_entropy") >= 2.8)
+      TextOps.qualityGate(t(s, dir, "documents"), "doc_id", "text")
     }),
 
     "q5_correlated_subquery" -> ((s, dir) => {

@@ -149,4 +149,25 @@ object TextOps {
         expr(s"graft_distinct_ngrams(`$textCol`, $n)").cast("double") / total.cast("double"), 4))
       .otherwise(lit(null).cast("double"))
   }
+
+  /** The composed Gopher/C4-style quality GATE: length + stopword +
+    * repetition + entropy thresholds in ONE narrow projection+filter pass
+    * over the native kernels — no shuffle, no UDF, so it runs unchanged
+    * over a batch corpus (pipe2) or inside a Structured Streaming ingest
+    * (CorpusIngestSpec). Callers must have run NativeExpressions.register.
+    */
+  def qualityGate(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nToks = size(toks)
+    val stopHits = size(filter(toks,
+      tk => Stopwords.foldLeft(lit(false))((acc, m) => acc || (tk === m))))
+    df.select(
+        col(idCol),
+        nToks.cast("long").as("n_tokens"),
+        round(stopHits.cast("double") / nToks, 4).as("stopword_ratio"),
+        repetitionRatioNative(textCol, 3).as("dup3_frac"),
+        charEntropyNative(textCol).as("char_entropy"))
+      .filter(col("n_tokens") >= 25 && col("stopword_ratio") >= 0.05 &&
+        col("dup3_frac") <= 0.05 && col("char_entropy") >= 2.8)
+  }
 }
