@@ -468,6 +468,16 @@ object SparkEntry {
         .filter(col("id") >= 1200L && col("id") < 45000L && col("bucket") === 7L)
         .select("id", "bucket", "price", "category")),
 
+    "src7_datagen_agg_pushdown" -> ((s, dir) =>
+      // complete aggregate pushdown into the V2 source: count/min/max
+      // over the pushed id range answer in CLOSED FORM — the scan emits
+      // one row and generates nothing (DatagenSpec asserts no
+      // HashAggregate in the plan)
+      s.read.format(classOf[graft.sources.DatagenTableProvider].getName)
+        .option("numRows", 60000).option("numPartitions", 32).load()
+        .filter(col("id") >= 1200L && col("id") < 45000L)
+        .agg(count(lit(1)).as("n"), min("id").as("lo_id"), max("id").as("hi_id"))),
+
     "pack1_sequence_packing" -> ((s, dir) =>
       // GPT-style concat-and-chunk sequence packing: per-shard token
       // streams cut into 512-token blocks; emits the (block, doc, span)
@@ -2395,6 +2405,12 @@ object SparkEntry {
          |       'cat_' || CAST(i % 4 AS VARCHAR) AS category
          |FROM generate_series(0, 59999) t(i)
          |WHERE i >= 1200 AND i < 45000 AND i % 100 = 7""").stripMargin,
+
+    "src7_datagen_agg_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(i) AS BIGINT) AS lo_id, CAST(max(i) AS BIGINT) AS hi_id
+        |FROM generate_series(0, 59999) t(i)
+        |WHERE i >= 1200 AND i < 45000""".stripMargin,
 
     "pack1_sequence_packing" -> // same shard/order/offset arithmetic; DuckDB
       // `//` is floor division on BIGINT, matching Spark's `DIV` for the

@@ -5,7 +5,8 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -74,12 +75,14 @@ class DatagenTable(numRows: Long, numPartitions: Int) extends Table with Support
 }
 
 class DatagenScanBuilder(numRows: Long, numPartitions: Int)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var lo: Long = 0L           // inclusive pushed lower id bound
   private var hi: Long = numRows      // exclusive pushed upper id bound
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = DatagenTable.Schema
+  private var pushedAgg: Option[Array[AggregateFunc]] = None
 
   /** Accept only id-range conjuncts; everything else stays a residual
     * Filter above the scan (Spark re-applies whatever we return). */
@@ -109,8 +112,78 @@ class DatagenScanBuilder(numRows: Long, numPartitions: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new DatagenScan(numRows, numPartitions, lo, hi, required)
+  /** COUNT(*) / MIN(id) / MAX(id) over the pushed id range are CLOSED
+    * FORM for a range generator — the deepest pushdown tier: the scan
+    * returns the one-row answer and generates NOTHING. Spark only offers
+    * aggregate pushdown when every filter was pushed (a residual
+    * predicate blocks it upstream in V2ScanRelationPushDown), so the
+    * range bounds are always exact here. Anything else (group-bys,
+    * aggregates over derived columns) is declined and planned normally.
+    */
+  private def pushable(agg: Aggregation): Boolean = {
+    def isId(e: V2Expression): Boolean = e match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
+      case _ => false
+    }
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall {
+      case _: CountStar => true
+      case m: Min => isId(m.column)
+      case m: Max => isId(m.column)
+      case _ => false
+    }
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = pushable(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (pushable(agg)) { pushedAgg = Some(agg.aggregateExpressions); true }
+    else false
+
+  override def build(): Scan = pushedAgg match {
+    case Some(aggs) => new DatagenAggScan(math.max(lo, 0L), math.max(hi, lo), aggs)
+    case None => new DatagenScan(numRows, numPartitions, lo, hi, required)
+  }
+}
+
+/** Complete-pushdown aggregate scan: one partition, one row, zero
+  * generated data — count/min/max over [lo, hi) in closed form. */
+class DatagenAggScan(lo: Long, hi: Long, aggs: Array[AggregateFunc]) extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(aggs.map {
+    case _: CountStar => StructField("count_star", LongType, nullable = false)
+    case _: Min => StructField("min_id", LongType, nullable = true)
+    case _: Max => StructField("max_id", LongType, nullable = true)
+    case other => throw new IllegalArgumentException(s"unpushable aggregate $other")
+  })
+
+  override def description(): String =
+    s"graft_datagen pushed_aggregation=[${aggs.mkString(", ")}] pushed_id_range=[$lo,$hi)"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(DatagenPartition(0L, 1L)) // one row regardless of the range
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val empty = hi <= lo
+    val values: Array[Any] = aggs.map {
+      case _: CountStar => math.max(0L, hi - lo): Any
+      case _: Min => if (empty) null else (lo: Any)
+      case _: Max => if (empty) null else (hi - 1: Any)
+      case other => throw new IllegalArgumentException(s"unpushable aggregate $other")
+    }
+    new DatagenAggReaderFactory(values)
+  }
+}
+
+class DatagenAggReaderFactory(values: Array[Any]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = InternalRow.fromSeq(values.toSeq)
+      override def close(): Unit = ()
+    }
 }
 
 class DatagenScan(

@@ -59,6 +59,31 @@ class DatagenSpec extends SparkSpec {
     assert(df.count() === 50L) // 5000..9999, every 100th
   }
 
+  test("count/min/max push into the source completely: no aggregate in the plan, zero rows generated") {
+    val agged = read(1L << 20, 64)
+      .filter(col("id") >= 1000L && col("id") < 500000L)
+      .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"))
+    val plan = agged.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"),
+      s"aggregate must be fully pushed into the scan:\n$plan")
+    assert(plan.contains("pushed_aggregation"), s"scan must report the pushed aggregation:\n$plan")
+    assert(agged.head() === org.apache.spark.sql.Row(499000L, 1000L, 499999L))
+    // empty range: count 0, NULL min/max — same as any SQL aggregate
+    val empty = read(1L << 20, 64).filter(col("id") < 0L)
+      .agg(count(lit(1)), min("id"), max("id"))
+    assert(empty.head() === org.apache.spark.sql.Row(0L, null, null))
+    // a residual (non-pushable) predicate blocks aggregate pushdown and
+    // the query falls back to a normal plan with correct results
+    val residual = read(10000, 4).filter(col("bucket") === 3L)
+      .agg(count(lit(1)).as("n"))
+    assert(residual.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(residual.head().getLong(0) === 100L)
+    // group-bys are declined (supportCompletePushDown false) and planned normally
+    val grouped = read(1000, 4).groupBy("bucket").agg(count(lit(1)).as("n"))
+    assert(grouped.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(grouped.count() === 100L)
+  }
+
   test("generated values match the documented arithmetic on every partitioning") {
     val expected = spark.range(0, 2000).select(
       col("id"),
