@@ -76,13 +76,21 @@ class DatagenTable(numRows: Long, numPartitions: Int) extends Table with Support
 
 class DatagenScanBuilder(numRows: Long, numPartitions: Int)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var lo: Long = 0L           // inclusive pushed lower id bound
   private var hi: Long = numRows      // exclusive pushed upper id bound
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = DatagenTable.Schema
   private var pushedAgg: Option[Array[AggregateFunc]] = None
+
+  /** LIMIT k without an ordering may return any k rows, so serving the
+    * first k of the (already filter-narrowed) id range is exact — the
+    * range shrinks and partitions outside it are never planned. */
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, math.addExact(lo, limit.toLong))
+    true // fully pushed: the scan emits exactly `limit` rows (or fewer)
+  }
 
   /** Accept only id-range conjuncts; everything else stays a residual
     * Filter above the scan (Spark re-applies whatever we return). */
@@ -188,9 +196,19 @@ class DatagenAggReaderFactory(values: Array[Any]) extends PartitionReaderFactory
 
 class DatagenScan(
     numRows: Long, numPartitions: Int, lo: Long, hi: Long, required: StructType)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Exact statistics for the pushed range, so the optimizer can see that
+    * a narrowed scan is small — e.g. auto-broadcast it in joins (spec'd).
+    * Row width is the projected fields' fixed widths (strings estimated). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = math.max(0L, hi - lo)
+    private val width = required.fields.map(_.dataType.defaultSize).sum.toLong.max(1L)
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(rows * width)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+  }
 
   override def description(): String =
     s"graft_datagen rows=$numRows pushed_id_range=[$lo,$hi) columns=${required.fieldNames.mkString(",")}"

@@ -84,6 +84,34 @@ class DatagenSpec extends SparkSpec {
     assert(grouped.count() === 100L)
   }
 
+  test("limit pushes into the source: the range shrinks and partitions drop") {
+    val limited = read(1L << 20, 64).filter(col("id") >= 32768L).limit(100)
+    val scan = datagenScan(limited)
+    assert(scan.description().contains("pushed_id_range=[32768,32868)"),
+      s"limit must shrink the pushed range: ${scan.description()}")
+    assert(scan.planInputPartitions().length === 1)
+    assert(limited.count() === 100L)
+    // limit larger than the range is a no-op
+    val big = read(1000, 4).limit(5000)
+    assert(big.count() === 1000L)
+  }
+
+  test("reported statistics let the optimizer broadcast a narrowed scan") {
+    val dim = read(1L << 20, 64).filter(col("id") < 200L)
+    val scan = datagenScan(dim)
+    val stats = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(stats.numRows().getAsLong === 200L)
+    // a fact table large enough that broadcasting IT would be wrong
+    val fact = spark.range(0, 500000).select(
+      (col("id") % 200).as("id"), (col("id") * 3).as("payload"))
+    val joined = fact.join(read(1L << 20, 64).filter(col("id") < 200L), "id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 200-row pruned scan must broadcast:\n$plan")
+    assert(joined.count() === 500000L)
+  }
+
   test("generated values match the documented arithmetic on every partitioning") {
     val expected = spark.range(0, 2000).select(
       col("id"),
