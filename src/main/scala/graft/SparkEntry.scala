@@ -410,13 +410,14 @@ object SparkEntry {
     "dd5_passage_dup" -> ((s, dir) => {
       // cross-document boilerplate score: fraction of a document's
       // 8-token passages that appear verbatim in at least one OTHER
-      // document (near-exact dups score 1.0). Shape: bounded explode
-      // (fan-out = tokens/8), one passage-keyed aggregate, join back,
-      // per-doc aggregate — the exchanges carry (passage, doc_id) pairs,
-      // ~corpus-token bytes/8, never full documents
-      val toksCol = split(col("text"), " ")
+      // document (near-exact dups score 1.0). Shape: ONE corpus scan +
+      // bounded explode (fan-out = tokens/8), then a (doc, passage)
+      // aggregate whose rows flow through a passage-partitioned window
+      // (distinct-doc count, no self-join — a join back onto the explode
+      // would re-scan and re-tokenize the corpus) into the per-doc
+      // aggregate; exchanges carry (passage, doc_id, k) rows only
       val passages = t(s, dir, "documents")
-        .select(col("doc_id"), toksCol.as("ts"))
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
         .filter(size(col("ts")) > 0)
         .select(col("doc_id"), col("ts"),
           explode(sequence(lit(1L),
@@ -424,13 +425,14 @@ object SparkEntry {
         .select(col("doc_id"),
           concat_ws(" ", slice(col("ts"), ((col("i") - 1) * 8 + 1).cast("int"), lit(8)))
             .as("passage"))
-      val byPassage = passages.groupBy("passage")
-        .agg(countDistinct("doc_id").as("nd"))
-      passages.join(byPassage, "passage")
+      val perDoc = passages.groupBy("doc_id", "passage")
+        .agg(count(lit(1)).as("k")) // a doc may repeat a passage internally
+      val nd = count(lit(1)).over(Window.partitionBy("passage")) // rows = distinct docs
+      perDoc.withColumn("nd", nd)
         .groupBy("doc_id")
-        .agg(count(lit(1)).cast("long").as("n_passages"),
-          round(sum(when(col("nd") >= 2, 1).otherwise(0)).cast("double") / count(lit(1)), 4)
-            .as("dup_frac"))
+        .agg(sum("k").cast("long").as("n_passages"),
+          round(sum(when(col("nd") >= 2, col("k")).otherwise(lit(0L))).cast("double") /
+            sum("k"), 4).as("dup_frac"))
     }),
 
     "smp4_target_mixture" -> ((s, dir) => {

@@ -151,9 +151,17 @@ final class Registry(models: Seq[Model]) {
           tableDir match {
             case Some(dir) =>
               val path = s"$dir/${m.name}"
-              val fs = org.apache.hadoop.fs.FileSystem.get(
-                new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
               val target = new org.apache.hadoop.fs.Path(path)
+              val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              val staging = new org.apache.hadoop.fs.Path(path + "__staging")
+              // crash recovery: a complete staging dir with no live table
+              // means a prior swap died between its two renames — the
+              // staging copy IS the newest complete state, promote it.
+              // (A staging dir BESIDE a live table is a stale leftover
+              // from a failed write; the overwrite below replaces it.)
+              if (!fs.exists(target) && fs.exists(staging)) {
+                require(fs.rename(staging, target), s"staging recovery failed for ${m.name}")
+              }
               if (!fs.exists(target)) {
                 // first run: full build, plain table write
                 m.build(resolved.toMap).write.mode("overwrite").parquet(path)
@@ -170,11 +178,18 @@ final class Registry(models: Seq[Model]) {
                       .join(batch, Seq(uniqueKey), "left_anti")
                       .unionByName(batch)
                     // write-then-swap: the merge reads `existing`, so it
-                    // must land in a staging dir before the old table drops
-                    val staging = new org.apache.hadoop.fs.Path(path + "__staging")
+                    // must land in staging first. Swap order never holds
+                    // zero complete copies: retire the live table ASIDE
+                    // (rename, not delete), promote staging, then drop the
+                    // retired copy — a crash at any point leaves either
+                    // the old table, or the new one, or a recoverable
+                    // staging dir (handled above), never data loss.
                     merged.write.mode("overwrite").parquet(staging.toString)
-                    fs.delete(target, true)
+                    val retired = new org.apache.hadoop.fs.Path(path + "__retired")
+                    fs.delete(retired, true) // clear any prior crash residue
+                    require(fs.rename(target, retired), s"retire failed for ${m.name}")
                     require(fs.rename(staging, target), s"staging swap failed for ${m.name}")
+                    fs.delete(retired, true)
                 }
               }
               spark.read.parquet(path)

@@ -31,16 +31,22 @@ object LakeOps {
     * deterministic when observation timestamps tie. Two windows over the
     * same (key, time) clustering: Catalyst plans ONE exchange and sorts.
     */
+  /** Output columns are FIXED names (keyCol, status, valid_from, valid_to,
+    * is_current) — rename downstream if they collide with your domain;
+    * the require guards the clash rather than silently overwriting. */
   def scd2Snapshot(
       df: DataFrame,
       keyCol: String,
       stateCol: String,
       tsCol: String,
       tieCol: String): DataFrame = {
+    val out = Seq("status", "valid_from", "valid_to", "is_current", PrevTmp)
+    require(!df.columns.exists(c => out.contains(c) && c != stateCol && c != tsCol),
+      s"scd2Snapshot input must not already contain ${out.mkString("/")}")
     val byTime = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
     val changes = df
-      .withColumn("prev_state", lag(col(stateCol), 1).over(byTime))
-      .filter(col("prev_state").isNull || col("prev_state") =!= col(stateCol))
+      .withColumn(PrevTmp, lag(col(stateCol), 1).over(byTime))
+      .filter(col(PrevTmp).isNull || col(PrevTmp) =!= col(stateCol))
       .select(col(keyCol), col(stateCol).as("status"),
         col(tsCol).as("valid_from"), col(tieCol))
     val byFrom = Window.partitionBy(keyCol).orderBy(col("valid_from"), col(tieCol))
@@ -49,6 +55,10 @@ object LakeOps {
       .withColumn("is_current", col("valid_to").isNull)
       .drop(tieCol)
   }
+
+  // internal working-column names, prefixed against caller collisions
+  private val PrevTmp = "__graft_prev_state"
+  private val RankTmp = "__graft_rn"
 
   /** Key-based merge of an update batch into a state table (MERGE INTO /
     * upsert semantics, dbt incremental `merge` strategy):
@@ -83,20 +93,24 @@ object LakeOps {
     * observation (total-order tie-break on `tieCol`) plus max-timestamp
     * and row count — the canonical "current state table" both sides of
     * [[mergeUpsert]] are built from. Window + aggregate share one
-    * key-clustered exchange.
+    * key-clustered exchange. Output column names are caller-chosen so the
+    * op composes outside the orders domain.
     */
   def latestState(
       df: DataFrame,
       keyCol: String,
       stateCol: String,
       tsCol: String,
-      tieCol: String): DataFrame = {
+      tieCol: String,
+      stateName: String = "status",
+      tsName: String = "last_order",
+      countName: String = "n_orders"): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol).desc, col(tieCol).desc)
-    df.withColumn("rn", row_number().over(w))
+    df.withColumn(RankTmp, row_number().over(w))
       .groupBy(keyCol)
       .agg(
-        max(when(col("rn") === 1, col(stateCol))).as("status"),
-        max(col(tsCol)).as("last_order"),
-        count(lit(1)).cast("long").as("n_orders"))
+        max(when(col(RankTmp) === 1, col(stateCol))).as(stateName),
+        max(col(tsCol)).as(tsName),
+        count(lit(1)).cast("long").as(countName))
   }
 }

@@ -39,7 +39,7 @@ object PackOps {
       .select(
         col(idCol),
         pmod(col(idCol), lit(numShards.toLong)).as("shard"),
-        size(split(col(textCol), " ")).cast("long").as("n"))
+        TextOps.tokenCount(col(textCol)).cast("long").as("n"))
       .filter(col("n") > 0)
     val w = Window.partitionBy("shard").orderBy(idCol)
     counted
@@ -85,7 +85,7 @@ object PackOps {
       .select(
         col(idCol).cast("long"),
         pmod(col(idCol), lit(numShards.toLong)).as("shard"),
-        size(split(col(textCol), " ")).cast("long").as("n"))
+        TextOps.tokenCount(col(textCol)).cast("long").as("n"))
       .filter(col("n") > 0)
       .as[(Long, Long, Long)]
     counted

@@ -103,12 +103,15 @@ class DatagenScanBuilder(numRows: Long, numPartitions: Int)
       case LessThanOrEqual("id", _: Long) => true
       case _ => false
     }
+    // saturating +1: v = Long.MaxValue must clamp, not wrap to MinValue
+    // (id <= Long.MaxValue would otherwise silently return zero rows)
+    def inc(v: Long): Long = if (v == Long.MaxValue) Long.MaxValue else v + 1
     pushed.foreach {
-      case EqualTo("id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
-      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1)
+      case EqualTo("id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, inc(v))
+      case GreaterThan("id", v: Long) => lo = math.max(lo, inc(v))
       case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
       case LessThan("id", v: Long) => hi = math.min(hi, v)
-      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1)
+      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, inc(v))
       case _ =>
     }
     accepted = pushed
@@ -249,9 +252,17 @@ class DatagenReaderFactory(required: StructType) extends PartitionReaderFactory 
       }
     }
     new PartitionReader[InternalRow] {
+      // standard V2 reader pattern: ONE mutable row reused across get()
+      // calls (the consumer copies what it keeps) — no per-row allocation
+      // in the generate loop
+      private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(gens.length)
       private var cur = p.start - 1
       override def next(): Boolean = { cur += 1; cur < p.end }
-      override def get(): InternalRow = InternalRow.fromSeq(gens.map(_(cur)).toSeq)
+      override def get(): InternalRow = {
+        var i = 0
+        while (i < gens.length) { row.update(i, gens(i)(cur)); i += 1 }
+        row
+      }
       override def close(): Unit = ()
     }
   }

@@ -143,6 +143,24 @@ class IncrementalSpec extends SparkSpec {
       "incremental orders mart must equal the from-scratch reference mart")
   }
 
+  test("crash recovery: an orphaned staging dir is promoted as the table") {
+    val dir = Files.createTempDirectory("graft_incr_crash").toString
+    val reg = new Registry(Seq(stateModel))
+    val gen1 = Seq((1L, "a", 10), (2L, "b", 10))
+    reg.run(spark, Map("events_src" -> src(gen1)), Some(dir))
+    // simulate a swap that died between its two renames: the live table
+    // is gone, the complete new state sits in __staging
+    assert(new java.io.File(s"$dir/state")
+      .renameTo(new java.io.File(s"$dir/state__staging")))
+    val out = reg.run(spark, Map("events_src" -> src(gen1 :+ ((3L, "c", 11)))), Some(dir))("state")
+    // recovery promoted staging, then the run proceeded INCREMENTALLY
+    // (3 rows, not a 1-row first-run rebuild of the filtered source)
+    assert(out.count() === 3)
+    assert(out.filter(col("id") === 1).count() === 1, "pre-crash rows must survive recovery")
+    assert(!new java.io.File(s"$dir/state__staging").exists())
+    assert(!new java.io.File(s"$dir/state__retired").exists())
+  }
+
   test("a failed staging swap never corrupts the table: staging dir is separate") {
     val dir = Files.createTempDirectory("graft_incr3").toString
     val reg = new Registry(Seq(stateModel))
