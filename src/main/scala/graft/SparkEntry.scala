@@ -458,6 +458,28 @@ object SparkEntry {
         .select("doc_id", "lang")
     }),
 
+    "txt14_normalize" -> ((s, dir) =>
+      // corpus text normalization: lowercase, strip non-alphanumerics,
+      // collapse whitespace — the standard pre-tokenization cleanup as a
+      // pure codegen'd projection (the dirty JSON props column is the
+      // fixture). Patterns use only Java-regex/RE2-common constructs,
+      // like txt8
+      t(s, dir, "events").select(
+        col("event_id"),
+        trim(regexp_replace(regexp_replace(lower(col("props")),
+          "[^a-z0-9 ]+", " "), " +", " ")).as("norm"))),
+
+    "num1_try_arithmetic" -> ((s, dir) =>
+      // ANSI-safe arithmetic breadth: try_divide yields NULL on a zero
+      // divisor instead of throwing (this session runs ANSI mode), and
+      // try_cast yields NULL for unparseable input — the
+      // error-as-NULL contract a 100 TB batch job needs to not die on
+      // row 47 billion
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        try_divide(col("l_extendedprice"), col("l_quantity") - 25).as("safe_ratio"),
+        col("l_returnflag").try_cast("int").as("flag_num"))),
+
     "src6_datagen_pushdown" -> ((s, dir) =>
       // custom DataSourceV2 connector with REAL filter pushdown: the id
       // bounds reach DatagenScan.planInputPartitions and prune input
@@ -982,6 +1004,48 @@ object SparkEntry {
         q.awaitTermination()
       } finally s.conf.set("spark.sql.shuffle.partitions", batchPartitions)
       s.table("st2_pairs")
+        .select(col("user_id"), col("l_id").as("id_a"), col("r_id").as("id_b"),
+          col("l_ts").as("t_a"), col("r_ts").as("t_b"))
+    }),
+
+    "st4_stream_left_interval_join" -> ((s, dir) => {
+      // LEFT OUTER stream-stream interval join: NULL-padded rows for
+      // left events with no follower are emitted only when the WATERMARK
+      // proves the window closed — so the drain stages a sentinel event
+      // past every real window (filtered back out below) to flush the
+      // trailing state, and the result answers to the batch LEFT JOIN
+      // oracle exactly
+      val staged = java.nio.file.Files.createTempDirectory("st4_events")
+      staged.toFile.deleteOnExit()
+      val copied = staged.resolve("part-0.parquet")
+      copied.toFile.deleteOnExit()
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), copied,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(staged.toString)
+      // sentinel ts > max + within + watermark delay: closes every window
+      val marginSec = 300L + 3600L + 60L
+      val sentinelTs =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          lit(raw.agg(max("ts")).head().getLong(0) + marginSec * 1000000000L)
+        else lit(new java.sql.Timestamp(
+          raw.agg(max("ts")).head().getTimestamp(0).getTime + marginSec * 1000L))
+      s.range(1).select(
+          lit(-1L).as("event_id"), sentinelTs.as("ts"), lit(-1L).as("user_id"),
+          lit("sentinel").as("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("append").parquet(staged.toString)
+      // same sequential-driver assumption as st1/st2
+      val batchPartitions = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        val stream = graft.streaming.EventStreams.eventParquetStream(s, staged.toString)
+        val joined = graft.streaming.EventStreams.leftOuterIntervalJoinStream(
+          stream, stream, "user_id", "ts", "event_id", withinSeconds = 300L)
+        val q = graft.streaming.EventStreams.runToMemory(joined, "st4_pairs", "append")
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", batchPartitions)
+      s.table("st4_pairs")
+        .filter(col("user_id") >= 0) // drop the sentinel's own NULL row
         .select(col("user_id"), col("l_id").as("id_a"), col("r_id").as("id_b"),
           col("l_ts").as("t_a"), col("r_ts").as("t_b"))
     }),
@@ -1768,6 +1832,12 @@ object SparkEntry {
         "FROM events a JOIN events b ON a.user_id = b.user_id " +
         "AND epoch_us(b.ts) > epoch_us(a.ts) AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000"),
 
+    "st4_stream_left_interval_join" -> // the outer drain answers to the
+      // batch LEFT JOIN: every event appears, followers matched or NULL
+      ("SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b, a.ts AS t_a, b.ts AS t_b " +
+        "FROM events a LEFT JOIN events b ON a.user_id = b.user_id " +
+        "AND epoch_us(b.ts) > epoch_us(a.ts) AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000"),
+
     "v1_vector_norm" ->
       ("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |n AS (SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS l2 FROM v)
@@ -2397,6 +2467,20 @@ object SparkEntry {
          |)
          |SELECT r.doc_id, r.lang
          |FROM ranked r JOIN quotas q USING (lang) WHERE r.rk <= q.n_keep""").stripMargin,
+
+    "txt14_normalize" -> // DuckDB regexp_replace needs the 'g' flag for
+      // replace-all (Spark's default)
+      ("""SELECT event_id,
+         |  trim(regexp_replace(regexp_replace(lower(props), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')) AS norm
+         |FROM events""").stripMargin,
+
+    "num1_try_arithmetic" -> // error-as-NULL mirrored with guards: CASE
+      // for the zero divisor, TRY_CAST for the unparseable string
+      ("""SELECT l_orderkey, l_linenumber,
+         |  CASE WHEN l_quantity = 25 THEN NULL
+         |       ELSE l_extendedprice / (l_quantity - 25) END AS safe_ratio,
+         |  TRY_CAST(l_returnflag AS INTEGER) AS flag_num
+         |FROM lineitem""").stripMargin,
 
     "src6_datagen_pushdown" -> // generate_series replays the pure-integer
       // row generator; both engines divide the same integer by 100.0, so

@@ -168,6 +168,43 @@ object EventStreams {
       .select(col("k").as(keyCol), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
   }
 
+  /** LEFT OUTER stream-stream interval join: matched pairs emit as both
+    * sides arrive; a left row with NO right row in its window emits
+    * NULL-padded once the watermark proves the window can never fill
+    * (watermark > l_ts + withinSeconds). The NULL emission is therefore
+    * watermark-DRIVEN: a drain must push the watermark past every left
+    * row's window (sentinel event or closing batch) or trailing unmatched
+    * rows stay in state — st4 does exactly that.
+    *
+    * Deliberately NOT bucket-accelerated like [[intervalJoinStream]]: the
+    * bucket trick replicates each left row into two join keys, and an
+    * outer join would emit one NULL row per UNMATCHED REPLICA (duplicates,
+    * plus spurious NULLs when only one replica matches). Outer semantics
+    * need the true key, so probes scan the key's in-horizon state — the
+    * watermark still bounds state size.
+    */
+  def leftOuterIntervalJoinStream(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      idCol: String,
+      withinSeconds: Long,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val l = left.select(
+      col(keyCol).as("k"), col(timeCol).as("l_ts"), col(idCol).as("l_id"))
+      .withWatermark("l_ts", watermarkDelay)
+    val r = right.select(
+      col(keyCol).as("k2"), col(timeCol).as("r_ts"), col(idCol).as("r_id"))
+      .withWatermark("r_ts", watermarkDelay)
+    l.join(r,
+      col("k") === col("k2") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinSeconds SECONDS"),
+      "left_outer")
+      .select(col("k").as(keyCol), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+  }
+
   /** Streaming exact dedup on an id column: duplicates arriving within the
     * watermark horizon are dropped; state for ids older than the watermark
     * is evicted (`dropDuplicatesWithinWatermark`), so state is O(ids per

@@ -95,6 +95,37 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(feats(12L).format === "unknown")
   }
 
+  test("left-outer interval join: matches emit on arrival, NULLs only after the watermark closes the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val joined = EventStreams.leftOuterIntervalJoinStream(
+      df, df, "user_id", "ts", "event_id", withinSeconds = 300L, watermarkDelay = "10 seconds")
+    val query = joined.writeStream.format("memory").queryName("st4_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: follower within 300s (match); user 2: alone (future NULL)
+      input.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "a", 0.0),
+        (2L, Timestamp.valueOf("2024-01-01 10:02:00"), 1L, "b", 0.0),
+        (3L, Timestamp.valueOf("2024-01-01 10:00:00"), 2L, "a", 0.0))
+      query.processAllAvailable()
+      val early = spark.table("st4_test")
+        .select("user_id", "l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1), r.get(2)))
+      assert(early.contains((1L, 1L, 2L)), "the inner match must emit without waiting")
+      assert(!early.exists(t => t._1 == 2L),
+        "user 2's NULL row must NOT emit while its window could still fill")
+      // advance the watermark past 10:00:00 + 300s + 10s delay
+      input.addData((9L, Timestamp.valueOf("2024-01-01 11:00:00"), 99L, "z", 0.0))
+      query.processAllAvailable()
+      val late = spark.table("st4_test")
+        .select("user_id", "l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1), r.get(2)))
+      assert(late.contains((2L, 3L, null)), "the closed window must emit NULL-padded")
+      // the matched left row must not ALSO emit a NULL duplicate
+      assert(late.count(t => t._2 == 1L) === 1)
+    } finally query.stop()
+  }
+
   test("streaming hourlyCounts matches the batch tumbling aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
