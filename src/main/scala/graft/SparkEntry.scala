@@ -576,6 +576,22 @@ object SparkEntry {
       """)
     }),
 
+    "q7_lateral_subquery" -> ((s, dir) => {
+      // LATERAL subquery surface: a correlated scalar-aggregate derived
+      // table per outer row, decorrelated by Catalyst into one grouped
+      // left join (no per-row re-execution); orders with no lineitems
+      // keep the lateral's (NULL max, 0 count) row
+      t(s, dir, "orders").createOrReplaceTempView("orders_v7")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v7")
+      s.sql("""
+        SELECT o.o_orderkey, t.top_price, t.n_items
+        FROM orders_v7 o,
+        LATERAL (SELECT max(l.l_extendedprice) AS top_price,
+                        CAST(count(*) AS BIGINT) AS n_items
+                 FROM lineitem_v7 l WHERE l.l_orderkey = o.o_orderkey) t
+      """)
+    }),
+
     "w6_window_breadth" -> ((s, dir) => {
       // distribution-window family: ntile / percent_rank / cume_dist /
       // first_value, all over one total-ordered frame (ties broken by key
@@ -1656,6 +1672,13 @@ object SparkEntry {
     "x2_string_agg" ->
       ("SELECT o_custkey, string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_ids, " +
         "CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY o_custkey"),
+
+    "q7_lateral_subquery" -> // identical LATERAL syntax both engines
+      ("""SELECT o.o_orderkey, t.top_price, t.n_items
+         |FROM orders o,
+         |LATERAL (SELECT max(l.l_extendedprice) AS top_price,
+         |                CAST(count(*) AS BIGINT) AS n_items
+         |         FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) t""").stripMargin,
 
     "q5_correlated_subquery" ->
       ("""SELECT o.o_orderkey, o.o_custkey

@@ -174,9 +174,14 @@ final class Registry(models: Seq[Model]) {
                   case IncrementalStrategy.Append =>
                     batch.write.mode("append").parquet(path)
                   case IncrementalStrategy.DeleteInsert(uniqueKey) =>
+                    // schema drift (dbt on_schema_change: append_new_columns):
+                    // a batch may carry columns the table predates, and
+                    // vice versa — union by name back-fills NULL on
+                    // whichever side lacks a column, so the table schema
+                    // only ever widens
                     val merged = existing
                       .join(batch, Seq(uniqueKey), "left_anti")
-                      .unionByName(batch)
+                      .unionByName(batch, allowMissingColumns = true)
                     // write-then-swap: the merge reads `existing`, so it
                     // must land in staging first. Swap order never holds
                     // zero complete copies: retire the live table ASIDE

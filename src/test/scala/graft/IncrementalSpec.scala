@@ -143,6 +143,26 @@ class IncrementalSpec extends SparkSpec {
       "incremental orders mart must equal the from-scratch reference mart")
   }
 
+  test("schema drift: a batch with a new column widens the table, old rows back-fill NULL") {
+    val dir = Files.createTempDirectory("graft_incr_drift").toString
+    val reg = new Registry(Seq(stateModel.copy(build = refs => {
+      val base = stateModel.build(refs)
+      // generation 2 of the producer adds a column the table predates
+      if (refs("events_src").columns.contains("region"))
+        base.join(refs("events_src").select("id", "region").distinct(), Seq("id"), "left")
+      else base
+    })))
+    reg.run(spark, Map("events_src" -> src(Seq((1L, "a", 10), (2L, "b", 10)))), Some(dir))
+    val drifted = src(Seq((1L, "a", 10), (2L, "b", 10), (3L, "c", 15)))
+      .withColumn("region", concat(lit("r"), col("id")))
+    val out = reg.run(spark, Map("events_src" -> drifted), Some(dir))("state")
+    assert(out.columns.contains("region"), "table schema must widen")
+    assert(out.filter(col("id") === 3).select("region").head().getString(0) === "r3")
+    assert(out.filter(col("id") === 1).select("region").head().get(0) == null,
+      "pre-drift rows must back-fill NULL")
+    assert(out.count() === 3)
+  }
+
   test("crash recovery: an orphaned staging dir is promoted as the table") {
     val dir = Files.createTempDirectory("graft_incr_crash").toString
     val reg = new Registry(Seq(stateModel))
