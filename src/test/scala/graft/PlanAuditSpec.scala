@@ -170,4 +170,42 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("__salt"), s"salt column missing from plan:\n$plan")
   }
+
+  test("dd5 counts passage frequency with a window, not a corpus-rescanning self-join") {
+    val plan = SparkEntry.queries("dd5_passage_dup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"passage frequency must come from a window:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"dd5 must not self-join:\n$plan")
+    // the corpus is scanned exactly once
+    assert("Scan parquet".r.findAllIn(plan).size === 1,
+      s"documents must be scanned once:\n$plan")
+  }
+
+  test("smp4 broadcasts the 5-row quota side onto the ranked corpus") {
+    val plan = SparkEntry.queries("smp4_target_mixture")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"quotas must broadcast:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesian"))
+  }
+
+  test("q7's LATERAL subquery decorrelates into one aggregate+join, no per-row re-execution") {
+    val plan = SparkEntry.queries("q7_lateral_subquery")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // decorrelated: a physical join over a pre-aggregated lineitem side;
+    // a correlated re-execution would surface as a subquery per row
+    assert(plan.contains("Join") || plan.contains("HashJoin"), s"no join planned:\n$plan")
+    assert(plan.contains("HashAggregate"), s"no pre-aggregation planned:\n$plan")
+    assert(!plan.contains("Subquery"), s"lateral must not re-execute per row:\n$plan")
+  }
+
+  test("pack2 plans one shard exchange and a per-partition object scan, never a global sort") {
+    val plan = SparkEntry.queries("pack2_document_packing")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"pack2 must exchange once, on the shard id:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") && !plan.contains("Exchange rangepartitioning"),
+      s"pack2 must never serialize into a global sort:\n$plan")
+    assert(plan.contains("MapPartitions"), s"the sequential scan is mapPartitions:\n$plan")
+  }
 }
