@@ -1036,10 +1036,12 @@ object SparkEntry {
       // past every real window (filtered back out below) to flush the
       // trailing state, and the result answers to the batch LEFT JOIN
       // oracle exactly
+      // bench-harness artifact: the sentinel injection below stands in for
+      // real watermark advancement — a production left-outer stream flushes
+      // trailing state because new events keep arriving, not because anyone
+      // appends a flush row (see EventStreams.leftOuterIntervalJoinStream)
       val staged = java.nio.file.Files.createTempDirectory("st4_events")
-      staged.toFile.deleteOnExit()
       val copied = staged.resolve("part-0.parquet")
-      copied.toFile.deleteOnExit()
       java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), copied,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1064,7 +1066,14 @@ object SparkEntry {
           stream, stream, "user_id", "ts", "event_id", withinSeconds = 300L)
         val q = graft.streaming.EventStreams.runToMemory(joined, "st4_pairs", "append")
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", batchPartitions)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", batchPartitions)
+        // the sentinel append added part files + _SUCCESS under `staged`,
+        // so deleteOnExit (non-recursive) would leak a full events copy
+        // per run — delete the staged dir recursively once drained (the
+        // memory sink owns the results from here)
+        org.apache.commons.io.FileUtils.deleteQuietly(staged.toFile)
+      }
       s.table("st4_pairs")
         .filter(col("user_id") >= 0) // drop the sentinel's own NULL row
         .select(col("user_id"), col("l_id").as("id_a"), col("r_id").as("id_b"),
@@ -2567,16 +2576,18 @@ object SparkEntry {
          |SELECT CAST(shard AS BIGINT) AS shard, bin_id, doc_id, n AS n_tokens
          |FROM walk""").stripMargin,
 
-    "scd1_scd2_history" -> // change rows (lag differs) -> lead() closes the
-      // interval; o_orderkey breaks observation-time ties both places
+    "scd1_scd2_history" -> // change rows (lag IS DISTINCT FROM state, first row
+      // via lagged tie key — null-safe, mirrors scd2Snapshot) -> lead()
+      // closes the interval; o_orderkey breaks observation-time ties
       ("""WITH ordered AS (
          |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
-         |         lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_status
+         |         lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_status,
+         |         lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_key
          |  FROM orders
          |), changes AS (
          |  SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from, o_orderkey
          |  FROM ordered
-         |  WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+         |  WHERE prev_key IS NULL OR prev_status IS DISTINCT FROM o_orderstatus
          |)
          |SELECT o_custkey, o_orderstatus AS status, valid_from,
          |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) AS valid_to,
@@ -2584,7 +2595,9 @@ object SparkEntry {
          |FROM changes""").stripMargin,
 
     "mrg1_merge_upsert" -> // MERGE = full outer on the key: source wins the
-      // state columns, counts accumulate, absent sides coalesce to 0
+      // state columns WHEN ITS KEY IS PRESENT (even if the value is NULL —
+      // mirrors mergeUpsert's source-present marker), counts accumulate,
+      // absent sides coalesce to 0
       ("""WITH tgt_r AS (
          |  SELECT o_custkey, o_orderstatus, o_orderdate,
          |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
@@ -2604,8 +2617,8 @@ object SparkEntry {
          |  FROM src_r GROUP BY 1
          |)
          |SELECT coalesce(t.o_custkey, s.o_custkey) AS o_custkey,
-         |       coalesce(s.status, t.status) AS status,
-         |       coalesce(s.last_order, t.last_order) AS last_order,
+         |       CASE WHEN s.o_custkey IS NOT NULL THEN s.status ELSE t.status END AS status,
+         |       CASE WHEN s.o_custkey IS NOT NULL THEN s.last_order ELSE t.last_order END AS last_order,
          |       CAST(coalesce(t.n_orders, 0) + coalesce(s.n_orders, 0) AS BIGINT) AS n_orders
          |FROM tgt t FULL JOIN src s ON t.o_custkey = s.o_custkey""").stripMargin
   )

@@ -154,17 +154,28 @@ final class Registry(models: Seq[Model]) {
               val target = new org.apache.hadoop.fs.Path(path)
               val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
               val staging = new org.apache.hadoop.fs.Path(path + "__staging")
-              // crash recovery: a complete staging dir with no live table
-              // means a prior swap died between its two renames — the
-              // staging copy IS the newest complete state, promote it.
-              // (A staging dir BESIDE a live table is a stale leftover
-              // from a failed write; the overwrite below replaces it.)
+              // crash recovery: a COMPLETE staging dir (_SUCCESS present)
+              // with no live table means a prior swap died between its two
+              // renames — the staging copy IS the newest complete state,
+              // promote it. A partial staging dir (no _SUCCESS: crash
+              // mid-write) is residue — drop it and rebuild below. (A
+              // staging dir BESIDE a live table is a stale leftover; the
+              // overwrite below replaces it.)
               if (!fs.exists(target) && fs.exists(staging)) {
-                require(fs.rename(staging, target), s"staging recovery failed for ${m.name}")
+                if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
+                  require(fs.rename(staging, target), s"staging recovery failed for ${m.name}")
+                } else {
+                  fs.delete(staging, true)
+                }
               }
               if (!fs.exists(target)) {
-                // first run: full build, plain table write
-                m.build(resolved.toMap).write.mode("overwrite").parquet(path)
+                // first run: full build THROUGH the staging swap, same as
+                // incremental runs — the table only ever appears
+                // atomically, so a crash mid-first-write can never leave a
+                // partial dir that a later run mistakes for valid state
+                // and silently merges against
+                m.build(resolved.toMap).write.mode("overwrite").parquet(staging.toString)
+                require(fs.rename(staging, target), s"first-run staging swap failed for ${m.name}")
               } else {
                 // incremental run: the model sees its own current state as
                 // ref("this") and is expected to return only the new batch

@@ -30,6 +30,12 @@ object LakeOps {
     * interval; `tieCol` (a unique id) makes the change detection
     * deterministic when observation timestamps tie. Two windows over the
     * same (key, time) clustering: Catalyst plans ONE exchange and sorts.
+    *
+    * NULL is a legitimate state value (dbt's `check` strategy treats it as
+    * one): change detection is null-safe (`<=>`), and "first observation of
+    * a key" is detected from a lag over the non-null `tieCol`, never from
+    * the lagged state being NULL — so NULL→NULL runs collapse and X→NULL
+    * transitions open an interval instead of vanishing.
     */
   /** Output columns are FIXED names (keyCol, status, valid_from, valid_to,
     * is_current) — rename downstream if they collide with your domain;
@@ -40,13 +46,14 @@ object LakeOps {
       stateCol: String,
       tsCol: String,
       tieCol: String): DataFrame = {
-    val out = Seq("status", "valid_from", "valid_to", "is_current", PrevTmp)
+    val out = Seq("status", "valid_from", "valid_to", "is_current", PrevTmp, FirstTmp)
     require(!df.columns.exists(c => out.contains(c) && c != stateCol && c != tsCol),
       s"scd2Snapshot input must not already contain ${out.mkString("/")}")
     val byTime = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
     val changes = df
       .withColumn(PrevTmp, lag(col(stateCol), 1).over(byTime))
-      .filter(col(PrevTmp).isNull || col(PrevTmp) =!= col(stateCol))
+      .withColumn(FirstTmp, lag(col(tieCol), 1).over(byTime))
+      .filter(col(FirstTmp).isNull || !(col(PrevTmp) <=> col(stateCol)))
       .select(col(keyCol), col(stateCol).as("status"),
         col(tsCol).as("valid_from"), col(tieCol))
     val byFrom = Window.partitionBy(keyCol).orderBy(col("valid_from"), col(tieCol))
@@ -58,6 +65,7 @@ object LakeOps {
 
   // internal working-column names, prefixed against caller collisions
   private val PrevTmp = "__graft_prev_state"
+  private val FirstTmp = "__graft_prev_tie"
   private val RankTmp = "__graft_rn"
 
   /** Key-based merge of an update batch into a state table (MERGE INTO /
@@ -71,6 +79,13 @@ object LakeOps {
     * One full-outer shuffle join on the key; at 100 TB the target is the
     * big side and the increment small — full-outer cannot broadcast, but
     * the increment's shuffle is proportional to the batch, not the table.
+    *
+    * MERGE UPDATE semantics: when a key exists in both sides the SOURCE
+    * wins `takeLatest` columns unconditionally — including a source value
+    * that is NULL. Row presence is decided on the source's join key (keys
+    * must be non-null to match at all), not on coalescing the payload, so
+    * a legitimately-NULL latest value overwrites rather than silently
+    * retaining the stale target value.
     */
   def mergeUpsert(
       target: DataFrame,
@@ -82,7 +97,8 @@ object LakeOps {
     val s = source.alias("s")
     val out =
       coalesce(col(s"t.$keyCol"), col(s"s.$keyCol")).as(keyCol) +:
-      (takeLatest.map(c => coalesce(col(s"s.$c"), col(s"t.$c")).as(c)) ++
+      (takeLatest.map(c =>
+        when(col(s"s.$keyCol").isNotNull, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)) ++
         sumCols.map(c =>
           (coalesce(col(s"t.$c"), lit(0L)) + coalesce(col(s"s.$c"), lit(0L))).as(c)))
     t.join(s, col(s"t.$keyCol") === col(s"s.$keyCol"), "full_outer")

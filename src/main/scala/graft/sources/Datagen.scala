@@ -86,9 +86,13 @@ class DatagenScanBuilder(numRows: Long, numPartitions: Int)
 
   /** LIMIT k without an ordering may return any k rows, so serving the
     * first k of the (already filter-narrowed) id range is exact — the
-    * range shrinks and partitions outside it are never planned. */
+    * range shrinks and partitions outside it are never planned.
+    * Saturating add: a pushed filter can drive `lo` near Long.MaxValue
+    * (`id >= MaxValue-1` + LIMIT), which must plan a clamped scan, not
+    * throw ArithmeticException at planning time. */
   override def pushLimit(limit: Int): Boolean = {
-    hi = math.min(hi, math.addExact(lo, limit.toLong))
+    val bound = if (lo > Long.MaxValue - limit.toLong) Long.MaxValue else lo + limit.toLong
+    hi = math.min(hi, bound)
     true // fully pushed: the scan emits exactly `limit` rows (or fewer)
   }
 

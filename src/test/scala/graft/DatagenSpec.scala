@@ -94,6 +94,12 @@ class DatagenSpec extends SparkSpec {
     // limit larger than the range is a no-op
     val big = read(1000, 4).limit(5000)
     assert(big.count() === 1000L)
+    // a pushed lower bound near Long.MaxValue must saturate, not throw
+    // ArithmeticException at planning time: the scan clamps to an empty
+    // range (lo > numRows) and the query returns zero rows
+    val nearMax = read(1000, 4).filter(col("id") >= Long.MaxValue - 1L).limit(3)
+    assert(datagenScan(nearMax).planInputPartitions().length === 0)
+    assert(nearMax.count() === 0L)
   }
 
   test("reported statistics let the optimizer broadcast a narrowed scan") {

@@ -125,6 +125,38 @@ class LakeOpsSpec extends SparkSpec {
     } finally { out.unpersist(); tgt.unpersist(); src.unpersist() }
   }
 
+  test("scd2Snapshot treats NULL as a state value: X->NULL opens an interval, NULL->NULL collapses") {
+    import spark.implicits._
+    val obs = Seq(
+      (1L, Some("A"), 10L, 1L), (1L, None, 20L, 2L),      // A -> NULL: change
+      (1L, None, 30L, 3L),                                 // NULL -> NULL: run
+      (1L, Some("B"), 40L, 4L),                            // NULL -> B: change
+      (2L, Option.empty[String], 10L, 5L),                 // history starts at NULL
+      (2L, None, 20L, 6L)
+    ).toDF("k", "state", "ts", "id")
+    val hist = ops.LakeOps.scd2Snapshot(obs, "k", "state", "ts", "id")
+      .orderBy("k", "valid_from")
+      .select("k", "status", "valid_from", "is_current")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2), r.getBoolean(3)))
+    assert(hist.toSeq === Seq(
+      (1L, Some("A"), 10L, false),
+      (1L, None, 20L, false),     // the NULL run is ONE interval, not zero
+      (1L, Some("B"), 40L, true),
+      (2L, None, 10L, true)))     // a key whose whole history is NULL still appears
+  }
+
+  test("mergeUpsert: a source row whose takeLatest value is NULL overwrites the target (MERGE semantics)") {
+    import spark.implicits._
+    val tgt = Seq((1L, Some("old"), 5L), (2L, Some("keep"), 7L)).toDF("k", "state", "n")
+    val src = Seq((1L, Option.empty[String], 2L)).toDF("k", "state", "n")
+    val out = ops.LakeOps.mergeUpsert(tgt, src, "k", Seq("state"), Seq("n"))
+      .orderBy("k")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, None, 7L),          // source present: its NULL wins, counts accumulate
+      (2L, Some("keep"), 7L))) // source absent: target carried through
+  }
+
   test("plan shapes: scd1 clusters once; pack1 shuffles only on shard; mrg1 joins full-outer on the key") {
     val scdPlan = q("scd1_scd2_history").queryExecution.executedPlan.toString
     assert(scdPlan.split("Exchange hashpartitioning").length - 1 === 1,
