@@ -613,6 +613,60 @@ object SparkEntry {
           col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey", "c_name")),
 
+    "j6_star_join" -> ((s, dir) => {
+      // the canonical deep star shape: 7-way join (nation enters TWICE —
+      // once per FK chain) over the full schema. lineitem⋈orders is the
+      // one genuine big-big shuffle; every dimension hop (supplier,
+      // nation×2, region, and customer at test SF) broadcasts, so the
+      // fact table is never re-shuffled for a dimension — the plan is one
+      // exchange for the fact join plus a broadcast cascade, then the
+      // grouped aggregate. Plan-asserted in PlanAuditSpec. Declared as a
+      // flat join chain: Catalyst's join reordering owns the order.
+      val li = t(s, dir, "lineitem")
+      val custNation = t(s, dir, "nation").select(
+        col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"),
+        col("n_regionkey").as("cn_regionkey"))
+      val suppNation = t(s, dir, "nation").select(
+        col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(custNation, col("c_nationkey") === col("cn_key"))
+        .join(t(s, dir, "region"), col("cn_regionkey") === col("r_regionkey"))
+        .join(suppNation, col("s_nationkey") === col("sn_key"))
+        .groupBy(col("r_name").as("cust_region"), col("cust_nation"), col("supp_nation"))
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    }),
+
+    "j7_star_filtered" -> ((s, dir) => {
+      // TPC-H Q5 proper: the selective-dimension variant. The region
+      // predicate lives on the 5-row region table; with the broadcast
+      // cascade it prunes nation→customer/supplier BEFORE the fact join,
+      // and the o_orderdate range is pushed into the orders parquet scan
+      // (both plan-asserted). Q5's signature twist — local commerce,
+      // c_nationkey = s_nationkey — rides the supplier join as an extra
+      // equi-key rather than a post-join filter.
+      val nat = t(s, dir, "nation")
+      val asiaNations = nat
+        .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(asiaNations, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    }),
+
     "agg1_stats" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag").agg(
         count(lit(1)).as("n_rows"),
@@ -1709,6 +1763,35 @@ object SparkEntry {
     "sj1_semi_join" ->
       ("SELECT c_custkey, c_name FROM customer " +
         "WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')"),
+
+    "j6_star_join" -> // 7-way star: nation joins twice (customer's and
+      // supplier's FK chains); revenue in the dsum exact-decimal contract
+      (s"""SELECT r.r_name AS cust_region, cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+         |       CAST(count(*) AS BIGINT) AS n_items,
+         |       ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         |JOIN region r ON cn.n_regionkey = r.r_regionkey
+         |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         |GROUP BY 1, 2, 3""").stripMargin,
+
+    "j7_star_filtered" -> // TPC-H Q5 shape: selective region + date range,
+      // local commerce via c_nationkey = s_nationkey on the supplier join
+      (s"""SELECT cn.n_name AS nation, CAST(count(*) AS BIGINT) AS n_items,
+         |       ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+         |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         |JOIN region r ON cn.n_regionkey = r.r_regionkey
+         |WHERE r.r_name = 'ASIA'
+         |  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+         |  AND o.o_orderdate < TIMESTAMP '1996-01-01'
+         |GROUP BY 1""").stripMargin,
 
     "agg1_stats" ->
       (s"SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows, ${dsumSql("l_quantity")} AS sum_qty, " +

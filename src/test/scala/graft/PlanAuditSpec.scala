@@ -189,6 +189,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("cartesian"))
   }
 
+  test("j6 star join: dimension chain broadcasts; the fact table shuffles at most once") {
+    val plan = SparkEntry.queries("j6_star_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // supplier, nation (twice), region — and customer at test SF — are all
+    // dimension hops: each must ride a broadcast, never re-shuffle the fact
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 4, s"expected >=4 broadcast joins in the star, got $bhj:\n$plan")
+    // at most the lineitem⋈orders big-big join is allowed to sort-merge
+    val smj = "SortMergeJoin".r.findAllIn(plan).size
+    assert(smj <= 1, s"dimension join degraded to sort-merge ($smj SMJs):\n$plan")
+  }
+
+  test("j7 filtered star: region predicate and date range push into the scans, dims broadcast") {
+    val plan = SparkEntry.queries("j7_star_filtered")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the 5-row region table carries the selective predicate — it must be
+    // applied AT its scan (pruning nation before anything touches the fact)
+    assert(plan.contains("EqualTo(r_name,ASIA)"),
+      s"region predicate not pushed into the region scan:\n$plan")
+    // the o_orderdate range reaches the orders parquet scan
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate") && plan.contains("LessThan(o_orderdate"),
+      s"date range not pushed into the orders scan:\n$plan")
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 3, s"expected >=3 broadcast joins, got $bhj:\n$plan")
+    assert("SortMergeJoin".r.findAllIn(plan).size <= 1,
+      s"dimension join degraded to sort-merge:\n$plan")
+  }
+
   test("q7's LATERAL subquery decorrelates into one aggregate+join, no per-row re-execution") {
     val plan = SparkEntry.queries("q7_lateral_subquery")(spark, dir)
       .queryExecution.executedPlan.toString
