@@ -1260,6 +1260,55 @@ object SparkEntry {
     }),
 
     // ---- dedup ----
+    "pipe3_full_pipeline" -> ((s, dir) => {
+      // the COMPLETE training-data run as one query — what a real corpus
+      // build executes end to end: quality gate → CC near-dup survivors →
+      // contamination screen → target-mixture resample → boundary-
+      // respecting pack. Every stage is an operator that passes its own
+      // oracle; this key proves the COMPOSITION under the same hash gate.
+      //
+      // Plan shape (audited in PlanAuditSpec): the mixture stage is a
+      // diamond — it needs the clean set twice (per-language quotas AND
+      // per-language ranking), and Catalyst duplicates diamond subtrees,
+      // which would re-execute the whole gate→dedup→screen upstream per
+      // branch. The fix is the same one a production run uses: an explicit
+      // MATERIALIZATION BOUNDARY at the cleaned corpus (lazy
+      // localCheckpoint — dd4's CC iteration already relies on the same
+      // mechanism). Token counts are computed BEFORE the boundary, so the
+      // checkpoint holds three longs + a language per doc, never the
+      // text. Upstream of the boundary the corpus is scanned exactly 3
+      // times (pair generation, survivor anti-join, 50-row probe side) —
+      // each a different projection, none redundant.
+      graft.functions.NativeExpressions.register(s)
+      val docs = t(s, dir, "documents")
+      val gated = TextOps.qualityFilter(docs, "text")
+      val survivors = DedupOps.ccSurvivors(gated, "doc_id",
+        DedupOps.ngramJaccardPairs(gated, "doc_id", "text",
+          n = 3, minShared = 2L, minJaccard = 0.1, maxShingleFreq = Some(20L)))
+      val probes = docs.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("probe_id"), substring(col("text"), 1, 20).as("probe"))
+      val clean = survivors
+        .join(broadcast(probes),
+          col("text").contains(col("probe")) && col("doc_id") =!= col("probe_id"),
+          "left_anti")
+        .select(col("doc_id"), col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .localCheckpoint(false) // stage 1-3 output: computed once, shared
+      val target = when(col("lang") === "en", lit(0.4)).otherwise(lit(0.15))
+      val wAll = Window.partitionBy() // 5 rows: one per language
+      val quotas = clean.groupBy("lang").agg(count(lit(1)).cast("double").as("c"))
+        .withColumn("p", target)
+        .withColumn("n_keep", floor(col("p") * min(col("c") / col("p")).over(wAll)))
+        .select("lang", "n_keep")
+      val byHash = Window.partitionBy("lang")
+        .orderBy(SampleOps.knuth32(col("doc_id")), col("doc_id"))
+      val sampled = clean.withColumn("rk", row_number().over(byHash))
+        .join(broadcast(quotas), "lang")
+        .filter(col("rk") <= col("n_keep"))
+        .select("doc_id", "n_tokens")
+      PackOps.packCounted(sampled, "doc_id", "n_tokens", 8, 512)
+    }),
+
     "pipe1_clean_corpus" -> ((s, dir) => {
       // the composed training-data cleaning pipeline: quality features →
       // language filter → threshold filter → exact dedup (keep min id) —
@@ -1423,9 +1472,19 @@ object SparkEntry {
       // the embedding near-dup gate: cn1's sign-LSH bucketed pairs vs
       // the exact all-pairs cosine set at the same 0.4 threshold. The
       // exact side IS SQL-expressible (list_inner_product), so n_exact
-      // anchors the oracle; the LSH-side counts are goldens
+      // anchors the oracle; the LSH-side counts are goldens.
+      //
+      // Gate cost is corpus-size-INDEPENDENT by construction: both arms
+      // run over a deterministic Knuth-hash sample of vec_ids (a pure
+      // projection the oracle SQL replays bit-identically), so the exact
+      // arm is O(sample²), never O(corpus²) — a gate you can't afford to
+      // run is a gate that stops running. 50% here keeps the sf0.01
+      // positive pair set double-digit; at production scale choose the
+      // percentage so the sampled set stays ~10k vectors (the sample P/R
+      // is an unbiased estimate of the corpus P/R either way).
       graft.functions.NativeExpressions.register(s)
       val emb = t(s, dir, "embeddings")
+        .filter(pmod(SampleOps.knuth32(col("vec_id")), lit(100L)) < 50)
       val lsh = SimilarityOps.cosineNearDupPairs(
         emb, "vec_id", "embedding", minCosine = 0.4, dim = 64, numPlanes = 4, tables = 8)
       // stream side repartitioned: a small parquet arrives as ONE split,
@@ -1512,6 +1571,16 @@ object SparkEntry {
             .as("recall_at_5"),
           count(lit(1)).cast("long").as("n_exact"))
     }),
+
+    "ann6_ivf_balance" -> ((s, dir) =>
+      // quantizer-degeneracy gate beside ann5's recall gate: cell-size
+      // histogram stats from the SAME deterministic quantize path the
+      // search uses. n_vectors is oracle-anchored (plain corpus count);
+      // the cell stats are per-SF measured goldens — a skew regression,
+      // seed change, or sampling drift moves max_share/n_empty and fails
+      // the hash before it silently guts ann3's recall in production
+      SimilarityOps.ivfCellBalance(
+        t(s, dir, "embeddings"), "vec_id", "embedding", nLists = 16)),
 
     "ann3_ivf_topk" -> ((s, dir) => { // no oracle: kmeans-cell approximate; spec-pinned
       val emb = t(s, dir, "embeddings")
@@ -2186,6 +2255,87 @@ object SparkEntry {
     "dd1_exact_dedup" ->
       "SELECT CAST(min(doc_id) AS BIGINT) AS keep_doc_id, CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY text",
 
+    "pipe3_full_pipeline" -> // the verified per-stage oracle formulations
+      // (pipe2 gate, dd4 recursive closure, ctm1 anti via NOT EXISTS,
+      // smp4 quotas, pack2 next-fit walk) chained over each other's output
+      ("""WITH RECURSIVE t0 AS (
+         |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks, string_split(text, '') AS chars FROM documents
+         |), gated AS (
+         |  SELECT doc_id, lang, text, toks FROM t0
+         |  WHERE CAST(len(toks) AS BIGINT) >= 25
+         |    AND round(CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it'))) AS DOUBLE) / len(toks), 4) >= 0.05
+         |    AND (CASE WHEN len(toks) - 2 >= 1 THEN
+         |      round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+         |          i -> array_to_string(toks[i:i+2], ' ')))) AS DOUBLE)
+         |        / CAST(len(toks) - 2 AS DOUBLE), 4)
+         |    ELSE NULL END) <= 0.05
+         |    AND (CASE WHEN length(text) >= 1 THEN
+         |      round(-list_sum(list_transform(list_distinct(chars),
+         |        ch -> (CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars))
+         |              * ln(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars)))), 4)
+         |    ELSE NULL END) >= 2.8
+         |), idx AS (
+         |  SELECT doc_id, toks AS t, unnest(range(1, len(toks) - 1)) AS i FROM gated
+         |), sh0 AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM idx
+         |), kept AS (
+         |  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 20
+         |), sh AS (
+         |  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN kept USING (shingle)
+         |), sz AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), pairs AS (
+         |  SELECT doc_a, doc_b FROM pr
+         |  JOIN sz sa ON pr.doc_a = sa.doc_id JOIN sz sb ON pr.doc_b = sb.doc_id
+         |  WHERE pr.shared >= 2 AND round(pr.shared / (sa.n + sb.n - pr.shared), 4) >= 0.1
+         |), edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+         |), survivors AS (
+         |  SELECT g.doc_id, g.lang, g.text, g.toks FROM gated g
+         |  WHERE g.doc_id NOT IN (SELECT src FROM reach GROUP BY src HAVING min(dst) < src)
+         |), probes AS (
+         |  SELECT doc_id AS probe_id, substring(text, 1, 20) AS probe FROM documents WHERE doc_id < 50
+         |), clean AS (
+         |  SELECT s.doc_id, s.lang, s.toks FROM survivors s
+         |  WHERE NOT EXISTS (SELECT 1 FROM probes p WHERE contains(s.text, p.probe) AND s.doc_id <> p.probe_id)
+         |), counts AS (
+         |  SELECT lang, CAST(count(*) AS DOUBLE) AS c FROM clean GROUP BY 1
+         |), p AS (
+         |  SELECT lang, c, CASE lang WHEN 'en' THEN 0.4 ELSE 0.15 END AS p FROM counts
+         |), quotas AS (
+         |  SELECT lang, floor(p * (SELECT min(c / p) FROM p)) AS n_keep FROM p
+         |), ranked AS (
+         |  SELECT doc_id, lang, toks,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) AS rk
+         |  FROM clean
+         |), sampled AS (
+         |  SELECT r.doc_id, r.toks FROM ranked r JOIN quotas q USING (lang) WHERE r.rk <= q.n_keep
+         |), tt AS (
+         |  SELECT doc_id, doc_id % 8 AS shard, CAST(len(toks) AS BIGINT) AS n,
+         |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+         |  FROM sampled WHERE len(toks) > 0
+         |), walk AS (
+         |  SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) AS bin_id, n AS fill
+         |  FROM tt WHERE rn = 1
+         |  UNION ALL
+         |  SELECT tt.shard, tt.rn, tt.doc_id, tt.n,
+         |         CASE WHEN w.fill + tt.n > 512 THEN w.bin_id + 1 ELSE w.bin_id END,
+         |         CASE WHEN w.fill + tt.n > 512 THEN tt.n ELSE w.fill + tt.n END
+         |  FROM walk w JOIN tt ON tt.shard = w.shard AND tt.rn = w.rn + 1
+         |)
+         |SELECT CAST(shard AS BIGINT) AS shard, bin_id, doc_id, n AS n_tokens
+         |FROM walk""").stripMargin,
+
     "pipe1_clean_corpus" -> // txt2's features + txt3's langid + dd1's dedup, composed
       ("""WITH hits AS (
          |  SELECT doc_id, text,
@@ -2406,9 +2556,13 @@ object SparkEntry {
          |  CAST(CASE (SELECT count(*) FROM lineitem) WHEN 6000 THEN 0.6786 WHEN 60000 THEN 0.52 WHEN 600000 THEN 0.4375 END AS DOUBLE) AS recall
          |FROM ex""").stripMargin,
 
-    "cn2_cosine_gate" -> // the exact all-pairs cosine set IS SQL-expressible
+    "cn2_cosine_gate" -> // the exact all-pairs cosine set IS SQL-expressible;
+      // both arms run over the same deterministic Knuth-hash id sample
+      // (mirrors SampleOps.knuth32 % 100 < 50) so the gate stays
+      // corpus-size-independent
       ("""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |  WHERE ((vec_id % 2147483648) * 2654435761) % 4294967296 % 100 < 50
          |), ex AS (
          |  SELECT count(*) AS n
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -2416,10 +2570,10 @@ object SparkEntry {
          |        (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) >= 0.4
          |)
          |SELECT CAST(ex.n AS BIGINT) AS n_exact,
-         |  CAST(CASE (SELECT count(*) FROM lineitem) WHEN 6000 THEN 54 WHEN 60000 THEN 44 WHEN 600000 THEN 692 END AS BIGINT) AS n_candidates,
-         |  CAST(CASE (SELECT count(*) FROM lineitem) WHEN 6000 THEN 54 WHEN 60000 THEN 44 WHEN 600000 THEN 692 END AS BIGINT) AS n_true_pos,
+         |  CAST(CASE (SELECT count(*) FROM lineitem) WHEN 6000 THEN 10 WHEN 60000 THEN 11 WHEN 600000 THEN 158 END AS BIGINT) AS n_candidates,
+         |  CAST(CASE (SELECT count(*) FROM lineitem) WHEN 6000 THEN 10 WHEN 60000 THEN 11 WHEN 600000 THEN 158 END AS BIGINT) AS n_true_pos,
          |  CAST(CASE WHEN (SELECT count(*) FROM lineitem) IN (6000, 60000, 600000) THEN 1.0 END AS DOUBLE) AS precision,
-         |  CAST(CASE (SELECT count(*) FROM lineitem) WHEN 6000 THEN 0.8182 WHEN 60000 THEN 0.7458 WHEN 600000 THEN 0.7522 END AS DOUBLE) AS recall
+         |  CAST(CASE (SELECT count(*) FROM lineitem) WHEN 6000 THEN 0.8333 WHEN 60000 THEN 0.7333 WHEN 600000 THEN 0.7596 END AS DOUBLE) AS recall
          |FROM ex""").stripMargin,
 
     "ann1_bruteforce_topk" ->
@@ -2477,6 +2631,17 @@ object SparkEntry {
          |         WHEN 6000 THEN 0.575 WHEN 60000 THEN 0.7 WHEN 600000 THEN 0.625 END AS DOUBLE) AS recall_at_5,
          |       CAST(count(*) AS BIGINT) AS n_exact
          |FROM ranked WHERE rnk <= 5""").stripMargin,
+
+    "ann6_ivf_balance" -> // n_vectors anchored on the real corpus count;
+      // cell stats are per-SF measured goldens (deterministic quantizer)
+      ("""SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         |  CAST(16 AS BIGINT) AS n_cells,
+         |  CAST(0 AS BIGINT) AS n_empty,
+         |  CAST(CASE (SELECT count(*) FROM lineitem)
+         |    WHEN 6000 THEN 57 WHEN 60000 THEN 53 WHEN 600000 THEN 226 END AS BIGINT) AS max_cell,
+         |  CAST(CASE (SELECT count(*) FROM lineitem)
+         |    WHEN 6000 THEN 0.114 WHEN 60000 THEN 0.106 WHEN 600000 THEN 0.113 END AS DOUBLE) AS max_share
+         |FROM embeddings""").stripMargin,
 
     "mm1_binary_meta" ->
       "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_md5 FROM documents",

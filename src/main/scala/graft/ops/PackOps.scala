@@ -78,6 +78,20 @@ object PackOps {
       idCol: String,
       textCol: String,
       numShards: Int,
+      capacity: Int): DataFrame =
+    packCounted(
+      df.select(col(idCol), TextOps.tokenCount(col(textCol)).cast("long").as("__graft_n")),
+      idCol, "__graft_n", numShards, capacity)
+
+  /** [[packDocuments]] over an already-token-counted input (`nCol`) — for
+    * pipelines that computed counts upstream (pipe3 counts before its
+    * materialization boundary so the checkpoint holds three longs per doc,
+    * not the text). Same recurrence, same determinism contract. */
+  def packCounted(
+      df: DataFrame,
+      idCol: String,
+      nCol: String,
+      numShards: Int,
       capacity: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -85,7 +99,7 @@ object PackOps {
       .select(
         col(idCol).cast("long"),
         pmod(col(idCol), lit(numShards.toLong)).as("shard"),
-        TextOps.tokenCount(col(textCol)).cast("long").as("n"))
+        col(nCol).cast("long").as("n"))
       .filter(col("n") > 0)
       .as[(Long, Long, Long)]
     counted

@@ -187,9 +187,42 @@ object SimilarityOps {
       seed: Long = 42L,
       excludeSelf: Boolean = true
   ): DataFrame = {
+    graft.functions.NativeExpressions.register(corpus.sparkSession)
+    val (assigned, centroids) = ivfQuantize(corpus, idCol, vecCol, nLists, seed)
+
+    // nProbe nearest centroids per query via the native kernel
+    // (graft.functions.NativeExpressions.NearestCells) — [[probeCellsHOF]]
+    // stays as its executable specification. Centroids ship to executors
+    // as a literal (they are nLists × dim — small by construction).
+    val centroidSql = centroids
+      .map(_.map(d => s"${d}d").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
+      .select(col("q_id"), col("q_vec"),
+        explode(expr(s"graft_nearest_cells(q_vec, $centroidSql, $nProbe)")).as("cell"))
+
+    val scored = assigned.join(q, Seq("cell"))
+      .filter(if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
+      .withColumn("score", round(expr("graft_cosine(q_vec, c_vec)"), 4))
+    rankTopK(scored.select("q_id", "vec_id", "score"), k)
+  }
+
+  /** The IVF coarse quantizer: fit on a bounded positional sample, assign
+    * every corpus vector to its nearest centroid. Shared by [[ivfTopK]]
+    * and the cell-balance gate (ann6) so the gate audits EXACTLY the
+    * quantizer the search path uses. Returns (assignment (vec_id, c_vec,
+    * cell), centroids). Deterministic for a fixed seed and
+    * parallelism-invariant (see the sampling notes inline).
+    */
+  private[graft] def ivfQuantize(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int,
+      seed: Long
+  ): (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    graft.functions.NativeExpressions.register(corpus.sparkSession)
 
     val corpusRaw = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"))
     val corpusVec = widen(corpusRaw).withColumn("features", array_to_vector(col("c_vec")))
@@ -235,23 +268,33 @@ object SimilarityOps {
       .setInitMode("random").fit(train)
     val assigned = model.transform(corpusVec)
       .select(col("vec_id"), col("c_vec"), col("prediction").as("cell"))
+    (assigned, model.clusterCenters.map(_.toArray))
+  }
 
-    // nProbe nearest centroids per query via the native kernel
-    // (graft.functions.NativeExpressions.NearestCells) — [[probeCellsHOF]]
-    // stays as its executable specification. Centroids ship to executors
-    // as a literal (they are nLists × dim — small by construction).
-    val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
-    val centroidSql = centroids
-      .map(_.map(d => s"${d}d").mkString("array(", ",", ")"))
-      .mkString("array(", ",", ")")
-    val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
-      .select(col("q_id"), col("q_vec"),
-        explode(expr(s"graft_nearest_cells(q_vec, $centroidSql, $nProbe)")).as("cell"))
-
-    val scored = assigned.join(q, Seq("cell"))
-      .filter(if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
-      .withColumn("score", round(expr("graft_cosine(q_vec, c_vec)"), 4))
-    rankTopK(scored.select("q_id", "vec_id", "score"), k)
+  /** Cell-balance audit for the IVF quantizer (the ann6 gate): one row of
+    * corpus-level cell statistics from the SAME quantize path [[ivfTopK]]
+    * uses. ann5 gates recall; this gates quantizer DEGENERACY — on a
+    * skewed corpus a mega-cell silently guts recall (most candidates in
+    * one probe) or blows a probe's memory, and empty cells waste routing.
+    * One extra aggregate over the assignment the search already computes;
+    * cost is O(corpus) regardless of nLists.
+    */
+  def ivfCellBalance(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int = 16,
+      seed: Long = 42L
+  ): DataFrame = {
+    val (assigned, _) = ivfQuantize(corpus, idCol, vecCol, nLists, seed)
+    assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(
+        sum("n").cast("long").as("n_vectors"),
+        count(lit(1)).cast("long").as("n_cells"),
+        (lit(nLists) - count(lit(1))).cast("long").as("n_empty"),
+        max("n").cast("long").as("max_cell"))
+      .select(col("n_vectors"), col("n_cells"), col("n_empty"), col("max_cell"),
+        round(col("max_cell").cast("double") / col("n_vectors"), 4).as("max_share"))
   }
 
   /** HOF reference for the native graft_nearest_cells kernel: squared-L2

@@ -167,7 +167,31 @@ object TextOps {
         round(stopHits.cast("double") / nToks, 4).as("stopword_ratio"),
         repetitionRatioNative(textCol, 3).as("dup3_frac"),
         charEntropyNative(textCol).as("char_entropy"))
-      .filter(col("n_tokens") >= 25 && col("stopword_ratio") >= 0.05 &&
-        col("dup3_frac") <= 0.05 && col("char_entropy") >= 2.8)
+      .filter(gatePredicate(col("n_tokens"), col("stopword_ratio"),
+        col("dup3_frac"), col("char_entropy")))
   }
+
+  /** [[qualityGate]] as a pure FILTER that keeps every input column —
+    * for pipeline composition (pipe3) where downstream stages still need
+    * text/lang. Identical thresholds and feature expressions (single
+    * source of truth via [[gatePredicate]]); still map-only, no shuffle.
+    * Callers must have run NativeExpressions.register. */
+  def qualityFilter(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nToks = size(toks)
+    val stopHits = size(filter(toks,
+      tk => Stopwords.foldLeft(lit(false))((acc, m) => acc || (tk === m))))
+    df.filter(gatePredicate(
+      nToks.cast("long"),
+      round(stopHits.cast("double") / nToks, 4),
+      repetitionRatioNative(textCol, 3),
+      charEntropyNative(textCol)))
+  }
+
+  // the Gopher/C4-style thresholds — one definition for both gate forms
+  private def gatePredicate(
+      nTokens: Column, stopwordRatio: Column,
+      dup3Frac: Column, charEntropy: Column): Column =
+    nTokens >= 25 && stopwordRatio >= 0.05 &&
+      dup3Frac <= 0.05 && charEntropy >= 2.8
 }

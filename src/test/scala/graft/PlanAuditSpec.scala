@@ -217,6 +217,29 @@ class PlanAuditSpec extends SparkSpec {
       s"dimension join degraded to sort-merge:\n$plan")
   }
 
+  test("smp4's single-partition window consumes the language AGGREGATE, never raw corpus rows") {
+    // the unpartitioned Window is intentional and safe ONLY because its
+    // input is the ~5-row per-language aggregate (SURVEY §8.2); pin that
+    // structurally so a refactor can't silently move it onto row data,
+    // where it would serialize the whole corpus through one task
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def aggBeforeScan(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => true
+      case _: FileSourceScanExec => false
+      case other => other.children.forall(aggBeforeScan)
+    }
+    val plan = SparkEntry.queries("smp4_target_mixture")(spark, dir)
+      .queryExecution.sparkPlan
+    val unpartitioned = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(unpartitioned.nonEmpty, "expected the single-partition quota window")
+    unpartitioned.foreach { w =>
+      assert(aggBeforeScan(w.child),
+        s"single-partition window reads un-aggregated rows:\n$w")
+    }
+  }
+
   test("q7's LATERAL subquery decorrelates into one aggregate+join, no per-row re-execution") {
     val plan = SparkEntry.queries("q7_lateral_subquery")(spark, dir)
       .queryExecution.executedPlan.toString
@@ -225,6 +248,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Join") || plan.contains("HashJoin"), s"no join planned:\n$plan")
     assert(plan.contains("HashAggregate"), s"no pre-aggregation planned:\n$plan")
     assert(!plan.contains("Subquery"), s"lateral must not re-execute per row:\n$plan")
+  }
+
+  test("pipe3 materializes the cleaned corpus once: both mixture branches read the checkpoint, no corpus re-scan") {
+    graft.functions.NativeExpressions.register(spark)
+    val df = SparkEntry.queries("pipe3_full_pipeline")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // downstream of the materialization boundary the plan must consume the
+    // checkpointed RDD (twice — quota branch + rank branch) and NEVER
+    // re-scan parquet: a regression here re-executes gate+dedup+screen
+    // per branch
+    assert("Scan ExistingRDD".r.findAllIn(plan).size === 2,
+      s"expected both mixture branches on the checkpoint:\n$plan")
+    assert(!plan.contains("Scan parquet"),
+      s"corpus re-scan above the materialization boundary:\n$plan")
+    // and the composition still yields packed rows
+    assert(df.count() > 0)
   }
 
   test("pack2 plans one shard exchange and a per-partition object scan, never a global sort") {

@@ -72,4 +72,22 @@ class SimilarityOpsSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 9000L)))
   }
+
+  test("cn2 gate: hash sample is deterministic under repartitioning and re-evaluation") {
+    val dir = "/root/testdata/sf0.001"
+    // the sample predicate is a pure projection on vec_id — the sampled id
+    // set must be identical however the input is partitioned, and the gate
+    // row must be bit-identical across evaluations (it is a driver golden)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val sampled = emb.filter(pmod(graft.ops.SampleOps.knuth32(col("vec_id")), lit(100L)) < 50)
+      .select("vec_id").as[Long].collect().toSet
+    val resampled = emb.repartition(13)
+      .filter(pmod(graft.ops.SampleOps.knuth32(col("vec_id")), lit(100L)) < 50)
+      .select("vec_id").as[Long].collect().toSet
+    assert(sampled === resampled, "sample must not depend on partitioning")
+    assert(sampled.nonEmpty && sampled.size < emb.count(), "sample must be a proper subset")
+    val g1 = SparkEntry.queries("cn2_cosine_gate")(spark, dir).collect().toSeq
+    val g2 = SparkEntry.queries("cn2_cosine_gate")(spark, dir).collect().toSeq
+    assert(g1 === g2, "gate row must be reproducible")
+  }
 }
