@@ -5,10 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Skew mitigation utilities.
   *
-  * AQE's skew-join handling covers sort-merge joins automatically; explicit
-  * salting is the tool for the remaining case — a shuffle join against a
-  * dimension too big to broadcast where a handful of fact keys dominate
-  * (the classic hot-user / hot-item 100 TB failure mode).
+  * PREFER AQE: Spark's OptimizeSkewedJoin splits hot partitions of
+  * shuffle joins at runtime with no code change (demonstrated live in
+  * PlanAuditSpec "AQE splits a skewed shuffle join"); reach for explicit
+  * salting only where AQE cannot rewrite — a skew-keyed AGGREGATION
+  * (with or without a join after it), a join shape AQE won't touch
+  * (e.g. inside a cogroup), or a dimension too big to broadcast where
+  * you need the spread decided at write time (the classic hot-user /
+  * hot-item 100 TB failure mode).
   *
   * [[saltedJoin]] implements the standard two-sided trick: the fact side
   * gets a deterministic per-row salt in [0, factor); the dimension side is

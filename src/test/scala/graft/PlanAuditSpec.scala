@@ -171,6 +171,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("__salt"), s"salt column missing from plan:\n$plan")
   }
 
+  test("AQE splits a skewed shuffle join at runtime — reach for salting only when AQE can't") {
+    // sk1's shape WITHOUT salting: AQE's OptimizeSkewedJoin must split
+    // the hot partition by itself (thresholds lowered to trip at test
+    // SF). This pins the preferred production path — manual salting
+    // (SkewOps) is the fallback for shapes AQE cannot rewrite, e.g. an
+    // aggregation keyed on the skewed column before the join.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle join
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1k")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1k")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // deterministic hot key: 90% of lineitem rows land on okey=1.
+      // repartition(8) gives the join shuffle multiple MAP tasks — AQE
+      // splits a skewed reduce partition into per-mapper ranges, so a
+      // single-mapper shuffle (one small parquet file) cannot be split
+      val fact = spark.read.parquet(s"$dir/lineitem.parquet")
+        .repartition(8)
+        .select(when(pmod(col("l_orderkey"), lit(10)) =!= 0, lit(1L))
+          .otherwise(col("l_orderkey")).as("okey"), col("l_extendedprice"))
+      val dim = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("okey"), col("o_custkey"))
+      val joined = fact.join(dim, "okey")
+      // collect() drives joined's OWN QueryExecution (count() would plan a
+      // separate one and leave this plan un-finalized); AQE re-plans at
+      // runtime and the final adaptive plan carries the skew split
+      assert(joined.collect().length > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"AQE did not finalize:\n$plan")
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("dd5 counts passage frequency with a window, not a corpus-rescanning self-join") {
     val plan = SparkEntry.queries("dd5_passage_dup")(spark, dir)
       .queryExecution.executedPlan.toString
