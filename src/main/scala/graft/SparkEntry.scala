@@ -104,13 +104,26 @@ object SparkEntry {
     // ---- joins + aggregation shapes (SURVEY §2.3/§2.4) ----
     "j1_left_join_agg" -> ((s, dir) => {
       // J1 shape: fact ⟕ dim then group by the right side's key — left join
-      // so unmatched facts land in a NULL-key group, never dropped
-      t(s, dir, "lineitem")
+      // so unmatched facts land in a NULL-key group, never dropped.
+      // The partial aggregate is pushed BELOW the join (a rewrite Catalyst
+      // doesn't perform): revenue/count collapse to one row per order key
+      // first, so both the join and the custkey shuffle move |orders|
+      // rows instead of |lineitem| (~4× narrower at every exchange; j1 was
+      // the suite's worst 10× growth factor, ×12.6, before this). Exact
+      // decimal addition is associative, so the flat-sum oracle still
+      // hash-matches (ExactSums.dsumPartial/dsumFinal contract).
+      val perOrder = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+          graft.ops.ExactSums.dsumPartial(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_part"),
+          count(lit(1)).as("n_part"))
+      perOrder
         .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"), "left")
         .groupBy("o_custkey")
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
-          count(lit(1)).as("n_items"))
+        .agg(graft.ops.ExactSums.dsumFinal(col("rev_part")).as("revenue"),
+          sum(col("n_part")).as("n_items"))
     }),
 
     "j2_customer360" -> ((s, dir) => customer360(s, dir)),

@@ -32,4 +32,15 @@ object ExactSums {
   /** SQL mirror of [[dsum]] for the DuckDB oracle. */
   def dsumSql(expr: String): String =
     s"CAST(sum(CAST($expr AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** [[dsum]] split into a reassociable pair, for manually pushing the
+    * partial aggregate below a join (a rewrite Catalyst does not do):
+    * `dsumPartial` at the fine grouping, `dsumFinal` over the partials at
+    * the final grouping. Decimal addition is exact and associative, so
+    * sum-of-partials ≡ one flat [[dsum]] bit-for-bit — the same oracle
+    * SQL keeps matching. (Spark widens the partial to DECIMAL(28,4) and
+    * the final to DECIMAL(38,4): overflow headroom at any realistic SF.)
+    */
+  def dsumPartial(c: Column): Column = sum(c.cast(DecimalType(18, 4)))
+  def dsumFinal(partial: Column): Column = sum(partial).cast("double")
 }
