@@ -64,12 +64,17 @@ object SparkEntry {
       min("o_orderdate").as("first_order"),
       max("o_orderdate").as("most_recent_order"),
       count("o_orderkey").as("number_of_orders"))
+    // partial revenue below the join (same rewrite as j1): the join and
+    // the custkey shuffle carry one row per ORDER, not per line item —
+    // decimal partials re-sum exactly, so the flat-sum oracle still matches
     val revenue = lineitem
+      .groupBy("l_orderkey")
+      .agg(graft.ops.ExactSums.dsumPartial(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_part"))
       .join(orders.select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"), "left")
       .groupBy("o_custkey")
-      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .as("lifetime_value"))
+      .agg(graft.ops.ExactSums.dsumFinal(col("rev_part")).as("lifetime_value"))
     customer
       .join(orderStats, col("c_custkey") === orderStats("o_custkey"), "left")
       .drop(orderStats("o_custkey"))
