@@ -882,6 +882,50 @@ object SparkEntry {
         .select(explode(split(col("text"), " ")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n_occurrences"))),
 
+    "hh1_heavy_hitters" -> ((s, dir) => { // no oracle: below-threshold sketch
+      // contents are merge-order-dependent; the hh2 gate carries the
+      // deterministic guarantee. Misra-Gries frequent-items summary over
+      // the token stream: k counters per map task instead of one row per
+      // DISTINCT token — the exchange is O(k · tasks) however large the
+      // token domain grows (x1's exact wordcount is the small-vocabulary
+      // baseline this replaces at 100 TB n-gram/URL scale). k = 32 so the
+      // near-uniform 31-token test vocabulary has a non-empty guaranteed
+      // set; the eviction path is exercised on a constructed skewed
+      // stream in NativeExpressionsSpec
+      graft.functions.NativeExpressions.register(s)
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .agg(expr("graft_freq_sketch(token, 32)").as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.item").as("token"), col("e.count").as("est_count"))
+    }),
+
+    "hh2_freq_gate" -> ((s, dir) => {
+      // the deterministic MG guarantee under the oracle: every token with
+      // exact count > n/(k+1) MUST be in the sketch (k = 32, see hh1) (Misra-Gries bound,
+      // preserved under arbitrary merge trees per Agarwal et al. PODS'12)
+      // — so n_found = n_guaranteed and recall = 1.0 are THEOREMS, not
+      // measured goldens, and the oracle re-derives both exactly
+      graft.functions.NativeExpressions.register(s)
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+      val sketch = toks
+        .agg(expr("graft_freq_sketch(token, 32)").as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.item").as("token"))
+      val exact = toks.groupBy("token").agg(count(lit(1)).as("c"))
+      val total = exact.agg(sum("c").cast("long").as("n_tokens"))
+      val guaranteed = exact.crossJoin(total)
+        .filter(col("c") > col("n_tokens").cast("double") / lit(33.0))
+        .select("token")
+      val nG = guaranteed.agg(count(lit(1)).cast("long").as("n_guaranteed"))
+      val nF = guaranteed.join(sketch, Seq("token"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_found"))
+      total.crossJoin(nG).crossJoin(nF).select(
+        col("n_tokens"), col("n_guaranteed"), col("n_found"),
+        round(col("n_found").cast("double") / col("n_guaranteed"), 4).as("recall"))
+    }),
+
     "dt1_date_parts" -> ((s, dir) =>
       t(s, dir, "orders").select(
         col("o_orderkey"),
@@ -1982,6 +2026,23 @@ object SparkEntry {
     "x1_wordcount" ->
       ("SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences FROM " +
         "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY token"),
+
+    "hh2_freq_gate" -> // the MG guarantee is a theorem: n_found equals
+      // n_guaranteed and recall is exactly 1.0, both re-derived from the
+      // exact token counts (k = 8, threshold n/(k+1))
+      ("""WITH toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+         |), ex AS (
+         |  SELECT token, count(*) AS c FROM toks GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM ex
+         |), g AS (
+         |  SELECT count(*) AS ng FROM ex, tot WHERE c > CAST(n_tokens AS DOUBLE) / 33.0
+         |)
+         |SELECT tot.n_tokens, CAST(g.ng AS BIGINT) AS n_guaranteed,
+         |       CAST(g.ng AS BIGINT) AS n_found,
+         |       CAST(1.0 AS DOUBLE) AS recall
+         |FROM tot, g""").stripMargin,
 
     "dt1_date_parts" ->
       ("SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year, " +

@@ -315,6 +315,9 @@ object NativeExpressions {
     (FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByValue].getName, "graft_topk"),
       (args: Seq[Expression]) => TopKByValue(args(0), args(1), intArg(args(2), "k"))),
+    (FunctionIdentifier("graft_freq_sketch"),
+      new ExpressionInfo(classOf[FreqSketch].getName, "graft_freq_sketch"),
+      (args: Seq[Expression]) => FreqSketch(args(0), intArg(args(1), "k"))),
     (FunctionIdentifier("graft_nearest_cells"),
       new ExpressionInfo(classOf[NearestCells].getName, "graft_nearest_cells"),
       (args: Seq[Expression]) => {

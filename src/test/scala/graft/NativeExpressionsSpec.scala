@@ -129,7 +129,7 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(NativeExpressions.functions.map(_._1.funcName).toSet ===
       Set("graft_minhash", "graft_simhash64", "graft_cosine", "graft_signbuckets",
         "graft_nearest_cells", "graft_topk", "graft_char_entropy", "graft_distinct_ngrams",
-        "graft_bloom_build", "graft_bloom_text_hit"))
+        "graft_bloom_build", "graft_bloom_text_hit", "graft_freq_sketch"))
   }
 
   test("graft_char_entropy matches the HOF charEntropy bit-for-bit on real documents") {
@@ -246,6 +246,34 @@ class NativeExpressionsSpec extends SparkSpec {
       }
     }
     assert(rows.nonEmpty)
+  }
+
+  test("graft_freq_sketch: exact when vocab <= k, never overestimates, guaranteed set survives any partitioning") {
+    NativeExpressions.register(spark)
+    // vocab <= k: the sketch IS the exact wordcount
+    val small = Seq("a", "a", "b", "c", "c", "c").toDF("t")
+    val exactSmall = small.agg(expr("graft_freq_sketch(t, 8)").as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item"), col("e.count")).as[(String, Long)].collect().toSet
+    assert(exactSmall === Set(("c", 3L), ("a", 2L), ("b", 1L)))
+    // skewed stream, k = 4: two hot items above n/(k+1) must be present
+    // with estimates <= true counts, under EVERY partitioning
+    val hot = Seq.fill(300)("hot1") ++ Seq.fill(200)("hot2") ++
+      (1 to 100).flatMap(i => Seq.fill(2)(s"cold$i")) // n = 700, n/5 = 140
+    for (parts <- Seq(1, 3, 16)) {
+      val got = hot.toDF("t").repartition(parts)
+        .agg(expr("graft_freq_sketch(t, 4)").as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.item"), col("e.count")).as[(String, Long)].collect().toMap
+      assert(got.contains("hot1") && got.contains("hot2"),
+        s"guaranteed items missing at $parts partitions: ${got.keySet}")
+      assert(got("hot1") <= 300L && got("hot2") <= 200L, s"MG must underestimate: $got")
+      assert(got.size <= 4, s"k bound violated: $got")
+    }
+    // the hh2 gate's theorem holds on the real corpus
+    val gate = SparkEntry.queries("hh2_freq_gate")(spark, "/root/testdata/sf0.001").collect().head
+    assert(gate.getLong(1) === gate.getLong(2), s"guaranteed item missing from sketch: $gate")
+    assert(gate.getDouble(3) === 1.0)
   }
 
   test("expressions survive codegen (no fallback errors) in a full pipeline") {
