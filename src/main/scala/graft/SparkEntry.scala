@@ -757,6 +757,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
     }),
 
+    "src8_orc_roundtrip" -> ((s, dir) => {
+      // ORC source/sink under the oracle (Spark's second built-in
+      // columnar format): export a projection to ORC, read it back,
+      // filter + aggregate — the filter must push into the ORC scan
+      // exactly as with parquet (plan-audited). The oracle computes the
+      // identical aggregate from parquet, so the ORC reader/writer path
+      // itself is what's being hash-checked.
+      val staged = java.nio.file.Files.createTempDirectory("src8_orc")
+      staged.toFile.deleteOnExit()
+      val proj = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      proj.write.mode("overwrite").orc(staged.toString)
+      s.read.orc(staged.toString)
+        .filter(col("l_quantity") >= 25.0)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_extendedprice")).as("sum_price"))
+    }),
+
     "src2_csv_roundtrip" -> ((s, dir) => {
       // CSV source under the oracle (the jaffle seed path, on driver
       // data): export, read back with the pinned schema, aggregate
@@ -1943,6 +1961,12 @@ object SparkEntry {
     "src2_csv_roundtrip" ->
       (s"SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers, " +
         s"${dsumSql("c_acctbal")} AS total_balance FROM customer GROUP BY c_mktsegment"),
+
+    "src8_orc_roundtrip" -> // same aggregate from parquet: the ORC
+      // writer+reader path is what the hash checks
+      (s"SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows, " +
+        s"${dsumSql("l_extendedprice")} AS sum_price " +
+        "FROM lineitem WHERE l_quantity >= 25.0 GROUP BY l_returnflag"),
 
     "src3_partitioned_roundtrip" ->
       (s"SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, " +

@@ -115,6 +115,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"frequency join crept back into dd2:\n$plan")
   }
 
+  test("ORC round-trip pushes the filter into the ORC scan like parquet") {
+    val plan = SparkEntry.queries("src8_orc_roundtrip")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Scan orc"), s"no ORC scan planned:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,25.0)]"),
+      s"quantity filter not pushed into the ORC scan:\n$plan")
+  }
+
   test("bucketed join reads co-located buckets: no exchange on either join key") {
     val plan = SparkEntry.queries("src4_bucketed_join")(spark, dir)
       .queryExecution.executedPlan.toString
