@@ -105,6 +105,46 @@ object LakeOps {
       .select(out: _*)
   }
 
+  /** Small-file compaction — the OPTIMIZE file-maintenance op every real
+    * lakehouse table needs: streaming/incremental appends accumulate tiny
+    * files (one per trigger per partition), and at 100 TB the resulting
+    * per-file open/footer overhead dominates scans long before data
+    * volume does. Rewrites the table directory into ceil(bytes/target)
+    * files.
+    *
+    * Relational content is untouched (spec: exceptAll both ways empty);
+    * only the physical layout changes. The rewrite lands through the same
+    * write-to-staging / retire-aside / promote sequence as the
+    * incremental materialization's swap (model/Model.scala), so a crash
+    * at any point leaves the old table, the new one, or a recoverable
+    * staging dir — never a partial mix.
+    *
+    * @return number of data files after compaction
+    */
+  def compactTable(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetFileBytes: Long): Int = {
+    require(targetFileBytes > 0, "compactTable requires a positive target file size")
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    val totalBytes = dataFiles(target).map(_.getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val staging = new org.apache.hadoop.fs.Path(path + "__staging")
+    // the read must complete before the swap touches `path`; parquet
+    // write is an action, so by promotion time the data is fully copied
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(staging.toString)
+    val retired = new org.apache.hadoop.fs.Path(path + "__retired")
+    fs.delete(retired, true)
+    require(fs.rename(target, retired), s"compact retire failed for $path")
+    require(fs.rename(staging, target), s"compact promote failed for $path")
+    fs.delete(retired, true)
+    dataFiles(target).length
+  }
+
   /** Latest-state aggregate per key: the state of the most recent
     * observation (total-order tie-break on `tieCol`) plus max-timestamp
     * and row count — the canonical "current state table" both sides of

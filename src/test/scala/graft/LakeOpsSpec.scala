@@ -157,6 +157,31 @@ class LakeOpsSpec extends SparkSpec {
       (2L, Some("keep"), 7L))) // source absent: target carried through
   }
 
+  test("compactTable rewrites many small files into few, content byte-identical, swap dirs cleaned") {
+    val tmp = java.nio.file.Files.createTempDirectory("compact_test")
+    try {
+      val path = s"$tmp/t"
+      val orders = Tables.load(spark, dir, "orders")
+      orders.repartition(64).write.parquet(path) // the streaming-append pathology
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def files() = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      val before = files()
+      assert(before.length === 64)
+      val total = before.map(_.getLen).sum
+      val n = ops.LakeOps.compactTable(spark, path, targetFileBytes = total / 4)
+      assert(n === files().length && n >= 3 && n <= 6,
+        s"expected ~4 files after compaction, got $n")
+      // relational content untouched, both directions
+      val after = spark.read.parquet(path)
+      assert(after.exceptAll(orders).count() === 0 && orders.exceptAll(after).count() === 0)
+      // no swap residue
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__staging")))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__retired")))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+  }
+
   test("plan shapes: scd1 clusters once; pack1 shuffles only on shard; mrg1 joins full-outer on the key") {
     val scdPlan = q("scd1_scd2_history").queryExecution.executedPlan.toString
     assert(scdPlan.split("Exchange hashpartitioning").length - 1 === 1,
