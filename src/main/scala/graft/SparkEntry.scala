@@ -610,6 +610,60 @@ object SparkEntry {
       """)
     }),
 
+    "rec1_recursive_cte" -> ((s, dir) => {
+      // WITH RECURSIVE surface (new in Spark 4): a per-customer
+      // linked-list walk over the order sequence — anchor at each
+      // customer's first order, recurse along lead(order_id). Depth =
+      // max orders/customer (~25 at every SF; the scale generator keeps
+      // per-customer density constant, so the 100-level default
+      // recursion limit holds at sf1+). The ORACLE is deliberately
+      // NON-recursive (row_number): two independent formulations must
+      // agree — stronger than a mirrored recursion. At scale the window
+      // form is the plan you'd ship (one shuffle, no iteration); the
+      // recursion pins the SQL surface for genuinely iterative queries
+      t(s, dir, "orders").createOrReplaceTempView("orders_rec")
+      s.sql("""
+        WITH RECURSIVE nxt AS (
+          SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+                 lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_id,
+                 row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders_rec
+        ), chain(customer_id, order_id, step) AS (
+          SELECT customer_id, order_id, CAST(1 AS BIGINT) FROM nxt WHERE rn = 1
+          UNION ALL
+          SELECT c.customer_id, n.next_id, c.step + 1L
+          FROM chain c JOIN nxt n ON c.customer_id = n.customer_id AND c.order_id = n.order_id
+          WHERE n.next_id IS NOT NULL
+        )
+        SELECT customer_id, order_id, step FROM chain
+      """)
+    }),
+
+    "vr1_variant_extract" -> ((s, dir) => {
+      // semi-structured VARIANT surface (new in Spark 4): build a nested
+      // JSON document per event, parse to VARIANT once, extract typed
+      // fields by path — schema-on-read for heterogeneous event payloads.
+      // At 100 TB the win is scan-time: VARIANT stores the parsed binary
+      // form (shredded in parquet), so path extraction never re-parses
+      // text per query the way get_json_object does (e3 is the
+      // string-parsing baseline). The real `props` payload is parsed
+      // alongside a document constructed from typed columns; the oracle
+      // re-derives every output from the source columns directly —
+      // extraction of what was inserted must be identity
+      t(s, dir, "events").createOrReplaceTempView("events_vr")
+      s.sql("""
+        SELECT event_id,
+               variant_get(v, '$.type', 'string')    AS vtype,
+               variant_get(v, '$.value', 'double')   AS vvalue,
+               variant_get(v, '$.tags[1]', 'string') AS tag2,
+               variant_get(parse_json(props), '$.k', 'long') AS k_val
+        FROM (SELECT *, parse_json(to_json(named_struct(
+                'type', event_type, 'value', value,
+                'tags', array(event_type, CAST(user_id AS STRING))))) AS v
+              FROM events_vr)
+      """)
+    }),
+
     "w6_window_breadth" -> ((s, dir) => {
       // distribution-window family: ntile / percent_rank / cume_dist /
       // first_value, all over one total-ordered frame (ties broken by key
@@ -1899,6 +1953,20 @@ object SparkEntry {
          |      (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
          |      > (SELECT sum(CAST(round(i.o_totalprice * 100) AS BIGINT))
          |         FROM orders i WHERE i.o_custkey = o.o_custkey)""").stripMargin,
+
+    "rec1_recursive_cte" -> // deliberately NON-recursive truth: the
+      // window formulation must agree with Spark's recursive walk —
+      // two independent formulations, not a mirrored recursion
+      ("""SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+         |  CAST(row_number() OVER (PARTITION BY o_custkey
+         |    ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS step
+         |FROM orders""").stripMargin,
+
+    "vr1_variant_extract" -> // extraction of what was inserted is
+      // identity on the source columns; props mirrors e3's ->> path
+      ("""SELECT event_id, event_type AS vtype, value AS vvalue,
+         |  CAST(user_id AS VARCHAR) AS tag2,
+         |  CAST(props->>'k' AS BIGINT) AS k_val FROM events""").stripMargin,
 
     "w6_window_breadth" ->
       ("""SELECT o_custkey, o_orderkey,
