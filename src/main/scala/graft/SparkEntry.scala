@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{ContaminationOps, DedupOps, EventOps, LakeOps, PackOps, SampleOps, SimilarityOps, TextOps}
+import graft.ops.{ContaminationOps, DedupOps, EventOps, LakeOps, PackOps, QuantizeOps, SampleOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1724,6 +1724,49 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    "sq1_int8_quantize" -> ((s, dir) =>
+      // int8 storage quantization of the embedding corpus (QuantizeOps):
+      // per-vector scale + codes + worst reconstruction error, all
+      // engine-independent elementwise double math — the oracle
+      // re-derives codes bit-identically, so scale and the code checksum
+      // compare EXACTLY (no rounding slack; max_abs_err alone is rounded
+      // as pure defense). n_sat counts saturated codes (|c| = 127): the
+      // clamp must fire only on the per-vector max element, never wholesale
+      QuantizeOps.quantizeCorpus(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(
+          col("vec_id"),
+          size(col("codes")).cast("long").as("n_dims"),
+          col("scale"),
+          aggregate(col("codes"), lit(0L), (a, c) => a + c.cast("long")).as("sum_codes"),
+          size(filter(col("codes"), c => abs(c) === 127)).cast("long").as("n_sat"),
+          round(col("max_abs_err"), 6).as("max_abs_err"))),
+
+    "sq2_quantized_recall" -> ((s, dir) => {
+      // does 4x storage compression cost retrieval quality? The gate
+      // answers IN-QUERY: exact top-5 on raw vectors vs top-5 scored
+      // against the int8-reconstructed corpus (queries stay full
+      // precision — the standard asymmetric setup), recall joined out.
+      // Unlike ann4/ann5 there is NO RNG anywhere, so the oracle
+      // re-derives the whole pipeline — quantization, both rankings,
+      // the recall — from scratch in SQL: a fully-checked number, not
+      // a golden constant
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val recon = QuantizeOps.quantizeCorpus(emb, "vec_id", "embedding")
+        .select(col("vec_id"), col("recon"))
+      val exact = SimilarityOps.bruteForceTopK(
+        queries, "vec_id", "embedding", emb, "vec_id", "embedding", k = 5)
+      val quant = SimilarityOps.bruteForceTopK(
+        queries, "vec_id", "embedding", recon, "vec_id", "recon", k = 5)
+      exact.join(
+          quant.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
+          Seq("q_id", "vec_id"), "left")
+        .agg(
+          round(sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)), 4)
+            .as("recall_at_5"),
+          count(lit(1)).cast("long").as("n_exact"))
+    }),
+
     "cn1_cosine_neardup" -> ((s, dir) => // no oracle: bucketing approximate; spec-pinned.
       // testdata embeddings are near-orthogonal (max pairwise cos ≈ 0.5),
       // so the threshold sits at 0.4 where real pairs exist; 4 planes ×
@@ -2802,6 +2845,45 @@ object SparkEntry {
          |         WHEN 6000 THEN 0.575 WHEN 60000 THEN 0.7 WHEN 600000 THEN 0.625 END AS DOUBLE) AS recall_at_5,
          |       CAST(count(*) AS BIGINT) AS n_exact
          |FROM ranked WHERE rnk <= 5""").stripMargin,
+
+    "sq1_int8_quantize" -> // codes re-derived bit-identically from the
+      // same elementwise double formula — scale and sum_codes compare
+      // EXACTLY; the explicit floor(x/s + 0.5) states the tie rule both
+      // engines share (round() half-even vs half-up would diverge)
+      ("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v),
+         |qc AS (SELECT vec_id, e, scale,
+         |  list_transform(e, x -> CAST(greatest(-127.0, least(127.0, floor(x / scale + 0.5))) AS INTEGER)) AS codes
+         |  FROM s)
+         |SELECT vec_id, CAST(len(e) AS BIGINT) AS n_dims, scale,
+         |  CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+         |  CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS n_sat,
+         |  round(list_max(list_transform(range(1, len(e) + 1), i -> abs(e[i] - codes[i] * scale))), 6) AS max_abs_err
+         |FROM qc""").stripMargin,
+
+    "sq2_quantized_recall" -> // no RNG anywhere in this pipeline, so the
+      // oracle re-derives EVERYTHING — quantization, both rankings, the
+      // recall — rather than pinning a golden like ann4/ann5; both
+      // engines rank on the round(4) score with vec_id tie-break
+      ("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v),
+         |r AS (SELECT vec_id,
+         |  list_transform(range(1, len(e) + 1), i -> CAST(greatest(-127.0, least(127.0, floor(e[i] / scale + 0.5))) AS DOUBLE) * scale) AS recon
+         |  FROM s),
+         |q AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id < 8),
+         |exact_scored AS (
+         |  SELECT q.q_id, c.vec_id,
+         |    round(list_inner_product(q.qv, c.e) / (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(c.e, c.e))), 4) AS score
+         |  FROM q CROSS JOIN v c WHERE c.vec_id <> q.q_id),
+         |exact_top AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rnk FROM exact_scored) WHERE rnk <= 5),
+         |quant_scored AS (
+         |  SELECT q.q_id, c.vec_id,
+         |    round(list_inner_product(q.qv, c.recon) / (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(c.recon, c.recon))), 4) AS score
+         |  FROM q CROSS JOIN r c WHERE c.vec_id <> q.q_id),
+         |quant_top AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rnk FROM quant_scored) WHERE rnk <= 5),
+         |j AS (SELECT et.q_id, et.vec_id, CASE WHEN qt.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+         |      FROM exact_top et LEFT JOIN quant_top qt ON et.q_id = qt.q_id AND et.vec_id = qt.vec_id)
+         |SELECT round(CAST(sum(hit) AS DOUBLE) / count(*), 4) AS recall_at_5, CAST(count(*) AS BIGINT) AS n_exact FROM j""").stripMargin,
 
     "ann6_ivf_balance" -> // n_vectors anchored on the real corpus count;
       // cell stats are per-SF measured goldens (deterministic quantizer)

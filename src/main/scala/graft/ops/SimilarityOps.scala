@@ -79,8 +79,21 @@ object SimilarityOps {
     graft.functions.NativeExpressions.register(corpus.sparkSession)
     val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
     val c = widen(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec")))
+    // the native kernel is float32-only; for double vectors (e.g. the
+    // int8-reconstructed corpus in sq2) fall back to the HOF cosine —
+    // the kernel's bit-parity executable spec, so scores are identical
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    def isFloatVec(df: DataFrame, name: String): Boolean =
+      df.schema(name).dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+    val score =
+      if (isFloatVec(q, "q_vec") && isFloatVec(c, "c_vec"))
+        expr("graft_cosine(q_vec, c_vec)")
+      else cosine(col("q_vec"), col("c_vec"))
     val scored = c.join(broadcast(q), if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
-      .withColumn("score", round(expr("graft_cosine(q_vec, c_vec)"), 4))
+      .withColumn("score", round(score, 4))
     rankTopK(scored.select("q_id", "vec_id", "score"), k)
   }
 
