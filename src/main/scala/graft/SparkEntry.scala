@@ -613,27 +613,32 @@ object SparkEntry {
     "rec1_recursive_cte" -> ((s, dir) => {
       // WITH RECURSIVE surface (new in Spark 4): a per-customer
       // linked-list walk over the order sequence — anchor at each
-      // customer's first order, recurse along lead(order_id). Depth =
-      // max orders/customer (~25 at every SF; the scale generator keeps
-      // per-customer density constant, so the 100-level default
-      // recursion limit holds at sf1+). The ORACLE is deliberately
-      // NON-recursive (row_number): two independent formulations must
-      // agree — stronger than a mirrored recursion. At scale the window
-      // form is the plan you'd ship (one shuffle, no iteration); the
-      // recursion pins the SQL surface for genuinely iterative queries
-      t(s, dir, "orders").createOrReplaceTempView("orders_rec")
+      // customer's first order, recurse along lead(order_id), BOUNDED
+      // at 8 hops. The bound is the production discipline for iterative
+      // plans: each recursion round is a whole Spark job (~0.3 s fixed
+      // scheduling cost at any data size), so unbounded-depth traversal
+      // belongs to the window formulation — which is exactly what the
+      // ORACLE uses (row_number ≤ 8): two independent formulations must
+      // agree, stronger than a mirrored recursion. The next-pointer
+      // table is localCheckpoint'd once (the window would otherwise
+      // recompute inside every round) and broadcast into each round's
+      // join, so a round never shuffles the chain; at 100 TB you'd
+      // pre-bucket nxt on order_id instead of broadcasting
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, dir, "orders")
+        .select(
+          col("o_custkey").as("customer_id"), col("o_orderkey").as("order_id"),
+          lead("o_orderkey", 1).over(w).as("next_id"),
+          row_number().over(w).as("rn"))
+        .localCheckpoint()
+        .createOrReplaceTempView("rec1_nxt")
       s.sql("""
-        WITH RECURSIVE nxt AS (
-          SELECT o_custkey AS customer_id, o_orderkey AS order_id,
-                 lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_id,
-                 row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
-          FROM orders_rec
-        ), chain(customer_id, order_id, step) AS (
-          SELECT customer_id, order_id, CAST(1 AS BIGINT) FROM nxt WHERE rn = 1
+        WITH RECURSIVE chain(customer_id, order_id, step) AS (
+          SELECT customer_id, order_id, CAST(1 AS BIGINT) FROM rec1_nxt WHERE rn = 1
           UNION ALL
-          SELECT c.customer_id, n.next_id, c.step + 1L
-          FROM chain c JOIN nxt n ON c.customer_id = n.customer_id AND c.order_id = n.order_id
-          WHERE n.next_id IS NOT NULL
+          SELECT /*+ BROADCAST(n) */ c.customer_id, n.next_id, c.step + 1L
+          FROM chain c JOIN rec1_nxt n ON c.order_id = n.order_id
+          WHERE n.next_id IS NOT NULL AND c.step < 8
         )
         SELECT customer_id, order_id, step FROM chain
       """)
@@ -1999,11 +2004,13 @@ object SparkEntry {
 
     "rec1_recursive_cte" -> // deliberately NON-recursive truth: the
       // window formulation must agree with Spark's recursive walk —
-      // two independent formulations, not a mirrored recursion
-      ("""SELECT o_custkey AS customer_id, o_orderkey AS order_id,
-         |  CAST(row_number() OVER (PARTITION BY o_custkey
-         |    ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS step
-         |FROM orders""").stripMargin,
+      // two independent formulations, not a mirrored recursion; the
+      // rn <= 8 filter mirrors the walk's 8-hop bound
+      ("""SELECT customer_id, order_id, step FROM (
+         |  SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+         |    CAST(row_number() OVER (PARTITION BY o_custkey
+         |      ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS step
+         |  FROM orders) WHERE step <= 8""").stripMargin,
 
     "vr1_variant_extract" -> // extraction of what was inserted is
       // identity on the source columns; props mirrors e3's ->> path
