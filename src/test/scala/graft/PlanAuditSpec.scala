@@ -173,6 +173,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"scalar projection should not shuffle:\n$plan")
   }
 
+  test("int8 quantization is a map-only pass: no exchange, no aggregate") {
+    val plan = SparkEntry.queries("sq1_int8_quantize")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"quantization should not shuffle:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"quantization should not aggregate:\n$plan")
+  }
+
+  test("variant extraction is a map-only pass over the events scan") {
+    val plan = SparkEntry.queries("vr1_variant_extract")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"variant extraction should not shuffle:\n$plan")
+  }
+
+  test("recursive walk carries the broadcast hint into each round's join") {
+    // the loop body stays LOGICAL inside UnionLoop (physical planning
+    // happens per iteration at runtime), so pin the recorded join
+    // strategy hint and the checkpointed pointer table (LogicalRDD —
+    // the window must not sit inside the loop where every round would
+    // recompute it)
+    val plan = SparkEntry.queries("rec1_recursive_cte")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("UnionLoop"), s"recursion not planned as a loop:\n$plan")
+    assert(plan.contains("rightHint=(strategy=broadcast)"),
+      s"recursion step lost the broadcast hint:\n$plan")
+    assert(plan.contains("LogicalRDD") && !plan.contains("window"),
+      s"pointer table must be checkpointed outside the loop:\n$plan")
+  }
+
   test("salted join spreads the fact side over (key, salt) exchanges") {
     val plan = SparkEntry.queries("sk1_salted_join")(spark, dir)
       .queryExecution.executedPlan.toString
