@@ -343,6 +343,24 @@ object SparkEntry {
           array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
           size(collect_set(col("o_orderpriority"))).cast("long").as("n_priorities"))),
 
+    "hof1_array_funcs" -> ((s, dir) => {
+      // collection-function breadth over tokenized text: slice /
+      // contains / position plus an order-INSENSITIVE higher-order fold
+      // (max token length — greatest() commutes, so any evaluation
+      // order agrees; a sum-fold over doubles would not be
+      // cross-engine-stable, which is why v1 rounds). All map-only,
+      // codegen'd — no shuffle (the txt family's plan discipline)
+      val toks = split(col("text"), " ")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_toks"),
+        concat_ws(" ", slice(toks, 1, 3)).as("first3"),
+        array_contains(toks, "the").as("has_the"),
+        aggregate(toks, lit(0), (a, x) => greatest(a, length(x)))
+          .cast("long").as("max_tok_len"),
+        array_position(toks, "the").as("pos_the"))
+    }),
+
     "dt2_timestamp_funcs" -> ((s, dir) =>
       // timestamp-function breadth on event times: epoch round-trip
       // (second truncation via integer division), day/hour truncation,
@@ -523,6 +541,19 @@ object SparkEntry {
       s.read.format(classOf[graft.sources.DatagenTableProvider].getName)
         .option("numRows", 60000).option("numPartitions", 32).load()
         .filter(col("id") >= 1200L && col("id") < 45000L)
+        .agg(count(lit(1)).as("n"), min("id").as("lo_id"), max("id").as("hi_id"))),
+
+    "src9_datagen_groupby_pushdown" -> ((s, dir) =>
+      // GROUP BY pushed into the V2 source: bucket = id % 100 makes
+      // each group an arithmetic progression over the pushed range, so
+      // count/min/max per group answer in closed form — the scan emits
+      // ≤100 pre-aggregated rows, Spark plans NO aggregate and nothing
+      // is generated (DatagenSpec asserts both); group-bys the source
+      // can't answer (category) decline and plan normally
+      s.read.format(classOf[graft.sources.DatagenTableProvider].getName)
+        .option("numRows", 60000).option("numPartitions", 32).load()
+        .filter(col("id") >= 1200L && col("id") < 45000L)
+        .groupBy("bucket")
         .agg(count(lit(1)).as("n"), min("id").as("lo_id"), max("id").as("hi_id"))),
 
     "pack1_sequence_packing" -> ((s, dir) =>
@@ -2132,6 +2163,16 @@ object SparkEntry {
         "CAST(len(list_distinct(list(o_orderpriority))) AS BIGINT) AS n_priorities " +
         "FROM orders GROUP BY o_custkey"),
 
+    "hof1_array_funcs" -> // list_position is NULL-on-absent in DuckDB
+      // vs 0 in Spark — coalesce states the shared convention
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+         |  array_to_string(toks[1:3], ' ') AS first3,
+         |  list_contains(toks, 'the') AS has_the,
+         |  CAST(list_max(list_transform(toks, x -> length(x))) AS BIGINT) AS max_tok_len,
+         |  CAST(coalesce(list_position(toks, 'the'), 0) AS BIGINT) AS pos_the
+         |FROM t""").stripMargin,
+
     "dt2_timestamp_funcs" -> // isodow mirrors weekday()+1 (Monday=1);
       // epoch // 1e6 mirrors the floor'd integer division
       ("""SELECT event_id, epoch_us(ts) AS epoch_us,
@@ -3042,6 +3083,12 @@ object SparkEntry {
         |       CAST(min(i) AS BIGINT) AS lo_id, CAST(max(i) AS BIGINT) AS hi_id
         |FROM generate_series(0, 59999) t(i)
         |WHERE i >= 1200 AND i < 45000""".stripMargin,
+
+    "src9_datagen_groupby_pushdown" ->
+      ("""SELECT CAST(i % 100 AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(min(i) AS BIGINT) AS lo_id, CAST(max(i) AS BIGINT) AS hi_id
+         |FROM generate_series(0, 59999) t(i)
+         |WHERE i >= 1200 AND i < 45000 GROUP BY 1""").stripMargin,
 
     "pack1_sequence_packing" -> // same shard/order/offset arithmetic; DuckDB
       // `//` is floor division on BIGINT, matching Spark's `DIV` for the

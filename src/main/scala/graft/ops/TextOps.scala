@@ -176,16 +176,39 @@ object TextOps {
     * text/lang. Identical thresholds and feature expressions (single
     * source of truth via [[gatePredicate]]); still map-only, no shuffle.
     * Callers must have run NativeExpressions.register. */
-  def qualityFilter(df: DataFrame, textCol: String): DataFrame = {
+  def qualityFilter(df: DataFrame, textCol: String): DataFrame =
+    df.filter(gateOn(textCol))
+
+  /** [[qualityFilter]] with in-flight metrics: input and kept counts
+    * accumulate DURING the gate's single pass via `Dataset.observe`
+    * (CollectMetrics — executor-side accumulators, no second job, no
+    * re-scan). At 100 TB the naive alternative — count() before and
+    * after — re-reads the corpus twice to answer "what did the gate
+    * drop?"; this answers it for free with the run itself. Read the
+    * metrics from the returned Observation AFTER an action on the
+    * frame: `obs.get("n_in")`, `obs.get("n_kept")`. */
+  def observedQualityFilter(
+      df: DataFrame, textCol: String): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = new org.apache.spark.sql.Observation("quality_gate")
+    val pred = gateOn(textCol)
+    val observed = df.observe(obs,
+      count(lit(1)).as("n_in"),
+      sum(when(pred, 1L).otherwise(0L)).as("n_kept"))
+    (observed.filter(pred), obs)
+  }
+
+  // the gate predicate over a raw text column — single source of truth
+  // for qualityFilter and observedQualityFilter
+  private def gateOn(textCol: String): Column = {
     val toks = tokens(col(textCol))
     val nToks = size(toks)
     val stopHits = size(filter(toks,
       tk => Stopwords.foldLeft(lit(false))((acc, m) => acc || (tk === m))))
-    df.filter(gatePredicate(
+    gatePredicate(
       nToks.cast("long"),
       round(stopHits.cast("double") / nToks, 4),
       repetitionRatioNative(textCol, 3),
-      charEntropyNative(textCol)))
+      charEntropyNative(textCol))
   }
 
   // the Gopher/C4-style thresholds — one definition for both gate forms

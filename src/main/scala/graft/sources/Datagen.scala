@@ -129,21 +129,28 @@ class DatagenScanBuilder(numRows: Long, numPartitions: Int)
 
   /** COUNT(*) / MIN(id) / MAX(id) over the pushed id range are CLOSED
     * FORM for a range generator — the deepest pushdown tier: the scan
-    * returns the one-row answer and generates NOTHING. Spark only offers
-    * aggregate pushdown when every filter was pushed (a residual
-    * predicate blocks it upstream in V2ScanRelationPushDown), so the
-    * range bounds are always exact here. Anything else (group-bys,
-    * aggregates over derived columns) is declined and planned normally.
+    * returns the one-row answer and generates NOTHING. GROUP BY bucket
+    * is equally closed-form (bucket = id % 100, so each group is an
+    * arithmetic progression over [lo, hi)): the scan emits ≤100
+    * pre-aggregated rows and Spark plans NO aggregate at all. Spark
+    * only offers aggregate pushdown when every filter was pushed (a
+    * residual predicate blocks it upstream in V2ScanRelationPushDown),
+    * so the range bounds are always exact here. Anything else —
+    * group-bys on derived columns, other aggregates — is declined and
+    * planned normally (spec-pinned fallback).
     */
+  private def isNamed(e: V2Expression, name: String): Boolean = e match {
+    case nr: NamedReference => nr.fieldNames.sameElements(Array(name))
+    case _ => false
+  }
+
   private def pushable(agg: Aggregation): Boolean = {
-    def isId(e: V2Expression): Boolean = e match {
-      case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
-      case _ => false
-    }
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall {
+    val gb = agg.groupByExpressions
+    val groupOk = gb.isEmpty || (gb.length == 1 && isNamed(gb(0), "bucket"))
+    groupOk && agg.aggregateExpressions.forall {
       case _: CountStar => true
-      case m: Min => isId(m.column)
-      case m: Max => isId(m.column)
+      case m: Min => isNamed(m.column, "id")
+      case m: Max => isNamed(m.column, "id")
       case _ => false
     }
   }
@@ -151,10 +158,17 @@ class DatagenScanBuilder(numRows: Long, numPartitions: Int)
   override def supportCompletePushDown(agg: Aggregation): Boolean = pushable(agg)
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    if (pushable(agg)) { pushedAgg = Some(agg.aggregateExpressions); true }
-    else false
+    if (pushable(agg)) {
+      pushedAgg = Some(agg.aggregateExpressions)
+      groupedOnBucket = agg.groupByExpressions.nonEmpty
+      true
+    } else false
+
+  private var groupedOnBucket = false
 
   override def build(): Scan = pushedAgg match {
+    case Some(aggs) if groupedOnBucket =>
+      new DatagenGroupAggScan(math.max(lo, 0L), math.max(hi, lo), aggs)
     case Some(aggs) => new DatagenAggScan(math.max(lo, 0L), math.max(hi, lo), aggs)
     case None => new DatagenScan(numRows, numPartitions, lo, hi, required)
   }
@@ -189,6 +203,59 @@ class DatagenAggScan(lo: Long, hi: Long, aggs: Array[AggregateFunc]) extends Sca
     }
     new DatagenAggReaderFactory(values)
   }
+}
+
+/** GROUP BY bucket complete pushdown: each bucket b is the arithmetic
+  * progression { id ∈ [lo, hi) : id ≡ b (mod 100) }, so its count, min
+  * and max have closed forms — the scan emits ≤100 pre-aggregated rows
+  * (empty groups omitted, per GROUP BY semantics) and generates no
+  * detail rows at all. */
+class DatagenGroupAggScan(lo: Long, hi: Long, aggs: Array[AggregateFunc]) extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(
+    StructField("bucket", LongType, nullable = false) +: aggs.map {
+      case _: CountStar => StructField("count_star", LongType, nullable = false)
+      case _: Min => StructField("min_id", LongType, nullable = true)
+      case _: Max => StructField("max_id", LongType, nullable = true)
+      case other => throw new IllegalArgumentException(s"unpushable aggregate $other")
+    })
+
+  override def description(): String =
+    s"graft_datagen pushed_aggregation=[${aggs.mkString(", ")}] group_by=[bucket] pushed_id_range=[$lo,$hi)"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(DatagenPartition(0L, 1L)) // ≤100 output rows: one task
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val rows: Array[Array[Any]] = (0L until 100L).iterator.flatMap { b =>
+      // first id ≥ lo and last id < hi congruent to b (mod 100)
+      val first = lo + ((b - lo % 100L) + 100L) % 100L
+      val last = (hi - 1) - (((hi - 1) % 100L - b) + 100L) % 100L
+      if (first > last) None // empty group: no row
+      else {
+        val n = (last - first) / 100L + 1L
+        Some(b +: aggs.map[Any] {
+          case _: CountStar => n
+          case _: Min => first
+          case _: Max => last
+          case other => throw new IllegalArgumentException(s"unpushable aggregate $other")
+        })
+      }
+    }.toArray
+    new DatagenGroupAggReaderFactory(rows)
+  }
+}
+
+class DatagenGroupAggReaderFactory(rows: Array[Array[Any]]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = InternalRow.fromSeq(rows(i).toSeq)
+      override def close(): Unit = ()
+    }
 }
 
 class DatagenAggReaderFactory(values: Array[Any]) extends PartitionReaderFactory {

@@ -78,10 +78,42 @@ class DatagenSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"))
     assert(residual.queryExecution.executedPlan.toString.contains("HashAggregate"))
     assert(residual.head().getLong(0) === 100L)
-    // group-bys are declined (supportCompletePushDown false) and planned normally
-    val grouped = read(1000, 4).groupBy("bucket").agg(count(lit(1)).as("n"))
+    // group-bys the source can't answer (derived column) are declined
+    // (supportCompletePushDown false) and planned normally
+    val grouped = read(1000, 4).groupBy("category").agg(count(lit(1)).as("n"))
     assert(grouped.queryExecution.executedPlan.toString.contains("HashAggregate"))
-    assert(grouped.count() === 100L)
+    assert(grouped.count() === 4L)
+  }
+
+  test("GROUP BY bucket pushes completely: <=100 pre-aggregated rows, no aggregate planned") {
+    val grouped = read(1L << 20, 64).filter(col("id") >= 1000L && col("id") < 5250L)
+      .groupBy("bucket").agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"))
+    val plan = grouped.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"),
+      s"grouped aggregate must be fully pushed into the scan:\n$plan")
+    assert(plan.contains("group_by=[bucket]"), s"scan must report the pushed group-by:\n$plan")
+    // closed-form check: [1000, 5250) covers 42 full centuries + a half;
+    // buckets 0-49 get 43 rows, 50-99 get 42
+    val rows = grouped.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.size === 100)
+    assert(rows(7L) === ((43L, 1007L, 5207L)))
+    assert(rows(73L) === ((42L, 1073L, 5173L)))
+    // empty groups are OMITTED, not emitted as zero: a 30-id range has
+    // exactly 30 groups
+    val sparse = read(1L << 20, 64).filter(col("id") >= 100L && col("id") < 130L)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    assert(sparse.count() === 30L)
+    // parity with the unpushed plan: the residual bucket predicate blocks
+    // aggregate pushdown (trivially true, so the row set is identical),
+    // forcing real generation + HashAggregate — results must match
+    val unpushed = read(1L << 20, 64)
+      .filter(col("id") >= 1000L && col("id") < 5250L && col("bucket") >= 0L)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"))
+    assert(unpushed.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    val unpushedRows = unpushed.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows === unpushedRows)
   }
 
   test("limit pushes into the source: the range shrinks and partitions drop") {

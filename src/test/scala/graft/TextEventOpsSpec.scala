@@ -24,6 +24,23 @@ class TextEventOpsSpec extends SparkSpec {
     assert(out(4L) === "und")
   }
 
+  test("observedQualityFilter: gate metrics accumulate in the SAME pass, no second scan") {
+    graft.functions.NativeExpressions.register(spark)
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val (gated, obs) = TextOps.observedQualityFilter(docs, "text")
+    val kept = gated.count() // the one action — metrics ride on it
+    assert(obs.get("n_in") === docs.count())
+    assert(obs.get("n_kept") === kept)
+    // metrics must agree with the unobserved gate (single source of truth)
+    assert(kept === TextOps.qualityFilter(docs, "text").count())
+    // and the observed run is still ONE scan: CollectMetrics in-plan,
+    // exactly one parquet read
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(plan.contains("CollectMetrics"), s"metrics not collected in-flight:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size === 1,
+      s"observation must not add a scan:\n$plan")
+  }
+
   test("repetitionRatio: exact on constructed repetition, NULL on too-short docs") {
     val df = Seq(
       (1L, "a b c a b c a b c"),     // 7 3-grams, 3 distinct -> 4/7 duplicated
