@@ -655,6 +655,14 @@ object SparkEntry {
       // recompute inside every round) and broadcast into each round's
       // join, so a round never shuffles the chain; at 100 TB you'd
       // pre-bucket nxt on order_id instead of broadcasting
+      // Spark's recursion guardrail caps TOTAL rows at 1M by default —
+      // ~8 x |customers| here crosses that at sf1+. The walk is already
+      // depth-bounded (step < 8), so the row count is a known linear
+      // bound, not a runaway risk; raise the valve. NOT restored after:
+      // the frame is lazy, so the conf must still hold when the driver
+      // executes it — and it has no semantic effect on any other query
+      // (rec1 is the only recursive CTE in the contract)
+      s.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       t(s, dir, "orders")
         .select(
