@@ -556,6 +556,17 @@ object SparkEntry {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), min("id").as("lo_id"), max("id").as("hi_id"))),
 
+    "src10_datagen_multi_groupby" -> ((s, dir) =>
+      // the generalized pushdown tier: TWO residue-class group columns
+      // plus SUM — every (category, bucket) group is a union of
+      // arithmetic progressions whose count/sum merge as a monoid, so
+      // the scan still answers closed-form with no aggregate planned
+      s.read.format(classOf[graft.sources.DatagenTableProvider].getName)
+        .option("numRows", 60000).option("numPartitions", 32).load()
+        .filter(col("id") >= 1200L && col("id") < 45000L)
+        .groupBy("category", "bucket")
+        .agg(count(lit(1)).as("n"), sum("id").as("sum_id"))),
+
     "pack1_sequence_packing" -> ((s, dir) =>
       // GPT-style concat-and-chunk sequence packing: per-shard token
       // streams cut into 512-token blocks; emits the (block, doc, span)
@@ -3097,6 +3108,13 @@ object SparkEntry {
          |       CAST(min(i) AS BIGINT) AS lo_id, CAST(max(i) AS BIGINT) AS hi_id
          |FROM generate_series(0, 59999) t(i)
          |WHERE i >= 1200 AND i < 45000 GROUP BY 1""").stripMargin,
+
+    "src10_datagen_multi_groupby" ->
+      ("""SELECT 'cat_' || CAST(i % 4 AS VARCHAR) AS category,
+         |       CAST(i % 100 AS BIGINT) AS bucket,
+         |       CAST(count(*) AS BIGINT) AS n, CAST(sum(i) AS BIGINT) AS sum_id
+         |FROM generate_series(0, 59999) t(i)
+         |WHERE i >= 1200 AND i < 45000 GROUP BY 1, 2""").stripMargin,
 
     "pack1_sequence_packing" -> // same shard/order/offset arithmetic; DuckDB
       // `//` is floor division on BIGINT, matching Spark's `DIV` for the

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -127,17 +127,19 @@ class DatagenScanBuilder(numRows: Long, numPartitions: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** COUNT(*) / MIN(id) / MAX(id) over the pushed id range are CLOSED
-    * FORM for a range generator — the deepest pushdown tier: the scan
-    * returns the one-row answer and generates NOTHING. GROUP BY bucket
-    * is equally closed-form (bucket = id % 100, so each group is an
-    * arithmetic progression over [lo, hi)): the scan emits ≤100
-    * pre-aggregated rows and Spark plans NO aggregate at all. Spark
-    * only offers aggregate pushdown when every filter was pushed (a
-    * residual predicate blocks it upstream in V2ScanRelationPushDown),
-    * so the range bounds are always exact here. Anything else —
-    * group-bys on derived columns, other aggregates — is declined and
-    * planned normally (spec-pinned fallback).
+  /** COUNT(*) / MIN(id) / MAX(id) / SUM(id) over the pushed id range
+    * are CLOSED FORM for a range generator — the deepest pushdown tier:
+    * the scan returns the answer and generates NOTHING. GROUP BY over
+    * bucket and/or category is equally closed-form: both are residue
+    * classes of id (mod 100 and mod 4, and 4 | 100), so every group is
+    * a union of ≤100 arithmetic progressions over [lo, hi) — the scan
+    * emits the pre-aggregated group rows and Spark plans NO aggregate
+    * at all. Spark only offers aggregate pushdown when every filter was
+    * pushed (a residual predicate blocks it upstream in
+    * V2ScanRelationPushDown), so the range bounds are always exact
+    * here. Anything else — group-bys on non-residue columns (price),
+    * DISTINCT sums, other aggregates — is declined and planned
+    * normally (spec-pinned fallback).
     */
   private def isNamed(e: V2Expression, name: String): Boolean = e match {
     case nr: NamedReference => nr.fieldNames.sameElements(Array(name))
@@ -146,11 +148,12 @@ class DatagenScanBuilder(numRows: Long, numPartitions: Int)
 
   private def pushable(agg: Aggregation): Boolean = {
     val gb = agg.groupByExpressions
-    val groupOk = gb.isEmpty || (gb.length == 1 && isNamed(gb(0), "bucket"))
+    val groupOk = gb.forall(g => isNamed(g, "bucket") || isNamed(g, "category")) && gb.length <= 2
     groupOk && agg.aggregateExpressions.forall {
       case _: CountStar => true
       case m: Min => isNamed(m.column, "id")
       case m: Max => isNamed(m.column, "id")
+      case s: Sum => isNamed(s.column, "id") && !s.isDistinct
       case _ => false
     }
   }
@@ -160,15 +163,16 @@ class DatagenScanBuilder(numRows: Long, numPartitions: Int)
   override def pushAggregation(agg: Aggregation): Boolean =
     if (pushable(agg)) {
       pushedAgg = Some(agg.aggregateExpressions)
-      groupedOnBucket = agg.groupByExpressions.nonEmpty
+      groupCols = agg.groupByExpressions.map(g =>
+        if (isNamed(g, "bucket")) "bucket" else "category")
       true
     } else false
 
-  private var groupedOnBucket = false
+  private var groupCols: Array[String] = Array.empty
 
   override def build(): Scan = pushedAgg match {
-    case Some(aggs) if groupedOnBucket =>
-      new DatagenGroupAggScan(math.max(lo, 0L), math.max(hi, lo), aggs)
+    case Some(aggs) if groupCols.nonEmpty =>
+      new DatagenGroupAggScan(math.max(lo, 0L), math.max(hi, lo), groupCols, aggs)
     case Some(aggs) => new DatagenAggScan(math.max(lo, 0L), math.max(hi, lo), aggs)
     case None => new DatagenScan(numRows, numPartitions, lo, hi, required)
   }
@@ -182,6 +186,7 @@ class DatagenAggScan(lo: Long, hi: Long, aggs: Array[AggregateFunc]) extends Sca
     case _: CountStar => StructField("count_star", LongType, nullable = false)
     case _: Min => StructField("min_id", LongType, nullable = true)
     case _: Max => StructField("max_id", LongType, nullable = true)
+    case _: Sum => StructField("sum_id", LongType, nullable = true)
     case other => throw new IllegalArgumentException(s"unpushable aggregate $other")
   })
 
@@ -195,33 +200,48 @@ class DatagenAggScan(lo: Long, hi: Long, aggs: Array[AggregateFunc]) extends Sca
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val empty = hi <= lo
+    val n = math.max(0L, hi - lo)
     val values: Array[Any] = aggs.map {
-      case _: CountStar => math.max(0L, hi - lo): Any
+      case _: CountStar => n: Any
       case _: Min => if (empty) null else (lo: Any)
       case _: Max => if (empty) null else (hi - 1: Any)
+      // arithmetic series; n*(lo+hi-1) fits a Long for any range the
+      // generator can enumerate in practice (ids < 2^31 in the specs)
+      case _: Sum => if (empty) null else (n * (lo + hi - 1) / 2: Any)
       case other => throw new IllegalArgumentException(s"unpushable aggregate $other")
     }
     new DatagenAggReaderFactory(values)
   }
 }
 
-/** GROUP BY bucket complete pushdown: each bucket b is the arithmetic
-  * progression { id ∈ [lo, hi) : id ≡ b (mod 100) }, so its count, min
-  * and max have closed forms — the scan emits ≤100 pre-aggregated rows
-  * (empty groups omitted, per GROUP BY semantics) and generates no
-  * detail rows at all. */
-class DatagenGroupAggScan(lo: Long, hi: Long, aggs: Array[AggregateFunc]) extends Scan with Batch {
+/** GROUP BY complete pushdown over residue-class columns: bucket
+  * (id % 100) and category (id % 4, and 4 | 100) partition [lo, hi)
+  * into ≤100 arithmetic progressions, so every requested group is a
+  * UNION of residue classes whose count/min/max/sum all have closed
+  * forms — the scan emits the pre-aggregated group rows (empty groups
+  * omitted, per GROUP BY semantics) and generates no detail rows at
+  * all. Class stats merge per group with the usual monoid (sum of
+  * counts/sums, min of mins, max of maxs). */
+class DatagenGroupAggScan(
+    lo: Long, hi: Long, groupCols: Array[String], aggs: Array[AggregateFunc])
+    extends Scan with Batch {
 
   override def readSchema(): StructType = StructType(
-    StructField("bucket", LongType, nullable = false) +: aggs.map {
+    groupCols.map {
+      case "bucket" => StructField("bucket", LongType, nullable = false)
+      case "category" => StructField("category", StringType, nullable = false)
+      case other => throw new IllegalArgumentException(s"unpushable group column $other")
+    } ++ aggs.map {
       case _: CountStar => StructField("count_star", LongType, nullable = false)
       case _: Min => StructField("min_id", LongType, nullable = true)
       case _: Max => StructField("max_id", LongType, nullable = true)
+      case _: Sum => StructField("sum_id", LongType, nullable = true)
       case other => throw new IllegalArgumentException(s"unpushable aggregate $other")
     })
 
   override def description(): String =
-    s"graft_datagen pushed_aggregation=[${aggs.mkString(", ")}] group_by=[bucket] pushed_id_range=[$lo,$hi)"
+    s"graft_datagen pushed_aggregation=[${aggs.mkString(", ")}] " +
+      s"group_by=[${groupCols.mkString(",")}] pushed_id_range=[$lo,$hi)"
 
   override def toBatch: Batch = this
 
@@ -229,21 +249,40 @@ class DatagenGroupAggScan(lo: Long, hi: Long, aggs: Array[AggregateFunc]) extend
     Array(DatagenPartition(0L, 1L)) // ≤100 output rows: one task
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val rows: Array[Array[Any]] = (0L until 100L).iterator.flatMap { b =>
-      // first id ≥ lo and last id < hi congruent to b (mod 100)
+    // per-residue-class (mod 100) stats over [lo, hi): first/last
+    // member, count, arithmetic-series sum
+    case class ClassStats(n: Long, first: Long, last: Long) {
+      def sum: Long = n * (first + last) / 2
+    }
+    val classes: Seq[(Long, ClassStats)] = (0L until 100L).flatMap { b =>
       val first = lo + ((b - lo % 100L) + 100L) % 100L
       val last = (hi - 1) - (((hi - 1) % 100L - b) + 100L) % 100L
-      if (first > last) None // empty group: no row
-      else {
-        val n = (last - first) / 100L + 1L
-        Some(b +: aggs.map[Any] {
-          case _: CountStar => n
-          case _: Min => first
-          case _: Max => last
-          case other => throw new IllegalArgumentException(s"unpushable aggregate $other")
-        })
+      if (first > last) None
+      else Some(b -> ClassStats((last - first) / 100L + 1L, first, last))
+    }
+    val rows: Array[Array[Any]] = classes
+      .groupBy { case (b, _) =>
+        groupCols.toSeq.map {
+          case "bucket" => b
+          case "category" => DatagenTable.category(b) // id ≡ b (mod 100) ⇒ id % 4 = b % 4
+        }
       }
-    }.toArray
+      .toSeq.sortBy(_._1.mkString(","))
+      .map { case (key, members) =>
+        val stats = members.map(_._2)
+        val keyVals: Seq[Any] = key.map {
+          case s: String => UTF8String.fromString(s)
+          case v => v
+        }
+        val aggVals: Seq[Any] = aggs.toSeq.map[Any] {
+          case _: CountStar => stats.map(_.n).sum
+          case _: Min => stats.map(_.first).min
+          case _: Max => stats.map(_.last).max
+          case _: Sum => stats.map(_.sum).sum
+          case other => throw new IllegalArgumentException(s"unpushable aggregate $other")
+        }
+        (keyVals ++ aggVals).toArray
+      }.toArray
     new DatagenGroupAggReaderFactory(rows)
   }
 }

@@ -78,11 +78,12 @@ class DatagenSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"))
     assert(residual.queryExecution.executedPlan.toString.contains("HashAggregate"))
     assert(residual.head().getLong(0) === 100L)
-    // group-bys the source can't answer (derived column) are declined
-    // (supportCompletePushDown false) and planned normally
-    val grouped = read(1000, 4).groupBy("category").agg(count(lit(1)).as("n"))
+    // group-bys the source can't answer (price is not a residue class
+    // of id) are declined (supportCompletePushDown false) and planned
+    // normally
+    val grouped = read(1000, 4).groupBy("price").agg(count(lit(1)).as("n"))
     assert(grouped.queryExecution.executedPlan.toString.contains("HashAggregate"))
-    assert(grouped.count() === 4L)
+    assert(grouped.count() === read(1000, 4).select("price").distinct().count())
   }
 
   test("GROUP BY bucket pushes completely: <=100 pre-aggregated rows, no aggregate planned") {
@@ -114,6 +115,39 @@ class DatagenSpec extends SparkSpec {
     val unpushedRows = unpushed.collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(rows === unpushedRows)
+  }
+
+  test("multi-column GROUP BY and SUM push: residue-class unions, monoid-merged") {
+    // category = id % 4 and 4 | 100, so (category, bucket) still yields
+    // 100 groups while category alone merges 25 classes per group
+    val pair = read(1L << 20, 64).filter(col("id") >= 1000L && col("id") < 5250L)
+      .groupBy("category", "bucket").agg(count(lit(1)).as("n"), sum("id").as("s"))
+    val pairPlan = pair.queryExecution.executedPlan.toString
+    assert(!pairPlan.contains("HashAggregate"), s"pair group-by must push:\n$pairPlan")
+    assert(pairPlan.contains("group_by=[category,bucket]"))
+    val pairRows = pair.collect()
+    assert(pairRows.length === 100)
+    // bucket 7 ids in [1000, 5250): 1007, 1107, ..., 5207 — 43 terms
+    val b7 = pairRows.find(_.getLong(1) === 7L).get
+    assert(b7.getString(0) === "cat_3") // 7 % 4
+    assert(b7.getLong(2) === 43L && b7.getLong(3) === (1007L + 5207L) * 43L / 2)
+    val catOnly = read(1L << 20, 64).filter(col("id") >= 1000L && col("id") < 5250L)
+      .groupBy("category").agg(count(lit(1)).as("n"), sum("id").as("s"))
+    assert(!catOnly.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    // parity for both shapes against the residual-blocked (generated) plan
+    def gen(cols: String*) = read(1L << 20, 64)
+      .filter(col("id") >= 1000L && col("id") < 5250L && col("bucket") >= 0L)
+      .groupBy(cols.map(col): _*).agg(count(lit(1)).as("n"), sum("id").as("s"))
+      .collect().map(r => r.toSeq.init.mkString("|") -> r.getLong(r.length - 1)).toMap
+    def pushedMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.toSeq.init.mkString("|") -> r.getLong(r.length - 1)).toMap
+    assert(pushedMap(catOnly) === gen("category"))
+    assert(pushedMap(pair) === gen("category", "bucket"))
+    // global SUM also answers closed-form: no aggregate in the plan
+    val g = read(1L << 20, 64).filter(col("id") >= 1000L && col("id") < 5250L)
+      .agg(sum("id").as("s"))
+    assert(!g.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(g.head().getLong(0) === (1000L + 5249L) * 4250L / 2)
   }
 
   test("limit pushes into the source: the range shrinks and partitions drop") {
