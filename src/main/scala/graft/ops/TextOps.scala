@@ -197,6 +197,20 @@ object TextOps {
     (observed.filter(pred), obs)
   }
 
+  /** The streaming-capable form of [[observedQualityFilter]]: a NAMED
+    * observation (the `Observation` helper is batch-only). In a stream
+    * the metrics surface per micro-batch on
+    * `StreamingQueryProgress.observedMetrics(name)` — totals are the
+    * sum over batches, which CorpusIngestSpec pins against the batch
+    * counts. Same single pass, same predicate source of truth. */
+  def qualityFilterNamedMetrics(df: DataFrame, textCol: String, name: String): DataFrame = {
+    val pred = gateOn(textCol)
+    df.observe(name,
+        count(lit(1)).as("n_in"),
+        sum(when(pred, 1L).otherwise(0L)).as("n_kept"))
+      .filter(pred)
+  }
+
   // the gate predicate over a raw text column — single source of truth
   // for qualityFilter and observedQualityFilter
   private def gateOn(textCol: String): Column = {

@@ -52,4 +52,32 @@ class CorpusIngestSpec extends SparkSpec {
     assert(streamed.filter(col("doc_id") % 2 === 0).count() > 0)
     assert(streamed.filter(col("doc_id") % 2 === 1).count() > 0)
   }
+
+  test("streaming gate metrics accumulate per micro-batch to the batch totals") {
+    graft.functions.NativeExpressions.register(spark)
+    val srcDir = Files.createTempDirectory("graft_obs_src").toString
+    val ckpt = Files.createTempDirectory("graft_obs_ckpt").toString
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema(docs.schema).parquet(srcDir)
+    val gated = TextOps.qualityFilterNamedMetrics(stream, "text", "ingest_gate")
+    val query = gated.writeStream.format("noop")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      query.processAllAvailable()
+      docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(srcDir)
+      query.processAllAvailable()
+
+      import scala.jdk.CollectionConverters._
+      val perBatch = query.recentProgress.toSeq
+        .flatMap(p => p.observedMetrics.asScala.get("ingest_gate"))
+        .map(r => (r.getAs[Long]("n_in"), r.getAs[Long]("n_kept")))
+      // two non-empty waves -> at least two batches carried metrics, and
+      // their SUMS equal the batch-mode answer over the full corpus
+      assert(perBatch.count(_._1 > 0) >= 2, s"expected >=2 observed batches: $perBatch")
+      assert(perBatch.map(_._1).sum === docs.count())
+      assert(perBatch.map(_._2).sum === TextOps.qualityFilter(docs, "text").count())
+    } finally query.stop()
+  }
 }
