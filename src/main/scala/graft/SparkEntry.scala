@@ -1822,6 +1822,34 @@ object SparkEntry {
           count(lit(1)).cast("long").as("n_exact"))
     }),
 
+    "sq3_pq_recall" -> ((s, dir) => {
+      // the next rung after sq2: product quantization (m=8 subspaces ×
+      // k=16 centroids — 8 nibbles/vector vs int8's 64 bytes), recall@5
+      // gated the same way. The codebook is TRAINED (per-subspace
+      // k-means via the IVF fit discipline: bounded positional sample,
+      // single-task fit, fixed seed), so unlike sq2 the oracle cannot
+      // re-derive it — recall is a per-SF measured GOLDEN like
+      // ann4/ann5, with n_exact independently oracle-anchored and the
+      // recall floor spec'd in QuantizeOpsSpec
+      graft.functions.NativeExpressions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val cb = QuantizeOps.pqFit(emb, "embedding", dim = 64, m = 8, k = 256)
+      val recon = emb.select(col("vec_id"),
+        QuantizeOps.pqEncodeReconstruct("embedding", cb).as("recon"))
+      val queries = emb.filter(col("vec_id") < 8)
+      val exact = SimilarityOps.bruteForceTopK(
+        queries, "vec_id", "embedding", emb, "vec_id", "embedding", k = 5)
+      val quant = SimilarityOps.bruteForceTopK(
+        queries, "vec_id", "embedding", recon, "vec_id", "recon", k = 5)
+      exact.join(
+          quant.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
+          Seq("q_id", "vec_id"), "left")
+        .agg(
+          round(sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)), 4)
+            .as("recall_at_5"),
+          count(lit(1)).cast("long").as("n_exact"))
+    }),
+
     "cn1_cosine_neardup" -> ((s, dir) => // no oracle: bucketing approximate; spec-pinned.
       // testdata embeddings are near-orthogonal (max pairwise cos ≈ 0.5),
       // so the threshold sits at 0.4 where real pairs exist; 4 planes ×
@@ -2910,6 +2938,28 @@ object SparkEntry {
          |)
          |SELECT CAST(CASE (SELECT count(*) FROM lineitem)
          |         WHEN 6000 THEN 0.575 WHEN 60000 THEN 0.7 WHEN 600000 THEN 0.625 END AS DOUBLE) AS recall_at_5,
+         |       CAST(count(*) AS BIGINT) AS n_exact
+         |FROM ranked WHERE rnk <= 5""").stripMargin,
+
+    "sq3_pq_recall" -> // n_exact re-derives the brute-force SQL; the
+      // recall is a per-SF measured GOLDEN (the k-means codebook is not
+      // SQL-expressible), keyed on corpus size like ann4/ann5 — unknown
+      // SF → NULL → loud failure. PQ-8bit lands in the same recall band
+      // as sign-LSH (ann4) and IVF (ann5) on this near-random corpus
+      ("""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8
+         |), scored AS (
+         |  SELECT q.q_id, c.vec_id,
+         |         round(list_inner_product(q.qv, c.embedding::DOUBLE[]) /
+         |               (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4) AS score
+         |  FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.q_id
+         |), ranked AS (
+         |  SELECT q_id, vec_id,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rnk
+         |  FROM scored
+         |)
+         |SELECT CAST(CASE (SELECT count(*) FROM lineitem)
+         |         WHEN 6000 THEN 0.625 WHEN 60000 THEN 0.675 WHEN 600000 THEN 0.4 END AS DOUBLE) AS recall_at_5,
          |       CAST(count(*) AS BIGINT) AS n_exact
          |FROM ranked WHERE rnk <= 5""").stripMargin,
 

@@ -57,4 +57,53 @@ class QuantizeOpsSpec extends SparkSpec {
     assert(n === 40L)
     assert(recall >= 0.9, s"quantized recall collapsed: $recall")
   }
+
+  test("PQ: codebook shape, codes in range, recon concatenates coded centroids") {
+    graft.functions.NativeExpressions.register(spark)
+    val cb = QuantizeOps.pqFit(corpus, "embedding", dim = 64, m = 8, k = 16)
+    assert(cb.length === 8)
+    assert(cb.forall(_.length === 16) && cb.forall(_.forall(_.length === 8)))
+    val enc = corpus.select(col("vec_id"), QuantizeOps.pqEncode("embedding", cb).as("codes"))
+    assert(enc.filter(size(col("codes")) =!= 8).count() === 0)
+    assert(enc.filter(size(filter(col("codes"), c => c < 0 || c >= 16)) > 0).count() === 0)
+    val r = corpus.limit(1).select(
+      QuantizeOps.pqEncodeReconstruct("embedding", cb).as("r"),
+      QuantizeOps.pqEncode("embedding", cb).as("codes")).head()
+    val recon = r.getSeq[Double](0); val codes = r.getSeq[Int](1)
+    assert(recon.length === 64)
+    // every reconstructed subvector IS the coded centroid, verbatim
+    codes.zipWithIndex.foreach { case (c, j) =>
+      assert(recon.slice(j * 8, j * 8 + 8) === cb(j)(c).toSeq)
+    }
+    // the fused path must equal decode-from-materialized-codes exactly
+    // (localCheckpoint stops Catalyst inlining the encode under every
+    // element_at — the trap pqEncodeReconstruct exists to avoid)
+    val codesDf = corpus
+      .select(col("vec_id"), QuantizeOps.pqEncode("embedding", cb).as("codes"))
+      .localCheckpoint()
+    val twoStep = codesDf.select(col("vec_id"),
+      QuantizeOps.pqReconstruct(col("codes"), cb).as("r"))
+    val fused = corpus.select(col("vec_id"),
+      QuantizeOps.pqEncodeReconstruct("embedding", cb).as("r"))
+    assert(twoStep.exceptAll(fused).count() === 0 && fused.exceptAll(twoStep).count() === 0)
+  }
+
+  test("PQ fit and encode are deterministic: two runs, identical codebook and codes") {
+    graft.functions.NativeExpressions.register(spark)
+    val cb1 = QuantizeOps.pqFit(corpus, "embedding", dim = 64)
+    val cb2 = QuantizeOps.pqFit(corpus, "embedding", dim = 64)
+    assert(cb1.map(_.map(_.toSeq).toSeq).toSeq === cb2.map(_.map(_.toSeq).toSeq).toSeq)
+    val e1 = corpus.select(col("vec_id"), QuantizeOps.pqEncode("embedding", cb1).as("c"))
+    val e2 = corpus.select(col("vec_id"), QuantizeOps.pqEncode("embedding", cb2).as("c"))
+    assert(e1.exceptAll(e2).count() === 0 && e2.exceptAll(e1).count() === 0)
+  }
+
+  test("sq3 gate: PQ-8bit recall holds its floor on this corpus") {
+    val Row(recall: Double, n: Long) =
+      SparkEntry.queries("sq3_pq_recall")(spark, dir).head()
+    assert(n === 40L)
+    // measured 0.625 at sf0.001 (golden in the oracle); the floor only
+    // catches semantic collapse, the golden catches ANY drift
+    assert(recall >= 0.4, s"PQ recall collapsed: $recall")
+  }
 }
