@@ -1822,6 +1822,29 @@ object SparkEntry {
           count(lit(1)).cast("long").as("n_exact"))
     }),
 
+    "ann7_ivfpq_recall" -> ((s, dir) => {
+      // the composed IVF-PQ stack under one gate: coarse routing (ann5
+      // gates its recall) + PQ-compressed scoring (sq3 gates its
+      // distortion) — this key gates the END-TO-END composition, which
+      // is what a production index actually serves. Golden per SF like
+      // ann4/ann5 (two trained quantizers, neither SQL-expressible);
+      // n_exact oracle-anchored
+      val emb = t(s, dir, "embeddings")
+      val exact = SimilarityOps.bruteForceTopK(
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5)
+      val ivfpq = SimilarityOps.ivfPqTopK(
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5)
+      exact.join(
+          ivfpq.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
+          Seq("q_id", "vec_id"), "left")
+        .agg(
+          round(sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)), 4)
+            .as("recall_at_5"),
+          count(lit(1)).cast("long").as("n_exact"))
+    }),
+
     "sq3_pq_recall" -> ((s, dir) => {
       // the next rung after sq2: product quantization (m=8 subspaces ×
       // k=16 centroids — 8 nibbles/vector vs int8's 64 bytes), recall@5
@@ -2938,6 +2961,27 @@ object SparkEntry {
          |)
          |SELECT CAST(CASE (SELECT count(*) FROM lineitem)
          |         WHEN 6000 THEN 0.575 WHEN 60000 THEN 0.7 WHEN 600000 THEN 0.625 END AS DOUBLE) AS recall_at_5,
+         |       CAST(count(*) AS BIGINT) AS n_exact
+         |FROM ranked WHERE rnk <= 5""").stripMargin,
+
+    "ann7_ivfpq_recall" -> // same shape as ann4/ann5/sq3: n_exact
+      // re-derived by brute-force SQL, recall a per-SF golden (both
+      // trained quantizers are outside SQL); composition recall sits
+      // below its components' (ann5 routing, sq3 distortion), as it must
+      ("""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8
+         |), scored AS (
+         |  SELECT q.q_id, c.vec_id,
+         |         round(list_inner_product(q.qv, c.embedding::DOUBLE[]) /
+         |               (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4) AS score
+         |  FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.q_id
+         |), ranked AS (
+         |  SELECT q_id, vec_id,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rnk
+         |  FROM scored
+         |)
+         |SELECT CAST(CASE (SELECT count(*) FROM lineitem)
+         |         WHEN 6000 THEN 0.525 WHEN 60000 THEN 0.6 WHEN 600000 THEN 0.35 END AS DOUBLE) AS recall_at_5,
          |       CAST(count(*) AS BIGINT) AS n_exact
          |FROM ranked WHERE rnk <= 5""").stripMargin,
 

@@ -220,6 +220,54 @@ object SimilarityOps {
     rankTopK(scored.select("q_id", "vec_id", "score"), k)
   }
 
+  /** IVF-PQ: the standard two-level ANN stack — the IVF coarse quantizer
+    * routes each query to its nProbe nearest cells (exactly [[ivfTopK]]'s
+    * candidate selection), and candidates are scored against their
+    * PQ-RECONSTRUCTED vectors (QuantizeOps.pqEncodeReconstruct) instead
+    * of raw ones. At 100 TB this is what actually ships: the raw
+    * float32 corpus never has to exist at query time — cells hold 8-byte
+    * PQ codes (32× smaller), and the probe join + scoring run entirely
+    * against the compressed form. Queries stay full-precision (the
+    * asymmetric setup, like sq2/sq3). Recall pays both the routing loss
+    * (gated by ann5) and the quantization distortion (gated by sq3);
+    * ann7 gates the composition end to end.
+    */
+  def ivfPqTopK(
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      kCodes: Int = 256,
+      dim: Int = 64,
+      seed: Long = 42L,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    graft.functions.NativeExpressions.register(corpus.sparkSession)
+    val (assigned, centroids) = ivfQuantize(corpus, idCol, vecCol, nLists, seed)
+    val codebook = QuantizeOps.pqFit(corpus, vecCol, dim, m, kCodes, seed)
+    // candidates keep only (cell, vec_id, recon) — the raw vector is
+    // dropped before the probe join, so the shuffle carries the
+    // compressed representation the production index would store
+    val compressed = assigned.select(col("cell"), col("vec_id"),
+      QuantizeOps.pqEncodeReconstruct("c_vec", codebook).as("recon"))
+    val centroidSql = centroids
+      .map(_.map(d => s"${d}d").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
+      .select(col("q_id"), col("q_vec"),
+        explode(expr(s"graft_nearest_cells(q_vec, $centroidSql, $nProbe)")).as("cell"))
+    val scored = compressed.join(q, Seq("cell"))
+      .filter(if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
+      .withColumn("score", round(cosine(col("q_vec"), col("recon")), 4))
+    rankTopK(scored.select("q_id", "vec_id", "score"), k)
+  }
+
   /** The IVF coarse quantizer: fit on a bounded positional sample, assign
     * every corpus vector to its nearest centroid. Shared by [[ivfTopK]]
     * and the cell-balance gate (ann6) so the gate audits EXACTLY the

@@ -98,6 +98,18 @@ class QuantizeOpsSpec extends SparkSpec {
     assert(e1.exceptAll(e2).count() === 0 && e2.exceptAll(e1).count() === 0)
   }
 
+  test("ann7 gate: the composed IVF-PQ stack holds a floor and stays below its components") {
+    graft.functions.NativeExpressions.register(spark)
+    val Row(recall: Double, n: Long) =
+      SparkEntry.queries("ann7_ivfpq_recall")(spark, dir).head()
+    assert(n === 40L)
+    assert(recall >= 0.25, s"IVF-PQ recall collapsed: $recall")
+    // the composition cannot beat the pure-PQ arm (it scores the same
+    // reconstructed vectors over a SUBSET of candidates)
+    val Row(pqRecall: Double, _) = SparkEntry.queries("sq3_pq_recall")(spark, dir).head()
+    assert(recall <= pqRecall + 1e-9, s"composition recall $recall above PQ-only $pqRecall")
+  }
+
   test("sq3 gate: PQ-8bit recall holds its floor on this corpus") {
     val Row(recall: Double, n: Long) =
       SparkEntry.queries("sq3_pq_recall")(spark, dir).head()
