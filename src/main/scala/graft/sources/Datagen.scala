@@ -48,7 +48,8 @@ class DatagenTableProvider extends TableProvider {
       properties: util.Map[String, String]): Table =
     new DatagenTable(
       properties.getOrDefault("numRows", "1000").toLong,
-      properties.getOrDefault("numPartitions", "8").toInt)
+      properties.getOrDefault("numPartitions", "8").toInt,
+      properties.getOrDefault("aggMode", "complete"))
 }
 
 object DatagenTable {
@@ -65,16 +66,17 @@ object DatagenTable {
   def category(id: Long): String = "cat_" + (id % 4L)
 }
 
-class DatagenTable(numRows: Long, numPartitions: Int) extends Table with SupportsRead {
+class DatagenTable(numRows: Long, numPartitions: Int, aggMode: String = "complete")
+    extends Table with SupportsRead {
   override def name(): String = s"graft_datagen($numRows)"
   override def schema(): StructType = DatagenTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DatagenScanBuilder(numRows, numPartitions)
+    new DatagenScanBuilder(numRows, numPartitions, aggMode)
 }
 
-class DatagenScanBuilder(numRows: Long, numPartitions: Int)
+class DatagenScanBuilder(numRows: Long, numPartitions: Int, aggMode: String = "complete")
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
 
@@ -158,7 +160,15 @@ class DatagenScanBuilder(numRows: Long, numPartitions: Int)
     }
   }
 
-  override def supportCompletePushDown(agg: Aggregation): Boolean = pushable(agg)
+  /** aggMode = "partial" demonstrates the OTHER pushdown tier: the
+    * source accepts the aggregation (pushAggregation true) but declines
+    * the complete form (supportCompletePushDown false) — the scan then
+    * emits per-input-partition pre-aggregated rows and SPARK plans the
+    * final merge (count partials re-aggregate via SUM upstream). This
+    * is the tier a sharded store lives in: shards can aggregate
+    * locally but cannot see each other to merge. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    pushable(agg) && aggMode == "complete"
 
   override def pushAggregation(agg: Aggregation): Boolean =
     if (pushable(agg)) {
@@ -171,6 +181,9 @@ class DatagenScanBuilder(numRows: Long, numPartitions: Int)
   private var groupCols: Array[String] = Array.empty
 
   override def build(): Scan = pushedAgg match {
+    case Some(aggs) if aggMode == "partial" =>
+      new DatagenPartialAggScan(numRows, numPartitions,
+        math.max(lo, 0L), math.max(hi, lo), groupCols, aggs)
     case Some(aggs) if groupCols.nonEmpty =>
       new DatagenGroupAggScan(math.max(lo, 0L), math.max(hi, lo), groupCols, aggs)
     case Some(aggs) => new DatagenAggScan(math.max(lo, 0L), math.max(hi, lo), aggs)
@@ -198,20 +211,8 @@ class DatagenAggScan(lo: Long, hi: Long, aggs: Array[AggregateFunc]) extends Sca
   override def planInputPartitions(): Array[InputPartition] =
     Array(DatagenPartition(0L, 1L)) // one row regardless of the range
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val empty = hi <= lo
-    val n = math.max(0L, hi - lo)
-    val values: Array[Any] = aggs.map {
-      case _: CountStar => n: Any
-      case _: Min => if (empty) null else (lo: Any)
-      case _: Max => if (empty) null else (hi - 1: Any)
-      // arithmetic series; n*(lo+hi-1) fits a Long for any range the
-      // generator can enumerate in practice (ids < 2^31 in the specs)
-      case _: Sum => if (empty) null else (n * (lo + hi - 1) / 2: Any)
-      case other => throw new IllegalArgumentException(s"unpushable aggregate $other")
-    }
-    new DatagenAggReaderFactory(values)
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DatagenAggReaderFactory(DatagenClosedForm.globalRow(lo, hi, aggs))
 }
 
 /** GROUP BY complete pushdown over residue-class columns: bucket
@@ -248,19 +249,31 @@ class DatagenGroupAggScan(
   override def planInputPartitions(): Array[InputPartition] =
     Array(DatagenPartition(0L, 1L)) // ≤100 output rows: one task
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // per-residue-class (mod 100) stats over [lo, hi): first/last
-    // member, count, arithmetic-series sum
-    case class ClassStats(n: Long, first: Long, last: Long) {
-      def sum: Long = n * (first + last) / 2
-    }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DatagenGroupAggReaderFactory(DatagenClosedForm.groupRows(lo, hi, groupCols, aggs))
+}
+
+/** The closed-form arithmetic shared by the complete and partial
+  * aggregate scans: residue-class stats over an id range, merged into
+  * the requested grouping. */
+object DatagenClosedForm {
+  private case class ClassStats(n: Long, first: Long, last: Long) {
+    def sum: Long = n * (first + last) / 2
+  }
+
+  /** One pre-aggregated row per non-empty group over [lo, hi). */
+  def groupRows(
+      lo: Long, hi: Long,
+      groupCols: Array[String], aggs: Array[AggregateFunc]): Array[Array[Any]] = {
+    // per-residue-class (mod 100) stats: first/last member, count,
+    // arithmetic-series sum
     val classes: Seq[(Long, ClassStats)] = (0L until 100L).flatMap { b =>
       val first = lo + ((b - lo % 100L) + 100L) % 100L
       val last = (hi - 1) - (((hi - 1) % 100L - b) + 100L) % 100L
       if (first > last) None
       else Some(b -> ClassStats((last - first) / 100L + 1L, first, last))
     }
-    val rows: Array[Array[Any]] = classes
+    classes
       .groupBy { case (b, _) =>
         groupCols.toSeq.map {
           case "bucket" => b
@@ -283,7 +296,83 @@ class DatagenGroupAggScan(
         }
         (keyVals ++ aggVals).toArray
       }.toArray
-    new DatagenGroupAggReaderFactory(rows)
+  }
+
+  /** The single ungrouped row over [lo, hi) — count 0 / NULL min-max-sum
+    * on an empty range (SQL aggregate semantics). */
+  def globalRow(lo: Long, hi: Long, aggs: Array[AggregateFunc]): Array[Any] = {
+    val empty = hi <= lo
+    val n = math.max(0L, hi - lo)
+    aggs.map[Any] {
+      case _: CountStar => n
+      case _: Min => if (empty) null else lo
+      case _: Max => if (empty) null else hi - 1
+      case _: Sum => if (empty) null else n * (lo + hi - 1) / 2
+      case other => throw new IllegalArgumentException(s"unpushable aggregate $other")
+    }
+  }
+}
+
+/** PARTIAL aggregate pushdown (supportCompletePushDown = false): the
+  * scan keeps the pruned input-partition layout and each partition
+  * emits its own closed-form pre-aggregated rows; SPARK plans the
+  * final merge on top (count partials re-sum upstream). The shape a
+  * sharded store lives in — local aggregation per shard, global merge
+  * in the engine. An empty range still plans one partition so the
+  * ungrouped COUNT merges to 0, not NULL. */
+class DatagenPartialAggScan(
+    numRows: Long, numPartitions: Int, lo: Long, hi: Long,
+    groupCols: Array[String], aggs: Array[AggregateFunc]) extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(
+    groupCols.map {
+      case "bucket" => StructField("bucket", LongType, nullable = false)
+      case "category" => StructField("category", StringType, nullable = false)
+      case other => throw new IllegalArgumentException(s"unpushable group column $other")
+    } ++ aggs.map {
+      case _: CountStar => StructField("count_star", LongType, nullable = false)
+      case _: Min => StructField("min_id", LongType, nullable = true)
+      case _: Max => StructField("max_id", LongType, nullable = true)
+      case _: Sum => StructField("sum_id", LongType, nullable = true)
+      case other => throw new IllegalArgumentException(s"unpushable aggregate $other")
+    })
+
+  override def description(): String =
+    s"graft_datagen pushed_aggregation=[${aggs.mkString(", ")}] mode=partial " +
+      s"group_by=[${groupCols.mkString(",")}] pushed_id_range=[$lo,$hi)"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(1L, (numRows + numPartitions - 1) / numPartitions)
+    val live = (0 until numPartitions).iterator
+      .map { p =>
+        val start = math.max(p * per, lo)
+        val end = math.min(math.min((p + 1) * per, numRows), hi)
+        DatagenPartition(start, end)
+      }
+      .filter(p => p.start < p.end)
+      .toArray[InputPartition]
+    if (live.isEmpty) Array(DatagenPartition(lo, lo)) else live
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DatagenPartialAggReaderFactory(groupCols, aggs)
+}
+
+class DatagenPartialAggReaderFactory(groupCols: Array[String], aggs: Array[AggregateFunc])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[DatagenPartition]
+    val rows: Array[Array[Any]] =
+      if (groupCols.nonEmpty) DatagenClosedForm.groupRows(p.start, p.end, groupCols, aggs)
+      else Array(DatagenClosedForm.globalRow(p.start, p.end, aggs))
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = InternalRow.fromSeq(rows(i).toSeq)
+      override def close(): Unit = ()
+    }
   }
 }
 

@@ -150,6 +150,34 @@ class DatagenSpec extends SparkSpec {
     assert(g.head().getLong(0) === (1000L + 5249L) * 4250L / 2)
   }
 
+  test("partial aggregate pushdown: scan emits per-partition partials, Spark merges") {
+    def readPartial(n: Long, parts: Int) =
+      spark.read.format(classOf[graft.sources.DatagenTableProvider].getName)
+        .option("numRows", n.toString).option("numPartitions", parts.toString)
+        .option("aggMode", "partial").load()
+    // grouped: each of the pruned partitions emits its own group rows;
+    // the final HashAggregate (planned by SPARK, unlike complete mode)
+    // must merge them to exactly the complete-mode answer
+    val part = readPartial(1L << 20, 64).filter(col("id") >= 1000L && col("id") < 5250L)
+      .groupBy("bucket").agg(count(lit(1)).as("n"), min("id").as("lo"),
+        max("id").as("hi"), sum("id").as("s"))
+    val plan = part.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"partial mode needs Spark's final merge:\n$plan")
+    assert(plan.contains("mode=partial"), s"scan must report partial mode:\n$plan")
+    val complete = read(1L << 20, 64).filter(col("id") >= 1000L && col("id") < 5250L)
+      .groupBy("bucket").agg(count(lit(1)).as("n"), min("id").as("lo"),
+        max("id").as("hi"), sum("id").as("s"))
+    assert(part.collect().toSet === complete.collect().toSet)
+    // ungrouped: count partials must re-merge via SUM — and an empty
+    // range still answers 0, not NULL (the scan plans one partition)
+    val g = readPartial(1L << 20, 64).filter(col("id") >= 1000L && col("id") < 5250L)
+      .agg(count(lit(1)), min("id"), max("id"), sum("id"))
+    assert(g.head() === org.apache.spark.sql.Row(4250L, 1000L, 5249L, (1000L + 5249L) * 4250L / 2))
+    val empty = readPartial(1L << 20, 64).filter(col("id") < 0L)
+      .agg(count(lit(1)), min("id"), max("id"))
+    assert(empty.head() === org.apache.spark.sql.Row(0L, null, null))
+  }
+
   test("limit pushes into the source: the range shrinks and partitions drop") {
     val limited = read(1L << 20, 64).filter(col("id") >= 32768L).limit(100)
     val scan = datagenScan(limited)
