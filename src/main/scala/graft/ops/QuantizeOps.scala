@@ -166,7 +166,7 @@ object QuantizeOps {
     centroids
   }
 
-  private def centroidsSql(cb: Array[Array[Double]]): String =
+  private[graft] def centroidsSql(cb: Array[Array[Double]]): String =
     cb.map(_.map(d => s"${d}d").mkString("array(", ",", ")"))
       .mkString("array(", ",", ")")
 

@@ -246,26 +246,67 @@ object SimilarityOps {
       kCodes: Int = 256,
       dim: Int = 64,
       seed: Long = 42L,
-      excludeSelf: Boolean = true
+      excludeSelf: Boolean = true,
+      adc: Boolean = true
   ): DataFrame = {
     graft.functions.NativeExpressions.register(corpus.sparkSession)
     val (assigned, centroids) = ivfQuantize(corpus, idCol, vecCol, nLists, seed)
     val codebook = QuantizeOps.pqFit(corpus, vecCol, dim, m, kCodes, seed)
-    // candidates keep only (cell, vec_id, recon) — the raw vector is
-    // dropped before the probe join, so the shuffle carries the
-    // compressed representation the production index would store
-    val compressed = assigned.select(col("cell"), col("vec_id"),
-      QuantizeOps.pqEncodeReconstruct("c_vec", codebook).as("recon"))
+    val sd = dim / m
     val centroidSql = centroids
       .map(_.map(d => s"${d}d").mkString("array(", ",", ")"))
       .mkString("array(", ",", ")")
-    val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
-      .select(col("q_id"), col("q_vec"),
+    val probed = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
+    if (adc) {
+      // ADC (asymmetric distance computation) — the production scoring
+      // path: candidates carry only their m PQ CODES (m bytes, not a
+      // dim-sized recon array — a 32× narrower probe-join shuffle at
+      // these parameters), and each query precomputes one m×kCodes
+      // lookup table of subspace dot products BEFORE the join. Because
+      // the reconstruction is a concatenation, both the dot product and
+      // the recon norm decompose per-subspace with zero cross terms, so
+      // ADC cosine ≡ recon cosine exactly (spec-pinned parity; the
+      // recon path below stays as the executable specification).
+      val compressed = assigned.select(col("cell"), col("vec_id"),
+        QuantizeOps.pqEncode("c_vec", codebook).as("codes"))
+      // per-subspace dot-product LUT: luts[j][c] = q_subj · codebook[j][c]
+      val luts = array(codebook.indices.map { j =>
+        transform(expr(QuantizeOps.centroidsSql(codebook(j))), c =>
+          aggregate(
+            zip_with(slice(col("q_vec"), j * sd + 1, sd), c,
+              (x, y) => x.cast("double") * y),
+            lit(0.0), (acc, v) => acc + v))
+      }: _*)
+      // centroid norm² tables are query-independent literals
+      val norm2Sql = codebook
+        .map(_.map(c => s"${c.map(x => x * x).sum}d").mkString("array(", ",", ")"))
+        .mkString("array(", ",", ")")
+      val q = probed
+        .select(col("q_id"), luts.as("luts"), norm(col("q_vec")).as("qnorm"),
+          explode(expr(s"graft_nearest_cells(q_vec, $centroidSql, $nProbe)")).as("cell"))
+      val dotSum = codebook.indices
+        .map(j => element_at(element_at(col("luts"), j + 1),
+          element_at(col("codes"), j + 1) + 1))
+        .reduce(_ + _)
+      val norm2Sum = codebook.indices
+        .map(j => element_at(element_at(expr(norm2Sql), j + 1),
+          element_at(col("codes"), j + 1) + 1))
+        .reduce(_ + _)
+      val scored = compressed.join(q, Seq("cell"))
+        .filter(if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
+        .withColumn("score", round(dotSum / (col("qnorm") * sqrt(norm2Sum)), 4))
+      rankTopK(scored.select("q_id", "vec_id", "score"), k)
+    } else {
+      // reconstruction scoring — ADC's executable specification
+      val compressed = assigned.select(col("cell"), col("vec_id"),
+        QuantizeOps.pqEncodeReconstruct("c_vec", codebook).as("recon"))
+      val q = probed.select(col("q_id"), col("q_vec"),
         explode(expr(s"graft_nearest_cells(q_vec, $centroidSql, $nProbe)")).as("cell"))
-    val scored = compressed.join(q, Seq("cell"))
-      .filter(if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
-      .withColumn("score", round(cosine(col("q_vec"), col("recon")), 4))
-    rankTopK(scored.select("q_id", "vec_id", "score"), k)
+      val scored = compressed.join(q, Seq("cell"))
+        .filter(if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
+        .withColumn("score", round(cosine(col("q_vec"), col("recon")), 4))
+      rankTopK(scored.select("q_id", "vec_id", "score"), k)
+    }
   }
 
   /** The IVF coarse quantizer: fit on a bounded positional sample, assign

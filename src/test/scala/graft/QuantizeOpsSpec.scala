@@ -110,6 +110,19 @@ class QuantizeOpsSpec extends SparkSpec {
     assert(recall <= pqRecall + 1e-9, s"composition recall $recall above PQ-only $pqRecall")
   }
 
+  test("ADC scoring equals reconstruction scoring exactly (per-subspace decomposition)") {
+    graft.functions.NativeExpressions.register(spark)
+    import graft.ops.SimilarityOps
+    val emb = corpus
+    val q = emb.filter(col("vec_id") < 8)
+    def run(adc: Boolean) = SimilarityOps.ivfPqTopK(
+      q, "vec_id", "embedding", emb, "vec_id", "embedding", k = 5, adc = adc)
+      .select("q_id", "vec_id", "score", "rank")
+    val a = run(adc = true); val r = run(adc = false)
+    assert(a.exceptAll(r).count() === 0 && r.exceptAll(a).count() === 0,
+      "ADC must reproduce reconstruction scoring bit-for-bit at round(4)")
+  }
+
   test("sq3 gate: PQ-8bit recall holds its floor on this corpus") {
     val Row(recall: Double, n: Long) =
       SparkEntry.queries("sq3_pq_recall")(spark, dir).head()
