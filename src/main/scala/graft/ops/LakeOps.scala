@@ -128,16 +128,36 @@ object LakeOps {
     require(targetFileBytes > 0, "compactTable requires a positive target file size")
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(path + "__staging")
+    val retired = new org.apache.hadoop.fs.Path(path + "__retired")
+    // crash recovery (mirrors Model.scala's staging recovery): a missing
+    // live table means a prior compaction died between its two renames.
+    // A COMPLETE staging dir (_SUCCESS present) is the newest full copy —
+    // promote it; otherwise the retired dir still holds the pre-compaction
+    // table — restore it. Without this preamble a crash in that window
+    // strands the data in __retired/__staging with no code path back.
+    // (Compaction never changes relational content, so either copy is a
+    // correct table; prefer staging to keep the already-paid rewrite.)
+    if (!fs.exists(target)) {
+      if (fs.exists(staging) &&
+          fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
+        require(fs.rename(staging, target), s"compact staging recovery failed for $path")
+      } else if (fs.exists(retired)) {
+        fs.delete(staging, true) // partial write residue, if any
+        require(fs.rename(retired, target), s"compact retired recovery failed for $path")
+      } else {
+        require(requirement = false,
+          s"compactTable: $path does not exist and no recoverable staging/retired copy found")
+      }
+    }
     def dataFiles(p: org.apache.hadoop.fs.Path) =
       fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
     val totalBytes = dataFiles(target).map(_.getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val staging = new org.apache.hadoop.fs.Path(path + "__staging")
     // the read must complete before the swap touches `path`; parquet
     // write is an action, so by promotion time the data is fully copied
     spark.read.parquet(path).repartition(nFiles)
       .write.mode("overwrite").parquet(staging.toString)
-    val retired = new org.apache.hadoop.fs.Path(path + "__retired")
     fs.delete(retired, true)
     require(fs.rename(target, retired), s"compact retire failed for $path")
     require(fs.rename(staging, target), s"compact promote failed for $path")

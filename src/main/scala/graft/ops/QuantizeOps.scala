@@ -105,14 +105,18 @@ object QuantizeOps {
     // constant budget, no count() job; row order inside the single
     // collected partition is file order — stable
     val sampleTarget = math.max(40L * k, 1024L)
-    val sampleParts = 32L
-    val perPartition = 4L * ((sampleTarget + sampleParts - 1) / sampleParts)
-    val sample: Array[Array[Double]] = corpus.select(col(vecCol).as("c_vec"))
-      .filter(spark_partition_id() < sampleParts &&
-        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) < perPartition)
+    // cast to double IN THE PLAN (exact for float inputs) so both
+    // array<float> and array<double> vector columns collect uniformly —
+    // getSeq[Float] on a double column would ClassCastException at
+    // collect time with an opaque message. The projection changes
+    // neither partitioning nor row positions, so the positional sample
+    // is untouched.
+    val sample: Array[Array[Double]] = SampleOps.positionalPrefixSample(
+        corpus.select(transform(col(vecCol), x => x.cast("double")).as("c_vec")),
+        sampleTarget)
       .coalesce(1)
       .collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      .map(_.getSeq[Double](0).toArray)
     require(sample.length >= k, s"PQ fit needs >= $k sample vectors, got ${sample.length}")
     (0 until m).toArray.map { j =>
       val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * sd, (j + 1) * sd))

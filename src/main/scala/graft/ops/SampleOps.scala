@@ -57,4 +57,29 @@ object SampleOps {
       .select(explode(col("top.payload")).as(idCol))
     df.join(kept, Seq(idCol), "left_semi")
   }
+
+  /** Bounded positional-prefix sample — THE sampling contract every
+    * trained-quantizer fit uses (SimilarityOps.ivfQuantize,
+    * QuantizeOps.pqFit): the first `4·ceil(target/32)` records of each of
+    * the first 32 scan partitions (spark_partition_id + the per-partition
+    * record number packed into monotonically_increasing_id's low 33
+    * bits). Zero extra jobs (a count()-then-fraction sample costs a full
+    * corpus pass first), O(1)-bounded however large the corpus, and
+    * positionally deterministic for a fixed file layout.
+    *
+    * Centralized so the fit paths and the golden-drift tripwire spec
+    * (QuantizeOpsSpec) stake the SAME predicate: per-SF recall goldens
+    * (sq3/ann5/ann6/ann7) are keyed to the file-order sample this
+    * returns, and a testdata layout change MUST trip the fingerprint
+    * check rather than silently shift the goldens.
+    */
+  def positionalPrefixSample(df: DataFrame, sampleTarget: Long): DataFrame = {
+    val sampleParts = 32L
+    // 4× headroom so inputs with fewer live partitions than sampleParts
+    // still reach the target; worst case the fit sees 4× target rows —
+    // still O(sample), trivially small
+    val perPartition = 4L * ((sampleTarget + sampleParts - 1) / sampleParts)
+    df.filter(spark_partition_id() < sampleParts &&
+      monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) < perPartition)
+  }
 }

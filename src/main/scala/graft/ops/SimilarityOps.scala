@@ -297,14 +297,30 @@ object SimilarityOps {
         .withColumn("score", round(dotSum / (col("qnorm") * sqrt(norm2Sum)), 4))
       rankTopK(scored.select("q_id", "vec_id", "score"), k)
     } else {
-      // reconstruction scoring — ADC's executable specification
+      // reconstruction scoring — ADC's executable specification. The
+      // dot product and recon norm² are computed in the SAME per-subspace
+      // decomposition order as ADC (left fold within each subspace, then
+      // a left-associated sum across subspaces): FP addition is
+      // non-associative, so a flat 64-element fold could land a hair off
+      // ADC near a round(4) boundary — summing in the identical order
+      // makes the bit-for-bit parity spec a theorem, not a hope.
       val compressed = assigned.select(col("cell"), col("vec_id"),
         QuantizeOps.pqEncodeReconstruct("c_vec", codebook).as("recon"))
       val q = probed.select(col("q_id"), col("q_vec"),
         explode(expr(s"graft_nearest_cells(q_vec, $centroidSql, $nProbe)")).as("cell"))
+      def subFold(j: Int)(f: (Column, Column) => Column): Column =
+        aggregate(
+          zip_with(slice(col("q_vec"), j * sd + 1, sd), slice(col("recon"), j * sd + 1, sd), f),
+          lit(0.0), (acc, v) => acc + v)
+      val dotSum = codebook.indices
+        .map(j => subFold(j)((x, y) => x.cast("double") * y))
+        .reduce(_ + _)
+      val norm2Sum = codebook.indices
+        .map(j => subFold(j)((_, y) => y * y))
+        .reduce(_ + _)
       val scored = compressed.join(q, Seq("cell"))
         .filter(if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
-        .withColumn("score", round(cosine(col("q_vec"), col("recon")), 4))
+        .withColumn("score", round(dotSum / (norm(col("q_vec")) * sqrt(norm2Sum)), 4))
       rankTopK(scored.select("q_id", "vec_id", "score"), k)
     }
   }
@@ -349,14 +365,7 @@ object SimilarityOps {
     // local[32] (measured: the pre-fix sample made IVF recall differ by
     // core count, which would break any golden-value gate).
     val sampleTarget = math.max(40L * nLists, 1024L)
-    val sampleParts = 32L
-    // 4× headroom so inputs with fewer live partitions than sampleParts
-    // still reach the target; worst case the fit sees 4× target rows —
-    // still O(sample), trivially small
-    val perPartition = 4L * ((sampleTarget + sampleParts - 1) / sampleParts)
-    val trainRaw = corpusRaw
-      .filter(spark_partition_id() < sampleParts &&
-        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) < perPartition)
+    val trainRaw = SampleOps.positionalPrefixSample(corpusRaw, sampleTarget)
       .withColumn("features", array_to_vector(col("c_vec")))
       .select("features")
     // the sample is tiny — one task makes the k-means reduction order

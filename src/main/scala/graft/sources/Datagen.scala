@@ -257,8 +257,22 @@ class DatagenGroupAggScan(
   * aggregate scans: residue-class stats over an id range, merged into
   * the requested grouping. */
 object DatagenClosedForm {
+  /** Arithmetic-series sum n·(first+last)/2 with an overflow check: for
+    * pushed id ranges past ~2^31 rows the product sits near 2^63, and a
+    * silent Long wraparound would return a WRONG pushed-down SUM — the
+    * one failure mode an aggregate pushdown must never have. BigInt the
+    * intermediate (runs once per residue class at plan time — ≤100
+    * evaluations, cost irrelevant) and fail loudly past Long range. */
+  private def seriesSum(n: Long, first: Long, last: Long): Long = {
+    val s = BigInt(n) * (BigInt(first) + BigInt(last)) / 2
+    require(s.isValidLong,
+      s"datagen pushed SUM overflows BIGINT for n=$n over [$first,$last]; " +
+        "decline the aggregate pushdown for ranges this large")
+    s.toLong
+  }
+
   private case class ClassStats(n: Long, first: Long, last: Long) {
-    def sum: Long = n * (first + last) / 2
+    def sum: Long = seriesSum(n, first, last)
   }
 
   /** One pre-aggregated row per non-empty group over [lo, hi). */
@@ -291,7 +305,7 @@ object DatagenClosedForm {
           case _: CountStar => stats.map(_.n).sum
           case _: Min => stats.map(_.first).min
           case _: Max => stats.map(_.last).max
-          case _: Sum => stats.map(_.sum).sum
+          case _: Sum => stats.map(_.sum).foldLeft(0L)((a, b) => math.addExact(a, b))
           case other => throw new IllegalArgumentException(s"unpushable aggregate $other")
         }
         (keyVals ++ aggVals).toArray
@@ -307,7 +321,7 @@ object DatagenClosedForm {
       case _: CountStar => n
       case _: Min => if (empty) null else lo
       case _: Max => if (empty) null else hi - 1
-      case _: Sum => if (empty) null else n * (lo + hi - 1) / 2
+      case _: Sum => if (empty) null else seriesSum(n, lo, hi - 1)
       case other => throw new IllegalArgumentException(s"unpushable aggregate $other")
     }
   }

@@ -86,6 +86,25 @@ class DatagenSpec extends SparkSpec {
     assert(grouped.count() === read(1000, 4).select("price").distinct().count())
   }
 
+  test("closed-form SUM is exact near Long range and fails loudly past it") {
+    // n = 2^32 ids: sum = n(n-1)/2 ≈ 9.22e18, a hair UNDER Long.MaxValue —
+    // the naive n*(first+last)/2 overflows its intermediate product at a
+    // quarter of that. BigInt the expectation independently.
+    val n = 1L << 32
+    val pushed = read(n, 64).agg(expr("sum(id)").as("s"))
+    assert(pushed.queryExecution.executedPlan.toString.contains("pushed_aggregation"))
+    val expected = (BigInt(n) * BigInt(n - 1) / 2).toLong
+    assert(pushed.head().getLong(0) === expected)
+    // one row more and the true sum crosses 2^63: the scan must refuse
+    // with a clear message, never return a wrapped-around Long
+    val over = read(n + 2, 64).agg(expr("sum(id)").as("s"))
+    val e = intercept[Exception] { over.head() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("overflows")),
+      s"expected a loud overflow refusal, got: ${e.getMessage}")
+  }
+
   test("GROUP BY bucket pushes completely: <=100 pre-aggregated rows, no aggregate planned") {
     val grouped = read(1L << 20, 64).filter(col("id") >= 1000L && col("id") < 5250L)
       .groupBy("bucket").agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"))

@@ -182,6 +182,45 @@ class LakeOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
   }
 
+  test("compactTable recovers a crash between retire and promote, from either side") {
+    val tmp = java.nio.file.Files.createTempDirectory("compact_recover")
+    try {
+      val fs = new org.apache.hadoop.fs.Path(tmp.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val orders = Tables.load(spark, dir, "orders")
+      def mkCrashState(path: String, stagingComplete: Boolean): Unit = {
+        // simulate the window where `path` is gone: data written to
+        // __staging, live table renamed aside to __retired, promote never ran
+        orders.repartition(4).write.parquet(path + "__staging")
+        orders.repartition(8).write.parquet(path + "__retired")
+        if (!stagingComplete)
+          fs.delete(new org.apache.hadoop.fs.Path(path + "__staging", "_SUCCESS"), false)
+      }
+      // complete staging → promoted (keeps the already-paid rewrite)
+      val p1 = s"$tmp/t1"
+      mkCrashState(p1, stagingComplete = true)
+      val n1 = ops.LakeOps.compactTable(spark, p1, targetFileBytes = Long.MaxValue)
+      assert(n1 === 1)
+      val r1 = spark.read.parquet(p1)
+      assert(r1.exceptAll(orders).count() === 0 && orders.exceptAll(r1).count() === 0)
+      // partial staging (no _SUCCESS) → retired copy restored
+      val p2 = s"$tmp/t2"
+      mkCrashState(p2, stagingComplete = false)
+      val n2 = ops.LakeOps.compactTable(spark, p2, targetFileBytes = Long.MaxValue)
+      assert(n2 === 1)
+      val r2 = spark.read.parquet(p2)
+      assert(r2.exceptAll(orders).count() === 0 && orders.exceptAll(r2).count() === 0)
+      // nothing recoverable → loud failure, not a silent empty table
+      intercept[IllegalArgumentException] {
+        ops.LakeOps.compactTable(spark, s"$tmp/missing", targetFileBytes = 1L)
+      }
+      Seq(p1, p2).foreach { p =>
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(p + "__staging")))
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(p + "__retired")))
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+  }
+
   test("plan shapes: scd1 clusters once; pack1 shuffles only on shard; mrg1 joins full-outer on the key") {
     val scdPlan = q("scd1_scd2_history").queryExecution.executedPlan.toString
     assert(scdPlan.split("Exchange hashpartitioning").length - 1 === 1,

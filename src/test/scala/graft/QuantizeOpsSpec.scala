@@ -98,6 +98,17 @@ class QuantizeOpsSpec extends SparkSpec {
     assert(e1.exceptAll(e2).count() === 0 && e2.exceptAll(e1).count() === 0)
   }
 
+  test("PQ fit accepts array<double> vectors and matches the float fit exactly") {
+    // bruteForceTopK already supports double vectors (the HOF fallback);
+    // the fit must too — and since float→double casting is exact, the
+    // trained codebook is identical, not merely close
+    val dbl = corpus.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val cbF = QuantizeOps.pqFit(corpus, "embedding", dim = 64)
+    val cbD = QuantizeOps.pqFit(dbl, "embedding", dim = 64)
+    assert(cbF.map(_.map(_.toSeq).toSeq).toSeq === cbD.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("ann7 gate: the composed IVF-PQ stack holds a floor and stays below its components") {
     graft.functions.NativeExpressions.register(spark)
     val Row(recall: Double, n: Long) =
