@@ -669,20 +669,24 @@ object SparkEntry {
       // Spark's recursion guardrail caps TOTAL rows at 1M by default —
       // ~8 x |customers| here crosses that at sf1+. The walk is already
       // depth-bounded (step < 8), so the row count is a known linear
-      // bound, not a runaway risk; raise the valve. NOT restored after:
-      // the frame is lazy, so the conf must still hold when the driver
-      // executes it — and it has no semantic effect on any other query
-      // (rec1 is the only recursive CTE in the contract)
-      s.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
+      // bound, not a runaway risk; raise the valve — in a CHILD session
+      // (round-5 verdict: no query closure may mutate shared conf). The
+      // frame is lazy, so the raised limit must hold at execution time:
+      // a child session's SessionState lives as long as the returned
+      // DataFrame references it, while the caller's session conf — and
+      // catalog: rec1_nxt below registers in the child, invisible to
+      // other queries — is untouched.
+      val cs = s.newSession()
+      cs.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-      t(s, dir, "orders")
+      t(cs, dir, "orders")
         .select(
           col("o_custkey").as("customer_id"), col("o_orderkey").as("order_id"),
           lead("o_orderkey", 1).over(w).as("next_id"),
           row_number().over(w).as("rn"))
         .localCheckpoint()
         .createOrReplaceTempView("rec1_nxt")
-      s.sql("""
+      cs.sql("""
         WITH RECURSIVE chain(customer_id, order_id, step) AS (
           SELECT customer_id, order_id, CAST(1 AS BIGINT) FROM rec1_nxt WHERE rn = 1
           UNION ALL
@@ -1033,6 +1037,19 @@ object SparkEntry {
       // preserved under arbitrary merge trees per Agarwal et al. PODS'12)
       // — so n_found = n_guaranteed and recall = 1.0 are THEOREMS, not
       // measured goldens, and the oracle re-derives both exactly
+      // Gate cost is token-DOMAIN-size independent (round-5 verdict): the
+      // exact-truth arm runs only over a deterministic md5-nibble sample
+      // of the token domain (first hex digit 0-7 = 50%, replayed
+      // bit-identically by the oracle — md5 is the same function in both
+      // engines), so its exchange carries sample_rate × |domain| rows,
+      // never one row per distinct token. The MG theorem quantifies over
+      // EVERY above-threshold token, hence over any deterministic subset:
+      // recall = 1.0 on the sampled guaranteed set is still a theorem.
+      // n_tokens stays the FULL stream length (a map-side scalar count,
+      // no per-token shuffle) — the threshold n/(k+1) must be the true
+      // one or "guaranteed" would be a different predicate. At production
+      // scale choose the nibble set so sampled distinct tokens stay
+      // ~bounded (same knob as cn2's vec_id sample).
       graft.functions.NativeExpressions.register(s)
       val toks = t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("token"))
@@ -1040,8 +1057,11 @@ object SparkEntry {
         .agg(expr("graft_freq_sketch(token, 32)").as("sk"))
         .select(explode(col("sk")).as("e"))
         .select(col("e.item").as("token"))
-      val exact = toks.groupBy("token").agg(count(lit(1)).as("c"))
-      val total = exact.agg(sum("c").cast("long").as("n_tokens"))
+      val total = toks.agg(count(lit(1)).cast("long").as("n_tokens"))
+      val exact = toks
+        .filter(substring(md5(col("token")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"))
+        .groupBy("token").agg(count(lit(1)).as("c"))
       val guaranteed = exact.crossJoin(total)
         .filter(col("c") > col("n_tokens").cast("double") / lit(33.0))
         .select("token")
@@ -1287,6 +1307,9 @@ object SparkEntry {
       val copied = staged.resolve("part-0.parquet")
       java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), copied,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // restored in the finally below: unlike rec1's lazy frame, every
+      // read that needs this conf drains eagerly inside this closure
+      val nanosPrev = s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = s.read.parquet(staged.toString)
       // sentinel ts > max + within + watermark delay: closes every window
@@ -1311,6 +1334,7 @@ object SparkEntry {
         q.awaitTermination()
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", batchPartitions)
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", nanosPrev)
         // the sentinel append added part files + _SUCCESS under `staged`,
         // so deleteOnExit (non-recursive) would leak a full events copy
         // per run — delete the staged dir recursively once drained (the
@@ -2282,13 +2306,17 @@ object SparkEntry {
 
     "hh2_freq_gate" -> // the MG guarantee is a theorem: n_found equals
       // n_guaranteed and recall is exactly 1.0, both re-derived from the
-      // exact token counts (k = 8, threshold n/(k+1))
+      // exact token counts (k = 32, threshold n/(k+1) = n/33). The exact
+      // arm replays the Spark side's deterministic md5-nibble 50% domain
+      // sample; n_tokens is the full stream count (the true threshold)
       ("""WITH toks AS (
          |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
-         |), ex AS (
-         |  SELECT token, count(*) AS c FROM toks GROUP BY 1
          |), tot AS (
-         |  SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM ex
+         |  SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM toks
+         |), ex AS (
+         |  SELECT token, count(*) AS c FROM toks
+         |  WHERE substring(md5(token), 1, 1) IN ('0','1','2','3','4','5','6','7')
+         |  GROUP BY 1
          |), g AS (
          |  SELECT count(*) AS ng FROM ex, tot WHERE c > CAST(n_tokens AS DOUBLE) / 33.0
          |)
