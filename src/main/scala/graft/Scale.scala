@@ -16,11 +16,15 @@ import org.apache.spark.sql.functions._
   * timing, and the capped shingle path drops cross-copy stop-shingles
   * the same way it drops any common shingle).
   *
-  * Output layout matches /root/testdata: ONE parquet FILE per table named
-  * `<table>.parquet` (written via coalesce(1) + rename), so every query's
-  * staging logic (st2/st4 file copy) works unchanged.
+  * Output layout: `<table>.parquet` per table as in /root/testdata, but
+  * as a DIRECTORY of `filesPerTable` parts by default — 10× data arrives
+  * as more files in production, and a single file caps scan parallelism
+  * at split granularity (the round-5 txt8 ×13.9 growth artifact).
+  * `events.parquet` always stays ONE file (written via coalesce(1) +
+  * rename) so st2/st4's single-file staging copy works unchanged; pass
+  * filesPerTable=1 to reproduce the fully single-file round-5 layout.
   *
-  * Usage: Scale <srcSfDir> <outDir> [copies=10]
+  * Usage: Scale <srcSfDir> <outDir> [copies=10] [filesPerTable=16]
   */
 object Scale {
   def main(args: Array[String]): Unit = {
@@ -51,6 +55,15 @@ object Scale {
       "nation" -> Nil, // catalog dims stay fixed (TPC-H scaling)
       "region" -> Nil)
 
+    // files per table (4th arg, default 16): a 10× corpus arriving as ONE
+    // parquet file per table is not how 10× data shows up in production —
+    // it caps the scan at file-split granularity and serializes
+    // regex/parse-heavy map work (round-5's txt8 ×13.9 growth band was
+    // exactly this artifact, not operator cost; see SURVEY §8.3).
+    // events ALWAYS stays one file: st2/st4's staging logic copies
+    // `events.parquet` as a single file by java.nio path.
+    val filesPerTable = if (args.length > 3) args(3).toInt else 16
+
     val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(out))
     shifts.foreach { case (table, keys) =>
@@ -60,16 +73,24 @@ object Scale {
         else (0 until copies).map { k =>
           keys.foldLeft(base)((df, c) => df.withColumn(c, col(c) + lit(k * Off)))
         }.reduce(_ unionByName _)
-      // single-file layout: write a one-part dir, then promote the part
-      val tmp = new Path(s"$out/__tmp_$table")
-      scaled.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = fs.listStatus(tmp).map(_.getPath)
-        .find(_.getName.startsWith("part-")).get
+      val nFiles = if (table == "events") 1 else filesPerTable
       val dest = new Path(s"$out/$table.parquet")
-      fs.delete(dest, false)
-      require(fs.rename(part, dest), s"rename failed for $table")
-      fs.delete(tmp, true)
-      println(s"[scale] $table: ${scaled.columns.length} cols -> $dest")
+      if (nFiles > 1) {
+        // multi-file layout: `<table>.parquet` is a DIRECTORY of parts —
+        // spark.read.parquet handles both shapes transparently
+        fs.delete(dest, true)
+        scaled.repartition(nFiles).write.mode("overwrite").parquet(dest.toString)
+      } else {
+        // single-file layout: write a one-part dir, then promote the part
+        val tmp = new Path(s"$out/__tmp_$table")
+        scaled.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = fs.listStatus(tmp).map(_.getPath)
+          .find(_.getName.startsWith("part-")).get
+        fs.delete(dest, false)
+        require(fs.rename(part, dest), s"rename failed for $table")
+        fs.delete(tmp, true)
+      }
+      println(s"[scale] $table: ${scaled.columns.length} cols, $nFiles file(s) -> $dest")
     }
     spark.stop()
   }

@@ -187,12 +187,20 @@ object DedupOps {
     * At the fixpoint the edge set is a disjoint union of stars rooted at
     * each component's minimum id.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame,
+      maxRounds: Int = 30,
+      // profiling hook: accumulates nanoseconds spent in the per-round
+      // convergence fingerprint action (graft.Profile measures what
+      // fraction of the CC runtime the driver-visible .head() is)
+      fingerprintNanos: Option[java.util.concurrent.atomic.AtomicLong] = None): DataFrame = {
     def fingerprint(e: DataFrame): (Long, String) = {
+      val t0 = System.nanoTime()
       // hash-sum in DECIMAL(38,0): xxhash64 values span the full long
       // range, so a plain long sum overflows (ANSI mode throws)
       val r = e.agg(count(lit(1)),
         sum(xxhash64(col("u"), col("v")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+      fingerprintNanos.foreach(_.addAndGet(System.nanoTime() - t0))
       (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
     }
     def largeStar(e: DataFrame): DataFrame = {
@@ -247,8 +255,12 @@ object DedupOps {
     * all three are transitively duplicates; CC keeps {1}.
     * Shape: one CC run over the pair set, then one anti join.
     */
-  def ccSurvivors(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val dropped = connectedComponents(pairs)
+  def ccSurvivors(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      fingerprintNanos: Option[java.util.concurrent.atomic.AtomicLong] = None): DataFrame = {
+    val dropped = connectedComponents(pairs, fingerprintNanos = fingerprintNanos)
       .filter(col("doc_id") =!= col("component"))
       .select(col("doc_id").as(idCol))
     docs.join(dropped, Seq(idCol), "left_anti")
