@@ -33,10 +33,15 @@ import graft.ops.{ContaminationOps, DedupOps, EventOps, LakeOps, PackOps, Quanti
   * in DECIMAL (ExactSums); moments use exact integer sums with textually
   * identical double formulas; counts cast to BIGINT both sides; window
   * ranks carry total-order tie-breaks; DATEs cast to TIMESTAMP. Queries
-  * whose semantics are hash/seed/sketch-dependent (mh1, sh1, ann2, ann3,
+  * whose semantics are hash/seed/sketch-dependent (mh1, sh1, ann2,
   * cn1, agg3, agg8) have no oracle SQL — the driver records rows-only
   * checks; their correctness is pinned by ScalaTest specs against exact
   * ground truth (or, for the sketches, error bounds vs the exact value).
+  * ann3 IS oracle-checked despite the k-means fit: the fit is
+  * deterministic and restart-stable, so the neighbor IDENTITIES are
+  * per-SF goldens while DuckDB re-derives every score from the raw
+  * embeddings (stronger than a recall constant — any ranking change
+  * moves an identity and fails the hash).
   */
 object SparkEntry {
 
@@ -1795,7 +1800,17 @@ object SparkEntry {
       SimilarityOps.ivfCellBalance(
         t(s, dir, "embeddings"), "vec_id", "embedding", nLists = 16)),
 
-    "ann3_ivf_topk" -> ((s, dir) => { // no oracle: kmeans-cell approximate; spec-pinned
+    "ann3_ivf_topk" -> ((s, dir) => {
+      // the IVF top-k output itself under the oracle (ann5/ann6 gate
+      // recall and cell balance; this hash-checks the ACTUAL result):
+      // the k-means fit is deterministic on this setup (fixed seed,
+      // positional-prefix sample — restart-stability re-verified across
+      // fresh JVMs at all 3 SFs before pinning), and graft_topk breaks
+      // score ties on vec_id asc, so the output is a function of the
+      // data alone. The oracle pins only the (q_id, vec_id, rnk)
+      // identities per SF and re-derives every score from the raw
+      // embeddings — scores are exact cosine on raw vectors, which
+      // DuckDB computes independently (ann1's proven formula)
       val emb = t(s, dir, "embeddings")
       SimilarityOps.ivfTopK(
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
@@ -2950,6 +2965,43 @@ object SparkEntry {
          |  FROM scored
          |)
          |SELECT q_id, vec_id, score, rnk FROM ranked WHERE rnk <= 5""").stripMargin,
+
+    "ann3_ivf_topk" -> // the IVF result under the oracle: neighbor
+      // identities (q_id, vec_id, rnk) are per-SF goldens — the k-means
+      // fit is deterministic and restart-stable, so they are a function
+      // of the data — while every SCORE is re-derived from the raw
+      // embeddings (exact cosine, ann1's proven formula). An unknown SF
+      // yields zero golden rows and fails the rows check loudly.
+      ("""WITH golden AS (
+         |  SELECT * FROM (VALUES
+         |    (0,17,1),(0,225,2),(0,12,3),(0,260,4),(0,212,5),(1,209,1),(1,129,2),(1,440,3),(1,75,4),(1,455,5),
+         |    (2,443,1),(2,185,2),(2,234,3),(2,309,4),(2,132,5),(3,223,1),(3,205,2),(3,84,3),(3,426,4),(3,72,5),
+         |    (4,345,1),(4,98,2),(4,143,3),(4,343,4),(4,195,5),(5,113,1),(5,31,2),(5,360,3),(5,218,4),(5,395,5),
+         |    (6,141,1),(6,434,2),(6,280,3),(6,444,4),(6,244,5),(7,466,1),(7,220,2),(7,18,3),(7,249,4),(7,340,5)
+         |  ) g(q_id, vec_id, rnk) WHERE (SELECT count(*) FROM lineitem) = 6000
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (0,365,1),(0,334,2),(0,387,3),(0,423,4),(0,73,5),(1,386,1),(1,27,2),(1,407,3),(1,195,4),(1,64,5),
+         |    (2,188,1),(2,418,2),(2,471,3),(2,112,4),(2,350,5),(3,130,1),(3,149,2),(3,174,3),(3,207,4),(3,437,5),
+         |    (4,114,1),(4,408,2),(4,280,3),(4,89,4),(4,470,5),(5,419,1),(5,157,2),(5,359,3),(5,316,4),(5,487,5),
+         |    (6,430,1),(6,145,2),(6,437,3),(6,214,4),(6,371,5),(7,340,1),(7,425,2),(7,209,3),(7,334,4),(7,381,5)
+         |  ) g(q_id, vec_id, rnk) WHERE (SELECT count(*) FROM lineitem) = 60000
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (0,1204,1),(0,291,2),(0,510,3),(0,1511,4),(0,144,5),(1,1950,1),(1,1580,2),(1,1832,3),(1,173,4),(1,665,5),
+         |    (2,1303,1),(2,1912,2),(2,990,3),(2,123,4),(2,315,5),(3,720,1),(3,930,2),(3,1567,3),(3,1617,4),(3,965,5),
+         |    (4,524,1),(4,1166,2),(4,76,3),(4,825,4),(4,660,5),(5,426,1),(5,1684,2),(5,1019,3),(5,1121,4),(5,478,5),
+         |    (6,1805,1),(6,270,2),(6,1184,3),(6,1921,4),(6,702,5),(7,1622,1),(7,605,2),(7,160,3),(7,663,4),(7,471,5)
+         |  ) g(q_id, vec_id, rnk) WHERE (SELECT count(*) FROM lineitem) = 600000
+         |)
+         |SELECT CAST(g.q_id AS BIGINT) AS q_id, CAST(g.vec_id AS BIGINT) AS vec_id,
+         |       round(list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+         |             (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+         |              sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4) AS score,
+         |       CAST(g.rnk AS INTEGER) AS rnk
+         |FROM golden g
+         |JOIN embeddings q ON q.vec_id = g.q_id
+         |JOIN embeddings c ON c.vec_id = g.vec_id""").stripMargin,
 
     "ann4_lsh_recall" -> // n_exact re-derives ann1's brute-force SQL; the
       // recall constant is a measured GOLDEN per SF (the hyperplane RNG is
