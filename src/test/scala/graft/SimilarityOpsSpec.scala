@@ -90,4 +90,42 @@ class SimilarityOpsSpec extends SparkSpec {
     val g2 = SparkEntry.queries("cn2_cosine_gate")(spark, dir).collect().toSeq
     assert(g1 === g2, "gate row must be reproducible")
   }
+
+  test("golden-drift tripwire: the quantizer-fit sample input is pinned per SF") {
+    // Every fit-dependent golden — ann3's neighbor identities, the
+    // ann4/ann5/ann6/ann7/sq3 recall and balance constants — is keyed to
+    // the positional-prefix sample of the embeddings corpus, which is a
+    // function of the testdata FILE LAYOUT (scan splits + in-file row
+    // order), not just its relational content. This pins a fingerprint
+    // (row count + hash-sum of sampled vec_ids) of that sample at every
+    // SF, with the SAME sampleTarget both trained fits use
+    // (ivfQuantize nLists=16 and pqFit k=16 → max(40·16, 1024) = 1024).
+    //
+    // IF THIS FAILS: the testdata layout changed, so every golden above
+    // is silently stale — RE-MEASURE them all (capture recipe in
+    // NEXT.md), then re-pin this fingerprint. Do NOT just update the
+    // numbers here to make it green.
+    val sampleTarget = math.max(40L * 16, 1024L)
+    // the hash covers the VECTORS, not just the ids: the sample turns out
+    // to be rows 0-127 of the single scan split at every SF (so the id
+    // set alone cannot distinguish a regenerated corpus), and the fit
+    // consumes the embedding values — a content change with the same ids
+    // must trip this too
+    val expected = Map( // sf -> (sampled rows, hash-sum of (id, embedding))
+      "sf0.001" -> (128L, "-23645448822391447438"),
+      "sf0.01" -> (128L, "10200951378926726321"),
+      "sf0.1" -> (128L, "-50628627438015118966"))
+    val actual = expected.keys.map { sf =>
+      val emb = Tables.load(spark, s"/root/testdata/$sf", "embeddings")
+      val r = graft.ops.SampleOps.positionalPrefixSample(
+          emb.select(col("vec_id"), col("embedding")), sampleTarget)
+        .agg(count(lit(1)),
+          sum(xxhash64(col("vec_id"), col("embedding"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+      sf -> (r.getLong(0), r.getDecimal(1).toPlainString)
+    }.toMap
+    assert(actual === expected,
+      s"quantizer-fit sample drifted — testdata layout changed; re-measure " +
+        s"all fit-dependent goldens, then re-pin. Actual: $actual")
+  }
 }
