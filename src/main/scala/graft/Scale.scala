@@ -81,9 +81,18 @@ object Scale {
         fs.delete(dest, true)
         scaled.repartition(nFiles).write.mode("overwrite").parquet(dest.toString)
       } else {
-        // single-file layout: write a one-part dir, then promote the part
+        // single-file layout: write a one-part dir, then promote the part.
+        // Small row groups (2 MB vs the 128 MB default): a Spark scan
+        // task must own WHOLE row groups, so one coalesce(1) file with
+        // one giant row group caps the scan at 1 task no matter what
+        // maxPartitionBytes says — measured at sf1: vr1 8.1→2.6 s,
+        // txt14 2.1→1.4 s once the single events file had >1 row group.
+        // Production files carry many row groups; this makes the
+        // rehearsal's one mandated single-file table behave like them.
         val tmp = new Path(s"$out/__tmp_$table")
-        scaled.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        scaled.coalesce(1).write.mode("overwrite")
+          .option("parquet.block.size", 2L * 1024 * 1024)
+          .parquet(tmp.toString)
         val part = fs.listStatus(tmp).map(_.getPath)
           .find(_.getName.startsWith("part-")).get
         fs.delete(dest, false)
