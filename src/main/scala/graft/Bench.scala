@@ -81,8 +81,20 @@ object Bench {
     }
     // per-pass totals disclose a degraded pass post-hoc (if pass totals
     // diverge wildly, an ambient window hit one of them — the min is
-    // still trustworthy, but the evidence is on the record)
-    val passTotals = passes.map(_.map(_._2).sum)
+    // still trustworthy, but the evidence is on the record). A pass
+    // containing ANY failed query carries a NEGATIVE total (same sentinel
+    // rule as the headline) so a fast-failing query can never make a
+    // pass read as the fastest run.
+    val passTotals = passes.map { p =>
+      val s = p.map(_._2).sum
+      if (p.forall(_._3)) s else -s
+    }
+    // self-identify a contaminated artifact: if clean pass totals diverge
+    // >2x, an ambient-load window hit one pass — warn loudly so the
+    // artifact is never trusted without a re-run
+    val cleanTotals = passTotals.filter(_ >= 0)
+    if (cleanTotals.size >= 2 && cleanTotals.max > 2.0 * cleanTotals.min)
+      System.err.println(f"[bench] WARNING: pass totals diverge >2x (${cleanTotals.min}%.1f s vs ${cleanTotals.max}%.1f s) — ambient load contaminated at least one pass; re-run on a quiet machine before trusting this artifact")
     // failed queries carry NEGATIVE seconds (sentinel) and a failed list,
     // and a run with ANY failure negates the headline total too — a query
     // that fails fast must never read as a faster run

@@ -36,6 +36,7 @@ object Scale {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -95,7 +96,9 @@ object Scale {
           .parquet(tmp.toString)
         val part = fs.listStatus(tmp).map(_.getPath)
           .find(_.getName.startsWith("part-")).get
-        fs.delete(dest, false)
+        // recursive: dest may be a DIRECTORY left by a prior multi-file run
+        // in the same out dir (filesPerTable 16 -> 1 switch)
+        fs.delete(dest, true)
         require(fs.rename(part, dest), s"rename failed for $table")
         fs.delete(tmp, true)
       }

@@ -1075,7 +1075,16 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n_found"))
       total.crossJoin(nG).crossJoin(nF).select(
         col("n_tokens"), col("n_guaranteed"), col("n_found"),
-        round(col("n_found").cast("double") / col("n_guaranteed"), 4).as("recall"))
+        // degenerate-sample guard: if the md5-nibble sample excludes every
+        // guaranteed token (n_guaranteed = 0), 0/0 would yield NaN while
+        // the oracle emits the constant 1.0 — a confusing gate mismatch
+        // instead of a clear signal. Recall over an empty set is vacuously
+        // 1.0 (the MG theorem quantifies over every sampled guaranteed
+        // token; zero of them means zero misses). If this fires, widen the
+        // nibble set above.
+        when(col("n_guaranteed") === 0, lit(1.0))
+          .otherwise(round(col("n_found").cast("double") / col("n_guaranteed"), 4))
+          .as("recall"))
     }),
 
     "dt1_date_parts" -> ((s, dir) =>
@@ -1313,25 +1322,32 @@ object SparkEntry {
       java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), copied,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       // restored in the finally below: unlike rec1's lazy frame, every
-      // read that needs this conf drains eagerly inside this closure
+      // read that needs this conf drains eagerly inside this closure.
+      // Both conf reads happen BEFORE the try; both sets happen INSIDE it,
+      // so a failure anywhere (including the eager sentinel-staging reads)
+      // still hits the finally-restore and the shared session conf is
+      // never left mutated on an exception path.
       val nanosPrev = s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.parquet(staged.toString)
-      // sentinel ts > max + within + watermark delay: closes every window
-      val marginSec = 300L + 3600L + 60L
-      val sentinelTs =
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          lit(raw.agg(max("ts")).head().getLong(0) + marginSec * 1000000000L)
-        else lit(new java.sql.Timestamp(
-          raw.agg(max("ts")).head().getTimestamp(0).getTime + marginSec * 1000L))
-      s.range(1).select(
-          lit(-1L).as("event_id"), sentinelTs.as("ts"), lit(-1L).as("user_id"),
-          lit("sentinel").as("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
-        .coalesce(1).write.mode("append").parquet(staged.toString)
       // same sequential-driver assumption as st1/st2
       val batchPartitions = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
       try {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // micros → LTZ, same normalization as Tables.load (sticky there,
+        // so no restore needed for this one)
+        s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        val raw = s.read.parquet(staged.toString)
+        // sentinel ts > max + within + watermark delay: closes every window
+        val marginSec = 300L + 3600L + 60L
+        val sentinelTs =
+          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            lit(raw.agg(max("ts")).head().getLong(0) + marginSec * 1000000000L)
+          else lit(new java.sql.Timestamp(
+            raw.agg(max("ts")).head().getTimestamp(0).getTime + marginSec * 1000L))
+        s.range(1).select(
+            lit(-1L).as("event_id"), sentinelTs.as("ts"), lit(-1L).as("user_id"),
+            lit("sentinel").as("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
+          .coalesce(1).write.mode("append").parquet(staged.toString)
+        s.conf.set("spark.sql.shuffle.partitions", "2")
         val stream = graft.streaming.EventStreams.eventParquetStream(s, staged.toString)
         val joined = graft.streaming.EventStreams.leftOuterIntervalJoinStream(
           stream, stream, "user_id", "ts", "event_id", withinSeconds = 300L)

@@ -222,6 +222,9 @@ object EventStreams {
     */
   def eventParquetStream(spark: SparkSession, inputDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // read micros as TIMESTAMP (LTZ), not NTZ — same normalization as
+    // Tables.load (watermarks/interval joins are built on the LTZ type)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val schema = spark.read.parquet(inputDir).schema
     val raw = spark.readStream.schema(schema).parquet(inputDir)
     if (schema("ts").dataType == org.apache.spark.sql.types.LongType)

@@ -23,6 +23,11 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // plan-audit specs assert on PushedFilters text in plan strings; the
+      // 100-char default truncates a scan's filter list mid-entry (the
+      // round-7 timestamp literals render longer than the old data's, which
+      // pushed LessThan(o_orderdate,...) past the cut)
+      .config("spark.sql.maxMetadataStringLength", "2000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
