@@ -610,6 +610,33 @@ object SparkEntry {
         takeLatest = Seq("status", "last_order"), sumCols = Seq("n_orders"))
     }),
 
+    "lake1_manifest_timetravel" -> ((s, dir) => {
+      // the versioned-manifest transactional table end to end (create →
+      // append → overwrite → time travel): the engine's ACID commit
+      // protocol (sources/ManifestTable, Delta-paper design) under the
+      // oracle. The query re-reads version 2 AFTER version 3 overwrote
+      // the table — snapshot isolation is what's being hash-checked; the
+      // oracle re-derives both versions' content from the source table
+      // with the same filters.
+      val root = java.nio.file.Files.createTempDirectory("lake1_manifest")
+      val orders = t(s, dir, "orders")
+      graft.sources.ManifestTable.create(s, root.toString,
+        orders.filter(col("o_orderstatus") === "F"))
+      graft.sources.ManifestTable.append(s, root.toString,
+        orders.filter(col("o_orderstatus") === "O"))
+      graft.sources.ManifestTable.overwrite(s, root.toString,
+        orders.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")))
+      def agg(v: Long) = graft.sources.ManifestTable
+        .read(s, root.toString, Some(v))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+        .select(lit(v).as("version"), col("o_orderstatus"),
+          col("n_orders"), col("total_price"))
+      // eager: both reads must resolve file lists before the temp dir is
+      // reaped post-run; union then hands one frame to the driver
+      agg(2L).unionAll(agg(3L))
+    }),
+
     "pipe2_quality_filter" -> ((s, dir) => {
       // the composed Gopher/C4-style quality GATE with the native
       // kernels (txt2/txt10/txt11 thresholds in ONE map-only pass); the
@@ -3364,6 +3391,21 @@ object SparkEntry {
          |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) AS valid_to,
          |       (lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) IS NULL) AS is_current
          |FROM changes""").stripMargin,
+
+    "lake1_manifest_timetravel" -> // both manifest versions' content
+      // re-derived from the source table: version 2 = the F-then-O
+      // append state, version 3 = the overwrite; snapshot isolation on
+      // the Spark side is what makes version 2 still readable
+      (s"""SELECT CAST(2 AS BIGINT) AS version, o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT) AS version, o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |GROUP BY o_orderstatus""").stripMargin,
 
     "mrg1_merge_upsert" -> // MERGE = full outer on the key: source wins the
       // state columns WHEN ITS KEY IS PRESENT (even if the value is NULL —

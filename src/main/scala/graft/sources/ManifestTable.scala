@@ -1,0 +1,236 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Transactional table layout with a versioned manifest log — the
+  * lakehouse commit protocol from the public Delta Lake design (Armbrust
+  * et al., "Delta Lake: High-Performance ACID Table Storage over Cloud
+  * Object Stores", VLDB 2020), reduced to its core: a table is a
+  * directory of immutable data files plus an ordered log of manifest
+  * files, and THE ONLY atomic operation in the whole protocol is
+  * publishing the next manifest. Everything LakeOps' staging/retire
+  * swaps achieve with three ad-hoc two-rename dances falls out of one
+  * rule here: data files are invisible until a manifest references them.
+  *
+  * Layout:
+  * {{{
+  *   <root>/data/tx-<uuid>/part-*.parquet   immutable once written
+  *   <root>/_graft_log/v00000001.manifest   one text file per version
+  * }}}
+  *
+  * A manifest is a plain text file: a `# version=N op=X` header line
+  * followed by one root-relative data-file path per line. Plain text
+  * (not JSON/Avro) keeps the reader dependency-free and the file
+  * human-inspectable; the driver-side cost is O(files), never O(rows).
+  *
+  * Commit protocol (all driver-side metadata except the data write):
+  *  1. write the new data files under `data/tx-<uuid>/` (a Spark job);
+  *  2. read the latest version N from the log listing;
+  *  3. compose manifest N+1 (append = old files + new, overwrite = new
+  *     only, compact = rewritten files replacing old content);
+  *  4. write the manifest body to a temp name, then RENAME it to
+  *     `v%08d.manifest` — rename-without-overwrite is the atomic
+  *     publish point. A concurrent committer that won the race makes
+  *     the rename fail; the loser re-reads the log and retries against
+  *     the new tip (optimistic concurrency). Appends commute, so a
+  *     retry is always safe for them; overwrite/compact retries
+  *     re-resolve against the new base the same way MERGE would.
+  *  5. a crash ANYWHERE before step 4 publishes nothing: orphaned
+  *     `tx-` directories are invisible to every reader and reclaimed
+  *     by [[vacuum]]. There is no recovery preamble to run — compare
+  *     LakeOps.compactTable's crash-window dance, which this retires
+  *     for manifest-managed tables.
+  *
+  * Readers list the log, pick the highest version (or any retained
+  * older one — time travel), and read exactly the files that manifest
+  * names. Snapshot isolation is structural: a manifest never changes
+  * after publish and data files are never mutated.
+  *
+  * At 100 TB the log listing and manifest size scale with FILE count
+  * (a few thousand entries after [[compact]]), not data volume; the
+  * single-directory rename-based publish is the documented HDFS/local
+  * protocol — true object stores need a put-if-absent primitive or a
+  * coordination service for step 4, exactly as the Delta paper notes.
+  */
+object ManifestTable {
+
+  private val LogDir = "_graft_log"
+  private val DataDir = "data"
+  private val Suffix = ".manifest"
+  /** Commit attempts per operation before giving up: each loss means a
+    * concurrent writer published first, so the bound only trips under
+    * sustained contention on a single table. */
+  private val MaxCommitAttempts = 10
+
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(root: String, v: Long): Path =
+    new Path(s"$root/$LogDir/" + f"v$v%08d" + Suffix)
+
+  /** Versions present in the log, ascending (empty = not a manifest table). */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val dir = new Path(s"$root/$LogDir")
+    val f = fs(spark, root)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).iterator
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(Suffix))
+      .map(n => n.stripPrefix("v").stripSuffix(Suffix).toLong)
+      .toSeq.sorted
+  }
+
+  /** The file list a given version names (root-relative paths). */
+  def manifestFiles(spark: SparkSession, root: String, version: Long): Seq[String] = {
+    val f = fs(spark, root)
+    val in = f.open(manifestPath(root, version))
+    try {
+      val text = new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+      text.linesIterator.filterNot(l => l.startsWith("#") || l.trim.isEmpty).toSeq
+    } finally in.close()
+  }
+
+  /** Read the table at `version` (default: latest). */
+  def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in log (have ${vs.mkString(",")})")
+    val files = manifestFiles(spark, root, v)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files.map(p => s"$root/$p"): _*)
+  }
+
+  /** Stage `df` as immutable data files under a fresh tx dir; returns the
+    * root-relative paths. Public for the crash-simulation spec: staging
+    * WITHOUT a subsequent commit is exactly the torn-write state, and the
+    * table must read identically before/after. */
+  def stage(spark: SparkSession, root: String, df: DataFrame): Seq[String] = {
+    val tx = s"$DataDir/tx-${UUID.randomUUID()}"
+    df.write.parquet(s"$root/$tx")
+    val f = fs(spark, root)
+    f.listStatus(new Path(s"$root/$tx")).iterator
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(s => s"$tx/${s.getPath.getName}")
+      .toSeq.sorted
+  }
+
+  /** Publish `files` as version tip+1 via the atomic rename; retries on
+    * a lost race. `base` re-resolves the carried-over file set against
+    * the version the retry lands on (append keeps the new tip's files,
+    * overwrite/compact keep none / their own rewrite). */
+  private def commit(
+      spark: SparkSession,
+      root: String,
+      op: String,
+      newFiles: Seq[String],
+      base: Long => Seq[String]): Long = {
+    val f = fs(spark, root)
+    f.mkdirs(new Path(s"$root/$LogDir"))
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      attempt += 1
+      val tip = versions(spark, root).lastOption.getOrElse(0L)
+      val next = tip + 1
+      val body = new StringBuilder(s"# graft-manifest version=$next op=$op\n")
+      (base(tip) ++ newFiles).foreach(p => body.append(p).append('\n'))
+      val tmp = new Path(s"$root/$LogDir/.tmp-${UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try out.write(body.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      // the atomic publish: rename refuses an existing destination, so
+      // exactly one of two racing committers wins version `next`
+      if (f.exists(manifestPath(root, next))) { f.delete(tmp, false) }
+      else if (f.rename(tmp, manifestPath(root, next))) return next
+      else f.delete(tmp, false)
+    }
+    throw new IllegalStateException(
+      s"manifest commit lost $MaxCommitAttempts races at $root — sustained contention")
+  }
+
+  /** Create the table (version 1). Fails if a log already exists. */
+  def create(spark: SparkSession, root: String, df: DataFrame): Long = {
+    require(versions(spark, root).isEmpty, s"$root already has a manifest log")
+    val staged = stage(spark, root, df)
+    commit(spark, root, "create", staged, _ => Seq.empty)
+  }
+
+  /** Append rows (new files beside every file the tip names). */
+  def append(spark: SparkSession, root: String, df: DataFrame): Long = {
+    val staged = stage(spark, root, df)
+    commit(spark, root, "append", staged,
+      tip => if (tip == 0) Seq.empty else manifestFiles(spark, root, tip))
+  }
+
+  /** Replace the table content (the tip's files drop out of the new
+    * manifest; they stay on disk for time travel until [[vacuum]]). */
+  def overwrite(spark: SparkSession, root: String, df: DataFrame): Long = {
+    val staged = stage(spark, root, df)
+    commit(spark, root, "overwrite", staged, _ => Seq.empty)
+  }
+
+  /** OPTIMIZE: rewrite the current content into ceil(bytes/target) files
+    * and commit the rewrite as a new version. Relational content is
+    * untouched; readers on the old version keep their exact file set.
+    * Returns (newVersion, dataFilesAfter). */
+  def compact(spark: SparkSession, root: String, targetFileBytes: Long): (Long, Int) = {
+    require(targetFileBytes > 0, "compact requires a positive target file size")
+    val f = fs(spark, root)
+    val tipFiles = {
+      val vs = versions(spark, root)
+      require(vs.nonEmpty, s"$root is not a manifest table")
+      manifestFiles(spark, root, vs.max)
+    }
+    val totalBytes = tipFiles.map(p => f.getFileStatus(new Path(s"$root/$p")).getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val staged = stage(spark, root,
+      read(spark, root).repartition(nFiles))
+    (commit(spark, root, "compact", staged, _ => Seq.empty), staged.size)
+  }
+
+  /** Reclaim space: retain the last `keepVersions` manifests, delete
+    * older manifests, then delete every data file (and emptied tx dir)
+    * no retained manifest references — which also sweeps orphans from
+    * crashed commits. Returns the number of data files deleted.
+    *
+    * Time travel to a dropped version stops working by construction;
+    * retained versions are untouched. Production systems add an age
+    * threshold so in-flight commits never lose staged files mid-commit
+    * — with no clock available here, callers must not vacuum
+    * concurrently with a writer (documented contract, spec-pinned
+    * behavior is the referenced/orphan split itself). */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Int = {
+    require(keepVersions >= 1, "must retain at least the tip")
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table")
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    val live: Set[String] = keep.flatMap(v => manifestFiles(spark, root, v)).toSet
+    drop.foreach(v => f.delete(manifestPath(root, v), false))
+    val dataRoot = new Path(s"$root/$DataDir")
+    var deleted = 0
+    if (f.exists(dataRoot)) {
+      f.listStatus(dataRoot).foreach { tx =>
+        val txName = s"$DataDir/${tx.getPath.getName}"
+        val members = f.listStatus(tx.getPath).filter(_.isFile)
+        val dead = mutable.Buffer.empty[Path]
+        var anyLive = false
+        members.foreach { m =>
+          val rel = s"$txName/${m.getPath.getName}"
+          if (live.contains(rel)) anyLive = true
+          else if (!m.getPath.getName.startsWith("_")) dead += m.getPath
+        }
+        if (!anyLive) { deleted += dead.size; f.delete(tx.getPath, true) }
+        else dead.foreach { p => f.delete(p, false); deleted += 1 }
+      }
+    }
+    deleted
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.ManifestTable
+
+class ManifestTableSpec extends SparkSpec {
+  private def freshRoot(): String =
+    Files.createTempDirectory("manifest_tbl").toFile.getAbsolutePath
+
+  private def orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+
+  test("create/append: latest read is the union; time travel reads each version exactly") {
+    val root = freshRoot()
+    val a = orders.filter(col("o_orderstatus") === "F")
+    val b = orders.filter(col("o_orderstatus") === "O")
+    val v1 = ManifestTable.create(spark, root, a)
+    val v2 = ManifestTable.append(spark, root, b)
+    assert(v1 === 1L && v2 === 2L)
+    assert(ManifestTable.read(spark, root).count() === a.count() + b.count())
+    assert(ManifestTable.read(spark, root, Some(1L)).count() === a.count())
+    // version content is exact, not just counted
+    assert(ManifestTable.read(spark, root, Some(1L)).exceptAll(a).isEmpty)
+    assert(ManifestTable.read(spark, root).exceptAll(a.unionAll(b)).isEmpty)
+  }
+
+  test("overwrite replaces content at the tip; the old version stays readable") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root, orders.limit(10))
+    val replacement = orders.limit(3)
+    val v2 = ManifestTable.overwrite(spark, root, replacement)
+    assert(v2 === 2L)
+    assert(ManifestTable.read(spark, root).count() === 3L)
+    assert(ManifestTable.read(spark, root, Some(1L)).count() === 10L)
+  }
+
+  test("compact rewrites the layout, preserves content exactly, and versions the rewrite") {
+    val root = freshRoot()
+    // many small commits -> many small files
+    ManifestTable.create(spark, root, orders.limit(40).repartition(4))
+    (1 to 3).foreach(i => ManifestTable.append(spark, root, orders.limit(10 * i).repartition(4)))
+    val before = ManifestTable.read(spark, root)
+    val filesBefore = ManifestTable.manifestFiles(spark, root,
+      ManifestTable.versions(spark, root).max).size
+    val (v, filesAfter) = ManifestTable.compact(spark, root, 64L * 1024 * 1024)
+    assert(filesAfter < filesBefore, s"$filesBefore -> $filesAfter")
+    val after = ManifestTable.read(spark, root)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+    // pre-compaction version still reads its exact old file set
+    assert(ManifestTable.read(spark, root, Some(v - 1)).count() === before.count())
+  }
+
+  test("a torn write (staged data, no manifest) is invisible; vacuum reclaims it") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root, orders.limit(10))
+    val before = ManifestTable.read(spark, root).collect().toSet
+    // crash simulation: the data-file write completed, the commit never ran
+    ManifestTable.stage(spark, root, orders.limit(50))
+    assert(ManifestTable.read(spark, root).collect().toSet === before,
+      "orphaned tx files leaked into a read")
+    val reclaimed = ManifestTable.vacuum(spark, root, keepVersions = 1)
+    assert(reclaimed > 0, "vacuum failed to sweep the orphaned tx dir")
+    assert(ManifestTable.read(spark, root).collect().toSet === before)
+  }
+
+  test("vacuum retains requested versions and drops unreferenced files with older manifests") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root, orders.limit(10))   // v1
+    ManifestTable.overwrite(spark, root, orders.limit(5)) // v2: v1's files unreferenced
+    ManifestTable.append(spark, root, orders.limit(2))    // v3
+    ManifestTable.vacuum(spark, root, keepVersions = 2)
+    assert(ManifestTable.versions(spark, root) === Seq(2L, 3L))
+    assert(ManifestTable.read(spark, root, Some(2L)).count() === 5L)
+    assert(ManifestTable.read(spark, root).count() === 7L)
+    intercept[IllegalArgumentException] {
+      ManifestTable.read(spark, root, Some(1L))
+    }
+  }
+
+  test("losing the publish race retries against the new tip (optimistic concurrency)") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root, orders.limit(10))
+    // simulate a concurrent winner: hand-publish v2 naming the same files
+    // as v1, exactly what a racing appender's no-op commit would leave
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1Files = ManifestTable.manifestFiles(spark, root, 1L)
+    val body = ("# graft-manifest version=2 op=append\n" + v1Files.mkString("\n") + "\n")
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$root/_graft_log/v00000002.manifest"), false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    // the append must land at v3 and carry v2's files forward
+    val v = ManifestTable.append(spark, root, orders.limit(4))
+    assert(v === 3L)
+    assert(ManifestTable.read(spark, root).count() === 14L)
+  }
+
+  test("empty-table guard: reading a non-table or an unknown version fails loudly") {
+    val root = freshRoot()
+    intercept[IllegalArgumentException] { ManifestTable.read(spark, root) }
+    ManifestTable.create(spark, root, orders.limit(1))
+    intercept[IllegalArgumentException] { ManifestTable.read(spark, root, Some(7L)) }
+  }
+}
