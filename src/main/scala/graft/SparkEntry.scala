@@ -610,6 +610,32 @@ object SparkEntry {
         takeLatest = Seq("status", "last_order"), sumCols = Seq("n_orders"))
     }),
 
+    "lake2_state_skip" -> ((s, dir) => {
+      // the state-aware runner (dbt `state:modified` analog) under the
+      // oracle: run a view→table DAG twice with identical input state;
+      // run 2 MUST skip the rebuild (action hash-gated via literal
+      // mirrors in the oracle) and serve the identical committed
+      // content. A skip that recomputed, or a rebuild that produced
+      // different rows, both break the hash.
+      import graft.model.{Materialization, Model, Registry}
+      val root = java.nio.file.Files.createTempDirectory("lake2_state")
+      val reg = new Registry(Seq(
+        Model("v_orders", Seq("orders"), Materialization.View,
+          r => r("orders").filter(col("o_totalprice") > 0)),
+        Model("t_status", Seq("v_orders"), Materialization.Table,
+          r => r("v_orders").groupBy("o_orderstatus")
+            .agg(count(lit(1)).cast("long").as("n_orders")))))
+      def pass(run: Int) = {
+        val (rel, act) = reg.runStateAware(s, Map("orders" -> t(s, dir, "orders")),
+          root.toString, sourceTokens = Map("orders" -> dir))
+        rel("t_status").select(
+          lit(run).as("run"), lit(act("t_status")).as("action"),
+          col("o_orderstatus"), col("n_orders"))
+      }
+      val p1 = pass(1) // eager commit happens inside runStateAware
+      p1.unionAll(pass(2))
+    }),
+
     "lake1_manifest_timetravel" -> ((s, dir) => {
       // the versioned-manifest transactional table end to end (create →
       // append → overwrite → time travel): the engine's ACID commit
@@ -3391,6 +3417,17 @@ object SparkEntry {
          |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) AS valid_to,
          |       (lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) IS NULL) AS is_current
          |FROM changes""").stripMargin,
+
+    "lake2_state_skip" -> // run 1 builds, run 2 skips — the actions are
+      // literal mirrors, so a skip that didn't happen breaks the hash;
+      // both runs must serve the same committed aggregate
+      ("""SELECT CAST(1 AS INT) AS run, 'built' AS action, o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders
+         |FROM orders WHERE o_totalprice > 0 GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT CAST(2 AS INT) AS run, 'skipped' AS action, o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders
+         |FROM orders WHERE o_totalprice > 0 GROUP BY o_orderstatus""").stripMargin,
 
     "lake1_manifest_timetravel" -> // both manifest versions' content
       // re-derived from the source table: version 2 = the F-then-O

@@ -57,13 +57,21 @@ object IncrementalStrategy {
   * @param build        pure DataFrame transformation
   * @param columnDocs   column → description metadata (the `dbt docs` surface,
   *                     reference: models/schema.yml, models/docs.md)
+  * @param codeVersion  declared version of the transformation logic — the
+  *                     engine's analog of dbt's compiled-SQL checksum for
+  *                     `state:modified` selection. `build` is a Scala
+  *                     closure and has no canonical hash, so the author
+  *                     bumps this string when the logic changes; the
+  *                     state-aware runner folds it into the model's input
+  *                     fingerprint (see [[Registry.runStateAware]]).
   */
 final case class Model(
     name: String,
     deps: Seq[String],
     materialization: Materialization,
     build: Map[String, DataFrame] => DataFrame,
-    columnDocs: Map[String, String] = Map.empty
+    columnDocs: Map[String, String] = Map.empty,
+    codeVersion: String = "1"
 )
 
 /** Model registry + runner: `ref()` resolution, cycle-checked topological
@@ -215,5 +223,89 @@ final class Registry(models: Seq[Model]) {
       resolved += (m.name -> materialized)
     }
     resolved.toMap
+  }
+
+  /** State-aware run — the dbt `state:modified`+`defer` analog: a
+    * Table-materialized model is REBUILT only when its input state
+    * changed, otherwise the existing table is read as-is.
+    *
+    * Tables live as [[graft.sources.ManifestTable]]s; each build commits
+    * with a `state` fingerprint in the manifest metadata, so the
+    * fingerprint rides the same atomic publish as the data and can never
+    * describe files it didn't ship with. A model's fingerprint folds:
+    *  - its own `codeVersion` (the author's compiled-artifact checksum);
+    *  - each dependency's STATE TOKEN: a source's caller-supplied token
+    *    (content hash, snapshot id, file mtime — whatever the caller can
+    *    produce; defaults to a constant, i.e. "assume sources
+    *    unchanged", dbt's own default posture), a view's transitive
+    *    fingerprint (views are lazy — nothing to skip, but their logic
+    *    must propagate), a table's committed manifest VERSION (a rebuild
+    *    bumps it, a skip doesn't — so invalidation is transitive through
+    *    the DAG by construction), an incremental model's per-run nonce
+    *    (its content changes every run it applies a batch, so downstream
+    *    must always rebuild).
+    *
+    * Skipping is sound, not just fast: an interrupted build never
+    * publishes a manifest (torn writes are invisible), so a crashed run
+    * leaves the previous fingerprint in place and the next run rebuilds.
+    *
+    * At 100 TB this is the difference between an every-run full rebuild
+    * of every mart and touching only the subgraph below what changed —
+    * the scheduling half of incremental processing, complementing the
+    * row-level half the Incremental materialization does.
+    *
+    * @return (relations by name, action by model name:
+    *         "view" | "built" | "skipped" | "incremental")
+    */
+  def runStateAware(
+      spark: SparkSession,
+      sources: Map[String, DataFrame],
+      tableDir: String,
+      sourceTokens: Map[String, String] = Map.empty
+  ): (Map[String, DataFrame], Map[String, String]) = {
+    import graft.sources.ManifestTable
+    val resolved = scala.collection.mutable.Map[String, DataFrame](sources.toSeq: _*)
+    val tokens = scala.collection.mutable.Map[String, String]()
+    sources.keys.foreach(k => tokens(k) = sourceTokens.getOrElse(k, "src"))
+    val actions = scala.collection.mutable.Map[String, String]()
+    topoOrder.foreach { m =>
+      val missing = m.deps.filterNot(resolved.contains)
+      require(missing.isEmpty,
+        s"model '${m.name}' missing upstream relation(s): ${missing.mkString(", ")}")
+      val fp = (s"code=${m.codeVersion}" +:
+        m.deps.sorted.map(d => s"$d=${tokens(d)}")).mkString(";")
+      m.materialization match {
+        case Materialization.View =>
+          resolved(m.name) = m.build(resolved.toMap)
+          tokens(m.name) = fp // lazy — logic propagates, nothing to skip
+          actions(m.name) = "view"
+        case Materialization.Table =>
+          val root = s"$tableDir/${m.name}"
+          val tip = ManifestTable.versions(spark, root).lastOption
+          val prior = tip.map(v => ManifestTable.manifestMeta(spark, root, v))
+          val version =
+            if (prior.exists(_.get("state").contains(fp))) {
+              actions(m.name) = "skipped"
+              tip.get
+            } else {
+              val df = m.build(resolved.toMap)
+              val meta = Map("state" -> fp)
+              actions(m.name) = "built"
+              if (tip.isEmpty) ManifestTable.create(spark, root, df, meta)
+              else ManifestTable.overwrite(spark, root, df, meta)
+            }
+          resolved(m.name) = ManifestTable.read(spark, root, Some(version))
+          tokens(m.name) = s"v$version"
+        case Materialization.Incremental(_) =>
+          // an incremental model applies its batch every run — its content
+          // token must differ run-to-run so downstream rebuilds; the build
+          // itself goes through the proven staging-swap path
+          val sub = new Registry(Seq(m))
+          resolved(m.name) = sub.run(spark, resolved.toMap, Some(tableDir))(m.name)
+          tokens(m.name) = s"inc-${java.util.UUID.randomUUID()}"
+          actions(m.name) = "incremental"
+      }
+    }
+    (resolved.toMap, actions.toMap)
   }
 }

@@ -86,16 +86,31 @@ object ManifestTable {
       .toSeq.sorted
   }
 
-  /** The file list a given version names (root-relative paths). */
-  def manifestFiles(spark: SparkSession, root: String, version: Long): Seq[String] = {
+  private def manifestText(spark: SparkSession, root: String, version: Long): String = {
     val f = fs(spark, root)
     val in = f.open(manifestPath(root, version))
-    try {
-      val text = new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
-      text.linesIterator.filterNot(l => l.startsWith("#") || l.trim.isEmpty).toSeq
-    } finally in.close()
+    try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+    finally in.close()
   }
+
+  /** The file list a given version names (root-relative paths). */
+  def manifestFiles(spark: SparkSession, root: String, version: Long): Seq[String] =
+    manifestText(spark, root, version).linesIterator
+      .filterNot(l => l.startsWith("#") || l.trim.isEmpty).toSeq
+
+  /** Caller metadata committed WITH a version (`# meta:key=value` header
+    * lines) — rides the same atomic publish as the file list, so e.g. a
+    * pipeline's input-state fingerprint can never be newer or older than
+    * the data it describes. */
+  def manifestMeta(spark: SparkSession, root: String, version: Long): Map[String, String] =
+    manifestText(spark, root, version).linesIterator
+      .filter(_.startsWith(MetaPrefix))
+      .map(_.stripPrefix(MetaPrefix).split("=", 2))
+      .collect { case Array(k, v) => k -> v }
+      .toMap
+
+  private val MetaPrefix = "# meta:"
 
   /** Read the table at `version` (default: latest). */
   def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
@@ -131,7 +146,12 @@ object ManifestTable {
       root: String,
       op: String,
       newFiles: Seq[String],
-      base: Long => Seq[String]): Long = {
+      base: Long => Seq[String],
+      meta: Map[String, String] = Map.empty): Long = {
+    meta.foreach { case (k, v) =>
+      require(!k.contains("=") && !(k + v).exists(c => c == '\n' || c == '\r'),
+        s"manifest meta key/value must be line-safe and '='-free: $k")
+    }
     val f = fs(spark, root)
     f.mkdirs(new Path(s"$root/$LogDir"))
     var attempt = 0
@@ -140,6 +160,9 @@ object ManifestTable {
       val tip = versions(spark, root).lastOption.getOrElse(0L)
       val next = tip + 1
       val body = new StringBuilder(s"# graft-manifest version=$next op=$op\n")
+      meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        body.append(MetaPrefix).append(k).append('=').append(v).append('\n')
+      }
       (base(tip) ++ newFiles).foreach(p => body.append(p).append('\n'))
       val tmp = new Path(s"$root/$LogDir/.tmp-${UUID.randomUUID()}")
       val out = f.create(tmp, false)
@@ -156,24 +179,27 @@ object ManifestTable {
   }
 
   /** Create the table (version 1). Fails if a log already exists. */
-  def create(spark: SparkSession, root: String, df: DataFrame): Long = {
+  def create(spark: SparkSession, root: String, df: DataFrame,
+      meta: Map[String, String] = Map.empty): Long = {
     require(versions(spark, root).isEmpty, s"$root already has a manifest log")
     val staged = stage(spark, root, df)
-    commit(spark, root, "create", staged, _ => Seq.empty)
+    commit(spark, root, "create", staged, _ => Seq.empty, meta)
   }
 
   /** Append rows (new files beside every file the tip names). */
-  def append(spark: SparkSession, root: String, df: DataFrame): Long = {
+  def append(spark: SparkSession, root: String, df: DataFrame,
+      meta: Map[String, String] = Map.empty): Long = {
     val staged = stage(spark, root, df)
     commit(spark, root, "append", staged,
-      tip => if (tip == 0) Seq.empty else manifestFiles(spark, root, tip))
+      tip => if (tip == 0) Seq.empty else manifestFiles(spark, root, tip), meta)
   }
 
   /** Replace the table content (the tip's files drop out of the new
     * manifest; they stay on disk for time travel until [[vacuum]]). */
-  def overwrite(spark: SparkSession, root: String, df: DataFrame): Long = {
+  def overwrite(spark: SparkSession, root: String, df: DataFrame,
+      meta: Map[String, String] = Map.empty): Long = {
     val staged = stage(spark, root, df)
-    commit(spark, root, "overwrite", staged, _ => Seq.empty)
+    commit(spark, root, "overwrite", staged, _ => Seq.empty, meta)
   }
 
   /** OPTIMIZE: rewrite the current content into ceil(bytes/target) files

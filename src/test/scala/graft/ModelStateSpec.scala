@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.model.{Materialization, Model, Registry}
+import graft.model.IncrementalStrategy
+import graft.sources.ManifestTable
+
+/** The state-aware runner: rebuild only what changed (dbt
+  * `state:modified` analog), with the fingerprint riding the manifest
+  * commit. Counters inside the build closures prove a "skipped" model's
+  * build was NOT invoked — not just that the action map says so. */
+class ModelStateSpec extends SparkSpec {
+
+  private def freshDir(): String =
+    Files.createTempDirectory("model_state").toFile.getAbsolutePath
+
+  private def src: DataFrame = {
+    import spark.implicits._
+    (1 to 100).map(i => (i.toLong, i % 7, s"row$i")).toDF("id", "grp", "payload")
+  }
+
+  // a 3-level DAG: source -> view -> table(a) -> table(b)
+  private def dag(viewVer: String, aVer: String, bVer: String,
+      counts: Map[String, AtomicInteger]) = new Registry(Seq(
+    Model("v_clean", Seq("raw"), Materialization.View,
+      r => { counts("v_clean").incrementAndGet(); r("raw").filter(col("id") > 5) },
+      codeVersion = viewVer),
+    Model("t_agg", Seq("v_clean"), Materialization.Table,
+      r => { counts("t_agg").incrementAndGet()
+        r("v_clean").groupBy("grp").agg(count(lit(1)).as("n")) },
+      codeVersion = aVer),
+    Model("t_top", Seq("t_agg"), Materialization.Table,
+      r => { counts("t_top").incrementAndGet()
+        r("t_agg").orderBy(col("n").desc, col("grp")).limit(3) },
+      codeVersion = bVer)))
+
+  private def counters() = Map(
+    "v_clean" -> new AtomicInteger, "t_agg" -> new AtomicInteger,
+    "t_top" -> new AtomicInteger)
+
+  test("second identical run skips every table and invokes no table build") {
+    val dir = freshDir()
+    val c1 = counters()
+    val (rel1, act1) = dag("1", "1", "1", c1)
+      .runStateAware(spark, Map("raw" -> src), dir)
+    assert(act1 === Map("v_clean" -> "view", "t_agg" -> "built", "t_top" -> "built"))
+    val expected = rel1("t_top").collect().toSet
+
+    val c2 = counters()
+    val (rel2, act2) = dag("1", "1", "1", c2)
+      .runStateAware(spark, Map("raw" -> src), dir)
+    assert(act2 === Map("v_clean" -> "view", "t_agg" -> "skipped", "t_top" -> "skipped"))
+    assert(c2("t_agg").get() === 0 && c2("t_top").get() === 0,
+      "a skipped model's build closure ran")
+    assert(rel2("t_top").collect().toSet === expected)
+    // skipping did not add table versions
+    assert(ManifestTable.versions(spark, s"$dir/t_agg") === Seq(1L))
+  }
+
+  test("a mid-DAG code change rebuilds that model and its downstream, not upstream") {
+    val dir = freshDir()
+    dag("1", "1", "1", counters()).runStateAware(spark, Map("raw" -> src), dir)
+    val c = counters()
+    val (_, act) = dag("1", "2", "1", c) // t_agg logic "changed"
+      .runStateAware(spark, Map("raw" -> src), dir)
+    assert(act("t_agg") === "built", "changed model must rebuild")
+    assert(act("t_top") === "built", "downstream of a rebuilt table must rebuild (version bumped)")
+    assert(c("t_agg").get() === 1 && c("t_top").get() === 1)
+    assert(ManifestTable.versions(spark, s"$dir/t_agg") === Seq(1L, 2L))
+  }
+
+  test("a VIEW code change invalidates downstream tables (logic propagates through lazy models)") {
+    val dir = freshDir()
+    dag("1", "1", "1", counters()).runStateAware(spark, Map("raw" -> src), dir)
+    val c = counters()
+    val (_, act) = dag("2", "1", "1", c)
+      .runStateAware(spark, Map("raw" -> src), dir)
+    assert(act("t_agg") === "built" && act("t_top") === "built")
+  }
+
+  test("a source token change rebuilds the dependent chain; an unchanged token skips it") {
+    val dir = freshDir()
+    dag("1", "1", "1", counters()).runStateAware(spark, Map("raw" -> src), dir,
+      sourceTokens = Map("raw" -> "batch-2026-08-12"))
+    val (_, actSame) = dag("1", "1", "1", counters())
+      .runStateAware(spark, Map("raw" -> src), dir,
+        sourceTokens = Map("raw" -> "batch-2026-08-12"))
+    assert(actSame("t_agg") === "skipped" && actSame("t_top") === "skipped")
+    val (_, actNew) = dag("1", "1", "1", counters())
+      .runStateAware(spark, Map("raw" -> src), dir,
+        sourceTokens = Map("raw" -> "batch-2026-08-13"))
+    assert(actNew("t_agg") === "built" && actNew("t_top") === "built")
+  }
+
+  test("an incremental model forces its downstream to rebuild every run") {
+    val dir = freshDir()
+    val reg = new Registry(Seq(
+      Model("inc_log", Seq("raw"), Materialization.Incremental(IncrementalStrategy.Append),
+        r => r("raw").select("id", "payload")),
+      Model("t_count", Seq("inc_log"), Materialization.Table,
+        r => r("inc_log").agg(count(lit(1)).as("n")))))
+    val (rel1, act1) = reg.runStateAware(spark, Map("raw" -> src), dir)
+    assert(act1 === Map("inc_log" -> "incremental", "t_count" -> "built"))
+    assert(rel1("t_count").head().getLong(0) === 100L)
+    val (rel2, act2) = reg.runStateAware(spark, Map("raw" -> src), dir)
+    // append strategy applied the batch again -> content changed -> rebuild
+    assert(act2("t_count") === "built")
+    assert(rel2("t_count").head().getLong(0) === 200L)
+  }
+
+  test("orphaned staged files (a crashed build) do not poison the skip decision or the read") {
+    val dir = freshDir()
+    val (rel1, _) = dag("1", "1", "1", counters())
+      .runStateAware(spark, Map("raw" -> src), dir)
+    val expected = rel1("t_agg").collect().toSet
+    // crash simulation: a rebuild staged its files but never published
+    ManifestTable.stage(spark, s"$dir/t_agg", src.limit(3))
+    val (rel2, act2) = dag("1", "1", "1", counters())
+      .runStateAware(spark, Map("raw" -> src), dir)
+    assert(act2("t_agg") === "skipped")
+    assert(rel2("t_agg").collect().toSet === expected)
+  }
+}
