@@ -296,13 +296,38 @@ final class Registry(models: Seq[Model]) {
             }
           resolved(m.name) = ManifestTable.read(spark, root, Some(version))
           tokens(m.name) = s"v$version"
-        case Materialization.Incremental(_) =>
+        case Materialization.Incremental(strategy) =>
           // an incremental model applies its batch every run — its content
-          // token must differ run-to-run so downstream rebuilds; the build
-          // itself goes through the proven staging-swap path
-          val sub = new Registry(Seq(m))
-          resolved(m.name) = sub.run(spark, resolved.toMap, Some(tableDir))(m.name)
-          tokens(m.name) = s"inc-${java.util.UUID.randomUUID()}"
+          // token must differ run-to-run so downstream rebuilds. Here the
+          // batch lands through the manifest commit protocol instead of
+          // run()'s staging-swap: Append becomes ManifestTable.append —
+          // ATOMIC, which parquet mode("append") never was (a crashed
+          // legacy append left a torn file in the live dir; a crashed
+          // manifest append leaves an invisible orphan) — and
+          // DeleteInsert's merge commits as overwrite (old batches stay
+          // time-travelable until vacuum). The run()'s staging-swap path
+          // remains for non-manifest directories.
+          val root = s"$tableDir/${m.name}"
+          val tip = ManifestTable.versions(spark, root).lastOption
+          val version = tip match {
+            case None =>
+              ManifestTable.create(spark, root, m.build(resolved.toMap))
+            case Some(v) =>
+              val existing = ManifestTable.read(spark, root, Some(v))
+              val batch = m.build(resolved.toMap + ("this" -> existing))
+              strategy match {
+                case IncrementalStrategy.Append =>
+                  ManifestTable.append(spark, root, batch)
+                case IncrementalStrategy.DeleteInsert(uniqueKey) =>
+                  // same relational merge as run(): batch keys replace,
+                  // schema widens by name (append_new_columns)
+                  ManifestTable.overwrite(spark, root,
+                    existing.join(batch, Seq(uniqueKey), "left_anti")
+                      .unionByName(batch, allowMissingColumns = true))
+              }
+          }
+          resolved(m.name) = ManifestTable.read(spark, root, Some(version))
+          tokens(m.name) = s"v$version" // bumps every run → downstream rebuilds
           actions(m.name) = "incremental"
       }
     }

@@ -113,6 +113,51 @@ class ModelStateSpec extends SparkSpec {
     assert(rel2("t_count").head().getLong(0) === 200L)
   }
 
+  test("manifest-backed incremental: append is atomic (torn batch invisible) and versioned") {
+    val dir = freshDir()
+    val reg = new Registry(Seq(
+      Model("inc_log", Seq("raw"), Materialization.Incremental(IncrementalStrategy.Append),
+        r => r("raw").select("id", "payload"))))
+    reg.runStateAware(spark, Map("raw" -> src), dir)
+    reg.runStateAware(spark, Map("raw" -> src), dir)
+    val root = s"$dir/inc_log"
+    assert(ManifestTable.versions(spark, root) === Seq(1L, 2L))
+    assert(ManifestTable.read(spark, root).count() === 200L)
+    // crash mid-append: the batch staged but never published — the table
+    // must read EXACTLY the committed state (legacy parquet mode-append
+    // had no such guarantee: a torn file sat in the live directory)
+    ManifestTable.stage(spark, root, src.limit(7))
+    assert(ManifestTable.read(spark, root).count() === 200L)
+    // and the first batch is still time-travelable
+    assert(ManifestTable.read(spark, root, Some(1L)).count() === 100L)
+  }
+
+  test("manifest-backed delete+insert converges to the legacy staging-swap result") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "k", "amt")
+    val v2 = Seq((2L, "b2", 25), (4L, "d", 40)).toDF("id", "k", "amt")
+    def model = Model("state_tbl", Seq("obs"),
+      Materialization.Incremental(IncrementalStrategy.DeleteInsert("id")),
+      r => r("obs"))
+    // legacy path
+    val legacyDir = freshDir()
+    val legacy = new Registry(Seq(model))
+    legacy.run(spark, Map("obs" -> v1), Some(legacyDir))
+    val legacyOut = legacy.run(spark, Map("obs" -> v2), Some(legacyDir))("state_tbl")
+    // manifest path
+    val stateDir = freshDir()
+    val reg = new Registry(Seq(model))
+    reg.runStateAware(spark, Map("obs" -> v1), stateDir)
+    val (rel, _) = reg.runStateAware(spark, Map("obs" -> v2), stateDir)
+    val out = rel("state_tbl")
+    assert(out.exceptAll(legacyOut).isEmpty && legacyOut.exceptAll(out).isEmpty)
+    // the merged result: 1,3 carried, 2 replaced, 4 inserted
+    assert(out.count() === 4L)
+    assert(out.filter(col("id") === 2L).head().getString(1) === "b2")
+    // pre-merge state is still readable (version 1)
+    assert(ManifestTable.read(spark, s"$stateDir/state_tbl", Some(1L)).count() === 3L)
+  }
+
   test("orphaned staged files (a crashed build) do not poison the skip decision or the read") {
     val dir = freshDir()
     val (rel1, _) = dag("1", "1", "1", counters())
