@@ -10,6 +10,21 @@ import org.apache.spark.sql.SparkSession
   * cosine query would benchmark a row count, not the work).
   */
 object Bench {
+
+  /** The contamination self-check, factored out so the trigger rule is
+    * spec-pinned: among CLEAN passes (negative totals are the
+    * failed-pass sentinel and never participate), a >2× spread means an
+    * ambient-load window hit at least one pass — the round-6 driver
+    * artifact (pass totals [2005.5, 231.6]) is exactly the shape this
+    * flags. The min across passes is still the trustworthy statistic;
+    * the warning is about trusting the ARTIFACT without a re-run. */
+  def divergenceWarning(passTotals: Seq[Double]): Option[String] = {
+    val clean = passTotals.filter(_ >= 0)
+    if (clean.size >= 2 && clean.max > 2.0 * clean.min)
+      Some(f"[bench] WARNING: pass totals diverge >2x (${clean.min}%.1f s vs ${clean.max}%.1f s) — ambient load contaminated at least one pass; re-run on a quiet machine before trusting this artifact")
+    else None
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -92,9 +107,7 @@ object Bench {
     // self-identify a contaminated artifact: if clean pass totals diverge
     // >2x, an ambient-load window hit one pass — warn loudly so the
     // artifact is never trusted without a re-run
-    val cleanTotals = passTotals.filter(_ >= 0)
-    if (cleanTotals.size >= 2 && cleanTotals.max > 2.0 * cleanTotals.min)
-      System.err.println(f"[bench] WARNING: pass totals diverge >2x (${cleanTotals.min}%.1f s vs ${cleanTotals.max}%.1f s) — ambient load contaminated at least one pass; re-run on a quiet machine before trusting this artifact")
+    divergenceWarning(passTotals).foreach(System.err.println)
     // failed queries carry NEGATIVE seconds (sentinel) and a failed list,
     // and a run with ANY failure negates the headline total too — a query
     // that fails fast must never read as a faster run

@@ -194,6 +194,38 @@ object ManifestTable {
       tip => if (tip == 0) Seq.empty else manifestFiles(spark, root, tip), meta)
   }
 
+  /** Idempotent append — the exactly-once streaming-sink contract (the
+    * published Structured Streaming foreachBatch pattern; Delta's `txn`
+    * action): each commit records its (writer, batchId) in the manifest
+    * metadata, and a REPLAYED batch — batchId at or below the writer's
+    * high-water mark anywhere in the log — is acknowledged without
+    * writing anything. Re-delivery after a sink crash (foreachBatch's
+    * at-least-once) therefore lands each batch exactly once; the
+    * dedup decision rides the same atomic publish as the data, so there
+    * is no window where the batch is written but not recorded.
+    *
+    * One active instance per writerId is the caller's contract (a
+    * Structured Streaming query guarantees this for its own sink);
+    * DIFFERENT writers interleave freely through the normal commit race.
+    * The scan for the high-water mark is O(log size) driver-side text
+    * reads — bounded by [[vacuum]]'s manifest retention. */
+  def appendIdempotent(
+      spark: SparkSession,
+      root: String,
+      df: DataFrame,
+      writerId: String,
+      batchId: Long): Long = {
+    val key = s"txn-$writerId"
+    val vs = versions(spark, root)
+    val seen = vs.flatMap(v => manifestMeta(spark, root, v).get(key)).map(_.toLong)
+    if (seen.nonEmpty && batchId <= seen.max) vs.max // replay: already landed
+    else {
+      val meta = Map(key -> batchId.toString)
+      if (vs.isEmpty) create(spark, root, df, meta)
+      else append(spark, root, df, meta)
+    }
+  }
+
   /** Replace the table content (the tip's files drop out of the new
     * manifest; they stay on disk for time travel until [[vacuum]]). */
   def overwrite(spark: SparkSession, root: String, df: DataFrame,

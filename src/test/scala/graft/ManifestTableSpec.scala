@@ -96,6 +96,60 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root).count() === 14L)
   }
 
+  test("appendIdempotent lands a replayed batch exactly once (exactly-once sink contract)") {
+    val root = freshRoot()
+    val b0 = orders.limit(10)
+    val b1 = orders.limit(25)
+    ManifestTable.appendIdempotent(spark, root, b0, "w1", 0L)
+    assert(ManifestTable.read(spark, root).count() === 10L)
+    // crash-replay: batch 0 is re-delivered (foreachBatch at-least-once)
+    val v = ManifestTable.appendIdempotent(spark, root, b0, "w1", 0L)
+    assert(v === 1L, "replay must acknowledge the existing version, not commit")
+    assert(ManifestTable.read(spark, root).count() === 10L, "replayed batch duplicated rows")
+    // the next batch lands normally
+    ManifestTable.appendIdempotent(spark, root, b1, "w1", 1L)
+    assert(ManifestTable.read(spark, root).count() === 35L)
+    // an out-of-order stale replay after progress is also dropped
+    ManifestTable.appendIdempotent(spark, root, b0, "w1", 0L)
+    assert(ManifestTable.read(spark, root).count() === 35L)
+    // a DIFFERENT writer's batch 0 is independent state, not a replay
+    ManifestTable.appendIdempotent(spark, root, orders.limit(5), "w2", 0L)
+    assert(ManifestTable.read(spark, root).count() === 40L)
+  }
+
+  test("streamed foreachBatch ingest through appendIdempotent equals batch, including a replay") {
+    val srcDir = Files.createTempDirectory("manifest_stream_src").toString
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("manifest_stream_ckpt").toString
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema(docs.select("doc_id", "text", "lang").schema)
+      .parquet(srcDir)
+    var lastBatch = -1L
+    val query = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        ManifestTable.appendIdempotent(spark, root, batch, "ingest", id)
+        lastBatch = id
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      query.processAllAvailable()
+      docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(srcDir)
+      query.processAllAvailable()
+    } finally query.stop()
+    val n = ManifestTable.read(spark, root).count()
+    assert(n === docs.count())
+    // simulate the sink-side crash-replay of the LAST batch: re-deliver it
+    ManifestTable.appendIdempotent(spark, root,
+      docs.filter(col("doc_id") % 2 === 1), "ingest", lastBatch)
+    assert(ManifestTable.read(spark, root).count() === n,
+      "replayed final batch duplicated rows")
+    assert(ManifestTable.read(spark, root).exceptAll(docs).isEmpty)
+  }
+
   test("empty-table guard: reading a non-table or an unknown version fails loudly") {
     val root = freshRoot()
     intercept[IllegalArgumentException] { ManifestTable.read(spark, root) }
