@@ -610,6 +610,29 @@ object SparkEntry {
         takeLatest = Seq("status", "last_order"), sumCols = Seq("n_orders"))
     }),
 
+    "lake3_changes_since" -> ((s, dir) => {
+      // incremental consumption (change-data-feed): a consumer whose
+      // cursor is version 2 must see EXACTLY the batch version 3
+      // appended — not the snapshot, not a rescan. The oracle re-derives
+      // that batch's aggregate from the source; any leakage of v1/v2
+      // rows into the delta breaks the hash.
+      val root = java.nio.file.Files.createTempDirectory("lake3_cdf")
+      val orders = t(s, dir, "orders")
+      graft.sources.ManifestTable.create(s, root.toString,
+        orders.filter(col("o_orderstatus") === "F"))
+      val cursor = graft.sources.ManifestTable.append(s, root.toString,
+        orders.filter(col("o_orderstatus") === "O"))
+      graft.sources.ManifestTable.append(s, root.toString,
+        orders.filter(col("o_orderstatus") === "P"))
+      val (delta, tip) = graft.sources.ManifestTable
+        .readChangesSince(s, root.toString, cursor)
+      delta.groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .select(lit(tip).as("tip_version"), col("o_orderstatus"),
+          col("n_orders"), col("total_price"))
+    }),
+
     "lake2_state_skip" -> ((s, dir) => {
       // the state-aware runner (dbt `state:modified` analog) under the
       // oracle: run a view→table DAG twice with identical input state;
@@ -3417,6 +3440,13 @@ object SparkEntry {
          |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) AS valid_to,
          |       (lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) IS NULL) AS is_current
          |FROM changes""").stripMargin,
+
+    "lake3_changes_since" -> // the delta from cursor v2 to tip v3 is the
+      // 'P' append alone; the tip version is a literal mirror
+      (s"""SELECT CAST(3 AS BIGINT) AS tip_version, o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders WHERE o_orderstatus = 'P' GROUP BY o_orderstatus""").stripMargin,
 
     "lake2_state_skip" -> // run 1 builds, run 2 skips — the actions are
       // literal mirrors, so a skip that didn't happen breaks the hash;

@@ -123,6 +123,41 @@ object ManifestTable {
     else spark.read.parquet(files.map(p => s"$root/$p"): _*)
   }
 
+  /** Incremental consumption — the change-data-feed a downstream pipeline
+    * reads instead of rescanning the table: the rows ADDED after
+    * `sinceVersion`, i.e. the files the tip manifest names that
+    * `sinceVersion`'s does not. Returns (added rows, tip version); the
+    * consumer processes the frame, records the tip as its new cursor, and
+    * repeats — with [[appendIdempotent]] on the producer side this is an
+    * end-to-end exactly-once incremental pipeline.
+    *
+    * Sound ONLY while the lineage sinceVersion→tip is append-only: an
+    * overwrite or compact in between removed/rewrote files, so "what was
+    * added" is no longer the delta — this throws and the consumer must
+    * full-refresh (the same contract Structured Streaming exposes when
+    * reading a transactional table as a source: appends stream,
+    * arbitrary changes require a restart). Detection is structural — the
+    * old file set must survive into the tip — never op-name trust. */
+  def readChangesSince(
+      spark: SparkSession,
+      root: String,
+      sinceVersion: Long): (DataFrame, Long) = {
+    val vs = versions(spark, root)
+    require(vs.contains(sinceVersion),
+      s"version $sinceVersion not in log (have ${vs.mkString(",")}) — cursor invalid")
+    val tip = vs.max
+    val old = manifestFiles(spark, root, sinceVersion).toSet
+    val cur = manifestFiles(spark, root, tip)
+    require(old.subsetOf(cur.toSet),
+      s"non-append change between v$sinceVersion and v$tip (files were removed/rewritten) — incremental read unsound, full refresh required")
+    val added = cur.filterNot(old)
+    val df =
+      if (added.isEmpty)
+        read(spark, root, Some(tip)).limit(0) // empty, but schema-correct
+      else spark.read.parquet(added.map(p => s"$root/$p"): _*)
+    (df, tip)
+  }
+
   /** Stage `df` as immutable data files under a fresh tx dir; returns the
     * root-relative paths. Public for the crash-simulation spec: staging
     * WITHOUT a subsequent commit is exactly the torn-write state, and the

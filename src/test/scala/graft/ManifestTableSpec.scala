@@ -150,6 +150,50 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root).exceptAll(docs).isEmpty)
   }
 
+  test("readChangesSince feeds exactly the appended batches; cursor-advance loop is lossless") {
+    val root = freshRoot()
+    val b1 = orders.limit(10)
+    val b2 = orders.limit(25)
+    val b3 = orders.limit(40)
+    val v1 = ManifestTable.create(spark, root, b1)
+    // consumer starts at v1, producer appends two batches
+    ManifestTable.append(spark, root, b2)
+    ManifestTable.append(spark, root, b3)
+    val (delta, cursor) = ManifestTable.readChangesSince(spark, root, v1)
+    assert(delta.count() === 65L, "delta must be batches 2+3, not the full table")
+    assert(cursor === 3L)
+    // caught up: the delta from the tip is empty but schema-correct
+    val (empty, c2) = ManifestTable.readChangesSince(spark, root, cursor)
+    assert(empty.count() === 0L && c2 === 3L)
+    assert(empty.schema === orders.schema)
+    // full stream = initial snapshot + every delta (losslessness)
+    val all = ManifestTable.read(spark, root)
+    assert(ManifestTable.read(spark, root, Some(v1)).unionAll(delta)
+      .exceptAll(all).isEmpty)
+  }
+
+  test("readChangesSince refuses a non-append lineage (overwrite/compact) — full refresh required") {
+    val root = freshRoot()
+    val v1 = ManifestTable.create(spark, root, orders.limit(10))
+    ManifestTable.append(spark, root, orders.limit(5))
+    ManifestTable.overwrite(spark, root, orders.limit(3))
+    intercept[IllegalArgumentException] {
+      ManifestTable.readChangesSince(spark, root, v1)
+    }
+    // compaction likewise rewrites files: structurally detected, not op-name trust
+    val root2 = freshRoot()
+    val w1 = ManifestTable.create(spark, root2, orders.limit(10).repartition(4))
+    ManifestTable.append(spark, root2, orders.limit(5))
+    ManifestTable.compact(spark, root2, 64L * 1024 * 1024)
+    intercept[IllegalArgumentException] {
+      ManifestTable.readChangesSince(spark, root2, w1)
+    }
+    // a stale cursor (vacuumed-away version) is invalid, loudly
+    intercept[IllegalArgumentException] {
+      ManifestTable.readChangesSince(spark, root, 99L)
+    }
+  }
+
   test("empty-table guard: reading a non-table or an unknown version fails loudly") {
     val root = freshRoot()
     intercept[IllegalArgumentException] { ManifestTable.read(spark, root) }
