@@ -225,6 +225,31 @@ final class Registry(models: Seq[Model]) {
     resolved.toMap
   }
 
+  /** Maintenance for [[runStateAware]] warehouses: every rebuild commits
+    * a new table version and the superseded files stay on disk for time
+    * travel — unbounded, they accumulate one table copy per code/input
+    * change. Vacuums every manifest-managed model table down to
+    * `keepVersions`, sweeping crashed-build orphans with it. Call from
+    * the same scheduler slot that runs the pipeline, never concurrently
+    * with it (ManifestTable.vacuum's no-clock contract).
+    *
+    * @return deleted data-file count per model (only models with an
+    *         existing manifest table appear)
+    */
+  def vacuumTables(
+      spark: SparkSession,
+      tableDir: String,
+      keepVersions: Int = 1): Map[String, Int] =
+    topoOrder.flatMap { m =>
+      val root = s"$tableDir/${m.name}"
+      m.materialization match {
+        case Materialization.View => None
+        case _ if graft.sources.ManifestTable.versions(spark, root).isEmpty => None
+        case _ =>
+          Some(m.name -> graft.sources.ManifestTable.vacuum(spark, root, keepVersions))
+      }
+    }.toMap
+
   /** State-aware run — the dbt `state:modified`+`defer` analog: a
     * Table-materialized model is REBUILT only when its input state
     * changed, otherwise the existing table is read as-is.

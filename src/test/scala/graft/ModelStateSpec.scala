@@ -158,6 +158,25 @@ class ModelStateSpec extends SparkSpec {
     assert(ManifestTable.read(spark, s"$stateDir/state_tbl", Some(1L)).count() === 3L)
   }
 
+  test("vacuumTables reclaims superseded table versions across the DAG, keeping the tip readable") {
+    val dir = freshDir()
+    dag("1", "1", "1", counters()).runStateAware(spark, Map("raw" -> src), dir)
+    dag("1", "2", "1", counters()).runStateAware(spark, Map("raw" -> src), dir)
+    dag("1", "3", "1", counters()).runStateAware(spark, Map("raw" -> src), dir)
+    assert(ManifestTable.versions(spark, s"$dir/t_agg") === Seq(1L, 2L, 3L))
+    val reg = dag("1", "3", "1", counters())
+    val (relBefore, _) = reg.runStateAware(spark, Map("raw" -> src), dir)
+    val expected = relBefore("t_top").collect().toSet
+    val deleted = reg.vacuumTables(spark, dir, keepVersions = 1)
+    assert(deleted.keySet === Set("t_agg", "t_top"))
+    assert(deleted.values.sum > 0, "nothing reclaimed despite three table generations")
+    assert(ManifestTable.versions(spark, s"$dir/t_agg") === Seq(3L))
+    // the tip still reads and the next run still skips
+    val (rel, act) = reg.runStateAware(spark, Map("raw" -> src), dir)
+    assert(act("t_agg") === "skipped" && act("t_top") === "skipped")
+    assert(rel("t_top").collect().toSet === expected)
+  }
+
   test("orphaned staged files (a crashed build) do not poison the skip decision or the read") {
     val dir = freshDir()
     val (rel1, _) = dag("1", "1", "1", counters())
