@@ -1643,6 +1643,22 @@ object SparkEntry {
       DedupOps.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, minShared = 2L, minJaccard = 0.1, maxShingleFreq = Some(20L))),
 
+    "dd6_cross_corpus" -> ((s, dir) => {
+      // benchmark decontamination at the NEAR-DUP tier (ctm1/ctm2 are the
+      // exact-containment tier): corpus docs near-dupping any probe doc.
+      // Probe set = doc_id % 37 == 0 (a deterministic stand-in benchmark
+      // suite), corpus = the rest — disjoint, so every pair is a genuine
+      // cross-corpus hit. Jaccard uses FULL shingle-set sizes on both
+      // sides (the cap only bounds which shingles may generate pairs) —
+      // mirrored in the oracle.
+      val docs = t(s, dir, "documents")
+      DedupOps.crossCorpusNearDupPairs(
+        docs.filter(col("doc_id") % 37 =!= 0),
+        docs.filter(col("doc_id") % 37 === 0),
+        "doc_id", "text", n = 3, minShared = 2L, minJaccard = 0.1,
+        maxCorpusShingleFreq = 20L)
+    }),
+
     "dd3_neardup_survivors" -> ((s, dir) => {
       // the terminal dedup deliverable: the KEPT document set after
       // dropping greater-id members of each near-dup pair
@@ -2820,6 +2836,39 @@ object SparkEntry {
          |)
          |SELECT CAST(min(doc_id) AS BIGINT) AS keep_doc_id, CAST(count(*) AS BIGINT) AS n_copies
          |FROM kept GROUP BY text""").stripMargin,
+
+    "dd6_cross_corpus" -> // the cap is computed on CORPUS document
+      // frequency (equal on survivors to the full-corpus df, since a
+      // probe semi-join drops whole shingles, never a shingle's docs);
+      // jaccard uses full shingle-set sizes on both sides
+      ("""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |), idx AS (
+         |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks
+         |), sh0 AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM idx
+         |), csh AS (
+         |  SELECT doc_id AS corpus_id, shingle FROM sh0 WHERE doc_id % 37 <> 0
+         |), psh AS (
+         |  SELECT doc_id AS probe_id, shingle FROM sh0 WHERE doc_id % 37 = 0
+         |), kept AS (
+         |  SELECT shingle FROM csh GROUP BY shingle HAVING count(*) <= 20
+         |), pr AS (
+         |  SELECT corpus_id, probe_id, count(*) AS shared
+         |  FROM csh JOIN kept USING (shingle) JOIN psh USING (shingle)
+         |  GROUP BY 1, 2
+         |), csz AS (
+         |  SELECT doc_id AS corpus_id, count(*) AS n_c FROM sh0
+         |  WHERE doc_id % 37 <> 0 GROUP BY 1
+         |), psz AS (
+         |  SELECT doc_id AS probe_id, count(*) AS n_p FROM sh0
+         |  WHERE doc_id % 37 = 0 GROUP BY 1
+         |)
+         |SELECT corpus_id, probe_id, CAST(shared AS BIGINT) AS shared_shingles,
+         |       round(CAST(shared AS DOUBLE) / (n_c + n_p - shared), 4) AS jaccard
+         |FROM pr JOIN csz USING (corpus_id) JOIN psz USING (probe_id)
+         |WHERE shared >= 2
+         |  AND CAST(shared AS DOUBLE) / (n_c + n_p - shared) >= 0.1""").stripMargin,
 
     "dd2_ngram_jaccard" ->
       ("""WITH toks AS (

@@ -149,6 +149,63 @@ object DedupOps {
       .select("doc_a", "doc_b", "shared_shingles", "jaccard")
   }
 
+  /** Cross-corpus near-duplicate pairs: every (corpus doc, probe doc)
+    * sharing ≥ `minShared` shingles with jaccard ≥ `minJaccard` — the
+    * NEAR-DUP tier of benchmark decontamination, catching lightly edited
+    * benchmark copies that the exact n-gram containment screen
+    * (ContaminationOps) misses. The kept corpus is
+    * `corpus ANTI-JOIN pairs` exactly as in [[nearDupSurvivors]].
+    *
+    * Shape, for the production asymmetry (corpus = the 100 TB side,
+    * probes = a benchmark suite, thousands of docs):
+    *  1. the probe shingle table is tiny → BROADCAST; the corpus's
+    *     exploded shingles semi-join against it first, so ~all corpus
+    *     shingles die before anything aggregates — per-row work is the
+    *     shingling itself, the exchange carries only probe-shingle hits;
+    *  2. the stop-shingle cap is applied to the corpus document
+    *     frequency OF THE SURVIVORS — identical semantics to capping on
+    *     full-corpus df (a semi-join on shingle drops whole shingles,
+    *     never a surviving shingle's documents) at a fraction of the
+    *     cost;
+    *  3. pair fan-out per shingle is then (df ≤ cap) × (probe df),
+    *     bounded, and the pair aggregation shuffles (corpus_id,
+    *     probe_id) rows only.
+    */
+  def crossCorpusNearDupPairs(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minShared: Long = 2L,
+      minJaccard: Double = 0.1,
+      maxCorpusShingleFreq: Long = 20L
+  ): DataFrame = {
+    require(maxCorpusShingleFreq > 0, "maxCorpusShingleFreq must be positive")
+    val c = widen(corpus.select(col(idCol).as("corpus_id"), col(textCol).as("__text")))
+    val p = probes.select(col(idCol).as("probe_id"), col(textCol).as("__text"))
+    val cSh = c.select(col("corpus_id"), explode(shingles(col("__text"), n)).as("shingle"))
+    val pSh = p.select(col("probe_id"), explode(shingles(col("__text"), n)).as("shingle"))
+    val cSizes = c.select(col("corpus_id"), size(shingles(col("__text"), n)).as("n_c"))
+    val pSizes = p.select(col("probe_id"), size(shingles(col("__text"), n)).as("n_p"))
+    val hits = cSh.join(broadcast(pSh.select("shingle").distinct()), Seq("shingle"), "left_semi")
+    val kept = hits.join(
+      hits.groupBy("shingle").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxCorpusShingleFreq)
+        .select("shingle"),
+      Seq("shingle"), "left_semi")
+    kept.join(broadcast(pSh), Seq("shingle"))
+      .groupBy("corpus_id", "probe_id")
+      .agg(count(lit(1)).as("shared_shingles"))
+      .join(cSizes, Seq("corpus_id"))
+      .join(broadcast(pSizes), Seq("probe_id"))
+      .withColumn("jaccard",
+        round(col("shared_shingles").cast("double") /
+          (col("n_c") + col("n_p") - col("shared_shingles")), 4))
+      .filter(col("shared_shingles") >= minShared && col("jaccard") >= minJaccard)
+      .select("corpus_id", "probe_id", "shared_shingles", "jaccard")
+  }
+
   /** Greedy near-duplicate retention — the terminal step of every near-dup
     * pipeline: given candidate pairs with `doc_a < doc_b`, drop every
     * document that appears as the larger side of a pair. For a clique of

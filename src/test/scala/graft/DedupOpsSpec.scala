@@ -53,6 +53,42 @@ class DedupOpsSpec extends SparkSpec {
     assert(j01.getAs[Double]("jaccard") === 1.0) // identical docs
   }
 
+  test("crossCorpusNearDupPairs: planted cross hits found, within-corpus dups ignored, probe side broadcast") {
+    // corpus: base + its exact dup (a WITHIN-corpus pair — must NOT
+    // surface) + unrelated; probes: a near-dup of base + an unrelated doc
+    val corpus = Seq((10L, base), (11L, base), (12L, unrelated1)).toDF("doc_id", "text")
+    val probes = Seq((90L, nearDup), (91L, unrelated2)).toDF("doc_id", "text")
+    val out = DedupOps.crossCorpusNearDupPairs(corpus, probes, "doc_id", "text",
+      n = 3, minShared = 2, minJaccard = 0.1)
+    val pairs = out.select("corpus_id", "probe_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((10L, 90L), (11L, 90L)),
+      s"expected both base copies to hit the probe near-dup only, got $pairs")
+    // jaccard exactness: identical text on both sides → 1.0
+    val exact = DedupOps.crossCorpusNearDupPairs(corpus,
+      Seq((95L, base)).toDF("doc_id", "text"), "doc_id", "text", 3, 1, 0.0)
+      .filter(col("corpus_id") === 10L).head
+    assert(exact.getAs[Double]("jaccard") === 1.0)
+    // the probe side must broadcast (the production asymmetry)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"probe side not broadcast:\n$plan")
+  }
+
+  test("crossCorpusNearDupPairs: the corpus-df cap kills stop-shingle fan-out") {
+    // 25 corpus docs all sharing one stop phrase; the probe contains it too
+    val stop = "lorem ipsum dolor sit amet again"
+    val corpus = (0 until 25).map(i => (i.toLong, s"$stop unique$i tail$i"))
+      .toDF("doc_id", "text")
+    val probes = Seq((99L, s"$stop probe tail")).toDF("doc_id", "text")
+    val capped = DedupOps.crossCorpusNearDupPairs(corpus, probes, "doc_id", "text",
+      n = 3, minShared = 1, minJaccard = 0.0, maxCorpusShingleFreq = 20L)
+    assert(capped.count() === 0,
+      "stop-shingles past the df cap must not generate pairs")
+    val uncapped = DedupOps.crossCorpusNearDupPairs(corpus, probes, "doc_id", "text",
+      n = 3, minShared = 1, minJaccard = 0.0, maxCorpusShingleFreq = 1000L)
+    assert(uncapped.count() === 25, "with a high cap every corpus doc pairs with the probe")
+  }
+
   test("minHash signature: identical texts identical sigs; est_jaccard tracks true jaccard") {
     val pairs = DedupOps.minHashNearDupPairs(docs, "doc_id", "text",
       numHashes = 64, bands = 16, minEstJaccard = 0.3).cache()
