@@ -112,15 +112,58 @@ object ManifestTable {
 
   private val MetaPrefix = "# meta:"
 
-  /** Read the table at `version` (default: latest). */
+  /** Read the table at `version` (default: latest).
+    *
+    * The schema comes from the MANIFEST (committed with the data), never
+    * from sampling parquet footers — at 100 TB a footer-merge pass over
+    * the file list is a job of its own, and the log already knows the
+    * answer. Files written before a widening append simply lack the new
+    * columns and read them as NULL (the parquet reader back-fills
+    * against the provided schema — same contract as src5's
+    * schema-evolution reads). Pre-schema manifests (none in practice)
+    * fall back to footer inference. */
   def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
     val v = version.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not in log (have ${vs.mkString(",")})")
     val files = manifestFiles(spark, root, v)
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files.map(p => s"$root/$p"): _*)
+    val stored = manifestMeta(spark, root, v).get(SchemaKey)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    (files, stored) match {
+      case (Nil, Some(s)) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case (Nil, None) => spark.emptyDataFrame
+      case (fs, Some(s)) => spark.read.schema(s).parquet(fs.map(p => s"$root/$p"): _*)
+      case (fs, None) => spark.read.parquet(fs.map(p => s"$root/$p"): _*)
+    }
+  }
+
+  /** The committed schema at `version` (absent only for pre-schema logs). */
+  def schemaOf(spark: SparkSession, root: String, version: Long): Option[org.apache.spark.sql.types.StructType] =
+    manifestMeta(spark, root, version).get(SchemaKey)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  private val SchemaKey = "schema"
+
+  /** Widening-only schema merge: common columns must keep their exact
+    * type; columns new in `b` append. The table schema only ever widens
+    * (dbt on_schema_change: append_new_columns — same rule as the
+    * incremental materialization's unionByName). */
+  private def widenSchema(
+      a: org.apache.spark.sql.types.StructType,
+      b: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    val aByName = a.fields.map(f => f.name -> f).toMap
+    b.fields.foreach { f =>
+      aByName.get(f.name).foreach { old =>
+        require(old.dataType == f.dataType,
+          s"schema conflict on '${f.name}': table has ${old.dataType}, batch has ${f.dataType}")
+      }
+    }
+    org.apache.spark.sql.types.StructType(
+      a.fields ++ b.fields.filterNot(f => aByName.contains(f.name)))
   }
 
   /** Incremental consumption — the change-data-feed a downstream pipeline
@@ -154,7 +197,12 @@ object ManifestTable {
     val df =
       if (added.isEmpty)
         read(spark, root, Some(tip)).limit(0) // empty, but schema-correct
-      else spark.read.parquet(added.map(p => s"$root/$p"): _*)
+      else schemaOf(spark, root, tip) match {
+        // the TIP schema, so a delta spanning a widening append reads
+        // the new columns (NULL-backfilled in pre-widening files)
+        case Some(s) => spark.read.schema(s).parquet(added.map(p => s"$root/$p"): _*)
+        case None => spark.read.parquet(added.map(p => s"$root/$p"): _*)
+      }
     (df, tip)
   }
 
@@ -182,11 +230,7 @@ object ManifestTable {
       op: String,
       newFiles: Seq[String],
       base: Long => Seq[String],
-      meta: Map[String, String] = Map.empty): Long = {
-    meta.foreach { case (k, v) =>
-      require(!k.contains("=") && !(k + v).exists(c => c == '\n' || c == '\r'),
-        s"manifest meta key/value must be line-safe and '='-free: $k")
-    }
+      metaAt: Long => Map[String, String]): Long = {
     val f = fs(spark, root)
     f.mkdirs(new Path(s"$root/$LogDir"))
     var attempt = 0
@@ -194,6 +238,14 @@ object ManifestTable {
       attempt += 1
       val tip = versions(spark, root).lastOption.getOrElse(0L)
       val next = tip + 1
+      // metadata re-resolves against the tip the retry lands on, exactly
+      // like the file base — an append's widened schema must widen the
+      // WINNER's schema, not the one this committer first read
+      val meta = metaAt(tip)
+      meta.foreach { case (k, v) =>
+        require(!k.contains("=") && !(k + v).exists(c => c == '\n' || c == '\r'),
+          s"manifest meta key/value must be line-safe and '='-free: $k")
+      }
       val body = new StringBuilder(s"# graft-manifest version=$next op=$op\n")
       meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
         body.append(MetaPrefix).append(k).append('=').append(v).append('\n')
@@ -217,16 +269,29 @@ object ManifestTable {
   def create(spark: SparkSession, root: String, df: DataFrame,
       meta: Map[String, String] = Map.empty): Long = {
     require(versions(spark, root).isEmpty, s"$root already has a manifest log")
+    val schemaJson = df.schema.json
     val staged = stage(spark, root, df)
-    commit(spark, root, "create", staged, _ => Seq.empty, meta)
+    commit(spark, root, "create", staged, _ => Seq.empty,
+      _ => meta + (SchemaKey -> schemaJson))
   }
 
-  /** Append rows (new files beside every file the tip names). */
+  /** Append rows (new files beside every file the tip names). The batch
+    * schema may WIDEN the table (new columns append; common columns must
+    * keep their type — dbt on_schema_change: append_new_columns); older
+    * files read the new columns as NULL via the manifest schema. */
   def append(spark: SparkSession, root: String, df: DataFrame,
       meta: Map[String, String] = Map.empty): Long = {
+    val batchSchema = df.schema
     val staged = stage(spark, root, df)
     commit(spark, root, "append", staged,
-      tip => if (tip == 0) Seq.empty else manifestFiles(spark, root, tip), meta)
+      tip => if (tip == 0) Seq.empty else manifestFiles(spark, root, tip),
+      tip => {
+        val merged =
+          if (tip == 0) batchSchema
+          else schemaOf(spark, root, tip)
+            .map(widenSchema(_, batchSchema)).getOrElse(batchSchema)
+        meta + (SchemaKey -> merged.json)
+      })
   }
 
   /** Idempotent append — the exactly-once streaming-sink contract (the
@@ -265,8 +330,10 @@ object ManifestTable {
     * manifest; they stay on disk for time travel until [[vacuum]]). */
   def overwrite(spark: SparkSession, root: String, df: DataFrame,
       meta: Map[String, String] = Map.empty): Long = {
+    val schemaJson = df.schema.json
     val staged = stage(spark, root, df)
-    commit(spark, root, "overwrite", staged, _ => Seq.empty, meta)
+    commit(spark, root, "overwrite", staged, _ => Seq.empty,
+      _ => meta + (SchemaKey -> schemaJson))
   }
 
   /** OPTIMIZE: rewrite the current content into ceil(bytes/target) files
@@ -283,9 +350,11 @@ object ManifestTable {
     }
     val totalBytes = tipFiles.map(p => f.getFileStatus(new Path(s"$root/$p")).getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val staged = stage(spark, root,
-      read(spark, root).repartition(nFiles))
-    (commit(spark, root, "compact", staged, _ => Seq.empty), staged.size)
+    val current = read(spark, root)
+    val schemaJson = current.schema.json
+    val staged = stage(spark, root, current.repartition(nFiles))
+    (commit(spark, root, "compact", staged, _ => Seq.empty,
+      _ => Map(SchemaKey -> schemaJson)), staged.size)
   }
 
   /** Reclaim space: retain the last `keepVersions` manifests, delete

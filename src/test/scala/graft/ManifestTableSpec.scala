@@ -194,6 +194,33 @@ class ManifestTableSpec extends SparkSpec {
     }
   }
 
+  test("the schema rides the manifest: widening append back-fills NULL, time travel keeps old shapes") {
+    import spark.implicits._
+    val root = freshRoot()
+    val gen1 = Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+    val gen2 = Seq((3L, "c", 30.0), (4L, "d", 40.0)).toDF("id", "k", "score")
+    ManifestTable.create(spark, root, gen1)
+    val v2 = ManifestTable.append(spark, root, gen2)
+    // the union schema is committed in the log, not sniffed from footers
+    assert(ManifestTable.schemaOf(spark, root, v2).get.fieldNames.toSeq
+      === Seq("id", "k", "score"))
+    val tip = ManifestTable.read(spark, root)
+    assert(tip.columns.toSeq === Seq("id", "k", "score"))
+    assert(tip.count() === 4L)
+    // gen1 files predate `score`: read as NULL against the stored schema
+    assert(tip.filter(col("score").isNull).select("id")
+      .as[Long].collect().toSet === Set(1L, 2L))
+    // time travel reads version 1 with its OWN narrower schema
+    assert(ManifestTable.read(spark, root, Some(1L)).columns.toSeq === Seq("id", "k"))
+    // a type conflict on a shared column refuses loudly
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, root, Seq(("x", "y", 1.0)).toDF("id", "k", "score"))
+    }
+    // the change-data-feed across the widening reads the TIP schema
+    val (delta, _) = ManifestTable.readChangesSince(spark, root, 1L)
+    assert(delta.columns.toSeq === Seq("id", "k", "score") && delta.count() === 2L)
+  }
+
   test("empty-table guard: reading a non-table or an unknown version fails loudly") {
     val root = freshRoot()
     intercept[IllegalArgumentException] { ManifestTable.read(spark, root) }
