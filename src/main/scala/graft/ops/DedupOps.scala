@@ -189,11 +189,20 @@ object DedupOps {
     val cSizes = c.select(col("corpus_id"), size(shingles(col("__text"), n)).as("n_c"))
     val pSizes = p.select(col("probe_id"), size(shingles(col("__text"), n)).as("n_p"))
     val hits = cSh.join(broadcast(pSh.select("shingle").distinct()), Seq("shingle"), "left_semi")
-    val kept = hits.join(
-      hits.groupBy("shingle").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= maxCorpusShingleFreq)
-        .select("shingle"),
-      Seq("shingle"), "left_semi")
+    // ONE bounded aggregation applies the df cap and collects the
+    // surviving doc lists (dd2's capped-heap pattern): a separate
+    // df-count pass would consume `hits` twice and Catalyst re-shingles
+    // the whole corpus for each consumer — at 100 TB that doubles the
+    // dominant scan+shingle cost. The graft_topk heap holds ≤ cap+1
+    // corpus ids per shingle (a heap that FILLS to cap+1 proves
+    // df > cap — the drop condition), so a stop-shingle can never blow
+    // an executor buffer either.
+    graft.functions.NativeExpressions.register(corpus.sparkSession)
+    val kept = hits.groupBy("shingle")
+      .agg(expr(s"graft_topk(-CAST(corpus_id AS DOUBLE), corpus_id, ${maxCorpusShingleFreq + 1})").as("top"))
+      .filter(size(col("top")) <= maxCorpusShingleFreq)
+      .select(col("shingle"),
+        explode(transform(col("top"), t => t.getField("payload").cast("long"))).as("corpus_id"))
     kept.join(broadcast(pSh), Seq("shingle"))
       .groupBy("corpus_id", "probe_id")
       .agg(count(lit(1)).as("shared_shingles"))
