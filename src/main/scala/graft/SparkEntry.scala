@@ -610,6 +610,30 @@ object SparkEntry {
         takeLatest = Seq("status", "last_order"), sumCols = Seq("n_orders"))
     }),
 
+    "lake4_stats_pruned" -> ((s, dir) => {
+      // data skipping off the manifest (sources/ManifestStats): the
+      // table commits range-clustered on o_orderdate with per-file
+      // min/max stats, and the predicate read plans its file set from
+      // the manifest header alone. `pruned_some` is a literal mirror
+      // (oracle: TRUE) — if pruning ever stops dropping files on this
+      // layout, the hash breaks loudly; the relational result must
+      // equal the unpruned filter exactly (the soundness contract).
+      val root = java.nio.file.Files.createTempDirectory("lake4_stats")
+      val orders = t(s, dir, "orders")
+      graft.sources.ManifestTable.create(s, root.toString,
+        orders.repartitionByRange(8, col("o_orderdate")),
+        statsColumns = Seq("o_orderdate", "o_totalprice"))
+      val f = col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-07-01").cast("timestamp")
+      val (_, dropped, _) = graft.sources.ManifestTable.pruneFiles(s, root.toString, f)
+      graft.sources.ManifestTable.readPruned(s, root.toString, f)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .select(lit(dropped.nonEmpty).as("pruned_some"), col("o_orderstatus"),
+          col("n_orders"), col("total_price"))
+    }),
+
     "lake3_changes_since" -> ((s, dir) => {
       // incremental consumption (change-data-feed): a consumer whose
       // cursor is version 2 must see EXACTLY the batch version 3
@@ -3489,6 +3513,17 @@ object SparkEntry {
          |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) AS valid_to,
          |       (lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) IS NULL) AS is_current
          |FROM changes""").stripMargin,
+
+    "lake4_stats_pruned" -> // the stats-pruned scan must equal the plain
+      // filtered aggregate (pruning is an optimization, never a
+      // semantics change); pruned_some mirrors the observed file drop
+      (s"""SELECT TRUE AS pruned_some, o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-07-01'
+         |GROUP BY o_orderstatus""").stripMargin,
 
     "lake3_changes_since" -> // the delta from cursor v2 to tip v3 is the
       // 'P' append alone; the tip version is a literal mirror

@@ -1,0 +1,329 @@
+package graft.sources
+
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, sum, when}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-file column statistics for [[ManifestTable]] — the data-skipping
+  * half of the lakehouse design (Delta paper §4.2 "Data Layout
+  * Optimization"; Iceberg's per-file value ranges): each data file
+  * commits with min/max/nullCount per tracked column and its row count,
+  * and a predicate read consults the stats to drop whole files before
+  * Spark ever opens a footer.
+  *
+  * Why this matters at 100 TB: partition pruning only helps along the
+  * partition key. With range-clustered files (writers use
+  * `repartitionByRange` on the cluster column), a selective predicate on
+  * that column skips all but a handful of files — the scan cost becomes
+  * O(selectivity), not O(table). The stats live in the manifest header,
+  * so planning stays a driver-side text read: no footer sampling, no
+  * file listing, no extra job.
+  *
+  * Soundness contract: pruning is KEEP-BIASED. A file is dropped only
+  * when the stats PROVE no row can satisfy the predicate; any
+  * unrecognized expression shape, missing stats entry, or non-finite
+  * float bound keeps the file. The full filter is re-applied to the
+  * surviving files, so pruning can never change query results — only
+  * how many files the scan touches.
+  *
+  * Canonical stat encoding (line-safe, order-preserving per type):
+  *  - integral/decimal/float/double → plain BigDecimal string
+  *    (non-finite floats drop the bound — NaN/Inf carry no range info);
+  *  - string → the raw value, URL-encoded for line safety;
+  *  - date → days since epoch; timestamp → micros since epoch (matching
+  *    Catalyst's own internal Literal representation, so predicate
+  *    literals compare without timezone re-derivation).
+  */
+object ManifestStats {
+
+  /** min/max in canonical encoding; None = unknown (all-null file or a
+    * non-finite float bound). nullCount completes the picture: an
+    * all-null file has (None, None, nullCount == rowCount) and IS
+    * prunable for any null-rejecting predicate. */
+  final case class ColumnStats(min: Option[String], max: Option[String], nullCount: Long)
+
+  final case class FileStats(rowCount: Long, cols: Map[String, ColumnStats])
+
+  private def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType | _: DecimalType => true
+    case StringType | DateType | TimestampType => true
+    case _ => false
+  }
+
+  /** Collect per-file stats for `statsColumns` over freshly staged files
+    * — ONE aggregation job grouped by `input_file_name()` (map-side
+    * combine, one row per file at the driver; bounded by file count,
+    * never row count). `relPaths` maps the scan's file URIs back to the
+    * manifest's root-relative names.
+    */
+  def collect(
+      spark: SparkSession,
+      root: String,
+      relPaths: Seq[String],
+      statsColumns: Seq[String]): Map[String, FileStats] = {
+    if (statsColumns.isEmpty || relPaths.isEmpty) return Map.empty
+    val df = spark.read.parquet(relPaths.map(p => s"$root/$p"): _*)
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    statsColumns.foreach { c =>
+      val dt = types.getOrElse(c,
+        throw new IllegalArgumentException(s"stats column '$c' not in schema ${df.columns.mkString(",")}"))
+      require(supported(dt), s"stats column '$c' has unsupported type $dt")
+    }
+    val aggs = statsColumns.flatMap { c =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
+    } :+ count(lit(1)).as("__n")
+    val rows = df.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.map { r =>
+      val uri = r.getString(0)
+      val rel = relPaths.find(p => uri.endsWith("/" + p) || uri == p).getOrElse(
+        throw new IllegalStateException(s"stats scan saw unexpected file $uri"))
+      val cols = statsColumns.map { c =>
+        val dt = types(c)
+        val nulls = r.getLong(r.fieldIndex(s"__nulls_$c"))
+        val mn = canonical(r.get(r.fieldIndex(s"__min_$c")), dt)
+        val mx = canonical(r.get(r.fieldIndex(s"__max_$c")), dt)
+        c -> ColumnStats(mn, mx, nulls)
+      }.toMap
+      rel -> FileStats(r.getLong(r.fieldIndex("__n")), cols)
+    }.toMap
+  }
+
+  /** Driver-collected value → canonical string (None for null or a
+    * non-finite float bound). */
+  private def canonical(v: Any, dt: DataType): Option[String] =
+    if (v == null) None
+    else dt match {
+      case DateType => v match {
+        case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toString)
+        case d: java.time.LocalDate => Some(d.toEpochDay.toString)
+      }
+      case TimestampType =>
+        val i = v match {
+          case t: java.sql.Timestamp => t.toInstant
+          case t: java.time.Instant => t
+        }
+        Some((i.getEpochSecond * 1000000L + i.getNano / 1000L).toString)
+      case StringType => Some(v.toString)
+      case FloatType =>
+        val f = v.asInstanceOf[Float]
+        if (java.lang.Float.isFinite(f)) Some(new java.math.BigDecimal(f.toString).toPlainString) else None
+      case DoubleType =>
+        val d = v.asInstanceOf[Double]
+        if (java.lang.Double.isFinite(d)) Some(new java.math.BigDecimal(d.toString).toPlainString) else None
+      case _: DecimalType => Some(v.asInstanceOf[java.math.BigDecimal].toPlainString)
+      case ByteType | ShortType | IntegerType | LongType => Some(new java.math.BigDecimal(v.toString).toPlainString)
+      case other => throw new IllegalArgumentException(s"unsupported stats type $other")
+    }
+
+  // ---- manifest line (de)serialization -----------------------------------
+
+  private def enc(s: String): String = URLEncoder.encode(s, StandardCharsets.UTF_8)
+  private def dec(s: String): String = URLDecoder.decode(s, StandardCharsets.UTF_8)
+
+  /** `<path>|n=<rows>|<col>=<min>,<max>,<nulls>|...` — every variable
+    * part URL-encoded, so `|,=` never collide with values. */
+  private[sources] def serialize(rel: String, fs: FileStats): String = {
+    val sb = new StringBuilder(enc(rel)).append("|n=").append(fs.rowCount)
+    fs.cols.toSeq.sortBy(_._1).foreach { case (c, cs) =>
+      sb.append('|').append(enc(c)).append('=')
+        .append(cs.min.map(enc).getOrElse("")).append(',')
+        .append(cs.max.map(enc).getOrElse("")).append(',')
+        .append(cs.nullCount)
+    }
+    sb.toString
+  }
+
+  private[sources] def deserialize(line: String): (String, FileStats) = {
+    val parts = line.split('|')
+    val rel = dec(parts(0))
+    require(parts.length >= 2 && parts(1).startsWith("n="), s"malformed stats line: $line")
+    val n = parts(1).stripPrefix("n=").toLong
+    val cols = parts.drop(2).map { p =>
+      val Array(c, v) = p.split("=", 2)
+      val Array(mn, mx, nulls) = v.split(",", 3)
+      dec(c) -> ColumnStats(
+        if (mn.isEmpty) None else Some(dec(mn)),
+        if (mx.isEmpty) None else Some(dec(mx)),
+        nulls.toLong)
+    }.toMap
+    rel -> FileStats(n, cols)
+  }
+
+  // ---- predicate evaluation against stats --------------------------------
+
+  /** The comparison domain a canonical string decodes into, per type. */
+  private sealed trait Domain {
+    def cmp(a: String, b: String): Int
+    final def leq(a: String, b: String): Boolean = cmp(a, b) <= 0
+    final def lt(a: String, b: String): Boolean = cmp(a, b) < 0
+  }
+  private object NumDomain extends Domain {
+    def cmp(a: String, b: String) = new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+  }
+  private object LongDomain extends Domain {
+    def cmp(a: String, b: String) = java.lang.Long.compare(a.toLong, b.toLong)
+  }
+  private object StrDomain extends Domain {
+    def cmp(a: String, b: String) = a.compareTo(b)
+  }
+
+  private def domainOf(dt: DataType): Option[Domain] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType | _: DecimalType => Some(NumDomain)
+    case DateType | TimestampType => Some(LongDomain)
+    case StringType => Some(StrDomain)
+    case _ => None
+  }
+
+  /** Foldable literal-side expression → canonical string in the SAME
+    * encoding [[canonical]] writes, or None when the value carries no
+    * usable bound (null, NaN/Inf, unsupported type). Catalyst's internal
+    * representations line up with the canonical choices: DateType
+    * literals ARE epoch days, TimestampType literals ARE epoch micros.
+    */
+  private def literalCanonical(e: Expression): Option[String] = {
+    val v = e.eval(EmptyRow)
+    if (v == null) None
+    else e.dataType match {
+      case DateType => Some(v.asInstanceOf[Int].toLong.toString)
+      case TimestampType => Some(v.asInstanceOf[Long].toString)
+      case StringType => Some(v.asInstanceOf[UTF8String].toString)
+      case FloatType =>
+        val f = v.asInstanceOf[Float]
+        if (java.lang.Float.isFinite(f)) Some(new java.math.BigDecimal(f.toString).toPlainString) else None
+      case DoubleType =>
+        val d = v.asInstanceOf[Double]
+        if (java.lang.Double.isFinite(d)) Some(new java.math.BigDecimal(d.toString).toPlainString) else None
+      case _: DecimalType => Some(v.asInstanceOf[Decimal].toJavaBigDecimal.toPlainString)
+      case ByteType | ShortType | IntegerType | LongType => Some(new java.math.BigDecimal(v.toString).toPlainString)
+      case _ => None
+    }
+  }
+
+  /** The attribute a comparison side names, looking through numeric
+    * widening casts (analysis wraps the narrower side; numeric widening
+    * is order-embedding so comparing in the wider domain against the
+    * stored narrower-type stats stays sound — both decode to BigDecimal).
+    */
+  private def attrOf(e: Expression): Option[AttributeReference] = e match {
+    case a: AttributeReference => Some(a)
+    case Cast(a: AttributeReference, to, _, _)
+        if domainOf(a.dataType).contains(NumDomain) && domainOf(to).contains(NumDomain) => Some(a)
+    case _ => None
+  }
+
+  /** May any row of a file with `fs` satisfy `cond`? Keep-biased:
+    * `true` whenever the stats cannot prove otherwise. */
+  private def mayMatch(cond: Expression, fs: FileStats): Boolean = cond match {
+    case And(l, r) => mayMatch(l, fs) && mayMatch(r, fs)
+    case Or(l, r) => mayMatch(l, fs) || mayMatch(r, fs)
+    case IsNull(a: AttributeReference) =>
+      fs.cols.get(a.name).forall(_.nullCount > 0)
+    case IsNotNull(a: AttributeReference) =>
+      fs.cols.get(a.name).forall(_.nullCount < fs.rowCount)
+    case b: BinaryComparison =>
+      (attrOf(b.left), attrOf(b.right)) match {
+        case (Some(a), None) if b.right.foldable => compare(a, b, fs, flipped = false)
+        case (None, Some(a)) if b.left.foldable => compare(a, b, fs, flipped = true)
+        case _ => true
+      }
+    case In(ae, vs) if vs.forall(_.foldable) =>
+      attrOf(ae) match {
+        case Some(a) => vs.exists(v => rangeMay(a, fs, v))
+        case None => true
+      }
+    case StartsWith(a: AttributeReference, p) if p.foldable =>
+      (fs.cols.get(a.name), literalCanonical(p)) match {
+        case (Some(cs), Some(prefix)) =>
+          if (cs.nullCount == fs.rowCount) false
+          else (cs.min, cs.max) match {
+            case (Some(mn), Some(mx)) =>
+              // strings with this prefix occupy [prefix, prefixUpper);
+              // an un-incrementable last char keeps the file
+              mx.compareTo(prefix) >= 0 && prefixUpper(prefix).forall(up => mn.compareTo(up) < 0)
+            case _ => true
+          }
+        case _ => true
+      }
+    case _ => true
+  }
+
+  private def prefixUpper(p: String): Option[String] =
+    if (p.isEmpty || p.last == Char.MaxValue) None
+    else Some(p.init + (p.last + 1).toChar)
+
+  /** Range check for `attr <op> literal`. `flipped` means the literal is
+    * on the LEFT (`lit < attr` ≡ `attr > lit`). */
+  private def compare(a: AttributeReference, b: BinaryComparison, fs: FileStats, flipped: Boolean): Boolean = {
+    val litSide = if (flipped) b.left else b.right
+    b match {
+      case _: EqualTo => rangeMay(a, fs, litSide)
+      case _: EqualNullSafe =>
+        // `x <=> NULL` matches exactly the null rows — the one
+        // comparison that is NOT null-rejecting
+        if (litSide.eval(EmptyRow) == null) fs.cols.get(a.name).forall(_.nullCount > 0)
+        else rangeMay(a, fs, litSide)
+      case _ =>
+        val ltLike = b.isInstanceOf[LessThan] || b.isInstanceOf[LessThanOrEqual]
+        val inclusive = b.isInstanceOf[LessThanOrEqual] || b.isInstanceOf[GreaterThanOrEqual]
+        val attrBelow = ltLike != flipped // attr must be below the literal
+        bound(a, fs, litSide, attrBelow, inclusive)
+    }
+  }
+
+  /** May a non-null value of `a` equal the literal? Equality is
+    * null-rejecting, so an all-null file is provably excluded. */
+  private def rangeMay(a: AttributeReference, fs: FileStats, litE: Expression): Boolean =
+    fs.cols.get(a.name) match {
+      case None => true
+      case Some(cs) =>
+        if (cs.nullCount == fs.rowCount) false
+        else (domainOf(a.dataType), literalCanonical(litE)) match {
+          case (Some(d), Some(v)) =>
+            cs.min.forall(mn => d.leq(mn, v)) && cs.max.forall(mx => d.leq(v, mx))
+          case (_, None) if litE.eval(EmptyRow) == null => false // `x = NULL` never matches
+          case _ => true
+        }
+    }
+
+  private def bound(a: AttributeReference, fs: FileStats, litE: Expression,
+      attrBelow: Boolean, inclusive: Boolean): Boolean =
+    fs.cols.get(a.name) match {
+      case None => true
+      case Some(cs) =>
+        if (cs.nullCount == fs.rowCount) false
+        else (domainOf(a.dataType), literalCanonical(litE)) match {
+          case (Some(d), Some(v)) =>
+            if (attrBelow) cs.min.forall(mn => if (inclusive) d.leq(mn, v) else d.lt(mn, v))
+            else cs.max.forall(mx => if (inclusive) d.leq(v, mx) else d.lt(v, mx))
+          case (_, None) if litE.eval(EmptyRow) == null => false
+          case _ => true
+        }
+    }
+
+  /** Resolve `filter` against `schema` through the real analyzer (so
+    * casts fold, timezones resolve, and names bind exactly as the read
+    * itself would), then split the surviving file set. Driver-only; no
+    * job runs. Returns (kept, dropped) root-relative paths. */
+  def prune(
+      spark: SparkSession,
+      schema: StructType,
+      filter: Column,
+      stats: Map[String, FileStats],
+      files: Seq[String]): (Seq[String], Seq[String]) = {
+    val analyzed = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema).filter(filter)
+      .queryExecution.analyzed
+    val cond = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.getOrElse(return (files, Seq.empty))
+    files.partition(f => stats.get(f).forall(fs => mayMatch(cond, fs)))
+  }
+}

@@ -111,6 +111,52 @@ object ManifestTable {
       .toMap
 
   private val MetaPrefix = "# meta:"
+  private val StatsPrefix = "# stats:"
+
+  /** Per-file column stats committed with `version` (empty for files the
+    * writer didn't track — absence always means "keep", never "skip").
+    * See [[ManifestStats]] for the data-skipping design. */
+  def fileStats(spark: SparkSession, root: String, version: Long): Map[String, ManifestStats.FileStats] =
+    manifestText(spark, root, version).linesIterator
+      .filter(_.startsWith(StatsPrefix))
+      .map(l => ManifestStats.deserialize(l.stripPrefix(StatsPrefix)))
+      .toMap
+
+  /** Read the table at `version` (default: latest) scanning ONLY the
+    * files whose committed stats admit rows matching `filter` — file
+    * skipping off the manifest, no footer reads, no listing job. The
+    * full filter is re-applied to the survivors, so the result is
+    * EXACTLY `read(...).filter(filter)` regardless of how much pruning
+    * the stats achieved. */
+  def readPruned(spark: SparkSession, root: String, filter: org.apache.spark.sql.Column,
+      version: Option[Long] = None): DataFrame = {
+    val (kept, _, v) = pruneFiles(spark, root, filter, version)
+    val schema = schemaOf(spark, root, v)
+    val df =
+      if (kept.isEmpty) read(spark, root, Some(v)).limit(0) // schema-correct empty
+      else schema match {
+        case Some(s) => spark.read.schema(s).parquet(kept.map(p => s"$root/$p"): _*)
+        case None => spark.read.parquet(kept.map(p => s"$root/$p"): _*)
+      }
+    df.filter(filter)
+  }
+
+  /** The (kept, dropped, version) split [[readPruned]] would use —
+    * driver-only planning, exposed so callers and specs can observe
+    * skipping effectiveness directly. */
+  def pruneFiles(spark: SparkSession, root: String, filter: org.apache.spark.sql.Column,
+      version: Option[Long] = None): (Seq[String], Seq[String], Long) = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in log (have ${vs.mkString(",")})")
+    val files = manifestFiles(spark, root, v)
+    val schema = schemaOf(spark, root, v).getOrElse(
+      return (files, Seq.empty, v)) // pre-schema log: no sound analysis base
+    val (kept, dropped) = ManifestStats.prune(
+      spark, schema, filter, fileStats(spark, root, v), files)
+    (kept, dropped, v)
+  }
 
   /** Read the table at `version` (default: latest).
     *
@@ -230,7 +276,8 @@ object ManifestTable {
       op: String,
       newFiles: Seq[String],
       base: Long => Seq[String],
-      metaAt: Long => Map[String, String]): Long = {
+      metaAt: Long => Map[String, String],
+      statsAt: Long => Map[String, ManifestStats.FileStats] = _ => Map.empty): Long = {
     val f = fs(spark, root)
     f.mkdirs(new Path(s"$root/$LogDir"))
     var attempt = 0
@@ -250,7 +297,16 @@ object ManifestTable {
       meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
         body.append(MetaPrefix).append(k).append('=').append(v).append('\n')
       }
-      (base(tip) ++ newFiles).foreach(p => body.append(p).append('\n'))
+      val allFiles = base(tip) ++ newFiles
+      // stats ride the same publish as the file list; entries for files
+      // not in this manifest (e.g. dropped by a racing overwrite the
+      // retry landed on) are silently irrelevant and omitted
+      val stats = statsAt(tip)
+      allFiles.foreach { p =>
+        stats.get(p).foreach(fs =>
+          body.append(StatsPrefix).append(ManifestStats.serialize(p, fs)).append('\n'))
+      }
+      allFiles.foreach(p => body.append(p).append('\n'))
       val tmp = new Path(s"$root/$LogDir/.tmp-${UUID.randomUUID()}")
       val out = f.create(tmp, false)
       try out.write(body.toString.getBytes(StandardCharsets.UTF_8))
@@ -265,14 +321,19 @@ object ManifestTable {
       s"manifest commit lost $MaxCommitAttempts races at $root — sustained contention")
   }
 
-  /** Create the table (version 1). Fails if a log already exists. */
+  /** Create the table (version 1). Fails if a log already exists.
+    * `statsColumns` opts files into per-file min/max/nullCount stats for
+    * [[readPruned]] file skipping (one extra aggregation pass over the
+    * staged batch — see [[ManifestStats.collect]]). */
   def create(spark: SparkSession, root: String, df: DataFrame,
-      meta: Map[String, String] = Map.empty): Long = {
+      meta: Map[String, String] = Map.empty,
+      statsColumns: Seq[String] = Nil): Long = {
     require(versions(spark, root).isEmpty, s"$root already has a manifest log")
     val schemaJson = df.schema.json
     val staged = stage(spark, root, df)
+    val stats = ManifestStats.collect(spark, root, staged, statsColumns)
     commit(spark, root, "create", staged, _ => Seq.empty,
-      _ => meta + (SchemaKey -> schemaJson))
+      _ => meta + (SchemaKey -> schemaJson), _ => stats)
   }
 
   /** Append rows (new files beside every file the tip names). The batch
@@ -280,9 +341,11 @@ object ManifestTable {
     * keep their type — dbt on_schema_change: append_new_columns); older
     * files read the new columns as NULL via the manifest schema. */
   def append(spark: SparkSession, root: String, df: DataFrame,
-      meta: Map[String, String] = Map.empty): Long = {
+      meta: Map[String, String] = Map.empty,
+      statsColumns: Seq[String] = Nil): Long = {
     val batchSchema = df.schema
     val staged = stage(spark, root, df)
+    val newStats = ManifestStats.collect(spark, root, staged, statsColumns)
     commit(spark, root, "append", staged,
       tip => if (tip == 0) Seq.empty else manifestFiles(spark, root, tip),
       tip => {
@@ -291,7 +354,11 @@ object ManifestTable {
           else schemaOf(spark, root, tip)
             .map(widenSchema(_, batchSchema)).getOrElse(batchSchema)
         meta + (SchemaKey -> merged.json)
-      })
+      },
+      // carried-over files keep the stats the tip committed for them —
+      // appends never lose skipping power on old data
+      tip => (if (tip == 0) Map.empty[String, ManifestStats.FileStats]
+              else fileStats(spark, root, tip)) ++ newStats)
   }
 
   /** Idempotent append — the exactly-once streaming-sink contract (the
@@ -329,18 +396,21 @@ object ManifestTable {
   /** Replace the table content (the tip's files drop out of the new
     * manifest; they stay on disk for time travel until [[vacuum]]). */
   def overwrite(spark: SparkSession, root: String, df: DataFrame,
-      meta: Map[String, String] = Map.empty): Long = {
+      meta: Map[String, String] = Map.empty,
+      statsColumns: Seq[String] = Nil): Long = {
     val schemaJson = df.schema.json
     val staged = stage(spark, root, df)
+    val stats = ManifestStats.collect(spark, root, staged, statsColumns)
     commit(spark, root, "overwrite", staged, _ => Seq.empty,
-      _ => meta + (SchemaKey -> schemaJson))
+      _ => meta + (SchemaKey -> schemaJson), _ => stats)
   }
 
   /** OPTIMIZE: rewrite the current content into ceil(bytes/target) files
     * and commit the rewrite as a new version. Relational content is
     * untouched; readers on the old version keep their exact file set.
     * Returns (newVersion, dataFilesAfter). */
-  def compact(spark: SparkSession, root: String, targetFileBytes: Long): (Long, Int) = {
+  def compact(spark: SparkSession, root: String, targetFileBytes: Long,
+      statsColumns: Seq[String] = Nil): (Long, Int) = {
     require(targetFileBytes > 0, "compact requires a positive target file size")
     val f = fs(spark, root)
     val tipFiles = {
@@ -353,8 +423,9 @@ object ManifestTable {
     val current = read(spark, root)
     val schemaJson = current.schema.json
     val staged = stage(spark, root, current.repartition(nFiles))
+    val stats = ManifestStats.collect(spark, root, staged, statsColumns)
     (commit(spark, root, "compact", staged, _ => Seq.empty,
-      _ => Map(SchemaKey -> schemaJson)), staged.size)
+      _ => Map(SchemaKey -> schemaJson), _ => stats), staged.size)
   }
 
   /** Reclaim space: retain the last `keepVersions` manifests, delete

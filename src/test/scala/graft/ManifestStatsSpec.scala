@@ -1,0 +1,174 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.sources.ManifestTable
+
+/** Data-skipping off the manifest: per-file min/max/nullCount stats +
+  * predicate pruning (sources/ManifestStats). The invariant every test
+  * leans on: readPruned(filter) ≡ read().filter(filter) EXACTLY, for any
+  * predicate — pruning may only change how many files are opened.
+  */
+class ManifestStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("manifest_stats").toFile.getAbsolutePath
+
+  private def orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+
+  /** Pruned and unpruned reads must agree exactly; returns (kept, total). */
+  private def checkExact(root: String, filter: Column): (Int, Int) = {
+    val pruned = ManifestTable.readPruned(spark, root, filter)
+    val full = ManifestTable.read(spark, root).filter(filter)
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty,
+      s"pruned read diverged for $filter")
+    val (kept, dropped, _) = ManifestTable.pruneFiles(spark, root, filter)
+    (kept.size, kept.size + dropped.size)
+  }
+
+  test("range-clustered table: a selective range predicate skips most files, result exact") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root,
+      orders.repartitionByRange(8, col("o_orderdate")),
+      statsColumns = Seq("o_orderdate", "o_totalprice"))
+    val f = col("o_orderdate") >= lit("1998-01-01").cast("timestamp")
+    val (kept, total) = checkExact(root, f)
+    assert(total === 8, s"expected 8 range-clustered files, got $total")
+    assert(kept < total, s"range predicate pruned nothing ($kept/$total)")
+    // a predicate outside every file's range keeps zero files
+    val (kept2, _) = checkExact(root, col("o_orderdate") >= lit("2099-01-01").cast("timestamp"))
+    assert(kept2 === 0)
+  }
+
+  test("predicate shapes: equality, flipped literal, In, Or, between — all exact, all prune") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root,
+      orders.repartitionByRange(8, col("o_orderkey")),
+      statsColumns = Seq("o_orderkey"))
+    val shapes: Seq[Column] = Seq(
+      col("o_orderkey") === 17L,
+      lit(17L) > col("o_orderkey"), // flipped: attr must be BELOW the literal
+      col("o_orderkey").isin(3L, 5L, 5999L),
+      col("o_orderkey") < 10L || col("o_orderkey") > 5900L,
+      col("o_orderkey").between(100L, 140L))
+    shapes.foreach { f =>
+      val (kept, total) = checkExact(root, f)
+      assert(kept < total, s"no pruning for $f ($kept/$total)")
+    }
+    // unprunable shapes stay exact and keep everything (keep-biased)
+    val (keptAll, totalAll) = checkExact(root, pmod(col("o_orderkey"), lit(7)) === 0)
+    assert(keptAll === totalAll)
+  }
+
+  test("string stats: equality and prefix predicates prune on a sorted string layout") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root,
+      orders.withColumn("status_key", concat(col("o_orderstatus"), lit("-"), col("o_orderkey")))
+        .repartitionByRange(6, col("status_key")),
+      statsColumns = Seq("status_key"))
+    val (k1, t1) = checkExact(root, col("status_key") === "O-4")
+    assert(k1 < t1)
+    val (k2, t2) = checkExact(root, col("status_key").startsWith("P-"))
+    assert(k2 < t2, s"prefix predicate pruned nothing ($k2/$t2)")
+  }
+
+  test("null stats: all-null files prune for null-rejecting predicates, IsNull keeps them") {
+    val root = freshRoot()
+    // file 1: all-null score; file 2: scores 10..19 non-null
+    val withNulls = spark.range(0, 10).select(col("id"), lit(null).cast("double").as("score"))
+    val noNulls = spark.range(10, 20).select(col("id"), col("id").cast("double").as("score"))
+    ManifestTable.create(spark, root, withNulls.coalesce(1), statsColumns = Seq("id", "score"))
+    ManifestTable.append(spark, root, noNulls.coalesce(1), statsColumns = Seq("id", "score"))
+    val (k1, t1) = checkExact(root, col("score") > 0.0)
+    assert(t1 === 2 && k1 === 1, "all-null file must prune for score > 0")
+    val (k2, _) = checkExact(root, col("score").isNull)
+    assert(k2 === 1, "IsNull must keep ONLY the file with nulls")
+    val (k3, _) = checkExact(root, col("score").isNotNull)
+    assert(k3 === 1, "IsNotNull must drop the all-null file")
+    val (k4, _) = checkExact(root, col("score") <=> lit(null).cast("double"))
+    assert(k4 === 1, "null-safe equality with NULL keeps exactly the null file")
+  }
+
+  test("stats carry across appends; files committed without stats are never pruned") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root,
+      orders.filter(col("o_orderkey") < 3000).repartitionByRange(4, col("o_orderkey")),
+      statsColumns = Seq("o_orderkey"))
+    // append WITHOUT stats: its files must survive every prune
+    ManifestTable.append(spark, root, orders.filter(col("o_orderkey") >= 3000).coalesce(1))
+    val tip = ManifestTable.versions(spark, root).max
+    assert(ManifestTable.fileStats(spark, root, tip).size === 4,
+      "carried files lost their stats across the append")
+    val f = col("o_orderkey") === 1L
+    val (kept, total) = checkExact(root, f)
+    assert(total === 5 && kept === 2,
+      s"expected 1 stats-pruned survivor + 1 stats-less file, got $kept/$total")
+  }
+
+  test("widening append: a predicate on the new column cannot prune pre-widening files") {
+    val root = freshRoot()
+    val gen1 = Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+    val gen2 = Seq((3L, "c", 30.0), (4L, "d", 40.0)).toDF("id", "k", "score")
+    ManifestTable.create(spark, root, gen1.coalesce(1), statsColumns = Seq("id"))
+    ManifestTable.append(spark, root, gen2.coalesce(1), statsColumns = Seq("id", "score"))
+    // gen1 files read score as NULL: `score IS NULL` must keep them
+    val (k1, _) = checkExact(root, col("score").isNull)
+    assert(k1 >= 1)
+    checkExact(root, col("score") > 35.0)
+    checkExact(root, col("id") === 1L)
+  }
+
+  test("date and decimal domains round-trip through the manifest encoding") {
+    val root = freshRoot()
+    val df = spark.range(0, 100).select(
+      col("id"),
+      date_add(lit("2020-01-01").cast("date"), col("id").cast("int")).as("d"),
+      (col("id") * 100).cast("decimal(12,2)").as("amt"))
+    ManifestTable.create(spark, root, df.repartitionByRange(4, col("id")),
+      statsColumns = Seq("d", "amt"))
+    val (k1, t1) = checkExact(root, col("d") >= lit("2020-03-15").cast("date"))
+    assert(k1 < t1)
+    val (k2, t2) = checkExact(root, col("amt") < lit(500).cast("decimal(12,2)"))
+    assert(k2 < t2)
+  }
+
+  test("compact re-collects stats on the rewritten layout; old versions keep theirs") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root,
+      orders.repartitionByRange(8, col("o_orderkey")), statsColumns = Seq("o_orderkey"))
+    val (v2, nAfter) = ManifestTable.compact(spark, root, 64L * 1024 * 1024,
+      statsColumns = Seq("o_orderkey"))
+    assert(ManifestTable.fileStats(spark, root, v2).size === nAfter)
+    checkExact(root, col("o_orderkey") === 17L)
+    // time travel to the pre-compact version still prunes on ITS stats
+    val (kept, _, v) = ManifestTable.pruneFiles(spark, root, col("o_orderkey") === 17L, Some(v2 - 1))
+    assert(v === v2 - 1 && kept.size < 8)
+  }
+
+  test("stats survive the manifest text round-trip byte-exactly (URL-encoded specials)") {
+    val root = freshRoot()
+    val tricky = Seq((1L, "a|b,c=d"), (2L, "line\nbreak"), (3L, "plain"))
+      .toDF("id", "s")
+    ManifestTable.create(spark, root, tricky.coalesce(1), statsColumns = Seq("id", "s"))
+    val stats = ManifestTable.fileStats(spark, root, 1L)
+    assert(stats.size === 1)
+    val cs = stats.head._2.cols("s")
+    assert(cs.min.contains("a|b,c=d") && cs.max.contains("plain"))
+    checkExact(root, col("s") === "a|b,c=d")
+  }
+
+  test("unsupported stats columns refuse loudly at write time") {
+    val root = freshRoot()
+    val df = Seq((1L, Array(1.0, 2.0))).toDF("id", "emb")
+    intercept[IllegalArgumentException] {
+      ManifestTable.create(spark, root, df, statsColumns = Seq("emb"))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.create(spark, root, df, statsColumns = Seq("nope"))
+    }
+  }
+}
