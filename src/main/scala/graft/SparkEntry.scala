@@ -610,6 +610,25 @@ object SparkEntry {
         takeLatest = Seq("status", "last_order"), sumCols = Seq("n_orders"))
     }),
 
+    "lake5_bloom_pruned" -> ((s, dir) => {
+      // point-lookup file skipping via per-file blooms: the table is
+      // HASH-clustered on o_orderkey, so every file spans ~the full key
+      // range and min/max stats cannot prune an equality probe — only
+      // the manifest blooms can. The oracle re-derives the probed rows
+      // relationally; `pruned_some` mirrors the observed file drop, so
+      // a bloom that stops working breaks the hash loudly.
+      val root = java.nio.file.Files.createTempDirectory("lake5_bloom")
+      val orders = t(s, dir, "orders")
+      graft.sources.ManifestTable.create(s, root.toString,
+        orders.repartition(8, col("o_orderkey")),
+        bloomColumns = Seq("o_orderkey"))
+      val f = col("o_orderkey").isin(7L, 42L, 1337L)
+      val (_, dropped, _) = graft.sources.ManifestTable.pruneFiles(s, root.toString, f)
+      graft.sources.ManifestTable.readPruned(s, root.toString, f)
+        .select(lit(dropped.nonEmpty).as("pruned_some"), col("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    }),
+
     "lake4_stats_pruned" -> ((s, dir) => {
       // data skipping off the manifest (sources/ManifestStats): the
       // table commits range-clustered on o_orderdate with per-file
@@ -3513,6 +3532,13 @@ object SparkEntry {
          |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) AS valid_to,
          |       (lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) IS NULL) AS is_current
          |FROM changes""").stripMargin,
+
+    "lake5_bloom_pruned" -> // the bloom-pruned point lookup must equal the
+      // plain IN-probe (skipping is an optimization, never a semantics
+      // change); pruned_some mirrors the observed file drop
+      ("""SELECT TRUE AS pruned_some, o_orderkey, o_custkey,
+         |       o_orderstatus, o_totalprice
+         |FROM orders WHERE o_orderkey IN (7, 42, 1337)""").stripMargin,
 
     "lake4_stats_pruned" -> // the stats-pruned scan must equal the plain
       // filtered aggregate (pruning is an optimization, never a

@@ -41,13 +41,48 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ManifestStats {
 
+  /** A per-file Bloom filter over the column's canonical-string values —
+    * the point-lookup complement to min/max: on a hash-clustered layout
+    * every file spans the full key range and range stats prune nothing,
+    * but an equality probe against the blooms drops every file that
+    * provably lacks the key (false positives only cost an extra file
+    * read; false negatives cannot happen). Hash family is XXH64 seed 42
+    * over UTF-8 bytes — identical to `graft_bloom_build` / `xxhash64`,
+    * so build and probe share one executable definition
+    * ([[graft.functions.HashKernels.bloomSet]]). */
+  final case class BloomStats(numHashes: Int, words: Array[Long]) {
+    def mightContain(value: String): Boolean = {
+      val bytes = value.getBytes(StandardCharsets.UTF_8)
+      val h = XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+      val numBits = words.length.toLong * 64L
+      val h2 = ((h >>> 32) << 1) | 1L
+      var i = 0
+      while (i < numHashes) {
+        val idx = java.lang.Long.remainderUnsigned(h + i.toLong * h2, numBits)
+        if ((words((idx >>> 6).toInt) & (1L << (idx & 63L).toInt)) == 0L) return false
+        i += 1
+      }
+      true
+    }
+  }
+
   /** min/max in canonical encoding; None = unknown (all-null file or a
     * non-finite float bound). nullCount completes the picture: an
     * all-null file has (None, None, nullCount == rowCount) and IS
     * prunable for any null-rejecting predicate. */
-  final case class ColumnStats(min: Option[String], max: Option[String], nullCount: Long)
+  final case class ColumnStats(min: Option[String], max: Option[String], nullCount: Long,
+      bloom: Option[BloomStats] = None)
 
   final case class FileStats(rowCount: Long, cols: Map[String, ColumnStats])
+
+  /** Default bloom sizing: 2^17 bits (16 KiB/file/column in the manifest
+    * after base64) ≈ 1% false-positive rate at ~13k distinct values per
+    * file. Oversized files only degrade the FPP — skipping stays sound,
+    * just less effective; production sizing would scale bits with the
+    * writer's target file row count. */
+  val DefaultBloomBits: Int = 1 << 17
+  val DefaultBloomHashes: Int = 6
 
   private def supported(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType | _: DecimalType => true
@@ -61,22 +96,44 @@ object ManifestStats {
     * never row count). `relPaths` maps the scan's file URIs back to the
     * manifest's root-relative names.
     */
+  /** Exact-type bloomability: the bloom hashes the value's STRING
+    * rendering, and pruning only tests literals whose type equals the
+    * column's — so the rendering must be canonical per type. Integral
+    * `toString` and raw strings are; floats/decimals/temporals are not
+    * worth the canonicalization trap and are refused. */
+  private def bloomable(dt: DataType): Boolean = dt match {
+    case StringType | ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
   def collect(
       spark: SparkSession,
       root: String,
       relPaths: Seq[String],
-      statsColumns: Seq[String]): Map[String, FileStats] = {
-    if (statsColumns.isEmpty || relPaths.isEmpty) return Map.empty
+      statsColumns: Seq[String],
+      bloomColumns: Seq[String] = Nil,
+      bloomBits: Int = DefaultBloomBits,
+      bloomHashes: Int = DefaultBloomHashes): Map[String, FileStats] = {
+    val rangeCols = (statsColumns ++ bloomColumns).distinct // blooms imply min/max too
+    if (rangeCols.isEmpty || relPaths.isEmpty) return Map.empty
     val df = spark.read.parquet(relPaths.map(p => s"$root/$p"): _*)
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    statsColumns.foreach { c =>
+    rangeCols.foreach { c =>
       val dt = types.getOrElse(c,
         throw new IllegalArgumentException(s"stats column '$c' not in schema ${df.columns.mkString(",")}"))
       require(supported(dt), s"stats column '$c' has unsupported type $dt")
     }
-    val aggs = statsColumns.flatMap { c =>
+    bloomColumns.foreach { c =>
+      require(bloomable(types(c)),
+        s"bloom column '$c' must be string or integral, got ${types(c)}")
+    }
+    if (bloomColumns.nonEmpty) graft.functions.NativeExpressions.register(spark)
+    val aggs = rangeCols.flatMap { c =>
       Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
+    } ++ bloomColumns.map { c =>
+      org.apache.spark.sql.functions.expr(
+        s"graft_bloom_build(CAST(`$c` AS STRING), $bloomBits, $bloomHashes)").as(s"__bloom_$c")
     } :+ count(lit(1)).as("__n")
     val rows = df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -85,12 +142,16 @@ object ManifestStats {
       val uri = r.getString(0)
       val rel = relPaths.find(p => uri.endsWith("/" + p) || uri == p).getOrElse(
         throw new IllegalStateException(s"stats scan saw unexpected file $uri"))
-      val cols = statsColumns.map { c =>
+      val cols = rangeCols.map { c =>
         val dt = types(c)
         val nulls = r.getLong(r.fieldIndex(s"__nulls_$c"))
         val mn = canonical(r.get(r.fieldIndex(s"__min_$c")), dt)
         val mx = canonical(r.get(r.fieldIndex(s"__max_$c")), dt)
-        c -> ColumnStats(mn, mx, nulls)
+        val bloom =
+          if (bloomColumns.contains(c))
+            Some(BloomStats(bloomHashes, r.getSeq[Long](r.fieldIndex(s"__bloom_$c")).toArray))
+          else None
+        c -> ColumnStats(mn, mx, nulls, bloom)
       }.toMap
       rel -> FileStats(r.getLong(r.fieldIndex("__n")), cols)
     }.toMap
@@ -128,8 +189,10 @@ object ManifestStats {
   private def enc(s: String): String = URLEncoder.encode(s, StandardCharsets.UTF_8)
   private def dec(s: String): String = URLDecoder.decode(s, StandardCharsets.UTF_8)
 
-  /** `<path>|n=<rows>|<col>=<min>,<max>,<nulls>|...` — every variable
-    * part URL-encoded, so `|,=` never collide with values. */
+  /** `<path>|n=<rows>|<col>=<min>,<max>,<nulls>[,h<k>:<b64words>]|...` —
+    * every variable part URL-encoded (or URL-safe base64 for bloom
+    * words), so `|,=` never collide with values. The bloom field is
+    * optional per column; absence means "no bloom, range-only". */
   private[sources] def serialize(rel: String, fs: FileStats): String = {
     val sb = new StringBuilder(enc(rel)).append("|n=").append(fs.rowCount)
     fs.cols.toSeq.sortBy(_._1).foreach { case (c, cs) =>
@@ -137,6 +200,12 @@ object ManifestStats {
         .append(cs.min.map(enc).getOrElse("")).append(',')
         .append(cs.max.map(enc).getOrElse("")).append(',')
         .append(cs.nullCount)
+      cs.bloom.foreach { b =>
+        val bytes = java.nio.ByteBuffer.allocate(b.words.length * 8)
+        b.words.foreach(bytes.putLong)
+        sb.append(",h").append(b.numHashes).append(':')
+          .append(java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(bytes.array()))
+      }
     }
     sb.toString
   }
@@ -148,11 +217,21 @@ object ManifestStats {
     val n = parts(1).stripPrefix("n=").toLong
     val cols = parts.drop(2).map { p =>
       val Array(c, v) = p.split("=", 2)
-      val Array(mn, mx, nulls) = v.split(",", 3)
+      val fields = v.split(",", 4)
+      val bloom = fields.lift(3).map { b =>
+        val Array(h, words) = b.split(":", 2)
+        val raw = java.util.Base64.getUrlDecoder.decode(words)
+        val buf = java.nio.ByteBuffer.wrap(raw)
+        val arr = new Array[Long](raw.length / 8)
+        var i = 0
+        while (i < arr.length) { arr(i) = buf.getLong; i += 1 }
+        BloomStats(h.stripPrefix("h").toInt, arr)
+      }
       dec(c) -> ColumnStats(
-        if (mn.isEmpty) None else Some(dec(mn)),
-        if (mx.isEmpty) None else Some(dec(mx)),
-        nulls.toLong)
+        if (fields(0).isEmpty) None else Some(dec(fields(0))),
+        if (fields(1).isEmpty) None else Some(dec(fields(1))),
+        fields(2).toLong,
+        bloom)
     }.toMap
     rel -> FileStats(n, cols)
   }
@@ -279,7 +358,11 @@ object ManifestStats {
   }
 
   /** May a non-null value of `a` equal the literal? Equality is
-    * null-rejecting, so an all-null file is provably excluded. */
+    * null-rejecting, so an all-null file is provably excluded. Checks
+    * the range first, then the bloom — but the bloom ONLY when the
+    * literal's type is exactly the column's (a coercion cast changes the
+    * string rendering the bloom was built over, so a widened comparison
+    * must not consult it). */
   private def rangeMay(a: AttributeReference, fs: FileStats, litE: Expression): Boolean =
     fs.cols.get(a.name) match {
       case None => true
@@ -287,7 +370,9 @@ object ManifestStats {
         if (cs.nullCount == fs.rowCount) false
         else (domainOf(a.dataType), literalCanonical(litE)) match {
           case (Some(d), Some(v)) =>
-            cs.min.forall(mn => d.leq(mn, v)) && cs.max.forall(mx => d.leq(v, mx))
+            cs.min.forall(mn => d.leq(mn, v)) && cs.max.forall(mx => d.leq(v, mx)) &&
+              cs.bloom.forall(b =>
+                litE.dataType != a.dataType || b.mightContain(v))
           case (_, None) if litE.eval(EmptyRow) == null => false // `x = NULL` never matches
           case _ => true
         }

@@ -327,11 +327,12 @@ object ManifestTable {
     * staged batch — see [[ManifestStats.collect]]). */
   def create(spark: SparkSession, root: String, df: DataFrame,
       meta: Map[String, String] = Map.empty,
-      statsColumns: Seq[String] = Nil): Long = {
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): Long = {
     require(versions(spark, root).isEmpty, s"$root already has a manifest log")
     val schemaJson = df.schema.json
     val staged = stage(spark, root, df)
-    val stats = ManifestStats.collect(spark, root, staged, statsColumns)
+    val stats = ManifestStats.collect(spark, root, staged, statsColumns, bloomColumns)
     commit(spark, root, "create", staged, _ => Seq.empty,
       _ => meta + (SchemaKey -> schemaJson), _ => stats)
   }
@@ -342,10 +343,11 @@ object ManifestTable {
     * files read the new columns as NULL via the manifest schema. */
   def append(spark: SparkSession, root: String, df: DataFrame,
       meta: Map[String, String] = Map.empty,
-      statsColumns: Seq[String] = Nil): Long = {
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): Long = {
     val batchSchema = df.schema
     val staged = stage(spark, root, df)
-    val newStats = ManifestStats.collect(spark, root, staged, statsColumns)
+    val newStats = ManifestStats.collect(spark, root, staged, statsColumns, bloomColumns)
     commit(spark, root, "append", staged,
       tip => if (tip == 0) Seq.empty else manifestFiles(spark, root, tip),
       tip => {
@@ -397,10 +399,11 @@ object ManifestTable {
     * manifest; they stay on disk for time travel until [[vacuum]]). */
   def overwrite(spark: SparkSession, root: String, df: DataFrame,
       meta: Map[String, String] = Map.empty,
-      statsColumns: Seq[String] = Nil): Long = {
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): Long = {
     val schemaJson = df.schema.json
     val staged = stage(spark, root, df)
-    val stats = ManifestStats.collect(spark, root, staged, statsColumns)
+    val stats = ManifestStats.collect(spark, root, staged, statsColumns, bloomColumns)
     commit(spark, root, "overwrite", staged, _ => Seq.empty,
       _ => meta + (SchemaKey -> schemaJson), _ => stats)
   }
@@ -410,7 +413,8 @@ object ManifestTable {
     * untouched; readers on the old version keep their exact file set.
     * Returns (newVersion, dataFilesAfter). */
   def compact(spark: SparkSession, root: String, targetFileBytes: Long,
-      statsColumns: Seq[String] = Nil): (Long, Int) = {
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): (Long, Int) = {
     require(targetFileBytes > 0, "compact requires a positive target file size")
     val f = fs(spark, root)
     val tipFiles = {
@@ -423,7 +427,7 @@ object ManifestTable {
     val current = read(spark, root)
     val schemaJson = current.schema.json
     val staged = stage(spark, root, current.repartition(nFiles))
-    val stats = ManifestStats.collect(spark, root, staged, statsColumns)
+    val stats = ManifestStats.collect(spark, root, staged, statsColumns, bloomColumns)
     (commit(spark, root, "compact", staged, _ => Seq.empty,
       _ => Map(SchemaKey -> schemaJson), _ => stats), staged.size)
   }

@@ -161,6 +161,73 @@ class ManifestStatsSpec extends SparkSpec {
     checkExact(root, col("s") === "a|b,c=d")
   }
 
+  test("bloom skipping: equality probes prune on a hash-clustered layout where ranges cannot") {
+    val root = freshRoot()
+    // even ids only, hash-clustered: every file spans ~the full range, so
+    // min/max stats are useless for point lookups — the bloom is the
+    // only thing that can prune
+    val df = spark.range(0, 10000).select((col("id") * 2).as("k"),
+      concat(lit("doc-"), col("id") * 2).as("name"))
+    ManifestTable.create(spark, root, df.repartition(8, col("k")),
+      statsColumns = Seq("k"), bloomColumns = Seq("k", "name"))
+    // a PRESENT key lives in exactly one file; false positives may keep
+    // a couple more, never all
+    val (k1, t1) = checkExact(root, col("k") === 4242L)
+    assert(t1 === 8 && k1 < 4, s"bloom kept $k1/$t1 files for a present key")
+    // an ABSENT mid-range key (odd) is inside every file's [min,max] —
+    // range stats keep all 8, the blooms drop essentially all
+    val (k2, _) = checkExact(root, col("k") === 4243L)
+    assert(k2 < 4, s"bloom kept $k2/8 files for an absent key")
+    // string column probes prune the same way
+    val (k3, _) = checkExact(root, col("name") === "doc-4242")
+    assert(k3 < 4)
+    // In-lists test each element; absent-only lists drop everything modulo FPs
+    val (k4, _) = checkExact(root, col("k").isin(1L, 3L, 5L))
+    assert(k4 < 4)
+    val (k5, _) = checkExact(root, col("k").isin(4242L, 8888L))
+    assert(k5 >= 1 && k5 <= 5)
+  }
+
+  test("bloom is not consulted across a type-coercion cast (rendering mismatch guard)") {
+    val root = freshRoot()
+    val df = spark.range(0, 1000).select(col("id").cast("int").as("k"))
+    ManifestTable.create(spark, root, df.repartition(4, col("k")),
+      bloomColumns = Seq("k"))
+    // int column vs double literal coerces both sides to double — the
+    // bloom hashed "17", the literal renders "17.0"; the guard must keep
+    // the file holding 17 (exactness is the assertion that matters)
+    val pruned = ManifestTable.readPruned(spark, root, col("k") === lit(17.0))
+    assert(pruned.count() === 1L)
+    // same-type probe does use the bloom
+    val (kept, total) = checkExact(root, col("k") === 17)
+    assert(total === 4 && kept < 4)
+  }
+
+  test("blooms round-trip the manifest text and carry across appends") {
+    val root = freshRoot()
+    val a = spark.range(0, 100).select(col("id").as("k"))
+    val b = spark.range(100, 200).select(col("id").as("k"))
+    ManifestTable.create(spark, root, a.coalesce(1), bloomColumns = Seq("k"))
+    ManifestTable.append(spark, root, b.coalesce(1), bloomColumns = Seq("k"))
+    val tip = ManifestTable.versions(spark, root).max
+    val stats = ManifestTable.fileStats(spark, root, tip)
+    assert(stats.size === 2 && stats.values.forall(_.cols("k").bloom.isDefined),
+      "bloom lost in serialization or append carry")
+    // probe keys present only in one generation prune the other
+    val (k1, t1) = checkExact(root, col("k") === 150L)
+    assert(t1 === 2 && k1 === 1)
+    val (k2, _) = checkExact(root, col("k") === 50L)
+    assert(k2 === 1)
+  }
+
+  test("bloom columns refuse non-string/integral types") {
+    val root = freshRoot()
+    val df = Seq((1L, 2.5)).toDF("id", "score")
+    intercept[IllegalArgumentException] {
+      ManifestTable.create(spark, root, df, bloomColumns = Seq("score"))
+    }
+  }
+
   test("unsupported stats columns refuse loudly at write time") {
     val root = freshRoot()
     val df = Seq((1L, Array(1.0, 2.0))).toDF("id", "emb")
