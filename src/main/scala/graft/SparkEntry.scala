@@ -610,6 +610,34 @@ object SparkEntry {
         takeLatest = Seq("status", "last_order"), sumCols = Seq("n_orders"))
     }),
 
+    "lake6_zorder_pruned" -> ((s, dir) => {
+      // OPTIMIZE ZORDER under the oracle: rewrite orders along the
+      // Morton curve of (o_orderdate, o_totalprice), then push a 2-d box
+      // predicate through the stats-pruned read. Range clustering could
+      // serve ONE of the two dimensions; the z-layout serves both —
+      // pruned_some mirrors the observed drop, the relational result
+      // must equal the plain filtered aggregate exactly.
+      val root = java.nio.file.Files.createTempDirectory("lake6_zorder")
+      val orders = t(s, dir, "orders")
+      graft.sources.ManifestTable.create(s, root.toString, orders.repartition(4))
+      // target ~8 files at ANY scale factor so the prune has a real
+      // multi-file layout to work against
+      val target = math.max(1L,
+        graft.sources.ManifestTable.tableBytes(s, root.toString) / 8)
+      graft.sources.ManifestTable.optimizeZOrder(s, root.toString,
+        Seq("o_orderdate", "o_totalprice"), target)
+      val f = col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp") &&
+        col("o_totalprice") < 100000.0
+      val (_, dropped, _) = graft.sources.ManifestTable.pruneFiles(s, root.toString, f)
+      graft.sources.ManifestTable.readPruned(s, root.toString, f)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .select(lit(dropped.nonEmpty).as("pruned_some"), col("o_orderstatus"),
+          col("n_orders"), col("total_price"))
+    }),
+
     "lake5_bloom_pruned" -> ((s, dir) => {
       // point-lookup file skipping via per-file blooms: the table is
       // HASH-clustered on o_orderkey, so every file spans ~the full key
@@ -3532,6 +3560,17 @@ object SparkEntry {
          |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) AS valid_to,
          |       (lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) IS NULL) AS is_current
          |FROM changes""").stripMargin,
+
+    "lake6_zorder_pruned" -> // the z-order-pruned 2-d box scan must equal
+      // the plain filtered aggregate; pruned_some mirrors the file drop
+      (s"""SELECT TRUE AS pruned_some, o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND o_totalprice < 100000.0
+         |GROUP BY o_orderstatus""").stripMargin,
 
     "lake5_bloom_pruned" -> // the bloom-pruned point lookup must equal the
       // plain IN-probe (skipping is an optimization, never a semantics

@@ -432,6 +432,44 @@ object ManifestTable {
       _ => Map(SchemaKey -> schemaJson), _ => stats), staged.size)
   }
 
+  /** Total bytes of the data files the tip manifest names — the sizing
+    * input for [[compact]]/[[optimizeZOrder]] targets (driver-side
+    * metadata only). */
+  def tableBytes(spark: SparkSession, root: String): Long = {
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table")
+    manifestFiles(spark, root, vs.max)
+      .map(p => f.getFileStatus(new Path(s"$root/$p")).getLen).sum
+  }
+
+  /** OPTIMIZE ZORDER: rewrite the current content clustered along the
+    * Morton curve of `zCols` (see [[ZOrder]]) into ceil(bytes/target)
+    * files, committing per-file stats on the z-columns — after this,
+    * [[readPruned]] predicates on ANY subset of `zCols` skip files.
+    * Same versioning semantics as [[compact]]: relational content
+    * untouched, old versions keep their exact file sets.
+    * Returns (newVersion, dataFilesAfter). */
+  def optimizeZOrder(spark: SparkSession, root: String, zCols: Seq[String],
+      targetFileBytes: Long,
+      bloomColumns: Seq[String] = Nil): (Long, Int) = {
+    require(targetFileBytes > 0, "optimizeZOrder requires a positive target file size")
+    val f = fs(spark, root)
+    val tipFiles = {
+      val vs = versions(spark, root)
+      require(vs.nonEmpty, s"$root is not a manifest table")
+      manifestFiles(spark, root, vs.max)
+    }
+    val totalBytes = tipFiles.map(p => f.getFileStatus(new Path(s"$root/$p")).getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val current = read(spark, root)
+    val schemaJson = current.schema.json
+    val staged = stage(spark, root, ZOrder.cluster(current, zCols, nFiles))
+    val stats = ManifestStats.collect(spark, root, staged, zCols, bloomColumns)
+    (commit(spark, root, "zorder", staged, _ => Seq.empty,
+      _ => Map(SchemaKey -> schemaJson), _ => stats), staged.size)
+  }
+
   /** Reclaim space: retain the last `keepVersions` manifests, delete
     * older manifests, then delete every data file (and emptied tx dir)
     * no retained manifest references — which also sweeps orphans from

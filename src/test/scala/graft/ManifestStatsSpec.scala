@@ -228,6 +228,48 @@ class ManifestStatsSpec extends SparkSpec {
     }
   }
 
+  test("z-order: a 2-d box predicate prunes files on BOTH dimensions; content is exact") {
+    val root = freshRoot()
+    // uniform 100x100 grid; linear clustering on x would leave y
+    // predicates unprunable — the z-order curve serves both
+    val grid = spark.range(0, 10000).select(
+      (col("id") % 100).as("x"), (col("id") / 100).cast("long").as("y"),
+      col("id").as("payload"))
+    graft.sources.ManifestTable.create(spark, root, grid.repartition(4)) // unclustered
+    val (v2, nFiles) = graft.sources.ManifestTable.optimizeZOrder(
+      spark, root, Seq("x", "y"), 4L * 1024)
+    assert(nFiles >= 8, s"want a multi-file layout to prune against, got $nFiles")
+    // content unchanged by the rewrite
+    val before = graft.sources.ManifestTable.read(spark, root, Some(1L))
+    val after = graft.sources.ManifestTable.read(spark, root, Some(v2))
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+    // a small box in (x, y) keeps a small corner of the files
+    val box = col("x").between(10L, 20L) && col("y").between(10L, 20L)
+    val (kb, tb) = checkExact(root, box)
+    assert(kb * 2 < tb, s"2-d box kept $kb/$tb files — curve not localizing")
+    // each single dimension prunes too (the z-curve's point over linear)
+    val (kx, tx) = checkExact(root, col("x") < 10L)
+    assert(kx < tx, s"x-only predicate kept $kx/$tx")
+    val (ky, ty) = checkExact(root, col("y") < 10L)
+    assert(ky < ty, s"y-only predicate kept $ky/$ty")
+  }
+
+  test("z-order handles temporal columns and refuses strings") {
+    val root = freshRoot()
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    graft.sources.ManifestTable.create(spark, root, orders.repartition(4))
+    val (_, n) = graft.sources.ManifestTable.optimizeZOrder(
+      spark, root, Seq("o_orderdate", "o_totalprice"), 16L * 1024)
+    assert(n >= 2)
+    val f = (col("o_orderdate") >= lit("1997-01-01").cast("timestamp")) &&
+      (col("o_totalprice") < 50000.0)
+    val (kept, total) = checkExact(root, f)
+    assert(kept < total, s"temporal z-order pruned nothing ($kept/$total)")
+    intercept[IllegalArgumentException] {
+      graft.sources.ManifestTable.optimizeZOrder(spark, root, Seq("o_orderstatus"), 16L * 1024)
+    }
+  }
+
   test("unsupported stats columns refuse loudly at write time") {
     val root = freshRoot()
     val df = Seq((1L, Array(1.0, 2.0))).toDF("id", "emb")
