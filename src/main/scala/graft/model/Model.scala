@@ -43,6 +43,34 @@ object IncrementalStrategy {
   case object Append extends IncrementalStrategy
 }
 
+/** Physical layout a Table-materialized model commits with — the
+  * engine's `cluster_by`/`sort` config (warehouse table clustering;
+  * Delta's OPTIMIZE ZORDER as a declarative property). Applied by
+  * [[Registry.runStateAware]] on every (re)build:
+  *  - one `clusterBy` column → range clustering (tight per-file ranges
+  *    on that column);
+  *  - several → z-order clustering (every listed column prunes);
+  *  - `statsColumns`/`bloomColumns` add skipping stats beyond the
+  *    clustered ones (cluster columns always get stats — clustering
+  *    without stats would order files nobody can skip).
+  * At 100 TB this is the difference between a mart every consumer
+  * full-scans and one where the dashboard's date filter touches a few
+  * files — declared once on the model, not re-derived per query.
+  */
+final case class TableLayout(
+    clusterBy: Seq[String] = Nil,
+    statsColumns: Seq[String] = Nil,
+    bloomColumns: Seq[String] = Nil,
+    /** Explicit output file count. None lets AQE size the shuffle (the
+      * production default — files land near the advisory partition
+      * size); Some(n) pins the count, which AQE respects as a
+      * user-specified repartition. */
+    files: Option[Int] = None) {
+  def isDefault: Boolean = clusterBy.isEmpty && statsColumns.isEmpty && bloomColumns.isEmpty
+  /** Columns that get min/max stats in the manifest. */
+  def allStats: Seq[String] = (clusterBy ++ statsColumns).distinct
+}
+
 /** A declarative model: a named transformation over upstream relations.
   *
   * `build` receives resolved upstream DataFrames keyed by name — the
@@ -71,7 +99,8 @@ final case class Model(
     materialization: Materialization,
     build: Map[String, DataFrame] => DataFrame,
     columnDocs: Map[String, String] = Map.empty,
-    codeVersion: String = "1"
+    codeVersion: String = "1",
+    layout: TableLayout = TableLayout()
 )
 
 /** Model registry + runner: `ref()` resolution, cycle-checked topological
@@ -293,11 +322,24 @@ final class Registry(models: Seq[Model]) {
     val tokens = scala.collection.mutable.Map[String, String]()
     sources.keys.foreach(k => tokens(k) = sourceTokens.getOrElse(k, "src"))
     val actions = scala.collection.mutable.Map[String, String]()
+    // declared clustering: one column → range, several → z-order
+    def applyLayout(df: DataFrame, layout: TableLayout): DataFrame =
+      layout.clusterBy match {
+        case Nil => df
+        case Seq(c) =>
+          val k = org.apache.spark.sql.functions.col(c)
+          layout.files.map(df.repartitionByRange(_, k)).getOrElse(df.repartitionByRange(k))
+        case cs => graft.sources.ZOrder.cluster(df, cs,
+          layout.files.getOrElse(spark.conf.get("spark.sql.shuffle.partitions").toInt))
+      }
     topoOrder.foreach { m =>
       val missing = m.deps.filterNot(resolved.contains)
       require(missing.isEmpty,
         s"model '${m.name}' missing upstream relation(s): ${missing.mkString(", ")}")
+      // the layout is part of the model's state: re-clustering a mart is
+      // a rebuild-worthy change even when the logic didn't move
       val fp = (s"code=${m.codeVersion}" +:
+        s"layout=${(m.layout.clusterBy ++ Seq("|") ++ m.layout.allStats ++ Seq("|") ++ m.layout.bloomColumns).mkString(",")}/${m.layout.files.getOrElse(0)}" +:
         m.deps.sorted.map(d => s"$d=${tokens(d)}")).mkString(";")
       m.materialization match {
         case Materialization.View =>
@@ -313,11 +355,15 @@ final class Registry(models: Seq[Model]) {
               actions(m.name) = "skipped"
               tip.get
             } else {
-              val df = m.build(resolved.toMap)
+              val df = applyLayout(m.build(resolved.toMap), m.layout)
               val meta = Map("state" -> fp)
               actions(m.name) = "built"
-              if (tip.isEmpty) ManifestTable.create(spark, root, df, meta)
-              else ManifestTable.overwrite(spark, root, df, meta)
+              if (tip.isEmpty)
+                ManifestTable.create(spark, root, df, meta,
+                  statsColumns = m.layout.allStats, bloomColumns = m.layout.bloomColumns)
+              else
+                ManifestTable.overwrite(spark, root, df, meta,
+                  statsColumns = m.layout.allStats, bloomColumns = m.layout.bloomColumns)
             }
           resolved(m.name) = ManifestTable.read(spark, root, Some(version))
           tokens(m.name) = s"v$version"
@@ -336,19 +382,25 @@ final class Registry(models: Seq[Model]) {
           val tip = ManifestTable.versions(spark, root).lastOption
           val version = tip match {
             case None =>
-              ManifestTable.create(spark, root, m.build(resolved.toMap))
+              ManifestTable.create(spark, root,
+                applyLayout(m.build(resolved.toMap), m.layout),
+                statsColumns = m.layout.allStats, bloomColumns = m.layout.bloomColumns)
             case Some(v) =>
               val existing = ManifestTable.read(spark, root, Some(v))
               val batch = m.build(resolved.toMap + ("this" -> existing))
               strategy match {
                 case IncrementalStrategy.Append =>
-                  ManifestTable.append(spark, root, batch)
+                  // each batch clusters internally; global re-clustering
+                  // is an OPTIMIZE concern (ManifestTable.optimizeZOrder)
+                  ManifestTable.append(spark, root, applyLayout(batch, m.layout),
+                    statsColumns = m.layout.allStats, bloomColumns = m.layout.bloomColumns)
                 case IncrementalStrategy.DeleteInsert(uniqueKey) =>
                   // same relational merge as run(): batch keys replace,
                   // schema widens by name (append_new_columns)
                   ManifestTable.overwrite(spark, root,
-                    existing.join(batch, Seq(uniqueKey), "left_anti")
-                      .unionByName(batch, allowMissingColumns = true))
+                    applyLayout(existing.join(batch, Seq(uniqueKey), "left_anti")
+                      .unionByName(batch, allowMissingColumns = true), m.layout),
+                    statsColumns = m.layout.allStats, bloomColumns = m.layout.bloomColumns)
               }
           }
           resolved(m.name) = ManifestTable.read(spark, root, Some(version))

@@ -189,4 +189,33 @@ class ModelStateSpec extends SparkSpec {
     assert(act2("t_agg") === "skipped")
     assert(rel2("t_agg").collect().toSet === expected)
   }
+
+  test("a declared TableLayout clusters the committed mart, commits stats, and is part of the state") {
+    import graft.model.TableLayout
+    val dir = freshDir()
+    def reg(layout: TableLayout) = new Registry(Seq(
+      Model("t_rows", Seq("raw"), Materialization.Table,
+        r => r("raw").repartition(4), layout = layout)))
+    val ranged = TableLayout(clusterBy = Seq("id"), bloomColumns = Seq("payload"),
+      files = Some(4))
+    val (rel1, act1) = reg(ranged).runStateAware(spark, Map("raw" -> src), dir)
+    assert(act1("t_rows") === "built")
+    // the mart's manifest carries stats on the cluster column + blooms
+    val root = s"$dir/t_rows"
+    val tip = ManifestTable.versions(spark, root).max
+    val stats = ManifestTable.fileStats(spark, root, tip)
+    assert(stats.nonEmpty && stats.values.forall(fs =>
+      fs.cols.contains("id") && fs.cols("payload").bloom.isDefined))
+    // range clustering makes the mart prunable on id
+    val (kept, dropped, _) = ManifestTable.pruneFiles(spark, root, col("id") <= 10L)
+    assert(dropped.nonEmpty, s"clustered mart did not prune (kept ${kept.size})")
+    assert(ManifestTable.readPruned(spark, root, col("id") <= 10L).count() === 10L)
+    // identical layout skips; a layout CHANGE alone rebuilds
+    val (_, act2) = reg(ranged).runStateAware(spark, Map("raw" -> src), dir)
+    assert(act2("t_rows") === "skipped")
+    val (_, act3) = reg(TableLayout(clusterBy = Seq("id", "grp")))
+      .runStateAware(spark, Map("raw" -> src), dir)
+    assert(act3("t_rows") === "built", "a layout change must invalidate the state")
+    assert(rel1("t_rows").count() === 100L)
+  }
 }
