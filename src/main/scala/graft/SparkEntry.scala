@@ -610,6 +610,27 @@ object SparkEntry {
         takeLatest = Seq("status", "last_order"), sumCols = Seq("n_orders"))
     }),
 
+    "lake7_manifest_count" -> ((s, dir) => {
+      // metadata-resolved COUNT: on a range-clustered table an interior
+      // date-range count sums committed per-file row counts for the
+      // fully-covered files and scans ONLY the two boundary files —
+      // aggregate pushdown into the table format. The count itself is
+      // the oracle; the mirrors pin that metadata actually resolved
+      // files (meta_resolved_some) and that the scan stayed a minority
+      // of the layout (scanned_minority).
+      val root = java.nio.file.Files.createTempDirectory("lake7_count")
+      val orders = t(s, dir, "orders")
+      graft.sources.ManifestTable.create(s, root.toString,
+        orders.repartitionByRange(8, col("o_orderdate")),
+        statsColumns = Seq("o_orderdate"))
+      val f = col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp")
+      val (n, full, resid) = graft.sources.ManifestTable.countWhere(s, root.toString, f)
+      s.range(1).select(lit(n).as("n_orders"),
+        lit(full > 0).as("meta_resolved_some"),
+        lit(resid < 8).as("scanned_minority"))
+    }),
+
     "lake6_zorder_pruned" -> ((s, dir) => {
       // OPTIMIZE ZORDER under the oracle: rewrite orders along the
       // Morton curve of (o_orderdate, o_totalprice), then push a 2-d box
@@ -3560,6 +3581,14 @@ object SparkEntry {
          |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) AS valid_to,
          |       (lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) IS NULL) AS is_current
          |FROM changes""").stripMargin,
+
+    "lake7_manifest_count" -> // the metadata-resolved count must equal the
+      // scanned count exactly; the mirrors pin the resolution shape
+      ("""SELECT CAST(count(*) AS BIGINT) AS n_orders,
+         |       TRUE AS meta_resolved_some, TRUE AS scanned_minority
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'""").stripMargin,
 
     "lake6_zorder_pruned" -> // the z-order-pruned 2-d box scan must equal
       // the plain filtered aggregate; pruned_some mirrors the file drop

@@ -334,6 +334,92 @@ object ManifestStats {
     case _ => true
   }
 
+  /** Must EVERY row of a file with `fs` satisfy `cond`? The dual of
+    * [[mayMatch]], conservative the other way: `false` whenever the
+    * stats cannot PROVE universal satisfaction. Null semantics make
+    * nullCount == 0 a precondition for every value predicate — a null
+    * row evaluates the predicate to null, which does not satisfy it. */
+  private def mustMatch(cond: Expression, fs: FileStats): Boolean = cond match {
+    case And(l, r) => mustMatch(l, fs) && mustMatch(r, fs)
+    case Or(l, r) => mustMatch(l, fs) || mustMatch(r, fs)
+    case IsNull(a: AttributeReference) =>
+      fs.cols.get(a.name).exists(_.nullCount == fs.rowCount)
+    case IsNotNull(a: AttributeReference) =>
+      fs.cols.get(a.name).exists(_.nullCount == 0)
+    case b: BinaryComparison =>
+      (attrOf(b.left), attrOf(b.right)) match {
+        case (Some(a), None) if b.right.foldable => allIn(a, b, fs, flipped = false)
+        case (None, Some(a)) if b.left.foldable => allIn(a, b, fs, flipped = true)
+        case _ => false
+      }
+    case In(ae, vs) if vs.forall(_.foldable) =>
+      // provable only when the file is single-valued on the column
+      attrOf(ae) match {
+        case Some(a) => fs.cols.get(a.name).exists { cs =>
+          cs.nullCount == 0 && cs.min.isDefined && cs.min == cs.max &&
+            vs.exists(v => literalCanonical(v).contains(cs.min.get) && v.dataType == a.dataType)
+        }
+        case None => false
+      }
+    case StartsWith(a: AttributeReference, p) if p.foldable =>
+      // min and max sharing the prefix pins every value in between to it
+      (fs.cols.get(a.name), literalCanonical(p)) match {
+        case (Some(cs), Some(prefix)) =>
+          cs.nullCount == 0 &&
+            cs.min.exists(_.startsWith(prefix)) && cs.max.exists(_.startsWith(prefix))
+        case _ => false
+      }
+    case _ => false
+  }
+
+  /** Does EVERY non-null value of `a` sit on the required side of the
+    * literal — i.e. does the whole [min,max] envelope satisfy it? */
+  private def allIn(a: AttributeReference, b: BinaryComparison, fs: FileStats, flipped: Boolean): Boolean =
+    fs.cols.get(a.name) match {
+      case None => false
+      case Some(cs) =>
+        val litSide = if (flipped) b.left else b.right
+        if (cs.nullCount != 0) false
+        else (domainOf(a.dataType), literalCanonical(litSide), cs.min, cs.max) match {
+          case (Some(d), Some(v), Some(mn), Some(mx)) =>
+            b match {
+              case _: EqualTo | _: EqualNullSafe => mn == mx && d.cmp(mn, v) == 0
+              case _ =>
+                val ltLike = b.isInstanceOf[LessThan] || b.isInstanceOf[LessThanOrEqual]
+                val inclusive = b.isInstanceOf[LessThanOrEqual] || b.isInstanceOf[GreaterThanOrEqual]
+                val attrBelow = ltLike != flipped
+                if (attrBelow) { if (inclusive) d.leq(mx, v) else d.lt(mx, v) }
+                else { if (inclusive) d.leq(v, mn) else d.lt(v, mn) }
+            }
+          case _ => false
+        }
+    }
+
+  /** Classify `files` for an exact filtered COUNT: (fullMatch, noMatch,
+    * residual) — full files contribute their manifest row count with no
+    * scan, no-match files contribute zero, only residual (boundary)
+    * files need reading. Files without stats are residual. */
+  def splitForCount(
+      spark: SparkSession,
+      schema: StructType,
+      filter: Column,
+      stats: Map[String, FileStats],
+      files: Seq[String]): (Seq[String], Seq[String], Seq[String]) = {
+    val cond = analyzedCondition(spark, schema, filter).getOrElse(
+      return (files, Seq.empty, Seq.empty)) // no filter rows survived analysis: all match
+    val full = scala.collection.mutable.Buffer.empty[String]
+    val none = scala.collection.mutable.Buffer.empty[String]
+    val residual = scala.collection.mutable.Buffer.empty[String]
+    files.foreach { f =>
+      stats.get(f) match {
+        case Some(fs) if mustMatch(cond, fs) => full += f
+        case Some(fs) if !mayMatch(cond, fs) => none += f
+        case _ => residual += f
+      }
+    }
+    (full.toSeq, none.toSeq, residual.toSeq)
+  }
+
   private def prefixUpper(p: String): Option[String] =
     if (p.isEmpty || p.last == Char.MaxValue) None
     else Some(p.init + (p.last + 1).toChar)
@@ -395,20 +481,25 @@ object ManifestStats {
 
   /** Resolve `filter` against `schema` through the real analyzer (so
     * casts fold, timezones resolve, and names bind exactly as the read
-    * itself would), then split the surviving file set. Driver-only; no
-    * job runs. Returns (kept, dropped) root-relative paths. */
+    * itself would). Driver-only; no job runs. */
+  private def analyzedCondition(
+      spark: SparkSession, schema: StructType, filter: Column): Option[Expression] =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      .filter(filter).queryExecution.analyzed
+      .collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+
+  /** Split the file set for a predicate read: (kept, dropped)
+    * root-relative paths. */
   def prune(
       spark: SparkSession,
       schema: StructType,
       filter: Column,
       stats: Map[String, FileStats],
       files: Seq[String]): (Seq[String], Seq[String]) = {
-    val analyzed = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], schema).filter(filter)
-      .queryExecution.analyzed
-    val cond = analyzed.collectFirst {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-    }.getOrElse(return (files, Seq.empty))
+    val cond = analyzedCondition(spark, schema, filter).getOrElse(
+      return (files, Seq.empty))
     files.partition(f => stats.get(f).forall(fs => mayMatch(cond, fs)))
   }
 }

@@ -432,6 +432,44 @@ object ManifestTable {
       _ => Map(SchemaKey -> schemaJson), _ => stats), staged.size)
   }
 
+  /** Exact `COUNT(*) WHERE filter` answered as much as possible from
+    * the manifest: files whose stats PROVE every row matches contribute
+    * their committed row count with no scan, provably-excluded files
+    * contribute zero, and only the boundary (residual) files are read
+    * and counted. On a range-clustered table a range predicate's cost
+    * collapses from O(selected rows) to O(two boundary files) — the
+    * aggregate-pushdown idea applied to the table format instead of the
+    * connector (cf. src8's V2 COUNT pushdown). Always exact; returns
+    * (count, fullFiles, residualFiles) so callers can observe how much
+    * of the answer came from metadata. */
+  def countWhere(spark: SparkSession, root: String, filter: org.apache.spark.sql.Column,
+      version: Option[Long] = None): (Long, Int, Int) = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in log (have ${vs.mkString(",")})")
+    val files = manifestFiles(spark, root, v)
+    val stats = fileStats(spark, root, v)
+    val schema = schemaOf(spark, root, v)
+    val (full, _, residual) = schema match {
+      case Some(sc) => ManifestStats.splitForCount(spark, sc, filter, stats, files)
+      case None => (Seq.empty[String], Seq.empty[String], files) // pre-schema: scan all
+    }
+    // a full-match file without committed stats cannot happen (mustMatch
+    // needs stats), so every full entry has a row count to sum
+    val metaCount = full.map(f => stats(f).rowCount).sum
+    val scanned =
+      if (residual.isEmpty) 0L
+      else {
+        val df = schema match {
+          case Some(sc) => spark.read.schema(sc).parquet(residual.map(p => s"$root/$p"): _*)
+          case None => spark.read.parquet(residual.map(p => s"$root/$p"): _*)
+        }
+        df.filter(filter).count()
+      }
+    (metaCount + scanned, full.size, residual.size)
+  }
+
   /** Total bytes of the data files the tip manifest names — the sizing
     * input for [[compact]]/[[optimizeZOrder]] targets (driver-side
     * metadata only). */

@@ -270,6 +270,56 @@ class ManifestStatsSpec extends SparkSpec {
     }
   }
 
+  test("countWhere answers range counts mostly from metadata, exactly") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root,
+      orders.repartitionByRange(8, col("o_orderkey")),
+      statsColumns = Seq("o_orderkey", "o_orderdate"))
+    def oracle(f: Column): Long = ManifestTable.read(spark, root).filter(f).count()
+    // interior range: full files answer from the manifest, only the two
+    // boundary files scan
+    val f1 = col("o_orderkey").between(200L, 1200L)
+    val (c1, full1, resid1) = ManifestTable.countWhere(spark, root, f1)
+    assert(c1 === oracle(f1))
+    assert(full1 >= 1, "no file resolved from metadata for an interior range")
+    assert(resid1 <= 2, s"range count scanned $resid1 boundary files")
+    // whole-table predicate: zero scans
+    val f2 = col("o_orderkey") >= 0L
+    val (c2, full2, resid2) = ManifestTable.countWhere(spark, root, f2)
+    assert(c2 === oracle(f2) && c2 === 1500L)
+    assert(full2 === 8 && resid2 === 0, "whole-table count should be scan-free")
+    // empty predicate: zero scans, zero count
+    val f3 = col("o_orderkey") > 999999L
+    val (c3, _, resid3) = ManifestTable.countWhere(spark, root, f3)
+    assert(c3 === 0L && resid3 === 0)
+    // a predicate on an un-statted column stays exact via full scan
+    val f4 = col("o_orderstatus") === "F"
+    val (c4, full4, _) = ManifestTable.countWhere(spark, root, f4)
+    assert(c4 === oracle(f4) && full4 === 0)
+    // conjunction: stats column resolves the envelope, residual scan
+    // applies the full predicate (never the envelope alone)
+    val f5 = col("o_orderkey").between(200L, 1200L) && col("o_orderstatus") === "F"
+    val (c5, full5, _) = ManifestTable.countWhere(spark, root, f5)
+    assert(c5 === oracle(f5))
+    assert(full5 === 0, "a conjunct the stats can't prove must not count files as full")
+  }
+
+  test("countWhere null semantics: IsNull/IsNotNull resolve from nullCount") {
+    val root = freshRoot()
+    val withNulls = spark.range(0, 10).select(col("id"), lit(null).cast("double").as("score"))
+    val noNulls = spark.range(10, 20).select(col("id"), col("id").cast("double").as("score"))
+    ManifestTable.create(spark, root, withNulls.coalesce(1), statsColumns = Seq("score"))
+    ManifestTable.append(spark, root, noNulls.coalesce(1), statsColumns = Seq("score"))
+    val (c1, full1, resid1) = ManifestTable.countWhere(spark, root, col("score").isNull)
+    assert(c1 === 10L && full1 === 1 && resid1 === 0)
+    val (c2, full2, resid2) = ManifestTable.countWhere(spark, root, col("score").isNotNull)
+    assert(c2 === 10L && full2 === 1 && resid2 === 0)
+    // value predicates never count null rows: the all-null file is
+    // excluded, the value file resolves fully (nullCount == 0)
+    val (c3, _, resid3) = ManifestTable.countWhere(spark, root, col("score") >= 10.0)
+    assert(c3 === 10L && resid3 === 0)
+  }
+
   test("unsupported stats columns refuse loudly at write time") {
     val root = freshRoot()
     val df = Seq((1L, Array(1.0, 2.0))).toDF("id", "emb")
