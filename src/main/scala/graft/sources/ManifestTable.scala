@@ -432,6 +432,30 @@ object ManifestTable {
       _ => Map(SchemaKey -> schemaJson), _ => stats), staged.size)
   }
 
+  /** ANALYZE: (re)compute skipping stats for the files the tip already
+    * names and commit them as a new version — NO data rewrite, so a
+    * table created before anyone opted into stats (or whose stats
+    * columns should change) becomes skippable in one metadata commit
+    * plus one aggregation scan. Existing stats for untracked columns
+    * are replaced wholesale (the new stats describe exactly
+    * `statsColumns`/`bloomColumns`). */
+  def analyze(spark: SparkSession, root: String,
+      statsColumns: Seq[String],
+      bloomColumns: Seq[String] = Nil): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table")
+    val tipFiles = manifestFiles(spark, root, vs.max)
+    val schemaJson = schemaOf(spark, root, vs.max).map(_.json)
+    val stats = ManifestStats.collect(spark, root, tipFiles, statsColumns, bloomColumns)
+    commit(spark, root, "analyze", Seq.empty,
+      tip => manifestFiles(spark, root, tip),
+      tip => schemaJson.orElse(schemaOf(spark, root, tip).map(_.json))
+        .map(j => Map(SchemaKey -> j)).getOrElse(Map.empty),
+      // a racing append may have landed first: ITS files keep their own
+      // stats (carried), the analyzed files take the fresh ones
+      tip => fileStats(spark, root, tip) ++ stats)
+  }
+
   /** Exact `COUNT(*) WHERE filter` answered as much as possible from
     * the manifest: files whose stats PROVE every row matches contribute
     * their committed row count with no scan, provably-excluded files

@@ -320,6 +320,31 @@ class ManifestStatsSpec extends SparkSpec {
     assert(c3 === 10L && resid3 === 0)
   }
 
+  test("analyze backfills stats on an existing table without rewriting any data file") {
+    val root = freshRoot()
+    // created with NO stats: nothing prunes
+    ManifestTable.create(spark, root, orders.repartitionByRange(8, col("o_orderkey")))
+    val f = col("o_orderkey") < 100L
+    val (k0, t0) = checkExact(root, f)
+    assert(k0 === t0, "stats-less table must keep everything")
+    val filesBefore = ManifestTable.manifestFiles(spark, root, 1L)
+    val v2 = ManifestTable.analyze(spark, root, Seq("o_orderkey"),
+      bloomColumns = Seq("o_orderstatus"))
+    // same files, new version, now skippable
+    assert(ManifestTable.manifestFiles(spark, root, v2) === filesBefore,
+      "analyze must not rewrite or reorder data files")
+    val (k1, t1) = checkExact(root, f)
+    assert(k1 < t1, "analyze did not make the table skippable")
+    assert(ManifestTable.fileStats(spark, root, v2)
+      .values.forall(_.cols("o_orderstatus").bloom.isDefined))
+    // countWhere rides the backfilled stats too
+    val (n, full, _) = ManifestTable.countWhere(spark, root, col("o_orderkey") >= 0L)
+    assert(n === 1500L && full === 8)
+    // the change-data-feed is unaffected: same file set is an append-safe lineage
+    val (delta, _) = ManifestTable.readChangesSince(spark, root, 1L)
+    assert(delta.count() === 0L)
+  }
+
   test("unsupported stats columns refuse loudly at write time") {
     val root = freshRoot()
     val df = Seq((1L, Array(1.0, 2.0))).toDF("id", "emb")
