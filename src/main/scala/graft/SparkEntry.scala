@@ -610,6 +610,34 @@ object SparkEntry {
         takeLatest = Seq("status", "last_order"), sumCols = Seq("n_orders"))
     }),
 
+    "lake8_keyjoin_pruned" -> ((s, dir) => {
+      // join-time file skipping (the DPP idea over the manifest): the
+      // fact table is hash-clustered on o_custkey with per-file blooms;
+      // the dimension side's 10 join keys prune fact FILES before the
+      // join runs. Sound because an inner join discards non-matching
+      // fact rows anyway; the oracle replays the plain join, and
+      // pruned_some mirrors that files actually dropped.
+      val root = java.nio.file.Files.createTempDirectory("lake8_keyjoin")
+      val orders = t(s, dir, "orders")
+      graft.sources.ManifestTable.create(s, root.toString,
+        orders.repartition(8, col("o_custkey")),
+        bloomColumns = Seq("o_custkey"))
+      val dim = t(s, dir, "customer").filter(col("c_custkey") < 10)
+        .select(col("c_custkey"))
+      val facts = graft.sources.ManifestTable.readPrunedByKeys(
+        s, root.toString, "o_custkey", dim)
+      // the drop is observed on the ACTUAL pruned frame, not re-derived
+      val total = graft.sources.ManifestTable.manifestFiles(s, root.toString, 1L).size
+      val kept = facts.select(input_file_name()).distinct().count()
+      val dropped = (0 until (total - kept.toInt)).toSeq
+      facts.join(broadcast(dim), facts("o_custkey") === dim("c_custkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .select(lit(dropped.nonEmpty).as("pruned_some"), col("o_orderstatus"),
+          col("n_orders"), col("total_price"))
+    }),
+
     "lake7_manifest_count" -> ((s, dir) => {
       // metadata-resolved COUNT: on a range-clustered table an interior
       // date-range count sums committed per-file row counts for the
@@ -3581,6 +3609,15 @@ object SparkEntry {
          |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) AS valid_to,
          |       (lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) IS NULL) AS is_current
          |FROM changes""").stripMargin,
+
+    "lake8_keyjoin_pruned" -> // the key-pruned fact join must equal the
+      // plain inner join; pruned_some mirrors the observed file drop
+      (s"""SELECT TRUE AS pruned_some, o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |WHERE c_custkey < 10
+         |GROUP BY o_orderstatus""").stripMargin,
 
     "lake7_manifest_count" -> // the metadata-resolved count must equal the
       // scanned count exactly; the mirrors pin the resolution shape

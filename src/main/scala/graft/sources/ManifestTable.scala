@@ -432,6 +432,55 @@ object ManifestTable {
       _ => Map(SchemaKey -> schemaJson), _ => stats), staged.size)
   }
 
+  /** Join-time file skipping — the dynamic-partition-pruning idea
+    * applied to the manifest (Spark's DPP prunes directory partitions
+    * off a dimension filter; this prunes FILES off the dimension's
+    * actual join keys, using the same committed ranges and blooms as
+    * [[readPruned]]): collect the small side's distinct join keys
+    * (bounded by `maxKeys` — the same smallness bar a broadcast join
+    * already imposes on that side), drop every fact file whose stats
+    * prove it holds none of them, and return the pruned fact table for
+    * the caller's join. Exceeding the cap falls back to the full read.
+    * SOUND for joins that discard non-matching fact rows — inner, left
+    * semi, left anti FROM the dimension — because dropped files hold
+    * only rows that match no key; a fact-side OUTER join that keeps
+    * unmatched fact rows must read the full table instead.
+    *
+    * At 100 TB this is the standard star-schema win: a dimension filter
+    * that keeps 50 customers should not scan every fact file, and with
+    * the fact table hash- or range-clustered on the key plus blooms
+    * committed, it doesn't. */
+  def readPrunedByKeys(
+      spark: SparkSession,
+      root: String,
+      keyColumn: String,
+      keys: DataFrame,
+      maxKeys: Int = 100000,
+      version: Option[Long] = None): DataFrame = {
+    require(keys.schema.fields.length == 1,
+      s"keys frame must have exactly the join-key column, got ${keys.columns.mkString(",")}")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
+    val v = version.getOrElse(vs.max)
+    // cap + 1 bounds the collect: one extra row is enough to detect overflow
+    val collected = keys.distinct().limit(maxKeys + 1).collect()
+    if (collected.length > maxKeys) return read(spark, root, Some(v))
+    val keyCol = org.apache.spark.sql.functions.col(keyColumn)
+    val values = collected.map(_.get(0)).filter(_ != null)
+    if (values.isEmpty) return read(spark, root, Some(v)).limit(0)
+    // the key set becomes one big IN predicate over the stats layer —
+    // ranges bound it, blooms test each member on exact-type layouts.
+    // FILE-level pruning only: kept files are returned whole, the
+    // caller's join does the exact matching
+    val inPred = keyCol.isin(values.toIndexedSeq: _*)
+    val (kept, _, _) = pruneFiles(spark, root, inPred, Some(v))
+    if (kept.isEmpty) read(spark, root, Some(v)).limit(0)
+    else schemaOf(spark, root, v) match {
+      case Some(s) => spark.read.schema(s).parquet(kept.map(p => s"$root/$p"): _*)
+      case None => spark.read.parquet(kept.map(p => s"$root/$p"): _*)
+    }
+  }
+
   /** ANALYZE: (re)compute skipping stats for the files the tip already
     * names and commit them as a new version — NO data rewrite, so a
     * table created before anyone opted into stats (or whose stats

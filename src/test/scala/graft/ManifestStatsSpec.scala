@@ -345,6 +345,34 @@ class ManifestStatsSpec extends SparkSpec {
     assert(delta.count() === 0L)
   }
 
+  test("readPrunedByKeys: a small dimension's keys prune the fact scan; join result exact") {
+    val root = freshRoot()
+    // fact table hash-clustered on the key with blooms — the DPP-analog
+    // sweet spot: ranges overlap, blooms carry the pruning
+    ManifestTable.create(spark, root, orders.repartition(8, col("o_custkey")),
+      bloomColumns = Seq("o_custkey"))
+    val dim = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .filter(col("c_custkey") < 5).select(col("c_custkey"))
+    val prunedFacts = ManifestTable.readPrunedByKeys(spark, root, "o_custkey", dim)
+    val fullFacts = ManifestTable.read(spark, root)
+    // the inner join over the pruned scan equals the full-scan join
+    val j1 = prunedFacts.join(dim, prunedFacts("o_custkey") === dim("c_custkey"))
+      .select("o_orderkey").orderBy("o_orderkey").collect().toSeq
+    val j2 = fullFacts.join(dim, fullFacts("o_custkey") === dim("c_custkey"))
+      .select("o_orderkey").orderBy("o_orderkey").collect().toSeq
+    assert(j1 === j2 && j1.nonEmpty)
+    // and the scan really shrank: the pruned frame reads fewer files
+    val keptFiles = prunedFacts.select(input_file_name()).distinct().count()
+    assert(keptFiles < 8, s"key pruning kept all $keptFiles files")
+    // empty key set: schema-correct empty fact frame
+    assert(ManifestTable.readPrunedByKeys(spark, root, "o_custkey",
+      dim.filter(lit(false))).count() === 0L)
+    // over-cap key set falls back to the full read (keep-biased)
+    val wide = spark.range(0, 50).select(col("id").as("k"))
+    assert(ManifestTable.readPrunedByKeys(spark, root, "o_custkey", wide, maxKeys = 10)
+      .count() === fullFacts.count())
+  }
+
   test("unsupported stats columns refuse loudly at write time") {
     val root = freshRoot()
     val df = Seq((1L, Array(1.0, 2.0))).toDF("id", "emb")
