@@ -175,10 +175,13 @@ object ManifestStats {
       case StringType => Some(v.toString)
       case FloatType =>
         val f = v.asInstanceOf[Float]
-        if (java.lang.Float.isFinite(f)) Some(new java.math.BigDecimal(f.toString).toPlainString) else None
+        // EXACT binary value, not toString: "0.1f" renders "0.1" but IS
+        // 0.100000001490116…, and a strict `> 0.1d` bound compared in
+        // rendered space would unsoundly prune the file holding it
+        if (java.lang.Float.isFinite(f)) Some(new java.math.BigDecimal(f.toDouble).toPlainString) else None
       case DoubleType =>
         val d = v.asInstanceOf[Double]
-        if (java.lang.Double.isFinite(d)) Some(new java.math.BigDecimal(d.toString).toPlainString) else None
+        if (java.lang.Double.isFinite(d)) Some(new java.math.BigDecimal(d).toPlainString) else None
       case _: DecimalType => Some(v.asInstanceOf[java.math.BigDecimal].toPlainString)
       case ByteType | ShortType | IntegerType | LongType => Some(new java.math.BigDecimal(v.toString).toPlainString)
       case other => throw new IllegalArgumentException(s"unsupported stats type $other")
@@ -251,7 +254,13 @@ object ManifestStats {
     def cmp(a: String, b: String) = java.lang.Long.compare(a.toLong, b.toLong)
   }
   private object StrDomain extends Domain {
-    def cmp(a: String, b: String) = a.compareTo(b)
+    // Spark compares strings by UNSIGNED UTF-8 BYTES (UTF8String binary
+    // collation); Java's compareTo is UTF-16 code-unit order and the two
+    // DISAGREE for non-BMP code points (an emoji sorts after U+E000..FFFF
+    // in byte order but before it in UTF-16) — comparing in String space
+    // here would unsoundly prune files holding astral-plane text
+    def cmp(a: String, b: String) = byteCmp(
+      a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
   }
 
   private def domainOf(dt: DataType): Option[Domain] = dt match {
@@ -276,10 +285,11 @@ object ManifestStats {
       case StringType => Some(v.asInstanceOf[UTF8String].toString)
       case FloatType =>
         val f = v.asInstanceOf[Float]
-        if (java.lang.Float.isFinite(f)) Some(new java.math.BigDecimal(f.toString).toPlainString) else None
+        // exact binary value — must match canonical()'s encoding choice
+        if (java.lang.Float.isFinite(f)) Some(new java.math.BigDecimal(f.toDouble).toPlainString) else None
       case DoubleType =>
         val d = v.asInstanceOf[Double]
-        if (java.lang.Double.isFinite(d)) Some(new java.math.BigDecimal(d.toString).toPlainString) else None
+        if (java.lang.Double.isFinite(d)) Some(new java.math.BigDecimal(d).toPlainString) else None
       case _: DecimalType => Some(v.asInstanceOf[Decimal].toJavaBigDecimal.toPlainString)
       case ByteType | ShortType | IntegerType | LongType => Some(new java.math.BigDecimal(v.toString).toPlainString)
       case _ => None
@@ -324,14 +334,43 @@ object ManifestStats {
           if (cs.nullCount == fs.rowCount) false
           else (cs.min, cs.max) match {
             case (Some(mn), Some(mx)) =>
-              // strings with this prefix occupy [prefix, prefixUpper);
-              // an un-incrementable last char keeps the file
-              mx.compareTo(prefix) >= 0 && prefixUpper(prefix).forall(up => mn.compareTo(up) < 0)
+              // in UTF-8 byte order, strings with this prefix occupy
+              // [prefix, prefixByteUpper); an un-incrementable prefix
+              // (all 0xFF) keeps the file
+              StrDomain.cmp(mx, prefix) >= 0 &&
+                prefixByteUpper(prefix).forall(up =>
+                  byteCmp(mn.getBytes(StandardCharsets.UTF_8), up) < 0)
             case _ => true
           }
         case _ => true
       }
     case _ => true
+  }
+
+  private def byteCmp(x: Array[Byte], y: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** The exclusive byte-space upper bound of the prefix range: trim
+    * trailing 0xFF bytes, increment the last remaining one. None when
+    * no bound exists (empty / all-0xFF prefix). */
+  private def prefixByteUpper(p: String): Option[Array[Byte]] = {
+    val b = p.getBytes(StandardCharsets.UTF_8)
+    var i = b.length - 1
+    while (i >= 0 && (b(i) & 0xff) == 0xff) i -= 1
+    if (i < 0) None
+    else {
+      val up = java.util.Arrays.copyOf(b, i + 1)
+      up(i) = (up(i) + 1).toByte
+      Some(up)
+    }
   }
 
   /** Must EVERY row of a file with `fs` satisfy `cond`? The dual of
@@ -420,9 +459,6 @@ object ManifestStats {
     (full.toSeq, none.toSeq, residual.toSeq)
   }
 
-  private def prefixUpper(p: String): Option[String] =
-    if (p.isEmpty || p.last == Char.MaxValue) None
-    else Some(p.init + (p.last + 1).toChar)
 
   /** Range check for `attr <op> literal`. `flipped` means the literal is
     * on the LEFT (`lit < attr` ≡ `attr > lit`). */

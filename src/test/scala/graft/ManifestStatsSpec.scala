@@ -373,6 +373,32 @@ class ManifestStatsSpec extends SparkSpec {
       .count() === fullFacts.count())
   }
 
+  test("float bounds are exact binary values: a strict bound at the rendered value cannot prune") {
+    val root = freshRoot()
+    // 0.1f IS 0.100000001490116…; its toString renders "0.1". A strict
+    // `> 0.1d` predicate matches the row, so the file must survive —
+    // stats canonicalized via toString would prune it unsoundly
+    val df = Seq(0.1f, 0.05f).toDF("f")
+    ManifestTable.create(spark, root, df.coalesce(1), statsColumns = Seq("f"))
+    val (kept, _) = checkExact(root, col("f") > lit(0.1d))
+    assert(kept === 1, "exact-binary float bound was pruned away")
+    assert(ManifestTable.readPruned(spark, root, col("f") > lit(0.1d)).count() === 1L)
+  }
+
+  test("string stats compare in UTF-8 byte order (astral plane sorts after U+FFFD, unlike UTF-16)") {
+    val root = freshRoot()
+    // U+1F600 GRINNING FACE: UTF-16 surrogates D83D DE00 sort BELOW
+    // U+FFFD, UTF-8 bytes F0 9F 98 80 sort ABOVE it — Spark compares
+    // bytes, so the predicate matches and the file must be kept
+    val df = Seq("😀", "😀zz").toDF("s")
+    ManifestTable.create(spark, root, df.coalesce(1), statsColumns = Seq("s"))
+    val (kept, _) = checkExact(root, col("s") >= "\uFFFD")
+    assert(kept === 1, "UTF-16 ordering pruned a byte-order-matching file")
+    assert(ManifestTable.readPruned(spark, root, col("s") >= "\uFFFD").count() === 2L)
+    // prefix probe on the astral string stays sound too
+    checkExact(root, col("s").startsWith("😀"))
+  }
+
   test("unsupported stats columns refuse loudly at write time") {
     val root = freshRoot()
     val df = Seq((1L, Array(1.0, 2.0))).toDF("id", "emb")
