@@ -113,10 +113,16 @@ object ManifestStats {
       statsColumns: Seq[String],
       bloomColumns: Seq[String] = Nil,
       bloomBits: Int = DefaultBloomBits,
-      bloomHashes: Int = DefaultBloomHashes): Map[String, FileStats] = {
+      bloomHashes: Int = DefaultBloomHashes,
+      schema: Option[StructType] = None): Map[String, FileStats] = {
     val rangeCols = (statsColumns ++ bloomColumns).distinct // blooms imply min/max too
     if (rangeCols.isEmpty || relPaths.isEmpty) return Map.empty
-    val df = spark.read.parquet(relPaths.map(p => s"$root/$p"): _*)
+    // freshly staged files are schema-homogeneous and infer fine; a
+    // backfill over a widening-append lineage must read with the
+    // COMMITTED schema (footer inference picks one file's shape and can
+    // miss columns newer files carry — or vice versa)
+    val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+    val df = reader.parquet(relPaths.map(p => s"$root/$p"): _*)
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     rangeCols.foreach { c =>
       val dt = types.getOrElse(c,

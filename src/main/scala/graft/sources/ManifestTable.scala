@@ -494,8 +494,10 @@ object ManifestTable {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"$root is not a manifest table")
     val tipFiles = manifestFiles(spark, root, vs.max)
-    val schemaJson = schemaOf(spark, root, vs.max).map(_.json)
-    val stats = ManifestStats.collect(spark, root, tipFiles, statsColumns, bloomColumns)
+    val tipSchema = schemaOf(spark, root, vs.max)
+    val schemaJson = tipSchema.map(_.json)
+    val stats = ManifestStats.collect(spark, root, tipFiles, statsColumns, bloomColumns,
+      schema = tipSchema)
     commit(spark, root, "analyze", Seq.empty,
       tip => manifestFiles(spark, root, tip),
       tip => schemaJson.orElse(schemaOf(spark, root, tip).map(_.json))

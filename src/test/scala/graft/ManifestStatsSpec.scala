@@ -399,6 +399,25 @@ class ManifestStatsSpec extends SparkSpec {
     checkExact(root, col("s").startsWith("😀"))
   }
 
+  test("analyze after a widening append reads the committed schema, not one file's footer") {
+    val root = freshRoot()
+    val gen1 = Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+    val gen2 = Seq((3L, "c", 30.0), (4L, "d", 40.0)).toDF("id", "k", "score")
+    ManifestTable.create(spark, root, gen1.coalesce(1))
+    ManifestTable.append(spark, root, gen2.coalesce(1))
+    // stats on the WIDENED column: footer inference could pick the gen1
+    // file and refuse; the committed schema knows better
+    val v = ManifestTable.analyze(spark, root, Seq("id", "score"))
+    val stats = ManifestTable.fileStats(spark, root, v)
+    assert(stats.size === 2)
+    // gen1's file reads score as all-NULL: stats must say exactly that
+    val gen1Stats = stats.values.find(_.cols("score").min.isEmpty).get
+    assert(gen1Stats.cols("score").nullCount === gen1Stats.rowCount)
+    checkExact(root, col("score") > 35.0)
+    val (n, _, resid) = ManifestTable.countWhere(spark, root, col("score").isNull)
+    assert(n === 2L && resid === 0)
+  }
+
   test("unsupported stats columns refuse loudly at write time") {
     val root = freshRoot()
     val df = Seq((1L, Array(1.0, 2.0))).toDF("id", "emb")
