@@ -148,13 +148,21 @@ object Jaffle {
         "most_recent_order" -> "Date of the customer's most recent order",
         "number_of_orders" -> "Count of the customer's orders (NULL if none)",
         "customer_lifetime_value" -> "Total amount the customer has paid"
-      )),
+      ),
+      // the dashboard's usual access path is a customer_id point lookup
+      // or range: range-cluster the mart and commit stats so state-aware
+      // builds land skippable (graft.model.TableLayout — the cluster_by
+      // config analog; irrelevant to the 100-row demo's cost, the point
+      // is the declared-once layout surface)
+      layout = graft.model.TableLayout(clusterBy = Seq("customer_id"))),
     Model("orders", Seq("stg_orders", "stg_payments"), Materialization.Table,
       refs => orders(refs("stg_orders"), refs("stg_payments")),
       columnDocs = Map(
         "order_id" -> "Unique identifier for an order",
         "status" -> s"One of ${OrderStatuses.mkString("{", ", ", "}")}",
         "amount" -> "Total order amount (sum of payments, dollars)"
-      ))
+      ),
+      layout = graft.model.TableLayout(clusterBy = Seq("order_date"),
+        statsColumns = Seq("order_id")))
   ))
 }
