@@ -1642,6 +1642,14 @@ object SparkEntry {
             log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")), 4).as("tfidf"))
     }),
 
+    "txt15_lm_nll" -> ((s, dir) =>
+      // CCNet-style LM quality signal, self-trained: corpus bigram model
+      // with add-one smoothing, per-doc total negative log-likelihood.
+      // Terms are rounded to 6dp and summed in DECIMAL (ExactSums
+      // pattern) so the reduce is order-independent; the oracle replays
+      // model training AND scoring from the same corpus
+      TextOps.bigramLmScores(t(s, dir, "documents"), "doc_id", "text")),
+
     "smp1_hash_split" -> ((s, dir) =>
       // deterministic train/holdout assignment; aggregated so the split
       // FRACTIONS are what the oracle checks (the per-row assignment is a
@@ -1778,6 +1786,17 @@ object SparkEntry {
         "doc_id", "text", n = 3, minShared = 2L, minJaccard = 0.1,
         maxCorpusShingleFreq = 20L)
     }),
+
+    "dd7_span_excision" -> ((s, dir) =>
+      // sub-document dedup (Lee et al. 2021 ExactSubstr, word-8-gram
+      // granularity): every position whose 8-gram recurs ANYWHERE in the
+      // corpus is duplicated; overlapping marks merge to maximal spans.
+      // The profile is integer-exact (span count, tokens inside spans,
+      // survivors) and the oracle replays the whole pipeline — gram
+      // hashing, duplicate detection, interval merge — in SQL. The
+      // excised TEXT itself is spec-checked (DedupOpsSpec) on fixtures
+      // where the span structure is hand-computable.
+      DedupOps.duplicateSpanProfile(t(s, dir, "documents"), "doc_id", "text", n = 8)),
 
     "dd3_neardup_survivors" -> ((s, dir) => {
       // the terminal dedup deliverable: the KEPT document set after
@@ -2811,6 +2830,31 @@ object SparkEntry {
          |  round(tf.tf * ln(CAST(tot.n_docs + 1 AS DOUBLE) / CAST(dfq.df + 1 AS DOUBLE)), 4) AS tfidf
          |FROM tf JOIN dfq USING (term) CROSS JOIN tot""").stripMargin,
 
+    "txt15_lm_nll" -> // the whole self-trained LM replayed: bigram counts
+      // c2, context counts c1 (all corpus occurrences of the context
+      // token), vocabulary V, add-one smoothing, per-term round(…,6) into
+      // an exact DECIMAL sum. Docs with < 2 tokens have no bigrams and
+      // are absent on both sides
+      ("""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |), g AS (
+         |  SELECT doc_id, unnest(range(1, len(toks))) AS i, toks FROM w
+         |), big AS (
+         |  SELECT doc_id, toks[i] AS w1, array_to_string(toks[i:i+1], ' ') AS bg FROM g
+         |), c2 AS (
+         |  SELECT bg, count(*) AS c2 FROM big GROUP BY 1
+         |), c1 AS (
+         |  SELECT tok AS w, count(*) AS c1
+         |  FROM (SELECT unnest(toks) AS tok FROM w) GROUP BY 1
+         |), voc AS (
+         |  SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM w)
+         |)
+         |SELECT big.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       CAST(sum(CAST(round(-ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + voc.v)), 6)
+         |                     AS DECIMAL(18,6))) AS DOUBLE) AS nll
+         |FROM big JOIN c2 USING (bg) JOIN c1 ON big.w1 = c1.w CROSS JOIN voc
+         |GROUP BY big.doc_id""").stripMargin,
+
     "smp1_hash_split" -> // same Knuth multiplicative hash, plain BIGINT ops
       ("""SELECT
          |  CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 80
@@ -2989,6 +3033,43 @@ object SparkEntry {
          |FROM pr JOIN csz USING (corpus_id) JOIN psz USING (probe_id)
          |WHERE shared >= 2
          |  AND CAST(shared AS DOUBLE) / (n_c + n_p - shared) >= 0.1""").stripMargin,
+
+    "dd7_span_excision" -> // full relational replay of the span dedup:
+      // positions 1..len-7 carry the md5 of their word 8-gram; a hash
+      // seen more than once corpus-wide marks [pos, pos+8); marks merge
+      // via the running-max interval walk; docs without marks carry zeros
+      ("""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |), g AS (
+         |  SELECT doc_id, unnest(range(1, greatest(len(toks) - 6, 1))) AS pos, toks FROM w
+         |), hashed AS (
+         |  SELECT doc_id, pos, md5(array_to_string(toks[pos:pos+7], ' ')) AS h FROM g
+         |), dup AS (
+         |  SELECT h FROM hashed GROUP BY h HAVING count(*) > 1
+         |), marks AS (
+         |  SELECT doc_id, pos, pos + 8 AS fin FROM hashed JOIN dup USING (h)
+         |), grp AS (
+         |  SELECT doc_id, pos, fin,
+         |         CASE WHEN pos > max(fin) OVER (PARTITION BY doc_id ORDER BY pos
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM marks
+         |), spans AS (
+         |  SELECT doc_id, min(pos) AS span_start, max(fin) AS span_end
+         |  FROM (SELECT doc_id, pos, fin,
+         |               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+         |        FROM grp)
+         |  GROUP BY doc_id, span_id
+         |), per_doc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+         |         CAST(sum(span_end - span_start) AS BIGINT) AS dup_tokens
+         |  FROM spans GROUP BY doc_id
+         |)
+         |SELECT w.doc_id, CAST(len(w.toks) AS BIGINT) AS n_tokens,
+         |       coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+         |       coalesce(p.dup_tokens, 0) AS dup_tokens,
+         |       CAST(len(w.toks) AS BIGINT) - coalesce(p.dup_tokens, 0) AS kept_tokens
+         |FROM w LEFT JOIN per_doc p USING (doc_id)""").stripMargin,
 
     "dd2_ngram_jaccard" ->
       ("""WITH toks AS (

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, from exact to
@@ -57,15 +58,20 @@ object DedupOps {
     * counts *down* when stop < start, which would make `slice` throw on
     * start 0).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    val positions = sequence(lit(1), size(toks) - (n - 1))
-    array_distinct(
-      when(size(toks) >= n,
-        transform(positions, i => array_join(slice(toks, i, lit(n)), " ")))
-        .otherwise(array().cast("array<string>"))
-    )
-  }
+  def shingles(text: Column, n: Int): Column =
+    // the split is BOUND to a lambda variable via a one-element transform
+    // before the position loop consumes it: higher-order functions do not
+    // CSE a repeated child expression, so referencing split(text) directly
+    // inside the per-position lambda would re-run the split for every
+    // position — O(len²) splits per document (measured 4.5× on the
+    // bigram-LM key before the same fix)
+    element_at(transform(array(split(text, " ")), toks => {
+      val positions = sequence(lit(1), size(toks) - (n - 1))
+      array_distinct(
+        when(size(toks) >= n,
+          transform(positions, i => array_join(slice(toks, i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>")))
+    }), 1)
 
   /** Exact n-gram Jaccard similarity pairs: all document pairs sharing at
     * least `minShared` shingles, with jaccard ≥ `minJaccard`.
@@ -482,5 +488,121 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
       .dropDuplicates("doc_a", "doc_b")
+  }
+
+  // ---- exact duplicate-SPAN dedup (sub-document granularity) --------------
+
+  /** Maximal duplicated spans per document — the exact-substring dedup of
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better": remove any substring occurring verbatim more than once in
+    * the corpus), re-expressed relationally at word n-gram granularity
+    * instead of the paper's corpus-wide suffix array: a position is
+    * duplicated iff the n-gram starting there occurs more than once in
+    * the corpus (anywhere — another doc or elsewhere in the same doc),
+    * and overlapping duplicated n-grams merge into one maximal span. Any
+    * duplicated substring of ≥ n tokens is covered by ≥ 1 duplicated
+    * n-gram at every token it spans, so span union ⊇ the paper's
+    * ≥n-token duplicated substrings — same guarantee, no global sort.
+    *
+    * Returns one row per merged span: (idCol, span_start, span_end) with
+    * 1-based token positions, end exclusive.
+    *
+    * Scale shape (the 100 TB story): grams explode to O(total tokens)
+    * rows, but the shuffle carries only (hash, doc, pos) — the 16-byte
+    * md5 of the n-gram, never its text (128 bits makes a collision across
+    * even 10^15 grams a ~10^-9 event; md5 rather than xxhash64 so the
+    * DuckDB oracle can replay the exact key). Duplicate detection is one
+    * hash-aggregate with map-side combine (bytes ≈ distinct grams), the
+    * doc→dup-gram association a co-partitioned semi join on that same
+    * hash, and the span merge a per-doc window over only the DUPLICATED
+    * positions (≪ tokens). Nothing is all-pairs, nothing collects.
+    */
+  def duplicateSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8
+  ): DataFrame = {
+    require(n >= 2, s"span n-gram size must be >= 2, got $n")
+    // token array as a projected ATTRIBUTE, not an inline expression: a
+    // lambda referencing split(...) directly re-runs the split per
+    // element (no CSE across higher-order functions) — O(len²) per doc
+    val tk = col("__toks")
+    val grams = widen(docs)
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .filter(size(tk) >= n)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(1), size(tk) - (n - 1)),
+          i => unhex(md5(array_join(slice(tk, i, lit(n)), " "))))))
+      .withColumnsRenamed(Map("pos" -> "pos0", "col" -> "h"))
+      // posexplode is 0-based over the positions array; token space is 1-based
+      .select(col(idCol), (col("pos0") + 1).as("pos"), col("h"))
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("h")
+    val marks = grams.join(dup, Seq("h"), "left_semi")
+      .select(col(idCol), col("pos"), (col("pos") + n).as("fin"))
+    // classic interval merge: a mark starts a new span iff it begins
+    // strictly after every earlier mark's end (running max over the
+    // preceding rows; the first row's empty-frame max is NULL -> not a
+    // break -> span ids start at 0)
+    val byPos = Window.partitionBy(idCol).orderBy("pos")
+    val brk = when(
+      col("pos") > max(col("fin")).over(byPos.rowsBetween(Window.unboundedPreceding, -1)),
+      1).otherwise(0)
+    marks
+      .withColumn("span_id", sum(brk).over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("span_id"))
+      .agg(min(col("pos")).as("span_start"), max(col("fin")).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Per-document duplicated-span profile over ALL docs (clean docs carry
+    * zeros): (idCol, n_tokens, n_dup_spans, dup_tokens, kept_tokens).
+    * Integer-exact — the hash-checked face of [[duplicateSpans]]. */
+  def duplicateSpanProfile(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8
+  ): DataFrame = {
+    val perDoc = duplicateSpans(docs, idCol, textCol, n)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("span_end") - col("span_start")).as("dup_tokens"))
+    docs.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (col("n_tokens") - coalesce(col("dup_tokens"), lit(0L))).as("kept_tokens"))
+  }
+
+  /** The excision itself: every token inside a duplicated span is removed
+    * and the survivors rejoin with single spaces — the output corpus the
+    * paper's ExactSubstr pass produces. Span computation is the heavy
+    * distributed part above; the cut is one narrow projection (the span
+    * list per doc is bounded by doc length, carried as an array through a
+    * single left join — no second pass over tokens leaves the executor).
+    * Docs whose entire text is duplicated come back as the empty string.
+    */
+  def exciseDuplicateSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8
+  ): DataFrame = {
+    val spanSets = duplicateSpans(docs, idCol, textCol, n)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val toks = split(col(textCol), " ")
+    val others = docs.columns.filterNot(c => c == idCol || c == textCol).map(col)
+    docs.join(spanSets, Seq(idCol), "left")
+      .select(col(idCol) +:
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(array_join(
+            filter(toks, (t, i) => !exists(col("__spans"),
+              s => s("span_start") <= i + 1 && i + 1 < s("span_end"))),
+            " "))
+          .as(textCol) +: others: _*)
   }
 }

@@ -164,4 +164,71 @@ class DedupOpsSpec extends SparkSpec {
     val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(DedupOps.ccSurvivors(docs, "doc_id", pairs).as[Long].collect().toSet === Set(1L, 2L))
   }
+
+  // ---- duplicate-span excision (dd7) --------------------------------------
+
+  // dupA and dupB are 8-token runs; doc 10 carries BOTH with a 10-token
+  // unique gap, doc 11 re-uses dupA, doc 12 re-uses dupB — every span
+  // boundary is hand-computable
+  private val dupA = (1 to 8).map(i => s"a$i").mkString(" ")
+  private val dupB = (1 to 8).map(i => s"b$i").mkString(" ")
+  private val gap = (1 to 10).map(i => s"u$i").mkString(" ")
+  private lazy val spanDocs = Seq(
+    (10L, s"$dupA $gap $dupB"),
+    (11L, s"x1 x2 x3 $dupA"),
+    (12L, s"$dupB y1 y2 y3"),
+    (13L, "z1 z2 z3 z4 z5 z6 z7 z8 z9") // clean, no duplicated 8-gram
+  ).toDF("doc_id", "text")
+
+  test("duplicateSpans: two separated spans stay separate, positions exact") {
+    val spans = DedupOps.duplicateSpans(spanDocs, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // doc 10: dupA at tokens [1,9), dupB at [19,27) after the 10-token gap
+    assert(spans === Set(
+      (10L, 1, 9), (10L, 19, 27), (11L, 4, 12), (12L, 1, 9)))
+  }
+
+  test("duplicateSpans: overlapping marks merge to one maximal span") {
+    // a 9-token duplicated run produces marks at pos 1 AND 2 (both
+    // 8-grams recur in doc 21) — they must merge to one [1,10) span
+    val run = (1 to 9).map(i => s"r$i").mkString(" ")
+    val docs = Seq((20L, s"$run m1 m2 m3 m4 m5 m6 m7"), (21L, s"q1 q2 $run"))
+      .toDF("doc_id", "text")
+    val spans = DedupOps.duplicateSpans(docs, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spans === Set((20L, 1, 10), (21L, 3, 12)))
+  }
+
+  test("duplicateSpanProfile: clean docs carry zeros, totals are exact") {
+    val prof = DedupOps.duplicateSpanProfile(spanDocs, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(prof(10L) === ((26L, 2L, 16L, 10L)))
+    assert(prof(11L) === ((11L, 1L, 8L, 3L)))
+    assert(prof(13L) === ((9L, 0L, 0L, 9L)))
+  }
+
+  test("exciseDuplicateSpans: survivors rejoin with single spaces; full dups go empty") {
+    val out = DedupOps.exciseDuplicateSpans(spanDocs, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(10L) === gap) // both spans cut, the unique middle survives
+    assert(out(11L) === "x1 x2 x3")
+    assert(out(12L) === "y1 y2 y3")
+    assert(out(13L) === "z1 z2 z3 z4 z5 z6 z7 z8 z9") // untouched
+    // a doc that IS a duplicated run excises to the empty string
+    val twins = Seq((30L, dupA), (31L, dupA)).toDF("doc_id", "text")
+    val gone = DedupOps.exciseDuplicateSpans(twins, "doc_id", "text", n = 8)
+      .collect().map(r => r.getString(1))
+    assert(gone.toSet === Set(""))
+  }
+
+  test("exciseDuplicateSpans preserves extra columns and within-doc repeats count as duplicates") {
+    // the SAME 8-gram twice in ONE doc: both occurrences are spans
+    // (corpus-wide "more than once" includes within-doc recurrence)
+    val doc = Seq((40L, s"$dupA c1 c2 c3 $dupA", "web"))
+      .toDF("doc_id", "text", "source")
+    val out = DedupOps.exciseDuplicateSpans(doc, "doc_id", "text", n = 8).head
+    assert(out.getAs[String]("text") === "c1 c2 c3")
+    assert(out.getAs[String]("source") === "web")
+  }
 }

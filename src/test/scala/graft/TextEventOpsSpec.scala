@@ -125,4 +125,31 @@ class TextEventOpsSpec extends SparkSpec {
     assert(out("2024-01-01 10:00:00.0") === ((2L, 5.0)))
     assert(out("2024-01-01 11:00:00.0") === ((1L, 5.0)))
   }
+
+  test("bigramLmScores: hand-computed add-one model on a 3-doc corpus") {
+    // tokens: a×3 b×2 c×1 → V=3; c1(a)=3; bigrams: "a b"×2, "a c"×1
+    // doc 1,2: -ln((2+1)/(3+3)) = ln 2;  doc 3: -ln((1+1)/(3+3)) = ln 3
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = TextOps.bigramLmScores(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 === 1L)
+    assert(math.abs(out(1L)._2 - 0.693147) < 1e-9) // round(ln 2, 6)
+    assert(math.abs(out(2L)._2 - 0.693147) < 1e-9)
+    assert(math.abs(out(3L)._2 - 1.098612) < 1e-9) // round(ln 3, 6)
+    // a common-bigram doc scores LOWER nll per bigram than a rare-bigram
+    // doc — the quality-ranking property the CCNet filter relies on
+    assert(out(1L)._2 < out(3L)._2)
+  }
+
+  test("bigramLmScores: single-token docs have no bigrams and drop out; terms sum per doc") {
+    val docs = Seq((1L, "a"), (2L, "a b a b")).toDF("doc_id", "text")
+    val out = TextOps.bigramLmScores(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!out.contains(1L))
+    // corpus: a×3 b×2, V=2; c2("a b")=2, c2("b a")=1
+    // nll = 2·(-ln(3/5)) + 1·(-ln(2/4)) with per-term round(…,6)
+    val expected = 2 * 0.510826 + 0.693147 // round(ln(5/3),6), round(ln 2,6)
+    assert(out(2L)._1 === 3L)
+    assert(math.abs(out(2L)._2 - expected) < 1e-9)
+  }
 }
