@@ -610,6 +610,35 @@ object SparkEntry {
         takeLatest = Seq("status", "last_order"), sumCols = Seq("n_orders"))
     }),
 
+    "lake9_merge_cow" -> ((s, dir) => {
+      // copy-on-write MERGE through the manifest (the flagship lakehouse
+      // mutation): orders range-clustered on o_orderkey with stats; the
+      // batch updates keys <= 100 (status 'X', +1000 price) and inserts
+      // 10 new keys far above the range. Skipping makes the rewrite
+      // touch only the low-key boundary file(s); rewrote_minority pins
+      // that, and the relational result must equal the oracle's replay
+      // of WHEN MATCHED UPDATE / NOT MATCHED INSERT semantics.
+      val root = java.nio.file.Files.createTempDirectory("lake9_merge")
+      val orders = t(s, dir, "orders")
+      graft.sources.ManifestTable.create(s, root.toString,
+        orders.repartitionByRange(8, col("o_orderkey")),
+        statsColumns = Seq("o_orderkey"))
+      val updates = orders.filter(col("o_orderkey") <= 100)
+        .withColumn("o_orderstatus", lit("X"))
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      val inserts = orders.filter(col("o_orderkey") <= 10)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+      val (_, st) = graft.sources.ManifestTable.merge(
+        s, root.toString, updates.unionByName(inserts), "o_orderkey",
+        statsColumns = Seq("o_orderkey"))
+      graft.sources.ManifestTable.read(s, root.toString)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .select(lit(st.filesRewritten < st.filesUntouched).as("rewrote_minority"),
+          col("o_orderstatus"), col("n_orders"), col("total_price"))
+    }),
+
     "lake8_keyjoin_pruned" -> ((s, dir) => {
       // join-time file skipping (the DPP idea over the manifest): the
       // fact table is hash-clustered on o_custkey with per-file blooms;
@@ -3690,6 +3719,27 @@ object SparkEntry {
          |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) AS valid_to,
          |       (lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) IS NULL) AS is_current
          |FROM changes""").stripMargin,
+
+    "lake9_merge_cow" -> // MERGE semantics replayed relationally: batch
+      // rows win on key, the rest of the table carries; the COW part
+      // (only boundary files rewrote) is pinned by rewrote_minority
+      (s"""WITH batch AS (
+         |  SELECT * REPLACE ('X' AS o_orderstatus,
+         |                    o_totalprice + 1000.0 AS o_totalprice)
+         |  FROM orders WHERE o_orderkey <= 100
+         |  UNION ALL
+         |  SELECT * REPLACE (o_orderkey + 1000000000 AS o_orderkey)
+         |  FROM orders WHERE o_orderkey <= 10
+         |), merged AS (
+         |  SELECT * FROM orders
+         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+         |  UNION ALL
+         |  SELECT * FROM batch
+         |)
+         |SELECT TRUE AS rewrote_minority, o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM merged GROUP BY o_orderstatus""").stripMargin,
 
     "lake8_keyjoin_pruned" -> // the key-pruned fact join must equal the
       // plain inner join; pruned_some mirrors the observed file drop

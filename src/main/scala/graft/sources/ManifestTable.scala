@@ -7,6 +7,7 @@ import scala.collection.mutable
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Transactional table layout with a versioned manifest log — the
   * lakehouse commit protocol from the public Delta Lake design (Armbrust
@@ -479,6 +480,97 @@ object ManifestTable {
       case Some(s) => spark.read.schema(s).parquet(kept.map(p => s"$root/$p"): _*)
       case None => spark.read.parquet(kept.map(p => s"$root/$p"): _*)
     }
+  }
+
+  /** What a [[merge]] touched: rewritten vs carried-unchanged file counts
+    * (the "minority rewrite" claim, observable). */
+  final case class MergeStats(filesRewritten: Int, filesUntouched: Int, newFiles: Int)
+
+  /** Copy-on-write MERGE — upsert `source` into the table on `keyCol`
+    * (WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *, the standard
+    * whole-row upsert): a target row whose key appears in `source` is
+    * replaced by the source row; source rows with new keys insert; all
+    * other target rows are untouched.
+    *
+    * The lakehouse part is WHICH files rewrite: the source's distinct
+    * keys become one IN predicate over the committed per-file stats and
+    * blooms ([[pruneFiles]] — same machinery as [[readPrunedByKeys]]),
+    * and every file that provably holds none of the keys is CARRIED into
+    * the new version byte-identical, keeping its committed stats. Only
+    * the affected files are read, anti-joined against the source keys,
+    * unioned with the batch, and staged as replacements — on a key- or
+    * range-clustered table a small batch rewrites O(affected files), not
+    * O(table), which is the difference between a usable and an unusable
+    * upsert at 100 TB. Soundness is the prune's keep bias: a file that
+    * MIGHT hold a key is always in the rewrite set, so no matched row
+    * can survive in a carried file. Key sets beyond `maxKeys` fall back
+    * to a full rewrite (correct, just not incremental).
+    *
+    * Concurrency: the commit validates that the tip it lands on still
+    * names exactly the files the merge planned against and aborts with
+    * IllegalStateException otherwise (the Delta-style concurrent-
+    * modification conflict — the caller re-runs the merge against the
+    * new tip; appends that happened to commit first are preserved by the
+    * abort, never silently dropped).
+    *
+    * The source schema must match the table schema (use [[append]] for
+    * widening); source keys must be non-null and unique per key — two
+    * source rows with one key would both survive, which is the ambiguous
+    * MERGE the SQL standard rejects.
+    */
+  def merge(
+      spark: SparkSession,
+      root: String,
+      source: DataFrame,
+      keyCol: String,
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil,
+      maxKeys: Int = 1000000): (Long, MergeStats) = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
+    val v0 = vs.max
+    val planned = manifestFiles(spark, root, v0)
+    val tableSchema = schemaOf(spark, root, v0)
+    tableSchema.foreach { ts =>
+      require(ts.fields.map(f => (f.name, f.dataType)).toSet ==
+        source.schema.fields.map(f => (f.name, f.dataType)).toSet,
+        s"merge source schema ${source.schema.simpleString} does not match table ${ts.simpleString}")
+    }
+    // bounded key collect, same cap contract as readPrunedByKeys: one row
+    // past the cap detects overflow without materializing the key set
+    val collected = source.select(col(keyCol)).distinct().limit(maxKeys + 1).collect()
+    val keys = collected.map(_.get(0))
+    require(keys.forall(_ != null), s"merge keys ($keyCol) must be non-null")
+    val (affected, untouched) =
+      if (keys.length > maxKeys) (planned, Seq.empty[String])
+      else {
+        val (kept, dropped, _) = pruneFiles(spark, root,
+          col(keyCol).isin(keys.toIndexedSeq: _*), Some(v0))
+        (kept, dropped)
+      }
+    val affectedDf =
+      if (affected.isEmpty) read(spark, root, Some(v0)).limit(0)
+      else tableSchema match {
+        case Some(s) => spark.read.schema(s).parquet(affected.map(p => s"$root/$p"): _*)
+        case None => spark.read.parquet(affected.map(p => s"$root/$p"): _*)
+      }
+    val merged = affectedDf
+      .join(source.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      .unionByName(source)
+    val staged = stage(spark, root, merged)
+    val newStats = ManifestStats.collect(spark, root, staged, statsColumns, bloomColumns)
+    val version = commit(spark, root, "merge", staged,
+      tip => {
+        val cur = manifestFiles(spark, root, tip)
+        if (cur.toSet != planned.toSet) throw new IllegalStateException(
+          s"concurrent modification of $root during merge (planned v$v0, tip v$tip) — re-run the merge")
+        untouched
+      },
+      _ => tableSchema.map(s => Map(SchemaKey -> s.json)).getOrElse(Map.empty),
+      // carried files keep the stats the planned version committed for
+      // them; rewritten files take the freshly collected ones
+      _ => fileStats(spark, root, v0) ++ newStats)
+    (version, MergeStats(affected.size, untouched.size, staged.size))
   }
 
   /** ANALYZE: (re)compute skipping stats for the files the tip already

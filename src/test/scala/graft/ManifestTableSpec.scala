@@ -227,4 +227,77 @@ class ManifestTableSpec extends SparkSpec {
     ManifestTable.create(spark, root, orders.limit(1))
     intercept[IllegalArgumentException] { ManifestTable.read(spark, root, Some(7L)) }
   }
+
+  // ---- copy-on-write MERGE ------------------------------------------------
+
+  test("merge: updates replace on key, inserts add, the rest carries; old version intact") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root,
+      orders.repartitionByRange(8, col("o_orderkey")),
+      statsColumns = Seq("o_orderkey"))
+    val updates = orders.filter(col("o_orderkey") <= 100)
+      .withColumn("o_orderstatus", lit("X"))
+    val inserts = orders.filter(col("o_orderkey") <= 10)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+    val (v, _) = ManifestTable.merge(spark, root,
+      updates.unionByName(inserts), "o_orderkey", statsColumns = Seq("o_orderkey"))
+    assert(v === 2L)
+    val result = ManifestTable.read(spark, root)
+    val expected = orders.filter(col("o_orderkey") > 100)
+      .unionByName(updates).unionByName(inserts)
+    assert(result.exceptAll(expected).isEmpty && expected.exceptAll(result).isEmpty)
+    // snapshot isolation: v1 still reads the pre-merge content
+    assert(ManifestTable.read(spark, root, Some(1L)).exceptAll(orders).isEmpty)
+  }
+
+  test("merge rewrites only the files the key stats cannot clear (copy-on-write)") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root,
+      orders.repartitionByRange(8, col("o_orderkey")),
+      statsColumns = Seq("o_orderkey"))
+    val before = ManifestTable.manifestFiles(spark, root, 1L)
+    val batch = orders.filter(col("o_orderkey") <= 100)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+    val (_, st) = ManifestTable.merge(spark, root, batch, "o_orderkey",
+      statsColumns = Seq("o_orderkey"))
+    assert(st.filesRewritten >= 1 && st.filesRewritten < before.size)
+    assert(st.filesRewritten + st.filesUntouched === before.size)
+    // carried files keep their PATHS (byte-identical, no rewrite) and
+    // their committed stats entries
+    val after = ManifestTable.manifestFiles(spark, root, 2L).toSet
+    val carried = before.toSet.intersect(after)
+    assert(carried.size === st.filesUntouched)
+    val stats2 = ManifestTable.fileStats(spark, root, 2L)
+    assert(carried.forall(stats2.contains))
+    // skipping still works on the merged table (fresh stats on rewrites)
+    val (_, dropped, _) = ManifestTable.pruneFiles(spark, root,
+      col("o_orderkey") <= 100)
+    assert(dropped.nonEmpty)
+  }
+
+  test("merge beyond the key cap falls back to a full rewrite, still exact") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root,
+      orders.repartitionByRange(4, col("o_orderkey")),
+      statsColumns = Seq("o_orderkey"))
+    val batch = orders.filter(col("o_orderkey") <= 100)
+      .withColumn("o_orderstatus", lit("X"))
+    val (_, st) = ManifestTable.merge(spark, root, batch, "o_orderkey", maxKeys = 3)
+    assert(st.filesUntouched === 0) // over cap: everything rewrote
+    val result = ManifestTable.read(spark, root)
+    val expected = orders.filter(col("o_orderkey") > 100).unionByName(batch)
+    assert(result.exceptAll(expected).isEmpty && expected.exceptAll(result).isEmpty)
+  }
+
+  test("merge guards: schema mismatch and null keys are rejected") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root, orders)
+    intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark, root, orders.drop("o_orderpriority"), "o_orderkey")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark, root,
+        orders.limit(5).withColumn("o_orderkey", lit(null).cast("long")), "o_orderkey")
+    }
+  }
 }
