@@ -1671,6 +1671,20 @@ object SparkEntry {
             log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")), 4).as("tfidf"))
     }),
 
+    "smp5_dsir_select" -> ((s, dir) => {
+      // DSIR importance resampling: target = the English slice, raw =
+      // the whole corpus; hashed-unigram bucket model, add-one
+      // smoothing, per-doc log importance weight, deterministic top-100
+      // (logw desc, doc_id tiebreak — the engine's rankable surface for
+      // the paper's Gumbel-noise sampling). The oracle replays bucket
+      // hashing (md5-nibble arithmetic), both corpus models, and the
+      // exact DECIMAL term sum.
+      val docs = t(s, dir, "documents")
+      SampleOps.dsirWeights(docs, docs.filter(col("lang") === "en"), "doc_id", "text")
+        .orderBy(col("logw").desc, col("doc_id"))
+        .limit(100)
+    }),
+
     "txt15_lm_nll" -> ((s, dir) =>
       // CCNet-style LM quality signal, self-trained: corpus bigram model
       // with add-one smoothing, per-doc total negative log-likelihood.
@@ -2858,6 +2872,39 @@ object SparkEntry {
          |SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
          |  round(tf.tf * ln(CAST(tot.n_docs + 1 AS DOUBLE) / CAST(dfq.df + 1 AS DOUBLE)), 4) AS tfidf
          |FROM tf JOIN dfq USING (term) CROSS JOIN tot""").stripMargin,
+
+    "smp5_dsir_select" -> // hashed-unigram DSIR replayed: bucket = first
+      // 3 md5 nibbles (strpos arithmetic — DuckDB has no conv()), target
+      // and raw bucket models with add-one smoothing over 4096 buckets,
+      // per-token term join, exact DECIMAL sum, deterministic top-100
+      ("""WITH toks AS (
+         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+         |), feats AS (
+         |  SELECT doc_id, lang,
+         |         (strpos('0123456789abcdef', substring(md5(w), 1, 1)) - 1) * 256
+         |       + (strpos('0123456789abcdef', substring(md5(w), 2, 1)) - 1) * 16
+         |       + (strpos('0123456789abcdef', substring(md5(w), 3, 1)) - 1) AS b
+         |  FROM toks
+         |), cr AS (
+         |  SELECT b, count(*) AS cr FROM feats GROUP BY 1
+         |), ct AS (
+         |  SELECT b, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY 1
+         |), nr AS (
+         |  SELECT count(*) AS nr FROM feats
+         |), nt AS (
+         |  SELECT count(*) AS nt FROM feats WHERE lang = 'en'
+         |), term AS (
+         |  SELECT cr.b,
+         |         round(ln(CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE) / (nt.nt + 4096))
+         |             - ln(CAST(cr.cr + 1 AS DOUBLE) / (nr.nr + 4096)), 6) AS term
+         |  FROM cr LEFT JOIN ct USING (b) CROSS JOIN nr CROSS JOIN nt
+         |)
+         |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |       CAST(sum(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS logw
+         |FROM feats f JOIN term USING (b)
+         |GROUP BY f.doc_id
+         |ORDER BY logw DESC, f.doc_id
+         |LIMIT 100""").stripMargin,
 
     "txt15_lm_nll" -> // the whole self-trained LM replayed: bigram counts
       // c2, context counts c1 (all corpus occurrences of the context

@@ -82,4 +82,54 @@ object SampleOps {
     df.filter(spark_partition_id() < sampleParts &&
       monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) < perPartition)
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed n-gram features are, then
+    * resample the raw corpus by weight. The feature model is the paper's
+    * bag of hashed unigrams: token → bucket via the first 3 md5 nibbles
+    * (4096 buckets — md5 so the DuckDB oracle replays the exact bucket),
+    * per-bucket probabilities under add-one smoothing on the target and
+    * raw corpora, and
+    *
+    *   log w(x) = Σ_tokens [ ln p_T(bucket) − ln p_R(bucket) ]
+    *
+    * Per-bucket terms are rounded to 6 decimals and summed in
+    * DECIMAL(18,6) (the ExactSums pattern) so the per-doc reduce is
+    * exact and order-independent. Returns (idCol, n_feats, logw) for
+    * every raw doc with ≥ 1 token; the caller ranks/thresholds (the
+    * paper adds Gumbel noise; the deterministic engine surface is
+    * top-k by weight).
+    *
+    * Scale shape: the bucket-count model is at most 4096 rows per corpus
+    * (two map-side-combined aggregates + two 1-row totals, all
+    * broadcast); scoring joins each token row to the broadcast term
+    * table and hash-aggregates per doc — one shuffle by doc id, nothing
+    * collects, model size is O(buckets) regardless of corpus size.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val buckets = 4096L
+    def feats(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(split(col(textCol), " ")).as("w"): _*)
+        .withColumn("b", conv(substring(md5(col("w")), 1, 3), 16, 10).cast("long"))
+    val rawF = feats(raw, col(idCol))
+    val tgtF = feats(target)
+    val cR = rawF.groupBy("b").agg(count(lit(1)).as("cr"))
+    val cT = tgtF.groupBy("b").agg(count(lit(1)).as("ct"))
+    val nR = rawF.agg(count(lit(1)).as("nr"))
+    val nT = tgtF.agg(count(lit(1)).as("nt"))
+    // buckets present in raw but absent from target score with ct = 0;
+    // target-only buckets are unreachable by raw tokens and drop out
+    val term = cR.join(cT, Seq("b"), "left")
+      .crossJoin(broadcast(nR)).crossJoin(broadcast(nT))
+      .select(col("b"),
+        round(
+          log((coalesce(col("ct"), lit(0L)) + 1).cast("double") / (col("nt") + buckets)) -
+          log((col("cr") + 1).cast("double") / (col("nr") + buckets)), 6).as("term"))
+    rawF.join(term, Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("term").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("logw"))
+  }
 }

@@ -65,4 +65,27 @@ class SampleOpsSpec extends SparkSpec {
     assert(out(2L) === "call <NUM> or ext 123")
     assert(out(3L) === "nothing sensitive here")
   }
+
+  test("dsirWeights: hand-computed bucket model on a 2-doc raw / 1-doc target corpus") {
+    // raw: doc 1 = "a a", doc 2 = "b"; target = "a a a".
+    // nR = 3, nT = 3; cR(a)=2, cR(b)=1; cT(a)=3, cT(b)=0; B = 4096.
+    // term(a) = ln(4/4099) - ln(3/4099) = ln(4/3) > 0 (target-favored);
+    // term(b) = ln(1/4099) - ln(2/4099) = ln(1/2) < 0 (target-absent).
+    // Per-term round to 6dp mirrors the implementation exactly.
+    val raw = Seq((1L, "a a"), (2L, "b")).toDF("doc_id", "text")
+    val target = Seq((9L, "a a a")).toDF("doc_id", "text")
+    val out = SampleOps.dsirWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val termA = r6(math.log(4.0 / 4099) - math.log(3.0 / 4099))
+    val termB = r6(math.log(1.0 / 4099) - math.log(2.0 / 4099))
+    assert(out(1L)._1 === 2L)
+    assert(math.abs(out(1L)._2 - 2 * termA) < 1e-9)
+    assert(out(2L)._1 === 1L)
+    assert(math.abs(out(2L)._2 - termB) < 1e-9)
+    // the ranking property importance resampling relies on: the doc made
+    // of target-present tokens outweighs the target-absent one
+    assert(out(1L)._2 > out(2L)._2)
+  }
 }
