@@ -610,6 +610,30 @@ object SparkEntry {
         takeLatest = Seq("status", "last_order"), sumCols = Seq("n_orders"))
     }),
 
+    "lake10_delete_cow" -> ((s, dir) => {
+      // copy-on-write DELETE: on a date-range-clustered table, deleting
+      // the most recent orders rewrites only the tail file(s) — the
+      // stats clear everything earlier. rewrote_minority pins the COW
+      // claim; the surviving content must equal the oracle's
+      // NOT(predicate IS TRUE) filter exactly.
+      val root = java.nio.file.Files.createTempDirectory("lake10_delete")
+      val orders = t(s, dir, "orders")
+      graft.sources.ManifestTable.create(s, root.toString,
+        orders.repartitionByRange(8, col("o_orderdate")),
+        statsColumns = Seq("o_orderdate"))
+      // the synthetic orders span 1995..2001; 2000+ is the tail ~2 of 8
+      // range-partitioned files at every SF
+      val (_, st) = graft.sources.ManifestTable.delete(s, root.toString,
+        col("o_orderdate") >= lit("2000-01-01").cast("timestamp"),
+        statsColumns = Seq("o_orderdate"))
+      graft.sources.ManifestTable.read(s, root.toString)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .select(lit(st.filesRewritten < st.filesUntouched).as("rewrote_minority"),
+          col("o_orderstatus"), col("n_orders"), col("total_price"))
+    }),
+
     "lake9_merge_cow" -> ((s, dir) => {
       // copy-on-write MERGE through the manifest (the flagship lakehouse
       // mutation): orders range-clustered on o_orderkey with stats; the
@@ -3766,6 +3790,16 @@ object SparkEntry {
          |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) AS valid_to,
          |       (lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) IS NULL) AS is_current
          |FROM changes""").stripMargin,
+
+    "lake10_delete_cow" -> // DELETE WHERE pred keeps exactly the rows for
+      // which pred is not true; the COW shape (tail files only) is
+      // pinned by rewrote_minority
+      (s"""SELECT TRUE AS rewrote_minority, o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders
+         |WHERE NOT (o_orderdate >= TIMESTAMP '2000-01-01')
+         |GROUP BY o_orderstatus""").stripMargin,
 
     "lake9_merge_cow" -> // MERGE semantics replayed relationally: batch
       // rows win on key, the rest of the table carries; the COW part

@@ -573,6 +573,52 @@ object ManifestTable {
     (version, MergeStats(affected.size, untouched.size, staged.size))
   }
 
+  /** Copy-on-write DELETE — remove the rows WHERE `predicate` IS TRUE,
+    * rewriting only the files whose committed stats/blooms cannot prove
+    * them untouched ([[pruneFiles]], the same machinery as [[merge]]).
+    * Rows where the predicate is NULL survive, per SQL DELETE semantics.
+    * A right-sized delete (one user's rows on a key-clustered table)
+    * rewrites O(affected files); files the stats clear carry
+    * byte-identical with their stats. Same concurrency contract as
+    * [[merge]]: a racing commit aborts the publish. */
+  def delete(
+      spark: SparkSession,
+      root: String,
+      predicate: org.apache.spark.sql.Column,
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): (Long, MergeStats) = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
+    val v0 = vs.max
+    val planned = manifestFiles(spark, root, v0)
+    val tableSchema = schemaOf(spark, root, v0)
+    val (affected, untouched, _) = pruneFiles(spark, root, predicate, Some(v0))
+    val survivors =
+      if (affected.isEmpty) read(spark, root, Some(v0)).limit(0)
+      else {
+        val df = tableSchema match {
+          case Some(s) => spark.read.schema(s).parquet(affected.map(p => s"$root/$p"): _*)
+          case None => spark.read.parquet(affected.map(p => s"$root/$p"): _*)
+        }
+        // NOT(pred IS TRUE): a NULL predicate must keep the row
+        df.filter(org.apache.spark.sql.functions.not(
+          org.apache.spark.sql.functions.coalesce(predicate,
+            org.apache.spark.sql.functions.lit(false))))
+      }
+    val staged = stage(spark, root, survivors)
+    val newStats = ManifestStats.collect(spark, root, staged, statsColumns, bloomColumns)
+    val version = commit(spark, root, "delete", staged,
+      tip => {
+        val cur = manifestFiles(spark, root, tip)
+        if (cur.toSet != planned.toSet) throw new IllegalStateException(
+          s"concurrent modification of $root during delete (planned v$v0, tip v$tip) — re-run the delete")
+        untouched
+      },
+      _ => tableSchema.map(s => Map(SchemaKey -> s.json)).getOrElse(Map.empty),
+      _ => fileStats(spark, root, v0) ++ newStats)
+    (version, MergeStats(affected.size, untouched.size, staged.size))
+  }
+
   /** ANALYZE: (re)compute skipping stats for the files the tip already
     * names and commit them as a new version — NO data rewrite, so a
     * table created before anyone opted into stats (or whose stats

@@ -289,6 +289,33 @@ class ManifestTableSpec extends SparkSpec {
     assert(result.exceptAll(expected).isEmpty && expected.exceptAll(result).isEmpty)
   }
 
+  test("delete: predicate rows go, NULL-predicate rows survive, only boundary files rewrite") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root,
+      orders.repartitionByRange(8, col("o_orderdate")),
+      statsColumns = Seq("o_orderdate"))
+    val pred = col("o_orderdate") >= lit("1997-06-01").cast("timestamp")
+    val (v, st) = ManifestTable.delete(spark, root, pred,
+      statsColumns = Seq("o_orderdate"))
+    assert(v === 2L)
+    assert(st.filesRewritten >= 1 && st.filesUntouched >= 1)
+    val result = ManifestTable.read(spark, root)
+    val expected = orders.filter(not(coalesce(pred, lit(false))))
+    assert(result.exceptAll(expected).isEmpty && expected.exceptAll(result).isEmpty)
+    // time travel still serves the pre-delete content
+    assert(ManifestTable.read(spark, root, Some(1L)).count() === orders.count())
+    // NULL-predicate semantics: a delete keyed on a column with NULLs
+    // keeps the NULL rows (SQL DELETE removes only WHERE pred IS TRUE)
+    val root2 = freshRoot()
+    import spark.implicits._
+    val withNulls = Seq((1L, Some(5)), (2L, None), (3L, Some(99)))
+      .toDF("id", "v")
+    ManifestTable.create(spark, root2, withNulls)
+    ManifestTable.delete(spark, root2, col("v") > 10)
+    assert(ManifestTable.read(spark, root2).select("id")
+      .as[Long].collect().toSet === Set(1L, 2L))
+  }
+
   test("merge guards: schema mismatch and null keys are rejected") {
     val root = freshRoot()
     ManifestTable.create(spark, root, orders)
