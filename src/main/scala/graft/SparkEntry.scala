@@ -1477,6 +1477,38 @@ object SparkEntry {
         col("event_id"),
         EventOps.propsField(col("props"), "k").cast("long").as("k_value"))),
 
+    "st5_manifest_stream" -> ((s, dir) => {
+      // the streaming CDC source over the manifest log (sources/
+      // ManifestStream): three committed versions drain through
+      // readStream with manifest VERSIONS as offsets, aggregated in
+      // Complete mode — the result must hash-match the batch aggregate
+      // over everything the three versions shipped. Offsets-as-versions
+      // is what makes the source prefix-deterministic (immutable files,
+      // immutable manifests), the property exactly-once rides on.
+      val root = java.nio.file.Files.createTempDirectory("st5_manifest")
+      val orders = t(s, dir, "orders")
+      graft.sources.ManifestTable.create(s, root.toString,
+        orders.filter(col("o_orderstatus") === "F"))
+      graft.sources.ManifestTable.append(s, root.toString,
+        orders.filter(col("o_orderstatus") === "O"))
+      graft.sources.ManifestTable.append(s, root.toString,
+        orders.filter(col("o_orderstatus") === "P"))
+      // same state-store sizing note as st1: 3 grouping keys
+      val batchPartitions = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stream = s.readStream
+          .format("graft.sources.ManifestStreamSourceProvider")
+          .load(root.toString)
+        val agg = stream.groupBy("o_orderstatus")
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            dsum(col("o_totalprice")).as("total_price"))
+        val q = graft.streaming.EventStreams.runToMemory(agg, "st5_manifest", "complete")
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", batchPartitions)
+      s.table("st5_manifest")
+    }),
+
     "st1_stream_hourly" -> ((s, dir) => {
       // Structured Streaming under the SAME oracle as batch e1: drain the
       // events parquet through a file-source stream, aggregate in Complete
@@ -2799,6 +2831,13 @@ object SparkEntry {
 
     "e3_json_extract" ->
       "SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_value FROM events",
+
+    "st5_manifest_stream" -> // the streamed manifest versions carry the
+      // F create + O append + P append — i.e. the whole orders table;
+      // the streaming aggregate answers to the plain batch oracle
+      (s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders GROUP BY o_orderstatus""").stripMargin,
 
     "st1_stream_hourly" -> // the streaming path answers to the same oracle as batch e1
       (s"SELECT date_trunc('hour', ts) AS window_start, event_type, CAST(count(*) AS BIGINT) AS n_events, " +

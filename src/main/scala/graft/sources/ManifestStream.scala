@@ -1,0 +1,112 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming SOURCE over a [[ManifestTable]] — the "stream a
+  * transactional table as a change feed" surface (Delta's streaming
+  * source, Iceberg's incremental read):
+  *
+  * {{{
+  *   spark.readStream
+  *     .format("graft.sources.ManifestStreamSourceProvider")
+  *     .load(tableRoot)
+  * }}}
+  *
+  * The manifest log IS the offset axis: a streaming offset is a manifest
+  * VERSION, `getOffset` reports the current tip, and batch (start, end]
+  * contains exactly the rows of the files manifest `end` names that
+  * manifest `start` does not — the same delta contract as
+  * [[ManifestTable.readChangesSince]], driven by the engine's own
+  * micro-batch loop instead of a caller-managed cursor. Offsets ride the
+  * query's checkpoint, so a restarted query resumes from the last
+  * committed version and re-reads nothing (files are immutable and
+  * manifests never change after publish — replaying offset N+1 always
+  * yields the identical batch, which is the prefix-determinism Structured
+  * Streaming's exactly-once contract needs from a source).
+  *
+  * Append-only soundness, enforced STRUCTURALLY like the batch CDF: every
+  * file the start version names must survive into the end version's
+  * manifest — an overwrite/compact/merge/delete in between means "what
+  * was added" is no longer the delta, and the batch fails loudly telling
+  * the operator to restart the stream (the same contract Delta exposes:
+  * appends stream, arbitrary changes require a new query). [[ManifestTable.vacuum]]
+  * must retain the versions an active stream may still read (the no-clock
+  * retention contract documented there).
+  *
+  * At 100 TB: `getOffset` is one driver-side log listing, batch planning
+  * one manifest text read; the data volume per micro-batch is the
+  * appended files only, so steady-state cost tracks the WRITE rate, never
+  * table size.
+  */
+class ManifestStreamSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-manifest"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-manifest stream needs the table root: .load(<root>)"))
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val root = rootOf(parameters)
+    val spark = sqlContext.sparkSession
+    val resolved = schema.orElse {
+      val vs = ManifestTable.versions(spark, root)
+      require(vs.nonEmpty, s"$root is not a manifest table (create it before streaming)")
+      ManifestTable.schemaOf(spark, root, vs.max)
+    }.getOrElse(throw new IllegalArgumentException(
+      s"$root has a pre-schema manifest log and no user schema was given"))
+    (shortName(), resolved)
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source = {
+    val root = rootOf(parameters)
+    val (_, resolved) = sourceSchema(sqlContext, schema, providerName, parameters)
+    new ManifestStreamSource(sqlContext.sparkSession, root, resolved)
+  }
+}
+
+class ManifestStreamSource(
+    spark: SparkSession,
+    root: String,
+    override val schema: StructType) extends Source {
+
+  /** Both LongOffset and a checkpoint-recovered SerializedOffset render
+    * the version as their json. */
+  private def versionOf(o: OffsetV1): Long = o.json.toLong
+
+  override def getOffset: Option[OffsetV1] =
+    ManifestTable.versions(spark, root).lastOption.map(LongOffset(_))
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val endV = versionOf(end)
+    val startV = start.map(versionOf).getOrElse(0L)
+    val old: Set[String] =
+      if (startV == 0L) Set.empty
+      else ManifestTable.manifestFiles(spark, root, startV).toSet
+    val cur = ManifestTable.manifestFiles(spark, root, endV)
+    require(old.subsetOf(cur.toSet),
+      s"non-append change between v$startV and v$endV of $root (files were removed/rewritten) — " +
+        "the stream cannot express it as a delta; restart the query against the new table state")
+    val added = cur.filterNot(old)
+    GraftSqlBridge.streamingParquetBatch(spark, schema, added.map(p => s"$root/$p"))
+  }
+
+  override def commit(end: OffsetV1): Unit = ()
+  override def stop(): Unit = ()
+
+  override def toString: String = s"ManifestStreamSource[$root]"
+}

@@ -18,4 +18,27 @@ object GraftSqlBridge {
     * custom node onto). */
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** A STREAMING-tagged DataFrame over an explicit parquet file list —
+    * what a V1 streaming `Source.getBatch` must return (MicroBatchExecution
+    * rejects a batch-tagged plan). This is exactly how Spark's own
+    * FileStreamSource builds its batches: resolve a parquet relation over
+    * the file list, wrap it in a LogicalRelation with isStreaming = true.
+    * An empty file list becomes a streaming-tagged empty LocalRelation. */
+  def streamingParquetBatch(
+      spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      paths: Seq[String]): DataFrame = {
+    val cls = spark.asInstanceOf[classic.SparkSession]
+    if (paths.isEmpty) {
+      ofRows(cls, org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+        org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
+        Seq.empty, isStreaming = true))
+    } else {
+      val ds = org.apache.spark.sql.execution.datasources.DataSource(
+        cls, className = "parquet", paths = paths, userSpecifiedSchema = Some(schema))
+      ofRows(cls, org.apache.spark.sql.execution.datasources.LogicalRelation(
+        ds.resolveRelation(checkFilesExist = false), isStreaming = true))
+    }
+  }
 }

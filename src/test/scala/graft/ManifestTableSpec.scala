@@ -316,6 +316,69 @@ class ManifestTableSpec extends SparkSpec {
       .as[Long].collect().toSet === Set(1L, 2L))
   }
 
+  test("manifest stream: versions are offsets; appends arrive incrementally; restart resumes exactly-once") {
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("st5_ckpt").toFile.getAbsolutePath
+    val f = orders.filter(col("o_orderstatus") === "F")
+    val o = orders.filter(col("o_orderstatus") === "O")
+    val p = orders.filter(col("o_orderstatus") === "P")
+    ManifestTable.create(spark, root, f)
+    def streamDf = spark.readStream
+      .format("graft.sources.ManifestStreamSourceProvider").load(root)
+      .select("o_orderkey")
+    // foreachBatch (not the memory sink, which refuses checkpoint
+    // recovery) so the restart leg below can resume the SAME checkpoint
+    val arrived1 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = streamDf.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => arrived1.add(r.getLong(0))); ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(arrived1.size === f.count())
+      // an append while the query runs arrives as its own delta batch
+      ManifestTable.append(spark, root, o)
+      q.processAllAvailable()
+      assert(arrived1.size === f.count() + o.count())
+    } finally q.stop()
+    // data committed while the stream is DOWN, then a restart from the
+    // same checkpoint into a FRESH collector: exactly the missed version
+    // arrives — nothing replays, nothing is lost
+    ManifestTable.append(spark, root, p)
+    val arrived2 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q2 = streamDf.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => arrived2.add(r.getLong(0))); ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    try q2.processAllAvailable() finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    assert(arrived2.asScala.toSet === p.select("o_orderkey").as[Long].collect().toSet)
+  }
+
+  test("manifest stream refuses a non-append change mid-stream (delta no longer expressible)") {
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("st5_ckpt2").toFile.getAbsolutePath
+    ManifestTable.create(spark, root, orders.filter(col("o_orderstatus") === "F"))
+    val q = spark.readStream
+      .format("graft.sources.ManifestStreamSourceProvider").load(root)
+      .select("o_orderkey")
+      .writeStream.format("memory").queryName("st5_refuse")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      ManifestTable.overwrite(spark, root, orders.limit(5))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+      assert((chain(e) ++ Option(q.exception.orNull).toSeq.flatMap(chain))
+        .exists(m => m != null && m.contains("non-append")),
+        s"expected the non-append refusal, got: ${chain(e)}")
+    } finally q.stop()
+  }
+
   test("merge guards: schema mismatch and null keys are rejected") {
     val root = freshRoot()
     ManifestTable.create(spark, root, orders)
