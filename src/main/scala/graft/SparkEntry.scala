@@ -1509,6 +1509,37 @@ object SparkEntry {
       s.table("st5_manifest")
     }),
 
+    "st6_manifest_replicate" -> ((s, dir) => {
+      // exactly-once table-to-table streaming replication: manifest
+      // source (versions as offsets) piped into the manifest SINK
+      // (appendIdempotent — the batchId watermark rides the same atomic
+      // publish as the data). The replica is then read BATCH-wise and
+      // must hash-match the oracle over everything the source shipped.
+      val srcRoot = java.nio.file.Files.createTempDirectory("st6_src")
+      val dstRoot = java.nio.file.Files.createTempDirectory("st6_dst")
+      val ckpt = java.nio.file.Files.createTempDirectory("st6_ckpt")
+      val orders = t(s, dir, "orders")
+      graft.sources.ManifestTable.create(s, srcRoot.toString,
+        orders.filter(col("o_orderstatus") === "F"))
+      graft.sources.ManifestTable.append(s, srcRoot.toString,
+        orders.filter(col("o_orderstatus") === "O"))
+      graft.sources.ManifestTable.append(s, srcRoot.toString,
+        orders.filter(col("o_orderstatus") === "P"))
+      val q = s.readStream
+        .format("graft.sources.ManifestStreamSourceProvider")
+        .load(srcRoot.toString)
+        .writeStream
+        .format("graft.sources.ManifestStreamSinkProvider")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dstRoot.toString)
+      q.awaitTermination()
+      graft.sources.ManifestTable.read(s, dstRoot.toString)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+    }),
+
     "st1_stream_hourly" -> ((s, dir) => {
       // Structured Streaming under the SAME oracle as batch e1: drain the
       // events parquet through a file-source stream, aggregate in Complete
@@ -2831,6 +2862,12 @@ object SparkEntry {
 
     "e3_json_extract" ->
       "SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_value FROM events",
+
+    "st6_manifest_replicate" -> // the replica must hold exactly what the
+      // source's three versions shipped — the whole orders table
+      (s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders GROUP BY o_orderstatus""").stripMargin,
 
     "st5_manifest_stream" -> // the streamed manifest versions carry the
       // F create + O append + P append — i.e. the whole orders table;

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming SOURCE over a [[ManifestTable]] — the "stream a
@@ -77,6 +77,65 @@ class ManifestStreamSourceProvider extends StreamSourceProvider with DataSourceR
     val (_, resolved) = sourceSchema(sqlContext, schema, providerName, parameters)
     new ManifestStreamSource(sqlContext.sparkSession, root, resolved)
   }
+}
+
+/** Structured Streaming SINK into a [[ManifestTable]] — the write half:
+  *
+  * {{{
+  *   df.writeStream
+  *     .format("graft.sources.ManifestStreamSinkProvider")
+  *     .option("writerId", "my-pipeline")   // optional; one ACTIVE writer per id
+  *     .option("checkpointLocation", ckpt)
+  *     .start(tableRoot)
+  * }}}
+  *
+  * Each micro-batch lands through [[ManifestTable.appendIdempotent]]: the
+  * (writerId, batchId) watermark rides the same atomic manifest publish
+  * as the data, so a batch re-delivered after a crash (the engine's
+  * at-least-once) is acknowledged without writing — end-to-end
+  * exactly-once into the table, and composed with [[ManifestStreamSource]]
+  * this gives exactly-once table-to-table streaming replication. Append
+  * output mode only (the table's own merge/delete are batch mutations);
+  * the first batch creates the table. One ACTIVE query per writerId is
+  * the caller's contract — Structured Streaming guarantees it per query,
+  * and the default writerId is scoped to the query's checkpoint so two
+  * different pipelines never share a watermark by accident.
+  */
+class ManifestStreamSinkProvider extends StreamSinkProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-manifest"
+
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-manifest sink supports Append output mode only, got $outputMode")
+    require(partitionColumns.isEmpty,
+      "graft-manifest sink does not take partitionBy (declare clustering via TableLayout)")
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-manifest sink needs the table root: .start(<root>)"))
+    // default writer identity: the checkpoint location — unique per
+    // logical pipeline, stable across restarts (which is exactly the
+    // idempotency scope the batchId watermark needs)
+    val writerId = parameters.getOrElse("writerId",
+      "ckpt:" + parameters.getOrElse("checkpointLocation", root))
+    new ManifestStreamSink(sqlContext.sparkSession, root, writerId)
+  }
+}
+
+class ManifestStreamSink(spark: SparkSession, root: String, writerId: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    ManifestTable.appendIdempotent(
+      spark, root, GraftSqlBridge.asBatch(data), writerId, batchId)
+    ()
+  }
+
+  override def toString: String = s"ManifestStreamSink[$root, writer=$writerId]"
 }
 
 class ManifestStreamSource(

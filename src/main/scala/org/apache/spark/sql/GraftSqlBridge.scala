@@ -41,4 +41,15 @@ object GraftSqlBridge {
         ds.resolveRelation(checkFilesExist = false), isStreaming = true))
     }
   }
+
+  /** Re-tag a streaming micro-batch DataFrame as a BATCH one — what a V1
+    * `Sink.addBatch` needs before handing the rows to a batch writer (a
+    * streaming-tagged Dataset refuses `.write`). Evaluates through the
+    * batch's own query execution, so the rows are exactly the
+    * micro-batch's. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val cls = df.asInstanceOf[classic.Dataset[Row]]
+    cls.sparkSession.internalCreateDataFrame(
+      cls.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

@@ -379,6 +379,28 @@ class ManifestTableSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("manifest sink: a replayed addBatch lands exactly once; guards reject update mode and partitionBy") {
+    val root = freshRoot()
+    val batch = orders.filter(col("o_orderstatus") === "F").limit(10)
+    val sink = new graft.sources.ManifestStreamSink(spark, root, "w1")
+    sink.addBatch(0L, batch)
+    val n = ManifestTable.read(spark, root).count()
+    sink.addBatch(0L, batch) // at-least-once re-delivery after a crash
+    assert(ManifestTable.read(spark, root).count() === n) // no duplicate
+    sink.addBatch(1L, batch) // the NEXT batch still lands
+    assert(ManifestTable.read(spark, root).count() === 2 * n)
+    val provider = new graft.sources.ManifestStreamSinkProvider
+    val ctx = spark.sqlContext
+    intercept[IllegalArgumentException] {
+      provider.createSink(ctx, Map("path" -> root), Seq.empty,
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    }
+    intercept[IllegalArgumentException] {
+      provider.createSink(ctx, Map("path" -> root), Seq("o_orderstatus"),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+  }
+
   test("merge guards: schema mismatch and null keys are rejected") {
     val root = freshRoot()
     ManifestTable.create(spark, root, orders)
