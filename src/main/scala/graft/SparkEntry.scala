@@ -53,6 +53,40 @@ object SparkEntry {
   private def dsum(c: Column): Column = graft.ops.ExactSums.dsum(c)
   private def dsumSql(expr: String): String = graft.ops.ExactSums.dsumSql(expr)
 
+  /** The txt16 oracle, generated: k chained BPE rounds, each one
+    * pair-count aggregate + argmax + replace over the separator-wrapped
+    * word sequences — the same replace semantics the Spark op uses. */
+  private def bpeSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT syms[j] AS lhs, syms[j+1] AS rhs, CAST(sum(w) AS BIGINT) AS freq
+         |  FROM (
+         |    SELECT syms, w, unnest(range(1, len(syms))) AS j
+         |    FROM (SELECT string_split(trim(seq, chr(31)), chr(31)||chr(31)) AS syms, w
+         |          FROM v${i - 1})
+         |  )
+         |  GROUP BY 1, 2
+         |), b$i AS (
+         |  SELECT lhs, rhs, freq FROM p$i ORDER BY freq DESC, lhs, rhs LIMIT 1
+         |), v$i AS (
+         |  SELECT replace(seq, chr(31)||lhs||chr(31)||chr(31)||rhs||chr(31),
+         |                      chr(31)||lhs||rhs||chr(31)) AS seq, w
+         |  FROM v${i - 1}, b$i
+         |)""".stripMargin
+    }.mkString(", ")
+    val selects = (1 to k).map(i =>
+      s"SELECT CAST($i AS INT) AS merge_rank, lhs, rhs, freq FROM b$i").mkString("\nUNION ALL\n")
+    s"""WITH words AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS w
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE len(word) > 0 GROUP BY 1
+       |), v0 AS (
+       |  SELECT regexp_replace(word, '(.)', chr(31)||'\\1'||chr(31), 'g') AS seq, w
+       |  FROM words
+       |), $rounds
+       |$selects""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The customer-360 mart shape (SURVEY §2: J1+J2+A1-A5) on the testdata
     * star schema.
@@ -1772,6 +1806,14 @@ object SparkEntry {
         .limit(100)
     }),
 
+    "txt16_bpe_learn" -> ((s, dir) =>
+      // tokenizer TRAINING (Sennrich et al. BPE): 8 merge rounds learned
+      // from the corpus word counts. The separator-wrapped-string
+      // representation makes each round's merge a plain replace() —
+      // left-to-right non-overlapping in both engines, which IS BPE's
+      // greedy semantics — so the oracle replays all 8 rounds exactly
+      TextOps.bpeLearnMerges(t(s, dir, "documents"), "text", numMerges = 8)),
+
     "txt15_lm_nll" -> ((s, dir) =>
       // CCNet-style LM quality signal, self-trained: corpus bigram model
       // with add-one smoothing, per-doc total negative log-likelihood.
@@ -3005,6 +3047,11 @@ object SparkEntry {
          |GROUP BY f.doc_id
          |ORDER BY logw DESC, f.doc_id
          |LIMIT 100""").stripMargin,
+
+    "txt16_bpe_learn" -> // all 8 learned merges replayed round by round
+      // (pair counts weighted by word frequency, lexicographic
+      // tie-break, greedy left-to-right merge via replace)
+      bpeSql(8),
 
     "txt15_lm_nll" -> // the whole self-trained LM replayed: bigram counts
       // c2, context counts c1 (all corpus occurrences of the context

@@ -260,6 +260,70 @@ object TextOps {
     * partitioned — never a driver-side table. Documents with fewer than
     * two tokens have no bigrams and are absent from the output.
     */
+  /** BPE merge-rule LEARNING (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units") — trains the merge
+    * table txt6-style tokenizers apply: start from characters, repeatedly
+    * take the most frequent adjacent symbol pair (weighted by word
+    * frequency; ties broken lexicographically) and merge it everywhere.
+    * Returns the ordered merge table (merge_rank, lhs, rhs, freq).
+    *
+    * Representation is the whole trick: a word is a STRING of
+    * separator-wrapped symbols (`⟨s⟩` per symbol, U+001F separator), so
+    * one merge round is a plain `replace(seq, ⟨l⟩⟨r⟩, ⟨lr⟩)` — and
+    * `replace` is left-to-right non-overlapping in both Spark and
+    * DuckDB, which is EXACTLY BPE's greedy merge semantics ("a a a"
+    * merges to "[aa] a", and a symbol whose text extends past the pair
+    * boundary can never false-match because both of its separators are
+    * part of the pattern). The oracle replays every round with the same
+    * replace.
+    *
+    * Scale shape: the corpus is touched ONCE (word counts); training
+    * runs on the VOCABULARY table (distinct words — millions of rows at
+    * 100 TB, not billions), one pair-count aggregation + one argmax +
+    * one narrow replace per round, lineage truncated per round. This is
+    * the standard industrial BPE-trainer shape (corpus → word counts →
+    * iterate on vocab). Documents must not contain U+001F (the separator
+    * contract; whitespace-tokenized corpora satisfy it).
+    */
+  def bpeLearnMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val Sep = "\u001f"
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("w"))
+      .select(regexp_replace(col("word"), "(.)", Sep + "$1" + Sep).as("seq"), col("w"))
+    var vocab = words.localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val syms = col("__syms")
+      val best = vocab
+        .select(col("w"), split(trim(col("seq"), Sep), Sep + Sep).as("__syms"))
+        .filter(size(syms) >= 2)
+        .select(col("w"), explode(transform(sequence(lit(1), size(syms) - 1),
+          i => struct(element_at(syms, i).as("l"), element_at(syms, i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum(col("w")).as("freq"))
+        .orderBy(col("freq").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, f) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rank, l, r, f))
+        vocab = vocab.select(
+          call_function("replace", col("seq"),
+            lit(Sep + l + Sep + Sep + r + Sep), lit(Sep + l + r + Sep)).as("seq"),
+          col("w")).localCheckpoint(true)
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "freq")
+  }
+
   def bigramLmScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // materialize the token array as a projected attribute BEFORE the
     // lambda consumes it: a lambda body referencing the raw split(...)

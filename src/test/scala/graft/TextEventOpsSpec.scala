@@ -126,6 +126,30 @@ class TextEventOpsSpec extends SparkSpec {
     assert(out("2024-01-01 11:00:00.0") === ((1L, 5.0)))
   }
 
+  test("bpeLearnMerges: hand-computed merges on the classic low/lower/newest corpus") {
+    // words: low×5, lower×2, newest×3
+    // round 1: (l,o)=7 ties (o,w)=7 → lexicographic lhs wins → (l,o)
+    // round 2: (lo,w)=7   round 3: max freq 3, lex-first pair is (e,s)
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower"),
+      (3L, "newest newest newest")
+    ).toDF("doc_id", "text")
+    val out = TextOps.bpeLearnMerges(docs, "text", numMerges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(out === Set((1, "l", "o", 7L), (2, "lo", "w", 7L), (3, "e", "s", 3L)))
+  }
+
+  test("bpeLearnMerges: greedy left-to-right merge (aaaa -> [aa][aa]) and early exhaustion") {
+    // word aaaa×3: round 1 pair (a,a) occurs 3×/word = freq 9, and the
+    // greedy merge leaves [aa][aa] (NOT [a][aa][a] or overlap); round 2
+    // merges (aa,aa)=3; round 3 has no pairs left -> stops at 2 rows
+    val docs = Seq((1L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val out = TextOps.bpeLearnMerges(docs, "text", numMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSet === Set((1, "a", "a", 9L), (2, "aa", "aa", 3L)))
+  }
+
   test("bigramLmScores: hand-computed add-one model on a 3-doc corpus") {
     // tokens: a×3 b×2 c×1 → V=3; c1(a)=3; bigrams: "a b"×2, "a c"×1
     // doc 1,2: -ln((2+1)/(3+3)) = ln 2;  doc 3: -ln((1+1)/(3+3)) = ln 3
