@@ -53,10 +53,11 @@ object SparkEntry {
   private def dsum(c: Column): Column = graft.ops.ExactSums.dsum(c)
   private def dsumSql(expr: String): String = graft.ops.ExactSums.dsumSql(expr)
 
-  /** The txt16 oracle, generated: k chained BPE rounds, each one
-    * pair-count aggregate + argmax + replace over the separator-wrapped
-    * word sequences — the same replace semantics the Spark op uses. */
-  private def bpeSql(k: Int): String = {
+  /** The txt16/txt17 oracle CTE chain, generated: k chained BPE rounds,
+    * each one pair-count aggregate + argmax + replace over the
+    * separator-wrapped word sequences — the same replace semantics the
+    * Spark op uses. */
+  private def bpeCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""p$i AS (
          |  SELECT syms[j] AS lhs, syms[j+1] AS rhs, CAST(sum(w) AS BIGINT) AS freq
@@ -69,23 +70,31 @@ object SparkEntry {
          |), b$i AS (
          |  SELECT lhs, rhs, freq FROM p$i ORDER BY freq DESC, lhs, rhs LIMIT 1
          |), v$i AS (
-         |  SELECT replace(seq, chr(31)||lhs||chr(31)||chr(31)||rhs||chr(31),
-         |                      chr(31)||lhs||rhs||chr(31)) AS seq, w
+         |  SELECT word, replace(seq, chr(31)||lhs||chr(31)||chr(31)||rhs||chr(31),
+         |                            chr(31)||lhs||rhs||chr(31)) AS seq, w
          |  FROM v${i - 1}, b$i
          |)""".stripMargin
     }.mkString(", ")
-    val selects = (1 to k).map(i =>
-      s"SELECT CAST($i AS INT) AS merge_rank, lhs, rhs, freq FROM b$i").mkString("\nUNION ALL\n")
     s"""WITH words AS (
        |  SELECT word, CAST(count(*) AS BIGINT) AS w
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  WHERE len(word) > 0 GROUP BY 1
        |), v0 AS (
-       |  SELECT regexp_replace(word, '(.)', chr(31)||'\\1'||chr(31), 'g') AS seq, w
+       |  SELECT word, regexp_replace(word, '(.)', chr(31)||'\\1'||chr(31), 'g') AS seq, w
        |  FROM words
-       |), $rounds
-       |$selects""".stripMargin
+       |), $rounds""".stripMargin
   }
+
+  private def bpeSql(k: Int): String =
+    bpeCtes(k) + "\n" + (1 to k).map(i =>
+      s"SELECT CAST($i AS INT) AS merge_rank, lhs, rhs, freq FROM b$i").mkString("\nUNION ALL\n")
+
+  private def bpeSegmentSql(k: Int): String =
+    bpeCtes(k) +
+      s"""
+         |SELECT word, w AS n_occurrences,
+         |       replace(trim(seq, chr(31)), chr(31)||chr(31), '.') AS segmentation
+         |FROM v$k""".stripMargin
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The customer-360 mart shape (SURVEY §2: J1+J2+A1-A5) on the testdata
@@ -1814,6 +1823,13 @@ object SparkEntry {
       // greedy semantics — so the oracle replays all 8 rounds exactly
       TextOps.bpeLearnMerges(t(s, dir, "documents"), "text", numMerges = 8)),
 
+    "txt17_bpe_segment" -> ((s, dir) =>
+      // the trained tokenizer's OUTPUT: every vocabulary word with its
+      // subword segmentation after the 8 learned merges (the apply half
+      // of txt16's train half). Same replayed-round oracle, read at the
+      // final vocab state
+      TextOps.bpeSegment(t(s, dir, "documents"), "text", numMerges = 8)),
+
     "txt15_lm_nll" -> ((s, dir) =>
       // CCNet-style LM quality signal, self-trained: corpus bigram model
       // with add-one smoothing, per-doc total negative log-likelihood.
@@ -3047,6 +3063,10 @@ object SparkEntry {
          |GROUP BY f.doc_id
          |ORDER BY logw DESC, f.doc_id
          |LIMIT 100""").stripMargin,
+
+    "txt17_bpe_segment" -> // the final vocab state of the same replayed
+      // rounds, rendered as dot-joined subwords
+      bpeSegmentSql(8),
 
     "txt16_bpe_learn" -> // all 8 learned merges replayed round by round
       // (pair counts weighted by word frequency, lexicographic

@@ -285,7 +285,26 @@ object TextOps {
     * iterate on vocab). Documents must not contain U+001F (the separator
     * contract; whitespace-tokenized corpora satisfy it).
     */
-  def bpeLearnMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+  def bpeLearnMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame =
+    bpeTrain(docs, textCol, numMerges)._1
+
+  /** The segmentation the learned merges induce: one row per distinct
+    * word with its corpus count and its subword split after `numMerges`
+    * merges — i.e. the trained tokenizer's output on the training
+    * vocabulary (applying it to new text is the same replace cascade in
+    * merge order). Subwords join with "." for a flat, exactly
+    * comparable rendering ('.' cannot appear inside a symbol on a
+    * space-tokenized corpus of word characters; the training separator
+    * stays the non-printing U+001F either way). */
+  def bpeSegment(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val Sep = "\u001f"
+    val (_, vocab) = bpeTrain(docs, textCol, numMerges)
+    vocab.select(col("word"), col("w").as("n_occurrences"),
+      call_function("replace", trim(col("seq"), Sep), lit(Sep + Sep), lit(".")).as("segmentation"))
+  }
+
+  private def bpeTrain(
+      docs: DataFrame, textCol: String, numMerges: Int): (DataFrame, DataFrame) = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val Sep = "\u001f"
     val spark = docs.sparkSession
@@ -293,7 +312,8 @@ object TextOps {
       .select(explode(tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("w"))
-      .select(regexp_replace(col("word"), "(.)", Sep + "$1" + Sep).as("seq"), col("w"))
+      .select(col("word"),
+        regexp_replace(col("word"), "(.)", Sep + "$1" + Sep).as("seq"), col("w"))
     var vocab = words.localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
@@ -313,7 +333,7 @@ object TextOps {
       else {
         val (l, r, f) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((rank, l, r, f))
-        vocab = vocab.select(
+        vocab = vocab.select(col("word"),
           call_function("replace", col("seq"),
             lit(Sep + l + Sep + Sep + r + Sep), lit(Sep + l + r + Sep)).as("seq"),
           col("w")).localCheckpoint(true)
@@ -321,7 +341,7 @@ object TextOps {
       }
     }
     import spark.implicits._
-    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "freq")
+    (merges.toSeq.toDF("merge_rank", "lhs", "rhs", "freq"), vocab)
   }
 
   def bigramLmScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

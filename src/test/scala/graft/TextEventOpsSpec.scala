@@ -150,6 +150,20 @@ class TextEventOpsSpec extends SparkSpec {
     assert(out.toSet === Set((1, "a", "a", 9L), (2, "aa", "aa", 3L)))
   }
 
+  test("bpeSegment: the learned merges segment the vocabulary as hand-derived") {
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower"),
+      (3L, "newest newest newest")
+    ).toDF("doc_id", "text")
+    // merges after 3 rounds: (l,o), (lo,w), (e,s) — see the learn spec
+    val seg = TextOps.bpeSegment(docs, "text", numMerges = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(seg("low") === ((5L, "low")))
+    assert(seg("lower") === ((2L, "low.e.r")))
+    assert(seg("newest") === ((3L, "n.e.w.es.t")))
+  }
+
   test("bigramLmScores: hand-computed add-one model on a 3-doc corpus") {
     // tokens: a×3 b×2 c×1 → V=3; c1(a)=3; bigrams: "a b"×2, "a c"×1
     // doc 1,2: -ln((2+1)/(3+3)) = ln 2;  doc 3: -ln((1+1)/(3+3)) = ln 3
