@@ -653,6 +653,38 @@ object SparkEntry {
         takeLatest = Seq("status", "last_order"), sumCols = Seq("n_orders"))
     }),
 
+    "lake11_incr_agg" -> ((s, dir) => {
+      // incremental view maintenance over the CDF: the agg mart
+      // bootstraps on the F slice, then two appends are folded in by
+      // aggregating ONLY each delta and COW-merging the affected
+      // groups; a fourth call is a caught-up no-op. The per-step delta
+      // row counts are literal mirrors (the oracle re-derives them), so
+      // a maintenance pass that silently rescanned or double-counted
+      // breaks the hash; the final mart must equal the from-scratch
+      // aggregate BIT-exactly (decimal partials are associative).
+      val srcRoot = java.nio.file.Files.createTempDirectory("lake11_src")
+      val martRoot = java.nio.file.Files.createTempDirectory("lake11_mart")
+      val orders = t(s, dir, "orders")
+      graft.sources.ManifestTable.create(s, srcRoot.toString,
+        orders.filter(col("o_orderstatus") === "F"))
+      LakeOps.maintainAggMart(s, srcRoot.toString, martRoot.toString,
+        "o_orderstatus", "o_totalprice")
+      graft.sources.ManifestTable.append(s, srcRoot.toString,
+        orders.filter(col("o_orderstatus") === "O"))
+      val (_, d1) = LakeOps.maintainAggMart(s, srcRoot.toString, martRoot.toString,
+        "o_orderstatus", "o_totalprice")
+      graft.sources.ManifestTable.append(s, srcRoot.toString,
+        orders.filter(col("o_orderstatus") === "P"))
+      val (_, d2) = LakeOps.maintainAggMart(s, srcRoot.toString, martRoot.toString,
+        "o_orderstatus", "o_totalprice")
+      val (_, d3) = LakeOps.maintainAggMart(s, srcRoot.toString, martRoot.toString,
+        "o_orderstatus", "o_totalprice")
+      graft.sources.ManifestTable.read(s, martRoot.toString)
+        .select(lit(d1).as("step1_rows"), lit(d2).as("step2_rows"),
+          lit(d3).as("step3_rows"), col("o_orderstatus"),
+          col("n_rows").as("n_orders"), col("total").cast("double").as("total_price"))
+    }),
+
     "lake10_delete_cow" -> ((s, dir) => {
       // copy-on-write DELETE: on a date-range-clustered table, deleting
       // the most recent orders rewrites only the tail file(s) — the
@@ -3933,6 +3965,17 @@ object SparkEntry {
          |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) AS valid_to,
          |       (lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) IS NULL) AS is_current
          |FROM changes""").stripMargin,
+
+    "lake11_incr_agg" -> // the maintained mart must equal the
+      // from-scratch aggregate; per-step delta sizes pin that each pass
+      // consumed exactly its append (and pass 3 nothing)
+      (s"""SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderstatus = 'O') AS step1_rows,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderstatus = 'P') AS step2_rows,
+         |  CAST(0 AS BIGINT) AS step3_rows,
+         |  o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders GROUP BY o_orderstatus""").stripMargin,
 
     "lake10_delete_cow" -> // DELETE WHERE pred keeps exactly the rows for
       // which pred is not true; the COW shape (tail files only) is

@@ -189,4 +189,81 @@ object LakeOps {
         max(col(tsCol)).as(tsName),
         count(lit(1)).cast("long").as(countName))
   }
+
+  // ---- incremental aggregate maintenance (IVM over the manifest CDF) ------
+
+  private val AggCursorKey = "agg-cursor"
+  private val TotalType = org.apache.spark.sql.types.DecimalType(28, 4)
+
+  private def countSumAgg(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    df.groupBy(keyCol).agg(
+      count(lit(1)).as("n_rows"),
+      ExactSums.dsumPartial(col(valueCol)).cast(TotalType).as("total"))
+
+  /** Incremental VIEW MAINTENANCE of a count/sum aggregate mart over a
+    * manifest table's change-data-feed — the composition the lakehouse
+    * pieces were built for: instead of re-aggregating the whole source
+    * on every refresh, read ONLY the rows appended since the last
+    * maintained version ([[graft.sources.ManifestTable.readChangesSince]]),
+    * aggregate the delta, and upsert the affected groups through the
+    * copy-on-write [[graft.sources.ManifestTable.merge]]. The consumed
+    * source version rides the SAME atomic merge commit as the updated
+    * rows (`agg-cursor` manifest metadata), so a crash between steps can
+    * never double-count a delta — re-running resumes from the committed
+    * cursor. Count and sum are self-maintainable aggregates (no
+    * per-group rescans); the sum accumulates in DECIMAL partials
+    * ([[ExactSums.dsumPartial]] — exact and ASSOCIATIVE), so the
+    * maintained mart equals a from-scratch [[ExactSums.dsum]] aggregate
+    * bit for bit, however the rows were batched.
+    *
+    * First call bootstraps the mart from a full scan; a call with no new
+    * source version is a no-op (no mart commit). A non-append source
+    * change surfaces readChangesSince's full-refresh error — drop the
+    * mart and bootstrap again.
+    *
+    * Returns (consumed source version, delta rows aggregated). At
+    * 100 TB: refresh cost is O(delta + affected groups' files), not
+    * O(source) — the difference between an hourly mart refresh that
+    * reads an hour and one that reads the lake.
+    */
+  def maintainAggMart(
+      spark: org.apache.spark.sql.SparkSession,
+      srcRoot: String,
+      martRoot: String,
+      keyCol: String,
+      valueCol: String): (Long, Long) = {
+    import graft.sources.ManifestTable
+    val srcTip = {
+      val vs = ManifestTable.versions(spark, srcRoot)
+      require(vs.nonEmpty, s"$srcRoot is not a manifest table")
+      vs.max
+    }
+    val martVs = ManifestTable.versions(spark, martRoot)
+    if (martVs.isEmpty) {
+      val src = ManifestTable.read(spark, srcRoot, Some(srcTip))
+      val n = src.count()
+      ManifestTable.create(spark, martRoot, countSumAgg(src, keyCol, valueCol),
+        meta = Map(AggCursorKey -> srcTip.toString))
+      (srcTip, n)
+    } else {
+      val cursor = ManifestTable.manifestMeta(spark, martRoot, martVs.max)
+        .getOrElse(AggCursorKey, throw new IllegalStateException(
+          s"$martRoot has no $AggCursorKey metadata — not a maintained agg mart")).toLong
+      if (cursor == srcTip) (srcTip, 0L) // caught up: no mart commit
+      else {
+        val (delta, tip) = ManifestTable.readChangesSince(spark, srcRoot, cursor)
+        val deltaRows = delta.count()
+        val d = countSumAgg(delta, keyCol, valueCol).alias("d")
+        val cur = ManifestTable.read(spark, martRoot).alias("m")
+        val upserts = d.join(cur, Seq(keyCol), "left")
+          .select(col(keyCol),
+            (coalesce(col("m.n_rows"), lit(0L)) + col("d.n_rows")).as("n_rows"),
+            (coalesce(col("m.total"), lit(0).cast(TotalType)) + col("d.total"))
+              .cast(TotalType).as("total"))
+        ManifestTable.merge(spark, martRoot, upserts, keyCol,
+          meta = Map(AggCursorKey -> tip.toString))
+        (tip, deltaRows)
+      }
+    }
+  }
 }

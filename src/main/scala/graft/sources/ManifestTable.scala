@@ -525,7 +525,8 @@ object ManifestTable {
       keyCol: String,
       statsColumns: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil,
-      maxKeys: Int = 1000000): (Long, MergeStats) = {
+      maxKeys: Int = 1000000,
+      meta: Map[String, String] = Map.empty): (Long, MergeStats) = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
     val v0 = vs.max
@@ -566,7 +567,7 @@ object ManifestTable {
           s"concurrent modification of $root during merge (planned v$v0, tip v$tip) — re-run the merge")
         untouched
       },
-      _ => tableSchema.map(s => Map(SchemaKey -> s.json)).getOrElse(Map.empty),
+      _ => meta ++ tableSchema.map(s => Map(SchemaKey -> s.json)).getOrElse(Map.empty),
       // carried files keep the stats the planned version committed for
       // them; rewritten files take the freshly collected ones
       _ => fileStats(spark, root, v0) ++ newStats)

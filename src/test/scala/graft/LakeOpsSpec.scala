@@ -234,4 +234,43 @@ class LakeOpsSpec extends SparkSpec {
     assert(mrgPlan.contains("FullOuter"), "merge must plan a full-outer join")
     assert(!mrgPlan.toLowerCase.contains("cartesian"))
   }
+
+  test("maintainAggMart: incremental result equals rebuild bit-exactly; cursor rides the merge; no-op when caught up") {
+    import graft.sources.ManifestTable
+    val spark2 = spark
+    import spark2.implicits._
+    def root() = java.nio.file.Files.createTempDirectory("ivm").toString
+    val src = root(); val mart = root()
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    ManifestTable.create(spark, src, orders.filter(col("o_orderstatus") === "F"))
+    val (c0, n0) = graft.ops.LakeOps.maintainAggMart(spark, src, mart, "o_orderstatus", "o_totalprice")
+    assert(c0 === 1L && n0 === orders.filter(col("o_orderstatus") === "F").count())
+    ManifestTable.append(spark, src, orders.filter(col("o_orderstatus") =!= "F"))
+    val (c1, n1) = graft.ops.LakeOps.maintainAggMart(spark, src, mart, "o_orderstatus", "o_totalprice")
+    assert(c1 === 2L && n1 === orders.filter(col("o_orderstatus") =!= "F").count())
+    // the consumed cursor rides the merge commit's metadata atomically
+    val tipMeta = ManifestTable.manifestMeta(spark, mart,
+      ManifestTable.versions(spark, mart).max)
+    assert(tipMeta("agg-cursor") === "2")
+    // caught up: returns without committing a new mart version
+    val before = ManifestTable.versions(spark, mart).max
+    val (c2, n2) = graft.ops.LakeOps.maintainAggMart(spark, src, mart, "o_orderstatus", "o_totalprice")
+    assert(c2 === 2L && n2 === 0L)
+    assert(ManifestTable.versions(spark, mart).max === before)
+    // maintained mart == from-scratch aggregate, including the DOUBLE
+    // rendering of the decimal total (associativity of exact partials)
+    val maintained = ManifestTable.read(spark, mart)
+      .select(col("o_orderstatus"), col("n_rows"), col("total").cast("double").as("t"))
+      .as[(String, Long, Double)].collect().map { case (k, n, t) => k -> ((n, t)) }.toMap
+    val scratch = orders.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), graft.ops.ExactSums.dsum(col("o_totalprice")).as("t"))
+      .as[(String, Long, Double)].collect().map { case (k, n, t) => k -> ((n, t)) }.toMap
+    assert(maintained === scratch)
+    // a non-append source change surfaces the full-refresh contract
+    ManifestTable.overwrite(spark, src, orders.limit(3))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.LakeOps.maintainAggMart(spark, src, mart, "o_orderstatus", "o_totalprice")
+    }
+    assert(e.getMessage.contains("non-append"))
+  }
 }
