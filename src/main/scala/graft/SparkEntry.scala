@@ -2007,6 +2007,14 @@ object SparkEntry {
         maxCorpusShingleFreq = 20L)
     }),
 
+    "dd8_prefix_jaccard" -> ((s, dir) =>
+      // the PPJoin-family prefix-filtered similarity join at t=0.9 (the
+      // family's design regime — near-duplicate detection; prefixes are
+      // ~a tenth of each set): result-identical to the exact all-pairs
+      // join, which is how the oracle computes it (threshold unrounded)
+      DedupOps.prefixJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.9)),
+
     "dd7_span_excision" -> ((s, dir) =>
       // sub-document dedup (Lee et al. 2021 ExactSubstr, word-8-gram
       // granularity): every position whose 8-gram recurs ANYWHERE in the
@@ -3308,6 +3316,29 @@ object SparkEntry {
          |FROM pr JOIN csz USING (corpus_id) JOIN psz USING (probe_id)
          |WHERE shared >= 2
          |  AND CAST(shared AS DOUBLE) / (n_c + n_p - shared) >= 0.1""").stripMargin,
+
+    "dd8_prefix_jaccard" -> // the prefix filter is an OPTIMIZATION with a
+      // no-miss theorem, so the oracle is the plain exact all-pairs
+      // join: every pair sharing >= 1 shingle with unrounded jaccard
+      // >= 0.9 (rounding applied only to the output column)
+      ("""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |), idx AS (
+         |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM idx
+         |), sz AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared_shingles,
+         |       round(CAST(shared AS DOUBLE) / (x.n + y.n - shared), 4) AS jaccard
+         |FROM pr JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+         |WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.9""").stripMargin,
 
     "dd7_span_excision" -> // full relational replay of the span dedup:
       // positions 1..len-7 carry the md5 of their word 8-gram; a hash

@@ -155,6 +155,77 @@ object DedupOps {
       .select("doc_a", "doc_b", "shared_shingles", "jaccard")
   }
 
+  /** Prefix-filtered exact Jaccard similarity join — the AllPairs/PPJoin
+    * candidate generation (Bayardo et al. WWW'07; Xiao et al. WWW'08
+    * prefix filtering principle): order every document's shingle set by
+    * a GLOBAL total order (document frequency ascending, shingle text
+    * tiebreak — rarest first), and join only each set's PREFIX of length
+    * |x| − ⌈t·|x|⌉ + 1. If J(x,y) ≥ t the two prefixes must share a
+    * token under the common order, so no qualifying pair is missed;
+    * candidates are then verified with the exact intersection over the
+    * full sets (threshold applied UNROUNDED, matching the theorem).
+    *
+    * Same result as the brute-force [[ngramJaccardPairs]] at
+    * (minShared=1, no cap) — spec-pinned equivalence — but the
+    * candidate join touches only the ~(1−t) rarest fraction of each
+    * set, and rarest-FIRST ordering makes those the smallest join
+    * buckets: the design regime is a realistic zipfian vocabulary at
+    * high t (0.7-0.9), where most shingles are rare and the candidate
+    * fan-out collapses — why production set-similarity joins use this
+    * instead of the all-shingle join. Honest measurement on THIS
+    * repo's synthetic corpus (a ~30-word vocabulary, so every shingle
+    * is hot and frequency order carries little information): at t=0.9
+    * the prefix join only ties the uncapped brute force warm (1.9 vs
+    * 1.4 s at sf0.1; cold 3.2 vs 6.9 favors it) — the corpus is the
+    * adversarial case for prefix filtering, and the operator is here
+    * for its algorithm, pinned exact. Verification carries each
+    * candidate pair's two shingle arrays once.
+    */
+  def prefixJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minJaccard: Double = 0.5
+  ): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    val base = widen(docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
+    val sets = base.select(col("doc_id"), shingles(col("__text"), n).as("__set"))
+      .filter(size(col("__set")) >= 1)
+    val exploded = sets.select(col("doc_id"), explode(col("__set")).as("shingle"))
+    // shingle sets are distinct per doc, so count(*) IS document frequency
+    val dfreq = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ordered = exploded.join(dfreq, "shingle")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("__ord"))
+    val prefixLen = (size(col("__ord")) -
+      ceil(lit(minJaccard) * size(col("__ord"))) + 1).cast("int")
+    val prefixTokens = ordered
+      .select(col("doc_id"), explode(slice(col("__ord"), lit(1), prefixLen)).as("p"))
+      .select(col("doc_id"), col("p.shingle").as("shingle"))
+    // streaming self-equi-join on the prefix tokens (NOT the grouped
+    // C(k,2) buffer dd2 uses: prefix buckets are unbounded and a k²
+    // in-memory pair array per bucket is exactly the blowup the cap
+    // protects dd2 from; the join streams)
+    val cand = prefixTokens.alias("a").join(prefixTokens.alias("b"), Seq("shingle"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("__set").as("__sa")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("__set").as("__sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("shared_shingles"),
+        (size(col("__sa")) + size(col("__sb"))).as("__tot"))
+      .filter(col("shared_shingles") >= 1 &&
+        col("shared_shingles").cast("double") /
+          (col("__tot") - col("shared_shingles")) >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("shared_shingles"),
+        round(col("shared_shingles").cast("double") /
+          (col("__tot") - col("shared_shingles")), 4).as("jaccard"))
+  }
+
   /** Cross-corpus near-duplicate pairs: every (corpus doc, probe doc)
     * sharing ≥ `minShared` shingles with jaccard ≥ `minJaccard` — the
     * NEAR-DUP tier of benchmark decontamination, catching lightly edited

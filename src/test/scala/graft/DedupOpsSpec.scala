@@ -165,6 +165,25 @@ class DedupOpsSpec extends SparkSpec {
     assert(DedupOps.ccSurvivors(docs, "doc_id", pairs).as[Long].collect().toSet === Set(1L, 2L))
   }
 
+  test("prefixJaccardPairs equals the brute-force all-pairs join at several thresholds") {
+    // the prefix filter is a no-miss optimization: its result must be
+    // IDENTICAL to ngramJaccardPairs at (minShared=1, no cap) — exercised
+    // across thresholds incl. t=1.0 (prefix length collapses to 1)
+    for (t <- Seq(0.3, 0.5, 0.9, 1.0)) {
+      val fast = DedupOps.prefixJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = t)
+      val brute = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, minShared = 1L, minJaccard = t, maxShingleFreq = None)
+      val f = fast.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b = brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(f === b, s"pair sets diverge at t=$t")
+    }
+    // exact dup pair (0,4) survives at every threshold; near-dup (0,1)
+    // at t=0.5 but not t=1.0
+    val strict = DedupOps.prefixJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict === Set((0L, 4L)))
+  }
+
   // ---- duplicate-span excision (dd7) --------------------------------------
 
   // dupA and dupB are 8-token runs; doc 10 carries BOTH with a 10-token
