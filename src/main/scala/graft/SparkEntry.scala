@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{ContaminationOps, DedupOps, EventOps, LakeOps, PackOps, QuantizeOps, SampleOps, SimilarityOps, TextOps}
+import graft.ops.{ClassifyOps, ContaminationOps, DedupOps, EventOps, LakeOps, PackOps, QuantizeOps, SampleOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1847,6 +1847,14 @@ object SparkEntry {
         .limit(100)
     }),
 
+    "cls1_nb_confusion" -> ((s, dir) =>
+      // in-engine multinomial Naive Bayes: trained on the labeled lang
+      // column and applied back to the corpus in one relational
+      // pipeline; the confusion matrix is the hash-checked face. The
+      // oracle replays training (all integer counts), the smoothed
+      // per-token log terms (round-6 decimal sums), and the argmax.
+      ClassifyOps.naiveBayesConfusion(t(s, dir, "documents"), "doc_id", "lang", "text")),
+
     "txt16_bpe_learn" -> ((s, dir) =>
       // tokenizer TRAINING (Sennrich et al. BPE): 8 merge rounds learned
       // from the corpus word counts. The separator-wrapped-string
@@ -3107,6 +3115,48 @@ object SparkEntry {
     "txt17_bpe_segment" -> // the final vocab state of the same replayed
       // rounds, rendered as dot-joined subwords
       bpeSegmentSql(8),
+
+    "cls1_nb_confusion" -> // the whole train+predict pipeline replayed:
+      // class priors, add-one-smoothed per-(token, class) terms with
+      // round-6 exact DECIMAL sums, argmax with class-name tie-break
+      ("""WITH toks AS (
+         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+         |), classes AS (
+         |  SELECT lang AS cls, count(*) AS n_docs FROM documents GROUP BY 1
+         |), ntot AS (
+         |  SELECT count(*) AS n_total FROM documents
+         |), tokcls AS (
+         |  SELECT tok, lang AS cls, count(*) AS c FROM toks GROUP BY 1, 2
+         |), clstot AS (
+         |  SELECT lang AS cls, count(*) AS n_c FROM toks GROUP BY 1
+         |), voc AS (
+         |  SELECT count(DISTINCT tok) AS v FROM toks
+         |), pairs AS (
+         |  SELECT t.doc_id, t.lang, cl.cls,
+         |         CAST(round(ln(CAST(coalesce(tc.c, 0) + 1 AS DOUBLE) / (ct.n_c + voc.v)), 6)
+         |              AS DECIMAL(28,6)) AS term
+         |  FROM toks t
+         |  CROSS JOIN (SELECT cls FROM classes) cl
+         |  LEFT JOIN tokcls tc ON t.tok = tc.tok AND cl.cls = tc.cls
+         |  JOIN clstot ct ON cl.cls = ct.cls
+         |  CROSS JOIN voc
+         |), priors AS (
+         |  SELECT cls, CAST(round(ln(CAST(n_docs AS DOUBLE) / n_total), 6) AS DECIMAL(28,6)) AS prior
+         |  FROM classes CROSS JOIN ntot
+         |), scored0 AS (
+         |  SELECT doc_id, lang, cls, CAST(sum(term) AS DECIMAL(28,6)) AS token_score
+         |  FROM pairs GROUP BY 1, 2, 3
+         |), scored AS (
+         |  SELECT s.doc_id, s.lang, s.cls,
+         |         CAST(s.token_score + pr.prior AS DECIMAL(28,6)) AS score
+         |  FROM scored0 s JOIN priors pr USING (cls)
+         |), pred AS (
+         |  SELECT doc_id, lang, cls AS predicted,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+         |  FROM scored
+         |)
+         |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM pred WHERE rn = 1 GROUP BY 1, 2""").stripMargin,
 
     "txt16_bpe_learn" -> // all 8 learned merges replayed round by round
       // (pair counts weighted by word frequency, lexicographic

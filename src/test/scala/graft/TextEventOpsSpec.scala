@@ -126,6 +126,27 @@ class TextEventOpsSpec extends SparkSpec {
     assert(out("2024-01-01 11:00:00.0") === ((1L, 5.0)))
   }
 
+  test("naiveBayes: hand-computed smoothed scores pick the right class; ties break lexicographically") {
+    import graft.ops.ClassifyOps
+    // V = {the, le}; doc 3 "le": fr wins (ln(1/3)+ln(2/3) > ln(2/3)+ln(1/5));
+    // docs 1-2 "the...": en wins — all hand-checked
+    val docs = Seq(
+      (1L, "en", "the the"), (2L, "en", "the"), (3L, "fr", "le")
+    ).toDF("doc_id", "lang", "text")
+    val pred = ClassifyOps.naiveBayesPredict(docs, "doc_id", "lang", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(pred === Map(1L -> "en", 2L -> "en", 3L -> "fr"))
+    val conf = ClassifyOps.naiveBayesConfusion(docs, "doc_id", "lang", "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(conf === Set(("en", "en", 2L), ("fr", "fr", 1L)))
+    // perfectly symmetric corpus: every score ties, the lexicographically
+    // smallest class must win deterministically
+    val tied = Seq((1L, "a", "x"), (2L, "b", "x")).toDF("doc_id", "lang", "text")
+    val tiedPred = ClassifyOps.naiveBayesPredict(tied, "doc_id", "lang", "text")
+      .collect().map(r => r.getString(2)).toSet
+    assert(tiedPred === Set("a"))
+  }
+
   test("bpeLearnMerges: hand-computed merges on the classic low/lower/newest corpus") {
     // words: low×5, lower×2, newest×3
     // round 1: (l,o)=7 ties (o,w)=7 → lexicographic lhs wins → (l,o)
