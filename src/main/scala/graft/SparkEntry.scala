@@ -1847,6 +1847,12 @@ object SparkEntry {
         .limit(100)
     }),
 
+    "v2_label_centroids" -> ((s, dir) =>
+      // per-label mean-pooled embedding centroids, flat (label, dim)
+      // form; decimal-exact sums make the mean reproducible — the
+      // oracle replays cast, sum, and the one rounded division
+      SimilarityOps.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")),
+
     "cls1_nb_confusion" -> ((s, dir) =>
       // in-engine multinomial Naive Bayes: trained on the labeled lang
       // column and applied back to the corpus in one relational
@@ -3115,6 +3121,15 @@ object SparkEntry {
     "txt17_bpe_segment" -> // the final vocab state of the same replayed
       // rounds, rendered as dot-joined subwords
       bpeSegmentSql(8),
+
+    "v2_label_centroids" -> // same decimal-exact mean per (label, dim)
+      ("""SELECT label, i AS pos, CAST(count(*) AS BIGINT) AS n_vectors,
+         |       round(CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / count(*), 6) AS centroid
+         |FROM (
+         |  SELECT label, unnest(range(1, len(embedding) + 1)) AS i, embedding
+         |  FROM embeddings
+         |), LATERAL (SELECT embedding[i] AS x)
+         |GROUP BY label, i""").stripMargin,
 
     "cls1_nb_confusion" -> // the whole train+predict pipeline replayed:
       // class priors, add-one-smoothed per-(token, class) terms with

@@ -457,4 +457,25 @@ object SimilarityOps {
       .select("id_a", "id_b", "score")
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Per-group embedding centroids (mean pooling) in flat exploded form:
+    * one row per (group, dimension) with the member count and the mean
+    * component — the building block for prototype classifiers, cluster
+    * summaries, and per-domain embedding drift monitoring. Exactness:
+    * each float component casts to DECIMAL(18,8) (both engines round
+    * ties away from zero — the ExactSums contract) and sums exactly, so
+    * the only float op is one final exactly-rounded division, and the
+    * result is reproducible under the DuckDB oracle regardless of
+    * aggregation order. Shape: one posexplode + one hash aggregate with
+    * map-side combine — shuffle is O(groups × dims), never O(vectors).
+    */
+  def labelCentroids(vectors: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    vectors
+      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos0", "x")))
+      .select(col(labelCol), (col("pos0") + 1).as("pos"),
+        col("x").cast(org.apache.spark.sql.types.DecimalType(18, 8)).as("xd"))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("xd")).as("s"))
+      .select(col(labelCol), col("pos"), col("n_vectors"),
+        round(col("s").cast("double") / col("n_vectors"), 6).as("centroid"))
 }

@@ -128,4 +128,19 @@ class SimilarityOpsSpec extends SparkSpec {
       s"quantizer-fit sample drifted — testdata layout changed; re-measure " +
         s"all fit-dependent goldens, then re-pin. Actual: $actual")
   }
+
+  test("labelCentroids: hand-computed per-dimension means, flat (label, pos) form") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f), "a"),
+      (2L, Array(3.0f, 6.0f), "a"),
+      (3L, Array(10.0f, -4.0f), "b")
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.ops.SimilarityOps.labelCentroids(vecs, "label", "embedding")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("a", 1)) === ((2L, 2.0)))   // (1+3)/2
+    assert(out(("a", 2)) === ((2L, 4.0)))   // (2+6)/2
+    assert(out(("b", 1)) === ((1L, 10.0)))
+    assert(out(("b", 2)) === ((1L, -4.0)))
+  }
 }
