@@ -1847,6 +1847,13 @@ object SparkEntry {
         .limit(100)
     }),
 
+    "cls2_centroid_confusion" -> ((s, dir) =>
+      // nearest-class-mean classification over the labeled embeddings:
+      // prototypes = v2's decimal-exact centroids, assignment = argmin
+      // of the round-8 decimal-summed squared L2; the oracle replays
+      // centroid fitting, distance accumulation, and the argmin
+      ClassifyOps.centroidConfusion(t(s, dir, "embeddings"), "vec_id", "label", "embedding")),
+
     "v2_label_centroids" -> ((s, dir) =>
       // per-label mean-pooled embedding centroids, flat (label, dim)
       // form; decimal-exact sums make the mean reproducible — the
@@ -3121,6 +3128,33 @@ object SparkEntry {
     "txt17_bpe_segment" -> // the final vocab state of the same replayed
       // rounds, rendered as dot-joined subwords
       bpeSegmentSql(8),
+
+    "cls2_centroid_confusion" -> // fit + assign replayed: decimal-exact
+      // centroids, per-(vector, class) squared-L2 decimal sums, argmin
+      // with class tie-break, confusion counts
+      ("""WITH comps AS (
+         |  SELECT vec_id, label, i AS pos, CAST(x AS DOUBLE) AS x
+         |  FROM (
+         |    SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS i, embedding
+         |    FROM embeddings
+         |  ), LATERAL (SELECT embedding[i] AS x)
+         |), cents AS (
+         |  SELECT label AS cls, pos,
+         |         round(CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / count(*), 6) AS centroid
+         |  FROM comps GROUP BY 1, 2
+         |), dist AS (
+         |  SELECT c.vec_id, c.label, ct.cls,
+         |         CAST(sum(CAST(round((c.x - ct.centroid) * (c.x - ct.centroid), 8)
+         |                       AS DECIMAL(28,8))) AS DECIMAL(28,8)) AS d2
+         |  FROM comps c JOIN cents ct USING (pos)
+         |  GROUP BY 1, 2, 3
+         |), pred AS (
+         |  SELECT vec_id, label, cls AS predicted,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cls) AS rn
+         |  FROM dist
+         |)
+         |SELECT label, predicted, CAST(count(*) AS BIGINT) AS n_vectors
+         |FROM pred WHERE rn = 1 GROUP BY 1, 2""").stripMargin,
 
     "v2_label_centroids" -> // same decimal-exact mean per (label, dim)
       ("""SELECT label, i AS pos, CAST(count(*) AS BIGINT) AS n_vectors,

@@ -88,4 +88,41 @@ object ClassifyOps {
     naiveBayesPredict(docs, idCol, labelCol, textCol)
       .groupBy(col(labelCol), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** Nearest-class-mean (prototype) classification over embeddings —
+    * the Rocchio / nearest-centroid classifier: class prototypes from
+    * [[SimilarityOps.labelCentroids]] (decimal-exact means), every
+    * vector assigned to the prototype with the smallest squared L2
+    * distance. Distance accumulates per (vector, class) as
+    * round((x_d − c_d)², 8) DECIMAL terms — exact, order-independent,
+    * oracle-replayable; argmin ties break on the class name. Shape:
+    * the flat centroid table is O(classes × dims) and broadcasts; the
+    * vector side is one posexplode + one hash aggregate per
+    * (vector, class) + a |classes|-row argmin window per vector.
+    * Returns the confusion matrix (labelCol, predicted, n_vectors).
+    */
+  def centroidConfusion(
+      vectors: DataFrame,
+      idCol: String,
+      labelCol: String,
+      vecCol: String): DataFrame = {
+    val cents = SimilarityOps.labelCentroids(vectors, labelCol, vecCol)
+      .select(col(labelCol).as("cls"), col("pos"), col("centroid"))
+    val comps = vectors
+      .select(col(idCol), col(labelCol), posexplode(col(vecCol)).as(Seq("pos0", "x")))
+      .select(col(idCol), col(labelCol), (col("pos0") + 1).as("pos"),
+        col("x").cast("double").as("x"))
+    val dist = comps.join(broadcast(cents), Seq("pos"))
+      .select(col(idCol), col(labelCol), col("cls"),
+        round((col("x") - col("centroid")) * (col("x") - col("centroid")), 8)
+          .cast(DecimalType(28, 8)).as("term"))
+      .groupBy(col(idCol), col(labelCol), col("cls"))
+      .agg(sum(col("term")).cast(DecimalType(28, 8)).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("d2"), col("cls"))
+    dist.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col(labelCol), col("cls").as("predicted"))
+      .agg(count(lit(1)).as("n_vectors"))
+  }
 }

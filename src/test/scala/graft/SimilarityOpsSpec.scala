@@ -143,4 +143,26 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out(("b", 1)) === ((1L, 10.0)))
     assert(out(("b", 2)) === ((1L, -4.0)))
   }
+
+  test("centroidConfusion: separable classes classify perfectly; equidistant ties break on class name") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f), "a"), (2L, Array(1.0f, 1.0f), "a"),
+      (3L, Array(10.0f, 10.0f), "b"), (4L, Array(11.0f, 11.0f), "b")
+    ).toDF("vec_id", "embedding", "label")
+    val conf = graft.ops.ClassifyOps.centroidConfusion(vecs, "vec_id", "label", "embedding")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(conf === Set(("a", "a", 2L), ("b", "b", 2L)))
+    // an exact distance tie must break to the lexicographically
+    // smaller class: vec 2 sits 2.25 (squared) from BOTH centroids
+    val tie2 = Seq(
+      (1L, Array(0.0f, 0.0f), "a"), (2L, Array(1.5f, 0.0f), "b"),
+      (3L, Array(1.5f, 3.0f), "b")
+    ).toDF("vec_id", "embedding", "label")
+    // centroids: a=(0,0), b=(1.5,1.5); vec 1 d2: a=0 -> a. vec 2: to a
+    // 2.25, to b 2.25 — TIE -> "a" wins lexicographically
+    val conf2 = graft.ops.ClassifyOps.centroidConfusion(tie2, "vec_id", "label", "embedding")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(conf2.contains(("b", "a", 1L)), s"tie must break to 'a': $conf2")
+  }
 }
