@@ -1860,6 +1860,34 @@ object SparkEntry {
       // oracle replays cast, sum, and the one rounded division
       SimilarityOps.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")),
 
+    "rpt1_corpus_card" -> ((s, dir) => {
+      // the corpus datasheet in ONE pass + three 1-row side aggregates
+      // (token stats from the exploded stream; distinct-text and
+      // per-column cardinalities; exact median via the dyadic 0.5
+      // percentile on integer token counts): the summary every corpus
+      // release publishes, integer-exact or exactly-rounded throughout
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+      val tokStats = toks.agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("vocab_size"))
+      val lens = docs.select(size(split(col("text"), " ")).cast("long").as("n"))
+      val lenStats = lens.agg(
+        round(avg(col("n")), 4).as("mean_tokens"),
+        expr("percentile(n, 0.5)").as("p50_tokens"),
+        max(col("n")).as("max_tokens"))
+      val docStats = docs.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_texts"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      docStats.crossJoin(broadcast(tokStats)).crossJoin(broadcast(lenStats))
+        .select(col("n_docs"), col("n_distinct_texts"), col("n_langs"),
+          col("n_sources"),
+          round(col("n_en").cast("double") / col("n_docs"), 4).as("en_share"),
+          col("n_tokens"), col("vocab_size"),
+          col("mean_tokens"), col("p50_tokens"), col("max_tokens"))
+    }),
+
     "cls1_nb_confusion" -> ((s, dir) =>
       // in-engine multinomial Naive Bayes: trained on the labeled lang
       // column and applied back to the corpus in one relational
@@ -3164,6 +3192,32 @@ object SparkEntry {
          |  FROM embeddings
          |), LATERAL (SELECT embedding[i] AS x)
          |GROUP BY label, i""").stripMargin,
+
+    "rpt1_corpus_card" -> // every summary re-derived: integer counts,
+      // exactly-rounded mean, dyadic-exact interpolated median
+      ("""WITH tokstats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         |), lens AS (
+         |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents
+         |), lenstats AS (
+         |  SELECT round(avg(n), 4) AS mean_tokens,
+         |         quantile_cont(n, 0.5) AS p50_tokens,
+         |         CAST(max(n) AS BIGINT) AS max_tokens
+         |  FROM lens
+         |), docstats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+         |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+         |  FROM documents
+         |)
+         |SELECT n_docs, n_distinct_texts, n_langs, n_sources,
+         |       round(CAST(n_en AS DOUBLE) / n_docs, 4) AS en_share,
+         |       n_tokens, vocab_size, mean_tokens, p50_tokens, max_tokens
+         |FROM docstats CROSS JOIN tokstats CROSS JOIN lenstats""").stripMargin,
 
     "cls1_nb_confusion" -> // the whole train+predict pipeline replayed:
       // class priors, add-one-smoothed per-(token, class) terms with
