@@ -1860,6 +1860,14 @@ object SparkEntry {
       // oracle replays cast, sum, and the one rounded division
       SimilarityOps.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")),
 
+    "rpt2_source_quality" -> ((s, dir) => {
+      // the curation view: per-source Gopher/C4 gate pass rates — the
+      // SAME composed gate pipe2 filters with, rolled up by source so
+      // "which domains are rotten" is answerable before dropping docs
+      graft.functions.NativeExpressions.register(s)
+      TextOps.qualityReport(t(s, dir, "documents"), "source", "text")
+    }),
+
     "rpt1_corpus_card" -> ((s, dir) => {
       // the corpus datasheet in ONE pass + three 1-row side aggregates
       // (token stats from the exploded stream; distinct-text and
@@ -3192,6 +3200,36 @@ object SparkEntry {
          |  FROM embeddings
          |), LATERAL (SELECT embedding[i] AS x)
          |GROUP BY label, i""").stripMargin,
+
+    "rpt2_source_quality" -> // pipe2's gate formulations grouped instead
+      // of filtered; NULL gate terms (too-short docs) count as fails,
+      // matching when(...).otherwise(0)
+      ("""WITH t AS (
+         |  SELECT source, text, string_split(text, ' ') AS toks, string_split(text, '') AS chars FROM documents
+         |), f AS (
+         |  SELECT source,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    round(CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it'))) AS DOUBLE) / len(toks), 4) AS stopword_ratio,
+         |    CASE WHEN len(toks) - 2 >= 1 THEN
+         |      round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+         |          i -> array_to_string(toks[i:i+2], ' ')))) AS DOUBLE)
+         |        / CAST(len(toks) - 2 AS DOUBLE), 4)
+         |    ELSE NULL END AS dup3_frac,
+         |    CASE WHEN length(text) >= 1 THEN
+         |      round(-list_sum(list_transform(list_distinct(chars),
+         |        ch -> (CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars))
+         |              * ln(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars)))), 4)
+         |    ELSE NULL END AS char_entropy
+         |  FROM t
+         |)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN n_tokens >= 25 AND stopword_ratio >= 0.05
+         |                      AND dup3_frac <= 0.05 AND char_entropy >= 2.8
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |       round(CAST(sum(CASE WHEN n_tokens >= 25 AND stopword_ratio >= 0.05
+         |                           AND dup3_frac <= 0.05 AND char_entropy >= 2.8
+         |                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS pass_share
+         |FROM f GROUP BY source""").stripMargin,
 
     "rpt1_corpus_card" -> // every summary re-derived: integer counts,
       // exactly-rounded mean, dyadic-exact interpolated median

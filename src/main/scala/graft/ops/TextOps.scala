@@ -232,6 +232,21 @@ object TextOps {
     nTokens >= 25 && stopwordRatio >= 0.05 &&
       dup3Frac <= 0.05 && charEntropy >= 2.8
 
+  /** Per-group quality report: how much of each group (source, domain,
+    * language — the curation axis) survives the Gopher/C4 gate. The gate
+    * predicate is THE same composed definition pipe2 filters with
+    * (gateOn — one map-only pass over the native kernels); this rolls it
+    * up instead of filtering, because "which domains are rotten" is the
+    * question a curation pass asks before deciding what to drop. One
+    * narrow pass + one tiny hash aggregate; callers must have run
+    * NativeExpressions.register. */
+  def qualityReport(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(gateOn(textCol), 1L).otherwise(0L)).as("n_pass"))
+      .select(col(groupCol), col("n_docs"), col("n_pass"),
+        round(col("n_pass").cast("double") / col("n_docs"), 4).as("pass_share"))
+
   /** Corpus-trained bigram language-model score per document — the
     * CCNet-style quality signal (Wenzek et al. 2020, "CCNet: Extracting
     * High Quality Monolingual Datasets from Web Crawl Data": rank
