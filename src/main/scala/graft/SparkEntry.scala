@@ -1860,6 +1860,26 @@ object SparkEntry {
       // oracle replays cast, sum, and the one rounded division
       SimilarityOps.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")),
 
+    "e5_count_anomalies" -> ((s, dir) => {
+      // 3σ count-anomaly detection on the event stream, in PURE INTEGER
+      // arithmetic: hour h of type t is anomalous iff
+      // (n·c − S)² > 9·(n·Q − S²) — the population z-test cleared of
+      // divisions (n hours, S = Σc, Q = Σc²), so the flag is exact with
+      // no float rounding anywhere. Two hash aggregates + one broadcast
+      // join; the per-type stats row is O(event types).
+      val ev = t(s, dir, "events")
+      val hourly = ev.groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_events"))
+      val stats = hourly.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"), sum(col("n_events")).as("s"),
+          sum(col("n_events") * col("n_events")).as("q"))
+      val dev = col("n_hours") * col("n_events") - col("s")
+      hourly.join(broadcast(stats), Seq("event_type"))
+        .filter(dev * dev > lit(9L) * (col("n_hours") * col("q") - col("s") * col("s")))
+        .select(col("event_type"), col("hour"), col("n_events"))
+    }),
+
     "rpt2_source_quality" -> ((s, dir) => {
       // the curation view: per-source Gopher/C4 gate pass rates — the
       // SAME composed gate pipe2 filters with, rolled up by source so
@@ -3200,6 +3220,22 @@ object SparkEntry {
          |  FROM embeddings
          |), LATERAL (SELECT embedding[i] AS x)
          |GROUP BY label, i""").stripMargin,
+
+    "e5_count_anomalies" -> // the division-free z-test replayed on exact
+      // integers (DuckDB widens the sums to HUGEINT — same values)
+      ("""WITH hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hour,
+         |         CAST(count(*) AS BIGINT) AS n_events
+         |  FROM events GROUP BY 1, 2
+         |), st AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+         |         sum(n_events) AS s, sum(n_events * n_events) AS q
+         |  FROM hourly GROUP BY 1
+         |)
+         |SELECT h.event_type, h.hour, h.n_events
+         |FROM hourly h JOIN st USING (event_type)
+         |WHERE (n_hours * n_events - s) * (n_hours * n_events - s)
+         |      > 9 * (n_hours * q - s * s)""").stripMargin,
 
     "rpt2_source_quality" -> // pipe2's gate formulations grouped instead
       // of filtered; NULL gate terms (too-short docs) count as fails,
