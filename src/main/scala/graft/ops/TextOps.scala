@@ -318,6 +318,33 @@ object TextOps {
       call_function("replace", trim(col("seq"), Sep), lit(Sep + Sep), lit(".")).as("segmentation"))
   }
 
+  /** Apply LEARNED merges to arbitrary NEW text — the inference half of
+    * the tokenizer: every word re-runs the same replace cascade in merge
+    * order (BPE application is exactly training's merge step without the
+    * counting), so words never seen in training still segment by the
+    * learned subwords. `merges` is the (lhs, rhs) list in rank order —
+    * collect it once from [[bpeLearnMerges]]; the cascade compiles to k
+    * chained `replace` calls per word inside one narrow projection (no
+    * shuffle, no state — the trained tokenizer IS a column expression).
+    * Adds `outCol`: the text with words re-joined by spaces and subwords
+    * marked with ".". */
+  def bpeApply(
+      df: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)],
+      outCol: String = "segmented"): DataFrame = {
+    val Sep = "\u001f"
+    def segmentWord(w: Column): Column = {
+      val wrapped = regexp_replace(w, "(.)", Sep + "$1" + Sep)
+      val mergedSeq = merges.foldLeft(wrapped) { case (c, (l, r)) =>
+        call_function("replace", c, lit(Sep + l + Sep + Sep + r + Sep), lit(Sep + l + r + Sep))
+      }
+      call_function("replace", trim(mergedSeq, Sep), lit(Sep + Sep), lit("."))
+    }
+    df.withColumn(outCol,
+      array_join(transform(split(col(textCol), " "), w => segmentWord(w)), " "))
+  }
+
   private def bpeTrain(
       docs: DataFrame, textCol: String, numMerges: Int): (DataFrame, DataFrame) = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")

@@ -185,6 +185,24 @@ class TextEventOpsSpec extends SparkSpec {
     assert(seg("newest") === ((3L, "n.e.w.es.t")))
   }
 
+  test("bpeApply: learned merges segment UNSEEN words by the trained subwords") {
+    val train = Seq(
+      (1L, "low low low low low"), (2L, "lower lower"), (3L, "newest newest newest")
+    ).toDF("doc_id", "text")
+    val merges = TextOps.bpeLearnMerges(train, "text", numMerges = 3)
+      .orderBy("merge_rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges === Seq(("l", "o"), ("lo", "w"), ("e", "s")))
+    // "lowest"/"slow" were never in training, but segment by the
+    // learned subwords (lowest -> low+es+t; slow -> s+low via the
+    // chained lo then lo+w merges); a fully-novel word stays chars
+    val newDocs = Seq((10L, "lowest slow"), (11L, "zzz")).toDF("doc_id", "text")
+    val out = TextOps.bpeApply(newDocs, "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(10L) === "low.es.t s.low")
+    assert(out(11L) === "z.z.z")
+  }
+
   test("bigramLmScores: hand-computed add-one model on a 3-doc corpus") {
     // tokens: a×3 b×2 c×1 → V=3; c1(a)=3; bigrams: "a b"×2, "a c"×1
     // doc 1,2: -ln((2+1)/(3+3)) = ln 2;  doc 3: -ln((1+1)/(3+3)) = ln 3
