@@ -1552,6 +1552,39 @@ object SparkEntry {
         col("event_id"),
         EventOps.propsField(col("props"), "k").cast("long").as("k_value"))),
 
+    "st7_stream_static_enrich" -> ((s, dir) => {
+      // the third join mode beside st2/st4's stream-stream: STREAM-STATIC
+      // enrichment — each micro-batch joins the static dimension with no
+      // streaming state at all (the dimension broadcasts per batch; no
+      // watermark needed on the static side). The classic shape: events
+      // enriched with a user-tier dimension, aggregated per tier. The
+      // oracle is the batch equivalent of the same join+aggregate.
+      val staged = java.nio.file.Files.createTempDirectory("st7_events")
+      staged.toFile.deleteOnExit()
+      val copied = staged.resolve("part-0.parquet")
+      copied.toFile.deleteOnExit()
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), copied,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // static dimension: deterministic user tiers derived from customer
+      // keys (c_custkey % 3) — a genuine second table on the join's
+      // static side, not a projection of the stream
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"),
+          concat(lit("tier_"), (col("c_custkey") % 3).cast("string")).as("tier"))
+      val batchPartitions = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stream = graft.streaming.EventStreams.eventParquetStream(s, staged.toString)
+        val enriched = stream.join(dim, Seq("user_id"))
+          .groupBy("tier")
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            dsum(col("value")).as("total_value"))
+        val q = graft.streaming.EventStreams.runToMemory(enriched, "st7_enrich", "complete")
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", batchPartitions)
+      s.table("st7_enrich")
+    }),
+
     "st5_manifest_stream" -> ((s, dir) => {
       // the streaming CDC source over the manifest log (sources/
       // ManifestStream): three committed versions drain through
@@ -3037,6 +3070,15 @@ object SparkEntry {
 
     "e3_json_extract" ->
       "SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_value FROM events",
+
+    "st7_stream_static_enrich" -> // the streamed enrichment answers to
+      // the plain batch join+aggregate (inner join drops events whose
+      // user_id has no customer row)
+      (s"""SELECT 'tier_' || CAST(c_custkey % 3 AS VARCHAR) AS tier,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       ${dsumSql("e.value")} AS total_value
+         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY 1""").stripMargin,
 
     "st6_manifest_replicate" -> // the replica must hold exactly what the
       // source's three versions shipped — the whole orders table
