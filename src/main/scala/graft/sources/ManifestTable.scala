@@ -722,6 +722,45 @@ object ManifestTable {
       _ => Map(SchemaKey -> schemaJson), _ => stats), staged.size)
   }
 
+  /** DESCRIBE DETAIL: the table's operational summary from driver-side
+    * metadata only — versions, tip op, file count and bytes at the tip,
+    * committed row count when every tip file carries stats (None
+    * otherwise — absence of stats must read as "unknown", never 0),
+    * schema column count, and which columns have stats/blooms. */
+  final case class TableDetail(
+      versions: Int,
+      tipVersion: Long,
+      tipOperation: String,
+      numFiles: Int,
+      sizeBytes: Long,
+      rowCount: Option[Long],
+      numColumns: Option[Int],
+      statsColumns: Seq[String],
+      bloomColumns: Seq[String])
+
+  def detail(spark: SparkSession, root: String): TableDetail = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table")
+    val tip = vs.max
+    val files = manifestFiles(spark, root, tip)
+    val f = fs(spark, root)
+    val bytes = files.map(p => f.getFileStatus(new Path(s"$root/$p")).getLen).sum
+    val stats = fileStats(spark, root, tip)
+    val rows =
+      if (files.nonEmpty && files.forall(stats.contains))
+        Some(files.map(stats(_).rowCount).sum)
+      else if (files.isEmpty) Some(0L)
+      else None
+    val op = manifestText(spark, root, tip).linesIterator
+      .toSeq.headOption.flatMap(_.split("op=").lift(1)).getOrElse("unknown")
+    val statCols = stats.values.flatMap(_.cols.keys).toSeq.distinct.sorted
+    val bloomCols = stats.values
+      .flatMap(_.cols.collect { case (c, cs) if cs.bloom.isDefined => c })
+      .toSeq.distinct.sorted
+    TableDetail(vs.size, tip, op, files.size, bytes, rows,
+      schemaOf(spark, root, tip).map(_.fields.length), statCols, bloomCols)
+  }
+
   /** Reclaim space: retain the last `keepVersions` manifests, delete
     * older manifests, then delete every data file (and emptied tx dir)
     * no retained manifest references — which also sweeps orphans from

@@ -221,6 +221,26 @@ class ManifestTableSpec extends SparkSpec {
     assert(delta.columns.toSeq === Seq("id", "k", "score") && delta.count() === 2L)
   }
 
+  test("detail reports the tip's operational summary; row count only when every file has stats") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root,
+      orders.repartitionByRange(4, col("o_orderdate")),
+      statsColumns = Seq("o_orderdate"), bloomColumns = Seq("o_orderkey"))
+    val d1 = ManifestTable.detail(spark, root)
+    assert(d1.versions === 1 && d1.tipVersion === 1L && d1.tipOperation === "create")
+    assert(d1.numFiles === 4 && d1.sizeBytes > 0)
+    assert(d1.rowCount === Some(orders.count()))
+    assert(d1.numColumns === Some(orders.columns.length))
+    assert(d1.statsColumns === Seq("o_orderdate", "o_orderkey")) // blooms imply ranges
+    assert(d1.bloomColumns === Seq("o_orderkey"))
+    // an append WITHOUT stats makes the committed row count unknowable —
+    // detail must say None, never a partial sum
+    ManifestTable.append(spark, root, orders.limit(10))
+    val d2 = ManifestTable.detail(spark, root)
+    assert(d2.versions === 2 && d2.tipOperation === "append")
+    assert(d2.rowCount === None)
+  }
+
   test("empty-table guard: reading a non-table or an unknown version fails loudly") {
     val root = freshRoot()
     intercept[IllegalArgumentException] { ManifestTable.read(spark, root) }
