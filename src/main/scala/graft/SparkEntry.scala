@@ -96,6 +96,36 @@ object SparkEntry {
          |       replace(trim(seq, chr(31)), chr(31)||chr(31), '.') AS segmentation
          |FROM v$k""".stripMargin
 
+  /** The gr1 oracle, generated: k chained PageRank rounds in exact
+    * integer fixed-point over the part co-purchase graph — truncating
+    * `//` on non-negative values matches Spark's `div` bit-for-bit
+    * (GraphOps.pageRank's contract), so every round replays. */
+  private def pagerankSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""r$i AS (
+         |  SELECT e.v AS u,
+         |         CAST((15 * 1000000000000 // nn.n + 85 * sum(r${i - 1}.pr // d.deg)) // 100 AS BIGINT) AS pr
+         |  FROM edges e JOIN r${i - 1} ON e.u = r${i - 1}.u JOIN deg d ON e.u = d.u, nn
+         |  GROUP BY e.v, nn.n
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |), edges AS (
+       |  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+       |), deg AS (
+       |  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1
+       |), nn AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n FROM deg
+       |), r0 AS (
+       |  SELECT u, CAST(1000000000000 // n AS BIGINT) AS pr FROM deg, nn
+       |), $rounds
+       |SELECT u AS part_id, pr AS rank_scaled
+       |FROM r$k ORDER BY pr DESC, u LIMIT 20""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The customer-360 mart shape (SURVEY §2: J1+J2+A1-A5) on the testdata
     * star schema.
@@ -1913,6 +1943,79 @@ object SparkEntry {
         .select(col("event_type"), col("hour"), col("n_events"))
     }),
 
+    "e6_session_window" -> ((s, dir) =>
+      // built-in session_window aggregation: dynamic [first, last+gap)
+      // windows computed by ONE merging-state hash aggregate — no
+      // per-user window sort (e2's lag formulation is the two-window
+      // alternative). The merge boundary is INCLUSIVE (spec-pinned), so
+      // the oracle's gaps-and-islands mirror splits on strict > only.
+      EventOps.sessionWindowStats(t(s, dir, "events"), gapMinutes = 10)),
+
+    "e7_funnel" -> ((s, dir) =>
+      // ordered conversion funnel view → click → purchase: earliest
+      // step-1, earliest step-2 strictly after it, earliest step-3
+      // strictly after that; conversion time in exact integer micros.
+      // Three filtered min-aggregates chained on user_id — the frontier
+      // shrinks each stage and broadcasts into the next join.
+      EventOps.funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))),
+
+    "q7_freshness" -> ((s, dir) =>
+      // dbt source-freshness analog: per event stream, the newest
+      // record, its staleness in exact integer minutes against the
+      // table-wide newest timestamp (the deterministic anchor), and the
+      // pass/warn/error verdict at 15/60 minutes.
+      graft.quality.Checks.sourceFreshness(t(s, dir, "events"),
+        "event_type", "ts", warnAfterMinutes = 15, errorAfterMinutes = 60)),
+
+    "gr1_pagerank" -> ((s, dir) => {
+      // link analysis as a curation signal: 5 rounds of damped PageRank
+      // over the part co-purchase graph (parts sharing an order), in
+      // exact integer fixed-point — truncating `div` matches DuckDB's
+      // `//` bit-for-bit, so the oracle replays every round as chained
+      // CTEs (the BPE replay trick applied to graph iteration). Face =
+      // top-20 parts, total-ordered (rank desc, part asc).
+      val edges = graft.ops.GraphOps.coOccurrenceEdges(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+      graft.ops.GraphOps.pageRank(edges, iterations = 5)
+        .orderBy(col("pr").desc, col("u"))
+        .limit(20)
+        .select(col("u").as("part_id"), col("pr").as("rank_scaled"))
+    }),
+
+    "dd9_semdedup" -> ((s, dir) =>
+      // SemDeDup (Abbas et al. 2023): semantic clusters bound the
+      // quadratic near-dup comparison — nearest-SEED assignment (seed
+      // count scales as N div 16, so expected cluster size stays
+      // constant as the corpus grows) + within-cluster cosine ≥ 0.4
+      // pairs, greedy min-id retention. Per-cluster audit summary is
+      // the face; the whole pipeline, clustering included, replays in
+      // the oracle (no k-means goldens needed).
+      SimilarityOps.semanticDedupSummary(
+        t(s, dir, "embeddings"), "vec_id", "embedding", minCosine = 0.4)),
+
+    "lake12_bucket_transform" -> ((s, dir) => {
+      // hidden partitioning (Iceberg bucket transform): orders rewritten
+      // CLUSTER BY bucket(16, o_orderkey) — xxhash64 mod 16, committed
+      // as min/max on a manifest-only VIRTUAL column — and a 3-key point
+      // probe on the SOURCE column translates through the transform and
+      // prunes EXACTLY. This is the hash layout where source-column
+      // ranges prune nothing and lake5 spends 16 KiB of bloom bits per
+      // file; the transform does it in a few manifest bytes with zero
+      // false positives. pruned_some mirrors the observed drop.
+      val root = java.nio.file.Files.createTempDirectory("lake12_bucket")
+      val orders = t(s, dir, "orders")
+      graft.sources.ManifestTable.create(s, root.toString, orders.repartition(4))
+      val target = math.max(1L,
+        graft.sources.ManifestTable.tableBytes(s, root.toString) / 8)
+      graft.sources.ManifestTable.optimizeClusterBy(s, root.toString,
+        graft.sources.BucketTransform(16, "o_orderkey"), target)
+      val f = col("o_orderkey").isin(7L, 42L, 1337L)
+      val (_, dropped, _) = graft.sources.ManifestTable.pruneFiles(s, root.toString, f)
+      graft.sources.ManifestTable.readPruned(s, root.toString, f)
+        .select(lit(dropped.nonEmpty).as("pruned_some"), col("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    }),
+
     "rpt2_source_quality" -> ((s, dir) => {
       // the curation view: per-source Gopher/C4 gate pass rates — the
       // SAME composed gate pipe2 filters with, rolled up by source so
@@ -3278,6 +3381,119 @@ object SparkEntry {
          |FROM hourly h JOIN st USING (event_type)
          |WHERE (n_hours * n_events - s) * (n_hours * n_events - s)
          |      > 9 * (n_hours * q - s * s)""").stripMargin,
+
+    "e6_session_window" -> // gaps-and-islands mirror of the built-in
+      // session_window: the merge boundary is INCLUSIVE (an event at
+      // exactly last+gap extends the session — spec-pinned), so a new
+      // session starts on strict >; session end = last event + gap
+      (s"""WITH lagged AS (
+         |  SELECT user_id, event_id, ts, value,
+         |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events
+         |), marked AS (
+         |  SELECT user_id, event_id, ts, value,
+         |         CASE WHEN prev_ts IS NULL
+         |                OR epoch_us(ts) - epoch_us(prev_ts) > 600000000
+         |              THEN 1 ELSE 0 END AS new_s
+         |  FROM lagged
+         |), numbered AS (
+         |  SELECT user_id, ts, value,
+         |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                          ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM marked
+         |)
+         |SELECT user_id, min(ts) AS session_start,
+         |       max(ts) + INTERVAL 10 MINUTE AS session_end,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       ${dsumSql("value")} AS total_value
+         |FROM numbered GROUP BY user_id, sid""").stripMargin,
+
+    "e7_funnel" -> // each stage re-derived: earliest step-k strictly
+      // after the user's step-(k-1) timestamp; conversion time in exact
+      // integer micros
+      ("""WITH s1 AS (
+         |  SELECT user_id, min(ts) AS t_view
+         |  FROM events WHERE event_type = 'view' GROUP BY 1
+         |), s2 AS (
+         |  SELECT e.user_id, s1.t_view, min(e.ts) AS t_click
+         |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+         |  WHERE e.event_type = 'click' AND e.ts > s1.t_view
+         |  GROUP BY 1, 2
+         |), s3 AS (
+         |  SELECT e.user_id, s2.t_view, s2.t_click, min(e.ts) AS t_purchase
+         |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT user_id, t_view, t_click, t_purchase,
+         |       epoch_us(t_purchase) - epoch_us(t_view) AS funnel_micros
+         |FROM s3""").stripMargin,
+
+    "q7_freshness" -> // staleness re-derived in integer minutes against
+      // the deterministic anchor (table-wide max ts); thresholds replay
+      // the when().otherwise chain
+      ("""WITH latest AS (
+         |  SELECT event_type, max(ts) AS latest_ts FROM events GROUP BY 1
+         |), a AS (
+         |  SELECT max(ts) AS anchor FROM events
+         |)
+         |SELECT event_type, latest_ts,
+         |       (epoch_us(anchor) - epoch_us(latest_ts)) // 60000000 AS staleness_minutes,
+         |       CASE WHEN (epoch_us(anchor) - epoch_us(latest_ts)) // 60000000 < 15 THEN 'pass'
+         |            WHEN (epoch_us(anchor) - epoch_us(latest_ts)) // 60000000 < 60 THEN 'warn'
+         |            ELSE 'error' END AS freshness_status
+         |FROM latest, a""").stripMargin,
+
+    "gr1_pagerank" -> pagerankSql(5),
+
+    "dd9_semdedup" -> // the WHOLE SemDeDup pipeline replayed: seed set
+      // (greatest(8, N div 16) smallest ids), nearest-seed assignment
+      // at round-6 cosine with smaller-seed tie-break, within-cluster
+      // round-4 cosine pairs, greedy min-id removal
+      ("""WITH nn AS (
+         |  SELECT greatest(8, count(*) // 16) AS k FROM embeddings
+         |), e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), seeds AS (
+         |  SELECT vec_id AS seed_id, v AS sv FROM e, nn WHERE vec_id < nn.k
+         |), scored AS (
+         |  SELECT e.vec_id, s.seed_id,
+         |         round(list_inner_product(e.v, s.sv) /
+         |               (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(s.sv, s.sv))), 6) AS sim
+         |  FROM e CROSS JOIN seeds s
+         |), assign AS (
+         |  SELECT vec_id, seed_id AS cluster FROM (
+         |    SELECT vec_id, seed_id,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, seed_id) AS rn
+         |    FROM scored) WHERE rn = 1
+         |), cl AS (
+         |  SELECT a.cluster, e.vec_id AS id, e.v FROM assign a JOIN e ON a.vec_id = e.vec_id
+         |), pairs AS (
+         |  SELECT a.cluster, a.id AS id_a, b.id AS id_b
+         |  FROM cl a JOIN cl b ON a.cluster = b.cluster AND a.id < b.id
+         |  WHERE round(list_inner_product(a.v, b.v) /
+         |        (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) >= 0.4
+         |), sizes AS (
+         |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors FROM cl GROUP BY 1
+         |), rem AS (
+         |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_dup_pairs,
+         |         CAST(count(DISTINCT id_b) AS BIGINT) AS n_removed,
+         |         CAST(min(id_b) AS BIGINT) AS min_removed
+         |  FROM pairs GROUP BY 1
+         |)
+         |SELECT s.cluster, s.n_vectors,
+         |       coalesce(r.n_dup_pairs, 0) AS n_dup_pairs,
+         |       coalesce(r.n_removed, 0) AS n_removed,
+         |       r.min_removed
+         |FROM sizes s LEFT JOIN rem r ON s.cluster = r.cluster""").stripMargin,
+
+    "lake12_bucket_transform" -> // the transform-pruned point probe must
+      // equal the plain IN-probe (hidden partitioning is an
+      // optimization, never a semantics change); pruned_some mirrors
+      // the observed file drop
+      ("""SELECT TRUE AS pruned_some, o_orderkey, o_custkey,
+         |       o_orderstatus, o_totalprice
+         |FROM orders WHERE o_orderkey IN (7, 42, 1337)""").stripMargin,
 
     "rpt2_source_quality" -> // pipe2's gate formulations grouped instead
       // of filtered; NULL gate terms (too-short docs) count as fails,

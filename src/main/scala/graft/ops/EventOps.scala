@@ -62,4 +62,56 @@ object EventOps {
   /** Extract a typed field from the JSON-ish props column. */
   def propsField(props: Column, field: String): Column =
     get_json_object(props, s"$$.$field")
+
+  /** Built-in session-window aggregation (`session_window`): dynamic
+    * windows `[first_ts, last_ts + gap)` that merge while consecutive
+    * events are at most `gapMinutes` apart — the boundary is INCLUSIVE
+    * (an event landing exactly on the previous window's end extends the
+    * session; spec-pinned), so the sessions are identical to
+    * [[sessionize]]'s `diff > gap starts new` rule and one
+    * gaps-and-islands mirror serves both formulations.
+    *
+    * Scale shape: ONE hash aggregation with merging session state — no
+    * per-user window sort, partials merge map-side — so session
+    * assembly cost tracks events per user, never corpus order; this is
+    * also the exact aggregation Structured Streaming runs for
+    * `session_window` with a watermark.
+    */
+  def sessionWindowStats(events: DataFrame, gapMinutes: Int = 10): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
+  /** Ordered conversion funnel: for each user, the earliest `steps(0)`
+    * event, then the earliest `steps(1)` event STRICTLY after it, and
+    * so on; only users completing the whole sequence survive, with
+    * per-step timestamps and the total conversion time in exact integer
+    * microseconds.
+    *
+    * Each stage is one filtered min-aggregate joined back on user_id —
+    * k small hash aggregations co-partitioned on one key, no windows,
+    * no per-user event sort. The frontier frame shrinks at every stage
+    * (only users still in the funnel), so AQE broadcasts it into the
+    * next stage's join; cost is O(events of that step) per stage.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val tsCols = steps.map(s => s"t_$s")
+    var acc = events.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts").as(tsCols.head))
+    steps.indices.drop(1).foreach { i =>
+      val next = events.filter(col("event_type") === steps(i))
+        .select(col("user_id"), col("ts"))
+      acc = acc.join(next, Seq("user_id"))
+        .filter(col("ts") > col(tsCols(i - 1)))
+        .groupBy(col("user_id") +: tsCols.take(i).map(col): _*)
+        .agg(min("ts").as(tsCols(i)))
+    }
+    acc.withColumn("funnel_micros",
+      unix_micros(col(tsCols.last)) - unix_micros(col(tsCols.head)))
+  }
 }

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-analysis operators over relational edge lists — the graph-shaped
+  * quality signals a corpus-curation pipeline consumes (web-graph
+  * centrality as a document prior is the classic example; here the same
+  * operator ranks items in a co-occurrence graph).
+  *
+  * Everything is EXACT integer fixed-point: ranks are scaled to 10^12
+  * micro-units and every round uses only integer multiply, add, and
+  * truncating division — `div` in Spark, `//` in DuckDB, identical on
+  * non-negative values — so k rounds of PageRank are bit-reproducible
+  * cross-engine with no float anywhere (the same reason e5's z-test and
+  * the ExactSums money paths avoid float accumulation).
+  */
+object GraphOps {
+
+  /** Fixed-point scale: 1.0 of PageRank mass = 10^12 units. Large enough
+    * that per-round truncation loss is negligible at any realistic node
+    * count, small enough that `85 * sum(contrib)` (≤ 8.5e13 per node)
+    * stays far inside Long range. */
+  val RankScale: Long = 1000000000000L
+
+  /** Undirected co-occurrence edges: distinct pairs of `itemCol` values
+    * sharing a `groupCol` value, symmetrized to a directed edge list
+    * (u→v AND v→u). Pair fan-out per group is C(items_in_group, 2) —
+    * bounded when group membership is (items per order, tokens per
+    * shingle, ...), which is the co-occurrence regime; a hub-group
+    * blowup is the caller's signal to cap membership first (the dd2
+    * doc-freq-cap pattern). One distinct + one self-equi-join on the
+    * group key, shuffle-partitioned on that key.
+    */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
+    val m = df.select(col(groupCol).as("g"), col(itemCol).as("u")).distinct()
+    val pairs = m.join(m.select(col("g"), col("u").as("v")), Seq("g"))
+      .filter(col("u") < col("v"))
+      .select("u", "v").distinct()
+    pairs.union(pairs.select(col("v").as("u"), col("u").as("v")))
+  }
+
+  /** `iterations` rounds of damped PageRank (Page et al. 1999) over a
+    * directed edge list `(u, v)` in exact integer fixed-point:
+    *
+    * {{{
+    *   pr_0(v)     = RankScale div N
+    *   pr_{i+1}(v) = (15 * RankScale div N  +  85 * Σ_{u→v} (pr_i(u) div out(u))) div 100
+    * }}}
+    *
+    * i.e. damping 0.85 with every division truncating — the tiny mass
+    * the truncation sheds is the price of bit-exact cross-engine
+    * replay. Nodes are the edge sources (on a symmetrized undirected
+    * list that is every node, so there are no dangling vertices and no
+    * rank leaks beyond truncation).
+    *
+    * Scale shape: degrees and N are computed once; each round is ONE
+    * shuffle join (edges ⋈ ranks on the source key, co-partitioned with
+    * the degree join) plus one map-side-combined hash aggregate on the
+    * destination. Ranks localCheckpoint every round to truncate lineage
+    * (the connected-components pattern — k rounds must not build a
+    * k-deep plan), and the 1-row N broadcasts.
+    */
+  def pageRank(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, "pageRank needs at least one round")
+    val deg = edges.groupBy("u").agg(count(lit(1)).cast("long").as("deg"))
+    val n = deg.agg(count(lit(1)).cast("long").as("n"))
+    var ranks = deg.crossJoin(broadcast(n))
+      .select(col("u"), expr(s"CAST($RankScale div n AS BIGINT)").as("pr"))
+      .localCheckpoint()
+    (1 to iterations).foreach { _ =>
+      val contrib = edges.join(ranks, Seq("u")).join(deg, Seq("u"))
+        .select(col("v"), expr("CAST(pr div deg AS BIGINT)").as("c"))
+      ranks = contrib.groupBy("v").agg(sum("c").as("s"))
+        .crossJoin(broadcast(n))
+        .select(col("v").as("u"),
+          expr(s"CAST((15 * CAST($RankScale AS BIGINT) div n + 85 * s) div 100 AS BIGINT)").as("pr"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

@@ -478,4 +478,92 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n_vectors"), sum(col("xd")).as("s"))
       .select(col(labelCol), col("pos"), col("n_vectors"),
         round(col("s").cast("double") / col("n_vectors"), 6).as("centroid"))
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): partition the corpus into semantic clusters, then
+    * within each cluster mark as duplicates the vectors whose cosine to
+    * a SMALLER-id cluster member reaches `minCosine` (greedy min-id
+    * retention, the dd1/dd3 winner rule). Clustering bounds the
+    * quadratic comparison work per cluster — the paper's whole point:
+    * all-pairs over the corpus is O(N²), all-pairs within k clusters is
+    * O(N²/k) and embarrassingly parallel per cluster.
+    *
+    * The paper clusters with k-means; here assignment is nearest-SEED —
+    * one cosine pass against `max(8, N div 16)` deterministic seed
+    * vectors (the smallest ids, the positional-sample convention) — so
+    * the WHOLE pipeline, clustering included, replays exactly in the
+    * DuckDB oracle (a k-means fit would make assignments goldens; a
+    * seed rule makes them derivable — ann3 vs ann5 all over again).
+    * Seed count scales with N, keeping expected cluster size — and with
+    * it the per-cluster pair work — constant as the corpus grows.
+    *
+    * Determinism: similarities round to 6dp (assignment) / 4dp (dedup
+    * threshold, the cn1/cn2 convention) before any compare; assignment
+    * ties break to the smaller seed id via the max(struct) tuple — no
+    * window sort, one map-side-combined aggregate.
+    */
+  private def semanticAssign(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    graft.functions.NativeExpressions.register(emb.sparkSession)
+    val k1 = emb.agg(greatest(lit(8L), expr("count(*) div 16")).as("k"))
+    val seeds = emb.crossJoin(broadcast(k1)).filter(col(idCol) < col("k"))
+      .select(col(idCol).as("seed_id"), col(vecCol).as("seed_vec"))
+    emb.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(seeds))
+      .select(col("vid"), col("seed_id"),
+        round(expr("graft_cosine(vec, seed_vec)"), 6).as("sim"))
+      .groupBy("vid")
+      .agg(max(struct(col("sim"), (-col("seed_id")).as("ns"))).as("m"))
+      .select(col("vid"), (-col("m.ns")).as("cluster"))
+  }
+
+  /** (cluster, id, vec) — the corpus with its cluster assignment joined
+    * back on. */
+  private def semanticClustered(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.join(semanticAssign(emb, idCol, vecCol), col(idCol) === col("vid"))
+      .select(col("cluster"), col(idCol).as("id"), col(vecCol).as("vec"))
+
+  /** Within-cluster duplicate pairs over a [[semanticClustered]] frame:
+    * (cluster, id_a, id_b) with id_a < id_b and round(cos, 4) ≥
+    * `minCosine`. The cluster-key self-join IS the bounded pair
+    * enumeration. */
+  private def semanticDupPairs(cl: DataFrame, minCosine: Double): DataFrame = {
+    val a = cl.select(col("cluster"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = cl.select(col("cluster"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(expr("graft_cosine(vec_a, vec_b)"), 4) >= minCosine)
+      .select("cluster", "id_a", "id_b")
+  }
+
+  /** The dedup decision per corpus vector: survivors = everything not
+    * marked duplicate-of-a-smaller-id within its cluster. This is the
+    * frame a pipeline consumes. */
+  def semanticDedupSurvivors(
+      emb: DataFrame, idCol: String, vecCol: String, minCosine: Double): DataFrame = {
+    val removed = semanticDupPairs(semanticClustered(emb, idCol, vecCol), minCosine)
+      .select(col("id_b").as("__rm")).distinct()
+    emb.join(removed, col(idCol) === col("__rm"), "left_anti")
+  }
+
+  /** Per-cluster audit summary — the oracle-checkable face: cluster id,
+    * member count, duplicate-pair count, vectors removed, and the
+    * smallest removed id (NULL for clean clusters). Integer-exact
+    * throughout; the two branches share the clustered subplan, so the
+    * assignment exchange is planned once and reused. */
+  def semanticDedupSummary(
+      emb: DataFrame, idCol: String, vecCol: String, minCosine: Double): DataFrame = {
+    val cl = semanticClustered(emb, idCol, vecCol)
+    val sizes = cl.groupBy("cluster").agg(count(lit(1)).cast("long").as("n_vectors"))
+    val rem = semanticDupPairs(cl, minCosine)
+      .groupBy("cluster")
+      .agg(count(lit(1)).cast("long").as("n_dup_pairs"),
+        countDistinct(col("id_b")).cast("long").as("n_removed"),
+        min(col("id_b")).as("min_removed"))
+    sizes.join(rem, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_vectors"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        col("min_removed"))
+  }
 }

@@ -45,6 +45,41 @@ object Checks {
       .join(parentKeys, col(fk) === col("__parent_key"), "left_anti")
   }
 
+  /** dbt `source freshness` analog (sources.yml `loaded_at_field` +
+    * `warn_after`/`error_after`): per group, the newest record
+    * timestamp, its staleness against an anchor instant, and the
+    * pass/warn/error verdict. The anchor defaults to the newest
+    * timestamp in the whole table, so the check is deterministic and
+    * replayable; production callers pass the wall clock as `anchor`.
+    * Staleness is exact integer minutes (floor of the microsecond
+    * difference), so the threshold compare has no float rounding
+    * anywhere. One hash aggregate + a 1-row broadcast — the check costs
+    * one scan however many groups there are.
+    */
+  def sourceFreshness(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      warnAfterMinutes: Long,
+      errorAfterMinutes: Long,
+      anchor: Option[Column] = None): DataFrame = {
+    require(warnAfterMinutes <= errorAfterMinutes,
+      "warn_after must not exceed error_after")
+    val latest = df.groupBy(col(groupCol)).agg(max(col(tsCol)).as("latest_ts"))
+    val withAnchor = anchor match {
+      case Some(a) => latest.withColumn("__anchor", a)
+      case None => latest.crossJoin(broadcast(df.agg(max(col(tsCol)).as("__anchor"))))
+    }
+    withAnchor
+      .withColumn("staleness_minutes",
+        expr("(unix_micros(__anchor) - unix_micros(latest_ts)) div 60000000"))
+      .withColumn("freshness_status",
+        when(col("staleness_minutes") < warnAfterMinutes, "pass")
+          .when(col("staleness_minutes") < errorAfterMinutes, "warn")
+          .otherwise("error"))
+      .drop("__anchor")
+  }
+
   /** A named check bound to a relation, for declarative suites. */
   final case class Check(name: String, violations: () => DataFrame) {
     def passes: Boolean = violations().isEmpty

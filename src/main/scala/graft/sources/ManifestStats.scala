@@ -114,15 +114,22 @@ object ManifestStats {
       bloomColumns: Seq[String] = Nil,
       bloomBits: Int = DefaultBloomBits,
       bloomHashes: Int = DefaultBloomHashes,
-      schema: Option[StructType] = None): Map[String, FileStats] = {
-    val rangeCols = (statsColumns ++ bloomColumns).distinct // blooms imply min/max too
+      schema: Option[StructType] = None,
+      virtualCols: Seq[(String, Column)] = Nil): Map[String, FileStats] = {
+    val rangeCols = (statsColumns ++ bloomColumns ++ virtualCols.map(_._1)).distinct // blooms imply min/max too
     if (rangeCols.isEmpty || relPaths.isEmpty) return Map.empty
     // freshly staged files are schema-homogeneous and infer fine; a
     // backfill over a widening-append lineage must read with the
     // COMMITTED schema (footer inference picks one file's shape and can
     // miss columns newer files carry — or vice versa)
     val reader = schema.map(spark.read.schema).getOrElse(spark.read)
-    val df = reader.parquet(relPaths.map(p => s"$root/$p"): _*)
+    // virtual columns (partition-transform values) are computed per row
+    // during the same stats pass and committed under their virtual name
+    // — they exist in the manifest only, never in the data files
+    val df = virtualCols.foldLeft(
+      reader.parquet(relPaths.map(p => s"$root/$p"): _*)) {
+      case (d, (n, e)) => d.withColumn(n, e)
+    }
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     rangeCols.foreach { c =>
       val dt = types.getOrElse(c,
@@ -533,15 +540,22 @@ object ManifestStats {
       }
 
   /** Split the file set for a predicate read: (kept, dropped)
-    * root-relative paths. */
+    * root-relative paths. When the table committed partition
+    * `transforms`, the analyzed condition is additionally translated
+    * through each one (see [[PartitionTransform.translate]]) and the
+    * translated condition is tested against the virtual-column stats —
+    * a file survives only if BOTH the raw condition and every
+    * translation admit it. */
   def prune(
       spark: SparkSession,
       schema: StructType,
       filter: Column,
       stats: Map[String, FileStats],
-      files: Seq[String]): (Seq[String], Seq[String]) = {
+      files: Seq[String],
+      transforms: Seq[PartitionTransform] = Nil): (Seq[String], Seq[String]) = {
     val cond = analyzedCondition(spark, schema, filter).getOrElse(
       return (files, Seq.empty))
-    files.partition(f => stats.get(f).forall(fs => mayMatch(cond, fs)))
+    val conds = cond +: transforms.flatMap(t => PartitionTransform.translate(t, cond))
+    files.partition(f => stats.get(f).forall(fs => conds.forall(mayMatch(_, fs))))
   }
 }

@@ -113,6 +113,15 @@ object ManifestTable {
 
   private val MetaPrefix = "# meta:"
   private val StatsPrefix = "# stats:"
+  private val TransformsKey = "transforms"
+
+  /** Partition transforms committed with `version` (empty when the table
+    * isn't transform-clustered). Unknown transform kinds written by a
+    * future version parse to nothing — keep-biased. */
+  def transformsOf(spark: SparkSession, root: String, version: Long): Seq[PartitionTransform] =
+    manifestMeta(spark, root, version).get(TransformsKey).toSeq
+      .flatMap(_.split(';'))
+      .flatMap(PartitionTransform.parse)
 
   /** Per-file column stats committed with `version` (empty for files the
     * writer didn't track — absence always means "keep", never "skip").
@@ -155,7 +164,8 @@ object ManifestTable {
     val schema = schemaOf(spark, root, v).getOrElse(
       return (files, Seq.empty, v)) // pre-schema log: no sound analysis base
     val (kept, dropped) = ManifestStats.prune(
-      spark, schema, filter, fileStats(spark, root, v), files)
+      spark, schema, filter, fileStats(spark, root, v), files,
+      transforms = transformsOf(spark, root, v))
     (kept, dropped, v)
   }
 
@@ -348,7 +358,16 @@ object ManifestTable {
       bloomColumns: Seq[String] = Nil): Long = {
     val batchSchema = df.schema
     val staged = stage(spark, root, df)
-    val newStats = ManifestStats.collect(spark, root, staged, statsColumns, bloomColumns)
+    // a transform-clustered table keeps its pruning power across appends:
+    // new files get virtual transform stats in the same collect pass (the
+    // batch isn't re-clustered — its files may span buckets, which only
+    // widens their virtual range, never unsounds it), and the transform
+    // spec carries into the new manifest
+    val tipTransforms = versions(spark, root).lastOption
+      .map(transformsOf(spark, root, _)).getOrElse(Nil)
+      .filter(t => df.columns.contains(t.sourceCol))
+    val newStats = ManifestStats.collect(spark, root, staged, statsColumns, bloomColumns,
+      virtualCols = tipTransforms.map(t => t.name -> t.expr))
     commit(spark, root, "append", staged,
       tip => if (tip == 0) Seq.empty else manifestFiles(spark, root, tip),
       tip => {
@@ -356,7 +375,9 @@ object ManifestTable {
           if (tip == 0) batchSchema
           else schemaOf(spark, root, tip)
             .map(widenSchema(_, batchSchema)).getOrElse(batchSchema)
-        meta + (SchemaKey -> merged.json)
+        val carried = if (tip == 0) Map.empty[String, String]
+          else manifestMeta(spark, root, tip).filter(_._1 == TransformsKey)
+        carried ++ meta + (SchemaKey -> merged.json)
       },
       // carried-over files keep the stats the tip committed for them —
       // appends never lose skipping power on old data
@@ -567,7 +588,10 @@ object ManifestTable {
           s"concurrent modification of $root during merge (planned v$v0, tip v$tip) — re-run the merge")
         untouched
       },
-      _ => meta ++ tableSchema.map(s => Map(SchemaKey -> s.json)).getOrElse(Map.empty),
+      // the transform spec carries (rewritten files lose their virtual
+      // stats until the next OPTIMIZE — sound, just less prunable there)
+      _ => manifestMeta(spark, root, v0).filter(_._1 == TransformsKey) ++
+        meta ++ tableSchema.map(s => Map(SchemaKey -> s.json)).getOrElse(Map.empty),
       // carried files keep the stats the planned version committed for
       // them; rewritten files take the freshly collected ones
       _ => fileStats(spark, root, v0) ++ newStats)
@@ -615,7 +639,8 @@ object ManifestTable {
           s"concurrent modification of $root during delete (planned v$v0, tip v$tip) — re-run the delete")
         untouched
       },
-      _ => tableSchema.map(s => Map(SchemaKey -> s.json)).getOrElse(Map.empty),
+      _ => manifestMeta(spark, root, v0).filter(_._1 == TransformsKey) ++
+        tableSchema.map(s => Map(SchemaKey -> s.json)).getOrElse(Map.empty),
       _ => fileStats(spark, root, v0) ++ newStats)
     (version, MergeStats(affected.size, untouched.size, staged.size))
   }
@@ -639,8 +664,9 @@ object ManifestTable {
       schema = tipSchema)
     commit(spark, root, "analyze", Seq.empty,
       tip => manifestFiles(spark, root, tip),
-      tip => schemaJson.orElse(schemaOf(spark, root, tip).map(_.json))
-        .map(j => Map(SchemaKey -> j)).getOrElse(Map.empty),
+      tip => manifestMeta(spark, root, tip).filter(_._1 == TransformsKey) ++
+        schemaJson.orElse(schemaOf(spark, root, tip).map(_.json))
+          .map(j => Map(SchemaKey -> j)).getOrElse(Map.empty),
       // a racing append may have landed first: ITS files keep their own
       // stats (carried), the analyzed files take the fresh ones
       tip => fileStats(spark, root, tip) ++ stats)
@@ -720,6 +746,44 @@ object ManifestTable {
     val stats = ManifestStats.collect(spark, root, staged, zCols, bloomColumns)
     (commit(spark, root, "zorder", staged, _ => Seq.empty,
       _ => Map(SchemaKey -> schemaJson), _ => stats), staged.size)
+  }
+
+  /** OPTIMIZE CLUSTER BY a partition transform (Iceberg's hidden
+    * partitioning — see [[PartitionTransform]]): rewrite the tip content
+    * range-clustered on the TRANSFORM value into ceil(bytes/target)
+    * files, and commit per-file min/max stats on the transform's virtual
+    * column plus the transform spec itself. After this, [[readPruned]] /
+    * [[readPrunedByKeys]] / [[merge]] / [[delete]] translate point
+    * predicates on the source column through the transform and prune
+    * EXACTLY — the hash layout that defeats source-column ranges, served
+    * in a few manifest bytes instead of per-file bloom bits. Same
+    * versioning semantics as [[compact]]. Returns (newVersion, files).
+    */
+  def optimizeClusterBy(spark: SparkSession, root: String,
+      transform: PartitionTransform,
+      targetFileBytes: Long,
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): (Long, Int) = {
+    require(targetFileBytes > 0, "optimizeClusterBy requires a positive target file size")
+    val f = fs(spark, root)
+    val tipFiles = {
+      val vs = versions(spark, root)
+      require(vs.nonEmpty, s"$root is not a manifest table")
+      manifestFiles(spark, root, vs.max)
+    }
+    val totalBytes = tipFiles.map(p => f.getFileStatus(new Path(s"$root/$p")).getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val current = read(spark, root)
+    require(current.columns.contains(transform.sourceCol),
+      s"transform column '${transform.sourceCol}' not in table schema ${current.columns.mkString(",")}")
+    val schemaJson = current.schema.json
+    val staged = stage(spark, root,
+      current.repartitionByRange(nFiles, transform.expr))
+    val stats = ManifestStats.collect(spark, root, staged, statsColumns, bloomColumns,
+      virtualCols = Seq(transform.name -> transform.expr))
+    (commit(spark, root, "cluster", staged, _ => Seq.empty,
+      _ => Map(SchemaKey -> schemaJson, TransformsKey -> transform.serialized),
+      _ => stats), staged.size)
   }
 
   /** DESCRIBE DETAIL: the table's operational summary from driver-side

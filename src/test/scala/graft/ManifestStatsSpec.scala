@@ -428,4 +428,100 @@ class ManifestStatsSpec extends SparkSpec {
       ManifestTable.create(spark, root, df, statsColumns = Seq("nope"))
     }
   }
+
+  // ---- partition transforms (hidden partitioning) --------------------------
+
+  test("bucket transform: driver literal path is bit-identical to Spark's xxhash64 expression") {
+    import graft.sources.BucketTransform
+    val tl = BucketTransform(16, "k")
+    val longs = Seq(0L, 7L, 42L, 1337L, -1L, Long.MaxValue, Long.MinValue)
+    val sparkLongs = longs.toDF("k").select(tl.expr.as("b")).as[Int].collect()
+    assert(sparkLongs.toSeq === longs.map(v => tl.literal(v).get))
+    val ti = BucketTransform(7, "k")
+    val ints = Seq(0, 5, -3, Int.MaxValue)
+    val sparkInts = ints.toDF("k").select(ti.expr.as("b")).as[Int].collect()
+    assert(sparkInts.toSeq === ints.map(v => ti.literal(v).get))
+    val ts = BucketTransform(32, "k")
+    val strs = Seq("", "a", "hello", "naïve-ünïcode", "😀")
+    val sparkStrs = strs.toDF("k").select(ts.expr.as("b")).as[Int].collect()
+    assert(sparkStrs.toSeq === strs.map(v => ts.literal(v).get))
+  }
+
+  test("bucket-clustered table: point and IN probes on the SOURCE column prune exactly") {
+    import graft.sources.BucketTransform
+    val root = freshRoot()
+    ManifestTable.create(spark, root, orders.repartition(4))
+    val target = math.max(1L, ManifestTable.tableBytes(spark, root) / 8)
+    ManifestTable.optimizeClusterBy(spark, root,
+      BucketTransform(16, "o_orderkey"), target)
+    // a point probe must keep only the files whose bucket range covers
+    // bucket(17) — exact, no blooms involved
+    val (kept, total) = checkExact(root, col("o_orderkey") === 17L)
+    assert(total >= 4, s"expected a multi-file layout, got $total")
+    assert(kept <= 2, s"bucket transform pruned nothing ($kept/$total)")
+    val (keptIn, _) = checkExact(root, col("o_orderkey").isin(7L, 42L, 1337L))
+    assert(keptIn < total, s"IN probe pruned nothing ($keptIn/$total)")
+    // conjunction with an unrelated predicate still prunes (And keeps
+    // the translatable side)
+    val (keptAnd, _) = checkExact(root,
+      col("o_orderkey") === 17L && col("o_totalprice") > 0.0)
+    assert(keptAnd <= 2)
+  }
+
+  test("bucket transform keep-bias: Or with an untranslatable side, and widened casts, prune nothing") {
+    import graft.sources.BucketTransform
+    val root = freshRoot()
+    ManifestTable.create(spark, root, orders.repartition(4))
+    val target = math.max(1L, ManifestTable.tableBytes(spark, root) / 8)
+    ManifestTable.optimizeClusterBy(spark, root,
+      BucketTransform(16, "o_orderkey"), target)
+    val (_, total) = checkExact(root, col("o_orderkey") === 17L)
+    // Or needs BOTH branches translatable — the price branch isn't
+    val (keptOr, _) = checkExact(root,
+      col("o_orderkey") === 17L || col("o_totalprice") < 0.0)
+    assert(keptOr === total, "Or with an untranslatable branch must keep everything")
+    // a fractional literal widens the column side to double: the hash
+    // domain changed, translation must refuse (and the result is exact)
+    val (keptCast, _) = checkExact(root, col("o_orderkey") === lit(17.5))
+    assert(keptCast === total, "widened comparison must not consult the transform")
+    // range predicates don't map through a hash
+    val (keptRange, _) = checkExact(root, col("o_orderkey") < 100L)
+    assert(keptRange === total)
+  }
+
+  test("append to a transform-clustered table: spec carries, new files get virtual stats, probes stay exact") {
+    import graft.sources.BucketTransform
+    val root = freshRoot()
+    val split = orders.filter(col("o_orderkey") < 3000L)
+    val rest = orders.filter(col("o_orderkey") >= 3000L)
+    ManifestTable.create(spark, root, split.repartition(2))
+    val target = math.max(1L, ManifestTable.tableBytes(spark, root) / 6)
+    ManifestTable.optimizeClusterBy(spark, root,
+      BucketTransform(16, "o_orderkey"), target)
+    ManifestTable.append(spark, root, rest.repartition(2))
+    val tip = ManifestTable.versions(spark, root).max
+    assert(ManifestTable.transformsOf(spark, root, tip).nonEmpty,
+      "transform spec must survive an append")
+    // the appended files are NOT re-clustered (their virtual range may
+    // span buckets — sound, just wider); the clustered files still prune
+    val (kept, total) = checkExact(root, col("o_orderkey") === 17L)
+    assert(kept < total, s"clustered files must still prune after append ($kept/$total)")
+  }
+
+  test("COW merge on a bucket-clustered table rewrites only the probed buckets' files") {
+    import graft.sources.BucketTransform
+    val root = freshRoot()
+    ManifestTable.create(spark, root, orders.repartition(4))
+    val target = math.max(1L, ManifestTable.tableBytes(spark, root) / 8)
+    ManifestTable.optimizeClusterBy(spark, root,
+      BucketTransform(16, "o_orderkey"), target)
+    val src = ManifestTable.read(spark, root).filter(col("o_orderkey") === 17L)
+      .withColumn("o_orderstatus", lit("X"))
+    val (_, stats) = ManifestTable.merge(spark, root, src, "o_orderkey")
+    assert(stats.filesUntouched > stats.filesRewritten,
+      s"merge should rewrite a minority via the transform: $stats")
+    val updated = ManifestTable.read(spark, root)
+      .filter(col("o_orderkey") === 17L).select("o_orderstatus").as[String].collect()
+    assert(updated.toSeq === Seq("X"))
+  }
 }

@@ -165,4 +165,40 @@ class SimilarityOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(conf2.contains(("b", "a", 1L)), s"tie must break to 'a': $conf2")
   }
+
+  test("semanticDedup: planted duplicate removed within its cluster; assignment ties break to smaller seed") {
+    import spark.implicits._
+    // 8 seeds (ids 0-7, the N div 16 floor): the ± one-hot directions of
+    // R^4 — pairwise cosine 0, -1, so every seed clusters to itself.
+    val seeds = (0 until 4).map { d =>
+      (d.toLong, Array.tabulate(4)(i => if (i == d) 1f else 0f))
+    } ++ (0 until 4).map { d =>
+      ((d + 4).toLong, Array.tabulate(4)(i => if (i == d) -1f else 0f))
+    }
+    val corpus = seeds ++ Seq(
+      (8L, Array(0f, 0f, 2f, 0f)),  // same DIRECTION as seed 2 (cos 1.0) -> duplicate of 2
+      (9L, Array(1f, 1f, 1f, 1f))   // cos 0.5 with seeds 0-3: TIE -> cluster 0; survives at τ=0.6
+    )
+    val emb = corpus.toDF("vec_id", "embedding")
+    val summary = graft.ops.SimilarityOps
+      .semanticDedupSummary(emb, "vec_id", "embedding", minCosine = 0.6)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(summary(2L) === ((2L, 1L, 1L, 8L)), s"cluster 2 must remove the planted dup: $summary")
+    assert(summary(0L) === ((2L, 0L, 0L, -1L)), s"vec 9 ties to cluster 0 and survives: $summary")
+    (1L to 7L).filter(_ != 2L).foreach(c => assert(summary(c) === ((1L, 0L, 0L, -1L))))
+    val survivors = graft.ops.SimilarityOps
+      .semanticDedupSurvivors(emb, "vec_id", "embedding", minCosine = 0.6)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors === (0L to 9L).toSet - 8L)
+  }
+
+  test("semanticDedup: determinism under repartitioning (no window sort, tuple-max assignment)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def run(df: org.apache.spark.sql.DataFrame) = graft.ops.SimilarityOps
+      .semanticDedupSummary(df, "vec_id", "embedding", minCosine = 0.4)
+      .collect().map(_.toSeq).toSet
+    assert(run(emb.repartition(1)) === run(emb.repartition(7)))
+  }
 }

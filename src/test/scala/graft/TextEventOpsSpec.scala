@@ -112,6 +112,68 @@ class TextEventOpsSpec extends SparkSpec {
     assert(n === 1L)
   }
 
+  test("sessionWindowStats: exact-boundary event MERGES (inclusive), a longer gap splits") {
+    def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    val events = Seq(
+      (1L, 10L, ts("10:00:00"), 1.0),
+      (2L, 10L, ts("10:05:00"), 2.0),  // +5min < 10 -> merges
+      (3L, 10L, ts("10:15:00"), 4.0),  // == previous window end -> still MERGES (inclusive boundary)
+      (4L, 10L, ts("10:26:00"), 8.0),  // +11min > 10 -> NEW session
+      (5L, 20L, ts("10:00:00"), 16.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = EventOps.sessionWindowStats(events, gapMinutes = 10)
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+    assert(out === Set(
+      (10L, ts("10:00:00"), ts("10:25:00"), 3L, 7.0), // end = last event + gap
+      (10L, ts("10:26:00"), ts("10:36:00"), 1L, 8.0),
+      (20L, ts("10:00:00"), ts("10:10:00"), 1L, 16.0)))
+    // same boundary rule as sessionize's strict-> gap test: the two
+    // formulations agree session-for-session
+    assert(EventOps.sessionStats(events.filter(col("user_id") === 10L), 10).count() === 2L)
+  }
+
+  test("funnel: strict ordering per stage; incomplete or same-timestamp users drop out") {
+    def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    def ev(id: Long, u: Long, t: Timestamp, typ: String) = (id, u, t, typ, 1.0, "{}")
+    val events = Seq(
+      // user 1 completes: view@10:00, click@10:01, purchase@10:03
+      ev(1, 1, ts("10:00:00"), "view"), ev(2, 1, ts("10:01:00"), "click"),
+      ev(3, 1, ts("10:03:00"), "purchase"),
+      // also a click BEFORE the view (must be ignored) and a later click
+      ev(4, 1, ts("09:00:00"), "click"),
+      // user 2: click precedes the first view -> no click after view -> out
+      ev(5, 2, ts("10:00:00"), "click"), ev(6, 2, ts("10:01:00"), "view"),
+      ev(7, 2, ts("10:02:00"), "purchase"),
+      // user 3: no click at all -> out
+      ev(8, 3, ts("10:00:00"), "view"), ev(9, 3, ts("10:01:00"), "purchase"),
+      // user 4: click at the SAME instant as view -> strict > drops it
+      ev(10, 4, ts("10:00:00"), "view"), ev(11, 4, ts("10:00:00"), "click"),
+      ev(12, 4, ts("10:01:00"), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val out = EventOps.funnel(events, Seq("view", "click", "purchase"))
+      .select("user_id", "t_view", "t_click", "t_purchase", "funnel_micros")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long)].collect()
+    assert(out.toSeq === Seq(
+      (1L, ts("10:00:00"), ts("10:01:00"), ts("10:03:00"), 180000000L)))
+  }
+
+  test("sourceFreshness: exact integer staleness, pass/warn/error thresholds") {
+    def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    val events = Seq(
+      ("a", ts("12:00:00")), ("a", ts("11:00:00")), // latest 12:00 = anchor -> 0min pass
+      ("b", ts("11:30:30")),                        // 29.5min -> floor 29 -> warn
+      ("c", ts("09:00:00"))                         // 180min -> error
+    ).toDF("src", "ts")
+    val out = graft.quality.Checks.sourceFreshness(
+      events, "src", "ts", warnAfterMinutes = 15, errorAfterMinutes = 60)
+      .select("src", "staleness_minutes", "freshness_status")
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map(
+      "a" -> ((0L, "pass")), "b" -> ((29L, "warn")), "c" -> ((180L, "error"))))
+  }
+
   test("tumblingCounts buckets by hour with flat schema") {
     val events = Seq(
       (1L, 1L, Timestamp.valueOf("2024-01-01 10:15:00"), "click", 2.0, "{}"),
