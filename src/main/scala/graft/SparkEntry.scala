@@ -1993,6 +1993,52 @@ object SparkEntry {
       SimilarityOps.semanticDedupSummary(
         t(s, dir, "embeddings"), "vec_id", "embedding", minCosine = 0.4)),
 
+    "w7_latest_per_key" -> ((s, dir) =>
+      // CDC-compact / dedupe-to-current-state: the latest event per
+      // user via ONE max(struct) hash aggregate — (ts, event_id) is a
+      // total order, so no window sort and a deterministic winner; the
+      // oracle answers with the row_number() formulation
+      EventOps.latestPerKey(t(s, dir, "events"),
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+        payloadCols = Seq("event_type", "value"))),
+
+    "e8_retention_cohorts" -> ((s, dir) =>
+      // weekly retention matrix: cohort = ISO week of first event,
+      // counted per integer week offset — all date-trunc/datediff
+      // integer arithmetic, no floats
+      EventOps.retentionCohorts(t(s, dir, "events"))),
+
+    "v3_random_projection" -> ((s, dir) =>
+      // JL sign random projection 64 -> 8 dims: ±1 matrix from md5
+      // parity (a pure expression, no RNG), decimal-exact sums, one
+      // exactly-rounded double per cell — the oracle re-derives the
+      // matrix AND the projection
+      SimilarityOps.signRandomProjection(
+        t(s, dir, "embeddings"), "vec_id", "embedding", outDims = 8)),
+
+    "lake13_restore" -> ((s, dir) => {
+      // RESTORE TO VERSION: v1 = even orders, v2 = append odds (full
+      // table), v3 = a fat-finger overwrite with an empty frame, v4 =
+      // restore(v2) — one metadata commit, no data copied. The restored
+      // read must equal the plain full-table aggregate; the mirror pins
+      // that restore landed as version 4.
+      val root = java.nio.file.Files.createTempDirectory("lake13_restore")
+      val orders = t(s, dir, "orders")
+      graft.sources.ManifestTable.create(s, root.toString,
+        orders.filter(col("o_orderkey") % 2 === 0).repartition(2))
+      graft.sources.ManifestTable.append(s, root.toString,
+        orders.filter(col("o_orderkey") % 2 === 1).repartition(2))
+      graft.sources.ManifestTable.overwrite(s, root.toString,
+        orders.filter(col("o_orderkey") < 0))
+      val v = graft.sources.ManifestTable.restore(s, root.toString, 2L)
+      graft.sources.ManifestTable.read(s, root.toString)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .select(lit(v == 4L).as("restored_as_v4"), col("o_orderstatus"),
+          col("n_orders"), col("total_price"))
+    }),
+
     "lake12_bucket_transform" -> ((s, dir) => {
       // hidden partitioning (Iceberg bucket transform): orders rewritten
       // CLUSTER BY bucket(16, o_orderkey) — xxhash64 mod 16, committed
@@ -3486,6 +3532,62 @@ object SparkEntry {
          |       coalesce(r.n_removed, 0) AS n_removed,
          |       r.min_removed
          |FROM sizes s LEFT JOIN rem r ON s.cluster = r.cluster""").stripMargin,
+
+    "w7_latest_per_key" -> // the window formulation of the max(struct)
+      // aggregate: (ts desc, event_id desc) is a total order
+      ("""SELECT user_id, ts, event_id, event_type, value FROM (
+         |  SELECT user_id, ts, event_id, event_type, value,
+         |         row_number() OVER (PARTITION BY user_id
+         |                            ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events) WHERE rn = 1""").stripMargin,
+
+    "e8_retention_cohorts" -> // cohort week from min ts, offsets as
+      // integer day-difference div 7; count(*) over the distinct
+      // (user, week) frame IS the distinct-user count per cell
+      ("""WITH cohort AS (
+         |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+         |  FROM events GROUP BY 1
+         |), active AS (
+         |  SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+         |  FROM events
+         |)
+         |SELECT cohort_week,
+         |       date_diff('day', cohort_week, activity_week) // 7 AS week_offset,
+         |       CAST(count(*) AS BIGINT) AS n_users
+         |FROM active JOIN cohort USING (user_id)
+         |GROUP BY 1, 2""").stripMargin,
+
+    "v3_random_projection" -> // the ±1 matrix re-derived from md5
+      // parity, the decimal sums replayed; the exact decimal casts to
+      // double UNROUNDED (the dsum convention)
+      ("""WITH comps AS (
+         |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS j, embedding
+         |  FROM embeddings
+         |), c2 AS (
+         |  -- cast THROUGH double: Spark's float->decimal goes via the
+         |  -- double expansion, DuckDB's direct float cast does not —
+         |  -- they disagree at dp8 for ~17% of floats
+         |  SELECT vec_id, j, CAST(CAST(embedding[j] AS DOUBLE) AS DECIMAL(18,8)) AS xd FROM comps
+         |), dims AS (
+         |  SELECT unnest(range(1, 9)) AS i
+         |), terms AS (
+         |  SELECT vec_id, i,
+         |         CASE WHEN substring(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1)
+         |                   IN ('0','2','4','6','8','a','c','e')
+         |              THEN xd ELSE -xd END AS term
+         |  FROM c2 CROSS JOIN dims
+         |)
+         |SELECT vec_id, i AS proj_dim,
+         |       CAST(sum(term) AS DOUBLE) AS value
+         |FROM terms GROUP BY 1, 2""").stripMargin,
+
+    "lake13_restore" -> // the restored tip must serve the FULL table
+      // (v2's content) even though v3 overwrote it away; restore is one
+      // metadata commit landing as version 4
+      (s"""SELECT TRUE AS restored_as_v4, o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders GROUP BY o_orderstatus""").stripMargin,
 
     "lake12_bucket_transform" -> // the transform-pruned point probe must
       // equal the plain IN-probe (hidden partitioning is an

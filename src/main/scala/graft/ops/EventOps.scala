@@ -114,4 +114,46 @@ object EventOps {
     acc.withColumn("funnel_micros",
       unix_micros(col(tsCols.last)) - unix_micros(col(tsCols.head)))
   }
+
+  /** Latest record per key — "dedupe to current state", the CDC-compact
+    * / dbt-dedupe pattern: ONE max(struct) hash aggregate with the
+    * ordering columns leading the struct. `orderCols` must form a total
+    * order (include a unique id), so payload columns are never reached
+    * by the comparison and the winner is deterministic. Map-side
+    * combine, ≤1 row per key per task shuffled — never a window sort
+    * over the corpus (the w4/smp2 heap argument, at k=1).
+    */
+  def latestPerKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      payloadCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "latestPerKey needs ordering columns")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max(struct((orderCols ++ payloadCols).map(col): _*)).as("m"))
+      .select(keyCols.map(col) ++
+        (orderCols ++ payloadCols).map(c => col(s"m.$c").as(c)): _*)
+  }
+
+  /** Weekly retention cohort matrix: users grouped by the ISO week of
+    * their FIRST event (the cohort), counted in each later week they
+    * were active, keyed by integer week offset. All integer/date-trunc
+    * arithmetic — no floats anywhere. Two hash aggregates + one join on
+    * user_id; the distinct (user, week) frame bounds the join at
+    * users × weeks.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val cohort = events.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val active = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("activity_week"))
+      .distinct()
+    active.join(cohort, Seq("user_id"))
+      .select(col("cohort_week"),
+        expr("CAST(datediff(activity_week, cohort_week) div 7 AS BIGINT)").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      // one row per (user, activity_week) after the distinct, so the
+      // plain count IS the distinct-user count per cell
+      .agg(count(lit(1)).cast("long").as("n_users"))
+  }
 }

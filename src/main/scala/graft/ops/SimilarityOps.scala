@@ -517,6 +517,41 @@ object SimilarityOps {
       .select(col("vid"), (-col("m.ns")).as("cluster"))
   }
 
+  /** Johnson-Lindenstrauss sign random projection (Achlioptas 2001:
+    * ±1 entries suffice for the JL guarantee): project d-dim embeddings
+    * down to `outDims` using a PSEUDORANDOM sign matrix derived from
+    * md5 parity — R(i,j) = +1 iff the first hex nibble of md5("i_j")
+    * is even. No RNG state, no seed table to ship: the matrix is a pure
+    * expression both engines evaluate identically, so the projection —
+    * the standard pre-reduction before LSH/clustering at high d —
+    * replays exactly under the oracle. Components cast to
+    * DECIMAL(18,8) (labelCentroids' exactness contract) and sum
+    * exactly; the final cell is the exact decimal cast to double with
+    * NO rounding (the dsum convention — identical decimals convert to
+    * identical doubles, while round-after-cast splits half-way values
+    * across engines). Flat (id, proj_dim, value) form.
+    *
+    * Shape: posexplode × broadcast dim range + one map-side-combined
+    * hash aggregate — O(N·d·outDims) work, shuffle O(N·outDims).
+    */
+  def signRandomProjection(
+      df: DataFrame, idCol: String, vecCol: String, outDims: Int): DataFrame = {
+    require(outDims >= 1, "need at least one output dimension")
+    val comps = df.select(col(idCol), posexplode(col(vecCol)).as(Seq("j0", "x")))
+      .select(col(idCol), (col("j0") + 1).as("j"),
+        col("x").cast(org.apache.spark.sql.types.DecimalType(18, 8)).as("xd"))
+    val dims = df.sparkSession.range(1, outDims + 1).select(col("id").as("i"))
+    comps.crossJoin(broadcast(dims))
+      .select(col(idCol), col("i"),
+        when(substring(md5(concat_ws("_", col("i"), col("j"))), 1, 1)
+          .isin("0", "2", "4", "6", "8", "a", "c", "e"), col("xd"))
+          .otherwise(-col("xd")).as("term"))
+      .groupBy(col(idCol), col("i"))
+      .agg(sum(col("term")).as("s"))
+      .select(col(idCol), col("i").as("proj_dim"),
+        col("s").cast("double").as("value"))
+  }
+
   /** (cluster, id, vec) — the corpus with its cluster assignment joined
     * back on. */
   private def semanticClustered(emb: DataFrame, idCol: String, vecCol: String): DataFrame =

@@ -786,6 +786,28 @@ object ManifestTable {
       _ => stats), staged.size)
   }
 
+  /** RESTORE (Delta's `RESTORE TABLE ... TO VERSION`): make an older
+    * version's content the new tip by committing its FILE LIST — plus
+    * its schema, stats, and transform spec — as a new version. No data
+    * moves or copies: files are immutable and the restored manifest
+    * simply names them again, so restoring a 100 TB table is one
+    * driver-side metadata commit. History is preserved (the bad version
+    * stays time-travelable until [[vacuum]]); a restore that reinstates
+    * files a later version dropped is structurally non-append, so
+    * [[readChangesSince]] consumers correctly refuse and full-refresh.
+    * Returns the new tip version. */
+  def restore(spark: SparkSession, root: String, toVersion: Long): Long = {
+    val vs = versions(spark, root)
+    require(vs.contains(toVersion),
+      s"version $toVersion not in log (have ${vs.mkString(",")}) — vacuumed or never existed")
+    val files = manifestFiles(spark, root, toVersion)
+    val meta = manifestMeta(spark, root, toVersion)
+      .filter { case (k, _) => k == SchemaKey || k == TransformsKey }
+    val stats = fileStats(spark, root, toVersion)
+    commit(spark, root, s"restore-v$toVersion", files, _ => Seq.empty,
+      _ => meta, _ => stats)
+  }
+
   /** DESCRIBE DETAIL: the table's operational summary from driver-side
     * metadata only — versions, tip op, file count and bytes at the tip,
     * committed row count when every tip file carries stats (None

@@ -421,6 +421,47 @@ class ManifestTableSpec extends SparkSpec {
     }
   }
 
+  test("restore: an overwritten table comes back as a metadata-only commit; stats and history survive") {
+    val root = freshRoot()
+    val a = orders.filter(col("o_orderkey") < 3000L)
+    val b = orders.filter(col("o_orderkey") >= 3000L)
+    ManifestTable.create(spark, root,
+      a.repartitionByRange(2, col("o_orderkey")), statsColumns = Seq("o_orderkey"))
+    ManifestTable.append(spark, root,
+      b.repartitionByRange(2, col("o_orderkey")), statsColumns = Seq("o_orderkey"))
+    val v2Files = ManifestTable.manifestFiles(spark, root, 2L)
+    ManifestTable.overwrite(spark, root, orders.limit(1)) // fat-finger
+    val v = ManifestTable.restore(spark, root, 2L)
+    assert(v === 4L)
+    // identical file LIST — no data was copied
+    assert(ManifestTable.manifestFiles(spark, root, v) === v2Files)
+    // identical content
+    val restored = ManifestTable.read(spark, root)
+    assert(restored.exceptAll(orders).isEmpty && orders.exceptAll(restored).isEmpty)
+    // stats came back with the files: pruning works on the restored tip
+    val (kept, dropped, _) = ManifestTable.pruneFiles(spark, root, col("o_orderkey") === 17L)
+    assert(dropped.nonEmpty, "restored stats must prune")
+    assert(kept.size + dropped.size === v2Files.size)
+    // the bad version remains time-travelable until vacuum
+    assert(ManifestTable.read(spark, root, Some(3L)).count() === 1L)
+    // restore reinstating dropped files is structurally non-append: a
+    // CDF cursor parked at the overwrite must refuse
+    intercept[IllegalArgumentException] {
+      ManifestTable.readChangesSince(spark, root, 3L)
+    }
+    // vacuum keeps the restored tip's files live
+    ManifestTable.vacuum(spark, root, keepVersions = 1)
+    assert(ManifestTable.read(spark, root).count() === orders.count())
+  }
+
+  test("restore refuses unknown versions") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root, orders.limit(5))
+    intercept[IllegalArgumentException] {
+      ManifestTable.restore(spark, root, 7L)
+    }
+  }
+
   test("merge guards: schema mismatch and null keys are rejected") {
     val root = freshRoot()
     ManifestTable.create(spark, root, orders)

@@ -194,6 +194,34 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(survivors === (0L to 9L).toSet - 8L)
   }
 
+  test("signRandomProjection: hand-derived md5-parity signs, exact sums on exact binary floats") {
+    import spark.implicits._
+    def sign(i: Int, j: Int): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}_$j".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) % 2 == 0) 1 else -1
+    }
+    // exact binary floats -> decimal casts and sums are exact, so the
+    // double compare below is exact equality
+    val emb = Seq((1L, Array(0.5f, -1.25f, 2.0f))).toDF("vec_id", "embedding")
+    val out = graft.ops.SimilarityOps
+      .signRandomProjection(emb, "vec_id", "embedding", outDims = 2)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._2 -> r._3).toMap
+    val expected = (1 to 2).map { i =>
+      i.toLong -> (sign(i, 1) * 0.5 + sign(i, 2) * -1.25 + sign(i, 3) * 2.0)
+    }.toMap
+    assert(out === expected)
+  }
+
+  test("signRandomProjection: partition-invariant on real embeddings (decimal reduce)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def run(df: org.apache.spark.sql.DataFrame) = graft.ops.SimilarityOps
+      .signRandomProjection(df, "vec_id", "embedding", outDims = 4)
+      .collect().map(_.toSeq).toSet
+    assert(run(emb.repartition(1)) === run(emb.repartition(5)))
+  }
+
   test("semanticDedup: determinism under repartitioning (no window sort, tuple-max assignment)") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     def run(df: org.apache.spark.sql.DataFrame) = graft.ops.SimilarityOps

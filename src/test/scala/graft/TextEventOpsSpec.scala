@@ -158,6 +158,37 @@ class TextEventOpsSpec extends SparkSpec {
       (1L, ts("10:00:00"), ts("10:01:00"), ts("10:03:00"), 180000000L)))
   }
 
+  test("latestPerKey: one deterministic winner per key, ties on ts break by id") {
+    def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    val events = Seq(
+      (1L, 10L, ts("10:00:00"), "view", 1.0),
+      (2L, 10L, ts("10:05:00"), "click", 2.0),  // latest for user 10
+      (3L, 20L, ts("09:00:00"), "view", 3.0),
+      (4L, 20L, ts("09:00:00"), "purchase", 4.0) // tie on ts -> higher event_id wins
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = EventOps.latestPerKey(events,
+      Seq("user_id"), Seq("ts", "event_id"), Seq("event_type", "value"))
+      .select("user_id", "event_id", "event_type")
+      .as[(Long, Long, String)].collect().toSet
+    assert(out === Set((10L, 2L, "click"), (20L, 4L, "purchase")))
+  }
+
+  test("retentionCohorts: hand-computed weekly offsets (cohort = week of first event)") {
+    // 2024-01-01 is a Monday: week boundaries land on it exactly
+    def ts(d: String) = Timestamp.valueOf(s"2024-01-$d 12:00:00")
+    val events = Seq(
+      (1L, 1L, ts("01")), (2L, 1L, ts("03")),  // user 1: cohort wk0, active wk0 (twice)
+      (3L, 1L, ts("16")),                       // ... and wk2
+      (4L, 2L, ts("10"))                        // user 2: cohort wk1, active wk1 only
+    ).toDF("event_id", "user_id", "ts")
+    val out = EventOps.retentionCohorts(events)
+      .as[(Timestamp, Long, Long)].collect()
+      .map(r => (r._1.toString.take(10), r._2) -> r._3).toMap
+    assert(out === Map(
+      ("2024-01-01", 0L) -> 1L, ("2024-01-01", 2L) -> 1L,
+      ("2024-01-08", 0L) -> 1L))
+  }
+
   test("sourceFreshness: exact integer staleness, pass/warn/error thresholds") {
     def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
     val events = Seq(
