@@ -96,6 +96,34 @@ object SparkEntry {
          |       replace(trim(seq, chr(31)), chr(31)||chr(31), '.') AS segmentation
          |FROM v$k""".stripMargin
 
+  /** The e6/st8 oracle — gaps-and-islands mirror of the built-in
+    * session_window (batch and streamed drains answer the same SQL):
+    * the merge boundary is INCLUSIVE (an event at exactly last+gap
+    * extends the session — spec-pinned), so a new session starts on
+    * strict >; session end = last event + gap. */
+  private val sessionWindowSql: String =
+    s"""WITH lagged AS (
+       |  SELECT user_id, event_id, ts, value,
+       |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+       |  FROM events
+       |), marked AS (
+       |  SELECT user_id, event_id, ts, value,
+       |         CASE WHEN prev_ts IS NULL
+       |                OR epoch_us(ts) - epoch_us(prev_ts) > 600000000
+       |              THEN 1 ELSE 0 END AS new_s
+       |  FROM lagged
+       |), numbered AS (
+       |  SELECT user_id, ts, value,
+       |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                          ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM marked
+       |)
+       |SELECT user_id, min(ts) AS session_start,
+       |       max(ts) + INTERVAL 10 MINUTE AS session_end,
+       |       CAST(count(*) AS BIGINT) AS n_events,
+       |       ${dsumSql("value")} AS total_value
+       |FROM numbered GROUP BY user_id, sid""".stripMargin
+
   /** The gr1 oracle, generated: k chained PageRank rounds in exact
     * integer fixed-point over the part co-purchase graph — truncating
     * `//` on non-negative values matches Spark's `div` bit-for-bit
@@ -1818,6 +1846,48 @@ object SparkEntry {
           col("l_ts").as("t_a"), col("r_ts").as("t_b"))
     }),
 
+    "st8_stream_session_window" -> ((s, dir) => {
+      // streaming sessionization via the BUILT-IN session_window (the
+      // merging-state aggregate; e2/sessionizeStream is the explicit-
+      // state formulation): append-mode sessions emit only when the
+      // watermark passes their close, so the drain stages one sentinel
+      // event past max(ts) + gap + delay to flush every open session
+      // (filtered back out below — sessions are per-user, so the
+      // sentinel's own session can't touch a real one). Answers the
+      // SAME oracle as batch e6.
+      val staged = java.nio.file.Files.createTempDirectory("st8_events")
+      val copied = staged.resolve("part-0.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), copied,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val nanosPrev = s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+      val batchPartitions = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        val raw = s.read.parquet(staged.toString)
+        val marginSec = 600L + 60L + 60L // gap + watermark delay + slack
+        val sentinelTs =
+          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            lit(raw.agg(max("ts")).head().getLong(0) + marginSec * 1000000000L)
+          else lit(new java.sql.Timestamp(
+            raw.agg(max("ts")).head().getTimestamp(0).getTime + marginSec * 1000L))
+        s.range(1).select(
+            lit(-1L).as("event_id"), sentinelTs.as("ts"), lit(-1L).as("user_id"),
+            lit("sentinel").as("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
+          .coalesce(1).write.mode("append").parquet(staged.toString)
+        s.conf.set("spark.sql.shuffle.partitions", "8") // state-store sizing, see st1
+        val stream = graft.streaming.EventStreams.eventParquetStream(s, staged.toString)
+        val sessions = graft.streaming.EventStreams.sessionWindowStream(stream, gapMinutes = 10)
+        val q = graft.streaming.EventStreams.runToMemory(sessions, "st8_sessions", "append")
+        q.awaitTermination()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", batchPartitions)
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", nanosPrev)
+        org.apache.commons.io.FileUtils.deleteQuietly(staged.toFile)
+      }
+      s.table("st8_sessions").filter(col("user_id") >= 0)
+    }),
+
     // ---- text analysis ----
     "txt1_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -3428,31 +3498,12 @@ object SparkEntry {
          |WHERE (n_hours * n_events - s) * (n_hours * n_events - s)
          |      > 9 * (n_hours * q - s * s)""").stripMargin,
 
-    "e6_session_window" -> // gaps-and-islands mirror of the built-in
-      // session_window: the merge boundary is INCLUSIVE (an event at
-      // exactly last+gap extends the session — spec-pinned), so a new
-      // session starts on strict >; session end = last event + gap
-      (s"""WITH lagged AS (
-         |  SELECT user_id, event_id, ts, value,
-         |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-         |  FROM events
-         |), marked AS (
-         |  SELECT user_id, event_id, ts, value,
-         |         CASE WHEN prev_ts IS NULL
-         |                OR epoch_us(ts) - epoch_us(prev_ts) > 600000000
-         |              THEN 1 ELSE 0 END AS new_s
-         |  FROM lagged
-         |), numbered AS (
-         |  SELECT user_id, ts, value,
-         |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |                          ROWS UNBOUNDED PRECEDING) AS sid
-         |  FROM marked
-         |)
-         |SELECT user_id, min(ts) AS session_start,
-         |       max(ts) + INTERVAL 10 MINUTE AS session_end,
-         |       CAST(count(*) AS BIGINT) AS n_events,
-         |       ${dsumSql("value")} AS total_value
-         |FROM numbered GROUP BY user_id, sid""").stripMargin,
+    "e6_session_window" -> sessionWindowSql,
+
+    "st8_stream_session_window" -> // the streamed session_window drain
+      // answers to the SAME gaps-and-islands mirror as batch e6 (the
+      // sentinel's user is filtered out and sessions are per-user)
+      sessionWindowSql,
 
     "e7_funnel" -> // each stage re-derived: earliest step-k strictly
       // after the user's step-(k-1) timestamp; conversion time in exact

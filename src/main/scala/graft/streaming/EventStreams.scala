@@ -32,6 +32,30 @@ final case class OpenSession(start: Long, end: Long, n: Long, total: Double)
   */
 object EventStreams {
 
+  /** Streaming session windows via the BUILT-IN `session_window`
+    * aggregate — the merging-state complement of [[sessionizeStream]]'s
+    * explicit flatMapGroupsWithState: watermarked append-mode
+    * aggregation; a session emits exactly once, when the watermark
+    * passes its close (last event + gap), and its state evicts. Sessions
+    * still open merge with in-gap arrivals across micro-batches
+    * (spec-pinned). Same columns as the batch
+    * [[graft.ops.EventOps.sessionWindowStats]], so a full drain answers
+    * the same oracle.
+    */
+  def sessionWindowStream(
+      events: DataFrame,
+      gapMinutes: Int = 10,
+      watermarkDelay: String = "60 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.ops.ExactSums.dsum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Tumbling one-hour event-time aggregation with a watermark.
     * Late data beyond `watermarkDelay` is dropped; state for closed
     * windows is evicted — bounded memory regardless of stream length.

@@ -126,6 +126,35 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionWindowStream: in-gap arrivals MERGE across micro-batches; sessions emit once on close") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = EventStreams.sessionWindowStream(df, gapMinutes = 10, watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("st8_test").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "a", 1.0),
+        (2L, Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "a", 2.0))
+      query.processAllAvailable()
+      assert(spark.table("st8_test").isEmpty, "open sessions must not emit early")
+      // batch 2 arrives IN-GAP (8 min after the last event): must merge
+      // into the same session, not start a new one
+      input.addData((3L, Timestamp.valueOf("2024-01-01 10:13:00"), 1L, "a", 4.0))
+      query.processAllAvailable()
+      // close everything: watermark past last event + gap + delay
+      input.addData((9L, Timestamp.valueOf("2024-01-01 12:00:00"), 99L, "z", 0.0))
+      query.processAllAvailable()
+      val out = spark.table("st8_test")
+        .filter($"user_id" === 1L)
+        .select("session_start", "session_end", "n_events", "total_value")
+        .as[(Timestamp, Timestamp, Long, Double)].collect().toSeq
+      assert(out === Seq((Timestamp.valueOf("2024-01-01 10:00:00"),
+        Timestamp.valueOf("2024-01-01 10:23:00"), 3L, 7.0)),
+        s"cross-batch merge failed: $out")
+    } finally query.stop()
+  }
+
   test("streaming hourlyCounts matches the batch tumbling aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
