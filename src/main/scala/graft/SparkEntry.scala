@@ -2063,6 +2063,24 @@ object SparkEntry {
       SimilarityOps.semanticDedupSummary(
         t(s, dir, "embeddings"), "vec_id", "embedding", minCosine = 0.4)),
 
+    "q8_lateral_join" -> ((s, dir) => {
+      // LATERAL correlated subquery in FROM (SQL:1999; Spark 4 + DuckDB
+      // both speak it): each customer's top-2 orders by price. Catalyst
+      // DECORRELATES the per-row subquery into a window/join plan — the
+      // per-customer loop a naive engine would run never exists.
+      t(s, dir, "customer").createOrReplaceTempView("q8_customer")
+      t(s, dir, "orders").createOrReplaceTempView("q8_orders")
+      s.sql("""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM q8_customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM q8_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) o""")
+    }),
+
     "w7_latest_per_key" -> ((s, dir) =>
       // CDC-compact / dedupe-to-current-state: the latest event per
       // user via ONE max(struct) hash aggregate — (ts, event_id) is a
@@ -3583,6 +3601,17 @@ object SparkEntry {
          |       coalesce(r.n_removed, 0) AS n_removed,
          |       r.min_removed
          |FROM sizes s LEFT JOIN rem r ON s.cluster = r.cluster""").stripMargin,
+
+    "q8_lateral_join" -> // the same LATERAL shape verbatim — DuckDB
+      // executes the correlated subquery natively
+      ("""SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+         |FROM customer c,
+         |LATERAL (
+         |  SELECT o_orderkey, o_totalprice FROM orders
+         |  WHERE o_custkey = c.c_custkey
+         |  ORDER BY o_totalprice DESC, o_orderkey
+         |  LIMIT 2
+         |) o""").stripMargin,
 
     "w7_latest_per_key" -> // the window formulation of the max(struct)
       // aggregate: (ts desc, event_id desc) is a total order
