@@ -154,6 +154,33 @@ object SparkEntry {
        |FROM r$k ORDER BY pr DESC, u LIMIT 20""".stripMargin
   }
 
+  /** The gr2 oracle, generated like [[pagerankSql]]: k chained label-
+    * propagation rounds — per-destination neighbor-label counts, argmax
+    * with the smallest-label tie-break. Pure integer counting. */
+  private def labelPropSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""c$i AS (
+         |  SELECT e.v, l${i - 1}.lbl, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM edges e JOIN l${i - 1} ON e.u = l${i - 1}.u GROUP BY 1, 2
+         |), l$i AS (
+         |  SELECT v AS u, lbl FROM (
+         |    SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY cnt DESC, lbl) AS rn
+         |    FROM c$i) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |), edges AS (
+       |  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+       |), l0 AS (
+       |  SELECT DISTINCT u, u AS lbl FROM edges
+       |), $rounds
+       |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+       |FROM l$k GROUP BY 1 ORDER BY n_members DESC, community LIMIT 20""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The customer-360 mart shape (SURVEY §2: J1+J2+A1-A5) on the testdata
     * star schema.
@@ -598,6 +625,52 @@ object SparkEntry {
         .join(broadcast(quotas), "lang")
         .filter(col("rk") <= col("n_keep"))
         .select("doc_id", "lang")
+    }),
+
+    "smp6_temperature_mixture" -> ((s, dir) => {
+      // temperature-scaled multilingual mixing (the mBERT/XLM-R
+      // resampling rule at T = 0.5): per-language share ∝ sqrt(c_i)
+      // instead of c_i — upsamples tail languages, downsamples the
+      // head; budget = half the corpus, quotas capped at availability.
+      // Cross-engine exactness: sqrt is IEEE-correctly-rounded, the
+      // rounded weights become DECIMAL(18,6) so their SUM is exact
+      // (float addition of the weights would be summation-order-
+      // dependent — the one step smp4's min() never had to worry
+      // about), and the final quota arithmetic is the same left-assoc
+      // double expression in both engines. Rows picked by Knuth-hash
+      // rank, the smp1/smp2/smp4 convention.
+      val docs = t(s, dir, "documents")
+      val wAll = Window.partitionBy()
+      val quotas = docs.groupBy("lang").agg(count(lit(1)).cast("double").as("c"))
+        .withColumn("w",
+          round(sqrt(col("c")), 6).cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .withColumn("n_keep", least(col("c"),
+          floor(lit(0.5) * sum(col("c")).over(wAll) * col("w").cast("double")
+            / sum(col("w")).over(wAll).cast("double"))).cast("long"))
+        .select("lang", "n_keep")
+      val byHash = Window.partitionBy("lang")
+        .orderBy(SampleOps.knuth32(col("doc_id")), col("doc_id"))
+      docs.withColumn("rk", row_number().over(byHash))
+        .join(broadcast(quotas), "lang")
+        .filter(col("rk") <= col("n_keep"))
+        .select("doc_id", "lang")
+    }),
+
+    "gr2_label_propagation" -> ((s, dir) => {
+      // community detection: 4 rounds of synchronous label propagation
+      // over the part co-purchase graph — most-frequent neighbor label,
+      // ties to the smallest (the deterministic argmax; async LPA's
+      // random tie-break could never meet an oracle). Pure integer
+      // counting, so the oracle replays every round as chained CTEs.
+      // Face = community sizes (top 20 by size, id tie-break).
+      val edges = graft.ops.GraphOps.coOccurrenceEdges(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+      graft.ops.GraphOps.labelPropagation(edges, iterations = 4)
+        .groupBy("lbl")
+        .agg(count(lit(1)).cast("long").as("n_members"))
+        .orderBy(col("n_members").desc, col("lbl"))
+        .limit(20)
+        .select(col("lbl").as("community"), col("n_members"))
     }),
 
     "txt14_normalize" -> ((s, dir) =>
@@ -3560,6 +3633,30 @@ object SparkEntry {
          |FROM latest, a""").stripMargin,
 
     "gr1_pagerank" -> pagerankSql(5),
+
+    "gr2_label_propagation" -> labelPropSql(4),
+
+    "smp6_temperature_mixture" -> // the T=0.5 quota derivation replayed:
+      // IEEE sqrt, round-6 weights summed as exact DECIMAL (float
+      // addition of the weights would be order-dependent), the same
+      // left-assoc double expression, Knuth-hash ranks
+      ("""WITH counts AS (
+         |  SELECT lang, CAST(count(*) AS DOUBLE) AS c FROM documents GROUP BY 1
+         |), w AS (
+         |  SELECT lang, c, CAST(round(sqrt(c), 6) AS DECIMAL(18,6)) AS w FROM counts
+         |), q AS (
+         |  SELECT lang,
+         |         CAST(least(c, floor(0.5 * (SELECT sum(c) FROM w) * CAST(w AS DOUBLE)
+         |              / CAST((SELECT sum(w) FROM w) AS DOUBLE))) AS BIGINT) AS n_keep
+         |  FROM w
+         |), ranked AS (
+         |  SELECT doc_id, lang,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) AS rk
+         |  FROM documents
+         |)
+         |SELECT r.doc_id, r.lang
+         |FROM ranked r JOIN q USING (lang) WHERE r.rk <= q.n_keep""").stripMargin,
 
     "dd9_semdedup" -> // the WHOLE SemDeDup pipeline replayed: seed set
       // (greatest(8, N div 16) smallest ids), nearest-seed assignment

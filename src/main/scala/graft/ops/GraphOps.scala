@@ -64,10 +64,13 @@ object GraphOps {
   def pageRank(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one round")
     // materialize the edge list ONCE: it feeds every round's join (and
-    // the degree table), and without the checkpoint each round would
-    // re-derive it from source — 5 rounds of co-occurrence self-joins
-    // instead of one
-    val e = edges.localCheckpoint()
+    // the degree table), and without it each round would re-derive the
+    // co-occurrence self-join. persist (not localCheckpoint) so the
+    // O(edges) block — the big one — can be RELEASED when the rounds
+    // are done: checkpointed ranks are self-contained, and a suite
+    // running many queries cannot afford every graph op leaving its
+    // edge list pinned in storage until GC gets around to it
+    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("u").agg(count(lit(1)).cast("long").as("deg"))
       .localCheckpoint()
     val n = deg.agg(count(lit(1)).cast("long").as("n"))
@@ -88,6 +91,44 @@ object GraphOps {
           expr(s"CAST((15 * CAST($RankScale AS BIGINT) div n + 85 * s) div 100 AS BIGINT)").as("pr"))
         .localCheckpoint()
     }
+    e.unpersist(blocking = false) // final ranks are materialized; the edge blocks are dead weight
     ranks
+  }
+
+  /** `iterations` rounds of synchronous label propagation (Raghavan et
+    * al. 2007) — community detection over a directed edge list: every
+    * node starts labeled with its own id; each round it adopts the most
+    * frequent label among its in-neighbors, ties to the SMALLEST label
+    * (the deterministic argmax rule — classic async LPA breaks ties
+    * randomly, which no oracle could replay). All arithmetic is integer
+    * counting, so k rounds are exactly replayable cross-engine.
+    *
+    * Returns (u, lbl) after the final round. Scale shape per round: one
+    * edges ⋈ labels shuffle join + one (v, lbl) count aggregate + one
+    * max(struct) argmax aggregate — both map-side combined; labels
+    * localCheckpoint per round (the pageRank pattern). Synchronous
+    * updates on a fixed round budget sidestep async LPA's
+    * order-dependence; the two-coloring oscillation synchronous LPA is
+    * known for is bounded by the fixed k.
+    */
+  def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, "labelPropagation needs at least one round")
+    // same storage discipline as pageRank: the O(edges) block releases
+    // when the rounds are done
+    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select(col("u")).distinct()
+      .select(col("u"), col("u").as("lbl"))
+      .localCheckpoint()
+    (1 to iterations).foreach { _ =>
+      labels = e.join(labels, Seq("u"))
+        .groupBy(col("v"), col("lbl"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .groupBy(col("v"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("v").as("u"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint()
+    }
+    e.unpersist(blocking = false)
+    labels
   }
 }

@@ -57,6 +57,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(one === many)
   }
 
+  test("labelPropagation: two triangles over a bridge settle into two communities (hand-traced)") {
+    // triangle {1,2,3} + triangle {4,5,6} + bridge 3-4; min-label
+    // tie-break traced by hand through three synchronous rounds
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val sym = edges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    val labels = GraphOps.labelPropagation(sym.toDF("u", "v"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagation is partitioning-invariant (integer counts, struct argmax)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (5L, 6L))
+    val sym = edges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    val one = GraphOps.labelPropagation(sym.toDF("u", "v").repartition(1), 4)
+      .as[(Long, Long)].collect().toMap
+    val many = GraphOps.labelPropagation(sym.toDF("u", "v").repartition(7), 4)
+      .as[(Long, Long)].collect().toMap
+    assert(one === many)
+  }
+
   test("rank mass is conserved up to truncation loss (each div sheds < 1 unit)") {
     val r = ranks(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L)), 5)
     val total = r.values.sum
