@@ -2200,6 +2200,29 @@ object SparkEntry {
           col("n_orders"), col("total_price"))
     }),
 
+    "lake14_history" -> ((s, dir) => {
+      // DESCRIBE HISTORY: the per-version audit trail (op + exact row
+      // count from committed per-file stats — driver-side text reads,
+      // no scan). The oracle re-derives every version's row count from
+      // the source: create = even keys, append = all, delete = the
+      // survivors of the price predicate (NULL-pred rows would
+      // survive; o_totalprice is non-null here).
+      val root = java.nio.file.Files.createTempDirectory("lake14_history")
+      val orders = t(s, dir, "orders")
+      graft.sources.ManifestTable.create(s, root.toString,
+        orders.filter(col("o_orderkey") % 2 === 0).repartition(2),
+        statsColumns = Seq("o_orderkey"))
+      graft.sources.ManifestTable.append(s, root.toString,
+        orders.filter(col("o_orderkey") % 2 === 1).repartition(2),
+        statsColumns = Seq("o_orderkey"))
+      graft.sources.ManifestTable.delete(s, root.toString,
+        col("o_totalprice") < 50000.0, statsColumns = Seq("o_orderkey"))
+      import s.implicits._
+      graft.sources.ManifestTable.history(s, root.toString)
+        .map(v => (v.version, v.operation, v.rowCount.getOrElse(-1L)))
+        .toDF("version", "operation", "n_rows")
+    }),
+
     "lake12_bucket_transform" -> ((s, dir) => {
       // hidden partitioning (Iceberg bucket transform): orders rewritten
       // CLUSTER BY bucket(16, o_orderkey) — xxhash64 mod 16, committed
@@ -3765,6 +3788,17 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n_orders,
          |       ${dsumSql("o_totalprice")} AS total_price
          |FROM orders GROUP BY o_orderstatus""").stripMargin,
+
+    "lake14_history" -> // every version's exact row count re-derived
+      // from the source filters that built it
+      ("""SELECT CAST(1 AS BIGINT) AS version, 'create' AS operation,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 2 = 0) AS n_rows
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), 'append',
+         |       (SELECT CAST(count(*) AS BIGINT) FROM orders)
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), 'delete',
+         |       (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE NOT (o_totalprice < 50000.0))""").stripMargin,
 
     "lake12_bucket_transform" -> // the transform-pruned point probe must
       // equal the plain IN-probe (hidden partitioning is an

