@@ -96,6 +96,51 @@ object SparkEntry {
          |       replace(trim(seq, chr(31)), chr(31)||chr(31), '.') AS segmentation
          |FROM v$k""".stripMargin
 
+  /** The txt18 oracle: WordPiece rounds — BPE's replace machinery with
+    * likelihood scoring replayed per round (pair freqs + CURRENT symbol
+    * counts + the exact fixed-point score, HUGEINT-widened so nothing
+    * overflows, truncating // = Spark's div). */
+  private def wordpieceSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      // AS MATERIALIZED: each round's symbol table is consumed by BOTH
+      // p$i and s$i, and each v$i by two successors — default CTE
+      // inlining would expand the chain 3^k times (k=8 ran out of file
+      // handles re-opening the parquet); materialization keeps the
+      // replay linear, same as Spark's per-round checkpoints
+      s"""t$i AS MATERIALIZED (
+         |  SELECT word, string_split(trim(seq, chr(31)), chr(31)||chr(31)) AS syms, w
+         |  FROM v${i - 1}
+         |), p$i AS (
+         |  SELECT syms[j] AS lhs, syms[j+1] AS rhs, CAST(sum(w) AS BIGINT) AS freq
+         |  FROM (SELECT syms, w, unnest(range(1, len(syms))) AS j FROM t$i)
+         |  GROUP BY 1, 2
+         |), s$i AS (
+         |  SELECT sym, CAST(sum(w) AS BIGINT) AS c
+         |  FROM (SELECT unnest(syms) AS sym, w FROM t$i) GROUP BY 1
+         |), b$i AS (
+         |  SELECT lhs, rhs, freq,
+         |         CAST(CAST(freq AS HUGEINT) * 1000000000000 // (sl.c * sr.c) AS BIGINT) AS score
+         |  FROM p$i JOIN s$i sl ON p$i.lhs = sl.sym JOIN s$i sr ON p$i.rhs = sr.sym
+         |  ORDER BY score DESC, lhs, rhs LIMIT 1
+         |), v$i AS MATERIALIZED (
+         |  SELECT word, replace(seq, chr(31)||lhs||chr(31)||chr(31)||rhs||chr(31),
+         |                            chr(31)||lhs||rhs||chr(31)) AS seq, w
+         |  FROM v${i - 1}, b$i
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH words AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS w
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE len(word) > 0 GROUP BY 1
+       |), v0 AS MATERIALIZED (
+       |  SELECT word, regexp_replace(word, '(.)', chr(31)||'\\1'||chr(31), 'g') AS seq, w
+       |  FROM words
+       |), $rounds
+       |""".stripMargin + (1 to k).map(i =>
+      s"SELECT CAST($i AS INT) AS merge_rank, lhs, rhs, freq, score FROM b$i")
+      .mkString("\nUNION ALL\n")
+  }
+
   /** The e6/st8 oracle — gaps-and-islands mirror of the built-in
     * session_window (batch and streamed drains answer the same SQL):
     * the merge boundary is INCLUSIVE (an event at exactly last+gap
@@ -2305,6 +2350,14 @@ object SparkEntry {
       // final vocab state
       TextOps.bpeSegment(t(s, dir, "documents"), "text", numMerges = 8)),
 
+    "txt18_wordpiece_learn" -> ((s, dir) =>
+      // WordPiece training (the BERT tokenizer's trainer): BPE's greedy
+      // loop with LIKELIHOOD scoring — freq·10^12 div (count(l)·count(r))
+      // in exact fixed-point, so a rare-but-exclusive pair beats a
+      // frequent pair of common symbols. The oracle replays all 8
+      // rounds including both count tables and the integer score.
+      TextOps.wordpieceLearnMerges(t(s, dir, "documents"), "text", numMerges = 8)),
+
     "txt15_lm_nll" -> ((s, dir) =>
       // CCNet-style LM quality signal, self-trained: corpus bigram model
       // with add-one smoothing, per-doc total negative log-likelihood.
@@ -3656,6 +3709,8 @@ object SparkEntry {
          |FROM latest, a""").stripMargin,
 
     "gr1_pagerank" -> pagerankSql(5),
+
+    "txt18_wordpiece_learn" -> wordpieceSql(8),
 
     "gr2_label_propagation" -> labelPropSql(4),
 

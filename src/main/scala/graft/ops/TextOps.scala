@@ -301,7 +301,23 @@ object TextOps {
     * contract; whitespace-tokenized corpora satisfy it).
     */
   def bpeLearnMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame =
-    bpeTrain(docs, textCol, numMerges)._1
+    bpeTrain(docs, textCol, numMerges)._1.drop("score")
+
+  /** WordPiece merge-rule learning (Schuster & Nakajima 2012 — the BERT
+    * tokenizer's trainer): BPE's greedy loop with LIKELIHOOD scoring —
+    * each round merges the pair maximizing freq(l,r) / (count(l) ·
+    * count(r)) (the pair whose merge most increases corpus likelihood
+    * under a unigram model) instead of raw frequency, so a rare but
+    * EXCLUSIVE pair beats a frequent pair of common symbols. Scoring is
+    * EXACT integer fixed-point: score = freq·10^12 div (count(l) ·
+    * count(r)) — the numerator widens through DECIMAL(38,0) (HUGEINT in
+    * the oracle) so nothing overflows at any corpus size, and the
+    * truncating div is the gr1 cross-engine contract. Ties break
+    * (score, lhs, rhs). Merge application, the separator
+    * representation, and the scale shape are exactly [[bpeLearnMerges]];
+    * the oracle replays every round including both count tables. */
+  def wordpieceLearnMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame =
+    bpeTrain(docs, textCol, numMerges, wordpiece = true)._1
 
   /** The segmentation the learned merges induce: one row per distinct
     * word with its corpus count and its subword split after `numMerges`
@@ -346,7 +362,8 @@ object TextOps {
   }
 
   private def bpeTrain(
-      docs: DataFrame, textCol: String, numMerges: Int): (DataFrame, DataFrame) = {
+      docs: DataFrame, textCol: String, numMerges: Int,
+      wordpiece: Boolean = false): (DataFrame, DataFrame) = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val Sep = "\u001f"
     val spark = docs.sparkSession
@@ -357,24 +374,46 @@ object TextOps {
       .select(col("word"),
         regexp_replace(col("word"), "(.)", Sep + "$1" + Sep).as("seq"), col("w"))
     var vocab = words.localCheckpoint(true)
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
     var rank = 1
     var exhausted = false
     while (rank <= numMerges && !exhausted) {
       val syms = col("__syms")
-      val best = vocab
+      val exploded = vocab
         .select(col("w"), split(trim(col("seq"), Sep), Sep + Sep).as("__syms"))
+      val pairFreqs = exploded
         .filter(size(syms) >= 2)
         .select(col("w"), explode(transform(sequence(lit(1), size(syms) - 1),
           i => struct(element_at(syms, i).as("l"), element_at(syms, i + 1).as("r")))).as("p"))
         .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
         .agg(sum(col("w")).as("freq"))
-        .orderBy(col("freq").desc, col("lhs"), col("rhs"))
-        .limit(1).collect()
+      val best =
+        if (!wordpiece)
+          pairFreqs
+            .withColumn("score", col("freq"))
+            .orderBy(col("freq").desc, col("lhs"), col("rhs"))
+            .limit(1).collect()
+        else {
+          // likelihood scoring consults the CURRENT per-symbol
+          // occurrence counts — single-symbol words included, they
+          // hold count mass
+          val symCounts = exploded
+            .select(explode(col("__syms")).as("sym"), col("w"))
+            .groupBy("sym").agg(sum(col("w")).cast("long").as("c"))
+          pairFreqs
+            .join(symCounts.select(col("sym").as("lhs"), col("c").as("cl")), Seq("lhs"))
+            .join(symCounts.select(col("sym").as("rhs"), col("c").as("cr")), Seq("rhs"))
+            .withColumn("score",
+              expr("CAST((CAST(freq AS DECIMAL(38,0)) * 1000000000000) div (cl * cr) AS BIGINT)"))
+            .orderBy(col("score").desc, col("lhs"), col("rhs"))
+            .select(col("lhs"), col("rhs"), col("freq"), col("score"))
+            .limit(1).collect()
+        }
       if (best.isEmpty) exhausted = true
       else {
-        val (l, r, f) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((rank, l, r, f))
+        val row = best(0)
+        val (l, r) = (row.getAs[String]("lhs"), row.getAs[String]("rhs"))
+        merges += ((rank, l, r, row.getAs[Long]("freq"), row.getAs[Long]("score")))
         vocab = vocab.select(col("word"),
           call_function("replace", col("seq"),
             lit(Sep + l + Sep + Sep + r + Sep), lit(Sep + l + r + Sep)).as("seq"),
@@ -383,7 +422,7 @@ object TextOps {
       }
     }
     import spark.implicits._
-    (merges.toSeq.toDF("merge_rank", "lhs", "rhs", "freq"), vocab)
+    (merges.toSeq.toDF("merge_rank", "lhs", "rhs", "freq", "score"), vocab)
   }
 
   def bigramLmScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -296,6 +296,26 @@ class TextEventOpsSpec extends SparkSpec {
     assert(out(11L) === "z.z.z")
   }
 
+  test("wordpieceLearnMerges: likelihood scoring picks the exclusive pair over the frequent one") {
+    import graft.ops.TextOps
+    // corpus: "ab"×4, "cd"×3, "ac"×5. Symbol counts: a=9, b=4, c=8, d=3.
+    // pair freqs: (a,b)=4, (c,d)=3, (a,c)=5. BPE would merge (a,c)
+    // (max freq); WordPiece scores (·10^12, truncating div):
+    //   (a,b): 4e12/36 = 111111111111
+    //   (c,d): 3e12/24 = 125000000000   <- winner
+    //   (a,c): 5e12/72 =  69444444444
+    val docs = Seq(
+      (1L, "ab ab ab ab cd cd cd"),
+      (2L, "ac ac ac ac ac")
+    ).toDF("doc_id", "text")
+    val m = TextOps.wordpieceLearnMerges(docs, "text", numMerges = 1)
+      .as[(Int, String, String, Long, Long)].collect()
+    assert(m.toSeq === Seq((1, "c", "d", 3L, 125000000000L)))
+    val bpe = TextOps.bpeLearnMerges(docs, "text", numMerges = 1)
+      .as[(Int, String, String, Long)].collect()
+    assert(bpe.toSeq === Seq((1, "a", "c", 5L)), "BPE must still pick raw frequency")
+  }
+
   test("bigramLmScores: hand-computed add-one model on a 3-doc corpus") {
     // tokens: a×3 b×2 c×1 → V=3; c1(a)=3; bigrams: "a b"×2, "a c"×1
     // doc 1,2: -ln((2+1)/(3+3)) = ln 2;  doc 3: -ln((1+1)/(3+3)) = ln 3
