@@ -508,6 +508,23 @@ class ManifestStatsSpec extends SparkSpec {
     assert(kept < total, s"clustered files must still prune after append ($kept/$total)")
   }
 
+  test("bucket-transform pruning survives a RESTORE (spec and virtual stats ride the metadata commit)") {
+    import graft.sources.BucketTransform
+    val root = freshRoot()
+    ManifestTable.create(spark, root, orders.repartition(4))
+    val target = math.max(1L, ManifestTable.tableBytes(spark, root) / 8)
+    ManifestTable.optimizeClusterBy(spark, root,
+      BucketTransform(16, "o_orderkey"), target)
+    val clusteredV = ManifestTable.versions(spark, root).max
+    ManifestTable.overwrite(spark, root, orders.limit(1)) // clustering lost
+    ManifestTable.restore(spark, root, clusteredV)
+    val tip = ManifestTable.versions(spark, root).max
+    assert(ManifestTable.transformsOf(spark, root, tip).nonEmpty,
+      "restore must reinstate the transform spec")
+    val (kept, total) = checkExact(root, col("o_orderkey") === 17L)
+    assert(kept < total, s"restored transform stats must prune ($kept/$total)")
+  }
+
   test("COW merge on a bucket-clustered table rewrites only the probed buckets' files") {
     import graft.sources.BucketTransform
     val root = freshRoot()
