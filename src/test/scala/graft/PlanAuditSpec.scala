@@ -83,6 +83,17 @@ class PlanAuditSpec extends SparkSpec {
       s"unexpected join shape in funnel plan:\n$plan")
   }
 
+  test("LATERAL top-k decorrelates to WindowGroupLimit, not a per-row subquery loop") {
+    // the correlated LIMIT-2 subquery must become the rank-based
+    // group-limit plan (with the partial WindowGroupLimit pushed below
+    // the exchange) — proof Catalyst decorrelated rather than planning
+    // anything per-customer
+    val plan = SparkEntry.queries("q8_lateral_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit in LATERAL plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in LATERAL plan:\n$plan")
+  }
+
   test("per-group cap plans the heap aggregate, not a window sort") {
     graft.functions.NativeExpressions.register(spark)
     val plan = SparkEntry.queries("smp2_per_group_cap")(spark, dir)
