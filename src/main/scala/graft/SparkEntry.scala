@@ -119,7 +119,7 @@ object SparkEntry {
          |  FROM (SELECT unnest(syms) AS sym, w FROM t$i) GROUP BY 1
          |), b$i AS (
          |  SELECT lhs, rhs, freq,
-         |         CAST(CAST(freq AS HUGEINT) * 1000000000000 // (sl.c * sr.c) AS BIGINT) AS score
+         |         CAST(CAST(freq AS HUGEINT) * 1000000000000 // (CAST(sl.c AS HUGEINT) * sr.c) AS BIGINT) AS score
          |  FROM p$i JOIN s$i sl ON p$i.lhs = sl.sym JOIN s$i sr ON p$i.rhs = sr.sym
          |  ORDER BY score DESC, lhs, rhs LIMIT 1
          |), v$i AS MATERIALIZED (
@@ -2172,9 +2172,9 @@ object SparkEntry {
 
     "dd9_semdedup" -> ((s, dir) =>
       // SemDeDup (Abbas et al. 2023): semantic clusters bound the
-      // quadratic near-dup comparison — nearest-SEED assignment (seed
-      // count scales as N div 16, so expected cluster size stays
-      // constant as the corpus grows) + within-cluster cosine ≥ 0.4
+      // quadratic near-dup comparison — nearest-SEED assignment against
+      // ~sqrt(N) hash-thresholded seeds (O(N^1.5) total across both
+      // stages, sqrt(N)-row broadcast) + within-cluster cosine ≥ 0.4
       // pairs, greedy min-id retention. Per-cluster audit summary is
       // the face; the whole pipeline, clustering included, replays in
       // the oracle (no k-means goldens needed).
@@ -3693,9 +3693,9 @@ object SparkEntry {
          |       epoch_us(t_purchase) - epoch_us(t_view) AS funnel_micros
          |FROM s3""").stripMargin,
 
-    "q7_freshness" -> // staleness re-derived in integer minutes against
-      // the deterministic anchor (table-wide max ts); thresholds replay
-      // the when().otherwise chain
+    "q7_freshness" -> // display staleness floored to integer minutes;
+      // the VERDICT compares un-floored micros strictly-greater against
+      // the thresholds (dbt's rule: exactly warn_after old still passes)
       ("""WITH latest AS (
          |  SELECT event_type, max(ts) AS latest_ts FROM events GROUP BY 1
          |), a AS (
@@ -3703,8 +3703,8 @@ object SparkEntry {
          |)
          |SELECT event_type, latest_ts,
          |       (epoch_us(anchor) - epoch_us(latest_ts)) // 60000000 AS staleness_minutes,
-         |       CASE WHEN (epoch_us(anchor) - epoch_us(latest_ts)) // 60000000 < 15 THEN 'pass'
-         |            WHEN (epoch_us(anchor) - epoch_us(latest_ts)) // 60000000 < 60 THEN 'warn'
+         |       CASE WHEN epoch_us(anchor) - epoch_us(latest_ts) <= CAST(15 AS BIGINT) * 60000000 THEN 'pass'
+         |            WHEN epoch_us(anchor) - epoch_us(latest_ts) <= CAST(60 AS BIGINT) * 60000000 THEN 'warn'
          |            ELSE 'error' END AS freshness_status
          |FROM latest, a""").stripMargin,
 
@@ -3736,16 +3736,23 @@ object SparkEntry {
          |SELECT r.doc_id, r.lang
          |FROM ranked r JOIN q USING (lang) WHERE r.rk <= q.n_keep""").stripMargin,
 
-    "dd9_semdedup" -> // the WHOLE SemDeDup pipeline replayed: seed set
-      // (greatest(8, N div 16) smallest ids), nearest-seed assignment
-      // at round-6 cosine with smaller-seed tie-break, within-cluster
-      // round-4 cosine pairs, greedy min-id removal
+    "dd9_semdedup" -> // the WHOLE SemDeDup pipeline replayed: ~sqrt(N)
+      // Knuth-hash-thresholded seeds (min-id always in), nearest-seed
+      // assignment at round-6 cosine with smaller-seed tie-break,
+      // within-cluster round-4 cosine pairs, greedy min-id removal
       ("""WITH nn AS (
-         |  SELECT greatest(8, count(*) // 16) AS k FROM embeddings
+         |  SELECT count(*) AS n,
+         |         greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k,
+         |         CAST(min(vec_id) AS BIGINT) AS min_id
+         |  FROM embeddings
+         |), thr AS (
+         |  SELECT min_id, CAST(CAST(k AS HUGEINT) * 4294967296 // n AS BIGINT) AS thr FROM nn
          |), e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
          |), seeds AS (
-         |  SELECT vec_id AS seed_id, v AS sv FROM e, nn WHERE vec_id < nn.k
+         |  SELECT vec_id AS seed_id, v AS sv FROM e, thr
+         |  WHERE ((vec_id % 2147483648) * 2654435761) % 4294967296 < thr
+         |     OR vec_id = min_id
          |), scored AS (
          |  SELECT e.vec_id, s.seed_id,
          |         round(list_inner_product(e.v, s.sv) /

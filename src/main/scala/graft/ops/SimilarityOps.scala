@@ -490,13 +490,22 @@ object SimilarityOps {
     * O(N²/k) and embarrassingly parallel per cluster.
     *
     * The paper clusters with k-means; here assignment is nearest-SEED —
-    * one cosine pass against `max(8, N div 16)` deterministic seed
-    * vectors (the smallest ids, the positional-sample convention) — so
-    * the WHOLE pipeline, clustering included, replays exactly in the
-    * DuckDB oracle (a k-means fit would make assignments goldens; a
-    * seed rule makes them derivable — ann3 vs ann5 all over again).
-    * Seed count scales with N, keeping expected cluster size — and with
-    * it the per-cluster pair work — constant as the corpus grows.
+    * one cosine pass against ~`max(8, ceil(sqrt(N)))` deterministic
+    * seed vectors — so the WHOLE pipeline, clustering included, replays
+    * exactly in the DuckDB oracle (a k-means fit would make assignments
+    * goldens; a seed rule makes them derivable — ann3 vs ann5 all over
+    * again). Seeds are chosen by a Knuth-multiplicative-hash threshold
+    * on the id (`hash(id) < k·2^32 div N`), NOT by id rank: the rule
+    * holds on any id distribution (sparse, offset, filtered upstream),
+    * costs a pure filter (no global sort), and the min-id vector is
+    * always included so the seed set is never empty. Seed count ∝ √N
+    * balances the two stages — assignment is O(N·√N) cosines against a
+    * √N-row broadcast (linear broadcast growth per 10× corpus growth),
+    * and expected cluster size √N makes the within-cluster pair stage
+    * O(N^1.5) total, sharded across clusters by the cluster-key join.
+    * The earlier N/16 seed rule kept clusters constant-size but made
+    * assignment itself O(N²/16) with an unbounded broadcast — the
+    * quadratic just moved one stage earlier.
     *
     * Determinism: similarities round to 6dp (assignment) / 4dp (dedup
     * threshold, the cn1/cn2 convention) before any compare; assignment
@@ -505,8 +514,17 @@ object SimilarityOps {
     */
   private def semanticAssign(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     graft.functions.NativeExpressions.register(emb.sparkSession)
-    val k1 = emb.agg(greatest(lit(8L), expr("count(*) div 16")).as("k"))
-    val seeds = emb.crossJoin(broadcast(k1)).filter(col(idCol) < col("k"))
+    val k1 = emb.agg(
+      count(lit(1)).as("n"),
+      greatest(lit(8L), ceil(sqrt(count(lit(1)))).cast("long")).as("k"),
+      min(col(idCol)).cast("long").as("min_id"))
+      // threshold widened through DECIMAL(38,0): k·2^32 overflows int64
+      // only at astronomically large k, but the widening is free
+      .select(col("min_id"),
+        expr("CAST((CAST(k AS DECIMAL(38,0)) * 4294967296) div n AS BIGINT)").as("thr"))
+    val seeds = emb.crossJoin(broadcast(k1))
+      .filter(expr(s"(($idCol % 2147483648) * 2654435761) % 4294967296").cast("long") < col("thr")
+        || col(idCol) === col("min_id"))
       .select(col(idCol).as("seed_id"), col(vecCol).as("seed_vec"))
     emb.select(col(idCol).as("vid"), col(vecCol).as("vec"))
       .crossJoin(broadcast(seeds))

@@ -404,7 +404,11 @@ object TextOps {
             .join(symCounts.select(col("sym").as("lhs"), col("c").as("cl")), Seq("lhs"))
             .join(symCounts.select(col("sym").as("rhs"), col("c").as("cr")), Seq("rhs"))
             .withColumn("score",
-              expr("CAST((CAST(freq AS DECIMAL(38,0)) * 1000000000000) div (cl * cr) AS BIGINT)"))
+              // denominator widened too: cl*cr as BIGINT*BIGINT wraps
+              // silently in non-ANSI mode once two symbol counts'
+              // product exceeds 2^63 (two ~3e9-count symbols at web
+              // scale) — DECIMAL(38,0)*BIGINT holds any int64 pair
+              expr("CAST((CAST(freq AS DECIMAL(38,0)) * 1000000000000) div (CAST(cl AS DECIMAL(38,0)) * cr) AS BIGINT)"))
             .orderBy(col("score").desc, col("lhs"), col("rhs"))
             .select(col("lhs"), col("rhs"), col("freq"), col("score"))
             .limit(1).collect()

@@ -51,10 +51,16 @@ object Checks {
     * pass/warn/error verdict. The anchor defaults to the newest
     * timestamp in the whole table, so the check is deterministic and
     * replayable; production callers pass the wall clock as `anchor`.
-    * Staleness is exact integer minutes (floor of the microsecond
-    * difference), so the threshold compare has no float rounding
-    * anywhere. One hash aggregate + a 1-row broadcast — the check costs
-    * one scan however many groups there are.
+    * The verdict compares the UN-FLOORED microsecond staleness
+    * strictly-greater against the thresholds — dbt's rule: a source
+    * exactly `warn_after` old still passes, it warns only strictly
+    * after (flooring to minutes first would have warned a
+    * boundary-age source a full minute early). The reported
+    * `staleness_minutes` column is still floored integer minutes for
+    * display; only the verdict uses microseconds, so the compare has
+    * no float rounding anywhere. One hash aggregate + a 1-row
+    * broadcast — the check costs one scan however many groups there
+    * are.
     */
   def sourceFreshness(
       df: DataFrame,
@@ -71,13 +77,14 @@ object Checks {
       case None => latest.crossJoin(broadcast(df.agg(max(col(tsCol)).as("__anchor"))))
     }
     withAnchor
-      .withColumn("staleness_minutes",
-        expr("(unix_micros(__anchor) - unix_micros(latest_ts)) div 60000000"))
+      .withColumn("__stale_us",
+        expr("unix_micros(__anchor) - unix_micros(latest_ts)"))
+      .withColumn("staleness_minutes", expr("__stale_us div 60000000"))
       .withColumn("freshness_status",
-        when(col("staleness_minutes") < warnAfterMinutes, "pass")
-          .when(col("staleness_minutes") < errorAfterMinutes, "warn")
+        when(col("__stale_us") <= lit(warnAfterMinutes * 60000000L), "pass")
+          .when(col("__stale_us") <= lit(errorAfterMinutes * 60000000L), "warn")
           .otherwise("error"))
-      .drop("__anchor")
+      .drop("__anchor", "__stale_us")
   }
 
   /** A named check bound to a relation, for declarative suites. */

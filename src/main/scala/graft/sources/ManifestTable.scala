@@ -660,8 +660,16 @@ object ManifestTable {
     val tipFiles = manifestFiles(spark, root, vs.max)
     val tipSchema = schemaOf(spark, root, vs.max)
     val schemaJson = tipSchema.map(_.json)
+    // ANALYZE carries the transform spec forward in meta, so it must
+    // also recompute the VIRTUAL column stats that spec prunes on —
+    // the wholesale stats replacement would otherwise silently strip
+    // bucket pruning from a transform-clustered table (keep-biased, so
+    // correct but no longer skippable)
+    val tipTransforms = transformsOf(spark, root, vs.max)
+      .filter(t => tipSchema.forall(_.fieldNames.contains(t.sourceCol)))
     val stats = ManifestStats.collect(spark, root, tipFiles, statsColumns, bloomColumns,
-      schema = tipSchema)
+      schema = tipSchema,
+      virtualCols = tipTransforms.map(t => t.name -> t.expr))
     commit(spark, root, "analyze", Seq.empty,
       tip => manifestFiles(spark, root, tip),
       tip => manifestMeta(spark, root, tip).filter(_._1 == TransformsKey) ++

@@ -96,7 +96,11 @@ object PartitionTransform {
 
   def parse(s: String): Option[PartitionTransform] = s.split(":", 3) match {
     case Array("bucket", n, c) =>
-      Some(BucketTransform(n.toInt, URLDecoder.decode(c, StandardCharsets.UTF_8)))
+      // malformed counts ("bucket:x:.." / "bucket:0:..") degrade to
+      // no-pruning like unknown kinds do — a corrupt meta line must
+      // never make every read of the table throw
+      n.toIntOption.filter(_ > 0)
+        .map(BucketTransform(_, URLDecoder.decode(c, StandardCharsets.UTF_8)))
     case _ => None // unknown transform kinds from a future writer: ignore, keep-biased
   }
 

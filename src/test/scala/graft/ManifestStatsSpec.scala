@@ -541,4 +541,28 @@ class ManifestStatsSpec extends SparkSpec {
       .filter(col("o_orderkey") === 17L).select("o_orderstatus").as[String].collect()
     assert(updated.toSeq === Seq("X"))
   }
+
+  test("ANALYZE on a transform-clustered table recomputes virtual stats — bucket pruning survives") {
+    import graft.sources.BucketTransform
+    val root = freshRoot()
+    ManifestTable.create(spark, root, orders.repartition(4))
+    val target = math.max(1L, ManifestTable.tableBytes(spark, root) / 8)
+    ManifestTable.optimizeClusterBy(spark, root,
+      BucketTransform(16, "o_orderkey"), target)
+    // ANALYZE replaces every file's stats wholesale; the transform spec
+    // it carries forward is only useful if the virtual bucket column is
+    // re-collected in the same pass
+    ManifestTable.analyze(spark, root, statsColumns = Seq("o_totalprice"))
+    val (kept, total) = checkExact(root, col("o_orderkey") === 17L)
+    assert(kept < total, s"bucket pruning must survive ANALYZE ($kept/$total)")
+  }
+
+  test("malformed transform spec lines degrade to no-pruning, never throw") {
+    import graft.sources.PartitionTransform
+    assert(PartitionTransform.parse("bucket:x:col").isEmpty)
+    assert(PartitionTransform.parse("bucket:0:col").isEmpty)
+    assert(PartitionTransform.parse("bucket:-4:col").isEmpty)
+    assert(PartitionTransform.parse("truncate:8:col").isEmpty) // future kind
+    assert(PartitionTransform.parse("bucket:16:col").nonEmpty)
+  }
 }

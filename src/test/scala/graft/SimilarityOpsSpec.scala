@@ -168,16 +168,23 @@ class SimilarityOpsSpec extends SparkSpec {
 
   test("semanticDedup: planted duplicate removed within its cluster; assignment ties break to smaller seed") {
     import spark.implicits._
-    // 8 seeds (ids 0-7, the N div 16 floor): the ± one-hot directions of
-    // R^4 — pairwise cosine 0, -1, so every seed clusters to itself.
-    val seeds = (0 until 4).map { d =>
-      (d.toLong, Array.tabulate(4)(i => if (i == d) 1f else 0f))
-    } ++ (0 until 4).map { d =>
-      ((d + 4).toLong, Array.tabulate(4)(i => if (i == d) -1f else 0f))
-    }
-    val corpus = seeds ++ Seq(
-      (8L, Array(0f, 0f, 2f, 0f)),  // same DIRECTION as seed 2 (cos 1.0) -> duplicate of 2
-      (9L, Array(1f, 1f, 1f, 1f))   // cos 0.5 with seeds 0-3: TIE -> cluster 0; survives at τ=0.6
+    // Seed rule: hash(id) = (id·2654435761) mod 2^32 < k·2^32 div N,
+    // k = max(8, ceil(sqrt(N))). For N=10, ids 0..9: thr=3435973836 and
+    // the seed set is exactly {0,1,2,4,5,6,7,9} — derive it here so the
+    // spec breaks loudly if the rule drifts.
+    val thr = (8L * 4294967296L) / 10L
+    val expectSeeds = (0L to 9L).filter(i => (i * 2654435761L) % 4294967296L < thr || i == 0L)
+    assert(expectSeeds === Seq(0L, 1L, 2L, 4L, 5L, 6L, 7L, 9L))
+    // The 8 seeds carry the ± one-hot directions of R^4 (pairwise
+    // cosine 0 or -1, so every seed clusters to itself); the 2
+    // non-seeds are the planted cases.
+    val dirs = Map(0L -> (0, 1f), 1L -> (1, 1f), 2L -> (2, 1f), 4L -> (0, -1f),
+      5L -> (1, -1f), 6L -> (2, -1f), 7L -> (3, 1f), 9L -> (3, -1f))
+    val corpus = dirs.toSeq.map { case (id, (d, s)) =>
+      (id, Array.tabulate(4)(i => if (i == d) s else 0f))
+    } ++ Seq(
+      (3L, Array(0f, 0f, 3f, 0f)),  // same DIRECTION as seed 2 (cos 1.0) -> duplicate of 2
+      (8L, Array(1f, 1f, 1f, 1f))   // cos 0.5 with seeds 0,1,2,7: TIE -> cluster 0; survives at τ=0.6
     )
     val emb = corpus.toDF("vec_id", "embedding")
     val summary = graft.ops.SimilarityOps
@@ -185,13 +192,30 @@ class SimilarityOpsSpec extends SparkSpec {
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
-    assert(summary(2L) === ((2L, 1L, 1L, 8L)), s"cluster 2 must remove the planted dup: $summary")
-    assert(summary(0L) === ((2L, 0L, 0L, -1L)), s"vec 9 ties to cluster 0 and survives: $summary")
-    (1L to 7L).filter(_ != 2L).foreach(c => assert(summary(c) === ((1L, 0L, 0L, -1L))))
+    assert(summary.keySet === expectSeeds.toSet, s"one cluster per seed: $summary")
+    assert(summary(2L) === ((2L, 1L, 1L, 3L)), s"cluster 2 must remove the planted dup: $summary")
+    assert(summary(0L) === ((2L, 0L, 0L, -1L)), s"vec 8 ties to cluster 0 and survives: $summary")
+    Seq(1L, 4L, 5L, 6L, 7L, 9L).foreach(c => assert(summary(c) === ((1L, 0L, 0L, -1L))))
     val survivors = graft.ops.SimilarityOps
       .semanticDedupSurvivors(emb, "vec_id", "embedding", minCosine = 0.6)
       .select("vec_id").as[Long].collect().toSet
-    assert(survivors === (0L to 9L).toSet - 8L)
+    assert(survivors === (0L to 9L).toSet - 3L)
+  }
+
+  test("semanticDedup: seed rule is id-density-free (offset ids still dedup)") {
+    import spark.implicits._
+    // ids start at 1000 — under the old `id < k` rule the seed set
+    // would be EMPTY and every duplicate silently kept; the hash rule
+    // selects ~k/N of any id population and min-id is always a seed.
+    val emb = ((0 until 40).map { i =>
+      (1000L + i, Array(math.cos(i / 7.0).toFloat, math.sin(i / 7.0).toFloat))
+    } :+ (2000L, Array(math.cos(0.0).toFloat, math.sin(0.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    val survivors = graft.ops.SimilarityOps
+      .semanticDedupSurvivors(emb, "vec_id", "embedding", minCosine = 0.9999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!survivors.contains(2000L), "exact-direction dup of id 1000 must be removed")
+    assert(survivors.contains(1000L))
   }
 
   test("signRandomProjection: hand-derived md5-parity signs, exact sums on exact binary floats") {

@@ -205,6 +205,28 @@ class TextEventOpsSpec extends SparkSpec {
       "a" -> ((0L, "pass")), "b" -> ((29L, "warn")), "c" -> ((180L, "error"))))
   }
 
+  test("sourceFreshness: boundary ages follow dbt's strict-> rule on un-floored micros") {
+    def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    val events = Seq(
+      ("anchor", ts("12:00:00")),
+      ("at_warn", ts("11:45:00")),        // exactly warn_after=15min -> still pass (dbt: strictly after)
+      ("past_warn", ts("11:44:59.999999")), // 1 micro past -> warn, though floor is still 15min
+      ("at_error", ts("11:00:00")),       // exactly error_after=60min -> warn, not error
+      ("past_error", ts("10:59:59.999999")) // 1 micro past -> error
+    ).toDF("src", "ts")
+    val out = graft.quality.Checks.sourceFreshness(
+      events, "src", "ts", warnAfterMinutes = 15, errorAfterMinutes = 60)
+      .select("src", "staleness_minutes", "freshness_status")
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map(
+      "anchor" -> ((0L, "pass")),
+      "at_warn" -> ((15L, "pass")),
+      "past_warn" -> ((15L, "warn")),
+      "at_error" -> ((60L, "warn")),
+      "past_error" -> ((60L, "error"))))
+  }
+
   test("tumblingCounts buckets by hour with flat schema") {
     val events = Seq(
       (1L, 1L, Timestamp.valueOf("2024-01-01 10:15:00"), "click", 2.0, "{}"),
