@@ -2366,6 +2366,15 @@ object SparkEntry {
       // model training AND scoring from the same corpus
       TextOps.bigramLmScores(t(s, dir, "documents"), "doc_id", "text")),
 
+    "txt19_trigram_backoff" -> ((s, dir) =>
+      // trigram LM with stupid backoff (Brants et al. 2007): model
+      // counted from the Knuth-hash TRAIN split, holdout docs scored —
+      // unseen trigrams genuinely back off through bigram to add-one
+      // unigram, α=0.4 with a pinned expression tree. 6dp-rounded terms
+      // summed as exact DECIMAL; the oracle replays split, counts, and
+      // the full backoff CASE.
+      TextOps.trigramBackoffScores(t(s, dir, "documents"), "doc_id", "text")),
+
     "smp1_hash_split" -> ((s, dir) =>
       // deterministic train/holdout assignment; aggregated so the split
       // FRACTIONS are what the oracle checks (the per-row assignment is a
@@ -3997,6 +4006,56 @@ object SparkEntry {
          |                     AS DECIMAL(18,6))) AS DOUBLE) AS nll
          |FROM big JOIN c2 USING (bg) JOIN c1 ON big.w1 = c1.w CROSS JOIN voc
          |GROUP BY big.doc_id""").stripMargin,
+
+    "txt19_trigram_backoff" -> // split, counts, and the three-way
+      // backoff CASE replayed; the α·(α·(ratio)) nesting matches the
+      // engine's pinned double expression tree
+      ("""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |         ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 80 AS is_train
+         |  FROM documents
+         |), tr AS (
+         |  SELECT toks FROM w WHERE is_train
+         |), uni AS (
+         |  SELECT unnest(toks) AS tok FROM tr
+         |), c1 AS (
+         |  SELECT tok AS wd, count(*) AS c1 FROM uni GROUP BY 1
+         |), nv AS (
+         |  SELECT count(*) AS n_tokens, count(DISTINCT tok) AS v FROM uni
+         |), c2 AS (
+         |  SELECT array_to_string(toks[i:i+1], ' ') AS bg, count(*) AS c2
+         |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tr) GROUP BY 1
+         |), c3 AS (
+         |  SELECT array_to_string(toks[i:i+2], ' ') AS tg, count(*) AS c3
+         |  FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS i FROM tr) GROUP BY 1
+         |), occ AS (
+         |  SELECT doc_id,
+         |         array_to_string(toks[i:i+2], ' ') AS tg,
+         |         array_to_string(toks[i:i+1], ' ') AS ctx2,
+         |         array_to_string(toks[i+1:i+2], ' ') AS bg23,
+         |         toks[i+1] AS w2, toks[i+2] AS w3
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+         |        FROM w WHERE NOT is_train)
+         |), scored AS (
+         |  SELECT occ.doc_id,
+         |         CASE WHEN c3.c3 IS NOT NULL
+         |                THEN CAST(c3.c3 AS DOUBLE) / CAST(cx.c2 AS DOUBLE)
+         |              WHEN b23.c2 IS NOT NULL
+         |                THEN CAST(0.4 AS DOUBLE) * (CAST(b23.c2 AS DOUBLE) / CAST(k2.c1 AS DOUBLE))
+         |              ELSE CAST(0.4 AS DOUBLE) * (CAST(0.4 AS DOUBLE) *
+         |                (CAST(coalesce(k3.c1, 0) + 1 AS DOUBLE) / CAST(nv.n_tokens + nv.v AS DOUBLE)))
+         |         END AS s
+         |  FROM occ
+         |  LEFT JOIN c3 ON occ.tg = c3.tg
+         |  LEFT JOIN c2 cx ON occ.ctx2 = cx.bg
+         |  LEFT JOIN c2 b23 ON occ.bg23 = b23.bg
+         |  LEFT JOIN c1 k2 ON occ.w2 = k2.wd
+         |  LEFT JOIN c1 k3 ON occ.w3 = k3.wd
+         |  CROSS JOIN nv
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |       CAST(sum(CAST(round(-ln(s), 6) AS DECIMAL(18,6))) AS DOUBLE) AS nll
+         |FROM scored GROUP BY doc_id""").stripMargin,
 
     "smp1_hash_split" -> // same Knuth multiplicative hash, plain BIGINT ops
       ("""SELECT

@@ -457,4 +457,81 @@ object TextOps {
         sum(round(term, 6).cast(org.apache.spark.sql.types.DecimalType(18, 6)))
           .cast("double").as("nll"))
   }
+
+  /** Trigram LM with "stupid backoff" (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the web-scale scheme:
+    * unnormalized relative frequencies with a constant backoff factor,
+    * no discounting to tune): per held-out document, the total negative
+    * log-score under a model counted from the TRAIN split of the same
+    * corpus. Splitting matters: txt15 trains and scores on the same
+    * rows, so every observed n-gram has count ≥ 1 and backoff would be
+    * dead code — here the model comes from the Knuth-hash train
+    * partition (smp1's split rule, so the split replays exactly) and
+    * only holdout docs are scored, where unseen trigrams genuinely back
+    * off. Scoring per trigram position (w1 w2 w3):
+    *   S = c3(w1w2w3)/c2(w1w2)                 when the trigram was seen
+    *     | α·(c2(w2w3)/c1(w2))                 else, when the bigram was
+    *     |                                     seen (its context w2
+    *     |                                     necessarily was too)
+    *     | α·(α·((c1(w3)+1)/(N+V)))            else — add-one smoothed
+    *                                           unigram so OOV words stay
+    *                                           finite (txt15 convention)
+    * with α = 0.4, the paper's constant. Expression nesting is pinned
+    * (α·(α·(ratio))) because double multiplication is not associative —
+    * the oracle replays the same tree. Terms round to 6dp and sum as
+    * exact DECIMAL (the ExactSums/txt15 contract: order-independent
+    * reduce, identical decimals cast to identical doubles).
+    *
+    * Scale: count tables are n-gram-VOCABULARY-sized, built with
+    * map-side-combined aggregates; scoring is five co-partitioned hash
+    * joins on gram keys (no broadcast of anything corpus-sized — only
+    * the 1-row (N, V) frame). Work is O(tokens), shuffle O(gram types).
+    */
+  def trigramBackoffScores(docs: DataFrame, idCol: String, textCol: String,
+      trainPct: Int = 80, alpha: Double = 0.4): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, "trainPct must split both ways")
+    val tk = col("__toks")
+    val withToks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"),
+      (expr(s"(($idCol % 2147483648) * 2654435761) % 4294967296 % 100") < trainPct).as("__tr"))
+    val train = withToks.filter(col("__tr"))
+    val uni = train.select(explode(tk).as("w"))
+    val c1 = uni.groupBy("w").agg(count(lit(1)).as("c1"))
+    val nv = uni.agg(count(lit(1)).as("n_tokens"), countDistinct(col("w")).as("v"))
+    val c2 = train.filter(size(tk) >= 2)
+      .select(explode(transform(sequence(lit(1), size(tk) - 1),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1)))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c3 = train.filter(size(tk) >= 3)
+      .select(explode(transform(sequence(lit(1), size(tk) - 2),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))).as("tg"))
+      .groupBy("tg").agg(count(lit(1)).as("c3"))
+    val occ = withToks.filter(!col("__tr")).filter(size(tk) >= 3)
+      .select(col(idCol), explode(transform(sequence(lit(1), size(tk) - 2), i =>
+        struct(
+          concat_ws(" ", element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)).as("tg"),
+          concat_ws(" ", element_at(tk, i), element_at(tk, i + 1)).as("ctx2"),
+          concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2)).as("bg23"),
+          element_at(tk, i + 1).as("w2"),
+          element_at(tk, i + 2).as("w3")))).as("g"))
+      .select(col(idCol), col("g.tg").as("tg"), col("g.ctx2").as("ctx2"),
+        col("g.bg23").as("bg23"), col("g.w2").as("w2"), col("g.w3").as("w3"))
+    val joined = occ
+      .join(c3.select(col("tg").as("__tg"), col("c3")), col("tg") === col("__tg"), "left")
+      .join(c2.select(col("bg").as("__ctx2"), col("c2").as("c2ctx")), col("ctx2") === col("__ctx2"), "left")
+      .join(c2.select(col("bg").as("__bg23"), col("c2").as("c2_23")), col("bg23") === col("__bg23"), "left")
+      .join(c1.select(col("w").as("__w2"), col("c1").as("c1_2")), col("w2") === col("__w2"), "left")
+      .join(c1.select(col("w").as("__w3"), col("c1").as("c1_3")), col("w3") === col("__w3"), "left")
+      .crossJoin(broadcast(nv))
+    val s = when(col("c3").isNotNull,
+        col("c3").cast("double") / col("c2ctx").cast("double"))
+      .when(col("c2_23").isNotNull,
+        lit(alpha) * (col("c2_23").cast("double") / col("c1_2").cast("double")))
+      .otherwise(lit(alpha) * (lit(alpha) *
+        ((coalesce(col("c1_3"), lit(0L)) + 1).cast("double") /
+          (col("n_tokens") + col("v")).cast("double"))))
+    joined.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(round(-log(s), 6).cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("nll"))
+  }
 }

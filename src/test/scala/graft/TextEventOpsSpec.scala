@@ -205,6 +205,32 @@ class TextEventOpsSpec extends SparkSpec {
       "a" -> ((0L, "pass")), "b" -> ((29L, "warn")), "c" -> ((180L, "error"))))
   }
 
+  test("trigramBackoffScores: hand-computed backoff through all three tiers") {
+    // Knuth-hash split at 80: ids 0,1,2 land in train, 3 and 11 in
+    // holdout (hash%100 = 87 and 95 — derived below so drift is loud)
+    def h(id: Long) = ((id % 2147483648L) * 2654435761L) % 4294967296L % 100L
+    assert(Seq(0L, 1L, 2L).forall(h(_) < 80) && h(3L) === 87L && h(11L) === 95L)
+    val docs = Seq(
+      (0L, "a b c"),   // train: c3("a b c")=1
+      (1L, "b c d"),   // train: c3("b c d")=1; c2("b c")=2
+      (2L, "d e"),     // train: c2("d e")=1
+      (3L, "a b c d e z"), // holdout: 4 trigram positions
+      (11L, "x y")     // holdout, <3 tokens -> absent
+    ).toDF("doc_id", "text")
+    // train counts: c1 a=1 b=2 c=2 d=2 e=1, N=8, V=5
+    // pos1 (a,b,c): seen trigram, ctx "a b"=1 -> S=1
+    // pos2 (b,c,d): seen trigram, ctx "b c"=2 -> S=1/2
+    // pos3 (c,d,e): unseen tri; bigram "d e"=1, c1(d)=2 -> S=0.4*(1/2)
+    // pos4 (d,e,z): unseen tri and bigram; OOV z -> S=0.4*(0.4*(1/13))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expected = (r6(-math.log(1.0)) + r6(-math.log(0.5)) +
+      r6(-math.log(0.4 * (1.0 / 2))) + r6(-math.log(0.4 * (0.4 * (1.0 / 13))))).toDouble
+    val out = graft.ops.TextOps
+      .trigramBackoffScores(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq === Seq((3L, 4L, expected)))
+  }
+
   test("sourceFreshness: boundary ages follow dbt's strict-> rule on un-floored micros") {
     def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
     val events = Seq(
