@@ -2268,6 +2268,46 @@ object SparkEntry {
         .toDF("version", "operation", "n_rows")
     }),
 
+    "lake15_column_mapping" -> ((s, dir) => {
+      // metadata-only column RENAME (Delta's column mapping): v1 = even
+      // orders with key stats, v2/v3 = rename o_orderkey→order_id and
+      // o_totalprice→total_price (zero files staged — pinned into the
+      // face), v4 = append the odd orders under the NEW logical names
+      // (staged back to physical, so files stay homogeneous). The read
+      // serves the full table under logical names, and a point probe on
+      // the renamed key still prunes through the stats committed under
+      // the physical name before the rename existed.
+      val root = java.nio.file.Files.createTempDirectory("lake15_colmap")
+      val orders = t(s, dir, "orders")
+      graft.sources.ManifestTable.create(s, root.toString,
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(4, col("o_orderkey")),
+        statsColumns = Seq("o_orderkey"))
+      val filesV1 = graft.sources.ManifestTable.manifestFiles(s, root.toString, 1L)
+      graft.sources.ManifestTable.renameColumn(s, root.toString, "o_orderkey", "order_id")
+      graft.sources.ManifestTable.renameColumn(s, root.toString, "o_totalprice", "total_price")
+      val metadataOnly =
+        graft.sources.ManifestTable.manifestFiles(s, root.toString, 3L) == filesV1
+      graft.sources.ManifestTable.append(s, root.toString,
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .withColumnRenamed("o_orderkey", "order_id")
+          .withColumnRenamed("o_totalprice", "total_price")
+          .repartitionByRange(4, col("order_id")),
+        statsColumns = Seq("order_id"))
+      val (_, dropped, _) = graft.sources.ManifestTable.pruneFiles(
+        s, root.toString, col("order_id") === 16L)
+      graft.sources.ManifestTable.read(s, root.toString)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          dsum(col("total_price")).as("total_price"),
+          min(col("order_id")).as("min_order"),
+          max(col("order_id")).as("max_order"))
+        .select(lit(metadataOnly).as("rename_metadata_only"),
+          lit(dropped.nonEmpty).as("pruned_after_rename"),
+          col("o_orderstatus"), col("n_orders"), col("total_price"),
+          col("min_order"), col("max_order"))
+    }),
+
     "lake12_bucket_transform" -> ((s, dir) => {
       // hidden partitioning (Iceberg bucket transform): orders rewritten
       // CLUSTER BY bucket(16, o_orderkey) — xxhash64 mod 16, committed
@@ -3870,6 +3910,17 @@ object SparkEntry {
          |UNION ALL
          |SELECT CAST(3 AS BIGINT), 'delete',
          |       (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE NOT (o_totalprice < 50000.0))""").stripMargin,
+
+    "lake15_column_mapping" -> // the mapped table must serve the FULL
+      // content under the new logical names; rename is pinned
+      // metadata-only and stats-pruning is pinned alive by the flags
+      (s"""SELECT TRUE AS rename_metadata_only, TRUE AS pruned_after_rename,
+         |       o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price,
+         |       min(o_orderkey) AS min_order,
+         |       max(o_orderkey) AS max_order
+         |FROM orders GROUP BY o_orderstatus""").stripMargin,
 
     "lake12_bucket_transform" -> // the transform-pruned point probe must
       // equal the plain IN-probe (hidden partitioning is an

@@ -456,8 +456,9 @@ object ManifestStats {
       schema: StructType,
       filter: Column,
       stats: Map[String, FileStats],
-      files: Seq[String]): (Seq[String], Seq[String], Seq[String]) = {
-    val cond = analyzedCondition(spark, schema, filter).getOrElse(
+      files: Seq[String],
+      renames: Map[String, String] = Map.empty): (Seq[String], Seq[String], Seq[String]) = {
+    val cond = analyzedCondition(spark, schema, filter, renames).getOrElse(
       return (files, Seq.empty, Seq.empty)) // no filter rows survived analysis: all match
     val full = scala.collection.mutable.Buffer.empty[String]
     val none = scala.collection.mutable.Buffer.empty[String]
@@ -531,12 +532,26 @@ object ManifestStats {
   /** Resolve `filter` against `schema` through the real analyzer (so
     * casts fold, timezones resolve, and names bind exactly as the read
     * itself would). Driver-only; no job runs. */
+  /** Resolve `filter` against `schema` (LOGICAL names) and, when the
+    * table carries a column mapping, rewrite the resolved attributes to
+    * their PHYSICAL names (`renames`: logical → physical) — stats,
+    * blooms, and partition transforms all live in physical space, so
+    * one rewrite here keeps every skipping tier working across
+    * metadata-only renames. */
   private def analyzedCondition(
-      spark: SparkSession, schema: StructType, filter: Column): Option[Expression] =
+      spark: SparkSession, schema: StructType, filter: Column,
+      renames: Map[String, String] = Map.empty): Option[Expression] =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       .filter(filter).queryExecution.analyzed
       .collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+      .map { cond =>
+        if (renames.isEmpty) cond
+        else cond.transform {
+          case a: AttributeReference if renames.contains(a.name) =>
+            a.withName(renames(a.name))
+        }
       }
 
   /** Split the file set for a predicate read: (kept, dropped)
@@ -552,8 +567,9 @@ object ManifestStats {
       filter: Column,
       stats: Map[String, FileStats],
       files: Seq[String],
-      transforms: Seq[PartitionTransform] = Nil): (Seq[String], Seq[String]) = {
-    val cond = analyzedCondition(spark, schema, filter).getOrElse(
+      transforms: Seq[PartitionTransform] = Nil,
+      renames: Map[String, String] = Map.empty): (Seq[String], Seq[String]) = {
+    val cond = analyzedCondition(spark, schema, filter, renames).getOrElse(
       return (files, Seq.empty))
     val conds = cond +: transforms.flatMap(t => PartitionTransform.translate(t, cond))
     files.partition(f => stats.get(f).forall(fs => conds.forall(mayMatch(_, fs))))

@@ -144,10 +144,7 @@ object ManifestTable {
     val schema = schemaOf(spark, root, v)
     val df =
       if (kept.isEmpty) read(spark, root, Some(v)).limit(0) // schema-correct empty
-      else schema match {
-        case Some(s) => spark.read.schema(s).parquet(kept.map(p => s"$root/$p"): _*)
-        case None => spark.read.parquet(kept.map(p => s"$root/$p"): _*)
-      }
+      else readFiles(spark, root, schema, kept)
     df.filter(filter)
   }
 
@@ -165,7 +162,8 @@ object ManifestTable {
       return (files, Seq.empty, v)) // pre-schema log: no sound analysis base
     val (kept, dropped) = ManifestStats.prune(
       spark, schema, filter, fileStats(spark, root, v), files,
-      transforms = transformsOf(spark, root, v))
+      transforms = transformsOf(spark, root, v),
+      renames = columnRenames(schema))
     (kept, dropped, v)
   }
 
@@ -192,8 +190,7 @@ object ManifestTable {
       case (Nil, Some(s)) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
       case (Nil, None) => spark.emptyDataFrame
-      case (fs, Some(s)) => spark.read.schema(s).parquet(fs.map(p => s"$root/$p"): _*)
-      case (fs, None) => spark.read.parquet(fs.map(p => s"$root/$p"): _*)
+      case (fs, s) => readFiles(spark, root, s, fs)
     }
   }
 
@@ -204,6 +201,102 @@ object ManifestTable {
         .asInstanceOf[org.apache.spark.sql.types.StructType])
 
   private val SchemaKey = "schema"
+
+  /** Field-metadata key recording a renamed column's on-disk name —
+    * Delta's column-mapping idea carried inside the committed schema
+    * json, so the mapping rides every commit that carries [[SchemaKey]]
+    * (append, merge, delete, analyze, restore) with no extra meta
+    * plumbing. Fields without the key are unmapped: physical = logical.
+    */
+  private val PhysicalKey = "graft.physical"
+
+  /** On-disk parquet column name of a possibly-renamed field. */
+  private def physName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey) else f.name
+
+  private def hasMapping(s: org.apache.spark.sql.types.StructType): Boolean =
+    s.fields.exists(f => physName(f) != f.name)
+
+  private def physicalSchema(
+      s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(s.fields.map(f => f.copy(name = physName(f))))
+
+  /** logical → physical name map for the RENAMED fields only. */
+  private def columnRenames(s: org.apache.spark.sql.types.StructType): Map[String, String] =
+    s.fields.iterator.map(f => f.name -> physName(f)).filter(p => p._1 != p._2).toMap
+
+  /** Read data files under the LOGICAL names the committed schema
+    * exposes: scan with the physical schema, then alias — a pure
+    * projection, free at any scale. */
+  private def readFiles(spark: SparkSession, root: String,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      paths: Seq[String]): DataFrame = schema match {
+    case Some(s) if hasMapping(s) =>
+      spark.read.schema(physicalSchema(s)).parquet(paths.map(p => s"$root/$p"): _*)
+        .toDF(s.fieldNames.toIndexedSeq: _*)
+    case Some(s) => spark.read.schema(s).parquet(paths.map(p => s"$root/$p"): _*)
+    case None => spark.read.parquet(paths.map(p => s"$root/$p"): _*)
+  }
+
+  /** Rename a LOGICAL-named frame back to physical column names before
+    * staging — data files stay physically homogeneous forever, whatever
+    * rename history the table accumulates. */
+  private def toPhysical(df: DataFrame,
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    schema.filter(hasMapping).fold(df) { s =>
+      columnRenames(s).foldLeft(df) { case (d, (logical, phys)) =>
+        if (d.columns.contains(logical)) d.withColumnRenamed(logical, phys) else d
+      }
+    }
+
+  private def toPhysicalCols(schema: Option[org.apache.spark.sql.types.StructType],
+      cols: Seq[String]): Seq[String] =
+    schema.fold(cols) { s =>
+      val m = columnRenames(s); cols.map(c => m.getOrElse(c, c))
+    }
+
+  /** Metadata-only column RENAME (Delta Lake's column mapping, VLDB 2020
+    * §4; Iceberg achieves the same through field ids): the committed
+    * schema's field takes the new LOGICAL name and records its on-disk
+    * PHYSICAL name in field metadata — zero data files rewrite, one
+    * manifest commit. Reads alias physical→logical after the scan;
+    * writes (append / merge / delete / compact / zorder) alias back
+    * before staging; stats, blooms, and partition transforms stay keyed
+    * by physical names and keep full skipping power, with predicate
+    * attributes rewritten logical→physical at prune time. Renaming back
+    * to the original name drops the mapping entry. Same concurrency
+    * contract as [[merge]]: a racing commit aborts the publish. */
+  def renameColumn(spark: SparkSession, root: String, from: String, to: String): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
+    val v0 = vs.max
+    val schema = schemaOf(spark, root, v0).getOrElse(throw new IllegalArgumentException(
+      s"$root has no committed schema — nothing to rename"))
+    require(from != to, s"rename '$from' to itself is a no-op")
+    require(schema.fieldNames.contains(from),
+      s"no column '$from' in (${schema.fieldNames.mkString(", ")})")
+    require(!schema.fieldNames.contains(to), s"column '$to' already exists")
+    require(!schema.fields.exists(f => f.name != from && physName(f) == to),
+      s"'$to' is the physical name of another column — files would be ambiguous")
+    val renamed = org.apache.spark.sql.types.StructType(schema.fields.map { f =>
+      if (f.name != from) f
+      else {
+        val phys = physName(f)
+        val mb = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+        val md = if (phys == to) mb.remove(PhysicalKey).build() // renamed back to its disk name
+                 else mb.putString(PhysicalKey, phys).build()
+        org.apache.spark.sql.types.StructField(to, f.dataType, f.nullable, md)
+      }
+    })
+    commit(spark, root, "rename_column", Seq.empty,
+      tip => {
+        if (tip != v0) throw new IllegalStateException(
+          s"concurrent modification of $root during rename (planned v$v0, tip v$tip) — re-run")
+        manifestFiles(spark, root, tip)
+      },
+      tip => manifestMeta(spark, root, tip) + (SchemaKey -> renamed.json),
+      tip => fileStats(spark, root, tip))
+  }
 
   /** Widening-only schema merge: common columns must keep their exact
     * type; columns new in `b` append. The table schema only ever widens
@@ -254,12 +347,11 @@ object ManifestTable {
     val df =
       if (added.isEmpty)
         read(spark, root, Some(tip)).limit(0) // empty, but schema-correct
-      else schemaOf(spark, root, tip) match {
+      else
         // the TIP schema, so a delta spanning a widening append reads
-        // the new columns (NULL-backfilled in pre-widening files)
-        case Some(s) => spark.read.schema(s).parquet(added.map(p => s"$root/$p"): _*)
-        case None => spark.read.parquet(added.map(p => s"$root/$p"): _*)
-      }
+        // the new columns (NULL-backfilled in pre-widening files) and a
+        // delta spanning a rename arrives under the tip's logical names
+        readFiles(spark, root, schemaOf(spark, root, tip), added)
     (df, tip)
   }
 
@@ -357,16 +449,30 @@ object ManifestTable {
       statsColumns: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil): Long = {
     val batchSchema = df.schema
-    val staged = stage(spark, root, df)
+    val tipV = versions(spark, root).lastOption
+    val tipSchema = tipV.flatMap(schemaOf(spark, root, _))
+    // batches arrive under LOGICAL names and stage under PHYSICAL ones
+    // (files stay homogeneous across renames); a genuinely-new column
+    // may not shadow a renamed column's on-disk name, or old files
+    // would ambiguously serve both
+    tipSchema.filter(hasMapping).foreach { ts =>
+      val physTaken = ts.fields.map(physName).toSet
+      batchSchema.fieldNames.filterNot(ts.fieldNames.contains).foreach(c =>
+        require(!physTaken.contains(c),
+          s"new column '$c' collides with the physical name of a renamed column"))
+    }
+    val physDf = toPhysical(df, tipSchema)
+    val staged = stage(spark, root, physDf)
     // a transform-clustered table keeps its pruning power across appends:
     // new files get virtual transform stats in the same collect pass (the
     // batch isn't re-clustered — its files may span buckets, which only
     // widens their virtual range, never unsounds it), and the transform
     // spec carries into the new manifest
-    val tipTransforms = versions(spark, root).lastOption
+    val tipTransforms = tipV
       .map(transformsOf(spark, root, _)).getOrElse(Nil)
-      .filter(t => df.columns.contains(t.sourceCol))
-    val newStats = ManifestStats.collect(spark, root, staged, statsColumns, bloomColumns,
+      .filter(t => physDf.columns.contains(t.sourceCol))
+    val newStats = ManifestStats.collect(spark, root, staged,
+      toPhysicalCols(tipSchema, statsColumns), toPhysicalCols(tipSchema, bloomColumns),
       virtualCols = tipTransforms.map(t => t.name -> t.expr))
     commit(spark, root, "append", staged,
       tip => if (tip == 0) Seq.empty else manifestFiles(spark, root, tip),
@@ -446,10 +552,12 @@ object ManifestTable {
     }
     val totalBytes = tipFiles.map(p => f.getFileStatus(new Path(s"$root/$p")).getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tipSchema = versions(spark, root).lastOption.flatMap(schemaOf(spark, root, _))
     val current = read(spark, root)
-    val schemaJson = current.schema.json
-    val staged = stage(spark, root, current.repartition(nFiles))
-    val stats = ManifestStats.collect(spark, root, staged, statsColumns, bloomColumns)
+    val schemaJson = tipSchema.map(_.json).getOrElse(current.schema.json)
+    val staged = stage(spark, root, toPhysical(current.repartition(nFiles), tipSchema))
+    val stats = ManifestStats.collect(spark, root, staged,
+      toPhysicalCols(tipSchema, statsColumns), toPhysicalCols(tipSchema, bloomColumns))
     (commit(spark, root, "compact", staged, _ => Seq.empty,
       _ => Map(SchemaKey -> schemaJson), _ => stats), staged.size)
   }
@@ -497,10 +605,7 @@ object ManifestTable {
     val inPred = keyCol.isin(values.toIndexedSeq: _*)
     val (kept, _, _) = pruneFiles(spark, root, inPred, Some(v))
     if (kept.isEmpty) read(spark, root, Some(v)).limit(0)
-    else schemaOf(spark, root, v) match {
-      case Some(s) => spark.read.schema(s).parquet(kept.map(p => s"$root/$p"): _*)
-      case None => spark.read.parquet(kept.map(p => s"$root/$p"): _*)
-    }
+    else readFiles(spark, root, schemaOf(spark, root, v), kept)
   }
 
   /** What a [[merge]] touched: rewritten vs carried-unchanged file counts
@@ -572,15 +677,13 @@ object ManifestTable {
       }
     val affectedDf =
       if (affected.isEmpty) read(spark, root, Some(v0)).limit(0)
-      else tableSchema match {
-        case Some(s) => spark.read.schema(s).parquet(affected.map(p => s"$root/$p"): _*)
-        case None => spark.read.parquet(affected.map(p => s"$root/$p"): _*)
-      }
+      else readFiles(spark, root, tableSchema, affected)
     val merged = affectedDf
       .join(source.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
       .unionByName(source)
-    val staged = stage(spark, root, merged)
-    val newStats = ManifestStats.collect(spark, root, staged, statsColumns, bloomColumns)
+    val staged = stage(spark, root, toPhysical(merged, tableSchema))
+    val newStats = ManifestStats.collect(spark, root, staged,
+      toPhysicalCols(tableSchema, statsColumns), toPhysicalCols(tableSchema, bloomColumns))
     val version = commit(spark, root, "merge", staged,
       tip => {
         val cur = manifestFiles(spark, root, tip)
@@ -621,17 +724,15 @@ object ManifestTable {
     val survivors =
       if (affected.isEmpty) read(spark, root, Some(v0)).limit(0)
       else {
-        val df = tableSchema match {
-          case Some(s) => spark.read.schema(s).parquet(affected.map(p => s"$root/$p"): _*)
-          case None => spark.read.parquet(affected.map(p => s"$root/$p"): _*)
-        }
+        val df = readFiles(spark, root, tableSchema, affected)
         // NOT(pred IS TRUE): a NULL predicate must keep the row
         df.filter(org.apache.spark.sql.functions.not(
           org.apache.spark.sql.functions.coalesce(predicate,
             org.apache.spark.sql.functions.lit(false))))
       }
-    val staged = stage(spark, root, survivors)
-    val newStats = ManifestStats.collect(spark, root, staged, statsColumns, bloomColumns)
+    val staged = stage(spark, root, toPhysical(survivors, tableSchema))
+    val newStats = ManifestStats.collect(spark, root, staged,
+      toPhysicalCols(tableSchema, statsColumns), toPhysicalCols(tableSchema, bloomColumns))
     val version = commit(spark, root, "delete", staged,
       tip => {
         val cur = manifestFiles(spark, root, tip)
@@ -700,7 +801,8 @@ object ManifestTable {
     val stats = fileStats(spark, root, v)
     val schema = schemaOf(spark, root, v)
     val (full, _, residual) = schema match {
-      case Some(sc) => ManifestStats.splitForCount(spark, sc, filter, stats, files)
+      case Some(sc) => ManifestStats.splitForCount(spark, sc, filter, stats, files,
+        renames = columnRenames(sc))
       case None => (Seq.empty[String], Seq.empty[String], files) // pre-schema: scan all
     }
     // a full-match file without committed stats cannot happen (mustMatch
@@ -708,13 +810,7 @@ object ManifestTable {
     val metaCount = full.map(f => stats(f).rowCount).sum
     val scanned =
       if (residual.isEmpty) 0L
-      else {
-        val df = schema match {
-          case Some(sc) => spark.read.schema(sc).parquet(residual.map(p => s"$root/$p"): _*)
-          case None => spark.read.parquet(residual.map(p => s"$root/$p"): _*)
-        }
-        df.filter(filter).count()
-      }
+      else readFiles(spark, root, schema, residual).filter(filter).count()
     (metaCount + scanned, full.size, residual.size)
   }
 
@@ -748,10 +844,13 @@ object ManifestTable {
     }
     val totalBytes = tipFiles.map(p => f.getFileStatus(new Path(s"$root/$p")).getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tipSchema = versions(spark, root).lastOption.flatMap(schemaOf(spark, root, _))
     val current = read(spark, root)
-    val schemaJson = current.schema.json
-    val staged = stage(spark, root, ZOrder.cluster(current, zCols, nFiles))
-    val stats = ManifestStats.collect(spark, root, staged, zCols, bloomColumns)
+    val schemaJson = tipSchema.map(_.json).getOrElse(current.schema.json)
+    val staged = stage(spark, root,
+      toPhysical(ZOrder.cluster(current, zCols, nFiles), tipSchema))
+    val stats = ManifestStats.collect(spark, root, staged,
+      toPhysicalCols(tipSchema, zCols), toPhysicalCols(tipSchema, bloomColumns))
     (commit(spark, root, "zorder", staged, _ => Seq.empty,
       _ => Map(SchemaKey -> schemaJson), _ => stats), staged.size)
   }
@@ -781,16 +880,23 @@ object ManifestTable {
     }
     val totalBytes = tipFiles.map(p => f.getFileStatus(new Path(s"$root/$p")).getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tipSchema = versions(spark, root).lastOption.flatMap(schemaOf(spark, root, _))
     val current = read(spark, root)
     require(current.columns.contains(transform.sourceCol),
       s"transform column '${transform.sourceCol}' not in table schema ${current.columns.mkString(",")}")
-    val schemaJson = current.schema.json
+    // the caller names the source column LOGICALLY; the committed spec
+    // uses the PHYSICAL name, the space stats and pruning live in (the
+    // prune-time attribute rewrite then lines predicates up with it)
+    val pt = transform.withSourceCol(
+      toPhysicalCols(tipSchema, Seq(transform.sourceCol)).head)
+    val schemaJson = tipSchema.map(_.json).getOrElse(current.schema.json)
     val staged = stage(spark, root,
-      current.repartitionByRange(nFiles, transform.expr))
-    val stats = ManifestStats.collect(spark, root, staged, statsColumns, bloomColumns,
-      virtualCols = Seq(transform.name -> transform.expr))
+      toPhysical(current, tipSchema).repartitionByRange(nFiles, pt.expr))
+    val stats = ManifestStats.collect(spark, root, staged,
+      toPhysicalCols(tipSchema, statsColumns), toPhysicalCols(tipSchema, bloomColumns),
+      virtualCols = Seq(pt.name -> pt.expr))
     (commit(spark, root, "cluster", staged, _ => Seq.empty,
-      _ => Map(SchemaKey -> schemaJson, TransformsKey -> transform.serialized),
+      _ => Map(SchemaKey -> schemaJson, TransformsKey -> pt.serialized),
       _ => stats), staged.size)
   }
 

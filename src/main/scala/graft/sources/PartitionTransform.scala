@@ -58,6 +58,11 @@ sealed trait PartitionTransform {
 
   /** Line-safe manifest rendering; [[PartitionTransform.parse]] inverts. */
   def serialized: String
+
+  /** The same transform over another source column — used to translate
+    * a caller's LOGICAL column name to the PHYSICAL one on a
+    * column-mapped table before the spec is committed. */
+  def withSourceCol(c: String): PartitionTransform
 }
 
 /** `bucket(n)` — xxhash64 (seed 42, Spark's own `xxhash64` function) mod
@@ -90,6 +95,8 @@ final case class BucketTransform(n: Int, sourceCol: String) extends PartitionTra
 
   def serialized: String =
     s"bucket:$n:${URLEncoder.encode(sourceCol, StandardCharsets.UTF_8)}"
+
+  def withSourceCol(c: String): PartitionTransform = copy(sourceCol = c)
 }
 
 object PartitionTransform {

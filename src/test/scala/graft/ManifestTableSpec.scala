@@ -490,4 +490,107 @@ class ManifestTableSpec extends SparkSpec {
         orders.limit(5).withColumn("o_orderkey", lit(null).cast("long")), "o_orderkey")
     }
   }
+
+  test("renameColumn is metadata-only: zero files rewritten, data rides under the new name") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root, orders.repartition(3))
+    val filesBefore = ManifestTable.manifestFiles(spark, root, 1L)
+    val v2 = ManifestTable.renameColumn(spark, root, "o_totalprice", "total_price")
+    assert(v2 === 2L)
+    assert(ManifestTable.manifestFiles(spark, root, v2) === filesBefore,
+      "rename must not stage or drop any data file")
+    val renamed = ManifestTable.read(spark, root)
+    assert(renamed.columns.contains("total_price") && !renamed.columns.contains("o_totalprice"))
+    assert(renamed.withColumnRenamed("total_price", "o_totalprice")
+      .exceptAll(orders).isEmpty, "content must survive the rename byte-for-byte")
+    // time travel still shows the OLD name at the old version
+    assert(ManifestTable.read(spark, root, Some(1L)).columns.contains("o_totalprice"))
+  }
+
+  test("renameColumn keeps stats pruning: predicates on the NEW name skip files via OLD stats") {
+    val root = freshRoot()
+    val sorted = orders.orderBy("o_orderkey").repartitionByRange(4, col("o_orderkey"))
+    ManifestTable.create(spark, root, sorted, statsColumns = Seq("o_orderkey"))
+    ManifestTable.renameColumn(spark, root, "o_orderkey", "order_id")
+    val (kept, dropped, _) = ManifestTable.pruneFiles(spark, root, col("order_id") === 17L)
+    assert(dropped.nonEmpty, s"stats committed under the physical name must still prune (kept=${kept.size})")
+    val rows = ManifestTable.readPruned(spark, root, col("order_id") === 17L).collect()
+    assert(rows.length === 1 && rows(0).getAs[Long]("order_id") === 17L)
+  }
+
+  test("append after rename: logical-named batch stages physically; files stay homogeneous") {
+    val root = freshRoot()
+    val half = orders.filter(col("o_orderkey") < 700L)
+    val rest = orders.filter(col("o_orderkey") >= 700L)
+    ManifestTable.create(spark, root, half, statsColumns = Seq("o_orderkey"))
+    ManifestTable.renameColumn(spark, root, "o_orderkey", "order_id")
+    ManifestTable.append(spark, root,
+      rest.withColumnRenamed("o_orderkey", "order_id"), statsColumns = Seq("order_id"))
+    val all = ManifestTable.read(spark, root)
+    assert(all.count() === orders.count())
+    assert(all.filter(col("order_id").isNull).count() === 0L,
+      "a physically-misnamed appended file would read its keys as NULL")
+    // pruning works across BOTH file generations
+    val (_, dropped, _) = ManifestTable.pruneFiles(spark, root, col("order_id") === 17L)
+    assert(dropped.nonEmpty)
+  }
+
+  test("renameColumn guards: duplicates, missing columns, physical shadowing") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root, orders)
+    ManifestTable.renameColumn(spark, root, "o_orderpriority", "priority")
+    intercept[IllegalArgumentException] {
+      ManifestTable.renameColumn(spark, root, "o_orderstatus", "priority") // logical collision
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.renameColumn(spark, root, "nope", "x") // no such column
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.renameColumn(spark, root, "o_orderstatus", "o_orderpriority") // physical shadow
+    }
+    intercept[IllegalArgumentException] {
+      // a new appended column may not shadow a renamed column's disk name
+      ManifestTable.append(spark, root,
+        ManifestTable.read(spark, root).withColumn("o_orderpriority", lit("x")))
+    }
+    // renaming BACK to the disk name drops the mapping entirely
+    ManifestTable.renameColumn(spark, root, "priority", "o_orderpriority")
+    val s = ManifestTable.schemaOf(spark, root, ManifestTable.versions(spark, root).max).get
+    assert(!s.fields.exists(_.metadata.contains("graft.physical")))
+  }
+
+  test("merge and delete on a renamed key column rewrite the minority and keep the mapping") {
+    val root = freshRoot()
+    val sorted = orders.orderBy("o_orderkey").repartitionByRange(4, col("o_orderkey"))
+    ManifestTable.create(spark, root, sorted, statsColumns = Seq("o_orderkey"))
+    ManifestTable.renameColumn(spark, root, "o_orderkey", "order_id")
+    val src = ManifestTable.read(spark, root).filter(col("order_id") === 17L)
+      .withColumn("o_orderstatus", lit("X"))
+    val (_, mStats) = ManifestTable.merge(spark, root, src, "order_id",
+      statsColumns = Seq("order_id"))
+    assert(mStats.filesUntouched > 0, s"stats must prune the untouched files: $mStats")
+    val upd = ManifestTable.read(spark, root).filter(col("order_id") === 17L)
+      .select("o_orderstatus").collect().map(_.getString(0))
+    assert(upd.toSeq === Seq("X"))
+    val (_, dStats) = ManifestTable.delete(spark, root, col("order_id") === 17L,
+      statsColumns = Seq("order_id"))
+    assert(dStats.filesUntouched > 0)
+    assert(ManifestTable.read(spark, root).filter(col("order_id") === 17L).isEmpty)
+  }
+
+  test("bucket-transform pruning survives a rename of the clustered source column") {
+    import graft.sources.BucketTransform
+    val root = freshRoot()
+    ManifestTable.create(spark, root, orders.repartition(4))
+    val target = math.max(1L, ManifestTable.tableBytes(spark, root) / 8)
+    ManifestTable.optimizeClusterBy(spark, root,
+      BucketTransform(16, "o_orderkey"), target)
+    ManifestTable.renameColumn(spark, root, "o_orderkey", "order_id")
+    // the committed spec names the PHYSICAL column; the prune-time
+    // attribute rewrite maps the logical probe onto it
+    val (kept, dropped, _) = ManifestTable.pruneFiles(spark, root, col("order_id") === 17L)
+    assert(dropped.nonEmpty, s"transform must still prune after rename (kept=${kept.size})")
+    val rows = ManifestTable.readPruned(spark, root, col("order_id") === 17L).collect()
+    assert(rows.length === 1)
+  }
 }
