@@ -141,6 +141,97 @@ object SparkEntry {
       .mkString("\nUNION ALL\n")
   }
 
+  /** The txt20 oracle, generated: unigram-LM (hard-EM) tokenizer
+    * training replayed round by round. The Viterbi DP that Spark runs
+    * as a per-row HOF lambda unrolls here into bounded chained CTEs —
+    * one `b` table per word position (the DP frontier), one `bt` table
+    * per backtrack step — all over the SAME integer state: enc =
+    * pathCost·32 + backpointer, so `min(enc)` is the exact (cost,
+    * smaller-j) tie-break in both engines and no float is ever
+    * compared. Piece costs are CAST(round(-ln(c/total)·1e6) AS BIGINT)
+    * — identical BIGINTs from identical doubles (the txt15 ln
+    * contract). maxWordLen=16, maxPieceLen=4, vocabTarget=200 mirror
+    * TextOps.unigramLearn's defaults. */
+  private def unigramSql(rounds: Int): String = {
+    val P = 4; val L = 16; val K = 200
+    def vPrev(r: Int) = if (r == 1) "v0" else s"v${r - 1}"
+    val roundCtes = (1 to rounds).map { r =>
+      val bTables = (1 to L).map { i =>
+        val js = math.max(0, i - P) until i
+        val prior = js.map(j => s"SELECT word, $j AS j, enc FROM b${r}_$j").mkString(" UNION ALL ")
+        s"""b${r}_$i AS MATERIALIZED (
+           |  SELECT s.word, min((p.enc // 32 + s.cost) * 32 + s.j) AS enc
+           |  FROM sp$r s JOIN ($prior) p ON p.word = s.word AND p.j = s.j
+           |  WHERE s.i = $i
+           |  GROUP BY s.word
+           |)""".stripMargin
+      }.mkString(", ")
+      val ball = (1 to L).map(i => s"SELECT word, $i AS i, enc FROM b${r}_$i").mkString(" UNION ALL ")
+      val btTables = (2 to L).map { k =>
+        s"""bt${r}_$k AS MATERIALIZED (
+           |  SELECT b.word, b.w, b.j AS i, CAST(ba.enc % 32 AS INT) AS j
+           |  FROM bt${r}_${k - 1} b JOIN ball$r ba ON ba.word = b.word AND ba.i = b.j
+           |  WHERE b.j > 0
+           |)""".stripMargin
+      }.mkString(", ")
+      val pieceUnion = (1 to L).map(k =>
+        s"SELECT substr(word, j + 1, i - j) AS piece, w FROM bt${r}_$k").mkString(" UNION ALL ")
+      s"""sp$r AS MATERIALIZED (
+         |  SELECT s.word, s.j, s.i, v.cost FROM (
+         |    SELECT word, j, j + l AS i, substr(word, j + 1, l) AS piece
+         |    FROM (SELECT word, unnest(range(0, len(word))) AS j FROM words)
+         |         CROSS JOIN (SELECT unnest(range(1, ${P + 1})) AS l)
+         |    WHERE j + l <= len(word)) s
+         |  JOIN ${vPrev(r)} v USING (piece)
+         |), b${r}_0 AS (
+         |  SELECT word, CAST(0 AS BIGINT) AS enc FROM words
+         |), $bTables, ball$r AS MATERIALIZED (
+         |  $ball
+         |), bt${r}_1 AS MATERIALIZED (
+         |  SELECT w.word, w.w, len(w.word) AS i, CAST(ba.enc % 32 AS INT) AS j
+         |  FROM words w JOIN ball$r ba ON ba.word = w.word AND ba.i = len(w.word)
+         |), $btTables, used$r AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(w) AS BIGINT) AS c FROM ($pieceUnion) GROUP BY 1
+         |), cnt$r AS MATERIALIZED (
+         |  SELECT ch.piece, greatest(coalesce(u.c, 0), 1) AS c
+         |  FROM chars ch LEFT JOIN used$r u ON ch.piece = u.piece
+         |  UNION ALL
+         |  SELECT piece, c FROM used$r WHERE len(piece) > 1
+         |), keep$r AS MATERIALIZED (
+         |  SELECT piece, c FROM cnt$r WHERE len(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, c FROM (SELECT piece, c FROM cnt$r WHERE len(piece) > 1
+         |                        ORDER BY c DESC, piece LIMIT $K)
+         |), v$r AS MATERIALIZED (
+         |  SELECT piece, c,
+         |         CAST(round(-ln(CAST(c AS DOUBLE) /
+         |              CAST((SELECT sum(c) FROM keep$r) AS DOUBLE)) * 1000000) AS BIGINT) AS cost
+         |  FROM keep$r
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS w
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE len(word) BETWEEN 1 AND $L GROUP BY 1
+       |), sub0 AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(w) AS BIGINT) AS c FROM (
+       |    SELECT substr(word, i, l) AS piece, w
+       |    FROM (SELECT word, w, unnest(range(1, len(word) + 1)) AS i FROM words)
+       |         CROSS JOIN (SELECT unnest(range(1, ${P + 1})) AS l)
+       |    WHERE i + l <= len(word) + 1)
+       |  GROUP BY 1
+       |), chars AS MATERIALIZED (
+       |  SELECT piece FROM sub0 WHERE len(piece) = 1
+       |), v0 AS MATERIALIZED (
+       |  SELECT piece, c,
+       |         CAST(round(-ln(CAST(c AS DOUBLE) /
+       |              CAST((SELECT sum(c) FROM sub0) AS DOUBLE)) * 1000000) AS BIGINT) AS cost
+       |  FROM sub0
+       |), $roundCtes
+       |SELECT piece, c AS n_uses, cost FROM v$rounds
+       |ORDER BY n_uses DESC, piece LIMIT 64""".stripMargin
+  }
+
   /** The e6/st8 oracle — gaps-and-islands mirror of the built-in
     * session_window (batch and streamed drains answer the same SQL):
     * the merge boundary is INCLUSIVE (an event at exactly last+gap
@@ -2398,6 +2489,15 @@ object SparkEntry {
       // rounds including both count tables and the integer score.
       TextOps.wordpieceLearnMerges(t(s, dir, "documents"), "text", numMerges = 8)),
 
+    "txt20_unigram_learn" -> ((s, dir) =>
+      // unigram-LM (SentencePiece-style) tokenizer training, hard-EM:
+      // substring-seeded vocabulary, per-word Viterbi segmentation
+      // under integer fixed-point costs (enc = cost·32 + backpointer,
+      // min = exact tie-break), recount + char-floor + top-K prune per
+      // round. The oracle replays both EM rounds including every DP
+      // frontier as chained CTEs.
+      TextOps.unigramLearn(t(s, dir, "documents"), "text")),
+
     "txt15_lm_nll" -> ((s, dir) =>
       // CCNet-style LM quality signal, self-trained: corpus bigram model
       // with add-one smoothing, per-doc total negative log-likelihood.
@@ -3760,6 +3860,8 @@ object SparkEntry {
     "gr1_pagerank" -> pagerankSql(5),
 
     "txt18_wordpiece_learn" -> wordpieceSql(8),
+
+    "txt20_unigram_learn" -> unigramSql(2),
 
     "gr2_label_propagation" -> labelPropSql(4),
 

@@ -534,4 +534,124 @@ object TextOps {
         sum(round(-log(s), 6).cast(org.apache.spark.sql.types.DecimalType(18, 6)))
           .cast("double").as("nll"))
   }
+
+  /** Unigram-LM (SentencePiece-style, Kudo 2018 "Subword
+    * Regularization") tokenizer training, hard-EM variant: seed the
+    * vocabulary with all word substrings up to `maxPieceLen`, then
+    * alternate (E) Viterbi-segmenting every distinct word under the
+    * current piece costs with (M) recounting pieces from the chosen
+    * segmentations, pruning to single chars plus the `vocabTarget`
+    * most-used multi-char pieces each round. Viterbi counts replace the
+    * paper's forward-backward expectations (hard EM — the recognized
+    * deterministic simplification); single-char pieces persist with a
+    * floor count of 1 so every word stays segmentable (the paper's
+    * character-coverage guarantee).
+    *
+    * Exactness contract (what lets a DuckDB oracle replay EVERY round):
+    * a piece's cost is the INTEGER `round(-ln(c/total)·10^6)` — both
+    * engines produce the identical BIGINT from the identical double —
+    * and the DP state at position i is the single integer
+    * `enc = pathCost·32 + backpointer`, so `min(enc)` IS the
+    * lexicographic (cost, smaller-j) tie-break with no float compare
+    * and no argmin construct anywhere. Path costs stay far below the
+    * 2^63/32 encoding headroom (costs ≤ ~5·10^7, ≤ maxWordLen terms).
+    * Words longer than `maxWordLen` (31 max, for the backpointer
+    * bit-budget) are excluded from training — the SentencePiece
+    * max-sentence-length contract.
+    *
+    * Scale: the E-step is one pass over distinct WORDS (not tokens) —
+    * a piece-key hash join builds each word's span→cost map (≤
+    * maxWordLen·maxPieceLen entries), and the Viterbi DP + backtrack
+    * run as codegen'd HOF lambdas inside the row, no per-position
+    * shuffle. Per round: O(distinct words · maxWordLen · maxPieceLen)
+    * work, shuffle O(distinct words + vocabulary). The M-step is a
+    * vocabulary-sized aggregate. Nothing is ever corpus-length ×
+    * rounds.
+    */
+  def unigramLearn(docs: DataFrame, textCol: String,
+      rounds: Int = 2, maxPieceLen: Int = 4, maxWordLen: Int = 16,
+      vocabTarget: Int = 200): DataFrame = {
+    require(maxWordLen <= 31, "backpointers are encoded in 5 bits")
+    require(rounds >= 1 && maxPieceLen >= 1 && vocabTarget >= 1)
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")).between(1, maxWordLen))
+      .groupBy("word").agg(count(lit(1)).as("w"))
+      .localCheckpoint(true) // every round re-reads the word table
+    // seed counts: all substrings up to maxPieceLen, weighted by word freq
+    val subs = words
+      .select(col("word"), col("w"),
+        explode(expr(
+          s"""flatten(transform(sequence(1, length(word)), i ->
+             |  transform(sequence(1, least($maxPieceLen, length(word) - i + 1)), l ->
+             |    substring(word, i, l))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum(col("w")).as("c"))
+    val chars = subs.filter(length(col("piece")) === 1).select("piece")
+      .localCheckpoint(true)
+    def withCosts(cnt: DataFrame): DataFrame = {
+      val total = cnt.agg(sum(col("c")).as("t"))
+      cnt.crossJoin(broadcast(total))
+        .select(col("piece"), col("c"),
+          expr("CAST(round(-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000) AS BIGINT)")
+            .as("cost"))
+    }
+    var vocab = withCosts(subs).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      // span -> cost map per word: key = j*32 + i for the piece
+      // word[j+1 .. i] (0-based start j, 1-based end i)
+      val spans = words
+        .select(col("word"), col("w"),
+          explode(expr(
+            s"""flatten(transform(sequence(0, length(word) - 1), j ->
+               |  transform(sequence(j + 1, least(j + $maxPieceLen, length(word))), i ->
+               |    named_struct('k', j * 32 + i,
+               |                 'piece', substring(word, j + 1, i - j)))))""".stripMargin)).as("s"))
+        .select(col("word"), col("w"), col("s.k").as("k"), col("s.piece").as("piece"))
+        .join(vocab.select(col("piece"), col("cost")), Seq("piece"))
+        .groupBy(col("word"), col("w"))
+        .agg(map_from_arrays(collect_list(col("k")), collect_list(col("cost"))).as("cm"))
+      // Viterbi forward: bests[pos+1] = enc at pos; enc = cost*32 + bp
+      val seg = spans.withColumn("bests", expr(
+        """aggregate(
+          |  sequence(1, length(word)),
+          |  array(CAST(0 AS BIGINT)),
+          |  (acc, i) -> array_append(acc,
+          |    aggregate(
+          |      sequence(greatest(0, i - 4), i - 1),
+          |      CAST(4611686018427387903 AS BIGINT),
+          |      (m, j) -> CASE WHEN element_at(cm, CAST(j * 32 + i AS INT)) IS NOT NULL
+          |                     THEN least(m, (element_at(acc, CAST(j + 1 AS INT)) div 32
+          |                                    + element_at(cm, CAST(j * 32 + i AS INT))) * 32 + j)
+          |                     ELSE m END)))""".stripMargin
+          .replace("i - 4", s"i - $maxPieceLen")))
+      // backtrack: walk bp's from the last position, emit the pieces
+      val pieces = seg.withColumn("pieces", expr(
+        """aggregate(
+          |  sequence(1, length(word)),
+          |  named_struct('pos', CAST(length(word) AS INT),
+          |               'ps', CAST(array() AS ARRAY<STRING>)),
+          |  (st, x) -> IF(st.pos <= 0, st,
+          |    named_struct(
+          |      'pos', CAST(element_at(bests, st.pos + 1) % 32 AS INT),
+          |      'ps', array_append(st.ps,
+          |        substring(word,
+          |          CAST(element_at(bests, st.pos + 1) % 32 AS INT) + 1,
+          |          st.pos - CAST(element_at(bests, st.pos + 1) % 32 AS INT))))),
+          |  st -> st.ps)""".stripMargin))
+        .select(col("w"), explode(col("pieces")).as("piece"))
+      val used = pieces.groupBy("piece").agg(sum(col("w")).as("c"))
+      // chars persist at a floor of 1; multis survive only if used
+      val cnt = chars
+        .join(used.filter(length(col("piece")) === 1), Seq("piece"), "left")
+        .select(col("piece"), greatest(coalesce(col("c"), lit(0L)), lit(1L)).as("c"))
+        .unionByName(used.filter(length(col("piece")) > 1))
+      val keptMultis = cnt.filter(length(col("piece")) > 1)
+        .orderBy(col("c").desc, col("piece")).limit(vocabTarget)
+      val kept = cnt.filter(length(col("piece")) === 1).unionByName(keptMultis)
+      vocab = withCosts(kept).localCheckpoint(true)
+    }
+    vocab.orderBy(col("c").desc, col("piece")).limit(64)
+      .select(col("piece"), col("c").as("n_uses"), col("cost"))
+  }
 }

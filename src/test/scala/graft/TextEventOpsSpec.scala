@@ -205,6 +205,31 @@ class TextEventOpsSpec extends SparkSpec {
       "a" -> ((0L, "pass")), "b" -> ((29L, "warn")), "c" -> ((180L, "error"))))
   }
 
+  test("unigramLearn: hand-derived Viterbi segmentation, char floor, and fixed-point costs") {
+    // corpus: "abab abab cd" -> words abab (w=2), cd (w=1)
+    // round 1: Viterbi picks the whole-word pieces (one ~2.4M/3.1M cost
+    // beats any two-piece >=3.5M split), so used = {abab:2, cd:1};
+    // chars floor in at 1 -> total 7
+    // round 2: same segmentation survives (substrings like 'ab'/'bab'
+    // were pruned, whole words stay cheapest); final vocab is stable
+    val docs = Seq((1L, "abab abab"), (2L, "cd")).toDF("doc_id", "text")
+    def cost(c: Long, total: Long): Long =
+      math.round(-math.log(c.toDouble / total.toDouble) * 1e6)
+    val out = graft.ops.TextOps.unigramLearn(docs, "text")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("abab", 2L, cost(2, 7)),
+      ("a", 1L, cost(1, 7)), ("b", 1L, cost(1, 7)), ("c", 1L, cost(1, 7)),
+      ("cd", 1L, cost(1, 7)), ("d", 1L, cost(1, 7))))
+  }
+
+  test("unigramLearn: deterministic under repartitioning (integer DP, no float argmin)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def run(df: org.apache.spark.sql.DataFrame) = graft.ops.TextOps
+      .unigramLearn(df, "text").collect().map(_.toSeq).toSeq
+    assert(run(docs.repartition(1)) === run(docs.repartition(7)))
+  }
+
   test("trigramBackoffScores: hand-computed backoff through all three tiers") {
     // Knuth-hash split at 80: ids 0,1,2 land in train, 3 and 11 in
     // holdout (hash%100 = 87 and 95 — derived below so drift is loud)
