@@ -152,45 +152,55 @@ object SparkEntry {
     * — identical BIGINTs from identical doubles (the txt15 ln
     * contract). maxWordLen=16, maxPieceLen=4, vocabTarget=200 mirror
     * TextOps.unigramLearn's defaults. */
-  private def unigramSql(rounds: Int): String = {
-    val P = 4; val L = 16; val K = 200
-    def vPrev(r: Int) = if (r == 1) "v0" else s"v${r - 1}"
-    val roundCtes = (1 to rounds).map { r =>
-      val bTables = (1 to L).map { i =>
-        val js = math.max(0, i - P) until i
-        val prior = js.map(j => s"SELECT word, $j AS j, enc FROM b${r}_$j").mkString(" UNION ALL ")
-        s"""b${r}_$i AS MATERIALIZED (
-           |  SELECT s.word, min((p.enc // 32 + s.cost) * 32 + s.j) AS enc
-           |  FROM sp$r s JOIN ($prior) p ON p.word = s.word AND p.j = s.j
-           |  WHERE s.i = $i
-           |  GROUP BY s.word
-           |)""".stripMargin
-      }.mkString(", ")
-      val ball = (1 to L).map(i => s"SELECT word, $i AS i, enc FROM b${r}_$i").mkString(" UNION ALL ")
-      val btTables = (2 to L).map { k =>
-        s"""bt${r}_$k AS MATERIALIZED (
-           |  SELECT b.word, b.w, b.j AS i, CAST(ba.enc % 32 AS INT) AS j
-           |  FROM bt${r}_${k - 1} b JOIN ball$r ba ON ba.word = b.word AND ba.i = b.j
-           |  WHERE b.j > 0
-           |)""".stripMargin
-      }.mkString(", ")
+  private val UniP = 4; private val UniL = 16; private val UniK = 200
+
+  /** One Viterbi DP round's CTEs (spans under v{r-1}, the per-position
+    * frontier b-tables, and the backtrack bt-tables). */
+  private def unigramDpCtes(r: Int): String = {
+    val P = UniP; val L = UniL
+    val bTables = (1 to L).map { i =>
+      val js = math.max(0, i - P) until i
+      val prior = js.map(j => s"SELECT word, $j AS j, enc FROM b${r}_$j").mkString(" UNION ALL ")
+      s"""b${r}_$i AS MATERIALIZED (
+         |  SELECT s.word, min((p.enc // 32 + s.cost) * 32 + s.j) AS enc
+         |  FROM sp$r s JOIN ($prior) p ON p.word = s.word AND p.j = s.j
+         |  WHERE s.i = $i
+         |  GROUP BY s.word
+         |)""".stripMargin
+    }.mkString(", ")
+    val ball = (1 to L).map(i => s"SELECT word, $i AS i, enc FROM b${r}_$i").mkString(" UNION ALL ")
+    val btTables = (2 to L).map { k =>
+      s"""bt${r}_$k AS MATERIALIZED (
+         |  SELECT b.word, b.w, b.j AS i, CAST(ba.enc % 32 AS INT) AS j
+         |  FROM bt${r}_${k - 1} b JOIN ball$r ba ON ba.word = b.word AND ba.i = b.j
+         |  WHERE b.j > 0
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""sp$r AS MATERIALIZED (
+       |  SELECT s.word, s.j, s.i, v.cost FROM (
+       |    SELECT word, j, j + l AS i, substr(word, j + 1, l) AS piece
+       |    FROM (SELECT word, unnest(range(0, len(word))) AS j FROM words)
+       |         CROSS JOIN (SELECT unnest(range(1, ${P + 1})) AS l)
+       |    WHERE j + l <= len(word)) s
+       |  JOIN v${r - 1} v USING (piece)
+       |), b${r}_0 AS (
+       |  SELECT word, CAST(0 AS BIGINT) AS enc FROM words
+       |), $bTables, ball$r AS MATERIALIZED (
+       |  $ball
+       |), bt${r}_1 AS MATERIALIZED (
+       |  SELECT w.word, w.w, len(w.word) AS i, CAST(ba.enc % 32 AS INT) AS j
+       |  FROM words w JOIN ball$r ba ON ba.word = w.word AND ba.i = len(w.word)
+       |), $btTables""".stripMargin
+  }
+
+  /** `emRounds` EM rounds of CTEs (DP + recount/prune/recost), plus the
+    * seed-vocabulary init. */
+  private def unigramCtes(emRounds: Int): String = {
+    val P = UniP; val L = UniL; val K = UniK
+    val roundCtes = (1 to emRounds).map { r =>
       val pieceUnion = (1 to L).map(k =>
         s"SELECT substr(word, j + 1, i - j) AS piece, w FROM bt${r}_$k").mkString(" UNION ALL ")
-      s"""sp$r AS MATERIALIZED (
-         |  SELECT s.word, s.j, s.i, v.cost FROM (
-         |    SELECT word, j, j + l AS i, substr(word, j + 1, l) AS piece
-         |    FROM (SELECT word, unnest(range(0, len(word))) AS j FROM words)
-         |         CROSS JOIN (SELECT unnest(range(1, ${P + 1})) AS l)
-         |    WHERE j + l <= len(word)) s
-         |  JOIN ${vPrev(r)} v USING (piece)
-         |), b${r}_0 AS (
-         |  SELECT word, CAST(0 AS BIGINT) AS enc FROM words
-         |), $bTables, ball$r AS MATERIALIZED (
-         |  $ball
-         |), bt${r}_1 AS MATERIALIZED (
-         |  SELECT w.word, w.w, len(w.word) AS i, CAST(ba.enc % 32 AS INT) AS j
-         |  FROM words w JOIN ball$r ba ON ba.word = w.word AND ba.i = len(w.word)
-         |), $btTables, used$r AS MATERIALIZED (
+      s"""${unigramDpCtes(r)}, used$r AS MATERIALIZED (
          |  SELECT piece, CAST(sum(w) AS BIGINT) AS c FROM ($pieceUnion) GROUP BY 1
          |), cnt$r AS MATERIALIZED (
          |  SELECT ch.piece, greatest(coalesce(u.c, 0), 1) AS c
@@ -227,9 +237,25 @@ object SparkEntry {
        |         CAST(round(-ln(CAST(c AS DOUBLE) /
        |              CAST((SELECT sum(c) FROM sub0) AS DOUBLE)) * 1000000) AS BIGINT) AS cost
        |  FROM sub0
-       |), $roundCtes
+       |), $roundCtes""".stripMargin
+  }
+
+  private def unigramSql(rounds: Int): String =
+    s"""${unigramCtes(rounds)}
        |SELECT piece, c AS n_uses, cost FROM v$rounds
        |ORDER BY n_uses DESC, piece LIMIT 64""".stripMargin
+
+  /** The txt21 oracle: one more Viterbi DP round under the FINAL vocab,
+    * pieces re-joined left-to-right (ordering by span END equals the
+    * engine's reversed backtrack emission). */
+  private def unigramSegmentSql(rounds: Int): String = {
+    val r = rounds + 1
+    val btUnion = (1 to UniL).map(k =>
+      s"SELECT word, w, i, j FROM bt${r}_$k").mkString(" UNION ALL ")
+    s"""${unigramCtes(rounds)}, ${unigramDpCtes(r)}
+       |SELECT word, w AS n_occurrences,
+       |       string_agg(substr(word, j + 1, i - j), '.' ORDER BY i) AS segmentation
+       |FROM ($btUnion) GROUP BY word, w""".stripMargin
   }
 
   /** The e6/st8 oracle — gaps-and-islands mirror of the built-in
@@ -2498,6 +2524,13 @@ object SparkEntry {
       // frontier as chained CTEs.
       TextOps.unigramLearn(t(s, dir, "documents"), "text")),
 
+    "txt21_unigram_segment" -> ((s, dir) =>
+      // the trained unigram tokenizer APPLIED: one more Viterbi E-step
+      // under the final vocab segments every corpus word (bpeSegment's
+      // face: word, occurrences, dot-joined pieces) — what a pipeline
+      // actually ships to tokenize with.
+      TextOps.unigramSegment(t(s, dir, "documents"), "text")),
+
     "txt15_lm_nll" -> ((s, dir) =>
       // CCNet-style LM quality signal, self-trained: corpus bigram model
       // with add-one smoothing, per-doc total negative log-likelihood.
@@ -3862,6 +3895,8 @@ object SparkEntry {
     "txt18_wordpiece_learn" -> wordpieceSql(8),
 
     "txt20_unigram_learn" -> unigramSql(2),
+
+    "txt21_unigram_segment" -> unigramSegmentSql(2),
 
     "gr2_label_propagation" -> labelPropSql(4),
 

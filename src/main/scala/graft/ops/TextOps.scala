@@ -568,9 +568,81 @@ object TextOps {
     * vocabulary-sized aggregate. Nothing is ever corpus-length ×
     * rounds.
     */
+  /** One Viterbi E-step: (word, w) × vocab(piece, cost) →
+    * (word, w, pieces) where `pieces` is the min-cost segmentation in
+    * REVERSE order (backtrack emission; callers reverse for display).
+    * One piece-key hash join to build each word's span→cost map, then
+    * the forward DP and backtrack run as codegen'd HOF lambdas inside
+    * the row — enc = pathCost·32 + backpointer (see [[unigramLearn]]).
+    */
+  private def viterbiPieces(words: DataFrame, vocab: DataFrame,
+      maxPieceLen: Int): DataFrame = {
+    val spans = words
+      .select(col("word"), col("w"),
+        explode(expr(
+          s"""flatten(transform(sequence(0, length(word) - 1), j ->
+             |  transform(sequence(j + 1, least(j + $maxPieceLen, length(word))), i ->
+             |    named_struct('k', j * 32 + i,
+             |                 'piece', substring(word, j + 1, i - j)))))""".stripMargin)).as("s"))
+      .select(col("word"), col("w"), col("s.k").as("k"), col("s.piece").as("piece"))
+      .join(vocab.select(col("piece"), col("cost")), Seq("piece"))
+      .groupBy(col("word"), col("w"))
+      .agg(map_from_arrays(collect_list(col("k")), collect_list(col("cost"))).as("cm"))
+    // Viterbi forward: bests[pos+1] = enc at pos; enc = cost*32 + bp
+    spans.withColumn("bests", expr(
+      """aggregate(
+        |  sequence(1, length(word)),
+        |  array(CAST(0 AS BIGINT)),
+        |  (acc, i) -> array_append(acc,
+        |    aggregate(
+        |      sequence(greatest(0, i - 4), i - 1),
+        |      CAST(4611686018427387903 AS BIGINT),
+        |      (m, j) -> CASE WHEN element_at(cm, CAST(j * 32 + i AS INT)) IS NOT NULL
+        |                     THEN least(m, (element_at(acc, CAST(j + 1 AS INT)) div 32
+        |                                    + element_at(cm, CAST(j * 32 + i AS INT))) * 32 + j)
+        |                     ELSE m END)))""".stripMargin
+        .replace("i - 4", s"i - $maxPieceLen")))
+      // backtrack: walk bp's from the last position, emit the pieces
+      .withColumn("pieces", expr(
+        """aggregate(
+          |  sequence(1, length(word)),
+          |  named_struct('pos', CAST(length(word) AS INT),
+          |               'ps', CAST(array() AS ARRAY<STRING>)),
+          |  (st, x) -> IF(st.pos <= 0, st,
+          |    named_struct(
+          |      'pos', CAST(element_at(bests, st.pos + 1) % 32 AS INT),
+          |      'ps', array_append(st.ps,
+          |        substring(word,
+          |          CAST(element_at(bests, st.pos + 1) % 32 AS INT) + 1,
+          |          st.pos - CAST(element_at(bests, st.pos + 1) % 32 AS INT))))),
+          |  st -> st.ps)""".stripMargin))
+      .select(col("word"), col("w"), col("pieces"))
+  }
+
   def unigramLearn(docs: DataFrame, textCol: String,
       rounds: Int = 2, maxPieceLen: Int = 4, maxWordLen: Int = 16,
       vocabTarget: Int = 200): DataFrame = {
+    val (_, vocab) = unigramCore(docs, textCol, rounds, maxPieceLen, maxWordLen, vocabTarget)
+    vocab.orderBy(col("c").desc, col("piece")).limit(64)
+      .select(col("piece"), col("c").as("n_uses"), col("cost"))
+  }
+
+  /** Segment the corpus's words with the FINAL trained unigram vocab —
+    * one more Viterbi E-step after the last M-step (the tokenizer a
+    * pipeline actually ships). Face mirrors bpeSegment: (word,
+    * n_occurrences, dot-joined segmentation), fully derivable. */
+  def unigramSegment(docs: DataFrame, textCol: String,
+      rounds: Int = 2, maxPieceLen: Int = 4, maxWordLen: Int = 16,
+      vocabTarget: Int = 200): DataFrame = {
+    val (words, vocab) = unigramCore(docs, textCol, rounds, maxPieceLen, maxWordLen, vocabTarget)
+    viterbiPieces(words, vocab, maxPieceLen)
+      .select(col("word"), col("w").as("n_occurrences"),
+        array_join(reverse(col("pieces")), ".").as("segmentation"))
+  }
+
+  private def unigramCore(docs: DataFrame, textCol: String,
+      rounds: Int, maxPieceLen: Int, maxWordLen: Int,
+      vocabTarget: Int): (DataFrame, DataFrame) = {
     require(maxWordLen <= 31, "backpointers are encoded in 5 bits")
     require(rounds >= 1 && maxPieceLen >= 1 && vocabTarget >= 1)
     val spark = docs.sparkSession
@@ -598,47 +670,7 @@ object TextOps {
     }
     var vocab = withCosts(subs).localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      // span -> cost map per word: key = j*32 + i for the piece
-      // word[j+1 .. i] (0-based start j, 1-based end i)
-      val spans = words
-        .select(col("word"), col("w"),
-          explode(expr(
-            s"""flatten(transform(sequence(0, length(word) - 1), j ->
-               |  transform(sequence(j + 1, least(j + $maxPieceLen, length(word))), i ->
-               |    named_struct('k', j * 32 + i,
-               |                 'piece', substring(word, j + 1, i - j)))))""".stripMargin)).as("s"))
-        .select(col("word"), col("w"), col("s.k").as("k"), col("s.piece").as("piece"))
-        .join(vocab.select(col("piece"), col("cost")), Seq("piece"))
-        .groupBy(col("word"), col("w"))
-        .agg(map_from_arrays(collect_list(col("k")), collect_list(col("cost"))).as("cm"))
-      // Viterbi forward: bests[pos+1] = enc at pos; enc = cost*32 + bp
-      val seg = spans.withColumn("bests", expr(
-        """aggregate(
-          |  sequence(1, length(word)),
-          |  array(CAST(0 AS BIGINT)),
-          |  (acc, i) -> array_append(acc,
-          |    aggregate(
-          |      sequence(greatest(0, i - 4), i - 1),
-          |      CAST(4611686018427387903 AS BIGINT),
-          |      (m, j) -> CASE WHEN element_at(cm, CAST(j * 32 + i AS INT)) IS NOT NULL
-          |                     THEN least(m, (element_at(acc, CAST(j + 1 AS INT)) div 32
-          |                                    + element_at(cm, CAST(j * 32 + i AS INT))) * 32 + j)
-          |                     ELSE m END)))""".stripMargin
-          .replace("i - 4", s"i - $maxPieceLen")))
-      // backtrack: walk bp's from the last position, emit the pieces
-      val pieces = seg.withColumn("pieces", expr(
-        """aggregate(
-          |  sequence(1, length(word)),
-          |  named_struct('pos', CAST(length(word) AS INT),
-          |               'ps', CAST(array() AS ARRAY<STRING>)),
-          |  (st, x) -> IF(st.pos <= 0, st,
-          |    named_struct(
-          |      'pos', CAST(element_at(bests, st.pos + 1) % 32 AS INT),
-          |      'ps', array_append(st.ps,
-          |        substring(word,
-          |          CAST(element_at(bests, st.pos + 1) % 32 AS INT) + 1,
-          |          st.pos - CAST(element_at(bests, st.pos + 1) % 32 AS INT))))),
-          |  st -> st.ps)""".stripMargin))
+      val pieces = viterbiPieces(words, vocab, maxPieceLen)
         .select(col("w"), explode(col("pieces")).as("piece"))
       val used = pieces.groupBy("piece").agg(sum(col("w")).as("c"))
       // chars persist at a floor of 1; multis survive only if used
@@ -651,7 +683,6 @@ object TextOps {
       val kept = cnt.filter(length(col("piece")) === 1).unionByName(keptMultis)
       vocab = withCosts(kept).localCheckpoint(true)
     }
-    vocab.orderBy(col("c").desc, col("piece")).limit(64)
-      .select(col("piece"), col("c").as("n_uses"), col("cost"))
+    (words, vocab)
   }
 }

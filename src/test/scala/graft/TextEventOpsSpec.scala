@@ -221,6 +221,10 @@ class TextEventOpsSpec extends SparkSpec {
       ("abab", 2L, cost(2, 7)),
       ("a", 1L, cost(1, 7)), ("b", 1L, cost(1, 7)), ("c", 1L, cost(1, 7)),
       ("cd", 1L, cost(1, 7)), ("d", 1L, cost(1, 7))))
+    val seg = graft.ops.TextOps.unigramSegment(docs, "text")
+      .as[(String, Long, String)].collect()
+      .map { case (wd, n, s) => wd -> ((n, s)) }.toMap
+    assert(seg === Map("abab" -> ((2L, "abab")), "cd" -> ((1L, "cd"))))
   }
 
   test("unigramLearn: deterministic under repartitioning (integer DP, no float argmin)") {
