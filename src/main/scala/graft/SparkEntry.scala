@@ -2425,6 +2425,40 @@ object SparkEntry {
           col("min_order"), col("max_order"))
     }),
 
+    "lake16_shallow_clone" -> ((s, dir) => {
+      // shallow CLONE: the clone's first manifest names the source's
+      // files by absolute path — zero bytes copied (pinned: no data dir
+      // under the clone root) — then the tables diverge copy-on-write:
+      // the clone deletes keys < 100 (only affected borrowed files
+      // rewrite, locally), the source appends 5 rows, and neither side
+      // sees the other's write. Face = both sides' aggregates, flags
+      // pinning zero-copy and carried-stats pruning on the clone.
+      val src = java.nio.file.Files.createTempDirectory("lake16_src").toString
+      val dst = java.nio.file.Files.createTempDirectory("lake16_dst").toString
+      val orders = t(s, dir, "orders")
+      graft.sources.ManifestTable.create(s, src,
+        orders.repartitionByRange(4, col("o_orderkey")),
+        statsColumns = Seq("o_orderkey"))
+      graft.sources.ManifestTable.shallowClone(s, src, dst)
+      val zeroCopy = !new java.io.File(s"$dst/data").exists()
+      graft.sources.ManifestTable.delete(s, dst, col("o_orderkey") < 100L,
+        statsColumns = Seq("o_orderkey"))
+      graft.sources.ManifestTable.append(s, src,
+        orders.orderBy(col("o_orderkey")).limit(5))
+      val (_, dropped, _) = graft.sources.ManifestTable.pruneFiles(
+        s, dst, col("o_orderkey") === 500L)
+      def side(name: String, root: String) =
+        graft.sources.ManifestTable.read(s, root)
+          .groupBy(lit(name).as("side"))
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            dsum(col("o_totalprice")).as("total_price"),
+            min(col("o_orderkey")).as("min_key"))
+      side("clone", dst).unionByName(side("source", src))
+        .select(lit(zeroCopy).as("clone_zero_copy"),
+          lit(dropped.nonEmpty).as("pruned_on_clone"),
+          col("side"), col("n_rows"), col("total_price"), col("min_key"))
+    }),
+
     "lake12_bucket_transform" -> ((s, dir) => {
       // hidden partitioning (Iceberg bucket transform): orders rewritten
       // CLUSTER BY bucket(16, o_orderkey) — xxhash64 mod 16, committed
@@ -4058,6 +4092,22 @@ object SparkEntry {
          |       min(o_orderkey) AS min_order,
          |       max(o_orderkey) AS max_order
          |FROM orders GROUP BY o_orderstatus""").stripMargin,
+
+    "lake16_shallow_clone" -> // clone = orders minus keys < 100 (the
+      // CoW delete); source = orders plus its 5 smallest keys appended
+      // again — each side re-derived independently
+      (s"""SELECT TRUE AS clone_zero_copy, TRUE AS pruned_on_clone,
+         |       'clone' AS side, CAST(count(*) AS BIGINT) AS n_rows,
+         |       ${dsumSql("o_totalprice")} AS total_price,
+         |       min(o_orderkey) AS min_key
+         |FROM orders WHERE NOT (o_orderkey < 100)
+         |UNION ALL
+         |SELECT TRUE, TRUE, 'source', CAST(count(*) AS BIGINT),
+         |       ${dsumSql("o_totalprice")}, min(o_orderkey)
+         |FROM (SELECT o_orderkey, o_totalprice FROM orders
+         |      UNION ALL
+         |      SELECT o_orderkey, o_totalprice FROM
+         |        (SELECT * FROM orders ORDER BY o_orderkey LIMIT 5))""").stripMargin,
 
     "lake12_bucket_transform" -> // the transform-pruned point probe must
       // equal the plain IN-probe (hidden partitioning is an

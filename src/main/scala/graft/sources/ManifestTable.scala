@@ -225,6 +225,15 @@ object ManifestTable {
   private def columnRenames(s: org.apache.spark.sql.types.StructType): Map[String, String] =
     s.fields.iterator.map(f => f.name -> physName(f)).filter(p => p._1 != p._2).toMap
 
+  /** Resolve a manifest file entry: entries are root-relative, except
+    * the ABSOLUTE paths a shallow [[shallowClone]] commits for the
+    * files it borrows from its source table. Borrowed files live
+    * outside the clone's data dir, so [[vacuum]]'s local listing can
+    * never touch them, and the clone's own rewrites stage relative as
+    * always. */
+  private def dataPath(root: String, p: String): String =
+    if (p.startsWith("/")) p else s"$root/$p"
+
   /** Read data files under the LOGICAL names the committed schema
     * exposes: scan with the physical schema, then alias — a pure
     * projection, free at any scale. */
@@ -232,10 +241,39 @@ object ManifestTable {
       schema: Option[org.apache.spark.sql.types.StructType],
       paths: Seq[String]): DataFrame = schema match {
     case Some(s) if hasMapping(s) =>
-      spark.read.schema(physicalSchema(s)).parquet(paths.map(p => s"$root/$p"): _*)
+      spark.read.schema(physicalSchema(s)).parquet(paths.map(dataPath(root, _)): _*)
         .toDF(s.fieldNames.toIndexedSeq: _*)
-    case Some(s) => spark.read.schema(s).parquet(paths.map(p => s"$root/$p"): _*)
-    case None => spark.read.parquet(paths.map(p => s"$root/$p"): _*)
+    case Some(s) => spark.read.schema(s).parquet(paths.map(dataPath(root, _)): _*)
+    case None => spark.read.parquet(paths.map(dataPath(root, _)): _*)
+  }
+
+  /** Shallow CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE src`): a
+    * NEW table at `destRoot` whose first manifest names the SOURCE's
+    * data files by ABSOLUTE path — zero bytes copied, one metadata
+    * commit, schema/stats/transform spec carried. The tables then
+    * diverge copy-on-write: the clone's merges/deletes/compactions
+    * rewrite only the files they touch into clone-local storage, and
+    * appends on either side are invisible to the other. The standard
+    * caveat applies and is the caller's contract: [[vacuum]] on the
+    * SOURCE can reclaim files a live clone still references (exactly
+    * Delta's documented shallow-clone hazard) — clone from sources
+    * whose retention outlives the clone. */
+  def shallowClone(spark: SparkSession, srcRoot: String, destRoot: String,
+      version: Option[Long] = None): Long = {
+    require(new Path(srcRoot).isAbsolute,
+      s"shallow clone needs an absolute source root, got $srcRoot")
+    val vs = versions(spark, srcRoot)
+    require(vs.nonEmpty, s"$srcRoot is not a manifest table (no $LogDir)")
+    require(versions(spark, destRoot).isEmpty, s"$destRoot already has a manifest log")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in log (have ${vs.mkString(",")})")
+    val rel = manifestFiles(spark, srcRoot, v)
+    val files = rel.map(dataPath(srcRoot, _)) // clone-of-clone entries pass through
+    val meta = manifestMeta(spark, srcRoot, v)
+      .filter { case (k, _) => k == SchemaKey || k == TransformsKey }
+    val stats = fileStats(spark, srcRoot, v)
+    val absStats = rel.flatMap(p => stats.get(p).map(dataPath(srcRoot, p) -> _)).toMap
+    commit(spark, destRoot, s"clone-v$v", files, _ => Seq.empty, _ => meta, _ => absStats)
   }
 
   /** Rename a LOGICAL-named frame back to physical column names before
@@ -550,7 +588,7 @@ object ManifestTable {
       require(vs.nonEmpty, s"$root is not a manifest table")
       manifestFiles(spark, root, vs.max)
     }
-    val totalBytes = tipFiles.map(p => f.getFileStatus(new Path(s"$root/$p")).getLen).sum
+    val totalBytes = tipFiles.map(p => f.getFileStatus(new Path(dataPath(root, p))).getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val tipSchema = versions(spark, root).lastOption.flatMap(schemaOf(spark, root, _))
     val current = read(spark, root)
@@ -822,7 +860,7 @@ object ManifestTable {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"$root is not a manifest table")
     manifestFiles(spark, root, vs.max)
-      .map(p => f.getFileStatus(new Path(s"$root/$p")).getLen).sum
+      .map(p => f.getFileStatus(new Path(dataPath(root, p))).getLen).sum
   }
 
   /** OPTIMIZE ZORDER: rewrite the current content clustered along the
@@ -842,7 +880,7 @@ object ManifestTable {
       require(vs.nonEmpty, s"$root is not a manifest table")
       manifestFiles(spark, root, vs.max)
     }
-    val totalBytes = tipFiles.map(p => f.getFileStatus(new Path(s"$root/$p")).getLen).sum
+    val totalBytes = tipFiles.map(p => f.getFileStatus(new Path(dataPath(root, p))).getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val tipSchema = versions(spark, root).lastOption.flatMap(schemaOf(spark, root, _))
     val current = read(spark, root)
@@ -878,7 +916,7 @@ object ManifestTable {
       require(vs.nonEmpty, s"$root is not a manifest table")
       manifestFiles(spark, root, vs.max)
     }
-    val totalBytes = tipFiles.map(p => f.getFileStatus(new Path(s"$root/$p")).getLen).sum
+    val totalBytes = tipFiles.map(p => f.getFileStatus(new Path(dataPath(root, p))).getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val tipSchema = versions(spark, root).lastOption.flatMap(schemaOf(spark, root, _))
     val current = read(spark, root)
@@ -969,7 +1007,7 @@ object ManifestTable {
     val tip = vs.max
     val files = manifestFiles(spark, root, tip)
     val f = fs(spark, root)
-    val bytes = files.map(p => f.getFileStatus(new Path(s"$root/$p")).getLen).sum
+    val bytes = files.map(p => f.getFileStatus(new Path(dataPath(root, p))).getLen).sum
     val stats = fileStats(spark, root, tip)
     val rows =
       if (files.nonEmpty && files.forall(stats.contains))

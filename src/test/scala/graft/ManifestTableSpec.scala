@@ -578,6 +578,58 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root).filter(col("order_id") === 17L).isEmpty)
   }
 
+  test("shallowClone: zero-copy commit, borrowed files absolute, content identical") {
+    val src = freshRoot(); val dst = freshRoot()
+    val sorted = orders.orderBy("o_orderkey").repartitionByRange(4, col("o_orderkey"))
+    ManifestTable.create(spark, src, sorted, statsColumns = Seq("o_orderkey"))
+    val v = ManifestTable.shallowClone(spark, src, dst)
+    assert(v === 1L)
+    val entries = ManifestTable.manifestFiles(spark, dst, 1L)
+    assert(entries.nonEmpty && entries.forall(_.startsWith("/")),
+      s"clone entries must be absolute: $entries")
+    assert(!new java.io.File(s"$dst/data").exists(), "clone must copy zero data files")
+    assert(ManifestTable.read(spark, dst).exceptAll(ManifestTable.read(spark, src)).isEmpty)
+    // carried stats prune on the clone without any local collect
+    val (_, dropped, _) = ManifestTable.pruneFiles(spark, dst, col("o_orderkey") === 17L)
+    assert(dropped.nonEmpty, "carried stats must prune on the clone")
+  }
+
+  test("shallowClone: copy-on-write divergence — neither side sees the other's writes") {
+    val src = freshRoot(); val dst = freshRoot()
+    val sorted = orders.orderBy("o_orderkey").repartitionByRange(4, col("o_orderkey"))
+    ManifestTable.create(spark, src, sorted, statsColumns = Seq("o_orderkey"))
+    val n = orders.count()
+    ManifestTable.shallowClone(spark, src, dst)
+    // clone deletes: only the affected borrowed files rewrite, locally
+    val (_, dStats) = ManifestTable.delete(spark, dst, col("o_orderkey") < 100L,
+      statsColumns = Seq("o_orderkey"))
+    assert(dStats.filesUntouched > 0, s"delete must carry the unaffected borrowed files: $dStats")
+    assert(ManifestTable.read(spark, src).count() === n, "source must not see the clone's delete")
+    // source appends: invisible to the clone
+    ManifestTable.append(spark, src, orders.limit(5))
+    assert(ManifestTable.read(spark, dst).count() ===
+      orders.filter(col("o_orderkey") >= 100L).count())
+    // vacuuming the CLONE reclaims nothing borrowed — source stays whole
+    ManifestTable.vacuum(spark, dst, keepVersions = 1)
+    assert(ManifestTable.read(spark, src).count() === n + 5)
+  }
+
+  test("shallowClone: clone-of-clone passes absolute entries through; guards fire") {
+    val src = freshRoot(); val mid = freshRoot(); val dst = freshRoot()
+    ManifestTable.create(spark, src, orders.limit(50))
+    ManifestTable.shallowClone(spark, src, mid)
+    ManifestTable.shallowClone(spark, mid, dst)
+    assert(ManifestTable.read(spark, dst).count() === 50L)
+    assert(ManifestTable.manifestFiles(spark, dst, 1L).forall(_.startsWith(src)),
+      "grandchild entries must still point at the ORIGINAL files")
+    intercept[IllegalArgumentException] {
+      ManifestTable.shallowClone(spark, src, mid) // dest already a table
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.shallowClone(spark, freshRoot(), freshRoot()) // src not a table
+    }
+  }
+
   test("bucket-transform pruning survives a rename of the clustered source column") {
     import graft.sources.BucketTransform
     val root = freshRoot()
