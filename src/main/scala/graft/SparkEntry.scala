@@ -343,6 +343,39 @@ object SparkEntry {
        |FROM l$k GROUP BY 1 ORDER BY n_members DESC, community LIMIT 20""".stripMargin
   }
 
+  /** The gr3 oracle, generated: k HITS rounds in exact integer
+    * fixed-point over the customer→part purchase graph. DuckDB's
+    * sum(BIGINT) is HUGEINT and `//` truncates like Spark's `div`, so
+    * the max-normalized update replays bit-for-bit (GraphOps.hits'
+    * contract). */
+  private def hitsSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""ra$i AS MATERIALIZED (
+         |  SELECT e.v, sum(h.h) AS s FROM e JOIN h${i - 1} h USING (u) GROUP BY e.v
+         |), a$i AS MATERIALIZED (
+         |  SELECT v, CAST(CAST(s AS HUGEINT) * 1000000000000 // (SELECT max(s) FROM ra$i) AS BIGINT) AS a
+         |  FROM ra$i
+         |), rh$i AS MATERIALIZED (
+         |  SELECT e.u, sum(a.a) AS s FROM e JOIN a$i a USING (v) GROUP BY e.u
+         |), h$i AS MATERIALIZED (
+         |  SELECT u, CAST(CAST(s AS HUGEINT) * 1000000000000 // (SELECT max(s) FROM rh$i) AS BIGINT) AS h
+         |  FROM rh$i
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS v
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |), h0 AS (
+       |  SELECT DISTINCT u, CAST(1000000000000 AS BIGINT) AS h FROM e
+       |), $rounds
+       |SELECT side, node_id, score FROM (
+       |  (SELECT 'authority' AS side, v AS node_id, a AS score FROM a$k
+       |   ORDER BY a DESC, v LIMIT 20)
+       |  UNION ALL
+       |  (SELECT 'hub' AS side, u AS node_id, h AS score FROM h$k
+       |   ORDER BY h DESC, u LIMIT 20))""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The customer-360 mart shape (SURVEY §2: J1+J2+A1-A5) on the testdata
     * star schema.
@@ -816,6 +849,26 @@ object SparkEntry {
         .join(broadcast(quotas), "lang")
         .filter(col("rk") <= col("n_keep"))
         .select("doc_id", "lang")
+    }),
+
+    "gr3_hits" -> ((s, dir) => {
+      // HITS hubs & authorities over the BIPARTITE customer→part
+      // purchase graph (hubs = broad buyers, authorities = widely-
+      // bought parts): 3 rounds of exact integer fixed-point with
+      // max-normalization — L2 has no integer fixed point; max
+      // preserves the ranking and replays exactly. Face = top-20 of
+      // each side, total-ordered.
+      val edges = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("v"))
+        .distinct()
+      val (hubs, auths) = graft.ops.GraphOps.hits(edges, iterations = 3)
+      auths.orderBy(col("a").desc, col("v")).limit(20)
+        .select(lit("authority").as("side"), col("v").as("node_id"), col("a").as("score"))
+        .unionByName(
+          hubs.orderBy(col("h").desc, col("u")).limit(20)
+            .select(lit("hub").as("side"), col("u").as("node_id"), col("h").as("score")))
     }),
 
     "gr2_label_propagation" -> ((s, dir) => {
@@ -3933,6 +3986,8 @@ object SparkEntry {
     "txt21_unigram_segment" -> unigramSegmentSql(2),
 
     "gr2_label_propagation" -> labelPropSql(4),
+
+    "gr3_hits" -> hitsSql(3),
 
     "smp6_temperature_mixture" -> // the T=0.5 quota derivation replayed:
       // IEEE sqrt, round-6 weights summed as exact DECIMAL (float

@@ -111,6 +111,61 @@ object GraphOps {
     * order-dependence; the two-coloring oscillation synchronous LPA is
     * known for is bounded by the fixed k.
     */
+  /** `iterations` rounds of HITS (Kleinberg 1999, "Authoritative
+    * sources in a hyperlinked environment") over a directed edge list
+    * `(u hub → v authority)` — the natural fit is a bipartite relation
+    * like customer→purchased-part, where hubs are broad buyers and
+    * authorities are widely-bought items:
+    *
+    * {{{
+    *   h_0(u) = RankScale
+    *   a_i(v) = Σ_{u→v} h_{i-1}(u)   then  a_i ← a_i·RankScale div max(a_i)
+    *   h_i(u) = Σ_{u→v} a_i(v)       then  h_i ← h_i·RankScale div max(h_i)
+    * }}}
+    *
+    * The textbook L2 normalization has no integer fixed point (square
+    * roots); MAX-normalization is the standard integer-friendly
+    * substitute — it preserves the ranking, keeps magnitudes at
+    * RankScale, and costs one exact truncating division, so every
+    * round replays bit-for-bit in the oracle (the gr1 contract). Sums
+    * and the normalizer widen through DECIMAL(38,0) — DuckDB's
+    * sum(BIGINT) is HUGEINT, and RankScale·sum overflows int64 at any
+    * real degree — with the final normalized value provably back in
+    * [0, RankScale].
+    *
+    * Per round: two co-partitioned shuffle joins (edges ⋈ scores on
+    * each side's key) + two map-side-combined aggregates + two 1-row
+    * max broadcasts; scores localCheckpoint per round and the edge
+    * block releases when the rounds finish (the pageRank storage
+    * discipline). Returns (hubs (u, h), authorities (v, a)). */
+  def hits(edges: DataFrame, iterations: Int): (DataFrame, DataFrame) = {
+    require(iterations >= 1, "hits needs at least one round")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var hubs = e.select(col("u")).distinct()
+      .select(col("u"), lit(RankScale).as("h"))
+      .localCheckpoint()
+    var auths: DataFrame = null
+    (1 to iterations).foreach { _ =>
+      val rawA = e.join(hubs, Seq("u"))
+        .groupBy("v").agg(sum(col("h").cast(dec)).as("s"))
+      val maxA = rawA.agg(max(col("s")).as("mx"))
+      auths = rawA.crossJoin(broadcast(maxA))
+        .select(col("v"),
+          expr(s"CAST((CAST(s AS DECIMAL(38,0)) * $RankScale) div mx AS BIGINT)").as("a"))
+        .localCheckpoint()
+      val rawH = e.join(auths, Seq("v"))
+        .groupBy("u").agg(sum(col("a").cast(dec)).as("s"))
+      val maxH = rawH.agg(max(col("s")).as("mx"))
+      hubs = rawH.crossJoin(broadcast(maxH))
+        .select(col("u"),
+          expr(s"CAST((CAST(s AS DECIMAL(38,0)) * $RankScale) div mx AS BIGINT)").as("h"))
+        .localCheckpoint()
+    }
+    e.unpersist(blocking = false)
+    (hubs, auths)
+  }
+
   def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, "labelPropagation needs at least one round")
     // same storage discipline as pageRank: the O(edges) block releases

@@ -77,6 +77,27 @@ class GraphOpsSpec extends SparkSpec {
     assert(one === many)
   }
 
+  test("hits: hand-derived two rounds on a 2x2 bipartite graph") {
+    // u1 -> {p1, p2}, u2 -> {p2}; S = RankScale = 1e12
+    // r1: a = (S, 2S) -> norm (S/2, S); h = (1.5S, S) -> norm (S, 666666666666)
+    // r2: a = (S, 1666666666666) -> norm (600000000000, S)
+    //     h = (1.6S, S) -> norm (S, 625000000000)
+    val edges = Seq((1L, 101L), (1L, 102L), (2L, 102L)).toDF("u", "v")
+    val (hubs, auths) = GraphOps.hits(edges, iterations = 2)
+    assert(auths.as[(Long, Long)].collect().toMap ===
+      Map(101L -> 600000000000L, 102L -> 1000000000000L))
+    assert(hubs.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 1000000000000L, 2L -> 625000000000L))
+  }
+
+  test("hits is partitioning-invariant (decimal sums, integer normalization)") {
+    val edges = (1L to 40L).map(i => (i % 7, i % 11)).distinct
+    def run(n: Int) = GraphOps.hits(edges.toDF("u", "v").repartition(n), 3)
+    val (h1, a1) = run(1); val (h7, a7) = run(7)
+    assert(h1.as[(Long, Long)].collect().toMap === h7.as[(Long, Long)].collect().toMap)
+    assert(a1.as[(Long, Long)].collect().toMap === a7.as[(Long, Long)].collect().toMap)
+  }
+
   test("rank mass is conserved up to truncation loss (each div sheds < 1 unit)") {
     val r = ranks(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L)), 5)
     val total = r.values.sum
