@@ -2618,6 +2618,15 @@ object SparkEntry {
       // actually ships to tokenize with.
       TextOps.unigramSegment(t(s, dir, "documents"), "text")),
 
+    "txt22_kneser_ney" -> ((s, dir) =>
+      // interpolated Kneser-Ney trigram scoring (Chen & Goodman 1999)
+      // — the KenLM-class quality signal: absolute discount 0.75
+      // (exact in binary), continuation counts at the lower orders,
+      // add-one floor on the continuation unigram so OOV stays finite.
+      // Model from the train split, holdout scored; the probability
+      // expressions are the SAME SQL text in both engines.
+      TextOps.kneserNeyScores(t(s, dir, "documents"), "doc_id", "text")),
+
     "txt15_lm_nll" -> ((s, dir) =>
       // CCNet-style LM quality signal, self-trained: corpus bigram model
       // with add-one smoothing, per-doc total negative log-likelihood.
@@ -4299,6 +4308,69 @@ object SparkEntry {
          |                     AS DECIMAL(18,6))) AS DOUBLE) AS nll
          |FROM big JOIN c2 USING (bg) JOIN c1 ON big.w1 = c1.w CROSS JOIN voc
          |GROUP BY big.doc_id""").stripMargin,
+
+    "txt22_kneser_ney" -> // the full interpolated-KN replay: counts,
+      // continuation counts, the guarded CASE cascade, and the pinned
+      // probability expression text shared with the engine
+      ("""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |         ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 80 AS is_train
+         |  FROM documents
+         |), tr AS (
+         |  SELECT toks FROM w WHERE is_train
+         |), uni AS (
+         |  SELECT unnest(toks) AS tok FROM tr
+         |), big AS (
+         |  SELECT toks[i] AS b1, toks[i+1] AS b2
+         |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tr)
+         |), trg AS (
+         |  SELECT toks[i] AS t1, toks[i+1] AS t2, toks[i+2] AS t3
+         |  FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS i FROM tr)
+         |), c3 AS (SELECT t1, t2, t3, count(*) AS c3 FROM trg GROUP BY 1, 2, 3
+         |), c2 AS (SELECT b1, b2, count(*) AS c2 FROM big GROUP BY 1, 2
+         |), n1mid AS (SELECT t2 AS m2, t3 AS m3, count(*) AS n1mid FROM c3 GROUP BY 1, 2
+         |), n1ctx AS (SELECT t2 AS x2, count(*) AS n1ctx FROM c3 GROUP BY 1
+         |), n1right AS (SELECT t1 AS r1, t2 AS r2, count(*) AS n1right FROM c3 GROUP BY 1, 2
+         |), ntypes AS (SELECT b1 AS y2, count(*) AS ntypes FROM c2 GROUP BY 1
+         |), n1luni AS (SELECT b2 AS u3, count(*) AS n1luni FROM c2 GROUP BY 1
+         |), tot AS (
+         |  SELECT (SELECT count(*) FROM c2) AS n1all,
+         |         (SELECT count(DISTINCT tok) FROM uni) AS v
+         |), occ AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+         |        FROM w WHERE NOT is_train)
+         |), joined AS (
+         |  SELECT occ.doc_id, c3.c3, c2.c2, n1mid.n1mid, n1ctx.n1ctx,
+         |         n1right.n1right, ntypes.ntypes, n1luni.n1luni, tot.n1all, tot.v
+         |  FROM occ
+         |  LEFT JOIN c3 ON occ.w1 = c3.t1 AND occ.w2 = c3.t2 AND occ.w3 = c3.t3
+         |  LEFT JOIN c2 ON occ.w1 = c2.b1 AND occ.w2 = c2.b2
+         |  LEFT JOIN n1mid ON occ.w2 = n1mid.m2 AND occ.w3 = n1mid.m3
+         |  LEFT JOIN n1ctx ON occ.w2 = n1ctx.x2
+         |  LEFT JOIN n1right ON occ.w1 = n1right.r1 AND occ.w2 = n1right.r2
+         |  LEFT JOIN ntypes ON occ.w2 = ntypes.y2
+         |  LEFT JOIN n1luni ON occ.w3 = n1luni.u3
+         |  CROSS JOIN tot
+         |), probs AS (
+         |  SELECT doc_id,
+         |         CASE WHEN c2 IS NOT NULL AND n1right IS NOT NULL
+         |              THEN (greatest(CAST(coalesce(c3, 0) AS DOUBLE) - 0.75E0, 0E0) / CAST(c2 AS DOUBLE))
+         |                   + ((0.75E0 * (CAST(n1right AS DOUBLE) / CAST(c2 AS DOUBLE))) * p2)
+         |              ELSE p2 END AS p3
+         |  FROM (
+         |    SELECT *,
+         |           CASE WHEN n1ctx IS NOT NULL
+         |                THEN (greatest(CAST(coalesce(n1mid, 0) AS DOUBLE) - 0.75E0, 0E0) / CAST(n1ctx AS DOUBLE))
+         |                     + ((0.75E0 * (CAST(coalesce(ntypes, 0) AS DOUBLE) / CAST(n1ctx AS DOUBLE))) * p1)
+         |                ELSE p1 END AS p2
+         |    FROM (SELECT *,
+         |                 CAST(coalesce(n1luni, 0) + 1 AS DOUBLE) / CAST(n1all + v + 1 AS DOUBLE) AS p1
+         |          FROM joined))
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |       CAST(sum(CAST(round(-ln(p3), 6) AS DECIMAL(18,6))) AS DOUBLE) AS nll
+         |FROM probs GROUP BY doc_id""").stripMargin,
 
     "txt19_trigram_backoff" -> // split, counts, and the three-way
       // backoff CASE replayed; the α·(α·(ratio)) nesting matches the

@@ -535,6 +535,106 @@ object TextOps {
           .cast("double").as("nll"))
   }
 
+  /** Interpolated Kneser-Ney trigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999's interpolated formulation — the KenLM-class quality
+    * scorer real curation stacks use where txt19's stupid backoff is
+    * the cheap approximation). Model counted from the Knuth-hash TRAIN
+    * split, holdout docs scored. Absolute discount D = 0.75 (exactly
+    * representable in binary — 3/4 — so the discounted numerators are
+    * bit-identical cross-engine):
+    *
+    * {{{
+    *   P1(w3)       = (N1+(·w3) + 1) / (N1+(··) + V + 1)      [add-one floor keeps OOV finite]
+    *   P2(w3|w2)    = max(N1+(·w2w3)-D, 0)/N1+(·w2·)
+    *                  + D·N1+(w2·)/N1+(·w2·) · P1(w3)          when N1+(·w2·) exists, else P1
+    *   P3(w3|w1w2)  = max(c3-D, 0)/c2(w1w2)
+    *                  + D·N1+(w1w2·)/c2(w1w2) · P2(w3|w2)      when c2 AND N1+(w1w2·) exist, else P2
+    * }}}
+    *
+    * The top level also requires N1+(w1w2·) — a train bigram occurring
+    * only at document ends has no trigram extension, and without the
+    * guard its λ would be 0 and the whole probability 0 (the role
+    * sentence-end markers play in the textbook formulation); backing
+    * off to P2 instead keeps every score finite and positive. All
+    * probability expressions are built from the SAME SQL text in both
+    * engines (pinned nesting — double arithmetic is not associative);
+    * per-term round(-ln·,6) summed as exact DECIMAL (the txt15
+    * contract).
+    *
+    * Scale: six count/continuation tables, all n-gram-VOCABULARY-sized
+    * map-side-combined aggregates over the distinct trigram/bigram TYPE
+    * tables; scoring is seven co-partitioned gram-key hash joins plus
+    * one 1-row broadcast. Work O(tokens), shuffle O(gram types).
+    */
+  def kneserNeyScores(docs: DataFrame, idCol: String, textCol: String,
+      trainPct: Int = 80): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, "trainPct must split both ways")
+    val tk = col("__toks")
+    val withToks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"),
+      (expr(s"(($idCol % 2147483648) * 2654435761) % 4294967296 % 100") < trainPct).as("__tr"))
+    val train = withToks.filter(col("__tr"))
+    val uni = train.select(explode(tk).as("w"))
+    val c2 = train.filter(size(tk) >= 2)
+      .select(explode(transform(sequence(lit(1), size(tk) - 1),
+        i => struct(element_at(tk, i).as("b1"), element_at(tk, i + 1).as("b2")))).as("g"))
+      .select(col("g.b1").as("b1"), col("g.b2").as("b2"))
+    val tri = train.filter(size(tk) >= 3)
+      .select(explode(transform(sequence(lit(1), size(tk) - 2),
+        i => struct(element_at(tk, i).as("t1"), element_at(tk, i + 1).as("t2"),
+          element_at(tk, i + 2).as("t3")))).as("g"))
+      .select(col("g.t1").as("t1"), col("g.t2").as("t2"), col("g.t3").as("t3"))
+    val c3 = tri.groupBy("t1", "t2", "t3").agg(count(lit(1)).as("c3"))
+    val c2cnt = c2.groupBy("b1", "b2").agg(count(lit(1)).as("c2"))
+    val triTypes = c3.select("t1", "t2", "t3") // distinct trigram types
+    val bigTypes = c2cnt.select("b1", "b2")    // distinct bigram types
+    val n1mid = triTypes.groupBy(col("t2").as("m2"), col("t3").as("m3"))
+      .agg(count(lit(1)).as("n1mid"))          // N1+(·w2w3)
+    val n1ctx = triTypes.groupBy(col("t2").as("x2"))
+      .agg(count(lit(1)).as("n1ctx"))          // N1+(·w2·)
+    val n1right = triTypes.groupBy(col("t1").as("r1"), col("t2").as("r2"))
+      .agg(count(lit(1)).as("n1right"))        // N1+(w1w2·)
+    val ntypes = bigTypes.groupBy(col("b1").as("y2"))
+      .agg(count(lit(1)).as("ntypes"))         // N1+(w2·)
+    val n1luni = bigTypes.groupBy(col("b2").as("u3"))
+      .agg(count(lit(1)).as("n1luni"))         // N1+(·w3)
+    val totals = bigTypes.agg(count(lit(1)).as("n1all"))
+      .crossJoin(broadcast(uni.agg(countDistinct(col("w")).as("v"))))
+    val occ = withToks.filter(!col("__tr")).filter(size(tk) >= 3)
+      .select(col(idCol), explode(transform(sequence(lit(1), size(tk) - 2),
+        i => struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"),
+          element_at(tk, i + 2).as("w3")))).as("g"))
+      .select(col(idCol), col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
+    val joined = occ
+      .join(c3.select(col("t1"), col("t2"), col("t3"), col("c3")),
+        col("w1") === col("t1") && col("w2") === col("t2") && col("w3") === col("t3"), "left")
+      .join(c2cnt.select(col("b1").as("p1c"), col("b2").as("p2c"), col("c2")),
+        col("w1") === col("p1c") && col("w2") === col("p2c"), "left")
+      .join(n1mid, col("w2") === col("m2") && col("w3") === col("m3"), "left")
+      .join(n1ctx, col("w2") === col("x2"), "left")
+      .join(n1right, col("w1") === col("r1") && col("w2") === col("r2"), "left")
+      .join(ntypes, col("w2") === col("y2"), "left")
+      .join(n1luni, col("w3") === col("u3"), "left")
+      .crossJoin(broadcast(totals))
+    // the SAME expression text the oracle runs — pinned nesting
+    val scored = joined
+      .withColumn("p1", expr(
+        "CAST(coalesce(n1luni, 0) + 1 AS DOUBLE) / CAST(n1all + v + 1 AS DOUBLE)"))
+      .withColumn("p2", expr(
+        """CASE WHEN n1ctx IS NOT NULL
+          |     THEN (greatest(CAST(coalesce(n1mid, 0) AS DOUBLE) - 0.75E0, 0E0) / CAST(n1ctx AS DOUBLE))
+          |          + ((0.75E0 * (CAST(coalesce(ntypes, 0) AS DOUBLE) / CAST(n1ctx AS DOUBLE))) * p1)
+          |     ELSE p1 END""".stripMargin))
+      .withColumn("p3", expr(
+        """CASE WHEN c2 IS NOT NULL AND n1right IS NOT NULL
+          |     THEN (greatest(CAST(coalesce(c3, 0) AS DOUBLE) - 0.75E0, 0E0) / CAST(c2 AS DOUBLE))
+          |          + ((0.75E0 * (CAST(n1right AS DOUBLE) / CAST(c2 AS DOUBLE))) * p2)
+          |     ELSE p2 END""".stripMargin))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(round(-log(col("p3")), 6).cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("nll"))
+  }
+
   /** Unigram-LM (SentencePiece-style, Kudo 2018 "Subword
     * Regularization") tokenizer training, hard-EM variant: seed the
     * vocabulary with all word substrings up to `maxPieceLen`, then

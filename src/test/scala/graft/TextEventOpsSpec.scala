@@ -189,6 +189,30 @@ class TextEventOpsSpec extends SparkSpec {
       ("2024-01-08", 0L) -> 1L))
   }
 
+  test("kneserNeyScores: hand-computed interpolated KN through all backoff guards") {
+    // train: docs 0-2; holdout: doc 3 (hash%100 = 87)
+    val docs = Seq(
+      (0L, "a b c"), (1L, "a b d"), (2L, "b c"),
+      (3L, "a b c e")
+    ).toDF("doc_id", "text")
+    // counts: c3 (a,b,c)=1 (a,b,d)=1; c2 (a,b)=2 (b,c)=2 (b,d)=1; V=4
+    // continuation: n1mid (b,c)=1; n1ctx b=2; n1right (a,b)=2;
+    //               ntypes b=2; n1luni b=c=d=1; N1+(..)=3
+    // (a,b,c): full KN = max(1-.75,0)/2 + .75*(2/2)*p2
+    //   p2(c|b) = max(1-.75,0)/2 + .75*(2/2)*p1, p1(c) = (1+1)/(3+4+1)
+    // (b,c,e): n1right(b,c) absent (doc-end bigram) -> back off to p2;
+    //   n1ctx(c) absent -> back off to p1(e) = (0+1)/8
+    val p1c = 2.0 / 8
+    val p2c = 0.25 / 2 + (0.75 * (2.0 / 2)) * p1c
+    val p3abc = 0.25 / 2 + (0.75 * (2.0 / 2)) * p2c
+    val p3bce = 1.0 / 8
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expected = (r6(-math.log(p3abc)) + r6(-math.log(p3bce))).toDouble
+    val out = graft.ops.TextOps.kneserNeyScores(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq === Seq((3L, 2L, expected)))
+  }
+
   test("sourceFreshness: exact integer staleness, pass/warn/error thresholds") {
     def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
     val events = Seq(
