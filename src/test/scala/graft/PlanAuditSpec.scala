@@ -384,4 +384,59 @@ class PlanAuditSpec extends SparkSpec {
       s"pack2 must never serialize into a global sort:\n$plan")
     assert(plan.contains("MapPartitions"), s"the sequential scan is mapPartitions:\n$plan")
   }
+
+  test("dd9 broadcasts ONLY the sqrt(N) seed side; within-cluster pairs shuffle on the cluster key") {
+    graft.functions.NativeExpressions.register(spark)
+    val plan = SparkEntry.queries("dd9_semdedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the assignment pass is corpus x broadcast(seeds): BNLJ with the
+    // seeds (and the 1-row threshold frame) on the build side
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"seed broadcast missing:\n$plan")
+    // the pair stage must be a key join on `cluster`, never a broadcast
+    // of a corpus-sized side
+    assert("Exchange hashpartitioning\\(cluster".r.findAllIn(plan).nonEmpty,
+      s"pair stage must shuffle on the cluster key:\n$plan")
+  }
+
+  test("txt19/txt22 LM scoring joins shuffle on gram keys; no window, only the 1-row totals broadcast") {
+    for (q <- Seq("txt19_trigram_backoff", "txt22_kneser_ney")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$q must not window-sort:\n$plan")
+      // count tables join on gram keys (shuffle or broadcast-HASH join
+      // both fine at this SF); the corpus must never nested-loop against
+      // anything bigger than the 1-row (N, V) frame
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+      assert(bnlj <= 2, s"$q: unexpected nested-loop joins ($bnlj):\n$plan")
+    }
+  }
+
+  test("txt20 unigram training runs the Viterbi DP in-row: no Window, no per-position exchange chain") {
+    // audit the E-step frame itself (the final vocab face is a
+    // checkpointed top-k and shows nothing): one round of training over
+    // a tiny corpus — the DP must plan as hash aggregates + HOF
+    // projections, never a Window and never >4 exchanges
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val df = graft.ops.TextOps.unigramSegment(docs, "text", rounds = 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unigram DP must not window:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 4,
+      s"per-position exchanges leaked into the DP:\n$plan")
+  }
+
+  test("gr3 HITS rounds: each side joins co-partitioned and aggregates map-side; 1-row max broadcasts") {
+    import spark.implicits._
+    val edges = Seq((1L, 101L), (1L, 102L), (2L, 102L)).toDF("u", "v")
+    val (hubs, _) = graft.ops.GraphOps.hits(edges, iterations = 1)
+    // the returned frame is checkpointed; audit the LAST round's plan by
+    // rebuilding one un-checkpointed round shape over the hub scores
+    val rawA = edges.join(hubs, Seq("u")).groupBy("v")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("h")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
+    val plan = rawA.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
+      s"HITS side-aggregate must hash-aggregate:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"))
+  }
 }
