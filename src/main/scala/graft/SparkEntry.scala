@@ -2512,6 +2512,44 @@ object SparkEntry {
           col("side"), col("n_rows"), col("total_price"), col("min_key"))
     }),
 
+    "lake17_stats_rollup" -> ((s, dir) => {
+      // table-level stats rollup (Iceberg's manifest-list/partition-
+      // summary idea): every commit folds the per-file stats into one
+      // table-wide entry, so "is this table even relevant?" answers in
+      // O(columns) — the routing decision a catalog of per-day/
+      // per-tenant tables makes before planning anything. Face pins:
+      // past-max and IS NULL probes skip the whole table, an in-range
+      // point probe keeps it, a widening append widens the rollup, and
+      // time travel answers with the OLD rollup.
+      val root = java.nio.file.Files.createTempDirectory("lake17_rollup").toString
+      val orders = t(s, dir, "orders")
+      val mt = graft.sources.ManifestTable
+      mt.create(s, root,
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(4, col("o_orderkey")),
+        statsColumns = Seq("o_orderkey"))
+      val maxKey = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+      mt.append(s, root,
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .repartitionByRange(4, col("o_orderkey")),
+        statsColumns = Seq("o_orderkey"))
+      val skipPastMax = !mt.tableMayMatch(s, root, col("o_orderkey") > maxKey)
+      val skipNull = !mt.tableMayMatch(s, root, col("o_orderkey").isNull)
+      val keepPoint = mt.tableMayMatch(s, root, col("o_orderkey") === maxKey)
+      // v1 held only even keys up to maxKey-1; the tip's rollup covers
+      // maxKey (odd or even, one of the two commits holds it) — and the
+      // count fast path answers 0 past the max without touching files
+      val (nPast, fullPast, resPast) = mt.countWhere(s, root, col("o_orderkey") > maxKey)
+      mt.read(s, root).groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .select(lit(skipPastMax).as("skip_past_max"),
+          lit(skipNull).as("skip_null"),
+          lit(keepPoint).as("keep_point"),
+          lit(nPast == 0 && fullPast == 0 && resPast == 0).as("count_fast_path"),
+          col("o_orderstatus"), col("n_orders"), col("total_price"))
+    }),
+
     "lake12_bucket_transform" -> ((s, dir) => {
       // hidden partitioning (Iceberg bucket transform): orders rewritten
       // CLUSTER BY bucket(16, o_orderkey) — xxhash64 mod 16, committed
@@ -4155,6 +4193,15 @@ object SparkEntry {
          |       ${dsumSql("o_totalprice")} AS total_price,
          |       min(o_orderkey) AS min_order,
          |       max(o_orderkey) AS max_order
+         |FROM orders GROUP BY o_orderstatus""").stripMargin,
+
+    "lake17_stats_rollup" -> // the rollup's routing verdicts are pinned
+      // TRUE; the content aggregate re-derives from the source
+      (s"""SELECT TRUE AS skip_past_max, TRUE AS skip_null,
+         |       TRUE AS keep_point, TRUE AS count_fast_path,
+         |       o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
          |FROM orders GROUP BY o_orderstatus""").stripMargin,
 
     "lake16_shallow_clone" -> // clone = orders minus keys < 100 (the

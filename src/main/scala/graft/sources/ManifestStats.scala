@@ -167,7 +167,16 @@ object ManifestStats {
         c -> ColumnStats(mn, mx, nulls, bloom)
       }.toMap
       rel -> FileStats(r.getLong(r.fieldIndex("__n")), cols)
-    }.toMap
+    }.toMap match {
+      case m =>
+        // a ROWLESS staged file produces no aggregate group — record it
+        // explicitly as zero rows with vacuous bounds, or downstream
+        // consumers (the table rollup above all) would read "no stats"
+        // as "unbounded" for a file that provably holds nothing
+        val empties = relPaths.filterNot(m.contains).map(p =>
+          p -> FileStats(0L, rangeCols.map(c => c -> ColumnStats(None, None, 0L)).toMap))
+        m ++ empties
+    }
   }
 
   /** Driver-collected value → canonical string (None for null or a
@@ -250,6 +259,68 @@ object ManifestStats {
         bloom)
     }.toMap
     rel -> FileStats(n, cols)
+  }
+
+  /** Reserved pseudo-path the TABLE-LEVEL stats rollup commits under —
+    * never a real file, so per-file consumers (which look paths up from
+    * the manifest's file list) ignore it structurally. */
+  val RollupKey = "__rollup__"
+
+  /** Table-level rollup of per-file stats — the Iceberg manifest-list /
+    * partition-summary idea: min-of-mins, max-of-maxes, summed null
+    * counts, total rows, computed at COMMIT time from the stats of
+    * exactly the files the manifest names (the single choke point, so a
+    * stale rollup can never ride a carried stats map into a new
+    * version). One mayMatch against it answers "can ANY row of this
+    * table match?" in O(columns) — a catalog of per-day/per-tenant
+    * tables routes a query without touching per-file stats, let alone
+    * data.
+    *
+    * Keep-biased construction: no rollup at all unless EVERY file has
+    * stats (an untracked file is unbounded); a column enters only when
+    * every file tracks it and its type is in the schema (virtual
+    * transform columns are skipped — their bounds still prune at the
+    * per-file tier); a None bound in any file leaves that side
+    * unbounded; blooms don't union soundly across different bit arrays
+    * and are dropped. */
+  def rollup(files: Seq[String], stats: Map[String, FileStats],
+      schema: Option[StructType]): Option[FileStats] = {
+    if (files.isEmpty) return None
+    val fss = files.map(stats.get)
+    if (fss.exists(_.isEmpty)) return None
+    // empty files contribute no bounds (zero rows can't match anything)
+    // — without this, a delete that empties a file would unbound the
+    // whole rollup through the empty file's (None, None) stats
+    val all = fss.flatten.filter(_.rowCount > 0)
+    if (all.isEmpty) return None // all-empty table: keep-biased, no rollup
+    val byType = schema.getOrElse(return None).fields.map(f => f.name -> f.dataType).toMap
+    val colNames = all.head.cols.keySet
+      .filter(byType.contains)
+      .filter(c => all.forall(_.cols.contains(c)))
+    val cols = colNames.iterator.flatMap { c =>
+      domainOf(byType(c)).map { dom =>
+        val css = all.map(_.cols(c))
+        val mn = if (css.exists(_.min.isEmpty)) None
+          else Some(css.flatMap(_.min).min(Ordering.fromLessThan[String](dom.lt)))
+        val mx = if (css.exists(_.max.isEmpty)) None
+          else Some(css.flatMap(_.max).max(Ordering.fromLessThan[String](dom.lt)))
+        c -> ColumnStats(mn, mx, css.map(_.nullCount).sum, None)
+      }
+    }.toMap
+    if (cols.isEmpty) None else Some(FileStats(all.map(_.rowCount).sum, cols))
+  }
+
+  /** May any row of a (pseudo-)file with stats `fs` match `filter`?
+    * The public face of [[mayMatch]] for table-level rollup tests —
+    * same keep-bias, same transform translation, same column-mapping
+    * attribute rewrite as per-file pruning. */
+  def statsMayMatch(spark: SparkSession, schema: StructType, filter: Column,
+      fs: FileStats,
+      transforms: Seq[PartitionTransform] = Nil,
+      renames: Map[String, String] = Map.empty): Boolean = {
+    val cond = analyzedCondition(spark, schema, filter, renames).getOrElse(return true)
+    val conds = cond +: transforms.flatMap(t => PartitionTransform.translate(t, cond))
+    conds.forall(mayMatch(_, fs))
   }
 
   // ---- predicate evaluation against stats --------------------------------

@@ -125,8 +125,18 @@ object ManifestTable {
 
   /** Per-file column stats committed with `version` (empty for files the
     * writer didn't track — absence always means "keep", never "skip").
-    * See [[ManifestStats]] for the data-skipping design. */
+    * The table-level rollup pseudo-entry is excluded — read it through
+    * [[tableRollup]]. See [[ManifestStats]] for the data-skipping
+    * design. */
   def fileStats(spark: SparkSession, root: String, version: Long): Map[String, ManifestStats.FileStats] =
+    rawStats(spark, root, version) - ManifestStats.RollupKey
+
+  /** The TABLE-LEVEL stats rollup committed with `version` (see
+    * [[ManifestStats.rollup]]) — absent when any file lacks stats. */
+  def tableRollup(spark: SparkSession, root: String, version: Long): Option[ManifestStats.FileStats] =
+    rawStats(spark, root, version).get(ManifestStats.RollupKey)
+
+  private def rawStats(spark: SparkSession, root: String, version: Long): Map[String, ManifestStats.FileStats] =
     manifestText(spark, root, version).linesIterator
       .filter(_.startsWith(StatsPrefix))
       .map(l => ManifestStats.deserialize(l.stripPrefix(StatsPrefix)))
@@ -160,11 +170,45 @@ object ManifestTable {
     val files = manifestFiles(spark, root, v)
     val schema = schemaOf(spark, root, v).getOrElse(
       return (files, Seq.empty, v)) // pre-schema log: no sound analysis base
+    val raw = rawStats(spark, root, v)
+    val stats = raw - ManifestStats.RollupKey
+    val transforms = transformsOf(spark, root, v)
+    val renames = columnRenames(schema)
+    // table-level short-circuit: when the committed rollup PROVES no
+    // file can match, skip the per-file pass entirely — O(columns)
+    // instead of O(files), the decision a multi-table catalog makes
+    // per table before planning anything
+    raw.get(ManifestStats.RollupKey).foreach { r =>
+      if (!ManifestStats.statsMayMatch(spark, schema, filter, r, transforms, renames))
+        return (Seq.empty, files, v)
+    }
     val (kept, dropped) = ManifestStats.prune(
-      spark, schema, filter, fileStats(spark, root, v), files,
-      transforms = transformsOf(spark, root, v),
-      renames = columnRenames(schema))
+      spark, schema, filter, stats, files,
+      transforms = transforms,
+      renames = renames)
     (kept, dropped, v)
+  }
+
+  /** O(manifest-parse + columns) driver-side routing test: can ANY row
+    * of this table match `filter`? `false` only when the committed
+    * table-level rollup PROVES it (the Iceberg manifest-list idea: a
+    * catalog of per-day/per-tenant tables answers "which tables are
+    * even relevant" without touching per-file stats, let alone data);
+    * `true` whenever the table lacks a rollup or the rollup admits the
+    * predicate — keep-biased like every skipping tier. */
+  def tableMayMatch(spark: SparkSession, root: String,
+      filter: org.apache.spark.sql.Column,
+      version: Option[Long] = None): Boolean = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in log (have ${vs.mkString(",")})")
+    val schema = schemaOf(spark, root, v).getOrElse(return true)
+    tableRollup(spark, root, v) match {
+      case Some(r) => ManifestStats.statsMayMatch(spark, schema, filter, r,
+        transforms = transformsOf(spark, root, v), renames = columnRenames(schema))
+      case None => true
+    }
   }
 
   /** Read the table at `version` (default: latest).
@@ -447,6 +491,19 @@ object ManifestTable {
         stats.get(p).foreach(fs =>
           body.append(StatsPrefix).append(ManifestStats.serialize(p, fs)).append('\n'))
       }
+      // table-level rollup, recomputed HERE at the single commit choke
+      // point from exactly this manifest's files — a stale rollup in a
+      // carried stats map is never consulted (only real paths are) and
+      // never re-published
+      // the PHYSICAL schema types the rollup's columns — stats are keyed
+      // by on-disk names, and on a column-mapped table the logical names
+      // would miss every renamed column
+      ManifestStats.rollup(allFiles, stats,
+        meta.get(SchemaKey).map(j => physicalSchema(
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])))
+        .foreach(r => body.append(StatsPrefix)
+          .append(ManifestStats.serialize(ManifestStats.RollupKey, r)).append('\n'))
       allFiles.foreach(p => body.append(p).append('\n'))
       val tmp = new Path(s"$root/$LogDir/.tmp-${UUID.randomUUID()}")
       val out = f.create(tmp, false)
@@ -838,6 +895,12 @@ object ManifestTable {
     val files = manifestFiles(spark, root, v)
     val stats = fileStats(spark, root, v)
     val schema = schemaOf(spark, root, v)
+    // rollup fast path: a provably-irrelevant table answers 0 with no
+    // per-file work at all
+    for (sc <- schema; r <- tableRollup(spark, root, v))
+      if (!ManifestStats.statsMayMatch(spark, sc, filter, r,
+        transforms = transformsOf(spark, root, v), renames = columnRenames(sc)))
+        return (0L, 0, 0)
     val (full, _, residual) = schema match {
       case Some(sc) => ManifestStats.splitForCount(spark, sc, filter, stats, files,
         renames = columnRenames(sc))

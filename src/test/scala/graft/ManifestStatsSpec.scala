@@ -557,6 +557,62 @@ class ManifestStatsSpec extends SparkSpec {
     assert(kept < total, s"bucket pruning must survive ANALYZE ($kept/$total)")
   }
 
+  test("table rollup: out-of-range predicates skip the whole table in O(columns)") {
+    val root = freshRoot()
+    val sorted = orders.orderBy("o_orderkey").repartitionByRange(4, col("o_orderkey"))
+    ManifestTable.create(spark, root, sorted, statsColumns = Seq("o_orderkey"))
+    val maxKey = orders.agg(max("o_orderkey")).collect()(0).getLong(0)
+    assert(!ManifestTable.tableMayMatch(spark, root, col("o_orderkey") > maxKey),
+      "rollup must prove the table irrelevant past its max key")
+    assert(ManifestTable.tableMayMatch(spark, root, col("o_orderkey") === 17L))
+    // the prune path takes the same short-circuit: everything drops
+    val (kept, dropped, _) = ManifestTable.pruneFiles(spark, root, col("o_orderkey") > maxKey)
+    assert(kept.isEmpty && dropped.nonEmpty)
+    // count fast path: zero without touching files
+    val (n, full, residual) = ManifestTable.countWhere(spark, root, col("o_orderkey") > maxKey)
+    assert(n === 0L && full === 0 && residual === 0)
+    // nullCount sums exactly: a non-null column prunes IS NULL table-wide
+    assert(!ManifestTable.tableMayMatch(spark, root, col("o_orderkey").isNull))
+  }
+
+  test("table rollup recomputes at every commit — never rides a carried stats map stale") {
+    val root = freshRoot()
+    val low = orders.filter(col("o_orderkey") < 700L)
+    ManifestTable.create(spark, root, low.repartitionByRange(2, col("o_orderkey")),
+      statsColumns = Seq("o_orderkey"))
+    assert(!ManifestTable.tableMayMatch(spark, root, col("o_orderkey") >= 700L))
+    // append widens the table: the rollup must widen with it
+    ManifestTable.append(spark, root,
+      orders.filter(col("o_orderkey") >= 700L).repartitionByRange(2, col("o_orderkey")),
+      statsColumns = Seq("o_orderkey"))
+    assert(ManifestTable.tableMayMatch(spark, root, col("o_orderkey") >= 700L))
+    // time travel still answers with the OLD rollup
+    assert(!ManifestTable.tableMayMatch(spark, root, col("o_orderkey") >= 700L, Some(1L)))
+    // a delete narrows it again — the carried stats map's stale rollup
+    // must not survive into the delete's commit
+    ManifestTable.delete(spark, root, col("o_orderkey") >= 700L,
+      statsColumns = Seq("o_orderkey"))
+    assert(!ManifestTable.tableMayMatch(spark, root, col("o_orderkey") >= 700L))
+  }
+
+  test("table rollup keep-bias: any stat-less file disables it; renamed columns still route") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root, orders.limit(10)) // no stats at all
+    assert(ManifestTable.tableMayMatch(spark, root, col("o_orderkey") > 999999L),
+      "no rollup -> keep-biased true")
+    val root2 = freshRoot()
+    ManifestTable.create(spark, root2, orders.limit(10), statsColumns = Seq("o_orderkey"))
+    ManifestTable.append(spark, root2, orders.limit(5)) // stat-less batch
+    assert(ManifestTable.tableMayMatch(spark, root2, col("o_orderkey") > 999999L),
+      "a stat-less file makes the table unbounded")
+    // column mapping: the rollup answers under the LOGICAL name
+    val root3 = freshRoot()
+    ManifestTable.create(spark, root3, orders.limit(50), statsColumns = Seq("o_orderkey"))
+    ManifestTable.renameColumn(spark, root3, "o_orderkey", "order_id")
+    assert(!ManifestTable.tableMayMatch(spark, root3, col("order_id") > 999999L))
+    assert(ManifestTable.tableMayMatch(spark, root3, col("order_id") >= 0L))
+  }
+
   test("malformed transform spec lines degrade to no-pruning, never throw") {
     import graft.sources.PartitionTransform
     assert(PartitionTransform.parse("bucket:x:col").isEmpty)
