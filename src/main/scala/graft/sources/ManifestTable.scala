@@ -291,6 +291,22 @@ object ManifestTable {
     case None => spark.read.parquet(paths.map(dataPath(root, _)): _*)
   }
 
+  /** Catalog read: the filtered union of MANY manifest tables (the
+    * per-day / per-tenant layout), consulting each table's committed
+    * rollup FIRST — an irrelevant table costs one manifest parse and an
+    * O(columns) test, never a per-file pass or a scan. Relevant tables
+    * read through [[readPruned]], so per-file skipping still applies
+    * inside them; when nothing survives, the first table's schema
+    * shapes the empty result. Tables must share a schema by name
+    * (unionByName, the widening-append contract). */
+  def readCatalog(spark: SparkSession, roots: Seq[String],
+      filter: org.apache.spark.sql.Column): DataFrame = {
+    require(roots.nonEmpty, "readCatalog needs at least one table")
+    val relevant = roots.filter(tableMayMatch(spark, _, filter))
+    if (relevant.isEmpty) read(spark, roots.head).limit(0).filter(filter)
+    else relevant.map(readPruned(spark, _, filter)).reduce(_.unionByName(_))
+  }
+
   /** Shallow CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE src`): a
     * NEW table at `destRoot` whose first manifest names the SOURCE's
     * data files by ABSOLUTE path — zero bytes copied, one metadata

@@ -613,6 +613,28 @@ class ManifestStatsSpec extends SparkSpec {
     assert(ManifestTable.tableMayMatch(spark, root3, col("order_id") >= 0L))
   }
 
+  test("readCatalog routes through rollups: irrelevant tables never reach per-file planning") {
+    // three per-range "daily" tables; a point probe touches exactly one
+    val roots = (0 until 3).map(_ => freshRoot())
+    roots.zipWithIndex.foreach { case (r, i) =>
+      ManifestTable.create(spark, r,
+        orders.filter(col("o_orderkey") % 3 === i).repartitionByRange(2, col("o_orderkey")),
+        statsColumns = Seq("o_orderkey"))
+    }
+    val probe = orders.select("o_orderkey").as[Long].head()
+    val hit = (probe % 3).toInt
+    roots.zipWithIndex.foreach { case (r, i) =>
+      assert(ManifestTable.tableMayMatch(spark, r, col("o_orderkey") === probe) === (i == hit),
+        s"rollup routing wrong for table $i")
+    }
+    val rows = ManifestTable.readCatalog(spark, roots, col("o_orderkey") === probe).collect()
+    assert(rows.length === 1 && rows(0).getAs[Long]("o_orderkey") === probe)
+    // a predicate matching nothing anywhere returns schema-correct empty
+    val maxKey = orders.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val none = ManifestTable.readCatalog(spark, roots, col("o_orderkey") > maxKey)
+    assert(none.isEmpty && none.columns.contains("o_orderstatus"))
+  }
+
   test("malformed transform spec lines degrade to no-pruning, never throw") {
     import graft.sources.PartitionTransform
     assert(PartitionTransform.parse("bucket:x:col").isEmpty)
