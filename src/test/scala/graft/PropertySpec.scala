@@ -189,4 +189,73 @@ class PropertySpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(ex).exists(m => m.contains("MALFORMED") || m.contains("FAILFAST") || m.contains("Malformed")))
   }
+
+  test("property: rollup routing is SOUND — a skipped table provably holds no matching row") {
+    import graft.sources.ManifestTable
+    trials(3) { rnd =>
+      val root = java.nio.file.Files.createTempDirectory("prop_rollup").toString
+      val n = 200 + rnd.nextInt(300)
+      val base = rnd.nextInt(100000).toLong
+      val rows = (0 until n).map { i =>
+        (base + rnd.nextInt(5000).toLong,
+          if (rnd.nextInt(10) == 0) null else s"s${rnd.nextInt(40)}",
+          rnd.nextDouble() * 1000 - 500)
+      }
+      val df = rows.toDF("k", "s", "x").repartition(3 + rnd.nextInt(4))
+      ManifestTable.create(spark, root, df, statsColumns = Seq("k", "s", "x"))
+      val probes = Seq(
+        col("k") === (base + rnd.nextInt(8000).toLong),
+        col("k") > (base + rnd.nextInt(8000).toLong),
+        col("k") < base, // provably out of range
+        col("s") === s"s${rnd.nextInt(60)}",
+        col("s").isNull,
+        col("x") > rnd.nextDouble() * 2000 - 1000,
+        col("k").isin((0 until 5).map(_ => base + rnd.nextInt(8000).toLong): _*),
+        col("k") > (base + 2000L) && col("x") < 0.0,
+        col("s") === "s1" || col("k") === base)
+      probes.foreach { p =>
+        val matches = ManifestTable.read(spark, root).filter(p).count()
+        val may = ManifestTable.tableMayMatch(spark, root, p)
+        // SOUNDNESS: a skipped table must be provably empty for p —
+        // never the other direction (keep-bias allows may && matches==0)
+        assert(may || matches === 0L, s"rollup unsoundly skipped $p with $matches matching rows")
+        // and the pruned read agrees with the plain filtered read exactly
+        assert(ManifestTable.readPruned(spark, root, p).count() === matches, s"pruned read diverges for $p")
+        val (cnt, _, _) = ManifestTable.countWhere(spark, root, p)
+        assert(cnt === matches, s"countWhere diverges for $p")
+      }
+    }
+  }
+
+  test("property: column mapping is invisible to every read path (rename + append + CoW)") {
+    import graft.sources.ManifestTable
+    trials(3) { rnd =>
+      val root = java.nio.file.Files.createTempDirectory("prop_colmap").toString
+      val n = 150 + rnd.nextInt(200)
+      val rows = (0 until n).map(i => (i.toLong, s"v${rnd.nextInt(50)}", rnd.nextInt(1000)))
+      val (a, b) = rows.partition(_._1 % 2 == 0)
+      ManifestTable.create(spark, root,
+        a.toDF("id", "tag", "amt").repartitionByRange(3, col("id")),
+        statsColumns = Seq("id"))
+      ManifestTable.renameColumn(spark, root, "id", "row_id")
+      ManifestTable.renameColumn(spark, root, "tag", "label")
+      ManifestTable.append(spark, root,
+        b.toDF("row_id", "label", "amt").repartitionByRange(3, col("row_id")),
+        statsColumns = Seq("row_id"))
+      // delete a random slice copy-on-write through the mapping
+      val cut = rnd.nextInt(n).toLong
+      ManifestTable.delete(spark, root, col("row_id") < cut, statsColumns = Seq("row_id"))
+      val expected = rows.filter(_._1 >= cut).map { case (i, t, m) => (i, t, m) }.toSet
+      val got = ManifestTable.read(spark, root)
+        .select("row_id", "label", "amt").as[(Long, String, Int)].collect().toSet
+      assert(got === expected, "mapped reads must serve exactly the logical content")
+      // pruned point reads agree row-for-row under the logical names
+      val probe = cut + rnd.nextInt(math.max(1, (n - cut).toInt)).toLong
+      val viaPrune = ManifestTable.readPruned(spark, root, col("row_id") === probe)
+        .select("row_id", "label", "amt").as[(Long, String, Int)].collect().toSet
+      assert(viaPrune === expected.filter(_._1 == probe))
+      val (cnt, _, _) = ManifestTable.countWhere(spark, root, col("row_id") >= cut)
+      assert(cnt === expected.size.toLong)
+    }
+  }
 }
