@@ -549,21 +549,40 @@ object SimilarityOps {
     * identical doubles, while round-after-cast splits half-way values
     * across engines). Flat (id, proj_dim, value) form.
     *
-    * Shape: posexplode × broadcast dim range + one map-side-combined
-    * hash aggregate — O(N·d·outDims) work, shuffle O(N·outDims).
+    * Shape: the sign matrix has only outDims·d distinct entries, so it
+    * is PRECOMPUTED once as a tiny broadcast table (one md5 per cell)
+    * and the corpus joins it on j — the naive form evaluated the md5
+    * per (row, i, j) instance, N·outDims·d hashes for a 512-entry
+    * matrix. Then posexplode + one map-side-combined hash aggregate:
+    * O(N·d·outDims) multiply-adds, shuffle O(N·outDims), zero
+    * per-row hashing.
     */
   def signRandomProjection(
       df: DataFrame, idCol: String, vecCol: String, outDims: Int): DataFrame = {
     require(outDims >= 1, "need at least one output dimension")
+    val spark = df.sparkSession
     val comps = df.select(col(idCol), posexplode(col(vecCol)).as(Seq("j0", "x")))
       .select(col(idCol), (col("j0") + 1).as("j"),
         col("x").cast(org.apache.spark.sql.types.DecimalType(18, 8)).as("xd"))
-    val dims = df.sparkSession.range(1, outDims + 1).select(col("id").as("i"))
-    comps.crossJoin(broadcast(dims))
-      .select(col(idCol), col("i"),
+    // bounded 1-row collect: the widest vector fixes the sign table's j
+    // range (ragged inputs just never probe the tail rows)
+    val maxD = Option(df.agg(max(size(col(vecCol)))).head().get(0))
+      .map(_.asInstanceOf[Int]).getOrElse(0)
+    if (maxD == 0)
+      return comps.select(col(idCol), col("j").cast("long").as("proj_dim"),
+        lit(null).cast("double").as("value")).limit(0)
+    val signs = spark.range(1, outDims.toLong + 1).select(col("id").as("i"))
+      .crossJoin(spark.range(1, maxD.toLong + 1).select(col("id").cast("int").as("j")))
+      .select(col("i"), col("j"),
         when(substring(md5(concat_ws("_", col("i"), col("j"))), 1, 1)
-          .isin("0", "2", "4", "6", "8", "a", "c", "e"), col("xd"))
-          .otherwise(-col("xd")).as("term"))
+          .isin("0", "2", "4", "6", "8", "a", "c", "e"), lit(1))
+          .otherwise(lit(-1)).as("sgn"))
+    comps.join(broadcast(signs), Seq("j"))
+      // branch on the precomputed sign instead of multiplying so the
+      // term keeps the exact DECIMAL(18,8) type (and therefore the sum
+      // type and final double) of the original formulation
+      .select(col(idCol), col("i"),
+        when(col("sgn") === 1, col("xd")).otherwise(-col("xd")).as("term"))
       .groupBy(col(idCol), col("i"))
       .agg(sum(col("term")).as("s"))
       .select(col(idCol), col("i").as("proj_dim"),

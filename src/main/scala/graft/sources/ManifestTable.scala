@@ -115,6 +115,15 @@ object ManifestTable {
   private val StatsPrefix = "# stats:"
   private val TransformsKey = "transforms"
 
+  /** Per-writer idempotence watermarks (`txn-<writerId>=<batchId>`).
+    * Carried forward max-wins through EVERY commit (Delta keeps
+    * SetTransaction actions alive through checkpoints for the same
+    * reason): the tip manifest always holds every writer's high-water
+    * mark, so [[vacuum]] retiring old manifests — or a [[restore]]
+    * re-publishing an old version's meta — can never forget a batch
+    * that already landed and let a re-delivery land it twice. */
+  private val TxnPrefix = "txn-"
+
   /** Partition transforms committed with `version` (empty when the table
     * isn't transform-clustered). Unknown transform kinds written by a
     * future version parse to nothing — keep-biased. */
@@ -489,7 +498,18 @@ object ManifestTable {
       // metadata re-resolves against the tip the retry lands on, exactly
       // like the file base — an append's widened schema must widen the
       // WINNER's schema, not the one this committer first read
-      val meta = metaAt(tip)
+      val callerMeta = metaAt(tip)
+      // txn-* watermarks survive every commit: tip's keys carry forward,
+      // and a caller-supplied txn key takes the max so a replayed lower
+      // batchId can never regress a watermark (see [[TxnPrefix]])
+      val tipTxn =
+        if (tip == 0) Map.empty[String, String]
+        else manifestMeta(spark, root, tip).filter(_._1.startsWith(TxnPrefix))
+      val meta = tipTxn ++ callerMeta.map {
+        case (k, v) if k.startsWith(TxnPrefix) =>
+          k -> tipTxn.get(k).map(o => math.max(o.toLong, v.toLong).toString).getOrElse(v)
+        case kv => kv
+      }
       meta.foreach { case (k, v) =>
         require(!k.contains("=") && !(k + v).exists(c => c == '\n' || c == '\r'),
           s"manifest meta key/value must be line-safe and '='-free: $k")
@@ -1026,6 +1046,9 @@ object ManifestTable {
     * stays time-travelable until [[vacuum]]); a restore that reinstates
     * files a later version dropped is structurally non-append, so
     * [[readChangesSince]] consumers correctly refuse and full-refresh.
+    * The tip's `txn-*` idempotence watermarks ride through the commit's
+    * carry-forward (NOT the restored version's lower ones), so
+    * restore + vacuum + an active streaming writer stays exactly-once.
     * Returns the new tip version. */
   def restore(spark: SparkSession, root: String, toVersion: Long): Long = {
     val vs = versions(spark, root)

@@ -117,6 +117,35 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root).count() === 40L)
   }
 
+  test("txn watermarks survive restore + vacuum: a replayed batch still lands exactly once") {
+    val root = freshRoot()
+    val b0 = orders.limit(10)
+    ManifestTable.appendIdempotent(spark, root, b0, "w1", 0L) // v1, txn-w1=0
+    ManifestTable.append(spark, root, orders.limit(3))        // v2: junk to rewind
+    // the plain append carried the watermark forward (commit-level
+    // carry, not appendIdempotent's doing)
+    assert(ManifestTable.manifestMeta(spark, root, 2L).get("txn-w1") === Some("0"))
+    ManifestTable.restore(spark, root, 1L)                    // v3 rewinds the junk
+    assert(ManifestTable.manifestMeta(spark, root, 3L).get("txn-w1") === Some("0"))
+    // vacuum retires every pre-restore manifest — including v1, the one
+    // that originally recorded the watermark
+    ManifestTable.vacuum(spark, root, keepVersions = 1)
+    assert(ManifestTable.versions(spark, root) === Seq(3L))
+    // the crash-replay of batch 0 must still be acknowledged, not landed
+    // twice (before the carry-forward this duplicated the 10 rows)
+    val v = ManifestTable.appendIdempotent(spark, root, b0, "w1", 0L)
+    assert(v === 3L, "replay must acknowledge, not commit")
+    assert(ManifestTable.read(spark, root).count() === 10L, "replayed batch duplicated rows")
+    // progress still works, and a replayed batch can never REGRESS the
+    // carried watermark below a later one
+    ManifestTable.appendIdempotent(spark, root, orders.limit(5), "w1", 1L)
+    assert(ManifestTable.manifestMeta(spark, root, 4L).get("txn-w1") === Some("1"))
+    ManifestTable.appendIdempotent(spark, root, b0, "w1", 0L)
+    assert(ManifestTable.read(spark, root).count() === 15L)
+    assert(ManifestTable.manifestMeta(
+      spark, root, ManifestTable.versions(spark, root).max).get("txn-w1") === Some("1"))
+  }
+
   test("streamed foreachBatch ingest through appendIdempotent equals batch, including a replay") {
     val srcDir = Files.createTempDirectory("manifest_stream_src").toString
     val root = freshRoot()
