@@ -316,6 +316,59 @@ object SparkEntry {
        |FROM r$k ORDER BY pr DESC, u LIMIT 20""".stripMargin
   }
 
+  /** The km1 oracle, generated: `rounds` chained Lloyd iterations in
+    * exact integer fixed point (ClusterOps' contract: half-up quantize
+    * + 2^20 offset → non-negative lattice, so `//` replays Spark's
+    * `div`; argmin ties to the smaller cid; sums widen to HUGEINT
+    * natively). Every round materializes assignment and centroids as
+    * CTEs; the face is the per-cluster audit under the final centroids. */
+  private def kmeansSql(k: Int, rounds: Int): String = {
+    val r = (1 to rounds).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT vid, cid FROM (
+         |    SELECT q.vid, c.cid,
+         |           list_sum(list_transform(range(1, len(q.qv) + 1),
+         |             t -> (q.qv[t] - c.cv[t]) * (q.qv[t] - c.cv[t]))) AS dist,
+         |           row_number() OVER (PARTITION BY q.vid ORDER BY
+         |             list_sum(list_transform(range(1, len(q.qv) + 1),
+         |               t -> (q.qv[t] - c.cv[t]) * (q.qv[t] - c.cv[t]))), c.cid) AS rn
+         |    FROM q, c${i - 1} c)
+         |  WHERE rn = 1
+         |), u$i AS (
+         |  SELECT a.cid, js.j, CAST(sum(q.qv[js.j]) // count(*) AS BIGINT) AS cj
+         |  FROM a$i a JOIN q USING (vid)
+         |       CROSS JOIN (SELECT unnest(range(1, (SELECT max(len(qv)) FROM q) + 1)) AS j) js
+         |  GROUP BY a.cid, js.j
+         |), c$i AS MATERIALIZED (
+         |  SELECT cid, list(cj ORDER BY j) AS cv FROM u$i GROUP BY cid
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id AS vid,
+       |         list_transform(embedding::DOUBLE[],
+       |           x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT) + 1048576) AS qv
+       |  FROM embeddings
+       |), c0 AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY vid) AS BIGINT) AS cid, qv AS cv
+       |  FROM (SELECT vid, qv FROM q ORDER BY vid LIMIT $k)
+       |), $r, fin AS (
+       |  SELECT vid, cid, dist FROM (
+       |    SELECT q.vid, c.cid,
+       |           CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+       |             t -> (q.qv[t] - c.cv[t]) * (q.qv[t] - c.cv[t]))) AS BIGINT) AS dist,
+       |           row_number() OVER (PARTITION BY q.vid ORDER BY
+       |             list_sum(list_transform(range(1, len(q.qv) + 1),
+       |               t -> (q.qv[t] - c.cv[t]) * (q.qv[t] - c.cv[t]))), c.cid) AS rn
+       |    FROM q, c$rounds c)
+       |  WHERE rn = 1
+       |)
+       |SELECT f.cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |       CAST(sum(f.dist) AS DOUBLE) AS inertia,
+       |       CAST(max(cs.s) AS BIGINT) AS centroid_sum
+       |FROM fin f JOIN (SELECT cid, list_sum(cv) AS s FROM c$rounds) cs USING (cid)
+       |GROUP BY f.cid""".stripMargin
+  }
+
   /** The gr2 oracle, generated like [[pagerankSql]]: k chained label-
     * propagation rounds — per-destination neighbor-label counts, argmax
     * with the smallest-label tie-break. Pure integer counting. */
@@ -2340,6 +2393,16 @@ object SparkEntry {
         .select(col("u").as("part_id"), col("pr").as("rank_scaled"))
     }),
 
+    "km1_kmeans" -> ((s, dir) =>
+      // full-corpus Lloyd's k-means in exact integer fixed point —
+      // the curation clustering primitive (topic mixing, per-cluster
+      // audits) as a per-round broadcast+aggregate job. 2 rounds from
+      // the 8 smallest-id seeds; the oracle replays quantization, every
+      // assignment/update round, and the final per-cluster audit
+      // (membership, exact inertia, centroid checksum).
+      graft.ops.ClusterOps.kmeansSummary(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, rounds = 2)),
+
     "dd9_semdedup" -> ((s, dir) =>
       // SemDeDup (Abbas et al. 2023): semantic clusters bound the
       // quadratic near-dup comparison — nearest-SEED assignment against
@@ -4025,6 +4088,7 @@ object SparkEntry {
          |FROM latest, a""").stripMargin,
 
     "gr1_pagerank" -> pagerankSql(5),
+    "km1_kmeans" -> kmeansSql(8, 2),
 
     "txt18_wordpiece_learn" -> wordpieceSql(8),
 
