@@ -316,6 +316,87 @@ object SparkEntry {
        |FROM r$k ORDER BY pr DESC, u LIMIT 20""".stripMargin
   }
 
+  /** The cls3 oracle: both depth-2 tree levels replayed — candidate
+    * (bucket, threshold) error counts, the (err, b, θ) lexicographic
+    * argmin per node, side membership as a max-CASE aggregate against
+    * the 1-row best split, leaf majority votes (ties −1), and the
+    * holdout routed through the three literal splits. Pure integer
+    * arithmetic end to end — not one float in the trainer. */
+  private def treeSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id AS did,
+       |         CASE WHEN list_contains(string_split(text, ' '), 'spark')
+       |               AND list_contains(string_split(text, ' '), 'merge')
+       |               AND list_contains(string_split(text, ' '), 'filter')
+       |              THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,
+       |         ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 80 AS tr,
+       |         unnest(string_split(text, ' ')) AS w
+       |  FROM documents
+       |), feats AS MATERIALIZED (
+       |  SELECT did, y, tr,
+       |         (strpos('0123456789abcdef', substring(md5(w), 1, 1)) - 1) * 256
+       |       + (strpos('0123456789abcdef', substring(md5(w), 2, 1)) - 1) * 16
+       |       + (strpos('0123456789abcdef', substring(md5(w), 3, 1)) - 1) AS b,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM toks GROUP BY 1, 2, 3, 4
+       |), train AS MATERIALIZED (
+       |  SELECT DISTINCT did, y FROM feats WHERE tr
+       |), thetas AS (SELECT unnest([1, 2]) AS th),
+       |tot0 AS (
+       |  SELECT sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS P,
+       |         sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS N FROM train
+       |), cand0 AS (
+       |  SELECT f.b, t.th,
+       |         sum(CASE WHEN f.y = 1 AND f.cnt >= t.th THEN 1 ELSE 0 END) AS pL,
+       |         sum(CASE WHEN f.y = -1 AND f.cnt >= t.th THEN 1 ELSE 0 END) AS nL
+       |  FROM feats f CROSS JOIN thetas t WHERE f.tr GROUP BY 1, 2
+       |), best0 AS MATERIALIZED (
+       |  SELECT b, th FROM (
+       |    SELECT c.b, c.th,
+       |           row_number() OVER (ORDER BY
+       |             least(c.pL, c.nL) + least(tot0.P - c.pL, tot0.N - c.nL), c.b, c.th) AS rn
+       |    FROM cand0 c, tot0) WHERE rn = 1
+       |), side AS MATERIALIZED (
+       |  SELECT f.did, f.y,
+       |         max(CASE WHEN f.b = b0.b AND f.cnt >= b0.th THEN 1 ELSE 0 END) AS s
+       |  FROM feats f, best0 b0 WHERE f.tr GROUP BY 1, 2
+       |), tots AS (
+       |  SELECT s, sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS P,
+       |         sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS N FROM side GROUP BY s
+       |), cand1 AS (
+       |  SELECT sd.s, f.b, t.th,
+       |         sum(CASE WHEN f.y = 1 AND f.cnt >= t.th THEN 1 ELSE 0 END) AS pL,
+       |         sum(CASE WHEN f.y = -1 AND f.cnt >= t.th THEN 1 ELSE 0 END) AS nL
+       |  FROM feats f JOIN side sd USING (did) CROSS JOIN thetas t
+       |  WHERE f.tr GROUP BY 1, 2, 3
+       |), best1 AS MATERIALIZED (
+       |  SELECT s, b, th, pL, nL, P, N FROM (
+       |    SELECT c.s, c.b, c.th, c.pL, c.nL, t.P, t.N,
+       |           row_number() OVER (PARTITION BY c.s ORDER BY
+       |             least(c.pL, c.nL) + least(t.P - c.pL, t.N - c.nL), c.b, c.th) AS rn
+       |    FROM cand1 c JOIN tots t USING (s)) WHERE rn = 1
+       |), leaves AS (
+       |  SELECT s, 1 AS s2, CASE WHEN pL > nL THEN 1 ELSE -1 END AS vote FROM best1
+       |  UNION ALL
+       |  SELECT s, 0 AS s2, CASE WHEN (P - pL) > (N - nL) THEN 1 ELSE -1 END AS vote FROM best1
+       |), hs AS (
+       |  SELECT f.did, f.y,
+       |         max(CASE WHEN f.b = b0.b AND f.cnt >= b0.th THEN 1 ELSE 0 END) AS s
+       |  FROM feats f, best0 b0 WHERE NOT f.tr GROUP BY 1, 2
+       |), hs2 AS (
+       |  SELECT h.did, h.y, h.s,
+       |         coalesce(max(CASE WHEN f.b = b1.b AND f.cnt >= b1.th THEN 1 ELSE 0 END), 0) AS s2
+       |  FROM hs h
+       |  LEFT JOIN best1 b1 ON b1.s = h.s
+       |  LEFT JOIN feats f ON f.did = h.did AND NOT f.tr
+       |  GROUP BY 1, 2, 3
+       |), pred AS (
+       |  SELECT h.y AS y_true, CAST(coalesce(l.vote, -1) AS BIGINT) AS y_pred
+       |  FROM hs2 h LEFT JOIN leaves l ON l.s = h.s AND l.s2 = h.s2
+       |)
+       |SELECT y_true, y_pred, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM pred GROUP BY 1, 2""".stripMargin
+
   /** The km1 oracle, generated: `rounds` chained Lloyd iterations in
     * exact integer fixed point (ClusterOps' contract: half-up quantize
     * + 2^20 offset → non-negative lattice, so `//` replays Spark's
@@ -922,6 +1003,21 @@ object SparkEntry {
         .unionByName(
           hubs.orderBy(col("h").desc, col("u")).limit(20)
             .select(lit("hub").as("side"), col("u").as("node_id"), col("h").as("score")))
+    }),
+
+    "gr4_triangles" -> ((s, dir) => {
+      // exact per-node triangle counts over the part co-purchase graph
+      // via degree-ordered orientation (each triangle materializes once
+      // as a wedge at its smallest corner) — the local-clustering
+      // signal under community/quality audits. All-integer, no
+      // iteration; the oracle replays orientation, wedges, and closure.
+      // Face = top-20 parts by count, total-ordered.
+      val edges = graft.ops.GraphOps.coOccurrenceEdges(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+      graft.ops.GraphOps.triangleCounts(edges)
+        .orderBy(col("tri").desc, col("u"))
+        .limit(20)
+        .select(col("u").as("part_id"), col("tri").as("n_triangles"))
     }),
 
     "gr2_label_propagation" -> ((s, dir) => {
@@ -2391,6 +2487,19 @@ object SparkEntry {
         .orderBy(col("pr").desc, col("u"))
         .limit(20)
         .select(col("u").as("part_id"), col("pr").as("rank_scaled"))
+    }),
+
+    "cls3_tree" -> ((s, dir) => {
+      // a TRAINED quality classifier (cls1/cls2 are closed-form): a
+      // depth-2 decision tree greedily fit on hashed bag-of-words
+      // count features over the Knuth-hash train split, holdout
+      // confusion as the face. The weak-supervision label is a 3-word
+      // coverage heuristic (~50% prevalence); the all-integer split
+      // search replays level by level in the oracle.
+      val tk = split(col("text"), " ")
+      ClassifyOps.depth2TreeConfusion(t(s, dir, "documents"), "doc_id", "text",
+        array_contains(tk, "spark") && array_contains(tk, "merge")
+          && array_contains(tk, "filter"))
     }),
 
     "km1_kmeans" -> ((s, dir) =>
@@ -4089,6 +4198,38 @@ object SparkEntry {
 
     "gr1_pagerank" -> pagerankSql(5),
     "km1_kmeans" -> kmeansSql(8, 2),
+    "cls3_tree" -> treeSql,
+
+    // gr4: the same co-occurrence CTEs as gr1, then degree-ordered
+    // orientation ((deg, id)-smaller endpoint → larger), wedges joined
+    // at the shared source with the (db, b) row order, closure on the
+    // oriented (y, z) arc — each triangle appears exactly once, corners
+    // unnested and counted.
+    "gr4_triangles" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |), edges AS (
+        |  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+        |), deg AS (
+        |  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1
+        |), ore AS (
+        |  SELECT CASE WHEN (d1.deg, p.u) < (d2.deg, p.v) THEN p.u ELSE p.v END AS a,
+        |         CASE WHEN (d1.deg, p.u) < (d2.deg, p.v) THEN p.v ELSE p.u END AS b,
+        |         CASE WHEN (d1.deg, p.u) < (d2.deg, p.v) THEN d2.deg ELSE d1.deg END AS db
+        |  FROM pairs p JOIN deg d1 ON d1.u = p.u JOIN deg d2 ON d2.u = p.v
+        |), tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM ore e1
+        |  JOIN ore e2 ON e1.a = e2.a AND (e1.db, e1.b) < (e2.db, e2.b)
+        |  JOIN ore e3 ON e3.a = e1.b AND e3.b = e2.b
+        |), corners AS (
+        |  SELECT unnest([x, y, z]) AS part_id FROM tri
+        |)
+        |SELECT part_id, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM corners GROUP BY 1
+        |ORDER BY n_triangles DESC, part_id LIMIT 20""".stripMargin,
 
     "txt18_wordpiece_learn" -> wordpieceSql(8),
 

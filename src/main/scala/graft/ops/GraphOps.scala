@@ -166,6 +166,51 @@ object GraphOps {
     (hubs, auths)
   }
 
+  /** Per-node EXACT triangle counts over a symmetrized directed edge
+    * list (coOccurrenceEdges' shape: every undirected edge present both
+    * ways, no self-loops) — degree-ordered edge orientation (Cohen
+    * 2009's MapReduce formulation; Suri & Vassilvitskii, WWW 2011,
+    * "the curse of the last reducer"): orient every undirected edge
+    * from its (degree, id)-smaller endpoint to the larger, so a
+    * triangle x≺y≺z materializes EXACTLY once — as the wedge
+    * (x→y, x→z) closed by the arc y→z. The id tie-break makes the
+    * orientation (hence the whole computation) deterministic and
+    * oracle-replayable; the count itself is orientation-independent.
+    *
+    * Why this survives 100×: under degree orientation every
+    * out-neighborhood is O(√E), so wedge generation is O(E^1.5) TOTAL
+    * and — the point of the construction — a celebrity hub never
+    * enumerates its neighbor pairs: its edges all point INTO it, and
+    * the nodes that do enumerate pairs are exactly the low-degree ones.
+    * The naive neighbor-pair join is quadratic in the hottest degree;
+    * this one is bounded by the graph's arboricity.
+    *
+    * Scale shape: one degree aggregate, one orientation projection, one
+    * wedge self-join (shuffle on the shared source a), one closing
+    * equi-join on the (y, z) arc key, one explode + map-side-combined
+    * hash aggregate. No iteration, no driver state, all-integer.
+    * Returns (u, tri).
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("u") < col("v")).select("u", "v").distinct()
+    val deg = edges.groupBy("u").agg(count(lit(1)).cast("long").as("deg"))
+    val fwd = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val or = und
+      .join(deg.select(col("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(fwd, col("u")).otherwise(col("v")).as("a"),
+        when(fwd, col("v")).otherwise(col("u")).as("b"),
+        when(fwd, col("dv")).otherwise(col("du")).as("db"))
+    val wedges = or.as("e1").join(or.as("e2"),
+        col("e1.a") === col("e2.a") &&
+          struct(col("e1.db"), col("e1.b")) < struct(col("e2.db"), col("e2.b")))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val tri = wedges.join(or.select(col("a").as("y"), col("b").as("z")), Seq("y", "z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("u"))
+      .groupBy("u").agg(count(lit(1)).cast("long").as("tri"))
+  }
+
   def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, "labelPropagation needs at least one round")
     // same storage discipline as pageRank: the O(edges) block releases

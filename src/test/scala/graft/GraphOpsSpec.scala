@@ -98,6 +98,40 @@ class GraphOpsSpec extends SparkSpec {
     assert(a1.as[(Long, Long)].collect().toMap === a7.as[(Long, Long)].collect().toMap)
   }
 
+  private def tris(edges: Seq[(Long, Long)], parts: Int = 1): Map[Long, Long] = {
+    val sym = edges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    GraphOps.triangleCounts(sym.toDF("u", "v").repartition(parts))
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("triangleCounts: square with one diagonal — two triangles, hand-counted corners") {
+    // {1,2,3} and {1,3,4}: nodes 1 and 3 sit in both, 2 and 4 in one
+    val r = tris(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)))
+    assert(r === Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("triangleCounts: triangle-free graphs produce no rows") {
+    // a star (all wedges, no closure) and a 4-cycle
+    assert(tris(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))) === Map.empty)
+    assert(tris(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))) === Map.empty)
+  }
+
+  test("triangleCounts: K4 — every node in C(3,2)=3 triangles; each triangle counted once") {
+    val k4 = for { u <- 1L to 4L; v <- 1L to 4L if u < v } yield (u, v)
+    val r = tris(k4)
+    assert(r === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // total corner credits = 3 × triangle count → exactly 4 triangles
+    assert(r.values.sum === 12L)
+  }
+
+  test("triangleCounts is partitioning-invariant and dup-edge-proof") {
+    val edges = (1L to 60L).map(i => (i % 9, (i * 7) % 13)).filter(e => e._1 != e._2)
+    val one = tris(edges, parts = 1)
+    val many = tris(edges ++ edges, parts = 7) // duplicated input collapses
+    assert(one === many)
+    assert(one.nonEmpty, "fixture must actually contain triangles")
+  }
+
   test("rank mass is conserved up to truncation loss (each div sheds < 1 unit)") {
     val r = ranks(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L)), 5)
     val total = r.values.sum

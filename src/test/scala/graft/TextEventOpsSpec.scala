@@ -443,4 +443,65 @@ class TextEventOpsSpec extends SparkSpec {
     assert(out(2L)._1 === 3L)
     assert(math.abs(out(2L)._2 - expected) < 1e-9)
   }
+
+  test("depth2TreeConfusion: a perfectly separating word becomes the root split; holdout confusion is diagonal") {
+    import graft.ops.ClassifyOps
+    // label = doc contains "zebra"; positives are all "zebra apple",
+    // negatives all "apple". The unique zero-error root candidate is
+    // (bucket("zebra"), θ=1) — every other (b, θ) puts all docs on one
+    // side, erring min(P, N) > 0 — so the trained root is knowable
+    // without computing a single md5. (Even under a zebra/apple bucket
+    // collision the shared bucket separates at θ=2, so the property
+    // holds regardless.) Classes share identical text, so each holdout
+    // doc routes exactly like its train twins → diagonal confusion.
+    def knuth(id: Long): Long = ((id % 2147483648L) * 2654435761L) % 4294967296L % 100L
+    val ids = 0L until 40L
+    val docs = ids.map(i => (i, if (i % 2 == 0) "zebra apple" else "apple"))
+      .toDF("doc_id", "text")
+    val out = ClassifyOps.depth2TreeConfusion(docs, "doc_id", "text",
+        array_contains(split(col("text"), " "), "zebra"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val holdPos = ids.count(i => knuth(i) >= 80 && i % 2 == 0).toLong
+    val holdNeg = ids.count(i => knuth(i) >= 80 && i % 2 == 1).toLong
+    assert(holdPos > 0 && holdNeg > 0, "fixture must land both classes in the holdout")
+    assert(out === Map((1L, 1L) -> holdPos, (-1L, -1L) -> holdNeg))
+  }
+
+  test("depth2TreeConfusion: the second level refines what the root cannot separate") {
+    import graft.ops.ClassifyOps
+    // label = contains "zebra" AND "quartz" — no single bucket separates
+    // (zebra alone and quartz alone both appear in negatives), so the
+    // depth-1 root MUST err on at least one train doc while depth 2
+    // reaches zero train error; texts are class-identical again, so a
+    // perfectly-fit tree ⇒ diagonal holdout confusion. Positives are
+    // HALF the corpus (classes 0,1 of i%4) so that splitting on the
+    // zebra (or quartz) bucket — err = the smaller negative family —
+    // strictly beats the degenerate all-on-one-side split (err =
+    // min(P, N) = both families); with equal thirds they would tie and
+    // the root argmin would fall to md5 bucket order.
+    def knuth(id: Long): Long = ((id % 2147483648L) * 2654435761L) % 4294967296L % 100L
+    val ids = 0L until 60L
+    val docs = ids.map { i =>
+      val text = i % 4 match {
+        case 0 | 1 => "zebra quartz mango" // +1
+        case 2     => "zebra mango"        // -1: zebra but no quartz
+        case _     => "quartz mango"       // -1: quartz but no zebra
+      }
+      (i, text)
+    }.toDF("doc_id", "text")
+    val tk = split(col("text"), " ")
+    val out = ClassifyOps.depth2TreeConfusion(docs, "doc_id", "text",
+        array_contains(tk, "zebra") && array_contains(tk, "quartz"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val trainP = ids.count(i => knuth(i) < 80 && i % 4 <= 1).toLong
+    val trainZM = ids.count(i => knuth(i) < 80 && i % 4 == 2).toLong
+    val trainQM = ids.count(i => knuth(i) < 80 && i % 4 == 3).toLong
+    assert(trainZM > 0 && trainQM > 0 &&
+      math.min(trainZM, trainQM) < math.min(trainP, trainZM + trainQM),
+      "fixture must make the informative root split strictly best")
+    val holdPos = ids.count(i => knuth(i) >= 80 && i % 4 <= 1).toLong
+    val holdNeg = ids.count(i => knuth(i) >= 80 && i % 4 > 1).toLong
+    assert(holdPos > 0 && holdNeg > 0, "fixture must land both classes in the holdout")
+    assert(out === Map((1L, 1L) -> holdPos, (-1L, -1L) -> holdNeg))
+  }
 }
