@@ -2745,6 +2745,46 @@ object SparkEntry {
           col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
     }),
 
+    "lake18_drop_column" -> ((s, dir) => {
+      // metadata-only DROP COLUMN: v1 = even orders, v2 = drop
+      // o_orderpriority (zero files staged — pinned into the face),
+      // append the odd orders without it, then the documented re-add
+      // workflow: a resurrection attempt (append carrying a column on
+      // the tombstoned physical slot) REFUSES — pinned — and the
+      // column comes back as prio2 + rename, so only the 5 re-added
+      // rows carry values and every pre-drop row reads NULL forever.
+      val root = java.nio.file.Files.createTempDirectory("lake18_drop")
+      val orders = t(s, dir, "orders")
+      graft.sources.ManifestTable.create(s, root.toString,
+        orders.filter(col("o_orderkey") % 2 === 0).repartition(2),
+        statsColumns = Seq("o_orderkey"))
+      val filesV1 = graft.sources.ManifestTable.manifestFiles(s, root.toString, 1L)
+      graft.sources.ManifestTable.dropColumn(s, root.toString, "o_orderpriority")
+      val metadataOnly =
+        graft.sources.ManifestTable.manifestFiles(s, root.toString, 2L) == filesV1
+      graft.sources.ManifestTable.append(s, root.toString,
+        orders.filter(col("o_orderkey") % 2 === 1).drop("o_orderpriority")
+          .repartition(2),
+        statsColumns = Seq("o_orderkey"))
+      val resurrectRefused =
+        try { graft.sources.ManifestTable.append(s, root.toString, orders.limit(1)); false }
+        catch { case _: IllegalArgumentException => true }
+      graft.sources.ManifestTable.append(s, root.toString,
+        orders.orderBy(col("o_orderkey")).limit(5)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderdate"),
+            col("o_orderpriority").as("prio2")))
+      graft.sources.ManifestTable.renameColumn(s, root.toString, "prio2", "o_orderpriority")
+      graft.sources.ManifestTable.read(s, root.toString)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"),
+          sum(when(col("o_orderpriority").isNotNull, 1L).otherwise(0L)).as("n_prio_set"))
+        .select(lit(metadataOnly).as("drop_metadata_only"),
+          lit(resurrectRefused).as("resurrect_refused"),
+          col("o_orderstatus"), col("n_orders"), col("total_price"), col("n_prio_set"))
+    }),
+
     "rpt2_source_quality" -> ((s, dir) => {
       // the curation view: per-source Gopher/C4 gate pass rates — the
       // SAME composed gate pipe2 filters with, rolled up by source so
@@ -4399,6 +4439,24 @@ object SparkEntry {
          |       min(o_orderkey) AS min_order,
          |       max(o_orderkey) AS max_order
          |FROM orders GROUP BY o_orderstatus""").stripMargin,
+
+    "lake18_drop_column" -> // table = all orders (priority NULL — the
+      // drop) plus the 5 smallest keys re-appended with priority under
+      // the re-added column; drop is pinned metadata-only and the
+      // resurrection refusal is pinned by the flags
+      (s"""WITH t AS (
+         |  SELECT o_orderstatus, o_totalprice, CAST(NULL AS VARCHAR) AS prio
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_totalprice, o_orderpriority AS prio
+         |  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 5)
+         |)
+         |SELECT TRUE AS drop_metadata_only, TRUE AS resurrect_refused,
+         |       o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price,
+         |       CAST(sum(CASE WHEN prio IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_prio_set
+         |FROM t GROUP BY o_orderstatus""").stripMargin,
 
     "lake17_stats_rollup" -> // the rollup's routing verdicts are pinned
       // TRUE; the content aggregate re-derives from the source

@@ -241,7 +241,7 @@ object ManifestTable {
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     (files, stored) match {
       case (Nil, Some(s)) => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], visibleSchema(s))
       case (Nil, None) => spark.emptyDataFrame
       case (fs, s) => readFiles(spark, root, s, fs)
     }
@@ -262,6 +262,24 @@ object ManifestTable {
     * plumbing. Fields without the key are unmapped: physical = logical.
     */
   private val PhysicalKey = "graft.physical"
+
+  /** Field-metadata flag marking a DROPPED column's tombstone (see
+    * [[dropColumn]]): the field stays in the committed schema under the
+    * reserved [[DroppedPrefix]] logical name so its physical slot stays
+    * taken, but no read ever projects it. */
+  private val DroppedKey = "graft.dropped"
+
+  /** Reserved logical-name prefix for drop tombstones; batches and
+    * renames may not use it. */
+  private val DroppedPrefix = "graft__dropped__"
+
+  private def isDropped(f: org.apache.spark.sql.types.StructField): Boolean =
+    f.metadata.contains(DroppedKey) && f.metadata.getBoolean(DroppedKey)
+
+  /** The schema readers serve: every field except drop tombstones. */
+  private def visibleSchema(
+      s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(s.fields.filterNot(isDropped))
 
   /** On-disk parquet column name of a possibly-renamed field. */
   private def physName(f: org.apache.spark.sql.types.StructField): String =
@@ -288,12 +306,15 @@ object ManifestTable {
     if (p.startsWith("/")) p else s"$root/$p"
 
   /** Read data files under the LOGICAL names the committed schema
-    * exposes: scan with the physical schema, then alias — a pure
-    * projection, free at any scale. */
+    * exposes: scan with the physical schema of the VISIBLE fields (a
+    * dropped column is never requested, so its bytes are never even
+    * decoded — parquet reads by name), then alias — a pure projection,
+    * free at any scale. */
   private def readFiles(spark: SparkSession, root: String,
       schema: Option[org.apache.spark.sql.types.StructType],
       paths: Seq[String]): DataFrame = schema match {
-    case Some(s) if hasMapping(s) =>
+    case Some(s0) if hasMapping(s0) || s0.fields.exists(isDropped) =>
+      val s = visibleSchema(s0)
       spark.read.schema(physicalSchema(s)).parquet(paths.map(dataPath(root, _)): _*)
         .toDF(s.fieldNames.toIndexedSeq: _*)
     case Some(s) => spark.read.schema(s).parquet(paths.map(dataPath(root, _)): _*)
@@ -380,10 +401,15 @@ object ManifestTable {
     val schema = schemaOf(spark, root, v0).getOrElse(throw new IllegalArgumentException(
       s"$root has no committed schema — nothing to rename"))
     require(from != to, s"rename '$from' to itself is a no-op")
-    require(schema.fieldNames.contains(from),
-      s"no column '$from' in (${schema.fieldNames.mkString(", ")})")
+    require(!from.startsWith(DroppedPrefix) && !to.startsWith(DroppedPrefix),
+      s"'$DroppedPrefix*' names are reserved drop tombstones")
+    require(schema.fields.exists(f => f.name == from && !isDropped(f)),
+      s"no column '$from' in (${visibleSchema(schema).fieldNames.mkString(", ")})")
     require(!schema.fieldNames.contains(to), s"column '$to' already exists")
-    require(!schema.fields.exists(f => f.name != from && physName(f) == to),
+    // a DROPPED column's physical slot does NOT block the logical name:
+    // reads never request it, so `append c2; rename c2→c` is exactly the
+    // documented way to re-introduce a dropped column's logical name
+    require(!schema.fields.exists(f => f.name != from && !isDropped(f) && physName(f) == to),
       s"'$to' is the physical name of another column — files would be ambiguous")
     val renamed = org.apache.spark.sql.types.StructType(schema.fields.map { f =>
       if (f.name != from) f
@@ -402,6 +428,64 @@ object ManifestTable {
         manifestFiles(spark, root, tip)
       },
       tip => manifestMeta(spark, root, tip) + (SchemaKey -> renamed.json),
+      tip => fileStats(spark, root, tip))
+  }
+
+  /** Metadata-only DROP COLUMN (the column-mapping drop of Delta's
+    * VLDB 2020 §4 / `ALTER TABLE DROP COLUMN`; Iceberg drops by field
+    * id): ONE manifest commit, zero files rewritten. The field stays in
+    * the committed schema as a TOMBSTONE — logical name rewritten to
+    * the reserved `graft__dropped__<physical>` slot, flagged
+    * [[DroppedKey]] — so its on-disk physical name stays permanently
+    * reserved and a later widening append can never resurrect the old
+    * bytes under a fresh column of the same name (the hazard Delta
+    * sidesteps with GUID physical names; same guard, different
+    * spelling — [[append]] refuses any new column whose name collides
+    * with ANY field's physical slot, tombstones included).
+    *
+    * What falls out for free: reads project the column away AT THE SCAN
+    * (parquet reads by name — dropped bytes are never decoded, so the
+    * read-side cost disappears immediately at any scale); copy-on-write
+    * rewrites (merge / delete / compact / zorder) physically shed the
+    * column from every file they touch, converging on Delta's
+    * `REORG ... PURGE` without a dedicated pass; RESTORE to a pre-drop
+    * version resurrects the column exactly (the schema rides
+    * [[restore]]'s metadata). Re-introducing the LOGICAL name later:
+    * append it under a fresh name and [[renameColumn]] — logical names
+    * are free, physical slots are not.
+    *
+    * Refuses to drop: a missing or already-dropped column, the last
+    * visible column, or a column a committed partition transform
+    * clusters by (the transform's pruning would silently die — recluster
+    * first; the ADVICE keep-bias rule applied at the API boundary).
+    * Same concurrency contract as [[renameColumn]]. */
+  def dropColumn(spark: SparkSession, root: String, name: String): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
+    val v0 = vs.max
+    val schema = schemaOf(spark, root, v0).getOrElse(throw new IllegalArgumentException(
+      s"$root has no committed schema — nothing to drop"))
+    val field = schema.fields.find(f => f.name == name && !isDropped(f))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column '$name' in (${visibleSchema(schema).fieldNames.mkString(", ")})"))
+    require(visibleSchema(schema).length > 1, "cannot drop the last visible column")
+    val phys = physName(field)
+    require(transformsOf(spark, root, v0).forall(_.sourceCol != phys),
+      s"a partition transform clusters by '$name' — recluster before dropping it")
+    val dropped = org.apache.spark.sql.types.StructType(schema.fields.map { f =>
+      if (f.name != name) f
+      else org.apache.spark.sql.types.StructField(
+        s"$DroppedPrefix$phys", f.dataType, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+          .putString(PhysicalKey, phys).putBoolean(DroppedKey, true).build())
+    })
+    commit(spark, root, "drop_column", Seq.empty,
+      tip => {
+        if (tip != v0) throw new IllegalStateException(
+          s"concurrent modification of $root during drop (planned v$v0, tip v$tip) — re-run")
+        manifestFiles(spark, root, tip)
+      },
+      tip => manifestMeta(spark, root, tip) + (SchemaKey -> dropped.json),
       tip => fileStats(spark, root, tip))
   }
 
@@ -564,6 +648,8 @@ object ManifestTable {
       statsColumns: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil): Long = {
     require(versions(spark, root).isEmpty, s"$root already has a manifest log")
+    df.schema.fieldNames.foreach(c => require(!c.startsWith(DroppedPrefix),
+      s"column '$c' uses the reserved drop-tombstone prefix"))
     val schemaJson = df.schema.json
     val staged = stage(spark, root, df)
     val stats = ManifestStats.collect(spark, root, staged, statsColumns, bloomColumns)
@@ -580,17 +666,20 @@ object ManifestTable {
       statsColumns: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil): Long = {
     val batchSchema = df.schema
+    batchSchema.fieldNames.foreach(c => require(!c.startsWith(DroppedPrefix),
+      s"column '$c' uses the reserved drop-tombstone prefix"))
     val tipV = versions(spark, root).lastOption
     val tipSchema = tipV.flatMap(schemaOf(spark, root, _))
     // batches arrive under LOGICAL names and stage under PHYSICAL ones
     // (files stay homogeneous across renames); a genuinely-new column
-    // may not shadow a renamed column's on-disk name, or old files
-    // would ambiguously serve both
+    // may not shadow a renamed column's on-disk name — or a DROPPED
+    // column's tombstoned slot, which would resurrect dead bytes in
+    // every pre-drop file — or old files would ambiguously serve both
     tipSchema.filter(hasMapping).foreach { ts =>
       val physTaken = ts.fields.map(physName).toSet
       batchSchema.fieldNames.filterNot(ts.fieldNames.contains).foreach(c =>
         require(!physTaken.contains(c),
-          s"new column '$c' collides with the physical name of a renamed column"))
+          s"new column '$c' collides with the physical name of a renamed or dropped column"))
     }
     val physDf = toPhysical(df, tipSchema)
     val staged = stage(spark, root, physDf)

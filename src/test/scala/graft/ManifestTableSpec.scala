@@ -588,6 +588,129 @@ class ManifestTableSpec extends SparkSpec {
     assert(!s.fields.exists(_.metadata.contains("graft.physical")))
   }
 
+  test("dropColumn is metadata-only: zero files rewritten, the column vanishes, the rest is intact") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root, orders.repartition(3))
+    val filesBefore = ManifestTable.manifestFiles(spark, root, 1L)
+    val v2 = ManifestTable.dropColumn(spark, root, "o_orderpriority")
+    assert(v2 === 2L)
+    assert(ManifestTable.manifestFiles(spark, root, v2) === filesBefore,
+      "drop must not stage or drop any data file")
+    val after = ManifestTable.read(spark, root)
+    assert(!after.columns.contains("o_orderpriority"))
+    assert(after.exceptAll(orders.drop("o_orderpriority")).isEmpty &&
+      orders.drop("o_orderpriority").exceptAll(after).isEmpty,
+      "remaining columns must survive byte-for-byte")
+    // time travel still shows the column at the pre-drop version
+    assert(ManifestTable.read(spark, root, Some(1L)).columns.contains("o_orderpriority"))
+    // restore resurrects it with its values (schema rides restore's metadata)
+    ManifestTable.restore(spark, root, 1L)
+    assert(ManifestTable.read(spark, root).exceptAll(orders).isEmpty)
+  }
+
+  test("dropColumn resurrection guard: a new column may not take a tombstoned physical slot") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root, orders.limit(20))
+    ManifestTable.dropColumn(spark, root, "o_orderpriority")
+    // widening append re-using the dropped on-disk name would serve the
+    // dead bytes of every pre-drop file under the new column — refused
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, root, orders.limit(3))
+    }
+    // ...and so is a batch that names the tombstone slot itself
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, root,
+        orders.limit(3).drop("o_orderpriority")
+          .withColumn("graft__dropped__o_orderpriority", lit("x")))
+    }
+    // a batch simply WITHOUT the dropped column appends fine
+    ManifestTable.append(spark, root, orders.limit(3).drop("o_orderpriority"))
+    assert(ManifestTable.read(spark, root).count() === 23L)
+  }
+
+  test("dropColumn re-add workflow: fresh physical name + rename; old rows NULL, dead bytes stay dead") {
+    val root = freshRoot()
+    val a = orders.filter(col("o_orderkey") < 700L)
+    val b = orders.filter(col("o_orderkey") >= 700L)
+    ManifestTable.create(spark, root, a)
+    ManifestTable.dropColumn(spark, root, "o_orderpriority")
+    ManifestTable.append(spark, root,
+      b.drop("o_orderpriority").withColumn("prio2", upper(col("o_orderstatus"))))
+    ManifestTable.renameColumn(spark, root, "prio2", "o_orderpriority")
+    val out = ManifestTable.read(spark, root)
+    assert(out.columns.contains("o_orderpriority"))
+    // pre-drop rows read NULL (their files have no prio2 column) — the
+    // original priority strings can never resurface
+    assert(out.filter(col("o_orderkey") < 700L)
+      .filter(col("o_orderpriority").isNotNull).isEmpty)
+    assert(out.filter(col("o_orderkey") >= 700L)
+      .filter(col("o_orderpriority") =!= upper(col("o_orderstatus"))).isEmpty)
+  }
+
+  test("dropColumn of a RENAMED column tombstones its physical slot; CoW rewrite sheds the bytes") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root, orders.repartition(2))
+    ManifestTable.renameColumn(spark, root, "o_orderpriority", "priority")
+    ManifestTable.dropColumn(spark, root, "priority")
+    // the tombstone holds the PHYSICAL name: re-using it is refused
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, root,
+        orders.limit(3).drop("o_orderpriority")
+          .withColumn("o_orderpriority", lit("x")))
+    }
+    // a full compaction rewrites every file from the VISIBLE projection —
+    // the dropped physical column is physically gone from the new files
+    // (Delta's REORG PURGE for free)
+    ManifestTable.compact(spark, root, targetFileBytes = Long.MaxValue)
+    val tip = ManifestTable.versions(spark, root).max
+    val rewritten = ManifestTable.manifestFiles(spark, root, tip)
+    val raw = spark.read.parquet(rewritten.map(p => s"$root/$p"): _*)
+    assert(!raw.columns.contains("o_orderpriority") && !raw.columns.contains("priority"),
+      s"compacted files must not carry the dropped column, got ${raw.columns.mkString(",")}")
+    assert(ManifestTable.read(spark, root).count() === orders.count())
+  }
+
+  test("dropColumn keeps stats pruning on the remaining columns") {
+    val root = freshRoot()
+    val sorted = orders.orderBy("o_orderkey").repartitionByRange(4, col("o_orderkey"))
+    ManifestTable.create(spark, root, sorted, statsColumns = Seq("o_orderkey"))
+    ManifestTable.dropColumn(spark, root, "o_orderpriority")
+    val (_, dropped, _) = ManifestTable.pruneFiles(spark, root, col("o_orderkey") === 17L)
+    assert(dropped.nonEmpty, "remaining-column stats must still prune after a drop")
+    val rows = ManifestTable.readPruned(spark, root, col("o_orderkey") === 17L).collect()
+    assert(rows.length === 1)
+  }
+
+  test("dropColumn guards: missing, already-dropped, last visible column, clustered column, reserved prefix") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root,
+      orders.select("o_orderkey", "o_orderstatus").limit(10))
+    intercept[IllegalArgumentException] {
+      ManifestTable.dropColumn(spark, root, "nope")
+    }
+    ManifestTable.dropColumn(spark, root, "o_orderstatus")
+    intercept[IllegalArgumentException] { // already dropped
+      ManifestTable.dropColumn(spark, root, "o_orderstatus")
+    }
+    intercept[IllegalArgumentException] { // last visible column
+      ManifestTable.dropColumn(spark, root, "o_orderkey")
+    }
+    // a transform-clustered column refuses to drop (pruning would die)
+    val root2 = freshRoot()
+    ManifestTable.create(spark, root2, orders.limit(50), statsColumns = Seq("o_orderkey"))
+    ManifestTable.optimizeClusterBy(spark, root2,
+      graft.sources.BucketTransform(4, "o_orderkey"),
+      targetFileBytes = Long.MaxValue, statsColumns = Seq("o_orderkey"))
+    intercept[IllegalArgumentException] {
+      ManifestTable.dropColumn(spark, root2, "o_orderkey")
+    }
+    // reserved tombstone prefix refused at create and append
+    intercept[IllegalArgumentException] {
+      ManifestTable.create(spark, freshRoot(),
+        orders.limit(1).withColumn("graft__dropped__x", lit(1)))
+    }
+  }
+
   test("merge and delete on a renamed key column rewrite the minority and keep the mapping") {
     val root = freshRoot()
     val sorted = orders.orderBy("o_orderkey").repartitionByRange(4, col("o_orderkey"))
