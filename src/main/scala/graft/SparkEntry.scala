@@ -2785,6 +2785,41 @@ object SparkEntry {
           col("o_orderstatus"), col("n_orders"), col("total_price"), col("n_prio_set"))
     }),
 
+    "lake19_check_constraints" -> ((s, dir) => {
+      // CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT): adding
+      // one the existing rows violate REFUSES with the count (pinned),
+      // a violating append REFUSES at the write boundary (pinned), a
+      // clean append lands, and the constraint itself is one metadata
+      // commit that rides every subsequent rewrite.
+      val root = java.nio.file.Files.createTempDirectory("lake19_check")
+      val orders = t(s, dir, "orders")
+      graft.sources.ManifestTable.create(s, root.toString, orders.repartition(2),
+        statsColumns = Seq("o_orderkey"))
+      graft.sources.ManifestTable.addCheckConstraint(s, root.toString,
+        "positive_price", "o_totalprice > 0")
+      val addRefused =
+        try {
+          graft.sources.ManifestTable.addCheckConstraint(s, root.toString,
+            "impossible", "o_totalprice > 1000000000")
+          false
+        } catch { case _: IllegalArgumentException => true }
+      val writeRefused =
+        try {
+          graft.sources.ManifestTable.append(s, root.toString,
+            orders.limit(1).withColumn("o_totalprice", lit(-1.0)))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      graft.sources.ManifestTable.append(s, root.toString,
+        orders.orderBy(col("o_orderkey")).limit(5))
+      graft.sources.ManifestTable.read(s, root.toString)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .select(lit(addRefused).as("add_refused"),
+          lit(writeRefused).as("write_refused"),
+          col("o_orderstatus"), col("n_orders"), col("total_price"))
+    }),
+
     "rpt2_source_quality" -> ((s, dir) => {
       // the curation view: per-source Gopher/C4 gate pass rates — the
       // SAME composed gate pipe2 filters with, rolled up by source so
@@ -4456,6 +4491,21 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n_orders,
          |       ${dsumSql("o_totalprice")} AS total_price,
          |       CAST(sum(CASE WHEN prio IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_prio_set
+         |FROM t GROUP BY o_orderstatus""").stripMargin,
+
+    "lake19_check_constraints" -> // table = all orders plus the 5
+      // smallest keys re-appended (the clean append); both refusals
+      // pinned by the flags
+      (s"""WITH t AS (
+         |  SELECT o_orderstatus, o_totalprice FROM orders
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_totalprice
+         |  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 5)
+         |)
+         |SELECT TRUE AS add_refused, TRUE AS write_refused,
+         |       o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
          |FROM t GROUP BY o_orderstatus""").stripMargin,
 
     "lake17_stats_rollup" -> // the rollup's routing verdicts are pinned

@@ -115,6 +115,13 @@ object ManifestTable {
   private val StatsPrefix = "# stats:"
   private val TransformsKey = "transforms"
 
+  /** CHECK-constraint meta keys (`check-<name>=<sql expr>`): Delta's
+    * `ALTER TABLE ADD CONSTRAINT ... CHECK` as table metadata. SQL CHECK
+    * semantics — a row violates only when the expression is FALSE; NULL
+    * passes. Carried through every content commit like [[TransformsKey]]
+    * (and restored/cloned with the version they were part of). */
+  private val CheckPrefix = "check-"
+
   /** Per-writer idempotence watermarks (`txn-<writerId>=<batchId>`).
     * Carried forward max-wins through EVERY commit (Delta keeps
     * SetTransaction actions alive through checkpoints for the same
@@ -123,6 +130,103 @@ object ManifestTable {
     * re-publishing an old version's meta — can never forget a batch
     * that already landed and let a re-delivery land it twice. */
   private val TxnPrefix = "txn-"
+
+  /** The CHECK constraints committed with `version`: name → SQL
+    * expression text. */
+  def checkConstraintsOf(spark: SparkSession, root: String, version: Long): Map[String, String] =
+    manifestMeta(spark, root, version).collect {
+      case (k, v) if k.startsWith(CheckPrefix) => k.stripPrefix(CheckPrefix) -> v
+    }
+
+  /** Meta keys that ride every content commit (transform spec + CHECK
+    * constraints); txn-* watermarks are handled by [[commit]] itself. */
+  private def carriedMetaKey(k: String): Boolean =
+    k == TransformsKey || k.startsWith(CheckPrefix)
+
+  /** Column names a constraint expression references (unresolved —
+    * parsed, not analyzed; flat names only, which is all a CHECK over a
+    * flat parquet schema can use). */
+  private def referencedCols(exprText: String): Seq[String] =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(exprText).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+    }.distinct
+
+  /** Throw unless every CHECK constraint of `version` holds on `df`
+    * (one combined aggregate pass, however many constraints exist —
+    * the write-path cost Delta fuses into its writer, paid here as one
+    * extra job per write on constraint-bearing tables). */
+  private def enforceChecks(spark: SparkSession, root: String,
+      version: Option[Long], df: DataFrame, op: String): Unit =
+    version.foreach { v =>
+      val cs = checkConstraintsOf(spark, root, v).toSeq.sortBy(_._1)
+      if (cs.nonEmpty) {
+        import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
+        val aggs = cs.map { case (n, t) =>
+          sum(when(not(coalesce(expr(t), lit(true))), 1L).otherwise(0L)).as(n)
+        }
+        val row = df.agg(aggs.head, aggs.drop(1): _*).head()
+        cs.zipWithIndex.foreach { case ((n, t), i) =>
+          val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+          require(bad == 0L, s"$op violates CHECK constraint '$n' ($t): $bad rows")
+        }
+      }
+    }
+
+  /** `ALTER TABLE ADD CONSTRAINT name CHECK (expr)` (Delta's CHECK
+    * constraints): validates the expression against the CURRENT content
+    * first — exactly like Delta, adding a constraint existing rows
+    * violate is refused with the violation count — then publishes it as
+    * ONE metadata commit. From then on every [[append]] / [[merge]] /
+    * [[overwrite]] batch pays one aggregate pass and refuses to land
+    * rows where the expression is FALSE (NULL passes — SQL CHECK
+    * semantics). The constraint rides every commit like the transform
+    * spec, is restored/cloned with its version, and blocks
+    * [[renameColumn]]/[[dropColumn]] of the columns it references. */
+  def addCheckConstraint(spark: SparkSession, root: String,
+      name: String, exprText: String): Long = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint name must be [A-Za-z0-9_]+, got '$name'")
+    require(!exprText.exists(c => c == '\n' || c == '\r'),
+      "constraint expression must be single-line")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
+    val v0 = vs.max
+    require(!checkConstraintsOf(spark, root, v0).contains(name),
+      s"constraint '$name' already exists")
+    val schema = schemaOf(spark, root, v0)
+    val visible = schema.map(visibleSchema(_).fieldNames.toSet)
+    val refs = referencedCols(exprText)
+    require(refs.nonEmpty, s"constraint '$name' references no columns: $exprText")
+    visible.foreach(cols => refs.foreach(c => require(cols.contains(c),
+      s"constraint '$name' references unknown column '$c' (have ${cols.mkString(", ")})")))
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
+    val badRow = read(spark, root, Some(v0))
+      .agg(sum(when(not(coalesce(expr(exprText), lit(true))), 1L).otherwise(0L)).as("bad"))
+      .head()
+    val bad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
+    require(bad == 0L,
+      s"cannot add CHECK constraint '$name' ($exprText): $bad existing rows violate it")
+    commit(spark, root, "add_constraint", Seq.empty,
+      tip => {
+        if (tip != v0) throw new IllegalStateException(
+          s"concurrent modification of $root during add_constraint (planned v$v0, tip v$tip) — re-run")
+        manifestFiles(spark, root, tip)
+      },
+      tip => manifestMeta(spark, root, tip) + (s"$CheckPrefix$name" -> exprText),
+      tip => fileStats(spark, root, tip))
+  }
+
+  /** `ALTER TABLE DROP CONSTRAINT name` — one metadata commit. */
+  def dropCheckConstraint(spark: SparkSession, root: String, name: String): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
+    require(checkConstraintsOf(spark, root, vs.max).contains(name),
+      s"no CHECK constraint '$name' (have ${checkConstraintsOf(spark, root, vs.max).keys.mkString(", ")})")
+    commit(spark, root, "drop_constraint", Seq.empty,
+      tip => manifestFiles(spark, root, tip),
+      tip => manifestMeta(spark, root, tip) - (s"$CheckPrefix$name"),
+      tip => fileStats(spark, root, tip))
+  }
 
   /** Partition transforms committed with `version` (empty when the table
     * isn't transform-clustered). Unknown transform kinds written by a
@@ -360,7 +464,7 @@ object ManifestTable {
     val rel = manifestFiles(spark, srcRoot, v)
     val files = rel.map(dataPath(srcRoot, _)) // clone-of-clone entries pass through
     val meta = manifestMeta(spark, srcRoot, v)
-      .filter { case (k, _) => k == SchemaKey || k == TransformsKey }
+      .filter { case (k, _) => k == SchemaKey || carriedMetaKey(k) }
     val stats = fileStats(spark, srcRoot, v)
     val absStats = rel.flatMap(p => stats.get(p).map(dataPath(srcRoot, p) -> _)).toMap
     commit(spark, destRoot, s"clone-v$v", files, _ => Seq.empty, _ => meta, _ => absStats)
@@ -406,6 +510,10 @@ object ManifestTable {
     require(schema.fields.exists(f => f.name == from && !isDropped(f)),
       s"no column '$from' in (${visibleSchema(schema).fieldNames.mkString(", ")})")
     require(!schema.fieldNames.contains(to), s"column '$to' already exists")
+    val refCs = checkConstraintsOf(spark, root, v0)
+      .filter { case (_, t) => referencedCols(t).contains(from) }
+    require(refCs.isEmpty,
+      s"CHECK constraint(s) ${refCs.keys.mkString(", ")} reference '$from' — drop them first")
     // a DROPPED column's physical slot does NOT block the logical name:
     // reads never request it, so `append c2; rename c2→c` is exactly the
     // documented way to re-introduce a dropped column's logical name
@@ -472,6 +580,10 @@ object ManifestTable {
     val phys = physName(field)
     require(transformsOf(spark, root, v0).forall(_.sourceCol != phys),
       s"a partition transform clusters by '$name' — recluster before dropping it")
+    val refCs = checkConstraintsOf(spark, root, v0)
+      .filter { case (_, t) => referencedCols(t).contains(name) }
+    require(refCs.isEmpty,
+      s"CHECK constraint(s) ${refCs.keys.mkString(", ")} reference '$name' — drop them first")
     val dropped = org.apache.spark.sql.types.StructType(schema.fields.map { f =>
       if (f.name != name) f
       else org.apache.spark.sql.types.StructField(
@@ -681,6 +793,7 @@ object ManifestTable {
         require(!physTaken.contains(c),
           s"new column '$c' collides with the physical name of a renamed or dropped column"))
     }
+    enforceChecks(spark, root, tipV, df, "append")
     val physDf = toPhysical(df, tipSchema)
     val staged = stage(spark, root, physDf)
     // a transform-clustered table keeps its pruning power across appends:
@@ -702,7 +815,7 @@ object ManifestTable {
           else schemaOf(spark, root, tip)
             .map(widenSchema(_, batchSchema)).getOrElse(batchSchema)
         val carried = if (tip == 0) Map.empty[String, String]
-          else manifestMeta(spark, root, tip).filter(_._1 == TransformsKey)
+          else manifestMeta(spark, root, tip).filter(kv => carriedMetaKey(kv._1))
         carried ++ meta + (SchemaKey -> merged.json)
       },
       // carried-over files keep the stats the tip committed for them —
@@ -750,10 +863,13 @@ object ManifestTable {
       statsColumns: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil): Long = {
     val schemaJson = df.schema.json
+    enforceChecks(spark, root, versions(spark, root).lastOption, df, "overwrite")
     val staged = stage(spark, root, df)
     val stats = ManifestStats.collect(spark, root, staged, statsColumns, bloomColumns)
     commit(spark, root, "overwrite", staged, _ => Seq.empty,
-      _ => meta + (SchemaKey -> schemaJson), _ => stats)
+      tip => (if (tip == 0) Map.empty[String, String]
+              else manifestMeta(spark, root, tip).filter(_._1.startsWith(CheckPrefix))) ++
+        meta + (SchemaKey -> schemaJson), _ => stats)
   }
 
   /** OPTIMIZE: rewrite the current content into ceil(bytes/target) files
@@ -779,7 +895,8 @@ object ManifestTable {
     val stats = ManifestStats.collect(spark, root, staged,
       toPhysicalCols(tipSchema, statsColumns), toPhysicalCols(tipSchema, bloomColumns))
     (commit(spark, root, "compact", staged, _ => Seq.empty,
-      _ => Map(SchemaKey -> schemaJson), _ => stats), staged.size)
+      tip => manifestMeta(spark, root, tip).filter(_._1.startsWith(CheckPrefix)) +
+        (SchemaKey -> schemaJson), _ => stats), staged.size)
   }
 
   /** Join-time file skipping — the dynamic-partition-pruning idea
@@ -898,6 +1015,7 @@ object ManifestTable {
     val affectedDf =
       if (affected.isEmpty) read(spark, root, Some(v0)).limit(0)
       else readFiles(spark, root, tableSchema, affected)
+    enforceChecks(spark, root, Some(v0), source, "merge")
     val merged = affectedDf
       .join(source.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
       .unionByName(source)
@@ -913,7 +1031,7 @@ object ManifestTable {
       },
       // the transform spec carries (rewritten files lose their virtual
       // stats until the next OPTIMIZE — sound, just less prunable there)
-      _ => manifestMeta(spark, root, v0).filter(_._1 == TransformsKey) ++
+      _ => manifestMeta(spark, root, v0).filter(kv => carriedMetaKey(kv._1)) ++
         meta ++ tableSchema.map(s => Map(SchemaKey -> s.json)).getOrElse(Map.empty),
       // carried files keep the stats the planned version committed for
       // them; rewritten files take the freshly collected ones
@@ -960,7 +1078,7 @@ object ManifestTable {
           s"concurrent modification of $root during delete (planned v$v0, tip v$tip) — re-run the delete")
         untouched
       },
-      _ => manifestMeta(spark, root, v0).filter(_._1 == TransformsKey) ++
+      _ => manifestMeta(spark, root, v0).filter(kv => carriedMetaKey(kv._1)) ++
         tableSchema.map(s => Map(SchemaKey -> s.json)).getOrElse(Map.empty),
       _ => fileStats(spark, root, v0) ++ newStats)
     (version, MergeStats(affected.size, untouched.size, staged.size))
@@ -993,7 +1111,7 @@ object ManifestTable {
       virtualCols = tipTransforms.map(t => t.name -> t.expr))
     commit(spark, root, "analyze", Seq.empty,
       tip => manifestFiles(spark, root, tip),
-      tip => manifestMeta(spark, root, tip).filter(_._1 == TransformsKey) ++
+      tip => manifestMeta(spark, root, tip).filter(kv => carriedMetaKey(kv._1)) ++
         schemaJson.orElse(schemaOf(spark, root, tip).map(_.json))
           .map(j => Map(SchemaKey -> j)).getOrElse(Map.empty),
       // a racing append may have landed first: ITS files keep their own
@@ -1078,7 +1196,8 @@ object ManifestTable {
     val stats = ManifestStats.collect(spark, root, staged,
       toPhysicalCols(tipSchema, zCols), toPhysicalCols(tipSchema, bloomColumns))
     (commit(spark, root, "zorder", staged, _ => Seq.empty,
-      _ => Map(SchemaKey -> schemaJson), _ => stats), staged.size)
+      tip => manifestMeta(spark, root, tip).filter(_._1.startsWith(CheckPrefix)) +
+        (SchemaKey -> schemaJson), _ => stats), staged.size)
   }
 
   /** OPTIMIZE CLUSTER BY a partition transform (Iceberg's hidden
@@ -1122,7 +1241,8 @@ object ManifestTable {
       toPhysicalCols(tipSchema, statsColumns), toPhysicalCols(tipSchema, bloomColumns),
       virtualCols = Seq(pt.name -> pt.expr))
     (commit(spark, root, "cluster", staged, _ => Seq.empty,
-      _ => Map(SchemaKey -> schemaJson, TransformsKey -> pt.serialized),
+      tip => manifestMeta(spark, root, tip).filter(_._1.startsWith(CheckPrefix)) +
+        (SchemaKey -> schemaJson) + (TransformsKey -> pt.serialized),
       _ => stats), staged.size)
   }
 
@@ -1145,7 +1265,7 @@ object ManifestTable {
       s"version $toVersion not in log (have ${vs.mkString(",")}) — vacuumed or never existed")
     val files = manifestFiles(spark, root, toVersion)
     val meta = manifestMeta(spark, root, toVersion)
-      .filter { case (k, _) => k == SchemaKey || k == TransformsKey }
+      .filter { case (k, _) => k == SchemaKey || carriedMetaKey(k) }
     val stats = fileStats(spark, root, toVersion)
     commit(spark, root, s"restore-v$toVersion", files, _ => Seq.empty,
       _ => meta, _ => stats)

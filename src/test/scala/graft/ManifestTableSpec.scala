@@ -711,6 +711,74 @@ class ManifestTableSpec extends SparkSpec {
     }
   }
 
+  test("CHECK constraints: add validates existing rows; append/merge/overwrite enforce; drop releases") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root, orders.filter(col("o_totalprice") > 0))
+    // a constraint the current content violates is refused with the count
+    intercept[IllegalArgumentException] {
+      ManifestTable.addCheckConstraint(spark, root, "impossible", "o_totalprice > 1e12")
+    }
+    val v = ManifestTable.addCheckConstraint(spark, root, "positive_price", "o_totalprice > 0")
+    assert(ManifestTable.manifestFiles(spark, root, v) ===
+      ManifestTable.manifestFiles(spark, root, v - 1), "add_constraint must be metadata-only")
+    val bad = orders.limit(2).withColumn("o_totalprice", lit(-5.0))
+    intercept[IllegalArgumentException] { ManifestTable.append(spark, root, bad) }
+    intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark, root, bad, "o_orderkey")
+    }
+    intercept[IllegalArgumentException] { ManifestTable.overwrite(spark, root, bad) }
+    // NULL passes (SQL CHECK semantics), valid rows land
+    ManifestTable.append(spark, root,
+      orders.limit(3).withColumn("o_totalprice", lit(null).cast("double")))
+    ManifestTable.dropCheckConstraint(spark, root, "positive_price")
+    ManifestTable.append(spark, root, bad) // constraint gone — lands
+    assert(ManifestTable.read(spark, root)
+      .filter(col("o_totalprice") < 0).count() === 2L)
+  }
+
+  test("CHECK constraints ride compaction, clustering, restore, and clone; block rename/drop of their columns") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root, orders, statsColumns = Seq("o_orderkey"))
+    ManifestTable.addCheckConstraint(spark, root, "key_pos", "o_orderkey >= 0")
+    ManifestTable.compact(spark, root, targetFileBytes = Long.MaxValue)
+    assert(ManifestTable.checkConstraintsOf(spark, root,
+      ManifestTable.versions(spark, root).max) === Map("key_pos" -> "o_orderkey >= 0"),
+      "constraints must survive a compaction rewrite")
+    ManifestTable.optimizeClusterBy(spark, root,
+      graft.sources.BucketTransform(4, "o_orderkey"),
+      targetFileBytes = Long.MaxValue, statsColumns = Seq("o_orderkey"))
+    assert(ManifestTable.checkConstraintsOf(spark, root,
+      ManifestTable.versions(spark, root).max).contains("key_pos"))
+    // enforcement still live after the rewrites
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, root,
+        orders.limit(1).withColumn("o_orderkey", lit(-1L)))
+    }
+    // rename/drop of a constrained column refuse
+    intercept[IllegalArgumentException] {
+      ManifestTable.renameColumn(spark, root, "o_orderkey", "order_id")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.dropColumn(spark, root, "o_orderkey")
+    }
+    // an UNconstrained column still renames fine
+    ManifestTable.renameColumn(spark, root, "o_orderpriority", "priority")
+    // restore to the pre-constraint version drops it (metadata time travel)
+    ManifestTable.restore(spark, root, 1L)
+    assert(ManifestTable.checkConstraintsOf(spark, root,
+      ManifestTable.versions(spark, root).max).isEmpty)
+    // a clone carries the cloned version's constraints
+    val root2 = freshRoot()
+    ManifestTable.create(spark, root2, orders.limit(10))
+    ManifestTable.addCheckConstraint(spark, root2, "key_pos", "o_orderkey >= 0")
+    val dst = freshRoot()
+    ManifestTable.shallowClone(spark, root2, dst)
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, dst,
+        orders.limit(1).withColumn("o_orderkey", lit(-1L)))
+    }
+  }
+
   test("merge and delete on a renamed key column rewrite the minority and keep the mapping") {
     val root = freshRoot()
     val sorted = orders.orderBy("o_orderkey").repartitionByRange(4, col("o_orderkey"))
