@@ -1971,6 +1971,19 @@ object SparkEntry {
         round(element_at(vd, 1) / n, 4).as("first_unit"))
     }),
 
+    "agg9_hll_replay" -> ((s, dir) => {
+      // the HyperLogLog an oracle CAN check (agg3 pins Spark's built-in
+      // by error bound only — its sketch is engine-specific): md5-nibble
+      // hash, integer register maxes, rational-constant estimate — the
+      // registers AND the estimate replay exactly in DuckDB. The
+      // exchange carries ≤64 register rows per flag however large the
+      // corpus; exact countDistinct rides along as the honest face.
+      val li = t(s, dir, "lineitem")
+      graft.ops.SketchOps.hllCountDistinct(li, Seq("l_returnflag"), "l_partkey")
+        .join(li.groupBy("l_returnflag")
+          .agg(countDistinct("l_partkey").as("exact_parts")), Seq("l_returnflag"))
+    }),
+
     "agg3_approx_distinct" -> ((s, dir) => // no oracle: HLL sketch is
       // engine-specific; spec pins relative error vs exact count
       t(s, dir, "lineitem").groupBy("l_returnflag").agg(
@@ -4274,6 +4287,46 @@ object SparkEntry {
     "gr1_pagerank" -> pagerankSql(5),
     "km1_kmeans" -> kmeansSql(8, 2),
     "cls3_tree" -> treeSql,
+
+    // agg9: the replayable HLL — bucket/rho from md5 hex text, register
+    // maxes, then linear counting (any empty register) or the α₆₄
+    // rational-constant estimate as one HUGEINT division
+    "agg9_hll_replay" ->
+      s"""WITH b AS (
+         |  SELECT l_returnflag AS flag,
+         |         ((strpos('0123456789abcdef', substring(md5(CAST(l_partkey AS VARCHAR)),1,1)) - 1) * 16
+         |          + (strpos('0123456789abcdef', substring(md5(CAST(l_partkey AS VARCHAR)),2,1)) - 1)) % 64 AS bucket,
+         |         substring(md5(CAST(l_partkey AS VARCHAR)), 3, 13) AS t
+         |  FROM lineitem WHERE l_partkey IS NOT NULL
+         |), z0 AS (
+         |  SELECT flag, bucket, t, length(regexp_extract(t, '^0*', 0)) AS z FROM b
+         |), rho AS (
+         |  SELECT flag, bucket,
+         |         CASE WHEN z = 13 THEN CAST(53 AS BIGINT)
+         |              ELSE CAST(z * 4 + 1 + CASE substring(t, z + 1, 1)
+         |                WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+         |                WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+         |                WHEN '7' THEN 1 ELSE 0 END AS BIGINT) END AS rho
+         |  FROM z0
+         |), regs AS (
+         |  SELECT flag, bucket, max(rho) AS r FROM rho GROUP BY 1, 2
+         |), agg AS (
+         |  SELECT flag, count(*) AS nb,
+         |         sum(CAST(1 AS BIGINT) << CAST(53 - r AS INT)) AS sp
+         |  FROM regs GROUP BY 1
+         |), ex AS (
+         |  SELECT l_returnflag AS flag,
+         |         CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+         |  FROM lineitem GROUP BY 1
+         |)
+         |SELECT a.flag AS l_returnflag,
+         |       CAST(64 - a.nb AS BIGINT) AS n_zero_registers,
+         |       CAST(CASE WHEN a.nb < 64
+         |         THEN CAST(64 * CAST(round(ln(64.0 / (64 - a.nb)) * 1000000) AS BIGINT) AS HUGEINT)
+         |         ELSE CAST('${graft.ops.SketchOps.RawNumerator}' AS HUGEINT) // CAST(a.sp AS HUGEINT)
+         |       END AS BIGINT) AS est_micro,
+         |       ex.exact_parts
+         |FROM agg a JOIN ex ON a.flag = ex.flag""".stripMargin,
 
     // gr4: the same co-occurrence CTEs as gr1, then degree-ordered
     // orientation ((deg, id)-smaller endpoint → larger), wedges joined

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distinct-count sketching with EXACT cross-engine replay — the
+  * HyperLogLog (Flajolet et al. 2007) that an oracle CAN check.
+  *
+  * Sketches are usually the excuse for rows-only correctness gates
+  * (`agg3` pins Spark's built-in `approx_count_distinct` by error bound
+  * only, because its HLL implementation is engine-specific). This one is
+  * built from primitives both engines compute bit-identically — md5 hex
+  * nibbles for the hash, integer register maxes, one integer division
+  * for the estimate — so the whole sketch, registers AND estimate,
+  * replays in DuckDB.
+  *
+  * Layout (p = 6, m = 64 registers; standard error 1.04/√64 ≈ 13%):
+  * bucket = first two md5 nibbles mod 64; rho = 1 + leading zero BITS of
+  * the next 13 nibbles (52 bits, so rho ∈ [1, 53]), derived exactly from
+  * the hex text: 4·(leading '0' chars) + zeros within the first nonzero
+  * nibble. Estimate: Flajolet's α₆₄ = 0.709 — a PUBLISHED RATIONAL
+  * constant, which is what makes the bias-corrected estimate an integer
+  * division: E = 709·m²·2⁵³ / (1000·S_scaled) with S_scaled =
+  * Σ 2^(53-R_j) a plain BIGINT sum (≤ 64·2⁵³ < 2⁶⁰). The small-range
+  * branch (any empty register) is linear counting m·ln(m/V) under the
+  * repo's 6-decimal scaled-ln contract. Estimates are micro-units
+  * (×10⁶) so both branches stay integer end to end.
+  *
+  * Scale shape — the reason HLL exists at 100 TB: [[hllRegisters]] is
+  * one map-side-combined hash aggregate whose exchange carries AT MOST
+  * m rows per group, whatever the corpus size (a billion distinct values
+  * shuffle as 64 register rows, vs. countDistinct's shuffle of every
+  * distinct value); registers MERGE by union + max ([[hllMerge]]), the
+  * property that lets per-partition / per-day sketches combine without
+  * re-reading data. */
+object SketchOps {
+
+  /** Register count m = 2^6. */
+  val M = 64
+
+  /** 709·m²·2⁵³·10⁶ / (1000·10⁰) — the exact integer numerator of the
+    * micro-unit raw estimate (26 digits, DECIMAL(38,0)-safe). */
+  val RawNumerator = "26157483096520144191488000"
+
+  private def rhoCols(value: Column): (Column, Column) = {
+    val hx = md5(value.cast("string"))
+    val bucket = conv(substring(hx, 1, 2), 16, 10).cast("long") % M
+    val t = substring(hx, 3, 13)
+    val z = length(regexp_extract(t, "^0*", 0))
+    val n1 = t.substr(z + 1, lit(1))
+    val inNibble = when(n1 === "1", 3)
+      .when(n1.isin("2", "3"), 2)
+      .when(n1.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    val rho = when(z === 13, lit(53)).otherwise(z * 4 + inNibble + lit(1)).cast("long")
+    (bucket, rho)
+  }
+
+  /** The sketch: per group, one row per NON-EMPTY register —
+    * (groupCols*, bucket, r). NULL values are ignored (SQL distinct-count
+    * convention). One hash aggregate, exchange ≤ m rows per group. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val (bucket, rho) = rhoCols(col(valueCol))
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ bucket.as("bucket") :+ rho.as("rho"): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("r"))
+  }
+
+  /** Merge sketches: union the register frames, keep the per-bucket max.
+    * Associative and idempotent — per-day / per-partition sketches
+    * combine into exactly the sketch of the union (spec-pinned). */
+  def hllMerge(registers: DataFrame*): DataFrame = {
+    val all = registers.reduce(_.unionByName(_))
+    val groupCols = all.columns.filterNot(c => c == "bucket" || c == "r")
+    all.groupBy((groupCols :+ "bucket").map(col): _*).agg(max(col("r")).as("r"))
+  }
+
+  /** Fold a register frame to per-group (n_zero_registers, est_micro):
+    * linear counting when any register is empty, the α₆₄ raw estimate
+    * otherwise — both exact integer micro-units. The division runs in
+    * DECIMAL(38,0) (the numerator is 26 digits) and the quotient lands
+    * back in BIGINT: it is at most the numerator over S ≥ 64, i.e. only
+    * a sketch whose registers are all astronomically deep could
+    * overflow, which 2⁶⁴ distinct values cannot produce. */
+  def hllEstimate(registers: DataFrame): DataFrame = {
+    val groupCols = registers.columns.filterNot(c => c == "bucket" || c == "r")
+    registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("nb"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))")).as("sp"))
+      .select(groupCols.map(col) :+
+        (lit(M.toLong) - col("nb")).cast("long").as("n_zero_registers") :+
+        when(col("nb") < M,
+          lit(M.toLong) *
+            round(log(lit(M.toDouble) / (lit(M.toLong) - col("nb"))) * 1e6).cast("long"))
+          .otherwise(expr(
+            s"CAST(CAST('$RawNumerator' AS DECIMAL(38,0)) div CAST(sp AS DECIMAL(38,0)) AS BIGINT)"))
+          .as("est_micro"): _*)
+  }
+
+  /** Convenience: sketch + estimate in one call. */
+  def hllCountDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, valueCol))
+}

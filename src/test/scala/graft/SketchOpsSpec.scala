@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SketchOps
+
+/** The replayable HyperLogLog: exact integer registers + estimate, the
+  * union-max merge law, and the accuracy the 13%-error layout promises.
+  */
+class SketchOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def estOf(values: Seq[Long]): (Long, BigDecimal) = {
+    val df = values.map(v => ("g", v)).toDF("g", "v")
+    val r = SketchOps.hllCountDistinct(df, Seq("g"), "v").head()
+    (r.getAs[Long]("n_zero_registers"), BigDecimal(r.getAs[Long]("est_micro")))
+  }
+
+  test("small cardinality takes the linear-counting branch and lands near the truth") {
+    val (zeros, estMicro) = estOf(1L to 10L)
+    assert(zeros > 0, "10 values cannot fill 64 registers")
+    val est = estMicro.toDouble / 1e6
+    // linear counting at n << m is tight; 3 of headroom covers collisions
+    assert(est >= 7 && est <= 14, s"lc estimate $est too far from 10")
+  }
+
+  test("large cardinality takes the raw branch within the 1.04/sqrt(64) error band") {
+    val (zeros, estMicro) = estOf(1L to 5000L)
+    assert(zeros === 0L, "5000 values must fill all 64 registers")
+    val est = estMicro.toDouble / 1e6
+    assert(est > 5000 * 0.6 && est < 5000 * 1.4,
+      s"raw estimate $est outside 3-sigma of 5000")
+  }
+
+  test("registers are duplicate-insensitive and partition-invariant") {
+    val vals = (1L to 500L).map(v => ("g", v))
+    val once = SketchOps.hllRegisters(vals.toDF("g", "v").repartition(1), Seq("g"), "v")
+      .as[(String, Long, Long)].collect().toSet
+    val thrice = SketchOps.hllRegisters(
+      (vals ++ vals ++ vals).toDF("g", "v").repartition(7), Seq("g"), "v")
+      .as[(String, Long, Long)].collect().toSet
+    assert(once === thrice)
+  }
+
+  test("merge law: union + per-bucket max equals the sketch of the union (and so does the estimate)") {
+    val a = (1L to 1000L).map(v => ("g", v)).toDF("g", "v")
+    val b = (600L to 2000L).map(v => ("g", v)).toDF("g", "v")
+    val merged = SketchOps.hllMerge(
+      SketchOps.hllRegisters(a, Seq("g"), "v"),
+      SketchOps.hllRegisters(b, Seq("g"), "v"))
+      .as[(String, Long, Long)].collect().toSet
+    val direct = SketchOps.hllRegisters(a.unionByName(b), Seq("g"), "v")
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged === direct,
+      "sketches must merge losslessly — the distributed-combine property")
+  }
+
+  test("NULL values are ignored; empty input yields no rows") {
+    val df = Seq(Some(1L), None, Some(2L), None).map(("g", _)).toDF("g", "v")
+    val regs = SketchOps.hllRegisters(df, Seq("g"), "v")
+    val nonNullOnly = SketchOps.hllRegisters(
+      Seq(("g", 1L), ("g", 2L)).toDF("g", "v"), Seq("g"), "v")
+    assert(regs.as[(String, Long, Long)].collect().toSet ===
+      nonNullOnly.as[(String, Long, Long)].collect().toSet)
+    assert(SketchOps.hllCountDistinct(
+      df.filter(col("v").isNull), Seq("g"), "v").isEmpty)
+  }
+}
