@@ -2156,6 +2156,53 @@ object SparkEntry {
           dsum(col("o_totalprice")).as("total_price"))
     }),
 
+    "st9_stream_cdc_upsert" -> ((s, dir) => {
+      // streaming CDC upsert: a change stream (updates to existing F
+      // orders + O-order inserts) drains through foreachBatch, each
+      // micro-batch MERGED by key into the base manifest table with the
+      // txn watermark riding the same atomic commit (mergeIdempotent).
+      // maxFilesPerTrigger=1 forces multiple batches; upsert semantics
+      // make the final state independent of the batch split (each key
+      // appears once across the whole change set). A crash-replay of
+      // the full change set is then re-delivered and must be a NO-OP —
+      // pinned into the face.
+      val root = java.nio.file.Files.createTempDirectory("st9_base").toString
+      val updDir = java.nio.file.Files.createTempDirectory("st9_upd").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("st9_ckpt").toString
+      val orders = t(s, dir, "orders")
+      graft.sources.ManifestTable.create(s, root,
+        orders.filter(col("o_orderstatus") === "F").repartition(2),
+        statsColumns = Seq("o_orderkey"))
+      val updates = orders.filter(col("o_orderstatus") === "F")
+        .filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .unionByName(orders.filter(col("o_orderstatus") === "O"))
+      updates.repartition(2).write.mode("overwrite").parquet(updDir)
+      val q = s.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1).parquet(updDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.sources.ManifestTable.mergeIdempotent(
+            s, root, batch, "o_orderkey", "cdc", id,
+            statsColumns = Seq("o_orderkey"))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val vBefore = graft.sources.ManifestTable.versions(s, root).max
+      graft.sources.ManifestTable.mergeIdempotent(
+        s, root, s.read.parquet(updDir), "o_orderkey", "cdc", 0L)
+      val replayNoop = graft.sources.ManifestTable.versions(s, root).max == vBefore
+      graft.sources.ManifestTable.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .select(lit(replayNoop).as("replay_noop"),
+          col("o_orderstatus"), col("n_orders"), col("total_price"))
+    }),
+
     "st1_stream_hourly" -> ((s, dir) => {
       // Structured Streaming under the SAME oracle as batch e1: drain the
       // events parquet through a file-source stream, aggregate in Complete
@@ -4041,6 +4088,31 @@ object SparkEntry {
          |       ${dsumSql("e.value")} AS total_value
          |FROM events e JOIN customer c ON e.user_id = c.c_custkey
          |GROUP BY 1""").stripMargin,
+
+    "st9_stream_cdc_upsert" -> // final table = F base with the %10 keys
+      // repriced (+1000) plus the O inserts; the crash-replay no-op is
+      // pinned TRUE. The upsert outcome is batch-split-independent
+      // because every key appears once across the change set.
+      (s"""WITH upd AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         o_totalprice + 1000.0 AS o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderstatus = 'O'
+         |), final AS (
+         |  SELECT o_orderstatus, o_totalprice FROM orders
+         |  WHERE o_orderstatus = 'F'
+         |    AND o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_totalprice FROM upd
+         |)
+         |SELECT TRUE AS replay_noop, o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM final GROUP BY o_orderstatus""").stripMargin,
 
     "st6_manifest_replicate" -> // the replica must hold exactly what the
       // source's three versions shipped — the whole orders table

@@ -856,6 +856,35 @@ object ManifestTable {
     }
   }
 
+  /** Idempotent upsert — [[appendIdempotent]]'s exactly-once contract
+    * applied to [[merge]]: the streaming-CDC sink shape (a foreachBatch
+    * body that MERGES each micro-batch of change rows by key instead of
+    * appending them). The (writer, batchId) watermark rides the same
+    * atomic commit as the rewritten files, so a crash between merge and
+    * acknowledgment re-delivers the batch and it lands exactly once —
+    * an upsert replay would otherwise be silently "idempotent-looking"
+    * but re-rewrite files and re-fire CDF consumers. Same single-writer
+    * contract and O(log) watermark scan as [[appendIdempotent]]; the
+    * table must already exist (CDC applies changes to a base). */
+  def mergeIdempotent(
+      spark: SparkSession,
+      root: String,
+      df: DataFrame,
+      keyCol: String,
+      writerId: String,
+      batchId: Long,
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): Long = {
+    val key = s"txn-$writerId"
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir) — create the base first")
+    val seen = vs.flatMap(v => manifestMeta(spark, root, v).get(key)).map(_.toLong)
+    if (seen.nonEmpty && batchId <= seen.max) vs.max // replay: already landed
+    else merge(spark, root, df, keyCol,
+      statsColumns = statsColumns, bloomColumns = bloomColumns,
+      meta = Map(key -> batchId.toString))._1
+  }
+
   /** Replace the table content (the tip's files drop out of the new
     * manifest; they stay on disk for time travel until [[vacuum]]). */
   def overwrite(spark: SparkSession, root: String, df: DataFrame,

@@ -179,6 +179,30 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root).exceptAll(docs).isEmpty)
   }
 
+  test("mergeIdempotent: a replayed CDC batch neither rewrites files nor re-fires a commit") {
+    val root = freshRoot()
+    val base = orders.filter(col("o_orderstatus") === "F")
+    ManifestTable.create(spark, root, base, statsColumns = Seq("o_orderkey"))
+    val upd = base.limit(5).withColumn("o_totalprice", col("o_totalprice") * 2)
+    val v1 = ManifestTable.mergeIdempotent(spark, root, upd, "o_orderkey", "cdc", 0L,
+      statsColumns = Seq("o_orderkey"))
+    assert(v1 === 2L)
+    val afterFirst = ManifestTable.read(spark, root).collect().toSet
+    // crash-replay of the SAME batch: no new version, no content change
+    val v2 = ManifestTable.mergeIdempotent(spark, root, upd, "o_orderkey", "cdc", 0L)
+    assert(v2 === 2L, "replayed batch must not commit")
+    assert(ManifestTable.read(spark, root).collect().toSet === afterFirst)
+    // a LOWER batch id replays too (watermark, not equality)
+    assert(ManifestTable.mergeIdempotent(spark, root, upd, "o_orderkey", "cdc", -1L) === 2L)
+    // the next batch lands; a different writer is independent
+    val ins = orders.filter(col("o_orderstatus") === "O").limit(3)
+    assert(ManifestTable.mergeIdempotent(spark, root, ins, "o_orderkey", "cdc", 1L) === 3L)
+    assert(ManifestTable.read(spark, root).count() === base.count() + 3)
+    intercept[IllegalArgumentException] { // no base table — CDC needs one
+      ManifestTable.mergeIdempotent(spark, freshRoot(), upd, "o_orderkey", "cdc", 0L)
+    }
+  }
+
   test("readChangesSince feeds exactly the appended batches; cursor-advance loop is lossless") {
     val root = freshRoot()
     val b1 = orders.limit(10)
