@@ -316,6 +316,37 @@ object SparkEntry {
        |FROM r$k ORDER BY pr DESC, u LIMIT 20""".stripMargin
   }
 
+  /** The gr5 oracle, generated: `rounds` k-core peeling rounds plus the
+    * final degree pass — every alive-set CTE is referenced twice (both
+    * edge endpoints), so AS MATERIALIZED is load-bearing: inlining
+    * would double the plan per round (the txt20 lesson). */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT e.u, CAST(count(*) AS BIGINT) AS deg
+         |  FROM edges e JOIN a${i - 1} x ON e.u = x.u JOIN a${i - 1} y ON e.v = y.u
+         |  GROUP BY e.u
+         |), a$i AS MATERIALIZED (
+         |  SELECT u FROM d$i WHERE deg >= $k
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |), edges AS MATERIALIZED (
+       |  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+       |), a0 AS MATERIALIZED (
+       |  SELECT DISTINCT u FROM edges
+       |), $steps, dF AS (
+       |  SELECT e.u, CAST(count(*) AS BIGINT) AS deg
+       |  FROM edges e JOIN a$rounds x ON e.u = x.u JOIN a$rounds y ON e.v = y.u
+       |  GROUP BY e.u
+       |)
+       |SELECT TRUE AS converged, u AS part_id, deg AS core_degree
+       |FROM dF ORDER BY deg DESC, u LIMIT 20""".stripMargin
+  }
+
   /** The cls3 oracle: both depth-2 tree levels replayed — candidate
     * (bucket, threshold) error counts, the (err, b, θ) lexicographic
     * argmin per node, side membership as a max-CASE aggregate against
@@ -1018,6 +1049,23 @@ object SparkEntry {
         .orderBy(col("tri").desc, col("u"))
         .limit(20)
         .select(col("u").as("part_id"), col("tri").as("n_triangles"))
+    }),
+
+    "gr5_kcore" -> ((s, dir) => {
+      // k-core decomposition (6 peeling rounds at k=65 — measured to
+      // pass the fixed point at every SF: the near-regular co-purchase
+      // graph peels 1-3 rounds then stabilizes on a nonempty core):
+      // the dense-subgraph curation signal. The converged flag is
+      // computed by one extra degree pass and PINNED — an unconverged
+      // budget can't pose as the core. Face = top-20 by within-core
+      // degree, total-ordered.
+      val edges = graft.ops.GraphOps.coOccurrenceEdges(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+      val (core, conv) = graft.ops.GraphOps.kCore(edges, k = 65, rounds = 6)
+      core.orderBy(col("deg").desc, col("u"))
+        .limit(20)
+        .select(lit(conv).as("converged"),
+          col("u").as("part_id"), col("deg").as("core_degree"))
     }),
 
     "gr2_label_propagation" -> ((s, dir) => {
@@ -4357,6 +4405,7 @@ object SparkEntry {
          |FROM latest, a""").stripMargin,
 
     "gr1_pagerank" -> pagerankSql(5),
+    "gr5_kcore" -> kcoreSql(65, 6),
     "km1_kmeans" -> kmeansSql(8, 2),
     "cls3_tree" -> treeSql,
 

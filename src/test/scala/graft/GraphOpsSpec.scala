@@ -132,6 +132,38 @@ class GraphOpsSpec extends SparkSpec {
     assert(one.nonEmpty, "fixture must actually contain triangles")
   }
 
+  private def core(edges: Seq[(Long, Long)], k: Int, rounds: Int, parts: Int = 1) = {
+    val sym = edges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    val (c, conv) = GraphOps.kCore(sym.toDF("u", "v").repartition(parts), k, rounds)
+    (c.as[(Long, Long)].collect().toMap, conv)
+  }
+
+  test("kCore: K4 plus a pendant — the pendant peels, the clique stays with hand-traced degrees") {
+    val k4 = for { u <- 1L to 4L; v <- 1L to 4L if u < v } yield (u, v)
+    val (c, conv) = core(k4 :+ (1L, 5L), k = 3, rounds = 3)
+    // round 1: node 5 (deg 1) peels; node 1 drops 4→3; fixed point
+    assert(conv, "3 rounds must reach the fixed point")
+    assert(c === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: a chain cascades to an empty core; a short budget reports unconverged") {
+    // 1-2-3-4-5 at k=2: ends peel, then their neighbors, then the middle
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val (c, conv) = core(chain, k = 2, rounds = 5)
+    assert(conv && c.isEmpty, s"chain must cascade to empty, got $c")
+    // one round only removes the ends — the flag must refuse to call it a core
+    val (partial, conv1) = core(chain, k = 2, rounds = 1)
+    assert(!conv1, "one round cannot have converged")
+    assert(partial.keySet === Set(2L, 3L, 4L))
+  }
+
+  test("kCore is partitioning-invariant") {
+    val edges = (1L to 80L).map(i => (i % 11, (i * 5) % 13)).filter(e => e._1 != e._2)
+    val (one, c1) = core(edges, k = 3, rounds = 4, parts = 1)
+    val (many, c2) = core(edges, k = 3, rounds = 4, parts = 7)
+    assert(one === many && c1 === c2)
+  }
+
   test("rank mass is conserved up to truncation loss (each div sheds < 1 unit)") {
     val r = ranks(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L)), 5)
     val total = r.values.sum
