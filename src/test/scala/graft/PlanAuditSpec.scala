@@ -439,4 +439,66 @@ class PlanAuditSpec extends SparkSpec {
       s"HITS side-aggregate must hash-aggregate:\n$plan")
     assert(!plan.contains("Window") && !plan.contains("CartesianProduct"))
   }
+
+  test("gr4 triangles: wedge and closure are EQUI-joins — the degree orientation must never plan NLJ") {
+    // the whole point of orienting by degree is that wedge generation is
+    // an equi-join on the shared source with a post-filter, and closure
+    // an equi-join on the (y, z) arc — a nested-loop anywhere means the
+    // O(E^1.5) bound is gone
+    val plan = SparkEntry.queries("gr4_triangles")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in triangle plan:\n$plan")
+    assert(!plan.contains("Window"), s"window crept into triangle plan:\n$plan")
+  }
+
+  test("gr5 k-core rounds: alive filtering is two semi-joins + a hash aggregate") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("u", "v")
+    val alive = edges.select(org.apache.spark.sql.functions.col("u")).distinct()
+    val round = edges.join(alive, Seq("u"), "left_semi")
+      .join(alive.select(org.apache.spark.sql.functions.col("u").as("v")), Seq("v"), "left_semi")
+      .groupBy("u").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("deg"))
+    val plan = round.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"k-core round lost its semi-joins:\n$plan")
+    assert(plan.contains("HashAggregate"), s"k-core degree count must hash-aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("cls3 split search: candidate scoring is a map-side-combined hash aggregate, never a window or NLJ") {
+    // the returned confusion frame is checkpointed (three bounded 1-row
+    // collects happen during training), so audit the candidate-scoring
+    // shape itself — the aggregate every split search runs: exploded
+    // thresholds -> groupBy (bucket, theta) -> sums, <= 4096·|theta|
+    // groups in the exchange however large the corpus
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val feats = Seq((1L, 1L, 17L, 2L), (2L, -1L, 17L, 1L)).toDF("did", "y", "b", "cnt")
+    val cand = feats
+      .select(col("y"), col("cnt"),
+        explode(array(struct(lit(1L).as("th")), struct(lit(2L).as("th")))).as("t"), col("b"))
+      .select(col("b"), col("t.th").as("th"),
+        when(col("y") === 1 && col("cnt") >= col("th"), 1L).otherwise(0L).as("isP"),
+        when(col("y") === -1 && col("cnt") >= col("th"), 1L).otherwise(0L).as("isN"))
+      .groupBy("b", "th").agg(sum("isP").as("pL"), sum("isN").as("nL"))
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"no hash aggregate in split-search plan:\n$plan")
+    assert(plan.contains("partial_sum"), s"split search must map-side combine:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+      s"wrong shape in split-search plan:\n$plan")
+  }
+
+  test("agg9 HLL registers: ONE exchange, carrying register rows only") {
+    import spark.implicits._
+    val df = (1L to 100L).map(v => ("g", v)).toDF("g", "v")
+    val plan = graft.ops.SketchOps.hllRegisters(df, Seq("g"), "v")
+      .queryExecution.executedPlan.toString
+    // partial max per map task -> exchange of <= m rows per group ->
+    // final max; a second exchange would mean the sketch shuffles data
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected exactly one exchange, got $exchanges:\n$plan")
+    assert(plan.contains("partial_max") || plan.contains("HashAggregate"),
+      s"register max must map-side combine:\n$plan")
+  }
 }
