@@ -1903,6 +1903,25 @@ object SparkEntry {
         .select(col("e.item").as("token"), col("e.count").as("est_count"))
     }),
 
+    "hh3_cms_replay" -> ((s, dir) => {
+      // the Count-Min sketch an oracle CAN check (agg9's contract
+      // applied to frequencies — hh1's Misra-Gries stays rows-only by
+      // design): md5-row-seeded counters are deterministic integers,
+      // so the sketch AND every point estimate replay in DuckDB. The
+      // exchange carries ≤ d·w = 1024 counter rows whatever the corpus;
+      // the exact counts ride along — est ≥ exact by construction, over
+      // by whatever the (4, 256) collision bound prices.
+      val li = t(s, dir, "lineitem")
+      val sk = graft.ops.SketchOps.cmsSketch(li, Nil, "l_partkey")
+      val probes = li.select(col("l_partkey")).distinct()
+        .orderBy("l_partkey").limit(10)
+      val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("exact_cnt"))
+      graft.ops.SketchOps.cmsEstimate(sk, probes, "l_partkey")
+        .join(exact, Seq("l_partkey"))
+        .select(col("l_partkey").as("part_id"), col("est").as("est_cnt"),
+          col("exact_cnt"))
+    }),
+
     "hh2_freq_gate" -> ((s, dir) => {
       // the deterministic MG guarantee under the oracle: every token with
       // exact count > n/(k+1) MUST be in the sketch (k = 32, see hh1) (Misra-Gries bound,
@@ -3960,6 +3979,36 @@ object SparkEntry {
     "x1_wordcount" ->
       ("SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences FROM " +
         "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY token"),
+
+    "hh3_cms_replay" -> { // row-seeded md5 buckets, counter sums, min
+      // over rows — the whole sketch replayed cell for cell
+      def bucket(input: String): String =
+        s"""((strpos('0123456789abcdef', substring(md5($input), 1, 1)) - 1) * 16
+           | + (strpos('0123456789abcdef', substring(md5($input), 2, 1)) - 1))""".stripMargin
+      val rowVal = bucket("CAST(r.r AS VARCHAR) || ':' || CAST(l.l_partkey AS VARCHAR)")
+      val rowProbe = bucket("CAST(r.r AS VARCHAR) || ':' || CAST(p.l_partkey AS VARCHAR)")
+      s"""WITH rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         |cells AS (
+         |  SELECT r.r, $rowVal AS bucket
+         |  FROM lineitem l CROSS JOIN rows_ r WHERE l.l_partkey IS NOT NULL
+         |), sk AS MATERIALIZED (
+         |  SELECT r, bucket, CAST(count(*) AS BIGINT) AS c FROM cells GROUP BY 1, 2
+         |), probes AS (
+         |  SELECT DISTINCT l_partkey FROM lineitem ORDER BY 1 LIMIT 10
+         |), pcells AS (
+         |  SELECT p.l_partkey, r.r, $rowProbe AS bucket
+         |  FROM probes p CROSS JOIN rows_ r
+         |), est AS (
+         |  SELECT pc.l_partkey, min(coalesce(sk.c, CAST(0 AS BIGINT))) AS est
+         |  FROM pcells pc LEFT JOIN sk ON sk.r = pc.r AND sk.bucket = pc.bucket
+         |  GROUP BY 1
+         |), ex AS (
+         |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_cnt
+         |  FROM lineitem GROUP BY 1
+         |)
+         |SELECT e.l_partkey AS part_id, e.est AS est_cnt, ex.exact_cnt
+         |FROM est e JOIN ex ON e.l_partkey = ex.l_partkey""".stripMargin
+    },
 
     "hh2_freq_gate" -> // the MG guarantee is a theorem: n_found equals
       // n_guaranteed and recall is exactly 1.0, both re-derived from the

@@ -102,4 +102,57 @@ object SketchOps {
   /** Convenience: sketch + estimate in one call. */
   def hllCountDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
     hllEstimate(hllRegisters(df, groupCols, valueCol))
+
+  // ---------------------------------------------------------------- CMS
+
+  /** Count-Min depth (independent hash rows) and width (counters per
+    * row): d=4, w=256 → error ≤ N·e/w ≈ N/94 with prob 1−e⁻⁴ ≈ 98%. */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  private def cmsRowBuckets(value: Column): Column =
+    array((0 until CmsDepth).map { i =>
+      struct(lit(i).as("r"),
+        conv(substring(md5(concat(lit(s"$i:"), value.cast("string"))), 1, 2), 16, 10)
+          .cast("long").as("bucket"))
+    }: _*)
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) with the agg9
+    * replay contract: row hashes are md5 over a row-seeded prefix, so
+    * the counters — and therefore every estimate — are deterministic
+    * integers both engines derive identically. One hash aggregate;
+    * the exchange carries ≤ d·w = 1024 counter rows per group whatever
+    * the corpus size. Counters are LINEAR (sums), so sketches merge by
+    * union + per-cell sum ([[cmsMerge]]) — the distributed-combine /
+    * per-day-rollup property, and the reason CMS (not a hash map of the
+    * full key space) is what a 100 TB frequency pass ships around.
+    * Returns (groupCols*, r, bucket, c). */
+  def cmsSketch(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ explode(cmsRowBuckets(col(valueCol))).as("rb"): _*)
+      .select(groupCols.map(col) :+ col("rb.r").as("r") :+ col("rb.bucket").as("bucket"): _*)
+      .groupBy((groupCols :+ "r" :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("c"))
+
+  /** Merge sketches: union + per-cell sum (counter linearity). */
+  def cmsMerge(sketches: DataFrame*): DataFrame = {
+    val all = sketches.reduce(_.unionByName(_))
+    val groupCols = all.columns.filterNot(c => c == "r" || c == "bucket" || c == "c")
+    all.groupBy((groupCols :+ "r" :+ "bucket").map(col): _*).agg(sum(col("c")).as("c"))
+  }
+
+  /** Point-query the sketch: est(v) = min over rows of that row's
+    * counter — never an undercount, over by at most the collisions the
+    * (d, w) bound prices. `probes` supplies one row per queried value;
+    * a value the sketch never saw estimates 0 (all its cells empty).
+    * The probe side explodes to d rows each and joins the ≤ d·w-row
+    * sketch — broadcast-sized by construction. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, valueCol: String): DataFrame = {
+    val cells = probes.select(col(valueCol),
+        explode(cmsRowBuckets(col(valueCol))).as("rb"))
+      .select(col(valueCol), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    cells.join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .groupBy(col(valueCol))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
 }

@@ -55,6 +55,51 @@ class SketchOpsSpec extends SparkSpec {
       "sketches must merge losslessly — the distributed-combine property")
   }
 
+  test("CMS: estimates never undercount, and on a sparse fixture they are exact") {
+    val df = (Seq.fill(50)(1L) ++ Seq.fill(7)(2L) ++ Seq(3L)).map(("g", _)).toDF("g", "v")
+    val sk = SketchOps.cmsSketch(df.drop("g"), Nil, "v")
+    val probes = Seq(1L, 2L, 3L, 99L).toDF("v")
+    val est = SketchOps.cmsEstimate(sk, probes, "v")
+      .as[(Long, Long)].collect().toMap
+    // 3 distinct values in 4x256 cells: min-over-rows collision chance is
+    // nil, and md5 is fixed — exactness here is deterministic forever
+    assert(est === Map(1L -> 50L, 2L -> 7L, 3L -> 1L, 99L -> 0L))
+  }
+
+  test("CMS never undercounts on a dense fixture (the one-sided error law)") {
+    val vals = (1L to 3000L).flatMap(v => Seq.fill((v % 7 + 1).toInt)(v))
+    val sk = SketchOps.cmsSketch(vals.toDF("v"), Nil, "v")
+    val probes = (1L to 50L).toDF("v")
+    val est = SketchOps.cmsEstimate(sk, probes, "v")
+      .as[(Long, Long)].collect().toMap
+    (1L to 50L).foreach { v =>
+      assert(est(v) >= v % 7 + 1, s"CMS undercounted $v: ${est(v)}")
+    }
+  }
+
+  test("CMS merge law: union + per-cell sum equals the sketch of the union") {
+    val a = (1L to 800L).map(("g", _)).toDF("g", "v")
+    val b = (500L to 1500L).map(("g", _)).toDF("g", "v")
+    val merged = SketchOps.cmsMerge(
+      SketchOps.cmsSketch(a, Seq("g"), "v"),
+      SketchOps.cmsSketch(b, Seq("g"), "v"))
+      .as[(String, Int, Long, Long)].collect().toSet
+    val direct = SketchOps.cmsSketch(a.unionByName(b), Seq("g"), "v")
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(merged === direct, "counters are linear — merge must be exact")
+  }
+
+  test("CMS sketch is partition-invariant and bounded at d*w cells") {
+    val vals = (1L to 5000L).map(v => ("g", v))
+    val one = SketchOps.cmsSketch(vals.toDF("g", "v").repartition(1), Seq("g"), "v")
+      .as[(String, Int, Long, Long)].collect().toSet
+    val many = SketchOps.cmsSketch(vals.toDF("g", "v").repartition(7), Seq("g"), "v")
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(one === many)
+    assert(one.size <= SketchOps.CmsDepth * SketchOps.CmsWidth,
+      s"sketch exceeded d*w cells: ${one.size}")
+  }
+
   test("NULL values are ignored; empty input yields no rows") {
     val df = Seq(Some(1L), None, Some(2L), None).map(("g", _)).toDF("g", "v")
     val regs = SketchOps.hllRegisters(df, Seq("g"), "v")
