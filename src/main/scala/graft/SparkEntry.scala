@@ -2947,6 +2947,23 @@ object SparkEntry {
           col("o_orderstatus"), col("n_orders"), col("total_price"))
     }),
 
+    "ret1_bm25" -> ((s, dir) => {
+      // ranked retrieval over the corpus: BM25 top-5 per query for a
+      // fixed 3-query eval set — integer saturation term (k1, b
+      // rational), 6dp-ln idf, exact micro-unit sums, so the full
+      // ranking replays. Per-query orderBy+limit (3 literal queries)
+      // keeps the selection total-ordered without a window.
+      val qs = Seq(("q1", "spark merge filter"), ("q2", "window scan"),
+        ("q3", "stream customer data"))
+      val scores = TextOps.bm25Scores(t(s, dir, "documents"), "doc_id", "text", qs)
+        .localCheckpoint()
+      qs.map { case (qid, _) =>
+        scores.filter(col("query_id") === qid)
+          .orderBy(col("score_micro").desc, col("doc_id")).limit(5)
+      }.reduce(_.unionByName(_))
+        .select(col("query_id"), col("doc_id"), col("score_micro"))
+    }),
+
     "rpt2_source_quality" -> ((s, dir) => {
       // the curation view: per-source Gopher/C4 gate pass rates — the
       // SAME composed gate pipe2 filters with, rolled up by source so
@@ -4715,6 +4732,50 @@ object SparkEntry {
          |       ${dsumSql("o_totalprice")} AS total_price,
          |       CAST(sum(CASE WHEN prio IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_prio_set
          |FROM t GROUP BY o_orderstatus""").stripMargin,
+
+    "ret1_bm25" -> // tf/df/totals re-derived, idf under the 6dp-ln
+      // contract, the rational saturation term as one HUGEINT division,
+      // top-5 per query by (score desc, doc_id)
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), lens AS MATERIALIZED (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM toks GROUP BY 1
+        |), tf AS MATERIALIZED (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+        |), dft AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS bigl,
+        |         CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+        |  FROM toks
+        |), q(query_id, term) AS (
+        |  SELECT * FROM (VALUES
+        |    ('q1', 'spark'), ('q1', 'merge'), ('q1', 'filter'),
+        |    ('q2', 'window'), ('q2', 'scan'),
+        |    ('q3', 'stream'), ('q3', 'customer'), ('q3', 'data')) v
+        |), idf AS (
+        |  SELECT d.term,
+        |         CAST(round(ln((2.0 * tot.n + 2.0) / (2.0 * d.df + 1.0)) * 1000000) AS BIGINT) AS idf_micro,
+        |         tot.bigl, tot.n
+        |  FROM dft d, tot
+        |), terms AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |         CAST((CAST(i.idf_micro AS HUGEINT) * 22 * tf.tf * i.bigl)
+        |              // (CAST(10 AS HUGEINT) * tf.tf * i.bigl + CAST(3 AS HUGEINT) * i.bigl
+        |                  + CAST(9 AS HUGEINT) * l.len * i.n) AS BIGINT) AS term_micro
+        |  FROM q JOIN idf i ON q.term = i.term
+        |  JOIN tf ON tf.term = q.term
+        |  JOIN lens l ON l.doc_id = tf.doc_id
+        |), scores AS (
+        |  SELECT query_id, doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro
+        |  FROM terms GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT query_id, doc_id, score_micro,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score_micro DESC, doc_id) AS rn
+        |  FROM scores
+        |)
+        |SELECT query_id, doc_id, score_micro FROM ranked WHERE rn <= 5""".stripMargin,
 
     "lake19_check_constraints" -> // table = all orders plus the 5
       // smallest keys re-appended (the clean append); both refusals

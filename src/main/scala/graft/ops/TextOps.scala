@@ -785,4 +785,62 @@ object TextOps {
     }
     (words, vocab)
   }
+
+  /** BM25 retrieval scoring (Robertson & Zaragoza 2009, the Okapi
+    * formulation with Lucene's +1 idf so no term scores negative) —
+    * the ranked-retrieval primitive under contamination screening and
+    * curriculum selection ("score every training doc against the eval
+    * queries"). The standard constants k1 = 1.2 and b = 0.75 are
+    * RATIONAL, which clears the saturation term of floats entirely:
+    * with N docs, L total corpus tokens (so avgdl = L/N),
+    *
+    * {{{
+    *   tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl))
+    *     = 22·tf·L / (10·tf·L + 3·L + 9·len·N)       — exact integers
+    * }}}
+    *
+    * and the only transcendental is idf = ln((2N+2)/(2·df+1)) — one ln
+    * of a ratio of integers, under the repo's 6-decimal scaled-ln
+    * contract (idf_micro BIGINT), so per-term scores are integer
+    * micro-units and per-doc sums replay bit-for-bit. Duplicate query
+    * terms are deduped (unweighted query tf — the common case).
+    *
+    * Scale shape: tf/df/totals are one aggregate each; scoring is a
+    * broadcast of the tiny (term, idf) query frame into the tf table —
+    * only docs containing a query term ever materialize a row — then
+    * one map-side-combined sum per (query, doc). Nothing corpus-sized
+    * shuffles beyond the tf aggregate itself.
+    * Returns (query_id, idCol, score_micro). */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(String, String)]): DataFrame = {
+    require(queries.nonEmpty, "bm25Scores needs at least one query")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("long").as("len"),
+        explode(col("__toks")).as("term"))
+    val tf = w.groupBy(col(idCol), col("len"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    val totals = w.agg(count(lit(1)).cast("long").as("bigl"),
+      countDistinct(col(idCol)).cast("long").as("n"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queries.toDF("query_id", "q_text")
+      .select(col("query_id"), explode(split(col("q_text"), " ")).as("term"))
+      .distinct()
+    val idf = dfT.crossJoin(broadcast(totals))
+      .select(col("term"),
+        round(log((lit(2.0) * col("n") + 2.0) / (lit(2.0) * col("df") + 1.0)) * 1e6)
+          .cast("long").as("idf_micro"),
+        col("bigl"), col("n"))
+    broadcast(q.join(idf, Seq("term")))
+      .join(tf, Seq("term"))
+      .select(col("query_id"), col(idCol),
+        expr("""CAST((CAST(idf_micro AS DECIMAL(38,0)) * 22 * tf * bigl)
+                div (CAST(10 AS DECIMAL(38,0)) * tf * bigl + CAST(3 AS DECIMAL(38,0)) * bigl
+                     + CAST(9 AS DECIMAL(38,0)) * len * n) AS BIGINT)""").as("term_micro"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("term_micro").cast(dec)).cast("long").as("score_micro"))
+  }
 }

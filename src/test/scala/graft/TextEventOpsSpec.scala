@@ -444,6 +444,28 @@ class TextEventOpsSpec extends SparkSpec {
     assert(math.abs(out(2L)._2 - expected) < 1e-9)
   }
 
+  test("bm25Scores: hand-computed integer scores on a 3-doc corpus; absent terms drop docs; query dup dedupes") {
+    // corpus: (1, "a b"), (2, "a"), (3, "c c c") → N=3, L=6;
+    // df: a=2, b=1, c=1; idf_micro = round(ln((2N+2)/(2df+1))·1e6):
+    //   a: ln(8/5) → 470004;  b, c: ln(8/3) → 980829
+    // term = idf·22·tf·L div (10·tf·L + 3·L + 9·len·N):
+    //   doc1 (len 2): den = 60+18+54 = 132 = 22·1·6 → term = idf exactly
+    //   doc2 (len 1): den = 105 → floor(470004·132/105) = 590862
+    //   doc3 (len 3, tf 3): den = 279, num = 396 → floor(980829·396/279)
+    //                       = 1392144
+    val docs = Seq((1L, "a b"), (2L, "a"), (3L, "c c c")).toDF("doc_id", "text")
+    val out = TextOps.bm25Scores(docs, "doc_id", "text",
+        Seq(("q1", "a b"), ("q2", "c"), ("q3", "a a")))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("q1", 1L) -> (470004L + 980829L), ("q1", 2L) -> 590862L,
+      ("q2", 3L) -> 1392144L,
+      ("q3", 1L) -> 470004L, ("q3", 2L) -> 590862L))
+    // ranking property: the doc matching BOTH query terms outranks the
+    // partial match
+    assert(out(("q1", 1L)) > out(("q1", 2L)))
+  }
+
   test("depth2TreeConfusion: a perfectly separating word becomes the root split; holdout confusion is diagonal") {
     import graft.ops.ClassifyOps
     // label = doc contains "zebra"; positives are all "zebra apple",
