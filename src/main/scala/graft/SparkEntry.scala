@@ -347,6 +347,41 @@ object SparkEntry {
        |FROM dF ORDER BY deg DESC, u LIMIT 20""".stripMargin
   }
 
+  /** The v4 oracle, generated: quantized Gram, then `rounds` power
+    * iterations with the SIGN-SAFE normalization — DuckDB's `//` floors
+    * negatives where Spark's `div` truncates toward zero, so the
+    * division replays as CASE sign · (|s| // mxp). */
+  private def powerIterSql(rounds: Int): String = {
+    val rs = (1 to rounds).map { k =>
+      s"""r${k}s AS MATERIALIZED (
+         |  SELECT g.i, sum(g.g * r${k - 1}.xv) AS s
+         |  FROM gram g JOIN r${k - 1} ON g.j = r${k - 1}.j GROUP BY 1
+         |), r${k}m AS (
+         |  SELECT max(CASE WHEN s < 0 THEN -s ELSE s END) // 1000000000000 AS mxp
+         |  FROM r${k}s
+         |), r$k AS MATERIALIZED (
+         |  SELECT i AS j,
+         |         CASE WHEN s < 0 THEN -((-s) // mxp) ELSE s // mxp END AS xv
+         |  FROM r${k}s, r${k}m
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH comps AS (
+       |  SELECT vec_id AS v, unnest(range(1, len(embedding) + 1)) AS i, embedding
+       |  FROM embeddings
+       |), qv AS MATERIALIZED (
+       |  SELECT v, CAST(i AS BIGINT) AS i,
+       |         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+       |  FROM comps
+       |), gram AS MATERIALIZED (
+       |  SELECT a.i, b.i AS j, sum(a.q * b.q) AS g
+       |  FROM qv a JOIN qv b ON a.v = b.v GROUP BY 1, 2
+       |), r0 AS (
+       |  SELECT DISTINCT j, CAST(1000000000000 AS HUGEINT) AS xv FROM gram
+       |), $rs
+       |SELECT j AS dim_id, CAST(xv AS BIGINT) AS component_scaled
+       |FROM r$rounds ORDER BY j""".stripMargin
+  }
+
   /** The cls3 oracle: both depth-2 tree levels replayed — candidate
     * (bucket, threshold) error counts, the (err, b, θ) lexicographic
     * argmin per node, side membership as a max-CASE aggregate against
@@ -2947,6 +2982,24 @@ object SparkEntry {
           col("o_orderstatus"), col("n_orders"), col("total_price"))
     }),
 
+    "v4_power_iteration" -> ((s, dir) =>
+      // PCA-lite: the dominant Gram direction by 4 rounds of integer
+      // fixed-point power iteration — Gram is ONE d²-cell aggregate
+      // (corpus never shuffles), iteration is on the tiny matrix, and
+      // the signed normalization replays via sign·(|s|//mxp) which IS
+      // Spark's toward-zero div (DuckDB's bare // floors negatives).
+      graft.ops.SimilarityOps.gramTopComponent(
+          t(s, dir, "embeddings"), "vec_id", "embedding", rounds = 4)
+        .orderBy("dim_id")),
+
+    "txt23_pmi" -> ((s, dir) =>
+      // collocation mining: document-level PMI pairs (min support 5),
+      // one ln of exact integer counts per pair — fully replayed.
+      // Face = top-20 by (pmi desc, pair), total-ordered.
+      TextOps.pmiPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+        .limit(20)),
+
     "ret1_bm25" -> ((s, dir) => {
       // ranked retrieval over the corpus: BM25 top-5 per query for a
       // fixed 3-query eval set — integer saturation term (k1, b
@@ -4474,6 +4527,7 @@ object SparkEntry {
     "gr5_kcore" -> kcoreSql(65, 6),
     "km1_kmeans" -> kmeansSql(8, 2),
     "cls3_tree" -> treeSql,
+    "v4_power_iteration" -> powerIterSql(4),
 
     // agg9: the replayable HLL — bucket/rho from md5 hex text, register
     // maxes, then linear counting (any empty register) or the α₆₄
@@ -4732,6 +4786,29 @@ object SparkEntry {
          |       ${dsumSql("o_totalprice")} AS total_price,
          |       CAST(sum(CASE WHEN prio IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_prio_set
          |FROM t GROUP BY o_orderstatus""").stripMargin,
+
+    "txt23_pmi" -> // doc-level pair counts, word doc-frequencies, one
+      // 6dp-ln per pair — the same double expression text both engines
+      // evaluate: CAST(cxy AS DOUBLE) * n / (c1 * c2)
+      """WITH dw AS MATERIALIZED (
+        |  SELECT DISTINCT did, w FROM (
+        |    SELECT doc_id AS did, unnest(string_split(text, ' ')) AS w
+        |    FROM documents)
+        |), cw AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cw FROM dw GROUP BY 1
+        |), nn AS (
+        |  SELECT CAST(count(DISTINCT did) AS BIGINT) AS n FROM dw
+        |), pairs AS (
+        |  SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS cxy
+        |  FROM dw a JOIN dw b ON a.did = b.did AND a.w < b.w
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |)
+        |SELECT p.w1, p.w2, p.cxy,
+        |       CAST(round(ln(CAST(p.cxy AS DOUBLE) * nn.n / (c1.cw * c2.cw)) * 1000000) AS BIGINT) AS pmi_micro
+        |FROM pairs p
+        |JOIN cw c1 ON c1.w = p.w1
+        |JOIN cw c2 ON c2.w = p.w2, nn
+        |ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""".stripMargin,
 
     "ret1_bm25" -> // tf/df/totals re-derived, idf under the 6dp-ln
       // contract, the rational saturation term as one HUGEINT division,

@@ -638,4 +638,57 @@ object SimilarityOps {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         col("min_removed"))
   }
+
+  /** Top principal direction of the embedding GRAM matrix by exact
+    * integer fixed-point POWER ITERATION — the PCA-lite primitive under
+    * dominant-direction removal ("all-but-the-top", Mu & Viswanath
+    * 2018) and embedding-drift monitoring. Two pieces, both replayable:
+    *
+    * 1. Gram: components quantize half-up to the 10⁶ lattice (km1's
+    *    cross-engine contract), then G(i,j) = Σ_v q_i·q_j — ONE
+    *    map-side-combined aggregate whose exchange is d² cells
+    *    (4096 rows) however large the corpus: the classic
+    *    outer-product-accumulate shape that makes covariance/Gram
+    *    computation embarrassingly scalable.
+    * 2. Power iteration on the tiny matrix: x ← G·x, max-|·|
+    *    normalized back to the 10¹² scale each round (the HITS
+    *    pattern, EXTENDED TO SIGNED values: G is PSD but eigenvector
+    *    entries go negative, and DuckDB's `//` floors where Spark's
+    *    `div` truncates toward zero — so the oracle replays the
+    *    division as sign·(|s| // mxp), which IS toward-zero, and both
+    *    engines agree on every negative intermediate).
+    *
+    * Fixed `rounds` keeps it oracle-replayable; from an all-positive
+    * start on a PSD matrix the iterate aligns with the dominant
+    * eigenvector (up to the fixed-point lattice). Magnitude audit:
+    * |G| ≤ N·(5·10⁶)² and |s| ≤ 64·|G|·10¹² stay far inside
+    * DECIMAL(38,0)/HUGEINT for any corpus under ~10⁶⁰ rows... i.e.
+    * always. Returns (dim_id, component_scaled) — d rows. */
+  def gramTopComponent(emb: DataFrame, idCol: String, vecCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "gramTopComponent needs at least one round")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val flat = emb.select(col(idCol).as("v"), posexplode(
+        transform(col(vecCol), x => round(x.cast("double") * 1e6).cast("long"))))
+      .select(col("v"), (col("pos") + 1).cast("long").as("i"), col("col").as("q"))
+    val gram = flat
+      .join(flat.select(col("v"), col("i").as("j"), col("q").as("q2")), Seq("v"))
+      .groupBy("i", "j")
+      .agg(sum((col("q") * col("q2")).cast(dec)).as("g"))
+      .localCheckpoint()
+    var x = gram.select(col("j")).distinct()
+      .select(col("j"), lit(1000000000000L).cast(dec).as("xv"))
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val s = gram.join(x, Seq("j")).groupBy("i")
+        .agg(sum((col("g") * col("xv")).cast(dec)).as("s"))
+      val mx = s.agg(max(greatest(col("s"), -col("s"))).as("mx"))
+      x = s.crossJoin(broadcast(mx))
+        .select(col("i").as("j"),
+          expr("CAST(s div (mx div CAST(1000000000000 AS DECIMAL(38,0))) AS DECIMAL(38,0))")
+            .as("xv"))
+        .localCheckpoint()
+    }
+    x.select(col("j").as("dim_id"), col("xv").cast("long").as("component_scaled"))
+  }
 }

@@ -786,6 +786,44 @@ object TextOps {
     (words, vocab)
   }
 
+  /** Document-level PMI word associations (Church & Hanks 1990) — the
+    * collocation signal under phrase mining and topic drift checks:
+    * for words x, y co-occurring in at least `minSupport` documents,
+    *
+    *   PMI(x, y) = ln( c(x,y)·N / (c(x)·c(y)) )
+    *
+    * with c(·) document frequencies and N the doc count — one ln of a
+    * ratio of exact integers, under the 6-decimal scaled-ln contract
+    * (pmi_micro BIGINT), so the whole table replays. The integer
+    * product c(x)·c(y) ≤ N² stays in BIGINT for any N < 3·10⁹ docs
+    * (DuckDB would error loudly, not wrap, past that).
+    *
+    * Scale shape: the distinct (doc, word) frame self-joins on the doc
+    * key — fan-out C(distinct words per doc, 2), the co-occurrence
+    * regime (cap membership upstream for pathological docs, the dd2
+    * pattern); pair counts aggregate map-side to ≤ vocab² rows; the
+    * word table broadcasts twice; the 1-row N broadcasts.
+    * Returns (w1, w2, cxy, pmi_micro) with w1 < w2. */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+      minSupport: Long = 5L): DataFrame = {
+    require(minSupport >= 1, "minSupport must be >= 1")
+    val dw = docs.select(col(idCol).as("did"), explode(tokens(col(textCol))).as("w"))
+      .distinct()
+    val cw = dw.groupBy("w").agg(count(lit(1)).cast("long").as("cw"))
+    val n = dw.agg(countDistinct(col("did")).cast("long").as("n"))
+    dw.join(dw.select(col("did"), col("w").as("w2")), Seq("did"))
+      .filter(col("w") < col("w2"))
+      .groupBy(col("w").as("w1"), col("w2"))
+      .agg(count(lit(1)).cast("long").as("cxy"))
+      .filter(col("cxy") >= minSupport)
+      .join(broadcast(cw.select(col("w").as("w1"), col("cw").as("c1"))), Seq("w1"))
+      .join(broadcast(cw.select(col("w").as("w2"), col("cw").as("c2"))), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("cxy"),
+        round(log(col("cxy").cast("double") * col("n") / (col("c1") * col("c2"))) * 1e6)
+          .cast("long").as("pmi_micro"))
+  }
+
   /** BM25 retrieval scoring (Robertson & Zaragoza 2009, the Okapi
     * formulation with Lucene's +1 idf so no term scores negative) —
     * the ranked-retrieval primitive under contamination screening and

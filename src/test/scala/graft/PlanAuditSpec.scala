@@ -489,6 +489,45 @@ class PlanAuditSpec extends SparkSpec {
       s"wrong shape in split-search plan:\n$plan")
   }
 
+  test("hh3 CMS: the sketch aggregates in one exchange; the probe join broadcasts the 1024-cell sketch") {
+    import spark.implicits._
+    val df = (1L to 500L).toDF("v")
+    val skPlan = graft.ops.SketchOps.cmsSketch(df, Nil, "v")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(skPlan).size === 1,
+      s"CMS sketch must build in one exchange:\n$skPlan")
+    val est = graft.ops.SketchOps.cmsEstimate(
+      graft.ops.SketchOps.cmsSketch(df, Nil, "v"), (1L to 5L).toDF("v"), "v")
+    val estPlan = est.queryExecution.executedPlan.toString
+    assert(estPlan.contains("BroadcastHashJoin"),
+      s"CMS probe must broadcast the bounded sketch:\n$estPlan")
+  }
+
+  test("ret1 BM25: the query-term frame broadcasts into tf — the corpus never shuffles for scoring") {
+    // the ret1 face checkpoints the scores before the per-query limits;
+    // audit the scoring frame itself
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val plan = graft.ops.TextOps.bm25Scores(docs, "doc_id", "text",
+        Seq(("q1", "spark merge"))).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"BM25 scoring join must broadcast the query/idf side:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in BM25 plan:\n$plan")
+  }
+
+  test("txt23 PMI: pair generation is an equi-join on the doc key; word tables broadcast") {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val plan = graft.ops.TextOps.pmiPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // the sole BroadcastNestedLoopJoin is the 1-row N totals crossJoin —
+    // the repo's standard pattern; what must NOT appear is an
+    // unconditioned cartesian or a shuffle for the word tables
+    assert(!plan.contains("CartesianProduct"), s"cartesian in PMI plan:\n$plan")
+    assert("BroadcastHashJoin \\[did".r.findFirstIn(plan).isDefined,
+      s"pair generation must equi-join on the doc key:\n$plan")
+    assert("BroadcastHashJoin \\[w".r.findFirstIn(plan).isDefined,
+      s"word-frequency tables must broadcast:\n$plan")
+  }
+
   test("agg9 HLL registers: ONE exchange, carrying register rows only") {
     import spark.implicits._
     val df = (1L to 100L).map(v => ("g", v)).toDF("g", "v")

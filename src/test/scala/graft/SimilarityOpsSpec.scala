@@ -253,4 +253,34 @@ class SimilarityOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(run(emb.repartition(1)) === run(emb.repartition(7)))
   }
+
+  private def power(vecs: Seq[Array[Float]], rounds: Int): Map[Long, Long] =
+    SimilarityOps.gramTopComponent(
+        vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("gramTopComponent: hand-traced diagonal Gram — the minor axis decays by the eigenvalue ratio each round") {
+    // vectors 2×[1,0] + [0,1] → G = diag(2e12, 1e12); each round the
+    // second entry halves: after 4 rounds [1e12, 1e12/16]
+    val r = power(Seq(Array(1f, 0f), Array(1f, 0f), Array(0f, 1f)), 4)
+    assert(r === Map(1L -> 1000000000000L, 2L -> 62500000000L))
+  }
+
+  test("gramTopComponent: negative entries divide toward zero — the floor-division replay hazard, pinned") {
+    // vectors [1,−1] and [0.5,0]: hand-traced 3 rounds end at
+    // (1e12, −878048780487); a floor division (DuckDB's bare //)
+    // would give −...488 — this fixture fails if either engine's
+    // division semantics drift
+    val r = power(Seq(Array(1f, -1f), Array(0.5f, 0f)), 3)
+    assert(r === Map(1L -> 1000000000000L, 2L -> -878048780487L))
+  }
+
+  test("gramTopComponent is partition-invariant") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def run(df: org.apache.spark.sql.DataFrame) = graft.ops.SimilarityOps
+      .gramTopComponent(df, "vec_id", "embedding", rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(run(emb.repartition(1)) === run(emb.repartition(7)))
+  }
 }

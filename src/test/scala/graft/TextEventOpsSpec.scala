@@ -444,6 +444,24 @@ class TextEventOpsSpec extends SparkSpec {
     assert(math.abs(out(2L)._2 - expected) < 1e-9)
   }
 
+  test("pmiPairs: hand-computed micro-PMI incl. a negative association; support filter prunes") {
+    // dw: d1{a,b} d2{a,b} d3{a,c} d4{c,d} → N=4; cw: a=3 b=2 c=2 d=1
+    // pairs: (a,b)=2 → ln(8/6)  = 287682 µ
+    //        (a,c)=1 → ln(4/6)  = −405465 µ (negative association)
+    //        (c,d)=1 → ln(4/2)  = 693147 µ
+    val docs = Seq((1L, "a b"), (2L, "b a"), (3L, "a c"), (4L, "c d"))
+      .toDF("doc_id", "text")
+    val out = TextOps.pmiPairs(docs, "doc_id", "text", minSupport = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      ("a", "b") -> ((2L, 287682L)),
+      ("a", "c") -> ((1L, -405465L)),
+      ("c", "d") -> ((1L, 693147L))))
+    val supported = TextOps.pmiPairs(docs, "doc_id", "text", minSupport = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(supported === Set(("a", "b")))
+  }
+
   test("bm25Scores: hand-computed integer scores on a 3-doc corpus; absent terms drop docs; query dup dedupes") {
     // corpus: (1, "a b"), (2, "a"), (3, "c c c") → N=3, L=6;
     // df: a=2, b=1, c=1; idf_micro = round(ln((2N+2)/(2df+1))·1e6):
