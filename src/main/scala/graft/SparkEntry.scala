@@ -3017,6 +3017,53 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"), col("score_micro"))
     }),
 
+    "lake20_spec_evolution" -> ((s, dir) => {
+      // partition-spec evolution: even orders clustered by
+      // bucket(16, o_orderkey), then ADD PARTITION FIELD
+      // bucket(8, o_custkey) as one metadata commit (pinned), then the
+      // odd orders append clustered on the new dimension. A custkey
+      // point probe prunes NEW files while every pre-evolution file is
+      // keep-biased (pinned); an orderkey probe still prunes OLD files
+      // through the original transform (pinned). Content unchanged.
+      val root = java.nio.file.Files.createTempDirectory("lake20_evolve")
+      val orders = t(s, dir, "orders")
+      graft.sources.ManifestTable.create(s, root.toString,
+        orders.filter(col("o_orderkey") % 2 === 0),
+        statsColumns = Seq("o_orderkey"))
+      graft.sources.ManifestTable.optimizeClusterBy(s, root.toString,
+        graft.sources.BucketTransform(16, "o_orderkey"),
+        targetFileBytes =
+          math.max(1L, graft.sources.ManifestTable.tableBytes(s, root.toString) / 8),
+        statsColumns = Seq("o_orderkey"))
+      val filesBefore = graft.sources.ManifestTable.manifestFiles(s, root.toString,
+        graft.sources.ManifestTable.versions(s, root.toString).max)
+      val v = graft.sources.ManifestTable.evolvePartitionSpec(s, root.toString,
+        graft.sources.BucketTransform(8, "o_custkey"))
+      val metadataOnly =
+        graft.sources.ManifestTable.manifestFiles(s, root.toString, v) == filesBefore
+      graft.sources.ManifestTable.append(s, root.toString,
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .repartitionByRange(8, pmod(xxhash64(col("o_custkey")), lit(8L))),
+        statsColumns = Seq("o_orderkey"))
+      val probeCust = orders.agg(min(col("o_custkey"))).head().getLong(0)
+      val (_, drCust, _) = graft.sources.ManifestTable.pruneFiles(
+        s, root.toString, col("o_custkey") === probeCust)
+      val newPrunes = drCust.nonEmpty
+      val oldKept = filesBefore.forall(f => !drCust.contains(f))
+      val (_, drKey, _) = graft.sources.ManifestTable.pruneFiles(
+        s, root.toString, col("o_orderkey") === 16L)
+      val oldStillPrunes = drKey.exists(filesBefore.contains)
+      graft.sources.ManifestTable.read(s, root.toString)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .select(lit(metadataOnly).as("evolve_metadata_only"),
+          lit(newPrunes).as("new_files_prune"),
+          lit(oldKept).as("old_files_keep_biased"),
+          lit(oldStillPrunes).as("old_transform_prunes"),
+          col("o_orderstatus"), col("n_orders"), col("total_price"))
+    }),
+
     "rpt2_source_quality" -> ((s, dir) => {
       // the curation view: per-source Gopher/C4 gate pass rates — the
       // SAME composed gate pipe2 filters with, rolled up by source so
@@ -4853,6 +4900,15 @@ object SparkEntry {
         |  FROM scores
         |)
         |SELECT query_id, doc_id, score_micro FROM ranked WHERE rn <= 5""".stripMargin,
+
+    "lake20_spec_evolution" -> // content = all orders; the four
+      // evolution invariants are pinned by the flags
+      (s"""SELECT TRUE AS evolve_metadata_only, TRUE AS new_files_prune,
+         |       TRUE AS old_files_keep_biased, TRUE AS old_transform_prunes,
+         |       o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders GROUP BY o_orderstatus""").stripMargin,
 
     "lake19_check_constraints" -> // table = all orders plus the 5
       // smallest keys re-appended (the clean append); both refusals

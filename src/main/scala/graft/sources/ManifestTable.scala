@@ -856,6 +856,47 @@ object ManifestTable {
     }
   }
 
+  /** Partition-spec EVOLUTION (Iceberg's headline layout feature —
+    * `ALTER TABLE ... ADD PARTITION FIELD`): add `transform` to the
+    * committed spec WITHOUT rewriting a byte — one metadata commit.
+    * Iceberg's rule "a spec applies to the files written under it"
+    * falls out of the keep-bias architecture for free: files already on
+    * disk carry no virtual stats for the new transform and simply stay
+    * unprunable on that dimension (never wrong), while every subsequent
+    * append — and any later OPTIMIZE — collects virtual stats for ALL
+    * committed transforms, so new data prunes on the new dimension
+    * immediately and the old transform keeps pruning old files the
+    * whole time. The caller names the source column LOGICALLY;
+    * [[optimizeClusterBy]] by contrast re-clusters the data and RESETS
+    * the spec to its single transform (the "change the default spec"
+    * operation). */
+  def evolvePartitionSpec(spark: SparkSession, root: String,
+      transform: PartitionTransform): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
+    val v0 = vs.max
+    val tipSchema = schemaOf(spark, root, v0)
+    val pt = transform.withSourceCol(
+      toPhysicalCols(tipSchema, Seq(transform.sourceCol)).head)
+    tipSchema.foreach { s =>
+      require(physicalSchema(visibleSchema(s)).fieldNames.contains(pt.sourceCol),
+        s"transform column '${transform.sourceCol}' not in table schema " +
+          visibleSchema(s).fieldNames.mkString(", "))
+    }
+    val cur = transformsOf(spark, root, v0)
+    require(!cur.exists(_.name == pt.name),
+      s"transform '${pt.name}' is already part of the spec")
+    val newSpec = (cur :+ pt).map(_.serialized).mkString(";")
+    commit(spark, root, "evolve_spec", Seq.empty,
+      tip => {
+        if (tip != v0) throw new IllegalStateException(
+          s"concurrent modification of $root during evolve_spec (planned v$v0, tip v$tip) — re-run")
+        manifestFiles(spark, root, tip)
+      },
+      tip => manifestMeta(spark, root, tip) + (TransformsKey -> newSpec),
+      tip => fileStats(spark, root, tip))
+  }
+
   /** Idempotent upsert — [[appendIdempotent]]'s exactly-once contract
     * applied to [[merge]]: the streaming-CDC sink shape (a foreachBatch
     * body that MERGES each micro-batch of change rows by key instead of

@@ -735,6 +735,58 @@ class ManifestTableSpec extends SparkSpec {
     }
   }
 
+  test("evolvePartitionSpec: metadata-only; new files prune on the new dimension, old files keep-biased, old transform still prunes") {
+    val root = freshRoot()
+    val even = orders.filter(col("o_orderkey") % 2 === 0)
+    val odd = orders.filter(col("o_orderkey") % 2 === 1)
+    ManifestTable.create(spark, root, even, statsColumns = Seq("o_orderkey"))
+    ManifestTable.optimizeClusterBy(spark, root,
+      graft.sources.BucketTransform(16, "o_orderkey"),
+      targetFileBytes = math.max(1L, ManifestTable.tableBytes(spark, root) / 8),
+      statsColumns = Seq("o_orderkey"))
+    val filesBefore = ManifestTable.manifestFiles(spark, root,
+      ManifestTable.versions(spark, root).max)
+    val v = ManifestTable.evolvePartitionSpec(spark, root,
+      graft.sources.BucketTransform(8, "o_custkey"))
+    assert(ManifestTable.manifestFiles(spark, root, v) === filesBefore,
+      "spec evolution must not stage or drop any file")
+    assert(ManifestTable.transformsOf(spark, root, v).map(_.name) ===
+      Seq("bucket_16_o_orderkey", "bucket_8_o_custkey"))
+    // new data appends under BOTH transforms: cluster the batch by the
+    // new dimension so its bucket ranges are narrow enough to prune
+    ManifestTable.append(spark, root,
+      odd.repartitionByRange(8, pmod(xxhash64(col("o_custkey")), lit(8L))),
+      statsColumns = Seq("o_orderkey"))
+    val probeCust = ManifestTable.read(spark, root)
+      .select("o_custkey").orderBy("o_custkey").limit(1)
+      .collect()(0).getLong(0)
+    val (_, drCust, _) = ManifestTable.pruneFiles(spark, root,
+      col("o_custkey") === probeCust)
+    assert(drCust.nonEmpty, "new files must prune on the evolved dimension")
+    // pre-evolution files carry no virtual stats for the new transform —
+    // every one of them survives (keep-biased, never wrong)
+    assert(filesBefore.forall(f => !drCust.contains(f)),
+      "old files must be keep-biased on the new dimension")
+    // the ORIGINAL transform still prunes the old files
+    val (_, drKey, _) = ManifestTable.pruneFiles(spark, root,
+      col("o_orderkey") === 16L)
+    assert(drKey.exists(filesBefore.contains),
+      "the original transform must keep pruning pre-evolution files")
+    // correctness: the pruned point probe returns exactly the right rows
+    val rows = ManifestTable.readPruned(spark, root,
+      col("o_orderkey") === 16L).collect()
+    assert(rows.length === 1)
+    // guards: duplicate transform, unknown column
+    intercept[IllegalArgumentException] {
+      ManifestTable.evolvePartitionSpec(spark, root,
+        graft.sources.BucketTransform(8, "o_custkey"))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.evolvePartitionSpec(spark, root,
+        graft.sources.BucketTransform(4, "nope"))
+    }
+  }
+
   test("CHECK constraints: add validates existing rows; append/merge/overwrite enforce; drop releases") {
     val root = freshRoot()
     ManifestTable.create(spark, root, orders.filter(col("o_totalprice") > 0))
