@@ -3017,6 +3017,36 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"), col("score_micro"))
     }),
 
+    "lake21_time_travel_ts" -> ((s, dir) => {
+      // TIMESTAMP AS OF: even orders at v1, odd appended at v2 with its
+      // commit time pinned 10 s later (deterministic boundary whatever
+      // the wall clock did), then the v1-time read must resolve to v1
+      // (pinned) and serve EXACTLY the pre-append content — the face is
+      // the as-of aggregate, which the oracle re-derives from the even
+      // half alone.
+      val root = java.nio.file.Files.createTempDirectory("lake21_asof").toString
+      val orders = t(s, dir, "orders")
+      graft.sources.ManifestTable.create(s, root,
+        orders.filter(col("o_orderkey") % 2 === 0))
+      graft.sources.ManifestTable.append(s, root,
+        orders.filter(col("o_orderkey") % 2 === 1))
+      val hfs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def mpath(v: Long) = new org.apache.hadoop.fs.Path(
+        s"$root/_graft_log/" + f"v$v%08d" + ".manifest")
+      val t1 = hfs.getFileStatus(mpath(1L)).getModificationTime
+      hfs.setTimes(mpath(2L), t1 + 10000, -1)
+      val resolvedFirst =
+        graft.sources.ManifestTable.versionAsOf(s, root, t1 + 9999) == 1L &&
+          graft.sources.ManifestTable.versionAsOf(s, root, t1 + 10000) == 2L
+      graft.sources.ManifestTable.readAsOf(s, root, t1)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .select(lit(resolvedFirst).as("resolved_boundary"),
+          col("o_orderstatus"), col("n_orders"), col("total_price"))
+    }),
+
     "lake20_spec_evolution" -> ((s, dir) => {
       // partition-spec evolution: even orders clustered by
       // bucket(16, o_orderkey), then ADD PARTITION FIELD
@@ -4900,6 +4930,14 @@ object SparkEntry {
         |  FROM scores
         |)
         |SELECT query_id, doc_id, score_micro FROM ranked WHERE rn <= 5""".stripMargin,
+
+    "lake21_time_travel_ts" -> // the as-of read serves the even half
+      // only; boundary resolution pinned
+      (s"""SELECT TRUE AS resolved_boundary, o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders WHERE o_orderkey % 2 = 0
+         |GROUP BY o_orderstatus""").stripMargin,
 
     "lake20_spec_evolution" -> // content = all orders; the four
       // evolution invariants are pinned by the flags

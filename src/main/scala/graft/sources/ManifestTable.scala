@@ -351,6 +351,34 @@ object ManifestTable {
     }
   }
 
+  /** Resolve `TIMESTAMP AS OF` to a version (Delta's rule): the LATEST
+    * version whose commit time is at or before `tsMillis`, where commit
+    * time is the manifest file's modification time adjusted for
+    * monotonicity — a wall-clock regression between commits (NTP step,
+    * failover) must never make a later version resolve before an
+    * earlier one, so each version's effective time is the running max
+    * (exactly Delta's commit-timestamp adjustment). Before-first-commit
+    * timestamps error loudly, like Delta's `TIMESTAMP AS OF` does.
+    * O(versions) driver-side file stats; no data touched. */
+  def versionAsOf(spark: SparkSession, root: String, tsMillis: Long): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
+    val f = fs(spark, root)
+    var acc = Long.MinValue
+    val mono = vs.map { v =>
+      acc = math.max(acc, f.getFileStatus(manifestPath(root, v)).getModificationTime)
+      v -> acc
+    }
+    val eligible = mono.takeWhile(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"timestamp $tsMillis predates the first commit (${mono.head._2}) of $root")
+    eligible.last._1
+  }
+
+  /** `SELECT ... TIMESTAMP AS OF`: [[read]] at [[versionAsOf]]. */
+  def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
+    read(spark, root, Some(versionAsOf(spark, root, tsMillis)))
+
   /** The committed schema at `version` (absent only for pre-schema logs). */
   def schemaOf(spark: SparkSession, root: String, version: Long): Option[org.apache.spark.sql.types.StructType] =
     manifestMeta(spark, root, version).get(SchemaKey)

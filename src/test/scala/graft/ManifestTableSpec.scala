@@ -735,6 +735,37 @@ class ManifestTableSpec extends SparkSpec {
     }
   }
 
+  test("TIMESTAMP AS OF resolves by adjusted commit time; clock regressions stay monotonic; pre-history errors") {
+    val root = freshRoot()
+    val even = orders.filter(col("o_orderkey") % 2 === 0)
+    ManifestTable.create(spark, root, even)
+    ManifestTable.append(spark, root, orders.filter(col("o_orderkey") % 2 === 1))
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mpath(v: Long) = new org.apache.hadoop.fs.Path(
+      s"$root/_graft_log/" + f"v$v%08d" + ".manifest")
+    val t1 = hfs.getFileStatus(mpath(1L)).getModificationTime
+    val t2 = hfs.getFileStatus(mpath(2L)).getModificationTime
+    // pin distinct commit times so the boundary assertions are exact
+    hfs.setTimes(mpath(2L), t1 + 10000, -1)
+    assert(ManifestTable.versionAsOf(spark, root, t1) === 1L)
+    assert(ManifestTable.versionAsOf(spark, root, t1 + 9999) === 1L)
+    assert(ManifestTable.versionAsOf(spark, root, t1 + 10000) === 2L)
+    assert(ManifestTable.readAsOf(spark, root, t1).count() === even.count())
+    intercept[IllegalArgumentException] {
+      ManifestTable.versionAsOf(spark, root, t1 - 1)
+    }
+    // Delta's monotonicity adjustment: set v2's mtime BEFORE v1's —
+    // v2's effective time becomes v1's, and the ordering never inverts
+    hfs.setTimes(mpath(2L), t1 - 50000, -1)
+    assert(ManifestTable.versionAsOf(spark, root, t1) === 2L,
+      "a later version whose clock regressed must take the running-max time")
+    intercept[IllegalArgumentException] {
+      ManifestTable.versionAsOf(spark, root, t1 - 50000)
+    }
+    assert(t2 >= t1) // sanity on the untouched original ordering
+  }
+
   test("evolvePartitionSpec: metadata-only; new files prune on the new dimension, old files keep-biased, old transform still prunes") {
     val root = freshRoot()
     val even = orders.filter(col("o_orderkey") % 2 === 0)
