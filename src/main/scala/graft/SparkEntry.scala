@@ -3017,6 +3017,40 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"), col("score_micro"))
     }),
 
+    "lake22_forget" -> ((s, dir) => {
+      // the compliance delete (right-to-be-forgotten): COW-delete one
+      // customer's orders, vacuum to retention 1, then PROVE erasure by
+      // scanning every byte still on disk OUTSIDE the table protocol —
+      // raw parquet over the surviving files must hold zero rows for
+      // the subject (pinned), time travel to the pre-delete version
+      // must be GONE (pinned; a kept old manifest would be a
+      // compliance hole), and the surviving table is exact.
+      val root = java.nio.file.Files.createTempDirectory("lake22_forget").toString
+      val orders = t(s, dir, "orders")
+      val subject = orders.agg(min(col("o_custkey"))).head().getLong(0)
+      graft.sources.ManifestTable.create(s, root,
+        orders.repartitionByRange(4, col("o_custkey")),
+        statsColumns = Seq("o_custkey"))
+      graft.sources.ManifestTable.delete(s, root,
+        col("o_custkey") === subject, statsColumns = Seq("o_custkey"))
+      graft.sources.ManifestTable.vacuum(s, root, keepVersions = 1)
+      val historyGone =
+        graft.sources.ManifestTable.versions(s, root) == Seq(2L)
+      // the erasure proof reads the data directory RAW — no manifest,
+      // no pruning, every surviving byte
+      val survivors = graft.sources.ManifestTable.manifestFiles(s, root, 2L)
+        .map(p => s"$root/$p")
+      val physicallyGone = s.read.parquet(survivors: _*)
+        .filter(col("o_custkey") === subject).isEmpty
+      graft.sources.ManifestTable.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .select(lit(historyGone).as("history_gone"),
+          lit(physicallyGone).as("physically_gone"),
+          col("o_orderstatus"), col("n_orders"), col("total_price"))
+    }),
+
     "lake21_time_travel_ts" -> ((s, dir) => {
       // TIMESTAMP AS OF: even orders at v1, odd appended at v2 with its
       // commit time pinned 10 s later (deterministic boundary whatever
@@ -4930,6 +4964,16 @@ object SparkEntry {
         |  FROM scores
         |)
         |SELECT query_id, doc_id, score_micro FROM ranked WHERE rn <= 5""".stripMargin,
+
+    "lake22_forget" -> // the surviving table = orders minus the
+      // min-custkey subject; both erasure proofs pinned
+      (s"""SELECT TRUE AS history_gone, TRUE AS physically_gone,
+         |       o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders
+         |WHERE o_custkey <> (SELECT min(o_custkey) FROM orders)
+         |GROUP BY o_orderstatus""").stripMargin,
 
     "lake21_time_travel_ts" -> // the as-of read serves the even half
       // only; boundary resolution pinned

@@ -925,6 +925,37 @@ object ManifestTable {
       tip => fileStats(spark, root, tip))
   }
 
+  /** `ALTER TABLE ... DROP PARTITION FIELD` — the inverse of
+    * [[evolvePartitionSpec]], one metadata commit: the transform leaves
+    * the committed spec, so predicates stop translating through it and
+    * the per-file virtual stats it left behind simply go unconsulted
+    * (keep-biased — reads stay correct, that dimension just stops
+    * pruning, exactly Iceberg's drop semantics). Data files untouched;
+    * re-adding the same transform later resumes pruning on every file
+    * that still carries its virtual stats. */
+  def dropPartitionField(spark: SparkSession, root: String,
+      transformName: String): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
+    val v0 = vs.max
+    val cur = transformsOf(spark, root, v0)
+    require(cur.exists(_.name == transformName),
+      s"no transform '$transformName' in the spec (have ${cur.map(_.name).mkString(", ")})")
+    val remaining = cur.filterNot(_.name == transformName)
+    commit(spark, root, "drop_partition_field", Seq.empty,
+      tip => {
+        if (tip != v0) throw new IllegalStateException(
+          s"concurrent modification of $root during drop_partition_field (planned v$v0, tip v$tip) — re-run")
+        manifestFiles(spark, root, tip)
+      },
+      tip => {
+        val base = manifestMeta(spark, root, tip)
+        if (remaining.isEmpty) base - TransformsKey
+        else base + (TransformsKey -> remaining.map(_.serialized).mkString(";"))
+      },
+      tip => fileStats(spark, root, tip))
+  }
+
   /** Idempotent upsert — [[appendIdempotent]]'s exactly-once contract
     * applied to [[merge]]: the streaming-CDC sink shape (a foreachBatch
     * body that MERGES each micro-batch of change rows by key instead of

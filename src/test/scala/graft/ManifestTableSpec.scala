@@ -816,6 +816,24 @@ class ManifestTableSpec extends SparkSpec {
       ManifestTable.evolvePartitionSpec(spark, root,
         graft.sources.BucketTransform(4, "nope"))
     }
+    // DROP PARTITION FIELD: pruning on the dropped dimension stops
+    // (keep-biased), the other transform keeps pruning, re-add resumes
+    // using the virtual stats the files never lost
+    ManifestTable.dropPartitionField(spark, root, "bucket_8_o_custkey")
+    val (_, drCust2, _) = ManifestTable.pruneFiles(spark, root,
+      col("o_custkey") === probeCust)
+    assert(drCust2.isEmpty, "a dropped field must stop pruning")
+    val (_, drKey2, _) = ManifestTable.pruneFiles(spark, root,
+      col("o_orderkey") === 16L)
+    assert(drKey2.nonEmpty, "the surviving transform must keep pruning")
+    ManifestTable.evolvePartitionSpec(spark, root,
+      graft.sources.BucketTransform(8, "o_custkey"))
+    val (_, drCust3, _) = ManifestTable.pruneFiles(spark, root,
+      col("o_custkey") === probeCust)
+    assert(drCust3.nonEmpty, "re-adding the field must resume pruning from surviving stats")
+    intercept[IllegalArgumentException] {
+      ManifestTable.dropPartitionField(spark, root, "nope")
+    }
   }
 
   test("CHECK constraints: add validates existing rows; append/merge/overwrite enforce; drop releases") {
