@@ -3017,6 +3017,50 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"), col("score_micro"))
     }),
 
+    "lake23_incr_join" -> ((s, dir) => {
+      // incremental JOIN view maintenance — the delta-join identity
+      // Δ(A⋈B) = dA⋈B_new ∪ A_prev⋈dB over two append-only sources,
+      // cursors for BOTH riding each mart commit. Boot on (F orders ×
+      // even customers), then three maintenance passes: an A-side
+      // append, a B-side append, another A-side append, and a caught-up
+      // no-op — every pass's delta row count is a literal mirror the
+      // oracle re-derives, so a rescan or double-apply breaks the hash;
+      // the final mart must equal the from-scratch join exactly.
+      val aRoot = java.nio.file.Files.createTempDirectory("lake23_a").toString
+      val bRoot = java.nio.file.Files.createTempDirectory("lake23_b").toString
+      val mRoot = java.nio.file.Files.createTempDirectory("lake23_m").toString
+      val orders = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      graft.sources.ManifestTable.create(s, aRoot,
+        orders.filter(col("o_orderstatus") === "F"))
+      graft.sources.ManifestTable.create(s, bRoot,
+        cust.filter(col("c_custkey") % 2 === 0))
+      val (_, _, boot) = LakeOps.maintainJoinMart(s, aRoot, bRoot, mRoot,
+        "o_custkey", "c_custkey")
+      graft.sources.ManifestTable.append(s, aRoot,
+        orders.filter(col("o_orderstatus") === "O"))
+      val (_, _, d1) = LakeOps.maintainJoinMart(s, aRoot, bRoot, mRoot,
+        "o_custkey", "c_custkey")
+      graft.sources.ManifestTable.append(s, bRoot,
+        cust.filter(col("c_custkey") % 2 === 1))
+      val (_, _, d2) = LakeOps.maintainJoinMart(s, aRoot, bRoot, mRoot,
+        "o_custkey", "c_custkey")
+      graft.sources.ManifestTable.append(s, aRoot,
+        orders.filter(col("o_orderstatus") === "P"))
+      val (_, _, d3) = LakeOps.maintainJoinMart(s, aRoot, bRoot, mRoot,
+        "o_custkey", "c_custkey")
+      val (_, _, d4) = LakeOps.maintainJoinMart(s, aRoot, bRoot, mRoot,
+        "o_custkey", "c_custkey")
+      graft.sources.ManifestTable.read(s, mRoot)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .select(lit(boot).as("boot_rows"), lit(d1).as("step1_rows"),
+          lit(d2).as("step2_rows"), lit(d3).as("step3_rows"),
+          lit(d4).as("noop_rows"), col("c_mktsegment"),
+          col("n_rows"), col("total_price"))
+    }),
+
     "lake22_forget" -> ((s, dir) => {
       // the compliance delete (right-to-be-forgotten): COW-delete one
       // customer's orders, vacuum to retention 1, then PROVE erasure by
@@ -4964,6 +5008,25 @@ object SparkEntry {
         |  FROM scores
         |)
         |SELECT query_id, doc_id, score_micro FROM ranked WHERE rn <= 5""".stripMargin,
+
+    "lake23_incr_join" -> // every maintenance pass's delta re-derived:
+      // boot = F×even, step1 = O×even (B hadn't advanced), step2 =
+      // (F∪O)×odd, step3 = P×all, no-op = 0; final mart = the full join
+      (s"""WITH j AS (
+         |  SELECT o.o_orderstatus AS st, o.o_totalprice AS tp,
+         |         c.c_custkey AS ck, c.c_mktsegment AS seg
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |)
+         |SELECT
+         |  (SELECT count(*) FROM j WHERE st = 'F' AND ck % 2 = 0) AS boot_rows,
+         |  (SELECT count(*) FROM j WHERE st = 'O' AND ck % 2 = 0) AS step1_rows,
+         |  (SELECT count(*) FROM j WHERE st IN ('F', 'O') AND ck % 2 = 1) AS step2_rows,
+         |  (SELECT count(*) FROM j WHERE st = 'P') AS step3_rows,
+         |  CAST(0 AS BIGINT) AS noop_rows,
+         |  seg AS c_mktsegment,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  ${dsumSql("tp")} AS total_price
+         |FROM j GROUP BY seg""").stripMargin,
 
     "lake22_forget" -> // the surviving table = orders minus the
       // min-custkey subject; both erasure proofs pinned

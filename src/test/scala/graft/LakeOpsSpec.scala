@@ -273,4 +273,47 @@ class LakeOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("non-append"))
   }
+
+  test("maintainJoinMart: delta-join maintenance equals the from-scratch join; both cursors atomic; zero-delta advances") {
+    import graft.sources.ManifestTable
+    def root() = java.nio.file.Files.createTempDirectory("ivmj").toString
+    val a = root(); val b = root(); val mart = root()
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val cust = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+    ManifestTable.create(spark, a, orders.filter(col("o_orderstatus") === "F"))
+    ManifestTable.create(spark, b, cust.filter(col("c_custkey") % 2 === 0))
+    def maintain() = graft.ops.LakeOps.maintainJoinMart(
+      spark, a, b, mart, "o_custkey", "c_custkey")
+    maintain()
+    // both sides advance between passes — the dA⋈B_new leg must see the
+    // NEW B (it contains dA⋈dB), the A_prev⋈dB leg the OLD A
+    ManifestTable.append(spark, a, orders.filter(col("o_orderstatus") =!= "F"))
+    ManifestTable.append(spark, b, cust.filter(col("c_custkey") % 2 === 1))
+    val (ca, cb, _) = maintain()
+    assert(ca === 2L && cb === 2L)
+    val tipMeta = ManifestTable.manifestMeta(spark, mart,
+      ManifestTable.versions(spark, mart).max)
+    assert(tipMeta("join-cursor-a") === "2" && tipMeta("join-cursor-b") === "2",
+      "both cursors must ride the same mart commit")
+    // maintained == from-scratch, exact content not just counts
+    val scratch = orders.join(cust, col("o_custkey") === col("c_custkey"))
+    assert(ManifestTable.read(spark, mart).exceptAll(scratch).isEmpty &&
+      scratch.exceptAll(ManifestTable.read(spark, mart)).isEmpty)
+    // caught up: no commit
+    val before = ManifestTable.versions(spark, mart).max
+    val (_, _, n) = maintain()
+    assert(n === 0L && ManifestTable.versions(spark, mart).max === before)
+    // an advance with ZERO matching join rows still commits — the
+    // cursors must move or these deltas would be rescanned forever
+    ManifestTable.append(spark, b, cust.limit(0)) // empty append advances B's version
+    val (_, cb2, n2) = maintain()
+    assert(cb2 === 3L && n2 === 0L)
+    assert(ManifestTable.versions(spark, mart).max === before + 1)
+    assert(ManifestTable.manifestMeta(spark, mart,
+      ManifestTable.versions(spark, mart).max)("join-cursor-b") === "3")
+    // non-append lineage on either source refuses (full-refresh contract)
+    ManifestTable.overwrite(spark, a, orders.limit(2))
+    val e = intercept[IllegalArgumentException] { maintain() }
+    assert(e.getMessage.contains("non-append"))
+  }
 }
