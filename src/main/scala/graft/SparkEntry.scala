@@ -347,6 +347,47 @@ object SparkEntry {
        |FROM dF ORDER BY deg DESC, u LIMIT 20""".stripMargin
   }
 
+  /** The km2 oracle, generated: farthest-first traversal with the km1
+    * quantization; per round one distance pass against the newest seed
+    * (scalar-subquery id), a least() fold into the running min-dist,
+    * and the (mind DESC, vid) argmax as the next pick. */
+  private def kcenterSql(k: Int): String = {
+    def distTo(pickSql: String): String =
+      s"""SELECT p.vid, CAST(list_sum(list_transform(range(1, len(p.qv) + 1),
+         |         t -> (p.qv[t] - s.qv[t]) * (p.qv[t] - s.qv[t]))) AS BIGINT) AS dist
+         |  FROM q p JOIN q s ON s.vid = ($pickSql)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      val prev = if (r == 2) s"(SELECT sv FROM s1)" else s"(SELECT vid FROM p${r - 1})"
+      val prevM = if (r == 2) "m1" else s"m${r - 1}"
+      val mCte =
+        if (r == 2) "" // m1 built in the prelude
+        else
+          s"""m${r - 1} AS MATERIALIZED (
+             |  SELECT m.vid, least(m.mind, d.dist) AS mind
+             |  FROM m${r - 2} m JOIN (${distTo(s"SELECT vid FROM p${r - 1}")}) d
+             |    ON d.vid = m.vid
+             |), """.stripMargin
+      s"""${mCte}p$r AS MATERIALIZED (
+         |  SELECT vid, mind FROM $prevM ORDER BY mind DESC, vid LIMIT 1
+         |)""".stripMargin
+    }.mkString(", ")
+    val face = (2 to k)
+      .map(r => s"UNION ALL SELECT CAST($r AS BIGINT), vid, CAST(mind AS BIGINT) FROM p$r")
+      .mkString("\n")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id AS vid,
+       |         list_transform(embedding::DOUBLE[],
+       |           x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT) + 1048576) AS qv
+       |  FROM embeddings
+       |), s1 AS (SELECT min(vid) AS sv FROM q),
+       |m1 AS MATERIALIZED (
+       |  SELECT vid, dist AS mind FROM (${distTo("SELECT sv FROM s1")})
+       |), $rounds
+       |SELECT CAST(1 AS BIGINT) AS seed_rank, (SELECT sv FROM s1) AS vec_id,
+       |       CAST(NULL AS BIGINT) AS radius
+       |$face""".stripMargin
+  }
+
   /** The v4 oracle, generated: quantized Gram, then `rounds` power
     * iterations with the SIGN-SAFE normalization — DuckDB's `//` floors
     * negatives where Spark's `div` truncates toward zero, so the
@@ -2664,6 +2705,15 @@ object SparkEntry {
           && array_contains(tk, "filter"))
     }),
 
+    "km2_kcenter" -> ((s, dir) =>
+      // diverse exemplar selection: 8 farthest-first k-center seeds
+      // over the embedding corpus (Gonzalez 2-approximation) — the
+      // deterministic coreset/anchor pick where k-means++'s random D²
+      // sampling could never meet an oracle. Face = the seed sequence
+      // with its non-increasing coverage-radius bound.
+      graft.ops.ClusterOps.kCenterSeeds(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)),
+
     "km1_kmeans" -> ((s, dir) =>
       // full-corpus Lloyd's k-means in exact integer fixed point —
       // the curation clustering primitive (topic mixing, per-cluster
@@ -4681,6 +4731,7 @@ object SparkEntry {
     "gr1_pagerank" -> pagerankSql(5),
     "gr5_kcore" -> kcoreSql(65, 6),
     "km1_kmeans" -> kmeansSql(8, 2),
+    "km2_kcenter" -> kcenterSql(8),
     "cls3_tree" -> treeSql,
     "v4_power_iteration" -> powerIterSql(4),
 

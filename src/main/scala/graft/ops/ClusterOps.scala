@@ -82,6 +82,49 @@ object ClusterOps {
       .agg(min(struct(col("dist"), col("cid"))).as("m"))
       .select(col("vid"), col("m.cid").as("cid"), col("m.dist").as("dist"))
 
+  /** Gonzalez (1985) farthest-first traversal — k-CENTER seeding: start
+    * from the min-id point, then k−1 times pick the point FARTHEST from
+    * every seed chosen so far (exact integer squared L2; ties to the
+    * smaller id). The classic 2-approximation to k-center, and the
+    * deterministic answer to "give me k maximally diverse exemplars" —
+    * the coreset/dedup-anchor selection a curation pass wants, where
+    * k-means++'s D²-SAMPLING (random by construction) could never meet
+    * an oracle. The returned radius sequence is non-increasing and
+    * bounds the corpus coverage radius at every prefix.
+    *
+    * Scale shape: a running (vid, mind) state updated per round with
+    * ONE broadcast seed row — `least(mind, dist-to-newest)` — so the
+    * whole traversal is O(N·k) distance evaluations, k map-only passes
+    * plus k 1-row argmax collects (the BPE bounded-collect precedent);
+    * no all-pairs anything. Returns (seed_rank, vec_id, radius) with
+    * radius NULL on the rank-1 seed (nothing to be far from yet). */
+  def kCenterSeeds(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, "kCenterSeeds needs k >= 1")
+    val spark = df.sparkSession
+    val pts = quantized(df, idCol, vecCol).localCheckpoint()
+    def seedVec(id: Long) = pts.filter(col("vid") === id).select(col("qv").as("sv"))
+    val first = pts.agg(min(col("vid"))).head().getLong(0)
+    var picked = List[(Long, Long, Option[Long])]((1L, first, None))
+    var state = pts.crossJoin(broadcast(seedVec(first)))
+      .select(col("vid"), col("qv"), sqDist(col("qv"), col("sv")).as("mind"))
+      .localCheckpoint()
+    (2 to k).foreach { r =>
+      val row = state
+        .agg(max(struct(col("mind"), (-col("vid")).as("nv"))).as("m"))
+        .select(col("m.mind"), (-col("m.nv")).as("pv")).head()
+      val (rad, pid) = (row.getLong(0), row.getLong(1))
+      picked ::= ((r.toLong, pid, Some(rad)))
+      if (r < k) {
+        state = state.crossJoin(broadcast(seedVec(pid)))
+          .select(col("vid"), col("qv"),
+            least(col("mind"), sqDist(col("qv"), col("sv"))).as("mind"))
+          .localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    picked.reverse.toDF("seed_rank", "vec_id", "radius")
+  }
+
   /** `rounds` Lloyd iterations from the k smallest-id seeds, then a final
     * assignment under the converged centroids. Returns the per-cluster
     * audit face: (cluster_id, n_members, inertia, centroid_sum) —

@@ -74,4 +74,33 @@ class ClusterOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("fixed-point range")
       || Option(e.getCause).exists(_.getMessage.contains("fixed-point range")))
   }
+
+  private def seeds(df: org.apache.spark.sql.DataFrame, k: Int) =
+    ClusterOps.kCenterSeeds(df, "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+
+  test("kCenterSeeds: hand-traced farthest-first picks with exact integer radii") {
+    // 1-d points 0.0 / 0.01 / 0.1 / 0.04 (ids 0-3): seed1 = min id 0;
+    // pick2 = id2 at (1e5)² = 1e10; after folding, id3 keeps its
+    // to-seed1 distance (1.6e9 < 3.6e9) and wins pick3
+    val df = oneD(0L -> 0.0f, 1L -> 0.01f, 2L -> 0.1f, 3L -> 0.04f)
+    assert(seeds(df, 3) === Seq(
+      (1L, 0L, None), (2L, 2L, Some(10000000000L)), (3L, 3L, Some(1600000000L))))
+  }
+
+  test("kCenterSeeds: equidistant candidates tie to the smaller id") {
+    val df = oneD(0L -> 0.0f, 1L -> 0.02f, 2L -> -0.02f)
+    assert(seeds(df, 2) === Seq((1L, 0L, None), (2L, 1L, Some(400000000L))))
+  }
+
+  test("kCenterSeeds: the coverage radius is non-increasing and the traversal is partition-invariant") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val one = seeds(emb.repartition(1), 5)
+    val many = seeds(emb.repartition(7), 5)
+    assert(one === many)
+    val radii = one.flatMap(_._3)
+    assert(radii === radii.sorted.reverse, s"radii must not increase: $radii")
+    assert(one.map(_._2).distinct.size === 5, "seeds must be distinct points")
+  }
 }
