@@ -528,6 +528,41 @@ class PlanAuditSpec extends SparkSpec {
       s"word-frequency tables must broadcast:\n$plan")
   }
 
+  test("km2 k-center: the per-round state update is map-only — one broadcast seed, no shuffle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pts = Seq((0L, Array(0L, 1L), 5L), (1L, Array(2L, 3L), 7L))
+      .toDF("vid", "qv", "mind")
+    val sv = Seq(Tuple1(Array(1L, 1L))).toDF("sv")
+    val updated = pts.crossJoin(broadcast(sv))
+      .select(col("vid"), col("qv"),
+        least(col("mind"), aggregate(zip_with(col("qv"), col("sv"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (s, t) => s + t)).as("mind"))
+    val plan = updated.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"k-center state update must not shuffle:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the 1-row seed must broadcast:\n$plan")
+  }
+
+  test("deletion-vector read: broadcast ANTI join at scan, data side unshuffled") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("dv_audit").toFile.getAbsolutePath
+    val orders = Tables.load(spark, dir, "orders")
+    graft.sources.ManifestTable.create(spark, root, orders)
+    graft.sources.ManifestTable.deleteMor(spark, root, col("o_orderkey") % 7 === 0)
+    val plan = graft.sources.ManifestTable.read(spark, root)
+      .queryExecution.executedPlan.toString
+    // the vector applies as a broadcast anti-join: the 100 TB data side
+    // streams through the join unshuffled; only the tiny vector moves
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"DV must apply as a broadcast anti-join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"DV application must not shuffle the data side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"DV application must not sort-merge:\n$plan")
+  }
+
   test("agg9 HLL registers: ONE exchange, carrying register rows only") {
     import spark.implicits._
     val df = (1L to 100L).map(v => ("g", v)).toDF("g", "v")
