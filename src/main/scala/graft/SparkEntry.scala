@@ -3067,6 +3067,45 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"), col("score_micro"))
     }),
 
+    "lake24_delete_mor" -> ((s, dir) => {
+      // merge-on-read DELETE (deletion vectors — Delta DV / Iceberg v2
+      // positional deletes): two stacked MOR deletes commit ZERO data
+      // files (zero_new_files pins it — at 100 TB that's a sidecar
+      // write instead of a multi-file COW rewrite), an append lands
+      // after them, then purgeDeletes materializes the vector. The
+      // SAME aggregate is taken before the purge (broadcast-anti-join
+      // scan path) and after (pure-files path) — both phases must
+      // match the oracle's NOT(pred IS TRUE) replay, proving the two
+      // read paths agree exactly.
+      val root = java.nio.file.Files.createTempDirectory("lake24_mor").toString
+      val orders = t(s, dir, "orders")
+      graft.sources.ManifestTable.create(s, root,
+        orders.repartitionByRange(8, col("o_orderkey")),
+        statsColumns = Seq("o_orderkey"))
+      val (_, st1) = graft.sources.ManifestTable.deleteMor(s, root,
+        col("o_orderkey") % 7 === 0)
+      val (_, st2) = graft.sources.ManifestTable.deleteMor(s, root,
+        col("o_orderstatus") === "P" && col("o_orderkey") % 2 === 1)
+      graft.sources.ManifestTable.append(s, root,
+        orders.filter(col("o_orderkey") % 100 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 1000000000L),
+        statsColumns = Seq("o_orderkey"))
+      def agg(phase: String) = graft.sources.ManifestTable.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .withColumn("phase", lit(phase))
+      val mor = agg("mor")
+      val (pv, _) = graft.sources.ManifestTable.purgeDeletes(s, root,
+        statsColumns = Seq("o_orderkey"))
+      val purgedClean =
+        graft.sources.ManifestTable.deletionVector(s, root, pv).isEmpty
+      mor.unionByName(agg("purged"))
+        .select(lit(st1.newFiles == 0 && st2.newFiles == 0).as("zero_new_files"),
+          lit(purgedClean).as("purged_clean"), col("phase"),
+          col("o_orderstatus"), col("n_orders"), col("total_price"))
+    }),
+
     "lake23_incr_join" -> ((s, dir) => {
       // incremental JOIN view maintenance — the delta-join identity
       // Δ(A⋈B) = dA⋈B_new ∪ A_prev⋈dB over two append-only sources,
@@ -5059,6 +5098,26 @@ object SparkEntry {
         |  FROM scores
         |)
         |SELECT query_id, doc_id, score_micro FROM ranked WHERE rn <= 5""".stripMargin,
+
+    "lake24_delete_mor" -> // survivors = NOT(pred1 IS TRUE) AND
+      // NOT(pred2 IS TRUE) plus the post-delete append; the SAME
+      // aggregate must hold in both phases (anti-join read and
+      // materialized read) — the phase cross join replays that
+      (s"""WITH survivors AS (
+         |  SELECT * FROM orders
+         |  WHERE NOT (o_orderkey % 7 = 0)
+         |    AND NOT (o_orderstatus = 'P' AND o_orderkey % 2 = 1)
+         |  UNION ALL
+         |  SELECT * REPLACE (o_orderkey + 1000000000 AS o_orderkey)
+         |  FROM orders WHERE o_orderkey % 100 = 0
+         |), agg AS (
+         |  SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+         |         ${dsumSql("o_totalprice")} AS total_price
+         |  FROM survivors GROUP BY o_orderstatus
+         |)
+         |SELECT TRUE AS zero_new_files, TRUE AS purged_clean,
+         |       p.phase, a.o_orderstatus, a.n_orders, a.total_price
+         |FROM agg a CROSS JOIN (VALUES ('mor'), ('purged')) AS p(phase)""").stripMargin,
 
     "lake23_incr_join" -> // every maintenance pass's delta re-derived:
       // boot = F×even, step1 = O×even (B hadn't advanced), step2 =

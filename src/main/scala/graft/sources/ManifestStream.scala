@@ -160,6 +160,15 @@ class ManifestStreamSource(
     require(old.subsetOf(cur.toSet),
       s"non-append change between v$startV and v$endV of $root (files were removed/rewritten) — " +
         "the stream cannot express it as a delta; restart the query against the new table state")
+    // merge-on-read deletes change no files but remove rows — just as
+    // inexpressible as a rewrite (same rule as readChangesSince); a new
+    // file can't be in an older vector, so equal vectors + append-only
+    // files mean the added files really are the whole delta
+    val startDv =
+      if (startV == 0L) None else ManifestTable.deletionVector(spark, root, startV)
+    require(startDv == ManifestTable.deletionVector(spark, root, endV),
+      s"deletion vector changed between v$startV and v$endV of $root (rows removed merge-on-read) — " +
+        "the stream cannot express it as a delta; restart the query against the new table state")
     val added = cur.filterNot(old)
     GraftSqlBridge.streamingParquetBatch(spark, schema, added.map(p => s"$root/$p"))
   }

@@ -141,7 +141,7 @@ object ManifestTable {
   /** Meta keys that ride every content commit (transform spec + CHECK
     * constraints); txn-* watermarks are handled by [[commit]] itself. */
   private def carriedMetaKey(k: String): Boolean =
-    k == TransformsKey || k.startsWith(CheckPrefix)
+    k == TransformsKey || k == DvKey || k.startsWith(CheckPrefix)
 
   /** Column names a constraint expression references (unresolved —
     * parsed, not analyzed; flat names only, which is all a CHECK over a
@@ -267,7 +267,7 @@ object ManifestTable {
     val schema = schemaOf(spark, root, v)
     val df =
       if (kept.isEmpty) read(spark, root, Some(v)).limit(0) // schema-correct empty
-      else readFiles(spark, root, schema, kept)
+      else readFiles(spark, root, schema, kept, deletionVector(spark, root, v))
     df.filter(filter)
   }
 
@@ -347,7 +347,7 @@ object ManifestTable {
       case (Nil, Some(s)) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], visibleSchema(s))
       case (Nil, None) => spark.emptyDataFrame
-      case (fs, s) => readFiles(spark, root, s, fs)
+      case (fs, s) => readFiles(spark, root, s, fs, deletionVector(spark, root, v))
     }
   }
 
@@ -405,6 +405,51 @@ object ManifestTable {
     * renames may not use it. */
   private val DroppedPrefix = "graft__dropped__"
 
+  /** Meta key naming the version's DELETION VECTOR — the merge-on-read
+    * delete sidecar (Delta's deletion vectors / Iceberg v2 positional
+    * deletes, re-expressed for this manifest protocol): a parquet of
+    * `(file, pos)` rows marking deleted positions in otherwise-untouched
+    * data files. A [[deleteMor]] commit changes NO data files — at
+    * 100 TB a point delete that touches 10k files is one tiny sidecar
+    * write instead of a 10k-file copy-on-write rewrite. Readers apply
+    * the vector as a broadcast ANTI join on (file suffix, row position)
+    * at scan — the data side never shuffles. The key rides
+    * [[carriedMetaKey]] so appends/merges/deletes/restore carry it;
+    * rewrite-everything ops ([[compact]]/[[optimizeZOrder]]/
+    * [[optimizeClusterBy]]) read THROUGH the vector and drop the key,
+    * i.e. they materialize the deletes for free. */
+  private val DvKey = "dv"
+  private val DvDir = "_dv"
+
+  /** Helper column names for positional-delete plumbing; reserved like
+    * [[DroppedPrefix]] but never committed to any schema. */
+  private val DvFileCol = "graft__dv_file"
+  private val DvPosCol = "graft__dv_pos"
+
+  /** The deletion-vector path of `version`, if any. */
+  def deletionVector(spark: SparkSession, root: String, version: Long): Option[String] =
+    manifestMeta(spark, root, version).get(DvKey)
+
+  private def dvSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("file", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.LongType)))
+
+  /** Read a deletion vector's `(file, pos)` rows. `file` is the LAST TWO
+    * path components (`tx-<uuid>/part-*.parquet`) — unique by the tx
+    * UUID, and invariant under table relocation and [[shallowClone]]'s
+    * absolute-path entries, unlike a full path. */
+  private def dvFrame(spark: SparkSession, root: String, dvPath: String): DataFrame =
+    spark.read.schema(dvSchema).parquet(dataPath(root, dvPath))
+
+  private def emptyDvFrame(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dvSchema)
+
+  /** The last-two-components suffix used as a DV file key, for a
+    * manifest entry (relative `data/tx-u/f` or absolute clone path). */
+  private def dvFileKey(manifestEntry: String): String =
+    manifestEntry.split('/').takeRight(2).mkString("/")
+
   private def isDropped(f: org.apache.spark.sql.types.StructField): Boolean =
     f.metadata.contains(DroppedKey) && f.metadata.getBoolean(DroppedKey)
 
@@ -444,13 +489,52 @@ object ManifestTable {
     * free at any scale. */
   private def readFiles(spark: SparkSession, root: String,
       schema: Option[org.apache.spark.sql.types.StructType],
-      paths: Seq[String]): DataFrame = schema match {
-    case Some(s0) if hasMapping(s0) || s0.fields.exists(isDropped) =>
-      val s = visibleSchema(s0)
-      spark.read.schema(physicalSchema(s)).parquet(paths.map(dataPath(root, _)): _*)
-        .toDF(s.fieldNames.toIndexedSeq: _*)
-    case Some(s) => spark.read.schema(s).parquet(paths.map(dataPath(root, _)): _*)
-    case None => spark.read.parquet(paths.map(dataPath(root, _)): _*)
+      paths: Seq[String],
+      dv: Option[String] = None): DataFrame = dv match {
+    case Some(p) =>
+      // merge-on-read: drop deleted positions at scan. Broadcast ANTI
+      // join — the vector holds deleted positions only (a tiny fraction
+      // of the table, or someone should have run [[purgeDeletes]]), so
+      // the 100 TB side streams through unshuffled. Stale entries for
+      // files no longer in `paths` match nothing — harmlessly carried.
+      import org.apache.spark.sql.functions.broadcast
+      val pf = readFilesWithPos(spark, root, schema, paths)
+      val d = dvFrame(spark, root, p)
+      pf.join(broadcast(d),
+        pf(DvFileCol) === d("file") && pf(DvPosCol) === d("pos"), "left_anti")
+        .drop(DvFileCol, DvPosCol)
+    case None => schema match {
+      case Some(s0) if hasMapping(s0) || s0.fields.exists(isDropped) =>
+        val s = visibleSchema(s0)
+        spark.read.schema(physicalSchema(s)).parquet(paths.map(dataPath(root, _)): _*)
+          .toDF(s.fieldNames.toIndexedSeq: _*)
+      case Some(s) => spark.read.schema(s).parquet(paths.map(dataPath(root, _)): _*)
+      case None => spark.read.parquet(paths.map(dataPath(root, _)): _*)
+    }
+  }
+
+  /** [[readFiles]] plus the two positional columns DV plumbing keys on:
+    * [[DvFileCol]] (last-two-components file suffix) and [[DvPosCol]]
+    * (`_metadata.row_index` — the row's position in its immutable file).
+    * Metadata columns must be bound ON the file scan, before any
+    * aliasing projection, hence the shared helper. */
+  private def readFilesWithPos(spark: SparkSession, root: String,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      paths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    def withPos(scan: DataFrame): DataFrame = scan.select(col("*"),
+      expr("substring_index(_metadata.file_path, '/', -2)").as(DvFileCol),
+      col("_metadata.row_index").as(DvPosCol))
+    schema match {
+      case Some(s0) if hasMapping(s0) || s0.fields.exists(isDropped) =>
+        val s = visibleSchema(s0)
+        withPos(spark.read.schema(physicalSchema(s))
+            .parquet(paths.map(dataPath(root, _)): _*))
+          .toDF((s.fieldNames :+ DvFileCol :+ DvPosCol).toIndexedSeq: _*)
+      case Some(s) => withPos(
+        spark.read.schema(s).parquet(paths.map(dataPath(root, _)): _*))
+      case None => withPos(spark.read.parquet(paths.map(dataPath(root, _)): _*))
+    }
   }
 
   /** Catalog read: the filtered union of MANY manifest tables (the
@@ -493,6 +577,10 @@ object ManifestTable {
     val files = rel.map(dataPath(srcRoot, _)) // clone-of-clone entries pass through
     val meta = manifestMeta(spark, srcRoot, v)
       .filter { case (k, _) => k == SchemaKey || carriedMetaKey(k) }
+      // the deletion vector travels like the data files: by absolute
+      // path into the source's storage (same retention caveat)
+      .map { case (k, p) if k == DvKey => k -> dataPath(srcRoot, p)
+             case kv => kv }
     val stats = fileStats(spark, srcRoot, v)
     val absStats = rel.flatMap(p => stats.get(p).map(dataPath(srcRoot, p) -> _)).toMap
     commit(spark, destRoot, s"clone-v$v", files, _ => Seq.empty, _ => meta, _ => absStats)
@@ -674,6 +762,13 @@ object ManifestTable {
     val cur = manifestFiles(spark, root, tip)
     require(old.subsetOf(cur.toSet),
       s"non-append change between v$sinceVersion and v$tip (files were removed/rewritten) — incremental read unsound, full refresh required")
+    // a deletion-vector change removes rows without touching the file
+    // set — just as non-append as a rewrite, and just as unsound to
+    // stream past (a new file can't be in an older vector, so equal
+    // vectors + append-only files ⇒ the delta really is the added files)
+    require(manifestMeta(spark, root, sinceVersion).get(DvKey) ==
+      manifestMeta(spark, root, tip).get(DvKey),
+      s"deletion vector changed between v$sinceVersion and v$tip (rows removed merge-on-read) — incremental read unsound, full refresh required")
     val added = cur.filterNot(old)
     val df =
       if (added.isEmpty)
@@ -1071,7 +1166,8 @@ object ManifestTable {
     val inPred = keyCol.isin(values.toIndexedSeq: _*)
     val (kept, _, _) = pruneFiles(spark, root, inPred, Some(v))
     if (kept.isEmpty) read(spark, root, Some(v)).limit(0)
-    else readFiles(spark, root, schemaOf(spark, root, v), kept)
+    else readFiles(spark, root, schemaOf(spark, root, v), kept,
+      deletionVector(spark, root, v))
   }
 
   /** What a [[merge]] touched: rewritten vs carried-unchanged file counts
@@ -1143,7 +1239,9 @@ object ManifestTable {
       }
     val affectedDf =
       if (affected.isEmpty) read(spark, root, Some(v0)).limit(0)
-      else readFiles(spark, root, tableSchema, affected)
+      // DV-applied, so a rewrite can never resurrect a MOR-deleted row
+      else readFiles(spark, root, tableSchema, affected,
+        deletionVector(spark, root, v0))
     enforceChecks(spark, root, Some(v0), source, "merge")
     val merged = affectedDf
       .join(source.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
@@ -1191,7 +1289,9 @@ object ManifestTable {
     val survivors =
       if (affected.isEmpty) read(spark, root, Some(v0)).limit(0)
       else {
-        val df = readFiles(spark, root, tableSchema, affected)
+        // DV-applied, so the rewrite can't resurrect a MOR-deleted row
+        val df = readFiles(spark, root, tableSchema, affected,
+          deletionVector(spark, root, v0))
         // NOT(pred IS TRUE): a NULL predicate must keep the row
         df.filter(org.apache.spark.sql.functions.not(
           org.apache.spark.sql.functions.coalesce(predicate,
@@ -1211,6 +1311,116 @@ object ManifestTable {
         tableSchema.map(s => Map(SchemaKey -> s.json)).getOrElse(Map.empty),
       _ => fileStats(spark, root, v0) ++ newStats)
     (version, MergeStats(affected.size, untouched.size, staged.size))
+  }
+
+  /** Merge-on-read DELETE (Delta deletion vectors / Iceberg v2
+    * positional deletes): remove the rows WHERE `predicate` IS TRUE
+    * WITHOUT rewriting any data file — the affected files' matching
+    * row positions are written as a `(file, pos)` sidecar parquet under
+    * `_dv/` and committed as the version's [[DvKey]]. Rows where the
+    * predicate is NULL survive, same as [[delete]].
+    *
+    * The 100 TB trade COW vs MOR: [[delete]] pays a full rewrite of
+    * every file the stats can't clear (write-amplified, but reads stay
+    * pure scans); deleteMor pays one tiny positional write (only the
+    * affected files are even READ, via the same stats prune) and every
+    * subsequent read pays a broadcast anti-join against the vector.
+    * Small/frequent deletes (GDPR erasure, late-data retraction) want
+    * MOR; once the vector grows, [[purgeDeletes]] — or any OPTIMIZE,
+    * which reads through the vector and drops it — converts back to
+    * pure files. Stacked MOR deletes union into ONE cumulative vector,
+    * so a read never applies more than one.
+    *
+    * Same concurrency contract as [[merge]]; same non-append semantics
+    * for consumers — [[readChangesSince]] refuses to stream past a
+    * vector change. Returns (version, stats) with newFiles == 0. */
+  def deleteMor(
+      spark: SparkSession,
+      root: String,
+      predicate: org.apache.spark.sql.Column): (Long, MergeStats) = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
+    val v0 = vs.max
+    val planned = manifestFiles(spark, root, v0)
+    val tableSchema = schemaOf(spark, root, v0)
+    val (affected, untouched, _) = pruneFiles(spark, root, predicate, Some(v0))
+    val oldDv = deletionVector(spark, root, v0)
+    // already-deleted positions that re-match the predicate re-enter
+    // here and are deduped by the distinct — the union is idempotent
+    val newlyDeleted =
+      if (affected.isEmpty) emptyDvFrame(spark)
+      else readFilesWithPos(spark, root, tableSchema, affected)
+        .filter(coalesce(predicate, lit(false)))
+        .select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
+    val allRows = oldDv.map(p => dvFrame(spark, root, p))
+      .getOrElse(emptyDvFrame(spark))
+      .unionByName(newlyDeleted).distinct()
+    val rel = s"$DvDir/dv-${UUID.randomUUID()}"
+    allRows.write.parquet(s"$root/$rel")
+    val version = commit(spark, root, "delete-mor", Seq.empty,
+      tip => {
+        val cur = manifestFiles(spark, root, tip)
+        if (cur.toSet != planned.toSet) throw new IllegalStateException(
+          s"concurrent modification of $root during delete-mor (planned v$v0, tip v$tip) — re-run the delete")
+        planned
+      },
+      // carriedMetaKey includes DvKey, so ++ order matters: the NEW
+      // vector overrides the carried old one
+      _ => manifestMeta(spark, root, v0).filter(kv => carriedMetaKey(kv._1)) ++
+        tableSchema.map(s => Map(SchemaKey -> s.json)).getOrElse(Map.empty) +
+        (DvKey -> rel),
+      // file stats carry UNCHANGED — they become keep-biased upper
+      // bounds over the vector, which every skipping tier tolerates;
+      // exact counting demotes DV'd files to a scan ([[countWhere]])
+      _ => fileStats(spark, root, v0))
+    (version, MergeStats(affected.size, untouched.size, 0))
+  }
+
+  /** Materialize the deletion vector: rewrite ONLY the files the vector
+    * references (DV-applied read, so deleted rows are dropped), carry
+    * every clean file byte-identical with its stats, and commit WITHOUT
+    * the [[DvKey]] — the table is pure files again and reads stop
+    * paying the anti-join. The MOR analog of Delta's
+    * `REORG TABLE ... APPLY (PURGE)`; [[compact]]/[[optimizeZOrder]]/
+    * [[optimizeClusterBy]] achieve the same as a side effect of their
+    * full rewrite, this is the targeted version. No-op (returns the
+    * tip) when no vector exists. */
+  def purgeDeletes(spark: SparkSession, root: String,
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): (Long, MergeStats) = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
+    val v0 = vs.max
+    val planned = manifestFiles(spark, root, v0)
+    deletionVector(spark, root, v0) match {
+      case None => (v0, MergeStats(0, planned.size, 0))
+      case Some(p) =>
+        val tableSchema = schemaOf(spark, root, v0)
+        val dvKeys = dvFrame(spark, root, p)
+          .select("file").distinct().collect().map(_.getString(0)).toSet
+        val (affected, untouched) =
+          planned.partition(f => dvKeys.contains(dvFileKey(f)))
+        val staged =
+          if (affected.isEmpty) Seq.empty[String]
+          else stage(spark, root, toPhysical(
+            readFiles(spark, root, tableSchema, affected, Some(p)), tableSchema))
+        val newStats = ManifestStats.collect(spark, root, staged,
+          toPhysicalCols(tableSchema, statsColumns),
+          toPhysicalCols(tableSchema, bloomColumns))
+        val version = commit(spark, root, "purge-dv", staged,
+          tip => {
+            val cur = manifestFiles(spark, root, tip)
+            if (cur.toSet != planned.toSet) throw new IllegalStateException(
+              s"concurrent modification of $root during purge-dv (planned v$v0, tip v$tip) — re-run the purge")
+            untouched
+          },
+          _ => manifestMeta(spark, root, v0)
+            .filter(kv => carriedMetaKey(kv._1) && kv._1 != DvKey) ++
+            tableSchema.map(s => Map(SchemaKey -> s.json)).getOrElse(Map.empty),
+          _ => fileStats(spark, root, v0) ++ newStats)
+        (version, MergeStats(affected.size, untouched.size, staged.size))
+    }
   }
 
   /** ANALYZE: (re)compute skipping stats for the files the tip already
@@ -1273,17 +1483,27 @@ object ManifestTable {
       if (!ManifestStats.statsMayMatch(spark, sc, filter, r,
         transforms = transformsOf(spark, root, v), renames = columnRenames(sc)))
         return (0L, 0, 0)
-    val (full, _, residual) = schema match {
+    val (full0, _, residual0) = schema match {
       case Some(sc) => ManifestStats.splitForCount(spark, sc, filter, stats, files,
         renames = columnRenames(sc))
       case None => (Seq.empty[String], Seq.empty[String], files) // pre-schema: scan all
     }
+    // a file with deletion-vector entries can't answer from its
+    // committed row count (stats are pre-delete upper bounds) — demote
+    // it to the scanned tier, where the DV-applied read is exact. The
+    // distinct-file collect is bounded by the table's FILE count.
+    val dv = deletionVector(spark, root, v)
+    val dvKeys: Set[String] = dv.map(p => dvFrame(spark, root, p)
+      .select("file").distinct().collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty)
+    val (demoted, full) = full0.partition(f => dvKeys.contains(dvFileKey(f)))
+    val residual = residual0 ++ demoted
     // a full-match file without committed stats cannot happen (mustMatch
     // needs stats), so every full entry has a row count to sum
     val metaCount = full.map(f => stats(f).rowCount).sum
     val scanned =
       if (residual.isEmpty) 0L
-      else readFiles(spark, root, schema, residual).filter(filter).count()
+      else readFiles(spark, root, schema, residual, dv).filter(filter).count()
     (metaCount + scanned, full.size, residual.size)
   }
 
@@ -1417,6 +1637,9 @@ object ManifestTable {
       val stats = fileStats(spark, root, v)
       val rows =
         if (files.isEmpty) Some(0L)
+        // a deletion vector makes committed counts upper bounds —
+        // "unknown" is the honest metadata-only answer, never a lie
+        else if (deletionVector(spark, root, v).isDefined) None
         else if (files.forall(stats.contains)) Some(files.map(stats(_).rowCount).sum)
         else None
       val op = manifestText(spark, root, v).linesIterator
@@ -1450,7 +1673,8 @@ object ManifestTable {
     val bytes = files.map(p => f.getFileStatus(new Path(dataPath(root, p))).getLen).sum
     val stats = fileStats(spark, root, tip)
     val rows =
-      if (files.nonEmpty && files.forall(stats.contains))
+      if (deletionVector(spark, root, tip).isDefined) None // upper bound only
+      else if (files.nonEmpty && files.forall(stats.contains))
         Some(files.map(stats(_).rowCount).sum)
       else if (files.isEmpty) Some(0L)
       else None
@@ -1498,6 +1722,23 @@ object ManifestTable {
         }
         if (!anyLive) { deleted += dead.size; f.delete(tx.getPath, true) }
         else dead.foreach { p => f.delete(p, false); deleted += 1 }
+      }
+    }
+    // deletion vectors GC like data files: a vector no retained
+    // manifest references (superseded by a later cumulative vector,
+    // purged, or orphaned by a crashed delete-mor) is reclaimed.
+    // Absolute clone references point outside `_dv/` and are untouched.
+    val liveDv: Set[String] =
+      keep.flatMap(v => manifestMeta(spark, root, v).get(DvKey)).toSet
+    val dvRoot = new Path(s"$root/$DvDir")
+    if (f.exists(dvRoot)) {
+      f.listStatus(dvRoot).foreach { d =>
+        val rel = s"$DvDir/${d.getPath.getName}"
+        if (!liveDv.contains(rel)) {
+          deleted += f.listStatus(d.getPath).count(s =>
+            s.isFile && !s.getPath.getName.startsWith("_"))
+          f.delete(d.getPath, true)
+        }
       }
     }
     deleted
