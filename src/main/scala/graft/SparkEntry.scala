@@ -3067,6 +3067,44 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"), col("score_micro"))
     }),
 
+    "lake25_generated" -> ((s, dir) => {
+      // generated columns (GENERATED ALWAYS AS): o_year is declared
+      // generated from year(o_orderdate) after create; a batch that
+      // OMITS the column gets it computed by the engine (b1), a batch
+      // that PROVIDES it is validated (b2), and a batch with wrong
+      // values is REFUSED atomically — nothing lands (violation_refused
+      // pins both the refusal and that the count stayed put). The final
+      // per-year aggregate must equal the oracle computing the same
+      // expression itself, proving engine-computed == declared.
+      val root = java.nio.file.Files.createTempDirectory("lake25_gen").toString
+      val orders = t(s, dir, "orders")
+      graft.sources.ManifestTable.create(s, root,
+        orders.withColumn("o_year", year(col("o_orderdate"))))
+      graft.sources.ManifestTable.addGeneratedColumn(s, root,
+        "o_year", "year(o_orderdate)")
+      graft.sources.ManifestTable.append(s, root,
+        orders.filter(col("o_orderkey") % 10 === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)) // o_year omitted
+      graft.sources.ManifestTable.append(s, root,
+        orders.filter(col("o_orderkey") % 10 === 4)
+          .withColumn("o_orderkey", col("o_orderkey") + 2000000000L)
+          .withColumn("o_year", year(col("o_orderdate")))) // provided, validated
+      val before = graft.sources.ManifestTable.read(s, root).count()
+      val refused =
+        try {
+          graft.sources.ManifestTable.append(s, root,
+            orders.limit(5).withColumn("o_year", lit(1900)))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      val intact = graft.sources.ManifestTable.read(s, root).count() == before
+      graft.sources.ManifestTable.read(s, root)
+        .groupBy("o_year")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .select(lit(refused && intact).as("violation_refused"),
+          col("o_year"), col("n_orders"), col("total_price"))
+    }),
+
     "lake24_delete_mor" -> ((s, dir) => {
       // merge-on-read DELETE (deletion vectors — Delta DV / Iceberg v2
       // positional deletes): two stacked MOR deletes commit ZERO data
@@ -5098,6 +5136,22 @@ object SparkEntry {
         |  FROM scores
         |)
         |SELECT query_id, doc_id, score_micro FROM ranked WHERE rn <= 5""".stripMargin,
+
+    "lake25_generated" -> // the engine-computed o_year must equal the
+      // declared expression on every row, so the oracle just computes
+      // year(o_orderdate) itself over the same three batches
+      (s"""WITH rows AS (
+         |  SELECT o_orderdate, o_totalprice FROM orders
+         |  UNION ALL
+         |  SELECT o_orderdate, o_totalprice FROM orders WHERE o_orderkey % 10 = 3
+         |  UNION ALL
+         |  SELECT o_orderdate, o_totalprice FROM orders WHERE o_orderkey % 10 = 4
+         |)
+         |SELECT TRUE AS violation_refused,
+         |       CAST(year(o_orderdate) AS INT) AS o_year,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM rows GROUP BY 2""").stripMargin,
 
     "lake24_delete_mor" -> // survivors = NOT(pred1 IS TRUE) AND
       // NOT(pred2 IS TRUE) plus the post-delete append; the SAME

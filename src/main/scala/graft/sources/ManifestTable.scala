@@ -141,7 +141,8 @@ object ManifestTable {
   /** Meta keys that ride every content commit (transform spec + CHECK
     * constraints); txn-* watermarks are handled by [[commit]] itself. */
   private def carriedMetaKey(k: String): Boolean =
-    k == TransformsKey || k == DvKey || k.startsWith(CheckPrefix)
+    k == TransformsKey || k == DvKey || k.startsWith(CheckPrefix) ||
+      k.startsWith(GenPrefix)
 
   /** Column names a constraint expression references (unresolved —
     * parsed, not analyzed; flat names only, which is all a CHECK over a
@@ -225,6 +226,107 @@ object ManifestTable {
     commit(spark, root, "drop_constraint", Seq.empty,
       tip => manifestFiles(spark, root, tip),
       tip => manifestMeta(spark, root, tip) - (s"$CheckPrefix$name"),
+      tip => fileStats(spark, root, tip))
+  }
+
+  /** Meta-key prefix for GENERATED columns (Delta's
+    * `GENERATED ALWAYS AS (expr)`): `gen-<column>` → expression text.
+    * The contract on every write ([[append]]/[[merge]]/[[overwrite]]):
+    * a batch that OMITS the column gets it computed from the expression
+    * (one projection — free at any scale); a batch that PROVIDES it is
+    * validated in one aggregate pass (null-safe equality) and refused
+    * on any divergence — the column can never silently drift from its
+    * definition. Definitions ride commits like CHECK constraints and
+    * block rename/drop of the columns they touch. */
+  private val GenPrefix = "gen-"
+
+  /** The generated-column definitions committed with `version`. */
+  def generatedColumnsOf(spark: SparkSession, root: String, version: Long): Map[String, String] =
+    manifestMeta(spark, root, version).collect {
+      case (k, v) if k.startsWith(GenPrefix) => k.stripPrefix(GenPrefix) -> v
+    }
+
+  /** Compute omitted generated columns and validate provided ones
+    * against `version`'s definitions; throws on divergence. The compute
+    * leg is a pure projection; the validate leg is ONE combined
+    * aggregate pass however many definitions exist (same write-path
+    * cost shape as [[enforceChecks]]). */
+  private def enforceGenerated(spark: SparkSession, root: String,
+      version: Option[Long], df: DataFrame, op: String): DataFrame =
+    version.fold(df) { v =>
+      val gens = generatedColumnsOf(spark, root, v).toSeq.sortBy(_._1)
+      if (gens.isEmpty) df
+      else {
+        import org.apache.spark.sql.functions.{expr, not, sum, when}
+        val (present, missing) = gens.partition { case (n, _) => df.columns.contains(n) }
+        if (present.nonEmpty) {
+          val aggs = present.map { case (n, t) =>
+            sum(when(not(col(n) <=> expr(t)), 1L).otherwise(0L)).as(n)
+          }
+          val row = df.agg(aggs.head, aggs.drop(1): _*).head()
+          present.zipWithIndex.foreach { case ((n, t), i) =>
+            val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+            require(bad == 0L,
+              s"$op violates GENERATED column '$n' ($t): $bad rows differ from the expression")
+          }
+        }
+        missing.foldLeft(df) { case (d, (n, t)) => d.withColumn(n, expr(t)) }
+      }
+    }
+
+  /** `ALTER TABLE ... ADD GENERATED` on an EXISTING column: validates
+    * the whole current content against the expression first (one
+    * aggregate pass — adding a definition existing rows violate is
+    * refused with the count, the CHECK-constraint rule), then commits
+    * the definition as one metadata line. From then on every write
+    * computes-or-validates the column (see [[GenPrefix]]). The column
+    * must already exist: a brand-new generated column on old files
+    * would read NULL there and violate its own definition — add it via
+    * a definition-bearing [[overwrite]] or widening [[append]] first.
+    */
+  def addGeneratedColumn(spark: SparkSession, root: String,
+      name: String, exprText: String): Long = {
+    require(!exprText.exists(c => c == '\n' || c == '\r'),
+      "generation expression must be single-line")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
+    val v0 = vs.max
+    require(!generatedColumnsOf(spark, root, v0).contains(name),
+      s"column '$name' already has a generation expression")
+    val visible = schemaOf(spark, root, v0).map(visibleSchema(_).fieldNames.toSet)
+    visible.foreach(cols => require(cols.contains(name),
+      s"no column '$name' in (${cols.mkString(", ")}) — generated columns define existing columns"))
+    val refs = referencedCols(exprText)
+    require(!refs.contains(name), s"generated column '$name' may not reference itself")
+    visible.foreach(cols => refs.foreach(c => require(cols.contains(c),
+      s"generation expression references unknown column '$c' (have ${cols.mkString(", ")})")))
+    import org.apache.spark.sql.functions.{expr, not, sum, when}
+    val badRow = read(spark, root, Some(v0))
+      .agg(sum(when(not(col(name) <=> expr(exprText)), 1L).otherwise(0L)).as("bad"))
+      .head()
+    val bad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
+    require(bad == 0L,
+      s"cannot mark '$name' generated as ($exprText): $bad existing rows differ")
+    commit(spark, root, "add_generated", Seq.empty,
+      tip => {
+        if (tip != v0) throw new IllegalStateException(
+          s"concurrent modification of $root during add_generated (planned v$v0, tip v$tip) — re-run")
+        manifestFiles(spark, root, tip)
+      },
+      tip => manifestMeta(spark, root, tip) + (s"$GenPrefix$name" -> exprText),
+      tip => fileStats(spark, root, tip))
+  }
+
+  /** Drop a generated-column DEFINITION (the column and its data stay;
+    * writes stop computing/validating it) — one metadata commit. */
+  def dropGeneratedColumn(spark: SparkSession, root: String, name: String): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
+    require(generatedColumnsOf(spark, root, vs.max).contains(name),
+      s"no generated column '$name' (have ${generatedColumnsOf(spark, root, vs.max).keys.mkString(", ")})")
+    commit(spark, root, "drop_generated", Seq.empty,
+      tip => manifestFiles(spark, root, tip),
+      tip => manifestMeta(spark, root, tip) - (s"$GenPrefix$name"),
       tip => fileStats(spark, root, tip))
   }
 
@@ -630,6 +732,10 @@ object ManifestTable {
       .filter { case (_, t) => referencedCols(t).contains(from) }
     require(refCs.isEmpty,
       s"CHECK constraint(s) ${refCs.keys.mkString(", ")} reference '$from' — drop them first")
+    val gens = generatedColumnsOf(spark, root, v0)
+    val refGs = gens.filter { case (n, t) => n == from || referencedCols(t).contains(from) }
+    require(refGs.isEmpty,
+      s"generated column(s) ${refGs.keys.mkString(", ")} involve '$from' — drop the definition(s) first")
     // a DROPPED column's physical slot does NOT block the logical name:
     // reads never request it, so `append c2; rename c2→c` is exactly the
     // documented way to re-introduce a dropped column's logical name
@@ -700,6 +806,10 @@ object ManifestTable {
       .filter { case (_, t) => referencedCols(t).contains(name) }
     require(refCs.isEmpty,
       s"CHECK constraint(s) ${refCs.keys.mkString(", ")} reference '$name' — drop them first")
+    val refGs = generatedColumnsOf(spark, root, v0)
+      .filter { case (n, t) => n == name || referencedCols(t).contains(name) }
+    require(refGs.isEmpty,
+      s"generated column(s) ${refGs.keys.mkString(", ")} involve '$name' — drop the definition(s) first")
     val dropped = org.apache.spark.sql.types.StructType(schema.fields.map { f =>
       if (f.name != name) f
       else org.apache.spark.sql.types.StructField(
@@ -916,8 +1026,10 @@ object ManifestTable {
         require(!physTaken.contains(c),
           s"new column '$c' collides with the physical name of a renamed or dropped column"))
     }
-    enforceChecks(spark, root, tipV, df, "append")
-    val physDf = toPhysical(df, tipSchema)
+    // generated columns first (a CHECK may reference one the batch omits)
+    val genDf = enforceGenerated(spark, root, tipV, df, "append")
+    enforceChecks(spark, root, tipV, genDf, "append")
+    val physDf = toPhysical(genDf, tipSchema)
     val staged = stage(spark, root, physDf)
     // a transform-clustered table keeps its pruning power across appends:
     // new files get virtual transform stats in the same collect pass (the
@@ -1086,13 +1198,16 @@ object ManifestTable {
       meta: Map[String, String] = Map.empty,
       statsColumns: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil): Long = {
-    val schemaJson = df.schema.json
-    enforceChecks(spark, root, versions(spark, root).lastOption, df, "overwrite")
-    val staged = stage(spark, root, df)
+    val tipV = versions(spark, root).lastOption
+    val genDf = enforceGenerated(spark, root, tipV, df, "overwrite")
+    val schemaJson = genDf.schema.json
+    enforceChecks(spark, root, tipV, genDf, "overwrite")
+    val staged = stage(spark, root, genDf)
     val stats = ManifestStats.collect(spark, root, staged, statsColumns, bloomColumns)
     commit(spark, root, "overwrite", staged, _ => Seq.empty,
       tip => (if (tip == 0) Map.empty[String, String]
-              else manifestMeta(spark, root, tip).filter(_._1.startsWith(CheckPrefix))) ++
+              else manifestMeta(spark, root, tip).filter(k =>
+                k._1.startsWith(CheckPrefix) || k._1.startsWith(GenPrefix))) ++
         meta + (SchemaKey -> schemaJson), _ => stats)
   }
 
@@ -1119,7 +1234,8 @@ object ManifestTable {
     val stats = ManifestStats.collect(spark, root, staged,
       toPhysicalCols(tipSchema, statsColumns), toPhysicalCols(tipSchema, bloomColumns))
     (commit(spark, root, "compact", staged, _ => Seq.empty,
-      tip => manifestMeta(spark, root, tip).filter(_._1.startsWith(CheckPrefix)) +
+      tip => manifestMeta(spark, root, tip).filter(k =>
+        k._1.startsWith(CheckPrefix) || k._1.startsWith(GenPrefix)) +
         (SchemaKey -> schemaJson), _ => stats), staged.size)
   }
 
@@ -1220,14 +1336,17 @@ object ManifestTable {
     val v0 = vs.max
     val planned = manifestFiles(spark, root, v0)
     val tableSchema = schemaOf(spark, root, v0)
+    // compute omitted / validate provided generated columns BEFORE the
+    // schema match — a source may ergonomically omit what the engine owns
+    val genSource = enforceGenerated(spark, root, Some(v0), source, "merge")
     tableSchema.foreach { ts =>
       require(ts.fields.map(f => (f.name, f.dataType)).toSet ==
-        source.schema.fields.map(f => (f.name, f.dataType)).toSet,
-        s"merge source schema ${source.schema.simpleString} does not match table ${ts.simpleString}")
+        genSource.schema.fields.map(f => (f.name, f.dataType)).toSet,
+        s"merge source schema ${genSource.schema.simpleString} does not match table ${ts.simpleString}")
     }
     // bounded key collect, same cap contract as readPrunedByKeys: one row
     // past the cap detects overflow without materializing the key set
-    val collected = source.select(col(keyCol)).distinct().limit(maxKeys + 1).collect()
+    val collected = genSource.select(col(keyCol)).distinct().limit(maxKeys + 1).collect()
     val keys = collected.map(_.get(0))
     require(keys.forall(_ != null), s"merge keys ($keyCol) must be non-null")
     val (affected, untouched) =
@@ -1242,10 +1361,10 @@ object ManifestTable {
       // DV-applied, so a rewrite can never resurrect a MOR-deleted row
       else readFiles(spark, root, tableSchema, affected,
         deletionVector(spark, root, v0))
-    enforceChecks(spark, root, Some(v0), source, "merge")
+    enforceChecks(spark, root, Some(v0), genSource, "merge")
     val merged = affectedDf
-      .join(source.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-      .unionByName(source)
+      .join(genSource.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      .unionByName(genSource)
     val staged = stage(spark, root, toPhysical(merged, tableSchema))
     val newStats = ManifestStats.collect(spark, root, staged,
       toPhysicalCols(tableSchema, statsColumns), toPhysicalCols(tableSchema, bloomColumns))
@@ -1545,7 +1664,8 @@ object ManifestTable {
     val stats = ManifestStats.collect(spark, root, staged,
       toPhysicalCols(tipSchema, zCols), toPhysicalCols(tipSchema, bloomColumns))
     (commit(spark, root, "zorder", staged, _ => Seq.empty,
-      tip => manifestMeta(spark, root, tip).filter(_._1.startsWith(CheckPrefix)) +
+      tip => manifestMeta(spark, root, tip).filter(k =>
+        k._1.startsWith(CheckPrefix) || k._1.startsWith(GenPrefix)) +
         (SchemaKey -> schemaJson), _ => stats), staged.size)
   }
 
@@ -1590,7 +1710,8 @@ object ManifestTable {
       toPhysicalCols(tipSchema, statsColumns), toPhysicalCols(tipSchema, bloomColumns),
       virtualCols = Seq(pt.name -> pt.expr))
     (commit(spark, root, "cluster", staged, _ => Seq.empty,
-      tip => manifestMeta(spark, root, tip).filter(_._1.startsWith(CheckPrefix)) +
+      tip => manifestMeta(spark, root, tip).filter(k =>
+        k._1.startsWith(CheckPrefix) || k._1.startsWith(GenPrefix)) +
         (SchemaKey -> schemaJson) + (TransformsKey -> pt.serialized),
       _ => stats), staged.size)
   }
