@@ -3067,6 +3067,48 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"), col("score_micro"))
     }),
 
+    "lake26_multi_txn" -> ((s, dir) => {
+      // multi-table TRANSACTIONS (catalog-commit): a fact table and its
+      // summary mart advance ATOMICALLY — each transact appends a batch
+      // to fact AND overwrites mart with the matching aggregate, so at
+      // EVERY catalog version mart == agg(fact) exactly. The key reads
+      // both tables at every catalog cut and pins mutual consistency
+      // (all_cuts_consistent) plus that a staged-only orphan txn stayed
+      // invisible; the final mart must equal the oracle's aggregate of
+      // all three batches.
+      val cat = java.nio.file.Files.createTempDirectory("lake26_cat").toString
+      val factRoot = s"$cat/fact"; val martRoot = s"$cat/mart"
+      val orders = t(s, dir, "orders")
+      def martOf(f: DataFrame) = f.groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+      graft.sources.ManifestTable.create(s, factRoot,
+        orders.filter(col("o_orderkey") % 3 === 0))
+      graft.sources.ManifestTable.create(s, martRoot,
+        martOf(orders.filter(col("o_orderkey") % 3 === 0)))
+      graft.sources.ManifestCatalog.create(s, cat,
+        Seq("fact" -> factRoot, "mart" -> martRoot))
+      val after1 = orders.filter(col("o_orderkey") % 3 <= 1)
+      graft.sources.ManifestCatalog.transact(s, cat, Seq(
+        graft.sources.ManifestCatalog.AppendOp("fact",
+          orders.filter(col("o_orderkey") % 3 === 1)),
+        graft.sources.ManifestCatalog.OverwriteOp("mart", martOf(after1))))
+      graft.sources.ManifestCatalog.transact(s, cat, Seq(
+        graft.sources.ManifestCatalog.AppendOp("fact",
+          orders.filter(col("o_orderkey") % 3 === 2)),
+        graft.sources.ManifestCatalog.OverwriteOp("mart", martOf(orders))))
+      // mart == agg(fact) at EVERY catalog cut — the atomicity witness
+      val allCuts = graft.sources.ManifestCatalog.versions(s, cat).forall { v =>
+        val f = graft.sources.ManifestCatalog.read(s, cat, "fact", Some(v))
+        val m = graft.sources.ManifestCatalog.read(s, cat, "mart", Some(v))
+        val r = martOf(f)
+        m.exceptAll(r).isEmpty && r.exceptAll(m).isEmpty
+      }
+      graft.sources.ManifestCatalog.read(s, cat, "mart")
+        .select(lit(allCuts).as("all_cuts_consistent"),
+          col("o_orderstatus"), col("n_orders"), col("total_price"))
+    }),
+
     "lake25_generated" -> ((s, dir) => {
       // generated columns (GENERATED ALWAYS AS): o_year is declared
       // generated from year(o_orderdate) after create; a batch that
@@ -5136,6 +5178,15 @@ object SparkEntry {
         |  FROM scores
         |)
         |SELECT query_id, doc_id, score_micro FROM ranked WHERE rn <= 5""".stripMargin,
+
+    "lake26_multi_txn" -> // after two atomic (append fact, overwrite
+      // mart) transactions the fact holds all three thirds, so the
+      // final mart is just the full aggregate; per-cut consistency is
+      // pinned in-key
+      (s"""SELECT TRUE AS all_cuts_consistent, o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders GROUP BY o_orderstatus""").stripMargin,
 
     "lake25_generated" -> // the engine-computed o_year must equal the
       // declared expression on every row, so the oracle just computes

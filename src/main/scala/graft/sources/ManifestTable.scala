@@ -927,62 +927,90 @@ object ManifestTable {
       // metadata re-resolves against the tip the retry lands on, exactly
       // like the file base — an append's widened schema must widen the
       // WINNER's schema, not the one this committer first read
-      val callerMeta = metaAt(tip)
-      // txn-* watermarks survive every commit: tip's keys carry forward,
-      // and a caller-supplied txn key takes the max so a replayed lower
-      // batchId can never regress a watermark (see [[TxnPrefix]])
-      val tipTxn =
-        if (tip == 0) Map.empty[String, String]
-        else manifestMeta(spark, root, tip).filter(_._1.startsWith(TxnPrefix))
-      val meta = tipTxn ++ callerMeta.map {
-        case (k, v) if k.startsWith(TxnPrefix) =>
-          k -> tipTxn.get(k).map(o => math.max(o.toLong, v.toLong).toString).getOrElse(v)
-        case kv => kv
-      }
-      meta.foreach { case (k, v) =>
-        require(!k.contains("=") && !(k + v).exists(c => c == '\n' || c == '\r'),
-          s"manifest meta key/value must be line-safe and '='-free: $k")
-      }
-      val body = new StringBuilder(s"# graft-manifest version=$next op=$op\n")
-      meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
-        body.append(MetaPrefix).append(k).append('=').append(v).append('\n')
-      }
-      val allFiles = base(tip) ++ newFiles
-      // stats ride the same publish as the file list; entries for files
-      // not in this manifest (e.g. dropped by a racing overwrite the
-      // retry landed on) are silently irrelevant and omitted
-      val stats = statsAt(tip)
-      allFiles.foreach { p =>
-        stats.get(p).foreach(fs =>
-          body.append(StatsPrefix).append(ManifestStats.serialize(p, fs)).append('\n'))
-      }
-      // table-level rollup, recomputed HERE at the single commit choke
-      // point from exactly this manifest's files — a stale rollup in a
-      // carried stats map is never consulted (only real paths are) and
-      // never re-published
-      // the PHYSICAL schema types the rollup's columns — stats are keyed
-      // by on-disk names, and on a column-mapped table the logical names
-      // would miss every renamed column
-      ManifestStats.rollup(allFiles, stats,
-        meta.get(SchemaKey).map(j => physicalSchema(
-          org.apache.spark.sql.types.DataType.fromJson(j)
-            .asInstanceOf[org.apache.spark.sql.types.StructType])))
-        .foreach(r => body.append(StatsPrefix)
-          .append(ManifestStats.serialize(ManifestStats.RollupKey, r)).append('\n'))
-      allFiles.foreach(p => body.append(p).append('\n'))
-      val tmp = new Path(s"$root/$LogDir/.tmp-${UUID.randomUUID()}")
-      val out = f.create(tmp, false)
-      try out.write(body.toString.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
+      val meta = metaWithTxnCarry(spark, root, tip, metaAt(tip))
+      val body = composeBody(next, op, meta, base(tip) ++ newFiles, statsAt(tip))
       // the atomic publish: rename refuses an existing destination, so
       // exactly one of two racing committers wins version `next`
-      if (f.exists(manifestPath(root, next))) { f.delete(tmp, false) }
-      else if (f.rename(tmp, manifestPath(root, next))) return next
-      else f.delete(tmp, false)
+      if (publishRaw(spark, root, next, body)) return next
     }
     throw new IllegalStateException(
       s"manifest commit lost $MaxCommitAttempts races at $root — sustained contention")
   }
+
+  /** txn-* watermarks survive every commit: tip's keys carry forward,
+    * and a caller-supplied txn key takes the max so a replayed lower
+    * batchId can never regress a watermark (see [[TxnPrefix]]). */
+  private[sources] def metaWithTxnCarry(spark: SparkSession, root: String,
+      tip: Long, callerMeta: Map[String, String]): Map[String, String] = {
+    val tipTxn =
+      if (tip == 0) Map.empty[String, String]
+      else manifestMeta(spark, root, tip).filter(_._1.startsWith(TxnPrefix))
+    tipTxn ++ callerMeta.map {
+      case (k, v) if k.startsWith(TxnPrefix) =>
+        k -> tipTxn.get(k).map(o => math.max(o.toLong, v.toLong).toString).getOrElse(v)
+      case kv => kv
+    }
+  }
+
+  /** Render a manifest body for `next` — the single serialization point
+    * shared by [[commit]] and [[ManifestCatalog]]'s staged transaction
+    * manifests (which compose at transaction time and publish later). */
+  private[sources] def composeBody(next: Long, op: String,
+      meta: Map[String, String], allFiles: Seq[String],
+      stats: Map[String, ManifestStats.FileStats]): String = {
+    meta.foreach { case (k, v) =>
+      require(!k.contains("=") && !(k + v).exists(c => c == '\n' || c == '\r'),
+        s"manifest meta key/value must be line-safe and '='-free: $k")
+    }
+    val body = new StringBuilder(s"# graft-manifest version=$next op=$op\n")
+    meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      body.append(MetaPrefix).append(k).append('=').append(v).append('\n')
+    }
+    // stats ride the same publish as the file list; entries for files
+    // not in this manifest (e.g. dropped by a racing overwrite the
+    // retry landed on) are silently irrelevant and omitted
+    allFiles.foreach { p =>
+      stats.get(p).foreach(fs =>
+        body.append(StatsPrefix).append(ManifestStats.serialize(p, fs)).append('\n'))
+    }
+    // table-level rollup, recomputed HERE at the single serialization
+    // choke point from exactly this manifest's files — a stale rollup
+    // in a carried stats map is never consulted (only real paths are)
+    // and never re-published
+    // the PHYSICAL schema types the rollup's columns — stats are keyed
+    // by on-disk names, and on a column-mapped table the logical names
+    // would miss every renamed column
+    ManifestStats.rollup(allFiles, stats,
+      meta.get(SchemaKey).map(j => physicalSchema(
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])))
+      .foreach(r => body.append(StatsPrefix)
+        .append(ManifestStats.serialize(ManifestStats.RollupKey, r)).append('\n'))
+    allFiles.foreach(p => body.append(p).append('\n'))
+    body.toString
+  }
+
+  /** Publish a pre-rendered body as `root`'s version `next` via the
+    * atomic tmp-write + rename; false when the slot is already taken
+    * (the caller inspects the occupant — a racing committer, or a
+    * catalog recovery that already ran). */
+  private[sources] def publishRaw(spark: SparkSession, root: String,
+      next: Long, body: String): Boolean = {
+    val f = fs(spark, root)
+    f.mkdirs(new Path(s"$root/$LogDir"))
+    val tmp = new Path(s"$root/$LogDir/.tmp-${UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (f.exists(manifestPath(root, next))) { f.delete(tmp, false); false }
+    else if (f.rename(tmp, manifestPath(root, next))) true
+    else { f.delete(tmp, false); false }
+  }
+
+  /** The raw text of `version`'s manifest — [[ManifestCatalog]]'s
+    * recovery compares staged bodies against published occupants. */
+  private[sources] def rawManifestText(spark: SparkSession, root: String,
+      version: Long): String = manifestText(spark, root, version)
 
   /** Create the table (version 1). Fails if a log already exists.
     * `statsColumns` opts files into per-file min/max/nullCount stats for
@@ -1010,6 +1038,19 @@ object ManifestTable {
       meta: Map[String, String] = Map.empty,
       statsColumns: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil): Long = {
+    val (nf, b, m, st) = prepareAppend(spark, root, df, meta, statsColumns, bloomColumns)
+    commit(spark, root, "append", nf, b, m, st)
+  }
+
+  /** Everything [[append]] does BEFORE the publish — data staged, checks
+    * and generated columns enforced, closures over the base version
+    * produced — so [[ManifestCatalog.transact]] can stage the same
+    * append into a transaction manifest instead of committing it. */
+  private[sources] def prepareAppend(spark: SparkSession, root: String, df: DataFrame,
+      meta: Map[String, String] = Map.empty,
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): (Seq[String], Long => Seq[String],
+        Long => Map[String, String], Long => Map[String, ManifestStats.FileStats]) = {
     val batchSchema = df.schema
     batchSchema.fieldNames.foreach(c => require(!c.startsWith(DroppedPrefix),
       s"column '$c' uses the reserved drop-tombstone prefix"))
@@ -1042,7 +1083,7 @@ object ManifestTable {
     val newStats = ManifestStats.collect(spark, root, staged,
       toPhysicalCols(tipSchema, statsColumns), toPhysicalCols(tipSchema, bloomColumns),
       virtualCols = tipTransforms.map(t => t.name -> t.expr))
-    commit(spark, root, "append", staged,
+    (staged,
       tip => if (tip == 0) Seq.empty else manifestFiles(spark, root, tip),
       tip => {
         val merged =
@@ -1198,13 +1239,23 @@ object ManifestTable {
       meta: Map[String, String] = Map.empty,
       statsColumns: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil): Long = {
+    val (nf, b, m, st) = prepareOverwrite(spark, root, df, meta, statsColumns, bloomColumns)
+    commit(spark, root, "overwrite", nf, b, m, st)
+  }
+
+  /** [[overwrite]]'s prepare phase (see [[prepareAppend]]). */
+  private[sources] def prepareOverwrite(spark: SparkSession, root: String, df: DataFrame,
+      meta: Map[String, String] = Map.empty,
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): (Seq[String], Long => Seq[String],
+        Long => Map[String, String], Long => Map[String, ManifestStats.FileStats]) = {
     val tipV = versions(spark, root).lastOption
     val genDf = enforceGenerated(spark, root, tipV, df, "overwrite")
     val schemaJson = genDf.schema.json
     enforceChecks(spark, root, tipV, genDf, "overwrite")
     val staged = stage(spark, root, genDf)
     val stats = ManifestStats.collect(spark, root, staged, statsColumns, bloomColumns)
-    commit(spark, root, "overwrite", staged, _ => Seq.empty,
+    (staged, _ => Seq.empty,
       tip => (if (tip == 0) Map.empty[String, String]
               else manifestMeta(spark, root, tip).filter(k =>
                 k._1.startsWith(CheckPrefix) || k._1.startsWith(GenPrefix))) ++
