@@ -3050,6 +3050,37 @@ object SparkEntry {
         .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
         .limit(20)),
 
+    "ret2_rrf" -> ((s, dir) => {
+      // hybrid retrieval: reciprocal rank fusion of a LEXICAL ranking
+      // (BM25, ret1's exact-integer formulation) and a SEMANTIC ranking
+      // (exact cosine, ann1's machinery) for 3 "more like this" query
+      // docs — each leg's top-20 fuses as sum of 1000000 div (60+rank),
+      // missing legs contribute 0, final top-10 by (rrf desc, doc_id).
+      // Both legs AND the fusion replay exactly in the oracle.
+      graft.functions.NativeExpressions.register(s)
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      // the fixed 3-doc eval set; bounded 3-row collect for query text
+      val qtext = docs.filter(col("doc_id") < 3).select("doc_id", "text")
+        .collect().map(r => (r.getLong(0).toString, r.getString(1)))
+        .toSeq.sortBy(_._1)
+      val lexRanks = TextOps.bm25Scores(docs, "doc_id", "text", qtext)
+        .withColumn("query_id", col("query_id").cast("long"))
+        .filter(col("query_id") =!= col("doc_id")) // self excluded, like ann1
+        .groupBy("query_id")
+        .agg(expr("graft_topk(CAST(score_micro AS DOUBLE), doc_id, 20)").as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col.payload").as("doc_id"),
+          (col("pos") + 1).cast("int").as("rank"))
+      val semRanks = SimilarityOps.bruteForceTopK(
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 20)
+        .select(col("q_id").as("query_id"), col("vec_id").as("doc_id"),
+          col("rank"))
+      TextOps.rrfFuse(Seq(lexRanks, semRanks), k = 10)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     "ret1_bm25" -> ((s, dir) => {
       // ranked retrieval over the corpus: BM25 top-5 per query for a
       // fixed 3-query eval set — integer saturation term (k1, b
@@ -5134,6 +5165,74 @@ object SparkEntry {
         |JOIN cw c1 ON c1.w = p.w1
         |JOIN cw c2 ON c2.w = p.w2, nn
         |ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    "ret2_rrf" -> // both legs re-derived in full (BM25 = ret1's exact
+      // CTEs with the 3 query docs' own terms, self excluded; cosine =
+      // ann1's formula), then the fusion: contribution 1000000 // (60 +
+      // rank), absent legs 0, top-10 by (rrf desc, doc_id)
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), lens AS MATERIALIZED (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM toks GROUP BY 1
+        |), tf AS MATERIALIZED (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+        |), dft AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS bigl,
+        |         CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+        |  FROM toks
+        |), q AS (
+        |  SELECT DISTINCT doc_id AS query_id, term
+        |  FROM toks WHERE doc_id < 3
+        |), idf AS (
+        |  SELECT d.term,
+        |         CAST(round(ln((2.0 * tot.n + 2.0) / (2.0 * d.df + 1.0)) * 1000000) AS BIGINT) AS idf_micro,
+        |         tot.bigl, tot.n
+        |  FROM dft d, tot
+        |), terms AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |         CAST((CAST(i.idf_micro AS HUGEINT) * 22 * tf.tf * i.bigl)
+        |              // (CAST(10 AS HUGEINT) * tf.tf * i.bigl + CAST(3 AS HUGEINT) * i.bigl
+        |                  + CAST(9 AS HUGEINT) * l.len * i.n) AS BIGINT) AS term_micro
+        |  FROM q JOIN idf i ON q.term = i.term
+        |  JOIN tf ON tf.term = q.term
+        |  JOIN lens l ON l.doc_id = tf.doc_id
+        |  WHERE tf.doc_id <> q.query_id
+        |), lexscore AS (
+        |  SELECT query_id, doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro
+        |  FROM terms GROUP BY 1, 2
+        |), lex AS (
+        |  SELECT query_id, doc_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score_micro DESC, doc_id) AS rnk
+        |  FROM lexscore QUALIFY rnk <= 20
+        |), qv AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 3
+        |), semscore AS (
+        |  SELECT q.query_id, c.vec_id AS doc_id,
+        |         round(list_inner_product(q.qv, c.embedding::DOUBLE[]) /
+        |               (sqrt(list_inner_product(q.qv, q.qv)) *
+        |                sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4) AS score
+        |  FROM qv q CROSS JOIN embeddings c WHERE c.vec_id <> q.query_id
+        |), sem AS (
+        |  SELECT query_id, doc_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, doc_id) AS rnk
+        |  FROM semscore QUALIFY rnk <= 20
+        |), fused AS (
+        |  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+        |         COALESCE(l.doc_id, s.doc_id) AS doc_id,
+        |         COALESCE(1000000 // (60 + l.rnk), 0)
+        |           + COALESCE(1000000 // (60 + s.rnk), 0) AS rrf_micro
+        |  FROM lex l FULL OUTER JOIN sem s
+        |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+        |)
+        |SELECT query_id, doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY rrf_micro DESC, doc_id) AS INTEGER) AS rnk
+        |FROM fused QUALIFY rnk <= 10""".stripMargin,
 
     "ret1_bm25" -> // tf/df/totals re-derived, idf under the 6dp-ln
       // contract, the rational saturation term as one HUGEINT division,

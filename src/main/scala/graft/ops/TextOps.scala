@@ -881,4 +881,47 @@ object TextOps {
       .groupBy(col("query_id"), col(idCol))
       .agg(sum(col("term_micro").cast(dec)).cast("long").as("score_micro"))
   }
+
+  /** Reciprocal rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    * the standard hybrid-retrieval combiner: each input ranking
+    * contributes `1/(rrfK + rank)` per (query, doc) and the fused score
+    * is the sum, so a doc surfaced by SEVERAL rankers beats one ranker's
+    * favorite without any score calibration across systems (the whole
+    * point — BM25 micro-units and cosine live on incomparable scales;
+    * only the RANKS fuse).
+    *
+    * Exact integers throughout: the contribution is `1000000 div
+    * (rrfK + rank)` — one integral division per entry, bit-identical in
+    * any engine — and missing legs contribute 0 (a doc in one ranking
+    * only still fuses). Final ties break by smallest doc id, the repo's
+    * ranking convention.
+    *
+    * Scale shape: each input is already a bounded top-N per query (the
+    * rankers' own heaps), so the fusion joins frames of queries×N rows —
+    * metadata-sized next to the corpus — and the final top-k is the
+    * bounded [[graft.functions.TopKByValue]] heap aggregate, never a
+    * global sort.
+    *
+    * @param rankings frames of (query_id, doc_id, rank), rank 1-based
+    * @return (query_id, doc_id, rrf_micro, rank) top-k per query */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k > 0 && rrfK >= 0, "rrfFuse needs k > 0 and rrfK >= 0")
+    graft.functions.NativeExpressions.register(rankings.head.sparkSession)
+    val contribs = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col("query_id"), col("doc_id"),
+        expr(s"CAST(1000000 div ($rrfK + rank) AS BIGINT)").as(s"contrib_$i"))
+    }
+    val joined = contribs.reduce((a, b) =>
+      a.join(b, Seq("query_id", "doc_id"), "full_outer"))
+    val fusedScore = contribs.indices
+      .map(i => coalesce(col(s"contrib_$i"), lit(0L))).reduce(_ + _)
+    joined.select(col("query_id"), col("doc_id"), fusedScore.as("rrf_micro"))
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(CAST(rrf_micro AS DOUBLE), doc_id, $k)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.payload").as("doc_id"),
+        col("col.value").cast("long").as("rrf_micro"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
 }

@@ -545,6 +545,16 @@ class PlanAuditSpec extends SparkSpec {
       s"the 1-row seed must broadcast:\n$plan")
   }
 
+  test("ret2 hybrid fusion: every ranking and the fusion use heap aggregates, never a Window sort") {
+    val plan = SparkEntry.queries("ret2_rrf")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // BM25 top-20, cosine top-20, and the fused top-10 all rank via the
+    // bounded graft_topk aggregate (groups×k exchange); a Window here
+    // would shuffle-and-sort every scored row per query
+    assert(!plan.contains("Window"), s"ranking must not plan a Window:\n$plan")
+    assert(plan.contains("graft_topk"), s"expected heap-aggregate ranking:\n$plan")
+  }
+
   test("deletion-vector read: broadcast ANTI join at scan, data side unshuffled") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("dv_audit").toFile.getAbsolutePath

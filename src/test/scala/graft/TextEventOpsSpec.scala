@@ -544,4 +544,20 @@ class TextEventOpsSpec extends SparkSpec {
     assert(holdPos > 0 && holdNeg > 0, "fixture must land both classes in the holdout")
     assert(out === Map((1L, 1L) -> holdPos, (-1L, -1L) -> holdNeg))
   }
+
+  test("rrfFuse: hand-computed fusion, missing legs contribute 0, ties break by doc id") {
+    import spark.implicits._
+    // leg A ranks d1 #1, d2 #2, d5 #3; leg B ranks d2 #1, d3 #2, d4 #3
+    val a = Seq((1L, 1L, 1), (1L, 2L, 2), (1L, 5L, 3)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 2L, 1), (1L, 3L, 2), (1L, 4L, 3)).toDF("query_id", "doc_id", "rank")
+    val out = TextOps.rrfFuse(Seq(a, b), k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toList
+      .sortBy(_._3)
+    // 1000000 div 61 = 16393, div 62 = 16129, div 63 = 15873
+    // d2 = 16129 + 16393 = 32522; d1 = 16393; d3 = 16129; d4 = d5 = 15873
+    // the d4/d5 tie breaks by smaller doc id
+    assert(out === List(
+      (2L, 32522L, 1), (1L, 16393L, 2), (3L, 16129L, 3),
+      (4L, 15873L, 4), (5L, 15873L, 5)))
+  }
 }
