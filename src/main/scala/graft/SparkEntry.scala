@@ -53,6 +53,63 @@ object SparkEntry {
   private def dsum(c: Column): Column = graft.ops.ExactSums.dsum(c)
   private def dsumSql(expr: String): String = graft.ops.ExactSums.dsumSql(expr)
 
+  /** ret3's oracle: MMR replayed greedy round by greedy round (the km2
+    * chained-CTE pattern) — round r picks the row_number-1 candidate of
+    * `7·rel − 3·max(sim to s_{r-1})` with ties on doc_id, and s_r
+    * accumulates. rel/sim are 4dp-cosine basis points (ann1 contract). */
+  private def mmrOracleSql: String = {
+    val rounds = (2 to 5).map { r =>
+      s"""|, p$r AS MATERIALIZED (
+          |  SELECT query_id, doc_id, sel_rank, mmr_bp FROM (
+          |    SELECT c.query_id, c.doc_id, $r AS sel_rank,
+          |           7 * c.rel_bp - 3 * max(m.sim_bp) AS mmr_bp,
+          |           row_number() OVER (PARTITION BY c.query_id
+          |                              ORDER BY 7 * c.rel_bp - 3 * max(m.sim_bp) DESC, c.doc_id) AS pr
+          |    FROM cands c
+          |    JOIN sims m ON m.query_id = c.query_id AND m.doc_id = c.doc_id
+          |    JOIN s${r - 1} s ON s.query_id = m.query_id AND s.doc_id = m.other_id
+          |    WHERE NOT EXISTS (SELECT 1 FROM s${r - 1} x
+          |                      WHERE x.query_id = c.query_id AND x.doc_id = c.doc_id)
+          |    GROUP BY c.query_id, c.doc_id, c.rel_bp)
+          |  WHERE pr = 1
+          |), s$r AS MATERIALIZED (
+          |  SELECT * FROM s${r - 1} UNION ALL SELECT * FROM p$r)""".stripMargin
+    }.mkString("\n")
+    s"""|WITH qv AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 3
+        |), ev AS MATERIALIZED (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        |), scored AS (
+        |  SELECT q.query_id, c.vec_id AS doc_id,
+        |         round(list_inner_product(q.qv, c.e) /
+        |               (sqrt(list_inner_product(q.qv, q.qv)) *
+        |                sqrt(list_inner_product(c.e, c.e))), 4) AS score
+        |  FROM qv q CROSS JOIN ev c WHERE c.vec_id <> q.query_id
+        |), cands AS MATERIALIZED (
+        |  SELECT query_id, doc_id,
+        |         CAST(round(score * 10000) AS BIGINT) AS rel_bp,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, doc_id) AS rn
+        |  FROM scored QUALIFY rn <= 20
+        |), sims AS MATERIALIZED (
+        |  SELECT a.query_id, a.doc_id, b.doc_id AS other_id,
+        |         CAST(round(list_inner_product(ea.e, eb.e) /
+        |               (sqrt(list_inner_product(ea.e, ea.e)) *
+        |                sqrt(list_inner_product(eb.e, eb.e))) * 10000) AS BIGINT) AS sim_bp
+        |  FROM cands a
+        |  JOIN cands b ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+        |  JOIN ev ea ON ea.vec_id = a.doc_id
+        |  JOIN ev eb ON eb.vec_id = b.doc_id
+        |), s1 AS MATERIALIZED (
+        |  SELECT query_id, doc_id, 1 AS sel_rank, 7 * rel_bp AS mmr_bp
+        |  FROM cands WHERE rn = 1)
+        |$rounds
+        |SELECT query_id, doc_id, CAST(sel_rank AS INTEGER) AS sel_rank,
+        |       CAST(mmr_bp AS BIGINT) AS mmr_bp
+        |FROM s5""".stripMargin
+  }
+
   /** The txt16/txt17 oracle CTE chain, generated: k chained BPE rounds,
     * each one pair-count aggregate + argmax + replace over the
     * separator-wrapped word sequences — the same replace semantics the
@@ -3050,6 +3107,20 @@ object SparkEntry {
         .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
         .limit(20)),
 
+    "ret3_mmr" -> ((s, dir) => {
+      // MMR diversified re-ranking: greedy argmax of 7·rel − 3·maxsim
+      // (λ=0.7, ×10 integer) over an exact top-20 cosine pool, 5 picks
+      // per query, ties by smallest id — every pick replayed round by
+      // round in the oracle (the km2 chained-CTE pattern). rel and sim
+      // are 4dp-cosine basis points, the ann1 contract.
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.mmrSelect(
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+        emb, "vec_id", "embedding", candidates = 20, k = 5)
+        .withColumnRenamed("q_id", "query_id")
+        .withColumnRenamed("vec_id", "doc_id")
+    }),
+
     "ret2_rrf" -> ((s, dir) => {
       // hybrid retrieval: reciprocal rank fusion of a LEXICAL ranking
       // (BM25, ret1's exact-integer formulation) and a SEMANTIC ranking
@@ -5165,6 +5236,8 @@ object SparkEntry {
         |JOIN cw c1 ON c1.w = p.w1
         |JOIN cw c2 ON c2.w = p.w2, nn
         |ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    "ret3_mmr" -> mmrOracleSql,
 
     "ret2_rrf" -> // both legs re-derived in full (BM25 = ret1's exact
       // CTEs with the 3 query docs' own terms, self excluded; cosine =

@@ -691,4 +691,68 @@ object SimilarityOps {
     }
     x.select(col("j").as("dim_id"), col("xv").cast("long").as("component_scaled"))
   }
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein, SIGIR
+    * 1998) — greedy diversified re-ranking: from an exact top-`candidates`
+    * relevance pool, repeatedly pick
+    * `argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`, so each pick is
+    * relevant to the query but NOT redundant with what's already chosen
+    * (the retrieval-side complement of k-center exemplar selection —
+    * k-center diversifies a corpus, MMR diversifies an answer).
+    *
+    * Exact integer replay: relevance and pairwise similarity are the
+    * 4dp-rounded cosine in basis points (the ann1 contract), λ = 0.7
+    * enters as `7·rel_bp − 3·maxsim_bp` (×10 both terms — argmax
+    * invariant), ties break by smallest id, and round 1 is the pure
+    * relevance argmax (= rank 1 of the pool). Every round is one small
+    * join + max-aggregate + 1-row-per-query argmin-of-struct on a
+    * candidates-sized frame — k bounded rounds over queries×candidates
+    * rows, metadata-sized next to the corpus scan that built the pool.
+    *
+    * Returns (q_id, vec_id, sel_rank, mmr_bp), `k` rows per query. */
+  def mmrSelect(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      candidates: Int, k: Int, lambda10: Int = 7): DataFrame = {
+    require(k >= 1 && candidates >= k, "mmrSelect needs candidates >= k >= 1")
+    require(lambda10 >= 0 && lambda10 <= 10, "lambda10 is tenths in [0, 10]")
+    val cand = bruteForceTopK(queries, qIdCol, qVecCol,
+        corpus, idCol, vecCol, candidates)
+      .select(col("q_id"), col("vec_id"), col("rank"),
+        round(col("score") * 10000).cast("long").as("rel_bp"))
+      .localCheckpoint()
+    val vecs = cand.join(
+        corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v")), Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("v"))
+    val sims = vecs.join(
+        vecs.select(col("q_id"), col("vec_id").as("other_id"), col("v").as("v2")),
+        Seq("q_id"))
+      .filter(col("vec_id") =!= col("other_id"))
+      .select(col("q_id"), col("vec_id"), col("other_id"),
+        round(cosine(col("v"), col("v2")) * 10000).cast("long").as("sim_bp"))
+      .localCheckpoint()
+    // round 1 = the relevance argmax, which rank 1 already tie-breaks
+    var sel = cand.filter(col("rank") === 1)
+      .select(col("q_id"), col("vec_id"), lit(1).as("sel_rank"),
+        (lit(lambda10) * col("rel_bp")).as("mmr_bp"))
+      .localCheckpoint()
+    (2 to k).foreach { r =>
+      val remaining = cand
+        .join(sel.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_anti")
+      val maxsim = sims
+        .join(sel.select(col("q_id"), col("vec_id").as("other_id")),
+          Seq("q_id", "other_id"))
+        .groupBy("q_id", "vec_id").agg(max(col("sim_bp")).as("maxsim_bp"))
+      val pick = remaining.join(maxsim, Seq("q_id", "vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          (lit(lambda10) * col("rel_bp") -
+            lit(10 - lambda10) * col("maxsim_bp")).as("mmr_bp"))
+        .groupBy("q_id")
+        .agg(min(struct((-col("mmr_bp")).as("neg"), col("vec_id").as("id"))).as("m"))
+        .select(col("q_id"), col("m.id").as("vec_id"),
+          lit(r).as("sel_rank"), (-col("m.neg")).as("mmr_bp"))
+      sel = sel.unionByName(pick).localCheckpoint()
+    }
+    sel
+  }
 }

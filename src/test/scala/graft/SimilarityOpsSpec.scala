@@ -283,4 +283,25 @@ class SimilarityOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(run(emb.repartition(1)) === run(emb.repartition(7)))
   }
+
+  test("mmrSelect diversifies: a redundant near-duplicate loses to a less-relevant diverse doc") {
+    import spark.implicits._
+    // unit vectors: B (rel .96, the top pick), A (rel .95 but a
+    // near-dup of B: sim ≈ .9994), C (rel .95, diverse: sim(C,B) ≈
+    // .8246). At EQUAL relevance MMR (λ=0.7) must pick the diverse C
+    // over the near-dup A in round 2:
+    //   A: 7·9500 − 3·9994 = 36518  <  C: 7·9500 − 3·8246 = 41762
+    val q = Seq((100L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(0.95f, 0.31225f, 0f)),
+      (2L, Array(0.96f, 0.28f, 0f)),
+      (3L, Array(0.95f, -0.31225f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.mmrSelect(q, "vec_id", "embedding",
+        corpus, "vec_id", "embedding", candidates = 3, k = 3)
+      .orderBy("sel_rank")
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3))).toList
+    assert(out === List(
+      (2L, 1, 7L * 9600), (3L, 2, 41762L), (1L, 3, 36518L)))
+  }
 }
