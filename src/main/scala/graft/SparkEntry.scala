@@ -2403,6 +2403,64 @@ object SparkEntry {
           col("o_orderstatus"), col("n_orders"), col("total_price"))
     }),
 
+    "st10_changefeed_mirror" -> ((s, dir) => {
+      // the delete-aware streaming pipeline end-to-end: the changeFeed
+      // source streams deletion-vector diffs as tagged retractions
+      // (where the plain source REFUSES past a MOR delete), and
+      // applyChangesMor lands each micro-batch in ONE atomic commit —
+      // grown vector + appended files + exactly-once watermark. Three
+      // stream passes over an evolving source (initial load; a MOR
+      // delete + an append; a second stacked delete spanning both), a
+      // checkpointed restart between each; the mirror must equal the
+      // source at every quiesce and a re-delivered batchId must not
+      // commit. Steady-state cost tracks the CHANGE rate: each batch
+      // reads only appended files plus the files the vector diff names.
+      val src = java.nio.file.Files.createTempDirectory("st10_src").toString
+      val dst = java.nio.file.Files.createTempDirectory("st10_dst").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("st10_ckpt").toString
+      val orders = t(s, dir, "orders")
+      val f = orders.filter(col("o_orderstatus") === "F")
+      graft.sources.ManifestTable.create(s, src, f)
+      graft.sources.ManifestTable.create(s, dst, f.limit(0))
+      def drain(): Unit = {
+        val q = s.readStream
+          .format("graft.sources.ManifestStreamSourceProvider")
+          .option("changeFeed", "true").load(src)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            graft.sources.ManifestTable.applyChangesMor(
+              s, dst, b, "o_orderkey", "mirror", id); ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // initial load (whole table tagged insert)
+      graft.sources.ManifestTable.deleteMor(s, src, col("o_orderkey") % 3 === 0)
+      graft.sources.ManifestTable.append(s, src,
+        orders.filter(col("o_orderstatus") === "O"))
+      drain() // retractions + inserts in one window
+      graft.sources.ManifestTable.deleteMor(s, src, col("o_custkey") % 7 === 0)
+      drain() // stacked delete spanning base and appended rows
+      val tip = graft.sources.ManifestTable.versions(s, dst).max
+      val watermark = graft.sources.ManifestTable
+        .manifestMeta(s, dst, tip)("txn-mirror").toLong
+      // crash-replay: re-deliver the last batchId — must not commit
+      val vNoop = graft.sources.ManifestTable.applyChangesMor(s, dst,
+        f.limit(0).withColumn("_change_type", lit("insert")),
+        "o_orderkey", "mirror", watermark)
+      val srcDf = graft.sources.ManifestTable.read(s, src)
+      val dstDf = graft.sources.ManifestTable.read(s, dst)
+      val mirrors = dstDf.exceptAll(srcDf).isEmpty && srcDf.exceptAll(dstDf).isEmpty
+      dstDf.groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .select(lit(mirrors).as("mirrors_source"),
+          lit(vNoop == tip).as("replay_noop"),
+          col("o_orderstatus"), col("n_orders"), col("total_price"))
+    }),
+
     "st1_stream_hourly" -> ((s, dir) => {
       // Structured Streaming under the SAME oracle as batch e1: drain the
       // events parquet through a file-source stream, aggregate in Complete
@@ -3167,6 +3225,37 @@ object SparkEntry {
           .orderBy(col("score_micro").desc, col("doc_id")).limit(5)
       }.reduce(_.unionByName(_))
         .select(col("query_id"), col("doc_id"), col("score_micro"))
+    }),
+
+    "lake27_cdf_mor" -> ((s, dir) => {
+      // change-data feed with row-level DELETES: the deletion-vector
+      // diff between a cursor and the tip IS the delete feed (Delta
+      // CDF's shape for MOR tables, where the insert-only CDF refuses).
+      // Window: cursor at half the orders, then an append + a MOR
+      // delete hitting BOTH halves. Inserts = appended half minus its
+      // in-window deletions (add-then-delete is net zero); deletes =
+      // cursor-visible rows now gone. The key also pins that
+      // read(since) − deletes + inserts == read(tip) exactly.
+      val root = java.nio.file.Files.createTempDirectory("lake27_cdf").toString
+      val orders = t(s, dir, "orders")
+      val p1 = orders.filter(col("o_orderkey") % 2 === 0)
+      val p2 = orders.filter(col("o_orderkey") % 2 === 1)
+      graft.sources.ManifestTable.create(s, root, p1)
+      val cursor = graft.sources.ManifestTable.versions(s, root).max
+      graft.sources.ManifestTable.append(s, root, p2)
+      graft.sources.ManifestTable.deleteMor(s, root, col("o_orderkey") % 7 === 0)
+      val (feed, tip) = graft.sources.ManifestTable.readChangesWithDeletes(s, root, cursor)
+      val del = feed.filter(col("_change_type") === "delete").drop("_change_type")
+      val ins = feed.filter(col("_change_type") === "insert").drop("_change_type")
+      val reconciled = graft.sources.ManifestTable.read(s, root, Some(cursor))
+        .exceptAll(del).unionAll(ins)
+      val now = graft.sources.ManifestTable.read(s, root, Some(tip))
+      val reconciles = reconciled.exceptAll(now).isEmpty && now.exceptAll(reconciled).isEmpty
+      feed.groupBy("_change_type", "o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .select(lit(reconciles).as("reconciles"), col("_change_type").as("change_type"),
+          col("o_orderstatus"), col("n_rows"), col("total_price"))
     }),
 
     "lake26_multi_txn" -> ((s, dir) => {
@@ -4707,6 +4796,24 @@ object SparkEntry {
          |       ${dsumSql("o_totalprice")} AS total_price
          |FROM final GROUP BY o_orderstatus""").stripMargin,
 
+    "st10_changefeed_mirror" -> // the mirror tracked three windows:
+      // initial F load; delete(key%3=0) + O append; delete(cust%7=0)
+      // over base AND appended rows. mirrors_source + replay_noop are
+      // pinned in-engine (mirror == source read; re-delivered batchId
+      // did not commit).
+      (s"""WITH survivors AS (
+         |  SELECT o_orderstatus, o_custkey, o_totalprice FROM orders
+         |  WHERE o_orderstatus = 'F' AND o_orderkey % 3 <> 0
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_custkey, o_totalprice FROM orders
+         |  WHERE o_orderstatus = 'O'
+         |)
+         |SELECT TRUE AS mirrors_source, TRUE AS replay_noop, o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM survivors WHERE o_custkey % 7 <> 0
+         |GROUP BY o_orderstatus""").stripMargin,
+
     "st6_manifest_replicate" -> // the replica must hold exactly what the
       // source's three versions shipped — the whole orders table
       (s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
@@ -5350,6 +5457,21 @@ object SparkEntry {
         |  FROM scores
         |)
         |SELECT query_id, doc_id, score_micro FROM ranked WHERE rn <= 5""".stripMargin,
+
+    "lake27_cdf_mor" -> // inserts = odd keys not divisible by 7
+      // (add-then-delete nets to zero); deletes = cursor-visible even
+      // keys divisible by 7; reconciliation pinned in-key
+      (s"""WITH feed AS (
+         |  SELECT 'insert' AS change_type, o_orderstatus, o_totalprice
+         |  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 7 <> 0
+         |  UNION ALL
+         |  SELECT 'delete' AS change_type, o_orderstatus, o_totalprice
+         |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 7 = 0
+         |)
+         |SELECT TRUE AS reconciles, change_type, o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM feed GROUP BY change_type, o_orderstatus""").stripMargin,
 
     "lake26_multi_txn" -> // after two atomic (append fact, overwrite
       // mart) transactions the fact holds all three thirds, so the

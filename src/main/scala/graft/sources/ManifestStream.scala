@@ -51,6 +51,9 @@ class ManifestStreamSourceProvider extends StreamSourceProvider with DataSourceR
       throw new IllegalArgumentException(
         "graft-manifest stream needs the table root: .load(<root>)"))
 
+  private def changeFeedOf(parameters: Map[String, String]): Boolean =
+    parameters.get("changeFeed").exists(_.toBoolean)
+
   override def sourceSchema(
       sqlContext: SQLContext,
       schema: Option[StructType],
@@ -64,7 +67,13 @@ class ManifestStreamSourceProvider extends StreamSourceProvider with DataSourceR
       ManifestTable.schemaOf(spark, root, vs.max)
     }.getOrElse(throw new IllegalArgumentException(
       s"$root has a pre-schema manifest log and no user schema was given"))
-    (shortName(), resolved)
+    // the change feed serves table rows TAGGED with _change_type
+    val served =
+      if (changeFeedOf(parameters))
+        resolved.add(org.apache.spark.sql.types.StructField(
+          "_change_type", org.apache.spark.sql.types.StringType, nullable = false))
+      else resolved
+    (shortName(), served)
   }
 
   override def createSource(
@@ -75,7 +84,9 @@ class ManifestStreamSourceProvider extends StreamSourceProvider with DataSourceR
       parameters: Map[String, String]): Source = {
     val root = rootOf(parameters)
     val (_, resolved) = sourceSchema(sqlContext, schema, providerName, parameters)
-    new ManifestStreamSource(sqlContext.sparkSession, root, resolved)
+    if (changeFeedOf(parameters))
+      new ManifestChangeFeedSource(sqlContext.sparkSession, root, resolved)
+    else new ManifestStreamSource(sqlContext.sparkSession, root, resolved)
   }
 }
 
@@ -177,4 +188,59 @@ class ManifestStreamSource(
   override def stop(): Unit = ()
 
   override def toString: String = s"ManifestStreamSource[$root]"
+}
+
+/** The delete-aware CHANGE FEED source (`option("changeFeed", "true")`)
+  * — Delta's `readChangeFeed` as a stream: each micro-batch is
+  * [[ManifestTable.readChangesWithDeletes]] over the offset window, i.e.
+  * table rows tagged `_change_type` ('insert' | 'delete'), where the
+  * plain source REFUSES past a merge-on-read delete. Deletion-vector
+  * diffs stream as retractions; RESTOREs past a vector stream as
+  * resurrection inserts; only genuine file REWRITES (compact/merge/COW
+  * delete) still refuse — that delta is not row-expressible. Offsets are
+  * manifest versions exactly like [[ManifestStreamSource]]; manifests,
+  * data files, and vector sidecars are all immutable after publish, so a
+  * replayed window re-derives the identical batch (vacuum retention
+  * permitting — the same contract as time travel). Pair with
+  * [[ManifestTable.applyChangesMor]] in foreachBatch for an exactly-once
+  * downstream MIRROR that tracks deletes.
+  *
+  * At 100 TB: batch planning reads two manifest texts and diffs two
+  * sidecar-sized vectors; data volume per micro-batch is the appended
+  * files plus ONLY the files the vector diff references — steady-state
+  * cost tracks the CHANGE rate, never table size. */
+class ManifestChangeFeedSource(
+    spark: SparkSession,
+    root: String,
+    override val schema: StructType) extends Source {
+
+  private def versionOf(o: OffsetV1): Long = o.json.toLong
+
+  override def getOffset: Option[OffsetV1] =
+    ManifestTable.versions(spark, root).lastOption.map(LongOffset(_))
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val endV = versionOf(end)
+    // no start offset = first batch of a fresh query: the whole table at
+    // endV is the initial "insert" load, expressed as changes since the
+    // log's first version PLUS that first version's own content — simplest
+    // correct form: read(endV) tagged insert (Delta's startingVersion=0).
+    start.map(versionOf) match {
+      case Some(startV) =>
+        val (feed, _) =
+          ManifestTable.readChangesWithDeletes(spark, root, startV, Some(endV))
+        GraftSqlBridge.asStreaming(
+          feed.select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*))
+      case None =>
+        val full = ManifestTable.read(spark, root, Some(endV))
+          .withColumn("_change_type", org.apache.spark.sql.functions.lit("insert"))
+        GraftSqlBridge.asStreaming(
+          full.select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*))
+    }
+  }
+
+  override def commit(end: OffsetV1): Unit = ()
+  override def stop(): Unit = ()
+
+  override def toString: String = s"ManifestChangeFeedSource[$root]"
 }

@@ -891,6 +891,77 @@ object ManifestTable {
     (df, tip)
   }
 
+  /** Change-data feed WITH row-level deletes — the Delta-CDF shape for
+    * merge-on-read tables, where [[readChangesSince]]'s pure-insert
+    * contract refuses: the NET delta between `sinceVersion` and the tip
+    * as rows tagged `_change_type` ('insert' | 'delete').
+    *
+    * The deletion-vector diff IS the delete feed: positions in
+    * dv(tip) \ dv(since) that live in files `sinceVersion` already
+    * named are rows the consumer saw and must now retract; positions
+    * referencing files ADDED in the window are add-then-delete — net
+    * zero, excluded from both sides (inserts read through the TIP
+    * vector). The reverse diff (dv(since) \ dv(tip) — a RESTORE past a
+    * MOR delete) resurrects rows, emitted as inserts. File rewrites
+    * still refuse (same rule as [[readChangesSince]]): with the file
+    * set append-only and vectors diffed both ways, the emitted rows are
+    * exactly read(tip) − read(since).
+    *
+    * Cost: the dv diff is sidecar-sized; delete/resurrect rows read
+    * ONLY the files the diff references (positional semi-join at the
+    * scan); inserts read only the added files. Nothing table-sized
+    * moves. */
+  def readChangesWithDeletes(
+      spark: SparkSession,
+      root: String,
+      sinceVersion: Long,
+      untilVersion: Option[Long] = None): (DataFrame, Long) = {
+    import org.apache.spark.sql.functions.{broadcast, lit}
+    val vs = versions(spark, root)
+    require(vs.contains(sinceVersion),
+      s"version $sinceVersion not in log (have ${vs.mkString(",")}) — cursor invalid")
+    val tip = untilVersion.getOrElse(vs.max)
+    require(vs.contains(tip) && tip >= sinceVersion,
+      s"until-version $tip invalid (log has ${vs.mkString(",")}, cursor $sinceVersion)")
+    val old = manifestFiles(spark, root, sinceVersion).toSet
+    val cur = manifestFiles(spark, root, tip)
+    require(old.subsetOf(cur.toSet),
+      s"non-append change between v$sinceVersion and v$tip (files were removed/rewritten) — row-level delta unsound, full refresh required")
+    val schema = schemaOf(spark, root, tip)
+    val ct = "_change_type"
+    val dvNewP = deletionVector(spark, root, tip)
+    val dvOld = deletionVector(spark, root, sinceVersion)
+      .map(p => dvFrame(spark, root, p)).getOrElse(emptyDvFrame(spark))
+    val dvNew = dvNewP.map(p => dvFrame(spark, root, p)).getOrElse(emptyDvFrame(spark))
+    val newlyDeleted = dvNew.exceptAll(dvOld).localCheckpoint()
+    val resurrected = dvOld.exceptAll(dvNew).localCheckpoint()
+    val emptyTagged = read(spark, root, Some(tip)).limit(0).withColumn(ct, lit("insert"))
+    // rows at `positions` within `files`, via a positional SEMI join
+    def rowsAt(files: Seq[String], positions: DataFrame, tag: String): DataFrame =
+      if (files.isEmpty) emptyTagged
+      else {
+        val pf = readFilesWithPos(spark, root, schema, files)
+        pf.join(broadcast(positions),
+          pf(DvFileCol) === positions("file") && pf(DvPosCol) === positions("pos"),
+          "left_semi")
+          .drop(DvFileCol, DvPosCol)
+          .withColumn(ct, lit(tag))
+      }
+    def filesTouching(positions: DataFrame): Seq[String] = {
+      // bounded by the table's FILE count, like the manifest itself
+      val keys = positions.select("file").distinct()
+        .collect().map(_.getString(0)).toSet
+      cur.filter(f => old.contains(f) && keys.contains(dvFileKey(f)))
+    }
+    val added = cur.filterNot(old)
+    val inserts =
+      if (added.isEmpty) emptyTagged
+      else readFiles(spark, root, schema, added, dvNewP).withColumn(ct, lit("insert"))
+    val deletes = rowsAt(filesTouching(newlyDeleted), newlyDeleted, "delete")
+    val resurrectedRows = rowsAt(filesTouching(resurrected), resurrected, "insert")
+    (inserts.unionByName(deletes).unionByName(resurrectedRows), tip)
+  }
+
   /** Stage `df` as immutable data files under a fresh tx dir; returns the
     * root-relative paths. Public for the crash-simulation spec: staging
     * WITHOUT a subsequent commit is exactly the torn-write state, and the
@@ -1231,6 +1302,114 @@ object ManifestTable {
     else merge(spark, root, df, keyCol,
       statsColumns = statsColumns, bloomColumns = bloomColumns,
       meta = Map(key -> batchId.toString))._1
+  }
+
+  /** Apply one keyed CDC batch — rows tagged `_change_type` ∈
+    * ('insert' | 'delete') by key, the [[readChangesWithDeletes]] /
+    * change-feed-source shape — in ONE atomic commit: delete keys land
+    * as positions in the cumulative deletion vector (a merge-on-read
+    * delete — ZERO data files rewritten), insert rows stage as appended
+    * files, and the (writer, batchId) watermark rides the same publish.
+    * The exactly-once MIRROR-maintenance sink: compose with the
+    * delete-aware streaming source and a downstream table tracks an
+    * upstream MOR table including its deletes, where the append-only
+    * sink ([[appendIdempotent]]) would refuse.
+    *
+    * Semantics: deletes bind to PRE-batch rows only (positions are
+    * computed over the files the planned tip names — the staged inserts
+    * are not among them), so a key deleted and re-inserted in one batch
+    * nets to the inserted row — the CDC apply order. Delete keys that
+    * match nothing (or only already-deleted positions) are a no-op; a
+    * batch with no rows still commits the watermark, so replay detection
+    * never regresses. Insert rows must carry the table schema
+    * (column-mapped tables accept LOGICAL names, like every write path).
+    *
+    * Cost at 100 TB: delete-key pruning reuses [[merge]]'s bounded
+    * key-collect + stats/bloom prune (files provably clear of every
+    * delete key are never read; past `maxKeys` the position scan falls
+    * back to all files — correct, just not incremental); the vector
+    * write is sidecar-sized; inserts are an ordinary append. Same
+    * single-writer contract as [[appendIdempotent]]; same concurrency
+    * abort as [[merge]] (the commit validates the planned file set). */
+  def applyChangesMor(
+      spark: SparkSession,
+      root: String,
+      feed: DataFrame,
+      keyCol: String,
+      writerId: String,
+      batchId: Long,
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil,
+      maxKeys: Int = 1000000): Long = {
+    import org.apache.spark.sql.functions.broadcast
+    val ct = "_change_type"
+    require(feed.columns.contains(ct),
+      s"applyChangesMor needs a '$ct' column tagging each row 'insert' or 'delete'")
+    val key = s"$TxnPrefix$writerId"
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir) — create the base first")
+    val seen = vs.flatMap(v => manifestMeta(spark, root, v).get(key)).map(_.toLong)
+    if (seen.nonEmpty && batchId <= seen.max) return vs.max // replay: already landed
+    val v0 = vs.max
+    val planned = manifestFiles(spark, root, v0)
+    val tableSchema = schemaOf(spark, root, v0)
+    val inserts = feed.filter(col(ct) === "insert").drop(ct)
+    val delKeys = feed.filter(col(ct) === "delete").select(col(keyCol)).distinct()
+    // -------- delete side: grow the cumulative vector (MOR) ----------
+    val collected = delKeys.limit(maxKeys + 1).collect()
+    require(collected.forall(_.get(0) != null), s"delete keys ($keyCol) must be non-null")
+    val dvRel: Option[String] =
+      if (collected.isEmpty) None
+      else {
+        val affected =
+          if (collected.length > maxKeys) planned
+          else pruneFiles(spark, root,
+            col(keyCol).isin(collected.map(_.get(0)).toIndexedSeq: _*), Some(v0))._1
+        val newlyDeleted =
+          if (affected.isEmpty) emptyDvFrame(spark)
+          else {
+            val pf = readFilesWithPos(spark, root, tableSchema, affected)
+            // broadcast SEMI join: the key frame is batch-sized, the
+            // table side streams through unshuffled (the DV-read shape)
+            pf.join(broadcast(delKeys), pf(keyCol) === delKeys(keyCol), "left_semi")
+              .select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
+          }
+        val allRows = deletionVector(spark, root, v0)
+          .map(p => dvFrame(spark, root, p)).getOrElse(emptyDvFrame(spark))
+          .unionByName(newlyDeleted).distinct()
+        val rel = s"$DvDir/dv-${UUID.randomUUID()}"
+        allRows.write.parquet(s"$root/$rel")
+        Some(rel)
+      }
+    // -------- insert side: an ordinary append of the batch ----------
+    val genDf = enforceGenerated(spark, root, Some(v0), inserts, "apply-changes")
+    tableSchema.foreach { ts =>
+      val visible = visibleSchema(ts)
+      require(visible.fields.map(f => (f.name, f.dataType)).toSet ==
+        genDf.schema.fields.map(f => (f.name, f.dataType)).toSet,
+        s"apply-changes insert schema ${genDf.schema.simpleString} does not match table ${visible.simpleString}")
+    }
+    enforceChecks(spark, root, Some(v0), genDf, "apply-changes")
+    val staged =
+      if (genDf.isEmpty) Seq.empty[String]
+      else stage(spark, root, toPhysical(genDf, tableSchema))
+    val tipTransforms = transformsOf(spark, root, v0)
+    val newStats = ManifestStats.collect(spark, root, staged,
+      toPhysicalCols(tableSchema, statsColumns), toPhysicalCols(tableSchema, bloomColumns),
+      virtualCols = tipTransforms.map(t => t.name -> t.expr))
+    // -------- ONE publish: files + vector + watermark together ------
+    commit(spark, root, "apply-changes", staged,
+      tip => {
+        val cur = manifestFiles(spark, root, tip)
+        if (cur.toSet != planned.toSet) throw new IllegalStateException(
+          s"concurrent modification of $root during apply-changes (planned v$v0, tip v$tip) — re-run")
+        planned
+      },
+      _ => manifestMeta(spark, root, v0).filter(kv => carriedMetaKey(kv._1)) ++
+        tableSchema.map(s => Map(SchemaKey -> s.json)).getOrElse(Map.empty) ++
+        dvRel.map(r => Map(DvKey -> r)).getOrElse(Map.empty) +
+        (key -> batchId.toString),
+      _ => fileStats(spark, root, v0) ++ newStats)
   }
 
   /** Replace the table content (the tip's files drop out of the new

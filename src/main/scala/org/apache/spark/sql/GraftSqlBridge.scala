@@ -42,6 +42,21 @@ object GraftSqlBridge {
     }
   }
 
+  /** Re-tag a computed BATCH DataFrame as a streaming micro-batch — the
+    * inverse of [[asBatch]], for a V1 `Source.getBatch` whose delta is a
+    * computation (joins/unions over manifests and sidecars) rather than a
+    * raw file list. The plan stays lazy and distributed: the batch query's
+    * RDD lineage is wrapped with isStreaming = true, exactly how Spark's
+    * own memory/rate sources tag their batches. Sound for a source only
+    * because manifests and data files are immutable after publish —
+    * replaying the same offset range re-derives the identical rows (the
+    * prefix-determinism the exactly-once contract needs). */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val cls = df.asInstanceOf[classic.Dataset[Row]]
+    cls.sparkSession.internalCreateDataFrame(
+      cls.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   /** Re-tag a streaming micro-batch DataFrame as a BATCH one — what a V1
     * `Sink.addBatch` needs before handing the rows to a batch writer (a
     * streaming-tagged Dataset refuses `.write`). Evaluates through the

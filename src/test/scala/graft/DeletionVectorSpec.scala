@@ -217,6 +217,56 @@ class DeletionVectorSpec extends SparkSpec {
     assert(ManifestTable.read(spark, src).collect().toSet === srcRows)
   }
 
+  test("readChangesWithDeletes: the dv diff is the delete feed; net delta reconciles exactly") {
+    val root = freshRoot()
+    val p1 = orders.filter(col("o_orderkey") <= 3000)
+    val p2 = orders.filter(col("o_orderkey") > 3000)
+    ManifestTable.create(spark, root, p1)
+    val cursor = ManifestTable.versions(spark, root).max
+    ManifestTable.append(spark, root, p2)
+    ManifestTable.deleteMor(spark, root, col("o_orderkey") % 5 === 0)
+    val (feed, tip) = ManifestTable.readChangesWithDeletes(spark, root, cursor)
+    val ins = feed.filter(col("_change_type") === "insert").drop("_change_type")
+    val del = feed.filter(col("_change_type") === "delete").drop("_change_type")
+    // inserts: the appended half minus its in-window deletions (net zero)
+    val expIns = p2.filter(col("o_orderkey") % 5 =!= 0)
+    assert(ins.exceptAll(expIns).isEmpty && expIns.exceptAll(ins).isEmpty)
+    // deletes: rows the cursor SAW that are now gone
+    val expDel = p1.filter(col("o_orderkey") % 5 === 0)
+    assert(del.exceptAll(expDel).isEmpty && expDel.exceptAll(del).isEmpty)
+    // reconciliation: read(since) − deletes + inserts == read(tip)
+    val reconciled = ManifestTable.read(spark, root, Some(cursor))
+      .exceptAll(del).unionAll(ins)
+    val now = ManifestTable.read(spark, root, Some(tip))
+    assert(reconciled.exceptAll(now).isEmpty && now.exceptAll(reconciled).isEmpty)
+  }
+
+  test("readChangesWithDeletes: a RESTORE past a MOR delete resurrects rows as inserts") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root, orders.filter(col("o_orderkey") <= 1000))
+    val v1 = ManifestTable.versions(spark, root).max
+    ManifestTable.deleteMor(spark, root, col("o_orderkey") % 2 === 0)
+    val cursor = ManifestTable.versions(spark, root).max // post-delete view
+    ManifestTable.restore(spark, root, v1) // rows come back
+    val (feed, _) = ManifestTable.readChangesWithDeletes(spark, root, cursor)
+    assert(feed.filter(col("_change_type") === "delete").count() === 0)
+    val ins = feed.filter(col("_change_type") === "insert").drop("_change_type")
+    val expected = orders.filter(col("o_orderkey") <= 1000)
+      .filter(col("o_orderkey") % 2 === 0)
+    assert(ins.exceptAll(expected).isEmpty && expected.exceptAll(ins).isEmpty)
+  }
+
+  test("readChangesWithDeletes still refuses file rewrites (only MOR deltas are row-exact)") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root, orders.limit(100).repartition(4))
+    val cursor = ManifestTable.versions(spark, root).max
+    ManifestTable.compact(spark, root, 64L * 1024 * 1024)
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.readChangesWithDeletes(spark, root, cursor)
+    }
+    assert(e.getMessage.contains("full refresh"), e.getMessage)
+  }
+
   test("history/detail report 'unknown' row counts on vector-bearing versions, never a lie") {
     val root = freshRoot()
     ManifestTable.create(spark, root, orders.limit(100), statsColumns = Seq("o_orderkey"))
