@@ -2883,6 +2883,15 @@ object SparkEntry {
       // integer arithmetic, no floats
       EventOps.retentionCohorts(t(s, dir, "events"))),
 
+    "e9_attribution" -> ((s, dir) =>
+      // multi-touch attribution: purchase value credited to the user's
+      // view/click/signup touches in the prior 7 days under four models
+      // at once (first/last/linear/U-shaped 40-40-20), all credit in
+      // exact integer micros with truncating div — per-channel sums
+      // replay exactly; (ts, event_id) breaks timestamp ties.
+      EventOps.attribution(t(s, dir, "events"),
+        Seq("view", "click", "signup"), "purchase", lookbackDays = 7)),
+
     "v3_random_projection" -> ((s, dir) =>
       // JL sign random projection 64 -> 8 dims: ±1 matrix from md5
       // parity (a pure expression, no RNG), decimal-exact sums, one
@@ -5248,6 +5257,49 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n_users
          |FROM active JOIN cohort USING (user_id)
          |GROUP BY 1, 2""").stripMargin,
+
+    "e9_attribution" -> // the same exact-integer credit arithmetic:
+      // micros, truncating //, first/last by row_number over (ts, id) —
+      // the window form of Spark's min/max-of-struct (no ties survive
+      // because event_id is unique)
+      ("""WITH conv AS (
+         |  SELECT user_id, event_id AS conv_id, ts AS t_conv,
+         |         CAST(round(value * 1000000) AS BIGINT) AS v_micro
+         |  FROM events WHERE event_type = 'purchase'
+         |), touch AS (
+         |  SELECT user_id, event_id AS touch_id, ts AS t_touch,
+         |         event_type AS channel
+         |  FROM events WHERE event_type IN ('view', 'click', 'signup')
+         |), joined AS (
+         |  SELECT conv_id, v_micro, touch_id, t_touch, channel
+         |  FROM conv JOIN touch USING (user_id)
+         |  WHERE t_touch < t_conv
+         |    AND t_touch >= t_conv - INTERVAL 7 DAY
+         |), ranked AS (
+         |  SELECT *,
+         |    count(*) OVER (PARTITION BY conv_id) AS n,
+         |    row_number() OVER (PARTITION BY conv_id
+         |                       ORDER BY t_touch, touch_id) AS rn_first,
+         |    row_number() OVER (PARTITION BY conv_id
+         |                       ORDER BY t_touch DESC, touch_id DESC) AS rn_last
+         |  FROM joined
+         |), credited AS (
+         |  SELECT channel,
+         |    CASE WHEN rn_first = 1 THEN v_micro ELSE 0 END AS first_micro,
+         |    CASE WHEN rn_last = 1 THEN v_micro ELSE 0 END AS last_micro,
+         |    v_micro // n AS linear_micro,
+         |    CASE WHEN n = 1 THEN v_micro
+         |         WHEN n = 2 THEN v_micro // 2
+         |         WHEN rn_first = 1 OR rn_last = 1 THEN (v_micro * 2) // 5
+         |         ELSE (v_micro // 5) // (n - 2) END AS position_micro
+         |  FROM ranked
+         |)
+         |SELECT channel, CAST(count(*) AS BIGINT) AS n_credited,
+         |       CAST(sum(first_micro) AS DOUBLE) AS first_touch_micro,
+         |       CAST(sum(last_micro) AS DOUBLE) AS last_touch_micro,
+         |       CAST(sum(linear_micro) AS DOUBLE) AS linear_micro,
+         |       CAST(sum(position_micro) AS DOUBLE) AS position_micro
+         |FROM credited GROUP BY channel""").stripMargin,
 
     "v3_random_projection" -> // the ±1 matrix re-derived from md5
       // parity, the decimal sums replayed; the exact decimal casts to

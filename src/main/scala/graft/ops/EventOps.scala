@@ -135,6 +135,72 @@ object EventOps {
         (orderCols ++ payloadCols).map(c => col(s"m.$c").as(c)): _*)
   }
 
+  /** Multi-touch ATTRIBUTION — the marketing-analytics staple: each
+    * conversion's value is credited back to the user's touchpoint
+    * events strictly before it within a lookback window, under four
+    * standard models computed side by side: first-touch (100% to the
+    * earliest touch), last-touch (100% to the latest), linear (equal
+    * split), and position-based / U-shaped (40% first, 40% last, 20%
+    * split over the middles; 100% / 50-50 when only one / two touches
+    * exist). Ties on timestamp break by event id, so every model is
+    * deterministic.
+    *
+    * All credit arithmetic is exact integers: conversion value in
+    * micros, splits by integer `div` (truncating — matches DuckDB `//`
+    * bit-for-bit, the gr1 contract), so the per-channel sums replay in
+    * the oracle exactly; split remainders vanish (documented — at most
+    * n-1 micro-units per conversion). Sums accumulate as exact
+    * DECIMAL(38,0) and surface as double (the dsum convention — exact
+    * below 2^53, which a per-channel micro sum stays under at any
+    * plausible SF). Shape: one bounded range join on
+    * user_id (touch strictly before conversion, within the window —
+    * per-user event counts bound the fan-out), one count/min/max
+    * aggregate per conversion (min/max of (ts, id) structs — no window
+    * sort), one join back, one final hash aggregate. Credit sums widen
+    * through DECIMAL(38,0) (DuckDB sums BIGINT as HUGEINT). */
+  def attribution(
+      events: DataFrame,
+      touchTypes: Seq[String],
+      conversionType: String,
+      lookbackDays: Int): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution needs at least one touch type")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val conv = events.filter(col("event_type") === conversionType)
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("ts").as("t_conv"),
+        round(col("value") * lit(1000000L)).cast("long").as("v_micro"))
+    val touch = events.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("ts").as("t_touch"), col("event_type").as("channel"))
+    val joined = conv.join(touch, Seq("user_id"))
+      .filter(col("t_touch") < col("t_conv") &&
+        col("t_touch") >= col("t_conv") - expr(s"INTERVAL $lookbackDays DAYS"))
+    val perConv = joined.groupBy("conv_id")
+      .agg(count(lit(1)).as("n_touches"),
+        min(struct(col("t_touch"), col("touch_id"))).as("first_k"),
+        max(struct(col("t_touch"), col("touch_id"))).as("last_k"))
+    val k = struct(col("t_touch"), col("touch_id"))
+    val n = col("n_touches")
+    val v = col("v_micro")
+    joined.join(perConv, Seq("conv_id"))
+      .withColumn("first_micro", when(k === col("first_k"), v).otherwise(lit(0L)))
+      .withColumn("last_micro", when(k === col("last_k"), v).otherwise(lit(0L)))
+      .withColumn("linear_micro", expr("v_micro div n_touches"))
+      .withColumn("position_micro",
+        when(n === 1, v)
+          .when(n === 2, expr("v_micro div 2"))
+          .otherwise(
+            when(k === col("first_k") || k === col("last_k"),
+              expr("(v_micro * 2) div 5"))
+              .otherwise(expr("(v_micro div 5) div (n_touches - 2)"))))
+      .groupBy("channel")
+      .agg(count(lit(1)).cast("long").as("n_credited"),
+        sum(col("first_micro").cast(dec)).cast("double").as("first_touch_micro"),
+        sum(col("last_micro").cast(dec)).cast("double").as("last_touch_micro"),
+        sum(col("linear_micro").cast(dec)).cast("double").as("linear_micro"),
+        sum(col("position_micro").cast(dec)).cast("double").as("position_micro"))
+  }
+
   /** Weekly retention cohort matrix: users grouped by the ISO week of
     * their FIRST event (the cohort), counted in each later week they
     * were active, keyed by integer week offset. All integer/date-trunc

@@ -545,6 +545,44 @@ class TextEventOpsSpec extends SparkSpec {
     assert(out === Map((1L, 1L) -> holdPos, (-1L, -1L) -> holdNeg))
   }
 
+  test("attribution: hand-computed four-model credits; ties by id, lookback boundary, no-touch drops") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: view, click, view → purchase 10.0 (n=3, first+last both view)
+      (1L, 1L, ts("2024-01-10 10:00:00"), "view", 0.0),
+      (2L, 1L, ts("2024-01-10 11:00:00"), "click", 0.0),
+      (3L, 1L, ts("2024-01-10 12:00:00"), "view", 0.0),
+      (4L, 1L, ts("2024-01-10 13:00:00"), "purchase", 10.0),
+      // user 2: click & view at the SAME ts → id decides first vs last (n=2)
+      (10L, 2L, ts("2024-01-10 10:00:00"), "click", 0.0),
+      (11L, 2L, ts("2024-01-10 10:00:00"), "view", 0.0),
+      (12L, 2L, ts("2024-01-10 11:00:00"), "purchase", 5.0),
+      // user 3: touch 10 days before conversion → outside lookback, drops
+      (20L, 3L, ts("2024-01-01 10:00:00"), "view", 0.0),
+      (21L, 3L, ts("2024-01-11 10:00:00"), "purchase", 3.0),
+      // user 5: touch AFTER the conversion → no credit
+      (40L, 5L, ts("2024-01-10 10:00:00"), "purchase", 2.0),
+      (41L, 5L, ts("2024-01-10 11:00:00"), "click", 0.0),
+      // user 6: touch exactly 7 days before → >= boundary INCLUDES it (n=1)
+      (50L, 6L, ts("2024-01-03 10:00:00"), "view", 0.0),
+      (51L, 6L, ts("2024-01-10 10:00:00"), "purchase", 1.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = EventOps.attribution(events, Seq("view", "click"), "purchase", 7)
+      .collect().map(r => r.getString(0) -> (r.getLong(1),
+        r.getDouble(2).toLong, r.getDouble(3).toLong,
+        r.getDouble(4).toLong, r.getDouble(5).toLong)).toMap
+    // view: u1 first 10e6 + last 10e6, linear 2*(10e6 div 3), position 2*(2*10e6 div 5)
+    //       u2 last 5e6 (id 11 > 10 at equal ts), linear/position 5e6 div 2
+    //       u6 all models 1e6 (single touch)
+    assert(out("view") === ((4L, 11000000L, 16000000L,
+      3333333L + 3333333L + 2500000L + 1000000L,
+      4000000L + 4000000L + 2500000L + 1000000L)))
+    // click: u1 middle (linear 10e6 div 3, position 10e6 div 5), u2 first
+    assert(out("click") === ((2L, 5000000L, 0L,
+      3333333L + 2500000L, 2000000L + 2500000L)))
+  }
+
   test("rrfFuse: hand-computed fusion, missing legs contribute 0, ties break by doc id") {
     import spark.implicits._
     // leg A ranks d1 #1, d2 #2, d5 #3; leg B ranks d2 #1, d3 #2, d4 #3
