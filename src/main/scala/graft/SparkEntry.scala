@@ -2461,6 +2461,51 @@ object SparkEntry {
           col("o_orderstatus"), col("n_orders"), col("total_price"))
     }),
 
+    "st11_changefeed_optimize" -> ((s, dir) => {
+      // the change feed SURVIVING OPTIMIZE: with row tracking on, a
+      // compaction mid-window is a provably EMPTY delta (ids verify
+      // every row survived), so the mirror pipeline that st10 runs keeps
+      // draining where the positional feed refuses. The window holds a
+      // MOR delete, then a COMPACT that rewrites every file (positions
+      // all move — the netting is id-based), then an append; one
+      // checkpointed restart between passes.
+      val src = java.nio.file.Files.createTempDirectory("st11_src").toString
+      val dst = java.nio.file.Files.createTempDirectory("st11_dst").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("st11_ckpt").toString
+      val orders = t(s, dir, "orders")
+      val MT = graft.sources.ManifestTable
+      val f = orders.filter(col("o_orderstatus") === "F")
+      MT.create(s, src, f.repartition(4))
+      MT.enableRowTracking(s, src)
+      MT.create(s, dst, f.limit(0))
+      def drain(): Unit = {
+        val q = s.readStream
+          .format("graft.sources.ManifestStreamSourceProvider")
+          .option("changeFeed", "true").load(src)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            MT.applyChangesMor(s, dst, b, "o_orderkey", "mirror", id); ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // initial load
+      MT.deleteMor(s, src, col("o_orderkey") % 3 === 0)
+      MT.compact(s, src, 64L * 1024 * 1024) // all positions move
+      MT.append(s, src, orders.filter(col("o_orderstatus") === "O"))
+      drain()
+      val srcDf = MT.read(s, src)
+      val dstDf = MT.read(s, dst)
+      val mirrors = dstDf.exceptAll(srcDf).isEmpty && srcDf.exceptAll(dstDf).isEmpty
+      dstDf.groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .select(lit(mirrors).as("mirrors_source"),
+          col("o_orderstatus"), col("n_orders"), col("total_price"))
+    }),
+
     "st1_stream_hourly" -> ((s, dir) => {
       // Structured Streaming under the SAME oracle as batch e1: drain the
       // events parquet through a file-source stream, aggregate in Complete
@@ -3265,6 +3310,77 @@ object SparkEntry {
           dsum(col("o_totalprice")).as("total_price"))
         .select(lit(reconciles).as("reconciles"), col("_change_type").as("change_type"),
           col("o_orderstatus"), col("n_rows"), col("total_price"))
+    }),
+
+    "lake29_compact_small" -> ((s, dir) => {
+      // bin-packing OPTIMIZE (what Delta's OPTIMIZE actually runs, vs
+      // the full rewrite): pack ONLY the small-file tail, carry every
+      // right-sized file byte-identical. Pins: first pass rewrote
+      // exactly the 4 tail files and carried the big one; a second pass
+      // after a MOR delete pulls the vector-referenced files in
+      // regardless of size and drops the vector. Face = final content.
+      val root = java.nio.file.Files.createTempDirectory("lake29_cs").toString
+      val orders = t(s, dir, "orders")
+      val MT = graft.sources.ManifestTable
+      val f = orders.filter(col("o_orderstatus") === "F")
+      MT.create(s, root, f.repartition(1)) // one big file
+      (0 until 4).foreach(i => MT.append(s, root,
+        orders.filter(col("o_orderstatus") === "O")
+          .filter(col("o_orderkey") % 4 === lit(i)).repartition(1)))
+      val files0 = MT.manifestFiles(s, root, MT.versions(s, root).max)
+      def sizeOf(p: String): Long = new java.io.File(s"$root/$p").length()
+      val big = files0.maxBy(sizeOf)
+      val threshold = files0.filterNot(_ == big).map(sizeOf).max + 1
+      val (v1, st1) = MT.compactSmall(s, root, threshold, 64L * 1024 * 1024)
+      val packedTail = st1.filesRewritten == 4 && st1.filesUntouched == 1 &&
+        MT.manifestFiles(s, root, v1).contains(big)
+      MT.deleteMor(s, root, col("o_orderkey") % 7 === 0)
+      val (v2, _) = MT.compactSmall(s, root, threshold, 64L * 1024 * 1024)
+      val purged = MT.deletionVector(s, root, v2).isEmpty
+      MT.read(s, root).groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .select(lit(packedTail).as("packed_tail_only"),
+          lit(purged).as("vector_materialized"),
+          col("o_orderstatus"), col("n_orders"), col("total_price"))
+    }),
+
+    "lake28_row_tracking" -> ((s, dir) => {
+      // row tracking (Delta row tracking / Iceberg v3 row lineage):
+      // every row carries an immutable table-unique id — fresh files as
+      // base + row_index (zero storage), rewrites via a materialized
+      // invisible column. The key drives the full lifecycle — enable,
+      // append, compact, MOR delete, purge, zorder — and pins that ids
+      // stay unique AND that every id-preserving rewrite kept the exact
+      // (row, id) pairs; the face is the surviving content, which the
+      // oracle computes relationally.
+      val root = java.nio.file.Files.createTempDirectory("lake28_rt").toString
+      val orders = t(s, dir, "orders")
+      val MT = graft.sources.ManifestTable
+      MT.create(s, root, orders.filter(col("o_orderstatus") =!= "O").repartition(3))
+      MT.enableRowTracking(s, root)
+      MT.append(s, root, orders.filter(col("o_orderstatus") === "O"))
+      def pairs() = MT.readWithRowIds(s, root)
+        .select(col("o_orderkey"), col("_row_id"))
+      val before = pairs().localCheckpoint()
+      MT.compact(s, root, 64L * 1024 * 1024)
+      val afterCompact = pairs().localCheckpoint()
+      MT.deleteMor(s, root, col("o_orderkey") % 3 === 0)
+      MT.purgeDeletes(s, root)
+      MT.optimizeZOrder(s, root, Seq("o_custkey"), 64L * 1024 * 1024)
+      val after = pairs().localCheckpoint()
+      val preserved =
+        afterCompact.exceptAll(before).isEmpty && before.exceptAll(afterCompact).isEmpty &&
+          after.exceptAll(before.filter(col("o_orderkey") % 3 =!= 0)).isEmpty &&
+          before.filter(col("o_orderkey") % 3 =!= 0).exceptAll(after).isEmpty
+      val withIds = MT.readWithRowIds(s, root)
+      val unique = withIds.select(countDistinct(col("_row_id"))).first().getLong(0) ==
+        withIds.count()
+      MT.read(s, root).groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .select(lit(preserved).as("ids_preserved"), lit(unique).as("ids_unique"),
+          col("o_orderstatus"), col("n_orders"), col("total_price"))
     }),
 
     "lake26_multi_txn" -> ((s, dir) => {
@@ -5524,6 +5640,41 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n_rows,
          |       ${dsumSql("o_totalprice")} AS total_price
          |FROM feed GROUP BY change_type, o_orderstatus""").stripMargin,
+
+    "lake29_compact_small" -> // content is maintenance-invariant: F ∪ O
+      // minus the %7 MOR delete; the packing/selectivity/purge behavior
+      // is pinned in-engine
+      (s"""SELECT TRUE AS packed_tail_only, TRUE AS vector_materialized,
+         |       o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders
+         |WHERE o_orderstatus IN ('F', 'O') AND o_orderkey % 7 <> 0
+         |GROUP BY o_orderstatus""").stripMargin,
+
+    "lake28_row_tracking" -> // the face is the post-lifecycle content
+      // (everything but the %3 deletes); id uniqueness and rewrite
+      // preservation are pinned in-engine as booleans
+      (s"""SELECT TRUE AS ids_preserved, TRUE AS ids_unique, o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders WHERE o_orderkey % 3 <> 0
+         |GROUP BY o_orderstatus""").stripMargin,
+
+    "st11_changefeed_optimize" -> // the mirror tracked: initial F load;
+      // then delete(key%3=0) + COMPACT (empty delta, positions moved) +
+      // O append in one window; mirrors_source pinned in-engine
+      (s"""WITH final AS (
+         |  SELECT o_orderstatus, o_totalprice FROM orders
+         |  WHERE o_orderstatus = 'F' AND o_orderkey % 3 <> 0
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_totalprice FROM orders
+         |  WHERE o_orderstatus = 'O'
+         |)
+         |SELECT TRUE AS mirrors_source, o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM final GROUP BY o_orderstatus""").stripMargin,
 
     "lake26_multi_txn" -> // after two atomic (append fact, overwrite
       // mart) transactions the fact holds all three thirds, so the

@@ -227,8 +227,13 @@ class ManifestChangeFeedSource(
     // correct form: read(endV) tagged insert (Delta's startingVersion=0).
     start.map(versionOf) match {
       case Some(startV) =>
+        // a row-tracked window upgrades to the version-walk feed, which
+        // serves an EMPTY delta across id-preserving rewrites — streams
+        // survive OPTIMIZE instead of refusing
         val (feed, _) =
-          ManifestTable.readChangesWithDeletes(spark, root, startV, Some(endV))
+          if (ManifestTable.rowTrackingEnabled(spark, root, startV))
+            ManifestTable.readChangesRowTracked(spark, root, startV, Some(endV))
+          else ManifestTable.readChangesWithDeletes(spark, root, startV, Some(endV))
         GraftSqlBridge.asStreaming(
           feed.select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*))
       case None =>

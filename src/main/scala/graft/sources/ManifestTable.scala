@@ -138,11 +138,39 @@ object ManifestTable {
       case (k, v) if k.startsWith(CheckPrefix) => k.stripPrefix(CheckPrefix) -> v
     }
 
+  /** ROW TRACKING (Delta's row-tracking feature / Iceberg v3 row
+    * lineage): every row carries a table-unique, immutable id so
+    * id-preserving rewrites (OPTIMIZE) become provably empty deltas for
+    * change consumers. Layout: ids partition by FILE — each data file
+    * owns the id block `[seq·2^36, seq·2^36 + rows)` where `seq` is a
+    * monotonically allocated per-file integer (meta [[RowIdHighKey]]),
+    * and a fresh file's row id is simply `base + _metadata.row_index`
+    * (zero storage cost). A REWRITE that must preserve ids across the
+    * position shuffle materializes them as a physical [[RowIdCol]]
+    * parquet column (Delta does exactly this) and marks its files
+    * `rowbase-<file>=stored`. Seqs are never reused, so ids never
+    * collide; ops that change row content (merge/COW delete/overwrite)
+    * retire the old ids and their rewritten files get fresh blocks. */
+  private[sources] val RowTrackingKey = "rowtracking"
+  private[sources] val RowIdHighKey = "rowid-high"
+  private[sources] val RowBasePrefix = "rowbase-"
+  private[sources] val RowBaseStored = "stored"
+  private[sources] val RowIdCol = "graft__row_id"
+  private[sources] val RowIdShift = 1L << 36
+
+  private def rowTrackingMeta(k: String): Boolean =
+    k == RowTrackingKey || k == RowIdHighKey || k.startsWith(RowBasePrefix)
+
+  /** Is row tracking enabled at `version`? */
+  def rowTrackingEnabled(spark: SparkSession, root: String, version: Long): Boolean =
+    manifestMeta(spark, root, version).get(RowTrackingKey).contains("on")
+
   /** Meta keys that ride every content commit (transform spec + CHECK
-    * constraints); txn-* watermarks are handled by [[commit]] itself. */
+    * constraints + row-tracking state); txn-* watermarks are handled by
+    * [[commit]] itself. */
   private def carriedMetaKey(k: String): Boolean =
     k == TransformsKey || k == DvKey || k.startsWith(CheckPrefix) ||
-      k.startsWith(GenPrefix)
+      k.startsWith(GenPrefix) || rowTrackingMeta(k)
 
   /** Column names a constraint expression references (unresolved —
     * parsed, not analyzed; flat names only, which is all a CHECK over a
@@ -639,6 +667,116 @@ object ManifestTable {
     }
   }
 
+  /** Turn on row tracking: one metadata commit sets [[RowTrackingKey]]
+    * and [[composeBody]] allocates an id block to every current file in
+    * the same publish — zero data rewritten, ids spring into existence
+    * as `base + _metadata.row_index`. From here every commit allocates
+    * blocks for its new files automatically, and the id-preserving
+    * rewrites ([[compact]]/[[optimizeZOrder]]/[[optimizeClusterBy]]/
+    * [[purgeDeletes]]) materialize ids into a physical [[RowIdCol]]
+    * column so the identity survives position shuffles — which is what
+    * lets the change feed serve an EMPTY delta across an OPTIMIZE
+    * instead of refusing. Ops that change row content (merge / COW
+    * delete / overwrite) retire ids: their rewritten files get fresh
+    * blocks, and id-based consumers refuse across them (correctly — the
+    * delta there is not id-expressible). */
+  def enableRowTracking(spark: SparkSession, root: String): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
+    val v0 = vs.max
+    require(!rowTrackingEnabled(spark, root, v0),
+      s"row tracking is already enabled on $root")
+    commit(spark, root, "enable_row_tracking", Seq.empty,
+      tip => {
+        if (tip != v0) throw new IllegalStateException(
+          s"concurrent modification of $root during enable_row_tracking (planned v$v0, tip v$tip) — re-run")
+        manifestFiles(spark, root, tip)
+      },
+      tip => manifestMeta(spark, root, tip) + (RowTrackingKey -> "on"),
+      tip => fileStats(spark, root, tip))
+  }
+
+  /** Read `version` (default tip) with each row's immutable tracking id
+    * as `_row_id`: fresh files compute `base + _metadata.row_index`
+    * (zero storage), rewrite files serve their materialized [[RowIdCol]]
+    * column; the deletion vector applies exactly as in [[read]]. The id
+    * join is a broadcast over the file-count-sized base table — the
+    * data side streams through unshuffled. */
+  def readWithRowIds(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in log (have ${vs.mkString(",")})")
+    val u = readFilesWithRowIds(spark, root, v, manifestFiles(spark, root, v))
+    (deletionVector(spark, root, v) match {
+      case Some(p) =>
+        val d = dvFrame(spark, root, p)
+        u.join(broadcast(d),
+          u(DvFileCol) === d("file") && u(DvPosCol) === d("pos"), "left_anti")
+      case None => u
+    }).drop(DvFileCol, DvPosCol)
+  }
+
+  /** `paths` of version `v` read with `_row_id` plus the two positional
+    * helper columns (the caller applies or ignores the deletion vector).
+    * Per-file id source: `base + row_index` for fresh files, the
+    * materialized [[RowIdCol]] for rewrite files; the base lookup is a
+    * broadcast over a file-count-sized frame. */
+  private def readFilesWithRowIds(spark: SparkSession, root: String,
+      v: Long, paths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, expr}
+    val meta = manifestMeta(spark, root, v)
+    require(meta.get(RowTrackingKey).contains("on"),
+      s"row tracking is not enabled on $root at v$v — call enableRowTracking first")
+    val schema = schemaOf(spark, root, v).getOrElse(throw new IllegalStateException(
+      s"$root@v$v has no committed schema — row tracking requires one"))
+    val visible = visibleSchema(schema)
+    require(!visible.fieldNames.contains("_row_id"),
+      "the table has a user column named '_row_id' — row tracking reserves that name")
+    val bases: Map[String, String] = meta.collect {
+      case (k, b) if k.startsWith(RowBasePrefix) => k.stripPrefix(RowBasePrefix) -> b
+    }
+    paths.foreach(f => require(bases.contains(dvFileKey(f)),
+      s"file $f has no row-id block at v$v — manifest corrupt or pre-tracking"))
+    val (stored, fresh) = paths.partition(f => bases(dvFileKey(f)) == RowBaseStored)
+    val outCols = visible.fieldNames.map(col).toIndexedSeq ++
+      Seq(col("_row_id"), col(DvFileCol), col(DvPosCol))
+    val freshPart =
+      if (fresh.isEmpty) None
+      else {
+        val baseRows = fresh.map(f => (dvFileKey(f), bases(dvFileKey(f)).toLong))
+        val baseDf = spark.createDataFrame(baseRows).toDF("graft__base_file", "graft__base")
+        Some(readFilesWithPos(spark, root, Some(schema), fresh)
+          .join(broadcast(baseDf), col(DvFileCol) === col("graft__base_file"))
+          .withColumn("_row_id", col("graft__base") + col(DvPosCol))
+          .select(outCols: _*))
+      }
+    val storedPart =
+      if (stored.isEmpty) None
+      else {
+        val physWithId = org.apache.spark.sql.types.StructType(
+          physicalSchema(visible).fields :+ org.apache.spark.sql.types.StructField(
+            RowIdCol, org.apache.spark.sql.types.LongType))
+        Some(spark.read.schema(physWithId).parquet(stored.map(dataPath(root, _)): _*)
+          .select(col("*"),
+            expr("substring_index(_metadata.file_path, '/', -2)").as(DvFileCol),
+            col("_metadata.row_index").as(DvPosCol))
+          .toDF((visible.fieldNames :+ "_row_id" :+ DvFileCol :+ DvPosCol).toIndexedSeq: _*)
+          .select(outCols: _*))
+      }
+    (freshPart.toSeq ++ storedPart.toSeq) match {
+      case Seq() => // no files: schema-correct empty frame, helper cols included
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(visible.fields ++ Seq(
+            org.apache.spark.sql.types.StructField("_row_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField(DvFileCol, org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField(DvPosCol, org.apache.spark.sql.types.LongType))))
+      case parts => parts.reduce(_.unionByName(_))
+    }
+  }
+
   /** Catalog read: the filtered union of MANY manifest tables (the
     * per-day / per-tenant layout), consulting each table's committed
     * rollup FIRST — an irrelevant table costs one manifest parse and an
@@ -962,6 +1100,123 @@ object ManifestTable {
     (inserts.unionByName(deletes).unionByName(resurrectedRows), tip)
   }
 
+  /** Change-data feed over a ROW-TRACKED table — the version walk that
+    * serves an EMPTY delta across id-preserving rewrites, where the
+    * positional CDF ([[readChangesWithDeletes]]) must refuse: with row
+    * tracking on, OPTIMIZE ([[compact]]/[[optimizeZOrder]]/
+    * [[optimizeClusterBy]]/[[purgeDeletes]]) no longer breaks streams.
+    *
+    * Per version in (since, tip]: an append-like commit contributes its
+    * added files' rows as INSERT events; a deletion-vector growth
+    * contributes the referenced rows as DELETE events; an id-preserving
+    * rewrite (verified: its files carry materialized ids) contributes
+    * NOTHING — the ids prove the rows all survived; a file-set-stable
+    * RESTORE's vector shrink contributes resurrection INSERTs; anything
+    * else (merge / COW delete / overwrite / file-set restore) refuses —
+    * those deltas are not id-expressible. Events then net per row id:
+    * visibility at the cursor is `first event == delete`, visibility at
+    * the tip is `last event != delete` (ids are unique per version —
+    * a commit cannot both insert and delete one id), and only
+    * visible→gone (delete) and absent→visible (insert) rows emit.
+    * Positions may move across rewrites mid-window; identities cannot —
+    * which is exactly why this nets correctly where (file, pos) cannot.
+    *
+    * Cost: O(versions in window) manifest reads; data volume = added
+    * files + vector-diff-referenced files only. Nothing table-sized. */
+  def readChangesRowTracked(
+      spark: SparkSession,
+      root: String,
+      sinceVersion: Long,
+      untilVersion: Option[Long] = None): (DataFrame, Long) = {
+    import org.apache.spark.sql.functions.{broadcast, lit, struct, when, max => fmax, min => fmin}
+    val vs = versions(spark, root)
+    require(vs.contains(sinceVersion),
+      s"version $sinceVersion not in log (have ${vs.mkString(",")}) — cursor invalid")
+    val tip = untilVersion.getOrElse(vs.max)
+    require(vs.contains(tip) && tip >= sinceVersion,
+      s"until-version $tip invalid (log has ${vs.mkString(",")}, cursor $sinceVersion)")
+    require(rowTrackingEnabled(spark, root, sinceVersion),
+      s"cursor v$sinceVersion predates row tracking on $root — full refresh required")
+    val steps = (sinceVersion + 1) to tip
+    steps.foreach(v => require(vs.contains(v),
+      s"version $v missing from the log (vacuumed mid-window) — full refresh required"))
+    val schema = schemaOf(spark, root, tip)
+    val ct = "_change_type"
+    val rewriteOps = Set("compact", "compact-small", "zorder", "cluster", "purge-dv")
+    def opOf(v: Long): String = manifestText(spark, root, v).linesIterator
+      .toSeq.headOption.flatMap(_.split("op=").lift(1)).getOrElse("unknown")
+    def dvOf(v: Long): DataFrame = deletionVector(spark, root, v)
+      .map(p => dvFrame(spark, root, p)).getOrElse(emptyDvFrame(spark))
+    // rows at dv positions `pos` within version v's manifest, with ids
+    def rowsAt(v: Long, pos: DataFrame): DataFrame = {
+      val keys = pos.select("file").distinct().collect().map(_.getString(0)).toSet
+      val refd = manifestFiles(spark, root, v).filter(f => keys.contains(dvFileKey(f)))
+      val pf = readFilesWithRowIds(spark, root, v, refd)
+      pf.join(broadcast(pos),
+        pf(DvFileCol) === pos("file") && pf(DvPosCol) === pos("pos"), "left_semi")
+        .drop(DvFileCol, DvPosCol)
+    }
+    var events = Seq.empty[DataFrame] // cols: schema(v) + _row_id + __v + __kind
+    steps.foreach { v =>
+      val op = opOf(v)
+      val prevF = manifestFiles(spark, root, v - 1).toSet
+      val curF = manifestFiles(spark, root, v)
+      val added = curF.filterNot(prevF)
+      val removed = prevF -- curF.toSet
+      if (removed.nonEmpty || rewriteOps.contains(op)) {
+        require(rewriteOps.contains(op),
+          s"v$v ($op) rewrote files — delta not id-expressible, full refresh required")
+        val meta = manifestMeta(spark, root, v)
+        added.foreach(f => require(
+          meta.get(RowBasePrefix + dvFileKey(f)).contains(RowBaseStored),
+          s"v$v ($op) did not materialize row ids (pre-tracking rewrite) — full refresh required"))
+        // id-preserving: contributes nothing; its dv drop (if any) is
+        // materialization of already-reported deletes, not new events
+      } else if (op.startsWith("restore-")) {
+        require(added.isEmpty,
+          s"v$v ($op) changed the file set — delta not id-expressible, full refresh required")
+        val dPrev = dvOf(v - 1).localCheckpoint()
+        val dCur = dvOf(v).localCheckpoint()
+        events :+= rowsAt(v, dCur.exceptAll(dPrev).localCheckpoint())
+          .withColumn("__v", lit(v)).withColumn("__kind", lit("del"))
+        events :+= rowsAt(v, dPrev.exceptAll(dCur).localCheckpoint())
+          .withColumn("__v", lit(v)).withColumn("__kind", lit("ins"))
+      } else {
+        if (added.nonEmpty)
+          events :+= readFilesWithRowIds(spark, root, v, added)
+            .drop(DvFileCol, DvPosCol)
+            .withColumn("__v", lit(v)).withColumn("__kind", lit("ins"))
+        val dPrev = dvOf(v - 1).localCheckpoint()
+        val dCur = dvOf(v).localCheckpoint()
+        require(dPrev.exceptAll(dCur).isEmpty,
+          s"v$v ($op) shrank the deletion vector outside RESTORE — full refresh required")
+        val grown = dCur.exceptAll(dPrev).localCheckpoint()
+        if (!grown.isEmpty)
+          events :+= rowsAt(v, grown)
+            .withColumn("__v", lit(v)).withColumn("__kind", lit("del"))
+      }
+    }
+    val outFields = schema.map(visibleSchema(_).fieldNames.toSeq)
+      .getOrElse(Seq.empty)
+    val emptyFeed = read(spark, root, Some(tip)).limit(0).withColumn(ct, lit("insert"))
+    if (events.isEmpty) return (emptyFeed, tip)
+    // schema may widen mid-window: align by name, absent columns null
+    val all = events.reduce(_.unionByName(_, allowMissingColumns = true))
+    val payload = struct((outFields.map(col) :+ col("__kind")).map(c => c): _*)
+    val netted = all.groupBy("_row_id")
+      .agg(fmin(struct(col("__v"), col("__kind"))).as("__first"),
+        fmax(struct(col("__v"), payload.as("__p"))).as("__last"))
+      .select(col("_row_id"), col("__first.__kind").as("__first_kind"),
+        col("__last.__p.*"))
+    val feed = netted
+      .withColumn(ct,
+        when(col("__first_kind") === "del" && col("__kind") === "del", lit("delete"))
+          .when(col("__first_kind") =!= "del" && col("__kind") =!= "del", lit("insert")))
+      .filter(col(ct).isNotNull)
+      .select((outFields.map(col) :+ col(ct)).map(c => c): _*)
+    (feed, tip)
+  }
+
   /** Stage `df` as immutable data files under a fresh tx dir; returns the
     * root-relative paths. Public for the crash-simulation spec: staging
     * WITHOUT a subsequent commit is exactly the torn-write state, and the
@@ -1027,8 +1282,26 @@ object ManifestTable {
     * shared by [[commit]] and [[ManifestCatalog]]'s staged transaction
     * manifests (which compose at transaction time and publish later). */
   private[sources] def composeBody(next: Long, op: String,
-      meta: Map[String, String], allFiles: Seq[String],
+      meta0: Map[String, String], allFiles: Seq[String],
       stats: Map[String, ManifestStats.FileStats]): String = {
+    // row-id block allocation happens HERE, at the single serialization
+    // choke point, so every write path — including [[ManifestCatalog]]'s
+    // staged transaction bodies, which bypass [[commit]] — allocates the
+    // same way: any file of this manifest without a rowbase entry gets
+    // the next seq (its rows are base + row_index), rewrites pre-mark
+    // theirs `stored`, and entries for files this manifest no longer
+    // names are dropped (seqs are never reused, so dropping is safe).
+    val meta =
+      if (!meta0.get(RowTrackingKey).contains("on")) meta0
+      else {
+        val keys = allFiles.map(f => RowBasePrefix + dvFileKey(f)).toSet
+        var high = meta0.get(RowIdHighKey).map(_.toLong).getOrElse(0L)
+        val fresh = allFiles.map(f => RowBasePrefix + dvFileKey(f))
+          .distinct.sorted.filterNot(meta0.contains)
+          .map { k => val b = high * RowIdShift; high += 1; k -> b.toString }
+        meta0.filterNot(kv => kv._1.startsWith(RowBasePrefix) && !keys(kv._1)) ++
+          fresh + (RowIdHighKey -> high.toString)
+      }
     meta.foreach { case (k, v) =>
       require(!k.contains("=") && !(k + v).exists(c => c == '\n' || c == '\r'),
         s"manifest meta key/value must be line-safe and '='-free: $k")
@@ -1435,9 +1708,12 @@ object ManifestTable {
     val staged = stage(spark, root, genDf)
     val stats = ManifestStats.collect(spark, root, staged, statsColumns, bloomColumns)
     (staged, _ => Seq.empty,
+      // row tracking survives an overwrite: the content is all new, so
+      // every staged file just gets a fresh id block (old ids retire)
       tip => (if (tip == 0) Map.empty[String, String]
               else manifestMeta(spark, root, tip).filter(k =>
-                k._1.startsWith(CheckPrefix) || k._1.startsWith(GenPrefix))) ++
+                k._1.startsWith(CheckPrefix) || k._1.startsWith(GenPrefix) ||
+                  rowTrackingMeta(k._1))) ++
         meta + (SchemaKey -> schemaJson), _ => stats)
   }
 
@@ -1457,16 +1733,106 @@ object ManifestTable {
     }
     val totalBytes = tipFiles.map(p => f.getFileStatus(new Path(dataPath(root, p))).getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val tipSchema = versions(spark, root).lastOption.flatMap(schemaOf(spark, root, _))
-    val current = read(spark, root)
-    val schemaJson = tipSchema.map(_.json).getOrElse(current.schema.json)
+    val tipV = versions(spark, root).last
+    val tipSchema = schemaOf(spark, root, tipV)
+    val tracked = rowTrackingEnabled(spark, root, tipV)
+    // an id-preserving rewrite: row ids ride into the new files as a
+    // materialized physical column (invisible to the committed schema)
+    val current =
+      if (tracked) readWithRowIds(spark, root).withColumnRenamed("_row_id", RowIdCol)
+      else read(spark, root)
+    val schemaJson = tipSchema.map(_.json).getOrElse(read(spark, root).schema.json)
     val staged = stage(spark, root, toPhysical(current.repartition(nFiles), tipSchema))
     val stats = ManifestStats.collect(spark, root, staged,
       toPhysicalCols(tipSchema, statsColumns), toPhysicalCols(tipSchema, bloomColumns))
     (commit(spark, root, "compact", staged, _ => Seq.empty,
       tip => manifestMeta(spark, root, tip).filter(k =>
-        k._1.startsWith(CheckPrefix) || k._1.startsWith(GenPrefix)) +
-        (SchemaKey -> schemaJson), _ => stats), staged.size)
+        k._1.startsWith(CheckPrefix) || k._1.startsWith(GenPrefix) ||
+          rowTrackingMeta(k._1)) ++
+        storedMarks(staged, tracked) + (SchemaKey -> schemaJson),
+      _ => stats), staged.size)
+  }
+
+  /** Rewrite files that carry materialized row ids declare it in their
+    * manifest entries, so readers take [[RowIdCol]] instead of
+    * `base + row_index`. */
+  private def storedMarks(staged: Seq[String], tracked: Boolean): Map[String, String] =
+    if (!tracked) Map.empty
+    else staged.map(f => RowBasePrefix + dvFileKey(f) -> RowBaseStored).toMap
+
+  /** Bin-packing OPTIMIZE — the shape Delta's `OPTIMIZE` actually runs,
+    * where [[compact]] is the full rewrite: rewrite ONLY the files
+    * smaller than `minFileBytes` (the streaming-ingest small-file tail)
+    * into ~ceil(bytes/target) packed files, carrying every right-sized
+    * file byte-identical WITH its committed stats. On a 100 TB table fed
+    * by micro-batches this is the difference between a usable and an
+    * unusable maintenance op: the tail is packed, the petabytes of
+    * already-right-sized data are never even read.
+    *
+    * Files the current deletion vector references join the rewrite set
+    * regardless of size (they are read vector-applied, so this op
+    * doubles as the targeted REORG [[purgeDeletes]] is), and the vector
+    * key drops — afterwards the table is pure files with no small tail.
+    * Id-preserving under row tracking ([[enableRowTracking]]): rewritten
+    * rows keep their ids via the materialized column, so the change-feed
+    * walk serves this commit as an empty delta too. No-op (returns the
+    * tip) when nothing qualifies. Same concurrency abort as [[merge]]. */
+  def compactSmall(spark: SparkSession, root: String, minFileBytes: Long,
+      targetFileBytes: Long,
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): (Long, MergeStats) = {
+    require(minFileBytes > 0 && targetFileBytes > 0,
+      "compactSmall requires positive size thresholds")
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
+    val v0 = vs.max
+    val planned = manifestFiles(spark, root, v0)
+    val tableSchema = schemaOf(spark, root, v0)
+    val tracked = rowTrackingEnabled(spark, root, v0)
+    val dv = deletionVector(spark, root, v0)
+    val dvKeys = dv.map(p => dvFrame(spark, root, p)
+      .select("file").distinct().collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty[String])
+    val sizes = planned.map(p =>
+      p -> f.getFileStatus(new Path(dataPath(root, p))).getLen).toMap
+    val (affected, untouched) = planned.partition(p =>
+      sizes(p) < minFileBytes || dvKeys.contains(dvFileKey(p)))
+    if (affected.isEmpty) return (v0, MergeStats(0, untouched.size, 0))
+    val nFiles = math.max(1L,
+      (affected.map(sizes).sum + targetFileBytes - 1) / targetFileBytes).toInt
+    val affectedDf =
+      if (!tracked) readFiles(spark, root, tableSchema, affected, dv)
+      else {
+        import org.apache.spark.sql.functions.broadcast
+        val u = readFilesWithRowIds(spark, root, v0, affected)
+        (dv match {
+          case Some(p) =>
+            val d = dvFrame(spark, root, p)
+            u.join(broadcast(d),
+              u(DvFileCol) === d("file") && u(DvPosCol) === d("pos"), "left_anti")
+          case None => u
+        }).drop(DvFileCol, DvPosCol).withColumnRenamed("_row_id", RowIdCol)
+      }
+    val staged = stage(spark, root,
+      toPhysical(affectedDf, tableSchema).repartition(nFiles))
+    val tipTransforms = transformsOf(spark, root, v0)
+    val newStats = ManifestStats.collect(spark, root, staged,
+      toPhysicalCols(tableSchema, statsColumns), toPhysicalCols(tableSchema, bloomColumns),
+      virtualCols = tipTransforms.map(t => t.name -> t.expr))
+    val version = commit(spark, root, "compact-small", staged,
+      tip => {
+        val cur = manifestFiles(spark, root, tip)
+        if (cur.toSet != planned.toSet) throw new IllegalStateException(
+          s"concurrent modification of $root during compact-small (planned v$v0, tip v$tip) — re-run")
+        untouched
+      },
+      _ => manifestMeta(spark, root, v0)
+        .filter(kv => carriedMetaKey(kv._1) && kv._1 != DvKey) ++
+        storedMarks(staged, tracked) ++
+        tableSchema.map(s => Map(SchemaKey -> s.json)).getOrElse(Map.empty),
+      _ => fileStats(spark, root, v0) ++ newStats)
+    (version, MergeStats(affected.size, untouched.size, staged.size))
   }
 
   /** Join-time file skipping — the dynamic-partition-pruning idea
@@ -1746,14 +2112,24 @@ object ManifestTable {
       case None => (v0, MergeStats(0, planned.size, 0))
       case Some(p) =>
         val tableSchema = schemaOf(spark, root, v0)
+        val tracked = rowTrackingEnabled(spark, root, v0)
         val dvKeys = dvFrame(spark, root, p)
           .select("file").distinct().collect().map(_.getString(0)).toSet
         val (affected, untouched) =
           planned.partition(f => dvKeys.contains(dvFileKey(f)))
+        val affectedDf =
+          if (!tracked) readFiles(spark, root, tableSchema, affected, Some(p))
+          else { // id-preserving targeted rewrite: ids materialize
+            import org.apache.spark.sql.functions.broadcast
+            val u = readFilesWithRowIds(spark, root, v0, affected)
+            val d = dvFrame(spark, root, p)
+            u.join(broadcast(d),
+              u(DvFileCol) === d("file") && u(DvPosCol) === d("pos"), "left_anti")
+              .drop(DvFileCol, DvPosCol).withColumnRenamed("_row_id", RowIdCol)
+          }
         val staged =
           if (affected.isEmpty) Seq.empty[String]
-          else stage(spark, root, toPhysical(
-            readFiles(spark, root, tableSchema, affected, Some(p)), tableSchema))
+          else stage(spark, root, toPhysical(affectedDf, tableSchema))
         val newStats = ManifestStats.collect(spark, root, staged,
           toPhysicalCols(tableSchema, statsColumns),
           toPhysicalCols(tableSchema, bloomColumns))
@@ -1766,6 +2142,7 @@ object ManifestTable {
           },
           _ => manifestMeta(spark, root, v0)
             .filter(kv => carriedMetaKey(kv._1) && kv._1 != DvKey) ++
+            storedMarks(staged, tracked) ++
             tableSchema.map(s => Map(SchemaKey -> s.json)).getOrElse(Map.empty),
           _ => fileStats(spark, root, v0) ++ newStats)
         (version, MergeStats(affected.size, untouched.size, staged.size))
@@ -1886,17 +2263,23 @@ object ManifestTable {
     }
     val totalBytes = tipFiles.map(p => f.getFileStatus(new Path(dataPath(root, p))).getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val tipSchema = versions(spark, root).lastOption.flatMap(schemaOf(spark, root, _))
-    val current = read(spark, root)
-    val schemaJson = tipSchema.map(_.json).getOrElse(current.schema.json)
+    val tipV = versions(spark, root).last
+    val tipSchema = schemaOf(spark, root, tipV)
+    val tracked = rowTrackingEnabled(spark, root, tipV)
+    val current =
+      if (tracked) readWithRowIds(spark, root).withColumnRenamed("_row_id", RowIdCol)
+      else read(spark, root)
+    val schemaJson = tipSchema.map(_.json).getOrElse(read(spark, root).schema.json)
     val staged = stage(spark, root,
       toPhysical(ZOrder.cluster(current, zCols, nFiles), tipSchema))
     val stats = ManifestStats.collect(spark, root, staged,
       toPhysicalCols(tipSchema, zCols), toPhysicalCols(tipSchema, bloomColumns))
     (commit(spark, root, "zorder", staged, _ => Seq.empty,
       tip => manifestMeta(spark, root, tip).filter(k =>
-        k._1.startsWith(CheckPrefix) || k._1.startsWith(GenPrefix)) +
-        (SchemaKey -> schemaJson), _ => stats), staged.size)
+        k._1.startsWith(CheckPrefix) || k._1.startsWith(GenPrefix) ||
+          rowTrackingMeta(k._1)) ++
+        storedMarks(staged, tracked) + (SchemaKey -> schemaJson),
+      _ => stats), staged.size)
   }
 
   /** OPTIMIZE CLUSTER BY a partition transform (Iceberg's hidden
@@ -1924,8 +2307,12 @@ object ManifestTable {
     }
     val totalBytes = tipFiles.map(p => f.getFileStatus(new Path(dataPath(root, p))).getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val tipSchema = versions(spark, root).lastOption.flatMap(schemaOf(spark, root, _))
-    val current = read(spark, root)
+    val tipV = versions(spark, root).last
+    val tipSchema = schemaOf(spark, root, tipV)
+    val tracked = rowTrackingEnabled(spark, root, tipV)
+    val current =
+      if (tracked) readWithRowIds(spark, root).withColumnRenamed("_row_id", RowIdCol)
+      else read(spark, root)
     require(current.columns.contains(transform.sourceCol),
       s"transform column '${transform.sourceCol}' not in table schema ${current.columns.mkString(",")}")
     // the caller names the source column LOGICALLY; the committed spec
@@ -1933,7 +2320,7 @@ object ManifestTable {
     // prune-time attribute rewrite then lines predicates up with it)
     val pt = transform.withSourceCol(
       toPhysicalCols(tipSchema, Seq(transform.sourceCol)).head)
-    val schemaJson = tipSchema.map(_.json).getOrElse(current.schema.json)
+    val schemaJson = tipSchema.map(_.json).getOrElse(read(spark, root).schema.json)
     val staged = stage(spark, root,
       toPhysical(current, tipSchema).repartitionByRange(nFiles, pt.expr))
     val stats = ManifestStats.collect(spark, root, staged,
@@ -1941,7 +2328,9 @@ object ManifestTable {
       virtualCols = Seq(pt.name -> pt.expr))
     (commit(spark, root, "cluster", staged, _ => Seq.empty,
       tip => manifestMeta(spark, root, tip).filter(k =>
-        k._1.startsWith(CheckPrefix) || k._1.startsWith(GenPrefix)) +
+        k._1.startsWith(CheckPrefix) || k._1.startsWith(GenPrefix) ||
+          rowTrackingMeta(k._1)) ++
+        storedMarks(staged, tracked) +
         (SchemaKey -> schemaJson) + (TransformsKey -> pt.serialized),
       _ => stats), staged.size)
   }
@@ -1964,8 +2353,19 @@ object ManifestTable {
     require(vs.contains(toVersion),
       s"version $toVersion not in log (have ${vs.mkString(",")}) — vacuumed or never existed")
     val files = manifestFiles(spark, root, toVersion)
-    val meta = manifestMeta(spark, root, toVersion)
+    val meta0 = manifestMeta(spark, root, toVersion)
       .filter { case (k, _) => k == SchemaKey || carriedMetaKey(k) }
+    // the row-id high-water mark must NEVER regress: seqs allocated
+    // after `toVersion` stay retired even though their files drop out,
+    // or a post-restore append would reuse an id block that an on-disk
+    // (time-travelable) file still owns
+    val tipHigh = manifestMeta(spark, root, vs.max).get(RowIdHighKey).map(_.toLong)
+    val meta = (meta0.get(RowIdHighKey).map(_.toLong), tipHigh) match {
+      case (Some(a), Some(b)) => meta0 + (RowIdHighKey -> math.max(a, b).toString)
+      case (None, Some(b)) if meta0.contains(RowTrackingKey) =>
+        meta0 + (RowIdHighKey -> b.toString)
+      case _ => meta0
+    }
     val stats = fileStats(spark, root, toVersion)
     commit(spark, root, s"restore-v$toVersion", files, _ => Seq.empty,
       _ => meta, _ => stats)

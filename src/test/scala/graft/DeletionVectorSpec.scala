@@ -267,6 +267,28 @@ class DeletionVectorSpec extends SparkSpec {
     assert(e.getMessage.contains("full refresh"), e.getMessage)
   }
 
+  test("compactSmall pulls vector-referenced files into the rewrite regardless of size and drops the vector") {
+    val root = freshRoot()
+    val bulk = orders.filter(col("o_orderkey") % 10 =!= 0) // ~90% of rows
+    val tail = orders.filter(col("o_orderkey") % 10 === 0) // ~10%
+    ManifestTable.create(spark, root, bulk.repartition(1)) // one BIG file
+    ManifestTable.deleteMor(spark, root, col("o_orderkey") % 7 === 0) // dv on it
+    ManifestTable.append(spark, root, tail.repartition(1)) // small tail file
+    val files = tipFiles(root)
+    def sizeOf(p: String): Long = new java.io.File(s"$root/$p").length()
+    val big = files.maxBy(sizeOf)
+    val threshold = files.filterNot(_ == big).map(sizeOf).max + 1
+    assert(threshold <= sizeOf(big), "fixture needs a dominant big file")
+    val (v, st) = ManifestTable.compactSmall(spark, root, threshold, 64L * 1024 * 1024)
+    // the big file is over-threshold but vector-referenced → rewritten too
+    assert(st.filesRewritten === 2 && st.filesUntouched === 0, s"got $st")
+    assert(ManifestTable.deletionVector(spark, root, v).isEmpty,
+      "materializing every vector-referenced file must drop the vector")
+    val expected = bulk.filter(col("o_orderkey") % 7 =!= 0).unionByName(tail)
+    val got = ManifestTable.read(spark, root)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("history/detail report 'unknown' row counts on vector-bearing versions, never a lie") {
     val root = freshRoot()
     ManifestTable.create(spark, root, orders.limit(100), statsColumns = Seq("o_orderkey"))
