@@ -347,6 +347,40 @@ object SparkEntry {
     * integer fixed-point over the part co-purchase graph — truncating
     * `//` on non-negative values matches Spark's `div` bit-for-bit
     * (GraphOps.pageRank's contract), so every round replays. */
+  /** The txt24 oracle, generated: [[pagerankSql]]'s round CTEs over the
+    * word co-occurrence graph instead of the part co-purchase graph —
+    * the adjacency built with list_zip over adjacent token slices
+    * (verified equal to Spark's arrays_zip-of-slices pairing). */
+  private def textrankSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""r$i AS (
+         |  SELECT e.v AS u,
+         |         CAST((15 * 1000000000000 // nn.n + 85 * sum(r${i - 1}.pr // d.deg)) // 100 AS BIGINT) AS pr
+         |  FROM edges e JOIN r${i - 1} ON e.u = r${i - 1}.u JOIN deg d ON e.u = d.u, nn
+         |  GROUP BY e.v, nn.n
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT string_split(text, ' ') AS t FROM documents
+       |), adj AS (
+       |  SELECT u.p[1] AS x, u.p[2] AS y
+       |  FROM toks, unnest(list_zip(t[1:-2], t[2:])) AS u(p)
+       |), pairs AS (
+       |  SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+       |  FROM adj WHERE x <> y
+       |), edges AS MATERIALIZED (
+       |  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+       |), deg AS (
+       |  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1
+       |), nn AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n FROM deg
+       |), r0 AS (
+       |  SELECT u, CAST(1000000000000 // n AS BIGINT) AS pr FROM deg, nn
+       |), $rounds
+       |SELECT u AS word, pr AS rank_scaled
+       |FROM r$k ORDER BY pr DESC, u LIMIT 20""".stripMargin
+  }
+
   private def pagerankSql(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""r$i AS (
@@ -3219,6 +3253,15 @@ object SparkEntry {
         .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
         .limit(20)),
 
+    "txt24_textrank" -> ((s, dir) =>
+      // TextRank keywords: integer fixed-point PageRank (gr1's kernel)
+      // over the corpus word co-occurrence graph — adjacent-token
+      // edges, undirected, deduplicated. Tokenize→pair→3 rank rounds
+      // all replay in the oracle as chained CTEs. Face = top-20 words,
+      // total-ordered (rank desc, word asc).
+      TextOps.textRankKeywords(t(s, dir, "documents"), "text",
+        iterations = 3, k = 20)),
+
     "ret3_mmr" -> ((s, dir) => {
       // MMR diversified re-ranking: greedy argmax of 7·rel − 3·maxsim
       // (λ=0.7, ×10 integer) over an exact top-20 cosine pool, 5 picks
@@ -5488,6 +5531,8 @@ object SparkEntry {
          |       ${dsumSql("o_totalprice")} AS total_price,
          |       CAST(sum(CASE WHEN prio IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_prio_set
          |FROM t GROUP BY o_orderstatus""").stripMargin,
+
+    "txt24_textrank" -> textrankSql(3),
 
     "txt23_pmi" -> // doc-level pair counts, word doc-frequencies, one
       // 6dp-ln per pair — the same double expression text both engines

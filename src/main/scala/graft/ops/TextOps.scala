@@ -882,6 +882,41 @@ object TextOps {
       .agg(sum(col("term_micro").cast(dec)).cast("long").as("score_micro"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    * corpus-level keywords by PageRank over the word CO-OCCURRENCE
+    * graph — an undirected, unweighted, deduplicated edge between every
+    * pair of ADJACENT tokens (window 2, the paper's base setting). The
+    * unsupervised keyword scorer: no training data, no tf-idf corpus
+    * statistics — a word ranks high when it neighbors many other
+    * well-connected words.
+    *
+    * Graph construction is one zip-of-adjacent-slices explode plus a
+    * distinct; ranking reuses [[GraphOps.pageRank]]'s integer
+    * fixed-point rounds (node ids here are the words themselves), so
+    * the whole pipeline — tokenize, pair, rank — replays exactly in the
+    * oracle. At scale: the explode is corpus-linear, the distinct
+    * bounds the graph at the vocabulary's adjacency (≪ token count),
+    * and each rank round is one co-partitioned join + map-side-combined
+    * aggregate over that vocabulary-sized edge list. Face: top `k`
+    * words, total-ordered (rank desc, word asc). */
+  def textRankKeywords(docs: DataFrame, textCol: String,
+      iterations: Int = 3, k: Int = 20): DataFrame = {
+    val adj = docs.select(tokens(col(textCol)).as("t"))
+      .select(expr("slice(t, 1, size(t)-1)").as("x"),
+        expr("slice(t, 2, size(t)-1)").as("y"))
+      .select(explode(arrays_zip(col("x"), col("y"))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .filter(col("x") =!= col("y"))
+    val pairs = adj
+      .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
+      .distinct()
+    val edges = pairs.unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
+    GraphOps.pageRank(edges, iterations)
+      .orderBy(col("pr").desc, col("u"))
+      .limit(k)
+      .select(col("u").as("word"), col("pr").as("rank_scaled"))
+  }
+
   /** Reciprocal rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
     * the standard hybrid-retrieval combiner: each input ranking
     * contributes `1/(rrfK + rank)` per (query, doc) and the fused score

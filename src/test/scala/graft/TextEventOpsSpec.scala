@@ -583,6 +583,30 @@ class TextEventOpsSpec extends SparkSpec {
       3333333L + 2500000L, 2000000L + 2500000L)))
   }
 
+  test("textRankKeywords: the connector word outranks leaves; singletons and self-loops drop") {
+    import spark.implicits._
+    // star-of-words corpus: 'x' is adjacent to a, b, c, d across docs;
+    // leaves touch only x. Graph: x—a, x—b, x—c, x—d (dedup pins that
+    // repeated adjacency adds no weight); 'solo' has no pairs; 'z z'
+    // is a self-loop and must vanish.
+    val docs = Seq(
+      (1L, "a x b"), (2L, "c x d"), (3L, "a x b"), // duplicate adjacency
+      (4L, "solo"), (5L, "z z")
+    ).toDF("doc_id", "text")
+    val out = TextOps.textRankKeywords(docs, "text", iterations = 3, k = 10)
+      .as[(String, Long)].collect()
+    assert(out.map(_._1).toSet === Set("a", "b", "c", "d", "x"),
+      "singletons and self-loops must not enter the graph")
+    assert(out.head._1 === "x", s"the hub must rank first, got ${out.toList}")
+    // degree symmetry: the four leaves are structurally identical
+    val leafRanks = out.filter(_._1 != "x").map(_._2).toSet
+    assert(leafRanks.size === 1, s"leaves must tie exactly: ${out.toList}")
+    // partition invariance: same ranks from a repartitioned corpus
+    val out2 = TextOps.textRankKeywords(docs.repartition(7), "text", 3, 10)
+      .as[(String, Long)].collect()
+    assert(out2.toList === out.toList)
+  }
+
   test("rrfFuse: hand-computed fusion, missing legs contribute 0, ties break by doc id") {
     import spark.implicits._
     // leg A ranks d1 #1, d2 #2, d5 #3; leg B ranks d2 #1, d3 #2, d4 #3
