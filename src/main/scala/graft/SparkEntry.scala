@@ -347,6 +347,52 @@ object SparkEntry {
     * integer fixed-point over the part co-purchase graph — truncating
     * `//` on non-negative values matches Spark's `div` bit-for-bit
     * (GraphOps.pageRank's contract), so every round replays. */
+  /** The gr6 oracle, generated: `rounds` truss-peeling rounds, each one
+    * a full support recomputation — degree, orientation, wedges,
+    * triangle closure, 3-way edge explode — over the previous round's
+    * survivors, then the threshold filter. Multiply-referenced CTEs are
+    * AS MATERIALIZED (the kcoreSql lesson); row-value comparisons
+    * `(d, id) < (d, id)` mirror Spark's struct ordering exactly. */
+  private def ktrussSql(k: Int, rounds: Int): String = {
+    def roundCtes(i: Int): String =
+      s"""d$i AS MATERIALIZED (
+         |  SELECT x, CAST(count(*) AS BIGINT) AS d
+         |  FROM (SELECT u AS x FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+         |  GROUP BY x
+         |), o$i AS MATERIALIZED (
+         |  SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS a,
+         |         CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS b,
+         |         CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN dv.d ELSE du.d END AS db
+         |  FROM e${i - 1} p JOIN d$i du ON p.u = du.x JOIN d$i dv ON p.v = dv.x
+         |), t$i AS (
+         |  SELECT w.x, w.y, w.z
+         |  FROM (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |        FROM o$i e1 JOIN o$i e2
+         |          ON e1.a = e2.a AND (e1.db, e1.b) < (e2.db, e2.b)) w
+         |  JOIN o$i o ON w.y = o.a AND w.z = o.b
+         |), s$i AS MATERIALIZED (
+         |  SELECT u, v, CAST(count(*) AS BIGINT) AS support FROM (
+         |    SELECT least(x, y) AS u, greatest(x, y) AS v FROM t$i
+         |    UNION ALL SELECT least(x, z), greatest(x, z) FROM t$i
+         |    UNION ALL SELECT least(y, z), greatest(y, z) FROM t$i
+         |  ) GROUP BY u, v
+         |), e$i AS MATERIALIZED (
+         |  SELECT u, v FROM s$i WHERE support >= ${k - 2}
+         |)""".stripMargin
+    // the final support pass (round rounds+1's s-CTE) is the face
+    val steps = (1 to (rounds + 1)).map(roundCtes).mkString(", ")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0
+       |), $steps
+       |SELECT TRUE AS converged, e.u AS part_a, e.v AS part_b,
+       |       COALESCE(s.support, 0) AS support
+       |FROM e$rounds e LEFT JOIN s${rounds + 1} s USING (u, v)
+       |ORDER BY support DESC, e.u, e.v LIMIT 20""".stripMargin
+  }
+
   /** The txt24 oracle, generated: [[pagerankSql]]'s round CTEs over the
     * word co-occurrence graph instead of the part co-purchase graph —
     * the adjacency built with list_zip over adjacent token slices
@@ -1216,6 +1262,25 @@ object SparkEntry {
         .orderBy(col("tri").desc, col("u"))
         .limit(20)
         .select(col("u").as("part_id"), col("tri").as("n_triangles"))
+    }),
+
+    "gr6_ktruss" -> ((s, dir) => {
+      // k-truss decomposition (7-truss, 5 peeling rounds — measured
+      // past the fixed point at every SF on the %4-decimated
+      // co-purchase graph): the EDGE analog of gr5's core and the
+      // stronger cohesion signal — every surviving edge closes ≥5
+      // triangles with other survivors, so a hub alone can't hold a
+      // truss together. Support recomputes per round via the gr4
+      // degree-ordered orientation (O(E^1.5) wedges, hub-proof); the
+      // converged flag comes from one extra support pass and is PINNED.
+      // Face = top-20 edges by (support desc, edge), total-ordered.
+      val li = t(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0)
+      val edges = graft.ops.GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val (truss, conv) = graft.ops.GraphOps.kTruss(edges, k = 7, rounds = 5)
+      truss.orderBy(col("support").desc, col("u"), col("v"))
+        .limit(20)
+        .select(lit(conv).as("converged"),
+          col("u").as("part_a"), col("v").as("part_b"), col("support"))
     }),
 
     "gr5_kcore" -> ((s, dir) => {
@@ -5226,6 +5291,7 @@ object SparkEntry {
 
     "gr1_pagerank" -> pagerankSql(5),
     "gr5_kcore" -> kcoreSql(65, 6),
+    "gr6_ktruss" -> ktrussSql(7, 5),
     "km1_kmeans" -> kmeansSql(8, 2),
     "km2_kcenter" -> kcenterSql(8),
     "cls3_tree" -> treeSql,

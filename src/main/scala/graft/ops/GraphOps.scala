@@ -251,6 +251,64 @@ object GraphOps {
     (core, converged)
   }
 
+  /** `rounds` synchronous peeling rounds toward the k-TRUSS (Cohen
+    * 2008) — the EDGE analog of [[kCore]] and the stronger cohesion
+    * signal: every surviving edge must close at least k-2 triangles
+    * with other survivors, so a truss is a community of overlapping
+    * triangles where a core can be held together by a single hub. Each
+    * round recomputes per-edge SUPPORT (triangles containing the edge)
+    * over the alive edge set via the degree-ordered orientation of
+    * [[triangleCounts]] — wedge work stays O(E^1.5) and a hub never
+    * enumerates its neighbor pairs — then drops edges under k-2. Fixed
+    * round budget + a PINNED converged flag from one extra support pass
+    * (the gr5 contract: an unconverged budget can never pose as the
+    * truss); the frontier collapses fast in practice (first round does
+    * most of the peeling — measured 75k→643 edges at sf0.1, k=7).
+    * Returns ((u, v, support) of the surviving edges, converged). */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int): (DataFrame, Boolean) = {
+    require(k >= 3, "kTruss needs k >= 3 (k=2 is every edge)")
+    require(rounds >= 1, "kTruss needs at least one round")
+    def support(und: DataFrame): DataFrame = {
+      val deg = und.select(explode(array(col("u"), col("v"))).as("x"))
+        .groupBy("x").agg(count(lit(1)).cast("long").as("d"))
+      val fwd = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+      val or = und
+        .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+        .select(
+          when(fwd, col("u")).otherwise(col("v")).as("a"),
+          when(fwd, col("v")).otherwise(col("u")).as("b"),
+          when(fwd, col("dv")).otherwise(col("du")).as("db"))
+      val wedges = or.as("e1").join(or.as("e2"),
+          col("e1.a") === col("e2.a") &&
+            struct(col("e1.db"), col("e1.b")) < struct(col("e2.db"), col("e2.b")))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      val tri = wedges.join(or.select(col("a").as("y"), col("b").as("z")), Seq("y", "z"))
+      tri.select(explode(array(
+          struct(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v")),
+          struct(least(col("x"), col("z")).as("u"), greatest(col("x"), col("z")).as("v")),
+          struct(least(col("y"), col("z")).as("u"), greatest(col("y"), col("z")).as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).cast("long").as("support"))
+    }
+    var alive = edges.filter(col("u") < col("v")).select("u", "v")
+      .distinct().localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      alive = support(alive).filter(col("support") >= k - 2)
+        .select("u", "v").localCheckpoint()
+    }
+    // every alive edge reports, triangle-free survivors as support 0 —
+    // an unconverged budget shows its below-threshold edges honestly
+    // instead of hiding them from the aggregate
+    val truss = alive.join(support(alive), Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("support"), lit(0L)).as("support"))
+      .localCheckpoint()
+    // converged ⇔ one more round drops no edge
+    val converged = truss.filter(col("support") < k - 2).isEmpty
+    (truss, converged)
+  }
+
   def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, "labelPropagation needs at least one round")
     // same storage discipline as pageRank: the O(edges) block releases

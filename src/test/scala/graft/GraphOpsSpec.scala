@@ -164,6 +164,48 @@ class GraphOpsSpec extends SparkSpec {
     assert(one === many && c1 === c2)
   }
 
+  test("kTruss: K4 is a 4-truss (every edge closes 2 triangles); k=5 empties it") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val sym = k4.flatMap { case (u, v) => Seq((u, v), (v, u)) }.toDF("u", "v")
+    val (t4, conv4) = GraphOps.kTruss(sym, k = 4, rounds = 2)
+    assert(conv4)
+    assert(t4.as[(Long, Long, Long)].collect().toSet ===
+      k4.map { case (u, v) => (u, v, 2L) }.toSet)
+    val (t5, conv5) = GraphOps.kTruss(sym, k = 5, rounds = 2)
+    assert(conv5 && t5.isEmpty, "K4 has no edge in 3 triangles")
+  }
+
+  test("kTruss: peeling CASCADES — square+diagonal at k=4 drops the diagonal one round later") {
+    // triangles (1,2,3) and (1,3,4): diagonal 1-3 has support 2, the
+    // four rim edges support 1. k=4 needs support ≥ 2: round 1 keeps
+    // only 1-3, round 2 finds it triangle-free and drops it — the
+    // cascade a one-shot support filter would miss.
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+    val sym = g.flatMap { case (u, v) => Seq((u, v), (v, u)) }.toDF("u", "v")
+    val (t1, conv1) = GraphOps.kTruss(sym, k = 4, rounds = 1)
+    assert(!conv1 && t1.as[(Long, Long, Long)].collect().toList === List((1L, 3L, 0L)),
+      "one round must keep the now-triangle-free diagonal at support 0 and REPORT unconverged")
+    val (t2, conv2) = GraphOps.kTruss(sym, k = 4, rounds = 2)
+    assert(conv2 && t2.isEmpty, "the second round must finish the cascade")
+    // k=3 (support ≥ 1): everything survives, support values hand-checked
+    val (t3, conv3) = GraphOps.kTruss(sym, k = 3, rounds = 2)
+    assert(conv3)
+    assert(t3.as[(Long, Long, Long)].collect()
+      .map { case (u, v, s) => (u, v) -> s }.toMap ===
+      Map((1L, 2L) -> 1L, (2L, 3L) -> 1L, (3L, 4L) -> 1L, (1L, 4L) -> 1L,
+        (1L, 3L) -> 2L))
+  }
+
+  test("kTruss is partitioning-invariant and dup/direction-proof") {
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val noisy = (g ++ g.map(_.swap) ++ g).toDF("u", "v")
+    val (a, _) = GraphOps.kTruss(noisy.repartition(1), 4, 2)
+    val (b, _) = GraphOps.kTruss(noisy.repartition(13), 4, 2)
+    val sa = a.as[(Long, Long, Long)].collect().toSet
+    assert(sa.nonEmpty && sa === b.as[(Long, Long, Long)].collect().toSet)
+    assert(!sa.exists(e => e._1 == 5L || e._2 == 5L), "the pendant edge cannot be in a truss")
+  }
+
   test("rank mass is conserved up to truncation loss (each div sheds < 1 unit)") {
     val r = ranks(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L)), 5)
     val total = r.values.sum
