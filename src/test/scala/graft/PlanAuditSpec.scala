@@ -83,6 +83,31 @@ class PlanAuditSpec extends SparkSpec {
       s"unexpected join shape in funnel plan:\n$plan")
   }
 
+  test("row-id reads broadcast the base map and the vector; the data side stays unshuffled") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("audit_rowid").toFile.getAbsolutePath
+    val orders = Tables.load(spark, dir, "orders")
+    graft.sources.ManifestTable.create(spark, root, orders.repartition(2))
+    graft.sources.ManifestTable.enableRowTracking(spark, root)
+    graft.sources.ManifestTable.deleteMor(spark, root, col("o_orderkey") % 9 === 0)
+    val plan = graft.sources.ManifestTable.readWithRowIds(spark, root)
+      .queryExecution.executedPlan.toString
+    // base-block lookup AND the deletion vector both broadcast — the
+    // 100 TB data side flows through with ZERO hash exchanges
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected broadcast base + vector joins:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the row-id read must not shuffle the data side:\n$plan")
+  }
+
+  test("attribution credits via struct min/max aggregates, never a window sort") {
+    val plan = SparkEntry.queries("e9_attribution")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window ranking in attribution plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"unexpected join shape in attribution plan:\n$plan")
+  }
+
   test("LATERAL top-k decorrelates to WindowGroupLimit, not a per-row subquery loop") {
     // the correlated LIMIT-2 subquery must become the rank-based
     // group-limit plan (with the partial WindowGroupLimit pushed below
