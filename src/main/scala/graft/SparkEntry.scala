@@ -1428,6 +1428,45 @@ object SparkEntry {
         takeLatest = Seq("status", "last_order"), sumCols = Seq("n_orders"))
     }),
 
+    "mv1_query_rewrite" -> ((s, dir) => {
+      // transparent MATERIALIZED-VIEW routing (the optimizer half of
+      // lake11's incremental maintenance): a count/sum aggregate over
+      // the FACT manifest table is silently re-planned onto the
+      // maintained mart — O(groups) instead of O(fact) — via a
+      // registered Catalyst Rule (plans/MartRewrite). Pins: the
+      // rewritten plan scans the MART and not the fact; a filtered
+      // control query does NOT rewrite; the served numbers are the
+      // full-fact truth (the mart was maintained to the tip).
+      val fact = java.nio.file.Files.createTempDirectory("mv1_fact").toString
+      val mart = java.nio.file.Files.createTempDirectory("mv1_mart").toString
+      val orders = t(s, dir, "orders")
+      val MT = graft.sources.ManifestTable
+      MT.create(s, fact, orders.filter(col("o_orderstatus") === "F"))
+      graft.ops.LakeOps.maintainAggMart(s, fact, mart, "o_orderstatus", "o_totalprice")
+      MT.append(s, fact, orders.filter(col("o_orderstatus") =!= "F"))
+      graft.ops.LakeOps.maintainAggMart(s, fact, mart, "o_orderstatus", "o_totalprice")
+      graft.plans.MartRewrite.register(s, fact, "o_orderstatus", "o_totalprice", mart)
+      try {
+        val q = MT.read(s, fact).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("total_price"))
+        def leafStrings(df: org.apache.spark.sql.DataFrame) =
+          df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+        val martName = new java.io.File(mart).getName
+        val factName = new java.io.File(fact).getName
+        val servedFromMart = leafStrings(q).exists(_.contains(martName)) &&
+          !leafStrings(q).exists(_.contains(factName))
+        val control = MT.read(s, fact)
+          .filter(col("o_orderkey") % 2 === 0).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"))
+        val controlUntouched = !leafStrings(control).exists(_.contains(martName))
+        q.select(lit(servedFromMart).as("served_from_mart"),
+          lit(controlUntouched).as("control_unrewritten"),
+          col("o_orderstatus"), col("n_orders"), col("total_price"))
+          .localCheckpoint() // pin the rows before deregistration
+      } finally graft.plans.MartRewrite.deregister(fact)
+    }),
+
     "lake11_incr_agg" -> ((s, dir) => {
       // incremental view maintenance over the CDF: the agg mart
       // bootstraps on the F slice, then two appends are folded in by
@@ -7025,6 +7064,15 @@ object SparkEntry {
          |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) AS valid_to,
          |       (lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) IS NULL) AS is_current
          |FROM changes""").stripMargin,
+
+    "mv1_query_rewrite" -> // the mart-served aggregate must equal the
+      // from-scratch aggregate over the whole fact (= all orders);
+      // plan routing + control pinned in-engine
+      (s"""SELECT TRUE AS served_from_mart, TRUE AS control_unrewritten,
+         |       o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders GROUP BY o_orderstatus""").stripMargin,
 
     "lake11_incr_agg" -> // the maintained mart must equal the
       // from-scratch aggregate; per-step delta sizes pin that each pass

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{ExactSums, LakeOps}
+import graft.plans.MartRewrite
+import graft.sources.ManifestTable
+
+/** Transparent materialized-view routing: a count/sum aggregate over the
+  * fact table must silently re-plan onto the maintained mart — same
+  * results bit-for-bit, O(groups) scan — while every shape the rewrite
+  * cannot prove (other group keys, filters, distinct, other value
+  * columns) stays on the fact scan untouched. */
+class MartRewriteSpec extends SparkSpec {
+  private def freshRoot(p: String): String =
+    Files.createTempDirectory(p).toFile.getAbsolutePath
+
+  private def orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+
+  private def scansUnder(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+
+  private def factAgg(fact: String) =
+    ManifestTable.read(spark, fact).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        ExactSums.dsum(col("o_totalprice")).as("total_price"))
+
+  test("the registered shape re-plans onto the mart, results bit-identical to the fact scan") {
+    val fact = freshRoot("mv_fact")
+    val mart = freshRoot("mv_mart")
+    ManifestTable.create(spark, fact, orders.filter(col("o_orderstatus") === "F"))
+    ManifestTable.append(spark, fact, orders.filter(col("o_orderstatus") =!= "F"))
+    LakeOps.maintainAggMart(spark, fact, mart, "o_orderstatus", "o_totalprice")
+    // ground truth BEFORE registering: the plain fact-scan aggregate
+    val direct = factAgg(fact).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    MartRewrite.register(spark, fact, "o_orderstatus", "o_totalprice", mart)
+    try {
+      val q = factAgg(fact)
+      val martName = new java.io.File(mart).getName
+      assert(scansUnder(q).exists(_.contains(martName)),
+        s"aggregate must scan the mart:\n${q.queryExecution.executedPlan}")
+      assert(!scansUnder(q).exists(_.contains(new java.io.File(fact).getName)),
+        "the fact table must not be scanned at all")
+      val rewritten = q.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rewritten === direct, "mart-served results must be bit-identical")
+    } finally MartRewrite.deregister(fact)
+  }
+
+  test("unprovable shapes stay on the fact scan: other key, filter, distinct, other value column") {
+    val fact = freshRoot("mv_fact2")
+    val mart = freshRoot("mv_mart2")
+    ManifestTable.create(spark, fact, orders)
+    LakeOps.maintainAggMart(spark, fact, mart, "o_orderstatus", "o_totalprice")
+    MartRewrite.register(spark, fact, "o_orderstatus", "o_totalprice", mart)
+    try {
+      val martName = new java.io.File(mart).getName
+      def untouched(df: org.apache.spark.sql.DataFrame, what: String): Unit =
+        assert(!scansUnder(df).exists(_.contains(martName)),
+          s"$what must NOT rewrite:\n${df.queryExecution.executedPlan}")
+      untouched(ManifestTable.read(spark, fact).groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n")), "different group key")
+      untouched(ManifestTable.read(spark, fact)
+        .filter(col("o_orderkey") % 2 === 0).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n")), "filtered aggregate")
+      untouched(ManifestTable.read(spark, fact).groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n")), "count distinct")
+      untouched(ManifestTable.read(spark, fact).groupBy("o_orderstatus")
+        .agg(ExactSums.dsum(col("o_custkey")).as("s")), "sum of an unregistered column")
+      // a completely different table never rewrites
+      untouched(Tables.load(spark, "/root/testdata/sf0.001", "orders")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n")), "foreign scan")
+    } finally MartRewrite.deregister(fact)
+  }
+
+  test("registration snapshots the mart: stale until re-registered after maintenance") {
+    val fact = freshRoot("mv_fact3")
+    val mart = freshRoot("mv_mart3")
+    val f = orders.filter(col("o_orderstatus") === "F")
+    ManifestTable.create(spark, fact, f)
+    LakeOps.maintainAggMart(spark, fact, mart, "o_orderstatus", "o_totalprice")
+    MartRewrite.register(spark, fact, "o_orderstatus", "o_totalprice", mart)
+    try {
+      // new fact data, mart NOT maintained: the rewrite serves the
+      // registered snapshot (the documented allowed-staleness model)
+      ManifestTable.append(spark, fact, orders.filter(col("o_orderstatus") === "O"))
+      val stale = factAgg(fact).collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(stale === Map("F" -> f.count()), s"expected the snapshot, got $stale")
+      // maintain + re-register: fresh again
+      LakeOps.maintainAggMart(spark, fact, mart, "o_orderstatus", "o_totalprice")
+      MartRewrite.register(spark, fact, "o_orderstatus", "o_totalprice", mart)
+      val fresh = factAgg(fact).collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(fresh === Map("F" -> f.count(),
+        "O" -> orders.filter(col("o_orderstatus") === "O").count()))
+    } finally MartRewrite.deregister(fact)
+  }
+}
