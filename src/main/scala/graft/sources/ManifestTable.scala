@@ -686,13 +686,22 @@ object ManifestTable {
     val v0 = vs.max
     require(!rowTrackingEnabled(spark, root, v0),
       s"row tracking is already enabled on $root")
+    // a RE-enable (tracking was on once, then a RESTORE to a
+    // pre-tracking version dropped it) must resume the seq allocator
+    // past every block the LOG ever granted — an on-disk
+    // (time-travelable) file still owns its old block, and restarting
+    // at 0 would mint colliding ids
+    val logHigh = vs.flatMap(v =>
+      manifestMeta(spark, root, v).get(RowIdHighKey)).map(_.toLong)
+      .reduceOption(_ max _)
     commit(spark, root, "enable_row_tracking", Seq.empty,
       tip => {
         if (tip != v0) throw new IllegalStateException(
           s"concurrent modification of $root during enable_row_tracking (planned v$v0, tip v$tip) — re-run")
         manifestFiles(spark, root, tip)
       },
-      tip => manifestMeta(spark, root, tip) + (RowTrackingKey -> "on"),
+      tip => manifestMeta(spark, root, tip) + (RowTrackingKey -> "on") ++
+        logHigh.map(h => Map(RowIdHighKey -> h.toString)).getOrElse(Map.empty),
       tip => fileStats(spark, root, tip))
   }
 

@@ -205,6 +205,23 @@ class RowTrackingSpec extends SparkSpec {
       s"expected a no-op below every file size, got $st2")
   }
 
+  test("re-enable after a pre-tracking RESTORE resumes the allocator past every granted block") {
+    val root = freshRoot()
+    val f = orders.filter(col("o_orderstatus") === "F")
+    ManifestTable.create(spark, root, f)
+    val vPre = ManifestTable.versions(spark, root).max // pre-tracking
+    ManifestTable.enableRowTracking(spark, root)
+    ManifestTable.append(spark, root, orders.filter(col("o_orderstatus") === "O"))
+    val granted = idsOf(root)
+    ManifestTable.restore(spark, root, vPre) // tracking drops with the restored meta
+    assert(!ManifestTable.rowTrackingEnabled(spark, root,
+      ManifestTable.versions(spark, root).max))
+    ManifestTable.enableRowTracking(spark, root) // re-enable must not restart at 0
+    ManifestTable.append(spark, root, orders.filter(col("o_orderstatus") === "P"))
+    assert(idsOf(root).intersect(granted).isEmpty,
+      "a re-enabled allocator minted ids an on-disk file already owns")
+  }
+
   test("changeFeed stream survives OPTIMIZE on a row-tracked source (previously a refusal)") {
     val src = freshRoot()
     val dst = freshRoot()
