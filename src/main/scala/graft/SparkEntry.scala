@@ -2644,6 +2644,52 @@ object SparkEntry {
           col("o_orderstatus"), col("n_orders"), col("total_price"))
     }),
 
+    "st12_changefeed_merge" -> ((s, dir) => {
+      // the change feed is now TOTAL under row tracking short of
+      // OVERWRITE: a window holding a MERGE upsert (repriced F rows +
+      // O inserts, st9's change set) AND a full COMPACT streams as the
+      // merge's id-diff (delete old version + insert new) while the
+      // compact contributes a verified-empty delta — the mirror applies
+      // it all through applyChangesMor and must equal the source.
+      val src = java.nio.file.Files.createTempDirectory("st12_src").toString
+      val dst = java.nio.file.Files.createTempDirectory("st12_dst").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("st12_ckpt").toString
+      val orders = t(s, dir, "orders")
+      val MT = graft.sources.ManifestTable
+      val f = orders.filter(col("o_orderstatus") === "F")
+      MT.create(s, src, f.repartition(2))
+      MT.enableRowTracking(s, src)
+      MT.create(s, dst, f.limit(0))
+      def drain(): Unit = {
+        val q = s.readStream
+          .format("graft.sources.ManifestStreamSourceProvider")
+          .option("changeFeed", "true").load(src)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            MT.applyChangesMor(s, dst, b, "o_orderkey", "mirror", id); ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // initial load
+      val updates = f.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .unionByName(orders.filter(col("o_orderstatus") === "O"))
+      MT.merge(s, src, updates, "o_orderkey")
+      MT.compact(s, src, 64L * 1024 * 1024) // empty delta, positions move
+      drain()
+      val srcDf = MT.read(s, src)
+      val dstDf = MT.read(s, dst)
+      val mirrors = dstDf.exceptAll(srcDf).isEmpty && srcDf.exceptAll(dstDf).isEmpty
+      dstDf.groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .select(lit(mirrors).as("mirrors_source"),
+          col("o_orderstatus"), col("n_orders"), col("total_price"))
+    }),
+
     "st1_stream_hourly" -> ((s, dir) => {
       // Structured Streaming under the SAME oracle as batch e1: drain the
       // events parquet through a file-source stream, aggregate in Complete
@@ -5064,6 +5110,31 @@ object SparkEntry {
          |  SELECT o_orderstatus, o_totalprice FROM upd
          |)
          |SELECT TRUE AS replay_noop, o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM final GROUP BY o_orderstatus""").stripMargin,
+
+    "st12_changefeed_merge" -> // the mirror after the merge window:
+      // F rows with %10 keys repriced (+1000) plus the O inserts — the
+      // same final state as st9, reached through the CHANGE FEED
+      // instead of a direct merge; mirrors_source pinned in-engine
+      (s"""WITH upd AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         o_totalprice + 1000.0 AS o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderstatus = 'O'
+         |), final AS (
+         |  SELECT o_orderstatus, o_totalprice FROM orders
+         |  WHERE o_orderstatus = 'F'
+         |    AND o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_totalprice FROM upd
+         |)
+         |SELECT TRUE AS mirrors_source, o_orderstatus,
          |       CAST(count(*) AS BIGINT) AS n_orders,
          |       ${dsumSql("o_totalprice")} AS total_price
          |FROM final GROUP BY o_orderstatus""").stripMargin,

@@ -713,12 +713,20 @@ object ManifestTable {
     * data side streams through unshuffled. */
   def readWithRowIds(spark: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
     val v = version.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not in log (have ${vs.mkString(",")})")
-    val u = readFilesWithRowIds(spark, root, v, manifestFiles(spark, root, v))
+    readFilesWithRowIdsApplied(spark, root, v, manifestFiles(spark, root, v))
+  }
+
+  /** `paths` of version `v` with `_row_id`, the version's deletion
+    * vector applied — the shared id-read for whole-table reads, the
+    * id-preserving rewrites, and the change-feed walk's id-diff. */
+  private def readFilesWithRowIdsApplied(spark: SparkSession, root: String,
+      v: Long, paths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val u = readFilesWithRowIds(spark, root, v, paths)
     (deletionVector(spark, root, v) match {
       case Some(p) =>
         val d = dvFrame(spark, root, p)
@@ -1120,9 +1128,14 @@ object ManifestTable {
     * contributes the referenced rows as DELETE events; an id-preserving
     * rewrite (verified: its files carry materialized ids) contributes
     * NOTHING — the ids prove the rows all survived; a file-set-stable
-    * RESTORE's vector shrink contributes resurrection INSERTs; anything
-    * else (merge / COW delete / overwrite / file-set restore) refuses —
-    * those deltas are not id-expressible. Events then net per row id:
+    * RESTORE's vector shrink contributes resurrection INSERTs; a
+    * content-changing rewrite — MERGE or COW DELETE, which under
+    * tracking preserve carried rows' ids — contributes the ID-DIFF of
+    * its removed vs added files (deletes = matched/removed rows' old
+    * versions, inserts = the new versions), bounded by the op's own
+    * affected set; only OVERWRITE and a file-set-changing RESTORE still
+    * refuse (those replace the table — the full refresh they demand).
+    * Events then net per row id:
     * visibility at the cursor is `first event == delete`, visibility at
     * the tip is `last event != delete` (ids are unique per version —
     * a commit cannot both insert and delete one id), and only
@@ -1173,14 +1186,33 @@ object ManifestTable {
       val added = curF.filterNot(prevF)
       val removed = prevF -- curF.toSet
       if (removed.nonEmpty || rewriteOps.contains(op)) {
-        require(rewriteOps.contains(op),
-          s"v$v ($op) rewrote files — delta not id-expressible, full refresh required")
-        val meta = manifestMeta(spark, root, v)
-        added.foreach(f => require(
-          meta.get(RowBasePrefix + dvFileKey(f)).contains(RowBaseStored),
-          s"v$v ($op) did not materialize row ids (pre-tracking rewrite) — full refresh required"))
-        // id-preserving: contributes nothing; its dv drop (if any) is
-        // materialization of already-reported deletes, not new events
+        if (rewriteOps.contains(op)) {
+          val meta = manifestMeta(spark, root, v)
+          added.foreach(f => require(
+            meta.get(RowBasePrefix + dvFileKey(f)).contains(RowBaseStored),
+            s"v$v ($op) did not materialize row ids (pre-tracking rewrite) — full refresh required"))
+          // id-preserving: contributes nothing; its dv drop (if any) is
+          // materialization of already-reported deletes, not new events
+        } else {
+          // content-changing rewrite (merge / COW delete): the delta IS
+          // the id-diff between the removed and added files — both
+          // bounded by the op's own affected set, never the table.
+          // Requires the op to have carried the vector verbatim (both
+          // do); an op that also mutated visibility in UNTOUCHED files
+          // would hide changes from the diff, so refuse that shape.
+          require(!op.startsWith("restore-") && op != "overwrite",
+            s"v$v ($op) replaced the file set — delta not incrementally expressible, full refresh required")
+          require(deletionVector(spark, root, v) == deletionVector(spark, root, v - 1),
+            s"v$v ($op) changed files AND the deletion vector — delta not id-expressible, full refresh required")
+          val rem = readFilesWithRowIdsApplied(spark, root, v - 1, removed.toSeq)
+            .localCheckpoint()
+          val add = readFilesWithRowIdsApplied(spark, root, v, added)
+            .localCheckpoint()
+          events :+= rem.join(add.select("_row_id"), Seq("_row_id"), "left_anti")
+            .withColumn("__v", lit(v)).withColumn("__kind", lit("del"))
+          events :+= add.join(rem.select("_row_id"), Seq("_row_id"), "left_anti")
+            .withColumn("__v", lit(v)).withColumn("__kind", lit("ins"))
+        }
       } else if (op.startsWith("restore-")) {
         require(added.isEmpty,
           s"v$v ($op) changed the file set — delta not id-expressible, full refresh required")
@@ -1961,16 +1993,33 @@ object ManifestTable {
           col(keyCol).isin(keys.toIndexedSeq: _*), Some(v0))
         (kept, dropped)
       }
-    val affectedDf =
-      if (affected.isEmpty) read(spark, root, Some(v0)).limit(0)
-      // DV-applied, so a rewrite can never resurrect a MOR-deleted row
-      else readFiles(spark, root, tableSchema, affected,
-        deletionVector(spark, root, v0))
     enforceChecks(spark, root, Some(v0), genSource, "merge")
-    val merged = affectedDf
-      .join(genSource.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-      .unionByName(genSource)
-    val staged = stage(spark, root, toPhysical(merged, tableSchema))
+    val tracked = rowTrackingEnabled(spark, root, v0)
+    // under row tracking the rewrite is ID-PRESERVING for the carried
+    // (unmatched) rows — they stage with their materialized ids, in
+    // files separate from the source rows (which get a fresh id block),
+    // so the change-feed walk can serve this merge as an id-diff:
+    // deletes = the matched rows' old versions, inserts = the source
+    // rows, carried rows provably unchanged
+    val (staged, stagedStored) =
+      if (tracked) {
+        val carried = readFilesWithRowIdsApplied(spark, root, v0, affected)
+          .join(genSource.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+          .withColumnRenamed("_row_id", RowIdCol)
+        val sc = stage(spark, root, toPhysical(carried, tableSchema))
+        val ss = stage(spark, root, toPhysical(genSource, tableSchema))
+        (sc ++ ss, sc)
+      } else {
+        val affectedDf =
+          if (affected.isEmpty) read(spark, root, Some(v0)).limit(0)
+          // DV-applied, so a rewrite can never resurrect a MOR-deleted row
+          else readFiles(spark, root, tableSchema, affected,
+            deletionVector(spark, root, v0))
+        val merged = affectedDf
+          .join(genSource.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+          .unionByName(genSource)
+        (stage(spark, root, toPhysical(merged, tableSchema)), Seq.empty[String])
+      }
     val newStats = ManifestStats.collect(spark, root, staged,
       toPhysicalCols(tableSchema, statsColumns), toPhysicalCols(tableSchema, bloomColumns))
     val version = commit(spark, root, "merge", staged,
@@ -1983,6 +2032,7 @@ object ManifestTable {
       // the transform spec carries (rewritten files lose their virtual
       // stats until the next OPTIMIZE — sound, just less prunable there)
       _ => manifestMeta(spark, root, v0).filter(kv => carriedMetaKey(kv._1)) ++
+        storedMarks(stagedStored, tracked) ++
         meta ++ tableSchema.map(s => Map(SchemaKey -> s.json)).getOrElse(Map.empty),
       // carried files keep the stats the planned version committed for
       // them; rewritten files take the freshly collected ones
@@ -2010,12 +2060,19 @@ object ManifestTable {
     val planned = manifestFiles(spark, root, v0)
     val tableSchema = schemaOf(spark, root, v0)
     val (affected, untouched, _) = pruneFiles(spark, root, predicate, Some(v0))
+    val tracked = rowTrackingEnabled(spark, root, v0)
+    // under row tracking the surviving rows keep their ids
+    // (materialized — an ID-PRESERVING rewrite), so the change-feed walk
+    // serves this delete as an id-diff: exactly the removed rows
     val survivors =
       if (affected.isEmpty) read(spark, root, Some(v0)).limit(0)
       else {
         // DV-applied, so the rewrite can't resurrect a MOR-deleted row
-        val df = readFiles(spark, root, tableSchema, affected,
-          deletionVector(spark, root, v0))
+        val df =
+          if (tracked) readFilesWithRowIdsApplied(spark, root, v0, affected)
+            .withColumnRenamed("_row_id", RowIdCol)
+          else readFiles(spark, root, tableSchema, affected,
+            deletionVector(spark, root, v0))
         // NOT(pred IS TRUE): a NULL predicate must keep the row
         df.filter(org.apache.spark.sql.functions.not(
           org.apache.spark.sql.functions.coalesce(predicate,
@@ -2032,6 +2089,7 @@ object ManifestTable {
         untouched
       },
       _ => manifestMeta(spark, root, v0).filter(kv => carriedMetaKey(kv._1)) ++
+        storedMarks(staged, tracked) ++
         tableSchema.map(s => Map(SchemaKey -> s.json)).getOrElse(Map.empty),
       _ => fileStats(spark, root, v0) ++ newStats)
     (version, MergeStats(affected.size, untouched.size, staged.size))

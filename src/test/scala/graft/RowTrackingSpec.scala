@@ -141,15 +141,45 @@ class RowTrackingSpec extends SparkSpec {
     assert(ins2.exceptAll(exp2).isEmpty && exp2.exceptAll(ins2).isEmpty)
   }
 
-  test("walk refuses content-changing rewrites (merge) — not id-expressible") {
+  test("walk serves a MERGE as its id-diff: matched rows emit delete+insert, carried rows stay silent") {
     val root = freshRoot()
-    ManifestTable.create(spark, root, orders.limit(200))
+    val base = orders.filter(col("o_orderstatus") === "F")
+    ManifestTable.create(spark, root, base)
     ManifestTable.enableRowTracking(spark, root)
     val cursor = ManifestTable.versions(spark, root).max
-    ManifestTable.merge(spark, root,
-      orders.limit(200).filter(col("o_orderkey") % 7 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") + 1.0),
-      "o_orderkey")
+    val updates = base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .unionByName(orders.filter(col("o_orderstatus") === "O")) // inserts
+    ManifestTable.merge(spark, root, updates, "o_orderkey")
+    val (feed, tipV) = ManifestTable.readChangesRowTracked(spark, root, cursor)
+    val del = feed.filter(col("_change_type") === "delete").drop("_change_type")
+    val ins = feed.filter(col("_change_type") === "insert").drop("_change_type")
+    // deletes = the matched rows' OLD versions; inserts = the source rows
+    val expDel = base.filter(col("o_orderkey") % 7 === 0)
+    assert(del.exceptAll(expDel).isEmpty && expDel.exceptAll(del).isEmpty)
+    assert(ins.exceptAll(updates).isEmpty && updates.exceptAll(ins).isEmpty)
+    // carried (unmatched) rows are provably unchanged → silent; and the
+    // delta reconciles: read(since) − deletes + inserts == read(tip)
+    val reconciled = ManifestTable.read(spark, root, Some(cursor))
+      .exceptAll(del).unionAll(ins)
+    val now = ManifestTable.read(spark, root, Some(tipV))
+    assert(reconciled.exceptAll(now).isEmpty && now.exceptAll(reconciled).isEmpty)
+  }
+
+  test("walk serves a COW DELETE as deletes only; OVERWRITE still refuses") {
+    val root = freshRoot()
+    val base = orders.filter(col("o_orderstatus") === "F")
+    ManifestTable.create(spark, root, base)
+    ManifestTable.enableRowTracking(spark, root)
+    val cursor = ManifestTable.versions(spark, root).max
+    ManifestTable.delete(spark, root, col("o_orderkey") % 4 === 0)
+    val (feed, _) = ManifestTable.readChangesRowTracked(spark, root, cursor)
+    assert(feed.filter(col("_change_type") === "insert").count() === 0,
+      "a COW delete must not emit inserts (survivors kept their ids)")
+    val del = feed.filter(col("_change_type") === "delete").drop("_change_type")
+    val expDel = base.filter(col("o_orderkey") % 4 === 0)
+    assert(del.exceptAll(expDel).isEmpty && expDel.exceptAll(del).isEmpty)
+    ManifestTable.overwrite(spark, root, base.limit(10))
     val e = intercept[IllegalArgumentException] {
       ManifestTable.readChangesRowTracked(spark, root, cursor)._1.count()
     }
