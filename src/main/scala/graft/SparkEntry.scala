@@ -3538,6 +3538,52 @@ object SparkEntry {
           col("o_orderstatus"), col("n_orders"), col("total_price"))
     }),
 
+    "lake30_ivm_total" -> ((s, dir) => {
+      // IVM that SURVIVES deletes and updates: the count/sum mart
+      // maintained through the TOTAL change feed with SIGNED deltas
+      // (+1/+v inserts, −1/−v retractions) across a window holding a
+      // MOR delete, a MERGE upsert, and a full COMPACT — exactly where
+      // lake11's append-only maintainer must full-refresh. The whole
+      // application (group retractions + upserts + the consumed-version
+      // watermark) is ONE atomic applyChangesMor commit; pins: the
+      // maintained mart equals the from-scratch rebuild bit-exactly AND
+      // a crash-replay maintenance call is a no-op.
+      val src = java.nio.file.Files.createTempDirectory("lake30_src").toString
+      val mart = java.nio.file.Files.createTempDirectory("lake30_mart").toString
+      val orders = t(s, dir, "orders")
+      val MT = graft.sources.ManifestTable
+      val f = orders.filter(col("o_orderstatus") === "F")
+      MT.create(s, src, f)
+      MT.enableRowTracking(s, src)
+      graft.ops.LakeOps.maintainAggMartTotal(s, src, mart, "o_orderstatus", "o_totalprice")
+      MT.deleteMor(s, src, col("o_custkey") % 5 === 0)
+      val updates = f.filter(col("o_custkey") % 5 =!= 0)
+        .filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .unionByName(orders.filter(col("o_orderstatus") === "O"))
+      MT.merge(s, src, updates, "o_orderkey")
+      MT.compact(s, src, 64L * 1024 * 1024)
+      val (tip, _) = graft.ops.LakeOps.maintainAggMartTotal(
+        s, src, mart, "o_orderstatus", "o_totalprice")
+      val vBefore = MT.versions(s, mart).max
+      val replayNoop = graft.ops.LakeOps.maintainAggMartTotal(
+        s, src, mart, "o_orderstatus", "o_totalprice") == ((tip, 0L)) &&
+        MT.versions(s, mart).max == vBefore
+      val maintained = MT.read(s, mart)
+        .select(col("o_orderstatus"), col("n_rows"), col("total").cast("double"))
+      val rebuild = MT.read(s, src).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"))
+        .select(col("o_orderstatus"), col("n_rows"), col("total"))
+      val matches = maintained.exceptAll(rebuild).isEmpty &&
+        rebuild.exceptAll(maintained).isEmpty
+      MT.read(s, mart)
+        .select(lit(matches).as("matches_rebuild"),
+          lit(replayNoop).as("replay_noop"),
+          col("o_orderstatus"),
+          col("n_rows").cast("long").as("n_orders"),
+          col("total").cast("double").as("total_price"))
+    }),
+
     "lake28_row_tracking" -> ((s, dir) => {
       // row tracking (Delta row tracking / Iceberg v3 row lineage):
       // every row carries an immutable table-unique id — fresh files as
@@ -5872,6 +5918,28 @@ object SparkEntry {
          |FROM orders
          |WHERE o_orderstatus IN ('F', 'O') AND o_orderkey % 7 <> 0
          |GROUP BY o_orderstatus""").stripMargin,
+
+    "lake30_ivm_total" -> // the maintained mart = aggregate of the final
+      // source state: F minus cust%5 MOR-deletes, surviving %10 keys
+      // repriced (+1000), plus the O inserts; rebuild-equality and
+      // replay-no-op pinned in-engine
+      (s"""WITH fkeep AS (
+         |  SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders
+         |  WHERE o_orderstatus = 'F' AND o_custkey % 5 <> 0
+         |), final AS (
+         |  SELECT o_orderstatus,
+         |         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+         |              ELSE o_totalprice END AS v
+         |  FROM fkeep
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_totalprice AS v FROM orders
+         |  WHERE o_orderstatus = 'O'
+         |)
+         |SELECT TRUE AS matches_rebuild, TRUE AS replay_noop,
+         |       o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("v")} AS total_price
+         |FROM final GROUP BY o_orderstatus""").stripMargin,
 
     "lake28_row_tracking" -> // the face is the post-lifecycle content
       // (everything but the %3 deletes); id uniqueness and rewrite

@@ -267,6 +267,85 @@ object LakeOps {
     }
   }
 
+  /** [[maintainAggMart]] generalized to the TOTAL change feed: the mart
+    * stays incrementally maintainable through MOR DELETES, MERGE
+    * upserts, and every id-preserving rewrite — exactly the histories
+    * where `readChangesSince` (and so lake11's maintainer) must
+    * full-refresh. The delta aggregates SIGNED: an insert contributes
+    * (+1, +value), a retraction (−1, −value) — count and sum are
+    * self-maintainable under deletion, and DECIMAL partials stay exact
+    * under subtraction, so the maintained mart equals the from-scratch
+    * aggregate bit for bit. Groups whose count reaches zero are REMOVED
+    * (a rebuild has no row for them), and the whole application — group
+    * retractions, group upserts, and the consumed-version watermark —
+    * is ONE atomic [[graft.sources.ManifestTable.applyChangesMor]]
+    * commit on the mart (batchId = consumed source version, so a crash
+    * replay is the standard exactly-once no-op; the watermark IS the
+    * cursor). Sources with rewrites in the window need row tracking
+    * ([[graft.sources.ManifestTable.enableRowTracking]]); pure
+    * append + MOR-delete windows maintain untracked via the positional
+    * feed. Refresh cost: O(window change volume + affected groups).
+    * Returns (consumed source version, change rows aggregated). */
+  def maintainAggMartTotal(
+      spark: org.apache.spark.sql.SparkSession,
+      srcRoot: String,
+      martRoot: String,
+      keyCol: String,
+      valueCol: String,
+      writerId: String = "aggmart-total"): (Long, Long) = {
+    import graft.sources.ManifestTable
+    val srcTip = {
+      val vs = ManifestTable.versions(spark, srcRoot)
+      require(vs.nonEmpty, s"$srcRoot is not a manifest table")
+      vs.max
+    }
+    val txnKey = s"txn-$writerId"
+    val martVs = ManifestTable.versions(spark, martRoot)
+    if (martVs.isEmpty) {
+      val src = ManifestTable.read(spark, srcRoot, Some(srcTip))
+      val n = src.count()
+      ManifestTable.create(spark, martRoot, countSumAgg(src, keyCol, valueCol),
+        meta = Map(txnKey -> srcTip.toString))
+      (srcTip, n)
+    } else {
+      val cursor = ManifestTable.manifestMeta(spark, martRoot, martVs.max)
+        .getOrElse(txnKey, throw new IllegalStateException(
+          s"$martRoot has no $txnKey watermark — not a total-feed agg mart")).toLong
+      if (cursor == srcTip) (srcTip, 0L) // caught up: no mart commit
+      else {
+        val tracked = ManifestTable.rowTrackingEnabled(spark, srcRoot, cursor)
+        val (feed, tip) =
+          if (tracked)
+            ManifestTable.readChangesRowTracked(spark, srcRoot, cursor, Some(srcTip))
+          else
+            ManifestTable.readChangesWithDeletes(spark, srcRoot, cursor, Some(srcTip))
+        val fd = feed.localCheckpoint() // consumed twice: count + aggregate
+        val deltaRows = fd.count()
+        val ins = col("_change_type") === "insert"
+        val d = fd.groupBy(keyCol).agg(
+          sum(when(ins, 1L).otherwise(-1L)).as("dn"),
+          ExactSums.dsumPartial(when(ins, col(valueCol)).otherwise(-col(valueCol)))
+            .cast(TotalType).as("dtotal"))
+        val cur = ManifestTable.read(spark, martRoot).alias("m")
+        val updated = d.alias("d").join(cur, Seq(keyCol), "left")
+          .select(col(keyCol),
+            (coalesce(col("m.n_rows"), lit(0L)) + col("d.dn")).as("n_rows"),
+            (coalesce(col("m.total"), lit(0).cast(TotalType)) + col("d.dtotal"))
+              .cast(TotalType).as("total"))
+          .localCheckpoint()
+        // one atomic apply: every affected group retracts, the
+        // still-populated ones re-insert with their new aggregates;
+        // zero-count groups simply never re-enter (rebuild parity)
+        val martFeed = updated.withColumn("_change_type", lit("delete"))
+          .unionByName(updated.filter(col("n_rows") > 0)
+            .withColumn("_change_type", lit("insert")))
+        ManifestTable.applyChangesMor(spark, martRoot, martFeed, keyCol,
+          writerId, batchId = tip)
+        (tip, deltaRows)
+      }
+    }
+  }
+
   private val JoinCursorAKey = "join-cursor-a"
   private val JoinCursorBKey = "join-cursor-b"
 

@@ -274,6 +274,80 @@ class LakeOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("non-append"))
   }
 
+  test("maintainAggMartTotal: survives MOR deletes, MERGE, and COMPACT; equals rebuild; groups vanish at zero") {
+    import graft.sources.ManifestTable
+    val spark2 = spark
+    import spark2.implicits._
+    def root() = java.nio.file.Files.createTempDirectory("ivmt").toString
+    val src = root(); val mart = root()
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val f = orders.filter(col("o_orderstatus") === "F")
+    ManifestTable.create(spark, src, f)
+    ManifestTable.enableRowTracking(spark, src)
+    graft.ops.LakeOps.maintainAggMartTotal(spark, src, mart, "o_orderstatus", "o_totalprice")
+    // a window lake11's maintainer must full-refresh on: MOR delete,
+    // MERGE upsert (reprice + O inserts), and a full COMPACT
+    ManifestTable.deleteMor(spark, src, col("o_custkey") % 5 === 0)
+    val updates = f.filter(col("o_custkey") % 5 =!= 0)
+      .filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .unionByName(orders.filter(col("o_orderstatus") === "O"))
+    ManifestTable.merge(spark, src, updates, "o_orderkey")
+    ManifestTable.compact(spark, src, 64L * 1024 * 1024)
+    val (tip, _) = graft.ops.LakeOps.maintainAggMartTotal(
+      spark, src, mart, "o_orderstatus", "o_totalprice")
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("o_orderstatus"), col("n_rows"), col("total").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    val maintained = snap(ManifestTable.read(spark, mart))
+    val rebuild = snap(ManifestTable.read(spark, src).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        graft.ops.ExactSums.dsumPartial(col("o_totalprice"))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 4)).as("total")))
+    assert(maintained === rebuild, "maintained mart must equal rebuild bit-exactly")
+    // caught up: no commit; crash replay of the same window: no-op
+    val before = ManifestTable.versions(spark, mart).max
+    assert(graft.ops.LakeOps.maintainAggMartTotal(
+      spark, src, mart, "o_orderstatus", "o_totalprice") === ((tip, 0L)))
+    assert(ManifestTable.versions(spark, mart).max === before)
+    // a group emptied entirely vanishes from the mart (rebuild parity)
+    ManifestTable.deleteMor(spark, src, col("o_orderstatus") === "O")
+    graft.ops.LakeOps.maintainAggMartTotal(spark, src, mart, "o_orderstatus", "o_totalprice")
+    assert(ManifestTable.read(spark, mart)
+      .filter(col("o_orderstatus") === "O").count() === 0,
+      "a zero-count group must leave the mart")
+    assert(snap(ManifestTable.read(spark, mart)) ===
+      snap(ManifestTable.read(spark, src).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          graft.ops.ExactSums.dsumPartial(col("o_totalprice"))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 4)).as("total"))))
+  }
+
+  test("maintainAggMartTotal untracked: append+MOR-delete windows maintain; a MERGE window demands tracking") {
+    import graft.sources.ManifestTable
+    def root() = java.nio.file.Files.createTempDirectory("ivmt2").toString
+    val src = root(); val mart = root()
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val f = orders.filter(col("o_orderstatus") === "F")
+    ManifestTable.create(spark, src, f) // NOT row-tracked
+    graft.ops.LakeOps.maintainAggMartTotal(spark, src, mart, "o_orderstatus", "o_totalprice")
+    ManifestTable.append(spark, src, orders.filter(col("o_orderstatus") === "O"))
+    ManifestTable.deleteMor(spark, src, col("o_orderkey") % 3 === 0)
+    graft.ops.LakeOps.maintainAggMartTotal(spark, src, mart, "o_orderstatus", "o_totalprice")
+    val expect = orders.filter(col("o_orderstatus") isin ("F", "O"))
+      .filter(col("o_orderkey") % 3 =!= 0).count()
+    assert(ManifestTable.read(spark, mart)
+      .agg(org.apache.spark.sql.functions.sum("n_rows")).first().getLong(0) === expect)
+    // the positional feed cannot express a merge: full refresh demanded
+    ManifestTable.merge(spark, src,
+      f.filter(col("o_orderkey") % 3 =!= 0).limit(5)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0), "o_orderkey")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.LakeOps.maintainAggMartTotal(spark, src, mart, "o_orderstatus", "o_totalprice")
+    }
+    assert(e.getMessage.contains("full refresh"), e.getMessage)
+  }
+
   test("maintainJoinMart: delta-join maintenance equals the from-scratch join; both cursors atomic; zero-delta advances") {
     import graft.sources.ManifestTable
     def root() = java.nio.file.Files.createTempDirectory("ivmj").toString
