@@ -1667,6 +1667,13 @@ object ManifestTable {
     val v0 = vs.max
     val planned = manifestFiles(spark, root, v0)
     val tableSchema = schemaOf(spark, root, v0)
+    // an unknown tag must fail loudly, not silently drop the row — a
+    // feed that speaks a richer dialect (update_preimage, ...) needs
+    // translating, not truncating
+    val badTags = feed.filter(!col(ct).isin("insert", "delete"))
+      .select(col(ct)).distinct().limit(3).collect().map(_.get(0))
+    require(badTags.isEmpty,
+      s"applyChangesMor understands '$ct' tags 'insert' and 'delete' only — got ${badTags.mkString(", ")}")
     val inserts = feed.filter(col(ct) === "insert").drop(ct)
     val delKeys = feed.filter(col(ct) === "delete").select(col(keyCol)).distinct()
     // -------- delete side: grow the cumulative vector (MOR) ----------

@@ -89,6 +89,11 @@ class ChangeFeedSpec extends SparkSpec {
       ManifestTable.applyChangesMor(spark, root,
         Seq((2L, "insert")).toDF("id", ct), "id", "w", 0L)
     }
+    val e = intercept[IllegalArgumentException] { // unknown tags refuse loudly
+      ManifestTable.applyChangesMor(spark, root,
+        Seq((1L, "a", "update_preimage")).toDF("id", "v", ct), "id", "w", 0L)
+    }
+    assert(e.getMessage.contains("update_preimage"), e.getMessage)
     // nothing landed: guards fire before any commit
     assert(ManifestTable.versions(spark, root).max === 1L)
   }
