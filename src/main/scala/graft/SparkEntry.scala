@@ -2398,6 +2398,14 @@ object SparkEntry {
         col("event_id"),
         EventOps.propsField(col("props"), "k").cast("long").as("k_value"))),
 
+    "e10_path_analysis" -> ((s, dir) =>
+      // top-20 session paths (first 5 event types per 30-min session,
+      // '>'-joined in (ts, event_id) order): funnels test a hypothesized
+      // sequence, paths DISCOVER what users actually do. Rank-filter
+      // bounds per-session state to 5 rows before any collection.
+      EventOps.topPaths(t(s, dir, "events"),
+        gapMinutes = 30, maxSteps = 5, k = 20)),
+
     "st7_stream_static_enrich" -> ((s, dir) => {
       // the third join mode beside st2/st4's stream-stream: STREAM-STATIC
       // enrichment — each micro-batch joins the static dimension with no
@@ -5125,6 +5133,33 @@ object SparkEntry {
 
     "e3_json_extract" ->
       "SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_value FROM events",
+
+    "e10_path_analysis" -> // e2's sessionization mirror + a rank filter
+      // to the first 5 steps + ordered string_agg — identical to Spark's
+      // sort_array-of-structs then '>' join (event_id breaks ts ties)
+      ("""WITH lagged AS (
+         |  SELECT user_id, event_id, ts, event_type,
+         |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events
+         |), flagged AS (
+         |  SELECT user_id, event_id, ts, event_type,
+         |         CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+         |  FROM lagged
+         |), numbered AS (
+         |  SELECT user_id, event_id, ts, event_type,
+         |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         |  FROM flagged
+         |), stepped AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id, session_seq ORDER BY ts, event_id) AS step
+         |  FROM numbered
+         |), paths AS (
+         |  SELECT user_id, session_seq,
+         |         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+         |  FROM stepped WHERE step <= 5 GROUP BY user_id, session_seq
+         |)
+         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+         |FROM paths GROUP BY path
+         |ORDER BY n_sessions DESC, path LIMIT 20""").stripMargin,
 
     "st7_stream_static_enrich" -> // the streamed enrichment answers to
       // the plain batch join+aggregate (inner join drops events whose

@@ -135,6 +135,35 @@ object EventOps {
         (orderCols ++ payloadCols).map(c => col(s"m.$c").as(c)): _*)
   }
 
+  /** Session PATH analysis — the product-analytics staple next to
+    * funnel/retention: the top-k navigation sequences, where a
+    * session's path is its first `maxSteps` event types joined with
+    * '>' in (ts, event_id) order (the deterministic order the whole
+    * event family uses). Funnels test a HYPOTHESIZED sequence; paths
+    * DISCOVER the sequences users actually take.
+    *
+    * Shape: [[sessionize]]'s per-user window, a rank filter that keeps
+    * ≤ maxSteps rows per session BEFORE any collection (per-group state
+    * is bounded by maxSteps, never session length), one ordered-struct
+    * sort per session (≤ maxSteps elements), and a hash aggregate over
+    * the path strings. Ties impossible: event_id is unique. */
+  def topPaths(events: DataFrame, gapMinutes: Int = 30,
+      maxSteps: Int = 5, k: Int = 20): DataFrame = {
+    val bySession = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    sessionize(events, gapMinutes)
+      .withColumn("step", row_number().over(bySession))
+      .filter(col("step") <= maxSteps)
+      .groupBy("user_id", "session_seq")
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(concat_ws(">",
+        expr("transform(evs, e -> e.event_type)")).as("path"))
+      .groupBy("path").agg(count(lit(1)).cast("long").as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
   /** Multi-touch ATTRIBUTION — the marketing-analytics staple: each
     * conversion's value is credited back to the user's touchpoint
     * events strictly before it within a lookback window, under four

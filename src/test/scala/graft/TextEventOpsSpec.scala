@@ -545,6 +545,39 @@ class TextEventOpsSpec extends SparkSpec {
     assert(out === Map((1L, 1L) -> holdPos, (-1L, -1L) -> holdNeg))
   }
 
+  test("topPaths: sessions split at the gap, paths truncate at maxSteps, ties order by event_id") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1, session 1: a > b > c; session 2 after a 2h gap: a > b
+      (1L, 1L, ts("2024-01-10 10:00:00"), "a", 0.0),
+      (2L, 1L, ts("2024-01-10 10:05:00"), "b", 0.0),
+      (3L, 1L, ts("2024-01-10 10:10:00"), "c", 0.0),
+      (4L, 1L, ts("2024-01-10 13:00:00"), "a", 0.0),
+      (5L, 1L, ts("2024-01-10 13:05:00"), "b", 0.0),
+      // user 2: one 7-event session — the path stops at step 5
+      (10L, 2L, ts("2024-01-10 10:00:00"), "a", 0.0),
+      (11L, 2L, ts("2024-01-10 10:01:00"), "b", 0.0),
+      (12L, 2L, ts("2024-01-10 10:02:00"), "c", 0.0),
+      (13L, 2L, ts("2024-01-10 10:03:00"), "d", 0.0),
+      (14L, 2L, ts("2024-01-10 10:04:00"), "e", 0.0),
+      (15L, 2L, ts("2024-01-10 10:05:00"), "f", 0.0),
+      (16L, 2L, ts("2024-01-10 10:06:00"), "g", 0.0),
+      // user 3: same ts twice — event_id orders the path
+      (21L, 3L, ts("2024-01-10 10:00:00"), "x", 0.0),
+      (20L, 3L, ts("2024-01-10 10:00:00"), "y", 0.0),
+      // user 4: replicates user 1's first path → count 2
+      (30L, 4L, ts("2024-01-10 10:00:00"), "a", 0.0),
+      (31L, 4L, ts("2024-01-10 10:05:00"), "b", 0.0),
+      (32L, 4L, ts("2024-01-10 10:10:00"), "c", 0.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = EventOps.topPaths(events, gapMinutes = 30, maxSteps = 5, k = 10)
+      .as[(String, Long)].collect().toList
+    assert(out === List(
+      ("a>b>c", 2L), // count DESC first, then path ASC
+      ("a>b", 1L), ("a>b>c>d>e", 1L), ("y>x", 1L)))
+  }
+
   test("attribution: hand-computed four-model credits; ties by id, lookback boundary, no-touch drops") {
     import spark.implicits._
     def ts(s: String) = Timestamp.valueOf(s)
