@@ -573,7 +573,7 @@ object SparkEntry {
        |               AND list_contains(string_split(text, ' '), 'merge')
        |               AND list_contains(string_split(text, ' '), 'filter')
        |              THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,
-       |         ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 80 AS tr,
+       |         (((doc_id % 2147483648) + 2147483648) % 2147483648 * 2654435761) % 4294967296 % 100 < 80 AS tr,
        |         unnest(string_split(text, ' ')) AS w
        |  FROM documents
        |), feats AS MATERIALIZED (
@@ -1462,6 +1462,49 @@ object SparkEntry {
         val controlUntouched = !leafStrings(control).exists(_.contains(martName))
         q.select(lit(servedFromMart).as("served_from_mart"),
           lit(controlUntouched).as("control_unrewritten"),
+          col("o_orderstatus"), col("n_orders"), col("total_price"))
+          .localCheckpoint() // pin the rows before deregistration
+      } finally graft.plans.MartRewrite.deregister(fact)
+    }),
+
+    "mv2_rewrite_filtered" -> ((s, dir) => {
+      // MartRewrite's two round-10 hardenings in one key: (a) a
+      // deterministic filter over the GROUP KEY (the `WHERE key IN
+      // (...)` shape real dashboards send) rides the rewrite onto the
+      // mart — key predicates are group-preserving, so the filter
+      // pushes verbatim; (b) fact-table identity is PROVEN by file-set
+      // superset, so a TIME-TRAVEL read at v1 — a proper subset of the
+      // registered files — must NOT be answered from the tip mart
+      // (wrong results, not staleness) and is pinned both by plan
+      // inspection and by its v1-true values.
+      val fact = java.nio.file.Files.createTempDirectory("mv2_fact").toString
+      val mart = java.nio.file.Files.createTempDirectory("mv2_mart").toString
+      val orders = t(s, dir, "orders")
+      val MT = graft.sources.ManifestTable
+      MT.create(s, fact, orders.filter(col("o_orderstatus") === "F"))
+      MT.append(s, fact, orders.filter(col("o_orderstatus") =!= "F"))
+      graft.ops.LakeOps.maintainAggMart(s, fact, mart, "o_orderstatus", "o_totalprice")
+      graft.plans.MartRewrite.register(s, fact, "o_orderstatus", "o_totalprice", mart)
+      try {
+        def leafStrings(df: org.apache.spark.sql.DataFrame) =
+          df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+        val martName = new java.io.File(mart).getName
+        val factName = new java.io.File(fact).getName
+        val q = MT.read(s, fact)
+          .filter(col("o_orderstatus").isin("F", "O"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("total_price"))
+        val filteredFromMart = leafStrings(q).exists(_.contains(martName)) &&
+          !leafStrings(q).exists(_.contains(factName))
+        val tt = MT.read(s, fact, Some(1L)).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_tt"))
+        val ttUnrewritten = !leafStrings(tt).exists(_.contains(martName))
+        val ttRows = tt.collect() // v1 = F only
+        val ttTrue = ttRows.length == 1 && ttRows(0).getString(0) == "F"
+        q.select(lit(filteredFromMart).as("filtered_from_mart"),
+          lit(ttUnrewritten && ttTrue).as("timetravel_unrewritten"),
+          lit(ttRows(0).getLong(1)).as("n_f_at_v1"),
           col("o_orderstatus"), col("n_orders"), col("total_price"))
           .localCheckpoint() // pin the rows before deregistration
       } finally graft.plans.MartRewrite.deregister(fact)
@@ -4312,15 +4355,25 @@ object SparkEntry {
       //
       // Gate cost is corpus-size-INDEPENDENT by construction: both arms
       // run over a deterministic Knuth-hash sample of vec_ids (a pure
-      // projection the oracle SQL replays bit-identically), so the exact
-      // arm is O(sample²), never O(corpus²) — a gate you can't afford to
-      // run is a gate that stops running. 50% here keeps the sf0.01
-      // positive pair set double-digit; at production scale choose the
-      // percentage so the sampled set stays ~10k vectors (the sample P/R
-      // is an unbiased estimate of the corpus P/R either way).
+      // projection the oracle SQL replays bit-identically) that is
+      // BOUNDED ABSOLUTELY, not proportionally — the 50% rate (which
+      // keeps the sf0.01 positive pair set double-digit) is conjoined
+      // with a dd9-style hash threshold `knuth32(id) < 2048·2^32 div N`,
+      // so the sampled set is ~min(N/2, 1024) vectors and the exact arm
+      // ~min(N/2,1024)² cosines AT ANY CORPUS SIZE — a gate you can't
+      // afford to run is a gate that stops running. At the test SFs
+      // (N ≤ 2048) the threshold is saturated and the rule reduces to
+      // the plain 50% sample (goldens unchanged); the sample P/R stays
+      // an unbiased estimate of the corpus P/R either way.
       graft.functions.NativeExpressions.register(s)
-      val emb = t(s, dir, "embeddings")
-        .filter(pmod(SampleOps.knuth32(col("vec_id")), lit(100L)) < 50)
+      val embAll = t(s, dir, "embeddings")
+      val thr = embAll.agg(count(lit(1)).as("n")).select(
+        least(lit(4294967296L),
+          expr("CAST((CAST(2048 AS DECIMAL(38,0)) * 4294967296) div n AS BIGINT)")).as("thr"))
+      val emb = embAll.crossJoin(broadcast(thr))
+        .filter(pmod(SampleOps.knuth32(col("vec_id")), lit(100L)) < 50 &&
+          SampleOps.knuth32(col("vec_id")) < col("thr"))
+        .drop("thr")
       val lsh = SimilarityOps.cosineNearDupPairs(
         emb, "vec_id", "embedding", minCosine = 0.4, dim = 64, numPlanes = 4, tables = 8)
       // stream side repartitioned: a small parquet arrives as ONE split,
@@ -5585,7 +5638,7 @@ object SparkEntry {
          |), ranked AS (
          |  SELECT doc_id, lang,
          |         row_number() OVER (PARTITION BY lang
-         |           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) AS rk
+         |           ORDER BY (((doc_id % 2147483648) + 2147483648) % 2147483648 * 2654435761) % 4294967296, doc_id) AS rk
          |  FROM documents
          |)
          |SELECT r.doc_id, r.lang
@@ -5606,7 +5659,7 @@ object SparkEntry {
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
          |), seeds AS (
          |  SELECT vec_id AS seed_id, v AS sv FROM e, thr
-         |  WHERE ((vec_id % 2147483648) * 2654435761) % 4294967296 < thr
+         |  WHERE (((vec_id % 2147483648) + 2147483648) % 2147483648 * 2654435761) % 4294967296 < thr
          |     OR vec_id = min_id
          |), scored AS (
          |  SELECT e.vec_id, s.seed_id,
@@ -6272,7 +6325,7 @@ object SparkEntry {
       // probability expression text shared with the engine
       ("""WITH w AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks,
-         |         ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 80 AS is_train
+         |         (((doc_id % 2147483648) + 2147483648) % 2147483648 * 2654435761) % 4294967296 % 100 < 80 AS is_train
          |  FROM documents
          |), tr AS (
          |  SELECT toks FROM w WHERE is_train
@@ -6335,7 +6388,7 @@ object SparkEntry {
       // engine's pinned double expression tree
       ("""WITH w AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks,
-         |         ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 80 AS is_train
+         |         (((doc_id % 2147483648) + 2147483648) % 2147483648 * 2654435761) % 4294967296 % 100 < 80 AS is_train
          |  FROM documents
          |), tr AS (
          |  SELECT toks FROM w WHERE is_train
@@ -6382,7 +6435,7 @@ object SparkEntry {
 
     "smp1_hash_split" -> // same Knuth multiplicative hash, plain BIGINT ops
       ("""SELECT
-         |  CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 80
+         |  CASE WHEN (((doc_id % 2147483648) + 2147483648) % 2147483648 * 2654435761) % 4294967296 % 100 < 80
          |       THEN 'train' ELSE 'holdout' END AS split,
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars
@@ -6391,7 +6444,7 @@ object SparkEntry {
     "smp2_per_group_cap" -> // the heap aggregate answers to the window SQL
       ("""WITH h AS (
          |  SELECT source, doc_id,
-         |         ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hv
+         |         (((doc_id % 2147483648) + 2147483648) % 2147483648 * 2654435761) % 4294967296 AS hv
          |  FROM documents
          |), r AS (
          |  SELECT source, doc_id,
@@ -6488,7 +6541,7 @@ object SparkEntry {
          |), ranked AS (
          |  SELECT doc_id, lang, toks,
          |         row_number() OVER (PARTITION BY lang
-         |           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) AS rk
+         |           ORDER BY (((doc_id % 2147483648) + 2147483648) % 2147483648 * 2654435761) % 4294967296, doc_id) AS rk
          |  FROM clean
          |), sampled AS (
          |  SELECT r.doc_id, r.toks FROM ranked r JOIN quotas q USING (lang) WHERE r.rk <= q.n_keep
@@ -6823,11 +6876,18 @@ object SparkEntry {
 
     "cn2_cosine_gate" -> // the exact all-pairs cosine set IS SQL-expressible;
       // both arms run over the same deterministic Knuth-hash id sample
-      // (mirrors SampleOps.knuth32 % 100 < 50) so the gate stays
-      // corpus-size-independent
-      ("""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-         |  WHERE ((vec_id % 2147483648) * 2654435761) % 4294967296 % 100 < 50
+      // (mirrors SampleOps.knuth32 % 100 < 50 conjoined with the
+      // absolute ~2048-vector hash-threshold cap) so the gate stays
+      // corpus-size-independent; at these SFs (N ≤ 2048) the cap is
+      // saturated and the rule is the plain 50% sample
+      ("""WITH nn AS (
+         |  SELECT count(*) AS n FROM embeddings
+         |), thr AS (
+         |  SELECT least(4294967296, CAST(CAST(2048 AS HUGEINT) * 4294967296 // n AS BIGINT)) AS thr FROM nn
+         |), e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings, thr
+         |  WHERE (((vec_id % 2147483648) + 2147483648) % 2147483648 * 2654435761) % 4294967296 % 100 < 50
+         |    AND (((vec_id % 2147483648) + 2147483648) % 2147483648 * 2654435761) % 4294967296 < thr
          |), ex AS (
          |  SELECT count(*) AS n
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -7086,7 +7146,7 @@ object SparkEntry {
 
     "smp3_stratified_sample" -> // smp1's Knuth hash, per-stratum rates
       ("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-         |WHERE ((o_orderkey % 2147483648) * 2654435761) % 4294967296 % 100 <
+         |WHERE (((o_orderkey % 2147483648) + 2147483648) % 2147483648 * 2654435761) % 4294967296 % 100 <
          |      CASE o_orderstatus WHEN 'F' THEN 10 WHEN 'O' THEN 50 ELSE 100 END""").stripMargin,
 
     "mm3_frame_sample" -> // ASCII text: char offsets = byte offsets, so
@@ -7131,7 +7191,7 @@ object SparkEntry {
          |), ranked AS (
          |  SELECT doc_id, lang,
          |         row_number() OVER (PARTITION BY lang
-         |           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) AS rk
+         |           ORDER BY (((doc_id % 2147483648) + 2147483648) % 2147483648 * 2654435761) % 4294967296, doc_id) AS rk
          |  FROM documents
          |)
          |SELECT r.doc_id, r.lang
@@ -7247,6 +7307,17 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n_orders,
          |       ${dsumSql("o_totalprice")} AS total_price
          |FROM orders GROUP BY o_orderstatus""").stripMargin,
+
+    "mv2_rewrite_filtered" -> // the key-filtered mart-served aggregate
+      // must equal the filtered from-scratch aggregate; the time-travel
+      // count is v1's truth (the F slice); plan routing pinned in-engine
+      (s"""SELECT TRUE AS filtered_from_mart, TRUE AS timetravel_unrewritten,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderstatus = 'F') AS n_f_at_v1,
+         |       o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders WHERE o_orderstatus IN ('F', 'O')
+         |GROUP BY o_orderstatus""").stripMargin,
 
     "lake11_incr_agg" -> // the maintained mart must equal the
       // from-scratch aggregate; per-step delta sizes pin that each pass

@@ -523,7 +523,7 @@ object SimilarityOps {
       .select(col("min_id"),
         expr("CAST((CAST(k AS DECIMAL(38,0)) * 4294967296) div n AS BIGINT)").as("thr"))
     val seeds = emb.crossJoin(broadcast(k1))
-      .filter(expr(s"(($idCol % 2147483648) * 2654435761) % 4294967296").cast("long") < col("thr")
+      .filter(expr(s"pmod(pmod($idCol, 2147483648) * 2654435761, 4294967296)").cast("long") < col("thr")
         || col(idCol) === col("min_id"))
       .select(col(idCol).as("seed_id"), col(vecCol).as("seed_vec"))
     emb.select(col(idCol).as("vid"), col(vecCol).as("vec"))

@@ -492,7 +492,7 @@ object TextOps {
     require(trainPct > 0 && trainPct < 100, "trainPct must split both ways")
     val tk = col("__toks")
     val withToks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"),
-      (expr(s"(($idCol % 2147483648) * 2654435761) % 4294967296 % 100") < trainPct).as("__tr"))
+      (expr(s"pmod(pmod($idCol, 2147483648) * 2654435761, 4294967296) % 100") < trainPct).as("__tr"))
     val train = withToks.filter(col("__tr"))
     val uni = train.select(explode(tk).as("w"))
     val c1 = uni.groupBy("w").agg(count(lit(1)).as("c1"))
@@ -571,7 +571,7 @@ object TextOps {
     require(trainPct > 0 && trainPct < 100, "trainPct must split both ways")
     val tk = col("__toks")
     val withToks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"),
-      (expr(s"(($idCol % 2147483648) * 2654435761) % 4294967296 % 100") < trainPct).as("__tr"))
+      (expr(s"pmod(pmod($idCol, 2147483648) * 2654435761, 4294967296) % 100") < trainPct).as("__tr"))
     val train = withToks.filter(col("__tr"))
     val uni = train.select(explode(tk).as("w"))
     val c2 = train.filter(size(tk) >= 2)

@@ -2,11 +2,12 @@ package graft.plans
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -25,19 +26,37 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * DECIMAL partials, so `CAST(total AS DOUBLE)` is bit-for-bit the
   * from-scratch [[graft.ops.ExactSums.dsum]]); the rewrite fires only on
   * the precise shapes it can prove — a single grouping attribute equal
-  * to the registered key, `count(1)` (non-distinct), and the dsum cast
-  * tower over the registered value column — anything else (other
-  * aggregates, filters, expressions over the key) is left untouched.
+  * to the registered key, `count(1)` (non-distinct), the dsum cast
+  * tower over the registered value column, and optionally a
+  * deterministic Filter over the KEY ALONE (key predicates are
+  * group-preserving: every row of a group shares the key, so the filter
+  * keeps or drops whole groups and pushes onto the mart verbatim — the
+  * `WHERE key IN (...)` shape real dashboards send). Anything else
+  * (other aggregates, non-key filters, expressions over the key) is
+  * left untouched.
+  *
+  * Fact-table identity is PROVEN, not path-matched: [[register]]
+  * snapshots the fact table's file set at its current version, and the
+  * rewrite fires only when the scan's input files are a SUPERSET of
+  * that set. A tip read — including appends landed since registration —
+  * rewrites (the documented allowed-staleness model: the mart serves
+  * the registered snapshot until re-registered); a TIME-TRAVEL read at
+  * a version before registration, or a file-pruned SUBSET scan
+  * ([[graft.sources.ManifestTable.readPrunedByKeys]]), scans fewer
+  * files than the registered state and must NOT be answered from the
+  * mart — those are different tables, not stale ones. Post-registration
+  * rewrites (compact/overwrite) break the superset relation and
+  * correctly stop the rewrite until re-registration.
+  *
   * Freshness is the registration's contract: [[register]] snapshots the
   * mart's CURRENT version (register after each maintenance cycle, the
-  * allowed-staleness model every MV rewriter documents); fact-table
-  * identity is recognized by scan paths under the registered root, so
-  * only reads of THAT manifest table rewrite.
+  * allowed-staleness model every MV rewriter documents).
   */
 object MartRewrite extends Rule[LogicalPlan] {
 
   private final case class Reg(
       factRoot: String,
+      factFiles: Set[String],
       keyCol: String,
       valueCol: String,
       martPlan: LogicalPlan)
@@ -46,15 +65,22 @@ object MartRewrite extends Rule[LogicalPlan] {
 
   /** Route future count/sum aggregates on `factRoot` (grouped by
     * `keyCol`, summing `valueCol`) to the mart at `martRoot`, as of the
-    * mart's CURRENT version. Re-register after each maintenance cycle
-    * to advance the snapshot. Also injects the rule (idempotently). */
+    * mart's CURRENT version and the fact table's CURRENT file set.
+    * Re-register after each maintenance cycle to advance both
+    * snapshots. Also injects the rule (idempotently). */
   def register(spark: SparkSession, factRoot: String, keyCol: String,
       valueCol: String, martRoot: String): Unit = {
     val martPlan = GraftSqlBridge.analyzed(
       graft.sources.ManifestTable.read(spark, martRoot))
     require(Seq(keyCol, "n_rows", "total").forall(c => martPlan.output.exists(_.name == c)),
       s"$martRoot is not a maintained (key, n_rows, total) agg mart for key '$keyCol'")
-    regs.put(factRoot, Reg(factRoot, keyCol, valueCol, martPlan))
+    val factVersions = graft.sources.ManifestTable.versions(spark, factRoot)
+    require(factVersions.nonEmpty, s"$factRoot is not a manifest table")
+    val factFiles = graft.sources.ManifestTable
+      .manifestFiles(spark, factRoot, factVersions.max)
+      .map(p => normalize(if (p.startsWith("/")) p else s"$factRoot/$p"))
+      .toSet
+    regs.put(factRoot, Reg(factRoot, factFiles, keyCol, valueCol, martPlan))
     if (!spark.experimental.extraOptimizations.contains(MartRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ MartRewrite
@@ -63,17 +89,26 @@ object MartRewrite extends Rule[LogicalPlan] {
   /** Drop a registration (tests; decommissioned marts). */
   def deregister(factRoot: String): Unit = { regs.remove(factRoot); () }
 
-  /** The registered fact table whose files this subtree scans, if any:
-    * a LogicalRelation (under an attribute-only Project, the shape
-    * column pruning leaves) whose every path sits under one root. */
-  private def scanOf(plan: LogicalPlan): Option[Reg] = plan match {
+  private def normalize(p: String): String = new Path(p).toUri.getPath
+
+  /** The registered fact table this subtree PROVABLY scans in full —
+    * a LogicalRelation (under attribute-only Projects and at most a
+    * key-only Filter, the shapes pruning and pushdown leave) whose
+    * input files cover the registered version's file set — plus the
+    * combined Filter condition sitting between aggregate and scan. */
+  private def scanOf(plan: LogicalPlan): Option[(Reg, Option[Expression])] = plan match {
     case p: Project if p.projectList.forall(_.isInstanceOf[Attribute]) =>
       scanOf(p.child)
+    case f: Filter =>
+      scanOf(f.child).map { case (reg, cond) =>
+        (reg, Some(cond.map(And(f.condition, _)).getOrElse(f.condition)))
+      }
     case lr: LogicalRelation => lr.relation match {
       case fsr: HadoopFsRelation =>
-        val paths = fsr.location.rootPaths.map(_.toUri.getPath)
-        regs.values().asScala.find(r =>
-          paths.nonEmpty && paths.forall(_.startsWith(r.factRoot + "/")))
+        val scanned = fsr.location.inputFiles.map(normalize).toSet
+        regs.values().asScala
+          .find(r => r.factFiles.nonEmpty && r.factFiles.subsetOf(scanned))
+          .map(r => (r, None))
       case _ => None
     }
     case _ => None
@@ -117,11 +152,22 @@ object MartRewrite extends Rule[LogicalPlan] {
     plan.transform {
       case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _) =>
         scanOf(child) match {
-          case Some(reg) if g.name == reg.keyCol =>
+          case Some((reg, cond)) if g.name == reg.keyCol &&
+              // a filter is pushable iff deterministic and over the
+              // grouping KEY alone (group-preserving by definition)
+              cond.forall(c => c.deterministic &&
+                c.references.forall(_.exprId == g.exprId)) =>
             val outs = aggExprs.map(replacement(_, reg, g))
-            if (outs.forall(_.isDefined))
-              Project(outs.map(_.get), reg.martPlan)
-            else agg
+            if (outs.forall(_.isDefined)) {
+              val martKey = reg.martPlan.output.find(_.name == reg.keyCol).get
+              val base = cond match {
+                case Some(c) => Filter(c.transform {
+                  case a: AttributeReference if a.exprId == g.exprId => martKey
+                }, reg.martPlan)
+                case None => reg.martPlan
+              }
+              Project(outs.map(_.get), base)
+            } else agg
           case _ => agg
         }
     }

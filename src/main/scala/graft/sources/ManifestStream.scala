@@ -61,10 +61,13 @@ class ManifestStreamSourceProvider extends StreamSourceProvider with DataSourceR
       parameters: Map[String, String]): (String, StructType) = {
     val root = rootOf(parameters)
     val spark = sqlContext.sparkSession
+    // the stream serves the VISIBLE schema — drop tombstones never leak
+    // into sourceSchema, and a renamed column streams under its logical
+    // name (getBatch reads through the physical mapping)
     val resolved = schema.orElse {
       val vs = ManifestTable.versions(spark, root)
       require(vs.nonEmpty, s"$root is not a manifest table (create it before streaming)")
-      ManifestTable.schemaOf(spark, root, vs.max)
+      ManifestTable.schemaOf(spark, root, vs.max).map(ManifestTable.visibleSchema)
     }.getOrElse(throw new IllegalArgumentException(
       s"$root has a pre-schema manifest log and no user schema was given"))
     // the change feed serves table rows TAGGED with _change_type
@@ -181,7 +184,23 @@ class ManifestStreamSource(
       s"deletion vector changed between v$startV and v$endV of $root (rows removed merge-on-read) — " +
         "the stream cannot express it as a delta; restart the query against the new table state")
     val added = cur.filterNot(old)
-    GraftSqlBridge.streamingParquetBatch(spark, schema, added.map(p => s"$root/$p"))
+    // read the added files through the committed schema at endV — the
+    // physical-schema scan + logical alias path — so a metadata-only
+    // renameColumn streams real bytes under the logical name instead of
+    // all-NULL, and drop tombstones never surface. The select pins the
+    // batch to the schema fixed at query start (a column renamed or
+    // dropped AFTER the stream started fails loudly here, the same
+    // restart contract as a non-append change).
+    val committed =
+      if (added.isEmpty) None else ManifestTable.schemaOf(spark, root, endV)
+    committed match {
+      case Some(s) =>
+        GraftSqlBridge.asStreaming(
+          ManifestTable.readFiles(spark, root, Some(s), added)
+            .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*))
+      case None =>
+        GraftSqlBridge.streamingParquetBatch(spark, schema, added.map(p => s"$root/$p"))
+    }
   }
 
   override def commit(end: OffsetV1): Unit = ()

@@ -584,7 +584,7 @@ object ManifestTable {
     f.metadata.contains(DroppedKey) && f.metadata.getBoolean(DroppedKey)
 
   /** The schema readers serve: every field except drop tombstones. */
-  private def visibleSchema(
+  private[sources] def visibleSchema(
       s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(s.fields.filterNot(isDropped))
 
@@ -617,7 +617,7 @@ object ManifestTable {
     * dropped column is never requested, so its bytes are never even
     * decoded — parquet reads by name), then alias — a pure projection,
     * free at any scale. */
-  private def readFiles(spark: SparkSession, root: String,
+  private[sources] def readFiles(spark: SparkSession, root: String,
       schema: Option[org.apache.spark.sql.types.StructType],
       paths: Seq[String],
       dv: Option[String] = None): DataFrame = dv match {
@@ -1791,11 +1791,17 @@ object ManifestTable {
       else read(spark, root)
     val schemaJson = tipSchema.map(_.json).getOrElse(read(spark, root).schema.json)
     val staged = stage(spark, root, toPhysical(current.repartition(nFiles), tipSchema))
+    // the committed partition spec SURVIVES a full rewrite (the
+    // evolvePartitionSpec contract: OPTIMIZE collects virtual stats for
+    // all committed transforms), matching compactSmall
+    val tipTransforms = transformsOf(spark, root, tipV)
     val stats = ManifestStats.collect(spark, root, staged,
-      toPhysicalCols(tipSchema, statsColumns), toPhysicalCols(tipSchema, bloomColumns))
+      toPhysicalCols(tipSchema, statsColumns), toPhysicalCols(tipSchema, bloomColumns),
+      virtualCols = tipTransforms.map(t => t.name -> t.expr))
     (commit(spark, root, "compact", staged, _ => Seq.empty,
       tip => manifestMeta(spark, root, tip).filter(k =>
-        k._1.startsWith(CheckPrefix) || k._1.startsWith(GenPrefix) ||
+        k._1 == TransformsKey ||
+          k._1.startsWith(CheckPrefix) || k._1.startsWith(GenPrefix) ||
           rowTrackingMeta(k._1)) ++
         storedMarks(staged, tracked) + (SchemaKey -> schemaJson),
       _ => stats), staged.size)
@@ -2134,19 +2140,31 @@ object ManifestTable {
     val planned = manifestFiles(spark, root, v0)
     val tableSchema = schemaOf(spark, root, v0)
     val (affected, untouched, _) = pruneFiles(spark, root, predicate, Some(v0))
+    if (affected.isEmpty) return (v0, MergeStats(0, untouched.size, 0))
     val oldDv = deletionVector(spark, root, v0)
+    val oldRows = oldDv.map(p => dvFrame(spark, root, p))
+      .getOrElse(emptyDvFrame(spark))
     // already-deleted positions that re-match the predicate re-enter
     // here and are deduped by the distinct — the union is idempotent
-    val newlyDeleted =
-      if (affected.isEmpty) emptyDvFrame(spark)
-      else readFilesWithPos(spark, root, tableSchema, affected)
-        .filter(coalesce(predicate, lit(false)))
-        .select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
-    val allRows = oldDv.map(p => dvFrame(spark, root, p))
-      .getOrElse(emptyDvFrame(spark))
-      .unionByName(newlyDeleted).distinct()
+    val newlyDeleted = readFilesWithPos(spark, root, tableSchema, affected)
+      .filter(coalesce(predicate, lit(false)))
+      .select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
+      .persist()
+    // zero-match short circuit: a predicate that deletes nothing must
+    // stay INVISIBLE to incremental consumers — committing a fresh
+    // (byte-identical) vector would change DvKey and spuriously force
+    // change-feed/plain-stream full refreshes and demote history row
+    // counts to "unknown" for a no-op
+    val anyFresh = newlyDeleted
+      .join(oldRows, Seq("file", "pos"), "left_anti").limit(1).count()
+    if (anyFresh == 0L) {
+      newlyDeleted.unpersist()
+      return (v0, MergeStats(0, planned.size, 0))
+    }
+    val allRows = oldRows.unionByName(newlyDeleted).distinct()
     val rel = s"$DvDir/dv-${UUID.randomUUID()}"
     allRows.write.parquet(s"$root/$rel")
+    newlyDeleted.unpersist()
     val version = commit(spark, root, "delete-mor", Seq.empty,
       tip => {
         val cur = manifestFiles(spark, root, tip)
@@ -2346,11 +2364,16 @@ object ManifestTable {
     val schemaJson = tipSchema.map(_.json).getOrElse(read(spark, root).schema.json)
     val staged = stage(spark, root,
       toPhysical(ZOrder.cluster(current, zCols, nFiles), tipSchema))
+    // carry the committed partition spec alongside the z-order layout
+    // and re-collect its virtual stats (the compactSmall contract)
+    val tipTransforms = transformsOf(spark, root, tipV)
     val stats = ManifestStats.collect(spark, root, staged,
-      toPhysicalCols(tipSchema, zCols), toPhysicalCols(tipSchema, bloomColumns))
+      toPhysicalCols(tipSchema, zCols), toPhysicalCols(tipSchema, bloomColumns),
+      virtualCols = tipTransforms.map(t => t.name -> t.expr))
     (commit(spark, root, "zorder", staged, _ => Seq.empty,
       tip => manifestMeta(spark, root, tip).filter(k =>
-        k._1.startsWith(CheckPrefix) || k._1.startsWith(GenPrefix) ||
+        k._1 == TransformsKey ||
+          k._1.startsWith(CheckPrefix) || k._1.startsWith(GenPrefix) ||
           rowTrackingMeta(k._1)) ++
         storedMarks(staged, tracked) + (SchemaKey -> schemaJson),
       _ => stats), staged.size)

@@ -37,6 +37,32 @@ class DeletionVectorSpec extends SparkSpec {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("zero-match deleteMor is invisible: no commit, no DvKey churn, incremental consumers unaffected") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root, orders, statsColumns = Seq("o_orderkey"))
+    // predicate matching nothing: no new version at all
+    val (v1, st1) = ManifestTable.deleteMor(spark, root, col("o_orderkey") < 0)
+    assert(v1 === 1L && st1.newFiles === 0,
+      "a zero-match MOR delete must return the tip without committing")
+    assert(ManifestTable.versions(spark, root) === Seq(1L))
+    assert(ManifestTable.deletionVector(spark, root, v1).isEmpty)
+    // a real delete, then the SAME predicate again: every matching
+    // position is already in the vector, so the re-delete is a no-op
+    // too — DvKey churn here would force spurious change-feed refusals
+    val pred = col("o_orderkey") % 7 === 0
+    val (v2, _) = ManifestTable.deleteMor(spark, root, pred)
+    assert(v2 === 2L)
+    val dv2 = ManifestTable.deletionVector(spark, root, v2)
+    val (v3, st3) = ManifestTable.deleteMor(spark, root, pred)
+    assert(v3 === v2 && st3.newFiles === 0,
+      "re-deleting already-deleted rows must not commit")
+    assert(ManifestTable.deletionVector(spark, root,
+      ManifestTable.versions(spark, root).max) === dv2, "DvKey must not churn")
+    // the change window over the no-op is empty, not a refusal
+    val (feed, tip) = ManifestTable.readChangesWithDeletes(spark, root, v2)
+    assert(tip === v2 && feed.isEmpty)
+  }
+
   test("NULL predicate keeps the row (SQL DELETE semantics), same as COW") {
     val root = freshRoot()
     val base = orders.filter(col("o_orderkey") <= 500)

@@ -588,6 +588,44 @@ class ManifestTableSpec extends SparkSpec {
     assert(dropped.nonEmpty)
   }
 
+  test("manifest stream reads through column mapping: renamed columns stream real bytes, tombstones hidden") {
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("st_rename_ckpt").toFile.getAbsolutePath
+    val half = orders.filter(col("o_orderkey") < 700L)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val rest = orders.filter(col("o_orderkey") >= 700L)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    ManifestTable.create(spark, root, half)
+    ManifestTable.renameColumn(spark, root, "o_totalprice", "total_price")
+    ManifestTable.dropColumn(spark, root, "o_orderstatus")
+    val stream = spark.readStream
+      .format("graft.sources.ManifestStreamSourceProvider").load(root)
+    // sourceSchema serves the VISIBLE logical schema: renamed name in,
+    // tombstone out
+    assert(stream.schema.fieldNames.toSeq === Seq("o_orderkey", "total_price"),
+      s"stream schema must be the visible logical one, got ${stream.schema.fieldNames.mkString(",")}")
+    val rows = new java.util.concurrent.atomic.AtomicLong()
+    val nulls = new java.util.concurrent.atomic.AtomicLong()
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        rows.addAndGet(b.count())
+        nulls.addAndGet(b.filter(col("total_price").isNull).count()); ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(rows.get() === half.count())
+      assert(nulls.get() === 0L,
+        "renamed column must stream REAL bytes, not the all-NULL logical-name scan")
+      // an append landed mid-stream reads through the mapping too
+      ManifestTable.append(spark, root,
+        rest.withColumnRenamed("o_totalprice", "total_price").drop("o_orderstatus"))
+      q.processAllAvailable()
+      assert(rows.get() === orders.count())
+      assert(nulls.get() === 0L)
+    } finally q.stop()
+  }
+
   test("renameColumn guards: duplicates, missing columns, physical shadowing") {
     val root = freshRoot()
     ManifestTable.create(spark, root, orders)
@@ -834,6 +872,36 @@ class ManifestTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ManifestTable.dropPartitionField(spark, root, "nope")
     }
+  }
+
+  test("compact and zorder CARRY the partition spec and re-collect its virtual stats") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root, orders, statsColumns = Seq("o_orderkey"))
+    ManifestTable.optimizeClusterBy(spark, root,
+      graft.sources.BucketTransform(16, "o_orderkey"),
+      targetFileBytes = math.max(1L, ManifestTable.tableBytes(spark, root) / 8),
+      statsColumns = Seq("o_orderkey"))
+    def specNames(v: Long) = ManifestTable.transformsOf(spark, root, v).map(_.name)
+    assert(specNames(ManifestTable.versions(spark, root).max) ===
+      Seq("bucket_16_o_orderkey"))
+    // full compact: spec survives AND the rewritten files prune on it
+    val (vC, _) = ManifestTable.compact(spark, root,
+      targetFileBytes = math.max(1L, ManifestTable.tableBytes(spark, root) / 8),
+      statsColumns = Seq("o_orderkey"))
+    assert(specNames(vC) === Seq("bucket_16_o_orderkey"),
+      "compact must carry the committed partition spec")
+    // the rewritten files carry RE-COLLECTED virtual stats for the spec
+    // (layout is compact's own, so pruning power varies — presence is
+    // the contract)
+    val statsC = ManifestTable.fileStats(spark, root, vC)
+    assert(statsC.nonEmpty && statsC.values.forall(
+      _.cols.contains("bucket_16_o_orderkey")),
+      "compacted files must carry virtual transform stats")
+    // zorder on another column: spec still survives alongside the layout
+    val (vZ, _) = ManifestTable.optimizeZOrder(spark, root,
+      Seq("o_custkey"), targetFileBytes = math.max(1L, ManifestTable.tableBytes(spark, root) / 8))
+    assert(specNames(vZ) === Seq("bucket_16_o_orderkey"),
+      "zorder must carry the committed partition spec")
   }
 
   test("CHECK constraints: add validates existing rows; append/merge/overwrite enforce; drop releases") {

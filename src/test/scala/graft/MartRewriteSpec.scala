@@ -76,6 +76,73 @@ class MartRewriteSpec extends SparkSpec {
     } finally MartRewrite.deregister(fact)
   }
 
+  test("a deterministic filter on the GROUP KEY rides the rewrite onto the mart") {
+    val fact = freshRoot("mv_fact_kf")
+    val mart = freshRoot("mv_mart_kf")
+    ManifestTable.create(spark, fact, orders)
+    LakeOps.maintainAggMart(spark, fact, mart, "o_orderstatus", "o_totalprice")
+    def keyFiltered = ManifestTable.read(spark, fact)
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), ExactSums.dsum(col("o_totalprice")).as("total_price"))
+    val direct = keyFiltered.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    MartRewrite.register(spark, fact, "o_orderstatus", "o_totalprice", mart)
+    try {
+      val q = keyFiltered
+      val martName = new java.io.File(mart).getName
+      assert(scansUnder(q).exists(_.contains(martName)),
+        s"key-filtered aggregate must scan the mart:\n${q.queryExecution.executedPlan}")
+      assert(!scansUnder(q).exists(_.contains(new java.io.File(fact).getName)),
+        "the fact table must not be scanned at all")
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === direct, "key-filtered mart results must be bit-identical")
+      // a NON-key filter still refuses (group-preservation unprovable)
+      val nk = ManifestTable.read(spark, fact)
+        .filter(col("o_totalprice") > 1000).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+      assert(!scansUnder(nk).exists(_.contains(martName)),
+        "non-key filters must NOT rewrite")
+    } finally MartRewrite.deregister(fact)
+  }
+
+  test("time travel and file-subset scans never rewrite; a post-registration overwrite stops the rewrite") {
+    val fact = freshRoot("mv_fact_tt")
+    val mart = freshRoot("mv_mart_tt")
+    val f = orders.filter(col("o_orderstatus") === "F")
+    ManifestTable.create(spark, fact, f) // v1
+    ManifestTable.append(spark, fact, orders.filter(col("o_orderstatus") =!= "F")) // v2
+    LakeOps.maintainAggMart(spark, fact, mart, "o_orderstatus", "o_totalprice")
+    MartRewrite.register(spark, fact, "o_orderstatus", "o_totalprice", mart)
+    try {
+      val martName = new java.io.File(mart).getName
+      // a TIME-TRAVEL read at v1 scans a PROPER SUBSET of the
+      // registered files — serving tip-mart numbers for it would be
+      // wrong results, not staleness
+      val tt = ManifestTable.read(spark, fact, Some(1L)).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+      assert(!scansUnder(tt).exists(_.contains(martName)),
+        s"time travel must NOT rewrite:\n${tt.queryExecution.executedPlan}")
+      assert(tt.collect().map(r => (r.getString(0), r.getLong(1))).toMap ===
+        Map("F" -> f.count()), "time travel must serve v1's true content")
+      // an explicit file-subset scan (what readPrunedByKeys produces)
+      val subset = ManifestTable.manifestFiles(spark, fact, 1L)
+        .map(p => s"$fact/$p")
+      val sub = spark.read.parquet(subset: _*).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+      assert(!scansUnder(sub).exists(_.contains(martName)),
+        "a file-subset scan must NOT rewrite")
+      // an overwrite breaks the superset relation: the rewrite stops
+      // (fresh fact truth is served) until re-registration
+      ManifestTable.overwrite(spark, fact, orders.limit(7))
+      val post = ManifestTable.read(spark, fact).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+      assert(!scansUnder(post).exists(_.contains(martName)),
+        "post-overwrite tip scans must NOT rewrite against a pre-overwrite registration")
+      assert(post.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0) === 7L)
+    } finally MartRewrite.deregister(fact)
+  }
+
   test("registration snapshots the mart: stale until re-registered after maintenance") {
     val fact = freshRoot("mv_fact3")
     val mart = freshRoot("mv_mart3")
