@@ -3635,6 +3635,50 @@ object SparkEntry {
           col("total").cast("double").as("total_price"))
     }),
 
+    "lake31_log_tiering" -> ((s, dir) => {
+      // the TIERED manifest log (Delta checkpoints + delta actions;
+      // Iceberg manifest-list → manifests): a snapshot per commit is
+      // O(files·versions) storage — the first wall a streaming sink
+      // committing every micro-batch hits. 14 commits land as a
+      // create checkpoint + per-commit DELTAS with a forced full
+      // snapshot at v10; pins: the stored forms (delta vs checkpoint),
+      // the delta being a small fraction of the snapshot beside it,
+      // TIME TRAVEL through the chain serving the exact v7 prefix, and
+      // vacuum materializing the oldest retained delta before dropping
+      // its chain. Face: the tip read grouped by status, replayed by
+      // the oracle from raw orders.
+      val root = java.nio.file.Files.createTempDirectory("lake31_log").toString
+      val orders = t(s, dir, "orders")
+      val MT = graft.sources.ManifestTable
+      def slice(i: Int) = orders.filter(pmod(col("o_orderkey"), lit(14)) === i)
+      MT.create(s, root, slice(0).coalesce(1), statsColumns = Seq("o_orderkey"))
+      (1 until 14).foreach(i =>
+        MT.append(s, root, slice(i).coalesce(1), statsColumns = Seq("o_orderkey")))
+      def head(v: Long) = {
+        val p = java.nio.file.Paths.get(root, "_graft_log", f"v$v%08d.manifest")
+        val src = scala.io.Source.fromFile(p.toFile)
+        try src.getLines().next() finally src.close()
+      }
+      def bytes(v: Long) =
+        java.nio.file.Paths.get(root, "_graft_log", f"v$v%08d.manifest").toFile.length()
+      def isDelta(v: Long) = head(v).startsWith("# graft-manifest-delta ")
+      val forms = !isDelta(1L) && !isDelta(10L) &&
+        ((2L to 9L) ++ (11L to 14L)).forall(isDelta)
+      val small = bytes(11L) < bytes(10L) / 3
+      val ttV7 = MT.read(s, root, Some(7L)).count()
+      MT.vacuum(s, root, keepVersions = 3)
+      val ckptMaterialized = java.nio.file.Paths
+        .get(root, "_graft_log", "v00000012.checkpoint").toFile.exists() &&
+        MT.versions(s, root) == Seq(12L, 13L, 14L)
+      MT.read(s, root).groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .select(lit(forms).as("delta_forms"), lit(small).as("delta_small"),
+          lit(ckptMaterialized).as("vacuum_checkpointed"),
+          lit(ttV7).as("n_at_v7"),
+          col("o_orderstatus"), col("n_orders"), col("total_price"))
+    }),
+
     "lake28_row_tracking" -> ((s, dir) => {
       // row tracking (Delta row tracking / Iceberg v3 row lineage):
       // every row carries an immutable table-unique id — fresh files as
@@ -6028,6 +6072,18 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n_orders,
          |       ${dsumSql("v")} AS total_price
          |FROM final GROUP BY o_orderstatus""").stripMargin,
+
+    "lake31_log_tiering" -> // storage form and vacuum materialization
+      // pinned in-engine; the oracle re-derives the time-travel prefix
+      // (slices 0..6 of the pmod-14 cut) and the tip aggregate
+      (s"""SELECT TRUE AS delta_forms, TRUE AS delta_small,
+         |       TRUE AS vacuum_checkpointed,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM orders
+         |        WHERE ((o_orderkey % 14) + 14) % 14 <= 6) AS n_at_v7,
+         |       o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders GROUP BY o_orderstatus""").stripMargin,
 
     "lake28_row_tracking" -> // the face is the post-lifecycle content
       // (everything but the %3 deletes); id uniqueness and rewrite

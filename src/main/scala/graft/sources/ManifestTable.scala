@@ -87,12 +87,205 @@ object ManifestTable {
       .toSeq.sorted
   }
 
-  private def manifestText(spark: SparkSession, root: String, version: Long): String = {
+  private def rawText(spark: SparkSession, root: String, version: Long): String = {
     val f = fs(spark, root)
     val in = f.open(manifestPath(root, version))
     try new String(
       org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
     finally in.close()
+  }
+
+  /** The FULL manifest text of `version` — resolving through the tiered
+    * log's delta chain when the stored form is a delta (see
+    * [[composeTiered]]). Every consumer above this point (files, meta,
+    * stats, ops, history, CDF, streams) is delta-oblivious. */
+  private def manifestText(spark: SparkSession, root: String, version: Long): String = {
+    val raw = rawText(spark, root, version)
+    if (!isDelta(raw)) raw
+    else resolvedCached(root, version) {
+      // walk back to the nearest full snapshot (or vacuum-materialized
+      // .checkpoint sidecar), then replay the deltas forward. The chain
+      // is contiguous (a delta's base is always version-1) and bounded
+      // by CheckpointInterval.
+      val chain = mutable.Buffer(raw) // deltas, newest first
+      var v = deltaBaseOf(raw)
+      var full: String = null
+      while (full == null) {
+        val ck = checkpointPath(root, v)
+        val f = fs(spark, root)
+        if (f.exists(ck)) {
+          val in = f.open(ck)
+          try full = new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+          finally in.close()
+        } else {
+          val t = rawText(spark, root, v)
+          if (isDelta(t)) { chain += t; v = deltaBaseOf(t) }
+          else full = t
+        }
+      }
+      chain.reverseIterator.foldLeft(full)(applyDelta)
+    }
+  }
+
+  /** Full snapshot every Nth version bounds every delta-resolution walk
+    * (the Delta-checkpoint / Iceberg-manifest-list cadence). */
+  private val CheckpointInterval = 10L
+  private val DeltaHeader = "# graft-manifest-delta "
+  private val MetaPlusPrefix = "# meta+:"
+  private val MetaMinusPrefix = "# meta-:"
+  private val StatsPlusPrefix = "# stats+:"
+  private val StatsMinusPrefix = "# stats-:"
+
+  private def isDelta(text: String): Boolean = text.startsWith(DeltaHeader)
+
+  private def deltaBaseOf(delta: String): Long =
+    delta.linesIterator.next().split(' ')
+      .collectFirst { case s if s.startsWith("base=") => s.stripPrefix("base=").toLong }
+      .getOrElse(throw new IllegalStateException("delta manifest without base"))
+
+  private def checkpointPath(root: String, v: Long): Path =
+    new Path(s"$root/$LogDir/" + f"v$v%08d" + ".checkpoint")
+
+  /** Resolved-text LRU — manifests are immutable after publish, so
+    * (root, version) keys never go stale; the cache just spares the
+    * repeated chain walks of hot tips. */
+  private val resolvedCache =
+    new java.util.LinkedHashMap[String, String](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, String]): Boolean =
+        size() > 48
+    }
+
+  private def resolvedCached(root: String, version: Long)(compute: => String): String = {
+    val key = s"$root#$version"
+    resolvedCache.synchronized {
+      val hit = resolvedCache.get(key)
+      if (hit != null) return hit
+    }
+    val text = compute
+    resolvedCache.synchronized { resolvedCache.put(key, text) }
+    text
+  }
+
+  /** Structural pieces of a FULL manifest text (raw lines preserved so
+    * re-rendering is byte-exact). */
+  private final case class Parsed(
+      header: String,
+      metaLines: Map[String, String], // meta key -> full "# meta:..." line
+      statsLines: scala.collection.immutable.ListMap[String, String], // stats path -> full line
+      files: Seq[String])
+
+  private def parseFull(text: String): Parsed = {
+    val meta = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val stats = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val files = mutable.Buffer.empty[String]
+    var header = ""
+    text.linesIterator.foreach {
+      case l if l.startsWith(MetaPrefix) =>
+        meta += l.stripPrefix(MetaPrefix).split("=", 2)(0) -> l
+      case l if l.startsWith(StatsPrefix) =>
+        val payload = l.stripPrefix(StatsPrefix)
+        stats += java.net.URLDecoder.decode(
+          payload.split('|')(0), StandardCharsets.UTF_8) -> l
+      case l if l.startsWith("#") => if (header.isEmpty) header = l
+      case l if l.trim.nonEmpty => files += l
+      case _ =>
+    }
+    Parsed(header, meta.toMap,
+      scala.collection.immutable.ListMap.from(stats), files.toSeq)
+  }
+
+  /** Replay one delta over a resolved full text → the next full text,
+    * rendered exactly as [[composeBody]] renders (header, meta sorted
+    * by key, per-file stats in file order then the rollup, file list).
+    * The writer's self-check in [[composeTiered]] guarantees the
+    * reproduction is byte-exact before a delta is ever published. */
+  private def applyDelta(baseFull: String, delta: String): String = {
+    val base = parseFull(baseFull)
+    var version = 0L
+    var op = ""
+    delta.linesIterator.next().stripPrefix(DeltaHeader).split(' ').foreach {
+      case s if s.startsWith("version=") => version = s.stripPrefix("version=").toLong
+      case s if s.startsWith("op=") => op = s.stripPrefix("op=")
+      case _ =>
+    }
+    val metaPlus = mutable.LinkedHashMap.empty[String, String]
+    val metaMinus = mutable.Set.empty[String]
+    val statsPlus = mutable.LinkedHashMap.empty[String, String]
+    val statsMinus = mutable.Set.empty[String]
+    val adds = mutable.Buffer.empty[String]
+    val removes = mutable.Set.empty[String]
+    delta.linesIterator.drop(1).foreach {
+      case l if l.startsWith(MetaPlusPrefix) =>
+        val kv = l.stripPrefix(MetaPlusPrefix)
+        metaPlus += kv.split("=", 2)(0) -> (MetaPrefix + kv)
+      case l if l.startsWith(MetaMinusPrefix) =>
+        metaMinus += l.stripPrefix(MetaMinusPrefix)
+      case l if l.startsWith(StatsPlusPrefix) =>
+        val payload = l.stripPrefix(StatsPlusPrefix)
+        statsPlus += java.net.URLDecoder.decode(
+          payload.split('|')(0), StandardCharsets.UTF_8) -> (StatsPrefix + payload)
+      case l if l.startsWith(StatsMinusPrefix) =>
+        statsMinus += l.stripPrefix(StatsMinusPrefix)
+      case l if l.startsWith("+") => adds += l.stripPrefix("+")
+      case l if l.startsWith("-") => removes += l.stripPrefix("-")
+      case _ =>
+    }
+    val files = base.files.filterNot(removes) ++ adds
+    val meta = (base.metaLines -- metaMinus) ++ metaPlus
+    val stats = (base.statsLines -- removes -- statsMinus) ++ statsPlus
+    val body = new StringBuilder(s"# graft-manifest version=$version op=$op\n")
+    meta.toSeq.sortBy(_._1).foreach { case (_, l) => body.append(l).append('\n') }
+    files.foreach(p => stats.get(p).foreach(l => body.append(l).append('\n')))
+    stats.get(ManifestStats.RollupKey).foreach(l => body.append(l).append('\n'))
+    files.foreach(p => body.append(p).append('\n'))
+    body.toString
+  }
+
+  /** The tiered serialization point [[commit]] publishes through: the
+    * full snapshot is always composed (it is the semantic truth and the
+    * self-check target); a DELTA against version-1 is written instead
+    * whenever (a) this isn't a checkpoint version, (b) the op kept the
+    * carried files in base order with adds appended (every append /
+    * merge / MOR / metadata op does; restore may not), (c) the diff is
+    * actually smaller than the snapshot (an overwrite isn't — it
+    * checkpoints naturally), and (d) replaying the delta over the base
+    * reproduces the snapshot BYTE-FOR-BYTE (the unconditional
+    * correctness gate — diff bugs degrade to a full write, never to a
+    * wrong manifest). */
+  private def composeTiered(spark: SparkSession, root: String, next: Long,
+      op: String, meta: Map[String, String], allFiles: Seq[String],
+      stats: Map[String, ManifestStats.FileStats]): String = {
+    val full = composeBody(next, op, meta, allFiles, stats)
+    if (next <= 1 || next % CheckpointInterval == 0) return full
+    val baseText =
+      try manifestText(spark, root, next - 1)
+      catch { case _: Exception => return full }
+    val base = parseFull(baseText)
+    val cur = parseFull(full)
+    val curSet = cur.files.toSet
+    val baseSet = base.files.toSet
+    val adds = cur.files.filterNot(baseSet)
+    val removes = base.files.filterNot(curSet)
+    if (cur.files != base.files.filter(curSet) ++ adds) return full
+    val metaPlus = cur.metaLines.filter { case (k, l) => base.metaLines.get(k) != Some(l) }
+    val metaMinus = base.metaLines.keySet -- cur.metaLines.keySet
+    val statsPlus = cur.statsLines.filter { case (k, l) => base.statsLines.get(k) != Some(l) }
+    val statsMinus = (base.statsLines.keySet -- cur.statsLines.keySet) -- removes
+    val deltaLines = adds.size + removes.size + metaPlus.size + metaMinus.size +
+      statsPlus.size + statsMinus.size
+    if (deltaLines >= cur.files.size + cur.statsLines.size + cur.metaLines.size) return full
+    val d = new StringBuilder(s"${DeltaHeader}version=$next op=$op base=${next - 1}\n")
+    metaPlus.toSeq.sortBy(_._1).foreach { case (_, l) =>
+      d.append(MetaPlusPrefix).append(l.stripPrefix(MetaPrefix)).append('\n') }
+    metaMinus.toSeq.sorted.foreach(k => d.append(MetaMinusPrefix).append(k).append('\n'))
+    statsPlus.foreach { case (_, l) =>
+      d.append(StatsPlusPrefix).append(l.stripPrefix(StatsPrefix)).append('\n') }
+    statsMinus.toSeq.sorted.foreach(p => d.append(StatsMinusPrefix).append(p).append('\n'))
+    removes.foreach(p => d.append('-').append(p).append('\n'))
+    adds.foreach(p => d.append('+').append(p).append('\n'))
+    val delta = d.toString
+    if (applyDelta(baseText, delta) != full) full else delta
   }
 
   /** The file list a given version names (root-relative paths). */
@@ -1295,7 +1488,7 @@ object ManifestTable {
       // like the file base — an append's widened schema must widen the
       // WINNER's schema, not the one this committer first read
       val meta = metaWithTxnCarry(spark, root, tip, metaAt(tip))
-      val body = composeBody(next, op, meta, base(tip) ++ newFiles, statsAt(tip))
+      val body = composeTiered(spark, root, next, op, meta, base(tip) ++ newFiles, statsAt(tip))
       // the atomic publish: rename refuses an existing destination, so
       // exactly one of two racing committers wins version `next`
       if (publishRaw(spark, root, next, body)) return next
@@ -1392,10 +1585,14 @@ object ManifestTable {
     else { f.delete(tmp, false); false }
   }
 
-  /** The raw text of `version`'s manifest — [[ManifestCatalog]]'s
-    * recovery compares staged bodies against published occupants. */
+  /** The raw STORED text of `version`'s manifest (full or delta form,
+    * un-resolved) — [[ManifestCatalog]]'s recovery compares staged
+    * bodies byte-for-byte against published occupants, and staged
+    * bodies are always the full form ([[composeBody]]), so an occupant
+    * in delta form is by construction a direct write racing the
+    * catalog. */
   private[sources] def rawManifestText(spark: SparkSession, root: String,
-      version: Long): String = manifestText(spark, root, version)
+      version: Long): String = rawText(spark, root, version)
 
   /** Create the table (version 1). Fails if a log already exists.
     * `statsColumns` opts files into per-file min/max/nullCount stats for
@@ -2554,7 +2751,27 @@ object ManifestTable {
     require(vs.nonEmpty, s"$root is not a manifest table")
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
     val live: Set[String] = keep.flatMap(v => manifestFiles(spark, root, v)).toSet
-    drop.foreach(v => f.delete(manifestPath(root, v), false))
+    // tiered log: the oldest retained version may be stored as a DELTA
+    // whose resolution chain crosses into the drop set (all later
+    // retained deltas chain through it, never past it — a delta's base
+    // is always version-1). Materialize its resolved text as a
+    // .checkpoint sidecar BEFORE the chain is deleted; racing vacuums
+    // write identical bytes, so the lost rename is ignored.
+    keep.headOption.foreach { oldest =>
+      if (drop.nonEmpty && isDelta(rawText(spark, root, oldest)) &&
+          !f.exists(checkpointPath(root, oldest))) {
+        val resolved = manifestText(spark, root, oldest)
+        val tmp = new Path(s"$root/$LogDir/.tmp-${UUID.randomUUID()}")
+        val out = f.create(tmp, false)
+        try out.write(resolved.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        if (!f.rename(tmp, checkpointPath(root, oldest))) f.delete(tmp, false)
+      }
+    }
+    drop.foreach { v =>
+      f.delete(manifestPath(root, v), false)
+      f.delete(checkpointPath(root, v), false)
+    }
     val dataRoot = new Path(s"$root/$DataDir")
     var deleted = 0
     if (f.exists(dataRoot)) {

@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.ManifestTable
+
+/** The tiered manifest log (delta actions + periodic checkpoints — the
+  * Delta-checkpoint / Iceberg-manifest-list idea in the repo's text
+  * format): a snapshot per commit is O(files·versions) storage and
+  * O(files) text per commit, which a streaming sink committing every
+  * micro-batch cannot afford. These tests pin the WRITER side (appends
+  * store deltas whose size tracks the CHANGE, checkpoints land on the
+  * cadence and on non-delta-shaped ops) and the READER side (every
+  * version resolves identically to what a snapshot log would serve,
+  * through time travel, history, restore, and vacuum's chain
+  * materialization). */
+class TieredLogSpec extends SparkSpec {
+  private def freshRoot(): String =
+    Files.createTempDirectory("tiered_log").toFile.getAbsolutePath
+
+  private def orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+
+  private def rawBytes(root: String, v: Long): Long =
+    Paths.get(root, "_graft_log", f"v$v%08d.manifest").toFile.length()
+
+  private def rawHead(root: String, v: Long): String = {
+    val src = scala.io.Source.fromFile(
+      Paths.get(root, "_graft_log", f"v$v%08d.manifest").toFile)
+    try src.getLines().next() finally src.close()
+  }
+
+  private def isStoredDelta(root: String, v: Long): Boolean =
+    rawHead(root, v).startsWith("# graft-manifest-delta ")
+
+  test("appends store O(change) deltas; every 10th version checkpoints; all versions read identically") {
+    val root = freshRoot()
+    val slices = orders.randomSplit(Array.fill(14)(1.0), seed = 7)
+    ManifestTable.create(spark, root, slices(0).coalesce(1),
+      statsColumns = Seq("o_orderkey"))
+    (1 until 14).foreach(i =>
+      ManifestTable.append(spark, root, slices(i).coalesce(1),
+        statsColumns = Seq("o_orderkey")))
+    val vs = ManifestTable.versions(spark, root)
+    assert(vs === (1L to 14L))
+    // v1 (create) is full; appends are deltas EXCEPT the checkpoint
+    // cadence at v10
+    assert(!isStoredDelta(root, 1L))
+    assert(!isStoredDelta(root, 10L), "every 10th version must checkpoint")
+    ((2L to 9L) ++ (11L to 14L)).foreach(v =>
+      assert(isStoredDelta(root, v), s"append v$v must store as a delta"))
+    // the delta is O(change): a late append's stored text must be far
+    // smaller than the full snapshot beside it (v10) — the whole point
+    assert(rawBytes(root, 11L) < rawBytes(root, 10L) / 3,
+      s"delta v11 (${rawBytes(root, 11L)}B) must be much smaller than checkpoint v10 (${rawBytes(root, 10L)}B)")
+    // reader equivalence at EVERY version: the resolved view serves
+    // exactly the cumulative prefix of slices
+    var cum = slices(0).count()
+    assert(ManifestTable.read(spark, root, Some(1L)).count() === cum)
+    (1 until 14).foreach { i =>
+      cum += slices(i).count()
+      assert(ManifestTable.read(spark, root, Some(i + 1L)).count() === cum,
+        s"time travel at v${i + 1} through the delta chain")
+    }
+    // meta/stats resolve through the chain too: ops and exact row
+    // counts are served for every version
+    val hist = ManifestTable.history(spark, root)
+    assert(hist.map(_.operation) === "create" +: Seq.fill(13)("append"))
+    assert(hist.last.rowCount === Some(orders.count()))
+  }
+
+  test("overwrite and restore checkpoint naturally; metadata ops are 1-line-scale deltas") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root, orders.coalesce(2))
+    ManifestTable.append(spark, root, orders.limit(10).coalesce(1))
+    // overwrite: removes every carried file — the diff is no smaller
+    // than the snapshot, so the writer falls back to a full manifest
+    ManifestTable.overwrite(spark, root, orders.limit(50).coalesce(1))
+    assert(!isStoredDelta(root, 3L), "overwrite must store full (natural checkpoint)")
+    // restore re-lists an old version's files: stored form may be
+    // either, but the CONTENT contract is what matters
+    val v4 = ManifestTable.restore(spark, root, 2L)
+    assert(ManifestTable.read(spark, root, Some(v4)).count() ===
+      ManifestTable.read(spark, root, Some(2L)).count())
+    // a metadata-only commit stores a tiny delta (no file lines at all)
+    val v5 = ManifestTable.addCheckConstraint(spark, root, "pos_key", "o_orderkey >= 0")
+    assert(isStoredDelta(root, v5), "metadata commit must store as a delta")
+    assert(rawBytes(root, v5) < 256,
+      s"metadata delta must be ~1 line, got ${rawBytes(root, v5)}B")
+    assert(ManifestTable.checkConstraintsOf(spark, root, v5) ===
+      Map("pos_key" -> "o_orderkey >= 0"))
+  }
+
+  test("vacuum materializes the oldest retained delta as a checkpoint before dropping its chain") {
+    val root = freshRoot()
+    val slices = orders.randomSplit(Array.fill(6)(1.0), seed = 11)
+    ManifestTable.create(spark, root, slices(0).coalesce(1))
+    (1 until 6).foreach(i =>
+      ManifestTable.append(spark, root, slices(i).coalesce(1)))
+    val total = ManifestTable.read(spark, root).count()
+    // keep the last 3: v4..v6 are deltas whose chain reaches v1
+    assert((4L to 6L).forall(isStoredDelta(root, _)))
+    ManifestTable.vacuum(spark, root, keepVersions = 3)
+    assert(ManifestTable.versions(spark, root) === Seq(4L, 5L, 6L))
+    assert(Paths.get(root, "_graft_log", "v00000004.checkpoint").toFile.exists(),
+      "the oldest retained delta must be materialized as a .checkpoint sidecar")
+    // every retained version still resolves — content unchanged
+    assert(ManifestTable.read(spark, root).count() === total)
+    assert(ManifestTable.read(spark, root, Some(4L)).count() ===
+      (0 to 3).map(slices(_).count()).sum)
+    assert(ManifestTable.history(spark, root).map(_.version) === Seq(4L, 5L, 6L))
+    // dropped versions fail loudly, as before tiering
+    intercept[Exception] { ManifestTable.read(spark, root, Some(2L)).count() }
+    // a later vacuum drops the materialized checkpoint with its version
+    ManifestTable.append(spark, root, orders.limit(5).coalesce(1))
+    ManifestTable.vacuum(spark, root, keepVersions = 1)
+    assert(!Paths.get(root, "_graft_log", "v00000004.checkpoint").toFile.exists(),
+      "a dropped version's checkpoint sidecar must be reclaimed")
+    assert(ManifestTable.read(spark, root).count() === total + 5)
+  }
+
+  test("deltas ride every surface: stats pruning, DV, row tracking, CDF, and streams resolve through the chain") {
+    val root = freshRoot()
+    val half = orders.filter(col("o_orderkey") % 2 === 0)
+    val rest = orders.filter(col("o_orderkey") % 2 === 1)
+    ManifestTable.create(spark, root,
+      half.repartitionByRange(3, col("o_orderkey")), statsColumns = Seq("o_orderkey"))
+    ManifestTable.enableRowTracking(spark, root)
+    ManifestTable.append(spark, root,
+      rest.repartitionByRange(3, col("o_orderkey")), statsColumns = Seq("o_orderkey"))
+    val (vDel, _) = ManifestTable.deleteMor(spark, root, col("o_orderkey") % 10 === 0)
+    assert(isStoredDelta(root, 2L) && isStoredDelta(root, 3L) && isStoredDelta(root, vDel))
+    // stats pruning through a delta-resolved manifest
+    val (_, dropped, _) = ManifestTable.pruneFiles(spark, root, col("o_orderkey") === 17L)
+    assert(dropped.nonEmpty, "stats must prune through the delta chain")
+    // DV applies through the chain
+    assert(ManifestTable.read(spark, root)
+      .filter(col("o_orderkey") % 10 === 0).count() === 0L)
+    // the row-tracked change feed walks delta-stored versions
+    val (feed, tip) = ManifestTable.readChangesRowTracked(spark, root, 2L)
+    assert(tip === vDel)
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.getOrElse("insert", 0L) > 0L && byType.getOrElse("delete", 0L) > 0L)
+  }
+}
