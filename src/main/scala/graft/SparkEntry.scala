@@ -3635,6 +3635,49 @@ object SparkEntry {
           col("total").cast("double").as("total_price"))
     }),
 
+    "lake32_minmax_ivm" -> ((s, dir) => {
+      // IVM past the self-maintainable aggregates: a (key, n, MIN, MAX)
+      // mart maintained through the total change feed with the
+      // PER-GROUP RECOMPUTE fallback — inserts and strictly-interior
+      // deletes fold in O(delta) (bounds provably valid), and only a
+      // delete TOUCHING a stored bound re-aggregates exactly its group
+      // from the source (lake30's maintainer must full-rebuild here).
+      // Pins: the insert window recomputes NOTHING, the bound-killing
+      // delete window fires the recompute, a replay is a no-op, and
+      // the mart equals the from-scratch min/max/count bit-exactly.
+      val src = java.nio.file.Files.createTempDirectory("lake32_src").toString
+      val mart = java.nio.file.Files.createTempDirectory("lake32_mart").toString
+      val orders = t(s, dir, "orders")
+      val MT = graft.sources.ManifestTable
+      MT.create(s, src, orders)
+      graft.ops.LakeOps.maintainMinMaxMart(s, src, mart, "o_orderstatus", "o_totalprice")
+      // window 1: inserts only — new maxes arrive via the fold
+      MT.append(s, src, orders.filter(pmod(col("o_orderkey"), lit(9)) === 4)
+        .withColumn("o_totalprice", col("o_totalprice") + 500000.0))
+      val (_, _, r1) = graft.ops.LakeOps.maintainMinMaxMart(
+        s, src, mart, "o_orderstatus", "o_totalprice")
+      // window 2: delete every row above 400000 — each group's MAX dies
+      MT.deleteMor(s, src, col("o_totalprice") > 400000.0)
+      val (tip, _, r2) = graft.ops.LakeOps.maintainMinMaxMart(
+        s, src, mart, "o_orderstatus", "o_totalprice")
+      val vBefore = MT.versions(s, mart).max
+      val replayNoop = graft.ops.LakeOps.maintainMinMaxMart(
+        s, src, mart, "o_orderstatus", "o_totalprice") == ((tip, 0L, 0L)) &&
+        MT.versions(s, mart).max == vBefore
+      val maintained = MT.read(s, mart)
+        .select(col("o_orderstatus"), col("n_rows"), col("vmin"), col("vmax"))
+      val rebuild = MT.read(s, src).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("o_totalprice")).as("vmin"), max(col("o_totalprice")).as("vmax"))
+      val matches = maintained.exceptAll(rebuild).isEmpty &&
+        rebuild.exceptAll(maintained).isEmpty
+      MT.read(s, mart)
+        .select(lit(r1 == 0L).as("insert_fold"), lit(r2 > 0L).as("recompute_fired"),
+          lit(replayNoop && matches).as("replay_noop_and_matches"),
+          col("o_orderstatus"), col("n_rows").cast("long").as("n_orders"),
+          col("vmin").as("min_price"), col("vmax").as("max_price"))
+    }),
+
     "lake31_log_tiering" -> ((s, dir) => {
       // the TIERED manifest log (Delta checkpoints + delta actions;
       // Iceberg manifest-list → manifests): a snapshot per commit is
@@ -6072,6 +6115,26 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n_orders,
          |       ${dsumSql("v")} AS total_price
          |FROM final GROUP BY o_orderstatus""").stripMargin,
+
+    "lake32_minmax_ivm" -> // the maintained min/max mart must equal the
+      // from-scratch aggregate over the final state: orders plus the
+      // repriced pmod-9 slice, minus everything above 400000; fold /
+      // recompute / replay behavior pinned in-engine
+      ("""WITH plus AS (
+         |  SELECT o_orderstatus, o_totalprice + 500000.0 AS p FROM orders
+         |  WHERE ((o_orderkey % 9) + 9) % 9 = 4
+         |), base AS (
+         |  SELECT o_orderstatus, o_totalprice AS p FROM orders
+         |  UNION ALL SELECT o_orderstatus, p FROM plus
+         |), fin AS (
+         |  SELECT * FROM base WHERE NOT (p > 400000.0)
+         |)
+         |SELECT TRUE AS insert_fold, TRUE AS recompute_fired,
+         |       TRUE AS replay_noop_and_matches,
+         |       o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       min(p) AS min_price, max(p) AS max_price
+         |FROM fin GROUP BY o_orderstatus""").stripMargin,
 
     "lake31_log_tiering" -> // storage form and vacuum materialization
       // pinned in-engine; the oracle re-derives the time-travel prefix

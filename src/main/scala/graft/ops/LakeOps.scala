@@ -346,6 +346,114 @@ object LakeOps {
     }
   }
 
+  private def minMaxAgg(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    df.groupBy(keyCol).agg(
+      count(lit(1)).as("n_rows"),
+      min(col(valueCol)).as("vmin"),
+      max(col(valueCol)).as("vmax"))
+
+  /** Incrementally maintain a (key, n_rows, vmin, vmax) mart through the
+    * TOTAL change feed — the NON-self-maintainable aggregates
+    * [[maintainAggMartTotal]] cannot cover: MIN/MAX absorb inserts for
+    * free (`least`/`greatest` against the delta) but a DELETE that
+    * removes a group's current extremum invalidates the stored bound,
+    * and the standard answer (every IVM treatment since Gupta &
+    * Mumick's, and what production engines do) is the PER-GROUP
+    * RECOMPUTE fallback implemented here:
+    *
+    *  - groups whose window deletes all fall STRICTLY INSIDE the stored
+    *    bounds (del_min > vmin AND del_max < vmax) keep their bounds
+    *    valid — maintenance is the pure insert fold, O(delta);
+    *  - only groups whose deletes TOUCH a stored bound (or whose
+    *    pre-window state is unknown) re-aggregate from the source at
+    *    the consumed tip — one semi-join-restricted pass over exactly
+    *    the affected groups' rows, never a full rebuild. With the
+    *    source clustered on the key, the committed stats prune the
+    *    recompute scan to the affected groups' files.
+    *
+    * Groups whose count reaches zero leave the mart (rebuild parity).
+    * Application is ONE atomic [[graft.sources.ManifestTable.applyChangesMor]]
+    * commit with batchId = consumed source version, so a crash replay is
+    * the standard exactly-once no-op. Row-tracked sources maintain
+    * through id-preserving rewrites; untracked ones through
+    * append + MOR-delete windows (the positional feed's contract).
+    * Returns (consumed version, change rows, groups recomputed). */
+  def maintainMinMaxMart(
+      spark: org.apache.spark.sql.SparkSession,
+      srcRoot: String,
+      martRoot: String,
+      keyCol: String,
+      valueCol: String,
+      writerId: String = "minmax-mart"): (Long, Long, Long) = {
+    import graft.sources.ManifestTable
+    val srcTip = {
+      val vs = ManifestTable.versions(spark, srcRoot)
+      require(vs.nonEmpty, s"$srcRoot is not a manifest table")
+      vs.max
+    }
+    val txnKey = s"txn-$writerId"
+    val martVs = ManifestTable.versions(spark, martRoot)
+    if (martVs.isEmpty) {
+      val src = ManifestTable.read(spark, srcRoot, Some(srcTip))
+      val n = src.count()
+      ManifestTable.create(spark, martRoot, minMaxAgg(src, keyCol, valueCol),
+        meta = Map(txnKey -> srcTip.toString))
+      (srcTip, n, 0L)
+    } else {
+      val cursor = ManifestTable.manifestMeta(spark, martRoot, martVs.max)
+        .getOrElse(txnKey, throw new IllegalStateException(
+          s"$martRoot has no $txnKey watermark — not a min/max mart")).toLong
+      if (cursor == srcTip) return (srcTip, 0L, 0L) // caught up: no commit
+      val tracked = ManifestTable.rowTrackingEnabled(spark, srcRoot, cursor)
+      val (feed, tip) =
+        if (tracked)
+          ManifestTable.readChangesRowTracked(spark, srcRoot, cursor, Some(srcTip))
+        else
+          ManifestTable.readChangesWithDeletes(spark, srcRoot, cursor, Some(srcTip))
+      val fd = feed.localCheckpoint()
+      val deltaRows = fd.count()
+      val ins = col("_change_type") === "insert"
+      val d = fd.groupBy(keyCol).agg(
+        sum(when(ins, 1L).otherwise(-1L)).as("dn"),
+        sum(when(ins, 0L).otherwise(1L)).as("n_del"),
+        min(when(ins, col(valueCol))).as("ins_min"),
+        max(when(ins, col(valueCol))).as("ins_max"),
+        min(when(!ins, col(valueCol))).as("del_min"),
+        max(when(!ins, col(valueCol))).as("del_max"))
+      val cur = ManifestTable.read(spark, martRoot).alias("m")
+      val joined = d.alias("d").join(cur, Seq(keyCol), "left").localCheckpoint()
+      // bound-validity proof: no deletes at all, or a KNOWN pre-state
+      // whose window deletes fall strictly inside both bounds
+      val boundsValid = col("d.n_del") === 0L ||
+        (col("m.n_rows").isNotNull &&
+          col("d.del_min") > col("m.vmin") && col("d.del_max") < col("m.vmax"))
+      val fastRows = joined.filter(boundsValid).select(col(keyCol),
+        (coalesce(col("m.n_rows"), lit(0L)) + col("d.dn")).as("n_rows"),
+        least(col("m.vmin"), col("d.ins_min")).as("vmin"),
+        greatest(col("m.vmax"), col("d.ins_max")).as("vmax"))
+      val recomputeKeys = joined.filter(!boundsValid).select(col(keyCol))
+        .localCheckpoint()
+      val nRecompute = recomputeKeys.count()
+      val recomputedRows =
+        if (nRecompute == 0L) fastRows.limit(0)
+        else minMaxAgg(ManifestTable.read(spark, srcRoot, Some(tip))
+          .join(recomputeKeys, Seq(keyCol), "left_semi"), keyCol, valueCol)
+      val newState = fastRows.unionByName(recomputedRows).localCheckpoint()
+      // retract EVERY affected key (emptied groups included — recompute
+      // yields no row for them), re-insert the still-populated state;
+      // one atomic commit carries the consumed-version watermark
+      val retractions = joined.select(col(keyCol),
+        coalesce(col("m.n_rows"), lit(0L)).as("n_rows"),
+        col("m.vmin").as("vmin"), col("m.vmax").as("vmax"))
+      val martFeed = retractions.withColumn("_change_type", lit("delete"))
+        .unionByName(newState.filter(col("n_rows") > 0)
+          .withColumn("_change_type", lit("insert")))
+      ManifestTable.applyChangesMor(spark, martRoot, martFeed, keyCol,
+        writerId, batchId = tip)
+      (tip, deltaRows, nRecompute)
+    }
+  }
+
   private val JoinCursorAKey = "join-cursor-a"
   private val JoinCursorBKey = "join-cursor-b"
 

@@ -323,6 +323,65 @@ class LakeOpsSpec extends SparkSpec {
             .cast(org.apache.spark.sql.types.DecimalType(28, 4)).as("total"))))
   }
 
+  test("maintainMinMaxMart: interior deletes fold free; extremum deletes recompute ONLY affected groups; equals rebuild") {
+    import graft.sources.ManifestTable
+    val spark2 = spark
+    import spark2.implicits._
+    def root() = java.nio.file.Files.createTempDirectory("ivmm").toString
+    val src = root(); val mart = root()
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    ManifestTable.create(spark, src, orders)
+    graft.ops.LakeOps.maintainMinMaxMart(spark, src, mart, "o_orderstatus", "o_totalprice")
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("o_orderstatus"), col("n_rows"),
+        col("vmin").cast("double"), col("vmax").cast("double"))
+      .as[(String, Long, Double, Double)].collect().toSet
+    def rebuild() = snap(ManifestTable.read(spark, src).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_totalprice")).as("vmin"), max(col("o_totalprice")).as("vmax")))
+    assert(snap(ManifestTable.read(spark, mart)) === rebuild(), "bootstrap")
+    // window 1: inserts only — pure fold, zero recomputes, new global min
+    ManifestTable.append(spark, src,
+      orders.filter(col("o_orderkey") % 7 === 3)
+        .withColumn("o_totalprice", lit(1.0).cast(
+          orders.schema("o_totalprice").dataType)))
+    val (_, _, r1) = graft.ops.LakeOps.maintainMinMaxMart(
+      spark, src, mart, "o_orderstatus", "o_totalprice")
+    assert(r1 === 0L, "insert-only windows must not recompute any group")
+    assert(snap(ManifestTable.read(spark, mart)) === rebuild())
+    // window 2: strictly-INTERIOR deletes — bounds provably valid, no
+    // recompute (1.0 floors every group's min; maxes all exceed 60000)
+    ManifestTable.deleteMor(spark, src,
+      col("o_totalprice") > 20000 && col("o_totalprice") < 30000)
+    val (_, _, r2) = graft.ops.LakeOps.maintainMinMaxMart(
+      spark, src, mart, "o_orderstatus", "o_totalprice")
+    assert(r2 === 0L, "interior deletes must keep the stored bounds valid")
+    assert(snap(ManifestTable.read(spark, mart)) === rebuild())
+    // window 3: delete ONE group's maximum row — exactly that group
+    // recomputes, every other group folds free
+    val fMax = ManifestTable.read(spark, src).filter(col("o_orderstatus") === "F")
+      .agg(max("o_totalprice")).head.getDouble(0)
+    ManifestTable.deleteMor(spark, src,
+      col("o_orderstatus") === "F" && col("o_totalprice") === fMax)
+    val (_, _, r3) = graft.ops.LakeOps.maintainMinMaxMart(
+      spark, src, mart, "o_orderstatus", "o_totalprice")
+    assert(r3 === 1L, s"exactly the F group must recompute, got $r3")
+    assert(snap(ManifestTable.read(spark, mart)) === rebuild())
+    // window 4: empty a whole group — it recomputes to nothing and
+    // LEAVES the mart; crash replay is a no-op
+    ManifestTable.deleteMor(spark, src, col("o_orderstatus") === "P")
+    val (tip, _, _) = graft.ops.LakeOps.maintainMinMaxMart(
+      spark, src, mart, "o_orderstatus", "o_totalprice")
+    assert(ManifestTable.read(spark, mart)
+      .filter(col("o_orderstatus") === "P").count() === 0,
+      "an emptied group must leave the mart")
+    assert(snap(ManifestTable.read(spark, mart)) === rebuild())
+    val before = ManifestTable.versions(spark, mart).max
+    assert(graft.ops.LakeOps.maintainMinMaxMart(
+      spark, src, mart, "o_orderstatus", "o_totalprice") === ((tip, 0L, 0L)))
+    assert(ManifestTable.versions(spark, mart).max === before)
+  }
+
   test("maintainAggMartTotal untracked: append+MOR-delete windows maintain; a MERGE window demands tracking") {
     import graft.sources.ManifestTable
     def root() = java.nio.file.Files.createTempDirectory("ivmt2").toString
