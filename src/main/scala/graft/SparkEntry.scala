@@ -4700,6 +4700,40 @@ object SparkEntry {
         .select("item_id", "format", "n_bytes", "width", "height")
     }),
 
+    "mm4_perceptual_hash" -> ((s, dir) => {
+      // image-content dedup tier 1 — the perceptual-hash signature pass
+      // under the oracle: text bytes can never sniff as png/jpeg, so
+      // every row deterministically takes the SQL-expressible stub arm
+      // (15 md5 nibbles as a 60-bit integer) and the whole plumbing —
+      // mapPartitions decode boundary, stub coalesce, format sniff — is
+      // hash-checked; REAL dHash on actual pixels is spec-pinned with
+      // constructed PNGs (MultimodalStreamingSpec) and gated end-to-end
+      // by mm5.
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+      graft.ops.MultimodalOps.perceptualHash(media, "doc_id", "content")
+        .select(col("item_id"), col("format"), col("phash"), col("is_decoded"))
+    }),
+
+    "mm5_image_neardup" -> ((s, dir) => {
+      // image-content dedup tier 2, END TO END on REAL pixels: 20
+      // deterministic synthetic PNGs + 20 one-cell-perturbed variants
+      // (ImageFixtures — integer pixel math, lossless PNG roundtrip, so
+      // every dHash bit reproduces on any JVM), near-dup pairs via
+      // 4×16-bit Hamming banding. The pair set is SF-independent and
+      // DERIVED, not golden: exactly the planted (i, i+20) variants at
+      // Hamming ≤ 3, which the oracle states as a range join. A decode
+      // regression, a hash drift, or a banding gap all break the row set.
+      import s.implicits._
+      val rows = (0 until 20).map(i =>
+        (i.toLong, graft.ops.ImageFixtures.syntheticPng(i, perturbed = false))) ++
+        (0 until 20).map(i =>
+          (i.toLong + 20, graft.ops.ImageFixtures.syntheticPng(i, perturbed = true)))
+      val df = rows.toDF("img_id", "content").repartition(4)
+      graft.ops.MultimodalOps.imageNearDupPairs(df, "img_id", "content", maxHamming = 3)
+        .select(col("id_a"), col("id_b"))
+    }),
+
     "mm3_frame_sample" -> ((s, dir) => {
       // frame/chunk sampling under the oracle (sampleChunks was spec-only
       // before): bounded-fan-out posexplode — at most maxFrames rows per
@@ -7267,6 +7301,24 @@ object SparkEntry {
       ("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          |WHERE (((o_orderkey % 2147483648) + 2147483648) % 2147483648 * 2654435761) % 4294967296 % 100 <
          |      CASE o_orderstatus WHEN 'F' THEN 10 WHEN 'O' THEN 50 ELSE 100 END""").stripMargin,
+
+    "mm4_perceptual_hash" -> // text bytes always take the stub arm, whose
+      // 60-bit md5-prefix fingerprint is the same formula in both engines
+      ("""SELECT doc_id AS item_id,
+         |  CASE WHEN starts_with(text, 'GIF8') THEN 'gif'
+         |       WHEN starts_with(text, 'RIFF') THEN 'riff'
+         |       WHEN starts_with(text, '%PDF') THEN 'pdf'
+         |       WHEN substring(text, 5, 4) = 'ftyp' THEN 'mp4'
+         |       ELSE 'unknown' END AS format,
+         |  ('0x' || substring(md5(text), 1, 15))::BIGINT AS phash,
+         |  FALSE AS is_decoded
+         |FROM documents""").stripMargin,
+
+    "mm5_image_neardup" -> // the planted (base, variant) pairs — derived
+      // from the construction (one perturbed dHash cell ⇒ Hamming ≤ 3;
+      // distinct seeds ⇒ far apart), SF-independent
+      ("""SELECT CAST(range AS BIGINT) AS id_a, CAST(range + 20 AS BIGINT) AS id_b
+         |FROM range(0, 20)""").stripMargin,
 
     "mm3_frame_sample" -> // ASCII text: char offsets = byte offsets, so
       // substr over VARCHAR replays the binary slicing byte-exactly

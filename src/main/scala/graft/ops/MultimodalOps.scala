@@ -336,4 +336,164 @@ object MultimodalOps {
       }
     }
   }
+
+  // ---- image-content dedup: perceptual hash + Hamming banding -----------
+
+  /** 64-bit dHash (difference hash — the standard perceptual image
+    * fingerprint: row-wise adjacent-brightness comparisons over a 9×8
+    * grayscale thumbnail; near-duplicate images differ in a few bits,
+    * unrelated ones in ~32). REAL full-pixel decode via the JDK's
+    * `javax.imageio` (zero new dependencies), then a DETERMINISTIC
+    * integer box-filter downsample — Graphics2D interpolation is
+    * platform/VM-dependent and would make the hash a moving target; raw
+    * `getRGB` averages with BT.601 integer luma weights reproduce
+    * bit-for-bit anywhere. None for undecodable bytes so callers fall
+    * back deterministically. */
+  private[graft] def dHash64(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    img.flatMap { im =>
+      val w = im.getWidth
+      val h = im.getHeight
+      if (w <= 0 || h <= 0) None
+      else {
+        val gw = 9; val gh = 8
+        val g = Array.ofDim[Long](gh, gw)
+        var gy = 0
+        while (gy < gh) {
+          var gx = 0
+          while (gx < gw) {
+            val x0 = gx * w / gw; val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+            val y0 = gy * h / gh; val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
+            var sum = 0L; var cnt = 0L
+            var y = y0
+            while (y < math.min(y1, h)) {
+              var x = x0
+              while (x < math.min(x1, w)) {
+                val rgb = im.getRGB(x, y)
+                sum += ((rgb >> 16) & 0xff) * 299L +
+                  ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L
+                cnt += 1; x += 1
+              }
+              y += 1
+            }
+            g(gy)(gx) = if (cnt == 0) 0L else sum / cnt
+            gx += 1
+          }
+          gy += 1
+        }
+        var hash = 0L; var bit = 0
+        var yy = 0
+        while (yy < gh) {
+          var xx = 0
+          while (xx < gw - 1) {
+            if (g(yy)(xx) < g(yy)(xx + 1)) hash |= (1L << bit)
+            bit += 1; xx += 1
+          }
+          yy += 1
+        }
+        Some(hash)
+      }
+    }
+  }
+
+  /** Perceptual hash column per item: PNG/JPEG payloads get the REAL
+    * [[dHash64]] (full decode inside `mapPartitions` — the codec
+    * boundary, like [[decodeImage]]); everything else (and undecodable
+    * image bytes) falls back to a STUB fingerprint that is pure SQL —
+    * the first 15 md5 nibbles as a 60-bit integer — so the plumbing
+    * stays answerable to the DuckDB oracle on text-byte corpora.
+    * Returns (item_id, format, phash, is_decoded). */
+  def perceptualHash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepared = withBinaryMeta(
+      df.select(col(idCol).as("item_id"), col(binCol).as("content")), "content")
+      .select(col("item_id"), col("content"), col("format"))
+    val real = prepared
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val fmt = r.getAs[String]("format")
+          val dh =
+            if (fmt == "png" || fmt == "jpeg") dHash64(r.getAs[Array[Byte]]("content"))
+            else None
+          (r.getAs[Long]("item_id"), fmt, dh)
+        }
+      }.toDF("item_id", "format", "dhash")
+    // the stub arm is a COLUMN expression on the original bytes, joined
+    // back by id — never computed in the JVM loop, so the oracle formula
+    // and the engine formula are the same text
+    val stub = df.select(col(idCol).as("item_id"),
+      expr(s"CAST(conv(substring(md5(`$binCol`), 1, 15), 16, 10) AS BIGINT)").as("stub"))
+    real.join(stub, Seq("item_id"))
+      .select(col("item_id"), col("format"),
+        coalesce(col("dhash"), col("stub")).as("phash"),
+        col("dhash").isNotNull.as("is_decoded"))
+  }
+
+  /** Near-duplicate image pairs at Hamming ≤ `maxHamming` over the
+    * perceptual hash: candidates via the pigeonhole 4×16-bit chunk
+    * banding (complete up to Hamming 3 — [[graft.ops.DedupOps.simHashNearDupPairs]]'s
+    * machinery applied to the image fingerprint), exact `bit_count`
+    * filter on the XOR. The 100 TB shape is the SimHash one: one narrow
+    * signature pass, candidates only from equal band buckets, the
+    * Hamming filter before the dedup exchange. */
+  def imageNearDupPairs(
+      df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, s"4-chunk banding supports maxHamming <= 3, got $maxHamming")
+    val sig = perceptualHash(df, idCol, binCol).select(col("item_id"), col("phash"))
+    val chunks: Seq[Column] =
+      (0 until 4).map(c => shiftright(col("phash"), c * 16).bitwiseAND(0xffffL))
+    val chunked = sig.select(col("item_id"), col("phash"),
+        posexplode(array(chunks: _*)))
+      .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
+    val left = chunked.select(col("chunk"), col("chunk_val"),
+      col("item_id").as("id_a"), col("phash").as("phash_a"))
+    val right = chunked.select(col("chunk"), col("chunk_val"),
+      col("item_id").as("id_b"), col("phash").as("phash_b"))
+    left.join(right, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("phash_a").bitwiseXOR(col("phash_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .dropDuplicates("id_a", "id_b")
+  }
+}
+
+/** Deterministic synthetic PNG fixtures for the image-dedup gate
+  * (mm5) and its specs: integer pixel math only (a hash-mixed 8×8 block
+  * pattern per seed), encoded with the JDK's lossless PNG writer — the
+  * decoded pixels, and therefore every [[MultimodalOps.dHash64]] bit,
+  * reproduce on any JVM/platform. `perturbed` brightens a small region
+  * strictly inside ONE dHash grid cell, so the variant's hash differs
+  * from the base's in at most the two comparisons that touch that cell
+  * (Hamming ≤ 2 by construction) while different seeds give effectively
+  * random, far-apart hashes. */
+object ImageFixtures {
+  def syntheticPng(seed: Int, perturbed: Boolean): Array[Byte] = {
+    val w = 64; val h = 64
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var v = (x / 8) * 73856093 ^ (y / 8) * 19349663 ^ seed * 83492791
+        v = (v ^ (v >>> 13)) * 1274126177
+        val g0 = (v >>> 8) & 0xff
+        val g =
+          if (perturbed && x >= 22 && x < 27 && y >= 17 && y < 23)
+            math.min(255, g0 + 96)
+          else g0
+        im.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", baos)
+    baos.toByteArray
+  }
 }

@@ -95,6 +95,75 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(feats(12L).format === "unknown")
   }
 
+  test("dHash64: near-dup images land within Hamming 2, unrelated images far apart, brightness-shift invariant") {
+    import graft.ops.ImageFixtures.syntheticPng
+    def ph(b: Array[Byte]): Long = MultimodalOps.dHash64(b).get
+    val base = ph(syntheticPng(1, perturbed = false))
+    val variant = ph(syntheticPng(1, perturbed = true))
+    val other = ph(syntheticPng(2, perturbed = false))
+    def hd(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hd(base, variant) <= 2,
+      s"one-cell perturbation must stay within Hamming 2, got ${hd(base, variant)}")
+    assert(hd(base, other) > 10,
+      s"different images must hash far apart, got ${hd(base, other)}")
+    // dHash compares ADJACENT brightness — a global brightness shift
+    // preserves every comparison (the property that makes it a
+    // perceptual hash, not a checksum). Build the +40 shifted image
+    // directly to dodge clamping asymmetries.
+    val im = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(syntheticPng(3, perturbed = false)))
+    val shifted = new java.awt.image.BufferedImage(
+      im.getWidth, im.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until im.getHeight; x <- 0 until im.getWidth) {
+      val g = math.min(255, ((im.getRGB(x, y) >> 8) & 0xff) / 2 + 40)
+      shifted.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(shifted, "png", baos)
+    assert(ph(syntheticPng(3, perturbed = false)) === ph(baos.toByteArray),
+      "a monotone brightness remap must preserve the dHash")
+    // undecodable bytes fall back deterministically
+    assert(MultimodalOps.dHash64("not an image".getBytes).isEmpty)
+    assert(MultimodalOps.dHash64(Array.emptyByteArray).isEmpty)
+  }
+
+  test("imageNearDupPairs finds exactly the planted variants; banding agrees with brute force") {
+    import graft.ops.ImageFixtures.syntheticPng
+    val rows = (0 until 20).map(i => (i.toLong, syntheticPng(i, perturbed = false))) ++
+      (0 until 20).map(i => (i.toLong + 20, syntheticPng(i, perturbed = true)))
+    val df = rows.toDF("img_id", "content").repartition(4)
+    val pairs = MultimodalOps.imageNearDupPairs(df, "img_id", "content", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === (0L until 20L).map(i => (i, i + 20)).toSet,
+      s"expected exactly the 20 planted (base, variant) pairs, got $pairs")
+    // completeness check: banding candidates == brute-force pairs at the
+    // same threshold (pigeonhole: Hamming <= 3 implies a shared 16-bit chunk)
+    val sig = MultimodalOps.perceptualHash(df, "img_id", "content")
+      .select(col("item_id"), col("phash"))
+    val a = sig.select(col("item_id").as("ia"), col("phash").as("pa"))
+    val b = sig.select(col("item_id").as("ib"), col("phash").as("pb"))
+    val brute = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .filter(bit_count(col("pa").bitwiseXOR(col("pb"))) <= 3)
+      .select(col("ia"), col("ib")).as[(Long, Long)].collect().toSet
+    assert(pairs === brute, "banding must find every brute-force pair")
+    // every PNG really decoded (no stub arm leaked into the image path)
+    assert(sig.count() === 40L)
+    assert(MultimodalOps.perceptualHash(df, "img_id", "content")
+      .filter(!col("is_decoded")).count() === 0L)
+  }
+
+  test("perceptualHash stub arm on non-image bytes equals the SQL md5-prefix formula") {
+    val docs = Seq((1L, "hello world"), (2L, "spark engine"), (3L, ""))
+      .toDF("doc_id", "t")
+      .select(col("doc_id"), col("t").cast("binary").as("content"))
+    val got = MultimodalOps.perceptualHash(docs, "doc_id", "content")
+    assert(got.filter(col("is_decoded")).count() === 0L)
+    val expected = docs.select(col("doc_id").as("item_id"),
+      expr("CAST(conv(substring(md5(content), 1, 15), 16, 10) AS BIGINT)").as("phash"))
+    assert(got.select("item_id", "phash").exceptAll(expected).isEmpty &&
+      expected.exceptAll(got.select("item_id", "phash")).isEmpty)
+  }
+
   test("left-outer interval join: matches emit on arrival, NULLs only after the watermark closes the window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
