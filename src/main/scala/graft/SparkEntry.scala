@@ -2650,6 +2650,65 @@ object SparkEntry {
           col("o_orderstatus"), col("n_orders"), col("total_price"))
     }),
 
+    "st13_mirror_refresh" -> ((s, dir) => {
+      // stream recovery ACROSS a refusal — st10's one operational hole
+      // closed: an OVERWRITE window is not delta-expressible, and the
+      // plain change feed kills the query there by design. Under
+      // `onRefusal=refresh` the restarted stream drains that window as
+      // ONE atomic 'refresh' batch (applyChangesMor lands it as a
+      // watermarked overwrite), and the NEXT window resumes
+      // incrementally — pins: the mirror equals the source at every
+      // quiesce, exactly one apply-refresh commit in the mirror's
+      // history, and the post-refresh delete window applied as a delta.
+      val src = java.nio.file.Files.createTempDirectory("st13_src").toString
+      val dst = java.nio.file.Files.createTempDirectory("st13_dst").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("st13_ckpt").toString
+      val orders = t(s, dir, "orders")
+      val MT = graft.sources.ManifestTable
+      val f = orders.filter(col("o_orderstatus") === "F")
+      MT.create(s, src, f)
+      MT.create(s, dst, f.limit(0))
+      def drain(): Unit = {
+        val q = s.readStream
+          .format("graft.sources.ManifestStreamSourceProvider")
+          .option("changeFeed", "true").option("onRefusal", "refresh").load(src)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            MT.applyChangesMor(s, dst, b, "o_orderkey", "mirror", id); ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // initial load
+      MT.append(s, src, orders.filter(col("o_orderstatus") === "O"))
+      drain() // incremental append window
+      val m1 = {
+        val srcDf = MT.read(s, src); val dstDf = MT.read(s, dst)
+        dstDf.exceptAll(srcDf).isEmpty && srcDf.exceptAll(dstDf).isEmpty
+      }
+      MT.overwrite(s, src, orders.filter(col("o_orderstatus") === "P"))
+      drain() // refusal window → one atomic refresh
+      val m2 = {
+        val srcDf = MT.read(s, src); val dstDf = MT.read(s, dst)
+        dstDf.exceptAll(srcDf).isEmpty && srcDf.exceptAll(dstDf).isEmpty
+      }
+      MT.deleteMor(s, src, col("o_orderkey") % 4 === 0)
+      drain() // post-refresh window resumes incrementally
+      val ops = MT.history(s, dst).map(_.operation)
+      val oneRefresh = ops.count(_ == "apply-refresh") == 1
+      val lastIncremental = ops.last == "apply-changes"
+      val dstDf = MT.read(s, dst)
+      dstDf.groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .select(lit(m1 && m2).as("mirrors_at_quiesce"),
+          lit(oneRefresh).as("one_refresh_commit"),
+          lit(lastIncremental).as("resumes_incremental"),
+          col("o_orderstatus"), col("n_orders"), col("total_price"))
+    }),
+
     "st11_changefeed_optimize" -> ((s, dir) => {
       // the change feed SURVIVING OPTIMIZE: with row tracking on, a
       // compaction mid-window is a provably EMPTY delta (ids verify
@@ -5410,6 +5469,19 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n_orders,
          |       ${dsumSql("o_totalprice")} AS total_price
          |FROM survivors WHERE o_custkey % 7 <> 0
+         |GROUP BY o_orderstatus""").stripMargin,
+
+    "st13_mirror_refresh" -> // the mirror's final state: the P overwrite
+      // minus the post-refresh key%4 delete; quiesce equality, the
+      // single refresh commit, and incremental resumption pinned
+      // in-engine
+      (s"""SELECT TRUE AS mirrors_at_quiesce, TRUE AS one_refresh_commit,
+         |       TRUE AS resumes_incremental,
+         |       o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders
+         |WHERE o_orderstatus = 'P' AND o_orderkey % 4 <> 0
          |GROUP BY o_orderstatus""").stripMargin,
 
     "st6_manifest_replicate" -> // the replica must hold exactly what the

@@ -454,6 +454,79 @@ object LakeOps {
     }
   }
 
+  /** Declarative table MIRROR maintenance with AUTOMATIC full-refresh
+    * recovery — the batch face of the st10 pipeline, closing its one
+    * operational hole: when the change window since the cursor is not
+    * delta-expressible (an OVERWRITE, a COW rewrite on an untracked
+    * source, a cursor the source vacuumed past), the incremental reader
+    * REFUSES by design — and the consumer's only option used to be an
+    * exception and a hand-built rebuild. Here the refusal is CAUGHT and
+    * answered with the declared recovery: one atomic overwrite of the
+    * mirror with the source tip, carrying the same `txn-<writerId>`
+    * watermark every incremental commit carries — so the cursor
+    * resumes from the refresh point, a crash replay is the standard
+    * no-op, and the caller's loop never changes shape. (The streaming
+    * twin is the change-feed source's `onRefusal=refresh` option, which
+    * emits the same recovery as a 'refresh'-tagged batch for
+    * [[graft.sources.ManifestTable.applyChangesMor]].)
+    *
+    * At 100 TB: incremental windows cost O(change); the refresh arm
+    * costs a full copy — exactly the cost a refusal implies, now paid
+    * declaratively instead of operationally. Returns (consumed source
+    * version, mode ∈ bootstrap|noop|incremental|full_refresh, rows). */
+  def maintainMirror(
+      spark: org.apache.spark.sql.SparkSession,
+      srcRoot: String,
+      mirrorRoot: String,
+      keyCol: String,
+      writerId: String = "mirror"): (Long, String, Long) = {
+    import graft.sources.ManifestTable
+    val srcTip = {
+      val vs = ManifestTable.versions(spark, srcRoot)
+      require(vs.nonEmpty, s"$srcRoot is not a manifest table")
+      vs.max
+    }
+    val txnKey = s"txn-$writerId"
+    val mirrorVs = ManifestTable.versions(spark, mirrorRoot)
+    if (mirrorVs.isEmpty) {
+      val content = ManifestTable.read(spark, srcRoot, Some(srcTip))
+      val n = content.count()
+      ManifestTable.create(spark, mirrorRoot, content,
+        meta = Map(txnKey -> srcTip.toString))
+      (srcTip, "bootstrap", n)
+    } else {
+      val cursor = ManifestTable.manifestMeta(spark, mirrorRoot, mirrorVs.max)
+        .getOrElse(txnKey, throw new IllegalStateException(
+          s"$mirrorRoot has no $txnKey watermark — not a maintained mirror")).toLong
+      if (cursor >= srcTip) (cursor, "noop", 0L)
+      else {
+        val attempt =
+          try {
+            val tracked = ManifestTable.rowTrackingEnabled(spark, srcRoot, cursor)
+            Some(
+              if (tracked)
+                ManifestTable.readChangesRowTracked(spark, srcRoot, cursor, Some(srcTip))
+              else
+                ManifestTable.readChangesWithDeletes(spark, srcRoot, cursor, Some(srcTip)))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        attempt match {
+          case Some((feed, tip)) =>
+            val fd = feed.localCheckpoint()
+            val n = fd.count()
+            ManifestTable.applyChangesMor(spark, mirrorRoot, fd, keyCol,
+              writerId, batchId = tip)
+            (tip, "incremental", n)
+          case None =>
+            val content = ManifestTable.read(spark, srcRoot, Some(srcTip))
+            val n = content.count()
+            ManifestTable.overwrite(spark, mirrorRoot, content,
+              meta = Map(txnKey -> srcTip.toString))
+            (srcTip, "full_refresh", n)
+        }
+      }
+    }
+  }
+
   private val JoinCursorAKey = "join-cursor-a"
   private val JoinCursorBKey = "join-cursor-b"
 

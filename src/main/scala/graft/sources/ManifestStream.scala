@@ -88,7 +88,13 @@ class ManifestStreamSourceProvider extends StreamSourceProvider with DataSourceR
     val root = rootOf(parameters)
     val (_, resolved) = sourceSchema(sqlContext, schema, providerName, parameters)
     if (changeFeedOf(parameters))
-      new ManifestChangeFeedSource(sqlContext.sparkSession, root, resolved)
+      new ManifestChangeFeedSource(sqlContext.sparkSession, root, resolved,
+        refreshOnRefusal = parameters.get("onRefusal") match {
+          case Some("refresh") => true
+          case Some("fail") | None => false
+          case Some(other) => throw new IllegalArgumentException(
+            s"onRefusal must be 'fail' or 'refresh', got '$other'")
+        })
     else new ManifestStreamSource(sqlContext.sparkSession, root, resolved)
   }
 }
@@ -231,7 +237,8 @@ class ManifestStreamSource(
 class ManifestChangeFeedSource(
     spark: SparkSession,
     root: String,
-    override val schema: StructType) extends Source {
+    override val schema: StructType,
+    refreshOnRefusal: Boolean = false) extends Source {
 
   private def versionOf(o: OffsetV1): Long = o.json.toLong
 
@@ -249,10 +256,25 @@ class ManifestChangeFeedSource(
         // a row-tracked window upgrades to the version-walk feed, which
         // serves an EMPTY delta across id-preserving rewrites — streams
         // survive OPTIMIZE instead of refusing
-        val (feed, _) =
-          if (ManifestTable.rowTrackingEnabled(spark, root, startV))
-            ManifestTable.readChangesRowTracked(spark, root, startV, Some(endV))
-          else ManifestTable.readChangesWithDeletes(spark, root, startV, Some(endV))
+        val attempt =
+          try Some(
+            if (ManifestTable.rowTrackingEnabled(spark, root, startV))
+              ManifestTable.readChangesRowTracked(spark, root, startV, Some(endV))._1
+            else ManifestTable.readChangesWithDeletes(spark, root, startV, Some(endV))._1)
+          catch {
+            // a window that is not delta-expressible (overwrite, COW
+            // rewrite, vacuumed cursor): under onRefusal=refresh the
+            // batch DECLARES the recovery instead of killing the query —
+            // the whole table at endV tagged 'refresh', which
+            // applyChangesMor lands as one atomic watermarked overwrite
+            // and from which the next window resumes incrementally.
+            // Replays are sound: the same offset range re-derives the
+            // same refusal and the same endV state.
+            case scala.util.control.NonFatal(e) if refreshOnRefusal => None
+          }
+        val feed = attempt.getOrElse(
+          ManifestTable.read(spark, root, Some(endV))
+            .withColumn("_change_type", org.apache.spark.sql.functions.lit("refresh")))
         GraftSqlBridge.asStreaming(
           feed.select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*))
       case None =>

@@ -1867,10 +1867,23 @@ object ManifestTable {
     // an unknown tag must fail loudly, not silently drop the row — a
     // feed that speaks a richer dialect (update_preimage, ...) needs
     // translating, not truncating
-    val badTags = feed.filter(!col(ct).isin("insert", "delete"))
-      .select(col(ct)).distinct().limit(3).collect().map(_.get(0))
-    require(badTags.isEmpty,
-      s"applyChangesMor understands '$ct' tags 'insert' and 'delete' only — got ${badTags.mkString(", ")}")
+    val tags = feed.select(col(ct)).distinct().limit(4).collect()
+      .map(_.get(0)).toSet
+    require(tags.subsetOf(Set[Any]("insert", "delete", "refresh")),
+      s"applyChangesMor understands '$ct' tags 'insert', 'delete', and 'refresh' only — " +
+        s"got ${tags.mkString(", ")}")
+    // a FULL-REFRESH batch (what the change-feed source emits under
+    // onRefusal=refresh when a window is not delta-expressible): the
+    // rows ARE the whole new state — one atomic overwrite carrying the
+    // same exactly-once watermark, after which incremental windows
+    // resume from this batch's version
+    if (tags.contains("refresh")) {
+      require(tags == Set[Any]("refresh"),
+        "a refresh batch must be refresh-only (the rows replace the whole table)")
+      val (staged, base, metaAt, statsAt) = prepareOverwrite(spark, root,
+        feed.drop(ct), Map(key -> batchId.toString), statsColumns, bloomColumns)
+      return commit(spark, root, "apply-refresh", staged, base, metaAt, statsAt)
+    }
     val inserts = feed.filter(col(ct) === "insert").drop(ct)
     val delKeys = feed.filter(col(ct) === "delete").select(col(keyCol)).distinct()
     // -------- delete side: grow the cumulative vector (MOR) ----------

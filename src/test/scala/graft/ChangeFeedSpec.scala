@@ -136,6 +136,48 @@ class ChangeFeedSpec extends SparkSpec {
         .filter(col("o_custkey") % 7 =!= 0))
   }
 
+  test("changeFeed stream with onRefusal=refresh: an OVERWRITE window lands as one atomic refresh, then resumes incrementally") {
+    val src = freshRoot("cf_rfr_src")
+    val dst = freshRoot("cf_rfr_dst")
+    val ckpt = freshRoot("cf_rfr_ckpt")
+    val f = orders.filter(col("o_orderstatus") === "F")
+    ManifestTable.create(spark, src, f)
+    ManifestTable.create(spark, dst, f.limit(0))
+    def run(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.ManifestStreamSourceProvider")
+        .option("changeFeed", "true").option("onRefusal", "refresh").load(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          ManifestTable.applyChangesMor(spark, dst, b, "o_orderkey", "mirror", id); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run() // initial load
+    ManifestTable.append(spark, src, orders.filter(col("o_orderstatus") === "O"))
+    run() // incremental
+    assertSame(ManifestTable.read(spark, dst), ManifestTable.read(spark, src))
+    // an OVERWRITE while the query is down: the plain change feed
+    // refuses here and kills the query — under onRefusal=refresh the
+    // restart drains it as ONE atomic watermarked overwrite instead
+    ManifestTable.overwrite(spark, src, orders.filter(col("o_orderstatus") === "P"))
+    run()
+    assertSame(ManifestTable.read(spark, dst), ManifestTable.read(spark, src))
+    val tipOps = ManifestTable.history(spark, dst).map(_.operation)
+    assert(tipOps.contains("apply-refresh"),
+      s"the refusal window must land as apply-refresh, got $tipOps")
+    // the NEXT window is incremental again (a delta apply, not a refresh)
+    ManifestTable.deleteMor(spark, src, col("o_orderkey") % 4 === 0)
+    run()
+    assertSame(ManifestTable.read(spark, dst), ManifestTable.read(spark, src))
+    assert(ManifestTable.history(spark, dst).map(_.operation)
+      .count(_ == "apply-refresh") === 1,
+      "the post-refresh window must apply incrementally")
+  }
+
   test("changeFeed stream: a RESTORE past a MOR delete streams resurrections as inserts") {
     val src = freshRoot("cf_restore_src")
     val dst = freshRoot("cf_restore_dst")

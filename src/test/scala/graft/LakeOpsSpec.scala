@@ -382,6 +382,50 @@ class LakeOpsSpec extends SparkSpec {
     assert(ManifestTable.versions(spark, mart).max === before)
   }
 
+  test("maintainMirror: incremental windows apply as deltas; a refusal (overwrite, vacuumed cursor) full-refreshes declaratively") {
+    import graft.sources.ManifestTable
+    def root() = java.nio.file.Files.createTempDirectory("mirr").toString
+    val src = root(); val dst = root()
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    def mirrorEquals(): Boolean = {
+      val s = ManifestTable.read(spark, src)
+      val d = ManifestTable.read(spark, dst)
+      d.exceptAll(s).isEmpty && s.exceptAll(d).isEmpty
+    }
+    def maintain() = graft.ops.LakeOps.maintainMirror(spark, src, dst, "o_orderkey")
+    ManifestTable.create(spark, src, orders.filter(col("o_orderstatus") === "F"))
+    assert(maintain()._2 === "bootstrap")
+    assert(mirrorEquals())
+    // append + MOR delete: incremental
+    ManifestTable.append(spark, src, orders.filter(col("o_orderstatus") === "O"))
+    ManifestTable.deleteMor(spark, src, col("o_orderkey") % 5 === 0)
+    val (tip1, mode1, n1) = maintain()
+    assert(mode1 === "incremental" && n1 > 0)
+    assert(mirrorEquals())
+    // caught up: noop, no mirror commit
+    val before = ManifestTable.versions(spark, dst).max
+    assert(maintain() === ((tip1, "noop", 0L)))
+    assert(ManifestTable.versions(spark, dst).max === before)
+    // an OVERWRITE makes the window inexpressible: the maintainer
+    // answers with the declared full refresh instead of throwing
+    ManifestTable.overwrite(spark, src, orders.filter(col("o_orderstatus") === "P"))
+    val (_, mode2, _) = maintain()
+    assert(mode2 === "full_refresh")
+    assert(mirrorEquals())
+    // and the NEXT window is incremental again from the refresh point
+    ManifestTable.append(spark, src, orders.filter(col("o_orderstatus") === "F").limit(20))
+    val (_, mode3, _) = maintain()
+    assert(mode3 === "incremental")
+    assert(mirrorEquals())
+    // a cursor the source vacuumed past is a refusal too: full refresh
+    ManifestTable.append(spark, src, orders.filter(col("o_orderstatus") === "O").limit(10))
+    ManifestTable.append(spark, src, orders.filter(col("o_orderstatus") === "O").limit(5))
+    ManifestTable.vacuum(spark, src, keepVersions = 1)
+    val (_, mode4, _) = maintain()
+    assert(mode4 === "full_refresh", s"vacuumed cursor must refresh, got $mode4")
+    assert(mirrorEquals())
+  }
+
   test("maintainAggMartTotal untracked: append+MOR-delete windows maintain; a MERGE window demands tracking") {
     import graft.sources.ManifestTable
     def root() = java.nio.file.Files.createTempDirectory("ivmt2").toString
