@@ -1510,6 +1510,43 @@ object SparkEntry {
       } finally graft.plans.MartRewrite.deregister(fact)
     }),
 
+    "mv3_rewrite_minmax" -> ((s, dir) => {
+      // MV routing for the NON-self-maintainable mart shape: a
+      // count/min/max aggregate (with a group-key filter) re-plans onto
+      // the lake32-maintained (key, n_rows, vmin, vmax) mart, while a
+      // sum-shaped control query — which that mart cannot serve — stays
+      // on the fact scan. Pins: plan routing both ways, values equal
+      // the from-scratch truth.
+      val fact = java.nio.file.Files.createTempDirectory("mv3_fact").toString
+      val mart = java.nio.file.Files.createTempDirectory("mv3_mart").toString
+      val orders = t(s, dir, "orders")
+      val MT = graft.sources.ManifestTable
+      MT.create(s, fact, orders)
+      graft.ops.LakeOps.maintainMinMaxMart(s, fact, mart, "o_orderstatus", "o_totalprice")
+      graft.plans.MartRewrite.registerMinMax(s, fact, "o_orderstatus", "o_totalprice", mart)
+      try {
+        def leafStrings(df: org.apache.spark.sql.DataFrame) =
+          df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+        val martName = new java.io.File(mart).getName
+        val factName = new java.io.File(fact).getName
+        val q = MT.read(s, fact)
+          .filter(col("o_orderstatus").isin("F", "O"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"))
+        val servedFromMart = leafStrings(q).exists(_.contains(martName)) &&
+          !leafStrings(q).exists(_.contains(factName))
+        val control = MT.read(s, fact).groupBy("o_orderstatus")
+          .agg(dsum(col("o_totalprice")).as("s"))
+        val controlUntouched = !leafStrings(control).exists(_.contains(martName))
+        q.select(lit(servedFromMart).as("served_from_mart"),
+          lit(controlUntouched).as("sum_control_unrewritten"),
+          col("o_orderstatus"), col("n_orders"), col("min_price"), col("max_price"))
+          .localCheckpoint() // pin the rows before deregistration
+      } finally graft.plans.MartRewrite.deregister(fact)
+    }),
+
     "lake11_incr_agg" -> ((s, dir) => {
       // incremental view maintenance over the CDF: the agg mart
       // bootstraps on the F slice, then two appends are folded in by
@@ -7559,6 +7596,15 @@ object SparkEntry {
          |       o_orderstatus,
          |       CAST(count(*) AS BIGINT) AS n_orders,
          |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders WHERE o_orderstatus IN ('F', 'O')
+         |GROUP BY o_orderstatus""").stripMargin,
+
+    "mv3_rewrite_minmax" -> // the mart-served count/min/max must equal
+      // the filtered from-scratch aggregate; routing pinned in-engine
+      ("""SELECT TRUE AS served_from_mart, TRUE AS sum_control_unrewritten,
+         |       o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
          |FROM orders WHERE o_orderstatus IN ('F', 'O')
          |GROUP BY o_orderstatus""").stripMargin,
 

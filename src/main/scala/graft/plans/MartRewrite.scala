@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -14,28 +14,31 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Transparent MATERIALIZED-VIEW query rewrite — the optimizer half of
   * incremental view maintenance (Oracle/Calcite's aggregate rewrite;
-  * Databricks' MV routing): a count/sum aggregate over the FACT table is
-  * silently re-planned to read the maintained mart
-  * ([[graft.ops.LakeOps.maintainAggMart]]'s (key, n_rows, total)
-  * schema), turning an O(fact) scan into an O(groups) one. The query
-  * text doesn't change; the plan does — which is the whole point of
-  * maintaining the mart.
+  * Databricks' MV routing): a provable aggregate over the FACT table is
+  * silently re-planned to read a maintained mart, turning an O(fact)
+  * scan into an O(groups) one. The query text doesn't change; the plan
+  * does — which is the whole point of maintaining the mart. Two mart
+  * shapes route:
   *
-  * Soundness contract: count and sum are the self-maintainable
-  * aggregates the mart stores EXACTLY (`total` accumulates associative
-  * DECIMAL partials, so `CAST(total AS DOUBLE)` is bit-for-bit the
-  * from-scratch [[graft.ops.ExactSums.dsum]]); the rewrite fires only on
-  * the precise shapes it can prove — a single grouping attribute equal
-  * to the registered key, `count(1)` (non-distinct), the dsum cast
-  * tower over the registered value column, and optionally a
-  * deterministic Filter over the KEY ALONE (key predicates are
-  * group-preserving: every row of a group shares the key, so the filter
-  * keeps or drops whole groups and pushes onto the mart verbatim — the
-  * `WHERE key IN (...)` shape real dashboards send). Anything else
-  * (other aggregates, non-key filters, expressions over the key) is
-  * left untouched.
+  *  - [[register]]: [[graft.ops.LakeOps.maintainAggMart]]'s
+  *    (key, n_rows, total) count/sum mart — `count(1)` and the dsum
+  *    cast tower over the registered value column;
+  *  - [[registerMinMax]]: [[graft.ops.LakeOps.maintainMinMaxMart]]'s
+  *    (key, n_rows, vmin, vmax) mart — `count(1)`, `min(value)`,
+  *    `max(value)`.
   *
-  * Fact-table identity is PROVEN, not path-matched: [[register]]
+  * Soundness contract: these are the aggregates the marts store
+  * EXACTLY (count/sum self-maintainable with exact DECIMAL partials;
+  * min/max maintained with the per-group recompute fallback), and the
+  * rewrite fires only on shapes it can prove — a single grouping
+  * attribute equal to the registered key, the precise aggregate forms,
+  * and optionally a deterministic Filter over the KEY ALONE (key
+  * predicates are group-preserving: every row of a group shares the
+  * key, so the filter keeps or drops whole groups and pushes onto the
+  * mart verbatim — the `WHERE key IN (...)` shape real dashboards
+  * send). Anything else is left untouched.
+  *
+  * Fact-table identity is PROVEN, not path-matched: each registration
   * snapshots the fact table's file set at its current version, and the
   * rewrite fires only when the scan's input files are a SUPERSET of
   * that set. A tip read — including appends landed since registration —
@@ -48,9 +51,9 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * rewrites (compact/overwrite) break the superset relation and
   * correctly stop the rewrite until re-registration.
   *
-  * Freshness is the registration's contract: [[register]] snapshots the
-  * mart's CURRENT version (register after each maintenance cycle, the
-  * allowed-staleness model every MV rewriter documents).
+  * Freshness is the registration's contract: registering snapshots the
+  * mart's CURRENT version (re-register after each maintenance cycle,
+  * the allowed-staleness model every MV rewriter documents).
   */
 object MartRewrite extends Rule[LogicalPlan] {
 
@@ -59,56 +62,76 @@ object MartRewrite extends Rule[LogicalPlan] {
       factFiles: Set[String],
       keyCol: String,
       valueCol: String,
+      kind: String, // "sum" | "minmax"
       martPlan: LogicalPlan)
 
-  private val regs = new java.util.concurrent.ConcurrentHashMap[String, Reg]()
+  /** Keyed (factRoot, kind): a fact table may have BOTH mart shapes
+    * registered; each aggregate shape routes to the mart that stores it. */
+  private val regs = new java.util.concurrent.ConcurrentHashMap[(String, String), Reg]()
 
   /** Route future count/sum aggregates on `factRoot` (grouped by
-    * `keyCol`, summing `valueCol`) to the mart at `martRoot`, as of the
-    * mart's CURRENT version and the fact table's CURRENT file set.
-    * Re-register after each maintenance cycle to advance both
-    * snapshots. Also injects the rule (idempotently). */
+    * `keyCol`, summing `valueCol`) to the (key, n_rows, total) mart at
+    * `martRoot`, as of the mart's CURRENT version and the fact table's
+    * CURRENT file set. Re-register after each maintenance cycle to
+    * advance both snapshots. Also injects the rule (idempotently). */
   def register(spark: SparkSession, factRoot: String, keyCol: String,
-      valueCol: String, martRoot: String): Unit = {
+      valueCol: String, martRoot: String): Unit =
+    registerKind(spark, factRoot, keyCol, valueCol, martRoot, "sum",
+      Seq(keyCol, "n_rows", "total"))
+
+  /** [[register]] for the (key, n_rows, vmin, vmax) min/max mart:
+    * routes `count(1)` / `min(valueCol)` / `max(valueCol)` aggregates. */
+  def registerMinMax(spark: SparkSession, factRoot: String, keyCol: String,
+      valueCol: String, martRoot: String): Unit =
+    registerKind(spark, factRoot, keyCol, valueCol, martRoot, "minmax",
+      Seq(keyCol, "n_rows", "vmin", "vmax"))
+
+  private def registerKind(spark: SparkSession, factRoot: String, keyCol: String,
+      valueCol: String, martRoot: String, kind: String, needed: Seq[String]): Unit = {
     val martPlan = GraftSqlBridge.analyzed(
       graft.sources.ManifestTable.read(spark, martRoot))
-    require(Seq(keyCol, "n_rows", "total").forall(c => martPlan.output.exists(_.name == c)),
-      s"$martRoot is not a maintained (key, n_rows, total) agg mart for key '$keyCol'")
+    require(needed.forall(c => martPlan.output.exists(_.name == c)),
+      s"$martRoot is not a maintained (${needed.mkString(", ")}) mart for key '$keyCol'")
     val factVersions = graft.sources.ManifestTable.versions(spark, factRoot)
     require(factVersions.nonEmpty, s"$factRoot is not a manifest table")
     val factFiles = graft.sources.ManifestTable
       .manifestFiles(spark, factRoot, factVersions.max)
       .map(p => normalize(if (p.startsWith("/")) p else s"$factRoot/$p"))
       .toSet
-    regs.put(factRoot, Reg(factRoot, factFiles, keyCol, valueCol, martPlan))
+    regs.put((factRoot, kind), Reg(factRoot, factFiles, keyCol, valueCol, kind, martPlan))
     if (!spark.experimental.extraOptimizations.contains(MartRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ MartRewrite
   }
 
-  /** Drop a registration (tests; decommissioned marts). */
-  def deregister(factRoot: String): Unit = { regs.remove(factRoot); () }
+  /** Drop every registration for `factRoot` (tests; decommissioned marts). */
+  def deregister(factRoot: String): Unit = {
+    regs.remove((factRoot, "sum"))
+    regs.remove((factRoot, "minmax"))
+    ()
+  }
 
   private def normalize(p: String): String = new Path(p).toUri.getPath
 
-  /** The registered fact table this subtree PROVABLY scans in full —
-    * a LogicalRelation (under attribute-only Projects and at most a
-    * key-only Filter, the shapes pruning and pushdown leave) whose
-    * input files cover the registered version's file set — plus the
-    * combined Filter condition sitting between aggregate and scan. */
-  private def scanOf(plan: LogicalPlan): Option[(Reg, Option[Expression])] = plan match {
+  /** The registrations whose fact table this subtree PROVABLY scans in
+    * full — a LogicalRelation (under attribute-only Projects and Filters,
+    * the shapes pruning and pushdown leave) whose input files cover the
+    * registered version's file set — plus the combined Filter condition
+    * sitting between aggregate and scan. */
+  private def scanOf(plan: LogicalPlan): Option[(Seq[Reg], Option[Expression])] = plan match {
     case p: Project if p.projectList.forall(_.isInstanceOf[Attribute]) =>
       scanOf(p.child)
     case f: Filter =>
-      scanOf(f.child).map { case (reg, cond) =>
-        (reg, Some(cond.map(And(f.condition, _)).getOrElse(f.condition)))
+      scanOf(f.child).map { case (rs, cond) =>
+        (rs, Some(cond.map(And(f.condition, _)).getOrElse(f.condition)))
       }
     case lr: LogicalRelation => lr.relation match {
       case fsr: HadoopFsRelation =>
         val scanned = fsr.location.inputFiles.map(normalize).toSet
-        regs.values().asScala
-          .find(r => r.factFiles.nonEmpty && r.factFiles.subsetOf(scanned))
-          .map(r => (r, None))
+        val matching = regs.values().asScala
+          .filter(r => r.factFiles.nonEmpty && r.factFiles.subsetOf(scanned))
+          .toSeq.sortBy(_.kind == "minmax") // try the sum mart first
+        if (matching.isEmpty) None else Some((matching, None))
       case _ => None
     }
     case _ => None
@@ -116,8 +139,7 @@ object MartRewrite extends Rule[LogicalPlan] {
 
   /** The mart-side replacement for one aggregate output, keeping the
     * original name AND exprId so nothing upstream re-resolves. */
-  private def replacement(e: NamedExpression, reg: Reg,
-      key: Attribute): Option[NamedExpression] = {
+  private def replacement(e: NamedExpression, reg: Reg): Option[NamedExpression] = {
     def mart(c: String): Attribute = reg.martPlan.output.find(_.name == c).get
     e match {
       case a: AttributeReference if a.name == reg.keyCol =>
@@ -126,9 +148,15 @@ object MartRewrite extends Rule[LogicalPlan] {
         ae.aggregateFunction match {
           case Count(Seq(Literal(_, _))) =>
             Some(Alias(mart("n_rows"), name)(exprId = al.exprId))
+          case Min(attr: AttributeReference)
+              if reg.kind == "minmax" && attr.name == reg.valueCol =>
+            Some(Alias(mart("vmin"), name)(exprId = al.exprId))
+          case Max(attr: AttributeReference)
+              if reg.kind == "minmax" && attr.name == reg.valueCol =>
+            Some(Alias(mart("vmax"), name)(exprId = al.exprId))
           case _ => None
         }
-      case al @ Alias(c: Cast, name) if c.dataType == DoubleType =>
+      case al @ Alias(c: Cast, name) if reg.kind == "sum" && c.dataType == DoubleType =>
         c.child match {
           case ae: AggregateExpression if !ae.isDistinct =>
             ae.aggregateFunction match {
@@ -152,22 +180,27 @@ object MartRewrite extends Rule[LogicalPlan] {
     plan.transform {
       case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _) =>
         scanOf(child) match {
-          case Some((reg, cond)) if g.name == reg.keyCol &&
+          case Some((candidates, cond))
               // a filter is pushable iff deterministic and over the
               // grouping KEY alone (group-preserving by definition)
-              cond.forall(c => c.deterministic &&
+              if cond.forall(c => c.deterministic &&
                 c.references.forall(_.exprId == g.exprId)) =>
-            val outs = aggExprs.map(replacement(_, reg, g))
-            if (outs.forall(_.isDefined)) {
-              val martKey = reg.martPlan.output.find(_.name == reg.keyCol).get
-              val base = cond match {
-                case Some(c) => Filter(c.transform {
-                  case a: AttributeReference if a.exprId == g.exprId => martKey
-                }, reg.martPlan)
-                case None => reg.martPlan
-              }
-              Project(outs.map(_.get), base)
-            } else agg
+            val served = candidates.iterator
+              .filter(_.keyCol == g.name)
+              .map(reg => reg -> aggExprs.map(replacement(_, reg)))
+              .find(_._2.forall(_.isDefined))
+            served match {
+              case Some((reg, outs)) =>
+                val martKey = reg.martPlan.output.find(_.name == reg.keyCol).get
+                val base = cond match {
+                  case Some(c) => Filter(c.transform {
+                    case a: AttributeReference if a.exprId == g.exprId => martKey
+                  }, reg.martPlan)
+                  case None => reg.martPlan
+                }
+                Project(outs.map(_.get), base)
+              case None => agg
+            }
           case _ => agg
         }
     }

@@ -106,6 +106,48 @@ class MartRewriteSpec extends SparkSpec {
     } finally MartRewrite.deregister(fact)
   }
 
+  test("min/max mart routing: count/min/max re-plan onto the minmax mart; sum shapes only onto the sum mart") {
+    val fact = freshRoot("mv_fact_mm")
+    val sumMart = freshRoot("mv_mart_sum")
+    val mmMart = freshRoot("mv_mart_mm")
+    ManifestTable.create(spark, fact, orders)
+    LakeOps.maintainMinMaxMart(spark, fact, mmMart, "o_orderstatus", "o_totalprice")
+    def mmAgg = ManifestTable.read(spark, fact)
+      .filter(col("o_orderstatus") =!= "X") // key-only filter rides along
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+    def sumAgg = ManifestTable.read(spark, fact).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), ExactSums.dsum(col("o_totalprice")).as("s"))
+    val direct = mmAgg.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    MartRewrite.registerMinMax(spark, fact, "o_orderstatus", "o_totalprice", mmMart)
+    try {
+      val mmName = new java.io.File(mmMart).getName
+      assert(scansUnder(mmAgg).exists(_.contains(mmName)),
+        s"count/min/max must scan the minmax mart:\n${mmAgg.queryExecution.executedPlan}")
+      assert(mmAgg.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet === direct)
+      // a SUM query must NOT be served by the minmax mart (it doesn't
+      // store sums) — untouched while only minmax is registered
+      assert(!scansUnder(sumAgg).exists(_.contains(mmName)),
+        "sum shapes must not route to the minmax mart")
+      // with BOTH marts registered, each shape routes to its own mart
+      LakeOps.maintainAggMart(spark, fact, sumMart, "o_orderstatus", "o_totalprice")
+      MartRewrite.register(spark, fact, "o_orderstatus", "o_totalprice", sumMart)
+      val sumName = new java.io.File(sumMart).getName
+      assert(scansUnder(sumAgg).exists(_.contains(sumName)),
+        s"count/dsum must scan the sum mart:\n${sumAgg.queryExecution.executedPlan}")
+      assert(scansUnder(mmAgg).exists(_.contains(mmName)),
+        "count/min/max must still scan the minmax mart")
+      // min of an UNREGISTERED column never rewrites
+      val other = ManifestTable.read(spark, fact).groupBy("o_orderstatus")
+        .agg(min(col("o_custkey")).as("m"))
+      assert(!scansUnder(other).exists(l => l.contains(mmName) || l.contains(sumName)),
+        "min over an unregistered column must stay on the fact scan")
+    } finally MartRewrite.deregister(fact)
+  }
+
   test("time travel and file-subset scans never rewrite; a post-registration overwrite stops the rewrite") {
     val fact = freshRoot("mv_fact_tt")
     val mart = freshRoot("mv_mart_tt")
