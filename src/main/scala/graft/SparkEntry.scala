@@ -2746,6 +2746,58 @@ object SparkEntry {
           col("o_orderstatus"), col("n_orders"), col("total_price"))
     }),
 
+    "st14_rowid_mirror" -> ((s, dir) => {
+      // identity-keyed mirroring (the Delta row-tracking consumer
+      // contract): with `includeRowIds=true` the change feed exposes
+      // the immutable `_row_id`, and the mirror applies changes keyed
+      // on IDENTITY instead of a business key — the only sound binding
+      // when business keys are NON-UNIQUE. The source holds every F
+      // order TWICE (copy B repriced +1e6); a window deletes ONLY copy
+      // B of every third key (a business-key-bound delete would kill
+      // copy A too) with an OPTIMIZE mid-window (empty delta under
+      // ids); then an O append. Pins: the mirror equals the source
+      // exactly, duplicates included, copy-A survivors intact.
+      val src = java.nio.file.Files.createTempDirectory("st14_src").toString
+      val dst = java.nio.file.Files.createTempDirectory("st14_dst").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("st14_ckpt").toString
+      val orders = t(s, dir, "orders")
+      val MT = graft.sources.ManifestTable
+      val f = orders.filter(col("o_orderstatus") === "F")
+      val dup = f.unionByName(
+        f.withColumn("o_totalprice", col("o_totalprice") + 1000000.0))
+      MT.create(s, src, dup.repartition(3))
+      MT.enableRowTracking(s, src)
+      MT.create(s, dst, MT.readWithRowIds(s, src).limit(0))
+      def drain(): Unit = {
+        val q = s.readStream
+          .format("graft.sources.ManifestStreamSourceProvider")
+          .option("changeFeed", "true").option("includeRowIds", "true").load(src)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            MT.applyChangesMor(s, dst, b, "_row_id", "mirror", id); ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // initial load: both copies of every key
+      MT.deleteMor(s, src,
+        col("o_totalprice") > 1000000.0 && col("o_orderkey") % 3 === 0)
+      MT.compact(s, src, 64L * 1024 * 1024) // empty delta under ids
+      drain()
+      MT.append(s, src, orders.filter(col("o_orderstatus") === "O"))
+      drain()
+      val srcDf = MT.read(s, src)
+      val dstDf = MT.read(s, dst).drop("_row_id")
+      val mirrors = dstDf.exceptAll(srcDf).isEmpty && srcDf.exceptAll(dstDf).isEmpty
+      dstDf.groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .select(lit(mirrors).as("mirrors_with_duplicates"),
+          col("o_orderstatus"), col("n_orders"), col("total_price"))
+    }),
+
     "st11_changefeed_optimize" -> ((s, dir) => {
       // the change feed SURVIVING OPTIMIZE: with row tracking on, a
       // compaction mid-window is a provably EMPTY delta (ids verify
@@ -5520,6 +5572,22 @@ object SparkEntry {
          |FROM orders
          |WHERE o_orderstatus = 'P' AND o_orderkey % 4 <> 0
          |GROUP BY o_orderstatus""").stripMargin,
+
+    "st14_rowid_mirror" -> // the mirror's final state: copy A of every F
+      // order, copy B (price +1e6) minus the key%3 deletes, plus the O
+      // append; identity-keyed equality pinned in-engine
+      (s"""WITH fin AS (
+         |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_totalprice + 1000000.0 FROM orders
+         |  WHERE o_orderstatus = 'F' AND o_orderkey % 3 <> 0
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+         |)
+         |SELECT TRUE AS mirrors_with_duplicates, o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM fin GROUP BY o_orderstatus""").stripMargin,
 
     "st6_manifest_replicate" -> // the replica must hold exactly what the
       // source's three versions shipped — the whole orders table

@@ -54,6 +54,9 @@ class ManifestStreamSourceProvider extends StreamSourceProvider with DataSourceR
   private def changeFeedOf(parameters: Map[String, String]): Boolean =
     parameters.get("changeFeed").exists(_.toBoolean)
 
+  private def includeRowIdsOf(parameters: Map[String, String]): Boolean =
+    parameters.get("includeRowIds").exists(_.toBoolean)
+
   override def sourceSchema(
       sqlContext: SQLContext,
       schema: Option[StructType],
@@ -70,12 +73,20 @@ class ManifestStreamSourceProvider extends StreamSourceProvider with DataSourceR
       ManifestTable.schemaOf(spark, root, vs.max).map(ManifestTable.visibleSchema)
     }.getOrElse(throw new IllegalArgumentException(
       s"$root has a pre-schema manifest log and no user schema was given"))
-    // the change feed serves table rows TAGGED with _change_type
+    // the change feed serves table rows TAGGED with _change_type;
+    // includeRowIds=true additionally exposes the immutable row id —
+    // the identity a downstream mirror can key on when business keys
+    // are non-unique (requires row tracking on the source)
     val served =
-      if (changeFeedOf(parameters))
-        resolved.add(org.apache.spark.sql.types.StructField(
+      if (changeFeedOf(parameters)) {
+        val withId =
+          if (includeRowIdsOf(parameters))
+            resolved.add(org.apache.spark.sql.types.StructField(
+              "_row_id", org.apache.spark.sql.types.LongType, nullable = true))
+          else resolved
+        withId.add(org.apache.spark.sql.types.StructField(
           "_change_type", org.apache.spark.sql.types.StringType, nullable = false))
-      else resolved
+      } else resolved
     (shortName(), served)
   }
 
@@ -94,7 +105,8 @@ class ManifestStreamSourceProvider extends StreamSourceProvider with DataSourceR
           case Some("fail") | None => false
           case Some(other) => throw new IllegalArgumentException(
             s"onRefusal must be 'fail' or 'refresh', got '$other'")
-        })
+        },
+        includeRowIds = includeRowIdsOf(parameters))
     else new ManifestStreamSource(sqlContext.sparkSession, root, resolved)
   }
 }
@@ -238,12 +250,27 @@ class ManifestChangeFeedSource(
     spark: SparkSession,
     root: String,
     override val schema: StructType,
-    refreshOnRefusal: Boolean = false) extends Source {
+    refreshOnRefusal: Boolean = false,
+    includeRowIds: Boolean = false) extends Source {
 
   private def versionOf(o: OffsetV1): Long = o.json.toLong
 
   override def getOffset: Option[OffsetV1] =
     ManifestTable.versions(spark, root).lastOption.map(LongOffset(_))
+
+  /** Whole-table read at `v`, with `_row_id` when the source serves ids
+    * (requires row tracking — fails loudly otherwise, there is no id to
+    * serve). */
+  private def fullAt(v: Long, tag: String): DataFrame = {
+    val base =
+      if (!includeRowIds) ManifestTable.read(spark, root, Some(v))
+      else {
+        require(ManifestTable.rowTrackingEnabled(spark, root, v),
+          s"includeRowIds=true needs row tracking enabled on $root (enableRowTracking)")
+        ManifestTable.readWithRowIds(spark, root, Some(v))
+      }
+    base.withColumn("_change_type", org.apache.spark.sql.functions.lit(tag))
+  }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = versionOf(end)
@@ -259,8 +286,13 @@ class ManifestChangeFeedSource(
         val attempt =
           try Some(
             if (ManifestTable.rowTrackingEnabled(spark, root, startV))
-              ManifestTable.readChangesRowTracked(spark, root, startV, Some(endV))._1
-            else ManifestTable.readChangesWithDeletes(spark, root, startV, Some(endV))._1)
+              ManifestTable.readChangesRowTracked(spark, root, startV, Some(endV),
+                includeRowId = includeRowIds)._1
+            else {
+              require(!includeRowIds,
+                s"includeRowIds=true needs row tracking enabled on $root (enableRowTracking)")
+              ManifestTable.readChangesWithDeletes(spark, root, startV, Some(endV))._1
+            })
           catch {
             // a window that is not delta-expressible (overwrite, COW
             // rewrite, vacuumed cursor): under onRefusal=refresh the
@@ -272,16 +304,13 @@ class ManifestChangeFeedSource(
             // same refusal and the same endV state.
             case scala.util.control.NonFatal(e) if refreshOnRefusal => None
           }
-        val feed = attempt.getOrElse(
-          ManifestTable.read(spark, root, Some(endV))
-            .withColumn("_change_type", org.apache.spark.sql.functions.lit("refresh")))
+        val feed = attempt.getOrElse(fullAt(endV, "refresh"))
         GraftSqlBridge.asStreaming(
           feed.select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*))
       case None =>
-        val full = ManifestTable.read(spark, root, Some(endV))
-          .withColumn("_change_type", org.apache.spark.sql.functions.lit("insert"))
         GraftSqlBridge.asStreaming(
-          full.select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*))
+          fullAt(endV, "insert").select(
+            schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*))
     }
   }
 

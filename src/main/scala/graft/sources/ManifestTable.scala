@@ -1342,7 +1342,8 @@ object ManifestTable {
       spark: SparkSession,
       root: String,
       sinceVersion: Long,
-      untilVersion: Option[Long] = None): (DataFrame, Long) = {
+      untilVersion: Option[Long] = None,
+      includeRowId: Boolean = false): (DataFrame, Long) = {
     import org.apache.spark.sql.functions.{broadcast, lit, struct, when, max => fmax, min => fmin}
     val vs = versions(spark, root)
     require(vs.contains(sinceVersion),
@@ -1432,7 +1433,18 @@ object ManifestTable {
     }
     val outFields = schema.map(visibleSchema(_).fieldNames.toSeq)
       .getOrElse(Seq.empty)
-    val emptyFeed = read(spark, root, Some(tip)).limit(0).withColumn(ct, lit("insert"))
+    // identity exposure: _row_id is the table-unique immutable id —
+    // downstream mirrors can key on it instead of a business key (the
+    // Delta row-tracking consumer contract), which is the only sound
+    // key when business keys are non-unique
+    val outCols: Seq[String] =
+      if (includeRowId) "_row_id" +: outFields else outFields
+    val emptyFeed = {
+      val base = read(spark, root, Some(tip)).limit(0)
+      val withId = if (includeRowId)
+        base.withColumn("_row_id", lit(null).cast("long")) else base
+      withId.select((outCols.map(col) :+ lit("insert").as(ct)).map(c => c): _*)
+    }
     if (events.isEmpty) return (emptyFeed, tip)
     // schema may widen mid-window: align by name, absent columns null
     val all = events.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -1447,7 +1459,7 @@ object ManifestTable {
         when(col("__first_kind") === "del" && col("__kind") === "del", lit("delete"))
           .when(col("__first_kind") =!= "del" && col("__kind") =!= "del", lit("insert")))
       .filter(col(ct).isNotNull)
-      .select((outFields.map(col) :+ col(ct)).map(c => c): _*)
+      .select((outCols.map(col) :+ col(ct)).map(c => c): _*)
     (feed, tip)
   }
 

@@ -284,4 +284,61 @@ class RowTrackingSpec extends SparkSpec {
     assert(dstDf.exceptAll(srcDf).isEmpty && srcDf.exceptAll(dstDf).isEmpty,
       "mirror must converge across the OPTIMIZE")
   }
+
+  test("includeRowIds: the feed exposes _row_id and an identity-keyed mirror survives DUPLICATE business keys") {
+    val src = freshRoot()
+    val dst = freshRoot()
+    val ckpt = freshRoot()
+    val f = orders.filter(col("o_orderstatus") === "F").limit(60)
+    // every business key twice: copy B is distinguishable by price only
+    val dup = f.unionByName(f.withColumn("o_totalprice", col("o_totalprice") + 1000000.0))
+    ManifestTable.create(spark, src, dup.repartition(3))
+    ManifestTable.enableRowTracking(spark, src)
+    // the stream's schema carries _row_id before _change_type
+    val stream = spark.readStream
+      .format("graft.sources.ManifestStreamSourceProvider")
+      .option("changeFeed", "true").option("includeRowIds", "true").load(src)
+    assert(stream.schema.fieldNames.takeRight(2).toSeq === Seq("_row_id", "_change_type"))
+    // mirror keyed on IDENTITY: its schema is the source's plus _row_id
+    ManifestTable.create(spark, dst, ManifestTable.readWithRowIds(spark, src).limit(0))
+    def run(): Unit = {
+      val q = stream.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          ManifestTable.applyChangesMor(spark, dst, b, "_row_id", "mirror", id); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def mirrorEquals(): Unit = {
+      val s = ManifestTable.read(spark, src)
+      val d = ManifestTable.read(spark, dst).drop("_row_id")
+      assert(d.exceptAll(s).isEmpty && s.exceptAll(d).isEmpty,
+        "identity-keyed mirror must equal the source EXACTLY, duplicates included")
+    }
+    run() // initial load carries both copies of every key
+    assert(ManifestTable.read(spark, dst).count() === 2L * f.count())
+    mirrorEquals()
+    // delete ONLY copy B of every third key: a business-key-bound
+    // delete would wrongly kill copy A too — identity binding must not
+    ManifestTable.deleteMor(spark, src,
+      col("o_totalprice") > 1000000.0 && col("o_orderkey") % 3 === 0)
+    // and an OPTIMIZE mid-window: ids make it an empty delta
+    ManifestTable.compact(spark, src, 64L * 1024 * 1024)
+    run()
+    mirrorEquals()
+    val survivorsA = ManifestTable.read(spark, dst)
+      .filter(col("o_orderkey") % 3 === 0 && col("o_totalprice") <= 1000000.0).count()
+    assert(survivorsA > 0, "copy-A rows sharing the deleted keys must survive")
+    // batch API symmetry: readChangesRowTracked(includeRowId) serves the
+    // same ids the table reports
+    ManifestTable.append(spark, src, dup.limit(7))
+    val (feed, _) = ManifestTable.readChangesRowTracked(spark, src,
+      ManifestTable.versions(spark, src).max - 1, includeRowId = true)
+    assert(feed.columns.contains("_row_id"))
+    assert(feed.filter(col("_row_id").isNull).count() === 0L)
+    run()
+    mirrorEquals()
+  }
 }
