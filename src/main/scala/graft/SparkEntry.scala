@@ -4882,6 +4882,26 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     }),
 
+    "mm6_audio_neardup" -> ((s, dir) => {
+      // audio-content dedup END TO END on REAL PCM: 20 deterministic
+      // synthetic WAVs + 20 one-frame-perturbed variants (AudioFixtures
+      // — hand-built RIFF header, integer square waves, no codec, so
+      // every envelope bit reproduces on any JVM), near-dup pairs via
+      // the same 4×16-bit Hamming banding as mm5. The fingerprint is
+      // the dHash idea on the ENERGY ENVELOPE (65 frames, Σ|sample|,
+      // adjacent comparisons — volume-invariant by construction). The
+      // pair set is SF-independent and DERIVED: exactly the planted
+      // (i, i+20) variants at Hamming ≤ 3.
+      import s.implicits._
+      val rows = (0 until 20).map(i =>
+        (i.toLong, graft.ops.AudioFixtures.syntheticWav(i, perturbed = false))) ++
+        (0 until 20).map(i =>
+          (i.toLong + 20, graft.ops.AudioFixtures.syntheticWav(i, perturbed = true)))
+      val df = rows.toDF("clip_id", "content").repartition(4)
+      graft.ops.MultimodalOps.audioNearDupPairs(df, "clip_id", "content", maxHamming = 3)
+        .select(col("id_a"), col("id_b"))
+    }),
+
     "mm3_frame_sample" -> ((s, dir) => {
       // frame/chunk sampling under the oracle (sampleChunks was spec-only
       // before): bounded-fan-out posexplode — at most maxFrames rows per
@@ -7494,6 +7514,11 @@ object SparkEntry {
     "mm5_image_neardup" -> // the planted (base, variant) pairs — derived
       // from the construction (one perturbed dHash cell ⇒ Hamming ≤ 3;
       // distinct seeds ⇒ far apart), SF-independent
+      ("""SELECT CAST(range AS BIGINT) AS id_a, CAST(range + 20 AS BIGINT) AS id_b
+         |FROM range(0, 20)""").stripMargin,
+
+    "mm6_audio_neardup" -> // same derivation for the audio envelope:
+      // one perturbed frame ⇒ Hamming ≤ 2; distinct seeds ⇒ far apart
       ("""SELECT CAST(range AS BIGINT) AS id_a, CAST(range + 20 AS BIGINT) AS id_b
          |FROM range(0, 20)""").stripMargin,
 

@@ -432,18 +432,16 @@ object MultimodalOps {
         col("dhash").isNotNull.as("is_decoded"))
   }
 
-  /** Near-duplicate image pairs at Hamming ≤ `maxHamming` over the
-    * perceptual hash: candidates via the pigeonhole 4×16-bit chunk
-    * banding (complete up to Hamming 3 — [[graft.ops.DedupOps.simHashNearDupPairs]]'s
-    * machinery applied to the image fingerprint), exact `bit_count`
-    * filter on the XOR. The 100 TB shape is the SimHash one: one narrow
-    * signature pass, candidates only from equal band buckets, the
-    * Hamming filter before the dedup exchange. */
-  def imageNearDupPairs(
-      df: DataFrame, idCol: String, binCol: String,
-      maxHamming: Int = 3): DataFrame = {
+  /** Near-duplicate pairs at Hamming ≤ `maxHamming` over a 64-bit
+    * fingerprint frame (item_id, phash): candidates via the pigeonhole
+    * 4×16-bit chunk banding (complete up to Hamming 3 —
+    * [[graft.ops.DedupOps.simHashNearDupPairs]]'s machinery applied to
+    * media fingerprints), exact `bit_count` filter on the XOR. The
+    * 100 TB shape is the SimHash one: one narrow signature pass,
+    * candidates only from equal band buckets, the Hamming filter before
+    * the dedup exchange. */
+  private def hammingBandPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, s"4-chunk banding supports maxHamming <= 3, got $maxHamming")
-    val sig = perceptualHash(df, idCol, binCol).select(col("item_id"), col("phash"))
     val chunks: Seq[Column] =
       (0 until 4).map(c => shiftright(col("phash"), c * 16).bitwiseAND(0xffffL))
     val chunked = sig.select(col("item_id"), col("phash"),
@@ -460,6 +458,97 @@ object MultimodalOps {
       .select("id_a", "id_b", "hamming")
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Near-duplicate IMAGE pairs over [[perceptualHash]]. */
+  def imageNearDupPairs(
+      df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 3): DataFrame =
+    hammingBandPairs(
+      perceptualHash(df, idCol, binCol).select(col("item_id"), col("phash")),
+      maxHamming)
+
+  // ---- audio-content dedup: energy-envelope fingerprint -----------------
+
+  /** 64-bit audio fingerprint: the dHash idea on the ENERGY ENVELOPE —
+    * decode 16-bit PCM from a real RIFF/WAVE payload (header chunk walk
+    * via [[wavMeta]]'s machinery, pure integer math, no codec), split
+    * the samples into 65 equal frames, frame energy = Σ|sample|
+    * (channel-summed), bit j = 1 iff energy(j) < energy(j+1). Adjacent
+    * comparisons make it VOLUME-invariant (uniform gain preserves every
+    * comparison) the way dHash is brightness-invariant; a local edit
+    * flips only the bits whose frames it touches. None for non-WAV /
+    * non-16-bit / too-short payloads so callers fall back
+    * deterministically. */
+  private[graft] def audioHash64(bytes: Array[Byte]): Option[Long] = {
+    val meta = wavMeta(bytes)
+    if (meta.isEmpty || meta.get._3 != 16) return None
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def le32(o: Int): Int =
+      le16(o) | (le16(o + 2) << 16)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    // chunk walk to 'data' (the same walk wavMeta does to 'fmt ')
+    var off = 12
+    var dataOff = -1; var dataLen = 0
+    while (dataOff < 0 && off + 8 <= bytes.length) {
+      val sz = le32(off + 4)
+      if (sz < 0) return None
+      if (tag(off) == "data") { dataOff = off + 8; dataLen = math.min(sz, bytes.length - dataOff) }
+      else off += 8 + sz + (sz & 1)
+    }
+    val nSamples = dataLen / 2
+    val frames = 65
+    if (dataOff < 0 || nSamples < frames) return None
+    val energy = new Array[Long](frames)
+    var i = 0
+    while (i < nSamples) {
+      val f = (i.toLong * frames / nSamples).toInt
+      val s = (le16(dataOff + i * 2) << 16) >> 16 // sign-extend
+      energy(f) += math.abs(s).toLong
+      i += 1
+    }
+    var hash = 0L
+    var j = 0
+    while (j < frames - 1) {
+      if (energy(j) < energy(j + 1)) hash |= (1L << j)
+      j += 1
+    }
+    Some(hash)
+  }
+
+  /** [[perceptualHash]] for audio: RIFF payloads get the REAL
+    * [[audioHash64]]; everything else falls back to the same pure-SQL
+    * md5-prefix stub. Returns (item_id, format, phash, is_decoded). */
+  def audioFingerprint(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepared = withBinaryMeta(
+      df.select(col(idCol).as("item_id"), col(binCol).as("content")), "content")
+      .select(col("item_id"), col("content"), col("format"))
+    val real = prepared
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val fmt = r.getAs[String]("format")
+          val ah =
+            if (fmt == "riff") audioHash64(r.getAs[Array[Byte]]("content"))
+            else None
+          (r.getAs[Long]("item_id"), fmt, ah)
+        }
+      }.toDF("item_id", "format", "ahash")
+    val stub = df.select(col(idCol).as("item_id"),
+      expr(s"CAST(conv(substring(md5(`$binCol`), 1, 15), 16, 10) AS BIGINT)").as("stub"))
+    real.join(stub, Seq("item_id"))
+      .select(col("item_id"), col("format"),
+        coalesce(col("ahash"), col("stub")).as("phash"),
+        col("ahash").isNotNull.as("is_decoded"))
+  }
+
+  /** Near-duplicate AUDIO pairs over [[audioFingerprint]]. */
+  def audioNearDupPairs(
+      df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 3): DataFrame =
+    hammingBandPairs(
+      audioFingerprint(df, idCol, binCol).select(col("item_id"), col("phash")),
+      maxHamming)
 }
 
 /** Deterministic synthetic PNG fixtures for the image-dedup gate
@@ -471,6 +560,44 @@ object MultimodalOps {
   * from the base's in at most the two comparisons that touch that cell
   * (Hamming ≤ 2 by construction) while different seeds give effectively
   * random, far-apart hashes. */
+/** Deterministic synthetic WAV fixtures for the audio-dedup gate (mm6)
+  * and its specs: 16-bit PCM mono square waves whose per-frame
+  * amplitude is a hash-mix of (frame, seed) — pure integer math, a
+  * hand-built RIFF header, no codec anywhere, so every
+  * [[MultimodalOps.audioHash64]] bit reproduces on any JVM. `perturbed`
+  * boosts ONE frame's amplitude, flipping at most the two envelope
+  * comparisons that touch it (Hamming ≤ 2 by construction); different
+  * seeds give effectively random, far-apart envelopes. `gain` scales
+  * every sample uniformly (amplitudes stay ≤ 0x2fff so gain 2 cannot
+  * clip) — the volume-invariance probe. */
+object AudioFixtures {
+  def syntheticWav(seed: Int, perturbed: Boolean, gain: Int = 1): Array[Byte] = {
+    val frames = 65
+    val perFrame = 10
+    val n = frames * perFrame
+    val dataLen = n * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      val f = i / perFrame
+      var v = f * 73856093 ^ seed * 83492791
+      v = (v ^ (v >>> 13)) * 1274126177
+      var amp = (v >>> 8) & 0x2fff
+      if (perturbed && f == 30) amp = math.min(0x2fff, amp + 0x2000)
+      val s = (if (i % 2 == 0) amp else -amp) * gain
+      out.putShort(s.toShort)
+      i += 1
+    }
+    out.array()
+  }
+}
+
 object ImageFixtures {
   def syntheticPng(seed: Int, perturbed: Boolean): Array[Byte] = {
     val w = 64; val h = 64

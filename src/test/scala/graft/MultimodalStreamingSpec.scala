@@ -152,6 +152,47 @@ class MultimodalStreamingSpec extends SparkSpec {
       .filter(!col("is_decoded")).count() === 0L)
   }
 
+  test("audioHash64: near-dup WAVs within Hamming 2, unrelated far apart, VOLUME-invariant; non-WAV falls back") {
+    import graft.ops.AudioFixtures.syntheticWav
+    def ah(b: Array[Byte]): Long = MultimodalOps.audioHash64(b).get
+    def hd(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val base = ah(syntheticWav(1, perturbed = false))
+    val variant = ah(syntheticWav(1, perturbed = true))
+    val other = ah(syntheticWav(2, perturbed = false))
+    assert(hd(base, variant) <= 2,
+      s"one-frame perturbation must stay within Hamming 2, got ${hd(base, variant)}")
+    assert(hd(base, other) > 10,
+      s"different audio must hash far apart, got ${hd(base, other)}")
+    // the envelope hash compares ADJACENT frame energies — uniform gain
+    // preserves every comparison (volume invariance, the property that
+    // makes it a fingerprint, not a checksum)
+    assert(ah(syntheticWav(3, perturbed = false, gain = 1)) ===
+      ah(syntheticWav(3, perturbed = false, gain = 2)),
+      "a uniform gain change must preserve the fingerprint")
+    assert(MultimodalOps.audioHash64("not audio".getBytes).isEmpty)
+    assert(MultimodalOps.audioHash64(Array.emptyByteArray).isEmpty)
+  }
+
+  test("audioNearDupPairs finds exactly the planted variants; banding agrees with brute force") {
+    import graft.ops.AudioFixtures.syntheticWav
+    val rows = (0 until 20).map(i => (i.toLong, syntheticWav(i, perturbed = false))) ++
+      (0 until 20).map(i => (i.toLong + 20, syntheticWav(i, perturbed = true)))
+    val df = rows.toDF("clip_id", "content").repartition(4)
+    val pairs = MultimodalOps.audioNearDupPairs(df, "clip_id", "content", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === (0L until 20L).map(i => (i, i + 20)).toSet,
+      s"expected exactly the 20 planted (base, variant) pairs, got $pairs")
+    val sig = MultimodalOps.audioFingerprint(df, "clip_id", "content")
+    assert(sig.filter(!col("is_decoded")).count() === 0L,
+      "every synthetic WAV must really decode")
+    val a = sig.select(col("item_id").as("ia"), col("phash").as("pa"))
+    val b = sig.select(col("item_id").as("ib"), col("phash").as("pb"))
+    val brute = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .filter(bit_count(col("pa").bitwiseXOR(col("pb"))) <= 3)
+      .select(col("ia"), col("ib")).as[(Long, Long)].collect().toSet
+    assert(pairs === brute, "banding must find every brute-force pair")
+  }
+
   test("perceptualHash stub arm on non-image bytes equals the SQL md5-prefix formula") {
     val docs = Seq((1L, "hello world"), (2L, "spark engine"), (3L, ""))
       .toDF("doc_id", "t")
