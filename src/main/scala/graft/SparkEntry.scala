@@ -1547,6 +1547,51 @@ object SparkEntry {
       } finally graft.plans.MartRewrite.deregister(fact)
     }),
 
+    "mv4_rewrite_composite" -> ((s, dir) => {
+      // composite-key MV routing: a (status, priority) count/dsum mart
+      // maintained incrementally through the total feed (an append + a
+      // MOR delete window — maintainAggMartKeys, the lake30 algebra
+      // over a surrogate-bound composite key), then a multi-key
+      // aggregate in the REVERSED grouping order re-plans onto it.
+      // Pins: routing, a single-key control staying on the fact, and
+      // the served numbers equal the from-scratch truth.
+      val fact = java.nio.file.Files.createTempDirectory("mv4_fact").toString
+      val mart = java.nio.file.Files.createTempDirectory("mv4_mart").toString
+      val orders = t(s, dir, "orders")
+      val MT = graft.sources.ManifestTable
+      val keys = Seq("o_orderstatus", "o_orderpriority")
+      MT.create(s, fact, orders.filter(col("o_orderstatus") === "F"))
+      graft.ops.LakeOps.maintainAggMartKeys(s, fact, mart, keys, "o_totalprice")
+      MT.append(s, fact, orders.filter(col("o_orderstatus") =!= "F"))
+      MT.deleteMor(s, fact, col("o_custkey") % 5 === 0)
+      graft.ops.LakeOps.maintainAggMartKeys(s, fact, mart, keys, "o_totalprice")
+      // a DV-bearing fact read carries the anti-join above the scan, a
+      // shape the rewrite correctly cannot prove (spec-pinned safety);
+      // purge materializes the deletes so the fact is pure files again
+      MT.purgeDeletes(s, fact)
+      graft.plans.MartRewrite.registerKeys(s, fact, keys, "o_totalprice", mart)
+      try {
+        def leafStrings(df: org.apache.spark.sql.DataFrame) =
+          df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+        val martName = new java.io.File(mart).getName
+        val factName = new java.io.File(fact).getName
+        val q = MT.read(s, fact)
+          .groupBy("o_orderpriority", "o_orderstatus") // reversed order
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("total_price"))
+        val servedFromMart = leafStrings(q).exists(_.contains(martName)) &&
+          !leafStrings(q).exists(_.contains(factName))
+        val control = MT.read(s, fact).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"))
+        val controlUntouched = !leafStrings(control).exists(_.contains(martName))
+        q.select(lit(servedFromMart).as("served_from_mart"),
+          lit(controlUntouched).as("single_key_unrewritten"),
+          col("o_orderpriority"), col("o_orderstatus"),
+          col("n_orders"), col("total_price"))
+          .localCheckpoint() // pin the rows before deregistration
+      } finally graft.plans.MartRewrite.deregister(fact)
+    }),
+
     "lake11_incr_agg" -> ((s, dir) => {
       // incremental view maintenance over the CDF: the agg mart
       // bootstraps on the F slice, then two appends are folded in by
@@ -7700,6 +7745,16 @@ object SparkEntry {
          |       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
          |FROM orders WHERE o_orderstatus IN ('F', 'O')
          |GROUP BY o_orderstatus""").stripMargin,
+
+    "mv4_rewrite_composite" -> // the composite-key mart (maintained
+      // through an append + MOR-delete window) must serve the exact
+      // (status, priority) aggregate over the final state
+      (s"""SELECT TRUE AS served_from_mart, TRUE AS single_key_unrewritten,
+         |       o_orderpriority, o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders WHERE o_custkey % 5 <> 0
+         |GROUP BY o_orderpriority, o_orderstatus""").stripMargin,
 
     "lake11_incr_agg" -> // the maintained mart must equal the
       // from-scratch aggregate; per-step delta sizes pin that each pass

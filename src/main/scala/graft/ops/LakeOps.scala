@@ -346,6 +346,84 @@ object LakeOps {
     }
   }
 
+  /** Composite-key surrogate: one non-null string that identifies a
+    * (k1, …, kn) group — the single binding column
+    * [[graft.sources.ManifestTable.applyChangesMor]]'s delete side needs.
+    * U+0001 separates components, U+0002 encodes NULL (distinct from
+    * any cast string, so (NULL,"a") ≠ ("a",NULL) ≠ ("a", the U+0002 string)); sound as long as key values
+    * contain no control characters — the documented surrogate contract. */
+  private def surrogateKey(keyCols: Seq[String]): Column =
+    concat_ws("\u0001",
+      keyCols.map(k => coalesce(col(k).cast("string"), lit("\u0002"))): _*)
+
+  /** [[maintainAggMartTotal]] generalized to COMPOSITE grouping keys:
+    * the mart is (k1, …, kn, n_rows, total, mkey) where `mkey` is the
+    * surrogate the atomic apply binds on; the maintained aggregates and
+    * the delta algebra are exactly the single-key maintainer's (signed
+    * counts, exact DECIMAL partials, zero-count groups leave). Returns
+    * (consumed source version, change rows aggregated). */
+  def maintainAggMartKeys(
+      spark: org.apache.spark.sql.SparkSession,
+      srcRoot: String,
+      martRoot: String,
+      keyCols: Seq[String],
+      valueCol: String,
+      writerId: String = "aggmart-keys"): (Long, Long) = {
+    import graft.sources.ManifestTable
+    require(keyCols.nonEmpty, "need at least one grouping key")
+    val srcTip = {
+      val vs = ManifestTable.versions(spark, srcRoot)
+      require(vs.nonEmpty, s"$srcRoot is not a manifest table")
+      vs.max
+    }
+    val txnKey = s"txn-$writerId"
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("n_rows"),
+          ExactSums.dsumPartial(col(valueCol)).cast(TotalType).as("total"))
+        .withColumn("mkey", surrogateKey(keyCols))
+    val martVs = ManifestTable.versions(spark, martRoot)
+    if (martVs.isEmpty) {
+      val src = ManifestTable.read(spark, srcRoot, Some(srcTip))
+      val n = src.count()
+      ManifestTable.create(spark, martRoot, aggOf(src),
+        meta = Map(txnKey -> srcTip.toString))
+      (srcTip, n)
+    } else {
+      val cursor = ManifestTable.manifestMeta(spark, martRoot, martVs.max)
+        .getOrElse(txnKey, throw new IllegalStateException(
+          s"$martRoot has no $txnKey watermark — not a composite-key agg mart")).toLong
+      if (cursor == srcTip) return (srcTip, 0L)
+      val tracked = ManifestTable.rowTrackingEnabled(spark, srcRoot, cursor)
+      val (feed, tip) =
+        if (tracked)
+          ManifestTable.readChangesRowTracked(spark, srcRoot, cursor, Some(srcTip))
+        else ManifestTable.readChangesWithDeletes(spark, srcRoot, cursor, Some(srcTip))
+      val fd = feed.localCheckpoint()
+      val deltaRows = fd.count()
+      val ins = col("_change_type") === "insert"
+      val d = fd.groupBy(keyCols.map(col): _*).agg(
+        sum(when(ins, 1L).otherwise(-1L)).as("dn"),
+        ExactSums.dsumPartial(when(ins, col(valueCol)).otherwise(-col(valueCol)))
+          .cast(TotalType).as("dtotal"))
+        .withColumn("mkey", surrogateKey(keyCols))
+      val cur = ManifestTable.read(spark, martRoot).alias("m")
+      val updated = d.alias("d").join(cur, Seq("mkey"), "left")
+        .select((keyCols.map(k => col(s"d.$k")) ++ Seq(
+          (coalesce(col("m.n_rows"), lit(0L)) + col("d.dn")).as("n_rows"),
+          (coalesce(col("m.total"), lit(0).cast(TotalType)) + col("d.dtotal"))
+            .cast(TotalType).as("total"),
+          col("mkey"))): _*)
+        .localCheckpoint()
+      val martFeed = updated.withColumn("_change_type", lit("delete"))
+        .unionByName(updated.filter(col("n_rows") > 0)
+          .withColumn("_change_type", lit("insert")))
+      ManifestTable.applyChangesMor(spark, martRoot, martFeed, "mkey",
+        writerId, batchId = tip)
+      (tip, deltaRows)
+    }
+  }
+
   private def minMaxAgg(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
     df.groupBy(keyCol).agg(
       count(lit(1)).as("n_rows"),

@@ -60,14 +60,16 @@ object MartRewrite extends Rule[LogicalPlan] {
   private final case class Reg(
       factRoot: String,
       factFiles: Set[String],
-      keyCol: String,
+      keyCols: Seq[String],
       valueCol: String,
       kind: String, // "sum" | "minmax"
       martPlan: LogicalPlan)
 
-  /** Keyed (factRoot, kind): a fact table may have BOTH mart shapes
-    * registered; each aggregate shape routes to the mart that stores it. */
-  private val regs = new java.util.concurrent.ConcurrentHashMap[(String, String), Reg]()
+  /** Keyed (factRoot, kind, sorted keyCols): a fact table may carry BOTH
+    * mart shapes and marts over DIFFERENT grouping-key sets; each
+    * aggregate routes to the mart that stores exactly its shape. */
+  private val regs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Reg]()
 
   /** Route future count/sum aggregates on `factRoot` (grouped by
     * `keyCol`, summing `valueCol`) to the (key, n_rows, total) mart at
@@ -76,29 +78,41 @@ object MartRewrite extends Rule[LogicalPlan] {
     * advance both snapshots. Also injects the rule (idempotently). */
   def register(spark: SparkSession, factRoot: String, keyCol: String,
       valueCol: String, martRoot: String): Unit =
-    registerKind(spark, factRoot, keyCol, valueCol, martRoot, "sum",
+    registerKind(spark, factRoot, Seq(keyCol), valueCol, martRoot, "sum",
       Seq(keyCol, "n_rows", "total"))
+
+  /** [[register]] for a COMPOSITE grouping key — the
+    * [[graft.ops.LakeOps.maintainAggMartKeys]] mart shape
+    * (k1, …, kn, n_rows, total, mkey): routes count/dsum aggregates
+    * grouped by exactly that key SET (any order). */
+  def registerKeys(spark: SparkSession, factRoot: String, keyCols: Seq[String],
+      valueCol: String, martRoot: String): Unit =
+    registerKind(spark, factRoot, keyCols, valueCol, martRoot, "sum",
+      keyCols ++ Seq("n_rows", "total"))
 
   /** [[register]] for the (key, n_rows, vmin, vmax) min/max mart:
     * routes `count(1)` / `min(valueCol)` / `max(valueCol)` aggregates. */
   def registerMinMax(spark: SparkSession, factRoot: String, keyCol: String,
       valueCol: String, martRoot: String): Unit =
-    registerKind(spark, factRoot, keyCol, valueCol, martRoot, "minmax",
+    registerKind(spark, factRoot, Seq(keyCol), valueCol, martRoot, "minmax",
       Seq(keyCol, "n_rows", "vmin", "vmax"))
 
-  private def registerKind(spark: SparkSession, factRoot: String, keyCol: String,
+  private def registerKind(spark: SparkSession, factRoot: String, keyCols: Seq[String],
       valueCol: String, martRoot: String, kind: String, needed: Seq[String]): Unit = {
+    require(keyCols.nonEmpty && keyCols.distinct.size == keyCols.size,
+      s"grouping keys must be non-empty and distinct, got $keyCols")
     val martPlan = GraftSqlBridge.analyzed(
       graft.sources.ManifestTable.read(spark, martRoot))
     require(needed.forall(c => martPlan.output.exists(_.name == c)),
-      s"$martRoot is not a maintained (${needed.mkString(", ")}) mart for key '$keyCol'")
+      s"$martRoot is not a maintained (${needed.mkString(", ")}) mart for keys $keyCols")
     val factVersions = graft.sources.ManifestTable.versions(spark, factRoot)
     require(factVersions.nonEmpty, s"$factRoot is not a manifest table")
     val factFiles = graft.sources.ManifestTable
       .manifestFiles(spark, factRoot, factVersions.max)
       .map(p => normalize(if (p.startsWith("/")) p else s"$factRoot/$p"))
       .toSet
-    regs.put((factRoot, kind), Reg(factRoot, factFiles, keyCol, valueCol, kind, martPlan))
+    regs.put((factRoot, kind, keyCols.sorted.mkString(",")),
+      Reg(factRoot, factFiles, keyCols, valueCol, kind, martPlan))
     if (!spark.experimental.extraOptimizations.contains(MartRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ MartRewrite
@@ -106,8 +120,8 @@ object MartRewrite extends Rule[LogicalPlan] {
 
   /** Drop every registration for `factRoot` (tests; decommissioned marts). */
   def deregister(factRoot: String): Unit = {
-    regs.remove((factRoot, "sum"))
-    regs.remove((factRoot, "minmax"))
+    val gone = regs.keySet().asScala.filter(_._1 == factRoot).toSeq
+    gone.foreach(regs.remove)
     ()
   }
 
@@ -142,8 +156,8 @@ object MartRewrite extends Rule[LogicalPlan] {
   private def replacement(e: NamedExpression, reg: Reg): Option[NamedExpression] = {
     def mart(c: String): Attribute = reg.martPlan.output.find(_.name == c).get
     e match {
-      case a: AttributeReference if a.name == reg.keyCol =>
-        Some(Alias(mart(reg.keyCol), a.name)(exprId = a.exprId))
+      case a: AttributeReference if reg.keyCols.contains(a.name) =>
+        Some(Alias(mart(a.name), a.name)(exprId = a.exprId))
       case al @ Alias(ae: AggregateExpression, name) if !ae.isDistinct =>
         ae.aggregateFunction match {
           case Count(Seq(Literal(_, _))) =>
@@ -178,23 +192,29 @@ object MartRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (regs.isEmpty) return plan
     plan.transform {
-      case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _) =>
+      case agg @ Aggregate(grouping, aggExprs, child, _)
+          if grouping.nonEmpty && grouping.forall(_.isInstanceOf[AttributeReference]) =>
+        val gs = grouping.map(_.asInstanceOf[AttributeReference])
+        val gNames = gs.map(_.name)
         scanOf(child) match {
           case Some((candidates, cond))
               // a filter is pushable iff deterministic and over the
-              // grouping KEY alone (group-preserving by definition)
-              if cond.forall(c => c.deterministic &&
-                c.references.forall(_.exprId == g.exprId)) =>
+              // grouping KEYS alone (group-preserving by definition)
+              if gNames.distinct.size == gNames.size &&
+                cond.forall(c => c.deterministic &&
+                  c.references.forall(r => gs.exists(_.exprId == r.exprId))) =>
             val served = candidates.iterator
-              .filter(_.keyCol == g.name)
+              .filter(_.keyCols.toSet == gNames.toSet)
               .map(reg => reg -> aggExprs.map(replacement(_, reg)))
               .find(_._2.forall(_.isDefined))
             served match {
               case Some((reg, outs)) =>
-                val martKey = reg.martPlan.output.find(_.name == reg.keyCol).get
+                def martAttr(n: String): Attribute =
+                  reg.martPlan.output.find(_.name == n).get
                 val base = cond match {
                   case Some(c) => Filter(c.transform {
-                    case a: AttributeReference if a.exprId == g.exprId => martKey
+                    case a: AttributeReference if gs.exists(_.exprId == a.exprId) =>
+                      martAttr(a.name)
                   }, reg.martPlan)
                   case None => reg.martPlan
                 }

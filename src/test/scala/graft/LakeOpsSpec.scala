@@ -323,6 +323,46 @@ class LakeOpsSpec extends SparkSpec {
             .cast(org.apache.spark.sql.types.DecimalType(28, 4)).as("total"))))
   }
 
+  test("maintainAggMartKeys: composite-key mart maintains through append + MOR delete; equals rebuild; replay no-op") {
+    import graft.sources.ManifestTable
+    val spark2 = spark
+    import spark2.implicits._
+    def root() = java.nio.file.Files.createTempDirectory("ivmk").toString
+    val src = root(); val mart = root()
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val keys = Seq("o_orderstatus", "o_orderpriority")
+    def maintain() = graft.ops.LakeOps.maintainAggMartKeys(
+      spark, src, mart, keys, "o_totalprice")
+    ManifestTable.create(spark, src, orders.filter(col("o_orderstatus") === "F"))
+    maintain()
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("n_rows"), col("total").cast("double"))
+      .as[(String, String, Long, Double)].collect().toSet
+    def rebuild() = snap(ManifestTable.read(spark, src)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        graft.ops.ExactSums.dsumPartial(col("o_totalprice"))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 4)).as("total")))
+    assert(snap(ManifestTable.read(spark, mart)) === rebuild(), "bootstrap")
+    ManifestTable.append(spark, src, orders.filter(col("o_orderstatus") === "O"))
+    ManifestTable.deleteMor(spark, src, col("o_custkey") % 4 === 0)
+    val (tip, n) = maintain()
+    assert(n > 0)
+    assert(snap(ManifestTable.read(spark, mart)) === rebuild(),
+      "composite-key maintained mart must equal rebuild bit-exactly")
+    // caught up / replay: no commit
+    val before = ManifestTable.versions(spark, mart).max
+    assert(maintain() === ((tip, 0L)))
+    assert(ManifestTable.versions(spark, mart).max === before)
+    // a (status, priority) group emptied entirely leaves the mart
+    ManifestTable.deleteMor(spark, src, col("o_orderstatus") === "O")
+    maintain()
+    assert(ManifestTable.read(spark, mart)
+      .filter(col("o_orderstatus") === "O").count() === 0)
+    assert(snap(ManifestTable.read(spark, mart)) === rebuild())
+  }
+
   test("maintainMinMaxMart: interior deletes fold free; extremum deletes recompute ONLY affected groups; equals rebuild") {
     import graft.sources.ManifestTable
     val spark2 = spark

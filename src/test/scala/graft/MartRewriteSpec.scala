@@ -148,6 +148,51 @@ class MartRewriteSpec extends SparkSpec {
     } finally MartRewrite.deregister(fact)
   }
 
+  test("composite-key registrations: multi-key aggregates route (any grouping order); other key sets refuse") {
+    val fact = freshRoot("mv_fact_ck")
+    val mart = freshRoot("mv_mart_ck")
+    ManifestTable.create(spark, fact, orders)
+    LakeOps.maintainAggMartKeys(spark, fact, mart,
+      Seq("o_orderstatus", "o_orderpriority"), "o_totalprice")
+    // grouping order REVERSED vs registration — sets match, order must not matter
+    def q = ManifestTable.read(spark, fact)
+      .filter(col("o_orderpriority") =!= "nope") // composite-key-only filter
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"), ExactSums.dsum(col("o_totalprice")).as("s"))
+    val direct = q.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    MartRewrite.registerKeys(spark, fact,
+      Seq("o_orderstatus", "o_orderpriority"), "o_totalprice", mart)
+    try {
+      val martName = new java.io.File(mart).getName
+      assert(scansUnder(q).exists(_.contains(martName)),
+        s"composite-key aggregate must scan the mart:\n${q.queryExecution.executedPlan}")
+      assert(q.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet === direct,
+        "mart-served composite results must be bit-identical")
+      // a DIFFERENT key set (single key / superset) must refuse
+      val single = ManifestTable.read(spark, fact).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+      assert(!scansUnder(single).exists(_.contains(martName)),
+        "a single-key aggregate must not route to the composite mart")
+      val triple = ManifestTable.read(spark, fact)
+        .groupBy("o_orderstatus", "o_orderpriority", "o_custkey")
+        .agg(count(lit(1)).as("n"))
+      assert(!scansUnder(triple).exists(_.contains(martName)),
+        "a superset key aggregate must not route to the composite mart")
+      // SAFETY: a MOR delete puts the DV anti-join above the fact scan —
+      // a shape the rewrite cannot prove, so the query correctly stops
+      // rewriting (fresh, delete-aware results) instead of serving
+      // deleted rows from the stale mart
+      ManifestTable.deleteMor(spark, fact, col("o_custkey") % 7 === 0)
+      assert(!scansUnder(q).exists(_.contains(martName)),
+        "a DV-bearing fact read must NOT rewrite")
+      assert(q.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet !== direct,
+        "the un-rewritten query must serve the delete-aware truth")
+    } finally MartRewrite.deregister(fact)
+  }
+
   test("time travel and file-subset scans never rewrite; a post-registration overwrite stops the rewrite") {
     val fact = freshRoot("mv_fact_tt")
     val mart = freshRoot("mv_mart_tt")

@@ -610,4 +610,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_max") || plan.contains("HashAggregate"),
       s"register max must map-side combine:\n$plan")
   }
+
+  test("media near-dup banding plans an EQUI join on the band bucket — no cartesian, no window") {
+    import spark.implicits._
+    val imgs = (0 until 6).map(i =>
+      (i.toLong, graft.ops.ImageFixtures.syntheticPng(i, perturbed = false)))
+      .toDF("img_id", "content")
+    val wavs = (0 until 6).map(i =>
+      (i.toLong, graft.ops.AudioFixtures.syntheticWav(i, perturbed = false)))
+      .toDF("clip_id", "content")
+    for ((what, df) <- Seq(
+        "image" -> graft.ops.MultimodalOps.imageNearDupPairs(imgs, "img_id", "content"),
+        "audio" -> graft.ops.MultimodalOps.audioNearDupPairs(wavs, "clip_id", "content"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      // candidates come ONLY from equal band buckets: a hash-joinable
+      // equi join, never all-pairs — the property that makes the pair
+      // stage O(collisions) instead of O(N²) at corpus scale
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"$what banding must not plan all-pairs:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
+        plan.contains("ShuffledHashJoin"), s"$what banding must plan an equi join:\n$plan")
+      assert(!plan.contains("Window"), s"$what banding must not sort per group:\n$plan")
+    }
+  }
 }
