@@ -255,26 +255,27 @@ object ManifestTable {
     * wrong manifest). */
   private def composeTiered(spark: SparkSession, root: String, next: Long,
       op: String, meta: Map[String, String], allFiles: Seq[String],
-      stats: Map[String, ManifestStats.FileStats]): String = {
+      stats: Map[String, ManifestStats.FileStats]): (String, String) = {
     val full = composeBody(next, op, meta, allFiles, stats)
-    if (next <= 1 || next % CheckpointInterval == 0) return full
+    if (next <= 1 || next % CheckpointInterval == 0) return (full, full)
     val baseText =
       try manifestText(spark, root, next - 1)
-      catch { case _: Exception => return full }
+      catch { case _: Exception => return (full, full) }
     val base = parseFull(baseText)
     val cur = parseFull(full)
     val curSet = cur.files.toSet
     val baseSet = base.files.toSet
     val adds = cur.files.filterNot(baseSet)
     val removes = base.files.filterNot(curSet)
-    if (cur.files != base.files.filter(curSet) ++ adds) return full
+    if (cur.files != base.files.filter(curSet) ++ adds) return (full, full)
     val metaPlus = cur.metaLines.filter { case (k, l) => base.metaLines.get(k) != Some(l) }
     val metaMinus = base.metaLines.keySet -- cur.metaLines.keySet
     val statsPlus = cur.statsLines.filter { case (k, l) => base.statsLines.get(k) != Some(l) }
     val statsMinus = (base.statsLines.keySet -- cur.statsLines.keySet) -- removes
     val deltaLines = adds.size + removes.size + metaPlus.size + metaMinus.size +
       statsPlus.size + statsMinus.size
-    if (deltaLines >= cur.files.size + cur.statsLines.size + cur.metaLines.size) return full
+    if (deltaLines >= cur.files.size + cur.statsLines.size + cur.metaLines.size)
+      return (full, full)
     val d = new StringBuilder(s"${DeltaHeader}version=$next op=$op base=${next - 1}\n")
     metaPlus.toSeq.sortBy(_._1).foreach { case (_, l) =>
       d.append(MetaPlusPrefix).append(l.stripPrefix(MetaPrefix)).append('\n') }
@@ -285,7 +286,7 @@ object ManifestTable {
     removes.foreach(p => d.append('-').append(p).append('\n'))
     adds.foreach(p => d.append('+').append(p).append('\n'))
     val delta = d.toString
-    if (applyDelta(baseText, delta) != full) full else delta
+    if (applyDelta(baseText, delta) != full) (full, full) else (delta, full)
   }
 
   /** The file list a given version names (root-relative paths). */
@@ -1500,10 +1501,17 @@ object ManifestTable {
       // like the file base — an append's widened schema must widen the
       // WINNER's schema, not the one this committer first read
       val meta = metaWithTxnCarry(spark, root, tip, metaAt(tip))
-      val body = composeTiered(spark, root, next, op, meta, base(tip) ++ newFiles, statsAt(tip))
+      val (body, full) =
+        composeTiered(spark, root, next, op, meta, base(tip) ++ newFiles, statsAt(tip))
       // the atomic publish: rename refuses an existing destination, so
       // exactly one of two racing committers wins version `next`
-      if (publishRaw(spark, root, next, body)) return next
+      if (publishRaw(spark, root, next, body)) {
+        // prime the resolver: the writer has the FULL text in hand, so
+        // same-JVM readers of a delta-stored version never pay the
+        // chain walk for versions this process published
+        if (body ne full) resolvedCached(root, next)(full)
+        return next
+      }
     }
     throw new IllegalStateException(
       s"manifest commit lost $MaxCommitAttempts races at $root — sustained contention")
