@@ -4947,6 +4947,27 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     }),
 
+    "mm7_video_neardup" -> ((s, dir) => {
+      // video-content dedup END TO END on REAL multi-frame decode: 10
+      // deterministic animated GIFs + 10 variants perturbed inside one
+      // dHash cell IN EVERY FRAME (VideoFixtures — GIF's palette is
+      // lossless for grayscale, so per-frame hashes reproduce on any
+      // JVM). Near-dup = ALIGNED-FRAME VOTING: ≥5 of 8 same-index
+      // frames within Hamming 3, candidates from per-(frame, band)
+      // buckets (pigeonhole-complete per frame ⇒ the matched count is
+      // exact, never all-pairs). Pair set DERIVED (i, i+10) with every
+      // aligned frame matching — SF-independent.
+      import s.implicits._
+      val rows = (0 until 10).map(i =>
+        (i.toLong, graft.ops.VideoFixtures.syntheticGif(i, perturbed = false))) ++
+        (0 until 10).map(i =>
+          (i.toLong + 10, graft.ops.VideoFixtures.syntheticGif(i, perturbed = true)))
+      val df = rows.toDF("clip_id", "content").repartition(4)
+      graft.ops.MultimodalOps.videoNearDupPairs(df, "clip_id", "content",
+        maxHamming = 3, minMatchingFrames = 5)
+        .select(col("id_a"), col("id_b"), col("matched_frames"))
+    }),
+
     "mm3_frame_sample" -> ((s, dir) => {
       // frame/chunk sampling under the oracle (sampleChunks was spec-only
       // before): bounded-fan-out posexplode — at most maxFrames rows per
@@ -7566,6 +7587,12 @@ object SparkEntry {
       // one perturbed frame ⇒ Hamming ≤ 2; distinct seeds ⇒ far apart
       ("""SELECT CAST(range AS BIGINT) AS id_a, CAST(range + 20 AS BIGINT) AS id_b
          |FROM range(0, 20)""").stripMargin,
+
+    "mm7_video_neardup" -> // the video derivation: per-frame Hamming ≤ 2
+      // by construction ⇒ ALL 8 aligned frames of a variant pair match
+      ("""SELECT CAST(range AS BIGINT) AS id_a, CAST(range + 10 AS BIGINT) AS id_b,
+         |       CAST(8 AS BIGINT) AS matched_frames
+         |FROM range(0, 10)""").stripMargin,
 
     "mm3_frame_sample" -> // ASCII text: char offsets = byte offsets, so
       // substr over VARCHAR replays the binary slicing byte-exactly

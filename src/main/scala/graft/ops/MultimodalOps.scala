@@ -353,7 +353,13 @@ object MultimodalOps {
     val img =
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
       catch { case scala.util.control.NonFatal(_) => None }
-    img.flatMap { im =>
+    img.flatMap(dHashOf)
+  }
+
+  /** The dHash grid over an already-decoded image (shared by the
+    * single-image and per-video-frame paths). */
+  private def dHashOf(im: java.awt.image.BufferedImage): Option[Long] = {
+    {
       val w = im.getWidth
       val h = im.getHeight
       if (w <= 0 || h <= 0) None
@@ -549,6 +555,87 @@ object MultimodalOps {
     hammingBandPairs(
       audioFingerprint(df, idCol, binCol).select(col("item_id"), col("phash")),
       maxHamming)
+
+  // ---- video-content dedup: per-frame dHash + aligned-frame voting -------
+
+  /** Per-frame dHashes of a MULTI-FRAME image container (animated GIF —
+    * the one video-like format the JDK decodes with zero new
+    * dependencies; a real codec swaps in at this exact seam): up to
+    * `maxFrames` frames via the ImageIO sequence reader, each hashed by
+    * the [[dHash64]] grid. Frames are the reader's RAW frame images
+    * (disposal compositing is the codec's concern — full-frame encodes,
+    * like [[VideoFixtures]]', are exact). None for undecodable bytes. */
+  private[graft] def videoFrameHashes(
+      bytes: Array[Byte], maxFrames: Int = 8): Option[Seq[Long]] = {
+    if (bytes.isEmpty) return None
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => return None }
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val r = readers.next()
+      try {
+        r.setInput(iis, false)
+        val n = math.min(r.getNumImages(true), maxFrames)
+        if (n <= 0) return None
+        val hs = (0 until n).flatMap(i => dHashOf(r.read(i)))
+        if (hs.size == n) Some(hs) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally r.dispose()
+    } finally iis.close()
+  }
+
+  /** Per-frame fingerprint rows (item_id, frame_idx, fhash) — the
+    * exploded form the banded pair search joins on. Undecodable clips
+    * contribute no frames (and so never pair). */
+  def videoFingerprint(df: DataFrame, idCol: String, binCol: String,
+      maxFrames: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).as("item_id"), col(binCol).as("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getAs[Long]("item_id")
+          videoFrameHashes(r.getAs[Array[Byte]]("content"), maxFrames)
+            .toSeq.flatMap(_.zipWithIndex.map { case (h, i) => (id, i, h) })
+        }
+      }.toDF("item_id", "frame_idx", "fhash")
+  }
+
+  /** Near-duplicate VIDEO pairs: two clips match when at least
+    * `minMatchingFrames` ALIGNED frames (same index) land within
+    * `maxHamming` of each other. Candidates come from the 4×16-bit
+    * banding per (frame_idx, chunk) — pigeonhole-complete per frame, so
+    * the matched-frame count is exact — then one aggregate per pair.
+    * The 100 TB shape: signatures are maxFrames rows/clip, candidates
+    * only from equal (frame, band) buckets, never all-pairs. */
+  def videoNearDupPairs(
+      df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 3, minMatchingFrames: Int = 5,
+      maxFrames: Int = 8): DataFrame = {
+    require(maxHamming <= 3, s"4-chunk banding supports maxHamming <= 3, got $maxHamming")
+    require(minMatchingFrames >= 1 && minMatchingFrames <= maxFrames,
+      "minMatchingFrames must be within [1, maxFrames]")
+    val fh = videoFingerprint(df, idCol, binCol, maxFrames)
+    val chunks: Seq[Column] =
+      (0 until 4).map(c => shiftright(col("fhash"), c * 16).bitwiseAND(0xffffL))
+    val chunked = fh.select(col("item_id"), col("frame_idx"), col("fhash"),
+        posexplode(array(chunks: _*)))
+      .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
+    val left = chunked.select(col("frame_idx"), col("chunk"), col("chunk_val"),
+      col("item_id").as("id_a"), col("fhash").as("fhash_a"))
+    val right = chunked.select(col("frame_idx"), col("chunk"), col("chunk_val"),
+      col("item_id").as("id_b"), col("fhash").as("fhash_b"))
+    left.join(right, Seq("frame_idx", "chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("fhash_a").bitwiseXOR(col("fhash_b"))) <= maxHamming)
+      .select("id_a", "id_b", "frame_idx")
+      .dropDuplicates("id_a", "id_b", "frame_idx")
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("long").as("matched_frames"))
+      .filter(col("matched_frames") >= minMatchingFrames)
+  }
 }
 
 /** Deterministic synthetic PNG fixtures for the image-dedup gate
@@ -595,6 +682,54 @@ object AudioFixtures {
       i += 1
     }
     out.array()
+  }
+}
+
+/** Deterministic synthetic animated-GIF fixtures for the video-dedup
+  * gate (mm7): 8 grayscale full frames per clip, each frame's 8×8 block
+  * pattern a hash-mix of (block, frame, seed) — the [[ImageFixtures]]
+  * construction extended with a frame axis. GIF's 256-color palette is
+  * lossless for grayscale, so decoded pixels (and every per-frame dHash
+  * bit) reproduce on any JVM. `perturbed` brightens a small region
+  * strictly inside ONE dHash grid cell IN EVERY FRAME (per-frame
+  * Hamming ≤ 2 by construction ⇒ all 8 aligned frames match); different
+  * seeds give far-apart frames everywhere. */
+object VideoFixtures {
+  def syntheticGif(seed: Int, perturbed: Boolean, frames: Int = 8): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val w = 64; val h = 64
+        val im = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var v = (x / 8) * 73856093 ^ (y / 8) * 19349663 ^
+              f * 40503 ^ seed * 83492791
+            v = (v ^ (v >>> 13)) * 1274126177
+            val g0 = (v >>> 8) & 0xff
+            val g =
+              if (perturbed && x >= 22 && x < 27 && y >= 17 && y < 23)
+                math.min(255, g0 + 96)
+              else g0
+            im.getRaster.setSample(x, y, 0, g)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(im, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
   }
 }
 

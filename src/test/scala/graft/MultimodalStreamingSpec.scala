@@ -193,6 +193,46 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(pairs === brute, "banding must find every brute-force pair")
   }
 
+  test("videoFrameHashes: per-frame dHashes off real animated GIFs; variants within Hamming 2 per frame") {
+    import graft.ops.VideoFixtures.syntheticGif
+    val base = MultimodalOps.videoFrameHashes(syntheticGif(1, perturbed = false)).get
+    val variant = MultimodalOps.videoFrameHashes(syntheticGif(1, perturbed = true)).get
+    val other = MultimodalOps.videoFrameHashes(syntheticGif(2, perturbed = false)).get
+    assert(base.size === 8 && variant.size === 8)
+    def hd(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    base.zip(variant).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(hd(a, b) <= 2, s"frame $i must stay within Hamming 2, got ${hd(a, b)}")
+    }
+    assert(base.zip(other).count { case (a, b) => hd(a, b) > 10 } >= 7,
+      "different clips must be far apart on (almost) every frame")
+    // frames differ WITHIN a clip (the frame axis is real)
+    assert(base.distinct.size >= 7, "frames of one clip must not collapse")
+    assert(MultimodalOps.videoFrameHashes("not a gif".getBytes).isEmpty)
+    // maxFrames bounds the decode
+    assert(MultimodalOps.videoFrameHashes(syntheticGif(3, perturbed = false), maxFrames = 3).get.size === 3)
+  }
+
+  test("videoNearDupPairs: aligned-frame voting finds exactly the planted variants; band candidates are exact") {
+    import graft.ops.VideoFixtures.syntheticGif
+    val rows = (0 until 10).map(i => (i.toLong, syntheticGif(i, perturbed = false))) ++
+      (0 until 10).map(i => (i.toLong + 10, syntheticGif(i, perturbed = true)))
+    val df = rows.toDF("clip_id", "content").repartition(4)
+    val pairs = MultimodalOps.videoNearDupPairs(df, "clip_id", "content",
+      maxHamming = 3, minMatchingFrames = 5)
+      .select("id_a", "id_b", "matched_frames")
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet ===
+      (0L until 10L).map(i => (i, i + 10)).toSet,
+      s"expected exactly the 10 planted (base, variant) pairs, got ${pairs.toSeq}")
+    assert(pairs.forall(_._3 === 8L),
+      s"every aligned frame of a variant pair must match, got ${pairs.toSeq}")
+    // distinct clips never pair: the base-only corpus yields nothing
+    val basesOnly = rows.take(10).toDF("clip_id", "content")
+    assert(MultimodalOps.videoNearDupPairs(basesOnly, "clip_id", "content",
+      maxHamming = 3, minMatchingFrames = 1).isEmpty,
+      "unrelated clips must not pair even at the loosest vote")
+  }
+
   test("perceptualHash stub arm on non-image bytes equals the SQL md5-prefix formula") {
     val docs = Seq((1L, "hello world"), (2L, "spark engine"), (3L, ""))
       .toDF("doc_id", "t")
