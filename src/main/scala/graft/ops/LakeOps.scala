@@ -580,13 +580,20 @@ object LakeOps {
       else {
         val attempt =
           try {
+            ManifestTable.requireCursorVersion(spark, srcRoot, cursor)
             val tracked = ManifestTable.rowTrackingEnabled(spark, srcRoot, cursor)
             Some(
               if (tracked)
                 ManifestTable.readChangesRowTracked(spark, srcRoot, cursor, Some(srcTip))
               else
                 ManifestTable.readChangesWithDeletes(spark, srcRoot, cursor, Some(srcTip)))
-          } catch { case scala.util.control.NonFatal(_) => None }
+          } catch {
+            // ONLY the designed refusal ("this window is not expressible
+            // as a row-level delta") converts to a full refresh; IO
+            // errors / corrupted logs / misconfiguration stay loud
+            // rather than silently triggering a full mirror rewrite.
+            case _: graft.sources.NotDeltaExpressible => None
+          }
         attempt match {
           case Some((feed, tip)) =>
             val fd = feed.localCheckpoint()

@@ -272,6 +272,23 @@ class ManifestChangeFeedSource(
     base.withColumn("_change_type", org.apache.spark.sql.functions.lit(tag))
   }
 
+  /** The declarative-recovery batch: the whole table at `v` tagged
+    * 'refresh' PLUS one all-NULL 'truncate' sentinel row. The sentinel
+    * makes the refresh signal IN-BAND and unconditional — a refusal
+    * window whose end state is EMPTY still reaches the sink as a
+    * recognizable refresh (applyChangesMor truncates the mirror)
+    * instead of masquerading as an empty incremental window and
+    * silently leaving stale rows behind. */
+  private def refreshBatch(v: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val rows = fullAt(v, "refresh")
+    val sentinel = spark.range(1).select(rows.schema.fields.map { f =>
+      (if (f.name == "_change_type") lit("truncate")
+       else lit(null).cast(f.dataType)).as(f.name)
+    }.toIndexedSeq: _*)
+    rows.unionByName(sentinel)
+  }
+
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = versionOf(end)
     // no start offset = first batch of a fresh query: the whole table at
@@ -284,16 +301,18 @@ class ManifestChangeFeedSource(
         // serves an EMPTY delta across id-preserving rewrites — streams
         // survive OPTIMIZE instead of refusing
         val attempt =
-          try Some(
-            if (ManifestTable.rowTrackingEnabled(spark, root, startV))
-              ManifestTable.readChangesRowTracked(spark, root, startV, Some(endV),
-                includeRowId = includeRowIds)._1
-            else {
-              require(!includeRowIds,
-                s"includeRowIds=true needs row tracking enabled on $root (enableRowTracking)")
-              ManifestTable.readChangesWithDeletes(spark, root, startV, Some(endV))._1
-            })
-          catch {
+          try {
+            ManifestTable.requireCursorVersion(spark, root, startV)
+            Some(
+              if (ManifestTable.rowTrackingEnabled(spark, root, startV))
+                ManifestTable.readChangesRowTracked(spark, root, startV, Some(endV),
+                  includeRowId = includeRowIds)._1
+              else {
+                require(!includeRowIds,
+                  s"includeRowIds=true needs row tracking enabled on $root (enableRowTracking)")
+                ManifestTable.readChangesWithDeletes(spark, root, startV, Some(endV))._1
+              })
+          } catch {
             // a window that is not delta-expressible (overwrite, COW
             // rewrite, vacuumed cursor): under onRefusal=refresh the
             // batch DECLARES the recovery instead of killing the query —
@@ -301,10 +320,14 @@ class ManifestChangeFeedSource(
             // applyChangesMor lands as one atomic watermarked overwrite
             // and from which the next window resumes incrementally.
             // Replays are sound: the same offset range re-derives the
-            // same refusal and the same endV state.
-            case scala.util.control.NonFatal(e) if refreshOnRefusal => None
+            // same refusal and the same endV state. ONLY the designed
+            // NotDeltaExpressible refusal converts — transient IO
+            // errors, corrupted logs, and misconfiguration propagate
+            // and kill the query loudly instead of silently triggering
+            // a spurious full rewrite of the mirror.
+            case _: NotDeltaExpressible if refreshOnRefusal => None
           }
-        val feed = attempt.getOrElse(fullAt(endV, "refresh"))
+        val feed = attempt.getOrElse(refreshBatch(endV))
         GraftSqlBridge.asStreaming(
           feed.select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*))
       case None =>

@@ -59,7 +59,21 @@ import org.apache.spark.sql.functions.col
   * protocol — true object stores need a put-if-absent primitive or a
   * coordination service for step 4, exactly as the Delta paper notes.
   */
+/** Thrown by the `readChanges*` family when a window is NOT expressible
+  * as a row-level delta (overwrite/restore rewrote the file set, a
+  * pre-tracking rewrite, a vacuumed cursor, ...). This is the ONLY
+  * exception a declarative-recovery consumer (change-feed source under
+  * `onRefusal=refresh`, [[graft.ops.LakeOps.maintainMirror]]) may
+  * convert into a full refresh — transient IO errors, corrupted logs,
+  * and misconfiguration propagate so real failures stay loud. */
+final class NotDeltaExpressible(msg: String) extends IllegalStateException(msg)
+
 object ManifestTable {
+
+  /** Refusal-flavored `require`: the designed "this window demands a
+    * full refresh" signal, distinguishable from genuine errors. */
+  private def refuse(cond: Boolean, msg: => String): Unit =
+    if (!cond) throw new NotDeltaExpressible(msg)
 
   private val LogDir = "_graft_log"
   private val DataDir = "data"
@@ -104,11 +118,14 @@ object ManifestTable {
     if (!isDelta(raw)) raw
     else resolvedCached(root, version) {
       // walk back to the nearest full snapshot (or vacuum-materialized
-      // .checkpoint sidecar), then replay the deltas forward. The chain
-      // is contiguous (a delta's base is always version-1) and bounded
-      // by CheckpointInterval.
-      val chain = mutable.Buffer(raw) // deltas, newest first
-      var v = deltaBaseOf(raw)
+      // .checkpoint sidecar), then replay the deltas forward. The walk
+      // starts AT the queried version itself: vacuum materializes the
+      // checkpoint at the oldest retained version and deletes its base
+      // chain, so that version is readable ONLY through its own sidecar.
+      // The chain is contiguous (a delta's base is always version-1)
+      // and bounded by CheckpointInterval.
+      val chain = mutable.Buffer.empty[String] // deltas, newest first
+      var v = version
       var full: String = null
       while (full == null) {
         val ck = checkpointPath(root, v)
@@ -119,7 +136,7 @@ object ManifestTable {
             org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
           finally in.close()
         } else {
-          val t = rawText(spark, root, v)
+          val t = if (v == version) raw else rawText(spark, root, v)
           if (isDelta(t)) { chain += t; v = deltaBaseOf(t) }
           else full = t
         }
@@ -155,6 +172,12 @@ object ManifestTable {
       override def removeEldestEntry(e: java.util.Map.Entry[String, String]): Boolean =
         size() > 48
     }
+
+  /** Test hook: drop the resolved-text cache to simulate a fresh
+    * process (a cold JVM resolving a vacuumed tip must go through the
+    * on-disk .checkpoint sidecar, not an in-memory leftover). */
+  private[graft] def dropResolvedCacheForTest(): Unit =
+    resolvedCache.synchronized(resolvedCache.clear())
 
   private def resolvedCached(root: String, version: Long)(compute: => String): String = {
     val key = s"$root#$version"
@@ -358,6 +381,15 @@ object ManifestTable {
   /** Is row tracking enabled at `version`? */
   def rowTrackingEnabled(spark: SparkSession, root: String, version: Long): Boolean =
     manifestMeta(spark, root, version).get(RowTrackingKey).contains("on")
+
+  /** Delta-consumer precondition: probing any state AT the cursor
+    * version (e.g. [[rowTrackingEnabled]]) on a VACUUMED cursor would
+    * surface as a raw IO error — but a vacuumed cursor is the designed
+    * "window not delta-expressible" refusal. Call this first so the
+    * narrowed `catch NotDeltaExpressible` recovery sees the right type. */
+  def requireCursorVersion(spark: SparkSession, root: String, cursor: Long): Unit =
+    refuse(versions(spark, root).contains(cursor),
+      s"version $cursor not in log on $root — cursor invalid (vacuumed?), full refresh required")
 
   /** Meta keys that ride every content commit (transform spec + CHECK
     * constraints + row-tracking state); txn-* watermarks are handled by
@@ -1214,18 +1246,18 @@ object ManifestTable {
       root: String,
       sinceVersion: Long): (DataFrame, Long) = {
     val vs = versions(spark, root)
-    require(vs.contains(sinceVersion),
-      s"version $sinceVersion not in log (have ${vs.mkString(",")}) — cursor invalid")
+    refuse(vs.contains(sinceVersion),
+      s"version $sinceVersion not in log (have ${vs.mkString(",")}) — cursor invalid, full refresh required")
     val tip = vs.max
     val old = manifestFiles(spark, root, sinceVersion).toSet
     val cur = manifestFiles(spark, root, tip)
-    require(old.subsetOf(cur.toSet),
+    refuse(old.subsetOf(cur.toSet),
       s"non-append change between v$sinceVersion and v$tip (files were removed/rewritten) — incremental read unsound, full refresh required")
     // a deletion-vector change removes rows without touching the file
     // set — just as non-append as a rewrite, and just as unsound to
     // stream past (a new file can't be in an older vector, so equal
     // vectors + append-only files ⇒ the delta really is the added files)
-    require(manifestMeta(spark, root, sinceVersion).get(DvKey) ==
+    refuse(manifestMeta(spark, root, sinceVersion).get(DvKey) ==
       manifestMeta(spark, root, tip).get(DvKey),
       s"deletion vector changed between v$sinceVersion and v$tip (rows removed merge-on-read) — incremental read unsound, full refresh required")
     val added = cur.filterNot(old)
@@ -1267,14 +1299,14 @@ object ManifestTable {
       untilVersion: Option[Long] = None): (DataFrame, Long) = {
     import org.apache.spark.sql.functions.{broadcast, lit}
     val vs = versions(spark, root)
-    require(vs.contains(sinceVersion),
-      s"version $sinceVersion not in log (have ${vs.mkString(",")}) — cursor invalid")
+    refuse(vs.contains(sinceVersion),
+      s"version $sinceVersion not in log (have ${vs.mkString(",")}) — cursor invalid, full refresh required")
     val tip = untilVersion.getOrElse(vs.max)
     require(vs.contains(tip) && tip >= sinceVersion,
       s"until-version $tip invalid (log has ${vs.mkString(",")}, cursor $sinceVersion)")
     val old = manifestFiles(spark, root, sinceVersion).toSet
     val cur = manifestFiles(spark, root, tip)
-    require(old.subsetOf(cur.toSet),
+    refuse(old.subsetOf(cur.toSet),
       s"non-append change between v$sinceVersion and v$tip (files were removed/rewritten) — row-level delta unsound, full refresh required")
     val schema = schemaOf(spark, root, tip)
     val ct = "_change_type"
@@ -1347,15 +1379,15 @@ object ManifestTable {
       includeRowId: Boolean = false): (DataFrame, Long) = {
     import org.apache.spark.sql.functions.{broadcast, lit, struct, when, max => fmax, min => fmin}
     val vs = versions(spark, root)
-    require(vs.contains(sinceVersion),
-      s"version $sinceVersion not in log (have ${vs.mkString(",")}) — cursor invalid")
+    refuse(vs.contains(sinceVersion),
+      s"version $sinceVersion not in log (have ${vs.mkString(",")}) — cursor invalid, full refresh required")
     val tip = untilVersion.getOrElse(vs.max)
     require(vs.contains(tip) && tip >= sinceVersion,
       s"until-version $tip invalid (log has ${vs.mkString(",")}, cursor $sinceVersion)")
-    require(rowTrackingEnabled(spark, root, sinceVersion),
+    refuse(rowTrackingEnabled(spark, root, sinceVersion),
       s"cursor v$sinceVersion predates row tracking on $root — full refresh required")
     val steps = (sinceVersion + 1) to tip
-    steps.foreach(v => require(vs.contains(v),
+    steps.foreach(v => refuse(vs.contains(v),
       s"version $v missing from the log (vacuumed mid-window) — full refresh required"))
     val schema = schemaOf(spark, root, tip)
     val ct = "_change_type"
@@ -1383,7 +1415,7 @@ object ManifestTable {
       if (removed.nonEmpty || rewriteOps.contains(op)) {
         if (rewriteOps.contains(op)) {
           val meta = manifestMeta(spark, root, v)
-          added.foreach(f => require(
+          added.foreach(f => refuse(
             meta.get(RowBasePrefix + dvFileKey(f)).contains(RowBaseStored),
             s"v$v ($op) did not materialize row ids (pre-tracking rewrite) — full refresh required"))
           // id-preserving: contributes nothing; its dv drop (if any) is
@@ -1395,9 +1427,9 @@ object ManifestTable {
           // Requires the op to have carried the vector verbatim (both
           // do); an op that also mutated visibility in UNTOUCHED files
           // would hide changes from the diff, so refuse that shape.
-          require(!op.startsWith("restore-") && op != "overwrite",
+          refuse(!op.startsWith("restore-") && op != "overwrite",
             s"v$v ($op) replaced the file set — delta not incrementally expressible, full refresh required")
-          require(deletionVector(spark, root, v) == deletionVector(spark, root, v - 1),
+          refuse(deletionVector(spark, root, v) == deletionVector(spark, root, v - 1),
             s"v$v ($op) changed files AND the deletion vector — delta not id-expressible, full refresh required")
           val rem = readFilesWithRowIdsApplied(spark, root, v - 1, removed.toSeq)
             .localCheckpoint()
@@ -1409,7 +1441,7 @@ object ManifestTable {
             .withColumn("__v", lit(v)).withColumn("__kind", lit("ins"))
         }
       } else if (op.startsWith("restore-")) {
-        require(added.isEmpty,
+        refuse(added.isEmpty,
           s"v$v ($op) changed the file set — delta not id-expressible, full refresh required")
         val dPrev = dvOf(v - 1).localCheckpoint()
         val dCur = dvOf(v).localCheckpoint()
@@ -1424,7 +1456,7 @@ object ManifestTable {
             .withColumn("__v", lit(v)).withColumn("__kind", lit("ins"))
         val dPrev = dvOf(v - 1).localCheckpoint()
         val dCur = dvOf(v).localCheckpoint()
-        require(dPrev.exceptAll(dCur).isEmpty,
+        refuse(dPrev.exceptAll(dCur).isEmpty,
           s"v$v ($op) shrank the deletion vector outside RESTORE — full refresh required")
         val grown = dCur.exceptAll(dPrev).localCheckpoint()
         if (!grown.isEmpty)
@@ -1887,21 +1919,27 @@ object ManifestTable {
     // an unknown tag must fail loudly, not silently drop the row — a
     // feed that speaks a richer dialect (update_preimage, ...) needs
     // translating, not truncating
-    val tags = feed.select(col(ct)).distinct().limit(4).collect()
+    val tags = feed.select(col(ct)).distinct().limit(5).collect()
       .map(_.get(0)).toSet
-    require(tags.subsetOf(Set[Any]("insert", "delete", "refresh")),
-      s"applyChangesMor understands '$ct' tags 'insert', 'delete', and 'refresh' only — " +
+    require(tags.subsetOf(Set[Any]("insert", "delete", "refresh", "truncate")),
+      s"applyChangesMor understands '$ct' tags 'insert', 'delete', 'refresh', and 'truncate' only — " +
         s"got ${tags.mkString(", ")}")
     // a FULL-REFRESH batch (what the change-feed source emits under
     // onRefusal=refresh when a window is not delta-expressible): the
-    // rows ARE the whole new state — one atomic overwrite carrying the
-    // same exactly-once watermark, after which incremental windows
-    // resume from this batch's version
-    if (tags.contains("refresh")) {
-      require(tags == Set[Any]("refresh"),
+    // 'refresh'-tagged rows ARE the whole new state — one atomic
+    // overwrite carrying the same exactly-once watermark, after which
+    // incremental windows resume from this batch's version. The source
+    // always includes one all-NULL 'truncate' sentinel row so a
+    // refresh-to-EMPTY state is still recognizable here (zero 'refresh'
+    // rows + the sentinel ⇒ truncate the mirror) — without it an empty
+    // refresh batch would fall through to the incremental path, commit
+    // the watermark, and silently leave stale rows behind.
+    if (tags.contains("refresh") || tags.contains("truncate")) {
+      require(tags.subsetOf(Set[Any]("refresh", "truncate")),
         "a refresh batch must be refresh-only (the rows replace the whole table)")
       val (staged, base, metaAt, statsAt) = prepareOverwrite(spark, root,
-        feed.drop(ct), Map(key -> batchId.toString), statsColumns, bloomColumns)
+        feed.filter(col(ct) === "refresh").drop(ct),
+        Map(key -> batchId.toString), statsColumns, bloomColumns)
       return commit(spark, root, "apply-refresh", staged, base, metaAt, statsAt)
     }
     val inserts = feed.filter(col(ct) === "insert").drop(ct)
@@ -2370,7 +2408,10 @@ object ManifestTable {
     val planned = manifestFiles(spark, root, v0)
     val tableSchema = schemaOf(spark, root, v0)
     val (affected, untouched, _) = pruneFiles(spark, root, predicate, Some(v0))
-    if (affected.isEmpty) return (v0, MergeStats(0, untouched.size, 0))
+    // both no-op exits report the SAME untouched count (the full file
+    // list) — a prune-to-zero no-op and a zero-fresh-match no-op are
+    // semantically identical to callers
+    if (affected.isEmpty) return (v0, MergeStats(0, planned.size, 0))
     val oldDv = deletionVector(spark, root, v0)
     val oldRows = oldDv.map(p => dvFrame(spark, root, p))
       .getOrElse(emptyDvFrame(spark))

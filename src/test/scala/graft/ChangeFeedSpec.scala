@@ -178,6 +178,48 @@ class ChangeFeedSpec extends SparkSpec {
       "the post-refresh window must apply incrementally")
   }
 
+  test("changeFeed stream onRefusal=refresh: a refresh whose end state is EMPTY truncates the mirror (sentinel-carried signal)") {
+    val src = freshRoot("cf_rfre_src")
+    val dst = freshRoot("cf_rfre_dst")
+    val ckpt = freshRoot("cf_rfre_ckpt")
+    val f = orders.filter(col("o_orderstatus") === "F")
+    ManifestTable.create(spark, src, f)
+    ManifestTable.create(spark, dst, f.limit(0))
+    def run(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.ManifestStreamSourceProvider")
+        .option("changeFeed", "true").option("onRefusal", "refresh").load(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          ManifestTable.applyChangesMor(spark, dst, b, "o_orderkey", "mirror", id); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run() // initial load
+    assert(ManifestTable.read(spark, dst).count() === f.count())
+    // overwrite with ZERO rows while the query is down: the refusal
+    // window's end state is EMPTY — the batch must still be recognized
+    // as a refresh (the in-band 'truncate' sentinel carries the signal
+    // past the zero-row ambiguity), not fall through to the incremental
+    // path and silently leave every stale row in the mirror
+    ManifestTable.overwrite(spark, src, f.limit(0))
+    run()
+    assert(ManifestTable.read(spark, dst).count() === 0,
+      "an empty refresh window must TRUNCATE the mirror, not no-op")
+    assert(ManifestTable.history(spark, dst).map(_.operation).contains("apply-refresh"),
+      "the empty refresh must land as an apply-refresh commit")
+    // and the next window resumes incrementally from the refresh point
+    ManifestTable.append(spark, src, orders.filter(col("o_orderstatus") === "O"))
+    run()
+    assertSame(ManifestTable.read(spark, dst), ManifestTable.read(spark, src))
+    assert(ManifestTable.history(spark, dst).map(_.operation)
+      .count(_ == "apply-refresh") === 1,
+      "the post-refresh append window must apply incrementally")
+  }
+
   test("changeFeed stream: a RESTORE past a MOR delete streams resurrections as inserts") {
     val src = freshRoot("cf_restore_src")
     val dst = freshRoot("cf_restore_dst")

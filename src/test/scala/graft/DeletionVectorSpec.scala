@@ -190,7 +190,7 @@ class DeletionVectorSpec extends SparkSpec {
     ManifestTable.create(spark, root, orders.limit(50))
     val cursor = ManifestTable.versions(spark, root).max
     val (v2, _) = ManifestTable.deleteMor(spark, root, col("o_orderkey") % 2 === 0)
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[graft.sources.NotDeltaExpressible] {
       ManifestTable.readChangesSince(spark, root, cursor)
     }
     assert(e.getMessage.contains("deletion vector"), e.getMessage)
@@ -287,7 +287,7 @@ class DeletionVectorSpec extends SparkSpec {
     ManifestTable.create(spark, root, orders.limit(100).repartition(4))
     val cursor = ManifestTable.versions(spark, root).max
     ManifestTable.compact(spark, root, 64L * 1024 * 1024)
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[graft.sources.NotDeltaExpressible] {
       ManifestTable.readChangesWithDeletes(spark, root, cursor)
     }
     assert(e.getMessage.contains("full refresh"), e.getMessage)

@@ -268,7 +268,7 @@ class LakeOpsSpec extends SparkSpec {
     assert(maintained === scratch)
     // a non-append source change surfaces the full-refresh contract
     ManifestTable.overwrite(spark, src, orders.limit(3))
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[graft.sources.NotDeltaExpressible] {
       graft.ops.LakeOps.maintainAggMart(spark, src, mart, "o_orderstatus", "o_totalprice")
     }
     assert(e.getMessage.contains("non-append"))
@@ -485,7 +485,7 @@ class LakeOpsSpec extends SparkSpec {
     ManifestTable.merge(spark, src,
       f.filter(col("o_orderkey") % 3 =!= 0).limit(5)
         .withColumn("o_totalprice", col("o_totalprice") + 1.0), "o_orderkey")
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[graft.sources.NotDeltaExpressible] {
       graft.ops.LakeOps.maintainAggMartTotal(spark, src, mart, "o_orderstatus", "o_totalprice")
     }
     assert(e.getMessage.contains("full refresh"), e.getMessage)
@@ -530,7 +530,7 @@ class LakeOpsSpec extends SparkSpec {
       ManifestTable.versions(spark, mart).max)("join-cursor-b") === "3")
     // non-append lineage on either source refuses (full-refresh contract)
     ManifestTable.overwrite(spark, a, orders.limit(2))
-    val e = intercept[IllegalArgumentException] { maintain() }
+    val e = intercept[graft.sources.NotDeltaExpressible] { maintain() }
     assert(e.getMessage.contains("non-append"))
   }
 }

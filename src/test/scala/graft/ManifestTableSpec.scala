@@ -230,7 +230,7 @@ class ManifestTableSpec extends SparkSpec {
     val v1 = ManifestTable.create(spark, root, orders.limit(10))
     ManifestTable.append(spark, root, orders.limit(5))
     ManifestTable.overwrite(spark, root, orders.limit(3))
-    intercept[IllegalArgumentException] {
+    intercept[graft.sources.NotDeltaExpressible] {
       ManifestTable.readChangesSince(spark, root, v1)
     }
     // compaction likewise rewrites files: structurally detected, not op-name trust
@@ -238,11 +238,11 @@ class ManifestTableSpec extends SparkSpec {
     val w1 = ManifestTable.create(spark, root2, orders.limit(10).repartition(4))
     ManifestTable.append(spark, root2, orders.limit(5))
     ManifestTable.compact(spark, root2, 64L * 1024 * 1024)
-    intercept[IllegalArgumentException] {
+    intercept[graft.sources.NotDeltaExpressible] {
       ManifestTable.readChangesSince(spark, root2, w1)
     }
     // a stale cursor (vacuumed-away version) is invalid, loudly
-    intercept[IllegalArgumentException] {
+    intercept[graft.sources.NotDeltaExpressible] {
       ManifestTable.readChangesSince(spark, root, 99L)
     }
   }
@@ -499,7 +499,7 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root, Some(3L)).count() === 1L)
     // restore reinstating dropped files is structurally non-append: a
     // CDF cursor parked at the overwrite must refuse
-    intercept[IllegalArgumentException] {
+    intercept[graft.sources.NotDeltaExpressible] {
       ManifestTable.readChangesSince(spark, root, 3L)
     }
     // vacuum keeps the restored tip's files live

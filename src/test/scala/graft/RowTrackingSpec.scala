@@ -180,7 +180,7 @@ class RowTrackingSpec extends SparkSpec {
     val expDel = base.filter(col("o_orderkey") % 4 === 0)
     assert(del.exceptAll(expDel).isEmpty && expDel.exceptAll(del).isEmpty)
     ManifestTable.overwrite(spark, root, base.limit(10))
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[graft.sources.NotDeltaExpressible] {
       ManifestTable.readChangesRowTracked(spark, root, cursor)._1.count()
     }
     assert(e.getMessage.contains("full refresh"), e.getMessage)

@@ -105,7 +105,11 @@ class TieredLogSpec extends SparkSpec {
     assert(ManifestTable.versions(spark, root) === Seq(4L, 5L, 6L))
     assert(Paths.get(root, "_graft_log", "v00000004.checkpoint").toFile.exists(),
       "the oldest retained delta must be materialized as a .checkpoint sidecar")
-    // every retained version still resolves — content unchanged
+    // every retained version still resolves — content unchanged.
+    // Drop the in-JVM resolved cache first: a FRESH process reading the
+    // vacuumed oldest version must find its OWN sidecar (its delta's
+    // base chain is gone from disk), not an in-memory leftover.
+    ManifestTable.dropResolvedCacheForTest()
     assert(ManifestTable.read(spark, root).count() === total)
     assert(ManifestTable.read(spark, root, Some(4L)).count() ===
       (0 to 3).map(slices(_).count()).sum)
@@ -117,6 +121,10 @@ class TieredLogSpec extends SparkSpec {
     ManifestTable.vacuum(spark, root, keepVersions = 1)
     assert(!Paths.get(root, "_graft_log", "v00000004.checkpoint").toFile.exists(),
       "a dropped version's checkpoint sidecar must be reclaimed")
+    // keepVersions=1 leaves ONLY the tip, stored as a delta whose whole
+    // base chain is deleted — a cold process must read it through the
+    // sidecar vacuum just materialized at the tip itself.
+    ManifestTable.dropResolvedCacheForTest()
     assert(ManifestTable.read(spark, root).count() === total + 5)
   }
 
