@@ -204,9 +204,11 @@ object ManifestCatalog {
     val out = f.create(tmp, false)
     try out.write(body.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (f.exists(catPath(cat, next))) { f.delete(tmp, false); false }
-    else if (f.rename(tmp, catPath(cat, next))) true
-    else { f.delete(tmp, false); false }
+    // same slot primitive as the table log: POSIX rename OVERWRITES an
+    // existing destination, so the local arm claims with link(2)
+    val won = ManifestTable.atomicClaim(f, tmp, catPath(cat, next))
+    f.delete(tmp, false)
+    won
   }
 
   /** Commit `ops` ATOMICALLY across their tables (see the protocol in

@@ -111,39 +111,62 @@ object ManifestTable {
 
   /** The FULL manifest text of `version` — resolving through the tiered
     * log's delta chain when the stored form is a delta (see
-    * [[composeTiered]]). Every consumer above this point (files, meta,
-    * stats, ops, history, CDF, streams) is delta-oblivious. */
+    * [[composeTiered]]). Text is rendered from the structural state on
+    * demand and cached; most consumers go through [[parsedAt]] and never
+    * need it. Every consumer above this point (files, meta, stats, ops,
+    * history, CDF, streams) is delta-oblivious. */
   private def manifestText(spark: SparkSession, root: String, version: Long): String = {
     val raw = rawText(spark, root, version)
     if (!isDelta(raw)) raw
     else resolvedCached(root, version) {
-      // walk back to the nearest full snapshot (or vacuum-materialized
-      // .checkpoint sidecar), then replay the deltas forward. The walk
-      // starts AT the queried version itself: vacuum materializes the
-      // checkpoint at the oldest retained version and deletes its base
-      // chain, so that version is readable ONLY through its own sidecar.
-      // The chain is contiguous (a delta's base is always version-1)
-      // and bounded by CheckpointInterval.
-      val chain = mutable.Buffer.empty[String] // deltas, newest first
-      var v = version
-      var full: String = null
-      while (full == null) {
-        val ck = checkpointPath(root, v)
-        val f = fs(spark, root)
-        if (f.exists(ck)) {
-          val in = f.open(ck)
-          try full = new String(
-            org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
-          finally in.close()
-        } else {
-          val t = if (v == version) raw else rawText(spark, root, v)
-          if (isDelta(t)) { chain += t; v = deltaBaseOf(t) }
-          else full = t
-        }
-      }
-      chain.reverseIterator.foldLeft(full)(applyDelta)
+      renderParsed(parsedAt(spark, root, version))
     }
   }
+
+  /** Resolve `version`'s FULL structural state from DISK: walk back to
+    * the nearest full snapshot (or vacuum-materialized `.checkpoint`
+    * sidecar), parse it ONCE, then apply the delta chain structurally —
+    * O(files + Σ|delta|) with zero intermediate text renders. The walk
+    * starts AT the queried version itself: vacuum materializes the
+    * checkpoint at the oldest retained version and deletes its base
+    * chain, so that version is readable ONLY through its own sidecar.
+    * The chain is contiguous (a delta's base is always version-1) and
+    * bounded by CheckpointInterval. */
+  private def resolveParsedFromDisk(spark: SparkSession, root: String, version: Long): Parsed = {
+    val raw = rawText(spark, root, version)
+    if (!isDelta(raw)) return parseFull(raw)
+    val chain = mutable.Buffer.empty[String] // deltas, newest first
+    var v = version
+    var full: String = null
+    while (full == null) {
+      val ck = checkpointPath(root, v)
+      val f = fs(spark, root)
+      if (f.exists(ck)) {
+        val in = f.open(ck)
+        try full = new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+        finally in.close()
+      } else {
+        val t = if (v == version) raw else rawText(spark, root, v)
+        if (isDelta(t)) { chain += t; v = deltaBaseOf(t) }
+        else full = t
+      }
+    }
+    chain.reverseIterator.foldLeft(parseFull(full))(
+      (st, d) => applyDeltaParsed(st, parseDelta(d)))
+  }
+
+  /** The structural state of `version` — the accessor [[manifestFiles]]/
+    * [[manifestMeta]]/[[rawStats]] read through, LRU-cached so hot-tip
+    * reads and commits never re-parse O(files) text. Immutable after
+    * publish like the text cache; [[invalidateVersion]] drops entries
+    * when vacuum deletes a version's manifest. */
+  private def parsedAt(spark: SparkSession, root: String, version: Long): Parsed =
+    cachedIn(stateCache, s"$root#$version") {
+      val txt = resolvedCache.synchronized(resolvedCache.get(s"$root#$version"))
+      if (txt != null) parseFull(txt)
+      else resolveParsedFromDisk(spark, root, version)
+    }
 
   /** Full snapshot every Nth version bounds every delta-resolution walk
     * (the Delta-checkpoint / Iceberg-manifest-list cadence). */
@@ -173,11 +196,57 @@ object ManifestTable {
         size() > 48
     }
 
-  /** Test hook: drop the resolved-text cache to simulate a fresh
-    * process (a cold JVM resolving a vacuumed tip must go through the
-    * on-disk .checkpoint sidecar, not an in-memory leftover). */
-  private[graft] def dropResolvedCacheForTest(): Unit =
+  /** Structural-state LRU beside [[resolvedCache]]: the parsed accessors
+    * ([[manifestFiles]]/[[manifestMeta]]/[[rawStats]]) and the writer's
+    * incremental compose read through it, so hot-tip commits and reads
+    * parse each version's O(files) state at most once per JVM. */
+  private val stateCache =
+    new java.util.LinkedHashMap[String, Parsed](32, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Parsed]): Boolean =
+        size() > 16
+    }
+
+  /** Parsed per-file stats LRU ([[rawStats]]' decode of a version's
+    * stats lines) — the incremental compose compares FileStats structs
+    * against this to find changed lines without serializing O(files). */
+  private val statsMapCache =
+    new java.util.LinkedHashMap[String, Map[String, ManifestStats.FileStats]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[String, ManifestStats.FileStats]]): Boolean =
+        size() > 8
+    }
+
+  private def cachedIn[V](cache: java.util.LinkedHashMap[String, V], key: String)(
+      compute: => V): V = {
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) return hit
+    }
+    val v = compute
+    cache.synchronized { cache.put(key, v) }
+    v
+  }
+
+  /** Drop every in-JVM cache entry for (root, version) — called when a
+    * manifest is DELETED from disk (vacuum), so same-JVM reads of a
+    * dropped version fail like a fresh process's would instead of being
+    * served from a cache for a version that no longer exists. */
+  private def invalidateVersion(root: String, version: Long): Unit = {
+    val key = s"$root#$version"
+    resolvedCache.synchronized { resolvedCache.remove(key); () }
+    stateCache.synchronized { stateCache.remove(key); () }
+    statsMapCache.synchronized { statsMapCache.remove(key); () }
+  }
+
+  /** Test hook: drop EVERY in-JVM manifest cache (resolved text,
+    * structural state, decoded stats) to simulate a fresh process — a
+    * cold JVM resolving a vacuumed tip must go through the on-disk
+    * .checkpoint sidecar, not an in-memory leftover. */
+  private[graft] def dropResolvedCacheForTest(): Unit = {
     resolvedCache.synchronized(resolvedCache.clear())
+    stateCache.synchronized(stateCache.clear())
+    statsMapCache.synchronized(statsMapCache.clear())
+  }
 
   private def resolvedCached(root: String, version: Long)(compute: => String): String = {
     val key = s"$root#$version"
@@ -218,13 +287,16 @@ object ManifestTable {
       scala.collection.immutable.ListMap.from(stats), files.toSeq)
   }
 
-  /** Replay one delta over a resolved full text → the next full text,
-    * rendered exactly as [[composeBody]] renders (header, meta sorted
-    * by key, per-file stats in file order then the rollup, file list).
-    * The writer's self-check in [[composeTiered]] guarantees the
-    * reproduction is byte-exact before a delta is ever published. */
-  private def applyDelta(baseFull: String, delta: String): String = {
-    val base = parseFull(baseFull)
+  /** A delta manifest's decoded actions (the READER's parse — the
+    * writer's per-commit roundtrip check goes through this exact
+    * decode, so encode/decode asymmetries degrade to a full write). */
+  private final case class DeltaParts(
+      version: Long, op: String,
+      metaPlus: Seq[(String, String)], metaMinus: Seq[String],
+      statsPlus: Seq[(String, String)], statsMinus: Seq[String],
+      adds: Seq[String], removes: Set[String])
+
+  private def parseDelta(delta: String): DeltaParts = {
     var version = 0L
     var op = ""
     delta.linesIterator.next().stripPrefix(DeltaHeader).split(' ').foreach {
@@ -232,10 +304,10 @@ object ManifestTable {
       case s if s.startsWith("op=") => op = s.stripPrefix("op=")
       case _ =>
     }
-    val metaPlus = mutable.LinkedHashMap.empty[String, String]
-    val metaMinus = mutable.Set.empty[String]
-    val statsPlus = mutable.LinkedHashMap.empty[String, String]
-    val statsMinus = mutable.Set.empty[String]
+    val metaPlus = mutable.Buffer.empty[(String, String)]
+    val metaMinus = mutable.Buffer.empty[String]
+    val statsPlus = mutable.Buffer.empty[(String, String)]
+    val statsMinus = mutable.Buffer.empty[String]
     val adds = mutable.Buffer.empty[String]
     val removes = mutable.Set.empty[String]
     delta.linesIterator.drop(1).foreach {
@@ -254,51 +326,144 @@ object ManifestTable {
       case l if l.startsWith("-") => removes += l.stripPrefix("-")
       case _ =>
     }
-    val files = base.files.filterNot(removes) ++ adds
-    val meta = (base.metaLines -- metaMinus) ++ metaPlus
-    val stats = (base.statsLines -- removes -- statsMinus) ++ statsPlus
-    val body = new StringBuilder(s"# graft-manifest version=$version op=$op\n")
-    meta.toSeq.sortBy(_._1).foreach { case (_, l) => body.append(l).append('\n') }
-    files.foreach(p => stats.get(p).foreach(l => body.append(l).append('\n')))
-    stats.get(ManifestStats.RollupKey).foreach(l => body.append(l).append('\n'))
-    files.foreach(p => body.append(p).append('\n'))
+    DeltaParts(version, op, metaPlus.toSeq, metaMinus.toSeq,
+      statsPlus.toSeq, statsMinus.toSeq, adds.toSeq, removes.toSet)
+  }
+
+  /** Apply decoded delta actions over a base state — the structural
+    * merge every resolution path shares (carried files keep base order,
+    * adds append; the delta contract). */
+  private def applyDeltaParsed(base: Parsed, d: DeltaParts): Parsed = {
+    val files = base.files.filterNot(d.removes) ++ d.adds
+    val meta = (base.metaLines -- d.metaMinus) ++ d.metaPlus
+    val stats = (base.statsLines -- d.removes -- d.statsMinus) ++ d.statsPlus
+    Parsed(s"# graft-manifest version=${d.version} op=${d.op}", meta,
+      scala.collection.immutable.ListMap.from(stats), files)
+  }
+
+  /** Render a structural state back to FULL manifest text, exactly as
+    * [[composeBody]] renders (header, meta sorted by key, per-file
+    * stats in file order then the rollup, file list) — so
+    * render∘parse is the identity on every composed manifest. */
+  private def renderParsed(p: Parsed): String = {
+    val body = new StringBuilder(p.header).append('\n')
+    p.metaLines.toSeq.sortBy(_._1).foreach { case (_, l) => body.append(l).append('\n') }
+    p.files.foreach(f => p.statsLines.get(f).foreach(l => body.append(l).append('\n')))
+    p.statsLines.get(ManifestStats.RollupKey).foreach(l => body.append(l).append('\n'))
+    p.files.foreach(f => body.append(f).append('\n'))
     body.toString
   }
 
-  /** The tiered serialization point [[commit]] publishes through: the
-    * full snapshot is always composed (it is the semantic truth and the
-    * self-check target); a DELTA against version-1 is written instead
+  /** Replay one delta over a resolved full text → the next full text.
+    * Kept for single-step replays; chain walks go through
+    * [[resolveParsedFromDisk]] (one parse, structural applies, one
+    * render) instead of paying a parse+render per step. */
+  private def applyDelta(baseFull: String, delta: String): String =
+    renderParsed(applyDeltaParsed(parseFull(baseFull), parseDelta(delta)))
+
+  /** The tiered serialization point [[commit]] publishes through.
+    *
+    * Non-checkpoint versions compose INCREMENTALLY: the new structural
+    * state is built from the cached base state + the op's inputs with
+    * O(delta) string work — carried stats lines are reused byte-for-byte
+    * when their parsed FileStats are unchanged (struct equality against
+    * the cached base stats map, no re-serialization), so the full
+    * snapshot text is never built. A DELTA against version-1 is written
     * whenever (a) this isn't a checkpoint version, (b) the op kept the
     * carried files in base order with adds appended (every append /
-    * merge / MOR / metadata op does; restore may not), (c) the diff is
-    * actually smaller than the snapshot (an overwrite isn't — it
-    * checkpoints naturally), and (d) replaying the delta over the base
-    * reproduces the snapshot BYTE-FOR-BYTE (the unconditional
-    * correctness gate — diff bugs degrade to a full write, never to a
-    * wrong manifest). */
+    * merge / MOR / metadata op does; restore may not), and (c) the diff
+    * is actually smaller than the snapshot (an overwrite isn't — it
+    * checkpoints naturally).
+    *
+    * The round-10 byte-for-byte self-check is decomposed into two
+    * gates that together cover the same bug classes at a fraction of
+    * the cost: (1) EVERY delta commit re-parses its own delta text with
+    * the READER's [[parseDelta]] and re-applies it with the READER's
+    * [[applyDeltaParsed]] — the result must equal the intended state
+    * exactly, so encode/decode asymmetries (the realistic diff-bug
+    * class) degrade to a full write, never a wrong manifest; (2) every
+    * CHECKPOINT version — where the full text is composed anyway —
+    * verifies the writer's incrementally-maintained state of version-1
+    * against a from-DISK structural replay of the published chain, so
+    * writer-state drift can never survive past one checkpoint interval
+    * undetected. Render equivalence (state → text) is exercised at
+    * every checkpoint and full write via render∘parse identity. */
+  private final case class ComposedManifest(
+      body: String, state: Parsed,
+      statsMap: Option[Map[String, ManifestStats.FileStats]], isFull: Boolean)
+
   private def composeTiered(spark: SparkSession, root: String, next: Long,
-      op: String, meta: Map[String, String], allFiles: Seq[String],
-      stats: Map[String, ManifestStats.FileStats]): (String, String) = {
-    val full = composeBody(next, op, meta, allFiles, stats)
-    if (next <= 1 || next % CheckpointInterval == 0) return (full, full)
-    val baseText =
-      try manifestText(spark, root, next - 1)
-      catch { case _: Exception => return (full, full) }
-    val base = parseFull(baseText)
-    val cur = parseFull(full)
-    val curSet = cur.files.toSet
+      op: String, meta0: Map[String, String], allFiles: Seq[String],
+      stats: Map[String, ManifestStats.FileStats]): ComposedManifest = {
+
+    def composeFull(): ComposedManifest = {
+      val f = composeBody(next, op, meta0, allFiles, stats)
+      ComposedManifest(f, parseFull(f), None, isFull = true)
+    }
+
+    if (next <= 1) return composeFull()
+    if (next % CheckpointInterval == 0) {
+      // divergence gate at the natural O(files) point: the state this
+      // writer maintained incrementally for version-1 must equal what
+      // the PUBLISHED chain replays to from disk — a wrong delta can
+      // never survive past one checkpoint interval undetected
+      val cachedBase = stateCache.synchronized(
+        Option(stateCache.get(s"$root#${next - 1}")))
+      cachedBase.foreach { cb =>
+        val disk =
+          try Some(resolveParsedFromDisk(spark, root, next - 1))
+          catch { case _: Exception => None } // unreadable → nothing to verify
+        disk.foreach(d => if (d != cb) throw new IllegalStateException(
+          s"tiered-log divergence at $root v${next - 1}: the writer's incremental " +
+            "state does not match the published delta chain — refusing to commit"))
+      }
+      return composeFull()
+    }
+    val base =
+      try parsedAt(spark, root, next - 1)
+      catch { case _: Exception => return composeFull() }
+    val newMetaMap = normalizeMeta(meta0, allFiles)
+    val metaLines = newMetaMap.map { case (k, v) => k -> s"$MetaPrefix$k=$v" }
     val baseSet = base.files.toSet
-    val adds = cur.files.filterNot(baseSet)
+    val curSet = allFiles.toSet
+    val adds = allFiles.filterNot(baseSet)
     val removes = base.files.filterNot(curSet)
-    if (cur.files != base.files.filter(curSet) ++ adds) return (full, full)
-    val metaPlus = cur.metaLines.filter { case (k, l) => base.metaLines.get(k) != Some(l) }
-    val metaMinus = base.metaLines.keySet -- cur.metaLines.keySet
-    val statsPlus = cur.statsLines.filter { case (k, l) => base.statsLines.get(k) != Some(l) }
-    val statsMinus = (base.statsLines.keySet -- cur.statsLines.keySet) -- removes
+    if (allFiles != base.files.filter(curSet) ++ adds) return composeFull()
+    // stats lines of the NEW state: carried entries with unchanged
+    // parsed stats reuse the base line; changed/new entries serialize
+    // fresh — O(delta) serialization, O(files) cheap struct compares
+    val baseStats = rawStatsOf(root, next - 1, base)
+    val statsLines = mutable.LinkedHashMap.empty[String, String]
+    val newStatsMap = mutable.HashMap.empty[String, ManifestStats.FileStats]
+    allFiles.foreach { p =>
+      stats.get(p).foreach { fsNew =>
+        newStatsMap += p -> fsNew
+        statsLines += p -> (
+          if (baseStats.get(p).contains(fsNew) && base.statsLines.contains(p))
+            base.statsLines(p)
+          else StatsPrefix + ManifestStats.serialize(p, fsNew))
+      }
+    }
+    // the table rollup, recomputed exactly as composeBody recomputes it
+    ManifestStats.rollup(allFiles, stats,
+      newMetaMap.get(SchemaKey).map(j => physicalSchema(
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])))
+      .foreach { r =>
+        newStatsMap += ManifestStats.RollupKey -> r
+        statsLines += ManifestStats.RollupKey ->
+          (StatsPrefix + ManifestStats.serialize(ManifestStats.RollupKey, r))
+      }
+    val newState = Parsed(s"# graft-manifest version=$next op=$op",
+      metaLines, scala.collection.immutable.ListMap.from(statsLines), allFiles)
+    val metaPlus = metaLines.filter { case (k, l) => !base.metaLines.get(k).contains(l) }
+    val metaMinus = base.metaLines.keySet -- metaLines.keySet
+    val statsPlus = statsLines.filter { case (k, l) => !base.statsLines.get(k).contains(l) }
+    val statsMinus = (base.statsLines.keySet -- statsLines.keySet) -- removes
     val deltaLines = adds.size + removes.size + metaPlus.size + metaMinus.size +
       statsPlus.size + statsMinus.size
-    if (deltaLines >= cur.files.size + cur.statsLines.size + cur.metaLines.size)
-      return (full, full)
+    if (deltaLines >= allFiles.size + statsLines.size + metaLines.size)
+      return composeFull()
     val d = new StringBuilder(s"${DeltaHeader}version=$next op=$op base=${next - 1}\n")
     metaPlus.toSeq.sortBy(_._1).foreach { case (_, l) =>
       d.append(MetaPlusPrefix).append(l.stripPrefix(MetaPrefix)).append('\n') }
@@ -309,24 +474,30 @@ object ManifestTable {
     removes.foreach(p => d.append('-').append(p).append('\n'))
     adds.foreach(p => d.append('+').append(p).append('\n'))
     val delta = d.toString
-    if (applyDelta(baseText, delta) != full) (full, full) else (delta, full)
+    // gate (1): the reader's decode of this delta, applied with the
+    // reader's merge, must reproduce the intended state EXACTLY
+    val replay = applyDeltaParsed(base, parseDelta(delta))
+    if (replay != newState) return composeFull()
+    ComposedManifest(delta, newState, Some(newStatsMap.toMap), isFull = false)
   }
 
   /** The file list a given version names (root-relative paths). */
   def manifestFiles(spark: SparkSession, root: String, version: Long): Seq[String] =
-    manifestText(spark, root, version).linesIterator
-      .filterNot(l => l.startsWith("#") || l.trim.isEmpty).toSeq
+    parsedAt(spark, root, version).files
 
   /** Caller metadata committed WITH a version (`# meta:key=value` header
     * lines) — rides the same atomic publish as the file list, so e.g. a
     * pipeline's input-state fingerprint can never be newer or older than
     * the data it describes. */
   def manifestMeta(spark: SparkSession, root: String, version: Long): Map[String, String] =
-    manifestText(spark, root, version).linesIterator
-      .filter(_.startsWith(MetaPrefix))
+    parsedAt(spark, root, version).metaLines.valuesIterator
       .map(_.stripPrefix(MetaPrefix).split("=", 2))
       .collect { case Array(k, v) => k -> v }
       .toMap
+
+  /** The op recorded in a version's manifest header (commit or delta). */
+  private def opAt(spark: SparkSession, root: String, version: Long): String =
+    parsedAt(spark, root, version).header.split("op=").lift(1).getOrElse("unknown")
 
   private val MetaPrefix = "# meta:"
   private val StatsPrefix = "# stats:"
@@ -605,11 +776,21 @@ object ManifestTable {
   def tableRollup(spark: SparkSession, root: String, version: Long): Option[ManifestStats.FileStats] =
     rawStats(spark, root, version).get(ManifestStats.RollupKey)
 
-  private def rawStats(spark: SparkSession, root: String, version: Long): Map[String, ManifestStats.FileStats] =
-    manifestText(spark, root, version).linesIterator
-      .filter(_.startsWith(StatsPrefix))
-      .map(l => ManifestStats.deserialize(l.stripPrefix(StatsPrefix)))
-      .toMap
+  private def rawStats(spark: SparkSession, root: String, version: Long): Map[String, ManifestStats.FileStats] = {
+    val p = parsedAt(spark, root, version)
+    rawStatsOf(root, version, p)
+  }
+
+  /** Decode a version's stats lines to FileStats, LRU-cached — the
+    * commit path primes this for its own versions, so the incremental
+    * compose's changed-line detection never re-decodes O(files). */
+  private def rawStatsOf(root: String, version: Long,
+      p: Parsed): Map[String, ManifestStats.FileStats] =
+    cachedIn(statsMapCache, s"$root#$version") {
+      p.statsLines.valuesIterator
+        .map(l => ManifestStats.deserialize(l.stripPrefix(StatsPrefix)))
+        .toMap
+    }
 
   /** Read the table at `version` (default: latest) scanning ONLY the
     * files whose committed stats admit rows matching `filter` — file
@@ -1392,8 +1573,7 @@ object ManifestTable {
     val schema = schemaOf(spark, root, tip)
     val ct = "_change_type"
     val rewriteOps = Set("compact", "compact-small", "zorder", "cluster", "purge-dv")
-    def opOf(v: Long): String = manifestText(spark, root, v).linesIterator
-      .toSeq.headOption.flatMap(_.split("op=").lift(1)).getOrElse("unknown")
+    def opOf(v: Long): String = opAt(spark, root, v)
     def dvOf(v: Long): DataFrame = deletionVector(spark, root, v)
       .map(p => dvFrame(spark, root, p)).getOrElse(emptyDvFrame(spark))
     // rows at dv positions `pos` within version v's manifest, with ids
@@ -1533,15 +1713,18 @@ object ManifestTable {
       // like the file base — an append's widened schema must widen the
       // WINNER's schema, not the one this committer first read
       val meta = metaWithTxnCarry(spark, root, tip, metaAt(tip))
-      val (body, full) =
+      val cm =
         composeTiered(spark, root, next, op, meta, base(tip) ++ newFiles, statsAt(tip))
       // the atomic publish: rename refuses an existing destination, so
       // exactly one of two racing committers wins version `next`
-      if (publishRaw(spark, root, next, body)) {
-        // prime the resolver: the writer has the FULL text in hand, so
-        // same-JVM readers of a delta-stored version never pay the
-        // chain walk for versions this process published
-        if (body ne full) resolvedCached(root, next)(full)
+      if (publishRaw(spark, root, next, cm.body)) {
+        // prime the STRUCTURAL caches: same-JVM readers of this version
+        // never re-parse or chain-walk; full text (only needed by the
+        // rare text consumers) is rendered on demand
+        stateCache.synchronized { stateCache.put(s"$root#$next", cm.state); () }
+        cm.statsMap.foreach(m =>
+          statsMapCache.synchronized { statsMapCache.put(s"$root#$next", m); () })
+        if (cm.isFull) resolvedCached(root, next)(cm.body)
         return next
       }
     }
@@ -1567,16 +1750,16 @@ object ManifestTable {
   /** Render a manifest body for `next` — the single serialization point
     * shared by [[commit]] and [[ManifestCatalog]]'s staged transaction
     * manifests (which compose at transaction time and publish later). */
-  private[sources] def composeBody(next: Long, op: String,
-      meta0: Map[String, String], allFiles: Seq[String],
-      stats: Map[String, ManifestStats.FileStats]): String = {
-    // row-id block allocation happens HERE, at the single serialization
-    // choke point, so every write path — including [[ManifestCatalog]]'s
-    // staged transaction bodies, which bypass [[commit]] — allocates the
-    // same way: any file of this manifest without a rowbase entry gets
-    // the next seq (its rows are base + row_index), rewrites pre-mark
-    // theirs `stored`, and entries for files this manifest no longer
-    // names are dropped (seqs are never reused, so dropping is safe).
+  /** Row-id block allocation + line-safety validation — THE meta
+    * transformation of the serialization choke point, factored so the
+    * incremental compose path ([[composeTiered]]) derives meta
+    * byte-identical to [[composeBody]]'s: any file of this manifest
+    * without a rowbase entry gets the next seq (its rows are base +
+    * row_index), rewrites pre-mark theirs `stored`, and entries for
+    * files this manifest no longer names are dropped (seqs are never
+    * reused, so dropping is safe). */
+  private def normalizeMeta(meta0: Map[String, String],
+      allFiles: Seq[String]): Map[String, String] = {
     val meta =
       if (!meta0.get(RowTrackingKey).contains("on")) meta0
       else {
@@ -1592,6 +1775,17 @@ object ManifestTable {
       require(!k.contains("=") && !(k + v).exists(c => c == '\n' || c == '\r'),
         s"manifest meta key/value must be line-safe and '='-free: $k")
     }
+    meta
+  }
+
+  private[sources] def composeBody(next: Long, op: String,
+      meta0: Map[String, String], allFiles: Seq[String],
+      stats: Map[String, ManifestStats.FileStats]): String = {
+    // row-id block allocation happens at the single serialization choke
+    // point ([[normalizeMeta]]), so every write path — including
+    // [[ManifestCatalog]]'s staged transaction bodies, which bypass
+    // [[commit]] — allocates the same way.
+    val meta = normalizeMeta(meta0, allFiles)
     val body = new StringBuilder(s"# graft-manifest version=$next op=$op\n")
     meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
       body.append(MetaPrefix).append(k).append('=').append(v).append('\n')
@@ -1620,10 +1814,19 @@ object ManifestTable {
     body.toString
   }
 
-  /** Publish a pre-rendered body as `root`'s version `next` via the
-    * atomic tmp-write + rename; false when the slot is already taken
-    * (the caller inspects the occupant — a racing committer, or a
-    * catalog recovery that already ran). */
+  /** Publish a pre-rendered body as `root`'s version `next` via an
+    * atomic tmp-write + slot claim; false when the slot is already
+    * taken (the caller inspects the occupant — a racing committer, or
+    * a catalog recovery that already ran).
+    *
+    * The claim primitive is filesystem-specific: HDFS `rename` refuses
+    * an existing destination atomically, but POSIX `rename(2)` — what
+    * the LOCAL filesystem delegates to — OVERWRITES it, so two racers
+    * passing an exists() pre-check can both "win" and the first body is
+    * silently replaced (a lost commit, caught by the concurrency spec
+    * battery). On local filesystems the claim is `link(2)` instead,
+    * which is atomic win-or-fail; object stores need put-if-absent,
+    * exactly as the Delta paper notes. */
   private[sources] def publishRaw(spark: SparkSession, root: String,
       next: Long, body: String): Boolean = {
     val f = fs(spark, root)
@@ -1632,9 +1835,29 @@ object ManifestTable {
     val out = f.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (f.exists(manifestPath(root, next))) { f.delete(tmp, false); false }
-    else if (f.rename(tmp, manifestPath(root, next))) true
-    else { f.delete(tmp, false); false }
+    val won = atomicClaim(f, tmp, manifestPath(root, next))
+    f.delete(tmp, false) // winner: dst keeps the inode; loser: cleanup
+    won
+  }
+
+  /** Claim `dst` with `tmp`'s content, atomically win-or-fail even
+    * against a concurrent claimer — the slot primitive of the whole
+    * commit protocol (see [[publishRaw]]). The caller deletes `tmp`
+    * afterwards in every outcome. */
+  private[sources] def atomicClaim(f: FileSystem,
+      tmp: Path, dst: Path): Boolean = f match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+         _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    case _ =>
+      !f.exists(dst) && f.rename(tmp, dst)
   }
 
   /** The raw STORED text of `version`'s manifest (full or delta form,
@@ -1904,6 +2127,37 @@ object ManifestTable {
       statsColumns: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil,
       maxKeys: Int = 1000000): Long = {
+    // SELF-HEAL on the CAS abort: a streaming CDC sink races periodic
+    // maintenance (OPTIMIZE, another writer's commit) as a matter of
+    // course, and applying is idempotent by watermark — so instead of
+    // killing the query with "re-run", re-PLAN at the new tip a few
+    // times (each attempt re-reads the vector, the file set, and the
+    // replay watermark, so a batch another attempt already landed
+    // no-ops). Sustained contention still surfaces the abort.
+    var attempts = 4
+    while (true) {
+      try return applyChangesMorOnce(spark, root, feed, keyCol, writerId,
+        batchId, statsColumns, bloomColumns, maxKeys)
+      catch {
+        case e: IllegalStateException
+            if attempts > 1 && e.getMessage != null &&
+              e.getMessage.contains("during apply-changes") =>
+          attempts -= 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def applyChangesMorOnce(
+      spark: SparkSession,
+      root: String,
+      feed: DataFrame,
+      keyCol: String,
+      writerId: String,
+      batchId: Long,
+      statsColumns: Seq[String],
+      bloomColumns: Seq[String],
+      maxKeys: Int): Long = {
     import org.apache.spark.sql.functions.broadcast
     val ct = "_change_type"
     require(feed.columns.contains(ct),
@@ -1989,8 +2243,11 @@ object ManifestTable {
     // -------- ONE publish: files + vector + watermark together ------
     commit(spark, root, "apply-changes", staged,
       tip => {
-        val cur = manifestFiles(spark, root, tip)
-        if (cur.toSet != planned.toSet) throw new IllegalStateException(
+        // strict version CAS: a racing commit that PRESERVES the file
+        // set (a MOR delete's vector, a metadata op's constraint) would
+        // pass a files-only compare and then be CLOBBERED by this op's
+        // v0-derived meta — any tip advance aborts, loudly and retryably
+        if (tip != v0) throw new IllegalStateException(
           s"concurrent modification of $root during apply-changes (planned v$v0, tip v$tip) — re-run")
         planned
       },
@@ -2144,8 +2401,11 @@ object ManifestTable {
       virtualCols = tipTransforms.map(t => t.name -> t.expr))
     val version = commit(spark, root, "compact-small", staged,
       tip => {
-        val cur = manifestFiles(spark, root, tip)
-        if (cur.toSet != planned.toSet) throw new IllegalStateException(
+        // strict version CAS: a racing commit that PRESERVES the file
+        // set (a MOR delete's vector, a metadata op's constraint) would
+        // pass a files-only compare and then be CLOBBERED by this op's
+        // v0-derived meta — any tip advance aborts, loudly and retryably
+        if (tip != v0) throw new IllegalStateException(
           s"concurrent modification of $root during compact-small (planned v$v0, tip v$tip) — re-run")
         untouched
       },
@@ -2305,8 +2565,11 @@ object ManifestTable {
       toPhysicalCols(tableSchema, statsColumns), toPhysicalCols(tableSchema, bloomColumns))
     val version = commit(spark, root, "merge", staged,
       tip => {
-        val cur = manifestFiles(spark, root, tip)
-        if (cur.toSet != planned.toSet) throw new IllegalStateException(
+        // strict version CAS: a racing commit that PRESERVES the file
+        // set (a MOR delete's vector, a metadata op's constraint) would
+        // pass a files-only compare and then be CLOBBERED by this op's
+        // v0-derived meta — any tip advance aborts, loudly and retryably
+        if (tip != v0) throw new IllegalStateException(
           s"concurrent modification of $root during merge (planned v$v0, tip v$tip) — re-run the merge")
         untouched
       },
@@ -2364,8 +2627,11 @@ object ManifestTable {
       toPhysicalCols(tableSchema, statsColumns), toPhysicalCols(tableSchema, bloomColumns))
     val version = commit(spark, root, "delete", staged,
       tip => {
-        val cur = manifestFiles(spark, root, tip)
-        if (cur.toSet != planned.toSet) throw new IllegalStateException(
+        // strict version CAS: a racing commit that PRESERVES the file
+        // set (a MOR delete's vector, a metadata op's constraint) would
+        // pass a files-only compare and then be CLOBBERED by this op's
+        // v0-derived meta — any tip advance aborts, loudly and retryably
+        if (tip != v0) throw new IllegalStateException(
           s"concurrent modification of $root during delete (planned v$v0, tip v$tip) — re-run the delete")
         untouched
       },
@@ -2438,8 +2704,11 @@ object ManifestTable {
     newlyDeleted.unpersist()
     val version = commit(spark, root, "delete-mor", Seq.empty,
       tip => {
-        val cur = manifestFiles(spark, root, tip)
-        if (cur.toSet != planned.toSet) throw new IllegalStateException(
+        // strict version CAS: a racing commit that PRESERVES the file
+        // set (a MOR delete's vector, a metadata op's constraint) would
+        // pass a files-only compare and then be CLOBBERED by this op's
+        // v0-derived meta — any tip advance aborts, loudly and retryably
+        if (tip != v0) throw new IllegalStateException(
           s"concurrent modification of $root during delete-mor (planned v$v0, tip v$tip) — re-run the delete")
         planned
       },
@@ -2498,8 +2767,11 @@ object ManifestTable {
           toPhysicalCols(tableSchema, bloomColumns))
         val version = commit(spark, root, "purge-dv", staged,
           tip => {
-            val cur = manifestFiles(spark, root, tip)
-            if (cur.toSet != planned.toSet) throw new IllegalStateException(
+            // strict version CAS: a racing commit that PRESERVES the file
+            // set (a MOR delete's vector, a metadata op's constraint) would
+            // pass a files-only compare and then be CLOBBERED by this op's
+            // v0-derived meta — any tip advance aborts, loudly and retryably
+            if (tip != v0) throw new IllegalStateException(
               s"concurrent modification of $root during purge-dv (planned v$v0, tip v$tip) — re-run the purge")
             untouched
           },
@@ -2761,9 +3033,7 @@ object ManifestTable {
         else if (deletionVector(spark, root, v).isDefined) None
         else if (files.forall(stats.contains)) Some(files.map(stats(_).rowCount).sum)
         else None
-      val op = manifestText(spark, root, v).linesIterator
-        .toSeq.headOption.flatMap(_.split("op=").lift(1)).getOrElse("unknown")
-      VersionInfo(v, op, files.size, rows)
+      VersionInfo(v, opAt(spark, root, v), files.size, rows)
     }
   }
 
@@ -2797,8 +3067,7 @@ object ManifestTable {
         Some(files.map(stats(_).rowCount).sum)
       else if (files.isEmpty) Some(0L)
       else None
-    val op = manifestText(spark, root, tip).linesIterator
-      .toSeq.headOption.flatMap(_.split("op=").lift(1)).getOrElse("unknown")
+    val op = opAt(spark, root, tip)
     val statCols = stats.values.flatMap(_.cols.keys).toSeq.distinct.sorted
     val bloomCols = stats.values
       .flatMap(_.cols.collect { case (c, cs) if cs.bloom.isDefined => c })
@@ -2845,6 +3114,9 @@ object ManifestTable {
     drop.foreach { v =>
       f.delete(manifestPath(root, v), false)
       f.delete(checkpointPath(root, v), false)
+      // same-JVM reads of a dropped version must fail like a fresh
+      // process's would, not be served from a leftover cache entry
+      invalidateVersion(root, v)
     }
     val dataRoot = new Path(s"$root/$DataDir")
     var deleted = 0

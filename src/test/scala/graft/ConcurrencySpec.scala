@@ -1,0 +1,186 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.CyclicBarrier
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.ManifestTable
+
+/** The PAIRWISE conflict battery for the manifest table's optimistic
+  * concurrency. The protocol is a strict version CAS: every content op
+  * plans against the tip it read (v0) and its commit aborts — loudly,
+  * with "concurrent modification … re-run" — if ANY other commit landed
+  * first. That is strictly safer than a logical conflict matrix: a
+  * files-only compare would let a racing MOR delete (same file set, new
+  * deletion vector) or a racing metadata commit slip through and be
+  * CLOBBERED by the loser's v0-derived meta — lost deletes with no
+  * error. These tests pin, for each racing pair, the full contract:
+  * (a) at least one op wins; (b) the loser aborts with the retryable
+  * message, never publishes half-state; (c) retrying the loser yields
+  * exactly ONE of the two serial schedules; (d) no update is ever lost.
+  * APPEND is the exception that needs no retry: commit re-bases it
+  * internally (appends commute with everything that keeps their files).
+  */
+class ConcurrencySpec extends SparkSpec {
+  private def freshRoot(p: String): String =
+    Files.createTempDirectory(p).toFile.getAbsolutePath
+
+  private def orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+
+  private def assertSameContent(a: DataFrame, b: DataFrame, what: String): Unit =
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, s"$what differ")
+
+  /** Fire both thunks on a barrier; afterwards RETRY any that aborted
+    * with the concurrent-modification signal (the documented protocol).
+    * Any other exception propagates. Returns how many ops aborted. */
+  private def race(a: () => Unit, b: () => Unit): Int = {
+    val barrier = new CyclicBarrier(2)
+    val aborted = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq(a, b).map { op =>
+      new Thread(() => {
+        barrier.await()
+        try op()
+        catch {
+          case e: IllegalStateException
+              if e.getMessage != null && e.getMessage.contains("concurrent modification") =>
+            aborted.add(op); ()
+          case e: Throwable => failures.add(e); ()
+        }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    if (!failures.isEmpty) throw failures.peek()
+    // the race is over: the documented recovery is a plain re-run
+    aborted.forEach(op => op())
+    aborted.size()
+  }
+
+  test("APPEND vs APPEND: both land without aborts (commit re-bases); no rows lost") {
+    val root = freshRoot("cc_app")
+    ManifestTable.create(spark, root, orders.limit(0))
+    val a = orders.filter(col("o_orderkey") % 2 === 0)
+    val b = orders.filter(col("o_orderkey") % 2 === 1)
+    val aborts = race(
+      () => { ManifestTable.append(spark, root, a); () },
+      () => { ManifestTable.append(spark, root, b); () })
+    assert(aborts === 0, "appends must re-base internally, never abort")
+    assert(ManifestTable.read(spark, root).count() === orders.count())
+  }
+
+  test("MERGE vs MOR DELETE on overlapping keys: loser aborts + retry = one of the two serial schedules") {
+    (1 to 3).foreach { round =>
+      val root = freshRoot(s"cc_md$round")
+      val base = orders.limit(200).localCheckpoint()
+      ManifestTable.create(spark, root, base.repartition(2))
+      val upserts = base.limit(60)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0).localCheckpoint()
+      race(
+        () => { ManifestTable.merge(spark, root, upserts, "o_orderkey"); () },
+        () => { ManifestTable.deleteMor(spark, root, col("o_orderkey") % 3 === 0); () })
+      def mergeApplied(df: DataFrame): DataFrame =
+        df.join(upserts.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+          .unionByName(upserts)
+      def delApplied(df: DataFrame): DataFrame =
+        df.filter(col("o_orderkey") % 3 =!= 0)
+      val mergeThenDelete = delApplied(mergeApplied(base))
+      val deleteThenMerge = mergeApplied(delApplied(base))
+      val got = ManifestTable.read(spark, root)
+      val isS1 = got.exceptAll(mergeThenDelete).isEmpty &&
+        mergeThenDelete.exceptAll(got).isEmpty
+      val isS2 = got.exceptAll(deleteThenMerge).isEmpty &&
+        deleteThenMerge.exceptAll(got).isEmpty
+      assert(isS1 || isS2,
+        s"round $round: final state matches NEITHER serial schedule — an update was lost")
+    }
+  }
+
+  test("MOR DELETE vs MOR DELETE: both vectors survive (the files-only-compare hole is closed)") {
+    val root = freshRoot("cc_dd")
+    val base = orders.limit(300).localCheckpoint()
+    ManifestTable.create(spark, root, base.repartition(2))
+    race(
+      () => { ManifestTable.deleteMor(spark, root, col("o_orderkey") % 3 === 0); () },
+      () => { ManifestTable.deleteMor(spark, root, col("o_orderkey") % 5 === 0); () })
+    // both deletes commute logically: EVERY serial schedule removes the
+    // union — a lost vector would resurrect one predicate's rows
+    assertSameContent(ManifestTable.read(spark, root),
+      base.filter(col("o_orderkey") % 3 =!= 0 && col("o_orderkey") % 5 =!= 0),
+      "delete∥delete")
+  }
+
+  test("COMPACT-SMALL vs MOR DELETE: any schedule converges to delete-applied content; table stays readable") {
+    val root = freshRoot("cc_cd")
+    val base = orders.limit(400).localCheckpoint()
+    ManifestTable.create(spark, root, base.repartition(8))
+    race(
+      () => { ManifestTable.compactSmall(spark, root, 64L * 1024 * 1024,
+        64L * 1024 * 1024); () },
+      () => { ManifestTable.deleteMor(spark, root, col("o_orderkey") % 4 === 0); () })
+    assertSameContent(ManifestTable.read(spark, root),
+      base.filter(col("o_orderkey") % 4 =!= 0), "compact∥delete")
+  }
+
+  test("CDC APPLY vs OPTIMIZE: the sink's apply self-heals across a racing compaction (no abort reaches the caller)") {
+    val root = freshRoot("cc_ao")
+    val base = orders.limit(300).localCheckpoint()
+    ManifestTable.create(spark, root, base.repartition(6))
+    val inserts = base.orderBy(col("o_orderkey")).limit(20)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("_change_type", lit("insert"))
+    val deletes = base.orderBy(col("o_orderkey")).limit(10)
+      .withColumn("_change_type", lit("delete"))
+    val feed = inserts.unionByName(deletes).localCheckpoint()
+    val applyFailed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val barrier = new CyclicBarrier(2)
+    val tA = new Thread(() => {
+      barrier.await()
+      // the streaming-sink path: must NEVER surface the CAS abort —
+      // applyChangesMor re-plans at the new tip internally
+      try ManifestTable.applyChangesMor(spark, root, feed, "o_orderkey", "sink", 1L)
+      catch { case e: Throwable => applyFailed.set(e) }
+    })
+    val tB = new Thread(() => {
+      barrier.await()
+      try ManifestTable.compactSmall(spark, root, 64L * 1024 * 1024, 64L * 1024 * 1024)
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.contains("concurrent modification") =>
+          ManifestTable.compactSmall(spark, root, 64L * 1024 * 1024, 64L * 1024 * 1024); ()
+      }
+    })
+    tA.start(); tB.start(); tA.join(); tB.join()
+    assert(applyFailed.get() == null,
+      s"the CDC apply must self-heal across the racing OPTIMIZE, got ${applyFailed.get()}")
+    val deletedKeys = deletes.select("o_orderkey")
+    val expected = base.join(deletedKeys, Seq("o_orderkey"), "left_anti")
+      .unionByName(inserts.drop("_change_type"))
+    assertSameContent(ManifestTable.read(spark, root), expected, "cdc∥optimize")
+  }
+
+  test("two IVM writers on one mart: racing maintainers keep the mart equal to the rebuild") {
+    val src = freshRoot("cc_ivm_src")
+    val mart = freshRoot("cc_ivm_mart")
+    val f = orders.filter(col("o_orderstatus") === "F")
+    ManifestTable.create(spark, src, f)
+    // bootstrap, then advance the source so there is a window to race on
+    graft.ops.LakeOps.maintainAggMartTotal(spark, src, mart, "o_orderstatus", "o_totalprice")
+    ManifestTable.append(spark, src, orders.filter(col("o_orderstatus") === "O"))
+    // two maintenance daemons fire at once (same writerId — the
+    // exactly-once watermark makes the second application a no-op even
+    // when both survive the race)
+    race(
+      () => { graft.ops.LakeOps.maintainAggMartTotal(
+        spark, src, mart, "o_orderstatus", "o_totalprice"); () },
+      () => { graft.ops.LakeOps.maintainAggMartTotal(
+        spark, src, mart, "o_orderstatus", "o_totalprice"); () })
+    val maintained = ManifestTable.read(spark, mart)
+      .select(col("o_orderstatus"), col("n_rows"), col("total").cast("double"))
+    val rebuild = ManifestTable.read(spark, src).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        graft.ops.ExactSums.dsum(col("o_totalprice")).as("t"))
+    assertSameContent(maintained, rebuild, "ivm∥ivm")
+  }
+}

@@ -128,6 +128,37 @@ class TieredLogSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root).count() === total + 5)
   }
 
+  test("a corrupted published delta is caught by the checkpoint divergence gate, never silently inherited") {
+    val root = freshRoot()
+    val slices = orders.randomSplit(Array.fill(12)(1.0), seed = 13)
+    ManifestTable.create(spark, root, slices(0).coalesce(1)) // v1 full
+    ManifestTable.append(spark, root, slices(1).coalesce(1)) // v2 delta
+    ManifestTable.append(spark, root, slices(2).coalesce(1)) // v3 delta
+    assert(isStoredDelta(root, 3L))
+    // corrupt v3 ON DISK while the writer's incremental state keeps the
+    // intended version: swap its added file path for a nonexistent one,
+    // keeping valid delta syntax (the shape of a torn/bit-flipped write
+    // that still parses)
+    val p = Paths.get(root, "_graft_log", "v00000003.manifest")
+    val txt = new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)
+    val corrupted = txt.replaceFirst("(?m)^\\+data/", "+data/CORRUPT-")
+    assert(corrupted != txt, "expected an added-file line to corrupt")
+    Files.write(p, corrupted.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // drop Hadoop's local-FS checksum sidecar so the corruption reads as
+    // a PARSEABLE-but-wrong delta (a diff bug), not an IO error
+    Files.deleteIfExists(Paths.get(root, "_graft_log", ".v00000003.manifest.crc"))
+    // v4..v9 keep composing incrementally from the writer's cached state
+    (3 until 9).foreach(i => ManifestTable.append(spark, root, slices(i).coalesce(1)))
+    // v10 is a checkpoint: the from-DISK replay of the published chain
+    // no longer matches the writer's incremental state — the commit
+    // must refuse loudly instead of publishing a checkpoint that
+    // launders the divergence into "truth"
+    val e = intercept[IllegalStateException] {
+      ManifestTable.append(spark, root, slices(9).coalesce(1))
+    }
+    assert(e.getMessage.contains("divergence"), e.getMessage)
+  }
+
   test("deltas ride every surface: stats pruning, DV, row tracking, CDF, and streams resolve through the chain") {
     val root = freshRoot()
     val half = orders.filter(col("o_orderkey") % 2 === 0)
