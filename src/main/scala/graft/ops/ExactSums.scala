@@ -43,4 +43,17 @@ object ExactSums {
     */
   def dsumPartial(c: Column): Column = sum(c.cast(DecimalType(18, 4)))
   def dsumFinal(partial: Column): Column = sum(partial).cast("double")
+
+  /** Exact order-independent AVERAGE: [[dsum]] divided by the row count
+    * as DOUBLES. Both operands are engine-identical (the decimal sum is
+    * exact; the count is an integer) and IEEE double division is
+    * deterministic, so both engines produce the identical double —
+    * unlike a running double-sum average, whose accumulation order
+    * differs between a distributed and a serial engine. Dividing the
+    * DECIMALs instead would hit the engines' different decimal-division
+    * scale rules; double-then-divide sidesteps that. */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** SQL mirror of [[davg]] for the DuckDB oracle. */
+  def davgSql(expr: String): String = s"(${dsumSql(expr)} / count(*))"
 }

@@ -532,6 +532,59 @@ object LakeOps {
     }
   }
 
+  /** Maintain an aggregate MART and advance its
+    * [[graft.plans.MartRewrite]] registration in ONE call — the
+    * maintenance loop's whole body. Maintenance and registration are
+    * separately correct but operationally coupled: an operator who
+    * maintains and forgets to re-register serves the mart's rewrite
+    * from an ever-older fact snapshot (staleness with no bound), and
+    * one who registers and stops maintaining does the same from the
+    * other side. This composition closes the first hole; the
+    * registration's `maxVersionLag` (enforced inside the rewrite rule)
+    * closes the second — past the bound the rewrite disables itself
+    * and queries fall back to the fresh fact scan.
+    *
+    * `kind` = "sum" routes to [[maintainAggMartTotal]] (single key) or
+    * [[maintainAggMartKeys]] (composite key); "minmax" to
+    * [[maintainMinMaxMart]]. Returns (consumed source version, change
+    * rows aggregated). */
+  def maintainAndReregister(
+      spark: org.apache.spark.sql.SparkSession,
+      srcRoot: String,
+      martRoot: String,
+      keyCols: Seq[String],
+      valueCol: String,
+      kind: String = "sum",
+      writerId: String = "aggmart-total",
+      maxVersionLag: Long = Long.MaxValue): (Long, Long) = {
+    require(keyCols.nonEmpty, "need at least one grouping key")
+    val (v, rows) = kind match {
+      case "sum" if keyCols.size == 1 =>
+        maintainAggMartTotal(spark, srcRoot, martRoot, keyCols.head, valueCol, writerId)
+      case "sum" =>
+        maintainAggMartKeys(spark, srcRoot, martRoot, keyCols, valueCol, writerId)
+      case "minmax" =>
+        require(keyCols.size == 1, "minmax marts are single-key")
+        val (v1, n, _) =
+          maintainMinMaxMart(spark, srcRoot, martRoot, keyCols.head, valueCol, writerId)
+        (v1, n)
+      case other =>
+        throw new IllegalArgumentException(s"unknown mart kind '$other' (sum | minmax)")
+    }
+    kind match {
+      case "sum" if keyCols.size == 1 =>
+        graft.plans.MartRewrite.register(
+          spark, srcRoot, keyCols.head, valueCol, martRoot, maxVersionLag)
+      case "sum" =>
+        graft.plans.MartRewrite.registerKeys(
+          spark, srcRoot, keyCols, valueCol, martRoot, maxVersionLag)
+      case _ =>
+        graft.plans.MartRewrite.registerMinMax(
+          spark, srcRoot, keyCols.head, valueCol, martRoot, maxVersionLag)
+    }
+    (v, rows)
+  }
+
   /** Declarative table MIRROR maintenance with AUTOMATIC full-refresh
     * recovery — the batch face of the st10 pipeline, closing its one
     * operational hole: when the change window since the cursor is not

@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Divide, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -60,6 +60,8 @@ object MartRewrite extends Rule[LogicalPlan] {
   private final case class Reg(
       factRoot: String,
       factFiles: Set[String],
+      factVersion: Long,
+      maxVersionLag: Long,
       keyCols: Seq[String],
       valueCol: String,
       kind: String, // "sum" | "minmax"
@@ -75,30 +77,41 @@ object MartRewrite extends Rule[LogicalPlan] {
     * `keyCol`, summing `valueCol`) to the (key, n_rows, total) mart at
     * `martRoot`, as of the mart's CURRENT version and the fact table's
     * CURRENT file set. Re-register after each maintenance cycle to
-    * advance both snapshots. Also injects the rule (idempotently). */
+    * advance both snapshots — or call
+    * [[graft.ops.LakeOps.maintainAndReregister]], which does both in
+    * one step. `maxVersionLag` makes the freshness contract
+    * ENFORCEABLE: once the fact table's tip version is more than this
+    * many versions past the registered one, the rewrite disables
+    * itself and queries fall back to the (fresh, correct) fact scan —
+    * a maintenance loop that silently stops can no longer serve
+    * unboundedly stale results. Also injects the rule (idempotently). */
   def register(spark: SparkSession, factRoot: String, keyCol: String,
-      valueCol: String, martRoot: String): Unit =
+      valueCol: String, martRoot: String,
+      maxVersionLag: Long = Long.MaxValue): Unit =
     registerKind(spark, factRoot, Seq(keyCol), valueCol, martRoot, "sum",
-      Seq(keyCol, "n_rows", "total"))
+      Seq(keyCol, "n_rows", "total"), maxVersionLag)
 
   /** [[register]] for a COMPOSITE grouping key — the
     * [[graft.ops.LakeOps.maintainAggMartKeys]] mart shape
     * (k1, …, kn, n_rows, total, mkey): routes count/dsum aggregates
     * grouped by exactly that key SET (any order). */
   def registerKeys(spark: SparkSession, factRoot: String, keyCols: Seq[String],
-      valueCol: String, martRoot: String): Unit =
+      valueCol: String, martRoot: String,
+      maxVersionLag: Long = Long.MaxValue): Unit =
     registerKind(spark, factRoot, keyCols, valueCol, martRoot, "sum",
-      keyCols ++ Seq("n_rows", "total"))
+      keyCols ++ Seq("n_rows", "total"), maxVersionLag)
 
   /** [[register]] for the (key, n_rows, vmin, vmax) min/max mart:
     * routes `count(1)` / `min(valueCol)` / `max(valueCol)` aggregates. */
   def registerMinMax(spark: SparkSession, factRoot: String, keyCol: String,
-      valueCol: String, martRoot: String): Unit =
+      valueCol: String, martRoot: String,
+      maxVersionLag: Long = Long.MaxValue): Unit =
     registerKind(spark, factRoot, Seq(keyCol), valueCol, martRoot, "minmax",
-      Seq(keyCol, "n_rows", "vmin", "vmax"))
+      Seq(keyCol, "n_rows", "vmin", "vmax"), maxVersionLag)
 
   private def registerKind(spark: SparkSession, factRoot: String, keyCols: Seq[String],
-      valueCol: String, martRoot: String, kind: String, needed: Seq[String]): Unit = {
+      valueCol: String, martRoot: String, kind: String, needed: Seq[String],
+      maxVersionLag: Long): Unit = {
     require(keyCols.nonEmpty && keyCols.distinct.size == keyCols.size,
       s"grouping keys must be non-empty and distinct, got $keyCols")
     val martPlan = GraftSqlBridge.analyzed(
@@ -112,7 +125,8 @@ object MartRewrite extends Rule[LogicalPlan] {
       .map(p => normalize(if (p.startsWith("/")) p else s"$factRoot/$p"))
       .toSet
     regs.put((factRoot, kind, keyCols.sorted.mkString(",")),
-      Reg(factRoot, factFiles, keyCols, valueCol, kind, martPlan))
+      Reg(factRoot, factFiles, factVersions.max, maxVersionLag,
+        keyCols, valueCol, kind, martPlan))
     if (!spark.experimental.extraOptimizations.contains(MartRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ MartRewrite
@@ -126,6 +140,26 @@ object MartRewrite extends Rule[LogicalPlan] {
   }
 
   private def normalize(p: String): String = new Path(p).toUri.getPath
+
+  /** The freshness contract made enforceable: with a finite
+    * `maxVersionLag`, a registration whose fact table has advanced more
+    * than that many versions past the registered snapshot stops
+    * rewriting — the query falls back to the fact scan, trading the
+    * mart's speed for guaranteed freshness until the maintenance loop
+    * re-registers. The check is one driver-side log listing per
+    * candidate registration; registrations with the default unbounded
+    * lag skip it entirely. */
+  private def withinStalenessBound(r: Reg): Boolean =
+    r.maxVersionLag == Long.MaxValue || {
+      try {
+        val tip = graft.sources.ManifestTable
+          .versions(SparkSession.active, r.factRoot).max
+        tip - r.factVersion <= r.maxVersionLag
+      } catch {
+        // can't PROVE the registration fresh → don't rewrite
+        case scala.util.control.NonFatal(_) => false
+      }
+    }
 
   /** The registrations whose fact table this subtree PROVABLY scans in
     * full — a LogicalRelation (under attribute-only Projects and Filters,
@@ -144,6 +178,7 @@ object MartRewrite extends Rule[LogicalPlan] {
         val scanned = fsr.location.inputFiles.map(normalize).toSet
         val matching = regs.values().asScala
           .filter(r => r.factFiles.nonEmpty && r.factFiles.subsetOf(scanned))
+          .filter(withinStalenessBound)
           .toSeq.sortBy(_.kind == "minmax") // try the sum mart first
         if (matching.isEmpty) None else Some((matching, None))
       case _ => None
@@ -170,23 +205,51 @@ object MartRewrite extends Rule[LogicalPlan] {
             Some(Alias(mart("vmax"), name)(exprId = al.exprId))
           case _ => None
         }
-      case al @ Alias(c: Cast, name) if reg.kind == "sum" && c.dataType == DoubleType =>
-        c.child match {
-          case ae: AggregateExpression if !ae.isDistinct =>
-            ae.aggregateFunction match {
-              case Sum(inner: Cast, _) => inner match {
-                case Cast(attr: AttributeReference, dt: DecimalType, _, _)
-                    if attr.name == reg.valueCol &&
-                      dt.precision == 18 && dt.scale == 4 =>
-                  Some(Alias(Cast(mart("total"), DoubleType), name)(exprId = al.exprId))
-                case _ => None
-              }
-              case _ => None
-            }
-          case _ => None
-        }
+      case al @ Alias(c: Cast, name) if reg.kind == "sum" && c.dataType == DoubleType &&
+          isDsumTower(c, reg) =>
+        Some(Alias(Cast(mart("total"), DoubleType), name)(exprId = al.exprId))
+      // ExactSums.davg — dsum(v) / count(1) as doubles: both operands
+      // are stored mart columns (total, n_rows), so the average is a
+      // free derivation with the identical IEEE division
+      case al @ Alias(d: Divide, name) if reg.kind == "sum" &&
+          isDsumTower(d.left, reg) && isCountAsDouble(d.right) =>
+        Some(Alias(d.withNewChildren(Seq(
+          Cast(mart("total"), DoubleType), Cast(mart("n_rows"), DoubleType))),
+          name)(exprId = al.exprId))
       case _ => None
     }
+  }
+
+  /** The [[graft.ops.ExactSums.dsum]] expression shape over the
+    * registered value column: CAST(sum(CAST(v AS DECIMAL(18,4))) AS
+    * DOUBLE) — exactly what the sum mart's `total` column stores. */
+  private def isDsumTower(e: Expression, reg: Reg): Boolean = e match {
+    case c: Cast if c.dataType == DoubleType =>
+      c.child match {
+        case ae: AggregateExpression if !ae.isDistinct =>
+          ae.aggregateFunction match {
+            case Sum(Cast(attr: AttributeReference, dt: DecimalType, _, _), _) =>
+              attr.name == reg.valueCol && dt.precision == 18 && dt.scale == 4
+            case _ => false
+          }
+        case _ => false
+      }
+    case _ => false
+  }
+
+  /** `count(1)` implicitly cast to DOUBLE (the analyzer's promotion in
+    * a double division) — served by the mart's `n_rows`. */
+  private def isCountAsDouble(e: Expression): Boolean = e match {
+    case c: Cast if c.dataType == DoubleType =>
+      c.child match {
+        case ae: AggregateExpression if !ae.isDistinct =>
+          ae.aggregateFunction match {
+            case Count(Seq(Literal(_, _))) => true
+            case _ => false
+          }
+        case _ => false
+      }
+    case _ => false
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {

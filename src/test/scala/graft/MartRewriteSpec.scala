@@ -251,4 +251,99 @@ class MartRewriteSpec extends SparkSpec {
         "O" -> orders.filter(col("o_orderstatus") === "O").count()))
     } finally MartRewrite.deregister(fact)
   }
+
+  test("ExactSums.davg rides the rewrite: avg served as total/n_rows from the mart, bit-identical; unregistered column refuses") {
+    val fact = freshRoot("mv_fact_avg")
+    val mart = freshRoot("mv_mart_avg")
+    ManifestTable.create(spark, fact, orders)
+    LakeOps.maintainAggMart(spark, fact, mart, "o_orderstatus", "o_totalprice")
+    MartRewrite.register(spark, fact, "o_orderstatus", "o_totalprice", mart)
+    try {
+      val martName = new java.io.File(mart).getName
+      def shaped(df: org.apache.spark.sql.DataFrame) = df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), ExactSums.dsum(col("o_totalprice")).as("t"),
+          ExactSums.davg(col("o_totalprice")).as("a"))
+      val q = shaped(ManifestTable.read(spark, fact))
+      assert(scansUnder(q).exists(_.contains(martName)),
+        s"count+sum+avg must route onto the mart:\n${q.queryExecution.executedPlan}")
+      val direct = shaped(orders)
+      assert(q.exceptAll(direct).isEmpty && direct.exceptAll(q).isEmpty,
+        "the mart-served avg must be bit-identical (same decimal sum, same IEEE division)")
+      // avg of an UNREGISTERED column cannot be derived — stays on the fact
+      val other = ManifestTable.read(spark, fact).groupBy("o_orderstatus")
+        .agg(ExactSums.davg(col("o_custkey")).as("a"))
+      assert(!scansUnder(other).exists(_.contains(martName)),
+        "davg over an unregistered column must NOT rewrite")
+    } finally MartRewrite.deregister(fact)
+  }
+
+  test("maintainAndReregister advances mart and registration together; maxVersionLag disables a stale rewrite") {
+    val fact = freshRoot("mv_fact4")
+    val mart = freshRoot("mv_mart4")
+    val f = orders.filter(col("o_orderstatus") === "F")
+    ManifestTable.create(spark, fact, f) // fact v1
+    // ONE call: bootstrap the mart AND register, with a 2-version bound
+    LakeOps.maintainAndReregister(spark, fact, mart,
+      Seq("o_orderstatus"), "o_totalprice", maxVersionLag = 2L)
+    try {
+      val martName = new java.io.File(mart).getName
+      assert(scansUnder(factAgg(fact)).exists(_.contains(martName)),
+        "a fresh maintainAndReregister must enable the rewrite")
+      // v2, v3: within the bound — still rewrites (allowed staleness)
+      ManifestTable.append(spark, fact, orders.filter(col("o_orderstatus") === "O"))
+      ManifestTable.append(spark, fact, orders.filter(col("o_orderstatus") === "P"))
+      assert(scansUnder(factAgg(fact)).exists(_.contains(martName)),
+        "within maxVersionLag the rewrite stays on")
+      // v4: PAST the bound — the rewrite disables itself; the query
+      // falls back to the fact scan and the results are FRESH
+      ManifestTable.append(spark, fact, orders.orderBy(col("o_orderkey")).limit(7))
+      val q = factAgg(fact)
+      assert(!scansUnder(q).exists(_.contains(martName)),
+        s"past maxVersionLag the rewrite must disable:\n${q.queryExecution.executedPlan}")
+      val freshDirect = q.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      // ONE maintenance call: mart caught up AND registration advanced —
+      // the rewrite is back on and serves exactly the fresh truth
+      LakeOps.maintainAndReregister(spark, fact, mart,
+        Seq("o_orderstatus"), "o_totalprice", maxVersionLag = 2L)
+      val q2 = factAgg(fact)
+      assert(scansUnder(q2).exists(_.contains(martName)),
+        "maintainAndReregister must re-enable the rewrite")
+      assert(q2.collect().map(r => (r.getString(0), r.getLong(1))).toMap === freshDirect,
+        "the re-registered mart must serve the fresh aggregates bit-for-bit")
+    } finally MartRewrite.deregister(fact)
+  }
+
+  test("maintainAndReregister kind=minmax bootstraps, routes min/max, and stays fresh through a maintained delete") {
+    val fact = freshRoot("mv_fact5")
+    val mart = freshRoot("mv_mart5")
+    ManifestTable.create(spark, fact, orders)
+    ManifestTable.enableRowTracking(spark, fact)
+    LakeOps.maintainAndReregister(spark, fact, mart,
+      Seq("o_orderstatus"), "o_totalprice", kind = "minmax", writerId = "mm")
+    try {
+      val martName = new java.io.File(mart).getName
+      def minmaxAgg = ManifestTable.read(spark, fact).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"))
+      assert(scansUnder(minmaxAgg).exists(_.contains(martName)),
+        "min/max shape must route onto the minmax mart")
+      // a MOR delete stops the rewrite while the vector is live (the
+      // DV anti-join above the scan — delete-aware truth, spec-pinned
+      // elsewhere); after the OPTIMIZE-style purge + ONE maintenance
+      // call the loop is whole again: routed AND exact
+      ManifestTable.deleteMor(spark, fact, col("o_orderkey") % 3 === 0)
+      ManifestTable.purgeDeletes(spark, fact)
+      LakeOps.maintainAndReregister(spark, fact, mart,
+        Seq("o_orderstatus"), "o_totalprice", kind = "minmax", writerId = "mm")
+      val direct = ManifestTable.read(spark, fact).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"))
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      val q = minmaxAgg
+      assert(scansUnder(q).exists(_.contains(martName)))
+      val served = q.collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      assert(served === direct, "maintained minmax mart must equal the fresh truth")
+    } finally MartRewrite.deregister(fact)
+  }
 }
