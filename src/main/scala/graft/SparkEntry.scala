@@ -1592,6 +1592,91 @@ object SparkEntry {
       } finally graft.plans.MartRewrite.deregister(fact)
     }),
 
+    "mv5_staleness_guard" -> ((s, dir) => {
+      // the MV maintenance LOOP as one operation plus its ENFORCEABLE
+      // freshness contract: LakeOps.maintainAndReregister advances the
+      // mart AND the MartRewrite registration together (the operational
+      // hole where maintaining-without-re-registering serves ever-staler
+      // rewrites), and the registration's maxVersionLag disables the
+      // rewrite once the fact tip runs more than N versions past the
+      // registered snapshot — queries fall back to the FRESH fact scan
+      // instead of unbounded staleness. Pins: four plan-shape probes
+      // (fresh registration rewrites; within-bound staleness rewrites;
+      // past-bound disables; one maintain call re-enables) + the final
+      // mart-served aggregate equals the whole-fact truth.
+      val fact = java.nio.file.Files.createTempDirectory("mv5_fact").toString
+      val mart = java.nio.file.Files.createTempDirectory("mv5_mart").toString
+      val orders = t(s, dir, "orders")
+      val MT = graft.sources.ManifestTable
+      def leafStrings(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      val martName = new java.io.File(mart).getName
+      def agg = MT.read(s, fact).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      def onMart = leafStrings(agg).exists(_.contains(martName))
+      MT.create(s, fact, orders.filter(col("o_orderkey") % 4 === 0)) // v1
+      graft.ops.LakeOps.maintainAndReregister(s, fact, mart,
+        Seq("o_orderstatus"), "o_totalprice", maxVersionLag = 2L)
+      try {
+        val freshRewrites = onMart
+        MT.append(s, fact, orders.filter(col("o_orderkey") % 4 === 1)) // v2: lag 1
+        MT.append(s, fact, orders.filter(col("o_orderkey") % 4 === 2)) // v3: lag 2
+        val withinBound = onMart
+        MT.append(s, fact, orders.filter(col("o_orderkey") % 4 === 3)) // v4: lag 3
+        val pastBoundDisabled = !onMart
+        // ONE call: mart caught up to v4 AND registration advanced
+        graft.ops.LakeOps.maintainAndReregister(s, fact, mart,
+          Seq("o_orderstatus"), "o_totalprice", maxVersionLag = 2L)
+        val q = agg
+        val reregistered = leafStrings(q).exists(_.contains(martName))
+        q.select(lit(freshRewrites).as("fresh_rewrites"),
+          lit(withinBound).as("stale_within_bound_rewrites"),
+          lit(pastBoundDisabled).as("past_bound_disabled"),
+          lit(reregistered).as("reregistered_rewrites"),
+          col("o_orderstatus"), col("n_orders"), col("total_price"))
+          .localCheckpoint() // pin the rows before deregistration
+      } finally graft.plans.MartRewrite.deregister(fact)
+    }),
+
+    "mv6_rewrite_avg" -> ((s, dir) => {
+      // AVG from the sum mart with NO new mart shape: ExactSums.davg
+      // (exact decimal sum ÷ count, divided as doubles — the
+      // order-independent average both engines reproduce bit-exactly)
+      // is total/n_rows, and both are stored mart columns, so the
+      // rewrite derives it for free. Pins: the count+sum+avg aggregate
+      // (with a group-key filter riding along) routes onto the mart;
+      // an avg over an UNREGISTERED column stays on the fact; values
+      // equal the from-scratch truth.
+      val fact = java.nio.file.Files.createTempDirectory("mv6_fact").toString
+      val mart = java.nio.file.Files.createTempDirectory("mv6_mart").toString
+      val orders = t(s, dir, "orders")
+      val MT = graft.sources.ManifestTable
+      MT.create(s, fact, orders)
+      graft.ops.LakeOps.maintainAggMart(s, fact, mart, "o_orderstatus", "o_totalprice")
+      graft.plans.MartRewrite.register(s, fact, "o_orderstatus", "o_totalprice", mart)
+      try {
+        def leafStrings(df: org.apache.spark.sql.DataFrame) =
+          df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+        val martName = new java.io.File(mart).getName
+        val factName = new java.io.File(fact).getName
+        val q = MT.read(s, fact)
+          .filter(col("o_orderstatus").isin("F", "O"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("total_price"),
+            graft.ops.ExactSums.davg(col("o_totalprice")).as("avg_price"))
+        val servedFromMart = leafStrings(q).exists(_.contains(martName)) &&
+          !leafStrings(q).exists(_.contains(factName))
+        val control = MT.read(s, fact).groupBy("o_orderstatus")
+          .agg(graft.ops.ExactSums.davg(col("o_custkey")).as("a"))
+        val controlUntouched = !leafStrings(control).exists(_.contains(martName))
+        q.select(lit(servedFromMart).as("avg_from_mart"),
+          lit(controlUntouched).as("other_column_unrewritten"),
+          col("o_orderstatus"), col("n_orders"), col("total_price"), col("avg_price"))
+          .localCheckpoint() // pin the rows before deregistration
+      } finally graft.plans.MartRewrite.deregister(fact)
+    }),
+
     "lake11_incr_agg" -> ((s, dir) => {
       // incremental view maintenance over the CDF: the agg mart
       // bootstraps on the F slice, then two appends are folded in by
@@ -4968,6 +5053,34 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("matched_frames"))
     }),
 
+    "mm8_video_shifted" -> ((s, dir) => {
+      // TEMPORAL-SHIFT-tolerant video dedup: copies trimmed by one
+      // leading frame (VideoFixtures startFrame=1 — same content
+      // stream, every index shifted) DEFEAT aligned-index voting
+      // (pinned: the strict voter finds zero pairs) but the
+      // sliding-offset vote re-aligns them at offset −1 with all 7
+      // shared frames matching. One offset must explain the match, so
+      // unrelated clips still refuse. Candidates stay banded per
+      // (aligned frame, band) — the offset fan-out is a constant
+      // (2·maxOffset+1) factor, never all-pairs. Pair set DERIVED
+      // (i, i+10, 7 frames, offset −1) — SF-independent.
+      import s.implicits._
+      val rows = (0 until 8).map(i =>
+        (i.toLong, graft.ops.VideoFixtures.syntheticGif(i, perturbed = false))) ++
+        (0 until 8).map(i => (i.toLong + 10,
+          graft.ops.VideoFixtures.syntheticGif(i, perturbed = false, startFrame = 1))) ++
+        (0 until 4).map(i => (i.toLong + 20,
+          graft.ops.VideoFixtures.syntheticGif(100 + i, perturbed = false)))
+      val df = rows.toDF("clip_id", "content").repartition(4).localCheckpoint()
+      val strictEmpty = graft.ops.MultimodalOps.videoNearDupPairs(
+        df, "clip_id", "content", maxHamming = 3, minMatchingFrames = 5).count() == 0L
+      graft.ops.MultimodalOps.videoNearDupPairsShifted(df, "clip_id", "content",
+        maxHamming = 3, minMatchingFrames = 5, maxOffset = 2)
+        .select(lit(strictEmpty).as("strict_finds_none"),
+          col("id_a"), col("id_b"), col("matched_frames"),
+          col("offset").cast("long").as("shift"))
+    }),
+
     "mm3_frame_sample" -> ((s, dir) => {
       // frame/chunk sampling under the oracle (sampleChunks was spec-only
       // before): bounded-fan-out posexplode — at most maxFrames rows per
@@ -7594,6 +7707,14 @@ object SparkEntry {
          |       CAST(8 AS BIGINT) AS matched_frames
          |FROM range(0, 10)""").stripMargin,
 
+    "mm8_video_shifted" -> // a one-frame-trimmed copy re-aligns at
+      // offset −1 with all 7 shared frames matching; the strict
+      // aligned-index voter sees none of it (pinned by the probe)
+      ("""SELECT TRUE AS strict_finds_none,
+         |       CAST(range AS BIGINT) AS id_a, CAST(range + 10 AS BIGINT) AS id_b,
+         |       CAST(7 AS BIGINT) AS matched_frames, CAST(-1 AS BIGINT) AS shift
+         |FROM range(0, 8)""").stripMargin,
+
     "mm3_frame_sample" -> // ASCII text: char offsets = byte offsets, so
       // substr over VARCHAR replays the binary slicing byte-exactly
       ("""WITH c AS (
@@ -7782,6 +7903,28 @@ object SparkEntry {
          |       ${dsumSql("o_totalprice")} AS total_price
          |FROM orders WHERE o_custkey % 5 <> 0
          |GROUP BY o_orderpriority, o_orderstatus""").stripMargin,
+
+    "mv5_staleness_guard" -> // after one maintainAndReregister call the
+      // mart serves the WHOLE fact (all four o_orderkey%4 slices = all
+      // orders); the four plan-probe booleans pin the staleness
+      // life-cycle in-engine
+      (s"""SELECT TRUE AS fresh_rewrites, TRUE AS stale_within_bound_rewrites,
+         |       TRUE AS past_bound_disabled, TRUE AS reregistered_rewrites,
+         |       o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders GROUP BY o_orderstatus""").stripMargin,
+
+    "mv6_rewrite_avg" -> // the mart-served avg (exact decimal sum ÷
+      // count, divided as doubles) must equal the from-scratch davg;
+      // routing and the unregistered-column control pinned in-engine
+      (s"""SELECT TRUE AS avg_from_mart, TRUE AS other_column_unrewritten,
+         |       o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price,
+         |       ${graft.ops.ExactSums.davgSql("o_totalprice")} AS avg_price
+         |FROM orders WHERE o_orderstatus IN ('F', 'O')
+         |GROUP BY o_orderstatus""").stripMargin,
 
     "lake11_incr_agg" -> // the maintained mart must equal the
       // from-scratch aggregate; per-step delta sizes pin that each pass

@@ -636,6 +636,62 @@ object MultimodalOps {
       .agg(count(lit(1)).cast("long").as("matched_frames"))
       .filter(col("matched_frames") >= minMatchingFrames)
   }
+
+  /** [[videoNearDupPairs]] with TEMPORAL-SHIFT tolerance: a clip whose
+    * copy was trimmed or padded by up to `maxOffset` frames defeats
+    * strict same-index voting (every aligned pair compares different
+    * content), so the vote here runs per CANDIDATE OFFSET d ∈
+    * [-maxOffset, +maxOffset] — frame i of `a` against frame i+d of
+    * `b` — and a pair matches when its BEST single offset aligns at
+    * least `minMatchingFrames` frames within `maxHamming`. One offset
+    * must explain the match (a real trim shifts every frame by the same
+    * d); matches scattered across offsets still refuse.
+    *
+    * The 100 TB shape is unchanged: candidates come only from equal
+    * (aligned frame, band) buckets — the left side fans out by the
+    * (2·maxOffset+1) candidate alignments, a constant factor, never
+    * all-pairs. Returns (id_a, id_b, matched_frames, offset) with
+    * offset = the winning alignment (b runs `offset` frames behind a's
+    * indices; ties prefer the smallest |offset|). */
+  def videoNearDupPairsShifted(
+      df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 3, minMatchingFrames: Int = 5,
+      maxFrames: Int = 8, maxOffset: Int = 2): DataFrame = {
+    require(maxHamming <= 3, s"4-chunk banding supports maxHamming <= 3, got $maxHamming")
+    require(maxOffset >= 0 && maxOffset < maxFrames,
+      "maxOffset must be within [0, maxFrames)")
+    require(minMatchingFrames >= 1 && minMatchingFrames <= maxFrames,
+      "minMatchingFrames must be within [1, maxFrames]")
+    val fh = videoFingerprint(df, idCol, binCol, maxFrames)
+    val chunks: Seq[Column] =
+      (0 until 4).map(c => shiftright(col("fhash"), c * 16).bitwiseAND(0xffffL))
+    val chunked = fh.select(col("item_id"), col("frame_idx"), col("fhash"),
+        posexplode(array(chunks: _*)))
+      .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
+    val offsets = array((-maxOffset to maxOffset).map(lit): _*)
+    val left = chunked
+      .withColumn("off", explode(offsets))
+      .select((col("frame_idx") + col("off")).as("aligned_idx"),
+        col("off"), col("chunk"), col("chunk_val"),
+        col("item_id").as("id_a"), col("fhash").as("fhash_a"),
+        col("frame_idx").as("frame_a"))
+    val right = chunked.select(col("frame_idx").as("aligned_idx"),
+      col("chunk"), col("chunk_val"),
+      col("item_id").as("id_b"), col("fhash").as("fhash_b"))
+    left.join(right, Seq("aligned_idx", "chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("fhash_a").bitwiseXOR(col("fhash_b"))) <= maxHamming)
+      .select("id_a", "id_b", "off", "frame_a")
+      .dropDuplicates("id_a", "id_b", "off", "frame_a")
+      .groupBy("id_a", "id_b", "off")
+      .agg(count(lit(1)).cast("long").as("m"))
+      // best single offset wins; ties prefer the smallest shift
+      .groupBy("id_a", "id_b")
+      .agg(max(struct(col("m"), (-abs(col("off"))).as("negshift"), col("off"))).as("best"))
+      .select(col("id_a"), col("id_b"),
+        col("best.m").as("matched_frames"), col("best.off").as("offset"))
+      .filter(col("matched_frames") >= minMatchingFrames)
+  }
 }
 
 /** Deterministic synthetic PNG fixtures for the image-dedup gate
@@ -695,7 +751,13 @@ object AudioFixtures {
   * Hamming ≤ 2 by construction ⇒ all 8 aligned frames match); different
   * seeds give far-apart frames everywhere. */
 object VideoFixtures {
-  def syntheticGif(seed: Int, perturbed: Boolean, frames: Int = 8): Array[Byte] = {
+  /** `startFrame` renders content frames [startFrame, startFrame+frames)
+    * — startFrame=1 is the SAME clip trimmed by one leading frame, the
+    * temporal-shift probe for [[MultimodalOps.videoNearDupPairsShifted]]
+    * (aligned voting sees different content at every index; offset −1
+    * re-aligns all shared frames). */
+  def syntheticGif(seed: Int, perturbed: Boolean, frames: Int = 8,
+      startFrame: Int = 0): Array[Byte] = {
     val baos = new java.io.ByteArrayOutputStream()
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
@@ -712,7 +774,7 @@ object VideoFixtures {
           var x = 0
           while (x < w) {
             var v = (x / 8) * 73856093 ^ (y / 8) * 19349663 ^
-              f * 40503 ^ seed * 83492791
+              (f + startFrame) * 40503 ^ seed * 83492791
             v = (v ^ (v >>> 13)) * 1274126177
             val g0 = (v >>> 8) & 0xff
             val g =

@@ -233,6 +233,45 @@ class MultimodalStreamingSpec extends SparkSpec {
       "unrelated clips must not pair even at the loosest vote")
   }
 
+  test("videoNearDupPairsShifted: a one-frame-trimmed copy re-aligns at offset -1; strict voting misses it; one offset must explain the match") {
+    import graft.ops.VideoFixtures.syntheticGif
+    val rows = (0 until 6).map(i => (i.toLong, syntheticGif(i, perturbed = false))) ++
+      (0 until 6).map(i => (i.toLong + 10,
+        syntheticGif(i, perturbed = false, startFrame = 1))) ++ // trimmed copies
+      Seq((20L, syntheticGif(99, perturbed = false)))           // unrelated
+    val df = rows.toDF("clip_id", "content").repartition(3).localCheckpoint()
+    // the strict aligned-index voter sees different content at every
+    // index of a trimmed pair — zero pairs
+    assert(MultimodalOps.videoNearDupPairs(df, "clip_id", "content",
+      maxHamming = 3, minMatchingFrames = 5).isEmpty,
+      "strict voting must NOT find trimmed copies (that's the hole being closed)")
+    val shifted = MultimodalOps.videoNearDupPairsShifted(df, "clip_id", "content",
+      maxHamming = 3, minMatchingFrames = 5, maxOffset = 2)
+      .select("id_a", "id_b", "matched_frames", "offset")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(shifted.map(p => (p._1, p._2)).toSet ===
+      (0L until 6L).map(i => (i, i + 10)).toSet,
+      s"expected exactly the 6 trimmed pairs, got ${shifted.toSeq}")
+    assert(shifted.forall(p => p._3 === 7L && p._4 === -1),
+      s"every pair must align 7 shared frames at offset -1, got ${shifted.toSeq}")
+    // shift past the tolerance refuses: a 3-frame trim at maxOffset=2
+    val far = Seq((0L, syntheticGif(7, perturbed = false)),
+      (1L, syntheticGif(7, perturbed = false, startFrame = 3)))
+      .toDF("clip_id", "content")
+    assert(MultimodalOps.videoNearDupPairsShifted(far, "clip_id", "content",
+      maxHamming = 3, minMatchingFrames = 5, maxOffset = 2).isEmpty,
+      "a trim beyond maxOffset must refuse")
+    // the perturbed variant still pairs at offset 0 through the shifted voter
+    val mixed = Seq((0L, syntheticGif(3, perturbed = false)),
+      (1L, syntheticGif(3, perturbed = true)))
+      .toDF("clip_id", "content")
+    val atZero = MultimodalOps.videoNearDupPairsShifted(mixed, "clip_id", "content",
+      maxHamming = 3, minMatchingFrames = 5, maxOffset = 2)
+      .select("matched_frames", "offset").as[(Long, Int)].collect()
+    assert(atZero.toSeq === Seq((8L, 0)),
+      s"an untrimmed variant must win at offset 0 with all 8 frames, got ${atZero.toSeq}")
+  }
+
   test("perceptualHash stub arm on non-image bytes equals the SQL md5-prefix formula") {
     val docs = Seq((1L, "hello world"), (2L, "spark engine"), (3L, ""))
       .toDF("doc_id", "t")
