@@ -1677,6 +1677,53 @@ object SparkEntry {
       } finally graft.plans.MartRewrite.deregister(fact)
     }),
 
+    "mv7_rewrite_join" -> ((s, dir) => {
+      // JOIN-mart routing (the lake23 delta-join mart made transparent):
+      // an INNER equi-join of the two registered facts — the exact
+      // shape maintainJoinMart maintains — re-plans onto the mart that
+      // stores the full joined row, so an aggregate ABOVE the join
+      // reads O(mart) instead of re-joining O(A)+O(B). Maintained
+      // incrementally across an append window via ONE
+      // maintainJoinAndReregister call (delta-join algebra + both
+      // cursors + re-registration). Pins: the join-agg scans the mart
+      // and neither fact; a different key pair stays un-rewritten; the
+      // served aggregate equals the from-scratch join-agg truth.
+      val a = java.nio.file.Files.createTempDirectory("mv7_a").toString
+      val b = java.nio.file.Files.createTempDirectory("mv7_b").toString
+      val mart = java.nio.file.Files.createTempDirectory("mv7_mart").toString
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val MT = graft.sources.ManifestTable
+      MT.create(s, a, orders.filter(col("o_orderstatus") === "F"))
+      MT.create(s, b, customer)
+      graft.ops.LakeOps.maintainJoinAndReregister(s, a, b, mart, "o_custkey", "c_custkey")
+      MT.append(s, a, orders.filter(col("o_orderstatus") =!= "F"))
+      graft.ops.LakeOps.maintainJoinAndReregister(s, a, b, mart, "o_custkey", "c_custkey")
+      try {
+        def leafStrings(df: org.apache.spark.sql.DataFrame) =
+          df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+        val martName = new java.io.File(mart).getName
+        val q = MT.read(s, a)
+          .join(MT.read(s, b), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+        val servedFromMart = leafStrings(q).exists(_.contains(martName)) &&
+          !leafStrings(q).exists(l => l.contains(new java.io.File(a).getName) ||
+            l.contains(new java.io.File(b).getName))
+        val control = MT.read(s, a)
+          .join(MT.read(s, b), col("o_custkey") === col("c_nationkey"))
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        val controlUntouched = !leafStrings(control).exists(_.contains(martName))
+        q.select(lit(servedFromMart).as("join_from_mart"),
+          lit(controlUntouched).as("other_key_unrewritten"),
+          col("c_mktsegment"), col("n_orders"), col("total_price"))
+          .localCheckpoint() // pin the rows before deregistration
+      } finally {
+        graft.plans.MartRewrite.deregister(a)
+        graft.plans.MartRewrite.deregister(b)
+      }
+    }),
+
     "lake11_incr_agg" -> ((s, dir) => {
       // incremental view maintenance over the CDF: the agg mart
       // bootstraps on the F slice, then two appends are folded in by
@@ -7925,6 +7972,16 @@ object SparkEntry {
          |       ${graft.ops.ExactSums.davgSql("o_totalprice")} AS avg_price
          |FROM orders WHERE o_orderstatus IN ('F', 'O')
          |GROUP BY o_orderstatus""").stripMargin,
+
+    "mv7_rewrite_join" -> // the mart-served join-agg must equal the
+      // from-scratch orders⋈customer aggregate over the WHOLE fact
+      // (both slices maintained in); routing probes pinned in-engine
+      (s"""SELECT TRUE AS join_from_mart, TRUE AS other_key_unrewritten,
+         |       c_mktsegment,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment""").stripMargin,
 
     "lake11_incr_agg" -> // the maintained mart must equal the
       // from-scratch aggregate; per-step delta sizes pin that each pass

@@ -695,6 +695,26 @@ object LakeOps {
     * the sources clustered on their join keys the dA leg prunes B's
     * files by dA's key range, never O(A ⋈ B). Returns
     * (consumedA, consumedB, deltaRowsAppended). */
+  /** [[maintainAndReregister]] for the JOIN mart: advance the
+    * incrementally-maintained A ⋈ B mart AND its
+    * [[graft.plans.MartRewrite.registerJoin]] registration in one call —
+    * the same lifecycle coupling, here over TWO sources (both cursors
+    * advance atomically with the mart; the registration re-snapshots
+    * both file sets; `maxVersionLag` bounds staleness on both). */
+  def maintainJoinAndReregister(
+      spark: org.apache.spark.sql.SparkSession,
+      aRoot: String,
+      bRoot: String,
+      martRoot: String,
+      aKeyCol: String,
+      bKeyCol: String,
+      maxVersionLag: Long = Long.MaxValue): (Long, Long, Long) = {
+    val r = maintainJoinMart(spark, aRoot, bRoot, martRoot, aKeyCol, bKeyCol)
+    graft.plans.MartRewrite.registerJoin(
+      spark, aRoot, bRoot, aKeyCol, bKeyCol, martRoot, maxVersionLag)
+    r
+  }
+
   def maintainJoinMart(
       spark: org.apache.spark.sql.SparkSession,
       aRoot: String,

@@ -5,9 +5,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Divide, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Divide, EqualTo, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -132,10 +133,15 @@ object MartRewrite extends Rule[LogicalPlan] {
         spark.experimental.extraOptimizations :+ MartRewrite
   }
 
-  /** Drop every registration for `factRoot` (tests; decommissioned marts). */
+  /** Drop every registration for `factRoot` (tests; decommissioned
+    * marts) — aggregate registrations keyed on it and join
+    * registrations naming it on either side. */
   def deregister(factRoot: String): Unit = {
     val gone = regs.keySet().asScala.filter(_._1 == factRoot).toSeq
     gone.foreach(regs.remove)
+    val goneJ = joinRegs.keySet().asScala
+      .filter(k => k._1 == factRoot || k._2 == factRoot).toSeq
+    goneJ.foreach(joinRegs.remove)
     ()
   }
 
@@ -252,9 +258,123 @@ object MartRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  // ---------------- join-mart rewrite (lake23's A ⋈ B) ------------------
+
+  private final case class JoinReg(
+      aRoot: String, bRoot: String,
+      aFiles: Set[String], bFiles: Set[String],
+      aVersion: Long, bVersion: Long,
+      maxVersionLag: Long,
+      aKeyCol: String, bKeyCol: String,
+      martPlan: LogicalPlan)
+
+  private val joinRegs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), JoinReg]()
+
+  /** Route future INNER equi-joins of `aRoot` and `bRoot` on
+    * (aKeyCol = bKeyCol) — the exact shape
+    * [[graft.ops.LakeOps.maintainJoinMart]] maintains — to the mart at
+    * `martRoot`, which stores the full joined row. The same soundness
+    * contract as the aggregate registrations: both scans must cover
+    * their registered file sets (superset-proven identity, so
+    * time-travel and pruned-subset scans refuse), deterministic filters
+    * on either side push onto the mart verbatim (every joined column is
+    * stored), and `maxVersionLag` bounds staleness on BOTH sources.
+    * Column names across the two tables must be distinct (the joined
+    * mart's schema — checked here). Re-register after each maintenance
+    * cycle, or call [[graft.ops.LakeOps.maintainJoinAndReregister]]. */
+  def registerJoin(spark: SparkSession, aRoot: String, bRoot: String,
+      aKeyCol: String, bKeyCol: String, martRoot: String,
+      maxVersionLag: Long = Long.MaxValue): Unit = {
+    val martPlan = GraftSqlBridge.analyzed(
+      graft.sources.ManifestTable.read(spark, martRoot))
+    val martNames = martPlan.output.map(_.name)
+    require(martNames.distinct.size == martNames.size,
+      s"$martRoot has duplicate column names — a join mart needs distinct names across both sides")
+    require(Seq(aKeyCol, bKeyCol).forall(martNames.contains),
+      s"$martRoot does not store both join keys ($aKeyCol, $bKeyCol)")
+    def snap(root: String): (Set[String], Long) = {
+      val vs = graft.sources.ManifestTable.versions(spark, root)
+      require(vs.nonEmpty, s"$root is not a manifest table")
+      (graft.sources.ManifestTable.manifestFiles(spark, root, vs.max)
+        .map(p => normalize(if (p.startsWith("/")) p else s"$root/$p")).toSet, vs.max)
+    }
+    val (aF, aV) = snap(aRoot)
+    val (bF, bV) = snap(bRoot)
+    joinRegs.put((aRoot, bRoot, s"$aKeyCol=$bKeyCol"),
+      JoinReg(aRoot, bRoot, aF, bF, aV, bV, maxVersionLag, aKeyCol, bKeyCol, martPlan))
+    if (!spark.experimental.extraOptimizations.contains(MartRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MartRewrite
+  }
+
+  /** One side of a candidate join: a single full-table scan under
+    * attribute-only Projects and deterministic Filters. */
+  private def sideOf(plan: LogicalPlan): Option[(Set[String], Option[Expression])] = plan match {
+    case p: Project if p.projectList.forall(_.isInstanceOf[Attribute]) => sideOf(p.child)
+    case f: Filter if f.condition.deterministic =>
+      sideOf(f.child).map { case (files, cond) =>
+        (files, Some(cond.map(And(f.condition, _)).getOrElse(f.condition)))
+      }
+    case lr: LogicalRelation => lr.relation match {
+      case fsr: HadoopFsRelation =>
+        Some((fsr.location.inputFiles.map(normalize).toSet, None))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def joinWithinStaleness(r: JoinReg): Boolean =
+    r.maxVersionLag == Long.MaxValue || {
+      try {
+        def tip(root: String): Long =
+          graft.sources.ManifestTable.versions(SparkSession.active, root).max
+        tip(r.aRoot) - r.aVersion <= r.maxVersionLag &&
+          tip(r.bRoot) - r.bVersion <= r.maxVersionLag
+      } catch { case scala.util.control.NonFatal(_) => false }
+    }
+
+  /** Re-plan a provable `A ⋈ B` onto the registered join mart: both
+    * sides' scans must be SUPERSETS of their registered file sets, the
+    * condition must be the registered equi-key pair, every output
+    * column must be stored in the mart, and side filters re-attach
+    * above the mart read. */
+  private def joinRewrite(j: Join): Option[LogicalPlan] = {
+    if (joinRegs.isEmpty || j.joinType != Inner) return None
+    val condKeys = j.condition match {
+      case Some(EqualTo(a: AttributeReference, b: AttributeReference)) =>
+        Some(Set(a.name, b.name))
+      case _ => None
+    }
+    if (condKeys.isEmpty) return None
+    for {
+      (lFiles, lCond) <- sideOf(j.left)
+      (rFiles, rCond) <- sideOf(j.right)
+      reg <- joinRegs.values().asScala.find(r =>
+        condKeys.contains(Set(r.aKeyCol, r.bKeyCol)) &&
+          r.aFiles.nonEmpty && r.bFiles.nonEmpty &&
+          ((r.aFiles.subsetOf(lFiles) && r.bFiles.subsetOf(rFiles)) ||
+            (r.aFiles.subsetOf(rFiles) && r.bFiles.subsetOf(lFiles))) &&
+          joinWithinStaleness(r))
+      martCols = reg.martPlan.output.map(a => a.name -> a).toMap
+      if j.output.forall(a => martCols.contains(a.name))
+    } yield {
+      val filters = Seq(lCond, rCond).flatten
+      val base = filters.reduceOption(And) match {
+        case Some(c) => Filter(c.transform {
+          case a: AttributeReference if martCols.contains(a.name) => martCols(a.name)
+        }, reg.martPlan)
+        case None => reg.martPlan
+      }
+      Project(
+        j.output.map(a => Alias(martCols(a.name), a.name)(exprId = a.exprId)), base)
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (regs.isEmpty) return plan
+    if (regs.isEmpty && joinRegs.isEmpty) return plan
     plan.transform {
+      case j: Join => joinRewrite(j).getOrElse(j)
       case agg @ Aggregate(grouping, aggExprs, child, _)
           if grouping.nonEmpty && grouping.forall(_.isInstanceOf[AttributeReference]) =>
         val gs = grouping.map(_.asInstanceOf[AttributeReference])

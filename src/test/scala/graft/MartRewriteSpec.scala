@@ -313,6 +313,57 @@ class MartRewriteSpec extends SparkSpec {
     } finally MartRewrite.deregister(fact)
   }
 
+  test("join-mart rewrite: a provable A⋈B re-plans onto the maintained join mart; filters ride; wrong shapes refuse") {
+    val a = freshRoot("mv_ja")
+    val b = freshRoot("mv_jb")
+    val mart = freshRoot("mv_jm")
+    val customer = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+    ManifestTable.create(spark, a, orders.filter(col("o_orderstatus") === "F"))
+    ManifestTable.create(spark, b, customer)
+    LakeOps.maintainJoinAndReregister(spark, a, b, mart, "o_custkey", "c_custkey")
+    try {
+      val martName = new java.io.File(mart).getName
+      def onMart(df: org.apache.spark.sql.DataFrame): Boolean =
+        scansUnder(df).exists(_.contains(martName))
+      def joined = ManifestTable.read(spark, a)
+        .join(ManifestTable.read(spark, b), col("o_custkey") === col("c_custkey"))
+      assert(onMart(joined), s"the registered join must re-plan:\n${joined.queryExecution.executedPlan}")
+      assert(!scansUnder(joined).exists(s =>
+        s.contains(new java.io.File(a).getName) || s.contains(new java.io.File(b).getName)),
+        "neither fact table may be scanned")
+      val direct = orders.filter(col("o_orderstatus") === "F")
+        .join(customer, col("o_custkey") === col("c_custkey"))
+      assert(joined.exceptAll(direct).isEmpty && direct.exceptAll(joined).isEmpty,
+        "mart-served join must equal the from-scratch join")
+      // deterministic side filters push onto the mart (all columns stored)
+      val filtered = ManifestTable.read(spark, a).filter(col("o_totalprice") > 1000.0)
+        .join(ManifestTable.read(spark, b).filter(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+      assert(onMart(filtered), "side filters must ride the rewrite")
+      val filteredDirect = direct.filter(col("o_totalprice") > 1000.0 &&
+        col("c_mktsegment") === "BUILDING")
+      assert(filtered.exceptAll(filteredDirect).isEmpty &&
+        filteredDirect.exceptAll(filtered).isEmpty)
+      // an aggregate ABOVE the join rides too (the join child rewrites)
+      val agg = joined.groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      assert(onMart(agg), "aggregates above the registered join must ride")
+      // wrong shapes refuse: different condition, outer join
+      assert(!onMart(ManifestTable.read(spark, a).join(ManifestTable.read(spark, b),
+        col("o_custkey") === col("c_nationkey"))), "a different key pair must refuse")
+      assert(!onMart(ManifestTable.read(spark, a).join(ManifestTable.read(spark, b),
+        col("o_custkey") === col("c_custkey"), "left")), "an outer join must refuse")
+      // incremental lifecycle: append to A, ONE maintain call, fresh again
+      ManifestTable.append(spark, a, orders.filter(col("o_orderstatus") === "O"))
+      LakeOps.maintainJoinAndReregister(spark, a, b, mart, "o_custkey", "c_custkey")
+      val q2 = joined
+      assert(onMart(q2))
+      val direct2 = orders.filter(col("o_orderstatus").isin("F", "O"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+      assert(q2.exceptAll(direct2).isEmpty && direct2.exceptAll(q2).isEmpty,
+        "the maintained join mart must serve the fresh join")
+    } finally { MartRewrite.deregister(a); MartRewrite.deregister(b) }
+  }
+
   test("maintainAndReregister kind=minmax bootstraps, routes min/max, and stays fresh through a maintained delete") {
     val fact = freshRoot("mv_fact5")
     val mart = freshRoot("mv_mart5")
