@@ -2585,6 +2585,19 @@ object SparkEntry {
         approx_count_distinct("l_partkey").as("approx_parts"),
         countDistinct("l_partkey").as("exact_parts"))),
 
+    "agg11_bottomk_quantiles" -> ((s, dir) =>
+      // the DETERMINISTIC quantile sketch, completing the family gate
+      // (agg8's approx_percentile is engine-specific, rows-only):
+      // bottom-k Knuth-hash sampling — a true mergeable sketch,
+      // bottomK(A∪B) = bottomK(bottomK(A)∪bottomK(B)), computed by the
+      // bounded graft_topk heap so each task ships ≤k (hash, id) pairs
+      // per group — then exact rank quantiles OF THE SAMPLE under the
+      // total order (value, id). Every output replays bit-exactly in
+      // DuckDB from the raw rows; error is the standard O(1/√k)
+      graft.ops.SketchOps.bottomKQuantiles(
+        t(s, dir, "orders"), Seq("o_orderstatus"), "o_orderkey",
+        "o_totalprice", k = 128, qs = Seq(0.25, 0.5, 0.75, 0.95))),
+
     "e4_sliding_window" -> ((s, dir) =>
       // 1h windows sliding every 30min: window() explodes each event into
       // its two containing windows — flattened to window_start
@@ -6088,6 +6101,32 @@ object SparkEntry {
     // agg9: the replayable HLL — bucket/rho from md5 hex text, register
     // maxes, then linear counting (any empty register) or the α₆₄
     // rational-constant estimate as one HUGEINT division
+    "agg11_bottomk_quantiles" -> // the bottom-k sample and its rank
+      // quantiles re-derived from the raw rows: same Knuth hash, same
+      // (hash, id) selection order, same (value, id) rank order, same
+      // ceil(q·n) rank — bit-exact replay of the whole sketch
+      ("""WITH h AS (
+         |  SELECT o_orderstatus, o_orderkey AS id, CAST(o_totalprice AS DOUBLE) AS v,
+         |         ((o_orderkey % 2147483648) * 2654435761) % 4294967296 AS hh
+         |  FROM orders
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY o_orderstatus ORDER BY hh, id) AS rk FROM h
+         |), s AS (
+         |  SELECT o_orderstatus, v, id FROM r WHERE rk <= 128
+         |), o AS (
+         |  SELECT o_orderstatus, v,
+         |         row_number() OVER (PARTITION BY o_orderstatus ORDER BY v, id) AS vr,
+         |         count(*) OVER (PARTITION BY o_orderstatus) AS n
+         |  FROM s
+         |)
+         |SELECT o_orderstatus,
+         |       CAST(max(n) AS BIGINT) AS sample_n,
+         |       max(CASE WHEN vr = CAST(ceil(CAST(0.25 AS DOUBLE) * n) AS BIGINT) THEN v END) AS p25,
+         |       max(CASE WHEN vr = CAST(ceil(CAST(0.50 AS DOUBLE) * n) AS BIGINT) THEN v END) AS p50,
+         |       max(CASE WHEN vr = CAST(ceil(CAST(0.75 AS DOUBLE) * n) AS BIGINT) THEN v END) AS p75,
+         |       max(CASE WHEN vr = CAST(ceil(CAST(0.95 AS DOUBLE) * n) AS BIGINT) THEN v END) AS p95
+         |FROM o GROUP BY o_orderstatus""").stripMargin,
+
     "agg9_hll_replay" ->
       s"""WITH b AS (
          |  SELECT l_returnflag AS flag,

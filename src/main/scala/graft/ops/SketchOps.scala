@@ -141,6 +141,53 @@ object SketchOps {
     all.groupBy((groupCols :+ "r" :+ "bucket").map(col): _*).agg(sum(col("c")).as("c"))
   }
 
+  // ----------------------------------------------- bottom-k quantiles
+
+  /** Mergeable BOTTOM-K quantile sketch — the DETERMINISTIC member of
+    * the quantile family (agg8 pins Spark's approx_percentile by error
+    * bound only; its sketch is engine-specific): per group keep the k
+    * rows whose Knuth hash of the row-identity column is SMALLEST, then
+    * report exact rank quantiles OF THE KEPT SAMPLE. The hash order is
+    * pseudo-random but fixed, so the kept set is a uniform sample AND a
+    * true mergeable sketch — bottomK(A ∪ B) = bottomK(bottomK(A) ∪
+    * bottomK(B)), associative/commutative/idempotent (the Theta-sketch
+    * sampling core), which is exactly what the bounded `graft_topk`
+    * heap computes map-side. Quantile q = the sample value at rank
+    * ⌈q·n⌉ under the total order (value, id) — no interpolation — so
+    * any engine replays the estimate bit-for-bit from the raw rows.
+    *
+    * Standard sample-quantile error: |F(est) − q| = O(1/√k) whp.
+    *
+    * At 100 TB: selection ships ≤k (hash, id) pairs per group per task
+    * (no sort, no Window); the sampled ids (groups·k rows) broadcast
+    * back for one semi join; the final per-group sort is over ≤k
+    * values. `idCol` must be row-unique and non-negative (the sample
+    * identity); `qs` in (0, 1]. */
+  def bottomKQuantiles(df: DataFrame, groupCols: Seq[String], idCol: String,
+      valueCol: String, k: Int, qs: Seq[Double]): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "qs must lie in (0, 1]")
+    graft.functions.NativeExpressions.register(df.sparkSession)
+    val picked = df
+      .withColumn("__negh", negate(SampleOps.knuth32(col(idCol)).cast("double")))
+      .groupBy(groupCols.map(col): _*)
+      .agg(expr(s"graft_topk(__negh, `$idCol`, $k)").as("__top"))
+    val ids = picked.select(explode(col("__top.payload")).as("__sid"))
+    val sample = df
+      .select(groupCols.map(col) :+ col(idCol).cast("long").as("__sid") :+
+        col(valueCol).cast("double").as("__v"): _*)
+      .join(broadcast(ids), Seq("__sid"), "left_semi")
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("__v"), col("__sid")))).as("__vs"))
+    val qCols = qs.map { q =>
+      val name = "p" + math.round(q * 100)
+      element_at(col("__vs"), ceil(lit(q) * size(col("__vs"))).cast("int"))
+        .getField("__v").as(name)
+    }
+    sample.select(groupCols.map(col) ++
+      (size(col("__vs")).cast("long").as("sample_n") +: qCols): _*)
+  }
+
   /** Point-query the sketch: est(v) = min over rows of that row's
     * counter — never an undercount, over by at most the collisions the
     * (d, w) bound prices. `probes` supplies one row per queried value;

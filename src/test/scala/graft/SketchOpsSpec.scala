@@ -100,6 +100,45 @@ class SketchOpsSpec extends SparkSpec {
       s"sketch exceeded d*w cells: ${one.size}")
   }
 
+  test("bottom-k quantiles: partition-invariant (the merge law), exact when k covers the group, monotone, O(1/sqrt k) accurate") {
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    def sketch(df: org.apache.spark.sql.DataFrame, k: Int) =
+      SketchOps.bottomKQuantiles(df, Seq("o_orderstatus"), "o_orderkey",
+        "o_totalprice", k, Seq(0.25, 0.5, 0.75, 0.95))
+    // the merge law, exercised through partial aggregation: ANY
+    // partitioning of the input yields the identical sample and so the
+    // identical quantiles (bottom-k is associative/commutative)
+    val one = sketch(orders.repartition(1), 128).collect().map(_.toSeq).toSet
+    val many = sketch(orders.repartition(13), 128).collect().map(_.toSeq).toSet
+    assert(one === many, "bottom-k must be partition-invariant (mergeable)")
+    // k >= group size: the sample IS the group — rank quantiles exact
+    val g = orders.filter(col("o_orderstatus") === "P")
+    val n = g.count().toInt
+    val exact = g.select(col("o_totalprice").cast("double"), col("o_orderkey"))
+      .as[(Double, Long)].collect().sortBy(identity)
+    val full = sketch(g, n + 10).head()
+    assert(full.getAs[Long]("sample_n") === n.toLong)
+    Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95").foreach {
+      case (q, c) =>
+        val want = exact(math.ceil(q * n).toInt - 1)._1
+        assert(full.getAs[Double](c) === want, s"$c must be the exact rank quantile")
+    }
+    // monotone estimates and O(1/sqrt k) rank accuracy at k=128: the
+    // estimated median's true rank within ~3/sqrt(128) of 0.5
+    val est = sketch(orders, 128).collect()
+    est.foreach { r =>
+      assert(r.getAs[Double]("p25") <= r.getAs[Double]("p50") &&
+        r.getAs[Double]("p50") <= r.getAs[Double]("p75") &&
+        r.getAs[Double]("p75") <= r.getAs[Double]("p95"), s"quantiles must be monotone: $r")
+    }
+    val medF = est.find(_.getString(0) == "F").get.getAs[Double]("p50")
+    val fVals = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_totalprice").cast("double")).as[Double].collect()
+    val trueRank = fVals.count(_ <= medF).toDouble / fVals.length
+    assert(math.abs(trueRank - 0.5) < 3.0 / math.sqrt(128),
+      s"estimated median's true rank $trueRank must be near 0.5")
+  }
+
   test("NULL values are ignored; empty input yields no rows") {
     val df = Seq(Some(1L), None, Some(2L), None).map(("g", _)).toDF("g", "v")
     val regs = SketchOps.hllRegisters(df, Seq("g"), "v")
