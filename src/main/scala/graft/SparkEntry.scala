@@ -4016,6 +4016,54 @@ object SparkEntry {
           col("vmin").as("min_price"), col("vmax").as("max_price"))
     }),
 
+    "lake33_join_ivm_total" -> ((s, dir) => {
+      // JOIN-mart IVM that SURVIVES non-append sources: the A ⋈ B mart
+      // maintained through the TOTAL change feed across a window holding
+      // an append, a MOR delete, and a MERGE upsert on fact A plus a MOR
+      // delete on fact B — exactly where lake23's append-only delta-join
+      // maintainer must full-refresh. The rule is the semi-join-
+      // restricted recompute: affected join keys (either side, either
+      // sign) retract and re-derive from the tips in ONE atomic
+      // applyChangesMor commit carrying both cursors as txn keys (so an
+      // OPTIMIZE on the mart can never lose the maintainer's position).
+      // Pins: maintained mart == from-scratch join bit-exactly AND a
+      // crash-replay maintenance call is a no-op.
+      val a = java.nio.file.Files.createTempDirectory("lake33_a").toString
+      val b = java.nio.file.Files.createTempDirectory("lake33_b").toString
+      val mart = java.nio.file.Files.createTempDirectory("lake33_mart").toString
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val MT = graft.sources.ManifestTable
+      MT.create(s, a, orders.filter(col("o_orderstatus") === "F"))
+      MT.enableRowTracking(s, a) // the MERGE window needs row identity
+      MT.create(s, b, customer)
+      def maintain() = graft.ops.LakeOps.maintainJoinMartTotal(
+        s, a, b, mart, "o_custkey", "c_custkey")
+      maintain() // bootstrap at (v1, v1)
+      MT.append(s, a, orders.filter(col("o_orderstatus") === "O"))
+      MT.deleteMor(s, a, pmod(col("o_custkey"), lit(7)) === 0)
+      val updates = orders.filter(col("o_orderstatus") === "F")
+        .filter(pmod(col("o_custkey"), lit(7)) =!= 0 &&
+          pmod(col("o_orderkey"), lit(10)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      MT.merge(s, a, updates, "o_orderkey")
+      MT.deleteMor(s, b, col("c_mktsegment") === "BUILDING")
+      val (ca, cb, _) = maintain()
+      val vBefore = MT.versions(s, mart).max
+      val replayNoop = maintain() == ((ca, cb, 0L)) &&
+        MT.versions(s, mart).max == vBefore
+      val scratch = MT.read(s, a)
+        .join(MT.read(s, b), col("o_custkey") === col("c_custkey"))
+      val m = MT.read(s, mart)
+      val matches = m.exceptAll(scratch).isEmpty && scratch.exceptAll(m).isEmpty
+      m.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total_price"))
+        .select(lit(matches).as("matches_rebuild"),
+          lit(replayNoop).as("replay_noop"),
+          col("c_mktsegment"), col("n_rows").cast("long").as("n_rows"),
+          col("total_price"))
+    }),
+
     "lake31_log_tiering" -> ((s, dir) => {
       // the TIERED manifest log (Delta checkpoints + delta actions;
       // Iceberg manifest-list → manifests): a snapshot per commit is
@@ -6631,6 +6679,27 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n_orders,
          |       min(p) AS min_price, max(p) AS max_price
          |FROM fin GROUP BY o_orderstatus""").stripMargin,
+
+    "lake33_join_ivm_total" -> // the maintained join mart = join of the
+      // FINAL fact states: A = (F ∪ O orders) minus the custkey%7 MOR
+      // deletes, F rows repriced (+1000) at orderkey%10; B = customers
+      // outside BUILDING. Rebuild-equality and replay-no-op pinned
+      // in-engine; the oracle replays the final join aggregate.
+      (s"""WITH a AS (
+         |  SELECT o_custkey,
+         |         CASE WHEN o_orderstatus = 'F' AND o_orderkey % 10 = 0
+         |              THEN o_totalprice + 1000.0 ELSE o_totalprice END AS v
+         |  FROM orders
+         |  WHERE o_orderstatus IN ('F', 'O') AND o_custkey % 7 <> 0
+         |), b AS (
+         |  SELECT c_custkey, c_mktsegment FROM customer
+         |  WHERE c_mktsegment <> 'BUILDING'
+         |)
+         |SELECT TRUE AS matches_rebuild, TRUE AS replay_noop,
+         |       c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+         |       ${dsumSql("v")} AS total_price
+         |FROM a JOIN b ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment""").stripMargin,
 
     "lake31_log_tiering" -> // storage form and vacuum materialization
       // pinned in-engine; the oracle re-derives the time-travel prefix

@@ -759,4 +759,134 @@ object LakeOps {
       }
     }
   }
+
+  /** Both-cursor txn keys of a TOTAL-feed join mart: `txn-` prefixed so
+    * [[graft.sources.ManifestTable.metaWithTxnCarry]] carries them
+    * max-wins through EVERY subsequent commit — an OPTIMIZE on the mart
+    * can never lose the maintainer's position (the plain
+    * [[maintainJoinMart]] cursors, ordinary meta, would be dropped). */
+  private def joinTotalCursorA(writerId: String) = s"txn-$writerId-cursor-a"
+  private def joinTotalCursorB(writerId: String) = s"txn-$writerId-cursor-b"
+
+  /** [[maintainJoinMart]] through NON-APPEND source histories: MOR
+    * deletes, MERGE upserts, and id-preserving rewrites on EITHER fact
+    * maintain the `A ⋈ B` mart incrementally instead of forcing the
+    * full refresh `readChangesSince` would demand — the
+    * [[maintainAggMartTotal]] treatment applied to the join.
+    *
+    * The rule is the semi-join-restricted recompute (the same shape
+    * [[maintainMinMaxMart]] uses for its non-invertible groups), which
+    * subsumes the signed two-leg delta-join identity without needing
+    * position-exact retraction of duplicate joined rows:
+    *
+    *  1. affected = distinct join keys in dA ∪ dB (either side, either
+    *     sign), from the row-tracked feed when the source has rewrites
+    *     in the window, else the positional delete-aware feed;
+    *  2. fresh truth for those keys = (A_tip ⋉ affected) ⋈
+    *     (B_tip ⋉ affected) — both sides pruned by the semi join (with
+    *     key-clustered facts the stats prune makes this O(affected));
+    *  3. ONE atomic [[graft.sources.ManifestTable.applyChangesMor]] on
+    *     the mart: retract every mart row whose key is affected (a MOR
+    *     delete — no mart file rewritten), insert the fresh rows, and
+    *     advance both cursors + the replay watermark in the same
+    *     publish. The batchId encodes (aNew, bNew) as a strictly
+    *     increasing scalar, so a crash replay is the standard
+    *     exactly-once no-op.
+    *
+    * Cost: O(|dA| + |dB| + affected-key join work + affected mart
+    * positions) — never O(A ⋈ B). Returns (consumedA, consumedB,
+    * freshRowsInserted). */
+  def maintainJoinMartTotal(
+      spark: org.apache.spark.sql.SparkSession,
+      aRoot: String,
+      bRoot: String,
+      martRoot: String,
+      aKeyCol: String,
+      bKeyCol: String,
+      writerId: String = "joinmart-total"): (Long, Long, Long) = {
+    import graft.sources.ManifestTable
+    def tipOf(root: String): Long = {
+      val vs = ManifestTable.versions(spark, root)
+      require(vs.nonEmpty, s"$root is not a manifest table")
+      vs.max
+    }
+    val aTip = tipOf(aRoot)
+    val bTip = tipOf(bRoot)
+    val (ckA, ckB) = (joinTotalCursorA(writerId), joinTotalCursorB(writerId))
+    def joined(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col(aKeyCol) === col(bKeyCol))
+    val martVs = ManifestTable.versions(spark, martRoot)
+    if (martVs.isEmpty) {
+      val mart = joined(ManifestTable.read(spark, aRoot, Some(aTip)),
+        ManifestTable.read(spark, bRoot, Some(bTip)))
+      val n = mart.count()
+      ManifestTable.create(spark, martRoot, mart,
+        meta = Map(ckA -> aTip.toString, ckB -> bTip.toString))
+      (aTip, bTip, n)
+    } else {
+      val meta = ManifestTable.manifestMeta(spark, martRoot, martVs.max)
+      def cursor(k: String): Long = meta.getOrElse(k, throw new IllegalStateException(
+        s"$martRoot has no $k metadata — not a total-feed join mart")).toLong
+      val curA = cursor(ckA)
+      val curB = cursor(ckB)
+      if (curA == aTip && curB == bTip) return (aTip, bTip, 0L) // caught up
+      def feedOf(root: String, cur: Long, tip: Long): DataFrame = {
+        if (cur == tip) return null // no window on this side
+        val tracked = ManifestTable.rowTrackingEnabled(spark, root, cur)
+        val (f, _) =
+          if (tracked) ManifestTable.readChangesRowTracked(spark, root, cur, Some(tip))
+          else ManifestTable.readChangesWithDeletes(spark, root, cur, Some(tip))
+        f
+      }
+      val dA = Option(feedOf(aRoot, curA, aTip))
+      val dB = Option(feedOf(bRoot, curB, bTip))
+      // affected join keys: either side, either sign — recompute beats
+      // signed retraction because a MOR delete of one duplicate joined
+      // row has no positional identity in the mart
+      val keys = (dA.map(_.select(col(aKeyCol).as("__k"))) ++
+          dB.map(_.select(col(bKeyCol).as("__k"))))
+        .reduce(_ unionByName _).distinct().localCheckpoint()
+      val aFresh = ManifestTable.read(spark, aRoot, Some(aTip))
+        .join(keys, col(aKeyCol) === col("__k"), "left_semi")
+      val bFresh = ManifestTable.read(spark, bRoot, Some(bTip))
+        .join(keys, col(bKeyCol) === col("__k"), "left_semi")
+      val fresh = joined(aFresh, bFresh).localCheckpoint()
+      // retraction rows need only the KEY (applyChangesMor deletes bind
+      // by key to pre-batch positions); null-fill the rest of the mart
+      // schema so the feed unions — zero scan of the mart
+      val martSchema = fresh.schema
+      val delFeed = keys.select(martSchema.fields.map(f =>
+        (if (f.name == aKeyCol) col("__k") else lit(null))
+          .cast(f.dataType).as(f.name)): _*)
+      val ct = "_change_type"
+      val feed = delFeed.withColumn(ct, lit("delete"))
+        .unionByName(fresh.withColumn(ct, lit("insert")))
+      // strictly increasing batch scalar: cursors never regress and at
+      // least one advances per maintenance
+      require(bTip < (1L << 21), s"version $bTip overflows the batch encoding")
+      ManifestTable.applyChangesMor(spark, martRoot, feed, aKeyCol,
+        writerId, batchId = (aTip << 21) | bTip,
+        extraMeta = Map(ckA -> aTip.toString, ckB -> bTip.toString))
+      (aTip, bTip, fresh.count())
+    }
+  }
+
+  /** [[maintainJoinAndReregister]] over the TOTAL feed: advance the
+    * MOR-surviving join mart AND its
+    * [[graft.plans.MartRewrite.registerJoin]] registration in one call. */
+  def maintainJoinTotalAndReregister(
+      spark: org.apache.spark.sql.SparkSession,
+      aRoot: String,
+      bRoot: String,
+      martRoot: String,
+      aKeyCol: String,
+      bKeyCol: String,
+      maxVersionLag: Long = Long.MaxValue,
+      writerId: String = "joinmart-total"): (Long, Long, Long) = {
+    val r = maintainJoinMartTotal(spark, aRoot, bRoot, martRoot,
+      aKeyCol, bKeyCol, writerId)
+    graft.plans.MartRewrite.registerJoin(
+      spark, aRoot, bRoot, aKeyCol, bKeyCol, martRoot, maxVersionLag)
+    r
+  }
 }

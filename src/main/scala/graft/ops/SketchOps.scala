@@ -159,28 +159,56 @@ object SketchOps {
     * Standard sample-quantile error: |F(est) − q| = O(1/√k) whp.
     *
     * At 100 TB: selection ships ≤k (hash, id) pairs per group per task
-    * (no sort, no Window); the sampled ids (groups·k rows) broadcast
-    * back for one semi join; the final per-group sort is over ≤k
-    * values. `idCol` must be row-unique and non-negative (the sample
-    * identity); `qs` in (0, 1]. */
+    * (no sort, no Window); the sampled ids (groups·k rows) come back
+    * through one UN-HINTED semi join — AQE broadcasts it when the
+    * observed size is small and shuffles it when group cardinality
+    * makes it large; the final per-group sort is over ≤k values.
+    * `idCol` must be row-unique, non-null, and non-negative (the sample
+    * identity — non-null/non-negative enforced per row at hash time;
+    * uniqueness is the caller's contract); `qs` in (0, 1]. */
+  /** Output column name for quantile q: whole percents keep the familiar
+    * "p95" shape; fractional percents carry the full q ("p99_6") so e.g.
+    * qs = Seq(0.996, 1.0) can never collide into duplicate names. */
+  private def quantileColName(q: Double): String = {
+    val pct = q * 100
+    val whole = math.rint(pct)
+    if (math.abs(pct - whole) < 1e-9) "p" + whole.toLong
+    else ("p" + pct).replace('.', '_')
+  }
+
   def bottomKQuantiles(df: DataFrame, groupCols: Seq[String], idCol: String,
       valueCol: String, k: Int, qs: Seq[Double]): DataFrame = {
     require(k > 0, "k must be positive")
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "qs must lie in (0, 1]")
+    val names = qs.map(quantileColName)
+    require(names.distinct.size == names.size,
+      s"qs derive duplicate output column names: ${names.mkString(", ")}")
     graft.functions.NativeExpressions.register(df.sparkSession)
+    // the sample identity contract enforced per row at hash time: a
+    // negative (or NULL) id breaks knuth32's uniform-order guarantee, so
+    // it fails loudly here instead of silently biasing the sample
+    val checkedId = when(
+      assert_true(col(idCol).isNotNull && col(idCol) >= 0,
+        lit(s"bottomKQuantiles: idCol '$idCol' must be non-null and non-negative")).isNull,
+      col(idCol))
     val picked = df
-      .withColumn("__negh", negate(SampleOps.knuth32(col(idCol)).cast("double")))
+      .withColumn("__negh", negate(SampleOps.knuth32(checkedId).cast("double")))
       .groupBy(groupCols.map(col): _*)
       .agg(expr(s"graft_topk(__negh, `$idCol`, $k)").as("__top"))
     val ids = picked.select(explode(col("__top.payload")).as("__sid"))
+    // no broadcast hint: the sampled-id frame is groups·k rows — tiny for
+    // dashboard-shaped group counts, where AQE broadcasts it at runtime
+    // from its OBSERVED size, but group-proportional in general (1M
+    // groups × k=128 ≈ 1 GB), where a forced hint would pin a broadcast
+    // AQE could never demote. Leaving the join un-hinted keeps the
+    // operator safe at any group cardinality.
     val sample = df
       .select(groupCols.map(col) :+ col(idCol).cast("long").as("__sid") :+
         col(valueCol).cast("double").as("__v"): _*)
-      .join(broadcast(ids), Seq("__sid"), "left_semi")
+      .join(ids, Seq("__sid"), "left_semi")
       .groupBy(groupCols.map(col): _*)
       .agg(sort_array(collect_list(struct(col("__v"), col("__sid")))).as("__vs"))
-    val qCols = qs.map { q =>
-      val name = "p" + math.round(q * 100)
+    val qCols = qs.zip(names).map { case (q, name) =>
       element_at(col("__vs"), ceil(lit(q) * size(col("__vs"))).cast("int"))
         .getField("__v").as(name)
     }

@@ -152,14 +152,20 @@ object MartRewrite extends Rule[LogicalPlan] {
     * than that many versions past the registered snapshot stops
     * rewriting — the query falls back to the fact scan, trading the
     * mart's speed for guaranteed freshness until the maintenance loop
-    * re-registers. The check is one driver-side log listing per
-    * candidate registration; registrations with the default unbounded
-    * lag skip it entirely. */
+    * re-registers. The check reads the JVM's monotonic tip cache
+    * ([[graft.sources.ManifestTable.knownTipVersion]] — primed by every
+    * commit and listing, so the steady state is a map read, NOT a
+    * filesystem listing inside the optimizer per planned query); only a
+    * cold root pays one listing, which primes. Registrations with the
+    * default unbounded lag skip it entirely. Same-JVM contract: an
+    * out-of-process writer's advance is observed at this JVM's next
+    * listing/commit — the maintenance loop that registers marts runs
+    * here, which is the loop the bound protects against stalling. */
   private def withinStalenessBound(r: Reg): Boolean =
     r.maxVersionLag == Long.MaxValue || {
       try {
         val tip = graft.sources.ManifestTable
-          .versions(SparkSession.active, r.factRoot).max
+          .knownTipVersion(SparkSession.active, r.factRoot)
         tip - r.factVersion <= r.maxVersionLag
       } catch {
         // can't PROVE the registration fresh → don't rewrite
@@ -327,8 +333,10 @@ object MartRewrite extends Rule[LogicalPlan] {
   private def joinWithinStaleness(r: JoinReg): Boolean =
     r.maxVersionLag == Long.MaxValue || {
       try {
+        // cached-tip reads, NOT per-plan filesystem listings — see
+        // [[withinStalenessBound]]
         def tip(root: String): Long =
-          graft.sources.ManifestTable.versions(SparkSession.active, root).max
+          graft.sources.ManifestTable.knownTipVersion(SparkSession.active, root)
         tip(r.aRoot) - r.aVersion <= r.maxVersionLag &&
           tip(r.bRoot) - r.bVersion <= r.maxVersionLag
       } catch { case scala.util.control.NonFatal(_) => false }
@@ -358,6 +366,13 @@ object MartRewrite extends Rule[LogicalPlan] {
           joinWithinStaleness(r))
       martCols = reg.martPlan.output.map(a => a.name -> a).toMap
       if j.output.forall(a => martCols.contains(a.name))
+      // every attribute a side FILTER references must also be stored —
+      // a filtered-but-unprojected column the mart lacks (e.g. a column
+      // added to a fact after registration while the file-set superset
+      // still holds) would otherwise keep its foreign exprId through
+      // the transform below and yield an unresolvable plan at execution
+      if Seq(lCond, rCond).flatten.forall(
+        _.references.forall(a => martCols.contains(a.name)))
     } yield {
       val filters = Seq(lCond, rCond).flatten
       val base = filters.reduceOption(And) match {

@@ -68,6 +68,39 @@ import org.apache.spark.sql.functions.col
   * and misconfiguration propagate so real failures stay loud. */
 final class NotDeltaExpressible(msg: String) extends IllegalStateException(msg)
 
+/** Thrown by the strict-CAS content ops (merge / delete / delete-mor /
+  * purge-dv / compact-small / apply-changes / schema-evolution commits)
+  * when the tip advanced past the version the op planned against — the
+  * "concurrent modification … re-run" abort, as a TYPE so retry logic
+  * ([[ManifestTable.applyChangesMor]]'s self-heal,
+  * [[ManifestTable.deleteMor]]'s re-plan) can match it without parsing
+  * message text. Always safe to re-run the aborted op from scratch. */
+final class ConcurrentCommit(msg: String) extends IllegalStateException(msg)
+
+/** One filesystem family's atomic slot-claim primitive — the seam the
+  * commit protocol publishes through (see [[ManifestTable.publishRaw]]).
+  * `claim` must atomically install `tmp`'s content at `dst` and return
+  * whether THIS caller won the slot: exactly one of N concurrent
+  * claimers of the same `dst` may return true, and losers must leave
+  * the winner's content untouched. Built-in arms cover local
+  * filesystems (link(2)) and HDFS (rename-refuses-dst); object stores
+  * register a conditional-put arm (S3 `If-None-Match: *`, GCS
+  * `ifGenerationMatch=0`, ABFS ETag preconditions) via
+  * [[ManifestTable.registerSlotClaimer]]. */
+trait SlotClaimer {
+  def claim(f: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean
+}
+
+/** A published manifest failed its integrity trailer on read — the
+  * bytes on disk are not the bytes that were committed (post-publish
+  * corruption: bit rot, a torn copy, a truncation). Never retryable and
+  * never swallowed: readers fail at the read that would consume the
+  * corrupt delta, and the checkpoint divergence gate refuses to
+  * checkpoint over it instead of treating it as "unreadable". */
+final class CorruptManifest(msg: String) extends IllegalStateException(msg)
+
 object ManifestTable {
 
   /** Refusal-flavored `require`: the designed "this window demands a
@@ -89,17 +122,58 @@ object ManifestTable {
   private def manifestPath(root: String, v: Long): Path =
     new Path(s"$root/$LogDir/" + f"v$v%08d" + Suffix)
 
+  /** Filesystem log listings performed per root (test instrumentation:
+    * the planner-side staleness check must NOT list per planned query). */
+  private val listingCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private[graft] def listingsOf(root: String): Long =
+    Option(listingCounts.get(root)).map(_.get).getOrElse(0L)
+
   /** Versions present in the log, ascending (empty = not a manifest table). */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
+    listingCounts.computeIfAbsent(root,
+      _ => new java.util.concurrent.atomic.AtomicLong(0L)).incrementAndGet()
     val dir = new Path(s"$root/$LogDir")
     val f = fs(spark, root)
-    if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).iterator
-      .map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(Suffix))
-      .map(n => n.stripPrefix("v").stripSuffix(Suffix).toLong)
-      .toSeq.sorted
+    val vs =
+      if (!f.exists(dir)) Seq.empty[Long]
+      else f.listStatus(dir).iterator
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(Suffix))
+        .map(n => n.stripPrefix("v").stripSuffix(Suffix).toLong)
+        .toSeq.sorted
+    vs.lastOption.foreach(primeTip(root, _))
+    vs
   }
+
+  /** Monotonic per-root tip cache, primed by every publish THIS JVM
+    * performs and by every log listing — so planner-side freshness
+    * checks ([[graft.plans.MartRewrite]]'s `maxVersionLag`) cost a map
+    * read instead of a filesystem listing per planned query. Monotonic
+    * merge only: a concurrent prime can never regress the tip. */
+  private val tipCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def primeTip(root: String, v: Long): Unit = {
+    tipCache.merge(root, java.lang.Long.valueOf(v),
+      (a, b) => if (a >= b) a else b)
+    ()
+  }
+
+  /** The newest version this JVM KNOWS about for `root` — the cached tip
+    * when primed (every commit and listing primes it), else one listing
+    * (which primes). Same-JVM contract: a writer in ANOTHER process
+    * advances the log without updating this cache, so callers using
+    * this for freshness bounds (the MV staleness check) accept that an
+    * out-of-process writer's advance is observed only at the next
+    * listing/commit in THIS JVM — the maintenance loop that registers
+    * marts runs here, which is the case the bound protects. */
+  def knownTipVersion(spark: SparkSession, root: String): Long =
+    Option(tipCache.get(root)).map(_.longValue).getOrElse {
+      val vs = versions(spark, root)
+      require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
+      vs.max
+    }
 
   private def rawText(spark: SparkSession, root: String, version: Long): String = {
     val f = fs(spark, root)
@@ -162,8 +236,8 @@ object ManifestTable {
     * publish like the text cache; [[invalidateVersion]] drops entries
     * when vacuum deletes a version's manifest. */
   private def parsedAt(spark: SparkSession, root: String, version: Long): Parsed =
-    cachedIn(stateCache, s"$root#$version") {
-      val txt = resolvedCache.synchronized(resolvedCache.get(s"$root#$version"))
+    stateCache.getOrCompute(root, version) {
+      val txt = resolvedCache.get(root, version)
       if (txt != null) parseFull(txt)
       else resolveParsedFromDisk(spark, root, version)
     }
@@ -179,6 +253,52 @@ object ManifestTable {
 
   private def isDelta(text: String): Boolean = text.startsWith(DeltaHeader)
 
+  /** Integrity trailer on every delta manifest: `# crc:<len>:<crc32>`
+    * over all preceding bytes, announced by ` crc=1` in the header so a
+    * truncation that eats the trailer itself still fails loudly.
+    * Verified by [[parseDelta]] on EVERY read — a delta corrupted on
+    * disk AFTER publish (bit rot, a partial copy) fails at the read
+    * that would consume it, not at the next checkpoint's divergence
+    * gate; the window where a reader could be served a silently-wrong
+    * chain closes for bytes-level corruption at the cost of one CRC32
+    * pass per delta read. Pre-trailer deltas (no `crc=1`) verify
+    * nothing — compatible with logs written before this round. */
+  private val CrcPrefix = "# crc:"
+
+  private def withIntegrityTrailer(body: String): String = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    val crc = new java.util.zip.CRC32()
+    crc.update(bytes)
+    body + CrcPrefix + bytes.length + ":" +
+      java.lang.Long.toHexString(crc.getValue) + "\n"
+  }
+
+  /** Split a delta into (payload, announced?) and verify the trailer.
+    * Throws on any mismatch — corruption must never parse quietly. */
+  private def verifyIntegrity(delta: String): String = {
+    val announced = delta.linesIterator.next().split(' ').contains("crc=1")
+    val nl = delta.lastIndexOf('\n', delta.length - 2)
+    val lastLine = if (delta.endsWith("\n")) delta.substring(nl + 1).stripSuffix("\n") else ""
+    if (!lastLine.startsWith(CrcPrefix)) {
+      if (announced) throw new CorruptManifest(
+        "delta manifest integrity check failed: header announces a CRC trailer " +
+          "but none is present (truncated delta?)")
+      return delta
+    }
+    val payload = delta.substring(0, nl + 1)
+    val parts = lastLine.stripPrefix(CrcPrefix).split(':')
+    val bytes = payload.getBytes(StandardCharsets.UTF_8)
+    val crc = new java.util.zip.CRC32()
+    crc.update(bytes)
+    if (parts.length != 2 || parts(0).toLong != bytes.length ||
+        java.lang.Long.parseLong(parts(1), 16) != crc.getValue)
+      throw new CorruptManifest(
+        s"delta manifest integrity check failed: stored ${lastLine.stripPrefix(CrcPrefix)}, " +
+          s"read ${bytes.length}:${java.lang.Long.toHexString(crc.getValue)} — " +
+          "the delta was corrupted on disk after publish")
+    payload
+  }
+
   private def deltaBaseOf(delta: String): Long =
     delta.linesIterator.next().split(' ')
       .collectFirst { case s if s.startsWith("base=") => s.stripPrefix("base=").toLong }
@@ -187,55 +307,78 @@ object ManifestTable {
   private def checkpointPath(root: String, v: Long): Path =
     new Path(s"$root/$LogDir/" + f"v$v%08d" + ".checkpoint")
 
+  /** Two-level LRU: versions bounded PER ROOT (so one hot multi-version
+    * table can never evict another table's entries — with a flat global
+    * LRU, ~17 hot tables made the writer's incremental compose miss
+    * every commit AND silently starved the checkpoint divergence gate,
+    * which needs version-1 of ITS root resident), and roots bounded
+    * globally (so long-lived JVMs cycling through many temp tables
+    * don't leak). Entries are immutable after publish; eviction is pure
+    * cost, never staleness. */
+  private final class PerRootLru[V](perRoot: Int, maxRoots: Int) {
+    private val roots =
+      new java.util.LinkedHashMap[String, java.util.LinkedHashMap[String, V]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.util.LinkedHashMap[String, V]]): Boolean =
+          size() > maxRoots
+      }
+    private def inner(root: String): java.util.LinkedHashMap[String, V] = {
+      val hit = roots.get(root)
+      if (hit != null) hit
+      else {
+        val m = new java.util.LinkedHashMap[String, V](8, 0.75f, true) {
+          override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
+            size() > perRoot
+        }
+        roots.put(root, m)
+        m
+      }
+    }
+    def get(root: String, version: Long): V =
+      synchronized(inner(root).get(version.toString))
+    def put(root: String, version: Long, value: V): Unit =
+      synchronized { inner(root).put(version.toString, value); () }
+    def remove(root: String, version: Long): Unit =
+      synchronized { Option(roots.get(root)).foreach(_.remove(version.toString)); () }
+    def clear(): Unit = synchronized(roots.clear())
+    /** [[cachedIn]]'s contract: compute OUTSIDE the lock, racing
+      * computes may both run and last-put wins (values are immutable). */
+    def getOrCompute(root: String, version: Long)(compute: => V): V = {
+      val hit = get(root, version)
+      if (hit != null) return hit
+      val v = compute
+      put(root, version, v)
+      v
+    }
+  }
+
   /** Resolved-text LRU — manifests are immutable after publish, so
     * (root, version) keys never go stale; the cache just spares the
     * repeated chain walks of hot tips. */
-  private val resolvedCache =
-    new java.util.LinkedHashMap[String, String](64, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[String, String]): Boolean =
-        size() > 48
-    }
+  private val resolvedCache = new PerRootLru[String](4, 64)
 
   /** Structural-state LRU beside [[resolvedCache]]: the parsed accessors
     * ([[manifestFiles]]/[[manifestMeta]]/[[rawStats]]) and the writer's
     * incremental compose read through it, so hot-tip commits and reads
-    * parse each version's O(files) state at most once per JVM. */
-  private val stateCache =
-    new java.util.LinkedHashMap[String, Parsed](32, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[String, Parsed]): Boolean =
-        size() > 16
-    }
+    * parse each version's O(files) state at most once per JVM. The
+    * per-root bound keeps the tip and its base resident on EVERY hot
+    * table, so the checkpoint divergence gate always has a cached
+    * version-1 state to verify. */
+  private val stateCache = new PerRootLru[Parsed](8, 64)
 
   /** Parsed per-file stats LRU ([[rawStats]]' decode of a version's
     * stats lines) — the incremental compose compares FileStats structs
     * against this to find changed lines without serializing O(files). */
-  private val statsMapCache =
-    new java.util.LinkedHashMap[String, Map[String, ManifestStats.FileStats]](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Map[String, ManifestStats.FileStats]]): Boolean =
-        size() > 8
-    }
-
-  private def cachedIn[V](cache: java.util.LinkedHashMap[String, V], key: String)(
-      compute: => V): V = {
-    cache.synchronized {
-      val hit = cache.get(key)
-      if (hit != null) return hit
-    }
-    val v = compute
-    cache.synchronized { cache.put(key, v) }
-    v
-  }
+  private val statsMapCache = new PerRootLru[Map[String, ManifestStats.FileStats]](4, 64)
 
   /** Drop every in-JVM cache entry for (root, version) — called when a
     * manifest is DELETED from disk (vacuum), so same-JVM reads of a
     * dropped version fail like a fresh process's would instead of being
     * served from a cache for a version that no longer exists. */
   private def invalidateVersion(root: String, version: Long): Unit = {
-    val key = s"$root#$version"
-    resolvedCache.synchronized { resolvedCache.remove(key); () }
-    stateCache.synchronized { stateCache.remove(key); () }
-    statsMapCache.synchronized { statsMapCache.remove(key); () }
+    resolvedCache.remove(root, version)
+    stateCache.remove(root, version)
+    statsMapCache.remove(root, version)
   }
 
   /** Test hook: drop EVERY in-JVM manifest cache (resolved text,
@@ -243,21 +386,13 @@ object ManifestTable {
     * cold JVM resolving a vacuumed tip must go through the on-disk
     * .checkpoint sidecar, not an in-memory leftover. */
   private[graft] def dropResolvedCacheForTest(): Unit = {
-    resolvedCache.synchronized(resolvedCache.clear())
-    stateCache.synchronized(stateCache.clear())
-    statsMapCache.synchronized(statsMapCache.clear())
+    resolvedCache.clear()
+    stateCache.clear()
+    statsMapCache.clear()
   }
 
-  private def resolvedCached(root: String, version: Long)(compute: => String): String = {
-    val key = s"$root#$version"
-    resolvedCache.synchronized {
-      val hit = resolvedCache.get(key)
-      if (hit != null) return hit
-    }
-    val text = compute
-    resolvedCache.synchronized { resolvedCache.put(key, text) }
-    text
-  }
+  private def resolvedCached(root: String, version: Long)(compute: => String): String =
+    resolvedCache.getOrCompute(root, version)(compute)
 
   /** Structural pieces of a FULL manifest text (raw lines preserved so
     * re-rendering is byte-exact). */
@@ -296,7 +431,8 @@ object ManifestTable {
       statsPlus: Seq[(String, String)], statsMinus: Seq[String],
       adds: Seq[String], removes: Set[String])
 
-  private def parseDelta(delta: String): DeltaParts = {
+  private def parseDelta(rawDelta: String): DeltaParts = {
+    val delta = verifyIntegrity(rawDelta)
     var version = 0L
     var op = ""
     delta.linesIterator.next().stripPrefix(DeltaHeader).split(' ').foreach {
@@ -407,12 +543,19 @@ object ManifestTable {
       // writer maintained incrementally for version-1 must equal what
       // the PUBLISHED chain replays to from disk — a wrong delta can
       // never survive past one checkpoint interval undetected
-      val cachedBase = stateCache.synchronized(
-        Option(stateCache.get(s"$root#${next - 1}")))
+      val cachedBase = Option(stateCache.get(root, next - 1))
       cachedBase.foreach { cb =>
         val disk =
           try Some(resolveParsedFromDisk(spark, root, next - 1))
-          catch { case _: Exception => None } // unreadable → nothing to verify
+          catch {
+            // a chain failing its integrity trailer is DETECTED
+            // corruption, not "unreadable" — checkpointing over it would
+            // launder the writer's cache into truth with no disk witness
+            case c: CorruptManifest => throw new IllegalStateException(
+              s"tiered-log divergence at $root v${next - 1}: the published " +
+                s"delta chain fails integrity — refusing to checkpoint (${c.getMessage})")
+            case _: Exception => None // genuinely unreadable → nothing to verify
+          }
         disk.foreach(d => if (d != cb) throw new IllegalStateException(
           s"tiered-log divergence at $root v${next - 1}: the writer's incremental " +
             "state does not match the published delta chain — refusing to commit"))
@@ -464,7 +607,7 @@ object ManifestTable {
       statsPlus.size + statsMinus.size
     if (deltaLines >= allFiles.size + statsLines.size + metaLines.size)
       return composeFull()
-    val d = new StringBuilder(s"${DeltaHeader}version=$next op=$op base=${next - 1}\n")
+    val d = new StringBuilder(s"${DeltaHeader}version=$next op=$op base=${next - 1} crc=1\n")
     metaPlus.toSeq.sortBy(_._1).foreach { case (_, l) =>
       d.append(MetaPlusPrefix).append(l.stripPrefix(MetaPrefix)).append('\n') }
     metaMinus.toSeq.sorted.foreach(k => d.append(MetaMinusPrefix).append(k).append('\n'))
@@ -473,7 +616,7 @@ object ManifestTable {
     statsMinus.toSeq.sorted.foreach(p => d.append(StatsMinusPrefix).append(p).append('\n'))
     removes.foreach(p => d.append('-').append(p).append('\n'))
     adds.foreach(p => d.append('+').append(p).append('\n'))
-    val delta = d.toString
+    val delta = withIntegrityTrailer(d.toString)
     // gate (1): the reader's decode of this delta, applied with the
     // reader's merge, must reproduce the intended state EXACTLY
     val replay = applyDeltaParsed(base, parseDelta(delta))
@@ -634,7 +777,7 @@ object ManifestTable {
       s"cannot add CHECK constraint '$name' ($exprText): $bad existing rows violate it")
     commit(spark, root, "add_constraint", Seq.empty,
       tip => {
-        if (tip != v0) throw new IllegalStateException(
+        if (tip != v0) throw new ConcurrentCommit(
           s"concurrent modification of $root during add_constraint (planned v$v0, tip v$tip) — re-run")
         manifestFiles(spark, root, tip)
       },
@@ -734,7 +877,7 @@ object ManifestTable {
       s"cannot mark '$name' generated as ($exprText): $bad existing rows differ")
     commit(spark, root, "add_generated", Seq.empty,
       tip => {
-        if (tip != v0) throw new IllegalStateException(
+        if (tip != v0) throw new ConcurrentCommit(
           s"concurrent modification of $root during add_generated (planned v$v0, tip v$tip) — re-run")
         manifestFiles(spark, root, tip)
       },
@@ -786,7 +929,7 @@ object ManifestTable {
     * compose's changed-line detection never re-decodes O(files). */
   private def rawStatsOf(root: String, version: Long,
       p: Parsed): Map[String, ManifestStats.FileStats] =
-    cachedIn(statsMapCache, s"$root#$version") {
+    statsMapCache.getOrCompute(root, version) {
       p.statsLines.valuesIterator
         .map(l => ManifestStats.deserialize(l.stripPrefix(StatsPrefix)))
         .toMap
@@ -1103,7 +1246,7 @@ object ManifestTable {
       .reduceOption(_ max _)
     commit(spark, root, "enable_row_tracking", Seq.empty,
       tip => {
-        if (tip != v0) throw new IllegalStateException(
+        if (tip != v0) throw new ConcurrentCommit(
           s"concurrent modification of $root during enable_row_tracking (planned v$v0, tip v$tip) — re-run")
         manifestFiles(spark, root, tip)
       },
@@ -1315,7 +1458,7 @@ object ManifestTable {
     })
     commit(spark, root, "rename_column", Seq.empty,
       tip => {
-        if (tip != v0) throw new IllegalStateException(
+        if (tip != v0) throw new ConcurrentCommit(
           s"concurrent modification of $root during rename (planned v$v0, tip v$tip) — re-run")
         manifestFiles(spark, root, tip)
       },
@@ -1381,7 +1524,7 @@ object ManifestTable {
     })
     commit(spark, root, "drop_column", Seq.empty,
       tip => {
-        if (tip != v0) throw new IllegalStateException(
+        if (tip != v0) throw new ConcurrentCommit(
           s"concurrent modification of $root during drop (planned v$v0, tip v$tip) — re-run")
         manifestFiles(spark, root, tip)
       },
@@ -1721,9 +1864,9 @@ object ManifestTable {
         // prime the STRUCTURAL caches: same-JVM readers of this version
         // never re-parse or chain-walk; full text (only needed by the
         // rare text consumers) is rendered on demand
-        stateCache.synchronized { stateCache.put(s"$root#$next", cm.state); () }
+        stateCache.put(root, next, cm.state)
         cm.statsMap.foreach(m =>
-          statsMapCache.synchronized { statsMapCache.put(s"$root#$next", m); () })
+          statsMapCache.put(root, next, m))
         if (cm.isFull) resolvedCached(root, next)(cm.body)
         return next
       }
@@ -1837,26 +1980,82 @@ object ManifestTable {
     finally out.close()
     val won = atomicClaim(f, tmp, manifestPath(root, next))
     f.delete(tmp, false) // winner: dst keeps the inode; loser: cleanup
+    if (won) primeTip(root, next)
     won
   }
 
   /** Claim `dst` with `tmp`'s content, atomically win-or-fail even
     * against a concurrent claimer — the slot primitive of the whole
-    * commit protocol (see [[publishRaw]]). The caller deletes `tmp`
+    * commit protocol (see [[publishRaw]]), routed through the
+    * [[SlotClaimer]] seam: local filesystems claim with link(2), HDFS
+    * with rename-refuses-dst, and object stores plug in a put-if-absent
+    * arm via [[registerSlotClaimer]]. The caller deletes `tmp`
     * afterwards in every outcome. */
   private[sources] def atomicClaim(f: FileSystem,
-      tmp: Path, dst: Path): Boolean = f match {
-    case _: org.apache.hadoop.fs.LocalFileSystem |
-         _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      tmp: Path, dst: Path): Boolean =
+    claimerFor(f).claim(f, tmp, dst)
+
+  /** Custom claim arms by URI scheme (e.g. "s3a"), consulted before the
+    * built-in local/HDFS dispatch. An S3-family deployment registers a
+    * conditional-put arm here once per JVM. */
+  private val slotClaimers =
+    new java.util.concurrent.ConcurrentHashMap[String, SlotClaimer]()
+
+  /** Install the slot-claim arm for every filesystem whose URI scheme is
+    * `scheme` — the object-store seam of the commit protocol. The arm
+    * MUST be atomic win-or-fail against concurrent claimers of the same
+    * `dst` (put-if-absent / HTTP `If-None-Match: *`); a non-atomic arm
+    * reintroduces the lost-update race the concurrency battery caught
+    * on POSIX rename. */
+  def registerSlotClaimer(scheme: String, claimer: SlotClaimer): Unit =
+    slotClaimers.put(scheme.toLowerCase(java.util.Locale.ROOT), claimer)
+
+  private def claimerFor(f: FileSystem): SlotClaimer = {
+    val custom = Option(f.getUri).flatMap(u => Option(u.getScheme))
+      .flatMap(s => Option(slotClaimers.get(s.toLowerCase(java.util.Locale.ROOT))))
+    custom.getOrElse(f match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem => LocalLinkClaimer
+      case _ => RenameRefusesDstClaimer
+    })
+  }
+
+  /** Local-filesystem claim: `link(2)` (`Files.createLink`) is atomic
+    * win-or-fail — POSIX `rename(2)` silently OVERWRITES an existing
+    * destination, the lost-update race the concurrency battery caught.
+    * Filesystems that refuse hard links (some overlay/network mounts
+    * surface UnsupportedOperationException or a generic
+    * FileSystemException) fall back to the exists+rename claim rather
+    * than failing every commit outright — that fallback is NOT atomic
+    * against a concurrent claimer, but on a mount without link(2) it is
+    * the strongest primitive available and matches the pre-link
+    * behavior. Winners keep the dst inode; the local claim leaves no
+    * Hadoop `.crc` sidecar (created via link, not FS create), so reads
+    * skip checksum verification — fine for the manifest's own
+    * self-checks. */
+  private object LocalLinkClaimer extends SlotClaimer {
+    def claim(f: FileSystem, tmp: Path, dst: Path): Boolean =
       try {
         java.nio.file.Files.createLink(
           java.nio.file.Paths.get(dst.toUri.getPath),
           java.nio.file.Paths.get(tmp.toUri.getPath))
         true
       } catch {
+        // lost the race — the slot is taken (must precede the
+        // FileSystemException arm below, which it extends)
         case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          RenameRefusesDstClaimer.claim(f, tmp, dst)
       }
-    case _ =>
+  }
+
+  /** HDFS-family claim: `FileSystem.rename` REFUSES an existing
+    * destination atomically on HDFS, so exists+rename is win-or-fail
+    * there (the exists() is only a cheap pre-check). Object stores'
+    * rename is copy+delete and NOT atomic — they must register a
+    * put-if-absent arm instead of falling through to this one. */
+  private object RenameRefusesDstClaimer extends SlotClaimer {
+    def claim(f: FileSystem, tmp: Path, dst: Path): Boolean =
       !f.exists(dst) && f.rename(tmp, dst)
   }
 
@@ -2022,7 +2221,7 @@ object ManifestTable {
     val newSpec = (cur :+ pt).map(_.serialized).mkString(";")
     commit(spark, root, "evolve_spec", Seq.empty,
       tip => {
-        if (tip != v0) throw new IllegalStateException(
+        if (tip != v0) throw new ConcurrentCommit(
           s"concurrent modification of $root during evolve_spec (planned v$v0, tip v$tip) — re-run")
         manifestFiles(spark, root, tip)
       },
@@ -2049,7 +2248,7 @@ object ManifestTable {
     val remaining = cur.filterNot(_.name == transformName)
     commit(spark, root, "drop_partition_field", Seq.empty,
       tip => {
-        if (tip != v0) throw new IllegalStateException(
+        if (tip != v0) throw new ConcurrentCommit(
           s"concurrent modification of $root during drop_partition_field (planned v$v0, tip v$tip) — re-run")
         manifestFiles(spark, root, tip)
       },
@@ -2126,7 +2325,21 @@ object ManifestTable {
       batchId: Long,
       statsColumns: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil,
-      maxKeys: Int = 1000000): Long = {
+      maxKeys: Int = 1000000,
+      extraMeta: Map[String, String] = Map.empty): Long = {
+    // caller metadata rides the SAME atomic publish as the batch (a
+    // maintainer's source cursors can never be newer or older than the
+    // rows they describe). `txn-*` keys are allowed and get the
+    // max-wins carry through EVERY subsequent commit — the right home
+    // for monotone cursors that must survive an unrelated OPTIMIZE on
+    // the maintained table; they must be numeric for the max. Other
+    // reserved keys stay the protocol's.
+    extraMeta.foreach { case (k, v) =>
+      if (k.startsWith(TxnPrefix)) require(scala.util.Try(v.toLong).isSuccess,
+        s"applyChangesMor extraMeta txn key '$k' needs a numeric value (max-wins carry), got '$v'")
+      else require(k != SchemaKey && k != DvKey && !carriedMetaKey(k),
+        s"applyChangesMor extraMeta key '$k' collides with a reserved manifest key")
+    }
     // SELF-HEAL on the CAS abort: a streaming CDC sink races periodic
     // maintenance (OPTIMIZE, another writer's commit) as a matter of
     // course, and applying is idempotent by watermark — so instead of
@@ -2137,12 +2350,12 @@ object ManifestTable {
     var attempts = 4
     while (true) {
       try return applyChangesMorOnce(spark, root, feed, keyCol, writerId,
-        batchId, statsColumns, bloomColumns, maxKeys)
+        batchId, statsColumns, bloomColumns, maxKeys, extraMeta)
       catch {
-        case e: IllegalStateException
-            if attempts > 1 && e.getMessage != null &&
-              e.getMessage.contains("during apply-changes") =>
-          attempts -= 1
+        // the TYPED strict-CAS abort (any op inside the attempt): a full
+        // re-plan re-reads the vector, the file set, and the watermark,
+        // so it is always equivalent — message text is never parsed
+        case _: ConcurrentCommit if attempts > 1 => attempts -= 1
       }
     }
     throw new IllegalStateException("unreachable")
@@ -2157,7 +2370,8 @@ object ManifestTable {
       batchId: Long,
       statsColumns: Seq[String],
       bloomColumns: Seq[String],
-      maxKeys: Int): Long = {
+      maxKeys: Int,
+      extraMeta: Map[String, String]): Long = {
     import org.apache.spark.sql.functions.broadcast
     val ct = "_change_type"
     require(feed.columns.contains(ct),
@@ -2193,7 +2407,7 @@ object ManifestTable {
         "a refresh batch must be refresh-only (the rows replace the whole table)")
       val (staged, base, metaAt, statsAt) = prepareOverwrite(spark, root,
         feed.filter(col(ct) === "refresh").drop(ct),
-        Map(key -> batchId.toString), statsColumns, bloomColumns)
+        extraMeta + (key -> batchId.toString), statsColumns, bloomColumns)
       return commit(spark, root, "apply-refresh", staged, base, metaAt, statsAt)
     }
     val inserts = feed.filter(col(ct) === "insert").drop(ct)
@@ -2247,14 +2461,14 @@ object ManifestTable {
         // set (a MOR delete's vector, a metadata op's constraint) would
         // pass a files-only compare and then be CLOBBERED by this op's
         // v0-derived meta — any tip advance aborts, loudly and retryably
-        if (tip != v0) throw new IllegalStateException(
+        if (tip != v0) throw new ConcurrentCommit(
           s"concurrent modification of $root during apply-changes (planned v$v0, tip v$tip) — re-run")
         planned
       },
       _ => manifestMeta(spark, root, v0).filter(kv => carriedMetaKey(kv._1)) ++
         tableSchema.map(s => Map(SchemaKey -> s.json)).getOrElse(Map.empty) ++
-        dvRel.map(r => Map(DvKey -> r)).getOrElse(Map.empty) +
-        (key -> batchId.toString),
+        dvRel.map(r => Map(DvKey -> r)).getOrElse(Map.empty) ++
+        extraMeta + (key -> batchId.toString),
       _ => fileStats(spark, root, v0) ++ newStats)
   }
 
@@ -2405,7 +2619,7 @@ object ManifestTable {
         // set (a MOR delete's vector, a metadata op's constraint) would
         // pass a files-only compare and then be CLOBBERED by this op's
         // v0-derived meta — any tip advance aborts, loudly and retryably
-        if (tip != v0) throw new IllegalStateException(
+        if (tip != v0) throw new ConcurrentCommit(
           s"concurrent modification of $root during compact-small (planned v$v0, tip v$tip) — re-run")
         untouched
       },
@@ -2569,7 +2783,7 @@ object ManifestTable {
         // set (a MOR delete's vector, a metadata op's constraint) would
         // pass a files-only compare and then be CLOBBERED by this op's
         // v0-derived meta — any tip advance aborts, loudly and retryably
-        if (tip != v0) throw new IllegalStateException(
+        if (tip != v0) throw new ConcurrentCommit(
           s"concurrent modification of $root during merge (planned v$v0, tip v$tip) — re-run the merge")
         untouched
       },
@@ -2631,7 +2845,7 @@ object ManifestTable {
         // set (a MOR delete's vector, a metadata op's constraint) would
         // pass a files-only compare and then be CLOBBERED by this op's
         // v0-derived meta — any tip advance aborts, loudly and retryably
-        if (tip != v0) throw new IllegalStateException(
+        if (tip != v0) throw new ConcurrentCommit(
           s"concurrent modification of $root during delete (planned v$v0, tip v$tip) — re-run the delete")
         untouched
       },
@@ -2660,10 +2874,30 @@ object ManifestTable {
     * pure files. Stacked MOR deletes union into ONE cumulative vector,
     * so a read never applies more than one.
     *
-    * Same concurrency contract as [[merge]]; same non-append semantics
-    * for consumers — [[readChangesSince]] refuses to stream past a
-    * vector change. Returns (version, stats) with newFiles == 0. */
+    * Concurrency: SELF-HEALS across the strict-CAS abort the same way
+    * [[applyChangesMor]] does — a delete is declarative (rows WHERE
+    * predicate), so re-planning from scratch at the new tip is always
+    * equivalent: the retry re-reads the file set, the vector, and the
+    * predicate prune, whatever the racer did (a periodic OPTIMIZE, a
+    * racing MOR delete, a metadata commit). A batch-delete pipeline
+    * beside scheduled compaction no longer flakes; sustained contention
+    * (>4 racers in a row) still surfaces the typed [[ConcurrentCommit]].
+    * Same non-append semantics for consumers — [[readChangesSince]]
+    * refuses to stream past a vector change. Returns (version, stats)
+    * with newFiles == 0. */
   def deleteMor(
+      spark: SparkSession,
+      root: String,
+      predicate: org.apache.spark.sql.Column): (Long, MergeStats) = {
+    var attempts = 4
+    while (true) {
+      try return deleteMorOnce(spark, root, predicate)
+      catch { case _: ConcurrentCommit if attempts > 1 => attempts -= 1 }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def deleteMorOnce(
       spark: SparkSession,
       root: String,
       predicate: org.apache.spark.sql.Column): (Long, MergeStats) = {
@@ -2708,7 +2942,7 @@ object ManifestTable {
         // set (a MOR delete's vector, a metadata op's constraint) would
         // pass a files-only compare and then be CLOBBERED by this op's
         // v0-derived meta — any tip advance aborts, loudly and retryably
-        if (tip != v0) throw new IllegalStateException(
+        if (tip != v0) throw new ConcurrentCommit(
           s"concurrent modification of $root during delete-mor (planned v$v0, tip v$tip) — re-run the delete")
         planned
       },
@@ -2771,7 +3005,7 @@ object ManifestTable {
             // set (a MOR delete's vector, a metadata op's constraint) would
             // pass a files-only compare and then be CLOBBERED by this op's
             // v0-derived meta — any tip advance aborts, loudly and retryably
-            if (tip != v0) throw new IllegalStateException(
+            if (tip != v0) throw new ConcurrentCommit(
               s"concurrent modification of $root during purge-dv (planned v$v0, tip v$tip) — re-run the purge")
             untouched
           },

@@ -160,6 +160,39 @@ class ConcurrencySpec extends SparkSpec {
     assertSameContent(ManifestTable.read(spark, root), expected, "cdc∥optimize")
   }
 
+  test("MOR DELETE vs OPTIMIZE: the delete self-heals across the racing compaction (no abort reaches the caller)") {
+    val root = freshRoot("cc_do")
+    val base = orders.limit(400).localCheckpoint()
+    ManifestTable.create(spark, root, base.repartition(8))
+    val deleteFailed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val barrier = new CyclicBarrier(2)
+    val tA = new Thread(() => {
+      barrier.await()
+      // the batch-delete-pipeline path: a delete is declarative (rows
+      // WHERE predicate), so deleteMor re-plans at the new tip
+      // internally — scheduled OPTIMIZE beside it must never surface
+      // "re-run" to the caller
+      try { ManifestTable.deleteMor(spark, root, col("o_orderkey") % 4 === 0); () }
+      catch { case e: Throwable => deleteFailed.set(e) }
+    })
+    val tB = new Thread(() => {
+      barrier.await()
+      try { ManifestTable.compactSmall(spark, root, 64L * 1024 * 1024,
+        64L * 1024 * 1024); () }
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.contains("concurrent modification") =>
+          ManifestTable.compactSmall(spark, root, 64L * 1024 * 1024,
+            64L * 1024 * 1024); ()
+      }
+    })
+    tA.start(); tB.start(); tA.join(); tB.join()
+    assert(deleteFailed.get() == null,
+      s"deleteMor must self-heal across the racing OPTIMIZE, got ${deleteFailed.get()}")
+    assertSameContent(ManifestTable.read(spark, root),
+      base.filter(col("o_orderkey") % 4 =!= 0), "delete∥optimize")
+  }
+
   test("two IVM writers on one mart: racing maintainers keep the mart equal to the rebuild") {
     val src = freshRoot("cc_ivm_src")
     val mart = freshRoot("cc_ivm_mart")

@@ -533,4 +533,47 @@ class LakeOpsSpec extends SparkSpec {
     val e = intercept[graft.sources.NotDeltaExpressible] { maintain() }
     assert(e.getMessage.contains("non-append"))
   }
+
+  test("maintainJoinMartTotal: MOR deletes and MERGE on the facts maintain the join mart; equals rebuild; cursors survive OPTIMIZE") {
+    import graft.sources.ManifestTable
+    def root() = java.nio.file.Files.createTempDirectory("ivmjt").toString
+    val a = root(); val b = root(); val mart = root()
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val cust = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+    ManifestTable.create(spark, a, orders.filter(col("o_orderstatus") === "F"))
+    ManifestTable.enableRowTracking(spark, a) // MERGE in the window needs ids
+    ManifestTable.create(spark, b, cust)
+    def maintain() = graft.ops.LakeOps.maintainJoinMartTotal(
+      spark, a, b, mart, "o_custkey", "c_custkey")
+    def scratch = ManifestTable.read(spark, a)
+      .join(ManifestTable.read(spark, b), col("o_custkey") === col("c_custkey"))
+    def assertFresh(): Unit = {
+      val m = ManifestTable.read(spark, mart)
+      assert(m.exceptAll(scratch).isEmpty && scratch.exceptAll(m).isEmpty,
+        "maintained join mart must equal the from-scratch join")
+    }
+    maintain()
+    assertFresh()
+    // the window readChangesSince must full-refresh on: an append PLUS a
+    // MOR delete PLUS a MERGE upsert on A, and a MOR delete on B
+    ManifestTable.append(spark, a, orders.filter(col("o_orderstatus") === "O"))
+    ManifestTable.deleteMor(spark, a, col("o_custkey") % 7 === 0)
+    val updates = orders.filter(col("o_orderstatus") === "F")
+      .filter(col("o_custkey") % 7 =!= 0 && col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    ManifestTable.merge(spark, a, updates, "o_orderkey")
+    ManifestTable.deleteMor(spark, b, col("c_mktsegment") === "BUILDING")
+    val (ca, cb, _) = maintain()
+    assertFresh()
+    // caught up: no mart commit
+    val before = ManifestTable.versions(spark, mart).max
+    val (ca2, cb2, n2) = maintain()
+    assert((ca2, cb2, n2) === ((ca, cb, 0L)))
+    assert(ManifestTable.versions(spark, mart).max === before)
+    // cursors are txn-carried: an OPTIMIZE on the MART cannot lose them
+    ManifestTable.compactSmall(spark, mart, 64L * 1024 * 1024, 64L * 1024 * 1024)
+    ManifestTable.deleteMor(spark, a, col("o_orderkey") % 13 === 0)
+    maintain()
+    assertFresh()
+  }
 }

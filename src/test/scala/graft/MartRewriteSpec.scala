@@ -313,6 +313,48 @@ class MartRewriteSpec extends SparkSpec {
     } finally MartRewrite.deregister(fact)
   }
 
+  test("the staleness check lists the log ZERO times per planned query (cached tip), behavior unchanged") {
+    val fact = freshRoot("mv_fact_tc")
+    val mart = freshRoot("mv_mart_tc")
+    ManifestTable.create(spark, fact, orders)
+    LakeOps.maintainAndReregister(spark, fact, mart,
+      Seq("o_orderstatus"), "o_totalprice", maxVersionLag = 5L)
+    try {
+      val martName = new java.io.File(mart).getName
+      def plan() = {
+        val q = factAgg(fact)
+        q.queryExecution.executedPlan // force optimization (runs MartRewrite)
+        q
+      }
+      assert(scansUnder(plan()).exists(_.contains(martName)), "rewrite must be on")
+      // the lag-bounded staleness check runs inside the optimizer on
+      // EVERY planned query — it must read the JVM's tip cache, never
+      // list the log: repeated plans add zero listings of the fact root
+      // beyond what constructing the scan itself costs
+      val withReg = {
+        val before = ManifestTable.listingsOf(fact)
+        (1 to 5).foreach(_ => plan())
+        ManifestTable.listingsOf(fact) - before
+      }
+      MartRewrite.deregister(fact)
+      val without = {
+        val before = ManifestTable.listingsOf(fact)
+        (1 to 5).foreach(_ => plan())
+        ManifestTable.listingsOf(fact) - before
+      }
+      assert(withReg <= without,
+        s"the staleness check added listings: $withReg with registration vs $without without")
+      // the bound still ENFORCES: advance the fact 6 versions without
+      // maintenance (commits prime the same tip cache) — rewrite off
+      LakeOps.maintainAndReregister(spark, fact, mart,
+        Seq("o_orderstatus"), "o_totalprice", maxVersionLag = 2L)
+      (1 to 3).foreach(_ => ManifestTable.append(spark, fact,
+        orders.orderBy(col("o_orderkey")).limit(5)))
+      assert(!scansUnder(plan()).exists(_.contains(martName)),
+        "past maxVersionLag the cached-tip check must still disable the rewrite")
+    } finally MartRewrite.deregister(fact)
+  }
+
   test("join-mart rewrite: a provable A⋈B re-plans onto the maintained join mart; filters ride; wrong shapes refuse") {
     val a = freshRoot("mv_ja")
     val b = freshRoot("mv_jb")
@@ -361,6 +403,43 @@ class MartRewriteSpec extends SparkSpec {
         .join(customer, col("o_custkey") === col("c_custkey"))
       assert(q2.exceptAll(direct2).isEmpty && direct2.exceptAll(q2).isEmpty,
         "the maintained join mart must serve the fresh join")
+    } finally { MartRewrite.deregister(a); MartRewrite.deregister(b) }
+  }
+
+  test("a side filter referencing a column the mart does not store REFUSES the join rewrite (fresh fact scan, no unresolved plan)") {
+    val a = freshRoot("mv_jfa")
+    val b = freshRoot("mv_jfb")
+    val mart = freshRoot("mv_jfm")
+    val customer = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+    ManifestTable.create(spark, a, orders.filter(col("o_orderstatus") === "F"))
+    ManifestTable.create(spark, b, customer)
+    LakeOps.maintainJoinAndReregister(spark, a, b, mart, "o_custkey", "c_custkey")
+    try {
+      // widen A AFTER registration: appends keep the file-set superset
+      // relation, so the rewrite still fires on the plain join — but the
+      // mart was built before 'extra' existed and does not store it
+      ManifestTable.append(spark, a, orders.filter(col("o_orderstatus") === "O")
+        .withColumn("extra", lit(1L)))
+      val martName = new java.io.File(mart).getName
+      // filter on 'extra', then PROJECT it away: the join's output is
+      // fully mart-covered, so only the filter references the missing
+      // column — the exact shape that produced an unresolvable plan
+      // before the filter-reference guard
+      val q = ManifestTable.read(spark, a)
+        .filter(col("extra") === 1L)
+        .select("o_orderkey", "o_custkey")
+        .join(ManifestTable.read(spark, b), col("o_custkey") === col("c_custkey"))
+      assert(!scansUnder(q).exists(_.contains(martName)),
+        "a filter on an un-stored column must refuse the rewrite")
+      // ... and the fallback executes correctly (fresh truth, no crash)
+      assert(q.count() === orders.filter(col("o_orderstatus") === "O")
+        .join(customer, col("o_custkey") === col("c_custkey")).count())
+      // sanity: without the filter the rewrite still fires
+      val plain = ManifestTable.read(spark, a)
+        .select("o_orderkey", "o_custkey")
+        .join(ManifestTable.read(spark, b), col("o_custkey") === col("c_custkey"))
+      assert(scansUnder(plain).exists(_.contains(martName)),
+        "the guard must only refuse filters on un-stored columns")
     } finally { MartRewrite.deregister(a); MartRewrite.deregister(b) }
   }
 

@@ -139,6 +139,35 @@ class SketchOpsSpec extends SparkSpec {
       s"estimated median's true rank $trueRank must be near 0.5")
   }
 
+  test("bottom-k quantiles: the sampled-id semi join carries NO broadcast hint (AQE decides), names are collision-free, bad ids fail loudly") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val df = SketchOps.bottomKQuantiles(orders, Seq("o_orderstatus"),
+      "o_orderkey", "o_totalprice", 16, Seq(0.5, 0.95))
+    // a forced broadcast() hint would pin a groups·k-proportional frame
+    // into executor memory at ANY group cardinality; the operator must
+    // leave the strategy to AQE's observed-size decision
+    val hinted = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.hint != JoinHint.NONE => j
+    }
+    assert(hinted.isEmpty, s"semi join must be un-hinted, found: $hinted")
+    // fractional percents derive distinct names instead of colliding
+    val frac = SketchOps.bottomKQuantiles(orders, Seq("o_orderstatus"),
+      "o_orderkey", "o_totalprice", 16, Seq(0.996, 1.0))
+    assert(frac.columns.count(_ == "p100") == 1 && frac.columns.contains("p99_6"))
+    intercept[IllegalArgumentException] {
+      SketchOps.bottomKQuantiles(orders, Seq("o_orderstatus"),
+        "o_orderkey", "o_totalprice", 16, Seq(0.999999999999, 1.0)) // both round to p100
+    }
+    // the sample-identity contract is enforced per row, not just documented
+    val neg = orders.withColumn("o_orderkey", negate(col("o_orderkey")))
+    val ex = intercept[Exception] {
+      SketchOps.bottomKQuantiles(neg, Seq("o_orderstatus"),
+        "o_orderkey", "o_totalprice", 16, Seq(0.5)).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("NULL values are ignored; empty input yields no rows") {
     val df = Seq(Some(1L), None, Some(2L), None).map(("g", _)).toDF("g", "v")
     val regs = SketchOps.hllRegisters(df, Seq("g"), "v")

@@ -139,9 +139,13 @@ class TieredLogSpec extends SparkSpec {
     // intended version: swap its added file path for a nonexistent one,
     // keeping valid delta syntax (the shape of a torn/bit-flipped write
     // that still parses)
+    // ... and RE-SIGN the trailer: this models a semantics-level wrong
+    // delta whose bytes verify (a diff/encode bug, not disk rot) — the
+    // class only the divergence gate can catch now that bytes-level
+    // corruption fails at read via the CRC trailer
     val p = Paths.get(root, "_graft_log", "v00000003.manifest")
     val txt = new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)
-    val corrupted = txt.replaceFirst("(?m)^\\+data/", "+data/CORRUPT-")
+    val corrupted = resign(txt.replaceFirst("(?m)^\\+data/", "+data/CORRUPT-"))
     assert(corrupted != txt, "expected an added-file line to corrupt")
     Files.write(p, corrupted.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // drop Hadoop's local-FS checksum sidecar so the corruption reads as
@@ -157,6 +161,49 @@ class TieredLogSpec extends SparkSpec {
       ManifestTable.append(spark, root, slices(9).coalesce(1))
     }
     assert(e.getMessage.contains("divergence"), e.getMessage)
+  }
+
+  /** Strip a delta's CRC trailer and append a freshly-computed one —
+    * forging the signature a semantics-level diff bug would have
+    * produced honestly. */
+  private def resign(delta: String): String = {
+    val payload = delta.linesIterator.filterNot(_.startsWith("# crc:"))
+      .mkString("", "\n", "\n")
+    val bytes = payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val crc = new java.util.zip.CRC32()
+    crc.update(bytes)
+    payload + "# crc:" + bytes.length + ":" +
+      java.lang.Long.toHexString(crc.getValue) + "\n"
+  }
+
+  test("bytes-level corruption of a published delta fails loudly AT THE READ (integrity trailer), truncation included") {
+    val root = freshRoot()
+    val slices = orders.randomSplit(Array.fill(4)(1.0), seed = 29)
+    ManifestTable.create(spark, root, slices(0).coalesce(1)) // v1 full
+    ManifestTable.append(spark, root, slices(1).coalesce(1)) // v2 delta
+    ManifestTable.append(spark, root, slices(2).coalesce(1)) // v3 delta
+    assert(isStoredDelta(root, 3L))
+    val p = Paths.get(root, "_graft_log", "v00000003.manifest")
+    val good = new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)
+    def write(t: String): Unit = {
+      Files.write(p, t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.deleteIfExists(Paths.get(root, "_graft_log", ".v00000003.manifest.crc"))
+      ManifestTable.dropResolvedCacheForTest() // cold process: no cached state
+    }
+    // flipped bytes that still parse as valid delta syntax: pre-trailer
+    // this was served silently until the next checkpoint — now the read
+    // itself refuses
+    write(good.replaceFirst("(?m)^\\+data/", "+data/CORRUPT-"))
+    val e1 = intercept[IllegalStateException](ManifestTable.read(spark, root).count())
+    assert(e1.getMessage.contains("integrity"), e1.getMessage)
+    // truncation that eats the trailer line: the crc=1 header announce
+    // makes the MISSING trailer itself the failure
+    write(good.linesIterator.filterNot(_.startsWith("# crc:")).mkString("", "\n", "\n"))
+    val e2 = intercept[IllegalStateException](ManifestTable.read(spark, root).count())
+    assert(e2.getMessage.contains("integrity"), e2.getMessage)
+    // restore the honest bytes: the table reads again
+    write(good)
+    assert(ManifestTable.read(spark, root).count() > 0L)
   }
 
   test("deltas ride every surface: stats pruning, DV, row tracking, CDF, and streams resolve through the chain") {
