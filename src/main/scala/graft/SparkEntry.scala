@@ -1724,6 +1724,71 @@ object SparkEntry {
       }
     }),
 
+    "mv8_rewrite_join_agg" -> ((s, dir) => {
+      // registerJoin ∘ register (the composed MV stack): the join mart
+      // is itself a manifest table, so a count/sum mart maintained OVER
+      // it rides the join mart's own change feed — and ONE
+      // maintainJoinAggAndReregister call advances the A⋈B mart through
+      // an append + MOR-delete window (total feed), the agg mart above
+      // it, and BOTH rewrite registrations. A provable groupBy over the
+      // join then serves from the AGG mart in O(groups): the plan scans
+      // neither fact NOR the join mart. Pins: the join-agg's leaves are
+      // the agg mart alone; the BARE join still routes to the join
+      // mart; a different grouping key falls back to the join mart (not
+      // the agg mart); values equal the from-scratch truth.
+      val a = java.nio.file.Files.createTempDirectory("mv8_a").toString
+      val b = java.nio.file.Files.createTempDirectory("mv8_b").toString
+      val jmart = java.nio.file.Files.createTempDirectory("mv8_jmart").toString
+      val amart = java.nio.file.Files.createTempDirectory("mv8_amart").toString
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val MT = graft.sources.ManifestTable
+      MT.create(s, a, orders.filter(col("o_orderkey") % 3 === 0))
+      MT.enableRowTracking(s, a) // the purge-dv window needs the id-preserving feed
+      MT.create(s, b, customer)
+      graft.ops.LakeOps.maintainJoinAggAndReregister(s, a, b, jmart, amart,
+        "o_custkey", "c_custkey", "c_mktsegment", "o_totalprice")
+      // a NON-append window on the fact: the total feed maintains the
+      // join mart through it, and the agg mart follows the join mart's
+      // own MOR change feed; the purge materializes the vector so the
+      // tip scan is bare files again (rewrites refuse while a live DV's
+      // anti-join sits above the scan — the documented MV contract)
+      MT.append(s, a, orders.filter(col("o_orderkey") % 3 === 1))
+      MT.deleteMor(s, a, col("o_orderkey") % 9 === 0)
+      MT.purgeDeletes(s, a)
+      graft.ops.LakeOps.maintainJoinAggAndReregister(s, a, b, jmart, amart,
+        "o_custkey", "c_custkey", "c_mktsegment", "o_totalprice")
+      try {
+        def leafStrings(df: org.apache.spark.sql.DataFrame) =
+          df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+        def name(p: String) = new java.io.File(p).getName
+        def joinOf() = MT.read(s, a)
+          .join(MT.read(s, b), col("o_custkey") === col("c_custkey"))
+        val q = joinOf().groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+        val qLeaves = leafStrings(q)
+        val aggFromAggMart = qLeaves.exists(_.contains(name(amart))) &&
+          !qLeaves.exists(l => l.contains(name(a)) || l.contains(name(b)) ||
+            l.contains(name(jmart)))
+        val bareJoinLeaves = leafStrings(joinOf())
+        val joinFromJoinMart = bareJoinLeaves.exists(_.contains(name(jmart))) &&
+          !bareJoinLeaves.exists(_.contains(name(amart)))
+        val otherKey = joinOf().groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+        val otherKeyLeaves = leafStrings(otherKey)
+        val otherKeyOnJoinMart = otherKeyLeaves.exists(_.contains(name(jmart))) &&
+          !otherKeyLeaves.exists(_.contains(name(amart)))
+        q.select(lit(aggFromAggMart).as("agg_from_agg_mart"),
+          lit(joinFromJoinMart).as("join_from_join_mart"),
+          lit(otherKeyOnJoinMart).as("other_key_on_join_mart"),
+          col("c_mktsegment"), col("n_orders"), col("total_price"))
+          .localCheckpoint() // pin the rows before deregistration
+      } finally {
+        graft.plans.MartRewrite.deregister(a)
+        graft.plans.MartRewrite.deregister(b)
+        graft.plans.MartRewrite.deregister(jmart)
+      }
+    }),
+
     "lake11_incr_agg" -> ((s, dir) => {
       // incremental view maintenance over the CDF: the agg mart
       // bootstraps on the F slice, then two appends are folded in by
@@ -8089,6 +8154,19 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n_orders,
          |       ${dsumSql("o_totalprice")} AS total_price
          |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment""").stripMargin,
+
+    "mv8_rewrite_join_agg" -> // the agg-mart-served join aggregate must
+      // equal the from-scratch orders⋈customer groupBy over exactly the
+      // surviving window (create %3=0, append %3=1, MOR-delete %9=0);
+      // the three routing probes are pinned in-engine
+      (s"""SELECT TRUE AS agg_from_agg_mart, TRUE AS join_from_join_mart,
+         |       TRUE AS other_key_on_join_mart,
+         |       c_mktsegment,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 9 <> 0
          |GROUP BY c_mktsegment""").stripMargin,
 
     "lake11_incr_agg" -> // the maintained mart must equal the

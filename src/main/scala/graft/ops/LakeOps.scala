@@ -871,6 +871,40 @@ object LakeOps {
     }
   }
 
+  /** The COMPOSED lifecycle (mv8): one call advances the `A ⋈ B` join
+    * mart over both facts (total feed — MOR deletes and merges
+    * maintain), the count/sum AGGREGATE mart maintained OVER the join
+    * mart (the join mart is itself a manifest table, so
+    * [[maintainAggMartTotal]] rides its change feed — the agg refresh
+    * is O(join-mart change volume), never O(join)), and BOTH rewrite
+    * registrations. After it, a provable `groupBy(key).agg(count,
+    * dsum(value))` ABOVE the registered join serves from the agg mart
+    * in O(groups), scanning neither fact nor the join mart — the shape
+    * real BI traffic has. Returns (consumedA, consumedB,
+    * joinMartVersionConsumed, aggChangeRows). */
+  def maintainJoinAggAndReregister(
+      spark: org.apache.spark.sql.SparkSession,
+      aRoot: String,
+      bRoot: String,
+      joinMartRoot: String,
+      aggMartRoot: String,
+      aKeyCol: String,
+      bKeyCol: String,
+      groupKeyCol: String,
+      valueCol: String,
+      maxVersionLag: Long = Long.MaxValue,
+      writerId: String = "joinagg"): (Long, Long, Long, Long) = {
+    val (aV, bV, _) = maintainJoinMartTotal(spark, aRoot, bRoot, joinMartRoot,
+      aKeyCol, bKeyCol, writerId = s"$writerId-join")
+    val (mV, aggRows) = maintainAggMartTotal(spark, joinMartRoot, aggMartRoot,
+      groupKeyCol, valueCol, writerId = s"$writerId-agg")
+    graft.plans.MartRewrite.registerJoin(
+      spark, aRoot, bRoot, aKeyCol, bKeyCol, joinMartRoot, maxVersionLag)
+    graft.plans.MartRewrite.register(
+      spark, joinMartRoot, groupKeyCol, valueCol, aggMartRoot, maxVersionLag)
+    (aV, bV, mV, aggRows)
+  }
+
   /** [[maintainJoinAndReregister]] over the TOTAL feed: advance the
     * MOR-surviving join mart AND its
     * [[graft.plans.MartRewrite.registerJoin]] registration in one call. */

@@ -386,15 +386,89 @@ object MartRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  /** The agg-over-join composition (registerJoin ∘ register): an
+    * Aggregate whose child is a provable, UNFILTERED `A ⋈ B` that a join
+    * registration serves, grouped by a key set an aggregate registration
+    * OVER THE JOIN MART stores — served straight from the agg mart in
+    * O(groups), scanning neither fact NOR the join mart. The identity
+    * chain is two proofs composed: the join reg proves query-join ≡
+    * join-mart content (file-set superset + staleness bound on both
+    * facts), and the agg reg proves join-mart-agg ≡ agg-mart content
+    * (same superset proof, with the JOIN MART as the fact). Unfiltered
+    * shape only: a side filter would need a group-preservation argument
+    * ACROSS the join, which the single-table key-filter rule doesn't
+    * give. */
+  private def joinAggRewrite(gs: Seq[AttributeReference],
+      aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
+    if (regs.isEmpty || joinRegs.isEmpty) return None
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case pr: Project if pr.projectList.forall(_.isInstanceOf[Attribute]) =>
+        strip(pr.child)
+      case other => other
+    }
+    strip(child) match {
+      case j: Join if j.joinType == Inner =>
+        val condKeys = j.condition match {
+          case Some(EqualTo(a: AttributeReference, b: AttributeReference)) =>
+            Some(Set(a.name, b.name))
+          case _ => None
+        }
+        val gNames = gs.map(_.name)
+        if (gNames.distinct.size != gNames.size) return None
+        // the ONLY side filters tolerated are IsNotNull over the join
+        // keys — the optimizer infers those from the inner equi-join
+        // itself, so they provably drop no joined row; anything else
+        // would need a group-preservation argument ACROSS the join
+        def impliedByJoin(c: Option[Expression], keys: Set[String]): Boolean = {
+          def ok(e: Expression): Boolean = e match {
+            case And(l, r) => ok(l) && ok(r)
+            case org.apache.spark.sql.catalyst.expressions
+                .IsNotNull(a: AttributeReference) => keys.contains(a.name)
+            case _ => false
+          }
+          c.forall(ok)
+        }
+        for {
+          ck <- condKeys
+          (lFiles, lCond) <- sideOf(j.left)
+          (rFiles, rCond) <- sideOf(j.right)
+          if impliedByJoin(lCond, ck) && impliedByJoin(rCond, ck)
+          jreg <- joinRegs.values().asScala.find(r =>
+            ck == Set(r.aKeyCol, r.bKeyCol) &&
+              r.aFiles.nonEmpty && r.bFiles.nonEmpty &&
+              ((r.aFiles.subsetOf(lFiles) && r.bFiles.subsetOf(rFiles)) ||
+                (r.aFiles.subsetOf(rFiles) && r.bFiles.subsetOf(lFiles))) &&
+              joinWithinStaleness(r))
+          // the join mart's registered file set (every relation in the
+          // registered read — a MOR mart's DV scan included) — the
+          // "fact" identity the aggregate registration must cover
+          martFiles = jreg.martPlan.collect {
+            case lr: LogicalRelation => lr.relation
+          }.collect { case fsr: HadoopFsRelation =>
+            fsr.location.inputFiles.map(normalize).toSet
+          }.foldLeft(Set.empty[String])(_ ++ _)
+          if martFiles.nonEmpty
+          served <- regs.values().asScala
+            .filter(r => r.keyCols.toSet == gNames.toSet &&
+              r.factFiles.nonEmpty && r.factFiles.subsetOf(martFiles) &&
+              withinStalenessBound(r))
+            .toSeq.sortBy(_.kind == "minmax")
+            .iterator
+            .map(r => r -> aggExprs.map(replacement(_, r)))
+            .find(_._2.forall(_.isDefined))
+        } yield Project(served._2.map(_.get), served._1.martPlan)
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (regs.isEmpty && joinRegs.isEmpty) return plan
     plan.transform {
-      case j: Join => joinRewrite(j).getOrElse(j)
       case agg @ Aggregate(grouping, aggExprs, child, _)
           if grouping.nonEmpty && grouping.forall(_.isInstanceOf[AttributeReference]) =>
         val gs = grouping.map(_.asInstanceOf[AttributeReference])
         val gNames = gs.map(_.name)
-        scanOf(child) match {
+        val direct: Option[LogicalPlan] = scanOf(child) match {
           case Some((candidates, cond))
               // a filter is pushable iff deterministic and over the
               // grouping KEYS alone (group-preserving by definition)
@@ -405,22 +479,22 @@ object MartRewrite extends Rule[LogicalPlan] {
               .filter(_.keyCols.toSet == gNames.toSet)
               .map(reg => reg -> aggExprs.map(replacement(_, reg)))
               .find(_._2.forall(_.isDefined))
-            served match {
-              case Some((reg, outs)) =>
-                def martAttr(n: String): Attribute =
-                  reg.martPlan.output.find(_.name == n).get
-                val base = cond match {
-                  case Some(c) => Filter(c.transform {
-                    case a: AttributeReference if gs.exists(_.exprId == a.exprId) =>
-                      martAttr(a.name)
-                  }, reg.martPlan)
-                  case None => reg.martPlan
-                }
-                Project(outs.map(_.get), base)
-              case None => agg
+            served.map { case (reg, outs) =>
+              def martAttr(n: String): Attribute =
+                reg.martPlan.output.find(_.name == n).get
+              val base = cond match {
+                case Some(c) => Filter(c.transform {
+                  case a: AttributeReference if gs.exists(_.exprId == a.exprId) =>
+                    martAttr(a.name)
+                }, reg.martPlan)
+                case None => reg.martPlan
+              }
+              Project(outs.map(_.get), base)
             }
-          case _ => agg
+          case _ => None
         }
+        direct.orElse(joinAggRewrite(gs, aggExprs, child)).getOrElse(agg)
+      case j: Join => joinRewrite(j).getOrElse(j)
     }
   }
 }

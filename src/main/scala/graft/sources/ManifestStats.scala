@@ -310,6 +310,45 @@ object ManifestStats {
     if (cols.isEmpty) None else Some(FileStats(all.map(_.rowCount).sum, cols))
   }
 
+  /** Incremental rollup for APPEND-shaped commits — provably equal to
+    * recomputing [[rollup]] over base∪adds when the base rollup exists,
+    * at O(adds) instead of O(files): min-of-mins / max-of-maxes merge
+    * associatively, null/row counts add, and the tracked-column
+    * intersection composes ((∩base) ∩ (∩adds) = ∩all). None whenever
+    * any add lacks stats or the merged column set empties — the same
+    * keep-biased "no rollup" the full recompute would reach. The caller
+    * handles the base-rollup-absent case: absent stays absent under
+    * appends (a carried file without stats is still without stats, and
+    * adds can only SHRINK the column intersection). `schema` is the NEW
+    * version's physical schema; appends only widen it, and a column new
+    * to the schema cannot enter the rollup anyway (carried files don't
+    * track it). */
+  def mergeRollup(base: FileStats, adds: Seq[String],
+      stats: Map[String, FileStats], schema: Option[StructType]): Option[FileStats] = {
+    if (adds.isEmpty) return Some(base)
+    val fss = adds.map(stats.get)
+    if (fss.exists(_.isEmpty)) return None
+    // empty files contribute no bounds and no rows — rollup()'s rule
+    val nonEmpty = fss.flatten.filter(_.rowCount > 0)
+    if (nonEmpty.isEmpty) return Some(base)
+    val byType = schema.getOrElse(return None).fields.map(f => f.name -> f.dataType).toMap
+    val cols = base.cols.iterator.flatMap { case (c, bc) =>
+      if (!byType.contains(c) || !nonEmpty.forall(_.cols.contains(c))) None
+      else domainOf(byType(c)).map { dom =>
+        val acs = nonEmpty.map(_.cols(c))
+        val mins = bc.min.toSeq ++ acs.flatMap(_.min)
+        val maxs = bc.max.toSeq ++ acs.flatMap(_.max)
+        val mn = if (bc.min.isEmpty || acs.exists(_.min.isEmpty)) None
+          else Some(mins.min(Ordering.fromLessThan[String](dom.lt)))
+        val mx = if (bc.max.isEmpty || acs.exists(_.max.isEmpty)) None
+          else Some(maxs.max(Ordering.fromLessThan[String](dom.lt)))
+        c -> ColumnStats(mn, mx, bc.nullCount + acs.map(_.nullCount).sum, None)
+      }
+    }.toMap
+    if (cols.isEmpty) None
+    else Some(FileStats(base.rowCount + nonEmpty.map(_.rowCount).sum, cols))
+  }
+
   /** May any row of a (pseudo-)file with stats `fs` match `filter`?
     * The public face of [[mayMatch]] for table-level rollup tests —
     * same keep-bias, same transform translation, same column-mapping

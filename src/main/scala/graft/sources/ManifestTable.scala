@@ -191,7 +191,7 @@ object ManifestTable {
     * history, CDF, streams) is delta-oblivious. */
   private def manifestText(spark: SparkSession, root: String, version: Long): String = {
     val raw = rawText(spark, root, version)
-    if (!isDelta(raw)) raw
+    if (!isDelta(raw) && !isSegmented(raw)) raw
     else resolvedCached(root, version) {
       renderParsed(parsedAt(spark, root, version))
     }
@@ -208,7 +208,7 @@ object ManifestTable {
     * bounded by CheckpointInterval. */
   private def resolveParsedFromDisk(spark: SparkSession, root: String, version: Long): Parsed = {
     val raw = rawText(spark, root, version)
-    if (!isDelta(raw)) return parseFull(raw)
+    if (!isDelta(raw)) return parseStored(spark, root, raw)
     val chain = mutable.Buffer.empty[String] // deltas, newest first
     var v = version
     var full: String = null
@@ -226,7 +226,7 @@ object ManifestTable {
         else full = t
       }
     }
-    chain.reverseIterator.foldLeft(parseFull(full))(
+    chain.reverseIterator.foldLeft(parseStored(spark, root, full))(
       (st, d) => applyDeltaParsed(st, parseDelta(d)))
   }
 
@@ -334,20 +334,25 @@ object ManifestTable {
         m
       }
     }
-    def get(root: String, version: Long): V =
-      synchronized(inner(root).get(version.toString))
-    def put(root: String, version: Long, value: V): Unit =
-      synchronized { inner(root).put(version.toString, value); () }
-    def remove(root: String, version: Long): Unit =
-      synchronized { Option(roots.get(root)).foreach(_.remove(version.toString)); () }
+    def get(root: String, version: Long): V = getK(root, version.toString)
+    def put(root: String, version: Long, value: V): Unit = putK(root, version.toString, value)
+    def remove(root: String, version: Long): Unit = removeK(root, version.toString)
+    def getK(root: String, key: String): V =
+      synchronized(inner(root).get(key))
+    def putK(root: String, key: String, value: V): Unit =
+      synchronized { inner(root).put(key, value); () }
+    def removeK(root: String, key: String): Unit =
+      synchronized { Option(roots.get(root)).foreach(_.remove(key)); () }
     def clear(): Unit = synchronized(roots.clear())
     /** [[cachedIn]]'s contract: compute OUTSIDE the lock, racing
       * computes may both run and last-put wins (values are immutable). */
-    def getOrCompute(root: String, version: Long)(compute: => V): V = {
-      val hit = get(root, version)
+    def getOrCompute(root: String, version: Long)(compute: => V): V =
+      getOrComputeK(root, version.toString)(compute)
+    def getOrComputeK(root: String, key: String)(compute: => V): V = {
+      val hit = getK(root, key)
       if (hit != null) return hit
       val v = compute
-      put(root, version, v)
+      putK(root, key, v)
       v
     }
   }
@@ -371,6 +376,21 @@ object ManifestTable {
     * against this to find changed lines without serializing O(files). */
   private val statsMapCache = new PerRootLru[Map[String, ManifestStats.FileStats]](4, 64)
 
+  /** Decoded meta-map LRU beside [[statsMapCache]]: [[manifestMeta]] is
+    * called several times per commit (txn carry, carried-key filter,
+    * schema reads), and re-splitting every meta line each call is
+    * O(meta) string work per read — O(files) of it on row-tracked
+    * tables, whose `rowbase-*` entries scale with file count. */
+  private val metaMapCache = new PerRootLru[Map[String, String]](8, 64)
+
+  private def metaMapOf(root: String, version: Long, p: Parsed): Map[String, String] =
+    metaMapCache.getOrCompute(root, version) {
+      p.metaLines.valuesIterator
+        .map(_.stripPrefix(MetaPrefix).split("=", 2))
+        .collect { case Array(k, v) => k -> v }
+        .toMap
+    }
+
   /** Drop every in-JVM cache entry for (root, version) — called when a
     * manifest is DELETED from disk (vacuum), so same-JVM reads of a
     * dropped version fail like a fresh process's would instead of being
@@ -379,33 +399,53 @@ object ManifestTable {
     resolvedCache.remove(root, version)
     stateCache.remove(root, version)
     statsMapCache.remove(root, version)
+    metaMapCache.remove(root, version)
   }
 
   /** Test hook: drop EVERY in-JVM manifest cache (resolved text,
-    * structural state, decoded stats) to simulate a fresh process — a
-    * cold JVM resolving a vacuumed tip must go through the on-disk
-    * .checkpoint sidecar, not an in-memory leftover. */
+    * structural state, decoded stats/meta, segment files) to simulate a
+    * fresh process — a cold JVM resolving a vacuumed tip must go
+    * through the on-disk .checkpoint sidecar, not an in-memory
+    * leftover. */
   private[graft] def dropResolvedCacheForTest(): Unit = {
     resolvedCache.clear()
     stateCache.clear()
     statsMapCache.clear()
+    metaMapCache.clear()
+    segmentCache.clear()
   }
 
   private def resolvedCached(root: String, version: Long)(compute: => String): String =
     resolvedCache.getOrCompute(root, version)(compute)
 
   /** Structural pieces of a FULL manifest text (raw lines preserved so
-    * re-rendering is byte-exact). */
+    * re-rendering is byte-exact). `statsLines` is a plain hash map —
+    * render order comes from `files`, and a positional map here would
+    * make every per-file lookup O(files) (an O(files²) render at 10M
+    * entries). The second parameter list rides OUTSIDE equality:
+    * `segSource` is the storage-layout detail (which two-tier segment
+    * files this state's entries came from — see [[composeSegmented]]),
+    * never part of the semantic state the divergence gate compares. */
   private final case class Parsed(
       header: String,
       metaLines: Map[String, String], // meta key -> full "# meta:..." line
-      statsLines: scala.collection.immutable.ListMap[String, String], // stats path -> full line
-      files: Seq[String])
+      statsLines: Map[String, String], // stats path -> full line
+      files: Vector[String])(
+      val segSource: Option[Vector[Segment]])
+
+  /** One immutable two-tier segment file: a GROUP of file entries
+    * (paths + their stats lines) a checkpoint references by pointer —
+    * the Iceberg manifest-list idea. A segment never changes after
+    * write; checkpoints that keep all its members with unchanged stats
+    * carry the pointer and never re-list (let alone re-serialize) the
+    * group. */
+  private[sources] final case class Segment(
+      name: String, members: Vector[String], stats: Map[String, String])
 
   private def parseFull(text: String): Parsed = {
     val meta = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val stats = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val files = mutable.Buffer.empty[String]
+    val files = Vector.newBuilder[String]
     var header = ""
     text.linesIterator.foreach {
       case l if l.startsWith(MetaPrefix) =>
@@ -418,8 +458,7 @@ object ManifestTable {
       case l if l.trim.nonEmpty => files += l
       case _ =>
     }
-    Parsed(header, meta.toMap,
-      scala.collection.immutable.ListMap.from(stats), files.toSeq)
+    Parsed(header, meta.toMap, stats.toMap, files.result())(None)
   }
 
   /** A delta manifest's decoded actions (the READER's parse — the
@@ -468,13 +507,18 @@ object ManifestTable {
 
   /** Apply decoded delta actions over a base state — the structural
     * merge every resolution path shares (carried files keep base order,
-    * adds append; the delta contract). */
+    * adds append; the delta contract). Persistent-structure ops: cost is
+    * O(|delta|), never O(files) — the remove-free append path must not
+    * even WALK the carried file list (the guard below), or a streaming
+    * sink's per-commit CPU would scale with table size. */
   private def applyDeltaParsed(base: Parsed, d: DeltaParts): Parsed = {
-    val files = base.files.filterNot(d.removes) ++ d.adds
+    val files =
+      if (d.removes.isEmpty) base.files ++ d.adds
+      else base.files.filterNot(d.removes) ++ d.adds
     val meta = (base.metaLines -- d.metaMinus) ++ d.metaPlus
     val stats = (base.statsLines -- d.removes -- d.statsMinus) ++ d.statsPlus
     Parsed(s"# graft-manifest version=${d.version} op=${d.op}", meta,
-      scala.collection.immutable.ListMap.from(stats), files)
+      stats, files)(base.segSource)
   }
 
   /** Render a structural state back to FULL manifest text, exactly as
@@ -482,6 +526,7 @@ object ManifestTable {
     * stats in file order then the rollup, file list) — so
     * render∘parse is the identity on every composed manifest. */
   private def renderParsed(p: Parsed): String = {
+    ComposeMeters.fullBodies.incrementAndGet()
     val body = new StringBuilder(p.header).append('\n')
     p.metaLines.toSeq.sortBy(_._1).foreach { case (_, l) => body.append(l).append('\n') }
     p.files.foreach(f => p.statsLines.get(f).foreach(l => body.append(l).append('\n')))
@@ -490,12 +535,118 @@ object ManifestTable {
     body.toString
   }
 
-  /** Replay one delta over a resolved full text → the next full text.
-    * Kept for single-step replays; chain walks go through
-    * [[resolveParsedFromDisk]] (one parse, structural applies, one
-    * render) instead of paying a parse+render per step. */
-  private def applyDelta(baseFull: String, delta: String): String =
-    renderParsed(applyDeltaParsed(parseFull(baseFull), parseDelta(delta)))
+  // ---- two-tier segmented storage (Iceberg manifest-list shape) ----------
+
+  /** Entries per segment file, and the file count below which a full
+    * manifest stays INLINE text (segments only pay off when the flat
+    * render would dominate — small tables keep the dependency-free
+    * one-file form). Var so specs can exercise segmentation without
+    * staging thousands of real files; production default targets
+    * multi-MB segment files at ~100 B/entry. */
+  private[graft] var SegmentTargetSize: Int = 8192
+
+  private val SegPrefix = "# seg:"
+  private val SegHeader = "# graft-manifest-segment "
+
+  /** Is this stored manifest text the two-tier pointer form? */
+  private def isSegmented(text: String): Boolean = {
+    val nl = text.indexOf('\n')
+    val first = if (nl < 0) text else text.substring(0, nl)
+    first.startsWith("# graft-manifest ") && first.contains(" segs=1")
+  }
+
+  /** Segment-file LRU — segments are immutable and content-unique
+    * (uuid-named), so entries never go stale; a reader at v+10 re-reads
+    * only the segments that checkpoint rewrote. */
+  private val segmentCache = new PerRootLru[Segment](32, 64)
+
+  private def segmentPath(root: String, name: String): Path =
+    new Path(s"$root/$LogDir/$name")
+
+  private def loadSegment(spark: SparkSession, root: String, name: String,
+      expectCount: Int): Segment =
+    segmentCache.getOrComputeK(root, name) {
+      val f = fs(spark, root)
+      val in = f.open(segmentPath(root, name))
+      val raw =
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+        finally in.close()
+      val payload = verifyIntegrity(raw)
+      val stats = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      val members = Vector.newBuilder[String]
+      payload.linesIterator.foreach {
+        case l if l.startsWith(StatsPrefix) =>
+          val p = l.stripPrefix(StatsPrefix)
+          stats += java.net.URLDecoder.decode(
+            p.split('|')(0), StandardCharsets.UTF_8) -> l
+        case l if l.startsWith("#") =>
+        case l if l.trim.nonEmpty => members += l
+        case _ =>
+      }
+      val m = members.result()
+      if (m.size != expectCount) throw new CorruptManifest(
+        s"segment $name holds ${m.size} entries, manifest pointer expects $expectCount")
+      Segment(name, m, stats.toMap)
+    }
+
+  /** Write one immutable segment file (uuid-named — no claim needed;
+    * lost-race orphans are invisible and vacuumed). Stats lines are the
+    * ALREADY-SERIALIZED strings of the composed state — sealing a
+    * segment appends references, it never re-serializes entries. */
+  private def writeSegment(spark: SparkSession, root: String,
+      members: Seq[String], statsLines: Map[String, String]): Segment = {
+    val body = new StringBuilder(SegHeader).append("n=").append(members.size)
+      .append(" crc=1\n")
+    val segStats = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    members.foreach { m =>
+      statsLines.get(m).foreach { l => segStats += m -> l; body.append(l).append('\n') }
+    }
+    members.foreach(m => body.append(m).append('\n'))
+    val name = s"seg-${UUID.randomUUID()}.seg"
+    val f = fs(spark, root)
+    val out = f.create(segmentPath(root, name), false)
+    try out.write(withIntegrityTrailer(body.toString).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val seg = Segment(name, members.toVector, segStats.toMap)
+    segmentCache.putK(root, name, seg)
+    seg
+  }
+
+  /** Parse STORED manifest text — inline full form, or the two-tier
+    * pointer form (header ` segs=1`): meta + the table rollup stay
+    * inline, file entries resolve through the referenced segments. */
+  private def parseStored(spark: SparkSession, root: String, text: String): Parsed = {
+    if (!isSegmented(text)) return parseFull(text)
+    val payload = verifyIntegrity(text)
+    val meta = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val stats = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val refs = Vector.newBuilder[(String, Int)]
+    var version = 0L
+    var op = "unknown"
+    payload.linesIterator.next().stripPrefix("# graft-manifest ").split(' ').foreach {
+      case s if s.startsWith("version=") => version = s.stripPrefix("version=").toLong
+      case s if s.startsWith("op=") => op = s.stripPrefix("op=")
+      case _ =>
+    }
+    payload.linesIterator.drop(1).foreach {
+      case l if l.startsWith(MetaPrefix) =>
+        meta += l.stripPrefix(MetaPrefix).split("=", 2)(0) -> l
+      case l if l.startsWith(StatsPrefix) =>
+        val p = l.stripPrefix(StatsPrefix)
+        stats += java.net.URLDecoder.decode(
+          p.split('|')(0), StandardCharsets.UTF_8) -> l
+      case l if l.startsWith(SegPrefix) =>
+        val parts = l.stripPrefix(SegPrefix).split('|')
+        refs += parts(0) -> parts(1).toInt
+      case _ =>
+    }
+    val segs = refs.result().map { case (n, c) => loadSegment(spark, root, n, c) }
+    val files = segs.iterator.flatMap(_.members).toVector
+    val statsLines = segs.foldLeft(stats.toMap)((m, s) => m ++ s.stats)
+    Parsed(s"# graft-manifest version=$version op=$op",
+      meta.toMap, statsLines, files)(Some(segs))
+  }
 
   /** The tiered serialization point [[commit]] publishes through.
     *
@@ -526,19 +677,164 @@ object ManifestTable {
     * every checkpoint and full write via render∘parse identity. */
   private final case class ComposedManifest(
       body: String, state: Parsed,
-      statsMap: Option[Map[String, ManifestStats.FileStats]], isFull: Boolean)
+      statsMap: Option[Map[String, ManifestStats.FileStats]], isFull: Boolean,
+      metaMap: Option[Map[String, String]] = None)
+
+  /** Commit-path instrumentation (spec-read): inline full-body renders
+    * and per-file stats-line SERIALIZATIONS. The scale contract is that
+    * N streaming appends to a many-file table grow these by O(N·delta),
+    * never O(N·files) — the full per-file stats text is simply never
+    * materialized on the append path, checkpoints included. */
+  private[graft] object ComposeMeters {
+    val fullBodies = new java.util.concurrent.atomic.AtomicLong()
+    val statsLinesSerialized = new java.util.concurrent.atomic.AtomicLong()
+    def snapshot: (Long, Long) = (fullBodies.get, statsLinesSerialized.get)
+  }
+
+  /** The delta-action text — factored so the writer's encode is the
+    * byte-inverse of the reader's [[parseDelta]] by construction. */
+  private def renderDelta(next: Long, op: String,
+      metaPlus: Seq[(String, String)], metaMinus: Seq[String],
+      statsPlus: Seq[(String, String)], statsMinus: Seq[String],
+      removes: Seq[String], adds: Seq[String]): String = {
+    val d = new StringBuilder(s"${DeltaHeader}version=$next op=$op base=${next - 1} crc=1\n")
+    metaPlus.foreach { case (_, l) =>
+      d.append(MetaPlusPrefix).append(l.stripPrefix(MetaPrefix)).append('\n') }
+    metaMinus.foreach(k => d.append(MetaMinusPrefix).append(k).append('\n'))
+    statsPlus.foreach { case (_, l) =>
+      d.append(StatsPlusPrefix).append(l.stripPrefix(StatsPrefix)).append('\n') }
+    statsMinus.foreach(p => d.append(StatsMinusPrefix).append(p).append('\n'))
+    removes.foreach(p => d.append('-').append(p).append('\n'))
+    adds.foreach(p => d.append('+').append(p).append('\n'))
+    withIntegrityTrailer(d.toString)
+  }
+
+  /** The table rollup exactly as [[composeBody]] computes it (physical
+    * schema types the columns — stats are keyed by on-disk names). */
+  private def rollupOf(meta: Map[String, String], allFiles: Seq[String],
+      stats: Map[String, ManifestStats.FileStats]): Option[ManifestStats.FileStats] =
+    ManifestStats.rollup(allFiles, stats,
+      meta.get(SchemaKey).map(j => physicalSchema(
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])))
+
+  private def physicalSchemaOf(meta: Map[String, String]) =
+    meta.get(SchemaKey).map(j => physicalSchema(
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]))
+
+  /** Structural equivalent of [[composeBody]]: the full state of `next`
+    * with ZERO text rendering — the segmented branch's input when no
+    * base state exists to diff against. */
+  private def stateFor(next: Long, op: String, meta0: Map[String, String],
+      allFiles: Seq[String], stats: Map[String, ManifestStats.FileStats])
+      : (Parsed, Map[String, ManifestStats.FileStats], Map[String, String]) = {
+    val meta = normalizeMeta(meta0, allFiles)
+    val metaLines = meta.map { case (k, v) => k -> s"$MetaPrefix$k=$v" }
+    val statsLines = scala.collection.mutable.HashMap.empty[String, String]
+    val statsMap = scala.collection.mutable.HashMap.empty[String, ManifestStats.FileStats]
+    allFiles.foreach { p =>
+      stats.get(p).foreach { fsNew =>
+        statsMap += p -> fsNew
+        statsLines += p -> (StatsPrefix + ManifestStats.serialize(p, fsNew))
+        ComposeMeters.statsLinesSerialized.incrementAndGet()
+      }
+    }
+    rollupOf(meta, allFiles, stats).foreach { r =>
+      statsMap += ManifestStats.RollupKey -> r
+      statsLines += ManifestStats.RollupKey ->
+        (StatsPrefix + ManifestStats.serialize(ManifestStats.RollupKey, r))
+    }
+    (Parsed(s"# graft-manifest version=$next op=$op", metaLines,
+      statsLines.toMap, allFiles.toVector)(None), statsMap.toMap, meta)
+  }
+
+  /** Store a FULL-form version from its composed state: inline flat
+    * text below the segment threshold (one dependency-free file), the
+    * two-tier pointer form above it. */
+  private def composeStoredFull(spark: SparkSession, root: String, next: Long,
+      op: String, state: Parsed, segSource: Option[Vector[Segment]],
+      statsMap: Option[Map[String, ManifestStats.FileStats]],
+      metaMap: Option[Map[String, String]]): ComposedManifest =
+    if (state.files.size < SegmentTargetSize) {
+      val body = renderParsed(state)
+      ComposedManifest(body, parseFull(body), statsMap, isFull = true, metaMap)
+    } else composeSegmented(spark, root, next, op, state, segSource, statsMap, metaMap)
+
+  /** The TWO-TIER full form (Iceberg's manifest-list shape in the
+    * repo's text format): carry every untouched base segment by
+    * POINTER, rewrite only segments that lost members or changed stats,
+    * seal the unsegmented tail (everything appended since the last
+    * segmented full) into fresh segments. Checkpoint string work is
+    * O(delta + touched segments + #segments + meta), never O(files) —
+    * the per-commit map walks stay cheap struct compares, and the
+    * every-Nth-version gigabyte string build this replaces simply never
+    * happens. Known cost left inline: row-tracked tables keep one
+    * `rowbase-*` meta LINE per file in the pointer body (per-file meta
+    * belongs in segments too — the documented next tier). */
+  private def composeSegmented(spark: SparkSession, root: String, next: Long,
+      op: String, state: Parsed, segSource: Option[Vector[Segment]],
+      statsMap: Option[Map[String, ManifestStats.FileStats]],
+      metaMap: Option[Map[String, String]]): ComposedManifest = {
+    val fileSet = state.files.toSet
+    val covered = new java.util.HashSet[String]()
+    val out = Vector.newBuilder[Segment]
+    segSource.getOrElse(Vector.empty).foreach { s =>
+      val intact = s.members.forall(m =>
+        fileSet.contains(m) && state.statsLines.get(m) == s.stats.get(m))
+      if (intact) { out += s; s.members.foreach(covered.add) }
+      else {
+        val survivors = s.members.filter(fileSet.contains)
+        if (survivors.nonEmpty) {
+          out += writeSegment(spark, root, survivors, state.statsLines)
+          survivors.foreach(covered.add)
+        }
+      }
+    }
+    val tail = state.files.filterNot(covered.contains)
+    tail.grouped(SegmentTargetSize).foreach(g =>
+      out += writeSegment(spark, root, g, state.statsLines))
+    var segs = out.result()
+    // order guard: the flattened segments MUST reproduce the state's
+    // file order exactly (a removed-then-re-added path — restore — would
+    // otherwise surface at its OLD position); reseal from scratch when
+    // they don't. O(files) reference-equality compare, checkpoint-time.
+    if (segs.iterator.flatMap(_.members).toVector != state.files)
+      segs = state.files.grouped(SegmentTargetSize)
+        .map(g => writeSegment(spark, root, g, state.statsLines)).toVector
+    val body = new StringBuilder(
+      s"# graft-manifest version=$next op=$op segs=1 crc=1\n")
+    state.metaLines.toSeq.sortBy(_._1).foreach { case (_, l) =>
+      body.append(l).append('\n') }
+    state.statsLines.get(ManifestStats.RollupKey).foreach(l =>
+      body.append(l).append('\n'))
+    segs.foreach(s => body.append(SegPrefix).append(s.name).append('|')
+      .append(s.members.size).append('\n'))
+    ComposedManifest(withIntegrityTrailer(body.toString),
+      Parsed(state.header, state.metaLines, state.statsLines, state.files)(Some(segs)),
+      statsMap, isFull = false, metaMap)
+  }
 
   private def composeTiered(spark: SparkSession, root: String, next: Long,
-      op: String, meta0: Map[String, String], allFiles: Seq[String],
-      stats: Map[String, ManifestStats.FileStats]): ComposedManifest = {
+      op: String, meta0: Map[String, String], baseFiles: Seq[String],
+      newFiles: Seq[String], stats: Map[String, ManifestStats.FileStats],
+      appendShaped: Boolean): ComposedManifest = {
 
     def composeFull(): ComposedManifest = {
-      val f = composeBody(next, op, meta0, allFiles, stats)
-      ComposedManifest(f, parseFull(f), None, isFull = true)
+      val allFiles = baseFiles ++ newFiles
+      if (allFiles.size < SegmentTargetSize) {
+        val f = composeBody(next, op, meta0, allFiles, stats)
+        ComposedManifest(f, parseFull(f), None, isFull = true)
+      } else {
+        val (st, sm, mm) = stateFor(next, op, meta0, allFiles, stats)
+        val segSrc = Option(stateCache.get(root, next - 1)).flatMap(_.segSource)
+        composeSegmented(spark, root, next, op, st, segSrc, Some(sm), Some(mm))
+      }
     }
 
     if (next <= 1) return composeFull()
-    if (next % CheckpointInterval == 0) {
+    val isCkpt = next % CheckpointInterval == 0
+    if (isCkpt) {
       // divergence gate at the natural O(files) point: the state this
       // writer maintained incrementally for version-1 must equal what
       // the PUBLISHED chain replays to from disk — a wrong delta can
@@ -560,18 +856,87 @@ object ManifestTable {
           s"tiered-log divergence at $root v${next - 1}: the writer's incremental " +
             "state does not match the published delta chain — refusing to commit"))
       }
-      return composeFull()
     }
     val base =
       try parsedAt(spark, root, next - 1)
       catch { case _: Exception => return composeFull() }
+
+    // ---- FAST path: append-shaped commits (the streaming hot path) ----
+    // The op declared "carried files are the base verbatim, new files
+    // append, carried stats untouched" — verified by reference identity
+    // against the base state — so the new state derives with O(delta)
+    // work total: no file-set diff, no stats walk, no rollup fold, no
+    // full-meta re-validation. The reader-roundtrip gate compares the
+    // decoded delta ACTIONS (O(delta)); writer-state drift beyond that
+    // is what the checkpoint divergence gate exists to catch.
+    if (appendShaped && (baseFiles eq base.files)) {
+      val adds = newFiles.toVector
+      val baseMeta = metaMapOf(root, next - 1, base)
+      val newMetaMap = normalizeMetaAppend(meta0, adds, baseMeta)
+      val metaPlus = newMetaMap.iterator
+        .filter { case (k, v) => !baseMeta.get(k).contains(v) }
+        .map { case (k, v) => k -> s"$MetaPrefix$k=$v" }
+        .toSeq.sortBy(_._1)
+      val metaMinus = (baseMeta.keySet -- newMetaMap.keySet).toSeq.sorted
+      val statsPlusAdds = adds.flatMap(p => stats.get(p).map { fsNew =>
+        ComposeMeters.statsLinesSerialized.incrementAndGet()
+        p -> (StatsPrefix + ManifestStats.serialize(p, fsNew))
+      })
+      val baseStats = rawStatsOf(root, next - 1, base)
+      val newRollup: Option[ManifestStats.FileStats] =
+        if (base.files.isEmpty) rollupOf(newMetaMap, adds, stats)
+        else baseStats.get(ManifestStats.RollupKey) match {
+          case Some(br) => ManifestStats.mergeRollup(
+            br, adds, stats, physicalSchemaOf(newMetaMap))
+          // an absent rollup stays absent under appends: it was absent
+          // because some carried file lacks stats (still does) or no
+          // tracked column survived the intersection (appending files
+          // can only shrink it) — recomputing O(files) proves the same
+          case None => None
+        }
+      val oldRollupLine = base.statsLines.get(ManifestStats.RollupKey)
+      val newRollupLine = newRollup.map(r =>
+        StatsPrefix + ManifestStats.serialize(ManifestStats.RollupKey, r))
+      val statsPlus = statsPlusAdds ++ (newRollupLine match {
+        case Some(l) if !oldRollupLine.contains(l) => Seq(ManifestStats.RollupKey -> l)
+        case _ => Nil
+      })
+      val statsMinus: Seq[String] =
+        if (newRollupLine.isEmpty && oldRollupLine.isDefined) Seq(ManifestStats.RollupKey)
+        else Nil
+      val parts = DeltaParts(next, op, metaPlus, metaMinus,
+        statsPlus, statsMinus, adds, Set.empty)
+      val newState = applyDeltaParsed(base, parts)
+      val newStatsMap = {
+        val withAdds = adds.foldLeft(baseStats - ManifestStats.RollupKey)(
+          (m, p) => stats.get(p).fold(m)(fsN => m + (p -> fsN)))
+        newRollup.fold(withAdds)(r => withAdds + (ManifestStats.RollupKey -> r))
+      }
+      if (isCkpt) return composeStoredFull(spark, root, next, op, newState,
+        base.segSource, Some(newStatsMap), Some(newMetaMap))
+      val delta = renderDelta(next, op, metaPlus, metaMinus,
+        statsPlus, statsMinus, Nil, adds)
+      // gate (1): the reader's decode of this delta must reproduce the
+      // intended ACTIONS exactly — encode/decode asymmetries degrade to
+      // a full write, never a wrong manifest
+      if (parseDelta(delta) != parts) return composeFull()
+      return ComposedManifest(delta, newState, Some(newStatsMap),
+        isFull = false, Some(newMetaMap))
+    }
+
+    // ---- structural path: everything else (rewrites, metadata ops) ----
+    // O(files) cheap struct compares against the cached base, O(delta)
+    // serialization — these ops rewrite or re-derive table-wide state
+    // anyway, so the walk is proportional to what they touched.
+    val allFiles = baseFiles ++ newFiles
     val newMetaMap = normalizeMeta(meta0, allFiles)
     val metaLines = newMetaMap.map { case (k, v) => k -> s"$MetaPrefix$k=$v" }
     val baseSet = base.files.toSet
     val curSet = allFiles.toSet
     val adds = allFiles.filterNot(baseSet)
     val removes = base.files.filterNot(curSet)
-    if (allFiles != base.files.filter(curSet) ++ adds) return composeFull()
+    val deltaShaped = allFiles == base.files.filter(curSet) ++ adds
+    if (!deltaShaped && !isCkpt) return composeFull()
     // stats lines of the NEW state: carried entries with unchanged
     // parsed stats reuse the base line; changed/new entries serialize
     // fresh — O(delta) serialization, O(files) cheap struct compares
@@ -584,21 +949,23 @@ object ManifestTable {
         statsLines += p -> (
           if (baseStats.get(p).contains(fsNew) && base.statsLines.contains(p))
             base.statsLines(p)
-          else StatsPrefix + ManifestStats.serialize(p, fsNew))
+          else {
+            ComposeMeters.statsLinesSerialized.incrementAndGet()
+            StatsPrefix + ManifestStats.serialize(p, fsNew)
+          })
       }
     }
     // the table rollup, recomputed exactly as composeBody recomputes it
-    ManifestStats.rollup(allFiles, stats,
-      newMetaMap.get(SchemaKey).map(j => physicalSchema(
-        org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])))
+    rollupOf(newMetaMap, allFiles, stats)
       .foreach { r =>
         newStatsMap += ManifestStats.RollupKey -> r
         statsLines += ManifestStats.RollupKey ->
           (StatsPrefix + ManifestStats.serialize(ManifestStats.RollupKey, r))
       }
     val newState = Parsed(s"# graft-manifest version=$next op=$op",
-      metaLines, scala.collection.immutable.ListMap.from(statsLines), allFiles)
+      metaLines, statsLines.toMap, allFiles.toVector)(base.segSource)
+    if (isCkpt || !deltaShaped) return composeStoredFull(spark, root, next, op,
+      newState, base.segSource, Some(newStatsMap.toMap), Some(newMetaMap))
     val metaPlus = metaLines.filter { case (k, l) => !base.metaLines.get(k).contains(l) }
     val metaMinus = base.metaLines.keySet -- metaLines.keySet
     val statsPlus = statsLines.filter { case (k, l) => !base.statsLines.get(k).contains(l) }
@@ -606,22 +973,18 @@ object ManifestTable {
     val deltaLines = adds.size + removes.size + metaPlus.size + metaMinus.size +
       statsPlus.size + statsMinus.size
     if (deltaLines >= allFiles.size + statsLines.size + metaLines.size)
-      return composeFull()
-    val d = new StringBuilder(s"${DeltaHeader}version=$next op=$op base=${next - 1} crc=1\n")
-    metaPlus.toSeq.sortBy(_._1).foreach { case (_, l) =>
-      d.append(MetaPlusPrefix).append(l.stripPrefix(MetaPrefix)).append('\n') }
-    metaMinus.toSeq.sorted.foreach(k => d.append(MetaMinusPrefix).append(k).append('\n'))
-    statsPlus.foreach { case (_, l) =>
-      d.append(StatsPlusPrefix).append(l.stripPrefix(StatsPrefix)).append('\n') }
-    statsMinus.toSeq.sorted.foreach(p => d.append(StatsMinusPrefix).append(p).append('\n'))
-    removes.foreach(p => d.append('-').append(p).append('\n'))
-    adds.foreach(p => d.append('+').append(p).append('\n'))
-    val delta = withIntegrityTrailer(d.toString)
+      return composeStoredFull(spark, root, next, op, newState,
+        base.segSource, Some(newStatsMap.toMap), Some(newMetaMap))
+    val delta = renderDelta(next, op,
+      metaPlus.toSeq.sortBy(_._1), metaMinus.toSeq.sorted,
+      statsPlus.toSeq, statsMinus.toSeq.sorted, removes, adds)
     // gate (1): the reader's decode of this delta, applied with the
     // reader's merge, must reproduce the intended state EXACTLY
     val replay = applyDeltaParsed(base, parseDelta(delta))
-    if (replay != newState) return composeFull()
-    ComposedManifest(delta, newState, Some(newStatsMap.toMap), isFull = false)
+    if (replay != newState) return composeStoredFull(spark, root, next, op,
+      newState, base.segSource, Some(newStatsMap.toMap), Some(newMetaMap))
+    ComposedManifest(delta, newState, Some(newStatsMap.toMap),
+      isFull = false, Some(newMetaMap))
   }
 
   /** The file list a given version names (root-relative paths). */
@@ -633,10 +996,7 @@ object ManifestTable {
     * pipeline's input-state fingerprint can never be newer or older than
     * the data it describes. */
   def manifestMeta(spark: SparkSession, root: String, version: Long): Map[String, String] =
-    parsedAt(spark, root, version).metaLines.valuesIterator
-      .map(_.stripPrefix(MetaPrefix).split("=", 2))
-      .collect { case Array(k, v) => k -> v }
-      .toMap
+    metaMapOf(root, version, parsedAt(spark, root, version))
 
   /** The op recorded in a version's manifest header (commit or delta). */
   private def opAt(spark: SparkSession, root: String, version: Long): String =
@@ -1844,7 +2204,8 @@ object ManifestTable {
       newFiles: Seq[String],
       base: Long => Seq[String],
       metaAt: Long => Map[String, String],
-      statsAt: Long => Map[String, ManifestStats.FileStats] = _ => Map.empty): Long = {
+      statsAt: Long => Map[String, ManifestStats.FileStats] = _ => Map.empty,
+      appendShaped: Boolean = false): Long = {
     val f = fs(spark, root)
     f.mkdirs(new Path(s"$root/$LogDir"))
     var attempt = 0
@@ -1856,8 +2217,8 @@ object ManifestTable {
       // like the file base — an append's widened schema must widen the
       // WINNER's schema, not the one this committer first read
       val meta = metaWithTxnCarry(spark, root, tip, metaAt(tip))
-      val cm =
-        composeTiered(spark, root, next, op, meta, base(tip) ++ newFiles, statsAt(tip))
+      val cm = composeTiered(spark, root, next, op, meta,
+        base(tip), newFiles, statsAt(tip), appendShaped)
       // the atomic publish: rename refuses an existing destination, so
       // exactly one of two racing committers wins version `next`
       if (publishRaw(spark, root, next, cm.body)) {
@@ -1867,6 +2228,8 @@ object ManifestTable {
         stateCache.put(root, next, cm.state)
         cm.statsMap.foreach(m =>
           statsMapCache.put(root, next, m))
+        cm.metaMap.foreach(m =>
+          metaMapCache.put(root, next, m))
         if (cm.isFull) resolvedCached(root, next)(cm.body)
         return next
       }
@@ -1921,6 +2284,33 @@ object ManifestTable {
     meta
   }
 
+  /** [[normalizeMeta]] specialized to the APPEND shape so the fast path
+    * stays O(delta): every carried file already holds its rowbase entry
+    * (each committed manifest's normalization guaranteed that), nothing
+    * is dropped, so fresh row-id blocks allocate over the ADDS alone —
+    * provably the same seqs the full walk would assign, because carried
+    * keys fall out of its `filterNot(meta0.contains)` anyway. Line
+    * safety re-validates only entries whose value CHANGED vs the base
+    * (carried entries were validated when first committed). */
+  private def normalizeMetaAppend(meta0: Map[String, String], adds: Seq[String],
+      baseMeta: Map[String, String]): Map[String, String] = {
+    val meta =
+      if (!meta0.get(RowTrackingKey).contains("on")) meta0
+      else {
+        var high = meta0.get(RowIdHighKey).map(_.toLong).getOrElse(0L)
+        val fresh = adds.map(f => RowBasePrefix + dvFileKey(f))
+          .distinct.sorted.filterNot(meta0.contains)
+          .map { k => val b = high * RowIdShift; high += 1; k -> b.toString }
+        meta0 ++ fresh + (RowIdHighKey -> high.toString)
+      }
+    meta.foreach { case (k, v) =>
+      if (!baseMeta.get(k).contains(v))
+        require(!k.contains("=") && !(k + v).exists(c => c == '\n' || c == '\r'),
+          s"manifest meta key/value must be line-safe and '='-free: $k")
+    }
+    meta
+  }
+
   private[sources] def composeBody(next: Long, op: String,
       meta0: Map[String, String], allFiles: Seq[String],
       stats: Map[String, ManifestStats.FileStats]): String = {
@@ -1928,6 +2318,7 @@ object ManifestTable {
     // point ([[normalizeMeta]]), so every write path — including
     // [[ManifestCatalog]]'s staged transaction bodies, which bypass
     // [[commit]] — allocates the same way.
+    ComposeMeters.fullBodies.incrementAndGet()
     val meta = normalizeMeta(meta0, allFiles)
     val body = new StringBuilder(s"# graft-manifest version=$next op=$op\n")
     meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
@@ -1937,8 +2328,10 @@ object ManifestTable {
     // not in this manifest (e.g. dropped by a racing overwrite the
     // retry landed on) are silently irrelevant and omitted
     allFiles.foreach { p =>
-      stats.get(p).foreach(fs =>
-        body.append(StatsPrefix).append(ManifestStats.serialize(p, fs)).append('\n'))
+      stats.get(p).foreach { fs =>
+        ComposeMeters.statsLinesSerialized.incrementAndGet()
+        body.append(StatsPrefix).append(ManifestStats.serialize(p, fs)).append('\n')
+      }
     }
     // table-level rollup, recomputed HERE at the single serialization
     // choke point from exactly this manifest's files — a stale rollup
@@ -2095,7 +2488,7 @@ object ManifestTable {
       statsColumns: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil): Long = {
     val (nf, b, m, st) = prepareAppend(spark, root, df, meta, statsColumns, bloomColumns)
-    commit(spark, root, "append", nf, b, m, st)
+    commit(spark, root, "append", nf, b, m, st, appendShaped = true)
   }
 
   /** Everything [[append]] does BEFORE the publish — data staged, checks
@@ -3337,7 +3730,15 @@ object ManifestTable {
     keep.headOption.foreach { oldest =>
       if (drop.nonEmpty && isDelta(rawText(spark, root, oldest)) &&
           !f.exists(checkpointPath(root, oldest))) {
-        val resolved = manifestText(spark, root, oldest)
+        // materialize in STORED form: inline flat text below the segment
+        // threshold, the two-tier pointer body above it (reusing every
+        // live segment — the sidecar of a 10M-file table is pointer
+        // lines, not a gigabyte string)
+        val st = parsedAt(spark, root, oldest)
+        val resolved =
+          if (st.files.size < SegmentTargetSize) manifestText(spark, root, oldest)
+          else composeSegmented(spark, root, oldest, opAt(spark, root, oldest),
+            st, st.segSource, None, None).body
         val tmp = new Path(s"$root/$LogDir/.tmp-${UUID.randomUUID()}")
         val out = f.create(tmp, false)
         try out.write(resolved.getBytes(StandardCharsets.UTF_8))
@@ -3384,6 +3785,35 @@ object ManifestTable {
             s.isFile && !s.getPath.getName.startsWith("_"))
           f.delete(d.getPath, true)
         }
+      }
+    }
+    // two-tier segments GC like data files: a segment no retained
+    // manifest or sidecar references is reclaimed — superseded by a
+    // checkpoint that rewrote it, dropped with its versions, or
+    // orphaned by a lost commit race.
+    def segNamesOf(text: String): Seq[String] =
+      if (!isSegmented(text)) Nil
+      else text.linesIterator.collect {
+        case l if l.startsWith(SegPrefix) => l.stripPrefix(SegPrefix).split('|')(0)
+      }.toSeq
+    val refSegs: Set[String] = keep.iterator.flatMap { v =>
+      val fromManifest = segNamesOf(rawText(spark, root, v))
+      val ck = checkpointPath(root, v)
+      val fromSidecar =
+        if (!f.exists(ck)) Nil
+        else {
+          val in = f.open(ck)
+          try segNamesOf(new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8))
+          finally in.close()
+        }
+      fromManifest ++ fromSidecar
+    }.toSet
+    f.listStatus(new Path(s"$root/$LogDir")).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("seg-") && n.endsWith(".seg") && !refSegs.contains(n)) {
+        f.delete(s.getPath, false)
+        segmentCache.removeK(root, n)
       }
     }
     deleted

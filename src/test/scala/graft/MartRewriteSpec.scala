@@ -476,4 +476,71 @@ class MartRewriteSpec extends SparkSpec {
       assert(served === direct, "maintained minmax mart must equal the fresh truth")
     } finally MartRewrite.deregister(fact)
   }
+
+  test("composed join-agg routing: groupBy over A⋈B serves from the agg mart OVER the join mart, through a MOR window") {
+    val a = freshRoot("mv8_a")
+    val b = freshRoot("mv8_b")
+    val jmart = freshRoot("mv8_jmart")
+    val amart = freshRoot("mv8_amart")
+    val customer = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+    def name(p: String) = new java.io.File(p).getName
+    ManifestTable.create(spark, a, orders.filter(col("o_orderkey") % 3 === 0))
+    ManifestTable.enableRowTracking(spark, a) // purge-dv window needs id-preserving feed
+    ManifestTable.create(spark, b, customer)
+    LakeOps.maintainJoinAggAndReregister(spark, a, b, jmart, amart,
+      "o_custkey", "c_custkey", "c_mktsegment", "o_totalprice")
+    // non-append window: the total feed maintains the join mart through
+    // the MOR delete, and the agg mart follows the join mart's own feed;
+    // the purge materializes the vector so the tip scan is bare files
+    // again (a LIVE DV is an anti-join above the scan — rewrites refuse
+    // while it stands, the documented MV contract)
+    ManifestTable.append(spark, a, orders.filter(col("o_orderkey") % 3 === 1))
+    ManifestTable.deleteMor(spark, a, col("o_orderkey") % 9 === 0)
+    ManifestTable.purgeDeletes(spark, a)
+    LakeOps.maintainJoinAggAndReregister(spark, a, b, jmart, amart,
+      "o_custkey", "c_custkey", "c_mktsegment", "o_totalprice")
+    try {
+      def joined = ManifestTable.read(spark, a)
+        .join(ManifestTable.read(spark, b), col("o_custkey") === col("c_custkey"))
+      val truth = orders
+        .filter(col("o_orderkey") % 3 =!= 2 && col("o_orderkey") % 9 =!= 0)
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), ExactSums.dsum(col("o_totalprice")).as("t"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val q = joined.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), ExactSums.dsum(col("o_totalprice")).as("t"))
+      val leaves = scansUnder(q)
+      assert(leaves.exists(_.contains(name(amart))),
+        s"the join-agg must scan the AGG mart:\n${q.queryExecution.executedPlan}")
+      assert(!leaves.exists(l => l.contains(name(a)) || l.contains(name(b)) ||
+        l.contains(name(jmart))),
+        "neither fact nor the join mart may be scanned for the composed aggregate")
+      assert(q.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2))).toSet === truth,
+        "agg-mart-served values must equal the from-scratch join-agg")
+      // the BARE join still routes one tier down, to the join mart
+      val bj = scansUnder(joined)
+      assert(bj.exists(_.contains(name(jmart))) && !bj.exists(_.contains(name(amart))))
+      // a side-filtered join-agg refuses the composition (group
+      // preservation across a join is unproven) — it rides the join
+      // mart instead, never the agg mart
+      val filtered = ManifestTable.read(spark, a).filter(col("o_totalprice") > 0)
+        .join(ManifestTable.read(spark, b), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      val fl = scansUnder(filtered)
+      assert(!fl.exists(_.contains(name(amart))),
+        "a filtered join-agg must not serve from the agg mart")
+      assert(fl.exists(_.contains(name(jmart))),
+        "the filtered join itself still routes to the join mart")
+      // a different grouping key refuses the agg mart but keeps the join rewrite
+      val other = joined.groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+      val ol = scansUnder(other)
+      assert(!ol.exists(_.contains(name(amart))) && ol.exists(_.contains(name(jmart))))
+    } finally {
+      MartRewrite.deregister(a)
+      MartRewrite.deregister(b)
+      MartRewrite.deregister(jmart)
+    }
+  }
 }

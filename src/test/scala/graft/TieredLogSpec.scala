@@ -206,6 +206,118 @@ class TieredLogSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root).count() > 0L)
   }
 
+  test("two-tier checkpoints: N streaming appends to a many-file table never materialize the full per-file stats text") {
+    val root = freshRoot()
+    val saved = ManifestTable.SegmentTargetSize
+    ManifestTable.SegmentTargetSize = 8 // exercise segmentation without staging thousands of files
+    try {
+      val slices = orders.randomSplit(Array.fill(12)(1.0), seed = 17)
+      // v1 (create) lands 10 files — at/over the threshold, so even the
+      // CREATE snapshot stores as segment pointers
+      ManifestTable.create(spark, root, slices(0).repartition(10),
+        statsColumns = Seq("o_orderkey"))
+      assert(rawHead(root, 1L).contains(" segs=1"),
+        "a many-file full manifest must store in the two-tier pointer form")
+      val (fulls0, ser0) = ManifestTable.ComposeMeters.snapshot
+      // v2..v11: single-file streaming appends ACROSS the v10 checkpoint
+      (1 to 10).foreach(i =>
+        ManifestTable.append(spark, root, slices(i).coalesce(1),
+          statsColumns = Seq("o_orderkey")))
+      val (fulls1, ser1) = ManifestTable.ComposeMeters.snapshot
+      // THE scale contract: no inline full body was ever rendered, and
+      // stats serialization tracked the ADDS (one line per appended
+      // file), not O(appends × files)
+      assert(fulls1 - fulls0 === 0L,
+        "streaming appends must never render a full manifest body, checkpoint included")
+      assert(ser1 - ser0 === 10L,
+        s"appends must serialize one stats line per added file, got ${ser1 - ser0}")
+      // the v10 checkpoint stored as pointers and CARRIED v1's segments
+      // verbatim — unchanged groups are never re-listed
+      assert(rawHead(root, 10L).contains(" segs=1"))
+      def segNames(v: Long): Set[String] = {
+        val src = scala.io.Source.fromFile(
+          Paths.get(root, "_graft_log", f"v$v%08d.manifest").toFile)
+        try src.getLines().collect {
+          case l if l.startsWith("# seg:") => l.stripPrefix("# seg:").split('|')(0)
+        }.toSet finally src.close()
+      }
+      assert(segNames(1L).subsetOf(segNames(10L)),
+        "an untouched segment must be carried by pointer, not rewritten")
+      // reader equivalence, warm and COLD (fresh process resolves the
+      // pointer form + delta chain from disk alone)
+      val expect = (0 to 10).map(slices(_).count()).sum
+      assert(ManifestTable.read(spark, root).count() === expect)
+      ManifestTable.dropResolvedCacheForTest()
+      assert(ManifestTable.read(spark, root).count() === expect)
+      assert(ManifestTable.read(spark, root, Some(10L)).count() ===
+        (0 to 9).map(slices(_).count()).sum, "time travel through a segmented checkpoint")
+      // stats skipping works off the segment-resolved manifest
+      val (_, dropped, _) = ManifestTable.pruneFiles(spark, root, col("o_orderkey") === -1L)
+      assert(dropped.nonEmpty, "rollup/stats must prune through segments")
+      assert(ManifestTable.history(spark, root).last.rowCount === Some(expect))
+      // vacuum: the sidecar materializes in pointer form, referenced
+      // segments survive, unreferenced ones (and planted orphans) GC
+      val orphan = Paths.get(root, "_graft_log", "seg-orphan-test.seg")
+      Files.write(orphan, "# graft-manifest-segment n=0\n".getBytes)
+      ManifestTable.vacuum(spark, root, keepVersions = 1)
+      assert(!orphan.toFile.exists(), "unreferenced segments must be vacuumed")
+      ManifestTable.dropResolvedCacheForTest()
+      assert(ManifestTable.read(spark, root).count() === expect,
+        "a cold process must resolve the vacuumed tip through its segmented sidecar")
+    } finally ManifestTable.SegmentTargetSize = saved
+  }
+
+  test("two-tier order guard: a remove-then-re-add (double restore) cannot resurface files at their old segment position") {
+    val root = freshRoot()
+    val saved = ManifestTable.SegmentTargetSize
+    ManifestTable.SegmentTargetSize = 4
+    try {
+      val slices = orders.randomSplit(Array.fill(10)(1.0), seed = 19)
+      ManifestTable.create(spark, root, slices(0).repartition(5),
+        statsColumns = Seq("o_orderkey"))
+      (1 to 4).foreach(i =>
+        ManifestTable.append(spark, root, slices(i).coalesce(1),
+          statsColumns = Seq("o_orderkey")))
+      val v5 = 5L
+      val atV5 = ManifestTable.read(spark, root, Some(v5)).count()
+      ManifestTable.restore(spark, root, 1L) // v6: drops the appended files
+      ManifestTable.restore(spark, root, v5) // v7: RE-ADDS them (at the tail)
+      assert(ManifestTable.read(spark, root).count() === atV5)
+      // push across the next checkpoint so the segmented compose must
+      // handle members that moved relative to their old segment
+      (5 to 8).foreach(i =>
+        ManifestTable.append(spark, root, slices(i).coalesce(1),
+          statsColumns = Seq("o_orderkey")))
+      val expect = atV5 + (5 to 8).map(slices(_).count()).sum
+      assert(ManifestTable.read(spark, root).count() === expect)
+      ManifestTable.dropResolvedCacheForTest()
+      assert(ManifestTable.read(spark, root).count() === expect,
+        "cold resolution must agree after restores crossed a segment boundary")
+      assert(ManifestTable.history(spark, root).last.rowCount === Some(expect))
+    } finally ManifestTable.SegmentTargetSize = saved
+  }
+
+  test("a corrupted segment file fails loudly at the read (integrity trailer)") {
+    val root = freshRoot()
+    val saved = ManifestTable.SegmentTargetSize
+    ManifestTable.SegmentTargetSize = 4
+    try {
+      ManifestTable.create(spark, root, orders.limit(500).repartition(6),
+        statsColumns = Seq("o_orderkey"))
+      val segs = Paths.get(root, "_graft_log").toFile.listFiles()
+        .filter(f => f.getName.startsWith("seg-") && f.getName.endsWith(".seg"))
+      assert(segs.nonEmpty)
+      val victim = segs.head.toPath
+      val good = new String(Files.readAllBytes(victim), java.nio.charset.StandardCharsets.UTF_8)
+      Files.write(victim, good.replaceFirst("(?m)^data/", "data/CORRUPT-")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.deleteIfExists(victim.resolveSibling("." + victim.getFileName + ".crc"))
+      ManifestTable.dropResolvedCacheForTest()
+      val e = intercept[IllegalStateException](ManifestTable.read(spark, root).count())
+      assert(e.getMessage.contains("integrity"), e.getMessage)
+    } finally ManifestTable.SegmentTargetSize = saved
+  }
+
   test("deltas ride every surface: stats pruning, DV, row tracking, CDF, and streams resolve through the chain") {
     val root = freshRoot()
     val half = orders.filter(col("o_orderkey") % 2 === 0)
