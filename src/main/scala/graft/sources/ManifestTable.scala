@@ -434,13 +434,17 @@ object ManifestTable {
       val segSource: Option[Vector[Segment]])
 
   /** One immutable two-tier segment file: a GROUP of file entries
-    * (paths + their stats lines) a checkpoint references by pointer —
-    * the Iceberg manifest-list idea. A segment never changes after
-    * write; checkpoints that keep all its members with unchanged stats
-    * carry the pointer and never re-list (let alone re-serialize) the
-    * group. */
+    * (paths + their stats lines + their PER-FILE meta lines — the
+    * `rowbase-*` row-id block entries that scale with file count) a
+    * checkpoint references by pointer — the Iceberg manifest-list idea.
+    * A segment never changes after write; checkpoints that keep all
+    * its members with unchanged stats/meta carry the pointer and never
+    * re-list (let alone re-serialize) the group. Storing the rowbase
+    * lines WITH their files keeps a row-tracked table's pointer body
+    * O(table-level meta + segments), not O(files). */
   private[sources] final case class Segment(
-      name: String, members: Vector[String], stats: Map[String, String])
+      name: String, members: Vector[String], stats: Map[String, String],
+      meta: Map[String, String])
 
   private def parseFull(text: String): Parsed = {
     val meta = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -574,12 +578,15 @@ object ManifestTable {
         finally in.close()
       val payload = verifyIntegrity(raw)
       val stats = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      val meta = scala.collection.mutable.LinkedHashMap.empty[String, String]
       val members = Vector.newBuilder[String]
       payload.linesIterator.foreach {
         case l if l.startsWith(StatsPrefix) =>
           val p = l.stripPrefix(StatsPrefix)
           stats += java.net.URLDecoder.decode(
             p.split('|')(0), StandardCharsets.UTF_8) -> l
+        case l if l.startsWith(MetaPrefix) =>
+          meta += l.stripPrefix(MetaPrefix).split("=", 2)(0) -> l
         case l if l.startsWith("#") =>
         case l if l.trim.nonEmpty => members += l
         case _ =>
@@ -587,20 +594,28 @@ object ManifestTable {
       val m = members.result()
       if (m.size != expectCount) throw new CorruptManifest(
         s"segment $name holds ${m.size} entries, manifest pointer expects $expectCount")
-      Segment(name, m, stats.toMap)
+      Segment(name, m, stats.toMap, meta.toMap)
     }
 
   /** Write one immutable segment file (uuid-named — no claim needed;
-    * lost-race orphans are invisible and vacuumed). Stats lines are the
-    * ALREADY-SERIALIZED strings of the composed state — sealing a
-    * segment appends references, it never re-serializes entries. */
+    * lost-race orphans are invisible and vacuumed). Stats and rowbase
+    * lines are the ALREADY-SERIALIZED strings of the composed state —
+    * sealing a segment appends references, it never re-serializes
+    * entries. A member's `rowbase-*` meta line lives with it because it
+    * is immutable while the file is named (assigned once at first
+    * commit; rewrites get NEW files with fresh entries), exactly the
+    * carry-by-pointer contract. */
   private def writeSegment(spark: SparkSession, root: String,
-      members: Seq[String], statsLines: Map[String, String]): Segment = {
+      members: Seq[String], statsLines: Map[String, String],
+      metaLines: Map[String, String]): Segment = {
     val body = new StringBuilder(SegHeader).append("n=").append(members.size)
       .append(" crc=1\n")
     val segStats = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val segMeta = scala.collection.mutable.LinkedHashMap.empty[String, String]
     members.foreach { m =>
       statsLines.get(m).foreach { l => segStats += m -> l; body.append(l).append('\n') }
+      val mk = RowBasePrefix + dvFileKey(m)
+      metaLines.get(mk).foreach { l => segMeta += mk -> l; body.append(l).append('\n') }
     }
     members.foreach(m => body.append(m).append('\n'))
     val name = s"seg-${UUID.randomUUID()}.seg"
@@ -608,7 +623,7 @@ object ManifestTable {
     val out = f.create(segmentPath(root, name), false)
     try out.write(withIntegrityTrailer(body.toString).getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    val seg = Segment(name, members.toVector, segStats.toMap)
+    val seg = Segment(name, members.toVector, segStats.toMap, segMeta.toMap)
     segmentCache.putK(root, name, seg)
     seg
   }
@@ -644,8 +659,9 @@ object ManifestTable {
     val segs = refs.result().map { case (n, c) => loadSegment(spark, root, n, c) }
     val files = segs.iterator.flatMap(_.members).toVector
     val statsLines = segs.foldLeft(stats.toMap)((m, s) => m ++ s.stats)
+    val metaLines = segs.foldLeft(meta.toMap)((m, s) => m ++ s.meta)
     Parsed(s"# graft-manifest version=$version op=$op",
-      meta.toMap, statsLines, files)(Some(segs))
+      metaLines, statsLines, files)(Some(segs))
   }
 
   /** The tiered serialization point [[commit]] publishes through.
@@ -766,12 +782,13 @@ object ManifestTable {
     * POINTER, rewrite only segments that lost members or changed stats,
     * seal the unsegmented tail (everything appended since the last
     * segmented full) into fresh segments. Checkpoint string work is
-    * O(delta + touched segments + #segments + meta), never O(files) —
-    * the per-commit map walks stay cheap struct compares, and the
-    * every-Nth-version gigabyte string build this replaces simply never
-    * happens. Known cost left inline: row-tracked tables keep one
-    * `rowbase-*` meta LINE per file in the pointer body (per-file meta
-    * belongs in segments too — the documented next tier). */
+    * O(delta + touched segments + #segments + table-level meta), never
+    * O(files) — the per-commit map walks stay cheap struct compares,
+    * and the every-Nth-version gigabyte string build this replaces
+    * simply never happens. Per-FILE meta (`rowbase-*` row-id entries,
+    * which scale with file count on row-tracked tables) lives inside
+    * the segments beside its files; only table-level meta stays inline
+    * in the pointer body. */
   private def composeSegmented(spark: SparkSession, root: String, next: Long,
       op: String, state: Parsed, segSource: Option[Vector[Segment]],
       statsMap: Option[Map[String, ManifestStats.FileStats]],
@@ -781,19 +798,20 @@ object ManifestTable {
     val out = Vector.newBuilder[Segment]
     segSource.getOrElse(Vector.empty).foreach { s =>
       val intact = s.members.forall(m =>
-        fileSet.contains(m) && state.statsLines.get(m) == s.stats.get(m))
+        fileSet.contains(m) && state.statsLines.get(m) == s.stats.get(m)) &&
+        s.meta.forall { case (k, l) => state.metaLines.get(k).contains(l) }
       if (intact) { out += s; s.members.foreach(covered.add) }
       else {
         val survivors = s.members.filter(fileSet.contains)
         if (survivors.nonEmpty) {
-          out += writeSegment(spark, root, survivors, state.statsLines)
+          out += writeSegment(spark, root, survivors, state.statsLines, state.metaLines)
           survivors.foreach(covered.add)
         }
       }
     }
     val tail = state.files.filterNot(covered.contains)
     tail.grouped(SegmentTargetSize).foreach(g =>
-      out += writeSegment(spark, root, g, state.statsLines))
+      out += writeSegment(spark, root, g, state.statsLines, state.metaLines))
     var segs = out.result()
     // order guard: the flattened segments MUST reproduce the state's
     // file order exactly (a removed-then-re-added path — restore — would
@@ -801,10 +819,16 @@ object ManifestTable {
     // they don't. O(files) reference-equality compare, checkpoint-time.
     if (segs.iterator.flatMap(_.members).toVector != state.files)
       segs = state.files.grouped(SegmentTargetSize)
-        .map(g => writeSegment(spark, root, g, state.statsLines)).toVector
+        .map(g => writeSegment(spark, root, g, state.statsLines, state.metaLines))
+        .toVector
+    // inline meta = table-level entries only: per-file lines covered by
+    // a segment live with their files (old segments without meta slices
+    // leave theirs inline — graceful mixing of formats)
+    val segMetaKeys = segs.iterator.flatMap(_.meta.keysIterator)
+      .foldLeft(Set.empty[String])(_ + _)
     val body = new StringBuilder(
       s"# graft-manifest version=$next op=$op segs=1 crc=1\n")
-    state.metaLines.toSeq.sortBy(_._1).foreach { case (_, l) =>
+    (state.metaLines -- segMetaKeys).toSeq.sortBy(_._1).foreach { case (_, l) =>
       body.append(l).append('\n') }
     state.statsLines.get(ManifestStats.RollupKey).foreach(l =>
       body.append(l).append('\n'))

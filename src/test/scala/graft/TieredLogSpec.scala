@@ -267,6 +267,41 @@ class TieredLogSpec extends SparkSpec {
     } finally ManifestTable.SegmentTargetSize = saved
   }
 
+  test("row-tracked pointer bodies stay O(table-level meta): rowbase entries live inside segments") {
+    val root = freshRoot()
+    val saved = ManifestTable.SegmentTargetSize
+    ManifestTable.SegmentTargetSize = 8
+    try {
+      val slices = orders.randomSplit(Array.fill(12)(1.0), seed = 23)
+      ManifestTable.create(spark, root, slices(0).repartition(2),
+        statsColumns = Seq("o_orderkey")) // v1: inline (2 files < threshold)
+      ManifestTable.enableRowTracking(spark, root) // v2
+      (1 to 10).foreach(i => // v3..v12 — v10 checkpoints at 10 files
+        ManifestTable.append(spark, root, slices(i).coalesce(1),
+          statsColumns = Seq("o_orderkey")))
+      assert(rawHead(root, 10L).contains(" segs=1"))
+      val src = scala.io.Source.fromFile(
+        Paths.get(root, "_graft_log", "v00000010.manifest").toFile)
+      val inlineRowbase =
+        try src.getLines().count(_.startsWith("# meta:rowbase-")) finally src.close()
+      assert(inlineRowbase === 0,
+        s"per-file rowbase meta must live in segments, found $inlineRowbase inline lines")
+      // the full meta map still resolves — every file owns its id block
+      ManifestTable.dropResolvedCacheForTest()
+      val tipFiles = ManifestTable.manifestFiles(spark, root,
+        ManifestTable.versions(spark, root).max)
+      val rowbase = ManifestTable.manifestMeta(spark, root,
+        ManifestTable.versions(spark, root).max)
+        .keys.count(_.startsWith("rowbase-"))
+      assert(rowbase === tipFiles.size,
+        "segment-resolved meta must carry one rowbase entry per file")
+      // the row-tracked change feed crosses the segmented checkpoint
+      val (feed, _) = ManifestTable.readChangesRowTracked(spark, root, 3L)
+      assert(feed.filter(col("_change_type") === "insert").count() ===
+        (2 to 10).map(slices(_).count()).sum)
+    } finally ManifestTable.SegmentTargetSize = saved
+  }
+
   test("two-tier order guard: a remove-then-re-add (double restore) cannot resurface files at their old segment position") {
     val root = freshRoot()
     val saved = ManifestTable.SegmentTargetSize
