@@ -4173,6 +4173,57 @@ object SparkEntry {
           col("o_orderstatus"), col("n_orders"), col("total_price"))
     }),
 
+    "lake34_segmented_log" -> ((s, dir) => {
+      // the TWO-TIER full form (Iceberg's manifest-list shape): above a
+      // file-count threshold, create/checkpoint snapshots store as
+      // segment POINTERS — file entries (stats + per-file rowbase meta)
+      // live in immutable segment files that an unchanged group carries
+      // by pointer — and streaming appends never render a full body or
+      // re-serialize a carried stats line (metered in-engine). Pins:
+      // the create AND the v10 checkpoint store segmented; the
+      // checkpoint carries the create's segments verbatim; ten appends
+      // cost zero full renders and exactly ten stats-line
+      // serializations; the vacuumed tip resolves COLD (all caches
+      // dropped) through a segmented sidecar. Face: the tip read
+      // grouped by status, replayed from raw orders.
+      val root = java.nio.file.Files.createTempDirectory("lake34_seg").toString
+      val orders = t(s, dir, "orders")
+      val MT = graft.sources.ManifestTable
+      val saved = MT.SegmentTargetSize
+      MT.SegmentTargetSize = 8 // exercise segmentation without staging thousands of files
+      try {
+        def slice(i: Int) = orders.filter(pmod(col("o_orderkey"), lit(11)) === i)
+        MT.create(s, root, slice(0).repartition(10), statsColumns = Seq("o_orderkey"))
+        def raw(v: Long) = new String(
+          java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(root, "_graft_log", f"v$v%08d.manifest")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        def segNames(v: Long): Set[String] = raw(v).linesIterator.collect {
+          case l if l.startsWith("# seg:") => l.stripPrefix("# seg:").split('|')(0)
+        }.toSet
+        val createSegmented = raw(1L).linesIterator.next().contains(" segs=1")
+        val (f0, s0) = MT.ComposeMeters.snapshot
+        (1 until 11).foreach(i =>
+          MT.append(s, root, slice(i).coalesce(1), statsColumns = Seq("o_orderkey")))
+        val (f1, s1) = MT.ComposeMeters.snapshot
+        val zeroFullRenders = (f1 - f0) == 0L
+        val serializeAddsOnly = (s1 - s0) == 10L
+        val checkpointCarries = raw(10L).linesIterator.next().contains(" segs=1") &&
+          segNames(1L).subsetOf(segNames(10L))
+        MT.vacuum(s, root, keepVersions = 1)
+        MT.dropResolvedCacheForTest() // cold process: sidecar + segments only
+        MT.read(s, root).groupBy("o_orderstatus")
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            dsum(col("o_totalprice")).as("total_price"))
+          .select(lit(createSegmented).as("create_segmented"),
+            lit(zeroFullRenders).as("appends_zero_full_renders"),
+            lit(serializeAddsOnly).as("appends_serialize_adds_only"),
+            lit(checkpointCarries).as("checkpoint_carries_segments"),
+            col("o_orderstatus"), col("n_orders"), col("total_price"))
+          .localCheckpoint() // pin before the threshold restores below
+      } finally MT.SegmentTargetSize = saved
+    }),
+
     "lake28_row_tracking" -> ((s, dir) => {
       // row tracking (Delta row tracking / Iceberg v3 row lineage):
       // every row carries an immutable table-unique id — fresh files as
@@ -6773,6 +6824,18 @@ object SparkEntry {
          |       TRUE AS vacuum_checkpointed,
          |       (SELECT CAST(count(*) AS BIGINT) FROM orders
          |        WHERE ((o_orderkey % 14) + 14) % 14 <= 6) AS n_at_v7,
+         |       o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders GROUP BY o_orderstatus""").stripMargin,
+
+    "lake34_segmented_log" -> // the two-tier storage form, the metered
+      // O(delta) append contract, pointer carry, and the cold segmented
+      // sidecar read are pinned in-engine; the face is the tip content,
+      // which is the whole orders table (all 11 pmod slices appended)
+      (s"""SELECT TRUE AS create_segmented, TRUE AS appends_zero_full_renders,
+         |       TRUE AS appends_serialize_adds_only,
+         |       TRUE AS checkpoint_carries_segments,
          |       o_orderstatus,
          |       CAST(count(*) AS BIGINT) AS n_orders,
          |       ${dsumSql("o_totalprice")} AS total_price
