@@ -4766,6 +4766,43 @@ object SparkEntry {
       DedupOps.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, minShared = 2L, minJaccard = 0.1, maxShingleFreq = Some(20L))),
 
+    "dd10_incremental_neardup" -> ((s, dir) => {
+      // INCREMENTAL cross-batch near-dup discovery ("dedup the daily
+      // crawl against the corpus without re-scanning the corpus"): a
+      // shingle index mart (range-clustered + stats on shingle, so the
+      // probe reads only overlapping buckets) and a pairs mart are
+      // maintained over an append-only docs table; each window adds
+      // new⋈old pairs (index probe) and new⋈new pairs (batch only) —
+      // pair statistics are pair-local under the uncapped contract, so
+      // the pairs mart is append-only IVM. Pins: after three windows
+      // the mart equals the from-scratch uncapped ngramJaccardPairs
+      // bit-exactly; a replay call is a no-op; window-2's doc count is
+      // a literal mirror the oracle re-derives. Face: the pairs mart,
+      // replayed relationally by DuckDB over the whole corpus.
+      val docsR = java.nio.file.Files.createTempDirectory("dd10_docs").toString
+      val idxR = java.nio.file.Files.createTempDirectory("dd10_idx").toString
+      val pairsR = java.nio.file.Files.createTempDirectory("dd10_pairs").toString
+      val docs = t(s, dir, "documents")
+      val MT = graft.sources.ManifestTable
+      def slice(i: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+      def maintain() = graft.ops.LakeOps.maintainNearDupPairs(
+        s, docsR, idxR, pairsR, "doc_id", "text")
+      MT.create(s, docsR, slice(0))
+      maintain() // bootstrap
+      MT.append(s, docsR, slice(1))
+      maintain()
+      MT.append(s, docsR, slice(2))
+      val (c2, d2, _) = maintain()
+      val replayNoop = maintain() == ((c2, 0L, 0L))
+      val scratch = DedupOps.ngramJaccardPairs(MT.read(s, docsR), "doc_id", "text",
+        n = 3, minShared = 2L, minJaccard = 0.1, maxShingleFreq = None)
+      val m = MT.read(s, pairsR)
+      val matches = m.exceptAll(scratch).isEmpty && scratch.exceptAll(m).isEmpty
+      m.select(lit(matches).as("matches_scratch"), lit(replayNoop).as("replay_noop"),
+        lit(d2).as("window2_docs"),
+        col("doc_a"), col("doc_b"), col("shared_shingles"), col("jaccard"))
+    }),
+
     "dd6_cross_corpus" -> ((s, dir) => {
       // benchmark decontamination at the NEAR-DUP tier (ctm1/ctm2 are the
       // exact-containment tier): corpus docs near-dupping any probe doc.
@@ -7503,6 +7540,32 @@ object SparkEntry {
          |  GROUP BY 1, 2
          |)
          |SELECT doc_a, doc_b, CAST(pr.shared AS BIGINT) AS shared_shingles,
+         |       round(pr.shared / (sa.n + sb.n - pr.shared), 4) AS jaccard
+         |FROM pr JOIN sz sa ON pr.doc_a = sa.doc_id JOIN sz sb ON pr.doc_b = sb.doc_id
+         |WHERE pr.shared >= 2 AND round(pr.shared / (sa.n + sb.n - pr.shared), 4) >= 0.1""").stripMargin,
+
+    "dd10_incremental_neardup" -> // the incrementally-maintained pairs
+      // mart must equal the UNCAPPED n-gram Jaccard pairs over the whole
+      // corpus (dd2's SQL without the stop-shingle cap); the maintenance
+      // probes (equivalence, replay no-op) are pinned in-engine and
+      // window-2's doc count is re-derived from the pmod slicing
+      ("""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |), idx AS (
+         |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM idx
+         |), sz AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT TRUE AS matches_scratch, TRUE AS replay_noop,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM documents
+         |        WHERE doc_id % 3 = 2) AS window2_docs,
+         |       doc_a, doc_b, CAST(pr.shared AS BIGINT) AS shared_shingles,
          |       round(pr.shared / (sa.n + sb.n - pr.shared), 4) AS jaccard
          |FROM pr JOIN sz sa ON pr.doc_a = sa.doc_id JOIN sz sb ON pr.doc_b = sb.doc_id
          |WHERE pr.shared >= 2 AND round(pr.shared / (sa.n + sb.n - pr.shared), 4) >= 0.1""").stripMargin,

@@ -2593,15 +2593,17 @@ object ManifestTable {
       root: String,
       df: DataFrame,
       writerId: String,
-      batchId: Long): Long = {
+      batchId: Long,
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): Long = {
     val key = s"txn-$writerId"
     val vs = versions(spark, root)
     val seen = vs.flatMap(v => manifestMeta(spark, root, v).get(key)).map(_.toLong)
     if (seen.nonEmpty && batchId <= seen.max) vs.max // replay: already landed
     else {
       val meta = Map(key -> batchId.toString)
-      if (vs.isEmpty) create(spark, root, df, meta)
-      else append(spark, root, df, meta)
+      if (vs.isEmpty) create(spark, root, df, meta, statsColumns, bloomColumns)
+      else append(spark, root, df, meta, statsColumns, bloomColumns)
     }
   }
 

@@ -576,4 +576,54 @@ class LakeOpsSpec extends SparkSpec {
     maintain()
     assertFresh()
   }
+
+  test("maintainNearDupPairs: the pairs mart equals the from-scratch uncapped jaccard after every window; replay no-op; OPTIMIZE keeps the cursor") {
+    import graft.sources.ManifestTable
+    import graft.ops.{DedupOps, LakeOps}
+    val docsR = java.nio.file.Files.createTempDirectory("nd_docs").toString
+    val idxR = java.nio.file.Files.createTempDirectory("nd_idx").toString
+    val pairsR = java.nio.file.Files.createTempDirectory("nd_pairs").toString
+    val docs = Tables.load(spark, dir, "documents")
+    def slice(i: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+    def maintain() = LakeOps.maintainNearDupPairs(
+      spark, docsR, idxR, pairsR, "doc_id", "text")
+    def assertScratch(): Unit = {
+      val scratch = DedupOps.ngramJaccardPairs(ManifestTable.read(spark, docsR),
+        "doc_id", "text", n = 3, minShared = 2L, minJaccard = 0.1, maxShingleFreq = None)
+      val m = ManifestTable.read(spark, pairsR)
+      assert(m.exceptAll(scratch).isEmpty && scratch.exceptAll(m).isEmpty,
+        "maintained pairs must equal the from-scratch uncapped jaccard pairs")
+    }
+    ManifestTable.create(spark, docsR, slice(0))
+    maintain() // bootstrap
+    assertScratch()
+    ManifestTable.append(spark, docsR, slice(1))
+    val (c1, d1, _) = maintain()
+    assert(d1 === slice(1).count(), "window 1 must process exactly its batch")
+    assertScratch()
+    // an OPTIMIZE on BOTH marts between windows: txn-carried cursors
+    // survive, the next window is still incremental
+    ManifestTable.compactSmall(spark, idxR, 64L * 1024 * 1024, 64L * 1024 * 1024,
+      statsColumns = Seq("shingle"))
+    ManifestTable.compactSmall(spark, pairsR, 64L * 1024 * 1024, 64L * 1024 * 1024)
+    ManifestTable.append(spark, docsR, slice(2))
+    val (c2, d2, _) = maintain()
+    assert(c2 > c1 && d2 === slice(2).count())
+    assertScratch()
+    // caught up: replay is a no-op on both marts
+    val (idxBefore, pairsBefore) =
+      (ManifestTable.versions(spark, idxR).max, ManifestTable.versions(spark, pairsR).max)
+    assert(maintain() === ((c2, 0L, 0L)))
+    assert(ManifestTable.versions(spark, idxR).max === idxBefore &&
+      ManifestTable.versions(spark, pairsR).max === pairsBefore)
+    // the index is probe-prunable: every file carries shingle stats, so
+    // a provably-absent probe key drops ALL files (at this SF AQE
+    // coalesces each window into one file, so a present-key probe can't
+    // demonstrate partial pruning — the committed-stats mechanism is
+    // what the assert pins)
+    val (kept, dropped, _) = ManifestTable.pruneFiles(spark, idxR,
+      col("shingle") === "￿￿")
+    assert(kept.isEmpty && dropped.nonEmpty,
+      "committed shingle stats must prune the whole index for an absent key")
+  }
 }
