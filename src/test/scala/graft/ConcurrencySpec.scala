@@ -70,6 +70,45 @@ class ConcurrencySpec extends SparkSpec {
     assert(ManifestTable.read(spark, root).count() === orders.count())
   }
 
+  test("APPEND vs APPEND across a segmented checkpoint: re-base holds, orphaned segments vacuum, cold reads exact") {
+    val saved = ManifestTable.SegmentTargetSize
+    ManifestTable.SegmentTargetSize = 8
+    try {
+      val root = freshRoot("cc_seg")
+      val base = orders.filter(col("o_orderkey") % 16 === 0).localCheckpoint()
+      ManifestTable.create(spark, root, base.repartition(10),
+        statsColumns = Seq("o_orderkey")) // v1: segmented create
+      val parts = (1 to 10).map(i =>
+        orders.filter(pmod(col("o_orderkey"), lit(16)) === i).localCheckpoint())
+      // 10 appends from two racing writers drive versions v2..v11 — the
+      // v10 CHECKPOINT (a segmented full with freshly-sealed segment
+      // files) is contended: a loser may have written segments for a
+      // slot it lost; those are invisible orphans, never corruption
+      val aborts = race(
+        () => parts.take(5).foreach { p =>
+          ManifestTable.append(spark, root, p.coalesce(1),
+            statsColumns = Seq("o_orderkey")); ()
+        },
+        () => parts.drop(5).foreach { p =>
+          ManifestTable.append(spark, root, p.coalesce(1),
+            statsColumns = Seq("o_orderkey")); ()
+        })
+      assert(aborts === 0, "appends must re-base internally, never abort")
+      val expect = base.count() + parts.map(_.count()).sum
+      assert(ManifestTable.read(spark, root).count() === expect)
+      val head10 = {
+        val src = scala.io.Source.fromFile(
+          java.nio.file.Paths.get(root, "_graft_log", "v00000010.manifest").toFile)
+        try src.getLines().next() finally src.close()
+      }
+      assert(head10.contains(" segs=1"), "the contended checkpoint must store segmented")
+      // orphans GC with vacuum and the vacuumed tip resolves COLD
+      ManifestTable.vacuum(spark, root, keepVersions = 1)
+      ManifestTable.dropResolvedCacheForTest()
+      assert(ManifestTable.read(spark, root).count() === expect)
+    } finally ManifestTable.SegmentTargetSize = saved
+  }
+
   test("MERGE vs MOR DELETE on overlapping keys: loser aborts + retry = one of the two serial schedules") {
     (1 to 3).foreach { round =>
       val root = freshRoot(s"cc_md$round")
