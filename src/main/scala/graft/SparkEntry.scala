@@ -7366,7 +7366,7 @@ object SparkEntry {
          |  SELECT doc_a, doc_b FROM pr
          |  JOIN sz sa ON pr.doc_a = sa.doc_id JOIN sz sb ON pr.doc_b = sb.doc_id
          |  WHERE pr.shared >= 2 AND round(pr.shared / (sa.n + sb.n - pr.shared), 4) >= 0.1
-         |), edges AS (
+         |), edges AS MATERIALIZED (
          |  SELECT doc_a AS u, doc_b AS v FROM pairs
          |  UNION SELECT doc_b, doc_a FROM pairs
          |), reach(src, dst) AS (
@@ -7394,7 +7394,11 @@ object SparkEntry {
          |  FROM clean
          |), sampled AS (
          |  SELECT r.doc_id, r.toks FROM ranked r JOIN quotas q USING (lang) WHERE r.rk <= q.n_keep
-         |), tt AS (
+         |-- MATERIALIZED: the recursive walk below joins tt once per row
+         |-- rank; DuckDB inlines plain CTEs into EVERY recursive step, so
+         |-- without it each iteration re-evaluates the whole upstream
+         |-- pipeline (measured ~85 min at sf0.1; 3.8 s materialized)
+         |), tt AS MATERIALIZED (
          |  SELECT doc_id, doc_id % 8 AS shard, CAST(len(toks) AS BIGINT) AS n,
          |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
          |  FROM sampled WHERE len(toks) > 0
