@@ -862,10 +862,14 @@ object LakeOps {
       val feed = delFeed.withColumn(ct, lit("delete"))
         .unionByName(fresh.withColumn(ct, lit("insert")))
       // strictly increasing batch scalar: cursors never regress and at
-      // least one advances per maintenance
-      require(bTip < (1L << 21), s"version $bTip overflows the batch encoding")
+      // least one strictly advances per maintenance, so the SUM of the
+      // two tips is deterministic for a given window (a crash replay
+      // recomputes the same value → exactly-once no-op) and strictly
+      // monotone across windows — with no overflow cliff at any version
+      // (the old (aTip << 21) | bTip packing hard-failed at b=2^21 and
+      // silently wrapped at a=2^42)
       ManifestTable.applyChangesMor(spark, martRoot, feed, aKeyCol,
-        writerId, batchId = (aTip << 21) | bTip,
+        writerId, batchId = aTip + bTip,
         extraMeta = Map(ckA -> aTip.toString, ckB -> bTip.toString))
       (aTip, bTip, fresh.count())
     }
@@ -980,52 +984,366 @@ object LakeOps {
     require(vs.nonEmpty, s"$docsRoot is not a manifest table")
     val tip = vs.max
     val txnKey = s"txn-$writerId"
+    def watermarkOf(root: String): Option[Long] = {
+      val rvs = ManifestTable.versions(spark, root)
+      val ms = rvs.flatMap(v =>
+        ManifestTable.manifestMeta(spark, root, v).get(txnKey)).map(_.toLong)
+      if (ms.isEmpty) None else Some(ms.max)
+    }
     def explodedOf(docs: DataFrame): DataFrame =
       DedupOps.widen(docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
         .select(col("doc_id"), DedupOps.shingles(col("__text"), n).as("sh"))
         .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
-    val idxVs = ManifestTable.versions(spark, indexRoot)
-    if (idxVs.isEmpty) {
-      val docs = ManifestTable.read(spark, docsRoot, Some(tip))
-      val nDocs = docs.count()
-      val pairs = DedupOps.ngramJaccardPairs(docs, idCol, textCol,
-        n, minShared, minJaccard, maxShingleFreq = None).localCheckpoint()
-      ManifestTable.create(spark, pairsRoot, pairs, meta = Map(txnKey -> tip.toString))
-      ManifestTable.create(spark, indexRoot,
-        explodedOf(docs).repartitionByRange(col("shingle")),
-        meta = Map(txnKey -> tip.toString), statsColumns = Seq("shingle"))
-      (tip, nDocs, pairs.count())
-    } else {
-      val cursor = idxVs.flatMap(v =>
-        ManifestTable.manifestMeta(spark, indexRoot, v).get(txnKey)).map(_.toLong).max
-      if (cursor >= tip) return (cursor, 0L, 0L)
-      val (newDocs, newTip) = ManifestTable.readChangesSince(spark, docsRoot, cursor)
-      val nDocs = newDocs.count()
-      val newEx = explodedOf(newDocs).localCheckpoint()
-      // probe the index at ITS tip — pre-window by construction (the
-      // index only advances as this maintainer's LAST step)
-      val probe = ManifestTable.readPrunedByKeys(spark, indexRoot, "shingle",
-        newEx.select("shingle").distinct(), version = Some(idxVs.max))
-      val newOld = probe
-        .select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("shingle"))
-        .join(newEx.select(
-          col("doc_id").as("b_id"), col("n_sh").as("b_n"), col("shingle")), "shingle")
-        .groupBy("a_id", "b_id", "a_n", "b_n") // sizes are functionally dependent on ids
-        .agg(count(lit(1)).as("shared_shingles"))
-        .withColumn("jaccard", round(col("shared_shingles").cast("double") /
-          (col("a_n") + col("b_n") - col("shared_shingles")), 4))
-        .filter(col("shared_shingles") >= minShared && col("jaccard") >= minJaccard)
-        .select(least(col("a_id"), col("b_id")).as("doc_a"),
-          greatest(col("a_id"), col("b_id")).as("doc_b"),
-          col("shared_shingles"), col("jaccard"))
-      val newNew = DedupOps.ngramJaccardPairs(newDocs, idCol, textCol,
-        n, minShared, minJaccard, maxShingleFreq = None)
-      val newPairs = newOld.unionByName(newNew).localCheckpoint()
-      ManifestTable.appendIdempotent(spark, pairsRoot, newPairs, writerId, batchId = newTip)
-      ManifestTable.appendIdempotent(spark, indexRoot,
-        newEx.repartitionByRange(col("shingle")), writerId, batchId = newTip,
-        statsColumns = Seq("shingle"))
-      (newTip, nDocs, newPairs.count())
+    // Crash-safety invariant: the pairs append lands FIRST, the index
+    // append LAST, and the INDEX watermark is the cursor. A crash
+    // between the two leaves pairsTxn > indexTxn; if more docs land
+    // before the replay, an unbounded window cursor→tip would carry a
+    // batchId ABOVE the pairs watermark and re-append the crashed
+    // sub-window's pairs. So each step replays EXACTLY the in-flight
+    // window (cursor→pairsTxn) first — the pairs append is then a true
+    // no-op and the index catches up — and only a clean state advances
+    // to the tip. Bootstrap has the same two-step shape (pairs create,
+    // then index create), recovered by rebuilding the index from the
+    // pairs mart's recorded docs version.
+    var consumed = -1L
+    var totDocs = 0L
+    var totPairs = 0L
+    var done = false
+    while (!done) {
+      val idxVs = ManifestTable.versions(spark, indexRoot)
+      if (idxVs.isEmpty) {
+        watermarkOf(pairsRoot) match {
+          case Some(t0) =>
+            // crashed bootstrap: pairs landed for docs@t0, index missing —
+            // rebuild the index for exactly that snapshot, then loop to
+            // process t0→tip incrementally.
+            val docs0 = ManifestTable.read(spark, docsRoot, Some(t0))
+            ManifestTable.create(spark, indexRoot,
+              explodedOf(docs0).repartitionByRange(col("shingle")),
+              meta = Map(txnKey -> t0.toString), statsColumns = Seq("shingle"))
+            consumed = t0
+          case None =>
+            val docs = ManifestTable.read(spark, docsRoot, Some(tip))
+            val nDocs = docs.count()
+            val pairs = DedupOps.ngramJaccardPairs(docs, idCol, textCol,
+              n, minShared, minJaccard, maxShingleFreq = None).localCheckpoint()
+            ManifestTable.create(spark, pairsRoot, pairs,
+              meta = Map(txnKey -> tip.toString))
+            ManifestTable.create(spark, indexRoot,
+              explodedOf(docs).repartitionByRange(col("shingle")),
+              meta = Map(txnKey -> tip.toString), statsColumns = Seq("shingle"))
+            consumed = tip; totDocs += nDocs; totPairs += pairs.count()
+            done = true
+        }
+      } else {
+        val cursor = idxVs.flatMap(v =>
+          ManifestTable.manifestMeta(spark, indexRoot, v).get(txnKey)).map(_.toLong).max
+        if (cursor >= tip) { consumed = consumed.max(cursor); done = true }
+        else {
+          // replay bound: if the pairs mart's watermark leads the index,
+          // a crash interrupted that exact window — re-run it verbatim.
+          val pairsTxn = watermarkOf(pairsRoot).getOrElse(cursor)
+          val bound = if (pairsTxn > cursor) Some(pairsTxn) else None
+          val (newDocs, newTip) =
+            ManifestTable.readChangesSince(spark, docsRoot, cursor, bound)
+          val nDocs = newDocs.count()
+          val newEx = explodedOf(newDocs).localCheckpoint()
+          // probe the index at ITS tip — pre-window by construction (the
+          // index only advances as this maintainer's LAST step)
+          val probe = ManifestTable.readPrunedByKeys(spark, indexRoot, "shingle",
+            newEx.select("shingle").distinct(), version = Some(idxVs.max))
+          val newOld = probe
+            .select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("shingle"))
+            .join(newEx.select(
+              col("doc_id").as("b_id"), col("n_sh").as("b_n"), col("shingle")), "shingle")
+            .groupBy("a_id", "b_id", "a_n", "b_n") // sizes are functionally dependent on ids
+            .agg(count(lit(1)).as("shared_shingles"))
+            .withColumn("jaccard", round(col("shared_shingles").cast("double") /
+              (col("a_n") + col("b_n") - col("shared_shingles")), 4))
+            .filter(col("shared_shingles") >= minShared && col("jaccard") >= minJaccard)
+            .select(least(col("a_id"), col("b_id")).as("doc_a"),
+              greatest(col("a_id"), col("b_id")).as("doc_b"),
+              col("shared_shingles"), col("jaccard"))
+          val newNew = DedupOps.ngramJaccardPairs(newDocs, idCol, textCol,
+            n, minShared, minJaccard, maxShingleFreq = None)
+          val newPairs = newOld.unionByName(newNew).localCheckpoint()
+          val pairsReplayed = pairsTxn >= newTip
+          ManifestTable.appendIdempotent(spark, pairsRoot, newPairs, writerId,
+            batchId = newTip)
+          ManifestTable.appendIdempotent(spark, indexRoot,
+            newEx.repartitionByRange(col("shingle")), writerId, batchId = newTip,
+            statsColumns = Seq("shingle"))
+          consumed = newTip
+          totDocs += nDocs
+          // a replayed window's pairs were already committed pre-crash —
+          // don't double-report them
+          if (!pairsReplayed) totPairs += newPairs.count()
+          done = bound.isEmpty // bounded replay → loop on to the real tip
+        }
+      }
     }
+    (consumed, totDocs, totPairs)
+  }
+
+  /** [[maintainNearDupPairs]] under the CAPPED contract — the variant a
+    * production corpus actually runs: after every call the pairs mart
+    * equals [[graft.ops.DedupOps.ngramJaccardPairs]] with
+    * `maxShingleFreq = Some(cap)` over the WHOLE corpus. The cap drops
+    * stop-shingles (document frequency > cap) from pair generation AND
+    * from the per-doc set sizes, which is what makes the uncapped
+    * maintainer's append-only algebra insufficient: a shingle CROSSING
+    * the cap as the corpus grows retracts shared counts and shrinks
+    * sizes — so jaccard changes — for every document containing it.
+    *
+    * The delta rule is the semi-join-restricted recompute (the
+    * [[maintainJoinMartTotal]] treatment): a window's changes are
+    * confined to AFFECTED documents = new docs ∪ docs containing a
+    * cap-crossing shingle, because (a) a pair's shared count changes
+    * only via a crossed shingle — shared by BOTH endpoints, making both
+    * affected; (b) a doc's capped size changes only when it contains a
+    * crosser; (c) new pairs involve a new doc. So: retract every mart
+    * pair touching an affected doc, recompute those pairs under the new
+    * frequency landscape, and leave the (vast) unaffected remainder
+    * unread. State:
+    *  - INDEX mart (append-only; doc_id, n_sh raw, shingle;
+    *    range-clustered + stats on shingle) — candidate probes and
+    *    document-frequency counts read only overlapping buckets;
+    *  - SIZES mart (doc_id, n_sh = CAPPED size; MOR-maintained) — an
+    *    unaffected endpoint's denominator in O(probed files), no
+    *    re-shingling of old docs;
+    *  - PAIRS mart (pair_key, doc_a, doc_b, shared_shingles, jaccard;
+    *    MOR-maintained, keyed by the canonical pair).
+    * Cost per window: O(batch + crosser neighborhoods + touched pairs),
+    * never O(corpus²) — the uncapped maintainer's output-quadratic
+    * hot-shingle growth is exactly what the cap removes.
+    *
+    * Exactly-once across crashes, generalized from the two-mart ladder:
+    * apply order is pairs → sizes → index, all idempotent on
+    * (writerId, consumed docs version), with the INDEX watermark as the
+    * cursor. On entry, a LEADING pairs/sizes watermark bounds the
+    * replay window to exactly the in-flight window (leading applies
+    * no-op by watermark; trailing catch up), then the loop advances to
+    * the real tip. Bootstrap creates in the same order and recovers by
+    * rebuilding the missing marts from the docs snapshot the leading
+    * mart recorded. Non-append document history refuses
+    * ([[graft.sources.NotDeltaExpressible]]).
+    *
+    * Returns (consumedVersion, newDocRows, freshPairRowsWritten). */
+  def maintainNearDupPairsCapped(
+      spark: org.apache.spark.sql.SparkSession,
+      docsRoot: String,
+      indexRoot: String,
+      sizesRoot: String,
+      pairsRoot: String,
+      idCol: String,
+      textCol: String,
+      maxShingleFreq: Long,
+      n: Int = 3,
+      minShared: Long = 2L,
+      minJaccard: Double = 0.1,
+      writerId: String = "neardup-capped"): (Long, Long, Long) = {
+    import graft.sources.ManifestTable
+    val cap = maxShingleFreq
+    require(cap > 0, s"maxShingleFreq must be positive, got $cap")
+    val vs = ManifestTable.versions(spark, docsRoot)
+    require(vs.nonEmpty, s"$docsRoot is not a manifest table")
+    val tip = vs.max
+    val txnKey = s"txn-$writerId"
+    val ct = "_change_type"
+    def watermarkOf(root: String): Option[Long] = {
+      val rvs = ManifestTable.versions(spark, root)
+      val ms = rvs.flatMap(v =>
+        ManifestTable.manifestMeta(spark, root, v).get(txnKey)).map(_.toLong)
+      if (ms.isEmpty) None else Some(ms.max)
+    }
+    def explodedOf(docs: DataFrame): DataFrame =
+      DedupOps.widen(docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
+        .select(col("doc_id"), DedupOps.shingles(col("__text"), n).as("sh"))
+        .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+    // capped per-doc sizes over a full snapshot (bootstrap/recovery): a
+    // doc keeps a row even at zero surviving shingles — sizes only
+    // shrink under appends, so absence never needs to flip to presence
+    def cappedSizesOf(docs: DataFrame): DataFrame = {
+      val ex = explodedOf(docs)
+      val dfq = ex.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      ex.join(dfq, "shingle").filter(col("__df") <= cap)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        .join(docs.select(col(idCol).as("doc_id")), Seq("doc_id"), "right")
+        .na.fill(0L, Seq("n_sh"))
+        .select("doc_id", "n_sh")
+    }
+    def withPairKey(p: DataFrame): DataFrame = p.select(
+      concat(col("doc_a").cast("string"), lit("|"), col("doc_b").cast("string"))
+        .as("pair_key"),
+      col("doc_a"), col("doc_b"), col("shared_shingles"), col("jaccard"))
+    var consumed = -1L
+    var totDocs = 0L
+    var totPairs = 0L
+    var done = false
+    while (!done) {
+      val idxVs = ManifestTable.versions(spark, indexRoot)
+      if (idxVs.isEmpty) {
+        (watermarkOf(sizesRoot), watermarkOf(pairsRoot)) match {
+          case (Some(t0), _) =>
+            // crashed after sizes: rebuild the index for that snapshot
+            val docs0 = ManifestTable.read(spark, docsRoot, Some(t0))
+            ManifestTable.create(spark, indexRoot,
+              explodedOf(docs0).repartitionByRange(col("shingle")),
+              meta = Map(txnKey -> t0.toString), statsColumns = Seq("shingle"))
+            consumed = t0
+          case (None, Some(t0)) =>
+            // crashed after pairs: rebuild sizes, loop rebuilds the index
+            ManifestTable.create(spark, sizesRoot,
+              cappedSizesOf(ManifestTable.read(spark, docsRoot, Some(t0)))
+                .repartitionByRange(col("doc_id")),
+              meta = Map(txnKey -> t0.toString), statsColumns = Seq("doc_id"))
+          case (None, None) =>
+            val docs = ManifestTable.read(spark, docsRoot, Some(tip))
+            val nDocs = docs.count()
+            val pairs = withPairKey(DedupOps.ngramJaccardPairs(docs, idCol, textCol,
+              n, minShared, minJaccard, maxShingleFreq = Some(cap))).localCheckpoint()
+            ManifestTable.create(spark, pairsRoot,
+              pairs.repartitionByRange(col("doc_a")),
+              meta = Map(txnKey -> tip.toString),
+              statsColumns = Seq("doc_a", "doc_b"))
+            ManifestTable.create(spark, sizesRoot,
+              cappedSizesOf(docs).repartitionByRange(col("doc_id")),
+              meta = Map(txnKey -> tip.toString), statsColumns = Seq("doc_id"))
+            ManifestTable.create(spark, indexRoot,
+              explodedOf(docs).repartitionByRange(col("shingle")),
+              meta = Map(txnKey -> tip.toString), statsColumns = Seq("shingle"))
+            consumed = tip; totDocs += nDocs; totPairs += pairs.count()
+            done = true
+        }
+      } else {
+        val cursor = idxVs.flatMap(v =>
+          ManifestTable.manifestMeta(spark, indexRoot, v).get(txnKey)).map(_.toLong).max
+        if (cursor >= tip) { consumed = consumed.max(cursor); done = true }
+        else {
+          val lead = Seq(watermarkOf(pairsRoot), watermarkOf(sizesRoot))
+            .flatten.foldLeft(cursor)(_ max _)
+          val bound = if (lead > cursor) Some(lead) else None
+          val (newDocs0, newTip) =
+            ManifestTable.readChangesSince(spark, docsRoot, cursor, bound)
+          val newDocs = newDocs0.localCheckpoint()
+          val nDocs = newDocs.count()
+          val idxTip = idxVs.max
+          val newEx = explodedOf(newDocs).localCheckpoint()
+          // which batch shingles CROSS the cap this window: old df from a
+          // pruned index probe, batch increments from the batch itself
+          val bc = newEx.groupBy("shingle").agg(count(lit(1)).as("__bc"))
+          val probe0 = ManifestTable.readPrunedByKeys(spark, indexRoot, "shingle",
+            bc.select("shingle"), version = Some(idxTip))
+            .join(bc.select("shingle"), Seq("shingle"), "left_semi")
+          val df0 = probe0.groupBy("shingle").agg(count(lit(1)).as("__df0"))
+          val crossers = bc.join(df0, Seq("shingle"), "left")
+            .na.fill(0L, Seq("__df0"))
+            .filter(col("__df0") <= cap && col("__df0") + col("__bc") > cap)
+            .select("shingle").localCheckpoint()
+          val affectedOldIds = probe0.join(crossers, Seq("shingle"), "left_semi")
+            .select("doc_id").distinct()
+          // affected docs' full shingle sets: old ones re-read from the
+          // docs table (pruned by id when stats allow), new ones in hand
+          val oldAffDocs = ManifestTable.readPrunedByKeys(spark, docsRoot, idCol,
+            affectedOldIds.withColumnRenamed("doc_id", idCol), version = Some(newTip))
+            .join(affectedOldIds.withColumnRenamed("doc_id", idCol),
+              Seq(idCol), "left_semi")
+          val affEx = explodedOf(oldAffDocs.unionByName(newDocs)).localCheckpoint()
+          val affectedIds = affEx.select("doc_id").distinct().localCheckpoint()
+          val universe = affEx.select("shingle").distinct()
+          // NEW frequency landscape for every shingle an affected doc
+          // carries: rows already indexed + this batch's rows
+          val probeU = ManifestTable.readPrunedByKeys(spark, indexRoot, "shingle",
+            universe, version = Some(idxTip))
+            .join(universe, Seq("shingle"), "left_semi")
+            .select("doc_id", "shingle").localCheckpoint()
+          val dfPrime = universe
+            .join(probeU.groupBy("shingle").agg(count(lit(1)).as("__old")),
+              Seq("shingle"), "left")
+            .join(bc, Seq("shingle"), "left")
+            .na.fill(0L, Seq("__old", "__bc"))
+            .withColumn("__df", col("__old") + col("__bc"))
+          val surviving = dfPrime.filter(col("__df") <= cap).select("shingle")
+          val affSurv = affEx.select("doc_id", "shingle")
+            .join(surviving, Seq("shingle"), "left_semi")
+          val rowsU = probeU.unionByName(newEx.select("doc_id", "shingle"))
+            .join(surviving, Seq("shingle"), "left_semi")
+          // fresh capped sizes for EVERY affected doc (zero kept as zero)
+          val affSizes = affSurv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+            .join(affectedIds, Seq("doc_id"), "right")
+            .na.fill(0L, Seq("n_sh"))
+            .select("doc_id", "n_sh").localCheckpoint()
+          // candidate pairs: affected × (docs sharing a surviving
+          // shingle); countDistinct collapses the double emission of
+          // both-affected pairs
+          val shared = affSurv.select(col("doc_id").as("__a"), col("shingle"))
+            .join(rowsU.select(col("doc_id").as("__b"), col("shingle")), Seq("shingle"))
+            .filter(col("__a") =!= col("__b"))
+            .select(least(col("__a"), col("__b")).as("doc_a"),
+              greatest(col("__a"), col("__b")).as("doc_b"), col("shingle"))
+            .groupBy("doc_a", "doc_b")
+            .agg(countDistinct(col("shingle")).as("shared_shingles"))
+          // denominators: fresh sizes for affected endpoints, the sizes
+          // mart (pruned probe) for unaffected ones — an unaffected
+          // doc's capped size is unchanged by construction
+          val endpointIds = shared.select(col("doc_a").as("doc_id"))
+            .unionByName(shared.select(col("doc_b").as("doc_id"))).distinct()
+          val unaffectedNeeded = endpointIds.join(affectedIds, Seq("doc_id"), "left_anti")
+          val sizesTip = ManifestTable.versions(spark, sizesRoot).max
+          val oldSizes = ManifestTable.readPrunedByKeys(spark, sizesRoot, "doc_id",
+            unaffectedNeeded, version = Some(sizesTip))
+            .join(unaffectedNeeded, Seq("doc_id"), "left_semi")
+            .select("doc_id", "n_sh")
+          val lookup = affSizes.unionByName(oldSizes)
+          val fresh = shared
+            .join(lookup.select(col("doc_id").as("doc_a"), col("n_sh").as("__na")),
+              Seq("doc_a"))
+            .join(lookup.select(col("doc_id").as("doc_b"), col("n_sh").as("__nb")),
+              Seq("doc_b"))
+            .withColumn("jaccard", round(col("shared_shingles").cast("double") /
+              (col("__na") + col("__nb") - col("shared_shingles")), 4))
+            .filter(col("shared_shingles") >= minShared && col("jaccard") >= minJaccard)
+          val freshPairs = withPairKey(fresh).localCheckpoint()
+          // retract EVERY mart pair touching an affected doc (its fresh
+          // truth — possibly absence — is in freshPairs)
+          val pairsTip = ManifestTable.versions(spark, pairsRoot).max
+          def touchedBy(kc: String): DataFrame =
+            ManifestTable.readPrunedByKeys(spark, pairsRoot, kc,
+              affectedIds.withColumnRenamed("doc_id", kc), version = Some(pairsTip))
+              .join(affectedIds.withColumnRenamed("doc_id", kc), Seq(kc), "left_semi")
+              .select("pair_key")
+          val delKeys = touchedBy("doc_a").unionByName(touchedBy("doc_b"))
+            .distinct().localCheckpoint()
+          val pairsSchema = freshPairs.schema
+          def nullFeed(keys: DataFrame, keyName: String): DataFrame =
+            keys.select(pairsSchema.fields.map(f =>
+              (if (f.name == keyName) col(keyName) else lit(null))
+                .cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+          val pairsFeed = nullFeed(delKeys, "pair_key").withColumn(ct, lit("delete"))
+            .unionByName(freshPairs.withColumn(ct, lit("insert")))
+          // read BEFORE applying: a pre-crash apply means this window's
+          // fresh pairs were already reported once
+          val pairsPreApplied = watermarkOf(pairsRoot).exists(_ >= newTip)
+          ManifestTable.applyChangesMor(spark, pairsRoot, pairsFeed, "pair_key",
+            writerId, batchId = newTip, statsColumns = Seq("doc_a", "doc_b"))
+          val sizesSchema = affSizes.schema
+          val sizesFeed = affectedIds.select(sizesSchema.fields.map(f =>
+              (if (f.name == "doc_id") col("doc_id") else lit(null))
+                .cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+            .withColumn(ct, lit("delete"))
+            .unionByName(affSizes.withColumn(ct, lit("insert")))
+          ManifestTable.applyChangesMor(spark, sizesRoot, sizesFeed, "doc_id",
+            writerId, batchId = newTip, statsColumns = Seq("doc_id"))
+          ManifestTable.appendIdempotent(spark, indexRoot,
+            newEx.repartitionByRange(col("shingle")), writerId, batchId = newTip,
+            statsColumns = Seq("shingle"))
+          consumed = newTip
+          totDocs += nDocs
+          if (!pairsPreApplied) totPairs += freshPairs.count()
+          done = bound.isEmpty
+        }
+      }
+    }
+    (consumed, totDocs, totPairs)
   }
 }

@@ -682,6 +682,62 @@ object ManifestStats {
     val cond = analyzedCondition(spark, schema, filter, renames).getOrElse(
       return (files, Seq.empty))
     val conds = cond +: transforms.flatMap(t => PartitionTransform.translate(t, cond))
-    files.partition(f => stats.get(f).forall(fs => conds.forall(mayMatch(_, fs))))
+    files.partition(f => stats.get(f) match {
+      case Some(fs) =>
+        PruneMeters.filesEvaluated.incrementAndGet()
+        conds.forall(mayMatch(_, fs))
+      case None => true // untracked file: always keep
+    })
+  }
+
+  /** Plan-tier instrumentation (spec-read): per-file stats EVALUATIONS
+    * performed by pruning, and whole segments excluded by their rollup
+    * with zero per-file work. The two-tier scale contract: a selective
+    * probe on a segmented table evaluates per-file stats only inside
+    * segments whose rollup admits the predicate — at 10M files the
+    * planning cost is O(segments + surviving members), never 10M
+    * predicate evaluations per planned query. */
+  private[graft] object PruneMeters {
+    val filesEvaluated = new java.util.concurrent.atomic.AtomicLong()
+    val segmentsExcluded = new java.util.concurrent.atomic.AtomicLong()
+    def snapshot: (Long, Long) = (filesEvaluated.get, segmentsExcluded.get)
+  }
+
+  /** [[prune]] over PRE-GROUPED files — the two-tier segment layout's
+    * plan tier (Iceberg's manifest-level pruning): each group carries an
+    * optional ROLLUP of its members' stats ([[rollup]]); when the rollup
+    * proves no member can match, the whole group drops in O(columns)
+    * predicate work with its per-file stats untouched. Groups whose
+    * rollup admits the predicate (or that carry none — keep-biased)
+    * fall through to exactly [[prune]]'s per-file test, so the split
+    * equals the flat prune over the concatenated members: a rollup
+    * excludes only when every member's (tighter) stats would. */
+  def pruneGrouped(
+      spark: SparkSession,
+      schema: StructType,
+      filter: Column,
+      stats: Map[String, FileStats],
+      groups: Seq[(Option[FileStats], Seq[String])],
+      transforms: Seq[PartitionTransform] = Nil,
+      renames: Map[String, String] = Map.empty): (Seq[String], Seq[String]) = {
+    val cond = analyzedCondition(spark, schema, filter, renames).getOrElse(
+      return (groups.flatMap(_._2), Seq.empty))
+    val conds = cond +: transforms.flatMap(t => PartitionTransform.translate(t, cond))
+    val kept = Seq.newBuilder[String]
+    val dropped = Seq.newBuilder[String]
+    groups.foreach { case (ru, members) =>
+      if (ru.exists(r => !conds.forall(mayMatch(_, r)))) {
+        PruneMeters.segmentsExcluded.incrementAndGet()
+        dropped ++= members
+      } else members.foreach { f =>
+        stats.get(f) match {
+          case Some(fs) =>
+            PruneMeters.filesEvaluated.incrementAndGet()
+            if (conds.forall(mayMatch(_, fs))) kept += f else dropped += f
+          case None => kept += f
+        }
+      }
+    }
+    (kept.result(), dropped.result())
   }
 }

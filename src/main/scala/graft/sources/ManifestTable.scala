@@ -122,18 +122,50 @@ object ManifestTable {
   private def manifestPath(root: String, v: Long): Path =
     new Path(s"$root/$LogDir/" + f"v$v%08d" + Suffix)
 
+  /** Bounded per-root map (LRU on roots): a long-lived JVM cycling
+    * millions of temp tables must not grow driver state without bound —
+    * the same treatment the per-version parsed-state caches have.
+    * Eviction is safe for both users: the tip cache re-primes from one
+    * listing on a miss, and the listing meter is test instrumentation
+    * whose counts only need to survive a test's own working set. */
+  private final class RootLru[V](maxRoots: Int) {
+    private val m = new java.util.LinkedHashMap[String, V](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
+        this.size() > maxRoots
+    }
+    def get(root: String): Option[V] = synchronized(Option(m.get(root)))
+    def merge(root: String, v: V)(f: (V, V) => V): Unit = synchronized {
+      val old = m.get(root)
+      m.put(root, if (old == null) v else f(old, v)); ()
+    }
+    def getOrPut(root: String)(mk: => V): V = synchronized {
+      val hit = m.get(root)
+      if (hit != null) hit else { val v = mk; m.put(root, v); v }
+    }
+    private[graft] def size(): Int = synchronized(m.size())
+  }
+
+  /** Roots a single JVM plausibly works with CONCURRENTLY — far above
+    * any real working set, far below "every temp table ever created". */
+  private val MaxCachedRoots = 4096
+
   /** Filesystem log listings performed per root (test instrumentation:
     * the planner-side staleness check must NOT list per planned query). */
   private val listingCounts =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    new RootLru[java.util.concurrent.atomic.AtomicLong](MaxCachedRoots)
 
   private[graft] def listingsOf(root: String): Long =
-    Option(listingCounts.get(root)).map(_.get).getOrElse(0L)
+    listingCounts.get(root).map(_.get).getOrElse(0L)
+
+  private[graft] def cachedRootCountsForTest(): (Int, Int) =
+    (tipCache.size(), listingCounts.size())
+
+  private[graft] def primeTipForTest(root: String, v: Long): Unit = primeTip(root, v)
 
   /** Versions present in the log, ascending (empty = not a manifest table). */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
-    listingCounts.computeIfAbsent(root,
-      _ => new java.util.concurrent.atomic.AtomicLong(0L)).incrementAndGet()
+    listingCounts.getOrPut(root)(
+      new java.util.concurrent.atomic.AtomicLong(0L)).incrementAndGet()
     val dir = new Path(s"$root/$LogDir")
     val f = fs(spark, root)
     val vs =
@@ -152,13 +184,11 @@ object ManifestTable {
     * checks ([[graft.plans.MartRewrite]]'s `maxVersionLag`) cost a map
     * read instead of a filesystem listing per planned query. Monotonic
     * merge only: a concurrent prime can never regress the tip. */
-  private val tipCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val tipCache = new RootLru[java.lang.Long](MaxCachedRoots)
 
-  private def primeTip(root: String, v: Long): Unit = {
-    tipCache.merge(root, java.lang.Long.valueOf(v),
+  private def primeTip(root: String, v: Long): Unit =
+    tipCache.merge(root, java.lang.Long.valueOf(v))(
       (a, b) => if (a >= b) a else b)
-    ()
-  }
 
   /** The newest version this JVM KNOWS about for `root` — the cached tip
     * when primed (every commit and listing primes it), else one listing
@@ -169,7 +199,7 @@ object ManifestTable {
     * listing/commit in THIS JVM — the maintenance loop that registers
     * marts runs here, which is the case the bound protects. */
   def knownTipVersion(spark: SparkSession, root: String): Long =
-    Option(tipCache.get(root)).map(_.longValue).getOrElse {
+    tipCache.get(root).map(_.longValue).getOrElse {
       val vs = versions(spark, root)
       require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
       vs.max
@@ -400,6 +430,7 @@ object ManifestTable {
     stateCache.remove(root, version)
     statsMapCache.remove(root, version)
     metaMapCache.remove(root, version)
+    pruneIndexCache.remove(root, version)
   }
 
   /** Test hook: drop EVERY in-JVM manifest cache (resolved text,
@@ -413,6 +444,7 @@ object ManifestTable {
     statsMapCache.clear()
     metaMapCache.clear()
     segmentCache.clear()
+    pruneIndexCache.clear()
   }
 
   private def resolvedCached(root: String, version: Long)(compute: => String): String =
@@ -444,7 +476,11 @@ object ManifestTable {
     * O(table-level meta + segments), not O(files). */
   private[sources] final case class Segment(
       name: String, members: Vector[String], stats: Map[String, String],
-      meta: Map[String, String])
+      meta: Map[String, String],
+      // min-of-mins/max-of-maxes over the members' stats, carried in the
+      // POINTER line ([[composeSegmented]]) so planning can exclude the
+      // whole group in O(columns) — Iceberg's manifest-level pruning
+      rollup: Option[ManifestStats.FileStats] = None)
 
   private def parseFull(text: String): Parsed = {
     val meta = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -549,8 +585,17 @@ object ManifestTable {
     * multi-MB segment files at ~100 B/entry. */
   private[graft] var SegmentTargetSize: Int = 8192
 
+  /** Vacuum retention for unreferenced segment files (ms). Segments are
+    * written before the pointer manifest that references them publishes,
+    * so GC must not reclaim fresh ones — the Delta/Iceberg orphan-file
+    * retention pattern. Var so specs can age orphans without sleeping. */
+  private[graft] var SegmentGcGraceMs: Long = 15L * 60 * 1000
+
   private val SegPrefix = "# seg:"
   private val SegHeader = "# graft-manifest-segment "
+  /** Pseudo-path a segment's rollup serializes under in the pointer
+    * line (never a real file; the decode discards it). */
+  private val SegRollupKey = "__segrollup__"
 
   /** Is this stored manifest text the two-tier pointer form? */
   private def isSegmented(text: String): Boolean = {
@@ -623,7 +668,23 @@ object ManifestTable {
     val out = f.create(segmentPath(root, name), false)
     try out.write(withIntegrityTrailer(body.toString).getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    val seg = Segment(name, members.toVector, segStats.toMap, segMeta.toMap)
+    // the segment's own stats rollup ([[ManifestStats.rollup]]'s
+    // keep-biased construction over exactly these members) — O(members)
+    // at seal time, carried by the pointer for O(columns) exclusion at
+    // plan time. Absent whenever any member lacks stats or no column
+    // survives, like the table rollup.
+    val segRollup = {
+      val schemaJson = metaLines.get(SchemaKey)
+        .map(_.stripPrefix(MetaPrefix).split("=", 2)(1))
+      val memberStats = segStats.iterator.map { case (_, l) =>
+        ManifestStats.deserialize(l.stripPrefix(StatsPrefix))
+      }.toMap
+      ManifestStats.rollup(members, memberStats,
+        schemaJson.map(j => physicalSchema(
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])))
+    }
+    val seg = Segment(name, members.toVector, segStats.toMap, segMeta.toMap, segRollup)
     segmentCache.putK(root, name, seg)
     seg
   }
@@ -636,7 +697,7 @@ object ManifestTable {
     val payload = verifyIntegrity(text)
     val meta = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val stats = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val refs = Vector.newBuilder[(String, Int)]
+    val refs = Vector.newBuilder[(String, Int, Option[String])]
     var version = 0L
     var op = "unknown"
     payload.linesIterator.next().stripPrefix("# graft-manifest ").split(' ').foreach {
@@ -653,10 +714,17 @@ object ManifestTable {
           p.split('|')(0), StandardCharsets.UTF_8) -> l
       case l if l.startsWith(SegPrefix) =>
         val parts = l.stripPrefix(SegPrefix).split('|')
-        refs += parts(0) -> parts(1).toInt
+        refs += ((parts(0), parts(1).toInt, parts.lift(2)))
       case _ =>
     }
-    val segs = refs.result().map { case (n, c) => loadSegment(spark, root, n, c) }
+    val segs = refs.result().map { case (n, c, ru) =>
+      val s = loadSegment(spark, root, n, c)
+      // the rollup lives in the pointer, not the segment file — attach
+      // it (a cache hit from the writing JVM already carries it)
+      ru.filter(_ => s.rollup.isEmpty).fold(s)(t => s.copy(
+        rollup = Some(ManifestStats.deserialize(
+          java.net.URLDecoder.decode(t, StandardCharsets.UTF_8))._2)))
+    }
     val files = segs.iterator.flatMap(_.members).toVector
     val statsLines = segs.foldLeft(stats.toMap)((m, s) => m ++ s.stats)
     val metaLines = segs.foldLeft(meta.toMap)((m, s) => m ++ s.meta)
@@ -832,8 +900,16 @@ object ManifestTable {
       body.append(l).append('\n') }
     state.statsLines.get(ManifestStats.RollupKey).foreach(l =>
       body.append(l).append('\n'))
-    segs.foreach(s => body.append(SegPrefix).append(s.name).append('|')
-      .append(s.members.size).append('\n'))
+    segs.foreach { s =>
+      body.append(SegPrefix).append(s.name).append('|').append(s.members.size)
+      // the per-segment rollup rides the POINTER line (URL-encoded — no
+      // '|' survives encoding), so a planner reads every segment's
+      // bounds from the pointer body alone in O(segments); old pointers
+      // without the third field stay readable and simply keep-bias
+      s.rollup.foreach(r => body.append('|').append(java.net.URLEncoder.encode(
+        ManifestStats.serialize(SegRollupKey, r), StandardCharsets.UTF_8)))
+      body.append('\n')
+    }
     ComposedManifest(withIntegrityTrailer(body.toString),
       Parsed(state.header, state.metaLines, state.statsLines, state.files)(Some(segs)),
       statsMap, isFull = false, metaMap)
@@ -912,11 +988,24 @@ object ManifestTable {
         else baseStats.get(ManifestStats.RollupKey) match {
           case Some(br) => ManifestStats.mergeRollup(
             br, adds, stats, physicalSchemaOf(newMetaMap))
-          // an absent rollup stays absent under appends: it was absent
-          // because some carried file lacks stats (still does) or no
-          // tracked column survived the intersection (appending files
-          // can only shrink it) — recomputing O(files) proves the same
-          case None => None
+          // an absent rollup stays absent under appends when it was
+          // absent because some carried file lacks stats (still does) or
+          // no tracked column survived the intersection (appending files
+          // can only shrink it). The ONE curable absence is rollup()'s
+          // all-empty keep-bias — every base file has stats but zero
+          // rows — where a non-empty add makes the full recompute
+          // produce bounds; recompute there so the fast path stays
+          // provably equal to recomputing. The walk is O(files) but
+          // fires only while the table's rollup is absent, and repairs
+          // it permanently on the first non-empty append.
+          case None =>
+            val curable = base.files.forall(p =>
+              baseStats.get(p).exists(_.rowCount == 0))
+            if (curable)
+              rollupOf(newMetaMap, base.files ++ adds,
+                (baseStats - ManifestStats.RollupKey) ++
+                  adds.flatMap(p => stats.get(p).map(p -> _)))
+            else None
         }
       val oldRollupLine = base.statsLines.get(ManifestStats.RollupKey)
       val newRollupLine = newRollup.map(r =>
@@ -1344,7 +1433,8 @@ object ManifestTable {
     require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
     val v = version.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not in log (have ${vs.mkString(",")})")
-    val files = manifestFiles(spark, root, v)
+    val parsed = parsedAt(spark, root, v)
+    val files = parsed.files
     val schema = schemaOf(spark, root, v).getOrElse(
       return (files, Seq.empty, v)) // pre-schema log: no sound analysis base
     val raw = rawStats(spark, root, v)
@@ -1359,12 +1449,56 @@ object ManifestTable {
       if (!ManifestStats.statsMayMatch(spark, schema, filter, r, transforms, renames))
         return (Seq.empty, files, v)
     }
-    val (kept, dropped) = ManifestStats.prune(
-      spark, schema, filter, stats, files,
-      transforms = transforms,
-      renames = renames)
+    // segment-level tier: on a two-tier table, exclude whole segments
+    // by their pointer rollup in O(segments) before any per-file stats
+    // work — per-file predicate evaluation happens only inside
+    // segments (and the unsegmented tail) the rollups couldn't rule out
+    val (kept, dropped) = pruneIndexOf(root, v, parsed) match {
+      case Some(idx) => ManifestStats.pruneGrouped(
+        spark, schema, filter, stats, idx.groups,
+        transforms = transforms, renames = renames)
+      case None => ManifestStats.prune(
+        spark, schema, filter, stats, files,
+        transforms = transforms, renames = renames)
+    }
     (kept, dropped, v)
   }
+
+  /** Plan-tier grouping for a version of a SEGMENTED table: per
+    * segment, its live members (members a later delta removed drop
+    * out) and its rollup — kept only when every live member still
+    * carries exactly the stats line the rollup was computed over (a
+    * delta can REPLACE a member's stats; a rollup over superseded
+    * stats must not exclude). Files no segment covers (the delta tail
+    * appended since the checkpoint) form a rollup-less final group.
+    * Built once per (root, version) — O(files) cheap map lookups —
+    * then every planned query pays only O(segments + surviving
+    * members); LRU-cached beside the parsed state it derives from. */
+  private final case class PruneIndex(
+      groups: Vector[(Option[ManifestStats.FileStats], Vector[String])])
+
+  private val pruneIndexCache = new PerRootLru[PruneIndex](8, 64)
+
+  private def pruneIndexOf(root: String, v: Long, p: Parsed): Option[PruneIndex] =
+    p.segSource.filter(_.nonEmpty).map { segs =>
+      pruneIndexCache.getOrCompute(root, v) {
+        val fileSet = p.files.toSet
+        val covered = new java.util.HashSet[String]()
+        val groups = Vector.newBuilder[(Option[ManifestStats.FileStats], Vector[String])]
+        segs.foreach { s =>
+          val live = s.members.filter(fileSet.contains)
+          live.foreach(covered.add)
+          if (live.nonEmpty) {
+            val rollupValid = s.rollup.isDefined &&
+              live.forall(m => p.statsLines.get(m) == s.stats.get(m))
+            groups += ((if (rollupValid) s.rollup else None, live))
+          }
+        }
+        val tail = p.files.filterNot(covered.contains)
+        if (tail.nonEmpty) groups += ((None, tail))
+        PruneIndex(groups.result())
+      }
+    }
 
   /** O(manifest-parse + columns) driver-side routing test: can ANY row
     * of this table match `filter`? `false` only when the committed
@@ -1952,11 +2086,14 @@ object ManifestTable {
   def readChangesSince(
       spark: SparkSession,
       root: String,
-      sinceVersion: Long): (DataFrame, Long) = {
+      sinceVersion: Long,
+      untilVersion: Option[Long] = None): (DataFrame, Long) = {
     val vs = versions(spark, root)
     refuse(vs.contains(sinceVersion),
       s"version $sinceVersion not in log (have ${vs.mkString(",")}) — cursor invalid, full refresh required")
-    val tip = vs.max
+    untilVersion.foreach(u => refuse(vs.contains(u),
+      s"version $u not in log (have ${vs.mkString(",")}) — bounded read invalid"))
+    val tip = untilVersion.getOrElse(vs.max)
     val old = manifestFiles(spark, root, sinceVersion).toSet
     val cur = manifestFiles(spark, root, tip)
     refuse(old.subsetOf(cur.toSet),
@@ -2845,9 +2982,14 @@ object ManifestTable {
           if (affected.isEmpty) emptyDvFrame(spark)
           else {
             val pf = readFilesWithPos(spark, root, tableSchema, affected)
-            // broadcast SEMI join: the key frame is batch-sized, the
-            // table side streams through unshuffled (the DV-read shape)
-            pf.join(broadcast(delKeys), pf(keyCol) === delKeys(keyCol), "left_semi")
+            // SEMI join: hint broadcast only when the key frame is KNOWN
+            // batch-sized (≤ maxKeys, the pruning threshold). Above it
+            // the batch is unbounded — a forced hint would pin a
+            // batch-proportional broadcast AQE can't demote (100M keys ≈
+            // GBs to every executor); let AQE pick the strategy there.
+            val keySide =
+              if (collected.length <= maxKeys) broadcast(delKeys) else delKeys
+            pf.join(keySide, pf(keyCol) === delKeys(keyCol), "left_semi")
               .select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
           }
         val allRows = deletionVector(spark, root, v0)
@@ -3835,9 +3977,18 @@ object ManifestTable {
         }
       fromManifest ++ fromSidecar
     }.toSet
+    // retention grace: composeSegmented writes segment files BEFORE the
+    // pointer manifest publishes, so a vacuum racing an in-flight commit
+    // would otherwise delete segments the about-to-publish manifest
+    // references, leaving an unreadable tip (the usual Delta/Iceberg
+    // orphan-file hazard). Fresh unreferenced segments are therefore
+    // skipped until they age past the grace window — a genuinely lost
+    // race's orphans reclaim on the next vacuum after it.
+    val gcHorizon = System.currentTimeMillis() - SegmentGcGraceMs
     f.listStatus(new Path(s"$root/$LogDir")).foreach { s =>
       val n = s.getPath.getName
-      if (n.startsWith("seg-") && n.endsWith(".seg") && !refSegs.contains(n)) {
+      if (n.startsWith("seg-") && n.endsWith(".seg") && !refSegs.contains(n) &&
+          s.getModificationTime < gcHorizon) {
         f.delete(s.getPath, false)
         segmentCache.removeK(root, n)
       }

@@ -626,4 +626,143 @@ class LakeOpsSpec extends SparkSpec {
     assert(kept.isEmpty && dropped.nonEmpty,
       "committed shingle stats must prune the whole index for an absent key")
   }
+
+  test("maintainNearDupPairs crash recovery: a leading pairs watermark replays without duplicating; a crashed bootstrap self-heals") {
+    import graft.sources.ManifestTable
+    import graft.ops.{DedupOps, LakeOps}
+    val docs = Tables.load(spark, dir, "documents")
+    def slice(i: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+    def scratchAt(root: String): org.apache.spark.sql.DataFrame =
+      DedupOps.ngramJaccardPairs(ManifestTable.read(spark, root),
+        "doc_id", "text", n = 3, minShared = 2L, minJaccard = 0.1, maxShingleFreq = None)
+    // ---- crashed BOOTSTRAP: pairs created, index missing ----
+    locally {
+      val docsR = java.nio.file.Files.createTempDirectory("ndc_docs").toString
+      val idxR = java.nio.file.Files.createTempDirectory("ndc_idx").toString
+      val pairsR = java.nio.file.Files.createTempDirectory("ndc_pairs").toString
+      ManifestTable.create(spark, docsR, slice(0))
+      // what the maintainer's bootstrap writes FIRST, then "crashes"
+      ManifestTable.create(spark, pairsR, scratchAt(docsR),
+        meta = Map("txn-neardup" -> "1"))
+      // pre-fix this wedged permanently ("already has a manifest log");
+      // now it rebuilds the index for the recorded snapshot and proceeds
+      ManifestTable.append(spark, docsR, slice(1))
+      LakeOps.maintainNearDupPairs(spark, docsR, idxR, pairsR, "doc_id", "text")
+      val m = ManifestTable.read(spark, pairsR)
+      val sc = scratchAt(docsR)
+      assert(m.exceptAll(sc).isEmpty && sc.exceptAll(m).isEmpty,
+        "recovered bootstrap must converge to the from-scratch pairs")
+    }
+    // ---- mid-window crash: pairs landed (watermark leads), index did
+    // not, and MORE docs arrive before the replay ----
+    locally {
+      val docsR = java.nio.file.Files.createTempDirectory("ndw_docs").toString
+      val idxR = java.nio.file.Files.createTempDirectory("ndw_idx").toString
+      val pairsR = java.nio.file.Files.createTempDirectory("ndw_pairs").toString
+      ManifestTable.create(spark, docsR, slice(0))
+      LakeOps.maintainNearDupPairs(spark, docsR, idxR, pairsR, "doc_id", "text")
+      val v2 = ManifestTable.append(spark, docsR, slice(1))
+      // the window's TRUE pairs delta (append-only contract: set diff)
+      val before = scratchAt(docsR).exceptAll(
+        DedupOps.ngramJaccardPairs(ManifestTable.read(spark, docsR, Some(v2 - 1)),
+          "doc_id", "text", n = 3, minShared = 2L, minJaccard = 0.1,
+          maxShingleFreq = None))
+      // simulate the crash: the pairs append landed, the index append
+      // (the cursor) did not
+      ManifestTable.appendIdempotent(spark, pairsR, before, "neardup", batchId = v2)
+      // docs keep arriving before anyone replays
+      ManifestTable.append(spark, docsR, slice(2))
+      // pre-fix the replay window ran cursor→tip and RE-APPENDED the v2
+      // pairs (batchId tip > pairs watermark); the fix replays exactly
+      // cursor→v2 first (pairs no-op), then advances
+      LakeOps.maintainNearDupPairs(spark, docsR, idxR, pairsR, "doc_id", "text")
+      val m = ManifestTable.read(spark, pairsR)
+      val sc = scratchAt(docsR)
+      assert(m.exceptAll(sc).isEmpty && sc.exceptAll(m).isEmpty,
+        "replay across a leading pairs watermark must not duplicate the in-flight window")
+    }
+  }
+
+  test("maintainNearDupPairsCapped: cap-crossing shingles retract pairs and shrink sizes; mart equals from-scratch capped truth") {
+    import graft.sources.ManifestTable
+    import graft.ops.{DedupOps, LakeOps}
+    import spark.implicits._
+    // hand-built corpus with a DETERMINISTIC cap crossing (n=2, cap=2):
+    //  w0: d1,d2 share bigram "x y" (df 2 ≤ cap) → pair (1,2)
+    //  w1: d3 brings df("x y") to 3 > cap → the pair RETRACTS and d1/d2
+    //      sizes shrink (the uncapped algebra cannot express this)
+    //  w2: d4,d5 pair through fresh bigram "z w" (df 2 ≤ cap)
+    val docsR = java.nio.file.Files.createTempDirectory("cap_docs").toString
+    val idxR = java.nio.file.Files.createTempDirectory("cap_idx").toString
+    val szR = java.nio.file.Files.createTempDirectory("cap_sz").toString
+    val pairsR = java.nio.file.Files.createTempDirectory("cap_pairs").toString
+    def maintain() = LakeOps.maintainNearDupPairsCapped(
+      spark, docsR, idxR, szR, pairsR, "doc_id", "text",
+      maxShingleFreq = 2L, n = 2, minShared = 1L, minJaccard = 0.01)
+    def scratch() = DedupOps.ngramJaccardPairs(ManifestTable.read(spark, docsR),
+      "doc_id", "text", n = 2, minShared = 1L, minJaccard = 0.01,
+      maxShingleFreq = Some(2L))
+    def assertScratch(ctx: String): Unit = {
+      val m = ManifestTable.read(spark, pairsR).drop("pair_key")
+      val sc = scratch()
+      assert(m.exceptAll(sc).isEmpty && sc.exceptAll(m).isEmpty,
+        s"$ctx: maintained pairs must equal the from-scratch capped pairs")
+    }
+    ManifestTable.create(spark, docsR,
+      Seq((1L, "x y a"), (2L, "x y b")).toDF("doc_id", "text"))
+    maintain()
+    assertScratch("bootstrap")
+    assert(ManifestTable.read(spark, pairsR).count() === 1L,
+      "w0 must pair d1,d2 through the under-cap shingle")
+    ManifestTable.append(spark, docsR, Seq((3L, "x y c")).toDF("doc_id", "text"))
+    maintain()
+    assertScratch("after crossing")
+    assert(ManifestTable.read(spark, pairsR).count() === 0L,
+      "the cap crossing must RETRACT the pair whose only shared shingle crossed")
+    assert(ManifestTable.read(spark, szR).filter(col("doc_id") === 1L)
+      .select("n_sh").as[Long].head() === 1L,
+      "d1's capped size must shrink when its shingle crosses the cap")
+    ManifestTable.append(spark, docsR,
+      Seq((4L, "z w k"), (5L, "z w m")).toDF("doc_id", "text"))
+    val (c2, d2, _) = maintain()
+    assert(d2 === 2L)
+    assertScratch("new under-cap pair after a crossing")
+    assert(ManifestTable.read(spark, pairsR).count() === 1L)
+    // caught up: replay no-op on every mart
+    val tips = Seq(idxR, szR, pairsR).map(r => ManifestTable.versions(spark, r).max)
+    assert(maintain() === ((c2, 0L, 0L)))
+    assert(Seq(idxR, szR, pairsR).map(r =>
+      ManifestTable.versions(spark, r).max) === tips)
+  }
+
+  test("maintainNearDupPairsCapped on the documents corpus: three windows equal the from-scratch capped truth") {
+    import graft.sources.ManifestTable
+    import graft.ops.{DedupOps, LakeOps}
+    val docsR = java.nio.file.Files.createTempDirectory("capd_docs").toString
+    val idxR = java.nio.file.Files.createTempDirectory("capd_idx").toString
+    val szR = java.nio.file.Files.createTempDirectory("capd_sz").toString
+    val pairsR = java.nio.file.Files.createTempDirectory("capd_pairs").toString
+    val docs = Tables.load(spark, dir, "documents")
+    def slice(i: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+    def maintain() = LakeOps.maintainNearDupPairsCapped(
+      spark, docsR, idxR, szR, pairsR, "doc_id", "text",
+      maxShingleFreq = 5L, n = 3, minShared = 2L, minJaccard = 0.1)
+    def assertScratch(): Unit = {
+      val sc = DedupOps.ngramJaccardPairs(ManifestTable.read(spark, docsR),
+        "doc_id", "text", n = 3, minShared = 2L, minJaccard = 0.1,
+        maxShingleFreq = Some(5L))
+      val m = ManifestTable.read(spark, pairsR).drop("pair_key")
+      assert(m.exceptAll(sc).isEmpty && sc.exceptAll(m).isEmpty,
+        "maintained capped pairs must equal the from-scratch capped truth")
+    }
+    ManifestTable.create(spark, docsR, slice(0))
+    maintain()
+    assertScratch()
+    ManifestTable.append(spark, docsR, slice(1))
+    maintain()
+    assertScratch()
+    ManifestTable.append(spark, docsR, slice(2))
+    maintain()
+    assertScratch()
+  }
 }

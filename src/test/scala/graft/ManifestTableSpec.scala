@@ -146,6 +146,44 @@ class ManifestTableSpec extends SparkSpec {
       spark, root, ManifestTable.versions(spark, root).max).get("txn-w1") === Some("1"))
   }
 
+  test("txn watermarks at beyond-2^21 batch ids: the tip-sum encoding of join-mart maintenance never overflows") {
+    // maintainJoinMartTotal's batchId is aTip + bTip (replacing the
+    // (aTip << 21) | bTip packing that hard-failed at b = 2^21 and
+    // silently wrapped at a = 2^42) — the watermark machinery must
+    // order and replay-gate ids of that magnitude like any other
+    val root = freshRoot()
+    val big = (1L << 22) + 7L // past the old encoding's hard-fail cliff
+    ManifestTable.appendIdempotent(spark, root, orders.limit(10), "jm", big)
+    assert(ManifestTable.read(spark, root).count() === 10L)
+    // crash replay of the same window recomputes the same sum → no-op
+    ManifestTable.appendIdempotent(spark, root, orders.limit(10), "jm", big)
+    assert(ManifestTable.read(spark, root).count() === 10L)
+    // the next window's strictly larger sum lands
+    ManifestTable.appendIdempotent(spark, root, orders.limit(5), "jm", big + 1)
+    assert(ManifestTable.read(spark, root).count() === 15L)
+    // a stale window (e.g. one maintainer lagging another) acknowledges
+    ManifestTable.appendIdempotent(spark, root, orders.limit(10), "jm", big)
+    assert(ManifestTable.read(spark, root).count() === 15L)
+  }
+
+  test("per-root caches stay bounded: cycling many temp tables cannot grow driver state without bound") {
+    // a long-lived JVM churning through millions of short-lived tables
+    // (the tipCache/listingCounts leak class) — prime far past the LRU
+    // capacity and prove eviction holds the line
+    (1 to 10000).foreach(i => ManifestTable.primeTipForTest(s"/tmp/synthetic_root_$i", 1L))
+    val (tips, listings) = ManifestTable.cachedRootCountsForTest()
+    assert(tips <= 4096,
+      s"tip cache must stay within the LRU bound after 10k roots (got $tips)")
+    assert(listings <= 4096,
+      s"listing meter must stay within the LRU bound (got $listings)")
+    // a live root evicted from the tip cache self-heals via one listing
+    val root = freshRoot()
+    ManifestTable.create(spark, root, orders.limit(2).coalesce(1))
+    (1 to 5000).foreach(i => ManifestTable.primeTipForTest(s"/tmp/synthetic_root_b$i", 1L))
+    assert(ManifestTable.knownTipVersion(spark, root) === 1L,
+      "an evicted tip must re-prime from a listing, not fail")
+  }
+
   test("streamed foreachBatch ingest through appendIdempotent equals batch, including a replay") {
     val srcDir = Files.createTempDirectory("manifest_stream_src").toString
     val root = freshRoot()

@@ -259,6 +259,14 @@ class TieredLogSpec extends SparkSpec {
       // segments survive, unreferenced ones (and planted orphans) GC
       val orphan = Paths.get(root, "_graft_log", "seg-orphan-test.seg")
       Files.write(orphan, "# graft-manifest-segment n=0\n".getBytes)
+      // a FRESH unreferenced segment could be an in-flight commit's
+      // (segments publish before their pointer manifest) — GC must skip
+      // it inside the grace window and reclaim it only once aged
+      ManifestTable.vacuum(spark, root, keepVersions = 1)
+      assert(orphan.toFile.exists(),
+        "a fresh orphan inside the GC grace window must survive vacuum")
+      Files.setLastModifiedTime(orphan, java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - ManifestTable.SegmentGcGraceMs - 60000L))
       ManifestTable.vacuum(spark, root, keepVersions = 1)
       assert(!orphan.toFile.exists(), "unreferenced segments must be vacuumed")
       ManifestTable.dropResolvedCacheForTest()
@@ -376,5 +384,56 @@ class TieredLogSpec extends SparkSpec {
     val byType = feed.groupBy("_change_type").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byType.getOrElse("insert", 0L) > 0L && byType.getOrElse("delete", 0L) > 0L)
+  }
+
+  test("two-tier pruning: a selective probe evaluates per-file stats only inside segments whose rollup admits it") {
+    import graft.sources.ManifestStats
+    val root = freshRoot()
+    val saved = ManifestTable.SegmentTargetSize
+    ManifestTable.SegmentTargetSize = 8
+    try {
+      // 12 single-file commits with DISJOINT contiguous key ranges —
+      // the v10 checkpoint seals files 1..10 into segments of 8 and 2;
+      // v11/v12 ride as delta-tail files outside any segment
+      val keys = orders.select("o_orderkey").distinct().orderBy("o_orderkey")
+        .collect().map(_.getLong(0))
+      def slice(i: Int) = {
+        val lo = keys(i * keys.length / 12)
+        val hiIdx = (i + 1) * keys.length / 12
+        val hi = if (hiIdx >= keys.length) Long.MaxValue else keys(hiIdx)
+        orders.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi).coalesce(1)
+      }
+      ManifestTable.create(spark, root, slice(0), statsColumns = Seq("o_orderkey"))
+      (1 until 12).foreach(i =>
+        ManifestTable.append(spark, root, slice(i), statsColumns = Seq("o_orderkey")))
+      assert(rawHead(root, 10L).contains(" segs=1"),
+        "the v10 checkpoint must store in pointer form")
+      // probe a key in file 9's range: the 8-member segment (files 1..8)
+      // is EXCLUDED by its pointer rollup with zero per-file work; the
+      // 2-member segment and the 2 tail files evaluate per-file
+      val probe = keys(8 * keys.length / 12)
+      def runProbe(): (Seq[String], Seq[String]) = {
+        val before = ManifestStats.PruneMeters.snapshot
+        val (kept, dropped, _) =
+          ManifestTable.pruneFiles(spark, root, col("o_orderkey") === probe)
+        val after = ManifestStats.PruneMeters.snapshot
+        assert(after._1 - before._1 === 4L,
+          s"per-file stats evaluated: expected 4 (2-member segment + 2 tail files), got ${after._1 - before._1}")
+        assert(after._2 - before._2 === 1L,
+          "exactly the 8-member segment must be excluded at the segment tier")
+        (kept, dropped)
+      }
+      val (kept, dropped) = runProbe()
+      assert(kept.size === 1 && dropped.size === 11,
+        s"probe must keep exactly the covering file (kept=${kept.size}, dropped=${dropped.size})")
+      // the split is EXACTLY the flat prune's answer
+      assert(ManifestTable.readPruned(spark, root, col("o_orderkey") === probe).count() ===
+        ManifestTable.read(spark, root).filter(col("o_orderkey") === probe).count())
+      // COLD path: a fresh process decodes the rollups from the pointer
+      // lines alone and plans the same way
+      ManifestTable.dropResolvedCacheForTest()
+      val (kept2, dropped2) = runProbe()
+      assert(kept2 === kept && dropped2.toSet === dropped.toSet)
+    } finally ManifestTable.SegmentTargetSize = saved
   }
 }
