@@ -4803,6 +4803,56 @@ object SparkEntry {
         col("doc_a"), col("doc_b"), col("shared_shingles"), col("jaccard"))
     }),
 
+    "dd11_incremental_neardup_capped" -> ((s, dir) => {
+      // the CAPPED contract maintained incrementally — the variant a
+      // production corpus runs (dd10's uncapped output is quadratic in
+      // hot-shingle df; the cap bounds it, but a shingle CROSSING the
+      // cap as the corpus grows retracts pairs and shrinks sizes, which
+      // append-only IVM cannot express). maintainNearDupPairsCapped
+      // does the semi-join-restricted recompute over crosser
+      // neighborhoods with a pairs/sizes/index watermark ladder. Pins:
+      // after three windows the mart equals the from-scratch CAPPED
+      // ngramJaccardPairs; a replay call is a no-op; the number of
+      // shingles that crossed the cap after window 1 is a literal the
+      // oracle re-derives (at sf0.1 the cap is active and crossings are
+      // plentiful; the equality holds at every SF either way). Face:
+      // the pairs mart, replayed relationally by DuckDB with the same
+      // cap over the whole corpus.
+      val docsR = java.nio.file.Files.createTempDirectory("dd11_docs").toString
+      val idxR = java.nio.file.Files.createTempDirectory("dd11_idx").toString
+      val szR = java.nio.file.Files.createTempDirectory("dd11_sz").toString
+      val pairsR = java.nio.file.Files.createTempDirectory("dd11_pairs").toString
+      val docs = t(s, dir, "documents")
+      val MT = graft.sources.ManifestTable
+      val cap = 5L
+      def slice(i: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+      def maintain() = graft.ops.LakeOps.maintainNearDupPairsCapped(
+        s, docsR, idxR, szR, pairsR, "doc_id", "text", maxShingleFreq = cap)
+      MT.create(s, docsR, slice(0))
+      maintain() // bootstrap
+      MT.append(s, docsR, slice(1))
+      maintain()
+      MT.append(s, docsR, slice(2))
+      val (c2, _, _) = maintain()
+      val replayNoop = maintain() == ((c2, 0L, 0L))
+      val scratch = DedupOps.ngramJaccardPairs(MT.read(s, docsR), "doc_id", "text",
+        n = 3, minShared = 2L, minJaccard = 0.1, maxShingleFreq = Some(cap))
+      val m = MT.read(s, pairsR).drop("pair_key")
+      val matches = m.exceptAll(scratch).isEmpty && scratch.exceptAll(m).isEmpty
+      // crossing witness: shingles under the cap over windows 0+1 that
+      // the full corpus pushed over it — the retraction-triggering set
+      val ex = docs.select(col("doc_id"),
+        explode(DedupOps.shingles(col("text"), 3)).as("shingle"))
+      val crossed = ex.groupBy("shingle")
+        .agg(count(lit(1)).as("df_all"),
+          count(when(pmod(col("doc_id"), lit(3)) < 2, lit(1))).as("df_w1"))
+        .filter(col("df_all") > cap && col("df_w1") <= cap)
+        .count()
+      m.select(lit(matches).as("matches_scratch"), lit(replayNoop).as("replay_noop"),
+        lit(crossed).as("crossed_after_w1"),
+        col("doc_a"), col("doc_b"), col("shared_shingles"), col("jaccard"))
+    }),
+
     "dd6_cross_corpus" -> ((s, dir) => {
       // benchmark decontamination at the NEAR-DUP tier (ctm1/ctm2 are the
       // exact-containment tier): corpus docs near-dupping any probe doc.
@@ -7569,6 +7619,39 @@ object SparkEntry {
          |SELECT TRUE AS matches_scratch, TRUE AS replay_noop,
          |       (SELECT CAST(count(*) AS BIGINT) FROM documents
          |        WHERE doc_id % 3 = 2) AS window2_docs,
+         |       doc_a, doc_b, CAST(pr.shared AS BIGINT) AS shared_shingles,
+         |       round(pr.shared / (sa.n + sb.n - pr.shared), 4) AS jaccard
+         |FROM pr JOIN sz sa ON pr.doc_a = sa.doc_id JOIN sz sb ON pr.doc_b = sb.doc_id
+         |WHERE pr.shared >= 2 AND round(pr.shared / (sa.n + sb.n - pr.shared), 4) >= 0.1""").stripMargin,
+
+    "dd11_incremental_neardup_capped" -> // the incrementally-maintained
+      // CAPPED pairs mart must equal dd2's capped SQL at cap 5 over the
+      // whole corpus; crossed_after_w1 re-derives the retraction
+      // witness (shingles ≤ cap over windows 0+1, > cap over all three)
+      ("""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |), idx AS (
+         |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks
+         |), sh0 AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM idx
+         |), kept AS (
+         |  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 5
+         |), sh AS (
+         |  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN kept USING (shingle)
+         |), sz AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), crossed AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT shingle FROM sh0 GROUP BY shingle
+         |    HAVING count(*) > 5 AND count(*) FILTER (doc_id % 3 < 2) <= 5
+         |  )
+         |)
+         |SELECT TRUE AS matches_scratch, TRUE AS replay_noop,
+         |       (SELECT c FROM crossed) AS crossed_after_w1,
          |       doc_a, doc_b, CAST(pr.shared AS BIGINT) AS shared_shingles,
          |       round(pr.shared / (sa.n + sb.n - pr.shared), 4) AS jaccard
          |FROM pr JOIN sz sa ON pr.doc_a = sa.doc_id JOIN sz sb ON pr.doc_b = sb.doc_id
