@@ -4224,6 +4224,82 @@ object SparkEntry {
       } finally MT.SegmentTargetSize = saved
     }),
 
+    "lake35_two_tier_pruning" -> ((s, dir) => {
+      // manifest-LEVEL pruning (the Iceberg manifest-list idea): every
+      // sealed segment's pointer line carries a rollup of its members'
+      // stats, and pruneFiles excludes whole segments in O(columns)
+      // before any per-file work. Build: 12 single-file commits with
+      // disjoint contiguous o_orderkey ranges; the v10 checkpoint seals
+      // files 0..9 into segments of 8 and 2; files 10..11 ride as the
+      // delta tail. A probe at file 8's lower bound must (a) exclude
+      // the 8-member segment at the SEGMENT tier (zero per-file
+      // evaluations inside it), (b) evaluate exactly the 2-member
+      // segment + 2 tail files, (c) keep exactly the covering file.
+      // The meter deltas ride the face as literals the oracle pins.
+      val root = java.nio.file.Files.createTempDirectory("lake35_prune").toString
+      val orders = t(s, dir, "orders")
+      val MT = graft.sources.ManifestTable
+      val saved = MT.SegmentTargetSize
+      MT.SegmentTargetSize = 8
+      try {
+        val keys = orders.select("o_orderkey").distinct().orderBy("o_orderkey")
+          .collect().map(_.getLong(0))
+        def slice(i: Int) = {
+          val lo = keys(i * keys.length / 12)
+          val hiIdx = (i + 1) * keys.length / 12
+          val hi = if (hiIdx >= keys.length) Long.MaxValue else keys(hiIdx)
+          orders.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi).coalesce(1)
+        }
+        MT.create(s, root, slice(0), statsColumns = Seq("o_orderkey"))
+        (1 until 12).foreach(i =>
+          MT.append(s, root, slice(i), statsColumns = Seq("o_orderkey")))
+        val probe = keys(8 * keys.length / 12)
+        val before = graft.sources.ManifestStats.PruneMeters.snapshot
+        val (kept, _, _) = MT.pruneFiles(s, root, col("o_orderkey") === probe)
+        val after = graft.sources.ManifestStats.PruneMeters.snapshot
+        MT.readPruned(s, root, col("o_orderkey") === probe)
+          .select(lit(after._1 - before._1).as("files_evaluated"),
+            lit(after._2 - before._2).as("segments_excluded"),
+            lit(kept.size.toLong).as("files_kept"),
+            col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice").cast("double").as("o_totalprice"))
+          .localCheckpoint() // pin before the threshold restores below
+      } finally MT.SegmentTargetSize = saved
+    }),
+
+    "lake36_checkpoint_ledger" -> ((s, dir) => {
+      // the segment DIRTINESS ledger: between checkpoints the writer
+      // tracks which segments deltas touched, so an appends-only
+      // checkpoint carries every clean segment by name and walks ONLY
+      // the appended tail — O(touched + segments) member visits, never
+      // O(files). Build: 20 single-file pmod slices; the v20 checkpoint
+      // (files 1..10 sealed at v10, 10 tail files since) must visit
+      // exactly 10 member entries. The visit count rides the face as a
+      // literal; the content is re-derived relationally after a COLD
+      // resolve (all caches dropped).
+      val root = java.nio.file.Files.createTempDirectory("lake36_ledger").toString
+      val orders = t(s, dir, "orders")
+      val MT = graft.sources.ManifestTable
+      val saved = MT.SegmentTargetSize
+      MT.SegmentTargetSize = 8
+      try {
+        def slice(i: Int) = orders.filter(pmod(col("o_orderkey"), lit(20)) === i).coalesce(1)
+        MT.create(s, root, slice(0), statsColumns = Seq("o_orderkey"))
+        (1 until 19).foreach(i =>
+          MT.append(s, root, slice(i), statsColumns = Seq("o_orderkey")))
+        val before = MT.ComposeMeters.memberVisits.get
+        MT.append(s, root, slice(19), statsColumns = Seq("o_orderkey")) // v20 checkpoint
+        val visits = MT.ComposeMeters.memberVisits.get - before
+        MT.dropResolvedCacheForTest() // cold: pointer body + segments only
+        MT.read(s, root).groupBy("o_orderstatus")
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            dsum(col("o_totalprice")).as("total_price"))
+          .select(lit(visits).as("checkpoint_member_visits"),
+            col("o_orderstatus"), col("n_orders"), col("total_price"))
+          .localCheckpoint() // pin before the threshold restores below
+      } finally MT.SegmentTargetSize = saved
+    }),
+
     "lake28_row_tracking" -> ((s, dir) => {
       // row tracking (Delta row tracking / Iceberg v3 row lineage):
       // every row carries an immutable table-unique id — fresh files as
@@ -6928,6 +7004,34 @@ object SparkEntry {
          |       ${dsumSql("o_totalprice")} AS total_price
          |FROM orders GROUP BY o_orderstatus""").stripMargin,
 
+    "lake35_two_tier_pruning" -> // the meter literals pin the two-tier
+      // contract (the 8-member segment excluded by its pointer rollup
+      // with zero per-file work; only the 2-member segment + 2 tail
+      // files evaluated; exactly the covering file kept); the row
+      // content is the probed order, re-derived by rank arithmetic over
+      // the distinct keys — integer division matches the Spark side
+      ("""WITH k AS (
+         |  SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS rn,
+         |         count(*) OVER () AS c
+         |  FROM (SELECT DISTINCT o_orderkey FROM orders)
+         |), probe AS (
+         |  SELECT o_orderkey FROM k WHERE rn = (8 * c) // 12
+         |)
+         |SELECT CAST(4 AS BIGINT) AS files_evaluated,
+         |       CAST(1 AS BIGINT) AS segments_excluded,
+         |       CAST(1 AS BIGINT) AS files_kept,
+         |       o.o_orderkey, o.o_orderstatus,
+         |       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+         |FROM orders o JOIN probe USING (o_orderkey)""").stripMargin,
+
+    "lake36_checkpoint_ledger" -> // an appends-only checkpoint visits
+      // exactly the 10 tail members (clean segments carry by name); the
+      // cold-resolved content is the whole orders table (all 20 slices)
+      (s"""SELECT CAST(10 AS BIGINT) AS checkpoint_member_visits,
+         |       o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders GROUP BY o_orderstatus""").stripMargin,
+
     "lake28_row_tracking" -> // the face is the post-lifecycle content
       // (everything but the %3 deletes); id uniqueness and rewrite
       // preservation are pinned in-engine as booleans
@@ -8263,7 +8367,10 @@ object SparkEntry {
     "pack2_document_packing" -> // the next-fit recurrence as a recursive
       // CTE: all shards walk in parallel rows, rn joins each step to the
       // next document in the shard
-      ("""WITH RECURSIVE t AS (
+      // t is MATERIALIZED: DuckDB inlines plain CTEs into EVERY
+      // iteration of a recursive CTE, re-tokenizing the corpus per row
+      // rank (the pipe3 lesson — same fix)
+      ("""WITH RECURSIVE t AS MATERIALIZED (
          |  SELECT doc_id, doc_id % 8 AS shard,
          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
          |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn

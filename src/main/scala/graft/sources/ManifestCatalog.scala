@@ -244,7 +244,10 @@ object ManifestCatalog {
           "txn-overwrite" -> ManifestTable.prepareOverwrite(spark, root, df, Map.empty, sc, bc)
       }
       val meta = ManifestTable.metaWithTxnCarry(spark, root, v0, m(v0))
-      val body = ManifestTable.composeBody(v0 + 1, opName, meta, b(v0) ++ nf, st(v0))
+      // pointer form above the segment threshold: staging a big table is
+      // O(delta + touched segments), not a full render of its file list
+      val body = ManifestTable.composeStagedStored(
+        spark, root, v0 + 1, opName, meta, b(v0) ++ nf, st(v0))
       val tmp = new Path(s"$cat/$TxnDir/$txnId/.tmp-${op.name}")
       val out = f.create(tmp, false)
       try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()

@@ -86,7 +86,30 @@ final class ConcurrentCommit(msg: String) extends IllegalStateException(msg)
   * filesystems (link(2)) and HDFS (rename-refuses-dst); object stores
   * register a conditional-put arm (S3 `If-None-Match: *`, GCS
   * `ifGenerationMatch=0`, ABFS ETag preconditions) via
-  * [[ManifestTable.registerSlotClaimer]]. */
+  * [[ManifestTable.registerSlotClaimer]].
+  *
+  * Reference S3-family arm (sketch — the contract it must meet is
+  * proven sufficient by ConcurrencySpec's in-memory put-if-absent fake,
+  * which races the full commit battery through this seam):
+  * {{{
+  * ManifestTable.registerSlotClaimer("s3a", new SlotClaimer {
+  *   def claim(f: FileSystem, tmp: Path, dst: Path): Boolean = {
+  *     val bytes = readAll(f.open(tmp))               // small: manifest text
+  *     try {                                          // the store decides:
+  *       s3.putObject(PutObjectRequest.builder()      //   exactly one PUT
+  *         .bucket(bucketOf(dst)).key(keyOf(dst))     //   with If-None-Match
+  *         .ifNoneMatch("*").build(),                 //   succeeds per key
+  *         RequestBody.fromBytes(bytes))
+  *       true
+  *     } catch {
+  *       case e: S3Exception if e.statusCode == 412 => false // occupant won
+  *     }
+  *   }
+  * })
+  * }}}
+  * The arm must NOT fall back to copy+rename (not atomic on object
+  * stores) and must surface non-412 failures — a swallowed 5xx would
+  * look like a lost race and silently drop a commit. */
 trait SlotClaimer {
   def claim(f: org.apache.hadoop.fs.FileSystem,
       tmp: org.apache.hadoop.fs.Path,
@@ -463,7 +486,25 @@ object ManifestTable {
       metaLines: Map[String, String], // meta key -> full "# meta:..." line
       statsLines: Map[String, String], // stats path -> full line
       files: Vector[String])(
-      val segSource: Option[Vector[Segment]])
+      val segSource: Option[Vector[Segment]],
+      val segTracking: Option[SegTracking] = None)
+
+  /** Writer-side segment DIRTINESS ledger, carried with the state (like
+    * `segSource`, outside equality): which base segments a delta since
+    * the last seal has touched, which paths were removed, and the
+    * appended tail — so a checkpoint walks only DIRTY segments plus the
+    * tail and carries every clean segment by name with ZERO member
+    * visits, making checkpoint work O(touched + #segments) instead of
+    * O(files). Maintained incrementally by [[applyDeltaParsed]] at
+    * O(delta) per commit (persistent structures share); absent on a
+    * cold writer, whose first checkpoint does the full walk once and
+    * re-initializes. A cheap O(segments) live-count invariant plus the
+    * existing checkpoint divergence gate guard against ledger drift. */
+  private final case class SegTracking(
+      memberOf: Map[String, String], // path AND rowbase meta key → segment name
+      tail: Vector[String],          // files appended since the last seal
+      dirty: Set[String],            // segment names touched since the last seal
+      removed: Set[String])          // paths removed since the last seal
 
   /** One immutable two-tier segment file: a GROUP of file entries
     * (paths + their stats lines + their PER-FILE meta lines — the
@@ -558,8 +599,37 @@ object ManifestTable {
     val meta = (base.metaLines -- d.metaMinus) ++ d.metaPlus
     val stats = (base.statsLines -- d.removes -- d.statsMinus) ++ d.statsPlus
     Parsed(s"# graft-manifest version=${d.version} op=${d.op}", meta,
-      stats, files)(base.segSource)
+      stats, files)(base.segSource,
+      updateTracking(base.segTracking, d.removes, d.adds,
+        d.statsPlus.iterator.map(_._1).toSeq, d.statsMinus,
+        d.metaPlus.iterator.map(_._1).toSeq, d.metaMinus))
   }
+
+  /** Advance the dirtiness ledger by one delta — O(delta) persistent
+    * updates. A segment dirties when a delta removes one of its
+    * members, replaces/retracts a member's stats line, or touches a
+    * member's `rowbase-*` meta line; stats/meta keys of files outside
+    * every segment (the tail, the rollup pseudo-entry, table-level
+    * meta) miss the memberOf lookup and dirty nothing. */
+  private def updateTracking(tr: Option[SegTracking],
+      removes: Iterable[String], adds: Seq[String],
+      statsPlusKeys: Seq[String], statsMinusKeys: Seq[String],
+      metaPlusKeys: Seq[String], metaMinusKeys: Seq[String]): Option[SegTracking] =
+    tr.map { t =>
+      var dirty = t.dirty
+      var removed = t.removed
+      (statsPlusKeys.iterator ++ statsMinusKeys.iterator ++
+        metaPlusKeys.iterator ++ metaMinusKeys.iterator)
+        .foreach(k => t.memberOf.get(k).foreach(dirty += _))
+      removes.foreach { p =>
+        t.memberOf.get(p).foreach(dirty += _)
+        removed += p
+      }
+      val tail0 =
+        if (removes.isEmpty) t.tail
+        else { val rs = removes.toSet; t.tail.filterNot(rs) }
+      SegTracking(t.memberOf, tail0 ++ adds, dirty, removed)
+    }
 
   /** Render a structural state back to FULL manifest text, exactly as
     * [[composeBody]] renders (header, meta sorted by key, per-file
@@ -772,6 +842,11 @@ object ManifestTable {
   private[graft] object ComposeMeters {
     val fullBodies = new java.util.concurrent.atomic.AtomicLong()
     val statsLinesSerialized = new java.util.concurrent.atomic.AtomicLong()
+    /** Segment member entries VISITED while composing a segmented full —
+      * the dirtiness-ledger contract: a checkpoint after appends-only
+      * commits visits O(tail) members (clean segments carry by name),
+      * never O(files). */
+    val memberVisits = new java.util.concurrent.atomic.AtomicLong()
     def snapshot: (Long, Long) = (fullBodies.get, statsLinesSerialized.get)
   }
 
@@ -861,34 +936,73 @@ object ManifestTable {
       op: String, state: Parsed, segSource: Option[Vector[Segment]],
       statsMap: Option[Map[String, ManifestStats.FileStats]],
       metaMap: Option[Map[String, String]]): ComposedManifest = {
-    val fileSet = state.files.toSet
-    val covered = new java.util.HashSet[String]()
-    val out = Vector.newBuilder[Segment]
-    segSource.getOrElse(Vector.empty).foreach { s =>
-      val intact = s.members.forall(m =>
-        fileSet.contains(m) && state.statsLines.get(m) == s.stats.get(m)) &&
-        s.meta.forall { case (k, l) => state.metaLines.get(k).contains(l) }
-      if (intact) { out += s; s.members.foreach(covered.add) }
-      else {
-        val survivors = s.members.filter(fileSet.contains)
-        if (survivors.nonEmpty) {
-          out += writeSegment(spark, root, survivors, state.statsLines, state.metaLines)
-          survivors.foreach(covered.add)
+    // ---- TRACKED branch: the dirtiness ledger says exactly which
+    // segments a delta touched, so clean segments carry with ZERO
+    // member visits and the walk is O(dirty members + tail + segments).
+    // An O(segments) live-count invariant falls back to the full walk
+    // on any ledger drift (and the checkpoint divergence gate would
+    // catch what survives that).
+    val tracked: Option[Vector[Segment]] =
+      (segSource, state.segTracking) match {
+        case (Some(srcSegs), Some(tr)) =>
+          val out = Vector.newBuilder[Segment]
+          var live = 0
+          srcSegs.foreach { s =>
+            if (!tr.dirty.contains(s.name)) { out += s; live += s.members.size }
+            else {
+              val survivors = s.members.filterNot(tr.removed)
+              ComposeMeters.memberVisits.addAndGet(s.members.size.toLong)
+              if (survivors.nonEmpty) {
+                out += writeSegment(spark, root, survivors,
+                  state.statsLines, state.metaLines)
+                live += survivors.size
+              }
+            }
+          }
+          tr.tail.grouped(SegmentTargetSize).foreach { g =>
+            ComposeMeters.memberVisits.addAndGet(g.size.toLong)
+            out += writeSegment(spark, root, g, state.statsLines, state.metaLines)
+          }
+          live += tr.tail.size
+          if (live == state.files.size) Some(out.result()) else None
+        case _ => None
+      }
+    val segs = tracked.getOrElse {
+      val fileSet = state.files.toSet
+      val covered = new java.util.HashSet[String]()
+      val out = Vector.newBuilder[Segment]
+      segSource.getOrElse(Vector.empty).foreach { s =>
+        ComposeMeters.memberVisits.addAndGet(s.members.size.toLong)
+        val intact = s.members.forall(m =>
+          fileSet.contains(m) && state.statsLines.get(m) == s.stats.get(m)) &&
+          s.meta.forall { case (k, l) => state.metaLines.get(k).contains(l) }
+        if (intact) { out += s; s.members.foreach(covered.add) }
+        else {
+          val survivors = s.members.filter(fileSet.contains)
+          if (survivors.nonEmpty) {
+            out += writeSegment(spark, root, survivors, state.statsLines, state.metaLines)
+            survivors.foreach(covered.add)
+          }
         }
       }
+      val tail = state.files.filterNot(covered.contains)
+      tail.grouped(SegmentTargetSize).foreach { g =>
+        ComposeMeters.memberVisits.addAndGet(g.size.toLong)
+        out += writeSegment(spark, root, g, state.statsLines, state.metaLines)
+      }
+      var built = out.result()
+      // order guard: the flattened segments MUST reproduce the state's
+      // file order exactly (a removed-then-re-added path — restore — would
+      // otherwise surface at its OLD position); reseal from scratch when
+      // they don't. O(files) reference-equality compare, untracked only —
+      // the tracked branch's ledger places re-adds in the tail by
+      // construction.
+      if (built.iterator.flatMap(_.members).toVector != state.files)
+        built = state.files.grouped(SegmentTargetSize)
+          .map(g => writeSegment(spark, root, g, state.statsLines, state.metaLines))
+          .toVector
+      built
     }
-    val tail = state.files.filterNot(covered.contains)
-    tail.grouped(SegmentTargetSize).foreach(g =>
-      out += writeSegment(spark, root, g, state.statsLines, state.metaLines))
-    var segs = out.result()
-    // order guard: the flattened segments MUST reproduce the state's
-    // file order exactly (a removed-then-re-added path — restore — would
-    // otherwise surface at its OLD position); reseal from scratch when
-    // they don't. O(files) reference-equality compare, checkpoint-time.
-    if (segs.iterator.flatMap(_.members).toVector != state.files)
-      segs = state.files.grouped(SegmentTargetSize)
-        .map(g => writeSegment(spark, root, g, state.statsLines, state.metaLines))
-        .toVector
     // inline meta = table-level entries only: per-file lines covered by
     // a segment live with their files (old segments without meta slices
     // leave theirs inline — graceful mixing of formats)
@@ -910,8 +1024,43 @@ object ManifestTable {
         ManifestStats.serialize(SegRollupKey, r), StandardCharsets.UTF_8)))
       body.append('\n')
     }
+    // re-initialize the dirtiness ledger for the next interval: when the
+    // tracked walk ran, memberOf carries forward with O(removed + newly
+    // sealed members) updates (entries of removed paths drop; entries
+    // for rewritten/sealed segments overwrite; entries naming dead
+    // segments are harmless — a dead name can never match a live
+    // segment, and a re-added path lives in the tail until resealed).
+    // After an untracked walk the map builds fresh at the O(files) cost
+    // that walk already paid.
+    val newTracking = Some {
+      val mo0 = state.segTracking match {
+        case Some(tr) if tracked.isDefined =>
+          val oldNames = segSource.getOrElse(Vector.empty).iterator.map(_.name).toSet
+          var mo = tr.memberOf
+          tr.removed.foreach { p =>
+            mo -= p
+            mo -= (RowBasePrefix + dvFileKey(p))
+          }
+          segs.foreach { s =>
+            if (!oldNames.contains(s.name)) {
+              s.members.foreach(m => mo += m -> s.name)
+              s.meta.keysIterator.foreach(k => mo += k -> s.name)
+            }
+          }
+          mo
+        case _ =>
+          val b = Map.newBuilder[String, String]
+          segs.foreach { s =>
+            s.members.foreach(m => b += m -> s.name)
+            s.meta.keysIterator.foreach(k => b += k -> s.name)
+          }
+          b.result()
+      }
+      SegTracking(mo0, Vector.empty, Set.empty, Set.empty)
+    }
     ComposedManifest(withIntegrityTrailer(body.toString),
-      Parsed(state.header, state.metaLines, state.statsLines, state.files)(Some(segs)),
+      Parsed(state.header, state.metaLines, state.statsLines, state.files)(
+        Some(segs), newTracking),
       statsMap, isFull = false, metaMap)
   }
 
@@ -1075,14 +1224,22 @@ object ManifestTable {
         statsLines += ManifestStats.RollupKey ->
           (StatsPrefix + ManifestStats.serialize(ManifestStats.RollupKey, r))
       }
-    val newState = Parsed(s"# graft-manifest version=$next op=$op",
-      metaLines, statsLines.toMap, allFiles.toVector)(base.segSource)
-    if (isCkpt || !deltaShaped) return composeStoredFull(spark, root, next, op,
-      newState, base.segSource, Some(newStatsMap.toMap), Some(newMetaMap))
     val metaPlus = metaLines.filter { case (k, l) => !base.metaLines.get(k).contains(l) }
     val metaMinus = base.metaLines.keySet -- metaLines.keySet
     val statsPlus = statsLines.filter { case (k, l) => !base.statsLines.get(k).contains(l) }
     val statsMinus = (base.statsLines.keySet -- statsLines.keySet) -- removes
+    // delta-shaped structural commits keep the dirtiness ledger alive
+    // (the diff pieces are exactly a delta's actions); non-delta-shaped
+    // ops (restore) drop it — their checkpoint reseals anyway
+    val newTracking =
+      if (deltaShaped) updateTracking(base.segTracking, removes, adds,
+        statsPlus.keysIterator.toSeq, statsMinus.toSeq,
+        metaPlus.keysIterator.toSeq, metaMinus.toSeq)
+      else None
+    val newState = Parsed(s"# graft-manifest version=$next op=$op",
+      metaLines, statsLines.toMap, allFiles.toVector)(base.segSource, newTracking)
+    if (isCkpt || !deltaShaped) return composeStoredFull(spark, root, next, op,
+      newState, base.segSource, Some(newStatsMap.toMap), Some(newMetaMap))
     val deltaLines = adds.size + removes.size + metaPlus.size + metaMinus.size +
       statsPlus.size + statsMinus.size
     if (deltaLines >= allFiles.size + statsLines.size + metaLines.size)
@@ -2472,6 +2629,32 @@ object ManifestTable {
     meta
   }
 
+  /** Compose a STAGED body for [[ManifestCatalog]]'s transactions: flat
+    * text below the segment threshold, the two-tier pointer form above
+    * it — a transaction staging a 10M-file table must not render the
+    * full text its own log stopped rendering. Segment files land in the
+    * TABLE's log dir (where the published pointer will resolve them);
+    * until the catalog publishes they are unreferenced — exactly the
+    * lost-race orphan class vacuum's grace window protects, and an
+    * abandoned transaction's segments GC the same way. The same
+    * known exposure as staged DATA files applies: a table vacuumed
+    * between a crashed publish and the next reader's recovery can
+    * reclaim what the staged body references — recovery at every
+    * snapshot() closes the window. Recovery's byte-compare stays sound
+    * in pointer form because every backfiller publishes the SAME staged
+    * file (segment names and all); only a direct writer differs. */
+  private[sources] def composeStagedStored(spark: SparkSession, root: String,
+      next: Long, op: String, meta0: Map[String, String], allFiles: Seq[String],
+      stats: Map[String, ManifestStats.FileStats]): String =
+    if (allFiles.size < SegmentTargetSize) composeBody(next, op, meta0, allFiles, stats)
+    else {
+      val (st, sm, mm) = stateFor(next, op, meta0, allFiles, stats)
+      val segSrc =
+        (try Some(parsedAt(spark, root, next - 1))
+         catch { case _: Exception => None }).flatMap(_.segSource)
+      composeSegmented(spark, root, next, op, st, segSrc, Some(sm), Some(mm)).body
+    }
+
   private[sources] def composeBody(next: Long, op: String,
       meta0: Map[String, String], allFiles: Seq[String],
       stats: Map[String, ManifestStats.FileStats]): String = {
@@ -2561,8 +2744,17 @@ object ManifestTable {
     * `dst` (put-if-absent / HTTP `If-None-Match: *`); a non-atomic arm
     * reintroduces the lost-update race the concurrency battery caught
     * on POSIX rename. */
-  def registerSlotClaimer(scheme: String, claimer: SlotClaimer): Unit =
+  def registerSlotClaimer(scheme: String, claimer: SlotClaimer): Unit = {
     slotClaimers.put(scheme.toLowerCase(java.util.Locale.ROOT), claimer)
+    ()
+  }
+
+  /** Remove a registered arm (the scheme falls back to the built-in
+    * dispatch) — contract tests swap a fake in and restore. */
+  def unregisterSlotClaimer(scheme: String): Unit = {
+    slotClaimers.remove(scheme.toLowerCase(java.util.Locale.ROOT))
+    ()
+  }
 
   private def claimerFor(f: FileSystem): SlotClaimer = {
     val custom = Option(f.getUri).flatMap(u => Option(u.getScheme))

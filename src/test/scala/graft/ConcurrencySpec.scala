@@ -255,4 +255,67 @@ class ConcurrencySpec extends SparkSpec {
         graft.ops.ExactSums.dsum(col("o_totalprice")).as("t"))
     assertSameContent(maintained, rebuild, "ivm∥ivm")
   }
+
+  test("SlotClaimer contract: an in-memory put-if-absent arm (the S3 conditional-put shape) sustains the commit races") {
+    // proves the seam's documented contract — "atomic win-or-fail on the
+    // slot name, losers leave the winner's content untouched" — is
+    // SUFFICIENT for the whole commit protocol, before anyone writes the
+    // real S3 `If-None-Match: *` arm: a fake whose only atomic primitive
+    // is a put-if-absent on the slot NAME (decided in memory, the way a
+    // conditional put is decided store-side; the byte copy that follows
+    // is deliberately non-atomic, like an object-store upload the loser
+    // never starts) carries both the append∥append re-base and the
+    // merge∥delete serial-schedule battery.
+    val claimedSlots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val fake = new graft.sources.SlotClaimer {
+      def claim(f: org.apache.hadoop.fs.FileSystem,
+          tmp: org.apache.hadoop.fs.Path,
+          dst: org.apache.hadoop.fs.Path): Boolean = {
+        val slot = dst.toUri.getPath
+        if (!claimedSlots.add(slot)) false        // conditional put: occupant wins
+        else if (f.exists(dst)) false             // pre-registration occupant
+        else {
+          val in = f.open(tmp)
+          val bytes =
+            try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+          val out = f.create(dst, false)
+          try out.write(bytes) finally out.close()
+          true
+        }
+      }
+    }
+    graft.sources.ManifestTable.registerSlotClaimer("file", fake)
+    try {
+      // APPEND vs APPEND: re-base must hold through the fake arm
+      val root = freshRoot("cc_fake")
+      ManifestTable.create(spark, root, orders.limit(0))
+      val a = orders.filter(col("o_orderkey") % 2 === 0)
+      val b = orders.filter(col("o_orderkey") % 2 === 1)
+      val aborts = race(
+        () => { ManifestTable.append(spark, root, a); () },
+        () => { ManifestTable.append(spark, root, b); () })
+      assert(aborts === 0, "appends must re-base through the fake claim arm")
+      assert(ManifestTable.read(spark, root).count() === orders.count())
+      // MERGE vs MOR DELETE: loser aborts + retry = one serial schedule
+      val root2 = freshRoot("cc_fake2")
+      val base = orders.limit(200).localCheckpoint()
+      ManifestTable.create(spark, root2, base.repartition(2))
+      val upserts = base.limit(60)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0).localCheckpoint()
+      race(
+        () => { ManifestTable.merge(spark, root2, upserts, "o_orderkey"); () },
+        () => { ManifestTable.deleteMor(spark, root2, col("o_orderkey") % 3 === 0); () })
+      def mergeApplied(df: DataFrame): DataFrame =
+        df.join(upserts.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+          .unionByName(upserts)
+      def delApplied(df: DataFrame): DataFrame =
+        df.filter(col("o_orderkey") % 3 =!= 0)
+      val got = ManifestTable.read(spark, root2)
+      val s1 = delApplied(mergeApplied(base))
+      val s2 = mergeApplied(delApplied(base))
+      assert((got.exceptAll(s1).isEmpty && s1.exceptAll(got).isEmpty) ||
+        (got.exceptAll(s2).isEmpty && s2.exceptAll(got).isEmpty),
+        "final state through the fake arm matches neither serial schedule")
+    } finally graft.sources.ManifestTable.unregisterSlotClaimer("file")
+  }
 }

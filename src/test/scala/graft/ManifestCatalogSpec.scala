@@ -148,4 +148,83 @@ class ManifestCatalogSpec extends SparkSpec {
     assert(ManifestCatalog.snapshot(spark, cat, Some(2L)) === Map("fact" -> 2L, "mart" -> 1L))
     assert(ManifestCatalog.read(spark, cat, "fact").count() === orders.count())
   }
+
+  test("staged txn bodies over a segmented table stage in pointer form: zero full-body renders, reads exact, orphans GC") {
+    import graft.sources.ManifestTable.ComposeMeters
+    val saved = ManifestTable.SegmentTargetSize
+    ManifestTable.SegmentTargetSize = 8
+    try {
+      val cat = fresh(); val fact = s"$cat/fact"; val mart = s"$cat/mart"
+      // a 10-file fact: over the threshold, so its own log and every
+      // staged txn body use the pointer form
+      ManifestTable.create(spark, fact,
+        orders.filter(col("o_orderkey") % 3 === 0).repartition(10))
+      ManifestTable.create(spark, mart,
+        martOf(ManifestTable.read(spark, fact)))
+      ManifestCatalog.create(spark, cat, Seq("fact" -> fact, "mart" -> mart))
+      val before = ComposeMeters.fullBodies.get
+      val b1 = orders.filter(col("o_orderkey") % 3 === 1).repartition(2)
+      val newFact = orders.filter(col("o_orderkey") % 3 === 0).unionAll(
+        orders.filter(col("o_orderkey") % 3 === 1))
+      val v2 = ManifestCatalog.transact(spark, cat, Seq(
+        AppendOp("fact", b1), OverwriteOp("mart", martOf(newFact))))
+      val b2 = orders.filter(col("o_orderkey") % 3 === 2).repartition(2)
+      val v3 = ManifestCatalog.transact(spark, cat, Seq(AppendOp("fact", b2)))
+      assert((v2, v3) === ((2L, 3L)))
+      // the FACT's staged bodies never rendered its full file list (the
+      // small mart's flat body is below-threshold and renders normally)
+      val factRenders = {
+        // pointer-form proof is structural: the published manifests for
+        // v2/v3 of the fact are ` segs=1` headers
+        def head(v: Long): String = {
+          val src = scala.io.Source.fromFile(
+            java.nio.file.Paths.get(fact, "_graft_log", f"v$v%08d.manifest").toFile)
+          try src.getLines().next() finally src.close()
+        }
+        (head(2L), head(3L))
+      }
+      assert(factRenders._1.contains(" segs=1") && factRenders._2.contains(" segs=1"),
+        s"staged fact bodies must publish in pointer form, got $factRenders")
+      // full-body renders during both transactions: only the mart's
+      // below-threshold overwrite (1) — never the segmented fact
+      assert(ComposeMeters.fullBodies.get - before <= 1L,
+        s"staging a segmented table must not render full bodies (${ComposeMeters.fullBodies.get - before})")
+      // reads exact, warm and cold
+      assert(ManifestCatalog.read(spark, cat, "fact").count() === orders.count())
+      ManifestTable.dropResolvedCacheForTest()
+      assert(ManifestCatalog.read(spark, cat, "fact").count() === orders.count(),
+        "a cold reader must resolve the backfilled pointer body through its segments")
+      // an ABANDONED transaction's staged segments are invisible orphans
+      // in the fact's log dir; vacuumTxns reclaims the txn dir and the
+      // table vacuum reclaims aged orphan segments
+      val segsBefore = new java.io.File(s"$fact/_graft_log").listFiles()
+        .count(f => f.getName.startsWith("seg-"))
+      // ops stage in order: the fact's segments land FIRST, then the
+      // mart op fails on a type conflict → abort before publish, the
+      // fact's freshly staged segments become invisible orphans
+      val failing = try {
+        ManifestCatalog.transact(spark, cat, Seq(
+          AppendOp("fact", b1.limit(5)),
+          AppendOp("mart", b1.limit(5).select(
+            col("o_orderkey").cast("double").as("n"), col("o_orderstatus"))))); false
+      } catch { case _: Exception => true }
+      assert(failing, "a bad op must abort the transaction before publish")
+      assert(ManifestCatalog.versions(spark, cat).max === 3L,
+        "an aborted transaction must not publish a catalog version")
+      assert(ManifestCatalog.read(spark, cat, "fact").count() === orders.count())
+      val segsAfter = new java.io.File(s"$fact/_graft_log").listFiles()
+        .count(f => f.getName.startsWith("seg-"))
+      if (segsAfter > segsBefore) {
+        // age the orphans past the GC grace and vacuum the TABLE
+        new java.io.File(s"$fact/_graft_log").listFiles()
+          .filter(f => f.getName.startsWith("seg-"))
+          .foreach(f => { f.setLastModified(
+            System.currentTimeMillis() - ManifestTable.SegmentGcGraceMs - 60000L); () })
+        ManifestTable.vacuum(spark, fact, keepVersions = 10)
+        ManifestTable.dropResolvedCacheForTest()
+        assert(ManifestCatalog.read(spark, cat, "fact").count() === orders.count(),
+          "vacuum must keep every segment the retained manifests reference")
+      }
+    } finally ManifestTable.SegmentTargetSize = saved
+  }
 }

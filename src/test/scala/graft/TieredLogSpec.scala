@@ -386,6 +386,54 @@ class TieredLogSpec extends SparkSpec {
     assert(byType.getOrElse("insert", 0L) > 0L && byType.getOrElse("delete", 0L) > 0L)
   }
 
+  test("segment dirtiness ledger: an appends-only checkpoint visits O(tail) members, never O(files)") {
+    import graft.sources.ManifestTable.ComposeMeters
+    val root = freshRoot()
+    val saved = ManifestTable.SegmentTargetSize
+    ManifestTable.SegmentTargetSize = 8
+    try {
+      val slices = orders.randomSplit(Array.fill(20)(1.0), seed = 31)
+      ManifestTable.create(spark, root, slices(0).coalesce(1),
+        statsColumns = Seq("o_orderkey"))
+      // v2..v10: the v10 checkpoint seals 10 files into segments — the
+      // writer had no ledger yet (cold), so this one walks in full and
+      // INITIALIZES it
+      (1 until 10).foreach(i =>
+        ManifestTable.append(spark, root, slices(i).coalesce(1),
+          statsColumns = Seq("o_orderkey")))
+      // v11..v19: appends ride the ledger (tail grows, zero dirty)
+      (10 until 19).foreach(i =>
+        ManifestTable.append(spark, root, slices(i).coalesce(1),
+          statsColumns = Seq("o_orderkey")))
+      // the v20 CHECKPOINT: clean segments must carry with ZERO member
+      // visits; only the 10 tail files (v11..v20) are walked
+      val before = ComposeMeters.memberVisits.get
+      ManifestTable.append(spark, root, slices(19).coalesce(1),
+        statsColumns = Seq("o_orderkey"))
+      val visits = ComposeMeters.memberVisits.get - before
+      assert(visits === 10L,
+        s"appends-only checkpoint must visit exactly the tail (10 files), visited $visits of 20")
+      // reader equivalence, warm and cold
+      val expect = slices.map(_.count()).sum
+      assert(ManifestTable.read(spark, root).count() === expect)
+      ManifestTable.dropResolvedCacheForTest()
+      assert(ManifestTable.read(spark, root).count() === expect,
+        "a cold process must resolve the ledger-composed checkpoint identically")
+      // a MERGE rewrites files out of a segment: the ledger marks it
+      // dirty and the next checkpoint still resolves exactly
+      val touched = orders.limit(30)
+        .withColumn("o_orderpriority", lit("rewritten")).localCheckpoint()
+      ManifestTable.merge(spark, root, touched, "o_orderkey")
+      (0 until 9).foreach(i =>
+        ManifestTable.append(spark, root, slices(i).limit(2).coalesce(1),
+          statsColumns = Seq("o_orderkey")))
+      val expect2 = ManifestTable.read(spark, root).count()
+      ManifestTable.dropResolvedCacheForTest()
+      assert(ManifestTable.read(spark, root).count() === expect2,
+        "a checkpoint after a segment-dirtying merge must stay exact cold")
+    } finally ManifestTable.SegmentTargetSize = saved
+  }
+
   test("two-tier pruning: a selective probe evaluates per-file stats only inside segments whose rollup admits it") {
     import graft.sources.ManifestStats
     val root = freshRoot()
