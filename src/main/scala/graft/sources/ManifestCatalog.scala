@@ -284,6 +284,28 @@ object ManifestCatalog {
       s"catalog commit lost $MaxAttempts races at $cat — sustained contention")
   }
 
+  /** Catalog-aware vacuum: run RECOVERY first (the tip snapshot
+    * backfills every staged body into its table's own log, so nothing
+    * readable references staged-only state), then vacuum each member
+    * table and the staged txn dirs. This is the safe maintenance entry
+    * point for catalog members — a direct [[ManifestTable.vacuum]] on a
+    * member between a crashed catalog publish and the next reader's
+    * recovery could reclaim data/segment files only the staged body
+    * references once they age past the GC grace; recovering first
+    * closes that window, because backfilled manifests put every
+    * referenced file under the table vacuum's own live set. Time
+    * travel to catalog cuts OLDER than the members' retained windows
+    * degrades exactly as a direct member vacuum would — the tip (and
+    * the last `keepVersions` member versions) stay exact. Returns
+    * (files reclaimed across members, txn dirs removed). */
+  def vacuumCatalog(spark: SparkSession, cat: String,
+      keepVersions: Int = 2): (Int, Int) = {
+    snapshot(spark, cat) // recovery: every staged body is now published
+    val reclaimed = tables(spark, cat).values
+      .map(root => ManifestTable.vacuum(spark, root, keepVersions)).sum
+    (reclaimed, vacuumTxns(spark, cat))
+  }
+
   /** Reclaim staged transaction dirs no retained catalog version
     * references (aborted or fully superseded transactions). Keeps every
     * txnId any retained vector names — their bodies are the recovery

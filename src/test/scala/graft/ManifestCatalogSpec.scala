@@ -96,6 +96,39 @@ class ManifestCatalogSpec extends SparkSpec {
     assert(ManifestCatalog.vacuumTxns(spark, cat) === 0)
   }
 
+  test("vacuumCatalog recovers BEFORE reclaiming: a crashed publish's staged references survive member vacuum") {
+    val saved = ManifestTable.SegmentTargetSize
+    ManifestTable.SegmentTargetSize = 8
+    try {
+      val cat = fresh(); val fact = s"$cat/fact"; val mart = s"$cat/mart"
+      ManifestTable.create(spark, fact,
+        orders.filter(col("o_orderkey") % 3 === 0).repartition(10)) // segmented
+      ManifestTable.create(spark, mart, martOf(ManifestTable.read(spark, fact)))
+      ManifestCatalog.create(spark, cat, Seq("fact" -> fact, "mart" -> mart))
+      ManifestCatalog.transact(spark, cat,
+        Seq(AppendOp("fact", orders.filter(col("o_orderkey") % 3 === 1).repartition(2))))
+      val expected = ManifestCatalog.read(spark, cat, "fact").count()
+      // crash window: catalog published, backfill lost — and long enough
+      // ago that every staged file has aged past the GC grace
+      val v2 = new java.io.File(s"$fact/_graft_log/v00000002.manifest")
+      assert(v2.exists()); assert(v2.delete())
+      val old = System.currentTimeMillis() - ManifestTable.SegmentGcGraceMs - 60000L
+      def ageAll(dir: java.io.File): Unit = {
+        val fs = dir.listFiles(); if (fs != null) fs.foreach { f =>
+          if (f.isDirectory) ageAll(f) else { f.setLastModified(old); () } }
+      }
+      ageAll(new java.io.File(fact))
+      // the catalog-aware vacuum backfills FIRST, so the staged body's
+      // data and segment files are live by the time members vacuum
+      ManifestCatalog.vacuumCatalog(spark, cat, keepVersions = 2)
+      ManifestTable.dropResolvedCacheForTest()
+      assert(ManifestCatalog.read(spark, cat, "fact").count() === expected,
+        "vacuumCatalog must recover the crashed publish before any member reclaim")
+      assert(ManifestTable.versions(spark, fact).contains(2L),
+        "the staged target version must be backfilled, not reclaimed")
+    } finally ManifestTable.SegmentTargetSize = saved
+  }
+
   test("a direct write outside the catalog fails the next transaction loudly") {
     val (cat, fact, mart) = mkTables()
     ManifestCatalog.create(spark, cat, Seq("fact" -> fact, "mart" -> mart))
