@@ -454,6 +454,7 @@ object ManifestTable {
     statsMapCache.remove(root, version)
     metaMapCache.remove(root, version)
     pruneIndexCache.remove(root, version)
+    routeCache.remove(root, version)
   }
 
   /** Test hook: drop EVERY in-JVM manifest cache (resolved text,
@@ -468,6 +469,7 @@ object ManifestTable {
     metaMapCache.clear()
     segmentCache.clear()
     pruneIndexCache.clear()
+    routeCache.clear()
   }
 
   private def resolvedCached(root: String, version: Long)(compute: => String): String =
@@ -685,6 +687,7 @@ object ManifestTable {
   private def loadSegment(spark: SparkSession, root: String, name: String,
       expectCount: Int): Segment =
     segmentCache.getOrComputeK(root, name) {
+      ComposeMeters.segmentLoads.incrementAndGet()
       val f = fs(spark, root)
       val in = f.open(segmentPath(root, name))
       val raw =
@@ -847,6 +850,10 @@ object ManifestTable {
       * commits visits O(tail) members (clean segments carry by name),
       * never O(files). */
     val memberVisits = new java.util.concurrent.atomic.AtomicLong()
+    /** Segment FILES read from disk (cache misses) — the cold-routing
+      * contract: [[tableMayMatch]] resolves from the pointer body +
+      * delta chain alone, zero segment loads. */
+    val segmentLoads = new java.util.concurrent.atomic.AtomicLong()
     def snapshot: (Long, Long) = (fullBodies.get, statsLinesSerialized.get)
   }
 
@@ -1657,13 +1664,20 @@ object ManifestTable {
       }
     }
 
-  /** O(manifest-parse + columns) driver-side routing test: can ANY row
+  /** O(pointer-bytes + columns) driver-side routing test: can ANY row
     * of this table match `filter`? `false` only when the committed
     * table-level rollup PROVES it (the Iceberg manifest-list idea: a
     * catalog of per-day/per-tenant tables answers "which tables are
     * even relevant" without touching per-file stats, let alone data);
     * `true` whenever the table lacks a rollup or the rollup admits the
-    * predicate — keep-biased like every skipping tier. */
+    * predicate — keep-biased like every skipping tier.
+    *
+    * COLD cost is the point: the answer resolves through
+    * [[routeStateAt]] — the inline meta + rollup of the stored text
+    * plus the delta chain's overlay — WITHOUT loading a single segment
+    * file or building the O(files) structural state. Routing a
+    * predicate across 10k tables of 10M files each reads 10k pointer
+    * bodies, not 10^10 file entries. */
   def tableMayMatch(spark: SparkSession, root: String,
       filter: org.apache.spark.sql.Column,
       version: Option[Long] = None): Boolean = {
@@ -1671,13 +1685,94 @@ object ManifestTable {
     require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
     val v = version.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not in log (have ${vs.mkString(",")})")
-    val schema = schemaOf(spark, root, v).getOrElse(return true)
-    tableRollup(spark, root, v) match {
-      case Some(r) => ManifestStats.statsMayMatch(spark, schema, filter, r,
-        transforms = transformsOf(spark, root, v), renames = columnRenames(schema))
+    val (meta, rollup) = routeStateAt(spark, root, v)
+    val schema = meta.get(SchemaKey)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(return true)
+    rollup match {
+      case Some(r) =>
+        val transforms = meta.get(TransformsKey).toSeq
+          .flatMap(_.split(';')).flatMap(PartitionTransform.parse)
+        ManifestStats.statsMayMatch(spark, schema, filter, r,
+          transforms = transforms, renames = columnRenames(schema))
       case None => true
     }
   }
+
+  /** Light ROUTING state of `version`: (committed meta map, table-level
+    * rollup), resolved without loading segment files or building the
+    * O(files) structural state. Both live INLINE in every stored full
+    * form — flat text and the two-tier pointer body alike — and a delta
+    * chain only overlays meta actions and the rollup's own stats line
+    * (file paths can never collide with the rollup pseudo-key), so the
+    * walk is O(stored-header bytes + Σ|delta|). A resident structural
+    * state short-circuits at O(1). LRU-cached beside the other
+    * per-version caches; integrity trailers verify exactly as the heavy
+    * parse would. */
+  private val routeCache =
+    new PerRootLru[(Map[String, String], Option[ManifestStats.FileStats])](8, 64)
+
+  private def routeStateAt(spark: SparkSession, root: String, version: Long)
+      : (Map[String, String], Option[ManifestStats.FileStats]) =
+    routeCache.getOrCompute(root, version) {
+      val resident = stateCache.get(root, version)
+      if (resident != null)
+        (metaMapOf(root, version, resident),
+          resident.statsLines.get(ManifestStats.RollupKey)
+            .map(l => ManifestStats.deserialize(l.stripPrefix(StatsPrefix))._2))
+      else {
+        def lightOf(text: String): (Map[String, String], Option[ManifestStats.FileStats]) = {
+          val payload = verifyIntegrity(text)
+          var ru: Option[ManifestStats.FileStats] = None
+          val meta = Map.newBuilder[String, String]
+          payload.linesIterator.foreach {
+            case l if l.startsWith(MetaPrefix) =>
+              val kv = l.stripPrefix(MetaPrefix).split("=", 2)
+              if (kv.length == 2) meta += kv(0) -> kv(1)
+            case l if l.startsWith(StatsPrefix) =>
+              val p = l.stripPrefix(StatsPrefix)
+              if (java.net.URLDecoder.decode(
+                  p.split('|')(0), StandardCharsets.UTF_8) == ManifestStats.RollupKey)
+                ru = Some(ManifestStats.deserialize(p)._2)
+            case _ =>
+          }
+          (meta.result(), ru)
+        }
+        // the resolveParsedFromDisk walk, light: nearest full snapshot
+        // or vacuum-materialized sidecar, then the delta chain's overlay
+        val chain = mutable.Buffer.empty[String] // deltas, newest first
+        var v = version
+        var full: String = null
+        val f = fs(spark, root)
+        while (full == null) {
+          val ck = checkpointPath(root, v)
+          if (f.exists(ck)) {
+            val in = f.open(ck)
+            try full = new String(
+              org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+            finally in.close()
+          } else {
+            val t = rawText(spark, root, v)
+            if (isDelta(t)) { chain += t; v = deltaBaseOf(t) } else full = t
+          }
+        }
+        var (meta, ru) = lightOf(full)
+        chain.reverseIterator.foreach { d =>
+          val parts = parseDelta(d)
+          // minus before plus — applyDeltaParsed's merge order
+          meta = (meta -- parts.metaMinus) ++ parts.metaPlus.iterator.map {
+            case (k, line) => k -> line.stripPrefix(MetaPrefix).split("=", 2)(1)
+          }
+          if (parts.statsMinus.contains(ManifestStats.RollupKey)) ru = None
+          parts.statsPlus.foreach { case (k, line) =>
+            if (k == ManifestStats.RollupKey)
+              ru = Some(ManifestStats.deserialize(line.stripPrefix(StatsPrefix))._2)
+          }
+        }
+        (meta, ru)
+      }
+    }
 
   /** Read the table at `version` (default: latest).
     *

@@ -386,6 +386,44 @@ class TieredLogSpec extends SparkSpec {
     assert(byType.getOrElse("insert", 0L) > 0L && byType.getOrElse("delete", 0L) > 0L)
   }
 
+  test("cold routing: tableMayMatch resolves from the pointer body + delta chain with ZERO segment loads") {
+    import graft.sources.ManifestTable.ComposeMeters
+    val root = freshRoot()
+    val saved = ManifestTable.SegmentTargetSize
+    ManifestTable.SegmentTargetSize = 8
+    try {
+      // a segmented checkpoint (v10) + a delta tail (v11..v12), keys
+      // range-committed so the table rollup has tight bounds
+      val keys = orders.select("o_orderkey").distinct().orderBy("o_orderkey")
+        .collect().map(_.getLong(0))
+      def slice(i: Int) = {
+        val lo = keys(i * keys.length / 12)
+        val hiIdx = (i + 1) * keys.length / 12
+        val hi = if (hiIdx >= keys.length) Long.MaxValue else keys(hiIdx)
+        orders.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi).coalesce(1)
+      }
+      ManifestTable.create(spark, root, slice(0), statsColumns = Seq("o_orderkey"))
+      (1 until 12).foreach(i =>
+        ManifestTable.append(spark, root, slice(i), statsColumns = Seq("o_orderkey")))
+      // COLD process: every cache dropped — routing must read the
+      // pointer body and the two deltas, never a segment file
+      ManifestTable.dropResolvedCacheForTest()
+      val before = ComposeMeters.segmentLoads.get
+      assert(ManifestTable.tableMayMatch(spark, root, col("o_orderkey") === keys.head),
+        "an in-range key must route to the table (keep-biased)")
+      assert(!ManifestTable.tableMayMatch(spark, root, col("o_orderkey") === -1L),
+        "a provably-absent key must be excluded by the inline rollup")
+      assert(ComposeMeters.segmentLoads.get - before === 0L,
+        "cold routing must not load any segment file")
+      // the light overlay answered exactly what the heavy state answers
+      val (kept, _, _) = ManifestTable.pruneFiles(spark, root, col("o_orderkey") === -1L)
+      assert(kept.isEmpty, "light routing and heavy pruning must agree")
+      // time travel: routing at the pre-tail checkpoint version agrees too
+      assert(ManifestTable.tableMayMatch(spark, root,
+        col("o_orderkey") === keys.head, Some(10L)))
+    } finally ManifestTable.SegmentTargetSize = saved
+  }
+
   test("segment dirtiness ledger: an appends-only checkpoint visits O(tail) members, never O(files)") {
     import graft.sources.ManifestTable.ComposeMeters
     val root = freshRoot()
