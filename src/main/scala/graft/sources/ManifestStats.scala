@@ -679,16 +679,30 @@ object ManifestStats {
       files: Seq[String],
       transforms: Seq[PartitionTransform] = Nil,
       renames: Map[String, String] = Map.empty): (Seq[String], Seq[String]) = {
-    val cond = analyzedCondition(spark, schema, filter, renames).getOrElse(
+    val conds = compileConds(spark, schema, filter, transforms, renames).getOrElse(
       return (files, Seq.empty))
-    val conds = cond +: transforms.flatMap(t => PartitionTransform.translate(t, cond))
     files.partition(f => stats.get(f) match {
       case Some(fs) =>
         PruneMeters.filesEvaluated.incrementAndGet()
-        conds.forall(mayMatch(_, fs))
+        mayMatchConds(conds, fs)
       case None => true // untracked file: always keep
     })
   }
+
+  /** Analyze `filter` ONCE into the condition set every skipping tier
+    * evaluates (the raw condition plus its partition-transform
+    * translations) — None when no sound analysis base exists (keep
+    * everything). Callers evaluating many rollups/files share one
+    * compile instead of re-analyzing per evaluation. */
+  private[sources] def compileConds(spark: SparkSession, schema: StructType,
+      filter: Column, transforms: Seq[PartitionTransform],
+      renames: Map[String, String]): Option[Seq[Expression]] =
+    analyzedCondition(spark, schema, filter, renames).map(cond =>
+      cond +: transforms.flatMap(t => PartitionTransform.translate(t, cond)))
+
+  /** May any row with stats `fs` match the compiled conditions? */
+  private[sources] def mayMatchConds(conds: Seq[Expression], fs: FileStats): Boolean =
+    conds.forall(mayMatch(_, fs))
 
   /** Plan-tier instrumentation (spec-read): per-file stats EVALUATIONS
     * performed by pruning, and whole segments excluded by their rollup
@@ -720,20 +734,19 @@ object ManifestStats {
       groups: Seq[(Option[FileStats], Seq[String])],
       transforms: Seq[PartitionTransform] = Nil,
       renames: Map[String, String] = Map.empty): (Seq[String], Seq[String]) = {
-    val cond = analyzedCondition(spark, schema, filter, renames).getOrElse(
+    val conds = compileConds(spark, schema, filter, transforms, renames).getOrElse(
       return (groups.flatMap(_._2), Seq.empty))
-    val conds = cond +: transforms.flatMap(t => PartitionTransform.translate(t, cond))
     val kept = Seq.newBuilder[String]
     val dropped = Seq.newBuilder[String]
     groups.foreach { case (ru, members) =>
-      if (ru.exists(r => !conds.forall(mayMatch(_, r)))) {
+      if (ru.exists(r => !mayMatchConds(conds, r))) {
         PruneMeters.segmentsExcluded.incrementAndGet()
         dropped ++= members
       } else members.foreach { f =>
         stats.get(f) match {
           case Some(fs) =>
             PruneMeters.filesEvaluated.incrementAndGet()
-            if (conds.forall(mayMatch(_, fs))) kept += f else dropped += f
+            if (mayMatchConds(conds, fs)) kept += f else dropped += f
           case None => kept += f
         }
       }

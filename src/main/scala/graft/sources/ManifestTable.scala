@@ -1580,12 +1580,162 @@ object ManifestTable {
     * the stats achieved. */
   def readPruned(spark: SparkSession, root: String, filter: org.apache.spark.sql.Column,
       version: Option[Long] = None): DataFrame = {
-    val (kept, _, v) = pruneFiles(spark, root, filter, version)
-    val schema = schemaOf(spark, root, v)
-    val df =
-      if (kept.isEmpty) read(spark, root, Some(v)).limit(0) // schema-correct empty
-      else readFiles(spark, root, schema, kept, deletionVector(spark, root, v))
-    df.filter(filter)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
+    val v0 = version.getOrElse(vs.max)
+    require(vs.contains(v0), s"version $v0 not in log (have ${vs.mkString(",")})")
+    prunedColdPlan(spark, root, v0, filter) match {
+      case Some((kept, schema, dvRel)) =>
+        readFiles(spark, root, schema, kept, dvRel).filter(filter)
+      case None =>
+        val (kept, _, v) = pruneFiles(spark, root, filter, Some(v0))
+        val schema = schemaOf(spark, root, v)
+        val df =
+          if (kept.isEmpty) read(spark, root, Some(v)).limit(0) // schema-correct empty
+          else readFiles(spark, root, schema, kept, deletionVector(spark, root, v))
+        df.filter(filter)
+    }
+  }
+
+  /** COLD pruned-read plan — the lazy half of the two-tier layout: for
+    * an un-resident version whose stored form is the pointer body, the
+    * (kept files, schema, deletion vector) of a predicate read resolve
+    * from the pointer + delta chain loading ONLY segments whose rollup
+    * ADMITS the predicate. A point lookup on a cold 10M-file table
+    * reads one pointer body and the handful of surviving segment files
+    * — never the O(files) structural state, never the excluded
+    * segments' entries. None (caller falls back to the heavy path,
+    * bit-identical results) when: the state is already resident (the
+    * heavy path is then O(1)); the base is flat text (small table); the
+    * filter has no analysis base; a delta replaced/retracted an
+    * EXISTING file's stats (per-segment rollups can no longer be
+    * trusted without knowing which segment — rare, rewrite-shaped);
+    * or nothing survives (the heavy empty-read keeps schema nuances
+    * exact). Exclusion soundness under removes holds because a rollup
+    * over a member SUPERSET only over-approximates — it can only keep
+    * too much, never drop a live match. */
+  private def prunedColdPlan(spark: SparkSession, root: String, v: Long,
+      filter: org.apache.spark.sql.Column)
+      : Option[(Seq[String], Option[org.apache.spark.sql.types.StructType], Option[String])] = {
+    if (stateCache.get(root, v) != null) return None
+    val f = fs(spark, root)
+    val chain = mutable.Buffer.empty[String] // deltas, newest first
+    var cur = v
+    var full: String = null
+    while (full == null) {
+      val ck = checkpointPath(root, cur)
+      if (f.exists(ck)) {
+        val in = f.open(ck)
+        try full = new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+        finally in.close()
+      } else {
+        val t = rawText(spark, root, cur)
+        if (isDelta(t)) { chain += t; cur = deltaBaseOf(t) } else full = t
+      }
+    }
+    if (!isSegmented(full)) return None
+    // base pointer parse: meta, table rollup, segment refs
+    val payload = verifyIntegrity(full)
+    var meta = Map.empty[String, String]
+    var tableRu: Option[ManifestStats.FileStats] = None
+    val refs = Vector.newBuilder[(String, Int, Option[ManifestStats.FileStats])]
+    payload.linesIterator.foreach {
+      case l if l.startsWith(MetaPrefix) =>
+        val kv = l.stripPrefix(MetaPrefix).split("=", 2)
+        if (kv.length == 2) meta += kv(0) -> kv(1)
+      case l if l.startsWith(StatsPrefix) =>
+        val p = l.stripPrefix(StatsPrefix)
+        if (java.net.URLDecoder.decode(
+            p.split('|')(0), StandardCharsets.UTF_8) == ManifestStats.RollupKey)
+          tableRu = Some(ManifestStats.deserialize(p)._2)
+      case l if l.startsWith(SegPrefix) =>
+        val parts = l.stripPrefix(SegPrefix).split('|')
+        refs += ((parts(0), parts(1).toInt, parts.lift(2).map(t =>
+          ManifestStats.deserialize(
+            java.net.URLDecoder.decode(t, StandardCharsets.UTF_8))._2)))
+      case _ =>
+    }
+    // delta overlay — mirrors applyDeltaParsed's merge, tracking only
+    // what pruning needs: tail files (with their stats), removed paths,
+    // meta, and whether any EXISTING file's stats changed
+    var tail = Vector.empty[String]
+    val tailSet = mutable.Set.empty[String]
+    val removed = mutable.Set.empty[String]
+    val statsOverlay = mutable.Map.empty[String, ManifestStats.FileStats]
+    val statsRetracted = mutable.Set.empty[String]
+    chain.reverseIterator.foreach { d =>
+      val parts = parseDelta(d)
+      meta = (meta -- parts.metaMinus) ++ parts.metaPlus.iterator.map {
+        case (k, line) => k -> line.stripPrefix(MetaPrefix).split("=", 2)(1)
+      }
+      if (parts.removes.nonEmpty) {
+        removed ++= parts.removes
+        tail = tail.filterNot(parts.removes)
+        parts.removes.foreach { p =>
+          tailSet -= p; statsOverlay -= p; statsRetracted -= p; ()
+        }
+      }
+      tail = tail ++ parts.adds
+      tailSet ++= parts.adds
+      parts.statsMinus.foreach { k =>
+        if (k == ManifestStats.RollupKey) tableRu = None
+        else if (tailSet.contains(k)) { statsOverlay -= k; statsRetracted += k; () }
+        else return None // an existing member lost stats: rollups distrusted
+      }
+      parts.statsPlus.foreach { case (k, line) =>
+        if (k == ManifestStats.RollupKey)
+          tableRu = Some(ManifestStats.deserialize(line.stripPrefix(StatsPrefix))._2)
+        else if (tailSet.contains(k)) {
+          statsOverlay(k) = ManifestStats.deserialize(line.stripPrefix(StatsPrefix))._2
+          statsRetracted -= k; ()
+        } else return None // an existing member's stats changed: rollups distrusted
+      }
+    }
+    val schema = meta.get(SchemaKey)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(return None) // pre-schema log: keep-everything, heavy path
+    val transforms = meta.get(TransformsKey).toSeq
+      .flatMap(_.split(';')).flatMap(PartitionTransform.parse)
+    val conds = ManifestStats.compileConds(spark, schema, filter,
+      transforms, columnRenames(schema)).getOrElse(return None)
+    if (tableRu.exists(r => !ManifestStats.mayMatchConds(conds, r)))
+      return None // provably empty: heavy empty-read keeps schema exact
+    val kept = Seq.newBuilder[String]
+    refs.result().foreach { case (name, count, ruOpt) =>
+      if (ruOpt.exists(r => !ManifestStats.mayMatchConds(conds, r)))
+        ManifestStats.PruneMeters.segmentsExcluded.incrementAndGet() // zero loads
+      else {
+        val seg = loadSegment(spark, root, name, count)
+        seg.members.foreach { m =>
+          if (!removed.contains(m)) {
+            val fsOpt =
+              if (statsRetracted.contains(m)) None
+              else statsOverlay.get(m).orElse(seg.stats.get(m).map(l =>
+                ManifestStats.deserialize(l.stripPrefix(StatsPrefix))._2))
+            fsOpt match {
+              case Some(st) =>
+                ManifestStats.PruneMeters.filesEvaluated.incrementAndGet()
+                if (ManifestStats.mayMatchConds(conds, st)) kept += m
+              case None => kept += m
+            }
+          }
+        }
+      }
+    }
+    tail.foreach { m =>
+      val fsOpt = if (statsRetracted.contains(m)) None else statsOverlay.get(m)
+      fsOpt match {
+        case Some(st) =>
+          ManifestStats.PruneMeters.filesEvaluated.incrementAndGet()
+          if (ManifestStats.mayMatchConds(conds, st)) kept += m
+        case None => kept += m
+      }
+    }
+    val keptFiles = kept.result()
+    if (keptFiles.isEmpty) None // heavy empty-read keeps schema nuances exact
+    else Some((keptFiles, Some(schema), meta.get(DvKey)))
   }
 
   /** The (kept, dropped, version) split [[readPruned]] would use —
@@ -3509,6 +3659,7 @@ object ManifestTable {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
     val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in log (have ${vs.mkString(",")})")
     // cap + 1 bounds the collect: one extra row is enough to detect overflow
     val collected = keys.distinct().limit(maxKeys + 1).collect()
     if (collected.length > maxKeys) return read(spark, root, Some(v))
@@ -3520,10 +3671,16 @@ object ManifestTable {
     // FILE-level pruning only: kept files are returned whole, the
     // caller's join does the exact matching
     val inPred = keyCol.isin(values.toIndexedSeq: _*)
-    val (kept, _, _) = pruneFiles(spark, root, inPred, Some(v))
-    if (kept.isEmpty) read(spark, root, Some(v)).limit(0)
-    else readFiles(spark, root, schemaOf(spark, root, v), kept,
-      deletionVector(spark, root, v))
+    // cold fast path first: a dimension probe on an un-resident fact
+    // loads only the segments whose rollup admits some key
+    prunedColdPlan(spark, root, v, inPred) match {
+      case Some((kept, schema, dvRel)) => readFiles(spark, root, schema, kept, dvRel)
+      case None =>
+        val (kept, _, _) = pruneFiles(spark, root, inPred, Some(v))
+        if (kept.isEmpty) read(spark, root, Some(v)).limit(0)
+        else readFiles(spark, root, schemaOf(spark, root, v), kept,
+          deletionVector(spark, root, v))
+    }
   }
 
   /** What a [[merge]] touched: rewritten vs carried-unchanged file counts

@@ -424,6 +424,58 @@ class TieredLogSpec extends SparkSpec {
     } finally ManifestTable.SegmentTargetSize = saved
   }
 
+  test("cold pruned read: only segments whose rollup admits the predicate load from disk") {
+    import graft.sources.ManifestTable.ComposeMeters
+    val root = freshRoot()
+    val saved = ManifestTable.SegmentTargetSize
+    ManifestTable.SegmentTargetSize = 8
+    try {
+      val keys = orders.select("o_orderkey").distinct().orderBy("o_orderkey")
+        .collect().map(_.getLong(0))
+      def slice(i: Int) = {
+        val lo = keys(i * keys.length / 12)
+        val hiIdx = (i + 1) * keys.length / 12
+        val hi = if (hiIdx >= keys.length) Long.MaxValue else keys(hiIdx)
+        orders.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi).coalesce(1)
+      }
+      ManifestTable.create(spark, root, slice(0), statsColumns = Seq("o_orderkey"))
+      (1 until 12).foreach(i =>
+        ManifestTable.append(spark, root, slice(i), statsColumns = Seq("o_orderkey")))
+      val probe = keys(8 * keys.length / 12)
+      val expect = orders.filter(col("o_orderkey") === probe).collect().toSet
+      // COLD: the plan must resolve from the pointer + delta chain and
+      // load ONLY the surviving 2-member segment (the 8-member segment
+      // is excluded by its pointer rollup; tail stats ride the deltas)
+      ManifestTable.dropResolvedCacheForTest()
+      val before = ComposeMeters.segmentLoads.get
+      val got = ManifestTable.readPruned(spark, root,
+        col("o_orderkey") === probe).collect().toSet
+      assert(ComposeMeters.segmentLoads.get - before === 1L,
+        "a cold point lookup must load exactly the one surviving segment")
+      assert(got === expect, "the cold pruned read must return exactly the matching rows")
+      // a tail-range probe (files 10..11, outside every segment) loads
+      // ZERO segments — both rollups exclude
+      ManifestTable.dropResolvedCacheForTest()
+      val tailKey = keys(11 * keys.length / 12)
+      val before2 = ComposeMeters.segmentLoads.get
+      val got2 = ManifestTable.readPruned(spark, root,
+        col("o_orderkey") === tailKey).collect().toSet
+      assert(ComposeMeters.segmentLoads.get - before2 === 0L,
+        "a tail-only probe must load no segment at all")
+      assert(got2 === orders.filter(col("o_orderkey") === tailKey).collect().toSet)
+      // a MERGE (COW rewrite: removes members, adds fresh files) keeps
+      // the cold plan sound — removes only shrink what a rollup bounds
+      val touched = orders.filter(col("o_orderkey") === keys.head)
+        .withColumn("o_orderpriority", lit("rewritten")).localCheckpoint()
+      ManifestTable.merge(spark, root, touched, "o_orderkey")
+      ManifestTable.dropResolvedCacheForTest()
+      val got3 = ManifestTable.readPruned(spark, root,
+        col("o_orderkey") === keys.head).collect().toSet
+      assert(got3 === touched.collect().toSet,
+        "the cold pruned read must serve the merged row across the rewrite delta")
+    } finally ManifestTable.SegmentTargetSize = saved
+  }
+
   test("segment dirtiness ledger: an appends-only checkpoint visits O(tail) members, never O(files)") {
     import graft.sources.ManifestTable.ComposeMeters
     val root = freshRoot()
