@@ -4267,6 +4267,52 @@ object SparkEntry {
       } finally MT.SegmentTargetSize = saved
     }),
 
+    "lake37_cold_pruned_read" -> ((s, dir) => {
+      // the LAZY half of the two-tier layout: a COLD process (every
+      // cache dropped) planning a point probe resolves from the pointer
+      // body + delta chain and loads ONLY the segments whose rollup
+      // admits the predicate. Same 12-range build as lake35: the
+      // mid-range probe must load exactly ONE segment file (the
+      // 8-member segment is excluded by its pointer rollup, the tail
+      // files carry their stats in the deltas); a tail-range probe
+      // loads ZERO. Both load counts ride the face as literals; the
+      // rows are the probed orders, re-derived by rank arithmetic.
+      val root = java.nio.file.Files.createTempDirectory("lake37_cold").toString
+      val orders = t(s, dir, "orders")
+      val MT = graft.sources.ManifestTable
+      val saved = MT.SegmentTargetSize
+      MT.SegmentTargetSize = 8
+      try {
+        val keys = orders.select("o_orderkey").distinct().orderBy("o_orderkey")
+          .collect().map(_.getLong(0))
+        def slice(i: Int) = {
+          val lo = keys(i * keys.length / 12)
+          val hiIdx = (i + 1) * keys.length / 12
+          val hi = if (hiIdx >= keys.length) Long.MaxValue else keys(hiIdx)
+          orders.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi).coalesce(1)
+        }
+        MT.create(s, root, slice(0), statsColumns = Seq("o_orderkey"))
+        (1 until 12).foreach(i =>
+          MT.append(s, root, slice(i), statsColumns = Seq("o_orderkey")))
+        val probe = keys(8 * keys.length / 12)
+        val tailKey = keys(11 * keys.length / 12)
+        MT.dropResolvedCacheForTest() // fresh process
+        val b1 = MT.ComposeMeters.segmentLoads.get
+        val mid = MT.readPruned(s, root, col("o_orderkey") === probe).localCheckpoint()
+        val loadsMid = MT.ComposeMeters.segmentLoads.get - b1
+        MT.dropResolvedCacheForTest()
+        val b2 = MT.ComposeMeters.segmentLoads.get
+        val tl = MT.readPruned(s, root, col("o_orderkey") === tailKey).localCheckpoint()
+        val loadsTail = MT.ComposeMeters.segmentLoads.get - b2
+        mid.unionByName(tl)
+          .select(lit(loadsMid).as("segment_loads_mid"),
+            lit(loadsTail).as("segment_loads_tail"),
+            col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice").cast("double").as("o_totalprice"))
+          .localCheckpoint() // pin before the threshold restores below
+      } finally MT.SegmentTargetSize = saved
+    }),
+
     "lake36_checkpoint_ledger" -> ((s, dir) => {
       // the segment DIRTINESS ledger: between checkpoints the writer
       // tracks which segments deltas touched, so an appends-only
@@ -7023,6 +7069,22 @@ object SparkEntry {
          |       o.o_orderkey, o.o_orderstatus,
          |       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
          |FROM orders o JOIN probe USING (o_orderkey)""").stripMargin,
+
+    "lake37_cold_pruned_read" -> // the cold plan's load counts are the
+      // face literals (one surviving segment for the mid probe, zero
+      // for the tail probe); the rows are the two probed orders
+      ("""WITH k AS (
+         |  SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS rn,
+         |         count(*) OVER () AS c
+         |  FROM (SELECT DISTINCT o_orderkey FROM orders)
+         |), probes AS (
+         |  SELECT o_orderkey FROM k WHERE rn = (8 * c) // 12 OR rn = (11 * c) // 12
+         |)
+         |SELECT CAST(1 AS BIGINT) AS segment_loads_mid,
+         |       CAST(0 AS BIGINT) AS segment_loads_tail,
+         |       o.o_orderkey, o.o_orderstatus,
+         |       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+         |FROM orders o JOIN probes USING (o_orderkey)""").stripMargin,
 
     "lake36_checkpoint_ledger" -> // an appends-only checkpoint visits
       // exactly the 10 tail members (clean segments carry by name); the
