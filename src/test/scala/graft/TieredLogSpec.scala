@@ -473,6 +473,13 @@ class TieredLogSpec extends SparkSpec {
         col("o_orderkey") === keys.head).collect().toSet
       assert(got3 === touched.collect().toSet,
         "the cold pruned read must serve the merged row across the rewrite delta")
+      // a MOR delete rides the overlay as a DvKey meta update: the cold
+      // plan must read the probe's file THROUGH the new vector
+      ManifestTable.deleteMor(spark, root, col("o_orderkey") === probe)
+      ManifestTable.dropResolvedCacheForTest()
+      assert(ManifestTable.readPruned(spark, root,
+        col("o_orderkey") === probe).count() === 0L,
+        "the cold pruned read must apply the deletion vector from the delta overlay")
     } finally ManifestTable.SegmentTargetSize = saved
   }
 
