@@ -4814,6 +4814,47 @@ object SparkEntry {
         probes, "probe_id", "probe", probeLen = 20)
     }),
 
+    "ctm3_incremental_screen" -> ((s, dir) => {
+      // the INCREMENTALLY-MAINTAINED decontamination screen: the eval
+      // suite is an append-only manifest table; each window ORs the
+      // batch's Bloom words into a single-row sketch mart in
+      // O(batch + registers) — never re-sketching the whole benchmark
+      // set — with the consumed-version cursor riding the same atomic
+      // commit. Pins: after three windows the stored words are
+      // BITWISE-identical to the from-scratch filter (the OR-fold is
+      // associative/commutative/idempotent); a replay call is a no-op;
+      // the screen itself (prefilter + exact verify join at the
+      // cursor's probe snapshot) equals ctm2's exact answer, which is
+      // how the oracle replays it.
+      val docs = t(s, dir, "documents")
+      val probes = docs.filter(col("doc_id") < 50 && length(col("text")) >= 20)
+        .select(col("doc_id").as("probe_id"), substring(col("text"), 1, 20).as("probe"))
+      val pRoot = java.nio.file.Files.createTempDirectory("ctm3_probes").toString
+      val sRoot = java.nio.file.Files.createTempDirectory("ctm3_sketch").toString
+      val MT = graft.sources.ManifestTable
+      def slice(i: Int) = probes.filter(pmod(col("probe_id"), lit(3)) === i)
+      def maintain() = graft.ops.LakeOps.maintainContaminationSketch(
+        s, pRoot, sRoot, "probe")
+      MT.create(s, pRoot, slice(0))
+      maintain() // bootstrap
+      MT.append(s, pRoot, slice(1))
+      maintain()
+      MT.append(s, pRoot, slice(2))
+      val (c2, _) = maintain()
+      val replayNoop = maintain() == ((c2, 0L))
+      graft.functions.NativeExpressions.register(s)
+      // sketch-sized driver compares (1024 longs), the agg9/hh3 class
+      val scratch = probes.agg(expr("graft_bloom_build(probe, 65536, 5)")
+        .as("words")).collect()(0).getSeq[Long](0)
+      val stored = MT.read(s, sRoot).collect()(0).getSeq[Long](0)
+      val bitExact = stored == scratch
+      graft.ops.LakeOps.screenWithContaminationSketch(
+          s, sRoot, pRoot, docs, "doc_id", "text", "probe_id", "probe", probeLen = 20)
+        .select(lit(bitExact).as("sketch_bit_exact"),
+          lit(replayNoop).as("replay_noop"),
+          col("doc_id"), col("n_probe_hits"), col("first_probe"))
+    }),
+
     // ---- dedup ----
     "pipe3_full_pipeline" -> ((s, dir) => {
       // the COMPLETE training-data run as one query — what a real corpus
@@ -7541,6 +7582,21 @@ object SparkEntry {
          |FROM documents d JOIN probes p
          |  ON contains(d.text, p.probe) AND d.doc_id <> p.probe_id
          |GROUP BY 1""").stripMargin,
+
+    "ctm3_incremental_screen" -> // the maintained sketch's screen equals
+      // the exact contamination join over the full probe set (the Bloom
+      // tier is false-negative-free; the verify join kills false
+      // positives); bit-exactness and replay no-op are pinned in-engine
+      ("""WITH probes AS (
+         |  SELECT doc_id AS probe_id, substring(text, 1, 20) AS probe
+         |  FROM documents WHERE doc_id < 50 AND length(text) >= 20
+         |)
+         |SELECT TRUE AS sketch_bit_exact, TRUE AS replay_noop,
+         |       d.doc_id, CAST(count(*) AS BIGINT) AS n_probe_hits,
+         |       min(p.probe_id) AS first_probe
+         |FROM documents d JOIN probes p
+         |  ON contains(d.text, p.probe) AND d.doc_id <> p.probe_id
+         |GROUP BY d.doc_id""").stripMargin,
 
     "dd1_exact_dedup" ->
       "SELECT CAST(min(doc_id) AS BIGINT) AS keep_doc_id, CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY text",

@@ -1085,6 +1085,112 @@ object LakeOps {
     (consumed, totDocs, totPairs)
   }
 
+  /** Incrementally-maintained benchmark-contamination SKETCH — "the
+    * eval suite keeps growing; keep the decontamination screen current
+    * without re-sketching the whole benchmark set": over an append-only
+    * PROBES table, maintain a single-row SKETCH mart holding the Bloom
+    * filter of every probe, BITWISE-IDENTICAL after every window to
+    * building the filter from scratch — Bloom construction is an
+    * OR-fold of per-probe bit sets (associative, commutative,
+    * idempotent), so each window's batch filter ORs into the stored
+    * words in O(batch + registers), never O(|benchmarks|).
+    *
+    * Exactly-once is trivial by construction: the merged words and the
+    * consumed-version cursor ride ONE atomic overwrite (`txn-` prefixed,
+    * so the cursor survives any later OPTIMIZE max-wins). The filter
+    * parameters are pinned in the mart's meta — two filters only OR
+    * soundly over the same (numBits, numHashes), so a mismatched
+    * maintenance call refuses instead of silently corrupting bits.
+    * Non-append probe history refuses ([[graft.sources
+    * .NotDeltaExpressible]]) — benchmark suites only grow.
+    *
+    * Returns (consumedVersion, newProbeRows). */
+  def maintainContaminationSketch(
+      spark: org.apache.spark.sql.SparkSession,
+      probesRoot: String,
+      sketchRoot: String,
+      probeCol: String,
+      numBits: Int = 1 << 16,
+      numHashes: Int = 5,
+      writerId: String = "ctm-sketch"): (Long, Long) = {
+    import graft.sources.ManifestTable
+    graft.functions.NativeExpressions.register(spark)
+    val vs = ManifestTable.versions(spark, probesRoot)
+    require(vs.nonEmpty, s"$probesRoot is not a manifest table")
+    val tip = vs.max
+    val txnKey = s"txn-$writerId"
+    val paramMeta = Map("ctm-bits" -> numBits.toString, "ctm-hashes" -> numHashes.toString)
+    def bloomOf(df: DataFrame): DataFrame =
+      df.agg(expr(s"graft_bloom_build(`$probeCol`, $numBits, $numHashes)").as("words"))
+    val sVs = ManifestTable.versions(spark, sketchRoot)
+    if (sVs.isEmpty) {
+      val probes = ManifestTable.read(spark, probesRoot, Some(tip))
+      val n = probes.count()
+      ManifestTable.create(spark, sketchRoot, bloomOf(probes),
+        meta = paramMeta + (txnKey -> tip.toString))
+      (tip, n)
+    } else {
+      val meta = ManifestTable.manifestMeta(spark, sketchRoot, sVs.max)
+      paramMeta.foreach { case (k, v) =>
+        require(meta.get(k).contains(v),
+          s"$sketchRoot was built with $k=${meta.getOrElse(k, "?")}, maintenance passed $v — " +
+            "Bloom words only OR soundly over identical parameters")
+      }
+      val cursor = sVs.flatMap(v =>
+        ManifestTable.manifestMeta(spark, sketchRoot, v).get(txnKey)).map(_.toLong).max
+      if (cursor >= tip) return (cursor, 0L)
+      val (newProbes, newTip) = ManifestTable.readChangesSince(spark, probesRoot, cursor)
+      val n = newProbes.count()
+      val stored = ManifestTable.read(spark, sketchRoot).select(col("words").as("__a"))
+      val merged = bloomOf(newProbes).select(col("words").as("__b"))
+        .crossJoin(stored) // 1×1: the stored registers ride along
+        .select(zip_with(col("__a"), col("__b"), (x, y) => x.bitwiseOR(y)).as("words"))
+      ManifestTable.overwrite(spark, sketchRoot, merged,
+        meta = paramMeta + (txnKey -> newTip.toString))
+      (newTip, n)
+    }
+  }
+
+  /** Screen `docs` against the MAINTAINED contamination sketch,
+    * CONSISTENT with the probes snapshot the sketch covers (the cursor
+    * rides the sketch mart): Bloom prefilter with the stored words —
+    * O(len) per document, independent of |probes| — then the exact
+    * contains() verify join against probes AT THE CURSOR VERSION, so
+    * the answer equals [[graft.ops.ContaminationOps.bloomScreen]] over
+    * exactly the sketched benchmark set even while new probes land. */
+  def screenWithContaminationSketch(
+      spark: org.apache.spark.sql.SparkSession,
+      sketchRoot: String,
+      probesRoot: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      probeIdCol: String,
+      probeCol: String,
+      probeLen: Int,
+      writerId: String = "ctm-sketch"): DataFrame = {
+    import graft.sources.ManifestTable
+    graft.functions.NativeExpressions.register(spark)
+    val sTip = ManifestTable.versions(spark, sketchRoot).max
+    val meta = ManifestTable.manifestMeta(spark, sketchRoot, sTip)
+    val txnKey = s"txn-$writerId"
+    val cursor = meta.getOrElse(txnKey, throw new IllegalStateException(
+      s"$sketchRoot has no $txnKey cursor — not a maintained contamination sketch")).toLong
+    val numHashes = meta.getOrElse("ctm-hashes", throw new IllegalStateException(
+      s"$sketchRoot has no ctm-hashes meta — not a maintained contamination sketch")).toInt
+    val probes = ManifestTable.read(spark, probesRoot, Some(cursor))
+    val bloom = ManifestTable.read(spark, sketchRoot, Some(sTip))
+      .select(col("words").as("__bloom"))
+    docs
+      .join(broadcast(bloom)) // one-row cross join: the filter rides the broadcast
+      .filter(expr(s"graft_bloom_text_hit(`$textCol`, __bloom, $probeLen, $numHashes)"))
+      .drop("__bloom")
+      .join(broadcast(probes),
+        col(textCol).contains(col(probeCol)) && col(idCol) =!= col(probeIdCol))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_probe_hits"), min(probeIdCol).as("first_probe"))
+  }
+
   /** [[maintainNearDupPairs]] under the CAPPED contract — the variant a
     * production corpus actually runs: after every call the pairs mart
     * equals [[graft.ops.DedupOps.ngramJaccardPairs]] with

@@ -735,6 +735,46 @@ class LakeOpsSpec extends SparkSpec {
       ManifestTable.versions(spark, r).max) === tips)
   }
 
+  test("maintainContaminationSketch: windows OR into the stored words bit-exactly; screen equals bloomScreen; params pinned") {
+    import graft.sources.ManifestTable
+    import graft.ops.{ContaminationOps, LakeOps}
+    graft.functions.NativeExpressions.register(spark)
+    val docs = Tables.load(spark, dir, "documents")
+    val probes = docs.filter(col("doc_id") < 50 && length(col("text")) >= 20)
+      .select(col("doc_id").as("probe_id"), substring(col("text"), 1, 20).as("probe"))
+    val pRoot = java.nio.file.Files.createTempDirectory("ctm_probes").toString
+    val sRoot = java.nio.file.Files.createTempDirectory("ctm_sketch").toString
+    def slice(i: Int) = probes.filter(pmod(col("probe_id"), lit(2)) === i)
+    def maintain() = LakeOps.maintainContaminationSketch(spark, pRoot, sRoot, "probe")
+    ManifestTable.create(spark, pRoot, slice(0))
+    maintain() // bootstrap
+    ManifestTable.append(spark, pRoot, slice(1))
+    val (c1, n1) = maintain()
+    assert(n1 === slice(1).count())
+    // bitwise equality with the from-scratch filter
+    val scratch = probes.agg(expr("graft_bloom_build(probe, 65536, 5)").as("w"))
+      .collect()(0).getSeq[Long](0)
+    val stored = ManifestTable.read(spark, sRoot).collect()(0).getSeq[Long](0)
+    assert(stored === scratch, "the OR-fold must be bitwise-identical to re-sketching")
+    // replay no-op: no new version lands
+    val before = ManifestTable.versions(spark, sRoot).max
+    assert(maintain() === ((c1, 0L)))
+    assert(ManifestTable.versions(spark, sRoot).max === before)
+    // the screen equals the one-shot bloomScreen over the same probes
+    val viaSketch = LakeOps.screenWithContaminationSketch(
+      spark, sRoot, pRoot, docs, "doc_id", "text", "probe_id", "probe", probeLen = 20)
+    val oneShot = ContaminationOps.bloomScreen(docs, "doc_id", "text",
+      probes, "probe_id", "probe", probeLen = 20)
+    assert(viaSketch.exceptAll(oneShot).isEmpty && oneShot.exceptAll(viaSketch).isEmpty,
+      "the maintained screen must equal the from-scratch bloomScreen")
+    // parameter mismatch refuses instead of ORing incompatible words
+    ManifestTable.append(spark, pRoot, slice(0).limit(1))
+    val e = intercept[IllegalArgumentException] {
+      LakeOps.maintainContaminationSketch(spark, pRoot, sRoot, "probe", numBits = 1 << 10)
+    }
+    assert(e.getMessage.contains("OR soundly"), e.getMessage)
+  }
+
   test("maintainNearDupPairsCapped on the documents corpus: three windows equal the from-scratch capped truth") {
     import graft.sources.ManifestTable
     import graft.ops.{DedupOps, LakeOps}
