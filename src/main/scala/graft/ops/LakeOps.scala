@@ -829,6 +829,23 @@ object LakeOps {
         s"$martRoot has no $k metadata — not a total-feed join mart")).toLong
       val curA = cursor(ckA)
       val curB = cursor(ckB)
+      // loud guard against marts created under the RETIRED bit-packed
+      // batchId encoding ((aTip << 21) | bTip): their stored replay
+      // watermark dwarfs any tip SUM, so every new-encoding batch would
+      // be "a replay" and maintenance would no-op FOREVER — silent
+      // staleness, the exact failure maxVersionLag exists to prevent.
+      // Under the sum encoding the stored watermark can never legally
+      // exceed the current tip sum (cursors never regress, tips only
+      // grow), so anything above it is refused with the remedy.
+      ManifestTable.txnWatermark(spark, martRoot, s"txn-$writerId",
+          tipHint = martVs.lastOption).filter(_ > aTip + bTip).foreach(w =>
+        throw new IllegalStateException(
+          s"$martRoot stores replay watermark txn-$writerId=$w above any " +
+            s"plausible tip sum ($aTip + $bTip = ${aTip + bTip}) — a mart " +
+            "created under the retired bit-packed batchId encoding (or its " +
+            "sources' logs were re-created at lower versions); maintenance " +
+            "would silently no-op. Re-create the mart to adopt the " +
+            "monotone tip-sum encoding."))
       if (curA == aTip && curB == bTip) return (aTip, bTip, 0L) // caught up
       def feedOf(root: String, cur: Long, tip: Long): DataFrame = {
         if (cur == tip) return null // no window on this side
@@ -984,12 +1001,11 @@ object LakeOps {
     require(vs.nonEmpty, s"$docsRoot is not a manifest table")
     val tip = vs.max
     val txnKey = s"txn-$writerId"
-    def watermarkOf(root: String): Option[Long] = {
-      val rvs = ManifestTable.versions(spark, root)
-      val ms = rvs.flatMap(v =>
-        ManifestTable.manifestMeta(spark, root, v).get(txnKey)).map(_.toLong)
-      if (ms.isEmpty) None else Some(ms.max)
-    }
+    // ONE tip-meta read per mart per window — txn-* keys carry forward
+    // to the tip with max semantics ([[ManifestTable.metaWithTxnCarry]]),
+    // so the tip already holds the history's max
+    def watermarkOf(root: String): Option[Long] =
+      ManifestTable.txnWatermark(spark, root, txnKey)
     def explodedOf(docs: DataFrame): DataFrame =
       DedupOps.widen(docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
         .select(col("doc_id"), DedupOps.shingles(col("__text"), n).as("sh"))
@@ -1036,8 +1052,9 @@ object LakeOps {
             done = true
         }
       } else {
-        val cursor = idxVs.flatMap(v =>
-          ManifestTable.manifestMeta(spark, indexRoot, v).get(txnKey)).map(_.toLong).max
+        val cursor = ManifestTable.txnWatermark(spark, indexRoot, txnKey,
+          tipHint = idxVs.lastOption).getOrElse(throw new IllegalStateException(
+          s"$indexRoot has no $txnKey watermark — not a maintained near-dup index"))
         if (cursor >= tip) { consumed = consumed.max(cursor); done = true }
         else {
           // replay bound: if the pairs mart's watermark leads the index,
@@ -1136,8 +1153,9 @@ object LakeOps {
           s"$sketchRoot was built with $k=${meta.getOrElse(k, "?")}, maintenance passed $v — " +
             "Bloom words only OR soundly over identical parameters")
       }
-      val cursor = sVs.flatMap(v =>
-        ManifestTable.manifestMeta(spark, sketchRoot, v).get(txnKey)).map(_.toLong).max
+      val cursor = ManifestTable.txnWatermark(spark, sketchRoot, txnKey,
+        tipHint = sVs.lastOption).getOrElse(throw new IllegalStateException(
+        s"$sketchRoot has no $txnKey cursor — not a maintained contamination sketch"))
       if (cursor >= tip) return (cursor, 0L)
       val (newProbes, newTip) = ManifestTable.readChangesSince(spark, probesRoot, cursor)
       val n = newProbes.count()
@@ -1256,12 +1274,10 @@ object LakeOps {
     val tip = vs.max
     val txnKey = s"txn-$writerId"
     val ct = "_change_type"
-    def watermarkOf(root: String): Option[Long] = {
-      val rvs = ManifestTable.versions(spark, root)
-      val ms = rvs.flatMap(v =>
-        ManifestTable.manifestMeta(spark, root, v).get(txnKey)).map(_.toLong)
-      if (ms.isEmpty) None else Some(ms.max)
-    }
+    // ONE tip-meta read per mart per window (txn-* keys carry forward to
+    // the tip with max semantics — see [[ManifestTable.txnWatermark]])
+    def watermarkOf(root: String): Option[Long] =
+      ManifestTable.txnWatermark(spark, root, txnKey)
     def explodedOf(docs: DataFrame): DataFrame =
       DedupOps.widen(docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
         .select(col("doc_id"), DedupOps.shingles(col("__text"), n).as("sh"))
@@ -1322,8 +1338,9 @@ object LakeOps {
             done = true
         }
       } else {
-        val cursor = idxVs.flatMap(v =>
-          ManifestTable.manifestMeta(spark, indexRoot, v).get(txnKey)).map(_.toLong).max
+        val cursor = ManifestTable.txnWatermark(spark, indexRoot, txnKey,
+          tipHint = idxVs.lastOption).getOrElse(throw new IllegalStateException(
+          s"$indexRoot has no $txnKey watermark — not a maintained near-dup index"))
         if (cursor >= tip) { consumed = consumed.max(cursor); done = true }
         else {
           val lead = Seq(watermarkOf(pairsRoot), watermarkOf(sizesRoot))

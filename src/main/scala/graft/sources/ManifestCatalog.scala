@@ -146,11 +146,29 @@ object ManifestCatalog {
       name: String, txnId: String, target: Long): Unit = {
     val staged = stagedBody(spark, cat, txnId, name)
     if (!ManifestTable.publishRaw(spark, root, target, staged)) {
-      val occupant = ManifestTable.rawManifestText(spark, root, target)
+      // a taken slot SHOULD hold exactly the staged body (every
+      // backfiller publishes the same bytes). Through a claim arm whose
+      // byte copy is not atomically visible, the other recoverer's
+      // publish may still be in flight — a strict prefix of the staged
+      // bytes (or empty). Re-read briefly before refusing: transient
+      // prefix → the winner's copy completes; anything else is a direct
+      // write racing the catalog, refused loudly.
+      var occupant = ManifestTable.rawManifestText(spark, root, target)
+      var waits = 0
+      while (occupant != staged && staged.startsWith(occupant) && waits < 10) {
+        waits += 1
+        Thread.sleep(math.min(200L, 4L << waits))
+        occupant = ManifestTable.rawManifestText(spark, root, target)
+      }
       require(occupant == staged,
         s"table '$name' version $target was published OUTSIDE catalog $cat — " +
           "member tables must be written only through their catalog")
     }
+    // the staged body is in the member's own log now: direct vacuums on
+    // the member are safe again (best-effort — a leftover marker only
+    // steers to vacuumCatalog, whose recovery re-runs this delete)
+    fs(spark, root).delete(ManifestTable.stagedMarkerPath(root, txnId), false)
+    ()
   }
 
   private def stagedPath(cat: String, txnId: String, name: String): Path =
@@ -227,6 +245,17 @@ object ManifestCatalog {
     val txnId = UUID.randomUUID().toString
     val f = fs(spark, cat)
     f.mkdirs(new Path(s"$cat/$TxnDir/$txnId"))
+    // an ABORT (staging failure, conflict, lost publish race) leaves a
+    // txnId no catalog version will ever name: its member-side staged
+    // markers are pure garbage and would block direct member vacuums
+    // until the next vacuumTxns — clear the ones this txn wrote on the
+    // way out (best-effort; a crash skips this and vacuumTxns covers it)
+    val markered = scala.collection.mutable.Buffer.empty[String]
+    def clearMarkers(): Unit = markered.foreach { root =>
+      try { fs(spark, root).delete(ManifestTable.stagedMarkerPath(root, txnId), false); () }
+      catch { case scala.util.control.NonFatal(_) => }
+    }
+    try {
     // stage: the table's full prepare phase against the CATALOG's view
     // of it; a direct writer that advanced the table past the catalog
     // is the documented contract violation — caught here, not at backfill
@@ -253,6 +282,14 @@ object ManifestCatalog {
       try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
       require(f.rename(tmp, stagedPath(cat, txnId, op.name)),
         s"failed to stage txn manifest for '${op.name}'")
+      // member-side witness: a direct ManifestTable.vacuum on this
+      // member refuses while the staged body is pending (the body
+      // references data/segment files that vacuum would read as
+      // unreferenced); cleared at backfill and by abandoned-txn GC
+      val mf = fs(spark, root)
+      val mOut = mf.create(ManifestTable.stagedMarkerPath(root, txnId), true)
+      try mOut.write(cat.getBytes(StandardCharsets.UTF_8)) finally mOut.close()
+      markered += root
       op.name -> (v0 + 1)
     }.toMap
     // publish: the atomic point. Retries merge with disjoint winners.
@@ -282,6 +319,7 @@ object ManifestCatalog {
     }
     throw new IllegalStateException(
       s"catalog commit lost $MaxAttempts races at $cat — sustained contention")
+    } catch { case e: Throwable => clearMarkers(); throw e }
   }
 
   /** Catalog-aware vacuum: run RECOVERY first (the tip snapshot
@@ -301,9 +339,13 @@ object ManifestCatalog {
   def vacuumCatalog(spark: SparkSession, cat: String,
       keepVersions: Int = 2): (Int, Int) = {
     snapshot(spark, cat) // recovery: every staged body is now published
+    // abandoned-txn GC FIRST: it clears the member-side staged markers
+    // of transactions that never published, so the member vacuums below
+    // don't refuse on witnesses nothing will ever backfill
+    val txns = vacuumTxns(spark, cat)
     val reclaimed = tables(spark, cat).values
       .map(root => ManifestTable.vacuum(spark, root, keepVersions)).sum
-    (reclaimed, vacuumTxns(spark, cat))
+    (reclaimed, txns)
   }
 
   /** Reclaim staged transaction dirs no retained catalog version
@@ -317,8 +359,21 @@ object ManifestCatalog {
       rawVector(spark, cat, v).values.collect { case Right((tid, _)) => tid }).toSet
     val dir = new Path(s"$cat/$TxnDir")
     var removed = 0
+    val deadTxns = Seq.newBuilder[String]
     if (f.exists(dir)) f.listStatus(dir).foreach { d =>
-      if (!live.contains(d.getPath.getName)) { f.delete(d.getPath, true); removed += 1 }
+      if (!live.contains(d.getPath.getName)) {
+        deadTxns += d.getPath.getName
+        f.delete(d.getPath, true); removed += 1
+      }
+    }
+    // clear the dead transactions' member-side staged markers — an
+    // abandoned (never-published) txn left witnesses nothing will ever
+    // backfill, and they'd block direct member vacuums forever
+    val dead = deadTxns.result()
+    if (dead.nonEmpty) tables(spark, cat).values.foreach { root =>
+      val mf = fs(spark, root)
+      dead.foreach(tid =>
+        mf.delete(ManifestTable.stagedMarkerPath(root, tid), false))
     }
     removed
   }

@@ -82,15 +82,26 @@ final class ConcurrentCommit(msg: String) extends IllegalStateException(msg)
   * `claim` must atomically install `tmp`'s content at `dst` and return
   * whether THIS caller won the slot: exactly one of N concurrent
   * claimers of the same `dst` may return true, and losers must leave
-  * the winner's content untouched. Built-in arms cover local
-  * filesystems (link(2)) and HDFS (rename-refuses-dst); object stores
-  * register a conditional-put arm (S3 `If-None-Match: *`, GCS
-  * `ifGenerationMatch=0`, ABFS ETag preconditions) via
-  * [[ManifestTable.registerSlotClaimer]].
+  * the winner's content untouched. The contract has a SECOND clause,
+  * equally load-bearing: the winner's bytes must become visible
+  * ATOMICALLY — no reader or lister may ever observe `dst` existing
+  * with none or some of the content (true of link(2), HDFS rename, and
+  * a completed S3/GCS/ABFS PUT; NOT true of create-then-write copies).
+  * An arm that violates visibility does not corrupt the table — every
+  * manifest carries a header + CRC trailer, so a partially-visible slot
+  * reads as [[CorruptManifest]] (readers fail loudly, commits re-base
+  * with bounded backoff until the bytes land) — but it turns the
+  * in-flight window into avoidable read failures and retry latency.
+  * Built-in arms cover local filesystems (link(2)) and HDFS
+  * (rename-refuses-dst); object stores register a conditional-put arm
+  * (S3 `If-None-Match: *`, GCS `ifGenerationMatch=0`, ABFS ETag
+  * preconditions) via [[ManifestTable.registerSlotClaimer]].
   *
-  * Reference S3-family arm (sketch — the contract it must meet is
-  * proven sufficient by ConcurrencySpec's in-memory put-if-absent fake,
-  * which races the full commit battery through this seam):
+  * Reference S3-family arm (sketch — ConcurrencySpec races the full
+  * commit battery through this seam twice: once through an arm with
+  * store-accurate atomic visibility, and once through a deliberately
+  * ADVERSARIAL arm whose byte copy is non-atomic, which the protocol
+  * must survive loudly — abort or retry, never silent loss):
   * {{{
   * ManifestTable.registerSlotClaimer("s3a", new SlotClaimer {
   *   def claim(f: FileSystem, tmp: Path, dst: Path): Boolean = {
@@ -260,27 +271,38 @@ object ManifestTable {
     * The chain is contiguous (a delta's base is always version-1) and
     * bounded by CheckpointInterval. */
   private def resolveParsedFromDisk(spark: SparkSession, root: String, version: Long): Parsed = {
-    val raw = rawText(spark, root, version)
-    if (!isDelta(raw)) return parseStored(spark, root, raw)
+    val (full, chain) = storedChainAt(spark, root, version)
+    chain.reverseIterator.foldLeft(parseStored(spark, root, full))(
+      (st, d) => applyDeltaParsed(st, parseDelta(d)))
+  }
+
+  /** THE cold disk walk, shared by every resolution path (the heavy
+    * [[resolveParsedFromDisk]], the light [[routeStateAt]], the pruned
+    * [[coldOverlayAt]]): walk back from `version` to the nearest stored
+    * full form — a vacuum-materialized `.checkpoint` sidecar or a
+    * non-delta manifest — collecting the delta chain (newest first).
+    * One implementation, so the overlay semantics layered on top can
+    * never drift on WHICH bytes they resolve from. */
+  private def storedChainAt(spark: SparkSession, root: String,
+      version: Long): (String, Vector[String]) = {
     val chain = mutable.Buffer.empty[String] // deltas, newest first
     var v = version
     var full: String = null
+    val f = fs(spark, root)
     while (full == null) {
       val ck = checkpointPath(root, v)
-      val f = fs(spark, root)
       if (f.exists(ck)) {
         val in = f.open(ck)
         try full = new String(
           org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
         finally in.close()
       } else {
-        val t = if (v == version) raw else rawText(spark, root, v)
+        val t = rawText(spark, root, v)
         if (isDelta(t)) { chain += t; v = deltaBaseOf(t) }
         else full = t
       }
     }
-    chain.reverseIterator.foldLeft(parseStored(spark, root, full))(
-      (st, d) => applyDeltaParsed(st, parseDelta(d)))
+    (full, chain.toVector)
   }
 
   /** The structural state of `version` — the accessor [[manifestFiles]]/
@@ -292,8 +314,33 @@ object ManifestTable {
     stateCache.getOrCompute(root, version) {
       val txt = resolvedCache.get(root, version)
       if (txt != null) parseFull(txt)
-      else resolveParsedFromDisk(spark, root, version)
+      else resolveParsedRetrying(spark, root, version)
     }
+
+  /** [[resolveParsedFromDisk]] with a bounded re-read for the in-flight
+    * window: through a claim arm whose byte copy is not atomically
+    * visible (see [[SlotClaimer]]), a just-listed version can fail the
+    * header/CRC guards for a few ms before the winner's bytes land —
+    * transient, self-healing, worth ~100 ms of patience from EVERY
+    * reader (planners included: [[prepareAppend]]'s schema read races
+    * the same window as [[commit]]'s re-base). PERMANENT damage (a torn
+    * copy that crashed, a truncation) still rethrows the refusal after
+    * the bounded window — loud, never a laundered empty state. */
+  private def resolveParsedRetrying(spark: SparkSession, root: String,
+      version: Long): Parsed = {
+    var attempt = 0
+    var out: Parsed = null
+    while (out == null) {
+      try out = resolveParsedFromDisk(spark, root, version)
+      catch {
+        case c: CorruptManifest =>
+          attempt += 1
+          if (attempt >= 5) throw c
+          Thread.sleep(4L << attempt)
+      }
+    }
+    out
+  }
 
   /** Full snapshot every Nth version bounds every delta-resolution walk
     * (the Delta-checkpoint / Iceberg-manifest-list cadence). */
@@ -334,8 +381,8 @@ object ManifestTable {
     val lastLine = if (delta.endsWith("\n")) delta.substring(nl + 1).stripSuffix("\n") else ""
     if (!lastLine.startsWith(CrcPrefix)) {
       if (announced) throw new CorruptManifest(
-        "delta manifest integrity check failed: header announces a CRC trailer " +
-          "but none is present (truncated delta?)")
+        "manifest integrity check failed: header announces a CRC trailer " +
+          "but none is present (truncated or partially-visible manifest?)")
       return delta
     }
     val payload = delta.substring(0, nl + 1)
@@ -346,9 +393,10 @@ object ManifestTable {
     if (parts.length != 2 || parts(0).toLong != bytes.length ||
         java.lang.Long.parseLong(parts(1), 16) != crc.getValue)
       throw new CorruptManifest(
-        s"delta manifest integrity check failed: stored ${lastLine.stripPrefix(CrcPrefix)}, " +
+        s"manifest integrity check failed: stored ${lastLine.stripPrefix(CrcPrefix)}, " +
           s"read ${bytes.length}:${java.lang.Long.toHexString(crc.getValue)} — " +
-          "the delta was corrupted on disk after publish")
+          "the manifest was corrupted on disk after publish, or its publish " +
+          "is still in flight (non-atomically-visible byte copy)")
     payload
   }
 
@@ -455,6 +503,7 @@ object ManifestTable {
     metaMapCache.remove(root, version)
     pruneIndexCache.remove(root, version)
     routeCache.remove(root, version)
+    coldOverlayCache.remove(root, version)
   }
 
   /** Test hook: drop EVERY in-JVM manifest cache (resolved text,
@@ -470,6 +519,7 @@ object ManifestTable {
     segmentCache.clear()
     pruneIndexCache.clear()
     routeCache.clear()
+    coldOverlayCache.clear()
   }
 
   private def resolvedCached(root: String, version: Long)(compute: => String): String =
@@ -526,11 +576,27 @@ object ManifestTable {
       rollup: Option[ManifestStats.FileStats] = None)
 
   private def parseFull(text: String): Parsed = {
+    // An empty or headerless manifest is NEVER a valid state: every
+    // manifest this engine writes begins with `# graft-manifest`. A
+    // zero-length or header-truncated file is an in-flight publish (a
+    // claim arm whose byte copy is not atomically visible — see
+    // [[SlotClaimer]]) or a torn/truncated snapshot; parsing it as a
+    // valid EMPTY table would launder a silent lost update (a re-basing
+    // committer composes the next version from a state missing the
+    // winner's rows — both appends "succeed", half the data is gone, the
+    // exact signature the concurrency battery caught). Refuse loudly;
+    // [[commit]]'s re-base treats this as in-flight and retries bounded.
+    if (!text.startsWith("# graft-manifest"))
+      throw new CorruptManifest(
+        "manifest is empty or missing its '# graft-manifest' header " +
+          s"(got ${text.length} bytes) — an in-flight publish whose bytes " +
+          "are not yet visible, or a truncated snapshot; never a valid state")
+    val payload = verifyIntegrity(text)
     val meta = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val stats = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val files = Vector.newBuilder[String]
     var header = ""
-    text.linesIterator.foreach {
+    payload.linesIterator.foreach {
       case l if l.startsWith(MetaPrefix) =>
         meta += l.stripPrefix(MetaPrefix).split("=", 2)(0) -> l
       case l if l.startsWith(StatsPrefix) =>
@@ -541,7 +607,20 @@ object ManifestTable {
       case l if l.trim.nonEmpty => files += l
       case _ =>
     }
-    Parsed(header, meta.toMap, stats.toMap, files.result())(None)
+    // normalize the header to the canonical `version= op=` form shared
+    // by every other resolution path ([[applyDeltaParsed]],
+    // [[parseStored]]'s pointer branch) — the stored header may carry
+    // extra tokens (` crc=1`) that must not leak into Parsed equality
+    // (the checkpoint divergence gate) or [[opAt]]'s token split
+    var version = 0L
+    var op = "unknown"
+    header.stripPrefix("# graft-manifest ").split(' ').foreach {
+      case s if s.startsWith("version=") => version = s.stripPrefix("version=").toLong
+      case s if s.startsWith("op=") => op = s.stripPrefix("op=")
+      case _ =>
+    }
+    Parsed(s"# graft-manifest version=$version op=$op",
+      meta.toMap, stats.toMap, files.result())(None)
   }
 
   /** A delta manifest's decoded actions (the READER's parse — the
@@ -660,8 +739,27 @@ object ManifestTable {
   /** Vacuum retention for unreferenced segment files (ms). Segments are
     * written before the pointer manifest that references them publishes,
     * so GC must not reclaim fresh ones — the Delta/Iceberg orphan-file
-    * retention pattern. Var so specs can age orphans without sleeping. */
+    * retention pattern. Var so specs can age orphans without sleeping.
+    *
+    * Clock assumption: segment ages compare stored mtimes (the STORE's
+    * clock) against the vacuum host's clock, capped by the newest
+    * retained manifest's own mtime (same store clock) — so a vacuum
+    * host running AHEAD of the store by more than the grace cannot
+    * reclaim an in-flight commit's just-written segments (the cap keeps
+    * the horizon on store time whenever the table has recent commits);
+    * a host running BEHIND only delays reclamation. Residual exposure:
+    * writer-vs-store skew beyond the grace on a table idle since the
+    * skewed write — covered by the documented don't-vacuum-concurrently-
+    * with-a-writer contract. */
   private[graft] var SegmentGcGraceMs: Long = 15L * 60 * 1000
+
+  /** Member-side witness of a staged catalog transaction targeting this
+    * table (`.catalog-staged-<txnId>` in the log dir): written when the
+    * transaction stages its body, removed at backfill and by abandoned-
+    * txn GC. [[vacuum]] refuses while one is present. */
+  private[sources] val StagedMarkerPrefix = ".catalog-staged-"
+  private[sources] def stagedMarkerPath(root: String, txnId: String): Path =
+    new Path(s"$root/$LogDir/$StagedMarkerPrefix$txnId")
 
   private val SegPrefix = "# seg:"
   private val SegHeader = "# graft-manifest-segment "
@@ -854,6 +952,11 @@ object ManifestTable {
       * contract: [[tableMayMatch]] resolves from the pointer body +
       * delta chain alone, zero segment loads. */
     val segmentLoads = new java.util.concurrent.atomic.AtomicLong()
+    /** [[manifestMeta]] calls — the maintainer watermark contract: one
+      * maintenance window over an N-version mart does O(1) meta reads
+      * (the tip carries every txn-* watermark — [[txnWatermark]]),
+      * never an O(versions) history scan. */
+    val metaReads = new java.util.concurrent.atomic.AtomicLong()
     def snapshot: (Long, Long) = (fullBodies.get, statsLinesSerialized.get)
   }
 
@@ -1151,12 +1254,20 @@ object ManifestTable {
           // all-empty keep-bias — every base file has stats but zero
           // rows — where a non-empty add makes the full recompute
           // produce bounds; recompute there so the fast path stays
-          // provably equal to recomputing. The walk is O(files) but
-          // fires only while the table's rollup is absent, and repairs
-          // it permanently on the first non-empty append.
+          // provably equal to recomputing. Guards keep the O(files)
+          // walk off the steady state: an add set that is itself all
+          // zero-row (or stat-less) can never cure the all-empty
+          // absence — the recompute would fold the same nothing — so
+          // empty appends skip both the scan and the recompute in O(Δ);
+          // and a base where some file LACKS stats shows up as a size
+          // mismatch in O(1) before any walk. The remaining scan fires
+          // only on a non-empty append while the rollup is absent, and
+          // the curable case repairs permanently right there.
           case None =>
-            val curable = base.files.forall(p =>
-              baseStats.get(p).exists(_.rowCount == 0))
+            val addsCanCure = adds.exists(p => stats.get(p).exists(_.rowCount > 0))
+            val statsCoverBase = baseStats.size >= base.files.size
+            val curable = addsCanCure && statsCoverBase &&
+              base.files.forall(p => baseStats.get(p).exists(_.rowCount == 0))
             if (curable)
               rollupOf(newMetaMap, base.files ++ adds,
                 (baseStats - ManifestStats.RollupKey) ++
@@ -1272,8 +1383,10 @@ object ManifestTable {
     * lines) — rides the same atomic publish as the file list, so e.g. a
     * pipeline's input-state fingerprint can never be newer or older than
     * the data it describes. */
-  def manifestMeta(spark: SparkSession, root: String, version: Long): Map[String, String] =
+  def manifestMeta(spark: SparkSession, root: String, version: Long): Map[String, String] = {
+    ComposeMeters.metaReads.incrementAndGet()
     metaMapOf(root, version, parsedAt(spark, root, version))
+  }
 
   /** The op recorded in a version's manifest header (commit or delta). */
   private def opAt(spark: SparkSession, root: String, version: Long): String =
@@ -1614,84 +1727,115 @@ object ManifestTable {
     * exact). Exclusion soundness under removes holds because a rollup
     * over a member SUPERSET only over-approximates — it can only keep
     * too much, never drop a live match. */
+  /** The per-version half of [[prunedColdPlan]] — everything the pruned
+    * cold read derives from the STORED bytes alone (pointer body + delta
+    * chain), independent of any particular filter: meta, table rollup,
+    * segment refs with their pointer rollups, the unsegmented tail with
+    * its stats overlay, removed paths, and whether the per-segment
+    * rollups stayed TRUSTWORTHY (false once a delta replaced or
+    * retracted an EXISTING member's stats — rewrite-shaped, rare).
+    * `None` = the stored base is flat text (small table, heavy path).
+    * LRU-cached per (root, version) beside [[routeCache]], so the
+    * repeated cold probes of a maintainer's [[readPrunedByKeys]] loop
+    * decode the pointer and replay the chain ONCE per version instead
+    * of once per probe. */
+  private final case class ColdOverlay(
+      meta: Map[String, String],
+      tableRu: Option[ManifestStats.FileStats],
+      refs: Vector[(String, Int, Option[ManifestStats.FileStats])],
+      tail: Vector[String],
+      removed: Set[String],
+      statsOverlay: Map[String, ManifestStats.FileStats],
+      statsRetracted: Set[String],
+      trusted: Boolean)
+
+  private val coldOverlayCache = new PerRootLru[Option[ColdOverlay]](4, 64)
+
+  private def coldOverlayAt(spark: SparkSession, root: String,
+      v: Long): Option[ColdOverlay] = coldOverlayCache.getOrCompute(root, v) {
+    val (full, chain) = storedChainAt(spark, root, v)
+    if (!isSegmented(full)) None
+    else {
+      // base pointer parse: meta, table rollup, segment refs
+      val payload = verifyIntegrity(full)
+      var meta = Map.empty[String, String]
+      var tableRu: Option[ManifestStats.FileStats] = None
+      val refs = Vector.newBuilder[(String, Int, Option[ManifestStats.FileStats])]
+      payload.linesIterator.foreach {
+        case l if l.startsWith(MetaPrefix) =>
+          val kv = l.stripPrefix(MetaPrefix).split("=", 2)
+          if (kv.length == 2) meta += kv(0) -> kv(1)
+        case l if l.startsWith(StatsPrefix) =>
+          val p = l.stripPrefix(StatsPrefix)
+          if (java.net.URLDecoder.decode(
+              p.split('|')(0), StandardCharsets.UTF_8) == ManifestStats.RollupKey)
+            tableRu = Some(ManifestStats.deserialize(p)._2)
+        case l if l.startsWith(SegPrefix) =>
+          val parts = l.stripPrefix(SegPrefix).split('|')
+          refs += ((parts(0), parts(1).toInt, parts.lift(2).map(t =>
+            ManifestStats.deserialize(
+              java.net.URLDecoder.decode(t, StandardCharsets.UTF_8))._2)))
+        case _ =>
+      }
+      // delta overlay — mirrors applyDeltaParsed's merge, tracking only
+      // what pruning needs: tail files (with their stats), removed
+      // paths, meta, and whether any EXISTING file's stats changed
+      // (distrust stops the fold — the overlay is unusable either way)
+      var tail = Vector.empty[String]
+      val tailSet = mutable.Set.empty[String]
+      val removed = mutable.Set.empty[String]
+      val statsOverlay = mutable.Map.empty[String, ManifestStats.FileStats]
+      val statsRetracted = mutable.Set.empty[String]
+      var trusted = true
+      val it = chain.reverseIterator
+      while (trusted && it.hasNext) {
+        val parts = parseDelta(it.next())
+        meta = (meta -- parts.metaMinus) ++ parts.metaPlus.iterator.map {
+          case (k, line) => k -> line.stripPrefix(MetaPrefix).split("=", 2)(1)
+        }
+        if (parts.removes.nonEmpty) {
+          removed ++= parts.removes
+          tail = tail.filterNot(parts.removes)
+          parts.removes.foreach { p =>
+            tailSet -= p; statsOverlay -= p; statsRetracted -= p; ()
+          }
+        }
+        tail = tail ++ parts.adds
+        tailSet ++= parts.adds
+        parts.statsMinus.foreach { k =>
+          if (k == ManifestStats.RollupKey) tableRu = None
+          else if (tailSet.contains(k)) { statsOverlay -= k; statsRetracted += k; () }
+          else trusted = false // an existing member lost stats
+        }
+        parts.statsPlus.foreach { case (k, line) =>
+          if (k == ManifestStats.RollupKey)
+            tableRu = Some(ManifestStats.deserialize(line.stripPrefix(StatsPrefix))._2)
+          else if (tailSet.contains(k)) {
+            statsOverlay(k) = ManifestStats.deserialize(line.stripPrefix(StatsPrefix))._2
+            statsRetracted -= k; ()
+          } else trusted = false // an existing member's stats changed
+        }
+      }
+      Some(ColdOverlay(meta, tableRu, refs.result(), tail, removed.toSet,
+        statsOverlay.toMap, statsRetracted.toSet, trusted))
+    }
+  }
+
   private def prunedColdPlan(spark: SparkSession, root: String, v: Long,
       filter: org.apache.spark.sql.Column)
       : Option[(Seq[String], Option[org.apache.spark.sql.types.StructType], Option[String])] = {
     if (stateCache.get(root, v) != null) return None
-    val f = fs(spark, root)
-    val chain = mutable.Buffer.empty[String] // deltas, newest first
-    var cur = v
-    var full: String = null
-    while (full == null) {
-      val ck = checkpointPath(root, cur)
-      if (f.exists(ck)) {
-        val in = f.open(ck)
-        try full = new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
-        finally in.close()
-      } else {
-        val t = rawText(spark, root, cur)
-        if (isDelta(t)) { chain += t; cur = deltaBaseOf(t) } else full = t
-      }
+    val ov = coldOverlayAt(spark, root, v) match {
+      case Some(o) if o.trusted => o
+      case _ => return None // flat base, or rollups distrusted: heavy path
     }
-    if (!isSegmented(full)) return None
-    // base pointer parse: meta, table rollup, segment refs
-    val payload = verifyIntegrity(full)
-    var meta = Map.empty[String, String]
-    var tableRu: Option[ManifestStats.FileStats] = None
-    val refs = Vector.newBuilder[(String, Int, Option[ManifestStats.FileStats])]
-    payload.linesIterator.foreach {
-      case l if l.startsWith(MetaPrefix) =>
-        val kv = l.stripPrefix(MetaPrefix).split("=", 2)
-        if (kv.length == 2) meta += kv(0) -> kv(1)
-      case l if l.startsWith(StatsPrefix) =>
-        val p = l.stripPrefix(StatsPrefix)
-        if (java.net.URLDecoder.decode(
-            p.split('|')(0), StandardCharsets.UTF_8) == ManifestStats.RollupKey)
-          tableRu = Some(ManifestStats.deserialize(p)._2)
-      case l if l.startsWith(SegPrefix) =>
-        val parts = l.stripPrefix(SegPrefix).split('|')
-        refs += ((parts(0), parts(1).toInt, parts.lift(2).map(t =>
-          ManifestStats.deserialize(
-            java.net.URLDecoder.decode(t, StandardCharsets.UTF_8))._2)))
-      case _ =>
-    }
-    // delta overlay — mirrors applyDeltaParsed's merge, tracking only
-    // what pruning needs: tail files (with their stats), removed paths,
-    // meta, and whether any EXISTING file's stats changed
-    var tail = Vector.empty[String]
-    val tailSet = mutable.Set.empty[String]
-    val removed = mutable.Set.empty[String]
-    val statsOverlay = mutable.Map.empty[String, ManifestStats.FileStats]
-    val statsRetracted = mutable.Set.empty[String]
-    chain.reverseIterator.foreach { d =>
-      val parts = parseDelta(d)
-      meta = (meta -- parts.metaMinus) ++ parts.metaPlus.iterator.map {
-        case (k, line) => k -> line.stripPrefix(MetaPrefix).split("=", 2)(1)
-      }
-      if (parts.removes.nonEmpty) {
-        removed ++= parts.removes
-        tail = tail.filterNot(parts.removes)
-        parts.removes.foreach { p =>
-          tailSet -= p; statsOverlay -= p; statsRetracted -= p; ()
-        }
-      }
-      tail = tail ++ parts.adds
-      tailSet ++= parts.adds
-      parts.statsMinus.foreach { k =>
-        if (k == ManifestStats.RollupKey) tableRu = None
-        else if (tailSet.contains(k)) { statsOverlay -= k; statsRetracted += k; () }
-        else return None // an existing member lost stats: rollups distrusted
-      }
-      parts.statsPlus.foreach { case (k, line) =>
-        if (k == ManifestStats.RollupKey)
-          tableRu = Some(ManifestStats.deserialize(line.stripPrefix(StatsPrefix))._2)
-        else if (tailSet.contains(k)) {
-          statsOverlay(k) = ManifestStats.deserialize(line.stripPrefix(StatsPrefix))._2
-          statsRetracted -= k; ()
-        } else return None // an existing member's stats changed: rollups distrusted
-      }
-    }
+    val meta = ov.meta
+    val tableRu = ov.tableRu
+    val refs = ov.refs
+    val tail = ov.tail
+    val removed = ov.removed
+    val statsOverlay = ov.statsOverlay
+    val statsRetracted = ov.statsRetracted
     val schema = meta.get(SchemaKey)
       .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -1703,7 +1847,7 @@ object ManifestTable {
     if (tableRu.exists(r => !ManifestStats.mayMatchConds(conds, r)))
       return None // provably empty: heavy empty-read keeps schema exact
     val kept = Seq.newBuilder[String]
-    refs.result().foreach { case (name, count, ruOpt) =>
+    refs.foreach { case (name, count, ruOpt) =>
       if (ruOpt.exists(r => !ManifestStats.mayMatchConds(conds, r)))
         ManifestStats.PruneMeters.segmentsExcluded.incrementAndGet() // zero loads
       else {
@@ -1889,24 +2033,9 @@ object ManifestTable {
           }
           (meta.result(), ru)
         }
-        // the resolveParsedFromDisk walk, light: nearest full snapshot
-        // or vacuum-materialized sidecar, then the delta chain's overlay
-        val chain = mutable.Buffer.empty[String] // deltas, newest first
-        var v = version
-        var full: String = null
-        val f = fs(spark, root)
-        while (full == null) {
-          val ck = checkpointPath(root, v)
-          if (f.exists(ck)) {
-            val in = f.open(ck)
-            try full = new String(
-              org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
-            finally in.close()
-          } else {
-            val t = rawText(spark, root, v)
-            if (isDelta(t)) { chain += t; v = deltaBaseOf(t) } else full = t
-          }
-        }
+        // the shared cold walk, light: nearest full snapshot or
+        // vacuum-materialized sidecar, then the delta chain's overlay
+        val (full, chain) = storedChainAt(spark, root, version)
         var (meta, ru) = lightOf(full)
         chain.reverseIterator.foreach { d =>
           val parts = parseDelta(d)
@@ -2772,33 +2901,67 @@ object ManifestTable {
     val f = fs(spark, root)
     f.mkdirs(new Path(s"$root/$LogDir"))
     var attempt = 0
+    var lastCorrupt: CorruptManifest = null
     while (attempt < MaxCommitAttempts) {
       attempt += 1
-      val tip = versions(spark, root).lastOption.getOrElse(0L)
-      val next = tip + 1
-      // metadata re-resolves against the tip the retry lands on, exactly
-      // like the file base — an append's widened schema must widen the
-      // WINNER's schema, not the one this committer first read
-      val meta = metaWithTxnCarry(spark, root, tip, metaAt(tip))
-      val cm = composeTiered(spark, root, next, op, meta,
-        base(tip), newFiles, statsAt(tip), appendShaped)
-      // the atomic publish: rename refuses an existing destination, so
-      // exactly one of two racing committers wins version `next`
-      if (publishRaw(spark, root, next, cm.body)) {
-        // prime the STRUCTURAL caches: same-JVM readers of this version
-        // never re-parse or chain-walk; full text (only needed by the
-        // rare text consumers) is rendered on demand
-        stateCache.put(root, next, cm.state)
-        cm.statsMap.foreach(m =>
-          statsMapCache.put(root, next, m))
-        cm.metaMap.foreach(m =>
-          metaMapCache.put(root, next, m))
-        if (cm.isFull) resolvedCached(root, next)(cm.body)
-        return next
+      try {
+        val tip = versions(spark, root).lastOption.getOrElse(0L)
+        val next = tip + 1
+        // metadata re-resolves against the tip the retry lands on, exactly
+        // like the file base — an append's widened schema must widen the
+        // WINNER's schema, not the one this committer first read
+        val meta = metaWithTxnCarry(spark, root, tip, metaAt(tip))
+        val cm = composeTiered(spark, root, next, op, meta,
+          base(tip), newFiles, statsAt(tip), appendShaped)
+        // the atomic publish: rename refuses an existing destination, so
+        // exactly one of two racing committers wins version `next`
+        if (publishRaw(spark, root, next, cm.body)) {
+          // prime the STRUCTURAL caches: same-JVM readers of this version
+          // never re-parse or chain-walk; full text (only needed by the
+          // rare text consumers) is rendered on demand
+          stateCache.put(root, next, cm.state)
+          cm.statsMap.foreach(m =>
+            statsMapCache.put(root, next, m))
+          cm.metaMap.foreach(m =>
+            metaMapCache.put(root, next, m))
+          if (cm.isFull) resolvedCached(root, next)(cm.body)
+          return next
+        }
+      } catch {
+        // the tip this attempt planned against is UNREADABLE — listed
+        // but failing the header/CRC guards. Through a claim arm whose
+        // byte copy is not atomically visible, that is a racing winner's
+        // publish still in flight: re-basing against it as an empty or
+        // smaller state would silently drop the winner's rows (the lost
+        // update the battery caught), so back off and re-read until the
+        // bytes land. Bounded: a tip that NEVER becomes readable (torn
+        // copy that crashed, disk-full truncation) rethrows loudly below
+        // — an abort, never silent loss.
+        case c: CorruptManifest =>
+          lastCorrupt = c
+          Thread.sleep(math.min(200L, 4L << attempt))
       }
     }
+    if (lastCorrupt != null) throw new IllegalStateException(
+      s"manifest commit at $root: the tip stayed unreadable across " +
+        s"$MaxCommitAttempts attempts — an in-flight publish that never " +
+        "completed, or a corrupt log; refusing to compose over it", lastCorrupt)
     throw new IllegalStateException(
       s"manifest commit lost $MaxCommitAttempts races at $root — sustained contention")
+  }
+
+  /** The stored `txn-*` watermark of `root` — ONE meta read, at the tip.
+    * Sound because [[metaWithTxnCarry]] carries every `txn-*` key of the
+    * tip forward into every commit with max semantics: the tip's value
+    * IS the max over the whole history, so scanning `versions(root)` for
+    * it (O(history) meta reads per mart per maintenance window) buys
+    * nothing. `None` = the mart has never recorded the key (bootstrap).
+    * `tipHint` skips the log listing when the caller already holds it. */
+  def txnWatermark(spark: SparkSession, root: String, txnKey: String,
+      tipHint: Option[Long] = None): Option[Long] = {
+    val tip = tipHint.orElse(versions(spark, root).lastOption)
+    tip.filter(_ > 0).flatMap(v =>
+      manifestMeta(spark, root, v).get(txnKey)).map(_.toLong)
   }
 
   /** txn-* watermarks survive every commit: tip's keys carry forward,
@@ -2894,9 +3057,20 @@ object ManifestTable {
     if (allFiles.size < SegmentTargetSize) composeBody(next, op, meta0, allFiles, stats)
     else {
       val (st, sm, mm) = stateFor(next, op, meta0, allFiles, stats)
+      // reuse the prior version's segments when it exists; ONLY the
+      // no-prior-version case (version 1, or a vacuumed-away base —
+      // surfacing as a missing-file read) may degrade to resealing from
+      // scratch. Integrity failures must PROPAGATE: swallowing a
+      // CorruptManifest here would mask a corrupted log behind an
+      // O(files) full reseal that "works"
       val segSrc =
-        (try Some(parsedAt(spark, root, next - 1))
-         catch { case _: Exception => None }).flatMap(_.segSource)
+        if (next <= 1) None
+        else (try Some(parsedAt(spark, root, next - 1))
+          catch {
+            case _: java.io.FileNotFoundException => None
+            case e: IllegalArgumentException
+                if e.getMessage != null && e.getMessage.contains("not a manifest") => None
+          }).flatMap(_.segSource)
       composeSegmented(spark, root, next, op, st, segSrc, Some(sm), Some(mm)).body
     }
 
@@ -2909,7 +3083,13 @@ object ManifestTable {
     // [[commit]] — allocates the same way.
     ComposeMeters.fullBodies.incrementAndGet()
     val meta = normalizeMeta(meta0, allFiles)
-    val body = new StringBuilder(s"# graft-manifest version=$next op=$op\n")
+    // inline fulls carry the same integrity trailer as deltas and
+    // segmented pointers (` crc=1` announced in the header), so EVERY
+    // manifest this engine writes detects mid-body truncation on read —
+    // a partially-visible publish can never parse as a smaller valid
+    // table (the header guard in [[parseFull]] covers the
+    // truncated-to-nothing case, the trailer covers everything between)
+    val body = new StringBuilder(s"# graft-manifest version=$next op=$op crc=1\n")
     meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
       body.append(MetaPrefix).append(k).append('=').append(v).append('\n')
     }
@@ -2936,7 +3116,7 @@ object ManifestTable {
       .foreach(r => body.append(StatsPrefix)
         .append(ManifestStats.serialize(ManifestStats.RollupKey, r)).append('\n'))
     allFiles.foreach(p => body.append(p).append('\n'))
-    body.toString
+    withIntegrityTrailer(body.toString)
   }
 
   /** Publish a pre-rendered body as `root`'s version `next` via an
@@ -3160,8 +3340,8 @@ object ManifestTable {
     * One active instance per writerId is the caller's contract (a
     * Structured Streaming query guarantees this for its own sink);
     * DIFFERENT writers interleave freely through the normal commit race.
-    * The scan for the high-water mark is O(log size) driver-side text
-    * reads — bounded by [[vacuum]]'s manifest retention. */
+    * The high-water mark is ONE tip meta read ([[txnWatermark]]) — the
+    * txn-* carry makes the tip the history's max. */
   def appendIdempotent(
       spark: SparkSession,
       root: String,
@@ -3172,8 +3352,12 @@ object ManifestTable {
       bloomColumns: Seq[String] = Nil): Long = {
     val key = s"txn-$writerId"
     val vs = versions(spark, root)
-    val seen = vs.flatMap(v => manifestMeta(spark, root, v).get(key)).map(_.toLong)
-    if (seen.nonEmpty && batchId <= seen.max) vs.max // replay: already landed
+    // ONE tip meta read: the txn-* watermark carries forward max-wins
+    // through every commit ([[metaWithTxnCarry]]), so the tip holds the
+    // history's high-water mark — the per-batch replay check must not
+    // scan O(versions) metas (it runs on every streaming commit)
+    val seen = txnWatermark(spark, root, key, tipHint = vs.lastOption)
+    if (seen.exists(batchId <= _)) vs.max // replay: already landed
     else {
       val meta = Map(key -> batchId.toString)
       if (vs.isEmpty) create(spark, root, df, meta, statsColumns, bloomColumns)
@@ -3275,8 +3459,9 @@ object ManifestTable {
     val key = s"txn-$writerId"
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir) — create the base first")
-    val seen = vs.flatMap(v => manifestMeta(spark, root, v).get(key)).map(_.toLong)
-    if (seen.nonEmpty && batchId <= seen.max) vs.max // replay: already landed
+    // tip-only replay check, like [[appendIdempotent]]'s
+    val seen = txnWatermark(spark, root, key, tipHint = vs.lastOption)
+    if (seen.exists(batchId <= _)) vs.max // replay: already landed
     else merge(spark, root, df, keyCol,
       statsColumns = statsColumns, bloomColumns = bloomColumns,
       meta = Map(key -> batchId.toString))._1
@@ -3372,8 +3557,11 @@ object ManifestTable {
     val key = s"$TxnPrefix$writerId"
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir) — create the base first")
-    val seen = vs.flatMap(v => manifestMeta(spark, root, v).get(key)).map(_.toLong)
-    if (seen.nonEmpty && batchId <= seen.max) return vs.max // replay: already landed
+    // tip-only replay check (the txn-* carry makes the tip the max) —
+    // this runs on EVERY applied batch, so an O(versions) meta scan here
+    // would grow each streaming commit with the mart's history
+    val seen = txnWatermark(spark, root, key, tipHint = vs.lastOption)
+    if (seen.exists(batchId <= _)) return vs.max // replay: already landed
     val v0 = vs.max
     val planned = manifestFiles(spark, root, v0)
     val tableSchema = schemaOf(spark, root, v0)
@@ -4329,6 +4517,24 @@ object ManifestTable {
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Int = {
     require(keepVersions >= 1, "must retain at least the tip")
     val f = fs(spark, root)
+    // a catalog transaction staged a body targeting THIS table and has
+    // not been backfilled (in-flight, or crashed pre-recovery): the
+    // staged body references data/segment files this vacuum would see
+    // as unreferenced and reclaim once aged — leaving the eventual
+    // backfill naming deleted files. Refuse and steer to the safe entry
+    // point, which recovers (backfills, clearing these markers) first.
+    val stagedMarkers = {
+      val dir = new Path(s"$root/$LogDir")
+      if (!f.exists(dir)) Array.empty[String]
+      else f.listStatus(dir).map(_.getPath.getName)
+        .filter(_.startsWith(StagedMarkerPrefix))
+    }
+    if (stagedMarkers.nonEmpty) throw new IllegalStateException(
+      s"$root has ${stagedMarkers.length} staged catalog transaction(s) " +
+        s"pending (${stagedMarkers.mkString(", ")}) — vacuum it through " +
+        "ManifestCatalog.vacuumCatalog, which recovers staged bodies " +
+        "before reclaiming; a direct vacuum could delete files only the " +
+        "staged bodies reference")
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"$root is not a manifest table")
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
@@ -4428,7 +4634,17 @@ object ManifestTable {
     // orphan-file hazard). Fresh unreferenced segments are therefore
     // skipped until they age past the grace window — a genuinely lost
     // race's orphans reclaim on the next vacuum after it.
-    val gcHorizon = System.currentTimeMillis() - SegmentGcGraceMs
+    // "Now" is the HOST clock capped by the newest retained manifest's
+    // STORE-stamped mtime: segment mtimes come from the store, so when
+    // the table has recent commits the age comparison stays on one
+    // clock and a fast host clock cannot shrink the grace (see
+    // [[SegmentGcGraceMs]]); on an idle table the cap only delays
+    // reclamation — never early.
+    val storeWitness = keep.lastOption
+      .map(v => f.getFileStatus(manifestPath(root, v)).getModificationTime)
+      .getOrElse(Long.MaxValue)
+    val gcHorizon =
+      math.min(System.currentTimeMillis(), storeWitness) - SegmentGcGraceMs
     f.listStatus(new Path(s"$root/$LogDir")).foreach { s =>
       val n = s.getPath.getName
       if (n.startsWith("seg-") && n.endsWith(".seg") && !refSegs.contains(n) &&

@@ -256,16 +256,20 @@ class ConcurrencySpec extends SparkSpec {
     assertSameContent(maintained, rebuild, "ivm∥ivm")
   }
 
-  test("SlotClaimer contract: an in-memory put-if-absent arm (the S3 conditional-put shape) sustains the commit races") {
-    // proves the seam's documented contract — "atomic win-or-fail on the
-    // slot name, losers leave the winner's content untouched" — is
-    // SUFFICIENT for the whole commit protocol, before anyone writes the
-    // real S3 `If-None-Match: *` arm: a fake whose only atomic primitive
-    // is a put-if-absent on the slot NAME (decided in memory, the way a
-    // conditional put is decided store-side; the byte copy that follows
-    // is deliberately non-atomic, like an object-store upload the loser
-    // never starts) carries both the append∥append re-base and the
-    // merge∥delete serial-schedule battery.
+  test("SlotClaimer contract: an ADVERSARIAL put-if-absent arm with non-atomic visibility never loses data silently") {
+    // the ADVERSARIAL arm of the seam's contract: put-if-absent decided
+    // atomically on the slot NAME (in memory, the way a conditional put
+    // is decided store-side) but the byte copy that follows is
+    // deliberately NON-atomic — a reader can list the slot and observe
+    // zero or some of the winner's bytes. This arm VIOLATES the
+    // documented visibility clause, and the protocol must survive it
+    // LOUDLY: a re-basing committer that catches the slot mid-copy sees
+    // CorruptManifest (headerless / CRC-failing text, never a "valid
+    // empty table") and retries until the bytes land — both appends
+    // land, zero rows lost. Pre-guard, this exact battery caught a
+    // silent lost update (~25% under load: both appends reported
+    // success, half the rows gone). Raced HOT — the in-flight window is
+    // a few ms, so one shot has weak detection power.
     val claimedSlots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val fake = new graft.sources.SlotClaimer {
       def claim(f: org.apache.hadoop.fs.FileSystem,
@@ -286,16 +290,23 @@ class ConcurrencySpec extends SparkSpec {
     }
     graft.sources.ManifestTable.registerSlotClaimer("file", fake)
     try {
-      // APPEND vs APPEND: re-base must hold through the fake arm
-      val root = freshRoot("cc_fake")
-      ManifestTable.create(spark, root, orders.limit(0))
-      val a = orders.filter(col("o_orderkey") % 2 === 0)
-      val b = orders.filter(col("o_orderkey") % 2 === 1)
-      val aborts = race(
-        () => { ManifestTable.append(spark, root, a); () },
-        () => { ManifestTable.append(spark, root, b); () })
-      assert(aborts === 0, "appends must re-base through the fake claim arm")
-      assert(ManifestTable.read(spark, root).count() === orders.count())
+      // APPEND vs APPEND, raced hot: re-base must hold through the
+      // adversarial arm on every shot — any silent loss shows up as a
+      // count shortfall, any laundered empty-parse as a lost half
+      val a = orders.filter(col("o_orderkey") % 2 === 0).localCheckpoint()
+      val b = orders.filter(col("o_orderkey") % 2 === 1).localCheckpoint()
+      val expect = orders.count()
+      (1 to 6).foreach { shot =>
+        val root = freshRoot(s"cc_fake_$shot")
+        ManifestTable.create(spark, root, orders.limit(0))
+        val aborts = race(
+          () => { ManifestTable.append(spark, root, a); () },
+          () => { ManifestTable.append(spark, root, b); () })
+        assert(aborts === 0,
+          s"appends must re-base through the adversarial arm (shot $shot)")
+        assert(ManifestTable.read(spark, root).count() === expect,
+          s"rows lost through the adversarial arm (shot $shot)")
+      }
       // MERGE vs MOR DELETE: loser aborts + retry = one serial schedule
       val root2 = freshRoot("cc_fake2")
       val base = orders.limit(200).localCheckpoint()

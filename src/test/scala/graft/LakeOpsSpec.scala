@@ -805,4 +805,69 @@ class LakeOpsSpec extends SparkSpec {
     maintain()
     assertScratch()
   }
+
+  test("maintainer watermark discovery is O(1) meta reads per window, independent of mart history depth") {
+    import graft.sources.ManifestTable
+    import graft.ops.LakeOps
+    graft.functions.NativeExpressions.register(spark)
+    val docs = Tables.load(spark, dir, "documents")
+    val probes = docs.filter(col("doc_id") < 200 && length(col("text")) >= 20)
+      .select(col("doc_id").as("probe_id"), substring(col("text"), 1, 20).as("probe"))
+      .localCheckpoint()
+    val pRoot = java.nio.file.Files.createTempDirectory("wm_probes").toString
+    val sRoot = java.nio.file.Files.createTempDirectory("wm_sketch").toString
+    def slice(i: Int) = probes.filter(pmod(col("probe_id"), lit(24)) === i)
+    ManifestTable.create(spark, pRoot, slice(0))
+    LakeOps.maintainContaminationSketch(spark, pRoot, sRoot, "probe") // bootstrap
+    val meter = ManifestTable.ComposeMeters.metaReads
+    def windowCost(i: Int): Long = {
+      ManifestTable.append(spark, pRoot, slice(i))
+      val before = meter.get()
+      LakeOps.maintainContaminationSketch(spark, pRoot, sRoot, "probe")
+      meter.get() - before
+    }
+    // shallow history: sketch mart at ~2 versions, probes at ~2
+    val shallow = windowCost(1)
+    // deepen both histories by ~15 windows, then measure ONE window again
+    (2 to 16).foreach(windowCost)
+    val deep = windowCost(17)
+    // the tip carries every txn-* watermark (metaWithTxnCarry max-wins),
+    // so cursor discovery is ONE meta read at any depth — a history scan
+    // would make `deep` exceed `shallow` by ~15 reads per mart
+    assert(deep <= shallow,
+      s"watermark discovery grew with history: $shallow meta reads at " +
+        s"depth~2, $deep at depth~17 — an O(versions) scan crept back in")
+    assert(shallow <= 12L,
+      s"a single maintenance window took $shallow meta reads — expected a " +
+        "small constant (tip watermark + window-bounded change feed)")
+  }
+
+  test("maintainJoinMartTotal refuses a mart whose stored watermark predates the tip-sum batchId encoding") {
+    import graft.sources.ManifestTable
+    import graft.ops.LakeOps
+    def root() = java.nio.file.Files.createTempDirectory("oldenc").toString
+    val a = root(); val b = root(); val mart = root()
+    val orders = Tables.load(spark, dir, "orders")
+    val cust = Tables.load(spark, dir, "customer")
+    ManifestTable.create(spark, a, orders.filter(col("o_orderstatus") === "F"))
+    ManifestTable.create(spark, b, cust)
+    LakeOps.maintainJoinMartTotal(spark, a, b, mart, "o_custkey", "c_custkey")
+    // forge the pre-1.0 state: a watermark written under the retired
+    // (aTip << 21) | bTip packing — enormous next to any tip sum. An
+    // empty exactly-once batch plants it through the public API (the
+    // max-wins carry then pins it on the tip forever).
+    val ct = "_change_type"
+    val emptyFeed = ManifestTable.read(spark, mart).limit(0)
+      .withColumn(ct, lit("insert"))
+    ManifestTable.applyChangesMor(spark, mart, emptyFeed, "o_custkey",
+      "joinmart-total", batchId = (1L << 21) | 1L)
+    ManifestTable.append(spark, a, orders.filter(col("o_orderstatus") === "O"))
+    // maintenance must refuse LOUDLY with the re-create remedy — the old
+    // behavior was a permanent silent no-op (every tip-sum batchId
+    // "replays" against the huge stored watermark)
+    val e = intercept[IllegalStateException](
+      LakeOps.maintainJoinMartTotal(spark, a, b, mart, "o_custkey", "c_custkey"))
+    assert(e.getMessage.contains("Re-create the mart"),
+      s"refusal must carry the remedy, got: ${e.getMessage}")
+  }
 }

@@ -260,4 +260,48 @@ class ManifestCatalogSpec extends SparkSpec {
       }
     } finally ManifestTable.SegmentTargetSize = saved
   }
+
+  test("a pending staged transaction steers direct member vacuum to vacuumCatalog; abandoned markers GC") {
+    val (cat, fact, mart) = mkTables()
+    ManifestCatalog.create(spark, cat, Seq("fact" -> fact, "mart" -> mart))
+    // the crash window between staging and backfill, as the member sees
+    // it: the txn dir and the member-side marker exist, the body was
+    // never published into the member's log
+    val txnId = "feedface-pending"
+    new java.io.File(s"$cat/_graft_txn/$txnId").mkdirs()
+    val marker = java.nio.file.Paths.get(
+      s"$fact/_graft_log/.catalog-staged-$txnId")
+    java.nio.file.Files.writeString(marker, cat)
+    val e = intercept[IllegalStateException](
+      ManifestTable.vacuum(spark, fact, keepVersions = 1))
+    assert(e.getMessage.contains("vacuumCatalog"),
+      s"refusal must steer to the safe entry point, got: ${e.getMessage}")
+    // the catalog-aware vacuum clears the abandoned txn AND its marker
+    // (nothing ever published it), then member vacuums proceed
+    ManifestCatalog.vacuumCatalog(spark, cat, keepVersions = 1)
+    assert(!java.nio.file.Files.exists(marker),
+      "abandoned-txn GC must clear the member-side marker")
+    assert(ManifestTable.vacuum(spark, fact, keepVersions = 1) >= 0)
+  }
+
+  test("an aborted transaction clears its member-side markers on the way out") {
+    val (cat, fact, mart) = mkTables()
+    ManifestCatalog.create(spark, cat, Seq("fact" -> fact, "mart" -> mart))
+    // ops stage in order: fact stages (marker lands), mart's op fails on
+    // a type conflict → the transaction aborts before publish
+    val aborted = try {
+      ManifestCatalog.transact(spark, cat, Seq(
+        AppendOp("fact", orders.filter(col("o_orderkey") % 3 === 1)),
+        AppendOp("mart", orders.limit(3).select(
+          col("o_orderkey").cast("double").as("n"), col("o_orderstatus")))))
+      false
+    } catch { case _: Exception => true }
+    assert(aborted, "the conflicting mart op must abort the transaction")
+    val leftover = new java.io.File(s"$fact/_graft_log").listFiles()
+      .filter(_.getName.startsWith(".catalog-staged-"))
+    assert(leftover.isEmpty,
+      s"aborted txns must not leave markers, found ${leftover.map(_.getName).mkString(",")}")
+    // direct member vacuum is immediately usable again
+    assert(ManifestTable.vacuum(spark, fact, keepVersions = 1) >= 0)
+  }
 }
