@@ -56,6 +56,88 @@ object Profile {
     val best = runs.minBy(_._1)
     println(f"[profile] dd4 best-of-$repeat: total ${best._1}%.3f s, " +
       f"fingerprint ${best._2}%.3f s (${100 * best._2 / best._1}%.1f%%) sf=$sfDir")
+
+    // ---- st10 phase breakdown: where do the changefeed-mirror seconds
+    // go — the streaming drains (state-store/lifecycle machinery) or the
+    // table ops between them (deleteMor/append commit paths)? ----
+    (1 to repeat).foreach { r =>
+      val src = java.nio.file.Files.createTempDirectory("pf_src").toString
+      val dst = java.nio.file.Files.createTempDirectory("pf_dst").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("pf_ck").toString
+      val orders = Tables.load(spark, sfDir, "orders")
+      val f = orders.filter(col("o_orderstatus") === "F")
+      def timed[T](what: String)(body: => T): T = {
+        val t0 = System.nanoTime(); val out = body
+        println(f"[profile] st10 run $r $what: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        out
+      }
+      timed("create src+dst") {
+        graft.sources.ManifestTable.create(spark, src, f)
+        graft.sources.ManifestTable.create(spark, dst, f.limit(0))
+      }
+      val applySec = new AtomicLong()
+      def drain(tag: String): Unit = timed(s"drain $tag") {
+        applySec.set(0L)
+        val q = spark.readStream
+          .format("graft.sources.ManifestStreamSourceProvider")
+          .option("changeFeed", "true").load(src)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            val t0 = System.nanoTime()
+            graft.sources.ManifestTable.applyChangesMor(
+              spark, dst, b, "o_orderkey", "mirror", id)
+            applySec.addAndGet(System.nanoTime() - t0); ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        println(f"[profile] st10 run $r   apply inside $tag: ${applySec.get() / 1e9}%.3f s")
+      }
+      // sampling profiler during the drains: every 5 ms, tally the graft
+      // frames on ALL threads — a measurement of where apply time goes
+      // without touching the product code
+      val tally = new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
+      @volatile var sampling = true
+      val sampler = new Thread(() => {
+        while (sampling) {
+          Thread.getAllStackTraces.values().forEach { st =>
+            st.iterator.filter(e => e.getClassName.startsWith("graft."))
+              .take(1).foreach { e =>
+                tally.computeIfAbsent(
+                  s"${e.getClassName}.${e.getMethodName}", _ => new AtomicLong())
+                  .incrementAndGet(); ()
+              }
+          }
+          Thread.sleep(5)
+        }
+      })
+      sampler.setDaemon(true)
+      if (r == repeat) sampler.start()
+      drain("1-initial")
+      timed("deleteMor+append") {
+        graft.sources.ManifestTable.deleteMor(spark, src, col("o_orderkey") % 3 === 0)
+        graft.sources.ManifestTable.append(spark, src,
+          orders.filter(col("o_orderstatus") === "O"))
+      }
+      drain("2-retract+insert")
+      timed("deleteMor 2") {
+        graft.sources.ManifestTable.deleteMor(spark, src, col("o_custkey") % 7 === 0)
+      }
+      drain("3-stacked")
+      sampling = false
+      if (r == repeat) {
+        import scala.jdk.CollectionConverters._
+        tally.asScala.toSeq.sortBy(-_._2.get).take(15).foreach { case (m, n) =>
+          println(f"[profile] st10 hot frame: $m ${n.get()}%5d samples")
+        }
+      }
+      timed("final compare") {
+        val srcDf = graft.sources.ManifestTable.read(spark, src)
+        val dstDf = graft.sources.ManifestTable.read(spark, dst)
+        println(s"[profile] mirrors=${dstDf.exceptAll(srcDf).isEmpty && srcDf.exceptAll(dstDf).isEmpty}")
+      }
+    }
     spark.stop()
   }
 }

@@ -20,6 +20,34 @@ import org.apache.spark.sql.functions._
   */
 object LakeOps {
 
+  /** Live-file threshold for the maintainers' clustering-decay control
+    * ([[maintainNearDupPairsCapped]]): when a probe-keyed mart's file
+    * count crosses this, it rewrites range-clustered on its probe key
+    * (one atomic content-identical overwrite; txn watermarks carry).
+    * Var so specs can force reclusters on small corpora; production
+    * default trades recluster frequency against probe kept-file counts
+    * — after a recluster the count falls to the shuffle width, so
+    * probes read O(threshold) files worst-case instead of O(windows). */
+  private[graft] var ReclusterFileThreshold: Int = 64
+
+  /** Rewrite `root` range-clustered on `keyCol` when its live file count
+    * crossed [[ReclusterFileThreshold]] — the LSM-style compaction that
+    * keeps [[graft.sources.ManifestTable.readPrunedByKeys]] probes
+    * file-bounded under append-only growth. Content-identical (MOR
+    * deletes fold in through the read), exactly-once-neutral (txn-*
+    * watermarks carry through every commit). */
+  private def reclusterIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      root: String, keyCol: String, statsColumns: Seq[String]): Unit = {
+    import graft.sources.ManifestTable
+    val tip = ManifestTable.versions(spark, root).max
+    if (ManifestTable.manifestFiles(spark, root, tip).size > ReclusterFileThreshold) {
+      ManifestTable.overwrite(spark, root,
+        ManifestTable.read(spark, root).repartitionByRange(col(keyCol)),
+        statsColumns = statsColumns)
+      ()
+    }
+  }
+
   /** Build a type-2 slowly-changing-dimension history from an observation
     * log: one row per (key, state) run with `[valid_from, valid_to)`
     * validity and `is_current` on the open row (dbt snapshot
@@ -1442,8 +1470,13 @@ object LakeOps {
             keys.select(pairsSchema.fields.map(f =>
               (if (f.name == keyName) col(keyName) else lit(null))
                 .cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+          // the insert batch lands range-clustered on doc_a so the files
+          // THIS window adds stay disjoint among themselves (the
+          // cross-window overlap is what the recluster cadence below
+          // repairs); empty partitions write no files
           val pairsFeed = nullFeed(delKeys, "pair_key").withColumn(ct, lit("delete"))
-            .unionByName(freshPairs.withColumn(ct, lit("insert")))
+            .unionByName(freshPairs.repartitionByRange(col("doc_a"))
+              .withColumn(ct, lit("insert")))
           // read BEFORE applying: a pre-crash apply means this window's
           // fresh pairs were already reported once
           val pairsPreApplied = watermarkOf(pairsRoot).exists(_ >= newTip)
@@ -1454,12 +1487,28 @@ object LakeOps {
               (if (f.name == "doc_id") col("doc_id") else lit(null))
                 .cast(f.dataType).as(f.name)).toIndexedSeq: _*)
             .withColumn(ct, lit("delete"))
-            .unionByName(affSizes.withColumn(ct, lit("insert")))
+            .unionByName(affSizes.repartitionByRange(col("doc_id"))
+              .withColumn(ct, lit("insert")))
           ManifestTable.applyChangesMor(spark, sizesRoot, sizesFeed, "doc_id",
             writerId, batchId = newTip, statsColumns = Seq("doc_id"))
           ManifestTable.appendIdempotent(spark, indexRoot,
             newEx.repartitionByRange(col("shingle")), writerId, batchId = newTip,
             statsColumns = Seq("shingle"))
+          // clustering-decay control, AFTER the window's ladder completes
+          // (the watermark ladder's crash replay is untouched — a
+          // recluster is content-identical, one atomic overwrite, and
+          // the txn-* watermarks carry through it): append-only growth
+          // erodes the range clustering the pruned probes depend on —
+          // each window's batch is internally disjoint but batches
+          // OVERLAP each other, so a point probe's kept-file count grows
+          // O(windows). When a mart's live file count crosses the
+          // threshold, rewrite it range-clustered on its probe key; the
+          // count falls back to the shuffle width, so the amortized cost
+          // per window is O(mart / windows-between-reclusters) — the LSM
+          // compaction economics, metered by the spec.
+          reclusterIfNeeded(spark, pairsRoot, "doc_a", Seq("doc_a", "doc_b"))
+          reclusterIfNeeded(spark, sizesRoot, "doc_id", Seq("doc_id"))
+          reclusterIfNeeded(spark, indexRoot, "shingle", Seq("shingle"))
           consumed = newTip
           totDocs += nDocs
           if (!pairsPreApplied) totPairs += freshPairs.count()

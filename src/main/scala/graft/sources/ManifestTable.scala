@@ -408,6 +408,17 @@ object ManifestTable {
   private def checkpointPath(root: String, v: Long): Path =
     new Path(s"$root/$LogDir/" + f"v$v%08d" + ".checkpoint")
 
+  /** Persisted prune-index sidecar beside the checkpoint: the digested
+    * [[ColdOverlay]] of a pointer-form version, written opportunistically
+    * by the first COLD pruned probe so every LATER cold process plans
+    * from one pre-digested read — zero pointer-body decodes, zero delta
+    * replays ([[coldOverlayAt]]). Deterministic per (root, version)
+    * (derived from the immutable stored chain), so racing writers
+    * produce identical bytes and the lost rename is ignored; carries the
+    * standard CRC trailer, and any damage falls back to the chain walk. */
+  private def pruneIdxPath(root: String, v: Long): Path =
+    new Path(s"$root/$LogDir/" + f"v$v%08d" + ".pruneidx")
+
   /** Two-level LRU: versions bounded PER ROOT (so one hot multi-version
     * table can never evict another table's entries — with a flat global
     * LRU, ~17 hot tables made the writer's incremental compose miss
@@ -957,6 +968,11 @@ object ManifestTable {
       * (the tip carries every txn-* watermark — [[txnWatermark]]),
       * never an O(versions) history scan. */
     val metaReads = new java.util.concurrent.atomic.AtomicLong()
+    /** Pointer-body decodes taken by COLD pruned planning ([[coldOverlayAt]]
+      * chain walks) — the persisted prune-index contract: after the first
+      * cold probe writes the `.pruneidx` sidecar, later cold processes
+      * decode ZERO pointer bytes. */
+    val coldPointerDecodes = new java.util.concurrent.atomic.AtomicLong()
     def snapshot: (Long, Long) = (fullBodies.get, statsLinesSerialized.get)
   }
 
@@ -1751,8 +1767,105 @@ object ManifestTable {
 
   private val coldOverlayCache = new PerRootLru[Option[ColdOverlay]](4, 64)
 
+  /** Render a [[ColdOverlay]] as sidecar text (CRC-trailed; see
+    * [[pruneIdxPath]]). Line shapes reuse the manifest vocabulary:
+    * `# meta:`/`# seg:` exactly as the pointer body writes them; tail
+    * entries carry a flag (s=stats, r=retracted, n=none). */
+  private def renderOverlay(v: Long, ov: ColdOverlay): String = {
+    val b = new StringBuilder(
+      s"# graft-pruneidx version=$v trusted=${if (ov.trusted) 1 else 0} crc=1\n")
+    ov.meta.toSeq.sortBy(_._1).foreach { case (k, value) =>
+      b.append(MetaPrefix).append(k).append('=').append(value).append('\n') }
+    ov.tableRu.foreach(r => b.append("# ru:")
+      .append(ManifestStats.serialize(ManifestStats.RollupKey, r)).append('\n'))
+    ov.refs.foreach { case (name, count, ru) =>
+      b.append(SegPrefix).append(name).append('|').append(count)
+      ru.foreach(r => b.append('|').append(java.net.URLEncoder.encode(
+        ManifestStats.serialize(SegRollupKey, r), StandardCharsets.UTF_8)))
+      b.append('\n')
+    }
+    ov.tail.foreach { p =>
+      if (ov.statsRetracted.contains(p))
+        b.append("# tail:r|").append(java.net.URLEncoder.encode(p, StandardCharsets.UTF_8))
+      else ov.statsOverlay.get(p) match {
+        case Some(st) => b.append("# tail:s|").append(ManifestStats.serialize(p, st))
+        case None => b.append("# tail:n|")
+          .append(java.net.URLEncoder.encode(p, StandardCharsets.UTF_8))
+      }
+      b.append('\n')
+    }
+    ov.removed.toSeq.sorted.foreach(p => b.append("# removed:")
+      .append(java.net.URLEncoder.encode(p, StandardCharsets.UTF_8)).append('\n'))
+    withIntegrityTrailer(b.toString)
+  }
+
+  /** Parse sidecar text back into the overlay; any malformation throws
+    * (the caller falls back to the chain walk). */
+  private def parseOverlay(text: String): ColdOverlay = {
+    require(text.startsWith("# graft-pruneidx "), "not a prune-index sidecar")
+    val payload = verifyIntegrity(text)
+    var trusted = true
+    payload.linesIterator.next().stripPrefix("# graft-pruneidx ").split(' ').foreach {
+      case s if s.startsWith("trusted=") => trusted = s.stripPrefix("trusted=") == "1"
+      case _ =>
+    }
+    var meta = Map.empty[String, String]
+    var ru: Option[ManifestStats.FileStats] = None
+    val refs = Vector.newBuilder[(String, Int, Option[ManifestStats.FileStats])]
+    val tail = Vector.newBuilder[String]
+    val statsOverlay = Map.newBuilder[String, ManifestStats.FileStats]
+    val retracted = Set.newBuilder[String]
+    val removed = Set.newBuilder[String]
+    payload.linesIterator.drop(1).foreach {
+      case l if l.startsWith(MetaPrefix) =>
+        val kv = l.stripPrefix(MetaPrefix).split("=", 2)
+        if (kv.length == 2) meta += kv(0) -> kv(1)
+      case l if l.startsWith("# ru:") =>
+        ru = Some(ManifestStats.deserialize(l.stripPrefix("# ru:"))._2)
+      case l if l.startsWith(SegPrefix) =>
+        val parts = l.stripPrefix(SegPrefix).split('|')
+        refs += ((parts(0), parts(1).toInt, parts.lift(2).map(t =>
+          ManifestStats.deserialize(
+            java.net.URLDecoder.decode(t, StandardCharsets.UTF_8))._2)))
+      case l if l.startsWith("# tail:") =>
+        val body = l.stripPrefix("# tail:")
+        val flag = body.charAt(0)
+        val rest = body.substring(2)
+        flag match {
+          case 's' =>
+            val (p, st) = ManifestStats.deserialize(rest)
+            tail += p; statsOverlay += p -> st; ()
+          case 'r' =>
+            val p = java.net.URLDecoder.decode(rest, StandardCharsets.UTF_8)
+            tail += p; retracted += p; ()
+          case _ =>
+            tail += java.net.URLDecoder.decode(rest, StandardCharsets.UTF_8); ()
+        }
+      case l if l.startsWith("# removed:") =>
+        removed += java.net.URLDecoder.decode(
+          l.stripPrefix("# removed:"), StandardCharsets.UTF_8); ()
+      case _ =>
+    }
+    ColdOverlay(meta, ru, refs.result(), tail.result(), removed.result(),
+      statsOverlay.result(), retracted.result(), trusted)
+  }
+
   private def coldOverlayAt(spark: SparkSession, root: String,
       v: Long): Option[ColdOverlay] = coldOverlayCache.getOrCompute(root, v) {
+    val f0 = fs(spark, root)
+    val sidecar = pruneIdxPath(root, v)
+    val fromSidecar: Option[ColdOverlay] =
+      if (!f0.exists(sidecar)) None
+      else try {
+        val in = f0.open(sidecar)
+        val text = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+        finally in.close()
+        Some(parseOverlay(text))
+      } catch { case scala.util.control.NonFatal(_) => None } // damaged: chain walk
+    if (fromSidecar.isDefined) fromSidecar
+    else {
+    ComposeMeters.coldPointerDecodes.incrementAndGet()
     val (full, chain) = storedChainAt(spark, root, v)
     if (!isSegmented(full)) None
     else {
@@ -1816,8 +1929,21 @@ object ManifestTable {
           } else trusted = false // an existing member's stats changed
         }
       }
-      Some(ColdOverlay(meta, tableRu, refs.result(), tail, removed.toSet,
-        statsOverlay.toMap, statsRetracted.toSet, trusted))
+      val ov = ColdOverlay(meta, tableRu, refs.result(), tail, removed.toSet,
+        statsOverlay.toMap, statsRetracted.toSet, trusted)
+      // persist the digest beside the checkpoint so the NEXT cold
+      // process plans from one read (atomic tmp+rename; deterministic
+      // content per version, so a lost race is ignored; best-effort —
+      // a read-only filesystem just keeps paying the chain walk)
+      try {
+        val tmp = new Path(s"$root/$LogDir/.tmp-${UUID.randomUUID()}")
+        val out = f0.create(tmp, false)
+        try out.write(renderOverlay(v, ov).getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        if (!f0.rename(tmp, sidecar)) { f0.delete(tmp, false); () }
+      } catch { case scala.util.control.NonFatal(_) => }
+      Some(ov)
+    }
     }
   }
 
@@ -4567,6 +4693,7 @@ object ManifestTable {
     drop.foreach { v =>
       f.delete(manifestPath(root, v), false)
       f.delete(checkpointPath(root, v), false)
+      f.delete(pruneIdxPath(root, v), false)
       // same-JVM reads of a dropped version must fail like a fresh
       // process's would, not be served from a leftover cache entry
       invalidateVersion(root, v)

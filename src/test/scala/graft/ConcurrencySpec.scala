@@ -329,4 +329,76 @@ class ConcurrencySpec extends SparkSpec {
         "final state through the fake arm matches neither serial schedule")
     } finally graft.sources.ManifestTable.unregisterSlotClaimer("file")
   }
+
+  test("SlotClaimer contract: a STORE-ACCURATE conditional-put arm (atomic byte visibility) sustains the battery") {
+    // the arm the real S3 `If-None-Match: *` implementation must match:
+    // the put decision is atomic on the slot NAME (in memory, the way
+    // the store decides a conditional PUT), and the winner's bytes
+    // become visible ATOMICALLY (modeled with a rename — a completed
+    // object-store PUT has read-after-write atomicity: no reader ever
+    // observes the key with partial content). Both clauses of the
+    // re-documented contract, honored — the battery must run clean with
+    // ZERO in-flight retries surfacing.
+    val claimedSlots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val accurate = new graft.sources.SlotClaimer {
+      def claim(f: org.apache.hadoop.fs.FileSystem,
+          tmp: org.apache.hadoop.fs.Path,
+          dst: org.apache.hadoop.fs.Path): Boolean = {
+        val slot = dst.toUri.getPath
+        if (!claimedSlots.add(slot)) false        // conditional put: occupant wins
+        else if (f.exists(dst)) false             // pre-registration occupant
+        else {
+          // the winner's upload: buffer fully, then one atomic visibility
+          // event (rename) — never a create-then-write window
+          val in = f.open(tmp)
+          val bytes =
+            try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+          val hidden = new org.apache.hadoop.fs.Path(
+            dst.getParent, s".upload-${java.util.UUID.randomUUID()}")
+          val out = f.create(hidden, false)
+          try out.write(bytes) finally out.close()
+          val ok = f.rename(hidden, dst)
+          if (!ok) f.delete(hidden, false)
+          ok
+        }
+      }
+    }
+    graft.sources.ManifestTable.registerSlotClaimer("file", accurate)
+    try {
+      val a = orders.filter(col("o_orderkey") % 2 === 0).localCheckpoint()
+      val b = orders.filter(col("o_orderkey") % 2 === 1).localCheckpoint()
+      val expect = orders.count()
+      (1 to 4).foreach { shot =>
+        val root = freshRoot(s"cc_acc_$shot")
+        ManifestTable.create(spark, root, orders.limit(0))
+        val aborts = race(
+          () => { ManifestTable.append(spark, root, a); () },
+          () => { ManifestTable.append(spark, root, b); () })
+        assert(aborts === 0,
+          s"appends must re-base through the store-accurate arm (shot $shot)")
+        assert(ManifestTable.read(spark, root).count() === expect,
+          s"rows lost through the store-accurate arm (shot $shot)")
+      }
+      // MERGE vs MOR DELETE through the accurate arm
+      val root2 = freshRoot("cc_acc_md")
+      val base = orders.limit(200).localCheckpoint()
+      ManifestTable.create(spark, root2, base.repartition(2))
+      val upserts = base.limit(60)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0).localCheckpoint()
+      race(
+        () => { ManifestTable.merge(spark, root2, upserts, "o_orderkey"); () },
+        () => { ManifestTable.deleteMor(spark, root2, col("o_orderkey") % 3 === 0); () })
+      def mergeApplied(df: DataFrame): DataFrame =
+        df.join(upserts.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+          .unionByName(upserts)
+      def delApplied(df: DataFrame): DataFrame =
+        df.filter(col("o_orderkey") % 3 =!= 0)
+      val got = ManifestTable.read(spark, root2)
+      val s1 = delApplied(mergeApplied(base))
+      val s2 = mergeApplied(delApplied(base))
+      assert((got.exceptAll(s1).isEmpty && s1.exceptAll(got).isEmpty) ||
+        (got.exceptAll(s2).isEmpty && s2.exceptAll(got).isEmpty),
+        "final state through the accurate arm matches neither serial schedule")
+    } finally graft.sources.ManifestTable.unregisterSlotClaimer("file")
+  }
 }

@@ -806,6 +806,54 @@ class LakeOpsSpec extends SparkSpec {
     assertScratch()
   }
 
+  test("dd11 recluster cadence: mart files stay bounded across windows, probes prune, content equals capped truth") {
+    import graft.sources.ManifestTable
+    import graft.ops.{DedupOps, LakeOps}
+    val saved = LakeOps.ReclusterFileThreshold
+    LakeOps.ReclusterFileThreshold = 6
+    try {
+      val docsR = java.nio.file.Files.createTempDirectory("rc_docs").toString
+      val idxR = java.nio.file.Files.createTempDirectory("rc_idx").toString
+      val szR = java.nio.file.Files.createTempDirectory("rc_sz").toString
+      val pairsR = java.nio.file.Files.createTempDirectory("rc_pairs").toString
+      val docs = Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") < 160).select("doc_id", "text").localCheckpoint()
+      def slice(i: Int) = docs.filter(pmod(col("doc_id"), lit(8)) === i)
+      def maintain() = LakeOps.maintainNearDupPairsCapped(
+        spark, docsR, idxR, szR, pairsR, "doc_id", "text",
+        maxShingleFreq = 5L, n = 3, minShared = 1L, minJaccard = 0.01)
+      ManifestTable.create(spark, docsR, slice(0))
+      maintain()
+      (1 to 7).foreach { i =>
+        ManifestTable.append(spark, docsR, slice(i)); maintain(); ()
+      }
+      // 8 windows at up to 4 insert files each would leave ~30+
+      // overlapping files without the cadence; the recluster bounds the
+      // live count near the threshold (threshold + one window's adds)
+      val tip = ManifestTable.versions(spark, pairsR).max
+      val live = ManifestTable.manifestFiles(spark, pairsR, tip).size
+      assert(live <= LakeOps.ReclusterFileThreshold + 8,
+        s"pairs-mart files grew unbounded under append-only windows: $live")
+      // the probe's pruning survives: a point probe on doc_a reads a
+      // bounded subset of even that bounded file set
+      val anyPair = ManifestTable.read(spark, pairsR).select("doc_a").limit(1)
+        .collect()
+      if (anyPair.nonEmpty) {
+        val (kept, dropped, _) = ManifestTable.pruneFiles(spark, pairsR,
+          col("doc_a") === lit(anyPair(0).get(0)))
+        assert(kept.size <= LakeOps.ReclusterFileThreshold,
+          s"point probe kept ${kept.size} files (dropped ${dropped.size}) — clustering decayed")
+      }
+      // and the contract held through every recluster
+      val sc = DedupOps.ngramJaccardPairs(ManifestTable.read(spark, docsR),
+        "doc_id", "text", n = 3, minShared = 1L, minJaccard = 0.01,
+        maxShingleFreq = Some(5L))
+      val m = ManifestTable.read(spark, pairsR).drop("pair_key")
+      assert(m.exceptAll(sc).isEmpty && sc.exceptAll(m).isEmpty,
+        "maintained capped pairs must equal the from-scratch capped truth across reclusters")
+    } finally LakeOps.ReclusterFileThreshold = saved
+  }
+
   test("maintainer watermark discovery is O(1) meta reads per window, independent of mart history depth") {
     import graft.sources.ManifestTable
     import graft.ops.LakeOps

@@ -483,6 +483,65 @@ class TieredLogSpec extends SparkSpec {
     } finally ManifestTable.SegmentTargetSize = saved
   }
 
+  test("persisted prune index: the second cold process decodes zero pointer bytes; damage falls back") {
+    import graft.sources.ManifestTable.ComposeMeters
+    val root = freshRoot()
+    val saved = ManifestTable.SegmentTargetSize
+    ManifestTable.SegmentTargetSize = 8
+    try {
+      val keys = orders.select("o_orderkey").distinct().orderBy("o_orderkey")
+        .collect().map(_.getLong(0))
+      def slice(i: Int) = {
+        val lo = keys(i * keys.length / 12)
+        val hiIdx = (i + 1) * keys.length / 12
+        val hi = if (hiIdx >= keys.length) Long.MaxValue else keys(hiIdx)
+        orders.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi).coalesce(1)
+      }
+      ManifestTable.create(spark, root, slice(0), statsColumns = Seq("o_orderkey"))
+      (1 until 12).foreach(i =>
+        ManifestTable.append(spark, root, slice(i), statsColumns = Seq("o_orderkey")))
+      val probe = keys(8 * keys.length / 12)
+      val expect = orders.filter(col("o_orderkey") === probe).collect().toSet
+      // FIRST cold process: decodes the pointer + chain once and writes
+      // the .pruneidx sidecar beside the checkpoint
+      ManifestTable.dropResolvedCacheForTest()
+      val d0 = ComposeMeters.coldPointerDecodes.get
+      assert(ManifestTable.readPruned(spark, root,
+        col("o_orderkey") === probe).collect().toSet === expect)
+      assert(ComposeMeters.coldPointerDecodes.get - d0 === 1L,
+        "the first cold probe pays exactly one pointer decode")
+      val tipV = ManifestTable.versions(spark, root).max
+      val sidecar = java.nio.file.Paths.get(root, "_graft_log", f"v$tipV%08d.pruneidx")
+      assert(java.nio.file.Files.exists(sidecar),
+        "the first cold probe must persist the prune-index sidecar")
+      // SECOND cold process (caches dropped = fresh JVM): plans from the
+      // sidecar — ZERO pointer decodes, identical result
+      ManifestTable.dropResolvedCacheForTest()
+      val d1 = ComposeMeters.coldPointerDecodes.get
+      assert(ManifestTable.readPruned(spark, root,
+        col("o_orderkey") === probe).collect().toSet === expect)
+      assert(ComposeMeters.coldPointerDecodes.get - d1 === 0L,
+        "the second cold probe must decode zero pointer bytes (sidecar hit)")
+      // a DAMAGED sidecar (truncated) falls back to the chain walk and
+      // rewrites it — same answer, loud nowhere
+      val bytes = java.nio.file.Files.readAllBytes(sidecar)
+      java.nio.file.Files.write(sidecar, bytes.take(bytes.length / 2))
+      ManifestTable.dropResolvedCacheForTest()
+      val d2 = ComposeMeters.coldPointerDecodes.get
+      assert(ManifestTable.readPruned(spark, root,
+        col("o_orderkey") === probe).collect().toSet === expect)
+      assert(ComposeMeters.coldPointerDecodes.get - d2 === 1L,
+        "a damaged sidecar must fall back to exactly one chain decode")
+      // vacuum reclaims sidecars of dropped versions
+      ManifestTable.vacuum(spark, root, keepVersions = 1)
+      val leftovers = new java.io.File(s"$root/_graft_log").listFiles()
+        .map(_.getName).filter(_.endsWith(".pruneidx"))
+        .filterNot(_ == f"v$tipV%08d.pruneidx")
+      assert(leftovers.isEmpty,
+        s"vacuum must drop dropped versions' sidecars, left ${leftovers.mkString(",")}")
+    } finally ManifestTable.SegmentTargetSize = saved
+  }
+
   test("segment dirtiness ledger: an appends-only checkpoint visits O(tail) members, never O(files)") {
     import graft.sources.ManifestTable.ComposeMeters
     val root = freshRoot()
