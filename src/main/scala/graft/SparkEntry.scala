@@ -4313,6 +4313,88 @@ object SparkEntry {
       } finally MT.SegmentTargetSize = saved
     }),
 
+    "lake38_prune_sidecar" -> ((s, dir) => {
+      // the PERSISTED prune index: the first cold pruned probe decodes
+      // the pointer body + delta chain ONCE and writes the `.pruneidx`
+      // sidecar beside the checkpoint; a second cold process (every
+      // cache dropped) plans the same probe from that one pre-digested
+      // read — ZERO pointer decodes. Both decode counts ride the face
+      // as literals; the rows are the mid-range probe, re-derived by
+      // the lake37 rank arithmetic.
+      val root = java.nio.file.Files.createTempDirectory("lake38_sidecar").toString
+      val orders = t(s, dir, "orders")
+      val MT = graft.sources.ManifestTable
+      val saved = MT.SegmentTargetSize
+      MT.SegmentTargetSize = 8
+      try {
+        val keys = orders.select("o_orderkey").distinct().orderBy("o_orderkey")
+          .collect().map(_.getLong(0))
+        def slice(i: Int) = {
+          val lo = keys(i * keys.length / 12)
+          val hiIdx = (i + 1) * keys.length / 12
+          val hi = if (hiIdx >= keys.length) Long.MaxValue else keys(hiIdx)
+          orders.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi).coalesce(1)
+        }
+        MT.create(s, root, slice(0), statsColumns = Seq("o_orderkey"))
+        (1 until 12).foreach(i =>
+          MT.append(s, root, slice(i), statsColumns = Seq("o_orderkey")))
+        val probe = keys(8 * keys.length / 12)
+        MT.dropResolvedCacheForTest() // fresh process #1
+        val b1 = MT.ComposeMeters.coldPointerDecodes.get
+        val first = MT.readPruned(s, root, col("o_orderkey") === probe).localCheckpoint()
+        val decodesFirst = MT.ComposeMeters.coldPointerDecodes.get - b1
+        MT.dropResolvedCacheForTest() // fresh process #2: sidecar hit
+        val b2 = MT.ComposeMeters.coldPointerDecodes.get
+        val second = MT.readPruned(s, root, col("o_orderkey") === probe).localCheckpoint()
+        val decodesSecond = MT.ComposeMeters.coldPointerDecodes.get - b2
+        val same = second.exceptAll(first).isEmpty && first.exceptAll(second).isEmpty
+        first
+          .select(lit(decodesFirst).as("pointer_decodes_first"),
+            lit(decodesSecond).as("pointer_decodes_second"),
+            lit(same).as("sidecar_plan_identical"),
+            col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice").cast("double").as("o_totalprice"))
+          .localCheckpoint() // pin before the threshold restores below
+      } finally MT.SegmentTargetSize = saved
+    }),
+
+    "lake39_tip_watermark" -> ((s, dir) => {
+      // O(1) maintainer cursor discovery: txn-* watermarks carry to the
+      // TIP with max semantics through every commit, so one maintenance
+      // window reads ONE meta regardless of how deep the mart's history
+      // is. Drive the incrementally-maintained contamination sketch
+      // through 7 windows; the manifestMeta-call delta of a window at
+      // depth ~2 must EQUAL the delta at depth ~7 (an O(versions) scan
+      // would grow it by ~5 reads per mart). Flatness and the absolute
+      // bound ride the face as in-engine booleans; the content is the
+      // probe corpus grouped per window slice, re-derived relationally.
+      val pRoot = java.nio.file.Files.createTempDirectory("lake39_probes").toString
+      val sRoot = java.nio.file.Files.createTempDirectory("lake39_sketch").toString
+      val MT = graft.sources.ManifestTable
+      val probes = t(s, dir, "documents")
+        .filter(col("doc_id") < 200 && length(col("text")) >= 20)
+        .select(col("doc_id").as("probe_id"), substring(col("text"), 1, 20).as("probe"))
+        .localCheckpoint()
+      def slice(i: Int) = probes.filter(pmod(col("probe_id"), lit(8)) === i)
+      MT.create(s, pRoot, slice(0))
+      graft.ops.LakeOps.maintainContaminationSketch(s, pRoot, sRoot, "probe")
+      def windowCost(i: Int): Long = {
+        MT.append(s, pRoot, slice(i))
+        val before = MT.ComposeMeters.metaReads.get
+        graft.ops.LakeOps.maintainContaminationSketch(s, pRoot, sRoot, "probe")
+        MT.ComposeMeters.metaReads.get - before
+      }
+      val shallow = windowCost(1)
+      (2 to 6).foreach(windowCost)
+      val deep = windowCost(7)
+      probes.groupBy(pmod(col("probe_id"), lit(8)).as("window_slice"))
+        .agg(count(lit(1)).cast("long").as("n_probes"),
+          min(col("probe_id")).as("first_probe"))
+        .select(lit(deep <= shallow).as("tip_watermark_flat"),
+          lit(shallow <= 16L).as("window_reads_bounded"),
+          col("window_slice"), col("n_probes"), col("first_probe"))
+    }),
+
     "lake36_checkpoint_ledger" -> ((s, dir) => {
       // the segment DIRTINESS ledger: between checkpoints the writer
       // tracks which segments deltas touched, so an appends-only
@@ -7126,6 +7208,38 @@ object SparkEntry {
          |       o.o_orderkey, o.o_orderstatus,
          |       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
          |FROM orders o JOIN probes USING (o_orderkey)""").stripMargin,
+
+    "lake38_prune_sidecar" -> // the first cold probe decodes the pointer
+      // chain exactly once (and persists the .pruneidx sidecar); the
+      // second cold process decodes ZERO pointer bytes and plans the
+      // identical file set; the rows are the mid-range probe
+      ("""WITH k AS (
+         |  SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS rn,
+         |         count(*) OVER () AS c
+         |  FROM (SELECT DISTINCT o_orderkey FROM orders)
+         |), probe AS (
+         |  SELECT o_orderkey FROM k WHERE rn = (8 * c) // 12
+         |)
+         |SELECT CAST(1 AS BIGINT) AS pointer_decodes_first,
+         |       CAST(0 AS BIGINT) AS pointer_decodes_second,
+         |       TRUE AS sidecar_plan_identical,
+         |       o.o_orderkey, o.o_orderstatus,
+         |       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+         |FROM orders o JOIN probe USING (o_orderkey)""").stripMargin,
+
+    "lake39_tip_watermark" -> // a maintenance window's manifestMeta-call
+      // count at history depth ~7 equals the depth-~2 count (the tip
+      // carries every txn-* watermark, max-wins) and stays under the
+      // small-constant bound; content = probes per window slice
+      ("""WITH probes AS (
+         |  SELECT doc_id AS probe_id
+         |  FROM documents WHERE doc_id < 200 AND length(text) >= 20
+         |)
+         |SELECT TRUE AS tip_watermark_flat, TRUE AS window_reads_bounded,
+         |       probe_id % 8 AS window_slice,
+         |       CAST(count(*) AS BIGINT) AS n_probes,
+         |       min(probe_id) AS first_probe
+         |FROM probes GROUP BY probe_id % 8""").stripMargin,
 
     "lake36_checkpoint_ledger" -> // an appends-only checkpoint visits
       // exactly the 10 tail members (clean segments carry by name); the
