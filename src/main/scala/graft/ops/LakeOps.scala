@@ -20,29 +20,48 @@ import org.apache.spark.sql.functions._
   */
 object LakeOps {
 
-  /** Live-file threshold for the maintainers' clustering-decay control
-    * ([[maintainNearDupPairsCapped]]): when a probe-keyed mart's file
-    * count crosses this, it rewrites range-clustered on its probe key
-    * (one atomic content-identical overwrite; txn watermarks carry).
-    * Var so specs can force reclusters on small corpora; production
-    * default trades recluster frequency against probe kept-file counts
-    * — after a recluster the count falls to the shuffle width, so
-    * probes read O(threshold) files worst-case instead of O(windows). */
+  /** Live-file floor for the maintainers' clustering-decay control
+    * ([[maintainNearDupPairsCapped]], [[maintainNearDupPairs]]): a
+    * probe-keyed mart recluster fires when live files exceed
+    * `max(this, 2 × width written by the LAST recluster)` — the
+    * doubling term makes the cadence GEOMETRIC on large marts (each
+    * O(mart) rewrite is charged against a proportional growth in
+    * files, the LSM amortization), while the floor governs small ones.
+    * Var so specs can force reclusters on small corpora. */
   private[graft] var ReclusterFileThreshold: Int = 64
 
-  /** Rewrite `root` range-clustered on `keyCol` when its live file count
-    * crossed [[ReclusterFileThreshold]] — the LSM-style compaction that
-    * keeps [[graft.sources.ManifestTable.readPrunedByKeys]] probes
+  /** Target bytes per file a recluster writes — the width grows with
+    * the mart, which is what makes the doubling trigger geometric. */
+  private[graft] var ReclusterTargetFileBytes: Long = 128L * 1024 * 1024
+
+  /** Rewrite `root` range-clustered on `keyCol` when its live file
+    * count crossed the trigger — the LSM-style compaction that keeps
+    * [[graft.sources.ManifestTable.readPrunedByKeys]] probes
     * file-bounded under append-only growth. Content-identical (MOR
     * deletes fold in through the read), exactly-once-neutral (txn-*
-    * watermarks carry through every commit). */
+    * watermarks carry through every commit). The width the rewrite
+    * produced rides a txn key (monotone under growth, so the max-wins
+    * carry is exact) and doubles as the next trigger's base. */
   private def reclusterIfNeeded(spark: org.apache.spark.sql.SparkSession,
       root: String, keyCol: String, statsColumns: Seq[String]): Unit = {
     import graft.sources.ManifestTable
     val tip = ManifestTable.versions(spark, root).max
-    if (ManifestTable.manifestFiles(spark, root, tip).size > ReclusterFileThreshold) {
+    val widthKey = s"txn-recluster-width-$keyCol"
+    val lastWidth = ManifestTable.txnWatermark(spark, root, widthKey,
+      tipHint = Some(tip)).getOrElse(0L)
+    val trigger = math.max(ReclusterFileThreshold.toLong, 2L * lastWidth)
+    val files = ManifestTable.manifestFiles(spark, root, tip)
+    if (files.size > trigger) {
+      // size the rewrite by DATA, not by the shuffle default: a width
+      // that grows with the mart is what makes the doubling trigger
+      // geometric (constant width would re-fire at a fixed interval,
+      // charging O(mart) rewrites against O(1) growth)
+      val bytes = ManifestTable.liveBytes(spark, root, tip)
+      val width = math.max(1L,
+        (bytes + ReclusterTargetFileBytes - 1) / ReclusterTargetFileBytes).toInt
       ManifestTable.overwrite(spark, root,
-        ManifestTable.read(spark, root).repartitionByRange(col(keyCol)),
+        ManifestTable.read(spark, root).repartitionByRange(width, col(keyCol)),
+        meta = Map(widthKey -> width.toString),
         statsColumns = statsColumns)
       ()
     }
@@ -1118,6 +1137,11 @@ object LakeOps {
           ManifestTable.appendIdempotent(spark, indexRoot,
             newEx.repartitionByRange(col("shingle")), writerId, batchId = newTip,
             statsColumns = Seq("shingle"))
+          // clustering-decay control on the probe-keyed index (same
+          // cadence as the capped maintainer's marts): per-batch
+          // clustering keeps each window's files disjoint, the periodic
+          // recluster keeps the window probe file-bounded across windows
+          reclusterIfNeeded(spark, indexRoot, "shingle", Seq("shingle"))
           consumed = newTip
           totDocs += nDocs
           // a replayed window's pairs were already committed pre-crash —

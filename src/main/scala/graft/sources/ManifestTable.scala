@@ -1680,6 +1680,15 @@ object ManifestTable {
   def fileStats(spark: SparkSession, root: String, version: Long): Map[String, ManifestStats.FileStats] =
     rawStats(spark, root, version) - ManifestStats.RollupKey
 
+  /** Total on-disk bytes of `version`'s live data files — driver-side
+    * O(files) status calls, for maintenance sizing decisions (e.g. the
+    * recluster width in [[graft.ops.LakeOps]]). */
+  def liveBytes(spark: SparkSession, root: String, version: Long): Long = {
+    val f = fs(spark, root)
+    manifestFiles(spark, root, version).iterator
+      .map(p => f.getFileStatus(new Path(dataPath(root, p))).getLen).sum
+  }
+
   /** The TABLE-LEVEL stats rollup committed with `version` (see
     * [[ManifestStats.rollup]]) — absent when any file lacks stats. */
   def tableRollup(spark: SparkSession, root: String, version: Long): Option[ManifestStats.FileStats] =
