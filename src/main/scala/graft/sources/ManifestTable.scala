@@ -2020,6 +2020,75 @@ object ManifestTable {
   /** The (kept, dropped, version) split [[readPruned]] would use —
     * driver-only planning, exposed so callers and specs can observe
     * skipping effectiveness directly. */
+  /** The NAMES-FREE sibling of [[pruneFiles]]: (kept, dropped) FILE
+    * COUNTS of a predicate read at `version`, computed COLD in
+    * O(pointer + surviving segments) — an EXCLUDED segment contributes
+    * its pointer COUNT to `dropped` without loading a single member
+    * entry, so a multi-table planner can rank tables by selectivity
+    * without paying pruneFiles' O(files) dropped-names contract.
+    * Falls back to counting [[pruneFiles]]' result (bit-identical
+    * totals) when the overlay can't answer exactly: flat base,
+    * distrusted rollups, removes in the delta window (a removed path's
+    * segment is unknown without loading members), unanalyzable filter,
+    * or a resident state (the heavy path is then O(1) anyway). */
+  def pruneCounts(spark: SparkSession, root: String,
+      filter: org.apache.spark.sql.Column,
+      version: Option[Long] = None): (Long, Long, Long) = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in log (have ${vs.mkString(",")})")
+    def heavy(): (Long, Long, Long) = {
+      val (k, d, ver) = pruneFiles(spark, root, filter, Some(v))
+      (k.size.toLong, d.size.toLong, ver)
+    }
+    if (stateCache.get(root, v) != null) return heavy()
+    val ov = coldOverlayAt(spark, root, v) match {
+      case Some(o) if o.trusted && o.removed.isEmpty => o
+      case _ => return heavy()
+    }
+    val schema = ov.meta.get(SchemaKey)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(return heavy())
+    val transforms = ov.meta.get(TransformsKey).toSeq
+      .flatMap(_.split(';')).flatMap(PartitionTransform.parse)
+    val conds = ManifestStats.compileConds(spark, schema, filter,
+      transforms, columnRenames(schema)).getOrElse(return heavy())
+    var kept = 0L
+    var dropped = 0L
+    if (ov.tableRu.exists(r => !ManifestStats.mayMatchConds(conds, r))) {
+      // provably empty: every file drops, counted from pointer + tail
+      dropped = ov.refs.iterator.map(_._2.toLong).sum + ov.tail.size
+      return (0L, dropped, v)
+    }
+    ov.refs.foreach { case (name, count, ruOpt) =>
+      if (ruOpt.exists(r => !ManifestStats.mayMatchConds(conds, r)))
+        dropped += count // whole segment excluded: ZERO member loads
+      else {
+        val seg = loadSegment(spark, root, name, count)
+        seg.members.foreach { m =>
+          val fsOpt = ov.statsOverlay.get(m).orElse(seg.stats.get(m).map(l =>
+            ManifestStats.deserialize(l.stripPrefix(StatsPrefix))._2))
+          fsOpt match {
+            case Some(st) =>
+              if (ManifestStats.mayMatchConds(conds, st)) kept += 1 else dropped += 1
+            case None => kept += 1 // absence means keep, never skip
+          }
+        }
+      }
+    }
+    ov.tail.foreach { m =>
+      val fsOpt = if (ov.statsRetracted.contains(m)) None else ov.statsOverlay.get(m)
+      fsOpt match {
+        case Some(st) =>
+          if (ManifestStats.mayMatchConds(conds, st)) kept += 1 else dropped += 1
+        case None => kept += 1
+      }
+    }
+    (kept, dropped, v)
+  }
+
   def pruneFiles(spark: SparkSession, root: String, filter: org.apache.spark.sql.Column,
       version: Option[Long] = None): (Seq[String], Seq[String], Long) = {
     val vs = versions(spark, root)

@@ -542,6 +542,58 @@ class TieredLogSpec extends SparkSpec {
     } finally ManifestTable.SegmentTargetSize = saved
   }
 
+  test("pruneCounts: cold selectivity in O(pointer + surviving segments), totals equal pruneFiles") {
+    import graft.sources.ManifestTable.ComposeMeters
+    val root = freshRoot()
+    val saved = ManifestTable.SegmentTargetSize
+    ManifestTable.SegmentTargetSize = 8
+    try {
+      val keys = orders.select("o_orderkey").distinct().orderBy("o_orderkey")
+        .collect().map(_.getLong(0))
+      def slice(i: Int) = {
+        val lo = keys(i * keys.length / 12)
+        val hiIdx = (i + 1) * keys.length / 12
+        val hi = if (hiIdx >= keys.length) Long.MaxValue else keys(hiIdx)
+        orders.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi).coalesce(1)
+      }
+      ManifestTable.create(spark, root, slice(0), statsColumns = Seq("o_orderkey"))
+      (1 until 12).foreach(i =>
+        ManifestTable.append(spark, root, slice(i), statsColumns = Seq("o_orderkey")))
+      val probe = keys(8 * keys.length / 12)
+      // warm truth first (names): the counts the cold path must match
+      val (keptNames, droppedNames, _) =
+        ManifestTable.pruneFiles(spark, root, col("o_orderkey") === probe)
+      // COLD: counts resolve loading ONLY the surviving segment — the
+      // excluded segment contributes its pointer COUNT with zero loads
+      ManifestTable.dropResolvedCacheForTest()
+      val before = ComposeMeters.segmentLoads.get
+      val (kept, dropped, _) =
+        ManifestTable.pruneCounts(spark, root, col("o_orderkey") === probe)
+      assert(ComposeMeters.segmentLoads.get - before === 1L,
+        "cold pruneCounts must load only the surviving segment")
+      assert((kept, dropped) === ((keptNames.size.toLong, droppedNames.size.toLong)),
+        "pruneCounts totals must equal pruneFiles' name counts")
+      // a MOR delete only grows meta (no removes): still exact cold
+      ManifestTable.deleteMor(spark, root, col("o_orderkey") === probe)
+      ManifestTable.dropResolvedCacheForTest()
+      val (k2, d2, _) =
+        ManifestTable.pruneCounts(spark, root, col("o_orderkey") === probe)
+      assert(k2 + d2 === kept + dropped, "a DV-only delta keeps the file universe")
+      // a COW rewrite (removes) falls back to the heavy path — totals
+      // still exact against pruneFiles
+      val touched = orders.filter(col("o_orderkey") === keys.head)
+        .withColumn("o_orderpriority", lit("rewritten")).localCheckpoint()
+      ManifestTable.merge(spark, root, touched, "o_orderkey")
+      ManifestTable.dropResolvedCacheForTest()
+      val (k3, d3, v3) =
+        ManifestTable.pruneCounts(spark, root, col("o_orderkey") === keys.head)
+      val (kn3, dn3, _) =
+        ManifestTable.pruneFiles(spark, root, col("o_orderkey") === keys.head, Some(v3))
+      assert((k3, d3) === ((kn3.size.toLong, dn3.size.toLong)),
+        "the rewrite-window fallback must still match pruneFiles exactly")
+    } finally ManifestTable.SegmentTargetSize = saved
+  }
+
   test("segment dirtiness ledger: an appends-only checkpoint visits O(tail) members, never O(files)") {
     import graft.sources.ManifestTable.ComposeMeters
     val root = freshRoot()
