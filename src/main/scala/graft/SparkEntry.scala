@@ -5154,12 +5154,29 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
-    "mh1_minhash_neardup" -> ((s, dir) => // no oracle: seed-dependent; spec-pinned
-      DedupOps.minHashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        numHashes = 64, bands = 16, minEstJaccard = 0.4)),
+    "mh1_minhash_neardup" -> ((s, dir) => {
+      // under the oracle via the ann3 recipe: the banded-LSH pair SET is
+      // deterministic given the pinned seed (per-SF golden identities,
+      // with est_jaccard a golden alongside — the affine-hash RNG is not
+      // SQL-expressible), and the exact-verification stage appends a
+      // jaccard the oracle RE-DERIVES from raw text (dd2's formula), so
+      // a golden pair that stopped being similar in the data fails loudly
+      val docs = t(s, dir, "documents")
+      DedupOps.exactJaccardFor(
+        DedupOps.minHashNearDupPairs(docs, "doc_id", "text",
+          numHashes = 64, bands = 16, minEstJaccard = 0.4),
+        docs, "doc_id", "text", n = 3)
+    }),
 
-    "sh1_simhash_neardup" -> ((s, dir) => // no oracle: hash-dependent; spec-pinned
-      DedupOps.simHashNearDupPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
+    "sh1_simhash_neardup" -> ((s, dir) => {
+      // same oracle recipe as mh1: golden pair identities + hamming (the
+      // simhash kernel is not SQL-expressible), exact jaccard re-derived
+      // by the oracle from raw text
+      val docs = t(s, dir, "documents")
+      DedupOps.exactJaccardFor(
+        DedupOps.simHashNearDupPairs(docs, "doc_id", "text", maxHamming = 3),
+        docs, "doc_id", "text", n = 3)
+    }),
 
     "txt12_edit_distance" -> ((s, dir) => {
       // exact edit-distance VERIFICATION of near-dup candidates — the
@@ -5326,7 +5343,8 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
-    "ann2_lsh_topk" -> ((s, dir) => { // no oracle: bucketing approximate; spec-pinned
+    "ann2_lsh_topk" -> ((s, dir) => { // oracle: per-SF neighbor goldens,
+      // scores re-derived from raw embeddings (the ann3 recipe)
       val emb = t(s, dir, "embeddings")
       SimilarityOps.lshTopK(
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
@@ -5504,7 +5522,8 @@ object SparkEntry {
           count(lit(1)).cast("long").as("n_exact"))
     }),
 
-    "cn1_cosine_neardup" -> ((s, dir) => // no oracle: bucketing approximate; spec-pinned.
+    "cn1_cosine_neardup" -> ((s, dir) => // oracle: per-SF pair goldens,
+      // scores re-derived from raw embeddings (the ann3 recipe).
       // testdata embeddings are near-orthogonal (max pairwise cos ≈ 0.5),
       // so the threshold sits at 0.4 where real pairs exist; 4 planes ×
       // 8 tables gives ~75% recall at that similarity band
@@ -8198,6 +8217,293 @@ object SparkEntry {
          |  CAST(CASE WHEN (SELECT count(*) FROM lineitem) IN (6000, 60000, 600000) THEN 1.0 END AS DOUBLE) AS precision,
          |  CAST(CASE (SELECT count(*) FROM lineitem) WHEN 6000 THEN 0.8333 WHEN 60000 THEN 0.7333 WHEN 600000 THEN 0.7596 END AS DOUBLE) AS recall
          |FROM ex""").stripMargin,
+
+    "mh1_minhash_neardup" -> // the ann3 recipe for the MinHash-LSH
+      // pair set: identities and est_jaccard are per-SF goldens (the
+      // affine-hash RNG is not SQL-expressible; the banded pair SET is a
+      // deterministic function of data + pinned seed, restart-stable by
+      // construction — pure hashing, no sampling), while the exact
+      // jaccard of every golden pair is RE-DERIVED from raw text with
+      // dd2's proven formula — a pinned pair that stopped being similar
+      // fails loudly. An unknown SF yields zero golden rows and fails
+      // the rows check. Regenerate with graft.tools.DumpGoldens.
+      ("""WITH golden AS (
+         |  SELECT * FROM (VALUES
+         |    (0,50,0.9375),(0,82,1),(5,450,1),(8,12,0.9844),(8,120,0.9844),(8,360,0.9844),(12,120,0.9844),(12,360,1),
+         |    (16,369,1),(26,176,0.9531),(33,436,0.9063),(45,487,0.9688),(50,82,0.9375),(56,157,0.9844),(77,459,0.9688),
+         |    (89,114,0.9063),(99,174,0.9844),(110,467,1),(119,425,0.9531),(120,360,0.9844),(144,161,1),(211,404,1),
+         |    (229,263,0.9688),(260,391,0.9844),(270,329,0.9688),(328,428,0.9688),(349,411,1),(474,498,1)
+         |  ) g(doc_a, doc_b, est) WHERE (SELECT count(*) FROM lineitem) = 6000
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (8,245,0.9688),(26,455,0.9688),(31,383,0.9531),(44,446,0.9844),(45,267,0.9844),(45,413,1),(58,293,1),
+         |    (61,185,0.9688),(70,447,0.9688),(72,377,0.9688),(87,134,0.9844),(92,450,0.9531),(98,290,1),(107,387,0.9844),
+         |    (120,332,0.9531),(152,178,0.9844),(166,323,1),(267,413,0.9844),(285,301,0.9844),(295,374,0.9688),
+         |    (310,389,0.9531),(326,457,0.9688),(393,420,0.9844),(435,486,0.9844),(458,462,0.9844)
+         |  ) g(doc_a, doc_b, est) WHERE (SELECT count(*) FROM lineitem) = 60000
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (11,4686,0.9844),(17,3383,1),(28,3006,0.9844),(37,3162,0.9688),(48,3900,1),(63,2932,0.9844),(68,1356,0.9531),
+         |    (72,4099,0.9844),(87,4037,0.9844),(98,954,1),(126,1282,0.9688),(128,2773,0.9688),(143,4596,0.9688),
+         |    (160,1389,0.9688),(162,3123,1),(170,3680,0.8906),(179,2063,0.9219),(179,2523,1),(216,3049,0.9688),(221,4344,1),
+         |    (246,491,0.9688),(247,3576,1),(248,1273,1),(254,3460,1),(257,2307,0.9844),(268,2542,1),(292,2301,0.9688),
+         |    (297,2624,0.9844),(307,4756,0.9844),(379,771,0.9844),(381,2978,1),(425,1071,0.9688),(430,1267,1),(430,4740,1),
+         |    (455,933,1),(455,1985,1),(455,4017,0.9688),(466,4829,0.875),(472,2689,0.9844),(540,630,1),(553,2451,0.9844),
+         |    (555,1819,0.9688),(561,895,1),(570,4941,1),(610,4092,0.9844),(617,2333,0.9844),(619,2000,0.9375),
+         |    (621,1051,0.9844),(627,2690,0.9688),(644,1204,0.9688),(646,1783,0.9844),(653,2320,0.9688),(669,1641,1),
+         |    (669,1673,0.9688),(670,3378,0.9531),(684,1590,0.9688),(703,2170,0.9531),(706,1033,1),(716,1887,0.9844),
+         |    (724,4259,0.9844),(729,1039,0.9219),(731,2641,0.9531),(732,2684,0.9844),(752,1405,0.9844),(755,787,0.8906),
+         |    (763,4993,0.9375),(775,2179,0.9375),(800,3828,0.9844),(803,1670,1),(820,3264,1),(830,4719,0.9688),
+         |    (862,4670,0.9844),(874,4273,0.9844),(879,4278,0.9688),(894,2629,0.9063),(900,4743,1),(901,2008,1),(908,4155,1),
+         |    (917,2418,0.9531),(932,2302,0.9844),(932,4556,1),(933,1985,1),(933,4017,0.9688),(941,1730,1),(996,2305,1),
+         |    (1018,1083,0.9063),(1038,1131,1),(1041,4446,1),(1053,1882,0.9531),(1053,4677,0.9531),(1073,4937,1),
+         |    (1081,1373,0.9688),(1090,3022,0.9688),(1097,1413,0.9375),(1101,4438,1),(1102,3115,0.9531),(1103,1568,0.9219),
+         |    (1103,2466,0.8906),(1132,1630,0.9844),(1150,3701,0.9688),(1154,3759,1),(1165,4437,0.9844),(1166,4828,0.9688),
+         |    (1171,1427,0.9063),(1177,3387,1),(1181,2649,0.9688),(1237,4246,1),(1240,4368,0.8594),(1267,4740,1),
+         |    (1275,1992,0.9063),(1285,2766,0.9531),(1287,1513,1),(1290,3624,0.9375),(1294,2192,0.9844),(1316,1817,0.9844),
+         |    (1342,2661,0.875),(1360,2428,0.9688),(1363,3879,0.9844),(1390,4391,0.9844),(1395,2328,0.9844),
+         |    (1406,1424,0.9688),(1415,2798,0.9844),(1436,1456,1),(1440,4016,1),(1445,4724,1),(1450,4542,1),(1452,2505,1),
+         |    (1460,2551,0.9219),(1477,2521,0.9844),(1494,3958,1),(1540,1828,1),(1568,2466,0.8281),(1600,4650,0.9844),
+         |    (1619,2875,1),(1619,3394,0.9688),(1634,2562,0.9844),(1641,1673,0.9688),(1716,4758,0.8906),(1760,4613,0.9531),
+         |    (1769,2203,0.9688),(1793,3517,1),(1796,3886,0.9844),(1806,4612,1),(1824,1942,0.9688),(1824,2221,1),
+         |    (1827,2377,0.9844),(1843,4795,1),(1882,4677,1),(1886,2052,0.9688),(1900,4153,0.9844),(1902,2728,1),
+         |    (1905,3870,0.9688),(1910,1917,1),(1910,3562,1),(1917,3562,1),(1920,4942,1),(1942,2221,0.9688),
+         |    (1962,2789,0.9844),(1970,2990,0.9844),(1981,3973,0.9688),(1985,4017,0.9688),(1987,4918,0.9844),
+         |    (2004,2918,0.9375),(2019,3038,0.9844),(2025,3954,0.9688),(2028,4455,0.9844),(2063,2523,0.9219),(2064,4003,1),
+         |    (2081,4948,0.9531),(2108,2612,0.9844),(2126,3112,1),(2130,2940,0.9219),(2147,3401,0.9219),(2159,3269,0.9688),
+         |    (2164,4199,1),(2173,4129,0.9844),(2182,3447,0.9844),(2183,4031,0.9844),(2194,3101,0.9531),(2196,3481,0.9688),
+         |    (2226,4225,0.9688),(2256,4337,0.9688),(2302,4556,0.9844),(2326,3377,0.9063),(2366,3166,0.9531),
+         |    (2423,3373,0.9844),(2430,3212,0.9844),(2441,4864,1),(2460,3224,0.9531),(2465,4576,0.8906),(2644,4165,0.9844),
+         |    (2676,4317,0.9844),(2687,4065,0.9531),(2700,3017,1),(2705,3015,1),(2713,3319,0.9375),(2719,4189,0.9688),
+         |    (2770,3674,0.8906),(2801,3703,0.9688),(2815,3647,1),(2859,3106,0.9688),(2862,3329,1),(2863,4095,1),
+         |    (2865,3992,1),(2875,3394,0.9688),(2900,3091,0.9844),(2913,4034,1),(2933,4494,0.9531),(2968,4954,0.9531),
+         |    (2971,3223,0.9375),(2988,4764,0.9844),(3018,4343,0.9688),(3026,3848,0.9844),(3027,3668,0.9531),
+         |    (3062,3354,0.9219),(3087,3947,0.9219),(3151,3896,0.9688),(3152,4771,0.9844),(3157,4044,0.9844),(3175,3304,1),
+         |    (3178,4702,1),(3266,3345,1),(3267,3735,1),(3279,4476,0.9531),(3280,3989,0.9531),(3293,3591,0.9844),
+         |    (3346,3402,0.9844),(3362,3555,0.9844),(3427,4969,0.9375),(3436,4599,0.8594),(3524,3776,1),(3532,3646,0.9844),
+         |    (3566,4666,0.9844),(3605,4138,0.9688),(3711,4923,0.9375),(3743,4492,0.9844),(3747,4976,0.9844),(3751,4545,1),
+         |    (3765,4331,0.9844),(3849,4901,0.9219),(3885,4132,1),(3898,4750,0.9844),(3911,4415,0.9531),(4048,4385,1),
+         |    (4057,4179,0.9844),(4146,4430,1),(4164,4241,0.9063),(4175,4730,0.9531),(4414,4838,0.9844),(4460,4487,1),
+         |    (4485,4832,0.9844),(4488,4922,1),(4546,4847,0.9531),(4667,4991,0.9688),(4705,4769,0.9063),(4833,4912,1)
+         |  ) g(doc_a, doc_b, est) WHERE (SELECT count(*) FROM lineitem) = 600000
+         |), toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |), idx AS (
+         |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM idx
+         |), sz AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT g.doc_a, g.doc_b, count(*) AS shared
+         |  FROM golden g JOIN sh a ON a.doc_id = g.doc_a
+         |                JOIN sh b ON b.doc_id = g.doc_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2
+         |)
+         |SELECT CAST(g.doc_a AS BIGINT) AS doc_a, CAST(g.doc_b AS BIGINT) AS doc_b,
+         |       CAST(g.est AS DOUBLE) AS est_jaccard,
+         |       round(coalesce(inter.shared, 0) / (sa.n + sb.n - coalesce(inter.shared, 0)), 4) AS jaccard
+         |FROM golden g
+         |LEFT JOIN inter ON inter.doc_a = g.doc_a AND inter.doc_b = g.doc_b
+         |JOIN sz sa ON sa.doc_id = g.doc_a
+         |JOIN sz sb ON sb.doc_id = g.doc_b""").stripMargin,
+
+    "sh1_simhash_neardup" -> // mh1's recipe for the SimHash chunk-banded
+      // pair set: identities + hamming are per-SF goldens (the simhash
+      // kernel is not SQL-expressible), exact jaccard re-derived from
+      // raw text per pair. Regenerate with graft.tools.DumpGoldens.
+      ("""WITH golden AS (
+         |  SELECT * FROM (VALUES
+         |    (8,12,1),(8,120,2),(8,360,1),(12,120,3),(12,360,0),(16,369,0),(26,176,3),(45,487,3),(77,459,2),(89,114,2),
+         |    (99,174,3),(110,467,3),(120,360,3),(144,161,2),(211,404,0),(229,263,1),(260,391,2),(328,428,2),(349,411,3)
+         |  ) g(doc_a, doc_b, ham) WHERE (SELECT count(*) FROM lineitem) = 6000
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (8,245,1),(31,383,2),(58,293,2),(70,447,2),(72,377,1),(87,134,2),(98,290,2),(120,332,3),(166,323,2),
+         |    (285,301,1),(326,457,3),(393,420,1),(458,462,1)
+         |  ) g(doc_a, doc_b, ham) WHERE (SELECT count(*) FROM lineitem) = 60000
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (11,4686,2),(28,3006,3),(48,3900,1),(68,1356,1),(98,954,2),(128,2773,2),(143,4596,2),(162,3123,2),(179,2523,0),
+         |    (221,4344,1),(246,491,3),(247,3576,2),(248,1273,2),(254,3460,2),(257,2307,1),(381,2978,1),(455,933,2),
+         |    (455,1985,2),(455,4017,3),(540,630,1),(553,2451,3),(561,895,1),(570,4941,3),(627,2690,2),(669,1641,0),
+         |    (669,1673,3),(684,1590,0),(706,1033,1),(731,2641,3),(763,4993,3),(803,1670,3),(830,4719,1),(900,4743,3),
+         |    (932,4556,0),(933,1985,0),(933,4017,3),(996,2305,2),(1041,4446,2),(1073,4937,0),(1081,1373,0),(1097,1413,2),
+         |    (1101,4438,3),(1132,1630,3),(1165,4437,2),(1237,4246,0),(1267,4740,3),(1275,1992,2),(1285,2766,1),
+         |    (1287,1513,3),(1316,1817,3),(1360,2428,2),(1363,3879,3),(1415,2798,3),(1440,4016,2),(1445,4724,2),
+         |    (1452,2505,2),(1540,1828,3),(1619,2875,0),(1641,1673,3),(1760,4613,2),(1769,2203,3),(1796,3886,2),
+         |    (1806,4612,3),(1824,1942,0),(1824,2221,0),(1843,4795,2),(1882,4677,0),(1900,4153,3),(1902,2728,2),
+         |    (1905,3870,2),(1910,1917,2),(1910,3562,2),(1917,3562,0),(1942,2221,0),(1962,2789,2),(1981,3973,1),
+         |    (1985,4017,3),(2019,3038,3),(2028,4455,0),(2064,4003,3),(2108,2612,1),(2126,3112,0),(2164,4199,2),
+         |    (2182,3447,3),(2183,4031,1),(2196,3481,2),(2423,3373,3),(2430,3212,1),(2687,4065,2),(2705,3015,1),
+         |    (2713,3319,3),(2815,3647,3),(2863,4095,2),(2865,3992,3),(2971,3223,2),(3018,4343,1),(3027,3668,2),
+         |    (3151,3896,1),(3175,3304,3),(3267,3735,3),(3280,3989,3),(3427,4969,1),(3436,4599,3),(3524,3776,2),
+         |    (3532,3646,3),(3743,4492,2),(3849,4901,2),(4048,4385,1),(4146,4430,0),(4460,4487,2),(4546,4847,3),
+         |    (4667,4991,3)
+         |  ) g(doc_a, doc_b, ham) WHERE (SELECT count(*) FROM lineitem) = 600000
+         |), toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |), idx AS (
+         |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM idx
+         |), sz AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT g.doc_a, g.doc_b, count(*) AS shared
+         |  FROM golden g JOIN sh a ON a.doc_id = g.doc_a
+         |                JOIN sh b ON b.doc_id = g.doc_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2
+         |)
+         |SELECT CAST(g.doc_a AS BIGINT) AS doc_a, CAST(g.doc_b AS BIGINT) AS doc_b,
+         |       CAST(g.ham AS INTEGER) AS hamming,
+         |       round(coalesce(inter.shared, 0) / (sa.n + sb.n - coalesce(inter.shared, 0)), 4) AS jaccard
+         |FROM golden g
+         |LEFT JOIN inter ON inter.doc_a = g.doc_a AND inter.doc_b = g.doc_b
+         |JOIN sz sa ON sa.doc_id = g.doc_a
+         |JOIN sz sb ON sb.doc_id = g.doc_b""").stripMargin,
+
+    "cn1_cosine_neardup" -> // the ann3 recipe for the sign-LSH cosine
+      // pair set: pair identities are per-SF goldens (the hyperplane RNG
+      // is not SQL-expressible; the multi-table bucket pair SET is a
+      // deterministic function of data + pinned seed), and every SCORE is
+      // re-derived from the raw embeddings (exact cosine, ann1's proven
+      // formula) — the golden carries no number the oracle cannot check.
+      // Regenerate with graft.tools.DumpGoldens.
+      ("""WITH golden AS (
+         |  SELECT * FROM (VALUES
+         |    (14,116),(16,337),(23,172),(23,319),(23,392),(37,305),(38,404),(43,276),(44,472),(45,237),(45,359),(50,73),
+         |    (52,322),(53,134),(54,165),(60,496),(64,455),(65,292),(67,458),(80,455),(85,227),(92,126),(93,243),(119,403),
+         |    (124,454),(131,230),(134,250),(136,304),(136,485),(154,342),(165,215),(167,256),(171,358),(172,173),(193,243),
+         |    (203,470),(229,472),(244,477),(248,275),(256,355),(294,474),(295,454),(319,362),(320,487),(321,488),(322,397),
+         |    (329,361),(330,457),(352,411),(365,429),(390,483),(395,406),(396,493),(410,494)
+         |  ) g(id_a, id_b) WHERE (SELECT count(*) FROM lineitem) = 6000
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (7,340),(16,402),(19,87),(24,298),(32,200),(35,351),(44,301),(45,298),(53,234),(53,300),(53,430),(70,210),
+         |    (75,256),(84,190),(85,404),(108,232),(120,421),(150,152),(158,452),(159,202),(162,282),(166,324),(169,466),
+         |    (181,194),(191,431),(197,318),(198,468),(200,204),(205,485),(207,326),(234,384),(238,287),(253,385),(262,291),
+         |    (290,325),(290,331),(325,331),(334,382),(334,438),(335,439),(338,406),(350,395),(350,479),(387,388)
+         |  ) g(id_a, id_b) WHERE (SELECT count(*) FROM lineitem) = 60000
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (0,1204),(4,524),(6,270),(6,1805),(7,1622),(9,1443),(10,1424),(11,1902),(12,662),(14,1113),(15,52),(15,229),
+         |    (16,442),(18,222),(19,138),(19,402),(21,402),(22,1184),(24,1661),(25,542),(25,742),(25,868),(27,282),(27,389),
+         |    (31,676),(32,1468),(33,1895),(34,486),(35,355),(37,1362),(38,274),(38,444),(39,564),(42,340),(42,1957),
+         |    (47,1647),(47,1965),(48,1879),(49,394),(51,774),(53,58),(59,378),(60,845),(61,974),(61,977),(64,346),(65,623),
+         |    (65,1840),(66,900),(66,1473),(67,1694),(68,1052),(74,1534),(75,100),(77,929),(80,533),(80,1428),(83,661),
+         |    (86,991),(87,389),(87,655),(87,1120),(89,1855),(91,901),(92,185),(97,204),(98,1488),(101,1219),(102,1536),
+         |    (105,633),(105,1656),(109,380),(113,742),(114,1875),(115,837),(119,919),(121,1514),(127,1172),(127,1745),
+         |    (129,1674),(129,1803),(130,1503),(133,723),(134,318),(134,734),(135,264),(137,1625),(141,829),(142,713),
+         |    (148,292),(148,544),(148,1481),(148,1596),(151,282),(151,520),(152,1151),(154,1069),(162,825),(164,1662),
+         |    (164,1963),(165,1044),(168,558),(174,1120),(175,649),(176,1934),(181,676),(183,1985),(184,488),(184,1428),
+         |    (184,1661),(185,342),(185,1875),(186,1324),(189,203),(189,531),(193,455),(193,537),(193,1725),(194,1122),
+         |    (194,1350),(195,957),(197,219),(200,279),(200,1433),(202,399),(202,823),(203,391),(210,366),(213,1869),
+         |    (220,249),(220,446),(220,955),(223,1232),(226,910),(227,1534),(227,1856),(230,661),(232,561),(232,1157),
+         |    (232,1686),(232,1731),(235,1290),(238,879),(238,1274),(238,1421),(239,1420),(242,640),(242,939),(242,1579),
+         |    (243,1157),(244,689),(249,1631),(251,594),(252,636),(252,818),(254,630),(254,1079),(254,1457),(256,780),
+         |    (258,1383),(259,1601),(266,679),(268,914),(273,639),(273,1674),(274,562),(274,873),(276,1700),(278,720),
+         |    (283,631),(285,1944),(288,1880),(290,722),(291,401),(291,1852),(292,1481),(293,957),(293,1030),(295,308),
+         |    (295,1242),(296,1716),(297,659),(297,951),(297,969),(297,1048),(297,1070),(297,1310),(299,980),(299,1495),
+         |    (301,1114),(304,1465),(304,1670),(305,1244),(306,1517),(307,550),(307,1944),(309,1582),(310,1473),(311,529),
+         |    (312,370),(312,472),(312,1676),(313,952),(318,622),(318,1313),(319,834),(320,750),(328,363),(332,521),
+         |    (332,1734),(333,884),(336,1821),(339,1178),(343,754),(344,1077),(345,1208),(346,1475),(351,1946),(353,397),
+         |    (355,518),(357,1220),(357,1945),(359,1862),(362,1661),(365,580),(368,394),(368,1776),(369,1653),(370,1858),
+         |    (371,555),(372,1141),(372,1320),(374,1805),(375,801),(378,732),(379,1631),(380,989),(382,840),(384,1874),
+         |    (386,596),(389,1288),(390,464),(390,712),(391,1856),(392,951),(393,1552),(393,1713),(398,831),(401,1852),
+         |    (402,1280),(402,1713),(406,1349),(407,1573),(416,505),(416,1650),(419,437),(419,452),(422,1500),(422,1571),
+         |    (424,756),(424,778),(425,1198),(426,569),(426,733),(427,919),(428,582),(431,1710),(432,1014),(433,1571),
+         |    (434,921),(435,472),(436,551),(436,740),(440,863),(441,707),(441,1164),(441,1623),(442,531),(445,575),
+         |    (445,1100),(446,1293),(449,1527),(451,652),(451,1264),(453,1854),(455,616),(457,1301),(460,756),(460,1503),
+         |    (460,1679),(461,1876),(463,1468),(466,1165),(467,1656),(472,1213),(482,1241),(486,1966),(488,1807),(489,746),
+         |    (490,1920),(491,1161),(492,508),(492,1630),(495,1690),(498,741),(498,1574),(498,1685),(499,1700),(502,862),
+         |    (503,893),(507,1160),(510,532),(513,855),(515,863),(518,1133),(519,1245),(519,1251),(519,1575),(522,1428),
+         |    (523,1330),(525,904),(526,1370),(526,1515),(528,1093),(529,745),(532,832),(533,685),(535,742),(542,975),
+         |    (545,1935),(547,1903),(550,1004),(550,1136),(550,1273),(553,1505),(554,663),(557,1891),(560,1768),(561,646),
+         |    (561,1731),(569,1143),(573,1588),(576,654),(576,1130),(576,1437),(582,1782),(583,1721),(585,1060),(595,1157),
+         |    (595,1248),(595,1478),(597,863),(600,1390),(601,838),(602,1331),(603,961),(606,1648),(608,1946),(610,1380),
+         |    (611,1805),(616,714),(618,752),(618,1336),(620,769),(620,1710),(621,1266),(625,1430),(630,1936),(633,1966),
+         |    (634,1129),(635,1683),(636,1291),(639,1038),(639,1991),(640,769),(650,783),(652,1175),(654,898),(659,1843),
+         |    (660,1299),(660,1546),(660,1874),(668,1061),(668,1932),(670,1641),(672,1997),(674,1619),(676,708),(679,1394),
+         |    (682,1902),(689,961),(693,1049),(698,1958),(700,814),(701,1753),(704,1566),(706,1535),(707,1618),(708,895),
+         |    (709,1833),(710,1569),(712,795),(712,1350),(713,814),(715,1575),(717,1430),(719,1790),(724,1149),(724,1856),
+         |    (726,1827),(728,1748),(728,1997),(729,1818),(729,1853),(730,1446),(731,1226),(732,915),(736,740),(738,1687),
+         |    (740,1237),(741,791),(741,1685),(747,780),(749,1167),(749,1461),(751,1370),(752,997),(753,1221),(753,1549),
+         |    (755,1667),(762,1815),(772,1296),(776,1917),(785,1543),(786,1119),(789,1442),(790,1780),(796,1216),(796,1733),
+         |    (797,1368),(797,1613),(803,1898),(806,1354),(807,821),(808,968),(809,844),(811,1545),(814,1362),(814,1425),
+         |    (816,1426),(817,1809),(819,1166),(820,983),(825,913),(838,1061),(851,1038),(851,1968),(859,1379),(861,1483),
+         |    (866,867),(866,1625),(867,1756),(867,1961),(867,1998),(869,1306),(878,1375),(880,1613),(881,1839),(884,944),
+         |    (884,1855),(885,1551),(885,1672),(887,1145),(887,1425),(887,1572),(887,1747),(890,1251),(895,1579),(900,992),
+         |    (902,1070),(907,1797),(909,1488),(912,1212),(912,1507),(914,1352),(916,1510),(918,1215),(922,1600),(923,1842),
+         |    (933,1318),(938,1090),(938,1296),(939,1684),(940,1352),(950,1422),(952,1721),(958,1654),(959,1200),(963,1551),
+         |    (964,1778),(968,1992),(970,1545),(970,1939),(973,1578),(981,1848),(989,1002),(990,1577),(991,1813),(994,1377),
+         |    (995,1789),(996,1138),(996,1185),(1000,1253),(1002,1782),(1009,1247),(1012,1229),(1018,1835),(1022,1233),
+         |    (1023,1754),(1023,1799),(1025,1872),(1029,1064),(1037,1719),(1041,1918),(1051,1628),(1056,1492),(1056,1614),
+         |    (1059,1282),(1059,1831),(1061,1192),(1071,1135),(1072,1158),(1072,1739),(1073,1896),(1086,1627),(1086,1773),
+         |    (1088,1117),(1088,1779),(1089,1090),(1099,1166),(1099,1236),(1103,1116),(1103,1353),(1106,1755),(1114,1856),
+         |    (1114,1888),(1119,1526),(1119,1528),(1128,1645),(1129,1359),(1135,1252),(1136,1560),(1142,1330),(1145,1780),
+         |    (1147,1251),(1157,1889),(1164,1753),(1166,1249),(1171,1808),(1173,1175),(1174,1364),(1175,1273),(1176,1525),
+         |    (1177,1932),(1179,1333),(1180,1380),(1180,1967),(1184,1185),(1184,1921),(1190,1558),(1191,1263),(1192,1300),
+         |    (1194,1641),(1194,1754),(1200,1257),(1200,1914),(1205,1331),(1219,1904),(1220,1694),(1225,1969),(1229,1441),
+         |    (1230,1707),(1236,1651),(1242,1451),(1252,1394),(1255,1392),(1257,1432),(1257,1830),(1264,1352),(1264,1365),
+         |    (1268,1535),(1269,1342),(1269,1522),(1279,1578),(1293,1841),(1299,1428),(1300,1359),(1300,1634),(1302,1319),
+         |    (1303,1400),(1306,1714),(1308,1348),(1309,1612),(1314,1676),(1319,1810),(1324,1991),(1325,1471),(1327,1660),
+         |    (1334,1766),(1343,1934),(1344,1383),(1349,1369),(1349,1519),(1353,1489),(1362,1551),(1362,1661),(1367,1800),
+         |    (1369,1824),(1390,1746),(1403,1460),(1404,1560),(1408,1525),(1412,1587),(1413,1552),(1429,1683),(1431,1810),
+         |    (1432,1649),(1433,1870),(1434,1681),(1451,1709),(1460,1820),(1462,1988),(1464,1575),(1471,1892),(1474,1535),
+         |    (1481,1522),(1482,1899),(1485,1724),(1492,1548),(1507,1970),(1519,1770),(1536,1999),(1537,1673),(1542,1754),
+         |    (1543,1695),(1549,1799),(1551,1595),(1565,1674),(1568,1897),(1572,1979),(1574,1817),(1577,1872),(1578,1702),
+         |    (1592,1887),(1598,1727),(1602,1729),(1607,1958),(1612,1686),(1616,1824),(1623,1785),(1628,1843),(1641,1877),
+         |    (1652,1992),(1665,1745),(1665,1896),(1688,1739),(1691,1988),(1707,1744),(1732,1860),(1745,1813),(1749,1868),
+         |    (1769,1866),(1776,1979),(1777,1818),(1786,1928),(1807,1877),(1811,1906),(1814,1895),(1818,1979),(1838,1934),
+         |    (1845,1935),(1845,1994),(1848,1949),(1858,1935),(1858,1958),(1874,1911),(1880,1935),(1897,1932),(1905,1916),
+         |    (1908,1982),(1908,1991),(1962,1988)
+         |  ) g(id_a, id_b) WHERE (SELECT count(*) FROM lineitem) = 600000
+         |)
+         |SELECT CAST(g.id_a AS BIGINT) AS id_a, CAST(g.id_b AS BIGINT) AS id_b,
+         |       round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+         |             (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+         |              sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS score
+         |FROM golden g
+         |JOIN embeddings a ON a.vec_id = g.id_a
+         |JOIN embeddings b ON b.vec_id = g.id_b""").stripMargin,
+
+    "ann2_lsh_topk" -> // ann3's oracle shape for the sign-LSH top-k:
+      // neighbor identities (q_id, vec_id, rnk) are per-SF goldens (the
+      // hyperplane RNG is not SQL-expressible; the bucketed result is
+      // deterministic — fixed seed, bit-parity kernels, graft_topk's
+      // payload tiebreak), every score re-derived from raw embeddings.
+      // Regenerate with graft.tools.DumpGoldens.
+      ("""WITH golden AS (
+         |  SELECT * FROM (VALUES
+         |    (0,1,17),(0,2,225),(0,3,483),(0,4,260),(0,5,73),(1,1,257),(1,2,129),(1,3,376),(1,4,440),(1,5,75),(2,1,443),
+         |    (2,2,62),(2,3,185),(2,4,91),(2,5,234),(3,1,223),(3,2,205),(3,3,212),(3,4,426),(3,5,156),(4,1,98),(4,2,143),
+         |    (4,3,343),(4,4,57),(4,5,472),(5,1,113),(5,2,298),(5,3,448),(5,4,118),(5,5,296),(6,1,141),(6,2,434),(6,3,78),
+         |    (6,4,467),(6,5,495),(7,1,382),(7,2,209),(7,3,220),(7,4,18),(7,5,167)
+         |  ) g(q_id, rnk, vec_id) WHERE (SELECT count(*) FROM lineitem) = 6000
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (0,1,365),(0,2,423),(0,3,190),(0,4,464),(0,5,388),(1,1,386),(1,2,407),(1,3,195),(1,4,64),(1,5,402),(2,1,117),
+         |    (2,2,450),(2,3,145),(2,4,418),(2,5,112),(3,1,130),(3,2,149),(3,3,174),(3,4,315),(3,5,437),(4,1,114),(4,2,496),
+         |    (4,3,249),(4,4,257),(4,5,384),(5,1,157),(5,2,359),(5,3,316),(5,4,395),(5,5,225),(6,1,350),(6,2,430),(6,3,145),
+         |    (6,4,437),(6,5,252),(7,1,340),(7,2,445),(7,3,221),(7,4,302),(7,5,49)
+         |  ) g(q_id, rnk, vec_id) WHERE (SELECT count(*) FROM lineitem) = 60000
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (0,1,1204),(0,2,510),(0,3,1511),(0,4,1978),(0,5,794),(1,1,260),(1,2,1832),(1,3,173),(1,4,665),(1,5,134),
+         |    (2,1,1303),(2,2,953),(2,3,337),(2,4,1053),(2,5,1912),(3,1,263),(3,2,1701),(3,3,1542),(3,4,650),(3,5,1567),
+         |    (4,1,524),(4,2,1166),(4,3,995),(4,4,1653),(4,5,660),(5,1,426),(5,2,1019),(5,3,533),(5,4,478),(5,5,660),
+         |    (6,1,1805),(6,2,270),(6,3,1184),(6,4,1823),(6,5,648),(7,1,1622),(7,2,160),(7,3,493),(7,4,420),(7,5,498)
+         |  ) g(q_id, rnk, vec_id) WHERE (SELECT count(*) FROM lineitem) = 600000
+         |)
+         |SELECT CAST(g.q_id AS BIGINT) AS q_id, CAST(g.vec_id AS BIGINT) AS vec_id,
+         |       round(list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+         |             (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+         |              sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4) AS score,
+         |       CAST(g.rnk AS INTEGER) AS rnk
+         |FROM golden g
+         |JOIN embeddings q ON q.vec_id = g.q_id
+         |JOIN embeddings c ON c.vec_id = g.vec_id""").stripMargin,
 
     "ann1_bruteforce_topk" ->
       ("""WITH q AS (

@@ -114,7 +114,18 @@ final case class Model(
   *  - Tables cut the lineage at a parquet write, bounding plan size and
   *    enabling reuse across downstream consumers without recompute.
   */
-final class Registry(models: Seq[Model]) {
+final class Registry(
+    models: Seq[Model],
+    /** Named reusable doc blocks — the `{% docs name %}` analog
+      * (reference: models/docs.md). A columnDocs value of exactly
+      * `doc("name")` (dbt's `{{ doc("name") }}` reference form, braces
+      * dropped) resolves to the block's body at render time; an unknown
+      * name fails the render loudly, like dbt's compile error. */
+    val docBlocks: Map[String, String] = Map.empty,
+    /** Project-level overview — the `{% docs __overview__ %}` analog
+      * (reference: models/overview.md); rendered at the head of the
+      * catalog when present. */
+    val overview: Option[String] = None) {
   require(models.map(_.name).distinct.size == models.size, "duplicate model names")
 
   private val byName: Map[String, Model] = models.map(m => m.name -> m).toMap
@@ -144,14 +155,35 @@ final class Registry(models: Seq[Model]) {
     * materialization, dependency edges, column docs, as markdown.
     */
   def renderDocs: String = {
+    val DocRef = """doc\("([^"]+)"\)""".r
+    def resolve(d: String): String = d match {
+      case DocRef(name) => docBlocks.getOrElse(name, throw new IllegalArgumentException(
+        s"""columnDocs references doc("$name") but no such doc block is registered""" +
+          s" (have ${docBlocks.keys.toSeq.sorted.mkString(", ")})"))
+      case other => other
+    }
     val sb = new StringBuilder("# Model catalog\n")
+    overview.foreach(o => sb.append('\n').append(o.trim).append('\n'))
     topoOrder.foreach { m =>
       sb.append(s"\n## ${m.name}\n")
       sb.append(s"- materialization: ${m.materialization.toString.toLowerCase}\n")
       sb.append(s"- depends on: ${if (m.deps.isEmpty) "(sources only)" else m.deps.mkString(", ")}\n")
       if (m.columnDocs.nonEmpty) {
         sb.append("\n| column | description |\n|---|---|\n")
-        m.columnDocs.toSeq.sortBy(_._1).foreach { case (c, d) => sb.append(s"| $c | $d |\n") }
+        m.columnDocs.toSeq.sortBy(_._1).foreach { case (c, d) =>
+          // a resolved block may be multi-line markdown (the status
+          // taxonomy table): cell-safe single line in the column table,
+          // full block rendered beneath it — dbt's catalog does the same
+          val r = resolve(d)
+          if (r.contains('\n')) {
+            sb.append(s"| $c | see “$c” below |\n")
+          } else sb.append(s"| $c | $r |\n")
+        }
+        m.columnDocs.toSeq.sortBy(_._1).foreach { case (c, d) =>
+          val r = resolve(d)
+          if (r.contains('\n'))
+            sb.append(s"\n### ${m.name}.$c\n\n").append(r.trim).append('\n')
+        }
       }
     }
     sb.toString

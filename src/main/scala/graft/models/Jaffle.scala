@@ -25,6 +25,38 @@ object Jaffle {
     * status doc block at models/docs.md:1-14). */
   val OrderStatuses: Seq[String] = Seq("placed", "shipped", "completed", "return_pending", "returned")
 
+  /** Per-status descriptions — the `{% docs orders_status %}` block's
+    * table rows (reference: models/docs.md:1-14, verbatim including the
+    * reference's own "has ben shipped" typo — this is ported METADATA,
+    * not prose of ours). Keyed off [[OrderStatuses]] so the taxonomy has
+    * one source of truth; the zip is order-aligned by construction. */
+  val OrderStatusDocs: Map[String, String] = OrderStatuses.zip(Seq(
+    "The order has been placed but has not yet left the warehouse",
+    "The order has ben shipped to the customer and is currently in transit",
+    "The order has been received by the customer",
+    "The customer has indicated that they would like to return the order, but it has not yet been received at the warehouse",
+    "The order has been returned by the customer and received at the warehouse"
+  )).toMap
+
+  /** The named doc blocks the registry renders — `{% docs %}` analogs.
+    * `orders_status` reproduces the reference's status table
+    * (models/docs.md:1-14); the overview reproduces
+    * models/overview.md:1-11's `__overview__` block. */
+  val DocBlocks: Map[String, String] = Map(
+    "orders_status" -> (
+      "Orders can be one of the following statuses:\n\n" +
+        "| status | description |\n|---|---|\n" +
+        OrderStatuses.map(s => s"| $s | ${OrderStatusDocs(s)} |").mkString("\n")))
+
+  val Overview: String =
+    """## Data Documentation for Jaffle Shop
+      |
+      |`jaffle_shop` is a fictional ecommerce store.
+      |
+      |This project re-expresses the dbt demo's models as a Spark-native
+      |registry; the source models are the five under the reference's
+      |`models/` directory.""".stripMargin
+
   /** reference: models/staging/stg_customers.sql:13-16 — rename projection
     * `id -> customer_id`. */
   def stgCustomers(rawCustomers: DataFrame): DataFrame =
@@ -159,10 +191,12 @@ object Jaffle {
       refs => orders(refs("stg_orders"), refs("stg_payments")),
       columnDocs = Map(
         "order_id" -> "Unique identifier for an order",
-        "status" -> s"One of ${OrderStatuses.mkString("{", ", ", "}")}",
+        // the doc-block REFERENCE form — reference models/schema.yml:54
+        // `description: '{{ doc("orders_status") }}'`
+        "status" -> """doc("orders_status")""",
         "amount" -> "Total order amount (sum of payments, dollars)"
       ),
       layout = graft.model.TableLayout(clusterBy = Seq("order_date"),
         statsColumns = Seq("order_id")))
-  ))
+  ), docBlocks = DocBlocks, overview = Some(Overview))
 }

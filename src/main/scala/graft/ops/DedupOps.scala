@@ -155,6 +155,35 @@ object DedupOps {
       .select("doc_a", "doc_b", "shared_shingles", "jaccard")
   }
 
+  /** Exact n-gram Jaccard VERIFICATION of a candidate pair set — the
+    * standard second stage after sketch-based candidate generation
+    * (MinHash bands, SimHash chunks): join each (doc_a, doc_b) pair's
+    * distinct shingle sets back and append the exact
+    * `round(|A∩B| / |A∪B|, 4)` as `jaccard`. The sketch columns the
+    * candidates carried (est_jaccard, hamming) pass through untouched.
+    * O(candidates) with two broadcast-or-shuffle joins against the
+    * per-doc set table — never corpus-quadratic; the pair set is the
+    * sketch stage's bounded output. Exactly [[prefixJaccardPairs]]'s
+    * verification arithmetic, so a DuckDB oracle re-deriving the same
+    * formula from raw text hash-matches it (the dd2 recipe). */
+  def exactJaccardFor(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3
+  ): DataFrame = {
+    val sets = widen(docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
+      .select(col("doc_id"), shingles(col("__text"), n).as("__set"))
+    val inter = size(array_intersect(col("__sa"), col("__sb")))
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("__set").as("__sa")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("__set").as("__sb")), Seq("doc_b"))
+      .withColumn("jaccard", round(inter.cast("double") /
+        (size(col("__sa")) + size(col("__sb")) - inter), 4))
+      .drop("__sa", "__sb")
+  }
+
   /** Prefix-filtered exact Jaccard similarity join — the AllPairs/PPJoin
     * candidate generation (Bayardo et al. WWW'07; Xiao et al. WWW'08
     * prefix filtering principle): order every document's shingle set by

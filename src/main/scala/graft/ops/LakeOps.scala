@@ -39,31 +39,38 @@ object LakeOps {
     * [[graft.sources.ManifestTable.readPrunedByKeys]] probes
     * file-bounded under append-only growth. Content-identical (MOR
     * deletes fold in through the read), exactly-once-neutral (txn-*
-    * watermarks carry through every commit). The width the rewrite
-    * produced rides a txn key (monotone under growth, so the max-wins
-    * carry is exact) and doubles as the next trigger's base. */
-  private def reclusterIfNeeded(spark: org.apache.spark.sql.SparkSession,
+    * watermarks carry through every commit).
+    *
+    * The geometric trigger is STATELESS: fire when live files exceed
+    * `max(floor, 2 × width an ideal rewrite would produce RIGHT NOW)`
+    * (`ceil(liveBytes / targetFileBytes)`). Recomputing the ideal width
+    * from current bytes — instead of carrying the LAST rewrite's width
+    * in a txn-* meta key — matters on both slopes: under growth the
+    * bar rises with the data (same geometric amortization, each
+    * O(mart) rewrite charged against proportional file-count growth),
+    * and after a mart SHRINKS (heavy MOR deletes) the bar falls with
+    * it, so clustering decay keeps triggering at 2× the mart's ideal
+    * file count rather than stalling below the inflated historical
+    * maximum a max-wins txn carry would remember forever. The
+    * O(files) liveBytes stat pass only runs once the cheap floor is
+    * crossed, and its result is reused to size the rewrite. */
+  private[graft] def reclusterIfNeeded(spark: org.apache.spark.sql.SparkSession,
       root: String, keyCol: String, statsColumns: Seq[String]): Unit = {
     import graft.sources.ManifestTable
     val tip = ManifestTable.versions(spark, root).max
-    val widthKey = s"txn-recluster-width-$keyCol"
-    val lastWidth = ManifestTable.txnWatermark(spark, root, widthKey,
-      tipHint = Some(tip)).getOrElse(0L)
-    val trigger = math.max(ReclusterFileThreshold.toLong, 2L * lastWidth)
     val files = ManifestTable.manifestFiles(spark, root, tip)
-    if (files.size > trigger) {
-      // size the rewrite by DATA, not by the shuffle default: a width
-      // that grows with the mart is what makes the doubling trigger
-      // geometric (constant width would re-fire at a fixed interval,
-      // charging O(mart) rewrites against O(1) growth)
+    if (files.size > ReclusterFileThreshold) {
       val bytes = ManifestTable.liveBytes(spark, root, tip)
+      // the width an ideal rewrite would produce now — the rewrite's
+      // actual file count, and (doubled) the decay bar
       val width = math.max(1L,
         (bytes + ReclusterTargetFileBytes - 1) / ReclusterTargetFileBytes).toInt
-      ManifestTable.overwrite(spark, root,
-        ManifestTable.read(spark, root).repartitionByRange(width, col(keyCol)),
-        meta = Map(widthKey -> width.toString),
-        statsColumns = statsColumns)
-      ()
+      if (files.size > math.max(ReclusterFileThreshold.toLong, 2L * width)) {
+        ManifestTable.overwrite(spark, root,
+          ManifestTable.read(spark, root).repartitionByRange(width, col(keyCol)),
+          statsColumns = statsColumns)
+        ()
+      }
     }
   }
 

@@ -142,8 +142,19 @@ object ManifestCatalog {
     * `target`; a taken slot must hold EXACTLY the staged body (another
     * recoverer) — anything else is a direct write racing the catalog,
     * refused loudly. */
+  /** Test-only failure injection: the next backfill throws instead of
+    * publishing — simulates the eager post-publish backfill dying on a
+    * transient store error, the window where transact's abort cleanup
+    * must NOT clear the member-side staged markers (a published catalog
+    * version names the txn; recovery owns the markers from there). */
+  private[graft] var failNextBackfillForTest: Boolean = false
+
   private def backfill(spark: SparkSession, cat: String, root: String,
       name: String, txnId: String, target: Long): Unit = {
+    if (failNextBackfillForTest) {
+      failNextBackfillForTest = false
+      throw new java.io.IOException(s"injected backfill failure for '$name' (test)")
+    }
     val staged = stagedBody(spark, cat, txnId, name)
     if (!ManifestTable.publishRaw(spark, root, target, staged)) {
       // a taken slot SHOULD hold exactly the staged body (every
@@ -153,13 +164,29 @@ object ManifestCatalog {
       // bytes (or empty). Re-read briefly before refusing: transient
       // prefix → the winner's copy completes; anything else is a direct
       // write racing the catalog, refused loudly.
-      var occupant = ManifestTable.rawManifestText(spark, root, target)
+      // a slot whose claim was decided but whose object is not visible
+      // AT ALL yet reads as missing — treat that as an empty occupant
+      // (the degenerate prefix) so it takes the wait path instead of
+      // throwing FileNotFoundException past the retries
+      def occupantText(): String =
+        try ManifestTable.rawManifestText(spark, root, target)
+        catch { case _: java.io.FileNotFoundException => "" }
+      var occupant = occupantText()
       var waits = 0
       while (occupant != staged && staged.startsWith(occupant) && waits < 10) {
         waits += 1
         Thread.sleep(math.min(200L, 4L << waits))
-        occupant = ManifestTable.rawManifestText(spark, root, target)
+        occupant = occupantText()
       }
+      // two distinct failures: a slot still mid-copy after the bounded
+      // waits (transient starvation — retryable) vs bytes that are NOT
+      // a prefix of the staged body (a direct write racing the catalog
+      // — a contract violation, never retryable)
+      if (occupant != staged && staged.startsWith(occupant))
+        throw new IllegalStateException(
+          s"table '$name' version $target is still a strict prefix of the staged " +
+            s"body after $waits bounded waits — the winning recoverer's copy has not " +
+            "completed; re-run recovery (snapshot) once the store settles")
       require(occupant == staged,
         s"table '$name' version $target was published OUTSIDE catalog $cat — " +
           "member tables must be written only through their catalog")
@@ -255,6 +282,14 @@ object ManifestCatalog {
       try { fs(spark, root).delete(ManifestTable.stagedMarkerPath(root, txnId), false); () }
       catch { case scala.util.control.NonFatal(_) => }
     }
+    // Once publishCatalog succeeds, a catalog version NAMES this txnId
+    // and its staged bodies are pending recovery — an exception AFTER
+    // that point (eager backfill failing transiently) must NOT clear
+    // the member-side markers, or a direct ManifestTable.vacuum could
+    // reclaim files only the staged bodies reference before the next
+    // reader's recovery backfills them. backfill/vacuumTxns own the
+    // marker deletes from the moment of publication.
+    var published = false
     try {
     // stage: the table's full prepare phase against the CATALOG's view
     // of it; a direct writer that advanced the table past the catalog
@@ -312,6 +347,7 @@ object ManifestCatalog {
         case (n, Right((tid, t))) => n -> s"txn:$tid:$t"
       }
       if (publishCatalog(spark, cat, tip + 1, "txn", roots, entries)) {
+        published = true
         // eager backfill; any crash from here is repaired by readers
         targets.foreach { case (n, t) => backfill(spark, cat, roots(n), n, txnId, t) }
         return tip + 1
@@ -319,7 +355,7 @@ object ManifestCatalog {
     }
     throw new IllegalStateException(
       s"catalog commit lost $MaxAttempts races at $cat — sustained contention")
-    } catch { case e: Throwable => clearMarkers(); throw e }
+    } catch { case e: Throwable => if (!published) clearMarkers(); throw e }
   }
 
   /** Catalog-aware vacuum: run RECOVERY first (the tip snapshot

@@ -285,6 +285,22 @@ object ManifestTable {
     * never drift on WHICH bytes they resolve from. */
   private def storedChainAt(spark: SparkSession, root: String,
       version: Long): (String, Vector[String]) = {
+    // the header guard lives HERE, on the shared walk, so every cold
+    // resolution path (heavy parse, light routing, pruned overlay) gets
+    // the same refusal semantics: a zero-byte or header-truncated
+    // stored form is an in-flight publish or a torn copy, NEVER a valid
+    // state — without this, the light paths would quietly parse
+    // headerless text into an empty meta map (or die with a bare
+    // NoSuchElementException on zero bytes) instead of the loud,
+    // retryable [[CorruptManifest]] the heavy path throws
+    def guarded(t: String, what: String): String = {
+      if (!t.startsWith("# graft-manifest"))
+        throw new CorruptManifest(
+          s"$what is empty or missing its '# graft-manifest' header " +
+            s"(got ${t.length} bytes) — an in-flight publish whose bytes " +
+            "are not yet visible, or a truncated snapshot; never a valid state")
+      t
+    }
     val chain = mutable.Buffer.empty[String] // deltas, newest first
     var v = version
     var full: String = null
@@ -293,11 +309,12 @@ object ManifestTable {
       val ck = checkpointPath(root, v)
       if (f.exists(ck)) {
         val in = f.open(ck)
-        try full = new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+        try full = guarded(new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8),
+          s"checkpoint sidecar v$v")
         finally in.close()
       } else {
-        val t = rawText(spark, root, v)
+        val t = guarded(rawText(spark, root, v), s"manifest v$v")
         if (isDelta(t)) { chain += t; v = deltaBaseOf(t) }
         else full = t
       }
@@ -327,11 +344,18 @@ object ManifestTable {
     * copy that crashed, a truncation) still rethrows the refusal after
     * the bounded window — loud, never a laundered empty state. */
   private def resolveParsedRetrying(spark: SparkSession, root: String,
-      version: Long): Parsed = {
+      version: Long): Parsed =
+    retryingCorrupt(resolveParsedFromDisk(spark, root, version))
+
+  /** The bounded in-flight retry, generic: every cold walk (heavy,
+    * light routing, pruned overlay) shares it so a planner resolving
+    * routing state gets the same ~120 ms of patience as a committer's
+    * re-base — the doc claim on [[resolveParsedRetrying]] holds for ALL
+    * resolution entry points, not just the heavy one. */
+  private def retryingCorrupt[T](body: => T): T = {
     var attempt = 0
-    var out: Parsed = null
-    while (out == null) {
-      try out = resolveParsedFromDisk(spark, root, version)
+    while (true) {
+      try return body
       catch {
         case c: CorruptManifest =>
           attempt += 1
@@ -339,7 +363,7 @@ object ManifestTable {
           Thread.sleep(4L << attempt)
       }
     }
-    out
+    throw new IllegalStateException("unreachable")
   }
 
   /** Full snapshot every Nth version bounds every delta-resolution walk
@@ -1873,7 +1897,7 @@ object ManifestTable {
         Some(parseOverlay(text))
       } catch { case scala.util.control.NonFatal(_) => None } // damaged: chain walk
     if (fromSidecar.isDefined) fromSidecar
-    else {
+    else retryingCorrupt {
     ComposeMeters.coldPointerDecodes.incrementAndGet()
     val (full, chain) = storedChainAt(spark, root, v)
     if (!isSegmented(full)) None
@@ -2238,7 +2262,9 @@ object ManifestTable {
           (meta.result(), ru)
         }
         // the shared cold walk, light: nearest full snapshot or
-        // vacuum-materialized sidecar, then the delta chain's overlay
+        // vacuum-materialized sidecar, then the delta chain's overlay —
+        // under the same bounded in-flight retry as the heavy parse
+        retryingCorrupt {
         val (full, chain) = storedChainAt(spark, root, version)
         var (meta, ru) = lightOf(full)
         chain.reverseIterator.foreach { d =>
@@ -2254,6 +2280,7 @@ object ManifestTable {
           }
         }
         (meta, ru)
+        }
       }
     }
 

@@ -96,6 +96,30 @@ class CorruptionSpec extends SparkSpec {
       "no version may publish over an unreadable tip")
   }
 
+  test("the LIGHT cold walks refuse damaged text like the heavy parse: routing and pruning, zero-byte and headerless") {
+    // routeStateAt (tableMayMatch) and coldOverlayAt (pruned planning)
+    // resolve through the same storedChainAt as the heavy parse — the
+    // header guard lives on that shared walk, so a zero-byte in-flight
+    // full must surface CorruptManifest from the light paths too (never
+    // a bare NoSuchElementException, never a quietly-empty meta map
+    // that upgrades "may match" answers into wrong "no-match" ones)
+    val root = freshRoot("corrupt_light")
+    ManifestTable.create(spark, root, orders.limit(20),
+      statsColumns = Seq("o_orderkey"))
+    for (bytes <- Seq(Array.emptyByteArray,
+        "data/tx-zzz/part-00000.parquet\n".getBytes("UTF-8"))) {
+      Files.write(manifestFile(root, 1L), bytes,
+        StandardOpenOption.TRUNCATE_EXISTING)
+      ManifestTable.dropResolvedCacheForTest()
+      val e = intercept[CorruptManifest](
+        ManifestTable.tableMayMatch(spark, root, col("o_orderkey") === 1))
+      assert(e.getMessage.contains("graft-manifest"), e.getMessage)
+      val e2 = intercept[CorruptManifest](
+        ManifestTable.readPruned(spark, root, col("o_orderkey") === 1).count())
+      assert(e2.getMessage.contains("graft-manifest"), e2.getMessage)
+    }
+  }
+
   test("time travel to an undamaged version still reads past a damaged later tip") {
     val root = freshRoot("corrupt_tt")
     ManifestTable.create(spark, root, orders.limit(20))

@@ -117,4 +117,42 @@ class JaffleParitySpec extends SparkSpec {
       graft.model.Model("b", Seq("a"), graft.model.Materialization.View, _("a"))))
     intercept[IllegalArgumentException](cyclic.topoOrder)
   }
+
+  test("renderDocs carries the reference doc blocks: status taxonomy verbatim from models/docs.md, overview, doc-ref resolution") {
+    val catalog = Jaffle.registry.renderDocs
+    // the `{% docs orders_status %}` table, re-parsed from the REFERENCE
+    // file itself so drift in either direction fails: every (status,
+    // description) row of models/docs.md:1-14 must appear in the render
+    val docsMd = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/models/docs.md")), "UTF-8")
+    val refRows = docsMd.linesIterator
+      .filter(l => l.startsWith("|") && !l.startsWith("|--") && !l.contains("description"))
+      .map(_.split("\\|").map(_.trim).filter(_.nonEmpty))
+      .collect { case Array(status, desc) => (status, desc) }
+      .toSeq
+    assert(refRows.map(_._1) === Jaffle.OrderStatuses,
+      "the taxonomy's statuses must match the reference block, in order")
+    refRows.foreach { case (status, desc) =>
+      assert(catalog.contains(s"| $status | $desc |"),
+        s"rendered catalog is missing the reference's doc row for '$status'")
+    }
+    // the orders.status column doc resolves THROUGH the named block (the
+    // `{{ doc("orders_status") }}` reference form), with the multi-line
+    // block rendered as its own section
+    assert(catalog.contains("### orders.status"))
+    assert(catalog.contains("Orders can be one of the following statuses:"))
+    assert(!catalog.contains("""doc("orders_status")"""),
+      "the doc reference must resolve, not render literally")
+    // the `__overview__` analog (models/overview.md:1-11) heads the catalog
+    assert(catalog.contains("## Data Documentation for Jaffle Shop"))
+    assert(catalog.contains("`jaffle_shop` is a fictional ecommerce store."))
+    assert(catalog.indexOf("Data Documentation") < catalog.indexOf("## stg_"),
+      "the overview must render before the model sections")
+    // an unknown doc reference fails the render loudly (dbt compile error)
+    val broken = new graft.model.Registry(Seq(
+      graft.model.Model("m", Nil, graft.model.Materialization.View, _ => null,
+        columnDocs = Map("c" -> """doc("nope")"""))))
+    val e = intercept[IllegalArgumentException](broken.renderDocs)
+    assert(e.getMessage.contains("nope"))
+  }
 }

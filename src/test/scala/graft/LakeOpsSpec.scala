@@ -854,6 +854,56 @@ class LakeOpsSpec extends SparkSpec {
     } finally LakeOps.ReclusterFileThreshold = saved
   }
 
+  test("recluster decay bar follows CURRENT bytes: a shrunken mart reclusters again instead of stalling below its historical width") {
+    import graft.sources.ManifestTable
+    import graft.ops.LakeOps
+    val savedT = LakeOps.ReclusterFileThreshold
+    val savedB = LakeOps.ReclusterTargetFileBytes
+    LakeOps.ReclusterFileThreshold = 4
+    LakeOps.ReclusterTargetFileBytes = 32L * 1024
+    try {
+      val root = java.nio.file.Files.createTempDirectory("rc_shrink").toString
+      val li = Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_quantity").localCheckpoint()
+      def slice(i: Int) = li.filter(pmod(col("l_orderkey"), lit(24)) === i)
+      def liveFiles() = {
+        val tip = ManifestTable.versions(spark, root).max
+        ManifestTable.manifestFiles(spark, root, tip).size
+      }
+      // FAT phase: 24 append windows; the geometric trigger fires when
+      // files exceed 2× the ideal width of the FAT mart — under the
+      // retired carried-width semantics this is the phase that would
+      // have stored the large width as a permanent trigger floor
+      ManifestTable.create(spark, root, slice(0), statsColumns = Seq("l_orderkey"))
+      (1 until 24).foreach { i =>
+        ManifestTable.append(spark, root, slice(i))
+        LakeOps.reclusterIfNeeded(spark, root, "l_orderkey", Seq("l_orderkey"))
+      }
+      assert(liveFiles() < 24, "the fat phase must have reclustered at least once")
+      // SHRINK: heavy-delete compaction leaves a near-empty mart
+      ManifestTable.overwrite(spark, root, li.limit(1),
+        statsColumns = Seq("l_orderkey"))
+      (0 until 6).foreach { _ =>
+        ManifestTable.append(spark, root, li.limit(1)); ()
+      }
+      assert(liveFiles() === 7)
+      // the decay bar must follow the mart's CURRENT ideal width (1 file
+      // at 32 KB target), not the fat phase's historical width: 7 live
+      // files on a 1-row-slice mart IS decayed clustering
+      LakeOps.reclusterIfNeeded(spark, root, "l_orderkey", Seq("l_orderkey"))
+      assert(liveFiles() <= LakeOps.ReclusterFileThreshold,
+        s"post-shrink recluster must fire at 2× the current ideal width, live=${liveFiles()}")
+      // and the trigger is STATELESS — no carried width key in meta
+      val tip = ManifestTable.versions(spark, root).max
+      assert(!ManifestTable.manifestMeta(spark, root, tip).keys
+          .exists(_.startsWith("txn-recluster-width")),
+        "the recluster trigger must not persist a max-wins width key")
+    } finally {
+      LakeOps.ReclusterFileThreshold = savedT
+      LakeOps.ReclusterTargetFileBytes = savedB
+    }
+  }
+
   test("maintainer watermark discovery is O(1) meta reads per window, independent of mart history depth") {
     import graft.sources.ManifestTable
     import graft.ops.LakeOps

@@ -304,4 +304,62 @@ class ManifestCatalogSpec extends SparkSpec {
     // direct member vacuum is immediately usable again
     assert(ManifestTable.vacuum(spark, fact, keepVersions = 1) >= 0)
   }
+
+  test("a backfill failure AFTER publish keeps the staged markers: recovery owns them, not the abort path") {
+    val (cat, fact, mart) = mkTables()
+    ManifestCatalog.create(spark, cat, Seq("fact" -> fact, "mart" -> mart))
+    val b1 = orders.filter(col("o_orderkey") % 3 === 1)
+    val expected = ManifestTable.read(spark, fact).count() + b1.count()
+    // the window the published flag guards: publishCatalog succeeded (a
+    // catalog version NAMES the txn), then the eager backfill dies on a
+    // transient store error — transact throws, but this is NOT an abort
+    ManifestCatalog.failNextBackfillForTest = true
+    try {
+      val e = intercept[java.io.IOException](
+        ManifestCatalog.transact(spark, cat, Seq(AppendOp("fact", b1))))
+      assert(e.getMessage.contains("injected"), e.getMessage)
+    } finally ManifestCatalog.failNextBackfillForTest = false
+    // the member-side witness MUST still stand — clearing it here would
+    // let a direct member vacuum reclaim files only the staged body
+    // references, before any reader's recovery backfills it
+    def markers() = new java.io.File(s"$fact/_graft_log").listFiles()
+      .filter(_.getName.startsWith(".catalog-staged-"))
+    assert(markers().nonEmpty,
+      "post-publish backfill failure must not clear the staged markers")
+    val ve = intercept[IllegalStateException](
+      ManifestTable.vacuum(spark, fact, keepVersions = 1))
+    assert(ve.getMessage.contains("vacuumCatalog"), ve.getMessage)
+    // any reader repairs it (recovery backfills, clears the marker), and
+    // the transaction's rows are all there — nothing was lost
+    assert(ManifestCatalog.read(spark, cat, "fact").count() === expected)
+    assert(markers().isEmpty,
+      "recovery must clear the marker once the staged body is backfilled")
+  }
+
+  test("backfill distinguishes a stuck in-flight copy (strict prefix, retryable) from an outside write (refused)") {
+    val (cat, fact, mart) = mkTables()
+    ManifestCatalog.create(spark, cat, Seq("fact" -> fact, "mart" -> mart))
+    ManifestCatalog.transact(spark, cat,
+      Seq(AppendOp("fact", orders.filter(col("o_orderkey") % 3 === 1))))
+    // crash window: the backfilled member manifest is lost, and the slot
+    // is re-occupied by a STRICT PREFIX of the staged body — the shape a
+    // non-atomically-visible claim arm shows while the winner's copy is
+    // still in flight (here frozen, so the bounded waits exhaust)
+    val txnDirs = new java.io.File(s"$cat/_graft_txn").listFiles()
+    assert(txnDirs.length === 1)
+    val staged = java.nio.file.Files.readString(
+      txnDirs(0).toPath.resolve("fact.manifest"))
+    val slot = java.nio.file.Paths.get(s"$fact/_graft_log/v00000002.manifest")
+    java.nio.file.Files.writeString(slot, staged.substring(0, staged.length / 2))
+    ManifestTable.dropResolvedCacheForTest()
+    val e = intercept[IllegalStateException](ManifestCatalog.read(spark, cat, "fact"))
+    assert(e.getMessage.contains("strict prefix"),
+      s"a frozen in-flight copy must surface the retryable message, got: ${e.getMessage}")
+    assert(!e.getMessage.contains("OUTSIDE"),
+      "a prefix occupant is not an outside write — the messages must not conflate")
+    // once the winner's copy completes, the same recovery goes through
+    java.nio.file.Files.writeString(slot, staged)
+    ManifestTable.dropResolvedCacheForTest()
+    assert(ManifestCatalog.read(spark, cat, "fact").count() > 0)
+  }
 }
