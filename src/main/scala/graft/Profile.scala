@@ -30,6 +30,13 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val mode = if (args.length > 2) args(2) else "all"
+
+    if (mode == "dd11") {
+      graft.ops.LakeOps.LogWindowPhases = true
+      profileDd11(spark, sfDir, repeat); spark.stop(); return
+    }
+
     import graft.ops.DedupOps
     def dd4(fp: Option[AtomicLong]): Unit = {
       val docs = Tables.load(spark, sfDir, "documents")
@@ -139,5 +146,78 @@ object Profile {
       }
     }
     spark.stop()
+  }
+
+  /** dd11 phase breakdown: the bench key is 4 maintenance calls over 3
+    * corpus slices (bootstrap, 2 windows, replay no-op) plus the
+    * from-scratch equality compare and the crossing witness — which
+    * phase carries the 30+ s at sf0.1, and within the windows, how much
+    * is per-commit fixed cost vs the semi-join recompute? The sampler
+    * tallies graft frames during the window phases. */
+  private def profileDd11(spark: SparkSession, sfDir: String, repeat: Int): Unit = {
+    import graft.ops.DedupOps
+    (1 to repeat).foreach { r =>
+      val docsR = java.nio.file.Files.createTempDirectory("pf11_docs").toString
+      val idxR = java.nio.file.Files.createTempDirectory("pf11_idx").toString
+      val szR = java.nio.file.Files.createTempDirectory("pf11_sz").toString
+      val pairsR = java.nio.file.Files.createTempDirectory("pf11_pairs").toString
+      val docs = Tables.load(spark, sfDir, "documents")
+      val MT = graft.sources.ManifestTable
+      val cap = 5L
+      def slice(i: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+      def maintain() = graft.ops.LakeOps.maintainNearDupPairsCapped(
+        spark, docsR, idxR, szR, pairsR, "doc_id", "text", maxShingleFreq = cap)
+      def timed[T](what: String)(body: => T): T = {
+        val t0 = System.nanoTime(); val out = body
+        println(f"[profile] dd11 run $r $what: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        out
+      }
+      val tally = new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
+      @volatile var sampling = true
+      val sampler = new Thread(() => {
+        while (sampling) {
+          Thread.getAllStackTraces.values().forEach { st =>
+            st.iterator.filter(e => e.getClassName.startsWith("graft."))
+              .take(1).foreach { e =>
+                tally.computeIfAbsent(
+                  s"${e.getClassName}.${e.getMethodName}", _ => new AtomicLong())
+                  .incrementAndGet(); ()
+              }
+          }
+          Thread.sleep(5)
+        }
+      })
+      sampler.setDaemon(true)
+      if (r == repeat) sampler.start()
+      timed("create docs w0")(MT.create(spark, docsR, slice(0)))
+      timed("bootstrap maintain")(maintain())
+      timed("append w1")(MT.append(spark, docsR, slice(1)))
+      timed("maintain w1")(maintain())
+      timed("append w2")(MT.append(spark, docsR, slice(2)))
+      timed("maintain w2")(maintain())
+      timed("replay no-op")(maintain())
+      sampling = false
+      timed("scratch compare") {
+        val scratch = DedupOps.ngramJaccardPairs(MT.read(spark, docsR), "doc_id", "text",
+          n = 3, minShared = 2L, minJaccard = 0.1, maxShingleFreq = Some(cap))
+        val m = MT.read(spark, pairsR).drop("pair_key")
+        println(s"[profile] dd11 matches=${m.exceptAll(scratch).isEmpty && scratch.exceptAll(m).isEmpty}")
+      }
+      timed("crossing witness") {
+        val ex = docs.select(col("doc_id"),
+          explode(DedupOps.shingles(col("text"), 3)).as("shingle"))
+        ex.groupBy("shingle")
+          .agg(count(lit(1)).as("df_all"),
+            count(when(pmod(col("doc_id"), lit(3)) < 2, lit(1))).as("df_w1"))
+          .filter(col("df_all") > cap && col("df_w1") <= cap)
+          .count()
+      }
+      if (r == repeat) {
+        import scala.jdk.CollectionConverters._
+        tally.asScala.toSeq.sortBy(-_._2.get).take(20).foreach { case (m, n) =>
+          println(f"[profile] dd11 hot frame: $m ${n.get()}%5d samples")
+        }
+      }
+    }
   }
 }

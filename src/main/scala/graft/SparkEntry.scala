@@ -3268,7 +3268,10 @@ object SparkEntry {
         val joined = graft.streaming.EventStreams.leftOuterIntervalJoinStream(
           stream, stream, "user_id", "ts", "event_id", withinSeconds = 300L)
         val q = graft.streaming.EventStreams.runToMemory(joined, "st4_pairs", "append")
-        q.awaitTermination()
+        // state-metered drain: peak/final state rows recorded in
+        // EventStreams.lastStateMeter so scale rehearsals can attribute
+        // 10× growth to output rows vs state-eviction failure
+        graft.streaming.EventStreams.drainWithStateMeter(q)
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", batchPartitions)
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", nanosPrev)

@@ -30,9 +30,35 @@ object LakeOps {
     * Var so specs can force reclusters on small corpora. */
   private[graft] var ReclusterFileThreshold: Int = 64
 
+  /** Phase-timing hook for the maintainers (Profile-only, off in
+    * production): when set, maintenance-window phases print wall
+    * seconds — the measurement the fixed-cost work rides on. */
+  private[graft] var LogWindowPhases: Boolean = false
+  private def phase[T](what: String)(body: => T): T =
+    if (!LogWindowPhases) body else {
+      val t0 = System.nanoTime(); val out = body
+      println(f"[lakeops] $what: ${(System.nanoTime() - t0) / 1e9}%.3f s"); out
+    }
+
   /** Target bytes per file a recluster writes — the width grows with
     * the mart, which is what makes the doubling trigger geometric. */
   private[graft] var ReclusterTargetFileBytes: Long = 128L * 1024 * 1024
+
+  /** Range-cluster an insert batch into a DATA-proportional file count:
+    * maintainer feeds at small scale are a few thousand rows, and the
+    * shuffle-default width would write 32 near-empty files per mart per
+    * window — 32 stats rows, 32 manifest lines, and a RangePartitioner
+    * sampling job each, which the recluster cadence then has to repair.
+    * Row-sized widths keep a small batch at ONE file (width 1 skips the
+    * sampling pass entirely) while a 100 TB window's feed still fans
+    * out to rows/rowsPerFile files. `rows` is in hand at every call
+    * site (the feeds are checkpointed and counted for the maintainer's
+    * own reporting), so the sizing is free. */
+  private def sizedByRange(df: DataFrame, rows: Long, keyCol: String,
+      rowsPerFile: Long = 1L << 20): DataFrame = {
+    val parts = math.max(1L, math.min(1024L, (rows + rowsPerFile - 1) / rowsPerFile)).toInt
+    df.repartitionByRange(parts, col(keyCol))
+  }
 
   /** Rewrite `root` range-clustered on `keyCol` when its live file
     * count crossed the trigger — the LSM-style compaction that keeps
@@ -1088,8 +1114,9 @@ object LakeOps {
             // rebuild the index for exactly that snapshot, then loop to
             // process t0→tip incrementally.
             val docs0 = ManifestTable.read(spark, docsRoot, Some(t0))
+            val ex0 = explodedOf(docs0).localCheckpoint()
             ManifestTable.create(spark, indexRoot,
-              explodedOf(docs0).repartitionByRange(col("shingle")),
+              sizedByRange(ex0, ex0.count(), "shingle"),
               meta = Map(txnKey -> t0.toString), statsColumns = Seq("shingle"))
             consumed = t0
           case None =>
@@ -1099,8 +1126,9 @@ object LakeOps {
               n, minShared, minJaccard, maxShingleFreq = None).localCheckpoint()
             ManifestTable.create(spark, pairsRoot, pairs,
               meta = Map(txnKey -> tip.toString))
+            val ex0 = explodedOf(docs).localCheckpoint()
             ManifestTable.create(spark, indexRoot,
-              explodedOf(docs).repartitionByRange(col("shingle")),
+              sizedByRange(ex0, ex0.count(), "shingle"),
               meta = Map(txnKey -> tip.toString), statsColumns = Seq("shingle"))
             consumed = tip; totDocs += nDocs; totPairs += pairs.count()
             done = true
@@ -1122,7 +1150,8 @@ object LakeOps {
           // probe the index at ITS tip — pre-window by construction (the
           // index only advances as this maintainer's LAST step)
           val probe = ManifestTable.readPrunedByKeys(spark, indexRoot, "shingle",
-            newEx.select("shingle").distinct(), version = Some(idxVs.max))
+            newEx.select("shingle").distinct(), version = Some(idxVs.max),
+            keysDistinct = true)
           val newOld = probe
             .select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("shingle"))
             .join(newEx.select(
@@ -1142,7 +1171,7 @@ object LakeOps {
           ManifestTable.appendIdempotent(spark, pairsRoot, newPairs, writerId,
             batchId = newTip)
           ManifestTable.appendIdempotent(spark, indexRoot,
-            newEx.repartitionByRange(col("shingle")), writerId, batchId = newTip,
+            sizedByRange(newEx, newEx.count(), "shingle"), writerId, batchId = newTip,
             statsColumns = Seq("shingle"))
           // clustering-decay control on the probe-keyed index (same
           // cadence as the capped maintainer's marts): per-batch
@@ -1368,32 +1397,35 @@ object LakeOps {
           case (Some(t0), _) =>
             // crashed after sizes: rebuild the index for that snapshot
             val docs0 = ManifestTable.read(spark, docsRoot, Some(t0))
+            val ex0 = explodedOf(docs0).localCheckpoint()
             ManifestTable.create(spark, indexRoot,
-              explodedOf(docs0).repartitionByRange(col("shingle")),
+              sizedByRange(ex0, ex0.count(), "shingle"),
               meta = Map(txnKey -> t0.toString), statsColumns = Seq("shingle"))
             consumed = t0
           case (None, Some(t0)) =>
             // crashed after pairs: rebuild sizes, loop rebuilds the index
+            val docs0 = ManifestTable.read(spark, docsRoot, Some(t0))
             ManifestTable.create(spark, sizesRoot,
-              cappedSizesOf(ManifestTable.read(spark, docsRoot, Some(t0)))
-                .repartitionByRange(col("doc_id")),
+              sizedByRange(cappedSizesOf(docs0), docs0.count(), "doc_id"),
               meta = Map(txnKey -> t0.toString), statsColumns = Seq("doc_id"))
           case (None, None) =>
             val docs = ManifestTable.read(spark, docsRoot, Some(tip))
             val nDocs = docs.count()
             val pairs = withPairKey(DedupOps.ngramJaccardPairs(docs, idCol, textCol,
               n, minShared, minJaccard, maxShingleFreq = Some(cap))).localCheckpoint()
+            val nPairs = pairs.count()
             ManifestTable.create(spark, pairsRoot,
-              pairs.repartitionByRange(col("doc_a")),
+              sizedByRange(pairs, nPairs, "doc_a"),
               meta = Map(txnKey -> tip.toString),
               statsColumns = Seq("doc_a", "doc_b"))
             ManifestTable.create(spark, sizesRoot,
-              cappedSizesOf(docs).repartitionByRange(col("doc_id")),
+              sizedByRange(cappedSizesOf(docs), nDocs, "doc_id"),
               meta = Map(txnKey -> tip.toString), statsColumns = Seq("doc_id"))
+            val ex0 = explodedOf(docs).localCheckpoint()
             ManifestTable.create(spark, indexRoot,
-              explodedOf(docs).repartitionByRange(col("shingle")),
+              sizedByRange(ex0, ex0.count(), "shingle"),
               meta = Map(txnKey -> tip.toString), statsColumns = Seq("shingle"))
-            consumed = tip; totDocs += nDocs; totPairs += pairs.count()
+            consumed = tip; totDocs += nDocs; totPairs += nPairs
             done = true
         }
       } else {
@@ -1407,64 +1439,80 @@ object LakeOps {
           val bound = if (lead > cursor) Some(lead) else None
           val (newDocs0, newTip) =
             ManifestTable.readChangesSince(spark, docsRoot, cursor, bound)
-          val newDocs = newDocs0.localCheckpoint()
-          val nDocs = newDocs.count()
+          val newDocs = phase("w:newDocs ckpt")(newDocs0.localCheckpoint())
+          val nDocs = phase("w:count")(newDocs.count())
           val idxTip = idxVs.max
-          val newEx = explodedOf(newDocs).localCheckpoint()
+          val newEx = phase("w:newEx ckpt")(explodedOf(newDocs).localCheckpoint())
           // which batch shingles CROSS the cap this window: old df from a
           // pruned index probe, batch increments from the batch itself
-          val bc = newEx.groupBy("shingle").agg(count(lit(1)).as("__bc"))
-          val probe0 = ManifestTable.readPrunedByKeys(spark, indexRoot, "shingle",
-            bc.select("shingle"), version = Some(idxTip))
-            .join(bc.select("shingle"), Seq("shingle"), "left_semi")
+          // checkpointed: consumed four times (probe0's key set, df0's
+          // join, the crosser filter, dfPrime) — each use would re-run
+          // the groupBy shuffle over newEx otherwise
+          val bc = phase("w:bc ckpt")(
+            newEx.groupBy("shingle").agg(count(lit(1)).as("__bc")).localCheckpoint())
+          val probe0 = phase("w:probe0 plan")(ManifestTable.readPrunedByKeys(spark, indexRoot, "shingle",
+            bc.select("shingle"), version = Some(idxTip), keysDistinct = true)
+            .join(bc.select("shingle"), Seq("shingle"), "left_semi"))
           val df0 = probe0.groupBy("shingle").agg(count(lit(1)).as("__df0"))
-          val crossers = bc.join(df0, Seq("shingle"), "left")
+          val crossers0 = bc.join(df0, Seq("shingle"), "left")
             .na.fill(0L, Seq("__df0"))
             .filter(col("__df0") <= cap && col("__df0") + col("__bc") > cap)
-            .select("shingle").localCheckpoint()
+            .select("shingle")
+          val crossers = phase("w:crossers ckpt")(crossers0.localCheckpoint())
           val affectedOldIds = probe0.join(crossers, Seq("shingle"), "left_semi")
             .select("doc_id").distinct()
           // affected docs' full shingle sets: old ones re-read from the
           // docs table (pruned by id when stats allow), new ones in hand
-          val oldAffDocs = ManifestTable.readPrunedByKeys(spark, docsRoot, idCol,
-            affectedOldIds.withColumnRenamed("doc_id", idCol), version = Some(newTip))
+          val oldAffDocs = phase("w:oldAffDocs plan")(ManifestTable.readPrunedByKeys(spark, docsRoot, idCol,
+            affectedOldIds.withColumnRenamed("doc_id", idCol), version = Some(newTip),
+            keysDistinct = true))
             .join(affectedOldIds.withColumnRenamed("doc_id", idCol),
               Seq(idCol), "left_semi")
-          val affEx = explodedOf(oldAffDocs.unionByName(newDocs)).localCheckpoint()
-          val affectedIds = affEx.select("doc_id").distinct().localCheckpoint()
+          val affEx = phase("w:affEx ckpt")(explodedOf(oldAffDocs.unionByName(newDocs)).localCheckpoint())
+          val affectedIds = phase("w:affectedIds ckpt")(affEx.select("doc_id").distinct().localCheckpoint())
           val universe = affEx.select("shingle").distinct()
           // NEW frequency landscape for every shingle an affected doc
           // carries: rows already indexed + this batch's rows
-          val probeU = ManifestTable.readPrunedByKeys(spark, indexRoot, "shingle",
-            universe, version = Some(idxTip))
+          val probeU = phase("w:probeU plan+ckpt")(ManifestTable.readPrunedByKeys(spark, indexRoot, "shingle",
+            universe, version = Some(idxTip), keysDistinct = true)
             .join(universe, Seq("shingle"), "left_semi")
-            .select("doc_id", "shingle").localCheckpoint()
+            .select("doc_id", "shingle").localCheckpoint())
           val dfPrime = universe
             .join(probeU.groupBy("shingle").agg(count(lit(1)).as("__old")),
               Seq("shingle"), "left")
             .join(bc, Seq("shingle"), "left")
             .na.fill(0L, Seq("__old", "__bc"))
             .withColumn("__df", col("__old") + col("__bc"))
-          val surviving = dfPrime.filter(col("__df") <= cap).select("shingle")
+          // checkpointed: three consumers (affSurv twice through
+          // affSizes/shared, rowsU once) would each re-run the
+          // probeU-groupBy + bc join chain otherwise
+          val surviving = phase("w:surviving ckpt")(
+            dfPrime.filter(col("__df") <= cap).select("shingle").localCheckpoint())
           val affSurv = affEx.select("doc_id", "shingle")
             .join(surviving, Seq("shingle"), "left_semi")
           val rowsU = probeU.unionByName(newEx.select("doc_id", "shingle"))
             .join(surviving, Seq("shingle"), "left_semi")
           // fresh capped sizes for EVERY affected doc (zero kept as zero)
-          val affSizes = affSurv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+          val affSizes0 = affSurv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
             .join(affectedIds, Seq("doc_id"), "right")
             .na.fill(0L, Seq("n_sh"))
-            .select("doc_id", "n_sh").localCheckpoint()
+            .select("doc_id", "n_sh")
+          val affSizes = phase("w:affSizes ckpt")(affSizes0.localCheckpoint())
           // candidate pairs: affected × (docs sharing a surviving
           // shingle); countDistinct collapses the double emission of
-          // both-affected pairs
-          val shared = affSurv.select(col("doc_id").as("__a"), col("shingle"))
+          // both-affected pairs. Checkpointed: the window's most
+          // expensive join would otherwise run THREE times — once for
+          // the endpoint key-collect (oldSizes' probe), once inside
+          // freshPairs, and the probe's own plan
+          val shared = phase("w:shared ckpt")(
+            affSurv.select(col("doc_id").as("__a"), col("shingle"))
             .join(rowsU.select(col("doc_id").as("__b"), col("shingle")), Seq("shingle"))
             .filter(col("__a") =!= col("__b"))
             .select(least(col("__a"), col("__b")).as("doc_a"),
               greatest(col("__a"), col("__b")).as("doc_b"), col("shingle"))
             .groupBy("doc_a", "doc_b")
             .agg(countDistinct(col("shingle")).as("shared_shingles"))
+            .localCheckpoint())
           // denominators: fresh sizes for affected endpoints, the sizes
           // mart (pruned probe) for unaffected ones — an unaffected
           // doc's capped size is unchanged by construction
@@ -1472,8 +1520,8 @@ object LakeOps {
             .unionByName(shared.select(col("doc_b").as("doc_id"))).distinct()
           val unaffectedNeeded = endpointIds.join(affectedIds, Seq("doc_id"), "left_anti")
           val sizesTip = ManifestTable.versions(spark, sizesRoot).max
-          val oldSizes = ManifestTable.readPrunedByKeys(spark, sizesRoot, "doc_id",
-            unaffectedNeeded, version = Some(sizesTip))
+          val oldSizes = phase("w:oldSizes plan")(ManifestTable.readPrunedByKeys(spark, sizesRoot, "doc_id",
+            unaffectedNeeded, version = Some(sizesTip), keysDistinct = true))
             .join(unaffectedNeeded, Seq("doc_id"), "left_semi")
             .select("doc_id", "n_sh")
           val lookup = affSizes.unionByName(oldSizes)
@@ -1485,17 +1533,18 @@ object LakeOps {
             .withColumn("jaccard", round(col("shared_shingles").cast("double") /
               (col("__na") + col("__nb") - col("shared_shingles")), 4))
             .filter(col("shared_shingles") >= minShared && col("jaccard") >= minJaccard)
-          val freshPairs = withPairKey(fresh).localCheckpoint()
+          val freshPairs = phase("w:freshPairs ckpt")(withPairKey(fresh).localCheckpoint())
           // retract EVERY mart pair touching an affected doc (its fresh
           // truth — possibly absence — is in freshPairs)
           val pairsTip = ManifestTable.versions(spark, pairsRoot).max
           def touchedBy(kc: String): DataFrame =
             ManifestTable.readPrunedByKeys(spark, pairsRoot, kc,
-              affectedIds.withColumnRenamed("doc_id", kc), version = Some(pairsTip))
+              affectedIds.withColumnRenamed("doc_id", kc), version = Some(pairsTip),
+              keysDistinct = true)
               .join(affectedIds.withColumnRenamed("doc_id", kc), Seq(kc), "left_semi")
               .select("pair_key")
-          val delKeys = touchedBy("doc_a").unionByName(touchedBy("doc_b"))
-            .distinct().localCheckpoint()
+          val delKeys = phase("w:delKeys ckpt")(touchedBy("doc_a").unionByName(touchedBy("doc_b"))
+            .distinct().localCheckpoint())
           val pairsSchema = freshPairs.schema
           def nullFeed(keys: DataFrame, keyName: String): DataFrame =
             keys.select(pairsSchema.fields.map(f =>
@@ -1505,26 +1554,29 @@ object LakeOps {
           // THIS window adds stay disjoint among themselves (the
           // cross-window overlap is what the recluster cadence below
           // repairs); empty partitions write no files
+          val nPairs = freshPairs.count()
           val pairsFeed = nullFeed(delKeys, "pair_key").withColumn(ct, lit("delete"))
-            .unionByName(freshPairs.repartitionByRange(col("doc_a"))
+            .unionByName(sizedByRange(freshPairs, nPairs, "doc_a")
               .withColumn(ct, lit("insert")))
           // read BEFORE applying: a pre-crash apply means this window's
           // fresh pairs were already reported once
           val pairsPreApplied = watermarkOf(pairsRoot).exists(_ >= newTip)
-          ManifestTable.applyChangesMor(spark, pairsRoot, pairsFeed, "pair_key",
-            writerId, batchId = newTip, statsColumns = Seq("doc_a", "doc_b"))
+          phase("w:apply pairs")(ManifestTable.applyChangesMor(spark, pairsRoot, pairsFeed, "pair_key",
+            writerId, batchId = newTip, statsColumns = Seq("doc_a", "doc_b"),
+            feedTags = Some(Set("insert", "delete"))))
           val sizesSchema = affSizes.schema
           val sizesFeed = affectedIds.select(sizesSchema.fields.map(f =>
               (if (f.name == "doc_id") col("doc_id") else lit(null))
                 .cast(f.dataType).as(f.name)).toIndexedSeq: _*)
             .withColumn(ct, lit("delete"))
-            .unionByName(affSizes.repartitionByRange(col("doc_id"))
+            .unionByName(sizedByRange(affSizes, affSizes.count(), "doc_id")
               .withColumn(ct, lit("insert")))
-          ManifestTable.applyChangesMor(spark, sizesRoot, sizesFeed, "doc_id",
-            writerId, batchId = newTip, statsColumns = Seq("doc_id"))
-          ManifestTable.appendIdempotent(spark, indexRoot,
-            newEx.repartitionByRange(col("shingle")), writerId, batchId = newTip,
-            statsColumns = Seq("shingle"))
+          phase("w:apply sizes")(ManifestTable.applyChangesMor(spark, sizesRoot, sizesFeed, "doc_id",
+            writerId, batchId = newTip, statsColumns = Seq("doc_id"),
+            feedTags = Some(Set("insert", "delete"))))
+          phase("w:append index")(ManifestTable.appendIdempotent(spark, indexRoot,
+            sizedByRange(newEx, newEx.count(), "shingle"), writerId, batchId = newTip,
+            statsColumns = Seq("shingle")))
           // clustering-decay control, AFTER the window's ladder completes
           // (the watermark ladder's crash replay is untouched — a
           // recluster is content-identical, one atomic overwrite, and
@@ -1537,12 +1589,14 @@ object LakeOps {
           // count falls back to the shuffle width, so the amortized cost
           // per window is O(mart / windows-between-reclusters) — the LSM
           // compaction economics, metered by the spec.
-          reclusterIfNeeded(spark, pairsRoot, "doc_a", Seq("doc_a", "doc_b"))
-          reclusterIfNeeded(spark, sizesRoot, "doc_id", Seq("doc_id"))
-          reclusterIfNeeded(spark, indexRoot, "shingle", Seq("shingle"))
+          phase("w:recluster x3") {
+            reclusterIfNeeded(spark, pairsRoot, "doc_a", Seq("doc_a", "doc_b"))
+            reclusterIfNeeded(spark, sizesRoot, "doc_id", Seq("doc_id"))
+            reclusterIfNeeded(spark, indexRoot, "shingle", Seq("shingle"))
+          }
           consumed = newTip
           totDocs += nDocs
-          if (!pairsPreApplied) totPairs += freshPairs.count()
+          if (!pairsPreApplied) totPairs += nPairs
           done = bound.isEmpty
         }
       }

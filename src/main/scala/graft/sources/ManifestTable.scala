@@ -127,6 +127,77 @@ trait SlotClaimer {
       dst: org.apache.hadoop.fs.Path): Boolean
 }
 
+/** The REAL S3-family claim arm, written to the [[SlotClaimer]]
+  * contract through Hadoop's conditional-create builder (HADOOP-19256,
+  * Hadoop ≥ 3.4.1) instead of a vendor SDK: `createFile(dst)` with the
+  * MANDATORY option `fs.option.create.conditional.overwrite = false`
+  * maps, on the S3A connector, to exactly one `PUT` carrying
+  * `If-None-Match: *` issued at `close()` — the store itself decides
+  * the winner per key, the loser's close fails with the 412
+  * precondition surfaced as `RemoteFileChangedException` (a
+  * `PathIOException` subclass that lives in hadoop-aws, so this
+  * module classifies by the base class + slot occupancy). Both
+  * contract clauses hold by construction: win-or-fail atomicity is the
+  * store's conditional PUT, and visibility is atomic because a
+  * completed S3 PUT exposes all bytes or none — no reader can observe
+  * a partial object.
+  *
+  * Deployment (once per JVM, before the first commit):
+  * {{{ ManifestTable.registerSlotClaimer("s3a", S3ConditionalPutClaimer) }}}
+  *
+  * Failure discipline (the scaladoc hazard on [[SlotClaimer]]): ONLY a
+  * failure with an OCCUPIED slot classifies as a lost race; any other
+  * `PathIOException` — throttling, a 5xx, a broken stream — propagates,
+  * because a swallowed store failure would silently drop a commit. The
+  * `must(...)` form (not `opt`) makes a connector that does not honor
+  * conditional creates REFUSE the build loudly instead of quietly
+  * falling back to a non-atomic overwrite. Cannot be integration-tested
+  * in this environment (no object store); ConcurrencySpec races the
+  * full commit battery through a store-accurate conditional-put fake
+  * with the same win-or-fail + atomic-visibility shape, and
+  * [[S3ConditionalPutClaimer.classify]] is spec-pinned directly. */
+class S3ConditionalPutClaimer extends SlotClaimer {
+  import org.apache.hadoop.fs.{FileSystem, Path, PathIOException}
+
+  /** One conditional PUT of `bytes` at `dst` — the store's atomic
+    * decision point. Overridable seam for the contract spec only. */
+  protected def putConditional(f: FileSystem, bytes: Array[Byte], dst: Path): Unit = {
+    val builder = f.createFile(dst).overwrite(false)
+    builder.must(
+      org.apache.hadoop.fs.Options.CreateFileOptionKeys
+        .FS_OPTION_CREATE_CONDITIONAL_OVERWRITE,
+      false)
+    val out = builder.build()
+    var ok = false
+    try { out.write(bytes); ok = true } finally {
+      // close() issues the PUT; a losing claim throws HERE. Suppress the
+      // close only when write itself already failed (propagate that).
+      if (ok) out.close()
+      else try out.close() catch { case scala.util.control.NonFatal(_) => }
+    }
+  }
+
+  final def claim(f: FileSystem, tmp: Path, dst: Path): Boolean = {
+    val in = f.open(tmp)
+    val bytes =
+      try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    try { putConditional(f, bytes, dst); true }
+    catch { case e: PathIOException => classify(f, dst, e) }
+  }
+
+  /** Lost race (false) only when the slot is genuinely occupied —
+    * otherwise the failure was the store's, not the protocol's, and it
+    * propagates. Occupancy is re-checked against the store rather than
+    * trusting the exception type: hadoop-aws's 412 subclass is not on
+    * every classpath, and an occupied slot is the ONLY observation that
+    * makes "someone else won" true. */
+  private[graft] def classify(f: FileSystem, dst: Path,
+      e: org.apache.hadoop.fs.PathIOException): Boolean =
+    if (f.exists(dst)) false else throw e
+}
+
+object S3ConditionalPutClaimer extends S3ConditionalPutClaimer
+
 /** A published manifest failed its integrity trailer on read — the
   * bytes on disk are not the bytes that were committed (post-publish
   * corruption: bit rot, a torn copy, a truncation). Never retryable and
@@ -3735,7 +3806,8 @@ object ManifestTable {
       statsColumns: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil,
       maxKeys: Int = 1000000,
-      extraMeta: Map[String, String] = Map.empty): Long = {
+      extraMeta: Map[String, String] = Map.empty,
+      feedTags: Option[Set[String]] = None): Long = {
     // caller metadata rides the SAME atomic publish as the batch (a
     // maintainer's source cursors can never be newer or older than the
     // rows they describe). `txn-*` keys are allowed and get the
@@ -3759,7 +3831,7 @@ object ManifestTable {
     var attempts = 4
     while (true) {
       try return applyChangesMorOnce(spark, root, feed, keyCol, writerId,
-        batchId, statsColumns, bloomColumns, maxKeys, extraMeta)
+        batchId, statsColumns, bloomColumns, maxKeys, extraMeta, feedTags)
       catch {
         // the TYPED strict-CAS abort (any op inside the attempt): a full
         // re-plan re-reads the vector, the file set, and the watermark,
@@ -3780,7 +3852,8 @@ object ManifestTable {
       statsColumns: Seq[String],
       bloomColumns: Seq[String],
       maxKeys: Int,
-      extraMeta: Map[String, String]): Long = {
+      extraMeta: Map[String, String],
+      feedTags: Option[Set[String]]): Long = {
     import org.apache.spark.sql.functions.broadcast
     val ct = "_change_type"
     require(feed.columns.contains(ct),
@@ -3799,8 +3872,13 @@ object ManifestTable {
     // an unknown tag must fail loudly, not silently drop the row — a
     // feed that speaks a richer dialect (update_preimage, ...) needs
     // translating, not truncating
-    val tags = feed.select(col(ct)).distinct().limit(5).collect()
-      .map(_.get(0)).toSet
+    // a caller that CONSTRUCTED the feed (a maintainer unioning its own
+    // literal-tagged branches) declares the tag set and skips the
+    // distinct-scan job — one less fixed-cost pass per applied batch;
+    // an undeclared feed (CDC from elsewhere) still pays the discovery
+    val tags: Set[Any] = feedTags.map(_.map(t => t: Any)).getOrElse(
+      feed.select(col(ct)).distinct().limit(5).collect()
+        .map(_.get(0)).toSet)
     require(tags.subsetOf(Set[Any]("insert", "delete", "refresh", "truncate")),
       s"applyChangesMor understands '$ct' tags 'insert', 'delete', 'refresh', and 'truncate' only — " +
         s"got ${tags.mkString(", ")}")
@@ -4072,15 +4150,21 @@ object ManifestTable {
       keyColumn: String,
       keys: DataFrame,
       maxKeys: Int = 100000,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None,
+      keysDistinct: Boolean = false): DataFrame = {
     require(keys.schema.fields.length == 1,
       s"keys frame must have exactly the join-key column, got ${keys.columns.mkString(",")}")
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"$root is not a manifest table (no $LogDir)")
     val v = version.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not in log (have ${vs.mkString(",")})")
-    // cap + 1 bounds the collect: one extra row is enough to detect overflow
-    val collected = keys.distinct().limit(maxKeys + 1).collect()
+    // cap + 1 bounds the collect: one extra row is enough to detect
+    // overflow. keysDistinct skips the dedup shuffle when the caller's
+    // frame is unique by construction (a groupBy output, a distinct it
+    // already paid for) — the values land in one IN predicate, so
+    // duplicates only cost work, never correctness
+    val collected =
+      (if (keysDistinct) keys else keys.distinct()).limit(maxKeys + 1).collect()
     if (collected.length > maxKeys) return read(spark, root, Some(v))
     val keyCol = org.apache.spark.sql.functions.col(keyColumn)
     val values = collected.map(_.get(0)).filter(_ != null)

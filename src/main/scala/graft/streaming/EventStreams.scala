@@ -267,6 +267,34 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Per-operator state meter of a drained query: (operatorName,
+    * peak numRowsTotal across batches, final numRowsTotal). The scale
+    * attribution tool for stateful drains (st4's 10× growth question):
+    * OUTPUT-proportional growth is the data's, benign; PEAK-state
+    * growth beyond the watermark horizon's share of the input means
+    * eviction stopped working and the watermark delay needs tightening;
+    * a FINAL state near zero proves the drain's closing watermark
+    * advance (sentinel or real arrivals) evicted everything it should.
+    * Also recorded in [[lastStateMeter]] for profiling harnesses. */
+  def drainWithStateMeter(q: StreamingQuery): Seq[(String, Long, Long)] = {
+    q.awaitTermination()
+    val progs = q.recentProgress.toSeq
+    val meter = progs.flatMap(_.stateOperators.toSeq.map(so =>
+        (so.operatorName, so.numRowsTotal)))
+      .groupBy(_._1)
+      .map { case (n, rows) => (n, rows.map(_._2).max,
+        progs.last.stateOperators.toSeq.collectFirst {
+          case so if so.operatorName == n => so.numRowsTotal
+        }.getOrElse(0L)) }
+      .toSeq.sortBy(_._1)
+    lastStateMeter = meter
+    meter
+  }
+
+  /** The most recent [[drainWithStateMeter]] reading — profiling
+    * harnesses read it after a bench key drains internally. */
+  @volatile private[graft] var lastStateMeter: Seq[(String, Long, Long)] = Nil
+
   /** Convenience: hourly counts from an event parquet directory. */
   def runHourlyFromParquet(
       spark: SparkSession,

@@ -14,6 +14,12 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** The UNRESOLVED Catalyst expression under a Column (Spark 4 scopes
+    * the converter `private[sql]`) — lets planners pattern-match cheap
+    * shapes (a key-probe `isin`) without a full analysis pass. */
+  def expressionOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** The analyzed plan of a DataFrame (resolved attributes to graft a
     * custom node onto). */
   def analyzed(df: DataFrame): LogicalPlan =

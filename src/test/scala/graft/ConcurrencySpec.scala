@@ -401,4 +401,60 @@ class ConcurrencySpec extends SparkSpec {
         "final state through the accurate arm matches neither serial schedule")
     } finally graft.sources.ManifestTable.unregisterSlotClaimer("file")
   }
+
+  test("S3ConditionalPutClaimer: the real arm's claim/classify logic sustains the battery through a 412-shaped fake") {
+    import org.apache.hadoop.fs.{FileSystem, Path, PathIOException}
+    // the REAL arm, with only the store's PUT faked: the decision is
+    // atomic on the slot name and a loser surfaces the S3A shape — a
+    // PathIOException at close — which claim() must CLASSIFY (occupied
+    // slot = lost race) rather than trust. Visibility is atomic
+    // (buffer + rename), as a completed S3 PUT guarantees.
+    val claimedSlots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val arm = new graft.sources.S3ConditionalPutClaimer {
+      override protected def putConditional(
+          f: FileSystem, bytes: Array[Byte], dst: Path): Unit = {
+        val slot = dst.toUri.getPath
+        if (!claimedSlots.add(slot) || f.exists(dst))
+          throw new PathIOException(slot, "PreconditionFailed: At least one of the pre-conditions you specified did not hold (412)")
+        val hidden = new Path(dst.getParent, s".upload-${java.util.UUID.randomUUID()}")
+        val out = f.create(hidden, false)
+        try out.write(bytes) finally out.close()
+        if (!f.rename(hidden, dst)) {
+          f.delete(hidden, false)
+          throw new PathIOException(slot, "PreconditionFailed (412)")
+        }
+      }
+    }
+    graft.sources.ManifestTable.registerSlotClaimer("file", arm)
+    try {
+      val a = orders.filter(col("o_orderkey") % 2 === 0).localCheckpoint()
+      val b = orders.filter(col("o_orderkey") % 2 === 1).localCheckpoint()
+      val expect = orders.count()
+      (1 to 3).foreach { shot =>
+        val root = freshRoot(s"cc_s3_$shot")
+        ManifestTable.create(spark, root, orders.limit(0))
+        val aborts = race(
+          () => { ManifestTable.append(spark, root, a); () },
+          () => { ManifestTable.append(spark, root, b); () })
+        assert(aborts === 0,
+          s"appends must re-base through the S3 arm's claim (shot $shot)")
+        assert(ManifestTable.read(spark, root).count() === expect,
+          s"rows lost through the S3 arm (shot $shot)")
+      }
+    } finally graft.sources.ManifestTable.unregisterSlotClaimer("file")
+    // classify pins: a 412-shaped failure with an OCCUPIED slot is a
+    // lost race (false); with an EMPTY slot it is a store failure and
+    // MUST propagate — swallowing it would silently drop a commit
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = freshRoot("cc_s3_classify")
+    val occupied = new Path(s"$dir/occupied")
+    val out = f.create(occupied, false); out.write(1); out.close()
+    val e = new PathIOException("slot", "PreconditionFailed (412)")
+    assert(graft.sources.S3ConditionalPutClaimer.classify(f, occupied, e) === false)
+    val thrown = intercept[PathIOException](
+      graft.sources.S3ConditionalPutClaimer.classify(
+        f, new Path(s"$dir/absent"), e))
+    assert(thrown eq e, "a failure with an empty slot must propagate unchanged")
+  }
 }

@@ -95,6 +95,49 @@ class SteadyStateStreamingSpec extends SparkSpec {
     }
   }
 
+  test("drainWithStateMeter attributes st4 growth: peak bounded by the horizon's input share, final state evicted") {
+    // the 10×-rehearsal attribution tool (VERDICT: is st4's sf1 growth
+    // output rows or state?): the meter must report (peak, final) state
+    // rows per operator, with peak bounded by the input the watermark
+    // horizon can hold and final ~evicted once the closing sentinel
+    // pushes the watermark past every window — a peak growing FASTER
+    // than input at 10× would mean eviction stopped, the one failure
+    // mode the meter exists to catch.
+    val staged = java.nio.file.Files.createTempDirectory("steady_meter")
+    val ev = Tables.events(spark, srcDir).cache()
+    try {
+      writeWave(ev, staged)
+      val sentinel = Seq((999999L, Timestamp.valueOf("2024-03-15 00:00:00"),
+        -1L, "sentinel", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      writeWave(sentinel.select(ev.columns.map(col): _*), staged)
+      val stream = EventStreams.eventParquetStream(spark, staged.toString)
+      val joined = EventStreams.leftOuterIntervalJoinStream(
+        stream, stream, "user_id", "ts", "event_id",
+        withinSeconds = 300L, watermarkDelay = "1 hour")
+      val q = EventStreams.runToMemory(joined, "steady_meter", "append")
+      val meter = EventStreams.drainWithStateMeter(q)
+      assert(meter.nonEmpty, "a stream-stream join must report a state operator")
+      val n = ev.count()
+      meter.foreach { case (name, peak, fin) =>
+        assert(peak > 0, s"$name: the join must have held state at some point")
+        // both sides' state ≤ all events ever seen (plus the sentinel);
+        // the real bound is the horizon's share — at this scale the whole
+        // input fits one horizon, so 2n + slack is the sound ceiling
+        assert(peak <= 2 * n + 16,
+          s"$name peak state $peak exceeds both sides' input $n — eviction broken")
+        assert(fin <= peak, s"$name final $fin above peak $peak")
+        assert(fin < n / 2,
+          s"$name final state $fin not evicted after the closing sentinel")
+      }
+      assert(EventStreams.lastStateMeter === meter,
+        "profiling harnesses read the same meter the drain returned")
+    } finally {
+      ev.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(staged.toFile)
+    }
+  }
+
   test("st4 shape: left-outer interval join evicts join state mid-stream and lands on the batch left join") {
     val staged = java.nio.file.Files.createTempDirectory("steady_st4")
     val ev = Tables.events(spark, srcDir).cache()
