@@ -37,6 +37,25 @@ object Profile {
       profileDd11(spark, sfDir, repeat); spark.stop(); return
     }
 
+    if (mode == "st4meter") {
+      // the 10×-rehearsal attribution for st4 (left-outer stream-stream
+      // interval join): run the driver key as-is, then read the state
+      // meter its drain recorded — output-proportional growth is the
+      // data's; peak-state growth beyond the input row count means the
+      // watermark stopped evicting (drainWithStateMeter's contract)
+      (1 to repeat).foreach { r =>
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries("st4_stream_left_interval_join")(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val meter = graft.streaming.EventStreams.lastStateMeter
+        println(f"[profile] st4 run $r: $sec%.2f s, output rows $n")
+        meter.foreach { case (op, peak, fin) =>
+          println(s"[profile] st4 run $r state: $op peak=$peak final=$fin")
+        }
+      }
+      spark.stop(); return
+    }
+
     import graft.ops.DedupOps
     def dd4(fp: Option[AtomicLong]): Unit = {
       val docs = Tables.load(spark, sfDir, "documents")

@@ -173,10 +173,22 @@ object DedupOps {
       textCol: String,
       n: Int = 3
   ): DataFrame = {
+    // the candidate set is consumed THREE times (endpoint ids + both
+    // verification joins): checkpoint it, or each consumer re-runs the
+    // whole sketch pipeline that produced it. Then shingle ONLY the
+    // candidate endpoints — the verification joins are inner on the
+    // pair ids, so docs outside the pair set never contribute;
+    // semi-joining first keeps the shingling pass O(endpoints), not
+    // O(corpus) (corpus-wide shingling measured 2-4× on mh1/sh1 at 10×,
+    // for rows the joins then discarded)
+    val p = pairs.localCheckpoint()
+    val ids = p.select(col("doc_a").as("doc_id"))
+      .unionByName(p.select(col("doc_b").as("doc_id"))).distinct()
     val sets = widen(docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
+      .join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shingles(col("__text"), n).as("__set"))
     val inter = size(array_intersect(col("__sa"), col("__sb")))
-    pairs
+    p
       .join(sets.select(col("doc_id").as("doc_a"), col("__set").as("__sa")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("__set").as("__sb")), Seq("doc_b"))
       .withColumn("jaccard", round(inter.cast("double") /

@@ -55,10 +55,16 @@ object LakeOps {
     * site (the feeds are checkpointed and counted for the maintainer's
     * own reporting), so the sizing is free. */
   private def sizedByRange(df: DataFrame, rows: Long, keyCol: String,
-      rowsPerFile: Long = 1L << 20): DataFrame = {
+      rowsPerFile: Long = 128L * 1024): DataFrame = {
     val parts = math.max(1L, math.min(1024L, (rows + rowsPerFile - 1) / rowsPerFile)).toInt
     df.repartitionByRange(parts, col(keyCol))
   }
+  // rowsPerFile calibration: maintainer rows are narrow (a shingle +
+  // two longs ≈ 50-100 B), so 128k rows ≈ 5-10 MB files — small enough
+  // that a window's probe scan keeps its task parallelism (a 1M-row
+  // file lands in ONE parquet row group = one unsplittable task;
+  // measured ×1.6 on the uncapped window probes at 10×), large enough
+  // that small-SF windows still write a single file.
 
   /** Rewrite `root` range-clustered on `keyCol` when its live file
     * count crossed the trigger — the LSM-style compaction that keeps
@@ -420,7 +426,7 @@ object LakeOps {
           .unionByName(updated.filter(col("n_rows") > 0)
             .withColumn("_change_type", lit("insert")))
         ManifestTable.applyChangesMor(spark, martRoot, martFeed, keyCol,
-          writerId, batchId = tip)
+          writerId, batchId = tip, feedTags = Some(Set("insert", "delete")))
         (tip, deltaRows)
       }
     }
@@ -499,7 +505,7 @@ object LakeOps {
         .unionByName(updated.filter(col("n_rows") > 0)
           .withColumn("_change_type", lit("insert")))
       ManifestTable.applyChangesMor(spark, martRoot, martFeed, "mkey",
-        writerId, batchId = tip)
+        writerId, batchId = tip, feedTags = Some(Set("insert", "delete")))
       (tip, deltaRows)
     }
   }
@@ -607,7 +613,7 @@ object LakeOps {
         .unionByName(newState.filter(col("n_rows") > 0)
           .withColumn("_change_type", lit("insert")))
       ManifestTable.applyChangesMor(spark, martRoot, martFeed, keyCol,
-        writerId, batchId = tip)
+        writerId, batchId = tip, feedTags = Some(Set("insert", "delete")))
       (tip, deltaRows, nRecompute)
     }
   }
@@ -967,7 +973,8 @@ object LakeOps {
       // silently wrapped at a=2^42)
       ManifestTable.applyChangesMor(spark, martRoot, feed, aKeyCol,
         writerId, batchId = aTip + bTip,
-        extraMeta = Map(ckA -> aTip.toString, ckB -> bTip.toString))
+        extraMeta = Map(ckA -> aTip.toString, ckB -> bTip.toString),
+        feedTags = Some(Set("insert", "delete")))
       (aTip, bTip, fresh.count())
     }
   }
@@ -1090,6 +1097,13 @@ object LakeOps {
       DedupOps.widen(docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
         .select(col("doc_id"), DedupOps.shingles(col("__text"), n).as("sh"))
         .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+    // exploded row count in ONE narrow scan — sizing a bootstrap index
+    // write must not localCheckpoint the corpus × shingles blow-up
+    // (measured 2× on the uncapped bootstrap at 10×)
+    def explodedRows(docs: DataFrame): Long =
+      DedupOps.widen(docs.select(col(textCol).as("__text")))
+        .select(size(DedupOps.shingles(col("__text"), n)).as("k"))
+        .agg(coalesce(sum(col("k")), lit(0L))).head.getLong(0)
     // Crash-safety invariant: the pairs append lands FIRST, the index
     // append LAST, and the INDEX watermark is the cursor. A crash
     // between the two leaves pairsTxn > indexTxn; if more docs land
@@ -1114,9 +1128,8 @@ object LakeOps {
             // rebuild the index for exactly that snapshot, then loop to
             // process t0→tip incrementally.
             val docs0 = ManifestTable.read(spark, docsRoot, Some(t0))
-            val ex0 = explodedOf(docs0).localCheckpoint()
             ManifestTable.create(spark, indexRoot,
-              sizedByRange(ex0, ex0.count(), "shingle"),
+              sizedByRange(explodedOf(docs0), explodedRows(docs0), "shingle"),
               meta = Map(txnKey -> t0.toString), statsColumns = Seq("shingle"))
             consumed = t0
           case None =>
@@ -1126,9 +1139,8 @@ object LakeOps {
               n, minShared, minJaccard, maxShingleFreq = None).localCheckpoint()
             ManifestTable.create(spark, pairsRoot, pairs,
               meta = Map(txnKey -> tip.toString))
-            val ex0 = explodedOf(docs).localCheckpoint()
             ManifestTable.create(spark, indexRoot,
-              sizedByRange(ex0, ex0.count(), "shingle"),
+              sizedByRange(explodedOf(docs), explodedRows(docs), "shingle"),
               meta = Map(txnKey -> tip.toString), statsColumns = Seq("shingle"))
             consumed = tip; totDocs += nDocs; totPairs += pairs.count()
             done = true
@@ -1370,6 +1382,13 @@ object LakeOps {
       DedupOps.widen(docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
         .select(col("doc_id"), DedupOps.shingles(col("__text"), n).as("sh"))
         .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+    // exploded row count in ONE narrow scan — sizing a bootstrap index
+    // write must not localCheckpoint the corpus × shingles blow-up
+    // (measured 2× on the uncapped bootstrap at 10×)
+    def explodedRows(docs: DataFrame): Long =
+      DedupOps.widen(docs.select(col(textCol).as("__text")))
+        .select(size(DedupOps.shingles(col("__text"), n)).as("k"))
+        .agg(coalesce(sum(col("k")), lit(0L))).head.getLong(0)
     // capped per-doc sizes over a full snapshot (bootstrap/recovery): a
     // doc keeps a row even at zero surviving shingles — sizes only
     // shrink under appends, so absence never needs to flip to presence
@@ -1397,9 +1416,8 @@ object LakeOps {
           case (Some(t0), _) =>
             // crashed after sizes: rebuild the index for that snapshot
             val docs0 = ManifestTable.read(spark, docsRoot, Some(t0))
-            val ex0 = explodedOf(docs0).localCheckpoint()
             ManifestTable.create(spark, indexRoot,
-              sizedByRange(ex0, ex0.count(), "shingle"),
+              sizedByRange(explodedOf(docs0), explodedRows(docs0), "shingle"),
               meta = Map(txnKey -> t0.toString), statsColumns = Seq("shingle"))
             consumed = t0
           case (None, Some(t0)) =>
@@ -1421,9 +1439,8 @@ object LakeOps {
             ManifestTable.create(spark, sizesRoot,
               sizedByRange(cappedSizesOf(docs), nDocs, "doc_id"),
               meta = Map(txnKey -> tip.toString), statsColumns = Seq("doc_id"))
-            val ex0 = explodedOf(docs).localCheckpoint()
             ManifestTable.create(spark, indexRoot,
-              sizedByRange(ex0, ex0.count(), "shingle"),
+              sizedByRange(explodedOf(docs), explodedRows(docs), "shingle"),
               meta = Map(txnKey -> tip.toString), statsColumns = Seq("shingle"))
             consumed = tip; totDocs += nDocs; totPairs += nPairs
             done = true

@@ -373,6 +373,56 @@ class ManifestStatsSpec extends SparkSpec {
       .count() === fullFacts.count())
   }
 
+  test("big-IN prepared pruning ≡ union of singleton equality prunes (randomized), reads exact on both paths") {
+    // the PreparedIn fast path (members canonicalized once, sorted in
+    // the attribute's domain, binary-searched per file) must make
+    // BIT-IDENTICAL keep/drop decisions to the plain O(k) path. The
+    // pinning theorem: In's per-member semantics ARE EqualTo's
+    // (both evaluate rangeMay), so for ANY value set,
+    //   kept(col IN vs) == ∪_v kept(col = v)
+    // — under-keeping (unsound) and over-keeping (perf regression)
+    // both break the equality. Randomized over present/absent longs on
+    // a bloom'd hash layout, plus the string domain, plus the <8-member
+    // plain path for agreement across the threshold.
+    val root = freshRoot()
+    ManifestTable.create(spark, root, orders.repartition(8, col("o_custkey")),
+      statsColumns = Seq("o_custkey", "o_orderpriority"),
+      bloomColumns = Seq("o_custkey"))
+    val custs = orders.select("o_custkey").distinct()
+      .as[Long].collect().sorted
+    val rnd = new scala.util.Random(42)
+    (1 to 6).foreach { round =>
+      val k = 8 + rnd.nextInt(60)
+      val present = Array.fill(k / 2)(custs(rnd.nextInt(custs.length)))
+      val absent = Array.fill(k - k / 2)(900000L + rnd.nextInt(100000).toLong)
+      val vals = (present ++ absent).toIndexedSeq
+      val inKept = ManifestTable.pruneFiles(spark, root,
+        col("o_custkey").isin(vals: _*))._1.toSet
+      val unionKept = vals.map(v => ManifestTable.pruneFiles(spark, root,
+        col("o_custkey") === v)._1.toSet).reduce(_ ++ _)
+      assert(inKept === unionKept,
+        s"round $round: IN kept ${inKept.size} files, singleton union ${unionKept.size}")
+      checkExact(root, col("o_custkey").isin(vals: _*))
+      ()
+    }
+    // string domain (UTF-8 byte order), both sides of the size threshold
+    val small = Seq("1-URGENT", "5-LOW", "zzz-absent")
+    checkExact(root, col("o_orderpriority").isin(small: _*))
+    val big = small ++ (1 to 10).map(i => s"absent-$i")
+    val keptSmall = ManifestTable.pruneFiles(spark, root,
+      col("o_orderpriority").isin(small: _*))._1.toSet
+    val keptBig = ManifestTable.pruneFiles(spark, root,
+      col("o_orderpriority").isin(big: _*))._1.toSet
+    assert(keptSmall.subsetOf(keptBig),
+      "a superset of IN members must keep at least the subset's files")
+    checkExact(root, col("o_orderpriority").isin(big: _*))
+    // degenerate members ride along soundly: nulls contribute nothing,
+    // a type-mismatched member disables only the bloom gate
+    checkExact(root, col("o_custkey").isin(
+      (custs.take(4).map(v => v: Any) ++ Seq(null) ++
+        (1 to 8).map(i => (900000 + i).toLong: Any)): _*))
+  }
+
   test("float bounds are exact binary values: a strict bound at the rendered value cannot prune") {
     val root = freshRoot()
     // 0.1f IS 0.100000001490116…; its toString renders "0.1". A strict
