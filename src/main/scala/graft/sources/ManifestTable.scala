@@ -190,10 +190,23 @@ class S3ConditionalPutClaimer extends SlotClaimer {
     * propagates. Occupancy is re-checked against the store rather than
     * trusting the exception type: hadoop-aws's 412 subclass is not on
     * every classpath, and an occupied slot is the ONLY observation that
-    * makes "someone else won" true. */
+    * makes "someone else won" true. S3's conditional PUT is strongly
+    * consistent (a 412 loser's subsequent HEAD sees the winner), but
+    * the re-check is still BOUNDED-retried (~120 ms, the
+    * resolveParsedRetrying discipline) so a store or middleware with a
+    * momentary visibility lag classifies the race correctly instead of
+    * surfacing a spurious commit failure; a slot still absent after the
+    * waits means the failure was never a race, and it propagates. */
   private[graft] def classify(f: FileSystem, dst: Path,
-      e: org.apache.hadoop.fs.PathIOException): Boolean =
-    if (f.exists(dst)) false else throw e
+      e: org.apache.hadoop.fs.PathIOException): Boolean = {
+    var attempt = 0
+    while (attempt < 5) {
+      if (f.exists(dst)) return false
+      attempt += 1
+      Thread.sleep(4L << attempt)
+    }
+    throw e
+  }
 }
 
 object S3ConditionalPutClaimer extends S3ConditionalPutClaimer

@@ -409,10 +409,17 @@ class ConcurrencySpec extends SparkSpec {
     // PathIOException at close — which claim() must CLASSIFY (occupied
     // slot = lost race) rather than trust. Visibility is atomic
     // (buffer + rename), as a completed S3 PUT guarantees.
+    // the store serializes conditional PUTs per key and is STRONGLY
+    // consistent: a 412 loser's subsequent existence check always sees
+    // the winner (S3's post-2020 contract). The lock models that
+    // serialization — without it the fake would 412 a loser while the
+    // winner's bytes are still in flight, which is the ADVERSARIAL
+    // visibility shape (covered by its own arm above), not the store's
+    val storeLock = new Object
     val claimedSlots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val arm = new graft.sources.S3ConditionalPutClaimer {
       override protected def putConditional(
-          f: FileSystem, bytes: Array[Byte], dst: Path): Unit = {
+          f: FileSystem, bytes: Array[Byte], dst: Path): Unit = storeLock.synchronized {
         val slot = dst.toUri.getPath
         if (!claimedSlots.add(slot) || f.exists(dst))
           throw new PathIOException(slot, "PreconditionFailed: At least one of the pre-conditions you specified did not hold (412)")
