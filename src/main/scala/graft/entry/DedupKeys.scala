@@ -174,7 +174,7 @@ private[graft] object DedupKeys {
       val scratch = DedupOps.ngramJaccardPairs(MT.read(s, docsR), "doc_id", "text",
         n = 3, minShared = 2L, minJaccard = 0.1, maxShingleFreq = None)
       val m = MT.read(s, pairsR)
-      val matches = m.exceptAll(scratch).isEmpty && scratch.exceptAll(m).isEmpty
+      val matches = multisetEqual(m, scratch)
       m.select(lit(matches).as("matches_scratch"), lit(replayNoop).as("replay_noop"),
         lit(d2).as("window2_docs"),
         col("doc_a"), col("doc_b"), col("shared_shingles"), col("jaccard"))
@@ -215,7 +215,7 @@ private[graft] object DedupKeys {
       val scratch = DedupOps.ngramJaccardPairs(MT.read(s, docsR), "doc_id", "text",
         n = 3, minShared = 2L, minJaccard = 0.1, maxShingleFreq = Some(cap))
       val m = MT.read(s, pairsR).drop("pair_key")
-      val matches = m.exceptAll(scratch).isEmpty && scratch.exceptAll(m).isEmpty
+      val matches = multisetEqual(m, scratch)
       // crossing witness: shingles under the cap over windows 0+1 that
       // the full corpus pushed over it — the retraction-triggering set
       val ex = docs.select(col("doc_id"),

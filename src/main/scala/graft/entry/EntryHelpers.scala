@@ -21,6 +21,28 @@ private[graft] object EntryHelpers {
   def dsum(c: Column): Column = graft.ops.ExactSums.dsum(c)
   def dsumSql(expr: String): String = graft.ops.ExactSums.dsumSql(expr)
 
+  /** Exact multiset equality of two same-schema frames in ONE
+    * aggregation pass: tag each side ±1, group by every column, and the
+    * multisets are equal iff every group's tag-sum is zero. Replaces
+    * the `a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty` idiom —
+    * Spark rewrites EACH exceptAll as exactly this union-count
+    * aggregate internally, so two exceptAll jobs recompute both inputs
+    * twice to answer what one pass answers; same equality semantics
+    * (grouping normalizes NaN/-0.0 the way exceptAll's rewrite does). */
+  def multisetEqual(a: DataFrame, b: DataFrame): Boolean = {
+    val cols = a.columns.toSeq
+    require(b.columns.length == cols.length,
+      s"multisetEqual needs same-width frames: ${cols.mkString(",")} vs ${b.columns.mkString(",")}")
+    val w = "_graft_mseq_w"
+    // positional alignment (toDF renames b's columns to a's), exactly
+    // how exceptAll resolves its two sides
+    a.withColumn(w, lit(1L))
+      .union(b.toDF(cols: _*).withColumn(w, lit(-1L)))
+      .groupBy(cols.map(col): _*).agg(sum(col(w)).as(w))
+      .filter(col(w) =!= 0L)
+      .isEmpty
+  }
+
   /** ret3's oracle: MMR replayed greedy round by greedy round (the km2
     * chained-CTE pattern) — round r picks the row_number-1 candidate of
     * `7·rel − 3·max(sim to s_{r-1})` with ties on doc_id, and s_r

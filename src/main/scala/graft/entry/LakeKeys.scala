@@ -962,7 +962,7 @@ private[graft] object LakeKeys {
       val reconciled = graft.sources.ManifestTable.read(s, root, Some(cursor))
         .exceptAll(del).unionAll(ins)
       val now = graft.sources.ManifestTable.read(s, root, Some(tip))
-      val reconciles = reconciled.exceptAll(now).isEmpty && now.exceptAll(reconciled).isEmpty
+      val reconciles = multisetEqual(reconciled, now)
       feed.groupBy("_change_type", "o_orderstatus")
         .agg(count(lit(1)).cast("long").as("n_rows"),
           dsum(col("o_totalprice")).as("total_price"))
@@ -1039,8 +1039,7 @@ private[graft] object LakeKeys {
       val rebuild = MT.read(s, src).groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"))
         .select(col("o_orderstatus"), col("n_rows"), col("total"))
-      val matches = maintained.exceptAll(rebuild).isEmpty &&
-        rebuild.exceptAll(maintained).isEmpty
+      val matches = multisetEqual(maintained, rebuild)
       MT.read(s, mart)
         .select(lit(matches).as("matches_rebuild"),
           lit(replayNoop).as("replay_noop"),
@@ -1083,8 +1082,7 @@ private[graft] object LakeKeys {
       val rebuild = MT.read(s, src).groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_rows"),
           min(col("o_totalprice")).as("vmin"), max(col("o_totalprice")).as("vmax"))
-      val matches = maintained.exceptAll(rebuild).isEmpty &&
-        rebuild.exceptAll(maintained).isEmpty
+      val matches = multisetEqual(maintained, rebuild)
       MT.read(s, mart)
         .select(lit(r1 == 0L).as("insert_fold"), lit(r2 > 0L).as("recompute_fired"),
           lit(replayNoop && matches).as("replay_noop_and_matches"),
@@ -1131,7 +1129,7 @@ private[graft] object LakeKeys {
       val scratch = MT.read(s, a)
         .join(MT.read(s, b), col("o_custkey") === col("c_custkey"))
       val m = MT.read(s, mart)
-      val matches = m.exceptAll(scratch).isEmpty && scratch.exceptAll(m).isEmpty
+      val matches = multisetEqual(m, scratch)
       m.groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total_price"))
         .select(lit(matches).as("matches_rebuild"),
@@ -1358,7 +1356,7 @@ private[graft] object LakeKeys {
         val b2 = MT.ComposeMeters.coldPointerDecodes.get
         val second = MT.readPruned(s, root, col("o_orderkey") === probe).localCheckpoint()
         val decodesSecond = MT.ComposeMeters.coldPointerDecodes.get - b2
-        val same = second.exceptAll(first).isEmpty && first.exceptAll(second).isEmpty
+        val same = multisetEqual(second, first)
         first
           .select(lit(decodesFirst).as("pointer_decodes_first"),
             lit(decodesSecond).as("pointer_decodes_second"),
@@ -1464,9 +1462,8 @@ private[graft] object LakeKeys {
       MT.optimizeZOrder(s, root, Seq("o_custkey"), 64L * 1024 * 1024)
       val after = pairs().localCheckpoint()
       val preserved =
-        afterCompact.exceptAll(before).isEmpty && before.exceptAll(afterCompact).isEmpty &&
-          after.exceptAll(before.filter(col("o_orderkey") % 3 =!= 0)).isEmpty &&
-          before.filter(col("o_orderkey") % 3 =!= 0).exceptAll(after).isEmpty
+        multisetEqual(afterCompact, before) &&
+          multisetEqual(after, before.filter(col("o_orderkey") % 3 =!= 0))
       val withIds = MT.readWithRowIds(s, root)
       val unique = withIds.select(countDistinct(col("_row_id"))).first().getLong(0) ==
         withIds.count()
@@ -1512,7 +1509,7 @@ private[graft] object LakeKeys {
         val f = graft.sources.ManifestCatalog.read(s, cat, "fact", Some(v))
         val m = graft.sources.ManifestCatalog.read(s, cat, "mart", Some(v))
         val r = martOf(f)
-        m.exceptAll(r).isEmpty && r.exceptAll(m).isEmpty
+        multisetEqual(m, r)
       }
       graft.sources.ManifestCatalog.read(s, cat, "mart")
         .select(lit(allCuts).as("all_cuts_consistent"),

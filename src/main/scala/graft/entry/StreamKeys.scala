@@ -235,7 +235,7 @@ private[graft] object StreamKeys {
         "o_orderkey", "mirror", watermark)
       val srcDf = graft.sources.ManifestTable.read(s, src)
       val dstDf = graft.sources.ManifestTable.read(s, dst)
-      val mirrors = dstDf.exceptAll(srcDf).isEmpty && srcDf.exceptAll(dstDf).isEmpty
+      val mirrors = multisetEqual(dstDf, srcDf)
       dstDf.groupBy("o_orderstatus")
         .agg(count(lit(1)).cast("long").as("n_orders"),
           dsum(col("o_totalprice")).as("total_price"))
@@ -280,13 +280,13 @@ private[graft] object StreamKeys {
       drain() // incremental append window
       val m1 = {
         val srcDf = MT.read(s, src); val dstDf = MT.read(s, dst)
-        dstDf.exceptAll(srcDf).isEmpty && srcDf.exceptAll(dstDf).isEmpty
+        multisetEqual(dstDf, srcDf)
       }
       MT.overwrite(s, src, orders.filter(col("o_orderstatus") === "P"))
       drain() // refusal window → one atomic refresh
       val m2 = {
         val srcDf = MT.read(s, src); val dstDf = MT.read(s, dst)
-        dstDf.exceptAll(srcDf).isEmpty && srcDf.exceptAll(dstDf).isEmpty
+        multisetEqual(dstDf, srcDf)
       }
       MT.deleteMor(s, src, col("o_orderkey") % 4 === 0)
       drain() // post-refresh window resumes incrementally
@@ -347,7 +347,7 @@ private[graft] object StreamKeys {
       drain()
       val srcDf = MT.read(s, src)
       val dstDf = MT.read(s, dst).drop("_row_id")
-      val mirrors = dstDf.exceptAll(srcDf).isEmpty && srcDf.exceptAll(dstDf).isEmpty
+      val mirrors = multisetEqual(dstDf, srcDf)
       dstDf.groupBy("o_orderstatus")
         .agg(count(lit(1)).cast("long").as("n_orders"),
           dsum(col("o_totalprice")).as("total_price"))
@@ -392,7 +392,7 @@ private[graft] object StreamKeys {
       drain()
       val srcDf = MT.read(s, src)
       val dstDf = MT.read(s, dst)
-      val mirrors = dstDf.exceptAll(srcDf).isEmpty && srcDf.exceptAll(dstDf).isEmpty
+      val mirrors = multisetEqual(dstDf, srcDf)
       dstDf.groupBy("o_orderstatus")
         .agg(count(lit(1)).cast("long").as("n_orders"),
           dsum(col("o_totalprice")).as("total_price"))
@@ -438,7 +438,7 @@ private[graft] object StreamKeys {
       drain()
       val srcDf = MT.read(s, src)
       val dstDf = MT.read(s, dst)
-      val mirrors = dstDf.exceptAll(srcDf).isEmpty && srcDf.exceptAll(dstDf).isEmpty
+      val mirrors = multisetEqual(dstDf, srcDf)
       dstDf.groupBy("o_orderstatus")
         .agg(count(lit(1)).cast("long").as("n_orders"),
           dsum(col("o_totalprice")).as("total_price"))

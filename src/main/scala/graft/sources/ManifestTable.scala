@@ -2988,7 +2988,7 @@ object ManifestTable {
       root: String,
       sinceVersion: Long,
       untilVersion: Option[Long] = None): (DataFrame, Long) = {
-    import org.apache.spark.sql.functions.{broadcast, lit}
+    import org.apache.spark.sql.functions.{broadcast, lit, sum}
     val vs = versions(spark, root)
     refuse(vs.contains(sinceVersion),
       s"version $sinceVersion not in log (have ${vs.mkString(",")}) — cursor invalid, full refresh required")
@@ -3002,11 +3002,7 @@ object ManifestTable {
     val schema = schemaOf(spark, root, tip)
     val ct = "_change_type"
     val dvNewP = deletionVector(spark, root, tip)
-    val dvOld = deletionVector(spark, root, sinceVersion)
-      .map(p => dvFrame(spark, root, p)).getOrElse(emptyDvFrame(spark))
-    val dvNew = dvNewP.map(p => dvFrame(spark, root, p)).getOrElse(emptyDvFrame(spark))
-    val newlyDeleted = dvNew.exceptAll(dvOld).localCheckpoint()
-    val resurrected = dvOld.exceptAll(dvNew).localCheckpoint()
+    val dvOldP = deletionVector(spark, root, sinceVersion)
     val emptyTagged = read(spark, root, Some(tip)).limit(0).withColumn(ct, lit("insert"))
     // rows at `positions` within `files`, via a positional SEMI join
     def rowsAt(files: Seq[String], positions: DataFrame, tag: String): DataFrame =
@@ -3029,8 +3025,28 @@ object ManifestTable {
     val inserts =
       if (added.isEmpty) emptyTagged
       else readFiles(spark, root, schema, added, dvNewP).withColumn(ct, lit("insert"))
-    val deletes = rowsAt(filesTouching(newlyDeleted), newlyDeleted, "delete")
-    val resurrectedRows = rowsAt(filesTouching(resurrected), resurrected, "insert")
+    // vectors are immutable uuid-named files, so an unchanged DvKey path
+    // means an unchanged vector: the whole delete/resurrect diff is a
+    // metadata no-op — zero Spark jobs for the (common) append-only
+    // window. When it DID change, ONE ±1 union-aggregate pass computes
+    // both diff directions (the rows of a vector are unique — every
+    // writer distincts before the write), where two exceptAll
+    // checkpoints previously scanned both vectors twice.
+    val (deletes, resurrectedRows) =
+      if (dvNewP == dvOldP) (emptyTagged, emptyTagged)
+      else {
+        val dvOld = dvOldP.map(p => dvFrame(spark, root, p)).getOrElse(emptyDvFrame(spark))
+        val dvNew = dvNewP.map(p => dvFrame(spark, root, p)).getOrElse(emptyDvFrame(spark))
+        val dvDiff = dvNew.withColumn("_side", lit(1L))
+          .unionByName(dvOld.withColumn("_side", lit(-1L)))
+          .groupBy(col("file"), col("pos")).agg(sum(col("_side")).as("_side"))
+          .filter(col("_side") =!= 0L)
+          .localCheckpoint()
+        val newlyDeleted = dvDiff.filter(col("_side") > 0L).select("file", "pos")
+        val resurrected = dvDiff.filter(col("_side") < 0L).select("file", "pos")
+        (rowsAt(filesTouching(newlyDeleted), newlyDeleted, "delete"),
+          rowsAt(filesTouching(resurrected), resurrected, "insert"))
+      }
     (inserts.unionByName(deletes).unionByName(resurrectedRows), tip)
   }
 
@@ -3068,7 +3084,7 @@ object ManifestTable {
       sinceVersion: Long,
       untilVersion: Option[Long] = None,
       includeRowId: Boolean = false): (DataFrame, Long) = {
-    import org.apache.spark.sql.functions.{broadcast, lit, struct, when, max => fmax, min => fmin}
+    import org.apache.spark.sql.functions.{broadcast, lit, struct, when, max => fmax, min => fmin, sum => fsum}
     val vs = versions(spark, root)
     refuse(vs.contains(sinceVersion),
       s"version $sinceVersion not in log (have ${vs.mkString(",")}) — cursor invalid, full refresh required")
@@ -3133,25 +3149,39 @@ object ManifestTable {
       } else if (op.startsWith("restore-")) {
         refuse(added.isEmpty,
           s"v$v ($op) changed the file set — delta not id-expressible, full refresh required")
-        val dPrev = dvOf(v - 1).localCheckpoint()
-        val dCur = dvOf(v).localCheckpoint()
-        events :+= rowsAt(v, dCur.exceptAll(dPrev).localCheckpoint())
-          .withColumn("__v", lit(v)).withColumn("__kind", lit("del"))
-        events :+= rowsAt(v, dPrev.exceptAll(dCur).localCheckpoint())
-          .withColumn("__v", lit(v)).withColumn("__kind", lit("ins"))
+        // unchanged DvKey path = unchanged (immutable) vector: zero jobs;
+        // otherwise ONE ±1 union-aggregate yields both diff directions
+        // (see readChangesWithDeletes — vectors' rows are unique)
+        if (deletionVector(spark, root, v) != deletionVector(spark, root, v - 1)) {
+          val dvDiff = dvOf(v).withColumn("_side", lit(1L))
+            .unionByName(dvOf(v - 1).withColumn("_side", lit(-1L)))
+            .groupBy(col("file"), col("pos")).agg(fsum(col("_side")).as("_side"))
+            .filter(col("_side") =!= 0L)
+            .localCheckpoint()
+          events :+= rowsAt(v, dvDiff.filter(col("_side") > 0L).select("file", "pos"))
+            .withColumn("__v", lit(v)).withColumn("__kind", lit("del"))
+          events :+= rowsAt(v, dvDiff.filter(col("_side") < 0L).select("file", "pos"))
+            .withColumn("__v", lit(v)).withColumn("__kind", lit("ins"))
+        }
       } else {
         if (added.nonEmpty)
           events :+= readFilesWithRowIds(spark, root, v, added)
             .drop(DvFileCol, DvPosCol)
             .withColumn("__v", lit(v)).withColumn("__kind", lit("ins"))
-        val dPrev = dvOf(v - 1).localCheckpoint()
-        val dCur = dvOf(v).localCheckpoint()
-        refuse(dPrev.exceptAll(dCur).isEmpty,
-          s"v$v ($op) shrank the deletion vector outside RESTORE — full refresh required")
-        val grown = dCur.exceptAll(dPrev).localCheckpoint()
-        if (!grown.isEmpty)
-          events :+= rowsAt(v, grown)
-            .withColumn("__v", lit(v)).withColumn("__kind", lit("del"))
+        // same path guard + one-pass diff as the restore branch above
+        if (deletionVector(spark, root, v) != deletionVector(spark, root, v - 1)) {
+          val dvDiff = dvOf(v).withColumn("_side", lit(1L))
+            .unionByName(dvOf(v - 1).withColumn("_side", lit(-1L)))
+            .groupBy(col("file"), col("pos")).agg(fsum(col("_side")).as("_side"))
+            .filter(col("_side") =!= 0L)
+            .localCheckpoint()
+          refuse(dvDiff.filter(col("_side") < 0L).isEmpty,
+            s"v$v ($op) shrank the deletion vector outside RESTORE — full refresh required")
+          val grown = dvDiff.filter(col("_side") > 0L).select("file", "pos")
+          if (!grown.isEmpty)
+            events :+= rowsAt(v, grown)
+              .withColumn("__v", lit(v)).withColumn("__kind", lit("del"))
+        }
       }
     }
     val outFields = schema.map(visibleSchema(_).fieldNames.toSeq)
@@ -3882,6 +3912,17 @@ object ManifestTable {
     val v0 = vs.max
     val planned = manifestFiles(spark, root, v0)
     val tableSchema = schemaOf(spark, root, v0)
+    // the batch is consumed up to FOUR times below (tag discovery,
+    // delete-key collect, the insert-side stage, plus the generated/
+    // check aggregates when declared) — and a change-feed batch is a
+    // scan + positional semi-joins, so each pass re-runs that pipeline.
+    // Persist it once per attempt (batch-sized by contract: one
+    // micro-batch of changes, the thing this call stages to disk
+    // anyway), release on every exit path. Measured on the st10-14
+    // mirror drains: the apply phase is the dominant cost and the feed
+    // recomputation was most of it.
+    val fd = feed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // an unknown tag must fail loudly, not silently drop the row — a
     // feed that speaks a richer dialect (update_preimage, ...) needs
     // translating, not truncating
@@ -3890,7 +3931,7 @@ object ManifestTable {
     // distinct-scan job — one less fixed-cost pass per applied batch;
     // an undeclared feed (CDC from elsewhere) still pays the discovery
     val tags: Set[Any] = feedTags.map(_.map(t => t: Any)).getOrElse(
-      feed.select(col(ct)).distinct().limit(5).collect()
+      fd.select(col(ct)).distinct().limit(5).collect()
         .map(_.get(0)).toSet)
     require(tags.subsetOf(Set[Any]("insert", "delete", "refresh", "truncate")),
       s"applyChangesMor understands '$ct' tags 'insert', 'delete', 'refresh', and 'truncate' only — " +
@@ -3909,12 +3950,12 @@ object ManifestTable {
       require(tags.subsetOf(Set[Any]("refresh", "truncate")),
         "a refresh batch must be refresh-only (the rows replace the whole table)")
       val (staged, base, metaAt, statsAt) = prepareOverwrite(spark, root,
-        feed.filter(col(ct) === "refresh").drop(ct),
+        fd.filter(col(ct) === "refresh").drop(ct),
         extraMeta + (key -> batchId.toString), statsColumns, bloomColumns)
       return commit(spark, root, "apply-refresh", staged, base, metaAt, statsAt)
     }
-    val inserts = feed.filter(col(ct) === "insert").drop(ct)
-    val delKeys = feed.filter(col(ct) === "delete").select(col(keyCol)).distinct()
+    val inserts = fd.filter(col(ct) === "insert").drop(ct)
+    val delKeys = fd.filter(col(ct) === "delete").select(col(keyCol)).distinct()
     // -------- delete side: grow the cumulative vector (MOR) ----------
     val collected = delKeys.limit(maxKeys + 1).collect()
     require(collected.forall(_.get(0) != null), s"delete keys ($keyCol) must be non-null")
@@ -3978,6 +4019,7 @@ object ManifestTable {
         dvRel.map(r => Map(DvKey -> r)).getOrElse(Map.empty) ++
         extraMeta + (key -> batchId.toString),
       _ => fileStats(spark, root, v0) ++ newStats)
+    } finally fd.unpersist(blocking = false)
   }
 
   /** Replace the table content (the tip's files drop out of the new
