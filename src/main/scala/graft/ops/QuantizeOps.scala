@@ -170,22 +170,28 @@ object QuantizeOps {
     centroids
   }
 
-  private[graft] def centroidsSql(cb: Array[Array[Double]]): String =
-    cb.map(_.map(d => s"${d}d").mkString("array(", ",", ")"))
-      .mkString("array(", ",", ")")
+  /** A k×dim codebook as ONE literal Column (`typedLit`, not SQL text):
+    * a 256×8 codebook rendered as `array(array(...))` source was ~40 KB
+    * of text PER REFERENCE — with two references per subspace the sq3/
+    * ann7 expressions ran to hundreds of KB that the SQL parser and
+    * ConstantFolding chewed through on the driver every run. The typed
+    * literal is the same ArrayType(ArrayType(Double)) value (Double
+    * text round-trips exactly, so nothing else ever differed) with
+    * zero parse/fold work. */
+  private[graft] def centroidsLit(cb: Array[Array[Double]]): Column =
+    typedLit[Seq[Seq[Double]]](cb.map(_.toSeq).toSeq)
 
-  /** PQ codes for a float-vector column (referenced by NAME — the
-    * kernel call is assembled as SQL text): array<int> of length m,
+  /** PQ codes for a float-vector column: array<int> of length m,
     * code j = nearest centroid of subspace j — the SAME
     * graft_nearest_cells kernel as the IVF probe, over sliced
     * subvectors. Callers must have run NativeExpressions.register. */
   def pqEncode(vecCol: String, codebook: Array[Array[Array[Double]]]): Column = {
     val sd = codebook.head.head.length
     val parts = codebook.indices.map { j =>
-      val sliceSql = s"slice(`$vecCol`, ${j * sd + 1}, $sd)"
-      s"element_at(graft_nearest_cells($sliceSql, ${centroidsSql(codebook(j))}, 1), 1)"
+      element_at(call_function("graft_nearest_cells",
+        slice(col(vecCol), j * sd + 1, sd), centroidsLit(codebook(j)), lit(1)), 1)
     }
-    expr(parts.mkString("array(", ", ", ")"))
+    array(parts: _*)
   }
 
   /** Reconstruction from PQ codes: concatenate the coded centroids —
@@ -200,7 +206,7 @@ object QuantizeOps {
     * query use [[pqEncodeReconstruct]], which is fused. */
   def pqReconstruct(codes: Column, codebook: Array[Array[Array[Double]]]): Column = {
     val perSub: Seq[Column] = codebook.indices.map { j =>
-      element_at(expr(centroidsSql(codebook(j))), element_at(codes, j + 1) + 1)
+      element_at(centroidsLit(codebook(j)), element_at(codes, j + 1) + 1)
     }
     flatten(array(perSub: _*))
   }
@@ -212,10 +218,9 @@ object QuantizeOps {
   def pqEncodeReconstruct(vecCol: String, codebook: Array[Array[Array[Double]]]): Column = {
     val sd = codebook.head.head.length
     val perSub: Seq[Column] = codebook.indices.map { j =>
-      val code = expr(
-        s"element_at(graft_nearest_cells(slice(`$vecCol`, ${j * sd + 1}, $sd), " +
-          s"${centroidsSql(codebook(j))}, 1), 1)")
-      element_at(expr(centroidsSql(codebook(j))), code + 1)
+      val code = element_at(call_function("graft_nearest_cells",
+        slice(col(vecCol), j * sd + 1, sd), centroidsLit(codebook(j)), lit(1)), 1)
+      element_at(centroidsLit(codebook(j)), code + 1)
     }
     flatten(array(perSub: _*))
   }

@@ -206,13 +206,12 @@ object SimilarityOps {
     // nProbe nearest centroids per query via the native kernel
     // (graft.functions.NativeExpressions.NearestCells) — [[probeCellsHOF]]
     // stays as its executable specification. Centroids ship to executors
-    // as a literal (they are nLists × dim — small by construction).
-    val centroidSql = centroids
-      .map(_.map(d => s"${d}d").mkString("array(", ",", ")"))
-      .mkString("array(", ",", ")")
+    // as a typed literal (nLists × dim — small by construction; see
+    // QuantizeOps.centroidsLit for why not SQL text).
     val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
       .select(col("q_id"), col("q_vec"),
-        explode(expr(s"graft_nearest_cells(q_vec, $centroidSql, $nProbe)")).as("cell"))
+        explode(call_function("graft_nearest_cells", col("q_vec"),
+          QuantizeOps.centroidsLit(centroids), lit(nProbe))).as("cell"))
 
     val scored = assigned.join(q, Seq("cell"))
       .filter(if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
@@ -253,9 +252,7 @@ object SimilarityOps {
     val (assigned, centroids) = ivfQuantize(corpus, idCol, vecCol, nLists, seed)
     val codebook = QuantizeOps.pqFit(corpus, vecCol, dim, m, kCodes, seed)
     val sd = dim / m
-    val centroidSql = centroids
-      .map(_.map(d => s"${d}d").mkString("array(", ",", ")"))
-      .mkString("array(", ",", ")")
+    val centroidLit = QuantizeOps.centroidsLit(centroids)
     val probed = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
     if (adc) {
       // ADC (asymmetric distance computation) — the production scoring
@@ -271,25 +268,25 @@ object SimilarityOps {
         QuantizeOps.pqEncode("c_vec", codebook).as("codes"))
       // per-subspace dot-product LUT: luts[j][c] = q_subj · codebook[j][c]
       val luts = array(codebook.indices.map { j =>
-        transform(expr(QuantizeOps.centroidsSql(codebook(j))), c =>
+        transform(QuantizeOps.centroidsLit(codebook(j)), c =>
           aggregate(
             zip_with(slice(col("q_vec"), j * sd + 1, sd), c,
               (x, y) => x.cast("double") * y),
             lit(0.0), (acc, v) => acc + v))
       }: _*)
       // centroid norm² tables are query-independent literals
-      val norm2Sql = codebook
-        .map(_.map(c => s"${c.map(x => x * x).sum}d").mkString("array(", ",", ")"))
-        .mkString("array(", ",", ")")
+      val norm2Lit = typedLit[Seq[Seq[Double]]](
+        codebook.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq)
       val q = probed
         .select(col("q_id"), luts.as("luts"), norm(col("q_vec")).as("qnorm"),
-          explode(expr(s"graft_nearest_cells(q_vec, $centroidSql, $nProbe)")).as("cell"))
+          explode(call_function("graft_nearest_cells", col("q_vec"),
+            centroidLit, lit(nProbe))).as("cell"))
       val dotSum = codebook.indices
         .map(j => element_at(element_at(col("luts"), j + 1),
           element_at(col("codes"), j + 1) + 1))
         .reduce(_ + _)
       val norm2Sum = codebook.indices
-        .map(j => element_at(element_at(expr(norm2Sql), j + 1),
+        .map(j => element_at(element_at(norm2Lit, j + 1),
           element_at(col("codes"), j + 1) + 1))
         .reduce(_ + _)
       val scored = compressed.join(q, Seq("cell"))
@@ -307,7 +304,8 @@ object SimilarityOps {
       val compressed = assigned.select(col("cell"), col("vec_id"),
         QuantizeOps.pqEncodeReconstruct("c_vec", codebook).as("recon"))
       val q = probed.select(col("q_id"), col("q_vec"),
-        explode(expr(s"graft_nearest_cells(q_vec, $centroidSql, $nProbe)")).as("cell"))
+        explode(call_function("graft_nearest_cells", col("q_vec"),
+          centroidLit, lit(nProbe))).as("cell"))
       def subFold(j: Int)(f: (Column, Column) => Column): Column =
         aggregate(
           zip_with(slice(col("q_vec"), j * sd + 1, sd), slice(col("recon"), j * sd + 1, sd), f),
