@@ -199,11 +199,15 @@ class S3ConditionalPutClaimer extends SlotClaimer {
     * waits means the failure was never a race, and it propagates. */
   private[graft] def classify(f: FileSystem, dst: Path,
       e: org.apache.hadoop.fs.PathIOException): Boolean = {
+    // 5 occupancy checks with 8+16+32+64 ms between them — the SAME
+    // ~120 ms ladder as retryingCorrupt, so the doc claim above is the
+    // one discipline everywhere (the last check gets no trailing sleep:
+    // nothing would re-check after it)
     var attempt = 0
     while (attempt < 5) {
       if (f.exists(dst)) return false
       attempt += 1
-      Thread.sleep(4L << attempt)
+      if (attempt < 5) Thread.sleep(4L << attempt)
     }
     throw e
   }
