@@ -127,12 +127,27 @@ object Bench {
     val passJson = passTotals.mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"median_query_sec":$median,"repeat":$repeat,"pass_totals":$passJson,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
+    // A second, guaranteed-short summary line AFTER the full line: at 244
+    // queries the full line is ~8 KB and a capture that keeps only a 2 KB
+    // stdout tail truncates it into unparseable JSON. The summary repeats
+    // the headline fields (same keys, no per-query map) so a truncated
+    // tail still yields the totals. Consumers of the contractual full
+    // line are unaffected — it is printed first and in full.
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${results.size},"median_query_sec":$median,"repeat":$repeat,"pass_totals":$passJson,"failed":$failed,"sf":"$sfDir","cpus":$cpus}""")
     // the driver's artifact keeps only the tail of stdout, which truncates
     // the totals once the suite is large — persist the complete metric
-    // JSON so every headline number stays auditable post-hoc
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    // JSON so every headline number stays auditable post-hoc. The default
+    // path is cpu-suffixed: the driver runs the bench at two core counts
+    // back-to-back, and a single fixed path made the second run clobber
+    // the first (round-16 lost its full 32-core per-query data that way).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"/root/repo/bench_out_c$cpus.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    // keep the legacy fixed path too (best-effort) so existing tooling
+    // that reads /root/repo/bench_out.json still finds the latest run
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/bench_out.json"), line + "\n")
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }

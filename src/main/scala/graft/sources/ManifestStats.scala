@@ -118,6 +118,26 @@ object ManifestStats {
       virtualCols: Seq[(String, Column)] = Nil): Map[String, FileStats] = {
     val rangeCols = (statsColumns ++ bloomColumns ++ virtualCols.map(_._1)).distinct // blooms imply min/max too
     if (rangeCols.isEmpty || relPaths.isEmpty) return Map.empty
+    // Footer fast path: parquet footers already hold min/max/null-count
+    // per column chunk and the row count per row group, so for freshly
+    // staged files the per-commit stats job is a re-scan of data the
+    // writer just serialized. One driver-side footer read per file
+    // replaces that whole Spark job. Taken ONLY when it provably
+    // reproduces the scan's stats BYTE-identically (same canonical
+    // strings — pruning keys on them and declared queries pin pruning
+    // outcomes): blooms need row values, virtual transform columns are
+    // computed per row, and a committed-schema backfill must see columns
+    // absent from older files — all of those still scan, as do columns
+    // whose footer bounds can diverge from scan bounds (floats: NaN
+    // poisons footer min/max while the scan's canonical() drops
+    // non-finite bounds; decimals/INT96: representation).
+    if (bloomColumns.isEmpty && virtualCols.isEmpty && schema.isEmpty &&
+        sys.env.getOrElse("SPARK_GRAFT_FOOTER_STATS", "1") != "0") {
+      collectFromFooters(spark, root, relPaths, rangeCols) match {
+        case Some(m) => return m
+        case None => () // any non-fast-pathable shape: fall through to the scan
+      }
+    }
     // freshly staged files are schema-homogeneous and infer fine; a
     // backfill over a widening-append lineage must read with the
     // COMMITTED schema (footer inference picks one file's shape and can
@@ -177,6 +197,116 @@ object ManifestStats {
           p -> FileStats(0L, rangeCols.map(c => c -> ColumnStats(None, None, 0L)).toMap))
         m ++ empties
     }
+  }
+
+  /** The footer fast path behind [[collect]] (guide §6: parquet footers
+    * already hold these): per-file stats derived from the staged files'
+    * own footers, zero Spark jobs. Returns None — "use the scan" —
+    * whenever ANY file/column is not provably byte-identical to what the
+    * scan would produce:
+    *  - a parquet type whose footer bounds can diverge from Spark
+    *    aggregates: FLOAT/DOUBLE (a NaN poisons footer min/max via
+    *    Math.min/max while Spark's min/max + canonical() turn it into an
+    *    unbounded side — and a NaN row MATCHES `x > c` under Spark
+    *    semantics, so trusting a NaN-blind footer max would prune
+    *    unsoundly), INT96 timestamps (no valid stats order), decimals and
+    *    unsigned ints (representation);
+    *  - stats missing, size-dropped (parquet omits bounds > 4 KB), or
+    *    untrusted by parquet-mr's own corrupt-statistics check;
+    *  - a configured truncation length (bounds become prefixes — sound
+    *    for pruning but not identical to scan stats, which callers pin).
+    * Canonical encodings per surviving type match [[canonical]] exactly:
+    * integral → BigDecimal plain string, string → raw UTF-8 value, date
+    * → epoch days, timestamp(UTC, MICROS) → epoch micros.
+    *
+    * Scale note: this is a driver-side footer read per staged file —
+    * O(files in the commit), the same order as the commit's own manifest
+    * write, and strictly cheaper than launching a cluster-wide job to
+    * re-read data the writer just serialized. */
+  private[graft] def collectFromFooters(
+      spark: SparkSession,
+      root: String,
+      relPaths: Seq[String],
+      cols: Seq[String]): Option[Map[String, FileStats]] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    if (conf.get("parquet.statistics.truncate.length") != null) return None
+    // canonicalizer per parquet type — EXACTLY the encoding canonical()
+    // produces for the Spark type this parquet type reads back as
+    def canonFn(pt: org.apache.parquet.schema.PrimitiveType): Option[Any => String] = {
+      val ann = pt.getLogicalTypeAnnotation
+      pt.getPrimitiveTypeName match {
+        case INT32 => ann match {
+          case null => Some(v => new java.math.BigDecimal(v.toString).toPlainString)
+          case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation if i.isSigned =>
+            Some(v => new java.math.BigDecimal(v.toString).toPlainString)
+          case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => Some(v => v.toString)
+          case _ => None
+        }
+        case INT64 => ann match {
+          case null => Some(v => new java.math.BigDecimal(v.toString).toPlainString)
+          case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+              if i.isSigned && i.getBitWidth == 64 =>
+            Some(v => new java.math.BigDecimal(v.toString).toPlainString)
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if t.isAdjustedToUTC && t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+            Some(v => v.toString)
+          case _ => None
+        }
+        case BINARY => ann match {
+          case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+            Some(v => v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+    try {
+      val result = Map.newBuilder[String, FileStats]
+      relPaths.foreach { rel =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$root/$rel"), conf)
+        val footer = {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter finally r.close()
+        }
+        val msg = footer.getFileMetaData.getSchema
+        import scala.jdk.CollectionConverters._
+        val blocks = footer.getBlocks.asScala.toSeq
+        val rowCount = blocks.map(_.getRowCount).sum
+        val colStats = cols.map { c =>
+          // absent column: the scan would fail loudly ("not in schema") —
+          // fall back so the error surfaces identically from one place
+          if (!msg.containsField(c)) return None
+          val t = msg.getType(Seq(c): _*)
+          if (!t.isPrimitive ||
+              t.isRepetition(org.apache.parquet.schema.Type.Repetition.REPEATED)) return None
+          val canon = canonFn(t.asPrimitiveType()).getOrElse(return None)
+          var nulls = 0L
+          var minV: Any = null
+          var maxV: Any = null
+          var cmp: java.util.Comparator[Any] = null
+          blocks.foreach { b =>
+            val ccmd = b.getColumns.asScala.find(_.getPath.toDotString == c).getOrElse(return None)
+            val st = ccmd.getStatistics
+            if (st == null || !st.isNumNullsSet) return None
+            nulls += st.getNumNulls
+            if (st.hasNonNullValue) {
+              if (cmp == null) cmp = st.comparator().asInstanceOf[java.util.Comparator[Any]]
+              val mn = st.genericGetMin; val mx = st.genericGetMax
+              if (minV == null || cmp.compare(mn, minV) < 0) minV = mn
+              if (maxV == null || cmp.compare(mx, maxV) > 0) maxV = mx
+            } else if (st.getNumNulls != ccmd.getValueCount) {
+              return None // bounds size-dropped by the writer, not an all-null chunk
+            }
+          }
+          c -> ColumnStats(Option(minV).map(canon), Option(maxV).map(canon), nulls)
+        }.toMap
+        result += rel -> FileStats(rowCount, colStats)
+      }
+      Some(result.result())
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Driver-collected value → canonical string (None for null or a

@@ -3932,11 +3932,19 @@ object ManifestTable {
     // translating, not truncating
     // a caller that CONSTRUCTED the feed (a maintainer unioning its own
     // literal-tagged branches) declares the tag set and skips the
-    // distinct-scan job — one less fixed-cost pass per applied batch;
-    // an undeclared feed (CDC from elsewhere) still pays the discovery
-    val tags: Set[Any] = feedTags.map(_.map(t => t: Any)).getOrElse(
-      fd.select(col(ct)).distinct().limit(5).collect()
-        .map(_.get(0)).toSet)
+    // discovery job entirely; an undeclared feed (CDC from elsewhere)
+    // pays ONE groupBy-count pass whose per-tag counts then make two
+    // MORE per-batch jobs conditional (guide §2.4 — don't run a job to
+    // learn what a finished job already told you): zero 'delete' rows
+    // skips the delete-key collect, zero 'insert' rows skips the
+    // insert-side isEmpty probe — an initial-load or delete-only batch
+    // drops from four feed passes to two.
+    val tagCounts: Option[Map[Any, Long]] =
+      if (feedTags.isDefined) None
+      else Some(fd.groupBy(col(ct)).agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("__n")).collect()
+        .map(r => (r.get(0), r.getLong(1))).toMap)
+    val tags: Set[Any] = feedTags.map(_.map(t => t: Any)).getOrElse(tagCounts.get.keySet)
     require(tags.subsetOf(Set[Any]("insert", "delete", "refresh", "truncate")),
       s"applyChangesMor understands '$ct' tags 'insert', 'delete', 'refresh', and 'truncate' only — " +
         s"got ${tags.mkString(", ")}")
@@ -3961,7 +3969,12 @@ object ManifestTable {
     val inserts = fd.filter(col(ct) === "insert").drop(ct)
     val delKeys = fd.filter(col(ct) === "delete").select(col(keyCol)).distinct()
     // -------- delete side: grow the cumulative vector (MOR) ----------
-    val collected = delKeys.limit(maxKeys + 1).collect()
+    // the tag counts (when discovered above) prove an insert-only batch
+    // has zero delete keys — skip the collect job outright then
+    val collected =
+      if (tagCounts.exists(_.getOrElse("delete", 0L) == 0L))
+        Array.empty[org.apache.spark.sql.Row]
+      else delKeys.limit(maxKeys + 1).collect()
     require(collected.forall(_.get(0) != null), s"delete keys ($keyCol) must be non-null")
     val dvRel: Option[String] =
       if (collected.isEmpty) None
@@ -4000,8 +4013,13 @@ object ManifestTable {
         s"apply-changes insert schema ${genDf.schema.simpleString} does not match table ${visible.simpleString}")
     }
     enforceChecks(spark, root, Some(v0), genDf, "apply-changes")
+    // zero 'insert' rows (proved by the tag counts) skips the isEmpty
+    // probe — a delete-only batch stages nothing without another pass
+    val insertsEmpty = tagCounts
+      .map(_.getOrElse("insert", 0L) == 0L)
+      .getOrElse(genDf.isEmpty)
     val staged =
-      if (genDf.isEmpty) Seq.empty[String]
+      if (insertsEmpty) Seq.empty[String]
       else stage(spark, root, toPhysical(genDf, tableSchema))
     val tipTransforms = transformsOf(spark, root, v0)
     val newStats = ManifestStats.collect(spark, root, staged,

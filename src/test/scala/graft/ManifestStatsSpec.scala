@@ -693,4 +693,71 @@ class ManifestStatsSpec extends SparkSpec {
     assert(PartitionTransform.parse("truncate:8:col").isEmpty) // future kind
     assert(PartitionTransform.parse("bucket:16:col").nonEmpty)
   }
+
+  // ---- footer fast path: stats derived from parquet footers must be
+  // BYTE-identical to the scan's (collect with schema=Some forces the
+  // scan — the gate only fast-paths schema-less fresh-stage calls) ----
+
+  test("footer stats equal scan stats exactly: long, string (incl. astral), date, timestamp") {
+    import graft.sources.ManifestStats
+    val root = freshRoot()
+    val df = spark.range(0, 1000).select(
+        col("id").as("k"),
+        concat(lit("vé-😀-"), col("id").cast("string")).as("s"),
+        date_add(lit("2020-01-01").cast("date"), col("id").cast("int")).as("d"),
+        timestamp_seconds(lit(1622548800L) + col("id")).as("ts"),
+        when(col("id") % 7 === 0, lit(null)).otherwise(col("id") * 2).as("nully"))
+      .repartition(3)
+    val tmp = s"$root/data/tx-test"
+    df.write.parquet(tmp)
+    val files = new java.io.File(tmp).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(f => s"data/tx-test/${f.getName}").toSeq.sorted
+    val cols = Seq("k", "s", "d", "ts", "nully")
+    val footer = ManifestStats.collectFromFooters(spark, root, files, cols)
+    val scan = ManifestStats.collect(spark, root, files, cols,
+      schema = Some(df.schema)) // schema forces the scan path
+    footer match {
+      case Some(m) => assert(m === scan, "footer stats diverged from scan stats")
+      case None =>
+        // acceptable only if the writer produced INT96 timestamps (no
+        // usable footer stats) — then drop ts and the rest must match
+        val cols2 = cols.filterNot(_ == "ts")
+        val f2 = ManifestStats.collectFromFooters(spark, root, files, cols2)
+        val s2 = ManifestStats.collect(spark, root, files, cols2, schema = Some(df.schema))
+        assert(f2.contains(s2), "footer stats diverged from scan stats (ts-less)")
+    }
+  }
+
+  test("footer fast path refuses float/double columns (NaN-unsound bounds) and scans instead") {
+    import graft.sources.ManifestStats
+    val root = freshRoot()
+    val df = spark.range(0, 100).select(
+      col("id").as("k"),
+      when(col("id") === 50, lit(Double.NaN)).otherwise(col("id").cast("double")).as("x"))
+    val tmp = s"$root/data/tx-dbl"
+    df.coalesce(1).write.parquet(tmp)
+    val files = new java.io.File(tmp).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(f => s"data/tx-dbl/${f.getName}").toSeq
+    assert(ManifestStats.collectFromFooters(spark, root, files, Seq("k", "x")).isEmpty,
+      "double column must not fast-path")
+    // the public collect falls back to the scan and keeps the NaN-safe
+    // semantics: max bound dropped (None), file stays unprunable above
+    val m = ManifestStats.collect(spark, root, files, Seq("x"))
+    val cs = m(files.head).cols("x")
+    assert(cs.max.isEmpty, s"NaN must leave the max unbounded, got ${cs.max}")
+  }
+
+  test("footer stats handle an all-null column and pruning over footer stats stays exact") {
+    val root = freshRoot()
+    ManifestTable.create(spark, root,
+      orders.withColumn("maybe", when(col("o_orderkey") % 2 === 0, col("o_orderkey")))
+        .repartitionByRange(4, col("o_orderkey")),
+      statsColumns = Seq("o_orderkey", "maybe"))
+    val (kept, total) = checkExact(root, col("o_orderkey") === 17L)
+    assert(kept < total, s"footer-stats pruning dropped nothing ($kept/$total)")
+    checkExact(root, col("maybe").isNull)
+    checkExact(root, col("maybe") > 100L)
+  }
 }
