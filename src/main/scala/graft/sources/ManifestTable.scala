@@ -3019,12 +3019,6 @@ object ManifestTable {
           .drop(DvFileCol, DvPosCol)
           .withColumn(ct, lit(tag))
       }
-    def filesTouching(positions: DataFrame): Seq[String] = {
-      // bounded by the table's FILE count, like the manifest itself
-      val keys = positions.select("file").distinct()
-        .collect().map(_.getString(0)).toSet
-      cur.filter(f => old.contains(f) && keys.contains(dvFileKey(f)))
-    }
     val added = cur.filterNot(old)
     val inserts =
       if (added.isEmpty) emptyTagged
@@ -3032,27 +3026,56 @@ object ManifestTable {
     // vectors are immutable uuid-named files, so an unchanged DvKey path
     // means an unchanged vector: the whole delete/resurrect diff is a
     // metadata no-op — zero Spark jobs for the (common) append-only
-    // window. When it DID change, ONE ±1 union-aggregate pass computes
-    // both diff directions (the rows of a vector are unique — every
-    // writer distincts before the write), where two exceptAll
-    // checkpoints previously scanned both vectors twice.
+    // window. When it DID change, ONE ±1 union-aggregate computes both
+    // diff directions (the rows of a vector are unique — every writer
+    // distincts before the write) and is COLLECTED in the same action:
+    // the positions are change-rate-sized and travel to every executor
+    // as a broadcast below anyway, so driver-materializing them costs
+    // the same memory once — and the file sets both diff directions
+    // touch fall out of the collected rows for free, where the previous
+    // shape paid a checkpoint job plus one more collect per direction.
     val (deletes, resurrectedRows) =
       if (dvNewP == dvOldP) (emptyTagged, emptyTagged)
       else {
         val dvOld = dvOldP.map(p => dvFrame(spark, root, p)).getOrElse(emptyDvFrame(spark))
         val dvNew = dvNewP.map(p => dvFrame(spark, root, p)).getOrElse(emptyDvFrame(spark))
-        val dvDiff = dvNew.withColumn("_side", lit(1L))
-          .unionByName(dvOld.withColumn("_side", lit(-1L)))
-          .groupBy(col("file"), col("pos")).agg(sum(col("_side")).as("_side"))
-          .filter(col("_side") =!= 0L)
-          .localCheckpoint()
-        val newlyDeleted = dvDiff.filter(col("_side") > 0L).select("file", "pos")
-        val resurrected = dvDiff.filter(col("_side") < 0L).select("file", "pos")
-        (rowsAt(filesTouching(newlyDeleted), newlyDeleted, "delete"),
-          rowsAt(filesTouching(resurrected), resurrected, "insert"))
+        val diffRows = dvDiffRows(spark, dvNew, dvOld)
+        def touching(rows: Array[org.apache.spark.sql.Row]): Seq[String] = {
+          // bounded by the table's FILE count, like the manifest itself
+          val keys = rows.map(_.getString(0)).toSet
+          cur.filter(f => old.contains(f) && keys.contains(dvFileKey(f)))
+        }
+        val newlyDeleted = diffRows.filter(_.getLong(2) > 0L)
+        val resurrected = diffRows.filter(_.getLong(2) < 0L)
+        (rowsAt(touching(newlyDeleted), localPosDf(spark, newlyDeleted), "delete"),
+          rowsAt(touching(resurrected), localPosDf(spark, resurrected), "insert"))
       }
     (inserts.unionByName(deletes).unionByName(resurrectedRows), tip)
   }
+
+  /** The ±1 deletion-vector diff (rows of `dvNew` minus `dvOld` carry
+    * _side > 0, the reverse < 0), COLLECTED — one Spark action yields
+    * both diff directions and their touched-file sets. Sound to
+    * driver-materialize: every consumer broadcasts these positions
+    * anyway, so they are already bounded by what fits on one node. */
+  private def dvDiffRows(spark: SparkSession, dvNew: DataFrame,
+      dvOld: DataFrame): Array[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.{lit, sum}
+    dvNew.withColumn("_side", lit(1L))
+      .unionByName(dvOld.withColumn("_side", lit(-1L)))
+      .groupBy(col("file"), col("pos")).agg(sum(col("_side")).as("_side"))
+      .filter(col("_side") =!= 0L)
+      .collect()
+  }
+
+  /** Collected diff rows → a local-relation `(file, pos)` frame (no
+    * cluster job to build, none to collect from; broadcasts directly). */
+  private def localPosDf(spark: SparkSession,
+      rows: Array[org.apache.spark.sql.Row]): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r =>
+        org.apache.spark.sql.Row(r.getString(0), r.getLong(1))): _*),
+      dvSchema)
 
   /** Change-data feed over a ROW-TRACKED table — the version walk that
     * serves an EMPTY delta across id-preserving rewrites, where the
@@ -3154,17 +3177,14 @@ object ManifestTable {
         refuse(added.isEmpty,
           s"v$v ($op) changed the file set — delta not id-expressible, full refresh required")
         // unchanged DvKey path = unchanged (immutable) vector: zero jobs;
-        // otherwise ONE ±1 union-aggregate yields both diff directions
-        // (see readChangesWithDeletes — vectors' rows are unique)
+        // otherwise ONE collected ±1 diff yields both directions AND
+        // their file sets in a single action (see readChangesWithDeletes
+        // — the positions broadcast downstream anyway)
         if (deletionVector(spark, root, v) != deletionVector(spark, root, v - 1)) {
-          val dvDiff = dvOf(v).withColumn("_side", lit(1L))
-            .unionByName(dvOf(v - 1).withColumn("_side", lit(-1L)))
-            .groupBy(col("file"), col("pos")).agg(fsum(col("_side")).as("_side"))
-            .filter(col("_side") =!= 0L)
-            .localCheckpoint()
-          events :+= rowsAt(v, dvDiff.filter(col("_side") > 0L).select("file", "pos"))
+          val diffRows = dvDiffRows(spark, dvOf(v), dvOf(v - 1))
+          events :+= rowsAt(v, localPosDf(spark, diffRows.filter(_.getLong(2) > 0L)))
             .withColumn("__v", lit(v)).withColumn("__kind", lit("del"))
-          events :+= rowsAt(v, dvDiff.filter(col("_side") < 0L).select("file", "pos"))
+          events :+= rowsAt(v, localPosDf(spark, diffRows.filter(_.getLong(2) < 0L)))
             .withColumn("__v", lit(v)).withColumn("__kind", lit("ins"))
         }
       } else {
@@ -3172,18 +3192,16 @@ object ManifestTable {
           events :+= readFilesWithRowIds(spark, root, v, added)
             .drop(DvFileCol, DvPosCol)
             .withColumn("__v", lit(v)).withColumn("__kind", lit("ins"))
-        // same path guard + one-pass diff as the restore branch above
+        // same path guard + one-pass collected diff as the restore
+        // branch above; the shrink refusal and the grown-empty check
+        // read the collected rows — no further jobs
         if (deletionVector(spark, root, v) != deletionVector(spark, root, v - 1)) {
-          val dvDiff = dvOf(v).withColumn("_side", lit(1L))
-            .unionByName(dvOf(v - 1).withColumn("_side", lit(-1L)))
-            .groupBy(col("file"), col("pos")).agg(fsum(col("_side")).as("_side"))
-            .filter(col("_side") =!= 0L)
-            .localCheckpoint()
-          refuse(dvDiff.filter(col("_side") < 0L).isEmpty,
+          val diffRows = dvDiffRows(spark, dvOf(v), dvOf(v - 1))
+          refuse(!diffRows.exists(_.getLong(2) < 0L),
             s"v$v ($op) shrank the deletion vector outside RESTORE — full refresh required")
-          val grown = dvDiff.filter(col("_side") > 0L).select("file", "pos")
-          if (!grown.isEmpty)
-            events :+= rowsAt(v, grown)
+          val grown = diffRows.filter(_.getLong(2) > 0L)
+          if (grown.nonEmpty)
+            events :+= rowsAt(v, localPosDf(spark, grown))
               .withColumn("__v", lit(v)).withColumn("__kind", lit("del"))
         }
       }
