@@ -327,9 +327,13 @@ object LakeOps {
     val martVs = ManifestTable.versions(spark, martRoot)
     if (martVs.isEmpty) {
       val src = ManifestTable.read(spark, srcRoot, Some(srcTip))
-      val n = src.count()
-      ManifestTable.create(spark, martRoot, countSumAgg(src, keyCol, valueCol),
+      // write FIRST, report the count from the O(groups) mart — see
+      // maintainAggMartTotal's bootstrap (same two-scans-of-the-source
+      // shape removed)
+      val v = ManifestTable.create(spark, martRoot, countSumAgg(src, keyCol, valueCol),
         meta = Map(AggCursorKey -> srcTip.toString))
+      val n = ManifestTable.read(spark, martRoot, Some(v))
+        .agg(coalesce(sum(col("n_rows")), lit(0L))).head.getLong(0)
       (srcTip, n)
     } else {
       val cursor = ManifestTable.manifestMeta(spark, martRoot, martVs.max)
@@ -389,9 +393,14 @@ object LakeOps {
     val martVs = ManifestTable.versions(spark, martRoot)
     if (martVs.isEmpty) {
       val src = ManifestTable.read(spark, srcRoot, Some(srcTip))
-      val n = src.count()
-      ManifestTable.create(spark, martRoot, countSumAgg(src, keyCol, valueCol),
+      // write FIRST: the reported source row count is the sum of the
+      // committed per-group counts (count is total over groups by
+      // construction), read back from the O(groups) mart instead of a
+      // second full scan of the source
+      val v = ManifestTable.create(spark, martRoot, countSumAgg(src, keyCol, valueCol),
         meta = Map(txnKey -> srcTip.toString))
+      val n = ManifestTable.read(spark, martRoot, Some(v))
+        .agg(coalesce(sum(col("n_rows")), lit(0L))).head.getLong(0)
       (srcTip, n)
     } else {
       val cursor = ManifestTable.manifestMeta(spark, martRoot, martVs.max)
@@ -905,9 +914,14 @@ object LakeOps {
     if (martVs.isEmpty) {
       val mart = joined(ManifestTable.read(spark, aRoot, Some(aTip)),
         ManifestTable.read(spark, bRoot, Some(bTip)))
-      val n = mart.count()
-      ManifestTable.create(spark, martRoot, mart,
+      // write FIRST, report the row count from the committed files'
+      // parquet footers — the previous count()-then-create ran the full
+      // bootstrap join twice (once to count, once to write); the footer
+      // sum is exact (fresh create, no deletion vector) at zero jobs
+      val v = ManifestTable.create(spark, martRoot, mart,
         meta = Map(ckA -> aTip.toString, ckB -> bTip.toString))
+      val n = ManifestTable.committedRowCount(spark, martRoot, v)
+        .getOrElse(ManifestTable.read(spark, martRoot, Some(v)).count())
       (aTip, bTip, n)
     } else {
       val meta = ManifestTable.manifestMeta(spark, martRoot, martVs.max)

@@ -309,6 +309,30 @@ object ManifestStats {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Total row count over `paths` (absolute or root-relative) from their
+    * parquet footers — driver-side, zero Spark jobs, exact (the footer's
+    * per-row-group counts are authoritative for stored rows). Callers
+    * must ensure stored rows == visible rows (no deletion vector). None
+    * on any unreadable footer. */
+  private[graft] def rowCountFromFooters(
+      spark: SparkSession, root: String, paths: Seq[String]): Option[Long] = {
+    val conf = spark.sessionState.newHadoopConf()
+    try {
+      var total = 0L
+      paths.foreach { p =>
+        val abs = if (p.startsWith("/")) p else s"$root/$p"
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(abs), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          total += r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        } finally r.close()
+      }
+      Some(total)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Driver-collected value → canonical string (None for null or a
     * non-finite float bound). */
   private def canonical(v: Any, dt: DataType): Option[String] =

@@ -2478,6 +2478,19 @@ object ManifestTable {
   def deletionVector(spark: SparkSession, root: String, version: Long): Option[String] =
     manifestMeta(spark, root, version).get(DvKey)
 
+  /** Exact visible row count of `version` from its files' parquet
+    * footers — driver-side, zero Spark jobs. None when a deletion vector
+    * hides rows (stored ≠ visible) or any footer is unreadable; callers
+    * fall back to a counting read then. The write-then-footer-count
+    * pattern lets a maintainer report the rows it just committed without
+    * recomputing the frame it staged (a bootstrap join mart previously
+    * ran its full join TWICE: once for count(), once for the write). */
+  private[graft] def committedRowCount(spark: SparkSession, root: String,
+      version: Long): Option[Long] =
+    if (deletionVector(spark, root, version).isDefined) None
+    else ManifestStats.rowCountFromFooters(spark, root,
+      manifestFiles(spark, root, version))
+
   private def dvSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("file", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.LongType)))
@@ -3111,7 +3124,7 @@ object ManifestTable {
       sinceVersion: Long,
       untilVersion: Option[Long] = None,
       includeRowId: Boolean = false): (DataFrame, Long) = {
-    import org.apache.spark.sql.functions.{broadcast, lit, struct, when, max => fmax, min => fmin, sum => fsum}
+    import org.apache.spark.sql.functions.{broadcast, lit, struct, when, max => fmax, min => fmin}
     val vs = versions(spark, root)
     refuse(vs.contains(sinceVersion),
       s"version $sinceVersion not in log (have ${vs.mkString(",")}) — cursor invalid, full refresh required")
