@@ -151,6 +151,9 @@ object Profile {
         graft.sources.ManifestTable.deleteMor(spark, src, col("o_custkey") % 7 === 0)
       }
       drain("3-stacked")
+      // empty window: isolates the pure streaming-query lifecycle cost
+      // (start/plan/WAL/stop with zero new data — no apply commit runs)
+      drain("4-empty")
       sampling = false
       if (r == repeat) {
         import scala.jdk.CollectionConverters._
