@@ -3039,56 +3039,57 @@ object ManifestTable {
     // vectors are immutable uuid-named files, so an unchanged DvKey path
     // means an unchanged vector: the whole delete/resurrect diff is a
     // metadata no-op — zero Spark jobs for the (common) append-only
-    // window. When it DID change, ONE ±1 union-aggregate computes both
-    // diff directions (the rows of a vector are unique — every writer
-    // distincts before the write) and is COLLECTED in the same action:
-    // the positions are change-rate-sized and travel to every executor
-    // as a broadcast below anyway, so driver-materializing them costs
-    // the same memory once — and the file sets both diff directions
-    // touch fall out of the collected rows for free, where the previous
-    // shape paid a checkpoint job plus one more collect per direction.
+    // window. When it DID change, ONE ±1 union-aggregate pass computes
+    // both diff directions (the rows of a vector are unique — every
+    // writer distincts before the write), and ONE file-level summary
+    // collect answers both directions' touched-file sets (the previous
+    // shape paid one collect per direction). The POSITIONS stay
+    // distributed: a 10× A/B showed that driver-collecting them into
+    // local relations embeds change-rate-sized row sets into every plan
+    // that consumes the feed (task-binary bloat) — the summary is
+    // bounded by the table's FILE count instead.
     val (deletes, resurrectedRows) =
       if (dvNewP == dvOldP) (emptyTagged, emptyTagged)
       else {
         val dvOld = dvOldP.map(p => dvFrame(spark, root, p)).getOrElse(emptyDvFrame(spark))
         val dvNew = dvNewP.map(p => dvFrame(spark, root, p)).getOrElse(emptyDvFrame(spark))
-        val diffRows = dvDiffRows(spark, dvNew, dvOld)
-        def touching(rows: Array[org.apache.spark.sql.Row]): Seq[String] = {
-          // bounded by the table's FILE count, like the manifest itself
-          val keys = rows.map(_.getString(0)).toSet
+        val dvDiff = dvDiffFrame(spark, dvNew, dvOld)
+        val sides = dvDiffSides(dvDiff)
+        def touching(del: Boolean): Seq[String] = {
+          val keys = sides.collect { case (f, d) if d == del => f }.toSet
           cur.filter(f => old.contains(f) && keys.contains(dvFileKey(f)))
         }
-        val newlyDeleted = diffRows.filter(_.getLong(2) > 0L)
-        val resurrected = diffRows.filter(_.getLong(2) < 0L)
-        (rowsAt(touching(newlyDeleted), localPosDf(spark, newlyDeleted), "delete"),
-          rowsAt(touching(resurrected), localPosDf(spark, resurrected), "insert"))
+        val newlyDeleted = dvDiff.filter(col("_side") > 0L).select("file", "pos")
+        val resurrected = dvDiff.filter(col("_side") < 0L).select("file", "pos")
+        (rowsAt(touching(del = true), newlyDeleted, "delete"),
+          rowsAt(touching(del = false), resurrected, "insert"))
       }
     (inserts.unionByName(deletes).unionByName(resurrectedRows), tip)
   }
 
-  /** The ±1 deletion-vector diff (rows of `dvNew` minus `dvOld` carry
-    * _side > 0, the reverse < 0), COLLECTED — one Spark action yields
-    * both diff directions and their touched-file sets. Sound to
-    * driver-materialize: every consumer broadcasts these positions
-    * anyway, so they are already bounded by what fits on one node. */
-  private def dvDiffRows(spark: SparkSession, dvNew: DataFrame,
-      dvOld: DataFrame): Array[org.apache.spark.sql.Row] = {
+  /** The ±1 deletion-vector diff, CHECKPOINTED (one job): rows of
+    * `dvNew` minus `dvOld` carry _side > 0, the reverse < 0. Positions
+    * stay distributed — consumers broadcast them at the positional
+    * semi-join, never through the driver. */
+  private def dvDiffFrame(spark: SparkSession, dvNew: DataFrame,
+      dvOld: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{lit, sum}
     dvNew.withColumn("_side", lit(1L))
       .unionByName(dvOld.withColumn("_side", lit(-1L)))
       .groupBy(col("file"), col("pos")).agg(sum(col("_side")).as("_side"))
       .filter(col("_side") =!= 0L)
-      .collect()
+      .localCheckpoint()
   }
 
-  /** Collected diff rows → a local-relation `(file, pos)` frame (no
-    * cluster job to build, none to collect from; broadcasts directly). */
-  private def localPosDf(spark: SparkSession,
-      rows: Array[org.apache.spark.sql.Row]): DataFrame =
-    spark.createDataFrame(
-      java.util.Arrays.asList(rows.map(r =>
-        org.apache.spark.sql.Row(r.getString(0), r.getLong(1))): _*),
-      dvSchema)
+  /** ONE collect over the checkpointed diff: the distinct
+    * (file, grew?) pairs — bounded by the table's file count, like the
+    * manifest itself. Answers, with no further jobs: which files each
+    * diff direction touches, whether the vector shrank anywhere, and
+    * whether it grew at all. */
+  private def dvDiffSides(dvDiff: DataFrame): Seq[(String, Boolean)] =
+    dvDiff.select(col("file"), (col("_side") > 0L).as("__del"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSeq
 
   /** Change-data feed over a ROW-TRACKED table — the version walk that
     * serves an EMPTY delta across id-preserving rewrites, where the
@@ -3142,9 +3143,11 @@ object ManifestTable {
     def opOf(v: Long): String = opAt(spark, root, v)
     def dvOf(v: Long): DataFrame = deletionVector(spark, root, v)
       .map(p => dvFrame(spark, root, p)).getOrElse(emptyDvFrame(spark))
-    // rows at dv positions `pos` within version v's manifest, with ids
-    def rowsAt(v: Long, pos: DataFrame): DataFrame = {
-      val keys = pos.select("file").distinct().collect().map(_.getString(0)).toSet
+    // rows at dv positions `pos` within version v's manifest, with ids;
+    // `keys` are the file keys the positions reference, precomputed by
+    // the caller's single side-summary collect (dvDiffSides) — this
+    // must not run its own per-direction collect job
+    def rowsAt(v: Long, pos: DataFrame, keys: Set[String]): DataFrame = {
       val refd = manifestFiles(spark, root, v).filter(f => keys.contains(dvFileKey(f)))
       val pf = readFilesWithRowIds(spark, root, v, refd)
       pf.join(broadcast(pos),
@@ -3190,14 +3193,19 @@ object ManifestTable {
         refuse(added.isEmpty,
           s"v$v ($op) changed the file set — delta not id-expressible, full refresh required")
         // unchanged DvKey path = unchanged (immutable) vector: zero jobs;
-        // otherwise ONE collected ±1 diff yields both directions AND
-        // their file sets in a single action (see readChangesWithDeletes
-        // — the positions broadcast downstream anyway)
+        // otherwise one ±1 diff job + ONE side-summary collect serves
+        // both directions (see readChangesWithDeletes — positions stay
+        // distributed, only the file-level summary reaches the driver)
         if (deletionVector(spark, root, v) != deletionVector(spark, root, v - 1)) {
-          val diffRows = dvDiffRows(spark, dvOf(v), dvOf(v - 1))
-          events :+= rowsAt(v, localPosDf(spark, diffRows.filter(_.getLong(2) > 0L)))
+          val dvDiff = dvDiffFrame(spark, dvOf(v), dvOf(v - 1))
+          val sides = dvDiffSides(dvDiff)
+          def keysOf(del: Boolean): Set[String] =
+            sides.collect { case (f, d) if d == del => f }.toSet
+          events :+= rowsAt(v, dvDiff.filter(col("_side") > 0L).select("file", "pos"),
+              keysOf(del = true))
             .withColumn("__v", lit(v)).withColumn("__kind", lit("del"))
-          events :+= rowsAt(v, localPosDf(spark, diffRows.filter(_.getLong(2) < 0L)))
+          events :+= rowsAt(v, dvDiff.filter(col("_side") < 0L).select("file", "pos"),
+              keysOf(del = false))
             .withColumn("__v", lit(v)).withColumn("__kind", lit("ins"))
         }
       } else {
@@ -3205,16 +3213,18 @@ object ManifestTable {
           events :+= readFilesWithRowIds(spark, root, v, added)
             .drop(DvFileCol, DvPosCol)
             .withColumn("__v", lit(v)).withColumn("__kind", lit("ins"))
-        // same path guard + one-pass collected diff as the restore
+        // same path guard + one-pass diff + side summary as the restore
         // branch above; the shrink refusal and the grown-empty check
-        // read the collected rows — no further jobs
+        // read the summary — no further jobs
         if (deletionVector(spark, root, v) != deletionVector(spark, root, v - 1)) {
-          val diffRows = dvDiffRows(spark, dvOf(v), dvOf(v - 1))
-          refuse(!diffRows.exists(_.getLong(2) < 0L),
+          val dvDiff = dvDiffFrame(spark, dvOf(v), dvOf(v - 1))
+          val sides = dvDiffSides(dvDiff)
+          refuse(!sides.exists(!_._2),
             s"v$v ($op) shrank the deletion vector outside RESTORE — full refresh required")
-          val grown = diffRows.filter(_.getLong(2) > 0L)
-          if (grown.nonEmpty)
-            events :+= rowsAt(v, localPosDf(spark, grown))
+          val grownKeys = sides.collect { case (f, d) if d => f }.toSet
+          if (grownKeys.nonEmpty)
+            events :+= rowsAt(v, dvDiff.filter(col("_side") > 0L).select("file", "pos"),
+                grownKeys)
               .withColumn("__v", lit(v)).withColumn("__kind", lit("del"))
         }
       }
